@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's transform vocabulary (SURVEY.md §2b-§2f) as pure
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Everything here is declarative Column algebra: Catalyst keeps filters and
+  * projections pushed into the scan, and every aggregation gets a map-side
+  * partial + final plan for free, which is what makes these hold at cluster
+  * scale. No UDFs — all expressions stay inside whole-stage codegen.
+  */
+object EtlOps {
+
+  /** P1 — rename a column (reference: `.rename(columns={'period':'date'})`,
+    * EIA930PipelineHourlyData.py:100).
+    */
+  def renameColumn(from: String, to: String)(df: DataFrame): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** P2 — lossy timestamp parse: invalid strings become NULL, matching
+    * pandas `to_datetime(errors='coerce')` (EIA930PipelineHourlyData.py:101).
+    * Spark 4 runs ANSI mode by default, so "coerce" must be an explicit
+    * try_-cast — a plain cast would fail the job on the first bad row.
+    */
+  def lossyTimestamp(src: String, dst: String)(df: DataFrame): DataFrame =
+    df.withColumn(dst, try_to_timestamp(col(src)))
+
+  /** P3 — snap a date to month end, matching `pd.offsets.MonthEnd(0)`
+    * (EIA814PipelineMonthlyData.py:66).
+    */
+  def monthEnd(src: String, dst: String)(df: DataFrame): DataFrame =
+    df.withColumn(dst, last_day(col(src)))
+
+  /** P4 — time-cutoff filter. The reference slices positionally
+    * (`iloc[:idx+1][:-1]`, EIA930PipelineHourlyData.py:102) relying on
+    * API-side sort order; the relational equivalent is a half-open predicate,
+    * which is order-independent and partition-prunable at scale.
+    */
+  def cutoffBefore(ts: String, cutoff: java.sql.Timestamp)(df: DataFrame): DataFrame =
+    df.filter(col(ts) < lit(cutoff))
+
+  /** P5/J1 — semi-join filter against a small reference table
+    * (EIA930PipelineHourlyData.py:104-106). The dim side auto-broadcasts
+    * under `autoBroadcastJoinThreshold`, so this is shuffle-free for the
+    * fact side at any scale.
+    */
+  def semiJoinFilter(ref: DataFrame, factKey: String, refKey: String)(
+      df: DataFrame): DataFrame =
+    df.join(broadcast(ref.select(col(refKey))), col(factKey) === col(refKey), "left_semi")
+
+  /** P6 — drop rows with NULLs in the given key columns
+    * (`.dropna(subset=['price'])`, EIA7APipelineQuarterlyData.py:80).
+    */
+  def dropNullKeys(keys: String*)(df: DataFrame): DataFrame =
+    df.na.drop(keys.toSeq)
+
+  /** P7/P15/F8 — keep rows whose column parses as a number; the parse itself
+    * is `cast("double")` = pandas `to_numeric(errors='coerce')`
+    * (EIA7APipelineQuarterlyData.py:81, EIA930PipelineHourlyData.py:114).
+    */
+  def numericParsable(src: String, dst: String)(df: DataFrame): DataFrame =
+    df.withColumn(dst, expr(s"try_cast($src AS DOUBLE)"))
+      .filter(col(dst).isNotNull)
+
+  /** P8 — null-rejecting inequality predicate
+    * (`.query('x != "Total"')`, EIA7APipelineQuarterlyData.py:86).
+    */
+  def notEqual(c: String, v: String)(df: DataFrame): DataFrame =
+    df.filter(col(c) =!= v)
+
+  /** P9 — fill NULLs with a sentinel
+    * (`.fillna({'mineCountyName': 'Not Specified'})`,
+    * EIA7APipelineQuarterlyData.py:88).
+    */
+  def fillNulls(replacements: Map[String, String])(df: DataFrame): DataFrame =
+    df.na.fill(replacements)
+
+  /** P10/F4 — "YYYY-Qn" quarter label (EIA7APipelineQuarterlyData.py:76). */
+  def quarterLabel(d: Column): Column =
+    concat(year(d).cast("string"), lit("-Q"), quarter(d).cast("string"))
+
+  /** P10 — keep rows in one calendar quarter (EIA7APipelineQuarterlyData.py:90). */
+  def quarterEquals(dateCol: String, label: String)(df: DataFrame): DataFrame =
+    df.filter(quarterLabel(col(dateCol)) === label)
+
+  /** P11/P13/P16/S5 — positional projection / reorder, by resolved names
+    * (`iloc[:, 3:]` / `reindex`, OpenMeteoWeatherPipelineHourlyData.py:98,104).
+    */
+  def selectColumns(names: Seq[String])(df: DataFrame): DataFrame =
+    df.select(names.map(col): _*)
+
+  /** P12 — drop columns, ignoring missing ones (Spark `drop` already does)
+    * (OpenMeteoWeatherPipelineHourlyData.py:105).
+    */
+  def dropColumns(names: String*)(df: DataFrame): DataFrame =
+    df.drop(names.toSeq: _*)
+
+  /** A1 — group-sum (`computeHourlyNetGenerationByEnergySource`,
+    * EIA930PipelineHourlyData.py:111-118). Exact decimal sum; see ExactAgg.
+    */
+  def groupSum(keys: Seq[String], valueCol: String, alias: String)(
+      df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(ExactAgg.sumExact(col(valueCol)).as(alias))
+      .orderBy(keys.map(col): _*)
+
+  /** A2/A3 — group-sum then pivot wide over a fixed value set
+    * (EIA930PipelineHourlyData.py:121-142; pivot values fixed by the sink
+    * schema, databaseOperations.py:189-206). `dropIncomplete` reproduces the
+    * post-pivot `dropna()` of A2. Fixed pivot values keep the plan static —
+    * no driver-side distinct scan, which matters at scale.
+    */
+  def pivotSum(
+      keys: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[String],
+      valueCol: String,
+      dropIncomplete: Boolean)(df: DataFrame): DataFrame = {
+    val wide = df
+      .groupBy(keys.map(col): _*)
+      .pivot(pivotCol, pivotValues)
+      .agg(ExactAgg.sumExact(col(valueCol)))
+    val cleaned = if (dropIncomplete) wide.na.drop(pivotValues) else wide
+    cleaned.orderBy(keys.map(col): _*)
+  }
+
+  /** A4/A5 — per-group mean and sample stddev over many metric columns
+    * (`computeMetricsPerStatePerHour`,
+    * OpenMeteoWeatherPipelineHourlyData.py:86-107). The reference dispatches
+    * on a method-name string; here the same dispatch is a total map from
+    * name to exact Column aggregate. `std` is sample (ddof=1), matching
+    * pandas `Series.std` — NOT population stddev.
+    */
+  val statFns: Map[String, Column => Column] = Map(
+    "mean" -> ExactAgg.meanExact,
+    "std" -> ExactAgg.stddevSampExact,
+    "sum" -> ExactAgg.sumExact,
+    "min" -> min,
+    "max" -> max
+  )
+
+  def groupStats(keys: Seq[String], metrics: Seq[String], stat: String)(
+      df: DataFrame): DataFrame = {
+    val fn = statFns(stat)
+    df.groupBy(keys.map(col): _*)
+      .agg(fn(col(metrics.head)).as(metrics.head),
+           metrics.tail.map(m => fn(col(m)).as(m)): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** U1/U2 — union of per-page / per-location frames by column name
+    * (`pd.concat`, EIA930PipelineHourlyData.py:100). */
+  def unionPages(pages: Seq[DataFrame]): DataFrame =
+    pages.reduce(_ unionByName _)
+
+  /** O5 — deterministic top-k: total order requires a unique tiebreak
+    * (row order is not a DataFrame invariant, unlike pandas). Spark plans
+    * this as TakeOrderedAndProject — per-partition top-k then a k-row merge
+    * on the driver, no global sort, so it scales to any input size.
+    */
+  def topK(k: Int, ordering: Seq[Column])(df: DataFrame): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+}

@@ -1,0 +1,445 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.operators.{EtlOps, ExactAgg}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2 operator inventory bound to the driver's synthetic tables
+  * (FIXTURES.md §B mapping), each with a DuckDB oracle. Naming convention:
+  * `<§2 id>_<what>`.
+  *
+  * Float discipline: every aggregate goes through ExactAgg so Spark's
+  * parallel partial aggregation and DuckDB's single-threaded fold produce
+  * bit-identical doubles. Every query ends in a total order (unique tiebreak
+  * keys) because row order is not a DataFrame invariant.
+  */
+object EtlQueries {
+
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- §2d aggregations -------------------------------------------------
+
+    // A1: group-sum over two keys with derived-expression sums
+    // (EIA930PipelineHourlyData.py:111-118 shape on lineitem).
+    QueryDef(
+      "a1_group_sum",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          ExactAgg.sumExact(col("l_quantity")).as("sum_qty"),
+          ExactAgg.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // A2: group-sum + pivot wide + drop incomplete rows
+    // (EIA930PipelineHourlyData.py:121-131 on events).
+    QueryDef(
+      "a2_pivot_dropna",
+      ("""SELECT * FROM (
+        |  SELECT date_trunc('day', ts) AS day_ts, user_id % 20 AS ubucket,
+        |""" + eventTypes.map(t =>
+          s"    CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(25,4)) END) AS DOUBLE) AS $t")
+          .mkString(",\n") + """
+        |  FROM events GROUP BY 1, 2
+        |) WHERE """ + eventTypes.map(t => s"$t IS NOT NULL").mkString(" AND ") + """
+        |ORDER BY day_ts, ubucket""").stripMargin) { (s, d) =>
+      EtlOps.pivotSum(
+        Seq("day_ts", "ubucket"), "event_type", eventTypes, "value",
+        dropIncomplete = true)(
+        Tables.events(s, d)
+          .withColumn("day_ts", date_trunc("DAY", col("ts")))
+          .withColumn("ubucket", col("user_id") % 20))
+    },
+
+    // A3: group-sum + pivot keyed by time only, incomplete rows kept
+    // (EIA930PipelineHourlyData.py:134-142).
+    QueryDef(
+      "a3_pivot_hourly",
+      ("""SELECT date_trunc('hour', ts) AS hour_ts,
+        |""" + eventTypes.map(t =>
+          s"  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(25,4)) END) AS DOUBLE) AS $t")
+          .mkString(",\n") + """
+        |FROM events GROUP BY 1 ORDER BY hour_ts""").stripMargin) { (s, d) =>
+      EtlOps.pivotSum(Seq("hour_ts"), "event_type", eventTypes, "value",
+        dropIncomplete = false)(
+        Tables.events(s, d).withColumn("hour_ts", date_trunc("HOUR", col("ts"))))
+    },
+
+    // A4: per-group mean (computeMetricsPerStatePerHour 'mean',
+    // OpenMeteoWeatherPipelineHourlyData.py:86-107). Exact-sum mean.
+    QueryDef(
+      "a4_group_mean",
+      """SELECT date_trunc('day', ts) AS day_ts, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(value) AS mean_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_ts, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("day_ts", date_trunc("DAY", col("ts")))
+        .groupBy(col("day_ts"), col("event_type"))
+        .agg(ExactAgg.meanExact(col("value")).as("mean_value"))
+        .orderBy(col("day_ts"), col("event_type"))
+    },
+
+    // A5: per-group SAMPLE stddev (pandas Series.std is ddof=1 —
+    // OpenMeteoWeatherPipelineHourlyData.py:100,167), from exact moments.
+    QueryDef(
+      "a5_group_std",
+      """SELECT day_ts, event_type,
+        |  CASE WHEN n > 1 THEN sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) END AS std_value
+        |FROM (
+        |  SELECT date_trunc('day', ts) AS day_ts, event_type,
+        |    CAST(COUNT(value) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1, 2
+        |) ORDER BY day_ts, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("day_ts", date_trunc("DAY", col("ts")))
+        .groupBy(col("day_ts"), col("event_type"))
+        .agg(ExactAgg.stddevSampExact(col("value")).as("std_value"))
+        .orderBy(col("day_ts"), col("event_type"))
+    },
+
+    // ---- §2c joins --------------------------------------------------------
+
+    // J1: left-semi join against a filtered dimension
+    // (EIA930PipelineHourlyData.py:104-106). Dim broadcasts — no fact shuffle.
+    QueryDef(
+      "j1_semi_join",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      EtlOps.semiJoinFilter(
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        "o_custkey", "c_custkey")(Tables.orders(s, d))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J2: broadcast equi-join dim->fact then aggregate
+    // (the J2 coordinates->state rewrite, OpenMeteo…:94-103, on part/lineitem).
+    QueryDef(
+      "j2_broadcast_join_agg",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(ExactAgg.sumExact(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
+    // J-extension: left-anti join (customers with no orders) — the dual of J1,
+    // needed constantly in data-pipeline hygiene.
+    QueryDef(
+      "j3_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.orders(s, d).select(col("o_custkey"))),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- §2b projections / filters ---------------------------------------
+
+    // P1: column rename (period -> date; EIA930…:100).
+    QueryDef(
+      "p1_rename",
+      """SELECT l_orderkey, l_linenumber, l_shipdate AS date FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      EtlOps.renameColumn("l_shipdate", "date")(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"), col("date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // P2: lossy timestamp parse — unparseable strings coerce to NULL
+    // (errors='coerce', EIA930…:101). Garbage injected on event_id % 7.
+    QueryDef(
+      "p2_ts_coerce",
+      """SELECT event_id,
+        |  TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-timestamp'
+        |                ELSE strftime(ts, '%Y-%m-%d %H:00:00') END AS TIMESTAMP) AS parsed_ts
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, lit("not-a-timestamp"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:00:00")))
+        .transform(EtlOps.lossyTimestamp("raw", "parsed_ts"))
+        .select(col("event_id"), col("parsed_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    // P3: month-end snap (MonthEnd(0), EIA814…:66).
+    QueryDef(
+      "p3_month_end",
+      """SELECT o_orderkey, last_day(o_orderdate) AS month_end FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      EtlOps.monthEnd("o_orderdate", "month_end")(Tables.orders(s, d))
+        .select(col("o_orderkey"), col("month_end"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // P4: half-open time cutoff (the relational form of the positional
+    // iloc slice, EIA930…:102).
+    QueryDef(
+      "p4_time_cutoff",
+      """SELECT event_id, ts FROM events
+        |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      EtlOps.cutoffBefore("ts", java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))(
+        Tables.events(s, d))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
+    },
+
+    // P7 (+P6/P15/F8/F9): JSON field -> numeric coerce -> drop unparseable
+    // (EIA7A…:80-82 with the JSON access of EIA930…:100).
+    QueryDef(
+      "p7_numeric_coerce_filter",
+      """SELECT event_id, k_num FROM (
+        |  SELECT event_id,
+        |    TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'NaNope'
+        |                  ELSE json_extract_string(props, '$.k') END AS DOUBLE) AS k_num
+        |  FROM events
+        |) WHERE k_num IS NOT NULL ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k_str",
+          when(col("event_id") % 7 === 0, lit("NaNope"))
+            .otherwise(get_json_object(col("props"), "$.k")))
+        .transform(EtlOps.numericParsable("k_str", "k_num"))
+        .select(col("event_id"), col("k_num"))
+        .orderBy(col("event_id"))
+    },
+
+    // P8: null-rejecting inequality ('!= "Total"', EIA7A…:86).
+    QueryDef(
+      "p8_not_equal",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      EtlOps.notEqual("o_orderpriority", "1-URGENT")(Tables.orders(s, d))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // P9: NULL fill with sentinel (EIA7A…:88); NULLs synthesized via NULLIF
+    // since the fixtures are dense.
+    QueryDef(
+      "p9_fill_null",
+      """SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'Not Specified') AS flag,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin) { (s, d) =>
+      EtlOps.fillNulls(Map("flag" -> "Not Specified"))(
+        Tables.lineitem(s, d)
+          .withColumn("flag", nullif(col("l_returnflag"), lit("N"))))
+        .groupBy(col("flag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("flag"))
+    },
+
+    // P10/F4: quarter-label equality (EIA7A…:76,90).
+    QueryDef(
+      "p10_quarter_filter",
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE (CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-Q' ||
+        |       CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR)) = '1996-Q2'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      EtlOps.quarterEquals("o_orderdate", "1996-Q2")(Tables.orders(s, d))
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // P14/F1: snake-case column renaming (EIA930…:145-155) — applied to a
+    // camelCase projection; the oracle just names the same columns.
+    QueryDef(
+      "p14_snake_case",
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+        |  o_orderpriority AS order_priority
+        |FROM orders ORDER BY order_key""".stripMargin) { (s, d) =>
+      graft.core.Naming.snakeCaseColumns(
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("orderKey"),
+                  col("o_totalprice").as("Total Price"),
+                  col("o_orderpriority").as("order-priority")))
+        .orderBy(col("order_key"))
+    },
+
+    // S5/P16: positional column slice — first 6 columns (EIA930…:34).
+    QueryDef(
+      "s5_column_slice",
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      EtlOps.selectColumns(li.columns.take(6).toSeq)(li)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- §2f scalar functions --------------------------------------------
+
+    // F3: relative month arithmetic + YYYY-MM format (EIA814…:19).
+    QueryDef(
+      "f3_add_months",
+      """SELECT strftime(o_orderdate - INTERVAL 3 MONTH, '%Y-%m') AS ym,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("ym", date_format(add_months(col("o_orderdate"), -3), "yyyy-MM"))
+        .groupBy(col("ym")).agg(count(lit(1)).as("n"))
+        .orderBy(col("ym"))
+    },
+
+    // F5: hourly timestamp range generation, inclusive bounds
+    // (OpenMeteo…:67-70; the reference's end-exclusive range is modeled by
+    // an explicit last step at +23h).
+    QueryDef(
+      "f5_hourly_sequence",
+      """SELECT o_orderkey, unnest(generate_series(o_orderdate,
+        |  o_orderdate + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS hour_ts
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey, hour_ts""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          explode(sequence(col("o_orderdate"),
+            col("o_orderdate") + expr("INTERVAL 23 HOURS"),
+            expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+        .orderBy(col("o_orderkey"), col("hour_ts"))
+    },
+
+    // F6: epoch seconds -> UTC timestamp (OpenMeteo…:67-68). The oracle uses
+    // timezone-free interval arithmetic so the check is independent of the
+    // oracle process's session TZ.
+    QueryDef(
+      "f6_epoch_seconds",
+      """SELECT event_id,
+        |  TIMESTAMP '1970-01-01 00:00:00' +
+        |    (1700000000 + event_id * 3600) * INTERVAL 1 SECOND AS epoch_ts
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          timestamp_seconds(lit(1700000000L) + col("event_id") * 3600).as("epoch_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    // F7: hour-granularity transport format yyyy-MM-ddTHH
+    // (EIA930…:102, OpenMeteo…:70,81).
+    QueryDef(
+      "f7_hour_format",
+      """SELECT strftime(ts, '%Y-%m-%dT%H') AS hour_str, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour_str""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hour_str", date_format(col("ts"), "yyyy-MM-dd'T'HH"))
+        .groupBy(col("hour_str")).agg(count(lit(1)).as("n"))
+        .orderBy(col("hour_str"))
+    },
+
+    // ---- §2e sorts / limits / unions -------------------------------------
+
+    // O1/O2/O3: multi-key total-order sort with explicit tiebreak.
+    QueryDef(
+      "o1_multi_sort",
+      """SELECT user_id, ts, event_id FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
+    // O5: deterministic top-k (TakeOrderedAndProject — no global sort).
+    QueryDef(
+      "o5_top_k",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      EtlOps.topK(100, Seq(col("o_totalprice").desc, col("o_orderkey").asc))(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")))
+    },
+
+    // U1: union-all of "pages" then aggregate (pd.concat of page frames,
+    // EIA930…:100) — pages carved by key mod.
+    QueryDef(
+      "u1_union_pages",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 3 = 1
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 3 = 2
+        |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val pages = Seq(0, 1, 2).map(i => li.filter(col("l_orderkey") % 3 === i))
+      EtlOps.unionPages(pages)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), ExactAgg.sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- window functions (engine surface beyond the reference) ----------
+
+    // W2: ranked top-n per group with deterministic tiebreak.
+    QueryDef(
+      "w2_rownum_topn",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // W3: lag delta per key (sessionized change detection).
+    QueryDef(
+      "w3_lag_delta",
+      """SELECT event_id, user_id, value,
+        |  value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS delta
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("delta"))
+        .orderBy(col("event_id"))
+    },
+
+    // W1: tumbling-window aggregate (batch twin of the streaming path;
+    // window(ts, '1 hour').start == date_trunc('hour', ts)).
+    QueryDef(
+      "w1_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), ExactAgg.sumExact(col("value")).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"))
+    }
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate: run Verify's parquet dumps against
+the DuckDB oracle SQL and compare (columns sorted by name, rows compared
+exactly). Usage: python3 tools/check_correctness.py <sfDir> <outDir>
+"""
+import json
+import sys
+
+import duckdb
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: engine output missing: {e}")
+            failures += 1
+            continue
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        # Row-order-insensitive compare (driver may or may not sort rows):
+        # sort both by all columns.
+        cols = list(want.columns)
+        try:
+            want_s = want.sort_values(cols, na_position="first").reset_index(drop=True)
+            got_s = got.sort_values(cols, na_position="first").reset_index(drop=True)
+        except Exception:
+            want_s, got_s = want, got
+        diffs = []
+        for c in cols:
+            a, b = want_s[c], got_s[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+                aa, bb = a.to_numpy(dtype=float), b.to_numpy(dtype=float)
+                neq = ~((aa == bb) | (np.isnan(aa) & np.isnan(bb)))
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    diffs.append(f"{c}[{i}]: {bb[i]!r} != {aa[i]!r} (exact)")
+            else:
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                if neq.any():
+                    i = int(neq.to_numpy().argmax())
+                    diffs.append(f"{c}[{i}]: {b.iloc[i]!r} != {a.iloc[i]!r}")
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)} mismatched column(s): " + "; ".join(diffs[:3]))
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows, {len(cols)} cols)")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
