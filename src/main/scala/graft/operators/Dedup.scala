@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, exact through approximate.
+  *
+  * Scale design: every variant is expressed as explode -> hash-shuffle ->
+  * aggregate, the same shape Spark uses for TPC-style aggregation, so the
+  * 100 TB path is "more partitions", never "bigger driver". The LSH pipeline
+  * (shingle -> minhash -> band -> bucket self-join -> verify) only ever
+  * joins within band buckets, which is the standard way to keep candidate
+  * generation subquadratic; the brute-force Jaccard join exists as the
+  * correctness baseline for small inputs and for oracle checks.
+  *
+  * Hash discipline: the only string hash used is md5 (identical across
+  * engines); hex prefixes are parsed to integers so every downstream minhash
+  * permutation, band key, and simhash bit is exact integer arithmetic an SQL
+  * oracle reproduces bit-for-bit. (Spark's murmur3 `hash()` would be faster
+  * but engine-private; swap `hash32` for it when oracle parity isn't needed.)
+  */
+object Dedup {
+
+  /** First 8 md5 hex chars as an unsigned 32-bit value in a long. */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** First 12 md5 hex chars — 48 bits, stays positive in a long. */
+  def hash48(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup: one row per distinct text with the minimum id as keeper.
+    * Map-side partial min/count keeps the shuffle tiny at scale; grouping by
+    * md5(text) (not text) keeps shuffle keys 16 bytes instead of documents.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-exact dedup on the normalized fingerprint (TextOps.fingerprint). */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // ---- shingling -----------------------------------------------------------
+
+  /** Distinct word n-gram shingles, one row per (id, shingle).
+    * `array_distinct` before the explode dedups locally — no extra shuffle.
+    */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("sid"), explode(grams).as("gram"))
+  }
+
+  /** Shingle-set sizes per document. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
+
+  // ---- brute-force n-gram Jaccard (correctness baseline) -------------------
+
+  /** All pairs with Jaccard(word-ngram sets) >= threshold, via a
+    * shared-shingle self-join. Exact but O(sum_g df(g)^2) — the baseline and
+    * verify stage, not the scale path (use `minhashCandidates` first).
+    * Jaccard is an integer ratio, so it's engine-exact.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val sizes = shingleSizes(sh)
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.gram") === col("b.gram") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("ida"), col("b.sid").as("idb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("ida") === col("sa.sid"))
+      .join(sizes.as("sb"), col("idb") === col("sb.sid"))
+      .select(col("ida"), col("idb"),
+        (col("n_inter").cast("double") /
+          (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- MinHash + LSH (the scale path) --------------------------------------
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  val NumHashes = 32
+  val NumBands = 8
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  def hashA(i: Int): Long = 2L * i + 1
+  def hashB(i: Int): Long = 12345L * i + 67
+
+  /** 32-wide minhash signature per document: min over shingles of
+    * (a_i * h + b_i) mod p. One explode + one aggregation — partial mins
+    * combine map-side, so the shuffle carries 32 longs per document.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+      .withColumn("h", hash32(col("gram")))
+    val aggs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
+    sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (band, key) per document, key = the band's minhash slice. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandKeys = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      concat_ws("_", cols: _*)
+    }
+    sig.select(col("sid"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Candidate pairs: documents sharing any band bucket. The self-join is
+    * per (band, bkey) — bucket sizes stay tiny for non-duplicate data, so
+    * this is subquadratic, unlike `jaccardPairs`.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val bands = lshBands(minhashSignatures(df, idCol, textCol, n))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("ida"), col("b.sid").as("idb"))
+      .distinct()
+  }
+
+  /** Full LSH dedup: candidates from banding, verified with exact Jaccard —
+    * the production near-dup pipeline (candidates << all-pairs).
+    */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, n)
+    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val sizes = shingleSizes(sh)
+    val inter = cands
+      .join(sh.as("a"), col("ida") === col("a.sid"))
+      .join(sh.as("b"), col("idb") === col("b.sid") && col("a.gram") === col("b.gram"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("ida") === col("sa.sid"))
+      .join(sizes.as("sb"), col("idb") === col("sb.sid"))
+      .select(col("ida"), col("idb"),
+        (col("n_inter").cast("double") /
+          (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  val SimhashBits = 48
+
+  /** 48-bit simhash over whitespace tokens (with multiplicity): bit b is set
+    * when the signed sum of token-hash bit b is positive. 48 exact integer
+    * aggregates -> one long; partial sums combine map-side.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("sid"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", hash48(col("tok")))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val packed = (0 until SimhashBits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col("sid"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("sid"), packed.as("simhash"))
+  }
+
+  /** Near-dup pairs by simhash: 4 x 12-bit chunk banding (any pair within
+    * hamming distance 6 of 48 bits shares at least one exact chunk only
+    * probabilistically — chunking guarantees recall for distance <= 3 by
+    * pigeonhole; we verify with bit_count and keep distance <= maxHamming).
+    */
+  def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = sim.select(col("sid"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), 12 * c).bitwiseAND(4095)): _*))
+        .as(Seq("chunk", "ckey")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("ida"), col("b.sid").as("idb"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

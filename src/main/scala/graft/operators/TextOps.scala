@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, document fingerprinting, quality scoring, language ID.
+  *
+  * Everything is pure Column algebra over `functions._` — codegen'd, no UDFs,
+  * so the ops run inside whole-stage codegen and scale linearly with no
+  * shuffle (all are per-row). Integer-valued features are exact; the quality
+  * score is a fixed double expression tree an oracle can mirror verbatim.
+  */
+object TextOps {
+
+  /** Whitespace token count (the "fast path" tokenizer). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alnum runs + single non-alnum marks, the shape a
+    * byte-pair tokenizer's pre-tokenizer produces. Regex kept to the
+    * Java/RE2 common subset so oracles agree.
+    */
+  val bpeishPattern = "[a-z0-9]+|[^a-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Normalized document fingerprint: lowercase, collapse whitespace, md5.
+    * Used for near-exact dedup robust to spacing/case differences.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Words of a document (single-space tokenizer, matching the fixtures'
+    * generator). */
+  def words(text: Column): Column = split(text, " ")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "in", "on", "to", "is")
+
+  /** Quality-scoring components + a weighted score. All components are
+    * ratios of exact integers; the final score is one fixed double
+    * expression.
+    */
+  def nWords(text: Column): Column = size(words(text))
+
+  def stopwordCount(text: Column): Column = {
+    val sw = stopwords.map(lit(_))
+    size(filter(words(text), w => w.isin(sw: _*)))
+  }
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0)))
+
+  /** score = 0.4*min(1, words/100) + 0.3*(1 - punct/chars)
+    *        + 0.3*min(1, 4*stop/words) — an interpretable blend of length,
+    * cleanliness and natural-language-ness (stopword density ~25% in real
+    * English text; 4x maps that to 1.0).
+    */
+  def qualityScore(text: Column): Column = {
+    val nw = nWords(text).cast("double")
+    val nc = length(text).cast("double")
+    val np = punctCount(text).cast("double")
+    val ns = stopwordCount(text).cast("double")
+    lit(0.4) * least(lit(1.0), nw / 100.0) +
+      lit(0.3) * (lit(1.0) - np / nc) +
+      lit(0.3) * least(lit(1.0), lit(4.0) * ns / nw)
+  }
+
+  /** Language-ID marker words per language. Membership counts over the
+    * single-space tokenizer; deterministic argmax with a fixed priority
+    * order (en > de > es > fr > zh) on ties.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni")
+  )
+
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(markers.map(lit(_)): _*)))
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
+    val Seq(en, de, es, fr, zh) = scores.map(_._2)
+    when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+  }
+}

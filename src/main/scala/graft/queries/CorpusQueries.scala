@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (dedup, similarity search, text analysis,
+  * multimodal) over the `documents` / `embeddings` tables, each with a
+  * DuckDB oracle generated from the SAME constants as the Spark
+  * implementation — hash functions, minhash permutation params, band
+  * layout, stopword lists, score weights — so both sides are one source of
+  * truth apart.
+  */
+object CorpusQueries {
+
+  // ---- shared oracle SQL fragments ----------------------------------------
+
+  /** Word n-gram shingle CTEs (mirror of Dedup.wordShingles, n=3). */
+  private val shingleCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS sid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+      |sizes AS (SELECT sid, COUNT(*) AS nsh FROM sh GROUP BY sid)""".stripMargin
+
+  /** Mirror of Dedup.hash32 / hash48. */
+  private def sqlHash(expr: String, hexChars: Int): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, $hexChars)) AS BIGINT)"
+
+  /** Mirror of Dedup.minhashSignatures: 32 min-aggregates. */
+  private val sigSelect: String = {
+    val aggs = (0 until Dedup.NumHashes).map(i =>
+      s"  min((${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinhashPrime}) AS m$i")
+    s"""h AS (SELECT sid, ${sqlHash("gram", 8)} AS h FROM sh),
+       |sig AS (SELECT sid,
+       |${aggs.mkString(",\n")}
+       |FROM h GROUP BY sid)""".stripMargin
+  }
+
+  /** Mirror of Dedup.lshBands: 8 UNION ALL arms. */
+  private val bandsCte: String = {
+    val arms = (0 until Dedup.NumBands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"  SELECT sid, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+    }
+    s"bands AS (\n${arms.mkString("\n  UNION ALL\n")}\n)"
+  }
+
+  private val candidatesCte =
+    """cand AS (SELECT DISTINCT a.sid AS ida, b.sid AS idb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.sid < b.sid)""".stripMargin
+
+  /** Mirror of Dedup.simhash: 48 signed bit sums -> packed long. */
+  private val simhashCtes: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map(b =>
+      s"  SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+    val packed = (0 until Dedup.SimhashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+    s"""toks AS (SELECT doc_id AS sid, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT sid, ${sqlHash("tok", 12)} AS h FROM toks),
+       |bits AS (SELECT sid,
+       |${bitSums.mkString(",\n")}
+       |FROM th GROUP BY sid),
+       |sim AS (SELECT sid, ${packed.mkString(" + ")} AS simhash FROM bits)""".stripMargin
+  }
+
+  /** Mirror of Similarity.quantize + cosineQ. */
+  private val quantVecCte =
+    s"""v AS (SELECT vec_id AS sid,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+
+  private def sqlCosine(a: String, b: String): String =
+    s"""CAST(list_dot_product($a, $b) AS DOUBLE) /
+       |    (sqrt(CAST(list_dot_product($a, $a) AS DOUBLE)) * sqrt(CAST(list_dot_product($b, $b) AS DOUBLE)))""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  // ---- definitions --------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // == text analysis ==
+
+    QueryDef(
+      "t1_token_stats",
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '${TextOps.bpeishPattern}')) AS bpe_tokens,
+         |  length(text) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_m"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "t2_quality_score",
+      s"""SELECT doc_id, n_words, punct_ct, stop_ct,
+         |  0.4 * least(1.0, n_words / 100.0) + 0.3 * (1.0 - punct_ct / n_chars)
+         |    + 0.3 * least(1.0, 4.0 * stop_ct / n_words) AS quality
+         |FROM (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS punct_ct,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE) AS stop_ct
+         |FROM documents) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.nWords(col("text")).cast("double").as("n_words"),
+        length(col("text")).cast("double").as("n_chars"),
+        TextOps.punctCount(col("text")).cast("double").as("punct_ct"),
+        TextOps.stopwordCount(col("text")).cast("double").as("stop_ct"))
+        .select(col("doc_id"), col("n_words"), col("punct_ct"), col("stop_ct"),
+          (lit(0.4) * least(lit(1.0), col("n_words") / 100.0)
+            + lit(0.3) * (lit(1.0) - col("punct_ct") / col("n_chars"))
+            + lit(0.3) * least(lit(1.0), lit(4.0) * col("stop_ct") / col("n_words")))
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "t3_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+         |FROM (SELECT doc_id, lang,
+         |${TextOps.langMarkers.map { case (l, ms) =>
+             s"  len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(ms)}))) AS s_$l"
+           }.mkString(",\n")}
+         |FROM documents) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "t4_fingerprint",
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // == dedup ==
+
+    QueryDef(
+      "d1_dedup_exact",
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("text_md5"))
+    },
+
+    QueryDef(
+      "d2_dedup_fingerprint",
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, d) =>
+      Dedup.byFingerprint(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fp"))
+    },
+
+    QueryDef(
+      "d3_minhash_candidates",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte
+         |SELECT ida, idb FROM cand ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    QueryDef(
+      "d4_minhash_verified",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  GROUP BY ida, idb)
+         |SELECT * FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    QueryDef(
+      "d5_jaccard_bruteforce",
+      s"""WITH $shingleCtes,
+         |inter AS (SELECT a.sid AS ida, b.sid AS idb, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.sid < b.sid
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    QueryDef(
+      "d6_simhash",
+      s"""WITH $simhashCtes
+         |SELECT sid, simhash FROM sim ORDER BY sid""".stripMargin) { (s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("sid"))
+    },
+
+    QueryDef(
+      "d7_simhash_pairs",
+      s"""WITH $simhashCtes,
+         |chunks AS (
+         |${(0 until 4).map(c =>
+             s"  SELECT sid, simhash, $c AS chunk, (simhash >> ${12 * c}) & 4095 AS ckey FROM sim")
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.sid AS ida, b.sid AS idb,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.sid < b.sid
+         |) WHERE hamming <= 6 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 6)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    QueryDef(
+      "d8_embedding_neardup",
+      s"""WITH $quantVecCte
+         |SELECT * FROM (
+         |  SELECT a.sid AS ida, b.sid AS idb,
+         |    ${sqlCosine("a.qv", "b.qv")} AS cosine
+         |  FROM v a JOIN v b ON a.sid < b.sid
+         |) WHERE cosine >= 0.45 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    // == similarity search ==
+
+    QueryDef(
+      "s1_knn_bruteforce",
+      s"""WITH $quantVecCte,
+         |q AS (SELECT sid AS qid, qv AS qqv FROM v WHERE sid < 8),
+         |scored AS (SELECT qid, v.sid AS nid,
+         |    ${sqlCosine("qqv", "v.qv")} AS cosine
+         |  FROM v CROSS JOIN q WHERE v.sid <> qid)
+         |SELECT * FROM (
+         |  SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // LSH-bucketed ANN — the scale path; bucketing isn't portably
+    // SQL-expressible, so rows-only here; recall vs s1 is asserted in
+    // SimilaritySpec.
+    QueryDef.rowsOnly("s2_knn_lsh") { (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nTables = 8, nPlanes = 10, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // == multimodal ==
+
+    QueryDef(
+      "m1_media_meta",
+      """SELECT doc_id AS id, n_bytes,
+        |  64 + n_bytes % 577 AS width,
+        |  64 + (n_bytes * 31) % 577 AS height,
+        |  1 + n_bytes % 7 AS frames
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |      FROM documents) ORDER BY id""".stripMargin) { (s, d) =>
+      Multimodal.stubDecodeMeta(
+        Multimodal.withBinary(Tables.documents(s, d), "text"), "doc_id")
+        .orderBy(col("id"))
+    },
+
+    QueryDef.rowsOnly("m2_frame_features") { (s, d) =>
+      Multimodal.stubFrameFeatures(
+        Multimodal.withBinary(Tables.documents(s, d), "text"), "doc_id", 50)
+        .orderBy(col("id"))
+    }
+  )
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 1
+    (3L, "completely different words appear here with nothing shared at all"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs away fast") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("brute-force jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dups have jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates cover everything brute-force confirms (recall)") {
+    val confirmed = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(confirmed.subsetOf(cands))
+  }
+
+  test("minhash-verified equals brute force on the driver fixture (sf0.001)") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val brute = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashVerifiedPairs(d, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(lsh == brute) // verify stage kills false positives; bands catch all >=0.5 here
+  }
+
+  test("simhash: identical docs hash equal, near-dups within small hamming") {
+    val sim = Dedup.simhash(docs, "doc_id", "text").cache()
+    val m = sim.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+  }
+
+  test("simhashPairs finds exact dup with hamming 0") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 6)
+      .select("ida", "idb", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+  }
+}

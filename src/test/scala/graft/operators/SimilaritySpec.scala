@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self, deterministic tiebreak") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .select("nid", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("nearDupPairs finds only the close pair at high threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("lshTopK neighbors are true neighbors (precision vs brute force)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 15)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 64, 8, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    // LSH@5 hits inside brute-force top-15: must beat the random baseline
+    // (15/500 = 3%) by a wide margin. Uniform random embeddings are the
+    // worst case for LSH — real clustered embeddings score far higher.
+    val hits = lsh.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
+    assert(lsh.nonEmpty)
+    assert(hits.toDouble / lsh.length > 0.15,
+      s"LSH precision ${hits.toDouble / lsh.length} below 5x random baseline")
+  }
+
+  test("integer quantization makes cosine exact and order-independent") {
+    val df = vecs.select(Similarity.quantize($"embedding").as("q"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0) == Seq(1000L, 0L, 0L))
+    assert(rows(1).getSeq[Long](0) == Seq(900L, 100L, 0L))
+  }
+}

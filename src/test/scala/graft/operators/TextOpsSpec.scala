@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq("the quick, brown fox!").toDF("text").select(
+      TextOps.wsTokenCount($"text").as("ws"),
+      TextOps.bpeishTokenCount($"text").as("bpe"))
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("ws") == 4)
+    assert(r.getAs[Int]("bpe") == 6) // the, quick, ',', brown, fox, '!'
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("a", "The  Quick   Fox"), ("b", "the quick fox")).toDF("id", "text")
+      .select(TextOps.fingerprint($"text").as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("langId picks the language with most marker hits, priority on ties") {
+    val df = Seq(
+      "the cat and the dog is a pet",  // en markers
+      "der hund und die katze ist da", // de markers
+      "xyzzy plugh"                    // no markers anywhere -> priority: en
+    ).toDF("text").select(TextOps.langId($"text").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "en"))
+  }
+
+  test("qualityScore is in [0,1] over the fixture corpus") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val mm = d.select(
+      min(TextOps.qualityScore($"text")).as("lo"),
+      max(TextOps.qualityScore($"text")).as("hi")).collect()(0)
+    assert(mm.getAs[Double]("lo") >= 0.0 && mm.getAs[Double]("hi") <= 1.0)
+  }
+}
