@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink + catalog surface (SURVEY.md S10-S12).
+  *
+  * The reference appends blindly into Postgres (psycopg2 execute_values,
+  * EIA930PipelineHourlyData.py:158-180) — non-idempotent on retry. The
+  * engine keeps that JDBC append for parity and adds the idempotent path a
+  * scheduled pipeline should use: deterministic overwrite of the run's
+  * partition in a partitioned parquet table (re-runs replace, not
+  * duplicate).
+  */
+object Sinks {
+
+  /** S10 — JDBC append sink (parity with the reference's blind append). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Idempotent sink: dynamic partition overwrite keyed by `runCol` — only
+    * the partitions present in `df` are replaced, so a re-run of one
+    * pipeline day is a no-op-or-replace, never a duplicate. This is the
+    * 100 TB posture: append-only sinks turn retries into data bugs.
+    */
+  def overwriteRunPartition(df: DataFrame, path: String, runCol: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(runCol).parquet(path)
+  }
+
+  /** S11 — DDL from the declared sink schemas, against the session catalog. */
+  def createTable(spark: SparkSession, db: String, table: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val schema = Schemas.sinks(table)
+    spark.catalog.createTable(s"$db.$table", "parquet", schema,
+      Map.empty[String, String])
+  }
+
+  /** S12 — catalog utilities (databaseOperations.py:48-126). */
+  def listTables(spark: SparkSession, db: String): Seq[String] =
+    spark.catalog.listTables(db).collect().map(_.name).toSeq.sorted
+
+  def peek(spark: SparkSession, db: String, table: String, n: Int = 5): DataFrame =
+    spark.table(s"$db.$table").limit(n)
+
+  def truncateTable(spark: SparkSession, db: String, table: String): Unit =
+    spark.sql(s"TRUNCATE TABLE $db.$table")
+
+  def dropAllTables(spark: SparkSession, db: String): Unit =
+    listTables(spark, db).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+}
