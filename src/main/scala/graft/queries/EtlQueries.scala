@@ -161,6 +161,54 @@ object EtlQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // J-extension: as-of (point-in-time) join — each event picks the latest
+    // order of that user at or before the event time. Right side deduped per
+    // (key, ts) so "latest" is well-defined in both engines.
+    QueryDef(
+      "j4_asof_join",
+      """WITH r AS (SELECT * FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice
+        |FROM events ASOF LEFT JOIN r
+        |  ON user_id = r.o_custkey AND ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ordersDedup = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      graft.operators.AsOfJoin.asOf(
+        Tables.events(s, d), ordersDedup,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightValues = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
+    // J-extension: interval (equi + range) join — lineitems shipped within
+    // 60 days of their order's date. The equi key keeps it a hash join with
+    // the range as a residual predicate — no nested-loop blowup.
+    QueryDef(
+      "j5_interval_join",
+      """SELECT o_orderkey, COUNT(*) AS n_shipped,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped"),
+          ExactAgg.sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- §2b projections / filters ---------------------------------------
 
     // P1: column rename (period -> date; EIA930…:100).

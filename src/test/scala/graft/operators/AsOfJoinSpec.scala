@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left timestamp") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-03 10:00:00")),
+      (3L, 10L, ts("2023-12-01 10:00:00")), // before any price -> null
+      (4L, 20L, ts("2024-01-02 00:00:00"))
+    ).toDF("event_id", "uid", "ts")
+    val prices = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 100.0),
+      (10L, ts("2024-01-02 00:00:00"), 200.0),
+      (20L, ts("2024-01-02 00:00:00"), 55.0) // exactly simultaneous: inclusive
+    ).toDF("uid", "pts", "price")
+
+    val out = AsOfJoin.asOf(events, prices, "uid", "uid", "ts", "pts", Seq("price"))
+      .select("event_id", "price").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) == Some(100.0))
+    assert(out(2L) == Some(200.0))
+    assert(out(3L) == None)
+    assert(out(4L) == Some(55.0)) // ts == pts counts (<= bound)
+  }
+
+  test("all left rows survive (left-join semantics), keys don't leak") {
+    val left = Seq((1L, 99L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t2", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t2", Seq("v"))
+    assert(out.count() == 1)
+    assert(out.columns.toSeq == Seq("id", "k", "t", "v"))
+    assert(out.collect()(0).isNullAt(3)) // key 99 has no right rows
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hourlyStats streams incrementally and matches its own batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyStats(input.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 11:10:00"), 1, "view", 5.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // late-but-within-watermark event lands in the 10:00 window
+      input.addData(Event(4, ts("2024-01-01 10:59:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("hourly_out")
+        .groupBy("hour_start", "event_type")
+        .agg(max("n").as("n"), max("sum_value").as("sum_value")) // latest update wins
+      val clickRow = streamed
+        .filter($"hour_start" === ts("2024-01-01 10:00:00") && $"event_type" === "click")
+        .select("n", "sum_value").as[(Long, Double)].collect()(0)
+      assert(clickRow == ((3L, 7.0)))
+
+      // batch/stream parity: same expression over the same rows as a static DF
+      val batchOut = hourlyStats(
+        (batch1 :+ Event(4, ts("2024-01-01 10:59:00"), 3, "click", 4.0)).toDF())
+        .filter($"hour_start" === ts("2024-01-01 10:00:00") && $"event_type" === "click")
+        .select("n", "sum_value").as[(Long, Double)].collect()(0)
+      assert(batchOut == clickRow)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap and keeps the open one in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(spark, input.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // 2 hours later: first session must close with 2 events
+      input.addData(Event(3, ts("2024-01-01 12:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[SessionUpdate].collect()
+      assert(closed.length == 1)
+      assert(closed(0).n_events == 2)
+      assert(closed(0).session_end == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+}
