@@ -33,6 +33,9 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Comparisons against the converted column are rewritten back onto the
+    // raw nanos long so they push into the scan (see NanosPredicatePushdown).
+    graft.plans.NanosPredicatePushdown.install(s)
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** First 8 md5 hex chars as an unsigned 32-bit value in a long. */
-  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** First 8 md5 hex chars as an unsigned 32-bit value in a long.
+    * Native digest-prefix expression — equal to
+    * `conv(substring(md5(c), 1, 8), 16, 10)` but with no per-row hex/string
+    * round-trip (see graft.plans.Md5PrefixLong).
+    */
+  def hash32(c: Column): Column = graft.plans.Md5PrefixLong.md5PrefixLong(c, 4)
 
   /** First 12 md5 hex chars — 48 bits, stays positive in a long. */
-  def hash48(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  def hash48(c: Column): Column = graft.plans.Md5PrefixLong.md5PrefixLong(c, 6)
 
   // ---- exact ---------------------------------------------------------------
 

@@ -36,9 +36,14 @@ object Sinks {
       Map.empty[String, String])
   }
 
-  /** S12 — catalog utilities (databaseOperations.py:48-126). */
+  /** S12 — catalog utilities (databaseOperations.py:48-126). Temp views are
+    * excluded — `catalog.listTables(db)` surfaces session-global temp views
+    * in every database listing, but the reference enumerates physical
+    * tables (pg_tables).
+    */
   def listTables(spark: SparkSession, db: String): Seq[String] =
-    spark.catalog.listTables(db).collect().map(_.name).toSeq.sorted
+    spark.catalog.listTables(db).collect()
+      .filterNot(_.isTemporary).map(_.name).toSeq.sorted
 
   def peek(spark: SparkSession, db: String, table: String, n: Int = 5): DataFrame =
     spark.table(s"$db.$table").limit(n)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan guards: the properties that make these queries survive a
+  * 100x scale-up are asserted here, so a regression in plan shape (lost
+  * pushdown, a broadcast turning into a shuffle join, a sort sneaking in)
+  * fails CI — not a cluster bill.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("p4_time_cutoff: cutoff reaches the scan THROUGH the nanos conversion") {
+    val p = plan("p4_time_cutoff")
+    // NanosPredicatePushdown rewrites ts < L onto the raw nanos long; the
+    // scan's PushedFilters must carry the rewritten bound.
+    assert(p.contains("LessThan(ts,1705276800000000000"), p)
+  }
+
+  test("s5_column_slice: scan reads only the projected columns") {
+    val p = plan("s5_column_slice")
+    assert(!p.contains("l_returnflag"), p) // unprojected column never read
+    assert(p.contains("l_extendedprice"), p)
+  }
+
+  test("j1/j2/j3: dimension joins broadcast (no fact-side shuffle)") {
+    Seq("j1_semi_join", "j2_broadcast_join_agg", "j3_anti_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("a1_group_sum: partial (map-side) aggregation before the shuffle") {
+    val p = plan("a1_group_sum")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Exchange"), p)
+    // partial+final pairs: at least two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("o5_top_k: planned as TakeOrderedAndProject, not a global sort") {
+    val p = plan("o5_top_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j5_interval_join: equi key keeps it a hash join (range as residual)") {
+    val p = plan("j5_interval_join")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("j4_asof_join: single shuffle per side, no nested-loop") {
+    val p = plan("j4_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("dot-product kernel participates in whole-stage codegen") {
+    val df = SparkEntry.queries("s1_knn_bruteforce")(spark, sf)
+    df.collect() // AQE: codegen annotations only exist on the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the '*(n)' star marks a WholeStageCodegen stage; the dot-product call
+    // must appear inside one, not in an interpreted Project
+    assert("""\*\(\d+\) Project \[[^\n]*graft_dot_long""".r.findFirstIn(p).nonEmpty, p)
+  }
+}

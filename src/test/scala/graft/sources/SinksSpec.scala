@@ -7,6 +7,7 @@ class SinksSpec extends SparkSpec {
   import spark.implicits._
 
   test("S11/S12: DDL bootstrap + catalog ops against the session catalog") {
+    spark.sql("DROP DATABASE IF EXISTS graft_test CASCADE") // stale warehouse state
     Sinks.createTable(spark, "graft_test", "eia930_energy_sources")
     Sinks.createTable(spark, "graft_test", "eia930_hourly_statistics_by_response_type")
     assert(Sinks.listTables(spark, "graft_test") == Seq(
