@@ -60,6 +60,20 @@ object Dedup {
     df.select(col(idCol).as("sid"), explode(grams).as("gram"))
   }
 
+  /** Word n-gram shingles WITH multiplicity — explode+slice only, no
+    * higher-order functions (those evaluate interpreted and allocate per
+    * row). MinHash minima are multiset-invariant, so the signature path can
+    * skip dedup entirely and stay fully codegen'd.
+    */
+  def wordShinglesAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withW = df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+    withW
+      .select(col("sid"), col("w"),
+        explode(when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1))))
+          .as("i"))
+      .select(col("sid"), array_join(slice(col("w"), col("i"), lit(n)), " ").as("gram"))
+  }
+
   /** Shingle-set sizes per document. */
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
@@ -104,7 +118,7 @@ object Dedup {
     * combine map-side, so the shuffle carries 32 longs per document.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n)
+    val sh = wordShinglesAll(df, idCol, textCol, n) // min is multiset-invariant
       .withColumn("h", hash32(col("gram")))
     val aggs = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))

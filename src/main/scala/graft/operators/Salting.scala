@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at cluster scale.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; these operators
+  * cover the two places AQE can't: aggregation skew (one key owning a
+  * partition's worth of rows makes one reducer the straggler) and
+  * broadcast-infeasible skewed joins. Both use deterministic salts so
+  * results are reproducible.
+  */
+object Salting {
+
+  /** Two-phase aggregation: rows are pre-aggregated on (key, salt) — spread
+    * across `buckets` reducers — then the partials combine per key. With
+    * decimal-exact or algebraic aggregates the result is identical to the
+    * one-phase plan; wall-clock is bounded by total/buckets instead of the
+    * hottest key. Salt is a hash of all columns, not rand(): deterministic
+    * under retries.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     buckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(ExactAgg.sumExact(col(valueCol)).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n"))
+  }
+
+  /** Skewed-key equi-join: replicate the build side `buckets` times and salt
+    * the probe side, so a hot key's rows land on `buckets` reducers instead
+    * of one. Correct for inner joins on `probeKey = buildKey`; build side
+    * must be the smaller input (it is multiplied by `buckets`).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, buckets: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col): _*), lit(buckets)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedProbe.join(replicatedBuild,
+      col(probeKey) === col(buildKey) && saltedProbe("__salt") === replicatedBuild("__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.core.Naming
+import graft.operators.EtlOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.4), using ScalaCheck generators
+  * with deterministic seeded sampling (the scalatest-scalacheck bridge isn't
+  * in the offline cache). Driver-side properties get many cases; Spark-side
+  * properties fewer (each case pays a job).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forAllSamples[A](gen: Gen[A], cases: Int)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var tries = 0
+    while (produced < cases && tries < cases * 20) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(a) => f(a); produced += 1
+        case None => ()
+      }
+      seed = seed.next
+      tries += 1
+    }
+    assert(produced == cases, s"generator too sparse: $produced/$cases")
+  }
+
+  private val identGen: Gen[String] = for {
+    parts <- Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)),
+      Gen.alphaUpperStr.suchThat(_.nonEmpty).map(_.take(4)),
+      Gen.numStr.suchThat(_.nonEmpty).map(_.take(3))))
+    sep <- Gen.oneOf("", " ", "-", "/", "_")
+  } yield parts.mkString(sep).take(40)
+
+  test("P14: toSnakeCase is idempotent on arbitrary identifier shapes") {
+    forAllSamples(identGen, 200) { name =>
+      val once = Naming.toSnakeCase(name)
+      assert(Naming.toSnakeCase(once) == once)
+    }
+  }
+
+  test("P14: snake-cased names contain no separators or uppercase") {
+    forAllSamples(identGen, 200) { name =>
+      val out = Naming.toSnakeCase(name)
+      assert(!out.exists(c => c.isUpper || c == ' ' || c == '-' || c == '/'))
+    }
+  }
+
+  test("P4: cutoff filter output is a subset with max(ts) strictly below the cutoff") {
+    val tsGen = Gen.listOfN(60, Gen.choose(0L, 200L))
+    forAllSamples(tsGen.flatMap(o => Gen.choose(50L, 150L).map(c => (o, c))), 5) { case (offsets, cut) =>
+      val base = 1700000000L
+      val df = offsets.zipWithIndex
+        .map { case (o, i) => (i.toLong, new java.sql.Timestamp((base + o * 3600) * 1000L)) }
+        .toDF("id", "ts")
+      val cutoff = new java.sql.Timestamp((base + cut * 3600) * 1000L)
+      val out = EtlOps.cutoffBefore("ts", cutoff)(df)
+      val kept = out.select("id").as[Long].collect().toSet
+      val all = df.select("id").as[Long].collect().toSet
+      assert(kept.subsetOf(all))
+      val maxTs = out.agg(max($"ts")).collect()(0)
+      assert(maxTs.isNullAt(0) || maxTs.getTimestamp(0).before(cutoff))
+    }
+  }
+
+  test("A2/A3 invariant: pivot row-sums equal pre-pivot group sums") {
+    val rowGen = Gen.listOfN(80, for {
+      k <- Gen.oneOf("k1", "k2", "k3")
+      t <- Gen.oneOf("D", "DF", "NG", "TI")
+      v <- Gen.choose(0, 10000).map(_ / 100.0)
+    } yield (k, t, v))
+    forAllSamples(rowGen, 5) { rows =>
+      val df = rows.toDF("k", "t", "v").withColumn("v", $"v".cast("string"))
+      val wide = EtlOps.pivotSum(Seq("k"), "t", Seq("D", "DF", "NG", "TI"), "v",
+        dropIncomplete = false)(df)
+      val rowSums = wide
+        .select($"k", (Seq("D", "DF", "NG", "TI").map(c => coalesce(col(c), lit(0.0)))
+          .reduce(_ + _)).as("s"))
+        .collect().map(r => r.getString(0) -> BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)).toMap
+      val groupSums = df.groupBy($"k")
+        .agg(graft.operators.ExactAgg.sumExact($"v").as("s"))
+        .collect().map(r => r.getString(0) -> BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)).toMap
+      assert(rowSums == groupSums)
+    }
+  }
+
+  test("U1 invariant: union of disjoint pages preserves rows exactly") {
+    forAllSamples(Gen.choose(2, 5), 3) { nPages =>
+      val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      val pages = (0 until nPages).map(i => li.filter($"l_orderkey" % nPages === i))
+      assert(EtlOps.unionPages(pages).count() == li.count())
+    }
+  }
+}

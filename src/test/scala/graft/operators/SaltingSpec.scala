@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount equals the unsalted aggregate (exact decimals commute)") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val plain = li.groupBy($"l_returnflag")
+      .agg(ExactAgg.sumExact($"l_quantity").as("sum_l_quantity"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Salting.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedSumCount spreads a hot key across salt buckets") {
+    val skewed = Seq.tabulate(1000)(i => ("hot", i.toDouble)) :+ (("cold", 1.0))
+    val df = skewed.toDF("k", "v")
+    val partialGroups = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(8)))
+      .groupBy($"k", $"__salt").count()
+      .filter($"k" === "hot").count()
+    assert(partialGroups > 1, "hot key must occupy multiple salt buckets")
+    val out = Salting.saltedSumCount(df, Seq("k"), "v", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("hot") == (0 until 1000).sum.toDouble)
+    assert(out("cold") == 1.0)
+  }
+
+  test("saltedJoin matches the plain join") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val part = graft.core.Tables.part(spark, sf)
+    val plain = li.join(part, $"l_partkey" === $"p_partkey").count()
+    val salted = Salting.saltedJoin(li, part, "l_partkey", "p_partkey", 4).count()
+    assert(salted == plain)
+  }
+}
