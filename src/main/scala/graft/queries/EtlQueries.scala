@@ -331,6 +331,19 @@ object EtlQueries {
         .orderBy(col("order_key"))
     },
 
+    // P11/P12/P13: positional projection, ignore-missing drop, reorder
+    // (OpenMeteo…:98,104-105) — composed on lineitem.
+    QueryDef(
+      "p11_13_project_drop_reorder",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val projected = EtlOps.selectColumns(li.columns.take(6).toSeq)(li)
+      val dropped = EtlOps.dropColumns("l_partkey", "l_suppkey", "no_such_column")(projected)
+      EtlOps.selectColumns(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))(dropped)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // S5/P16: positional column slice — first 6 columns (EIA930…:34).
     QueryDef(
       "s5_column_slice",

@@ -15,6 +15,13 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Long]("frames") == 1 + 5 % 7)
   }
 
+  test("stubFrameFeatures samples every stride-th byte into an array column") {
+    val df = Multimodal.withBinary(Seq((1L, "abcdef")).toDF("doc_id", "text"), "text")
+    val r = Multimodal.stubFrameFeatures(df, "doc_id", stride = 2).collect()(0)
+    val feats = r.getSeq[String](1)
+    assert(feats.length == 3) // bytes 1,3,5 of 6
+  }
+
   test("mapPartitions batch kernel agrees with the expression stub") {
     val d = Multimodal.withBinary(
       graft.core.Tables.documents(spark, sf).limit(50), "text")
