@@ -99,12 +99,28 @@ object Similarity {
       java.lang.Long.parseLong(hex8, 16) % 2001 - 1000
     }
 
-  /** Sign-bucket id in table `t`: one codegen'd dot per plane. */
+  /** Sign-bucket id in table `t`: one codegen'd dot per plane. (Literal-
+    * plane form — compact for a few planes; `planesTable` scales better.)
+    */
   def lshBucket(v: Column, dim: Int, t: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { m =>
       when(dotLong(v, typedLit(plane(t, m, dim).toSeq)) > 0, lit(1L << m))
         .otherwise(0L)
     }.reduce(_ + _)
+
+  /** All (table, plane, weight-vector) rows as a small broadcastable frame.
+    * Inlining nTables x nPlanes literal planes into one expression works but
+    * hands janino an enormous method to compile per run; a broadcast join
+    * against a planes table keeps every codegen unit small and shifts the
+    * bucket computation to a (rows x planes) join + group-by — the same
+    * plan shape at 2,000 or 2 billion vectors.
+    */
+  private def planesTable(spark: org.apache.spark.sql.SparkSession,
+                          dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
+    import spark.implicits._
+    (for { t <- 0 until nTables; m <- 0 until nPlanes }
+      yield (t, m, plane(t, m, dim).toSeq)).toDF("tbl", "m", "pv")
+  }
 
   /** Multi-table LSH ANN: `nTables` independent hyperplane tables; candidate
     * pairs share a bucket in ANY table (union -> distinct), then exact
@@ -115,9 +131,15 @@ object Similarity {
               nTables: Int, nPlanes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
-    val buckets = v.select(col("sid"), col("qv"), col("nrm"),
-      posexplode(array((0 until nTables).map(t =>
-        lshBucket(col("qv"), dim, t, nPlanes)): _*)).as(Seq("tbl", "bucket")))
+    val planes = planesTable(df.sparkSession, dim, nTables, nPlanes)
+    val buckets = v
+      .crossJoin(broadcast(planes))
+      .select(col("sid"), col("qv"), col("nrm"), col("tbl"),
+        when(dotLong(col("qv"), col("pv")) > 0, expr("shiftleft(CAST(1 AS BIGINT), m)"))
+          .otherwise(0L).as("bit"))
+      .groupBy(col("sid"), col("tbl"))
+      .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
+        sum(col("bit")).as("bucket"))
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
