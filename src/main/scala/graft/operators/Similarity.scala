@@ -85,6 +85,50 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  /** IVF-flat ANN: partition vectors into `nCells` cells around centroid
+    * vectors; a query probes its `nProbe` closest cells and ranks only their
+    * members. Centroids here are deterministic data samples (the lowest ids)
+    * rather than k-means output — the index-build trade is recall for a
+    * training-free, reproducible build; swap in Lloyd iterations for real
+    * workloads without touching the probe path.
+    *
+    * Scale shape: the centroid table is tiny and broadcast; assignment is a
+    * map-side cross with nCells dots per row; the candidate join is keyed by
+    * cell id, so work scales with cell occupancy, not n^2.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(df, idCol, vecCol)
+    val centroids = broadcast(
+      v.orderBy(col("sid")).limit(nCells)
+        .select(col("sid").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm")))
+
+    val scoredCells = v.crossJoin(centroids)
+      .select(col("sid"), col("qv"), col("nrm"), col("cid"),
+        pairCosine(col("qv"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
+    val byCell = Window.partitionBy(col("sid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scoredCells.withColumn("crank", row_number().over(byCell))
+
+    val members = ranked.filter(col("crank") === 1) // each vector lives in 1 cell
+      .select(col("cid"), col("sid").as("nid"), col("qv").as("nqv"), col("nrm").as("nnrm"))
+    val probes = ranked.filter(col("crank") <= nProbe) // each query probes nProbe cells
+      .select(col("cid"), col("sid").as("qid"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+
+    // No dedup needed: each nid lives in exactly one cell, so a (qid, nid)
+    // pair appears at most once. (A dropDuplicates here shuffled a million
+    // array-carrying rows — project down to the cosine BEFORE any shuffle.)
+    val scored = probes.join(members, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- random-hyperplane LSH ----------------------------------------------
 
   /** Deterministic pseudo-random hyperplane for (table, plane): components in

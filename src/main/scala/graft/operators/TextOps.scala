@@ -67,6 +67,46 @@ object TextOps {
       lit(0.3) * least(lit(1.0), lit(4.0) * ns / nw)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+    * k-gram, then keep the minimum hash of each sliding window of w
+    * consecutive k-grams. Guarantees: any match of length >= w+k-1 shares a
+    * fingerprint; output size is ~2/(w+1) of the k-gram count.
+    *
+    * Spark shape: one explode (positions) + one window-min + distinct —
+    * shuffle keyed by doc, so it scales with the corpus. The k-gram hash is
+    * positional (direct digest per substring) rather than a literal rolling
+    * recurrence — same output set, embarrassingly parallel instead of
+    * sequential.
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positions = df
+      .select(col(idCol).as("sid"), col(textCol).as("t"))
+      .select(col("sid"),
+        explode(when(length(col("t")) >= k,
+          sequence(lit(1), length(col("t")) - (k - 1)))).as("pos"),
+        col("t"))
+      .select(col("sid"), col("pos"),
+        graft.plans.Md5PrefixLong.md5PrefixLong(substring_index_safe(col("t"), col("pos"), k), 6)
+          .as("h"))
+    val win = Window.partitionBy(col("sid")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    positions
+      .withColumn("wmin", min(col("h")).over(win))
+      .withColumn("wlast", max(col("pos")).over(win))
+      // only full windows (the last w-1 positions see truncated windows)
+      .filter(col("wlast") === col("pos") + (w - 1))
+      .select(col("sid"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /** substring(t, pos, k) with a Column pos (the functions.substring overload
+    * takes Int only). */
+  private def substring_index_safe(t: Column, pos: Column, k: Int): Column =
+    substring(t, pos, lit(k))
+
   /** Language-ID marker words per language. Membership counts over the
     * single-space tokenizer; deterministic argmax with a fixed priority
     * order (en > de > es > fr > zh) on ties.

@@ -152,6 +152,26 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    QueryDef(
+      "t5_winnow_fingerprints",
+      s"""WITH pos AS (
+         |  SELECT doc_id AS sid, i AS pos,
+         |    ${sqlHash("substr(text, i, 8)", 12)} AS h
+         |  FROM documents, unnest(generate_series(1, len(text) - 7)) AS t(i)
+         |  WHERE len(text) >= 8),
+         |win AS (
+         |  SELECT sid, pos,
+         |    min(h) OVER (PARTITION BY sid ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wmin,
+         |    max(pos) OVER (PARTITION BY sid ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wlast
+         |  FROM pos)
+         |SELECT DISTINCT sid, wmin AS fp FROM win
+         |WHERE wlast = pos + 9 ORDER BY sid, fp""".stripMargin) { (s, d) =>
+      TextOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text", k = 8, w = 10)
+        .orderBy(col("sid"), col("fp"))
+    },
+
     // == dedup ==
 
     QueryDef(
@@ -279,6 +299,14 @@ object CorpusQueries {
     QueryDef.rowsOnly("s2_knn_lsh") { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nTables = 8, nPlanes = 10, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // IVF-bucketed ANN — rows-only (centroid assignment isn't portably
+    // SQL-expressible); precision vs brute force asserted in SimilaritySpec.
+    QueryDef.rowsOnly("s3_knn_ivf") { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        nCells = 16, nProbe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 

@@ -42,6 +42,19 @@ class SimilaritySpec extends SparkSpec {
       s"LSH precision ${hits.toDouble / lsh.length} below 5x random baseline")
   }
 
+  test("ivfTopK neighbors are true neighbors (precision vs brute force)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 15)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 16, 4, 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val hits = ivf.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
+    assert(ivf.nonEmpty)
+    assert(hits.toDouble / ivf.length > 0.15,
+      s"IVF precision ${hits.toDouble / ivf.length} below 5x random baseline")
+  }
+
   test("integer quantization makes cosine exact and order-independent") {
     val df = vecs.select(Similarity.quantize($"embedding").as("q"))
     val rows = df.collect()

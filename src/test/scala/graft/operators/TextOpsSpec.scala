@@ -31,6 +31,19 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "en"))
   }
 
+  test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
+    val df = Seq(
+      (1L, "aaaa the quick brown fox jumped over bbbb"),
+      (2L, "cccc the quick brown fox jumped over dddd"), // shares a 32-char run
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text", k = 8, w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // winnowing guarantee
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("qualityScore is in [0,1] over the fixture corpus") {
     val d = graft.core.Tables.documents(spark, sf)
     val mm = d.select(
