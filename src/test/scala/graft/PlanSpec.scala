@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("d1_dedup_exact: md5-keyed aggregate combines map-side (16-byte shuffle keys)") {
+    val p = plan("d1_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(p.contains("md5"), p)
+  }
+
+  test("s3_knn_ivf: candidate generation joins on cell id, never cross-product") {
+    val p = plan("s3_knn_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the two intended broadcasts (centroids x2: assignment + probe);
+    // the candidate join itself must be keyed
+    assert(p.contains("hashpartitioning(cid"), p)
+  }
+
   test("dot-product kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("s1_knn_bruteforce")(spark, sf)
     df.collect() // AQE: codegen annotations only exist on the final plan
