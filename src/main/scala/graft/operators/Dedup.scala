@@ -171,6 +171,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- transitive grouping -------------------------------------------------
+
+  /** Connected components over near-dup pairs: every document in a component
+    * gets the component's minimum id as its label — the step that turns
+    * pairwise matches into dedup clusters ("keep one per cluster").
+    *
+    * Iterative min-label propagation: each round joins labels to edges and
+    * takes the per-node min of neighbor labels; converges in O(component
+    * diameter) rounds (near-dup clusters are shallow — dozens of rounds
+    * would mean pathological chains). Each round is one shuffle keyed by
+    * node id; intermediate results are cached and lineage is cut per round,
+    * so the plan doesn't snowball. Driver only sees one count per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("sid")).distinct()
+      .withColumn("component", col("sid")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("sid"))
+        .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
+      val next = labels
+        .join(viaNeighbors, labels("sid") === viaNeighbors("src"), "left")
+        .select(col("sid"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .cache()
+      next.count() // materialize before comparing
+      val changed = next.as("n").join(labels.as("o"), Seq("sid"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val SimhashBits = 48

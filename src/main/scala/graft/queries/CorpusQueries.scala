@@ -261,6 +261,34 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Transitive near-dup clusters: LSH-verified pairs -> connected
+    // components; each doc labeled with its component's min id. Oracle is an
+    // independent algorithm (recursive-CTE closure vs label propagation).
+    QueryDef(
+      "d9_neardup_components",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  GROUP BY ida, idb),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
+         |SELECT x AS sid, min(y) AS component FROM r GROUP BY x
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5))
+        .orderBy(col("sid"))
+    },
+
     QueryDef(
       "d8_embedding_neardup",
       s"""WITH $quantVecCte

@@ -45,6 +45,13 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute) // verify stage kills false positives; bands catch all >=0.5 here
   }
 
+  test("connectedComponents labels chains transitively with the component min") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical docs hash equal, near-dups within small hamming") {
     val sim = Dedup.simhash(docs, "doc_id", "text").cache()
     val m = sim.as[(Long, Long)].collect().toMap
