@@ -87,17 +87,18 @@ object TextOps {
       .select(col("sid"),
         explode(when(length(col("t")) >= k,
           sequence(lit(1), length(col("t")) - (k - 1)))).as("pos"),
+        (length(col("t")) - (k - 1)).as("npos"),
         col("t"))
-      .select(col("sid"), col("pos"),
+      .select(col("sid"), col("pos"), col("npos"),
         graft.plans.Md5PrefixLong.md5PrefixLong(substring_index_safe(col("t"), col("pos"), k), 6)
           .as("h"))
     val win = Window.partitionBy(col("sid")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     positions
       .withColumn("wmin", min(col("h")).over(win))
-      .withColumn("wlast", max(col("pos")).over(win))
-      // only full windows (the last w-1 positions see truncated windows)
-      .filter(col("wlast") === col("pos") + (w - 1))
+      // only full windows: the last w-1 positions are known arithmetically,
+      // no second window function needed
+      .filter(col("pos") <= col("npos") - (w - 1))
       .select(col("sid"), col("wmin").as("fp"))
       .distinct()
   }

@@ -155,19 +155,17 @@ object CorpusQueries {
     QueryDef(
       "t5_winnow_fingerprints",
       s"""WITH pos AS (
-         |  SELECT doc_id AS sid, i AS pos,
+         |  SELECT doc_id AS sid, i AS pos, len(text) - 7 AS npos,
          |    ${sqlHash("substr(text, i, 8)", 12)} AS h
          |  FROM documents, unnest(generate_series(1, len(text) - 7)) AS t(i)
          |  WHERE len(text) >= 8),
          |win AS (
-         |  SELECT sid, pos,
+         |  SELECT sid, pos, npos,
          |    min(h) OVER (PARTITION BY sid ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wmin,
-         |    max(pos) OVER (PARTITION BY sid ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wlast
+         |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wmin
          |  FROM pos)
          |SELECT DISTINCT sid, wmin AS fp FROM win
-         |WHERE wlast = pos + 9 ORDER BY sid, fp""".stripMargin) { (s, d) =>
+         |WHERE pos <= npos - 9 ORDER BY sid, fp""".stripMargin) { (s, d) =>
       TextOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text", k = 8, w = 10)
         .orderBy(col("sid"), col("fp"))
     },
