@@ -70,7 +70,7 @@ object Similarity {
         pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
   /** All pairs with cosine >= threshold — brute-force O(n^2) baseline for
@@ -126,7 +126,7 @@ object Similarity {
       .select(col("qid"), col("nid"),
         pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
   // ---- random-hyperplane LSH ----------------------------------------------
@@ -194,6 +194,6 @@ object Similarity {
     val scored = cands.select(col("qid"), col("nid"),
       pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 }

@@ -93,9 +93,9 @@ object CorpusQueries {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextOps.wsTokenCount(col("text")).as("ws_tokens"),
-        TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"),
-        length(col("text")).as("n_chars_m"))
+        TextOps.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
         .orderBy(col("doc_id"))
     },
 

@@ -178,7 +178,7 @@ object EtlQueries {
       val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
         .orderBy(col("o_orderkey").desc)
       val ordersDedup = Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") === 1).drop("rn")
       graft.operators.AsOfJoin.asOf(
         Tables.events(s, d), ordersDedup,
         leftKey = "user_id", rightKey = "o_custkey",
@@ -468,7 +468,7 @@ object EtlQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))

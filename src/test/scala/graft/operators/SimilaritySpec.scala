@@ -16,7 +16,7 @@ class SimilaritySpec extends SparkSpec {
   test("bruteForceTopK ranks by cosine, excludes self, deterministic tiebreak") {
     val out = Similarity.bruteForceTopK(
       vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
-      .select("nid", "rank").as[(Long, Int)].collect().sortBy(_._2)
+      .select("nid", "rank").as[(Long, Long)].collect().sortBy(_._2)
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
   }
 
