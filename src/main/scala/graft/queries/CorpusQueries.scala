@@ -287,6 +287,35 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // One-call corpus dedup: keep only canonical docs (min id per verified
+    // near-dup component; exact dups are jaccard-1.0 members of the same
+    // components).
+    QueryDef(
+      "d10_dedup_corpus",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  GROUP BY ida, idb),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |cnodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM cnodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT x FROM r GROUP BY x HAVING min(y) < x)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef(
       "d8_embedding_neardup",
       s"""WITH $quantVecCte

@@ -45,6 +45,12 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute) // verify stage kills false positives; bands catch all >=0.5 here
   }
 
+  test("dedupCorpus keeps the canonical doc per cluster, drops exact and near dups") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 (near-dup) and 4 (exact dup) dropped, 1 canonical
+  }
+
   test("connectedComponents labels chains transitively with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
     val labels = Dedup.connectedComponents(pairs)
