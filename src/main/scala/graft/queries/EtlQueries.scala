@@ -114,6 +114,59 @@ object EtlQueries {
         .orderBy(col("day_ts"), col("event_type"))
     },
 
+    // A-extension: ROLLUP — subtotal hierarchy the reference can't express;
+    // one shuffle, grouping-sets expansion map-side.
+    QueryDef(
+      "a6_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(ExactAgg.sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // A-extension: distinct aggregation (exact; Spark plans it as a
+    // two-phase expand + aggregate).
+    QueryDef(
+      "a7_count_distinct",
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Set ops: INTERSECT / EXCEPT (absent in the reference; §2e).
+    QueryDef(
+      "x1_set_ops",
+      """SELECT 'both' AS tag, c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'only_f' AS tag, c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      f.intersect(o).select(lit("both").as("tag"), col("c_custkey"))
+        .unionByName(f.except(o).select(lit("only_f").as("tag"), col("c_custkey")))
+        .orderBy(col("tag"), col("c_custkey"))
+    },
+
     // ---- §2c joins --------------------------------------------------------
 
     // J1: left-semi join against a filtered dimension

@@ -4,7 +4,7 @@ import graft.operators.Dedup
 import org.scalatest.Ignore
 
 /** Throwaway profiling harness (run explicitly; not part of `sbt test`). */
-
+@Ignore
 class ProfileDedup extends SparkSpec {
   test("profile d9 phases at sf0.1") {
     val d = "/root/testdata/sf0.1"
