@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle a fact table ONCE at write time so
+  * every later equi-join/aggregation on the bucket key runs exchange-free.
+  *
+  * This is the 100 TB lever for repeated joins: a nightly-bucketed lineitem
+  * joined to bucketed orders needs zero shuffle at read time — Spark aligns
+  * bucket files 1:1. The cost moves to the single bucketed write, amortized
+  * over every downstream query. (At cluster scale, choose bucket counts as
+  * a multiple of executor cores and of each other.)
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted managed table (bucketing requires the
+    * catalog — plain parquet paths can't carry bucket metadata).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two tables bucketed on their join keys — planned with NO Exchange
+    * on either side when bucket counts match.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      org.apache.spark.sql.functions.col(leftKey) ===
+        org.apache.spark.sql.functions.col(rightKey))
+}
