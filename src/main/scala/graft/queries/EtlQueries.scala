@@ -262,6 +262,35 @@ object EtlQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // J-extension: full outer join — unmatched rows from BOTH sides survive
+    // with nulls (customers with no orders + orders of unknown customers).
+    QueryDef(
+      "j6_full_outer_join",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    },
+
+    // A-extension: exact median/quantiles (Spark `percentile` is exact with
+    // linear interpolation, like DuckDB quantile_cont). Rounded to 6dp to
+    // absorb the one-ulp formula difference between engines' interpolation.
+    QueryDef(
+      "a8_median",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ---- §2b projections / filters ---------------------------------------
 
     // P1: column rename (period -> date; EIA930…:100).

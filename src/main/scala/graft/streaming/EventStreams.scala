@@ -28,6 +28,17 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Stream-static enrichment: join a stream against a (small, periodically
+    * reloaded) dimension table — the streaming twin of the BA semi-join
+    * (P5/J1). The static side re-resolves per micro-batch, so dimension
+    * updates flow in without restarting the query; the dim broadcasts, so no
+    * stream-side state or shuffle accrues.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), "left")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

@@ -44,6 +44,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val input = MemoryStream[Event]
+    val q = enrich(input.toDF(), dim, "user_id", "uid")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 9, "click", 1.0)) // unknown user
+      q.processAllAvailable()
+      val out = spark.table("enriched_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out(1L) == Some("gold"))
+      assert(out(2L) == None) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and keeps the open one in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
