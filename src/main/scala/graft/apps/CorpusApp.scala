@@ -1,0 +1,59 @@
+package graft.apps
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline: the composition a user runs
+  * over a raw document corpus before tokenization.
+  *
+  *   read -> language filter -> quality threshold -> exact+near dedup
+  *        -> enriched curated corpus + per-stage stats
+  *
+  * Every stage is one of the library's oracle-checked operators; the
+  * composition stays a single lazy plan up to the dedup checkpoint, so at
+  * 100 TB the scans/filters fuse and the only wide stages are the dedup
+  * shuffles.
+  */
+object CorpusApp {
+
+  case class Stats(input: Long, langKept: Long, qualityKept: Long, deduped: Long)
+
+  def curate(spark: SparkSession, docs: DataFrame,
+             keepLangs: Set[String], minQuality: Double): (DataFrame, Stats) = {
+    val input = docs.count()
+
+    val langed = docs
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .filter(col("lang_pred").isin(keepLangs.toSeq.map(lit(_)): _*))
+    val langKept = langed.count()
+
+    val qualified = langed
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      // curation metadata downstream tokenization wants
+      .withColumn("n_tokens", TextOps.wsTokenCount(col("text")).cast("long"))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .localCheckpoint(false) // dedup references this subtree many times
+    val qualityKept = qualified.count()
+
+    val curated = Dedup.dedupCorpus(qualified, "doc_id", "text")
+    val deduped = curated.count()
+
+    (curated, Stats(input, langKept, qualityKept, deduped))
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = PipelineApps.parseArgs(argv)
+    val spark = graft.core.Sessions.local("corpus-curate")
+    try {
+      val docs = spark.read.parquet(s"${args.src}/documents.parquet")
+      val (curated, stats) = curate(spark, docs, Set("en"), minQuality = 0.5)
+      graft.sources.Sinks.overwriteRunPartition(
+        curated.withColumn("run_date", lit(args.runDate.toString)),
+        s"${args.out}/curated_documents", "run_date")
+      println(s"""{"input":${stats.input},"lang_kept":${stats.langKept},""" +
+        s""""quality_kept":${stats.qualityKept},"deduped":${stats.deduped}}""")
+    } finally spark.stop()
+  }
+}
