@@ -365,6 +365,20 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Heavy-hitter terms via the Misra-Gries Aggregator + exact recount.
+    // Oracle is the plain exact top-10: with k=64 >= vocabulary size the
+    // sketch is lossless, so the two-pass result equals the exact answer
+    // (the MG guarantee makes the candidate set a superset of true heavy
+    // hitters; the recount fixes the frequencies).
+    QueryDef(
+      "hh1_top_terms",
+      """SELECT term, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY freq DESC, term LIMIT 10""".stripMargin) { (s, d) =>
+      graft.operators.HeavyHitters.topTerms(
+        Tables.documents(s, d), "text", k = 64, topN = 10)
+    },
+
     // == multimodal ==
 
     QueryDef(
