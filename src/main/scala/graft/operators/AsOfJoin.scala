@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   * The right side must be unique per (key, ts) — enforce upstream (e.g.
   * keep max-id per timestamp) or the "latest" row is undefined; this mirrors
   * DuckDB/pandas ASOF semantics which are likewise arbitrary under ties.
+  * Right value columns should be non-null: the carry is per-column
+  * (`last(_, ignoreNulls)`), so a null value in the latest right row would
+  * surface the previous row's value for that column rather than null.
   */
 object AsOfJoin {
 

@@ -51,8 +51,9 @@ object HeavyHitters {
     override def outputEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
   }
 
-  /** Column form usable in `agg` over a string column. */
-  def sketch(k: Int): Column = udaf(new MisraGries(k), Encoders.STRING).apply(col("__mg_item"))
+  /** Column form usable in `agg` over any string column. */
+  def sketchOf(c: Column, k: Int): Column =
+    udaf(new MisraGries(k), Encoders.STRING).apply(c)
 
   /** Heavy-hitter terms over a text column: sketch to find candidates with
     * bounded memory, then ONE semi-joined exact count of just the candidates
@@ -64,7 +65,7 @@ object HeavyHitters {
     import spark.implicits._
     val toks = df.select(explode(split(col(textCol), " ")).as("__mg_item"))
     val candidates = toks
-      .agg(sketch(k).as("sk"))
+      .agg(sketchOf(col("__mg_item"), k).as("sk"))
       .as[Sketch](Encoders.kryo[Sketch])
       .head().keys.toSeq
     toks.filter(col("__mg_item").isin(candidates.map(lit(_)): _*))

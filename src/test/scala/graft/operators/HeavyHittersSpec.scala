@@ -12,7 +12,7 @@ class HeavyHittersSpec extends SparkSpec {
       (1 to 400).map(i => s"rare$i")).map(Tuple1(_))
     val df = spark.createDataFrame(items.map(t => Tuple1(t._1))).toDF("__mg_item")
       .repartition(8)
-    val sk = df.agg(HeavyHitters.sketch(10).as("sk"))
+    val sk = df.agg(HeavyHitters.sketchOf(col("__mg_item"), 10).as("sk"))
       .as[HeavyHitters.Sketch](org.apache.spark.sql.Encoders.kryo[HeavyHitters.Sketch])
       .head()
     // n = 1200, k = 10 -> anything over ~109 occurrences must survive
