@@ -28,6 +28,29 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).partitionBy(runCol).parquet(path)
   }
 
+  /** Format-parameterized batch sink: the engine treats the storage format
+    * as a knob (parquet default; orc for ORC-native warehouses; csv/json for
+    * interchange). Columnar formats keep predicate pushdown + pruning; the
+    * text formats are for export only and are written with headers/ISO
+    * timestamps so they round-trip against the declared sink schemas.
+    */
+  def writeTable(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+    (format match {
+      case "csv" => w.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+      case _ => w
+    }).save(path)
+  }
+
+  def readTable(spark: SparkSession, path: String, format: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val r = spark.read.format(format).schema(schema)
+    (format match {
+      case "csv" => r.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+      case _ => r
+    }).load(path)
+  }
+
   /** S11 — DDL from the declared sink schemas, against the session catalog. */
   def createTable(spark: SparkSession, db: String, table: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
