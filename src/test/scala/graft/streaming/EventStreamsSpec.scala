@@ -64,6 +64,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: hourlyStats over a parquet directory, AvailableNow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batch = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:10:00"), 1, "view", 5.0))
+    batch.toDF().write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.toDF().schema).parquet(dir)
+    val q = hourlyStats(stream, "2 hours")
+      .writeStream.format("memory").queryName("file_hourly_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.table("file_hourly_out")
+        .filter($"hour_start" === ts("2024-01-01 10:00:00") && $"event_type" === "click")
+        .select("n", "sum_value").as[(Long, Double)].collect()
+      assert(out.toSeq == Seq((2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and keeps the open one in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
