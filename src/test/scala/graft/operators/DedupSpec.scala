@@ -45,6 +45,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute) // verify stage kills false positives; bands catch all >=0.5 here
   }
 
+  test("minhash signature agreement estimates true jaccard (sketch quality)") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val truePairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.3)
+      .select("ida", "idb", "jaccard").as[(Long, Long, Double)].collect()
+    assume(truePairs.nonEmpty)
+    val sig = Dedup.minhashSignatures(d, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> (0 until Dedup.NumHashes).map(i => r.getLong(i + 1)))
+      .toMap
+    val errs = truePairs.map { case (a, b, j) =>
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      math.abs(agree.toDouble / Dedup.NumHashes - j)
+    }
+    // E[agreement] = jaccard; with 32 hashes, stddev <= ~0.09 per pair
+    assert(errs.sum / errs.length < 0.12,
+      s"mean |estimate - true| = ${errs.sum / errs.length}")
+  }
+
   test("dedupCorpus keeps the canonical doc per cluster, drops exact and near dups") {
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
