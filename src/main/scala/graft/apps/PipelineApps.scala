@@ -48,10 +48,9 @@ object PipelineApps {
       val args = parseArgs(argv)
       val spark = Sessions.local(name)
       try {
-        var outputs: Option[Unit] = None
         val results = TaskGraph.run(Seq(
           Task("run", policy = RetryPolicy(retries = 2, delayMs = 1000))(
-            () => { outputs = Some(body(spark, args)) })))
+            () => body(spark, args))))
         results.values.collectFirst {
           case TaskGraph.FailedAfterRetries(_, e) => throw e
         }
@@ -98,8 +97,9 @@ object PipelineApps {
   /** Open-Meteo daily: one response document per curated coordinate. */
   def runOpenMeteo(spark: SparkSession, a: Args): Unit = {
     val dir = java.nio.file.Paths.get(s"${a.src}/openmeteo")
-    val bodies = java.nio.file.Files.list(dir).toArray.map(_.toString)
-      .filter(_.endsWith(".json")).sorted.toSeq
+    val stream = java.nio.file.Files.list(dir)
+    val files = try stream.toArray.map(_.toString) finally stream.close()
+    val bodies = files.filter(_.endsWith(".json")).sorted.toSeq
       .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
     load(OpenMeteoPipeline.transform(
       OpenMeteoSource.parseResponses(spark, bodies),

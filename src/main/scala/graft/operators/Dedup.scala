@@ -192,9 +192,16 @@ object Dedup {
                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val components = connectedComponents(
       minhashVerifiedPairs(df, idCol, textCol, n, threshold))
-    val losers = components.filter(col("component") < col("sid"))
+    val nearLosers = components.filter(col("component") < col("sid"))
       .select(col("sid").as("loser_id"))
-    df.join(broadcast(losers), col(idCol) === col("loser_id"), "left_anti")
+    // the shingle pipeline skips docs with < n words, so exact duplicates of
+    // very short texts must be caught by the exact path explicitly
+    val exactLosers = df
+      .join(exact(df, idCol, textCol), md5(col(textCol)) === col("text_md5"))
+      .filter(col(idCol) =!= col("keeper_id"))
+      .select(col(idCol).as("loser_id"))
+    df.join(broadcast(nearLosers.union(exactLosers).distinct()),
+      col(idCol) === col("loser_id"), "left_anti")
   }
 
   // ---- transitive grouping -------------------------------------------------
@@ -245,10 +252,15 @@ object Dedup {
         .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), Seq("sid"))
         .filter(col("n.component") =!= col("o.component")).count()
+      // free superseded checkpoint blocks — a long loop would otherwise
+      // accumulate every round's label RDD in executor storage
+      stepped.unpersist()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

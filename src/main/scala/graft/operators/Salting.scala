@@ -28,9 +28,11 @@ object Salting {
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(ExactAgg.sumExact(col(valueCol)).as("__psum"),
         count(lit(1)).as("__pcnt"))
+    // the final combine must stay decimal-exact too, or shuffle-arrival
+    // order re-introduces last-ulp nondeterminism the first phase removed
     partial
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+      .agg(ExactAgg.sumExact(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
   }
 

@@ -43,16 +43,21 @@ object Similarity {
     df.select(col(idCol).as("sid"), quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
 
-  /** Cosine from a pairwise dot and two precomputed norms. */
+  /** Cosine from a pairwise dot and two precomputed norms. `nullif` guards
+    * zero-norm vectors (all components quantize to 0): cosine is undefined
+    * there, and under ANSI mode a bare division would abort the job — NULL
+    * drops them from thresholds and sorts last in rankings instead.
+    */
   private def pairCosine(av: Column, bv: Column, an: Column, bn: Column): Column =
-    dotLong(av, bv).cast("double") / (an * bn)
+    dotLong(av, bv).cast("double") / nullif(an * bn, lit(0.0))
 
   /** Cosine of two quantized vectors (self-contained form, for callers
     * without precomputed norms).
     */
   def cosineQ(a: Column, b: Column): Column =
-    dotLong(a, b).cast("double") /
-      (sqrt(dotLong(a, a).cast("double")) * sqrt(dotLong(b, b).cast("double")))
+    dotLong(a, b).cast("double") / nullif(
+      sqrt(dotLong(a, a).cast("double")) * sqrt(dotLong(b, b).cast("double")),
+      lit(0.0))
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * `queries` must be small (it is broadcast); `candidates` can be any size.

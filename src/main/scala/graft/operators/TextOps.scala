@@ -58,8 +58,10 @@ object TextOps {
     * English text; 4x maps that to 1.0).
     */
   def qualityScore(text: Column): Column = {
-    val nw = nWords(text).cast("double")
-    val nc = length(text).cast("double")
+    // greatest(_, 1): empty documents must score, not throw — ANSI mode
+    // turns 0/0 into a job-killing DIVIDE_BY_ZERO
+    val nw = greatest(nWords(text).cast("double"), lit(1.0))
+    val nc = greatest(length(text).cast("double"), lit(1.0))
     val np = punctCount(text).cast("double")
     val ns = stopwordCount(text).cast("double")
     lit(0.4) * least(lit(1.0), nw / 100.0) +

@@ -53,11 +53,20 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] {
         case (Some(lo), Some(hi)) => And(GreaterThanOrEqual(x, lo), LessThan(x, hi))
         case _ => orig
       }
-    // literal-on-the-left mirrors
+    // literal-on-the-left mirrors (L op ts  <=>  ts flipped-op L)
     case orig @ LessThan(Literal(l: Long, TimestampType), NanosToTs(x)) =>
       nanos(l, plusOne = true).map(GreaterThanOrEqual(x, _)).getOrElse(orig)
+    case orig @ LessThanOrEqual(Literal(l: Long, TimestampType), NanosToTs(x)) =>
+      nanos(l, plusOne = false).map(GreaterThanOrEqual(x, _)).getOrElse(orig)
     case orig @ GreaterThan(Literal(l: Long, TimestampType), NanosToTs(x)) =>
       nanos(l, plusOne = false).map(LessThan(x, _)).getOrElse(orig)
+    case orig @ GreaterThanOrEqual(Literal(l: Long, TimestampType), NanosToTs(x)) =>
+      nanos(l, plusOne = true).map(LessThan(x, _)).getOrElse(orig)
+    case orig @ EqualTo(Literal(l: Long, TimestampType), NanosToTs(x)) =>
+      (nanos(l, plusOne = false), nanos(l, plusOne = true)) match {
+        case (Some(lo), Some(hi)) => And(GreaterThanOrEqual(x, lo), LessThan(x, hi))
+        case _ => orig
+      }
   }
 
   /** Idempotently install into a session's experimental optimizations. */

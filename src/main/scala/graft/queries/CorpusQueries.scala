@@ -74,7 +74,7 @@ object CorpusQueries {
 
   private def sqlCosine(a: String, b: String): String =
     s"""CAST(list_dot_product($a, $b) AS DOUBLE) /
-       |    (sqrt(CAST(list_dot_product($a, $a) AS DOUBLE)) * sqrt(CAST(list_dot_product($b, $b) AS DOUBLE)))""".stripMargin
+       |    nullif(sqrt(CAST(list_dot_product($a, $a) AS DOUBLE)) * sqrt(CAST(list_dot_product($b, $b) AS DOUBLE)), 0.0)""".stripMargin
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
@@ -105,16 +105,16 @@ object CorpusQueries {
          |  0.4 * least(1.0, n_words / 100.0) + 0.3 * (1.0 - punct_ct / n_chars)
          |    + 0.3 * least(1.0, 4.0 * stop_ct / n_words) AS quality
          |FROM (SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
-         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n_words,
+         |  greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_chars,
          |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS punct_ct,
          |  CAST(len(list_filter(string_split(text, ' '),
          |    w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE) AS stop_ct
          |FROM documents) ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextOps.nWords(col("text")).cast("double").as("n_words"),
-        length(col("text")).cast("double").as("n_chars"),
+        greatest(TextOps.nWords(col("text")).cast("double"), lit(1.0)).as("n_words"),
+        greatest(length(col("text")).cast("double"), lit(1.0)).as("n_chars"),
         TextOps.punctCount(col("text")).cast("double").as("punct_ct"),
         TextOps.stopwordCount(col("text")).cast("double").as("stop_ct"))
         .select(col("doc_id"), col("n_words"), col("punct_ct"), col("stop_ct"),
@@ -310,6 +310,10 @@ object CorpusQueries {
          |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT x FROM r GROUP BY x HAVING min(y) < x)
+         |  AND doc_id NOT IN (
+         |    SELECT d.doc_id FROM documents d
+         |    JOIN (SELECT md5(text) AS m, min(doc_id) AS k FROM documents GROUP BY 1) g
+         |      ON md5(d.text) = g.m WHERE d.doc_id <> g.k)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
         .select(col("doc_id"), col("n_chars"))

@@ -23,10 +23,13 @@ object Sinks {
     * pipeline day is a no-op-or-replace, never a duplicate. This is the
     * 100 TB posture: append-only sinks turn retries into data bugs.
     */
-  def overwriteRunPartition(df: DataFrame, path: String, runCol: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(runCol).parquet(path)
-  }
+  def overwriteRunPartition(df: DataFrame, path: String, runCol: String): Unit =
+    // per-write option, NOT a session conf mutation — a session-wide
+    // "dynamic" would silently change the semantics of every later plain
+    // Overwrite of a partitioned table in the same session
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(runCol).parquet(path)
 
   /** Format-parameterized batch sink: the engine treats the storage format
     * as a knob (parquet default; orc for ORC-native warehouses; csv/json for

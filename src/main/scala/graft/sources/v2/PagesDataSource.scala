@@ -65,9 +65,9 @@ final class PagesScanBuilder(fullSchema: StructType, path: String)
       s"graft-pages $path, pruned to [${required.fieldNames.mkString(",")}]"
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val dir = java.nio.file.Paths.get(path)
-      java.nio.file.Files.list(dir).toArray.map(_.toString)
-        .filter(p => p.matches(".*page\\d+\\.json$")).sorted
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      val files = try stream.toArray.map(_.toString) finally stream.close()
+      files.filter(p => p.matches(".*page\\d+\\.json$")).sorted
         .map(p => PagePartition(p): InputPartition)
     }
 

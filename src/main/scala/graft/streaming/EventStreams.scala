@@ -47,9 +47,12 @@ object EventStreams {
   case class SessionState(start: Long, end: Long, n: Long)
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
-    * escape hatch for semantics windowed aggs can't express. Emits a closed
-    * session once `gapMs` passes with no events (by processing-time timeout
-    * here, keeping the demo deterministic under MemoryStream).
+    * escape hatch for semantics windowed aggs can't express. A session
+    * closes when a LATER event for the same key arrives past the gap
+    * (NoTimeout — deterministic, event-time driven). The final idle session
+    * of a key stays in state until such an event; production pipelines that
+    * must flush idle sessions add EventTimeTimeout with a watermark, at the
+    * cost of timing-dependent output.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
     import spark.implicits._

@@ -68,6 +68,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L)) // 2 (near-dup) and 4 (exact dup) dropped, 1 canonical
   }
 
+  test("dedupCorpus catches exact duplicates of sub-shingle-length docs") {
+    val shorties = Seq(
+      (1L, "hello world"), // < 3 words: invisible to the shingle pipeline
+      (2L, "hello world"),
+      (3L, "totally different text with many more words here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(shorties, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("connectedComponents labels chains transitively with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
     val labels = Dedup.connectedComponents(pairs)

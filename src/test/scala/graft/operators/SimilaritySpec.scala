@@ -55,6 +55,17 @@ class SimilaritySpec extends SparkSpec {
       s"IVF precision ${hits.toDouble / ivf.length} below 5x random baseline")
   }
 
+  test("zero-norm vectors null out instead of aborting the job (ANSI)") {
+    val withZero = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f)), // quantizes to the zero vector
+      (2L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(withZero, "vec_id", "embedding", 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 2L))) // pairs with the zero vector drop via NULL
+  }
+
   test("integer quantization makes cosine exact and order-independent") {
     val df = vecs.select(Similarity.quantize($"embedding").as("q"))
     val rows = df.collect()

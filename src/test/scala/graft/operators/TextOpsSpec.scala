@@ -44,6 +44,12 @@ class TextOpsSpec extends SparkSpec {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("qualityScore survives empty and degenerate docs under ANSI mode") {
+    val scores = Seq("", " ", "!!!", "x").toDF("text")
+      .select(TextOps.qualityScore($"text").as("q")).as[Double].collect()
+    assert(scores.forall(s => !s.isNaN && !s.isInfinite)) // no DIVIDE_BY_ZERO
+  }
+
   test("qualityScore is in [0,1] over the fixture corpus") {
     val d = graft.core.Tables.documents(spark, sf)
     val mm = d.select(
