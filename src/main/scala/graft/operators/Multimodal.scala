@@ -1,70 +1,219 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque `binary` with typed metadata.
+/** Multimodal-column plumbing: media as an opaque `binary` column with typed
+  * metadata extracted by a REAL byte-level header parser.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB (`stubDecodeMeta`) — but the Spark-side
-  * plumbing is real and what matters at 100 TB: binary columns travel
-  * untouched through shuffles, metadata extraction is per-row (no shuffle),
-  * and the batch-kernel entry point (`mapPartitionsDecode`) has the shape a
-  * real decoder plugs into: one kernel instance per partition, rows streamed
-  * through it, so codec init cost amortizes over the partition, exactly like
-  * a Pandas-UDF/mapInPandas batch on the PySpark side.
+  * The container has no image codec libraries, so full pixel decode is out of
+  * scope — but header parsing needs none: PNG's IHDR chunk, BMP's
+  * BITMAPINFOHEADER and GIF's logical screen descriptor are fixed-offset
+  * integer fields defined by their public specs. `encodeMedia` builds real
+  * container bytes (PNG with a CRC-valid IHDR chunk; BMP with a full 54-byte
+  * header; GIF89a with a logical screen descriptor) around an arbitrary
+  * payload, and `parseMeta` sniffs the magic and reads the dimensions back —
+  * so the extraction pipeline is exercised on genuine file-format bytes, not
+  * arithmetic stand-ins.
+  *
+  * The Spark-side shape is what matters at 100 TB: binary columns travel
+  * untouched through shuffles, metadata extraction is per-row map-side work
+  * (no shuffle), and both kernels run via `mapPartitions` — one decoder
+  * instance per partition with rows streamed through it, so codec init cost
+  * (dlopen'd libs, GPU handles in a real deployment) amortizes over the
+  * partition, exactly like a Pandas-UDF/mapInPandas batch on the PySpark
+  * side.
   */
 object Multimodal {
 
-  /** A decoded media frame's metadata. A real implementation fills this from
-    * the codec; the stub derives it deterministically from the bytes.
-    */
-  case class MediaMeta(id: Long, nBytes: Long, width: Int, height: Int, frames: Int)
+  /** Parsed media metadata. Dimensions come from the container header. */
+  case class MediaMeta(id: Long, format: String, n_bytes: Long, width: Long, height: Long)
 
-  /** Attach a binary media column (here: UTF-8 bytes of `srcCol`, standing in
-    * for image/audio payloads read from object storage).
-    */
-  def withBinary(df: DataFrame, srcCol: String): DataFrame =
-    df.withColumn("media", col(srcCol).cast("binary"))
+  private case class MediaRow(id: Long, media: Array[Byte])
 
-  /** STUB decode, expression form: deterministic fake dimensions from the
-    * byte length. Pure Column algebra -> codegen'd, oracle-expressible.
-    * Replace with a real codec kernel via `mapPartitionsDecode` in prod.
+  /** Header sizes of the synthetic containers (fixed by construction):
+    * PNG  = 8-byte signature + 25-byte IHDR chunk (len + type + 13 data + CRC)
+    * BMP  = 14-byte file header + 40-byte BITMAPINFOHEADER
+    * GIF  = 6-byte "GIF89a" + 7-byte logical screen descriptor
     */
-  def stubDecodeMeta(df: DataFrame, idCol: String): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      octet_length(col("media")).cast("long").as("n_bytes"))
-      .withColumn("width", (lit(64) + col("n_bytes") % 577).cast("long"))
-      .withColumn("height", (lit(64) + (col("n_bytes") * 31) % 577).cast("long"))
-      .withColumn("frames", (lit(1) + col("n_bytes") % 7).cast("long"))
+  val PngHeaderLen = 33
+  val BmpHeaderLen = 54
+  val GifHeaderLen = 13
 
-  /** STUB decode, batch-kernel form: the real-codec integration point.
-    * One "decoder" per partition; rows stream through. A real decoder would
-    * hold codec state here (dlopen'd libs, GPU handles) — the expensive init
-    * happens once per partition, not per row.
+  /** Deterministic fixture parameters: container format rotates by id, and
+    * dimensions derive from the payload length. The DuckDB oracle mirrors
+    * exactly this arithmetic; the Spark side must recover the values by
+    * PARSING THE BYTES, which is the point.
     */
-  def mapPartitionsDecode(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaMeta] = {
+  def formatFor(id: Long): String = (id % 3) match {
+    case 0 => "png"
+    case 1 => "bmp"
+    case _ => "gif"
+  }
+  def headerLenFor(format: String): Int = format match {
+    case "png" => PngHeaderLen
+    case "bmp" => BmpHeaderLen
+    case _     => GifHeaderLen
+  }
+  def widthFor(nPayload: Long): Int  = (64 + (nPayload * 7919L) % 509).toInt
+  def heightFor(nPayload: Long): Int = (64 + (nPayload * 104729L) % 509).toInt
+
+  // ---- real container encoders (public file-format layouts) ---------------
+
+  /** PNG signature + IHDR chunk (PNG spec §5.2, §11.2.2): 4-byte big-endian
+    * length, "IHDR", 4-byte BE width, 4-byte BE height, bit depth 8, color
+    * type 2 (truecolor), compression/filter/interlace 0, then CRC32 over the
+    * chunk type + data — a real, verifiable chunk.
+    */
+  def pngBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(PngHeaderLen + payload.length).order(ByteOrder.BIG_ENDIAN)
+    buf.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    buf.putInt(13) // IHDR data length
+    val typeAndData = ByteBuffer.allocate(17).order(ByteOrder.BIG_ENDIAN)
+    typeAndData.put("IHDR".getBytes("US-ASCII"))
+    typeAndData.putInt(width).putInt(height)
+    typeAndData.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new CRC32
+    crc.update(typeAndData.array())
+    buf.put(typeAndData.array())
+    buf.putInt(crc.getValue.toInt)
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** "BM" file header + BITMAPINFOHEADER (40 bytes, all little-endian):
+    * file size at offset 2, pixel-data offset 54 at offset 10, DIB header
+    * size 40, width at 18, height at 22, planes 1, 24 bpp.
+    */
+  def bmpBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(BmpHeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(BmpHeaderLen + payload.length) // file size
+    buf.putInt(0)                             // reserved
+    buf.putInt(BmpHeaderLen)                  // pixel data offset
+    buf.putInt(40)                            // BITMAPINFOHEADER size
+    buf.putInt(width).putInt(height)
+    buf.putShort(1.toShort)                   // color planes
+    buf.putShort(24.toShort)                  // bits per pixel
+    buf.putInt(0).putInt(payload.length)      // compression, image size
+    buf.putInt(2835).putInt(2835)             // ppm resolution (72 dpi)
+    buf.putInt(0).putInt(0)                   // palette counts
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** "GIF89a" + logical screen descriptor: width and height as little-endian
+    * uint16 at offsets 6 and 8, then packed flags / background / aspect.
+    */
+  def gifBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(GifHeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(width.toShort).putShort(height.toShort)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // flags, bg color, aspect
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Build the container bytes for one row: format by id, dims from the
+    * payload length, payload appended after the header.
+    */
+  def encodeMedia(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length.toLong
+    val (w, h) = (widthFor(n), heightFor(n))
+    formatFor(id) match {
+      case "png" => pngBytes(w, h, payload)
+      case "bmp" => bmpBytes(w, h, payload)
+      case _     => gifBytes(w, h, payload)
+    }
+  }
+
+  // ---- real header parser -------------------------------------------------
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Sniff the magic and parse (format, width, height) from real container
+    * bytes. PNG additionally verifies the IHDR CRC32. Unknown magic or a
+    * corrupt chunk throws — malformed media must surface, not produce
+    * plausible dimensions.
+    */
+  def parseMeta(bytes: Array[Byte]): (String, Int, Int) = {
+    if (bytes.length >= PngHeaderLen && bytes.startsWith(PngSig)) {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      val dataLen = bb.getInt(8)
+      val crc = new CRC32
+      crc.update(bytes, 12, 4 + dataLen)
+      if (crc.getValue.toInt != bb.getInt(16 + dataLen))
+        throw new IllegalArgumentException("PNG IHDR CRC mismatch")
+      ("png", bb.getInt(16), bb.getInt(20))
+    } else if (bytes.length >= BmpHeaderLen && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      ("bmp", bb.getInt(18), bb.getInt(22))
+    } else if (bytes.length >= GifHeaderLen &&
+        new String(bytes, 0, 4, "US-ASCII") == "GIF8") {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      ("gif", bb.getShort(6) & 0xffff, bb.getShort(8) & 0xffff)
+    } else {
+      throw new IllegalArgumentException(
+        s"unrecognized media container (${bytes.length} bytes)")
+    }
+  }
+
+  // ---- Spark kernels ------------------------------------------------------
+
+  /** Attach a binary media column: real container bytes wrapped around the
+    * UTF-8 payload of `srcCol` (standing in for blobs read from object
+    * storage). mapPartitions so a real encoder's init happens once per
+    * partition.
+    */
+  def attachMedia(spark: SparkSession, df: DataFrame, idCol: String, srcCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col("media"))
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) => MediaRow(id, encodeMedia(id, payload)) }
+      }
+      .toDF()
+  }
+
+  /** Parse metadata out of the media bytes: one parser per partition, rows
+    * streamed through. Per-row map-side work — no shuffle.
+    */
+  def decodeMeta(spark: SparkSession, df: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real impl: val codec = Codec.open(...)  — once per partition
         rows.map { case (id, bytes) =>
-          val n = bytes.length.toLong
-          MediaMeta(id, n, (64 + n % 577).toInt, (64 + (n * 31) % 577).toInt, (1 + n % 7).toInt)
+          val (fmt, w, h) = parseMeta(bytes)
+          MediaMeta(id, fmt, bytes.length.toLong, w.toLong, h.toLong)
         }
       }
   }
 
-  /** Deterministic fake frame-sampling: pick every `stride`-th byte as a
-    * "frame feature" — stands in for decode+resize+frame-sample while
-    * exercising the real array-column plumbing.
+  /** Header length column for media generated by `encodeMedia` (format
+    * rotates by id).
     */
-  def stubFrameFeatures(df: DataFrame, idCol: String, stride: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      transform(
-        sequence(lit(1), greatest(octet_length(col("media")).cast("int"), lit(1)), lit(stride)),
-        i => get(split(hex(col("media")), ""), (i - 1) * 2).cast("string")
-      ).as("frame_features"))
+  def headerLenCol(id: Column): Column =
+    when(id % 3 === 0, PngHeaderLen).when(id % 3 === 1, BmpHeaderLen).otherwise(GifHeaderLen)
+
+  /** Deterministic frame-feature sampling over the PAYLOAD region of the
+    * media bytes: every `stride`-th byte rendered as its hex pair — stands in
+    * for decode+resize+frame-sample while exercising real binary slicing.
+    * One output row per sampled position: (id, pos, feature) — scalar
+    * columns, fully sortable and oracle-expressible.
+    */
+  def frameFeatures(df: DataFrame, stride: Int): DataFrame = {
+    val hdr = headerLenCol(col("id"))
+    val payloadHex = hex(col("media").substr(hdr + 1, octet_length(col("media"))))
+    df.select(col("id"), payloadHex.as("hx"),
+        greatest((octet_length(col("media")) - hdr).cast("long"), lit(1L)).as("np"))
+      .select(col("id"), col("hx"),
+        explode(sequence(lit(1L), col("np"), lit(stride.toLong))).as("pos"))
+      .select(col("id"), col("pos"),
+        col("hx").substr(((col("pos") - 1) * 2 + 1).cast("int"), lit(2)).as("feature"))
+  }
 }

@@ -385,23 +385,40 @@ object CorpusQueries {
 
     // == multimodal ==
 
+    // Real container bytes (PNG/BMP/GIF headers built by encodeMedia) parsed
+    // back by a real byte-level header parser; the oracle mirrors the
+    // generator's arithmetic, so a parser bug (wrong offset, wrong
+    // endianness) hash-mismatches.
     QueryDef(
       "m1_media_meta",
-      """SELECT doc_id AS id, n_bytes,
-        |  64 + n_bytes % 577 AS width,
-        |  64 + (n_bytes * 31) % 577 AS height,
-        |  1 + n_bytes % 7 AS frames
-        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+        |  n + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END AS n_bytes,
+        |  64 + (n * 7919) % 509 AS width,
+        |  64 + (n * 104729) % 509 AS height
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
         |      FROM documents) ORDER BY id""".stripMargin) { (s, d) =>
-      Multimodal.stubDecodeMeta(
-        Multimodal.withBinary(Tables.documents(s, d), "text"), "doc_id")
-        .orderBy(col("id"))
+      Multimodal.decodeMeta(s,
+        Multimodal.attachMedia(s, Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
     },
 
-    QueryDef.rowsOnly("m2_frame_features") { (s, d) =>
-      Multimodal.stubFrameFeatures(
-        Multimodal.withBinary(Tables.documents(s, d), "text"), "doc_id", 50)
-        .orderBy(col("id"))
+    // Frame features sampled from the payload region of the media bytes:
+    // one (id, pos, feature) row per sampled position. The oracle samples
+    // the raw text bytes directly — equality proves the engine's header/
+    // payload split and binary slicing are byte-accurate.
+    QueryDef(
+      "m2_frame_features",
+      """SELECT doc_id AS id, i AS pos,
+        |  substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2) AS feature
+        |FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |        greatest(CAST(octet_length(encode(text)) AS BIGINT), 1) AS np
+        |      FROM documents),
+        |  unnest(generate_series(1, np, 50)) AS t(i)
+        |ORDER BY id, pos""".stripMargin) { (s, d) =>
+      Multimodal.frameFeatures(
+        Multimodal.attachMedia(s, Tables.documents(s, d), "doc_id", "text"), 50)
+        .orderBy(col("id"), col("pos"))
     }
   )
 }
