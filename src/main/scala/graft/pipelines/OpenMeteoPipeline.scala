@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object OpenMeteoPipeline {
 
-  /** cleaner (:60-83): hourly rows, deterministically sorted. pandas'
-    * stable mergesort by date has no cross-partition analogue — the tiebreak
-    * keys are explicit instead (O3).
+  /** cleaner (:60-83). The reference sorts the whole frame by date; a global
+    * sort in a write path is a full range-partitioning exchange that buys
+    * nothing relationally, so this only sorts WITHIN partitions (no shuffle):
+    * downstream aggregation is order-independent, and the clustering still
+    * gives parquet run-length-friendly row groups. Consumers needing a total
+    * order say so with their own orderBy (O3's explicit tiebreak keys).
     */
   def clean(hourlyRows: DataFrame): DataFrame =
-    hourlyRows.orderBy(col("date"), col("latitude"), col("longitude"))
+    hourlyRows.sortWithinPartitions(col("date"), col("latitude"), col("longitude"))
 
   /** computeMetricsPerStatePerHour (:86-107): J2 state join + one aggregate
     * per weather variable. `std` is SAMPLE stddev (pandas Series.std ddof=1).

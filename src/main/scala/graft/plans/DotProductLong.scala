@@ -36,10 +36,17 @@ case class DotProductLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_long"
 
+  // Mismatched lengths throw (in both eval paths): a dimension bug must
+  // surface as an error, not a plausible-but-wrong truncated dot product —
+  // DuckDB's list_dot_product errors on mismatch too, so silently truncating
+  // would also let engine and oracle diverge on malformed data.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -52,7 +59,11 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_long: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getLong($i) * $b.getLong($i);

@@ -352,18 +352,65 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // LSH-bucketed ANN — the scale path; bucketing isn't portably
-    // SQL-expressible, so rows-only here; recall vs s1 is asserted in
-    // SimilaritySpec.
-    QueryDef.rowsOnly("s2_knn_lsh") { (s, d) =>
+    // LSH-bucketed ANN — the scale path. The hyperplanes are md5-derived
+    // integer constants (Similarity.plane), so the oracle rebuilds them from
+    // the SAME md5 formula (sqlHash) and mirrors bucketing + candidate join
+    // + exact-cosine ranking — a full hash-check of the bucketed path, not
+    // rows-only. Recall vs s1 additionally asserted in SimilaritySpec.
+    QueryDef(
+      "s2_knn_lsh",
+      s"""WITH $quantVecCte,
+         |planes AS (
+         |  SELECT t.t AS tbl, m.m AS m,
+         |    list(${sqlHash("'plane_' || t.t || '_' || m.m || '_' || j.j", 8)} % 2001 - 1000
+         |         ORDER BY j.j) AS pv
+         |  FROM generate_series(0, 7) t(t), generate_series(0, 9) m(m),
+         |       generate_series(0, 63) j(j)
+         |  GROUP BY t.t, m.m),
+         |buckets AS (
+         |  SELECT v.sid, p.tbl,
+         |    SUM(CASE WHEN list_dot_product(v.qv, p.pv) > 0
+         |        THEN (CAST(1 AS BIGINT) << p.m) ELSE 0 END) AS bucket
+         |  FROM v CROSS JOIN planes p
+         |  GROUP BY v.sid, p.tbl),
+         |cand AS (SELECT DISTINCT a.sid AS qid, b.sid AS nid
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sid <> b.sid),
+         |sc AS (SELECT c.qid, c.nid, ${sqlCosine("qa.qv", "nb.qv")} AS cosine
+         |  FROM cand c JOIN v qa ON c.qid = qa.sid JOIN v nb ON c.nid = nb.sid)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nTables = 8, nPlanes = 10, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 
-    // IVF-bucketed ANN — rows-only (centroid assignment isn't portably
-    // SQL-expressible); precision vs brute force asserted in SimilaritySpec.
-    QueryDef.rowsOnly("s3_knn_ivf") { (s, d) =>
+    // IVF-bucketed ANN. Centroids are data-derived (the nCells lowest ids),
+    // so the whole index build is SQL-expressible: the oracle mirrors
+    // assignment (best cell), probing (top-nProbe cells) and in-cell exact
+    // ranking — hash-checked end to end. Precision vs brute force asserted
+    // in SimilaritySpec.
+    QueryDef(
+      "s3_knn_ivf",
+      s"""WITH $quantVecCte,
+         |c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+         |scored AS (SELECT v.sid, v.qv, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+         |  FROM v CROSS JOIN c),
+         |ranked AS (SELECT sid, qv, cid, ccos,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM scored),
+         |members AS (SELECT cid, sid AS nid, qv AS nqv FROM ranked WHERE crank = 1),
+         |probes AS (SELECT cid, sid AS qid, qv AS qqv FROM ranked WHERE crank <= 4),
+         |sc AS (SELECT qid, nid, ${sqlCosine("qqv", "nqv")} AS cosine
+         |  FROM probes JOIN members USING (cid) WHERE qid <> nid)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         nCells = 16, nProbe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))

@@ -401,6 +401,25 @@ object EtlQueries {
         .orderBy(col("flag"))
     },
 
+    // P6: drop rows with NULLs in key columns (EIA7A…:80); NULLs synthesized
+    // via NULLIF since the fixtures are dense. Two keys so the subset
+    // semantics (ALL listed keys non-null) are exercised.
+    QueryDef(
+      "p6_drop_null_keys",
+      """SELECT l_orderkey, l_linenumber, m, f FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    NULLIF(l_linestatus, 'O') AS m, NULLIF(l_returnflag, 'N') AS f
+        |  FROM lineitem)
+        |WHERE m IS NOT NULL AND f IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      EtlOps.dropNullKeys("m", "f")(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_linestatus"), lit("O")).as("m"),
+          nullif(col("l_returnflag"), lit("N")).as("f")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // P10/F4: quarter-label equality (EIA7A…:76,90).
     QueryDef(
       "p10_quarter_filter",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,9 +36,19 @@ class PagesDataSource extends TableProvider with DataSourceRegister {
     throw new IllegalArgumentException(
       "graft-pages requires an explicit row schema (the envelope's data-row fields)")
 
+  // The reader materializes every envelope field as a UTF8String; accepting a
+  // schema with non-string fields would corrupt rows (or throw deep inside
+  // execution) instead of failing here with an actionable message.
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    val nonString = schema.fields.filterNot(_.dataType == StringType)
+    if (nonString.nonEmpty)
+      throw new IllegalArgumentException(
+        "graft-pages parses envelope fields as strings; cast downstream. " +
+          "Non-string schema fields: " +
+          nonString.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     new PagesTable(schema, properties.get("path"))
+  }
 }
 
 final class PagesTable(schema: StructType, path: String) extends Table with SupportsRead {

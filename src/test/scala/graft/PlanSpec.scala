@@ -83,4 +83,17 @@ class PlanSpec extends SparkSpec {
     // must appear inside one, not in an interpreted Project
     assert("""\*\(\d+\) Project \[[^\n]*graft_dot_long""".r.findFirstIn(p).nonEmpty, p)
   }
+
+  test("dot-product kernel throws on dimension mismatch instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+      .select(graft.plans.GraftFunctions.dotLong(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")), e)
+  }
 }

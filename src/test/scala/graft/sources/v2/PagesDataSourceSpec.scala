@@ -25,6 +25,15 @@ class PagesDataSourceSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("non-string schema fields fail fast with an actionable message") {
+    val badSchema = new org.apache.spark.sql.types.StructType()
+      .add("period", "string").add("value", "double")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-pages").schema(badSchema).load(pagesDir).collect()
+    }
+    assert(e.getMessage.contains("value: double"))
+  }
+
   test("column pruning pushes into the source (reference's data[n] params)") {
     val pruned = readV2.select("period", "value")
     val plan = pruned.queryExecution
