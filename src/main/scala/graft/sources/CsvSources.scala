@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
 object CsvSources {
 
   /** Balancing-authorities reference table: first 6 workbook columns
-    * (EIA930PipelineHourlyData.py:33-34 slices `iloc[:, :6]`). The Excel
-    * workbook is modeled as CSV — the reference's `pd.read_excel` is a
-    * driver-side parse either way; a production variant would use POI here.
+    * (EIA930PipelineHourlyData.py:33-34 slices `iloc[:, :6]`). Available
+    * from CSV (below) or from the real two-sheet .xlsx workbook via
+    * `balancingAuthoritiesXlsx` / `energySourcesXlsx` (graft.sources.Xlsx,
+    * a pure-JDK OOXML parse — the reference's `pd.read_excel` is the same
+    * driver-side parse).
     */
   val balancingAuthoritiesSchema: StructType = StructType(Seq(
     StructField("BA Code", StringType),
@@ -41,6 +43,18 @@ object CsvSources {
 
   def coordinates(spark: SparkSession, path: String): DataFrame =
     readCsv(spark, path, coordinatesSchema)
+
+  /** S5 — the workbook's 'BAs' sheet, sliced to the first 6 columns exactly
+    * as the reference's `iloc[:, :6]` (EIA930PipelineHourlyData.py:34).
+    */
+  def balancingAuthoritiesXlsx(spark: SparkSession, path: String): DataFrame = {
+    val df = Xlsx.readSheet(spark, path, "BAs")
+    df.select(df.columns.take(6).map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** S5 — the workbook's 'Energy Sources' sheet, all columns. */
+  def energySourcesXlsx(spark: SparkSession, path: String): DataFrame =
+    Xlsx.readSheet(spark, path, "Energy Sources")
 
   /** S6 — conditional-fetch cache: re-materialize the parquet cache only when
     * the upstream stamp (HTTP Last-Modified in prod; any string here)
