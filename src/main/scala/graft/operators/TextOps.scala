@@ -110,17 +110,29 @@ object TextOps {
   private def substring_index_safe(t: Column, pos: Column, k: Int): Column =
     substring(t, pos, lit(k))
 
-  /** Language-ID marker words per language. Membership counts over the
-    * single-space tokenizer; deterministic argmax with a fixed priority
-    * order (en > de > es > fr > zh) on ties.
+  /** Language-ID marker words per language: the highest-frequency function
+    * words of each (for zh, the real function CHARACTERS — 的 是 了 我 你 —
+    * not romanizations, so Chinese text is recognized by its own script).
+    * Membership counts over the single-space tokenizer; deterministic argmax
+    * with a fixed priority order (en > de > es > fr > zh) on ties.
     */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "de" -> Seq("der", "und", "die", "das", "ist"),
     "es" -> Seq("el", "la", "los", "que", "es"),
     "fr" -> Seq("le", "la", "et", "les", "est"),
-    "zh" -> Seq("de", "shi", "le", "wo", "ni")
+    "zh" -> Seq("的", "是", "了", "我", "你")
   )
+
+  /** A marker-dense phrase per language (3 repetitions of its marker list):
+    * used to synthesize a multilingual corpus from the fixtures' `lang`
+    * labels so language ID can be verified to DISCRIMINATE (the generated
+    * English word-salad alone exercises only the `en` branch).
+    */
+  def langPhrase(l: String): String = {
+    val ms = langMarkers.toMap.apply(l)
+    Seq.fill(3)(ms.mkString(" ")).mkString(" ")
+  }
 
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(words(text), w => w.isin(markers.map(lit(_)): _*)))

@@ -170,6 +170,39 @@ object CorpusQueries {
         .orderBy(col("sid"), col("fp"))
     },
 
+    // Language ID over a synthesized multilingual corpus: the fixtures' text
+    // is English word-salad for every lang label (t3 exercises only the en
+    // branch), so this query constructs per-lang text — a 20-char slice of
+    // the doc plus the label's marker-dense phrase — and predicts FROM TEXT
+    // ONLY. Every langId branch fires and the prediction column genuinely
+    // discriminates (all 5 values appear).
+    QueryDef(
+      "t6_lang_id_mixed",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+         |FROM (SELECT doc_id, lang,
+         |${TextOps.langMarkers.map { case (l, ms) =>
+             s"  len(list_filter(string_split(t2, ' '), w -> w IN (${sqlList(ms)}))) AS s_$l"
+           }.mkString(",\n")}
+         |FROM (SELECT doc_id, lang,
+         |  substr(text, 1, 20) || ' ' || CASE lang
+         |${TextOps.langMarkers.map { case (l, _) =>
+             s"    WHEN '$l' THEN '${TextOps.langPhrase(l)}'"
+           }.mkString("\n")}
+         |  END AS t2 FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val phrase = TextOps.langMarkers.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, _)) => when(col("lang") === l, TextOps.langPhrase(l)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .withColumn("t2", concat(substring(col("text"), 1, 20), lit(" "), phrase))
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("t2")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
     // == dedup ==
 
     QueryDef(

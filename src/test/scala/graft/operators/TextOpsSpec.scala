@@ -31,6 +31,26 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "en"))
   }
 
+  test("langId discriminates all five languages on realistic sentences") {
+    val df = Seq(
+      "the quick brown fox and the lazy dog is a friend of mine" -> "en",
+      "der schnelle fuchs und die katze das ist der hund" -> "de",
+      "el zorro y la casa los gatos que es bonita" -> "es",
+      "le renard et la maison les chats est jolie" -> "fr",
+      "我 是 一个 学生 你 的 书 在 这里 了" -> "zh"
+    ).toDF("text", "want")
+      .select($"want", TextOps.langId($"text").as("got"))
+    df.collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1), s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("t6 corpus construction yields all five predictions over the fixture") {
+    val preds = graft.queries.CorpusQueries.defs.find(_.name == "t6_lang_id_mixed").get
+      .fn(spark, sf).select("lang_pred").distinct()
+      .as[String].collect().toSet
+    assert(preds == Set("en", "de", "es", "fr", "zh"), preds)
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val df = Seq(
       (1L, "aaaa the quick brown fox jumped over bbbb"),
