@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Exact integer dot product of two `array<long>` columns as a native
@@ -82,15 +82,23 @@ case class DotProductLong(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val DotLongName = "graft_dot_long"
+  val MisraGriesName = "graft_misra_gries"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(DotLongName)
-    if (!registry.functionExists(id)) {
+    val dotId = FunctionIdentifier(DotLongName)
+    if (!registry.functionExists(dotId)) {
       registry.registerFunction(
-        id,
+        dotId,
         new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
         (children: Seq[Expression]) => DotProductLong(children(0), children(1)))
+    }
+    val mgId = FunctionIdentifier(MisraGriesName)
+    if (!registry.functionExists(mgId)) {
+      registry.registerFunction(
+        mgId,
+        new ExpressionInfo(classOf[MisraGriesSketch].getName, MisraGriesName),
+        (children: Seq[Expression]) => MisraGriesSketch.fromChildren(children))
     }
   }
 
@@ -98,5 +106,11 @@ object GraftFunctions {
   def dotLong(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(DotLongName, a, b)
+  }
+
+  /** Misra-Gries sketch aggregate: map<string,bigint> of ~k candidates. */
+  def misraGries(c: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(MisraGriesName, c, lit(k))
   }
 }

@@ -13,8 +13,7 @@ class HeavyHittersSpec extends SparkSpec {
     val df = spark.createDataFrame(items.map(t => Tuple1(t._1))).toDF("__mg_item")
       .repartition(8)
     val sk = df.agg(HeavyHitters.sketchOf(col("__mg_item"), 10).as("sk"))
-      .as[HeavyHitters.Sketch](org.apache.spark.sql.Encoders.kryo[HeavyHitters.Sketch])
-      .head()
+      .head().getMap[String, Long](0)
     // n = 1200, k = 10 -> anything over ~109 occurrences must survive
     assert(sk.contains("hot1") && sk.contains("hot2"))
     assert(sk.size <= 10)
