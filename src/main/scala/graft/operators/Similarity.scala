@@ -171,6 +171,22 @@ object Similarity {
       yield (t, m, plane(t, m, dim).toSeq)).toDF("tbl", "m", "pv")
   }
 
+  /** (sid, tbl, bucket, qv, nrm): each vector's sign-bucket id in every LSH
+    * table — the shared index-build step of `lshTopK` and `lshNearDupPairs`.
+    */
+  private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
+    val v = prepared(df, idCol, vecCol)
+    val planes = planesTable(df.sparkSession, dim, nTables, nPlanes)
+    v.crossJoin(broadcast(planes))
+      .select(col("sid"), col("qv"), col("nrm"), col("tbl"),
+        when(dotLong(col("qv"), col("pv")) > 0, expr("shiftleft(CAST(1 AS BIGINT), m)"))
+          .otherwise(0L).as("bit"))
+      .groupBy(col("sid"), col("tbl"))
+      .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
+        sum(col("bit")).as("bucket"))
+  }
+
   /** Multi-table LSH ANN: `nTables` independent hyperplane tables; candidate
     * pairs share a bucket in ANY table (union -> distinct), then exact
     * cosine ranks the union. More tables = higher recall at linear candidate
@@ -179,16 +195,7 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               nTables: Int, nPlanes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = prepared(df, idCol, vecCol)
-    val planes = planesTable(df.sparkSession, dim, nTables, nPlanes)
-    val buckets = v
-      .crossJoin(broadcast(planes))
-      .select(col("sid"), col("qv"), col("nrm"), col("tbl"),
-        when(dotLong(col("qv"), col("pv")) > 0, expr("shiftleft(CAST(1 AS BIGINT), m)"))
-          .otherwise(0L).as("bit"))
-      .groupBy(col("sid"), col("tbl"))
-      .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
-        sum(col("bit")).as("bucket"))
+    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -200,5 +207,26 @@ object Similarity {
       pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed near-dup pairs — the SCALE PATH for `nearDupPairs`: exact
+    * cosine is computed only for pairs sharing a bucket in some table, so
+    * work scales with bucket occupancy instead of corpus². Precision is 1 by
+    * construction (every emitted pair passes the exact threshold); recall is
+    * the LSH trade — raise `nTables` to buy recall at linear cost.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      nTables: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("ida"), col("a.qv").as("aqv"), col("a.nrm").as("anrm"),
+        col("b.sid").as("idb"), col("b.qv").as("bqv"), col("b.nrm").as("bnrm"))
+      .dropDuplicates("ida", "idb")
+      .select(col("ida"), col("idb"),
+        pairCosine(col("aqv"), col("bqv"), col("anrm"), col("bnrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

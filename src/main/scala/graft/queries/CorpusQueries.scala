@@ -365,6 +365,37 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Embedding near-dup, LSH-bucketed — the oracle-checked SCALE PATH for
+    // d8's all-pairs baseline: same threshold, but exact cosine only within
+    // shared (table, bucket). Oracle rebuilds the md5-derived planes.
+    QueryDef(
+      "d11_embedding_neardup_lsh",
+      s"""WITH $quantVecCte,
+         |planes AS (
+         |  SELECT t.t AS tbl, m.m AS m,
+         |    list(${sqlHash("'plane_' || t.t || '_' || m.m || '_' || j.j", 8)} % 2001 - 1000
+         |         ORDER BY j.j) AS pv
+         |  FROM generate_series(0, 15) t(t), generate_series(0, 5) m(m),
+         |       generate_series(0, 63) j(j)
+         |  GROUP BY t.t, m.m),
+         |buckets AS (
+         |  SELECT v.sid, p.tbl,
+         |    SUM(CASE WHEN list_dot_product(v.qv, p.pv) > 0
+         |        THEN (CAST(1 AS BIGINT) << p.m) ELSE 0 END) AS bucket
+         |  FROM v CROSS JOIN planes p
+         |  GROUP BY v.sid, p.tbl),
+         |cand AS (SELECT DISTINCT a.sid AS ida, b.sid AS idb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sid < b.sid)
+         |SELECT * FROM (
+         |  SELECT c.ida, c.idb, ${sqlCosine("va.qv", "vb.qv")} AS cosine
+         |  FROM cand c JOIN v va ON c.ida = va.sid JOIN v vb ON c.idb = vb.sid)
+         |WHERE cosine >= 0.45 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nTables = 16, nPlanes = 6, threshold = 0.45)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // == similarity search ==
 
     QueryDef(

@@ -42,6 +42,25 @@ class SimilaritySpec extends SparkSpec {
       s"LSH precision ${hits.toDouble / lsh.length} below 5x random baseline")
   }
 
+  test("lshNearDupPairs: precision 1 vs the exact baseline, useful recall") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // near-dup LSH wants SHORT signatures (6 bits) over MANY tables (16):
+    // at cosine 0.45 (~63 degrees) per-plane agreement is ~0.65, so a 6-bit
+    // bucket collides ~8% per table and 16 tables put expected recall ~0.75
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 64, 16, 6, 0.45)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // every LSH pair passes the exact threshold -> subset of the baseline
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // near-dup pairs are highly correlated vectors — exactly what hyperplane
+    // LSH buckets preserve, so recall should be high (planted dups agree on
+    // most sign bits)
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+        s"recall ${lsh.size.toDouble / exact.size} too low (${lsh.size}/${exact.size})")
+  }
+
   test("ivfTopK neighbors are true neighbors (precision vs brute force)") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 15)
