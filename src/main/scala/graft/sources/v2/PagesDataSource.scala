@@ -2,7 +2,10 @@ package graft.sources.v2
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
+import graft.sources.HttpPages
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -13,20 +16,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector for paginated API envelopes: one InputPartition
-  * PER PAGE, so page parsing runs on executors in parallel — the DSv2 shape
-  * SURVEY.md §4 sketches for the REST scans (S1-S4). Reading from a
-  * directory of captured `pageN.json` bodies here; a production variant's
-  * partitions carry (endpoint, offset) and fetch over HTTP instead of
-  * opening files — everything else is identical.
+  * PER PAGE, so page parsing — and in HTTP mode the page FETCH itself — runs
+  * on executors in parallel. This is the DSv2 shape SURVEY.md §4 sketches
+  * for the REST scans (S1-S4), and the parallel answer to the reference's
+  * sequential driver-side pagination loop.
+  *
+  * Two modes:
+  * - `load(dir)`: a directory of captured `pageN.json` bodies (replayable,
+  *   deterministic — the test/backfill path);
+  * - `.option("url", base).option("pageSize", n)[.option("param.K", V)...]`:
+  *   live HTTP. The driver probes page 0 once (via `HttpPages`, with its
+  *   retry/backoff), reads the envelope's `response.total`, and plans
+  *   ceil(total/pageSize) partitions; each EXECUTOR then fetches its own
+  *   offset concurrently — 1000 executors pull 1000 pages at once, vs one
+  *   page at a time on the driver. (The probe's body rides along in
+  *   partition 0, so page 0 is never fetched twice.) Only usable when the
+  *   API paginates by offset with a stable total — the sequential
+  *   stop-condition cyclers (`EnvelopeJson.fetch*`) remain the right tool
+  *   when the end of data is discovered, not declared.
   *
   * Implements SupportsPushDownRequiredColumns: a `select` of 2 fields parses
   * and ships only those 2 — the reference hand-codes exactly this pruning as
   * `data[n]` request params (EIA7APipelineQuarterlyData.py:22-31).
-  *
-  * Usage:
-  * {{{
-  * spark.read.format("graft-pages").schema(rowSchema).load(pagesDir)
-  * }}}
   */
 class PagesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -47,21 +58,41 @@ class PagesDataSource extends TableProvider with DataSourceRegister {
         "graft-pages parses envelope fields as strings; cast downstream. " +
           "Non-string schema fields: " +
           nonString.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
-    new PagesTable(schema, properties.get("path"))
+    new PagesTable(schema, properties)
   }
 }
 
-final class PagesTable(schema: StructType, path: String) extends Table with SupportsRead {
-  require(path != null, "graft-pages requires a load(path)")
-  override def name(): String = s"graft-pages($path)"
+final class PagesTable(schema: StructType, properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  private def prop(key: String): Option[String] =
+    properties.asScala.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private val path = prop("path")
+  private val http: Option[HttpConfig] = prop("url").map { url =>
+    HttpConfig(
+      url,
+      pageSize = prop("pageSize").map(_.toInt).getOrElse(5000),
+      params = properties.asScala.collect {
+        case (k, v) if k.toLowerCase.startsWith("param.") => k.drop("param.".length) -> v
+      }.toMap,
+      retries = prop("retries").map(_.toInt).getOrElse(5))
+  }
+  require(path.isDefined || http.isDefined,
+    "graft-pages requires a load(path) or .option(\"url\", ...)")
+
+  override def name(): String = s"graft-pages(${path.orElse(http.map(_.url)).get})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagesScanBuilder(schema, path)
+    new PagesScanBuilder(schema, path, http)
 }
 
-final class PagesScanBuilder(fullSchema: StructType, path: String)
+final case class HttpConfig(url: String, pageSize: Int,
+                            params: Map[String, String], retries: Int)
+
+final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
+                             http: Option[HttpConfig])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -72,29 +103,65 @@ final class PagesScanBuilder(fullSchema: StructType, path: String)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-pages $path, pruned to [${required.fieldNames.mkString(",")}]"
+      s"graft-pages ${path.orElse(http.map(_.url)).get}, " +
+        s"pruned to [${required.fieldNames.mkString(",")}]"
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-      val files = try stream.toArray.map(_.toString) finally stream.close()
-      files.filter(p => p.matches(".*page\\d+\\.json$")).sorted
-        .map(p => PagePartition(p): InputPartition)
+    // lazy + cached: Spark calls planInputPartitions more than once on a
+    // Scan (partitioning, RDD build) — one probe per query execution, not
+    // one per call
+    private lazy val planned: Array[InputPartition] = path match {
+      case Some(dir) =>
+        val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        val files = try stream.toArray.map(_.toString) finally stream.close()
+        files.filter(p => p.matches(".*page\\d+\\.json$")).sorted
+          .map(p => FilePagePartition(p): InputPartition)
+      case None =>
+        val cfg = http.get
+        val probe = new HttpPages(cfg.url, cfg.params, cfg.pageSize, cfg.retries)
+          .fetch(0).getOrElse(throw new IllegalStateException(
+            s"graft-pages: empty probe response from ${cfg.url}"))
+        val totalNode = new ObjectMapper().readTree(probe).path("response").path("total")
+        if (totalNode.isMissingNode)
+          throw new IllegalArgumentException(
+            "graft-pages http mode needs response.total in the envelope to plan " +
+              "partitions; use the sequential EnvelopeJson cyclers for " +
+              "discovered-end pagination")
+        val total = if (totalNode.isNumber) totalNode.asLong() else totalNode.asText().toLong
+        val nPages = math.max(1L, (total + cfg.pageSize - 1) / cfg.pageSize).toInt
+        (0 until nPages).map { i =>
+          HttpPagePartition(cfg.url, cfg.params, cfg.pageSize, i * cfg.pageSize,
+            cfg.retries, if (i == 0) Some(probe) else None): InputPartition
+        }.toArray
     }
+
+    override def planInputPartitions(): Array[InputPartition] = planned
 
     override def createReaderFactory(): PartitionReaderFactory =
       new PagesReaderFactory(required)
   }
 }
 
-final case class PagePartition(file: String) extends InputPartition
+final case class FilePagePartition(file: String) extends InputPartition
+
+final case class HttpPagePartition(url: String, params: Map[String, String],
+                                   pageSize: Int, offset: Int, retries: Int,
+                                   prefetched: Option[String]) extends InputPartition
 
 final class PagesReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[PagePartition].file
+    val body = partition match {
+      case FilePagePartition(file) =>
+        java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+      case HttpPagePartition(url, params, pageSize, offset, retries, prefetched) =>
+        prefetched.getOrElse(
+          new HttpPages(url, params, pageSize, retries).fetch(offset).getOrElse(
+            throw new IllegalStateException(
+              s"graft-pages: no body for planned offset $offset at $url")))
+    }
     new PartitionReader[InternalRow] {
       private val fields = required.fieldNames
       private val data = new ObjectMapper()
-        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(file)))
+        .readTree(body)
         .path("response").path("data")
       private var i = -1
 

@@ -25,6 +25,41 @@ class PagesDataSourceSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("http mode: plans one partition per page from response.total; executors fetch") {
+    import java.util.concurrent.ConcurrentHashMap
+    val hits = new ConcurrentHashMap[Int, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", { ex =>
+      val off = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .collectFirst { case Array("offset", v) => v.toInt }.get
+      hits.merge(off, 1, (a, b) => a + b)
+      val rows = (off until math.min(off + 2, 5))
+        .map(i => s"""{"period":"p$i","value":"$i"}""").mkString(",")
+      val body = s"""{"response":{"total":"5","data":[$rows]}}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("period", "string").add("value", "string")
+      val df = spark.read.format("graft-pages").schema(schema)
+        .option("url", url).option("pageSize", "2").option("param.api_key", "k")
+        .load()
+      assert(df.rdd.getNumPartitions == 3) // ceil(5/2) pages, fetched in parallel
+      assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("p0", "p1", "p2", "p3", "p4"))
+      // the planning probe's body rides along in partition 0, so within one
+      // query execution page 0 is fetched exactly once; the two actions above
+      // (getNumPartitions, collect) are two executions -> at most two probes
+      assert(hits.get(0) <= 2, s"offset 0 fetched ${hits.get(0)} times")
+      assert(hits.get(2) == 1 && hits.get(4) == 1)
+    } finally server.stop(0)
+  }
+
   test("non-string schema fields fail fast with an actionable message") {
     val badSchema = new org.apache.spark.sql.types.StructType()
       .add("period", "string").add("value", "double")
