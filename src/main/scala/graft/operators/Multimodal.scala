@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   * partition, exactly like a Pandas-UDF/mapInPandas batch on the PySpark
   * side.
   */
+/** Parsed media metadata. Dimensions come from the container header.
+  * Top-level (not nested in the object): encoder codegen instantiates these
+  * classes from generated Java, and a nested/private constructor makes janino
+  * fail the compile and silently fall back to interpreted serialization.
+  */
+case class MediaMeta(id: Long, format: String, n_bytes: Long, width: Long, height: Long)
+
+/** (id, media-bytes) row produced by [[Multimodal.attachMedia]]. */
+case class MediaRow(id: Long, media: Array[Byte])
+
 object Multimodal {
-
-  /** Parsed media metadata. Dimensions come from the container header. */
-  case class MediaMeta(id: Long, format: String, n_bytes: Long, width: Long, height: Long)
-
-  private case class MediaRow(id: Long, media: Array[Byte])
 
   /** Header sizes of the synthetic containers (fixed by construction):
     * PNG  = 8-byte signature + 25-byte IHDR chunk (len + type + 13 data + CRC)

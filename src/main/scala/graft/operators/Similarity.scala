@@ -99,29 +99,52 @@ object Similarity {
     * training-free, reproducible build; swap in Lloyd iterations for real
     * workloads without touching the probe path.
     *
-    * Scale shape: the centroid table is tiny and broadcast; assignment is a
-    * map-side cross with nCells dots per row; the candidate join is keyed by
-    * cell id, so work scales with cell occupancy, not n^2.
+    * Scale shape: all centroids ride in ONE broadcast row as an array of
+    * structs, so cell assignment is per-row array algebra — score every cell,
+    * `array_sort` by (cosine desc, cid asc) — with NO shuffle. (The
+    * relational alternative, cross-join + row_number window, exchanges and
+    * sorts n x nCells rows just to rank each row's private cell list — at
+    * corpus scale that shuffle dwarfs the one the candidate join actually
+    * needs.) The candidate join is keyed by cell id, so work scales with
+    * cell occupancy, not n^2. Assignment cost is O(nCells x dim) per row
+    * either way — inherent to IVF probing.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
               nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
-    val centroids = broadcast(
-      v.orderBy(col("sid")).limit(nCells)
-        .select(col("sid").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm")))
+    val centroidRow = v.orderBy(col("sid")).limit(nCells)
+      .agg(collect_list(struct(col("sid").as("cid"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))).as("cells"))
 
-    val scoredCells = v.crossJoin(centroids)
-      .select(col("sid"), col("qv"), col("nrm"), col("cid"),
-        pairCosine(col("qv"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
-    val byCell = Window.partitionBy(col("sid"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val ranked = scoredCells.withColumn("crank", row_number().over(byCell))
+    // NegativeInfinity stands in for NULL cosine (zero-norm vectors): both
+    // sort after every real cosine (>= -1) with ties broken by cid, exactly
+    // the window's NULLS LAST ordering the oracle mirrors.
+    val ranked = v.crossJoin(broadcast(centroidRow))
+      .select(col("sid"), col("qv"), col("nrm"),
+        array_sort(
+          transform(col("cells"), c =>
+            struct(
+              coalesce(pairCosine(col("qv"), c("cv"), col("nrm"), c("cnrm")),
+                lit(Double.NegativeInfinity)).as("ccos"),
+              c("cid").as("cid"))),
+          (l, r) =>
+            when(l("ccos") > r("ccos"), -1)
+              .when(l("ccos") < r("ccos"), 1)
+              .when(l("cid") < r("cid"), -1)
+              .when(l("cid") > r("cid"), 1)
+              .otherwise(0)).as("cellrank"))
 
-    val members = ranked.filter(col("crank") === 1) // each vector lives in 1 cell
-      .select(col("cid"), col("sid").as("nid"), col("qv").as("nqv"), col("nrm").as("nnrm"))
-    val probes = ranked.filter(col("crank") <= nProbe) // each query probes nProbe cells
-      .select(col("cid"), col("sid").as("qid"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    // coalesce makes the join key non-nullable (element_at is nullable in
+    // the type system even though cells is never empty) — otherwise Catalyst
+    // inserts an isnotnull(key) filter that re-evaluates the whole
+    // score-and-sort expression a second time per row
+    val members = ranked.select(
+      coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
+      col("sid").as("nid"), col("qv").as("nqv"), col("nrm").as("nnrm"))
+    val probes = ranked.select(col("sid").as("qid"), col("qv").as("qqv"),
+      col("nrm").as("qnrm"),
+      explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
 
     // No dedup needed: each nid lives in exactly one cell, so a (qid, nid)
     // pair appears at most once. (A dropDuplicates here shuffled a million
@@ -157,34 +180,62 @@ object Similarity {
         .otherwise(0L)
     }.reduce(_ + _)
 
-  /** All (table, plane, weight-vector) rows as a small broadcastable frame.
-    * Inlining nTables x nPlanes literal planes into one expression works but
-    * hands janino an enormous method to compile per run; a broadcast join
-    * against a planes table keeps every codegen unit small and shifts the
-    * bucket computation to a (rows x planes) join + group-by — the same
-    * plan shape at 2,000 or 2 billion vectors.
+  /** All planes of all tables in ONE broadcastable row:
+    * array (per table) of array of (bit-weight, plane-vector) structs. The
+    * bit weight `1L << m` is precomputed on the driver, so the per-row bucket
+    * id is a plain conditional sum. Inlining nTables x nPlanes literal planes
+    * into one expression works but hands janino an enormous method to compile
+    * per run; one nested-array broadcast row keeps every codegen unit small.
     */
-  private def planesTable(spark: org.apache.spark.sql.SparkSession,
-                          dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
+  private def planesByTable(spark: org.apache.spark.sql.SparkSession,
+                            dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
     import spark.implicits._
-    (for { t <- 0 until nTables; m <- 0 until nPlanes }
-      yield (t, m, plane(t, m, dim).toSeq)).toDF("tbl", "m", "pv")
+    val nested: Seq[Seq[(Long, Seq[Long])]] =
+      (0 until nTables).map { t =>
+        (0 until nPlanes).map(m => (1L << m, plane(t, m, dim).toSeq))
+      }
+    Seq(Tuple1(nested)).toDF("pbt") // struct fields: _1 = bit weight, _2 = plane
   }
 
-  /** (sid, tbl, bucket, qv, nrm): each vector's sign-bucket id in every LSH
-    * table — the shared index-build step of `lshTopK` and `lshNearDupPairs`.
+  /** (sid, tbl, bucket): each vector's sign-bucket id in every LSH table —
+    * the shared index-build step of `lshTopK` and `lshNearDupPairs`.
+    *
+    * Bucket ids are computed per row (one `aggregate` fold per table over the
+    * broadcast planes row) and then posexploded — NO shuffle, and no vector
+    * columns in the output (candidate generation is id-only; verification
+    * re-joins vectors later). The previous relational form (cross-join planes
+    * + groupBy(sid, tbl) summing bits) exchanged n x nTables array-carrying
+    * rows per corpus pass; index build should cost one map-side scan, and now
+    * does. Per-row work is O(nTables x nPlanes x dim) dots — inherent to
+    * multi-table LSH.
     */
   private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                          dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
     val v = prepared(df, idCol, vecCol)
-    val planes = planesTable(df.sparkSession, dim, nTables, nPlanes)
+    val planes = planesByTable(df.sparkSession, dim, nTables, nPlanes)
     v.crossJoin(broadcast(planes))
-      .select(col("sid"), col("qv"), col("nrm"), col("tbl"),
-        when(dotLong(col("qv"), col("pv")) > 0, expr("shiftleft(CAST(1 AS BIGINT), m)"))
-          .otherwise(0L).as("bit"))
-      .groupBy(col("sid"), col("tbl"))
-      .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
-        sum(col("bit")).as("bucket"))
+      .select(col("sid"),
+        posexplode(transform(col("pbt"), tp =>
+          aggregate(tp, lit(0L), (acc, p) =>
+            acc + when(dotLong(col("qv"), p("_2")) > 0, p("_1")).otherwise(0L))))
+          .as(Seq("tbl", "bucket")))
+  }
+
+  /** Skinny candidate pairs from bucket collisions: ONLY ids travel through
+    * the per-(table, bucket) self-join and the dedup shuffle. Carrying the
+    * quantized vectors through candidate generation (the obvious join) ships
+    * every 64-long array once per collision — measured ~6x slower at sf0.1,
+    * and quadratically worse as bucket occupancy grows. Vectors are
+    * re-attached AFTER dedup, when the pair set is small.
+    */
+  private def lshCandidates(buckets: DataFrame, anti: Boolean): DataFrame = {
+    val b = buckets.select(col("sid"), col("tbl"), col("bucket"))
+    val idCond = if (anti) col("a.sid") < col("b.sid") else col("a.sid") =!= col("b.sid")
+    b.as("a")
+      .join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && idCond)
+      .select(col("a.sid").as("ida"), col("b.sid").as("idb"))
+      .distinct()
   }
 
   /** Multi-table LSH ANN: `nTables` independent hyperplane tables; candidate
@@ -195,16 +246,17 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               nTables: Int, nPlanes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.sid") =!= col("b.sid"))
-      .select(col("a.sid").as("qid"), col("a.qv").as("qqv"), col("a.nrm").as("qnrm"),
-        col("b.sid").as("nid"), col("b.qv").as("nqv"), col("b.nrm").as("nnrm"))
-      .dropDuplicates("qid", "nid")
-    val scored = cands.select(col("qid"), col("nid"),
-      pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
+    val v = prepared(df, idCol, vecCol)
+    val cands = lshCandidates(
+      lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes), anti = false)
+      .withColumnRenamed("ida", "qid").withColumnRenamed("idb", "nid")
+    val scored = cands
+      .join(v.select(col("sid"), col("qv").as("qqv"), col("nrm").as("qnrm")),
+        col("qid") === col("sid")).drop("sid")
+      .join(v.select(col("sid"), col("qv").as("nqv"), col("nrm").as("nnrm")),
+        col("nid") === col("sid")).drop("sid")
+      .select(col("qid"), col("nid"),
+        pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
@@ -217,14 +269,12 @@ object Similarity {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       nTables: Int, nPlanes: Int, threshold: Double): DataFrame = {
-    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("ida"), col("a.qv").as("aqv"), col("a.nrm").as("anrm"),
-        col("b.sid").as("idb"), col("b.qv").as("bqv"), col("b.nrm").as("bnrm"))
-      .dropDuplicates("ida", "idb")
+    val v = prepared(df, idCol, vecCol)
+    lshCandidates(lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes), anti = true)
+      .join(v.select(col("sid"), col("qv").as("aqv"), col("nrm").as("anrm")),
+        col("ida") === col("sid")).drop("sid")
+      .join(v.select(col("sid"), col("qv").as("bqv"), col("nrm").as("bnrm")),
+        col("idb") === col("sid")).drop("sid")
       .select(col("ida"), col("idb"),
         pairCosine(col("aqv"), col("bqv"), col("anrm"), col("bnrm")).as("cosine"))
       .filter(col("cosine") >= threshold)

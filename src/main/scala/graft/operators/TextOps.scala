@@ -75,40 +75,17 @@ object TextOps {
     * consecutive k-grams. Guarantees: any match of length >= w+k-1 shares a
     * fingerprint; output size is ~2/(w+1) of the k-gram count.
     *
-    * Spark shape: one explode (positions) + one window-min + distinct —
-    * shuffle keyed by doc, so it scales with the corpus. The k-gram hash is
-    * positional (direct digest per substring) rather than a literal rolling
-    * recurrence — same output set, embarrassingly parallel instead of
-    * sequential.
+    * Spark shape: winnowing is per-document, so the whole computation runs
+    * inside one native codegen'd expression (graft.plans.WinnowLong: O(n)
+    * digests + monotonic-deque window minima + local distinct) followed by a
+    * narrow explode — ZERO shuffles, versus the relational formulation
+    * (explode positions -> sort-window min -> distinct) that exchanges
+    * |corpus| x |doc length| rows twice for the same output.
     */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val positions = df
-      .select(col(idCol).as("sid"), col(textCol).as("t"))
-      .select(col("sid"),
-        explode(when(length(col("t")) >= k,
-          sequence(lit(1), length(col("t")) - (k - 1)))).as("pos"),
-        (length(col("t")) - (k - 1)).as("npos"),
-        col("t"))
-      .select(col("sid"), col("pos"), col("npos"),
-        graft.plans.Md5PrefixLong.md5PrefixLong(substring_index_safe(col("t"), col("pos"), k), 6)
-          .as("h"))
-    val win = Window.partitionBy(col("sid")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    positions
-      .withColumn("wmin", min(col("h")).over(win))
-      // only full windows: the last w-1 positions are known arithmetically,
-      // no second window function needed
-      .filter(col("pos") <= col("npos") - (w - 1))
-      .select(col("sid"), col("wmin").as("fp"))
-      .distinct()
-  }
-
-  /** substring(t, pos, k) with a Column pos (the functions.substring overload
-    * takes Int only). */
-  private def substring_index_safe(t: Column, pos: Column, k: Int): Column =
-    substring(t, pos, lit(k))
+                         textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("sid"),
+      explode(graft.plans.WinnowLong.winnowLong(col(textCol), k, w)).as("fp"))
 
   /** Language-ID marker words per language: the highest-frequency function
     * words of each (for zh, the real function CHARACTERS — 的 是 了 我 你 —

@@ -70,9 +70,12 @@ class PlanSpec extends SparkSpec {
   test("s3_knn_ivf: candidate generation joins on cell id, never cross-product") {
     val p = plan("s3_knn_ivf")
     assert(!p.contains("CartesianProduct"), p)
-    // exactly the two intended broadcasts (centroids x2: assignment + probe);
-    // the candidate join itself must be keyed
-    assert(p.contains("hashpartitioning(cid"), p)
+    // the candidate join must be keyed on cell id — either a keyed shuffle
+    // (large inputs) or a cid-keyed broadcast hash join (small inputs);
+    // cell ASSIGNMENT must not shuffle (it's per-row array algebra now)
+    assert(p.contains("hashpartitioning(cid") ||
+      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("hashpartitioning(sid"), s"cell assignment must not shuffle:\n$p")
   }
 
   test("dot-product kernel participates in whole-stage codegen") {
