@@ -109,18 +109,23 @@ object Similarity {
     * cell occupancy, not n^2. Assignment cost is O(nCells x dim) per row
     * either way — inherent to IVF probing.
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-              nProbe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = prepared(df, idCol, vecCol)
-    val centroidRow = v.orderBy(col("sid")).limit(nCells)
+  /** Seed centroids: the `nCells` lowest-id vectors, packed into ONE row as
+    * an array of (cid, cv, cnrm) structs for broadcasting.
+    */
+  private def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
+    v.orderBy(col("sid")).limit(nCells)
       .agg(collect_list(struct(col("sid").as("cid"), col("qv").as("cv"),
         col("nrm").as("cnrm"))).as("cells"))
 
-    // NegativeInfinity stands in for NULL cosine (zero-norm vectors): both
-    // sort after every real cosine (>= -1) with ties broken by cid, exactly
-    // the window's NULLS LAST ordering the oracle mirrors.
-    val ranked = v.crossJoin(broadcast(centroidRow))
+  /** (sid, qv, nrm, cellrank): every vector with its cells sorted by
+    * (cosine desc, cid asc) — per-row array algebra against the single
+    * broadcast centroid row, NO shuffle. NegativeInfinity stands in for NULL
+    * cosine (zero-norm vectors): both sort after every real cosine (>= -1)
+    * with ties broken by cid, exactly the window's NULLS LAST ordering the
+    * oracle mirrors.
+    */
+  private def rankCells(v: DataFrame, centroidRow: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centroidRow))
       .select(col("sid"), col("qv"), col("nrm"),
         array_sort(
           transform(col("cells"), c =>
@@ -134,6 +139,12 @@ object Similarity {
               .when(l("cid") < r("cid"), -1)
               .when(l("cid") > r("cid"), 1)
               .otherwise(0)).as("cellrank"))
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(df, idCol, vecCol)
+    val ranked = rankCells(v, seedCentroids(v, nCells))
 
     // coalesce makes the join key non-nullable (element_at is nullable in
     // the type system even though cells is never empty) — otherwise Catalyst
@@ -155,6 +166,57 @@ object Similarity {
         pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  // ---- spherical k-means (Lloyd) ------------------------------------------
+
+  /** Spherical k-means: `rounds` assignment passes with a Lloyd centroid
+    * update between each — the "real workloads" refinement the IVF Scaladoc
+    * promises, for embedding clustering / a trained IVF index. Returns
+    * (sid, cid, cosine): each vector's final cell and its cosine to that
+    * cell's centroid.
+    *
+    * Exactness: cosine-to-the-MEAN equals cosine-to-the-SUM (the member
+    * count scales numerator and denominator equally), so centroids are kept
+    * as per-dimension SUMS of quantized vectors — exact integer arithmetic
+    * under any accumulation order, bit-reproducible against a SQL oracle
+    * across every iteration. No floats enter until the final cosine division.
+    * (Magnitude bound: |sum| <= members x QuantScale per dim, so the
+    * centroid self-dot stays under 2^63 up to ~3e8 members per cell at
+    * dim 64 — repartition cells or rescale sums before that.)
+    *
+    * Scale shape per round: assignment is the same shuffle-free broadcast
+    * array algebra as `ivfTopK`; the update is one posexplode ->
+    * (cid, dim)-keyed partial-sum aggregation — the minhash-signature shape,
+    * linear in corpus size. Empty cells drop out (standard Lloyd).
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val v = prepared(df, idCol, vecCol)
+    var centroids = seedCentroids(v, nCells)
+    var assigned: DataFrame = null
+    for (r <- 1 to rounds) {
+      assigned = rankCells(v, centroids)
+        .select(col("sid"), col("qv"), element_at(col("cellrank"), 1).as("top"))
+        .select(col("sid"), col("qv"), col("top")("cid").as("cid"),
+          col("top")("ccos").as("ccos"))
+      if (r < rounds) {
+        val sums = assigned
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+          .groupBy(col("cid"))
+          .agg(collect_list(struct(col("pos"), col("sx"))).as("ps"))
+          .select(col("cid"),
+            transform(array_sort(col("ps")), p => p("sx")).as("cv"))
+          .withColumn("cnrm", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
+        centroids = sums
+          .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cells"))
+      }
+    }
+    // -Infinity was only an ordering stand-in for NULL (zero-norm vectors)
+    assigned.select(col("sid"), col("cid"),
+      nullif(col("ccos"), lit(Double.NegativeInfinity)).as("cosine"))
   }
 
   // ---- random-hyperplane LSH ----------------------------------------------

@@ -480,6 +480,35 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Spherical k-means embedding clustering (2 Lloyd rounds). Fully
+    // hash-checked because centroids are integer SUM vectors (cosine to the
+    // mean == cosine to the sum), so the oracle unrolls both rounds in exact
+    // arithmetic: seed cells -> argmax-cosine assignment -> per-dimension
+    // sums -> reassignment.
+    QueryDef(
+      "s4_kmeans_refine",
+      s"""WITH $quantVecCte,
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 8),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY cid, pos) GROUP BY cid)
+         |SELECT sid, cid, cosine FROM (
+         |  SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c1 c) WHERE rn = 1
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        nCells = 8, rounds = 2)
+        .orderBy(col("sid"))
+    },
+
     // Heavy-hitter terms via the Misra-Gries Aggregator + exact recount.
     // Oracle is the plain exact top-10: with k=64 >= vocabulary size the
     // sketch is lossless, so the two-pass result equals the exact answer

@@ -74,6 +74,37 @@ class SimilaritySpec extends SparkSpec {
       s"IVF precision ${hits.toDouble / ivf.length} below 5x random baseline")
   }
 
+  test("kmeansAssign: Lloyd rounds improve mean cosine, assignment is total") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val r1 = Similarity.kmeansAssign(emb, "vec_id", "embedding", 8, rounds = 1)
+    val r2 = Similarity.kmeansAssign(emb, "vec_id", "embedding", 8, rounds = 2)
+    assert(r1.count() == n && r2.count() == n) // every vector assigned once
+    val m1 = r1.agg(avg($"cosine")).as[Double].collect()(0)
+    val m2 = r2.agg(avg($"cosine")).as[Double].collect()(0)
+    // Lloyd monotonicity: assignment + sum-direction update each improve the
+    // spherical objective (tiny epsilon for the empty-cell edge)
+    assert(m2 >= m1 - 1e-12, s"round 2 mean cosine $m2 < round 1 $m1")
+    // deterministic: bit-identical across runs
+    val again = Similarity.kmeansAssign(emb, "vec_id", "embedding", 8, rounds = 2)
+      .orderBy($"sid").collect()
+    assert(r2.orderBy($"sid").collect().sameElements(again))
+  }
+
+  test("kmeansAssign tightens clusters over the seed assignment (inertia check)") {
+    // 2 well-separated synthetic clusters, seeds both in cluster A: one
+    // Lloyd update must pull a centroid toward cluster B
+    val pts = (0 until 20).map(i => (i.toLong, Array(1.0f, 0.02f * i))) ++
+      (20 until 40).map(i => (i.toLong, Array(0.02f * (i - 20), 1.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding", 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cellsOfA = (0L until 20L).map(out).toSet
+    val cellsOfB = (20L until 40L).map(out).toSet
+    assert((cellsOfA intersect cellsOfB).isEmpty,
+      s"clusters not separated: A->$cellsOfA B->$cellsOfB")
+  }
+
   test("zero-norm vectors null out instead of aborting the job (ANSI)") {
     val withZero = Seq(
       (0L, Array(1.0f, 0.0f)),
