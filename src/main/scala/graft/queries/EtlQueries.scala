@@ -182,6 +182,81 @@ object EtlQueries {
         .orderBy(col("tag"), col("c_custkey"))
     },
 
+    // Multi-way analytics, Q3 shape: two fact tables joined on the shuffle
+    // key, a broadcast dimension filter, grouped revenue, top-k. The shape a
+    // 100 TB engine must plan well — selective dims broadcast BEFORE the
+    // fact-fact shuffle, filters reach both scans, and the top-k is
+    // TakeOrdered, not a global sort.
+    QueryDef(
+      "x2_topk_revenue",
+      """SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+        |  SELECT o_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+        |    o_orderdate, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1997-06-01'
+        |  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    // Multi-way analytics, Q5 shape: a six-table join (region -> nation ->
+    // customer -> orders -> lineitem -> supplier) with the "local supplier"
+    // twist — supplier matches on BOTH the lineitem key and the customer's
+    // nation. One fact-fact shuffle (lineitem x orders); every dimension
+    // broadcasts.
+    QueryDef(
+      "x3_region_revenue",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ---- §2c joins --------------------------------------------------------
 
     // J1: left-semi join against a filtered dimension

@@ -78,6 +78,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(sid"), s"cell assignment must not shuffle:\n$p")
   }
 
+  test("x2/x3 multiway joins: dims broadcast, one fact-fact shuffle, top-k not global sort") {
+    val p2 = plan("x2_topk_revenue")
+    assert(p2.contains("TakeOrderedAndProject"), p2) // top-k never global-sorts
+    assert(p2.contains("BroadcastHashJoin"), p2)     // customer dim broadcasts
+    assert(p2.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p2)
+    val p3 = plan("x3_region_revenue")
+    // at most ONE keyed exchange pair (the fact-fact lineitem x orders join;
+    // at tiny sf even that side broadcasts); dims must never shuffle
+    val keyedExchanges = "hashpartitioning\\(".r.findAllIn(p3).length
+    assert(keyedExchanges <= 2, s"more than the lineitem+orders exchanges:\n$p3")
+    assert(!p3.contains("CartesianProduct"), p3)
+    assert(p3.contains("BroadcastHashJoin"), p3)
+  }
+
   test("dot-product kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("s1_knn_bruteforce")(spark, sf)
     df.collect() // AQE: codegen annotations only exist on the final plan
