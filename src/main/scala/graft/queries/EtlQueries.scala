@@ -160,6 +160,28 @@ object EtlQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Approximate aggregates (ApproxOps Scaladoc): the oracle hash-checks
+    // the ACCURACY CONTRACT (exact anchor columns + a must-be-true bound
+    // boolean), since sketch internals are engine-private.
+    QueryDef(
+      "ax1_approx_distinct",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.ApproxOps.distinctWithinTol(
+        Tables.events(s, d), "event_type", "user_id", rsd = 0.02, tol = 0.05)
+        .orderBy(col("event_type"))
+    },
+
+    QueryDef(
+      "ax2_approx_quantile",
+      """SELECT event_type, COUNT(value) AS n_values, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.ApproxOps.percentileWithinWindow(
+        Tables.events(s, d), "event_type", "value",
+        p = 0.5, lo = 0.45, hi = 0.55, accuracy = 10000)
+        .orderBy(col("event_type"))
+    },
+
     // Set ops: INTERSECT / EXCEPT (absent in the reference; §2e).
     QueryDef(
       "x1_set_ops",

@@ -39,6 +39,24 @@ object EventStreams {
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       col(streamKey) === col(dimKey), "left")
 
+  /** Streaming exactly-once-per-key dedup with bounded state: duplicates of
+    * `keyCols` arriving within `delay` of the watermark are dropped; state
+    * for keys older than the watermark is evicted, so memory is bounded by
+    * the duplicate-arrival window, not the stream's lifetime — the streaming
+    * twin of the batch exact-dedup operator (Dedup.exact), and the standard
+    * ingestion guard in front of an append sink when the upstream source
+    * retries (the reference's paginated fetchers re-request pages on
+    * failure; EIA930PipelineHourlyData.py:45-68).
+    *
+    * Batch/stream agnostic: a static frame gets plain dropDuplicates (no
+    * state to bound).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                           delay: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

@@ -107,4 +107,32 @@ class EventStreamsSpec extends SparkSpec {
       assert(closed(0).session_end == ts("2024-01-01 10:10:00"))
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark drops retried keys across micro-batches, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupWithinWatermark(input.toDF(), Seq("event_id"), "ts", "2 hours")
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)) // same-batch dup
+      q.processAllAvailable()
+      input.addData( // retried event_id 1 in a LATER micro-batch, within the watermark
+        Event(1, ts("2024-01-01 10:30:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:31:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+
+      // batch parity: the same call on a static frame is plain dropDuplicates
+      val batch = dedupWithinWatermark(
+        Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+          Event(1, ts("2024-01-01 10:30:00"), 1, "click", 1.0)).toDF(),
+        Seq("event_id"), "ts")
+      assert(batch.count() == 1)
+    } finally q.stop()
+  }
 }
