@@ -233,12 +233,15 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges
-        .join(labels, edges("dst") === labels("sid"))
+        .join(labels.select(col("sid"), col("component")), edges("dst") === col("sid"))
         .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
+      // `prev` (the previous round's label) rides through both steps so the
+      // convergence test is a shuffle-free scan of the checkpointed result,
+      // not an extra join against the previous round's labels.
       val stepped = labels
         .join(viaNeighbors, labels("sid") === viaNeighbors("src"), "left")
-        .select(col("sid"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
+        .select(labels("sid"), labels("component").as("prev"),
+          least(labels("component"), coalesce(col("ncomp"), labels("component")))
             .as("component"))
         .localCheckpoint()
       // pointer jump: component <- label(component); halves chain depth so
@@ -246,12 +249,11 @@ object Dedup {
       val lookup = stepped.select(col("sid").as("l_sid"), col("component").as("l_comp"))
       val next = stepped
         .join(lookup, stepped("component") === lookup("l_sid"), "left")
-        .select(col("sid"),
-          least(col("component"), coalesce(col("l_comp"), col("component")))
+        .select(stepped("sid"), stepped("prev"),
+          least(stepped("component"), coalesce(col("l_comp"), stepped("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("sid"))
-        .filter(col("n.component") =!= col("o.component")).count()
+      val changed = next.filter(col("component") =!= col("prev")).count()
       // free superseded checkpoint blocks — a long loop would otherwise
       // accumulate every round's label RDD in executor storage
       stepped.unpersist()
@@ -261,7 +263,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select(col("sid"), col("component"))
   }
 
   // ---- SimHash -------------------------------------------------------------

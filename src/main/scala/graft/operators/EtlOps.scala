@@ -162,4 +162,25 @@ object EtlOps {
     */
   def topK(k: Int, ordering: Seq[Column])(df: DataFrame): DataFrame =
     df.orderBy(ordering: _*).limit(k)
+
+  /** Latest-wins merge upsert (SCD type 1): apply `updates` to `base` by
+    * `keys`, keeping the row with the highest `versionCol` per key; on a
+    * version tie the update wins. The batch-relational MERGE — inserts,
+    * updates and untouched rows in ONE pass: union + per-key window, a
+    * single shuffle on the merge keys, no table-format machinery, and
+    * WindowGroupLimit keeps only the winning row per key before the final
+    * projection. Both sides must be keyed uniquely per (keys, version) —
+    * standard MERGE precondition (Spark/Delta reject multi-match too).
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                  versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
 }

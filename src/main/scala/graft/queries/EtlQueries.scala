@@ -667,6 +667,44 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Latest-wins merge upsert over orders: updates rewrite status/price at
+    // a later version, inserts add new keys, everything else passes through
+    // untouched — the relational MERGE in one union + window pass.
+    QueryDef(
+      "u3_merge_upsert",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |    o_orderdate + INTERVAL 1 DAY AS o_orderdate
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice,
+        |    o_orderdate + INTERVAL 1 DAY
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |tagged AS (
+        |  SELECT *, 0 AS src FROM base
+        |  UNION ALL SELECT *, 1 AS src FROM updates)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY o_orderdate DESC, src DESC) AS rn
+        |  FROM tagged) WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+      val updates = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"))
+        .unionByName(Tables.orders(s, d).filter(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate")))
+      EtlOps.mergeUpsert(base, updates, Seq("o_orderkey"), "o_orderdate")
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- window functions (engine surface beyond the reference) ----------
 
     // W2: ranked top-n per group with deterministic tiebreak.

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Physical-plan guards: the properties that make these queries survive a
   * 100x scale-up are asserted here, so a regression in plan shape (lost
@@ -90,6 +91,29 @@ class PlanSpec extends SparkSpec {
     assert(keyedExchanges <= 2, s"more than the lineitem+orders exchanges:\n$p3")
     assert(!p3.contains("CartesianProduct"), p3)
     assert(p3.contains("BroadcastHashJoin"), p3)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // At 100 TB a selective dim filter on a non-broadcastable join should
+    // inject a bloom filter into the fact scan (row-level runtime filtering
+    // before the shuffle). Default-on in this session's config; thresholds
+    // lowered here because the test inputs are tiny.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val part = graft.core.Tables.part(spark, sf).filter(col("p_size") <= 2)
+      val joined = graft.core.Tables.lineitem(spark, sf)
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("dot-product kernel participates in whole-stage codegen") {

@@ -33,4 +33,23 @@ class SinksSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter($"run_date" === "2026-08-10").count() == 2)
   }
+
+  test("partitioned table reads prune by partition: one day's filter scans one directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val days = Seq(("2026-08-10", 1), ("2026-08-11", 2), ("2026-08-12", 3))
+      .toDF("run_date", "v")
+    Sinks.overwriteRunPartition(days, dir, "run_date")
+    val q = spark.read.parquet(dir).filter($"run_date" === "2026-08-11")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the filter must land in PartitionFilters (directory-level pruning at
+    // the 100 TB scan, not a post-read row filter)
+    assert(scan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*run_date[^\]]*\]""".r.findFirstIn(scan).nonEmpty, scan)
+    val filesRead = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(filesRead.contains(1), s"expected 1 pruned partition, got $filesRead")
+    assert(q.count() == 1)
+  }
 }
