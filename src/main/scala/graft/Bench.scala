@@ -18,8 +18,39 @@ import org.apache.spark.sql.SparkSession
   *   (recorded under "skipped", never silently): at larger scale the bench
   *   must measure the subquadratic LSH/banding paths a user would actually
   *   run, not baselines that exist to validate them.
+  * - Beyond wall time, a task listener attributes SHUFFLE bytes (read +
+  *   written) and SPILL bytes to each query ("shuffle_mb" / "spill_mb") —
+  *   wall seconds on local[32] don't predict cluster cost, exchanged bytes
+  *   do, so round-over-round shuffle deltas are the scale signal to watch.
   */
 object Bench {
+
+  /** Accumulates task-level shuffle/spill bytes; snapshot around each query.
+    * Listener delivery is async, so readers drain via `quiesce` (counter
+    * stable for 100 ms, bounded wait) before snapshotting.
+    */
+  private final class TaskBytesListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffle.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+          m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        events.incrementAndGet()
+      }
+    }
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 2000L * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && last != events.get()) {
+        last = events.get()
+        Thread.sleep(100)
+      }
+    }
+  }
 
   /** Quadratic correctness baselines (see Dedup.jaccardPairs,
     * Similarity.nearDupPairs Scaladoc) — bench them only at sf <= 0.1.
@@ -49,7 +80,12 @@ object Bench {
       System.err.println(s"[bench] SKIP $name (quadratic baseline, sf > 0.1)")
     }
 
+    val listener = new TaskBytesListener
+    spark.sparkContext.addSparkListener(listener)
+
     val results = runnable.map { case (name, fn) =>
+      listener.quiesce()
+      val (shuffle0, spill0) = (listener.shuffle.get(), listener.spill.get())
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -57,16 +93,25 @@ object Bench {
           System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      listener.quiesce()
+      val shuffleMb = (listener.shuffle.get() - shuffle0) / 1e6
+      val spillMb = (listener.spill.get() - spill0) / 1e6
+      (name, sec, ok, shuffleMb, spillMb)
     }
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
 
     def names(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + math.round(v * 100.0) / 100.0 }
+        .mkString("{", ",", "}")
+    val qs = good.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = good.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""shuffle_mb":${obj(good.map(r => r._1 -> r._4))},""" +
+        s""""spill_mb":${obj(good.filter(_._5 > 0).map(r => r._1 -> r._5))},""" +
         s""""failed":${names(failed)},"skipped":${names(skipped.map(_._1))}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")

@@ -54,6 +54,43 @@ object Sinks {
     }).load(path)
   }
 
+  /** Compact a parquet directory's small files into ~`targetBytes` outputs,
+    * range-clustered on `sortCols` — the table-maintenance pass every
+    * long-running ingestion needs: a per-hour (or per-micro-batch) append
+    * produces thousands of KB-sized files whose per-file open/footer cost
+    * eventually dominates scans, and range clustering restores min/max
+    * row-group skipping on the sort key. Writes to a staging dir, then
+    * swaps — readers never see a half-compacted table.
+    *
+    * Returns the output file count. File sizing uses the CURRENT on-disk
+    * bytes (post-compression), so the target is approximate.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              sortCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val dir = new java.io.File(path)
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = parquetFiles(dir).map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val staging = path.stripSuffix("/") + "_compacting"
+    spark.read.parquet(path)
+      .repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+
+    val old = path.stripSuffix("/") + "_precompact"
+    java.nio.file.Files.move(dir.toPath, java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), dir.toPath)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(old))
+    parquetFiles(dir).size
+  }
+
   /** S11 — DDL from the declared sink schemas, against the session catalog. */
   def createTable(spark: SparkSession, db: String, table: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -34,6 +34,28 @@ class SinksSpec extends SparkSpec {
     assert(out.filter($"run_date" === "2026-08-10").count() == 2)
   }
 
+  test("compact merges a many-small-files table, preserves rows, clusters the sort key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 2000).selectExpr("id", "id % 7 AS k")
+    df.repartition(50).write.parquet(dir) // the hourly-append pathology
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 50)
+    val after = Sinks.compact(spark, dir, targetBytes = 64L * 1024 * 1024, Seq("id"))
+    assert(after < before / 10, s"$before -> $after files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    assert(back.agg(sum($"id")).as[Long].collect()(0) == 1999L * 2000 / 2)
+    // range clustering: per-file id ranges must not overlap
+    val ranges = back
+      .select(input_file_name().as("f"), $"id")
+      .groupBy($"f").agg(min($"id").as("lo"), max($"id").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sorted
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    }, ranges.mkString(", "))
+  }
+
   test("partitioned table reads prune by partition: one day's filter scans one directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val days = Seq(("2026-08-10", 1), ("2026-08-11", 2), ("2026-08-12", 3))
