@@ -87,6 +87,58 @@ object TextOps {
     df.select(col(idCol).as("sid"),
       explode(graft.plans.WinnowLong.winnowLong(col(textCol), k, w)).as("fp"))
 
+  /** Bigram corpus statistics for training-data quality filtering: per-doc
+    * repetition ratio (1 - distinct/total bigrams — boilerplate and spam
+    * repeat themselves) and corpus-frequency coverage (fraction of the doc's
+    * bigram occurrences seen >= minCount times corpus-wide — the
+    * integer-exact stand-in for LM plausibility: fluent text is made of
+    * common transitions, gibberish is not).
+    *
+    * Everything is counting: one explode -> (bigram)-keyed count -> one join
+    * back -> per-doc aggregate. All outputs are integer ratios with a single
+    * final division, so the oracle matches bit-for-bit (no transcendental
+    * log-prob — see ExactAgg's float discipline). Docs with < 2 words have
+    * no bigrams and drop out, as in the SQL mirror.
+    */
+  def bigramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    val bigrams = Dedup.wordShinglesAll(df, idCol, textCol, 2)
+    val counts = bigrams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    bigrams.join(counts, "gram")
+      .groupBy(col("sid"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("gram")).as("n_distinct"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_freq"))
+      .select(col("sid"), col("n_bigrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("rep_ratio"),
+        (col("n_freq").cast("double") / col("n_bigrams")).as("coverage"))
+  }
+
+  /** PII patterns, kept to the Java-regex / RE2 common subset (explicit
+    * classes, no lookaround) so engine and oracle agree. The phone pattern is
+    * the reserved 555 fictional range — a stand-in for locale-specific
+    * matchers.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val phoneRe = "555-[0-9]{4}"
+
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Redact emails/URLs/phones with typed placeholders — the scrub pass a
+    * training pipeline runs before tokenization. URL first: its character
+    * class is the greediest; the others cannot match inside a placeholder.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
   /** Language-ID marker words per language: the highest-frequency function
     * words of each (for zh, the real function CHARACTERS — 的 是 了 我 你 —
     * not romanizations, so Chinese text is recognized by its own script).

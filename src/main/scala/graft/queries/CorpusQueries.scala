@@ -203,6 +203,64 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram corpus statistics: repetition ratio + corpus-frequency coverage
+    // (integer-exact LM-plausibility stand-in; TextOps.bigramStats Scaladoc).
+    QueryDef(
+      "t7_bigram_stats",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+        |cnt AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g)
+        |SELECT doc_id AS sid, COUNT(*) AS n_bigrams,
+        |  COUNT(DISTINCT g) AS n_distinct,
+        |  1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS rep_ratio,
+        |  CAST(SUM(CASE WHEN c >= 50 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage
+        |FROM bg JOIN cnt USING (g) GROUP BY doc_id ORDER BY sid""".stripMargin) { (s, d) =>
+      TextOps.bigramStats(Tables.documents(s, d), "doc_id", "text", minCount = 50)
+        .orderBy(col("sid"))
+    },
+
+    // PII detect + redact. The fixtures' word-salad has no PII (an inert
+    // detector would verify nothing — the t3 lesson), so the query
+    // synthesizes deterministic PII for 3 of every 5 docs from doc_id and
+    // the oracle mirrors the synthesis: counts prove detection
+    // discriminates, md5(redacted) proves byte-exact scrubbing.
+    QueryDef(
+      "t8_pii_scrub",
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || CASE doc_id % 5
+         |    WHEN 0 THEN ' contact bob' || doc_id || '@example.com now'
+         |    WHEN 1 THEN ' visit https://site' || doc_id || '.example.org/page'
+         |    WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |    ELSE '' END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t2, '${TextOps.emailRe}')) AS n_emails,
+         |  len(regexp_extract_all(t2, '${TextOps.urlRe}')) AS n_urls,
+         |  len(regexp_extract_all(t2, '${TextOps.phoneRe}')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '${TextOps.urlRe}', '<URL>', 'g'),
+         |    '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.phoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM pii ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact bob"), col("doc_id").cast("string"), lit("@example.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit(" visit https://site"), col("doc_id").cast("string"), lit(".example.org/page")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .otherwise(lit("")))
+      Tables.documents(s, d).withColumn("t2", t2)
+        .select(col("doc_id"),
+          TextOps.piiCount(col("t2"), TextOps.emailRe).cast("long").as("n_emails"),
+          TextOps.piiCount(col("t2"), TextOps.urlRe).cast("long").as("n_urls"),
+          TextOps.piiCount(col("t2"), TextOps.phoneRe).cast("long").as("n_phones"),
+          md5(TextOps.redactPii(col("t2"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // == dedup ==
 
     QueryDef(

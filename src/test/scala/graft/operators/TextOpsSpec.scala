@@ -64,6 +64,38 @@ class TextOpsSpec extends SparkSpec {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("bigramStats: repetition and coverage discriminate repeated vs fresh text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),  // one bigram repeated 5x
+      (2L, "the quick brown fox jumped far"), // all-distinct bigrams
+      (3L, "one")                             // < 2 words: no row
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramStats(df, "doc_id", "text", minCount = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getAs[Double]("rep_ratio") == 0.8) // 1 - 1/5
+    assert(out(2L).getAs[Double]("rep_ratio") == 0.0)
+    assert(out(1L).getAs[Double]("coverage") == 1.0)  // "spam spam" count 5 >= 5
+    assert(out(2L).getAs[Double]("coverage") == 0.0)
+  }
+
+  test("PII detect + redact: finds each kind, scrubs byte-exactly, leaves clean text alone") {
+    val df = Seq(
+      "reach me at jo.doe+x@mail-host.org or https://ex.org/a?b=1 or 555-0199",
+      "no pii here at all").toDF("text")
+      .select($"text",
+        TextOps.piiCount($"text", TextOps.emailRe).as("e"),
+        TextOps.piiCount($"text", TextOps.urlRe).as("u"),
+        TextOps.piiCount($"text", TextOps.phoneRe).as("p"),
+        TextOps.redactPii($"text").as("red"))
+    val rows = df.collect()
+    assert((rows(0).getAs[Int]("e"), rows(0).getAs[Int]("u"), rows(0).getAs[Int]("p")) == ((1, 1, 1)))
+    assert(rows(0).getAs[String]("red") ==
+      "reach me at <EMAIL> or <URL> or <PHONE>")
+    assert((rows(1).getAs[Int]("e"), rows(1).getAs[Int]("u"), rows(1).getAs[Int]("p")) == ((0, 0, 0)))
+    assert(rows(1).getAs[String]("red") == "no pii here at all")
+  }
+
   test("qualityScore survives empty and degenerate docs under ANSI mode") {
     val scores = Seq("", " ", "!!!", "x").toDF("text")
       .select(TextOps.qualityScore($"text").as("q")).as[Double].collect()
