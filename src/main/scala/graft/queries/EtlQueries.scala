@@ -740,6 +740,65 @@ object EtlQueries {
         .orderBy(col("event_id"))
     },
 
+    // W4: batch gap-based sessionization — the relational twin of the
+    // streaming flatMapGroupsWithState path (EventStreams.sessionize): a
+    // session break is a >30-min gap; session id = running count of breaks.
+    // Gap compares epoch MICROS (exact integers) so both engines agree.
+    QueryDef(
+      "w4_sessionize",
+      """WITH marks AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marks)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+              1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // W5: rolling time-range aggregate — per event, activity of the same
+    // user in the trailing hour (RANGE frame over epoch micros; the decimal
+    // cast keeps the windowed double sum engine-exact).
+    QueryDef(
+      "w5_rolling_range",
+      """SELECT event_id, user_id, n_1h, CAST(dsum AS DOUBLE) AS sum_1h FROM (
+        |  SELECT event_id, user_id,
+        |    COUNT(*) OVER w AS n_1h,
+        |    SUM(CAST(value AS DECIMAL(25,4))) OVER w AS dsum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(25,4)")).over(w).cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // W1: tumbling-window aggregate (batch twin of the streaming path;
     // window(ts, '1 hour').start == date_trunc('hour', ts)).
     QueryDef(
