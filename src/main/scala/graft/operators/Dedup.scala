@@ -243,9 +243,12 @@ object Dedup {
         .select(labels("sid"), labels("component").as("prev"),
           least(labels("component"), coalesce(col("ncomp"), labels("component")))
             .as("component"))
-        .localCheckpoint()
       // pointer jump: component <- label(component); halves chain depth so
-      // convergence is O(log diameter) rounds, not O(diameter)
+      // convergence is O(log diameter) rounds, not O(diameter). `stepped`
+      // appears twice in ONE plan (probe + lookup side); its shuffle is
+      // planned once and reused (ReusedExchange), so the round is a single
+      // checkpointed job — not a stepped-checkpoint job plus a jump job.
+      // Plan growth stays bounded because `next` IS checkpointed per round.
       val lookup = stepped.select(col("sid").as("l_sid"), col("component").as("l_comp"))
       val next = stepped
         .join(lookup, stepped("component") === lookup("l_sid"), "left")
@@ -254,9 +257,8 @@ object Dedup {
             .as("component"))
         .localCheckpoint()
       val changed = next.filter(col("component") =!= col("prev")).count()
-      // free superseded checkpoint blocks — a long loop would otherwise
-      // accumulate every round's label RDD in executor storage
-      stepped.unpersist()
+      // free the superseded round's checkpoint blocks — a long loop would
+      // otherwise accumulate every round's label RDD in executor storage
       labels.unpersist()
       labels = next
       converged = changed == 0
