@@ -7,20 +7,23 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline: the composition a user runs
   * over a raw document corpus before tokenization.
   *
-  *   read -> language filter -> quality threshold -> exact+near dedup
+  *   read -> language filter -> quality threshold (score + repetition)
+  *        -> PII redaction -> exact+near dedup
   *        -> enriched curated corpus + per-stage stats
   *
   * Every stage is one of the library's oracle-checked operators; the
   * composition stays a single lazy plan up to the dedup checkpoint, so at
-  * 100 TB the scans/filters fuse and the only wide stages are the dedup
-  * shuffles.
+  * 100 TB the scans/filters fuse and the only wide stages are the bigram
+  * count and dedup shuffles.
   */
 object CorpusApp {
 
-  case class Stats(input: Long, langKept: Long, qualityKept: Long, deduped: Long)
+  case class Stats(input: Long, langKept: Long, qualityKept: Long,
+                   piiRedacted: Long, deduped: Long)
 
   def curate(spark: SparkSession, docs: DataFrame,
-             keepLangs: Set[String], minQuality: Double): (DataFrame, Stats) = {
+             keepLangs: Set[String], minQuality: Double,
+             maxRepetition: Double = 0.95): (DataFrame, Stats) = {
     val input = docs.count()
 
     val langed = docs
@@ -28,19 +31,35 @@ object CorpusApp {
       .filter(col("lang_pred").isin(keepLangs.toSeq.map(lit(_)): _*))
     val langKept = langed.count()
 
+    // boilerplate/spam guard: per-doc bigram repetition joined back to the
+    // corpus (docs with < 2 words have no bigram row and pass — the score
+    // and dedup stages own the degenerate-doc decisions)
+    val repetition = TextOps.bigramStats(langed, "doc_id", "text", minCount = 1)
+      .select(col("sid").as("rep_sid"), col("rep_ratio"))
     val qualified = langed
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
+      .join(repetition, col("doc_id") === col("rep_sid"), "left")
+      .filter(coalesce(col("rep_ratio"), lit(0.0)) <= maxRepetition)
+      .drop("rep_sid")
       // curation metadata downstream tokenization wants
       .withColumn("n_tokens", TextOps.wsTokenCount(col("text")).cast("long"))
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .localCheckpoint(false) // dedup references this subtree many times
     val qualityKept = qualified.count()
 
-    val curated = Dedup.dedupCorpus(qualified, "doc_id", "text")
+    // scrub AFTER filtering (don't pay redaction on dropped docs), BEFORE
+    // dedup (near-dup grouping should see the text users will train on)
+    val scrubbed = qualified
+      .withColumn("text", TextOps.redactPii(col("text")))
+    val piiRedacted = scrubbed
+      .filter(col("text").contains("<EMAIL>") || col("text").contains("<URL>") ||
+        col("text").contains("<PHONE>")).count()
+
+    val curated = Dedup.dedupCorpus(scrubbed, "doc_id", "text")
     val deduped = curated.count()
 
-    (curated, Stats(input, langKept, qualityKept, deduped))
+    (curated, Stats(input, langKept, qualityKept, piiRedacted, deduped))
   }
 
   def main(argv: Array[String]): Unit = {
@@ -53,7 +72,8 @@ object CorpusApp {
         curated.withColumn("run_date", lit(args.runDate.toString)),
         s"${args.out}/curated_documents", "run_date")
       println(s"""{"input":${stats.input},"lang_kept":${stats.langKept},""" +
-        s""""quality_kept":${stats.qualityKept},"deduped":${stats.deduped}}""")
+        s""""quality_kept":${stats.qualityKept},""" +
+        s""""pii_redacted":${stats.piiRedacted},"deduped":${stats.deduped}}""")
     } finally spark.stop()
   }
 }

@@ -26,4 +26,19 @@ class CorpusAppSpec extends SparkSpec {
       keepLangs = Set("en", "de", "es", "fr", "zh"), minQuality = 0.9)
     assert(stats.qualityKept < stats.langKept)
   }
+
+  test("curate: repetition gate drops boilerplate; PII is scrubbed before dedup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumped over the lazy dog and ran far away home", "en", 60L),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en", 50L),
+      (3L, "the quick brown fox mail me at bob@example.com for the offer today ok", "en", 60L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val (curated, stats) = CorpusApp.curate(spark, docs,
+      keepLangs = Set("en"), minQuality = 0.0, maxRepetition = 0.5)
+    val kept = curated.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L), "repeated boilerplate must be dropped")
+    assert(stats.piiRedacted == 1)
+    val t3 = curated.filter($"doc_id" === 3L).select("text").as[String].collect()(0)
+    assert(t3.contains("<EMAIL>") && !t3.contains("bob@example.com"))
+  }
 }
