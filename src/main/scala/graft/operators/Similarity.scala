@@ -117,6 +117,12 @@ object Similarity {
       .agg(collect_list(struct(col("sid").as("cid"), col("qv").as("cv"),
         col("nrm").as("cnrm"))).as("cells"))
 
+  /** Pack an unpacked (cid, cv, cnrm) centroid frame into the one-row
+    * broadcast form `rankCells` consumes.
+    */
+  private def packCells(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cells"))
+
   /** (sid, qv, nrm, cellrank): every vector with its cells sorted by
     * (cosine desc, cid asc) — per-row array algebra against the single
     * broadcast centroid row, NO shuffle. NegativeInfinity stands in for NULL
@@ -142,9 +148,26 @@ object Similarity {
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
               nProbe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
-    val ranked = rankCells(v, seedCentroids(v, nCells))
+    probeTopK(v, seedCentroids(v, nCells), nProbe, k)
+  }
+
+  /** IVF ANN over a TRAINED index: `updates` Lloyd rounds refine the seed
+    * centroids (kmeansCentroids), then the same probe path answers queries —
+    * the train -> index -> query composition of a production ANN build.
+    * Better-centered cells raise recall at the same nProbe.
+    */
+  def ivfTopKTrained(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+                     updates: Int, nProbe: Int, k: Int): DataFrame = {
+    val v = prepared(df, idCol, vecCol)
+    probeTopK(v, packCells(kmeansCentroidsFrom(v, nCells, updates)), nProbe, k)
+  }
+
+  /** The IVF probe path against any packed centroid row (seeded or trained). */
+  private def probeTopK(v: DataFrame, centroidRow: DataFrame, nProbe: Int,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankCells(v, centroidRow)
 
     // coalesce makes the join key non-nullable (element_at is nullable in
     // the type system even though cells is never empty) — otherwise Catalyst
@@ -194,29 +217,41 @@ object Similarity {
                    rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val v = prepared(df, idCol, vecCol)
-    var centroids = seedCentroids(v, nCells)
-    var assigned: DataFrame = null
-    for (r <- 1 to rounds) {
-      assigned = rankCells(v, centroids)
-        .select(col("sid"), col("qv"), element_at(col("cellrank"), 1).as("top"))
-        .select(col("sid"), col("qv"), col("top")("cid").as("cid"),
-          col("top")("ccos").as("ccos"))
-      if (r < rounds) {
-        val sums = assigned
-          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
-          .groupBy(col("cid"))
-          .agg(collect_list(struct(col("pos"), col("sx"))).as("ps"))
-          .select(col("cid"),
-            transform(array_sort(col("ps")), p => p("sx")).as("cv"))
-          .withColumn("cnrm", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
-        centroids = sums
-          .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cells"))
-      }
-    }
+    val assigned = assignTop(v, packCells(kmeansCentroidsFrom(v, nCells, rounds - 1)))
     // -Infinity was only an ordering stand-in for NULL (zero-norm vectors)
     assigned.select(col("sid"), col("cid"),
       nullif(col("ccos"), lit(Double.NegativeInfinity)).as("cosine"))
+  }
+
+  /** Centroids after `updates` Lloyd rounds, unpacked as (cid, cv, cnrm).
+    * updates = 0 returns the seeds.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+                      updates: Int): DataFrame =
+    kmeansCentroidsFrom(prepared(df, idCol, vecCol), nCells, updates)
+
+  /** (sid, qv, cid, ccos): each vector's argmax-cosine cell (ties: min cid). */
+  private def assignTop(v: DataFrame, centroidRow: DataFrame): DataFrame =
+    rankCells(v, centroidRow)
+      .select(col("sid"), col("qv"), element_at(col("cellrank"), 1).as("top"))
+      .select(col("sid"), col("qv"), col("top")("cid").as("cid"),
+        col("top")("ccos").as("ccos"))
+
+  private def kmeansCentroidsFrom(v: DataFrame, nCells: Int,
+                                  updates: Int): DataFrame = {
+    var cents = v.orderBy(col("sid")).limit(nCells)
+      .select(col("sid").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 1 to updates) {
+      cents = assignTop(v, packCells(cents))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("pos"), col("sx"))).as("ps"))
+        .select(col("cid"),
+          transform(array_sort(col("ps")), p => p("sx")).as("cv"))
+        .withColumn("cnrm", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
+    }
+    cents
   }
 
   // ---- random-hyperplane LSH ----------------------------------------------

@@ -567,6 +567,41 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // Trained-IVF ANN: one Lloyd update refines the seed centroids, then the
+    // s3 probe path runs against them — train -> index -> query, fully
+    // hash-checked (the c1 centroid CTE is s4's, the probe CTEs are s3's,
+    // with centroid cosine against integer SUM vectors).
+    QueryDef(
+      "s5_knn_ivf_trained",
+      s"""WITH $quantVecCte,
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 8),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY cid, pos) GROUP BY cid),
+         |ranked AS (SELECT sid, qv, cid, ccos,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT v.sid, v.qv, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+         |        FROM v CROSS JOIN c1 c)),
+         |members AS (SELECT cid, sid AS nid, qv AS nqv FROM ranked WHERE crank = 1),
+         |probes AS (SELECT cid, sid AS qid, qv AS qqv FROM ranked WHERE crank <= 2),
+         |sc AS (SELECT qid, nid, ${sqlCosine("qqv", "nqv")} AS cosine
+         |  FROM probes JOIN members USING (cid) WHERE qid <> nid)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfTopKTrained(Tables.embeddings(s, d), "vec_id", "embedding",
+        nCells = 8, updates = 1, nProbe = 2, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Heavy-hitter terms via the Misra-Gries Aggregator + exact recount.
     // Oracle is the plain exact top-10: with k=64 >= vocabulary size the
     // sketch is lossless, so the two-pass result equals the exact answer

@@ -74,6 +74,20 @@ class SimilaritySpec extends SparkSpec {
       s"IVF precision ${hits.toDouble / ivf.length} below 5x random baseline")
   }
 
+  test("ivfTopKTrained: trained-centroid probe still finds true neighbors") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 15)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val trained = Similarity.ivfTopKTrained(emb, "vec_id", "embedding",
+      nCells = 8, updates = 1, nProbe = 2, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val hits = trained.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
+    assert(trained.nonEmpty)
+    assert(hits.toDouble / trained.length > 0.15,
+      s"trained IVF precision ${hits.toDouble / trained.length} below 5x random baseline")
+  }
+
   test("kmeansAssign: Lloyd rounds improve mean cosine, assignment is total") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val n = emb.count()
