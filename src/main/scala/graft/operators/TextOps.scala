@@ -116,6 +116,46 @@ object TextOps {
         (col("n_freq").cast("double") / col("n_bigrams")).as("coverage"))
   }
 
+  /** Corpus-trained subword vocabulary: the `topWords` most frequent words
+    * stay whole pieces, the `topBigrams` most frequent character bigrams
+    * (counted over word occurrences WITH multiplicity) become mid-word
+    * pieces, and every character seen in the corpus is a fallback piece —
+    * so greedy segmentation always terminates with zero [UNK]s on the
+    * training corpus. Ties break on the piece string; the whole build is
+    * three counting aggregations, and the result is DIMENSION-sized (a
+    * hundred strings), which is why collecting it to the driver as a
+    * plan-time constant is the right call — the same posture as broadcast
+    * dims and IVF centroids.
+    */
+  def subwordVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   topWords: Int, topBigrams: Int): Seq[String] = {
+    import df.sparkSession.implicits._
+    val toks = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val words = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topWords)
+      .select(col("w")).as[String].collect().toSeq
+    val bigrams = toks
+      .select(col("w"),
+        explode(when(length(col("w")) >= 2, sequence(lit(1), length(col("w")) - 1)))
+          .as("i"))
+      .select(substring(col("w"), col("i"), lit(2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg")).limit(topBigrams)
+      .select(col("bg")).as[String].collect().toSeq
+    val chars = toks
+      .select(explode(sequence(lit(1), length(col("w")))).as("i"), col("w"))
+      .select(substring(col("w"), col("i"), lit(1)).as("ch"))
+      .distinct().orderBy(col("ch")).as[String].collect().toSeq
+    (words ++ bigrams ++ chars).distinct
+  }
+
+  /** Total greedy-subword piece count per document against a fixed vocab
+    * (graft.plans.SubwordCount — per-row, zero shuffle).
+    */
+  def subwordTokenCount(text: Column, vocab: Seq[String]): Column =
+    graft.plans.SubwordCount.subwordCount(text, vocab)
+
   /** PII patterns, kept to the Java-regex / RE2 common subset (explicit
     * classes, no lookaround) so engine and oracle agree. The phone pattern is
     * the reserved 555 fictional range — a stand-in for locale-specific

@@ -261,6 +261,54 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Subword tokenization (wordpiece/BPE inference): greedy longest-match
+    // segmentation against a corpus-trained vocab (top-20 words + top-30
+    // char bigrams + every corpus character). The engine runs a native
+    // per-row expression with the vocab as a plan-time constant; the oracle
+    // re-trains the IDENTICAL vocab in SQL and segments every distinct word
+    // with a recursive CTE + longest-piece LATERAL probe — hash-equality
+    // proves vocab training AND greedy segmentation match end to end.
+    QueryDef(
+      "t9_subword_count",
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tk AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+        |words AS (SELECT DISTINCT w FROM tk),
+        |vocab AS (
+        |  SELECT w AS piece FROM (
+        |    SELECT w, COUNT(*) AS c FROM tk GROUP BY w ORDER BY c DESC, w LIMIT 20)
+        |  UNION
+        |  SELECT bg AS piece FROM (
+        |    SELECT substr(w, i, 2) AS bg, COUNT(*) AS c
+        |    FROM tk, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |    GROUP BY bg ORDER BY c DESC, bg LIMIT 30)
+        |  UNION
+        |  SELECT DISTINCT substr(w, i, 1)
+        |  FROM words, unnest(generate_series(1, len(w))) AS t(i)),
+        |seg(w, pos, n_pieces) AS (
+        |  SELECT w, 1, 0 FROM words
+        |  UNION ALL
+        |  SELECT s.w, s.pos + len(b.piece), s.n_pieces + 1
+        |  FROM seg s, LATERAL (SELECT piece FROM vocab v
+        |    WHERE substr(s.w, s.pos, len(v.piece)) = v.piece
+        |    ORDER BY len(v.piece) DESC LIMIT 1) b
+        |  WHERE s.pos <= len(s.w)),
+        |wp AS (SELECT w, max(n_pieces) AS np FROM seg WHERE pos > len(w) GROUP BY w),
+        |per AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(np) AS BIGINT) AS n_subtokens
+        |  FROM tk JOIN wp USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words,
+        |  coalesce(p.n_subtokens, 0) AS n_subtokens
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val vocab = TextOps.subwordVocab(docs, "text", topWords = 20, topBigrams = 30)
+      docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        TextOps.subwordTokenCount(col("text"), vocab).as("n_subtokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // == dedup ==
 
     QueryDef(
