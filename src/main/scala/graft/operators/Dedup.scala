@@ -153,19 +153,28 @@ object Dedup {
     * the production near-dup pipeline (candidates << all-pairs).
     */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, threshold: Double): DataFrame = {
+                           n: Int, threshold: Double): DataFrame =
+    verifyCandidates(minhashCandidates(df, idCol, textCol, n),
+      df, idCol, textCol, n, threshold)
+
+  /** Exact-Jaccard verification of candidate (ida, idb) pairs against the
+    * documents in `docs` (which must contain every id the pairs mention).
+    */
+  private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int, threshold: Double): DataFrame = {
     // localCheckpoint (not cache): the candidate DAG is referenced three
     // times below; a cache would re-ANALYZE the big logical subtree per
     // reference (driver-side Catalyst cost), a checkpoint truncates the
     // plan to a leaf.
-    val cands = minhashCandidates(df, idCol, textCol, n).localCheckpoint(false)
+    val cands = candidates.localCheckpoint(false)
     // Candidates are a tiny fraction of the corpus (that's the point of
     // LSH) — semi-join-filter the shingle table to candidate documents
     // BEFORE the gram join, so the verify stage never shuffles the full
     // corpus's shingles.
     val candIds = cands.select(col("ida").as("cand_sid"))
       .union(cands.select(col("idb").as("cand_sid"))).distinct()
-    val sh = wordShingles(df, idCol, textCol, n)
+    val sh = wordShingles(docs, idCol, textCol, n)
       .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi")
       .localCheckpoint(false)
     val sizes = shingleSizes(sh)
@@ -181,6 +190,48 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The persisted LSH band index of a corpus: (sid, band, bkey). Build once
+    * per corpus, store next to the data, and reuse across ingestion runs —
+    * the contract incremental dedup depends on.
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    lshBands(minhashSignatures(df, idCol, textCol, n))
+
+  /** Incremental near-dup detection: verified pairs that TOUCH a new batch —
+    * new-vs-new plus new-vs-corpus — WITHOUT re-banding the corpus. At
+    * ingestion scale this is the whole game: the corpus index
+    * (`corpusBands`, from [[bandIndex]], persisted) is reused, so per-batch
+    * work scales with |batch| x bucket occupancy, not |corpus|. A doc's
+    * band keys don't depend on other docs, so the result equals running the
+    * full pipeline over (corpus UNION batch) and keeping pairs that mention
+    * a batch id — which is exactly what the oracle checks.
+    *
+    * `corpusDocs` is still read during VERIFICATION, but only the matched
+    * candidates' shingles are computed (semi-join pushdown in
+    * verifyCandidates) — a tiny id-filtered scan, not a corpus pass.
+    */
+  def incrementalNearDupPairs(newDf: DataFrame, corpusDocs: DataFrame,
+                              corpusBands: DataFrame, idCol: String,
+                              textCol: String, n: Int,
+                              threshold: Double): DataFrame = {
+    val nb = bandIndex(newDf, idCol, textCol, n).localCheckpoint(false)
+    val newNew = nb.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("ida"), col("b.sid").as("idb"))
+    val newOld = nb.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.sid") =!= col("b.sid"))
+      .select(least(col("a.sid"), col("b.sid")).as("ida"),
+        greatest(col("a.sid"), col("b.sid")).as("idb"))
+    val docs = newDf.select(col(idCol), col(textCol))
+      .unionByName(corpusDocs.select(col(idCol), col(textCol)))
+    verifyCandidates(newNew.union(newOld).distinct(), docs, idCol, textCol,
+      n, threshold)
   }
 
   /** One-call corpus dedup: drop every document that is an exact duplicate

@@ -459,6 +459,35 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental dedup: the new batch (doc_id % 4 = 0) is banded fresh;
+    // the corpus index is REUSED (Dedup.bandIndex), and only pairs touching
+    // the batch come back. Band keys are per-document, so this must equal
+    // the full pipeline's pairs filtered to batch-touching ones — which is
+    // what the oracle computes.
+    QueryDef(
+      "d12_dedup_incremental",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  GROUP BY ida, idb)
+         |SELECT * FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5 AND (ida % 4 = 0 OR idb % 4 = 0)
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val newBatch = docs.filter(col("doc_id") % 4 === 0)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val corpusIndex = Dedup.bandIndex(corpus, "doc_id", "text", 3)
+      Dedup.incrementalNearDupPairs(newBatch, corpus, corpusIndex,
+        "doc_id", "text", 3, 0.5)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     QueryDef(
       "d8_embedding_neardup",
       s"""WITH $quantVecCte

@@ -79,6 +79,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("incremental dedup equals the full pipeline filtered to batch-touching pairs") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val newBatch = docs.filter(col("doc_id") % 4 === 0)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val incremental = Dedup.incrementalNearDupPairs(
+      newBatch, corpus, Dedup.bandIndex(corpus, "doc_id", "text", 3),
+      "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5)
+      .filter(col("ida") % 4 === 0 || col("idb") % 4 === 0)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(incremental == full)
+    assert(incremental.nonEmpty, "fixture must contain batch-touching near-dups")
+  }
+
   test("connectedComponents labels chains transitively with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
     val labels = Dedup.connectedComponents(pairs)
