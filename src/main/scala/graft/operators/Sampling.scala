@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything keys off the md5 of (salt, id) — never `rand()` — so samples
+  * are reproducible across retries, speculative tasks, re-runs and engines
+  * (the same discipline as the LSH planes / minhash permutations), and a
+  * row's fate is a pure function of its id: adding data never reshuffles
+  * prior membership, which is what makes train/test splits stable as the
+  * corpus grows. Buckets are the first 4 md5 bytes as an unsigned 32-bit
+  * value; a rate r keeps buckets < r * 2^32 (exact integer threshold).
+  */
+object Sampling {
+
+  private val Buckets = 4294967296L // 2^32
+
+  /** Unsigned 32-bit hash bucket of (salt, id). */
+  def bucket(idCol: Column, salt: String): Column =
+    graft.plans.Md5PrefixLong.md5PrefixLong(
+      concat(lit(salt), lit(":"), idCol.cast("string")), 4)
+
+  private def threshold(rate: Double): Long = math.round(rate * Buckets)
+
+  /** Deterministic Bernoulli sample: keeps ~`rate` of rows, exactly the rows
+    * whose bucket clears the integer threshold. Pure map-side filter — at
+    * 100 TB it fuses into the scan and costs nothing.
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String): DataFrame =
+    df.filter(bucket(col(idCol), salt) < threshold(rate))
+
+  /** Assign each row to a named split by cumulative fraction — e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Fractions must sum to
+    * ~1; the last split absorbs rounding. Adds a `split` column.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)], salt: String): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val b = bucket(col(idCol), salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val splitCol = fractions.init.zip(cum.init) match {
+      case Seq() => lit(fractions.last._1)
+      case (first, c0) +: rest =>
+        rest.foldLeft(when(b < threshold(c0), first._1)) {
+          case (acc, ((name, _), c)) => acc.when(b < threshold(c), name)
+        }.otherwise(fractions.last._1)
+    }
+    df.withColumn("split", splitCol)
+  }
+
+  /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
+    * all of rare ones). Strata absent from `rates` get `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val thr = rates.foldLeft[Column](lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt) < thr)
+  }
+}

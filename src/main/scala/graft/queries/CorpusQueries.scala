@@ -261,6 +261,42 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic sampling / splitting (operators.Sampling): md5-bucket
+    // membership, never rand(), so engine and oracle agree row-for-row.
+    QueryDef(
+      "sm1_hash_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlHash("'s1:' || doc_id", 8)} < ${math.round(0.1 * 4294967296L)}
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.1, "s1")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "sm2_split_assign",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${sqlHash("'sp:' || doc_id", 8)} < ${math.round(0.8 * 4294967296L)} THEN 'train'
+         |       WHEN ${sqlHash("'sp:' || doc_id", 8)} < ${math.round(0.9 * 4294967296L)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    },
+
+    // Stratified: keep every zh/fr doc, 20% of the rest — the language
+    // rebalancing pass of a multilingual corpus build.
+    QueryDef(
+      "sm3_stratified_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlHash("'st:' || doc_id", 8)} <
+         |  CASE WHEN lang IN ('zh', 'fr') THEN ${4294967296L} ELSE ${math.round(0.2 * 4294967296L)} END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.stratifiedSample(Tables.documents(s, d), "doc_id",
+        "lang", Map("zh" -> 1.0, "fr" -> 1.0), defaultRate = 0.2, salt = "st")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    },
+
     // Subword tokenization (wordpiece/BPE inference): greedy longest-match
     // segmentation against a corpus-trained vocab (top-20 words + top-30
     // char bigrams + every corpus character). The engine runs a native
