@@ -163,6 +163,34 @@ object Similarity {
     probeTopK(v, packCells(kmeansCentroidsFrom(v, nCells, updates)), nProbe, k)
   }
 
+  /** IVF ANN for an EXTERNAL query set: index `candidates` once (cells from
+    * its own lowest-id seeds, optionally Lloyd-refined), then answer top-k
+    * for every row of `queries` — the production search shape, where the
+    * query vectors are new data, not corpus members. Same scale posture:
+    * assignment and probing are shuffle-free array algebra; the only keyed
+    * join is per cell id. No self-exclusion filter — an external query is
+    * never its own candidate.
+    */
+  def ivfSearch(queries: DataFrame, candidates: DataFrame, idCol: String,
+                vecCol: String, nCells: Int, updates: Int, nProbe: Int,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cv = prepared(candidates, idCol, vecCol)
+    val qv = prepared(queries, idCol, vecCol)
+    val centroidRow = packCells(kmeansCentroidsFrom(cv, nCells, updates))
+    val members = rankCells(cv, centroidRow)
+      .select(coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
+        col("sid").as("nid"), col("qv").as("nqv"), col("nrm").as("nnrm"))
+    val probes = rankCells(qv, centroidRow)
+      .select(col("sid").as("qid"), col("qv").as("qqv"), col("nrm").as("qnrm"),
+        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+    val scored = probes.join(members, Seq("cid"))
+      .select(col("qid"), col("nid"),
+        pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
   /** The IVF probe path against any packed centroid row (seeded or trained). */
   private def probeTopK(v: DataFrame, centroidRow: DataFrame, nProbe: Int,
                         k: Int): DataFrame = {

@@ -680,6 +680,39 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // IVF search with an EXTERNAL query set: index vectors >= 8, query with
+    // vectors < 8 — the production shape (new vectors query a built index;
+    // no self-exclusion needed).
+    QueryDef(
+      "s6_ivf_search",
+      s"""WITH $quantVecCte,
+         |cset AS (SELECT sid, qv FROM v WHERE sid >= 8),
+         |qset AS (SELECT sid, qv FROM v WHERE sid < 8),
+         |cent AS (SELECT sid AS cid, qv AS cv FROM cset ORDER BY sid LIMIT 8),
+         |members AS (SELECT cid, nid, nqv FROM (
+         |  SELECT c.cid, s.sid AS nid, s.qv AS nqv,
+         |    ROW_NUMBER() OVER (PARTITION BY s.sid
+         |      ORDER BY ${sqlCosine("s.qv", "c.cv")} DESC, c.cid) AS crank
+         |  FROM cset s CROSS JOIN cent c) WHERE crank = 1),
+         |probes AS (SELECT cid, qid, qqv FROM (
+         |  SELECT c.cid, s.sid AS qid, s.qv AS qqv,
+         |    ROW_NUMBER() OVER (PARTITION BY s.sid
+         |      ORDER BY ${sqlCosine("s.qv", "c.cv")} DESC, c.cid) AS crank
+         |  FROM qset s CROSS JOIN cent c) WHERE crank <= 3),
+         |sc AS (SELECT qid, nid, ${sqlCosine("qqv", "nqv")} AS cosine
+         |  FROM probes JOIN members USING (cid))
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfSearch(
+        emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+        "vec_id", "embedding", nCells = 8, updates = 0, nProbe = 3, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Trained-IVF ANN: one Lloyd update refines the seed centroids, then the
     // s3 probe path runs against them — train -> index -> query, fully
     // hash-checked (the c1 centroid CTE is s4's, the probe CTEs are s3's,

@@ -74,6 +74,23 @@ class SimilaritySpec extends SparkSpec {
       s"IVF precision ${hits.toDouble / ivf.length} below 5x random baseline")
   }
 
+  test("ivfSearch: external queries hit true corpus neighbors, never themselves") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 8)
+    val corpus = emb.filter($"vec_id" >= 8)
+    val got = Similarity.ivfSearch(queries, corpus, "vec_id", "embedding",
+      nCells = 8, updates = 1, nProbe = 3, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n) => q < 8 && n >= 8 }) // results come from the index only
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 15)
+      .filter($"nid" >= 8)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = got.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
+    assert(hits.toDouble / got.length > 0.15)
+  }
+
   test("ivfTopKTrained: trained-centroid probe still finds true neighbors") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 15)
