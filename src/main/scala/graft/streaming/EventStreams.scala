@@ -39,6 +39,26 @@ object EventStreams {
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       col(streamKey) === col(dimKey), "left")
 
+  /** Streaming heavy hitters: a Misra-Gries sketch per tumbling window —
+    * the trending-terms / hot-keys monitor. The sketch is a
+    * TypedImperativeAggregate, so Structured Streaming maintains ONE bounded
+    * k-counter buffer per (window, group) in the state store, merged
+    * incrementally across micro-batches; memory is O(windows x k), never
+    * proportional to the value distribution. Emits the sketch's candidate
+    * map (over-counts bounded by n/k — see MisraGriesSketch); exact
+    * recounting, when needed, is a batch pass over the flagged window.
+    */
+  def windowedHeavyHitters(events: DataFrame, valueCol: String, k: Int,
+                           windowLen: String = "1 hour",
+                           watermarkDelay: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.operators.HeavyHitters.sketchOf(col(valueCol), k).as("candidates"))
+      .select(col("window.start").as("window_start"), col("candidates"))
+  }
+
   /** Streaming exactly-once-per-key dedup with bounded state: duplicates of
     * `keyCols` arriving within `delay` of the watermark are dropped; state
     * for keys older than the watermark is evicted, so memory is bounded by

@@ -108,6 +108,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters maintains one sketch per window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedHeavyHitters(input.toDF(), "event_type", k = 4)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      input.addData((1 to 6).map(i =>
+        Event(i, ts("2024-01-01 10:05:00"), i, "click", 1.0)) ++
+        Seq(Event(7, ts("2024-01-01 10:06:00"), 7, "view", 1.0)): _*)
+      q.processAllAvailable()
+      // second micro-batch, same window: sketch must merge, not restart
+      input.addData((8 to 12).map(i =>
+        Event(i, ts("2024-01-01 10:07:00"), i, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val cands = spark.table("hh_out")
+        .filter($"window_start" === ts("2024-01-01 10:00:00"))
+        .select("candidates").as[Map[String, Long]].collect()
+      val merged = cands.maxBy(_.getOrElse("click", 0L))
+      // MG guarantee: true count 11 over-survives any k=4 sketch of 12 items
+      assert(merged.contains("click") && merged("click") >= 12 - 12 / 4)
+      // batch parity: same call on a static frame
+      val batch = windowedHeavyHitters(
+        ((1 to 6).map(i => Event(i, ts("2024-01-01 10:05:00"), i, "click", 1.0)) ++
+          Seq(Event(7, ts("2024-01-01 10:06:00"), 7, "view", 1.0)) ++
+          (8 to 12).map(i => Event(i, ts("2024-01-01 10:07:00"), i, "click", 1.0))).toDF(),
+        "event_type", k = 4)
+        .select("candidates").as[Map[String, Long]].collect()(0)
+      assert(batch("click") == 11L)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops retried keys across micro-batches, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
