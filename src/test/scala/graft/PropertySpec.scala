@@ -98,4 +98,35 @@ class PropertySpec extends AnyFunSuite {
       assert(EtlOps.unionPages(pages).count() == li.count())
     }
   }
+
+  test("mergeUpsert invariants: keys total and unique, update wins, pass-through exact") {
+    val rowsGen = for {
+      baseKeys <- Gen.nonEmptyListOf(Gen.choose(1L, 30L)).map(_.distinct)
+      updKeys <- Gen.nonEmptyListOf(Gen.choose(1L, 45L)).map(_.distinct)
+    } yield (baseKeys, updKeys)
+    forAllSamples(rowsGen, 5) { case (baseKeys, updKeys) =>
+      val base = baseKeys.map(k => (k, s"b$k", 1L)).toDF("k", "v", "ver")
+      val updates = updKeys.map(k => (k, s"u$k", 2L)).toDF("k", "v", "ver")
+      val merged = EtlOps.mergeUpsert(base, updates, Seq("k"), "ver")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(merged.keySet == (baseKeys ++ updKeys).toSet) // total
+      updKeys.foreach(k => assert(merged(k) == s"u$k"))    // update wins
+      baseKeys.filterNot(updKeys.contains)
+        .foreach(k => assert(merged(k) == s"b$k"))         // untouched survive
+    }
+  }
+
+  test("sampling invariants: nested rates nest, splits partition, salts independent") {
+    forAllSamples(Gen.choose(1, 1000), 3) { seedIds =>
+      val ids = (1L to 400L).map(i => Tuple1(i * seedIds)).toDF("id")
+      val lo = graft.operators.Sampling.hashSample(ids, "id", 0.1, "x")
+        .as[Long].collect().toSet
+      val hi = graft.operators.Sampling.hashSample(ids, "id", 0.4, "x")
+        .as[Long].collect().toSet
+      assert(lo.subsetOf(hi)) // a lower rate is a SUBSET of a higher rate
+      val splits = graft.operators.Sampling.splitAssign(ids, "id",
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "y")
+      assert(splits.count() == 400 && splits.select("split").distinct().count() <= 3)
+    }
+  }
 }
