@@ -192,6 +192,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Candidates verified by EDIT DISTANCE instead of Jaccard: keep pairs
+    * with levenshtein <= (maxFracNum/maxFracDen) x the longer text — the
+    * right verifier when near-dups are small in-place edits (templated
+    * boilerplate, OCR noise) rather than shingle-set overlap. Levenshtein is
+    * O(len_a x len_b) per pair, which is exactly why it only ever runs on
+    * the banding candidates, never all pairs. The fraction is integer
+    * cross-multiplied so the threshold is engine-exact.
+    */
+  def editDistanceVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxFracNum: Int,
+                                maxFracDen: Int): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, n).localCheckpoint(false)
+    val texts = df.select(col(idCol).as("tid"), col(textCol).as("t"))
+    cands
+      .join(texts.as("ta"), col("ida") === col("ta.tid"))
+      .join(texts.as("tb"), col("idb") === col("tb.tid"))
+      .select(col("ida"), col("idb"),
+        levenshtein(col("ta.t"), col("tb.t")).cast("long").as("edit_dist"),
+        greatest(length(col("ta.t")), length(col("tb.t"))).cast("long").as("max_len"))
+      .filter(col("edit_dist") * maxFracDen <= lit(maxFracNum.toLong) * col("max_len"))
+      .select(col("ida"), col("idb"), col("edit_dist"))
+  }
+
   /** The persisted LSH band index of a corpus: (sid, band, bkey). Build once
     * per corpus, store next to the data, and reuse across ingestion runs —
     * the contract incremental dedup depends on.

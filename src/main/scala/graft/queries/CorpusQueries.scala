@@ -524,6 +524,27 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Edit-distance verification of banding candidates (Dedup Scaladoc):
+    // levenshtein <= 30% of the longer text, integer cross-multiplied.
+    QueryDef(
+      "d13_editdist_verified",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte
+         |SELECT ida, idb, edit_dist FROM (
+         |  SELECT ida, idb,
+         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |    CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS max_len
+         |  FROM cand JOIN documents da ON ida = da.doc_id
+         |            JOIN documents db ON idb = db.doc_id)
+         |WHERE edit_dist * 10 <= 3 * max_len
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.editDistanceVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, maxFracNum = 3, maxFracDen = 10)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     QueryDef(
       "d8_embedding_neardup",
       s"""WITH $quantVecCte

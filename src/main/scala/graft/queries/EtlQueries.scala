@@ -160,6 +160,28 @@ object EtlQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // F10: typed JSON decode — from_json with an explicit schema (the typed
+    // sibling of p7's get_json_object path); malformed documents null out
+    // instead of aborting under ANSI.
+    QueryDef(
+      "f10_json_struct",
+      """SELECT event_id,
+        |  TRY_CAST(CASE WHEN json_valid(j) THEN json_extract_string(j, '$.k') END
+        |    AS BIGINT) AS k_typed
+        |FROM (SELECT event_id,
+        |        CASE WHEN event_id % 11 = 0 THEN '{broken' ELSE props END AS j
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      Tables.events(s, d)
+        .withColumn("j",
+          when(col("event_id") % 11 === 0, lit("{broken")).otherwise(col("props")))
+        .select(col("event_id"),
+          from_json(col("j"), StructType(Seq(StructField("k", LongType))))("k")
+            .as("k_typed"))
+        .orderBy(col("event_id"))
+    },
+
     // Approximate aggregates (ApproxOps Scaladoc): the oracle hash-checks
     // the ACCURACY CONTRACT (exact anchor columns + a must-be-true bound
     // boolean), since sketch internals are engine-private.
