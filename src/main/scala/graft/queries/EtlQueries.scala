@@ -821,6 +821,61 @@ object EtlQueries {
         .orderBy(col("event_id"))
     },
 
+    // W6: ntile + percent_rank — the quantile-bucketing windows a
+    // quality-score percentile filter uses.
+    QueryDef(
+      "w6_ntile",
+      """SELECT event_id, event_type,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("event_id"))
+    },
+
+    // A10: exact correlation per group — NOT Spark's streaming corr() (a
+    // float fold whose result depends on partitioning): the five decimal
+    // moment sums are exact under any accumulation order, and the Pearson
+    // formula is one fixed double expression both engines evaluate
+    // identically.
+    QueryDef(
+      "a10_corr_exact",
+      """SELECT event_type,
+        |  (n * sxy - sx * sy) /
+        |    nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0) AS corr_uv
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(user_id AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(value * user_id AS DECIMAL(25,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(user_id * user_id AS DECIMAL(25,4))) AS DOUBLE) AS syy
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          ExactAgg.sumExact(col("value")).as("sx"),
+          ExactAgg.sumExact(col("user_id")).as("sy"),
+          ExactAgg.sumExact(col("value") * col("user_id")).as("sxy"),
+          ExactAgg.sumExact(col("value") * col("value")).as("sxx"),
+          ExactAgg.sumExact(col("user_id") * col("user_id")).as("syy"))
+        .select(col("event_type"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)))
+            .as("corr_uv"))
+        .orderBy(col("event_type"))
+    },
+
     // W1: tumbling-window aggregate (batch twin of the streaming path;
     // window(ts, '1 hour').start == date_trunc('hour', ts)).
     QueryDef(
