@@ -57,6 +57,33 @@ object Bench {
     */
   private val QuadraticBaselines = Set("d5_jaccard_bruteforce", "d8_embedding_neardup")
 
+  /** Per-query seconds from a prior bench artifact, for the regression gate.
+    * Accepts either the raw one-line bench JSON (target/bench_last.json) or a
+    * driver round file (BENCH_r*.json) whose "tail" embeds that line. Source:
+    * SPARK_GRAFT_BENCH_PREV, else the newest BENCH_r*.json in the cwd. A
+    * hand-rolled scan, not a JSON library — build.sbt's dependency set is
+    * frozen and the format is self-produced.
+    */
+  private def priorTimes(): Map[String, Double] = {
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
+    val fallback = {
+      val d = Paths.get(".").toAbsolutePath
+      val rounds = Option(d.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      rounds.lastOption.map(_.toPath)
+    }
+    explicit.orElse(fallback).filter(Files.exists(_)).map { p =>
+      val text = Files.readString(p)
+      // the driver file embeds the bench line inside a JSON string — unescape
+      val flat = text.replace("\\\"", "\"")
+      val qblock = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(flat).map(_.group(1))
+      qblock.map { b =>
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(b)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty[String, Double])
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,7 +101,10 @@ object Bench {
     }
     SparkEntry.queries.head._2(spark, sfDir).count()
 
+    // Dev-only subset filter (comma-separated names); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val (skipped, runnable) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition { case (name, _) => sf.exists(_ > 0.1) && QuadraticBaselines(name) }
     skipped.foreach { case (name, _) =>
       System.err.println(s"[bench] SKIP $name (quadratic baseline, sf > 0.1)")
@@ -102,6 +132,21 @@ object Bench {
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
 
+    // Regression gate: per-query diff against the prior round's times. >1.5x
+    // drift on a non-trivial query is REPORTED LOUDLY (stderr + a dedicated
+    // JSON field) so a silent perf regression can't ship again — this
+    // round's predecessor shipped a 2.2x s2 regression invisibly. Sub-second
+    // queries are exempt: at that scale the drift is session noise.
+    val prior = priorTimes()
+    val regressions = good.flatMap { case (name, sec, _, _, _) =>
+      prior.get(name).collect {
+        case p if p >= 0.5 && sec >= 0.5 && sec > p * 1.5 =>
+          System.err.println(
+            f"[bench] REGRESSION $name: $p%.2f s -> $sec%.2f s (${sec / p}%.2fx)")
+          name -> sec / p
+      }
+    }
+
     def names(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + math.round(v * 100.0) / 100.0 }
@@ -112,6 +157,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""shuffle_mb":${obj(good.map(r => r._1 -> r._4))},""" +
         s""""spill_mb":${obj(good.filter(_._5 > 0).map(r => r._1 -> r._5))},""" +
+        s""""regressions":${obj(regressions)},""" +
         s""""failed":${names(failed)},"skipped":${names(skipped.map(_._1))}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")

@@ -251,8 +251,17 @@ object Dedup {
           col("a.sid") =!= col("b.sid"))
       .select(least(col("a.sid"), col("b.sid")).as("ida"),
         greatest(col("a.sid"), col("b.sid")).as("idb"))
+    // A re-ingested id present in BOTH sides would otherwise appear twice in
+    // the verification doc set (old text + new text), inflating its shingle
+    // counts and corrupting jaccard — anti-join the corpus side so such a
+    // doc verifies against its NEW text only. The anti-join's build side is
+    // the batch's ids (small by the incremental contract), so this is a
+    // broadcast filter, not a corpus shuffle.
+    val newIds = newDf.select(col(idCol).as("new_id")).distinct()
     val docs = newDf.select(col(idCol), col(textCol))
-      .unionByName(corpusDocs.select(col(idCol), col(textCol)))
+      .unionByName(corpusDocs
+        .join(broadcast(newIds), col(idCol) === col("new_id"), "left_anti")
+        .select(col(idCol), col(textCol)))
     verifyCandidates(newNew.union(newOld).distinct(), docs, idCol, textCol,
       n, threshold)
   }
@@ -323,13 +332,24 @@ object Dedup {
       // planned once and reused (ReusedExchange), so the round is a single
       // checkpointed job — not a stepped-checkpoint job plus a jump job.
       // Plan growth stays bounded because `next` IS checkpointed per round.
-      val lookup = stepped.select(col("sid").as("l_sid"), col("component").as("l_comp"))
-      val next = stepped
-        .join(lookup, stepped("component") === lookup("l_sid"), "left")
-        .select(stepped("sid"), stepped("prev"),
-          least(stepped("component"), coalesce(col("l_comp"), stepped("component")))
-            .as("component"))
-        .localCheckpoint()
+      //
+      // The jump is CONDITIONAL: near-dup graphs are overwhelmingly shallow
+      // (star-shaped duplicate clusters), where min-label propagation alone
+      // converges in 2-3 rounds and the jump's extra join is pure overhead —
+      // measured 1.5x wall-clock on d9 at sf0.1. Rounds 0-1 therefore run
+      // plain propagation; the jump kicks in from round 2, which only deep
+      // chains ever reach, preserving the O(log diameter) bound exactly
+      // where it pays.
+      val next = (if (iter < 2) stepped
+        else {
+          val lookup =
+            stepped.select(col("sid").as("l_sid"), col("component").as("l_comp"))
+          stepped
+            .join(lookup, stepped("component") === lookup("l_sid"), "left")
+            .select(stepped("sid"), stepped("prev"),
+              least(stepped("component"), coalesce(col("l_comp"), stepped("component")))
+                .as("component"))
+        }).localCheckpoint()
       val changed = next.filter(col("component") =!= col("prev")).count()
       // free the superseded round's checkpoint blocks — a long loop would
       // otherwise accumulate every round's label RDD in executor storage
@@ -347,21 +367,15 @@ object Dedup {
   val SimhashBits = 48
 
   /** 48-bit simhash over whitespace tokens (with multiplicity): bit b is set
-    * when the signed sum of token-hash bit b is positive. 48 exact integer
-    * aggregates -> one long; partial sums combine map-side.
+    * when the signed sum of token-hash bit b is positive. ONE per-row native
+    * expression (graft.plans.SimhashLong) — no token explode, no 48-column
+    * aggregate, no shuffle; the signature is a map-side scan. (The previous
+    * relational form shuffled |tokens| rows into a 48-aggregate hash map per
+    * document — same values, measured ~3x the wall-clock at sf0.1.)
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("sid"),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", hash48(col("tok")))
-    val bitSums = (0 until SimhashBits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val packed = (0 until SimhashBits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    toks.groupBy(col("sid"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("sid"), packed.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("sid"),
+      graft.plans.SimhashLong.simhashLong(col(textCol)).as("simhash"))
 
   /** Near-dup pairs by simhash: 4 x 12-bit chunk banding (any pair within
     * hamming distance 6 of 48 bits shares at least one exact chunk only

@@ -305,45 +305,30 @@ object Similarity {
         .otherwise(0L)
     }.reduce(_ + _)
 
-  /** All planes of all tables in ONE broadcastable row:
-    * array (per table) of array of (bit-weight, plane-vector) structs. The
-    * bit weight `1L << m` is precomputed on the driver, so the per-row bucket
-    * id is a plain conditional sum. Inlining nTables x nPlanes literal planes
-    * into one expression works but hands janino an enormous method to compile
-    * per run; one nested-array broadcast row keeps every codegen unit small.
-    */
-  private def planesByTable(spark: org.apache.spark.sql.SparkSession,
-                            dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
-    import spark.implicits._
-    val nested: Seq[Seq[(Long, Seq[Long])]] =
-      (0 until nTables).map { t =>
-        (0 until nPlanes).map(m => (1L << m, plane(t, m, dim).toSeq))
-      }
-    Seq(Tuple1(nested)).toDF("pbt") // struct fields: _1 = bit weight, _2 = plane
-  }
-
   /** (sid, tbl, bucket): each vector's sign-bucket id in every LSH table —
     * the shared index-build step of `lshTopK` and `lshNearDupPairs`.
     *
-    * Bucket ids are computed per row (one `aggregate` fold per table over the
-    * broadcast planes row) and then posexploded — NO shuffle, and no vector
-    * columns in the output (candidate generation is id-only; verification
-    * re-joins vectors later). The previous relational form (cross-join planes
-    * + groupBy(sid, tbl) summing bits) exchanged n x nTables array-carrying
-    * rows per corpus pass; index build should cost one map-side scan, and now
-    * does. Per-row work is O(nTables x nPlanes x dim) dots — inherent to
-    * multi-table LSH.
+    * Bucket ids come from ONE native codegen'd expression
+    * (graft.plans.LshBucketsLong) over a single flat plane literal, then
+    * posexplode — NO shuffle, no vector columns in the output (candidate
+    * generation is id-only; verification re-joins vectors later). The
+    * interpreted higher-order form (`transform` + `aggregate` lambdas over a
+    * broadcast planes row) cost 2.2x wall-clock at sf0.1 purely in per-row
+    * lambda dispatch — same trap DotProductLong documents. Per-row work is
+    * O(nTables x nPlanes x dim) multiply-adds in a tight generated loop —
+    * inherent to multi-table LSH, now at primitive-loop cost.
     */
   private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                          dim: Int, nTables: Int, nPlanes: Int): DataFrame = {
-    val v = prepared(df, idCol, vecCol)
-    val planes = planesByTable(df.sparkSession, dim, nTables, nPlanes)
-    v.crossJoin(broadcast(planes))
+    val flat: Seq[Long] = for {
+      t <- 0 until nTables
+      m <- 0 until nPlanes
+      x <- plane(t, m, dim)
+    } yield x
+    prepared(df, idCol, vecCol)
       .select(col("sid"),
-        posexplode(transform(col("pbt"), tp =>
-          aggregate(tp, lit(0L), (acc, p) =>
-            acc + when(dotLong(col("qv"), p("_2")) > 0, p("_1")).otherwise(0L))))
-          .as(Seq("tbl", "bucket")))
+        posexplode(graft.plans.GraftFunctions.lshBuckets(
+          col("qv"), typedLit(flat), nPlanes)).as(Seq("tbl", "bucket")))
   }
 
   /** Skinny candidate pairs from bucket collisions: ONLY ids travel through

@@ -83,6 +83,7 @@ case class DotProductLong(left: Expression, right: Expression)
 object GraftFunctions {
   val DotLongName = "graft_dot_long"
   val MisraGriesName = "graft_misra_gries"
+  val LshBucketsName = "graft_lsh_buckets"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -92,6 +93,14 @@ object GraftFunctions {
         dotId,
         new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
         (children: Seq[Expression]) => DotProductLong(children(0), children(1)))
+    }
+    val lshId = FunctionIdentifier(LshBucketsName)
+    if (!registry.functionExists(lshId)) {
+      registry.registerFunction(
+        lshId,
+        new ExpressionInfo(classOf[LshBucketsLong].getName, LshBucketsName),
+        (children: Seq[Expression]) =>
+          LshBucketsLong(children(0), children(1), children(2)))
     }
     val mgId = FunctionIdentifier(MisraGriesName)
     if (!registry.functionExists(mgId)) {
@@ -112,5 +121,13 @@ object GraftFunctions {
   def misraGries(c: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(MisraGriesName, c, lit(k))
+  }
+
+  /** Per-table LSH sign-bucket ids (array<long>, one per table); `planes` is
+    * the flat nTables x nPlanes x dim plane concatenation (a literal).
+    */
+  def lshBuckets(vec: Column, planes: Column, nPlanes: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(LshBucketsName, vec, planes, lit(nPlanes))
   }
 }

@@ -777,8 +777,8 @@ object EtlQueries {
         |  FROM events),
         |sess AS (
         |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marks)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
