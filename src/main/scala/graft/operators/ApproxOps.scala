@@ -24,6 +24,14 @@ object ApproxOps {
     * deviation) lands within `tol` of it. Two aggregations on purpose: the
     * exact one is the oracle anchor, the sketch one is the operator under
     * test. At scale the exact branch is the one you'd drop.
+    *
+    * `tol` is an empirically-validated MARGIN, not a guarantee: HLL++'s rsd
+    * is a standard deviation, so a tol of k x rsd is a ~k-sigma bound that
+    * new data can legitimately exceed — callers asserting `approx_ok` (the
+    * oracle queries do) should size tol generously relative to rsd (the
+    * shipped queries use 2.5+ sigma on fixed fixtures) or gate on key
+    * cardinality. An all-null key (n_exact = 0) is approx_ok iff the sketch
+    * also says 0 — not NULL, which a bare division would produce.
     */
   def distinctWithinTol(df: DataFrame, keyCol: String, valCol: String,
                         rsd: Double, tol: Double): DataFrame =
@@ -32,8 +40,9 @@ object ApproxOps {
         countDistinct(col(valCol)).as("n_exact"),
         approx_count_distinct(col(valCol), rsd).as("n_approx"))
       .select(col(keyCol), col("n_exact"),
-        (abs(col("n_approx") - col("n_exact")).cast("double") /
-          col("n_exact") <= tol).as("approx_ok"))
+        when(col("n_exact") === 0, col("n_approx") === 0)
+          .otherwise(abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= tol).as("approx_ok"))
 
   /** Per-key count + whether the approximate percentile `p` (quantile
     * summaries with `accuracy`) lies within the exact [lo, hi] percentile

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * The right side must be unique per (key, ts) — enforce upstream (e.g.
   * keep max-id per timestamp) or the "latest" row is undefined; this mirrors
   * DuckDB/pandas ASOF semantics which are likewise arbitrary under ties.
-  * Right value columns should be non-null: the carry is per-column
-  * (`last(_, ignoreNulls)`), so a null value in the latest right row would
-  * surface the previous row's value for that column rather than null.
+  * Right value columns MAY be null: the carry moves ONE struct of all right
+  * values per right row (a struct with null fields is itself non-null), so
+  * the latest right row's values surface verbatim — a per-column
+  * `last(_, ignoreNulls)` carry would instead resurrect an OLDER row's value
+  * wherever the latest row holds a null.
   */
 object AsOfJoin {
 
@@ -33,37 +35,30 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightValues: Seq[String]): DataFrame = {
-    val leftTagged = left
-      .withColumn("__k", col(leftKey))
-      .withColumn("__t", col(leftTs))
-      .withColumn("__side", lit(0)) // left sorts after right at equal ts
-    val rightTagged = right.select(
-      (Seq(col(rightKey).as("__k"), col(rightTs).as("__t"),
-        lit(1).as("__side")) ++
-        rightValues.map(c => col(c).as(s"__r_$c"))): _*)
-
+    val rvType = org.apache.spark.sql.types.StructType(rightValues.map(c =>
+      right.schema(right.schema.fieldIndex(c)).copy(name = c)))
     val leftCols = left.columns
     val unioned = EtlOps.unionPages(Seq(
-      leftTagged.select(
-        (Seq(col("__k"), col("__t"), col("__side")) ++
-          leftCols.map(col) ++
-          rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*),
-      rightTagged.select(
-        (Seq(col("__k"), col("__t"), col("__side")) ++
-          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightValues.map(c => col(s"__r_$c"))): _*)))
+      left.select(
+        (Seq(col(leftKey).as("__k"), col(leftTs).as("__t"),
+          lit(0).as("__side"), // left sorts after right at equal ts
+          lit(null).cast(rvType).as("__rv")) ++
+          leftCols.map(col)): _*),
+      right.select(
+        (Seq(col(rightKey).as("__k"), col(rightTs).as("__t"),
+          lit(1).as("__side"),
+          struct(rightValues.map(col): _*).as("__rv")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)))
 
     // Right rows (side=1) sort BEFORE left rows at the same timestamp, so an
     // exactly-simultaneous right row is visible to the left row (<= bound).
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValues.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    unioned
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
       .select(leftCols.map(col) ++
-        rightValues.map(c => col(s"__last_$c").as(c)): _*)
+        rightValues.map(c => col("__last")(c).as(c)): _*)
   }
 }

@@ -375,6 +375,40 @@ object EtlQueries {
         .orderBy(col("event_id"))
     },
 
+    // J-extension: as-of join with NULLABLE right values — every third
+    // order's price is nulled, and the latest order's null must surface
+    // verbatim (a per-column last(ignoreNulls) carry would resurrect an
+    // older order's price; this query exists to pin the struct-carry fix).
+    QueryDef(
+      "j4b_asof_null_values",
+      """WITH r0 AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM orders),
+        |r AS (SELECT * FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM r0) WHERE rn = 1)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice
+        |FROM events ASOF LEFT JOIN r
+        |  ON user_id = r.o_custkey AND ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ordersNulled = Tables.orders(s, d)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_totalprice")))
+        .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") === 1).drop("rn")
+      graft.operators.AsOfJoin.asOf(
+        Tables.events(s, d), ordersNulled,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightValues = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // J-extension: interval (equi + range) join — lineitems shipped within
     // 60 days of their order's date. The equi key keeps it a hash join with
     // the range as a residual predicate — no nested-loop blowup.

@@ -60,7 +60,16 @@ object Sinks {
     * produces thousands of KB-sized files whose per-file open/footer cost
     * eventually dominates scans, and range clustering restores min/max
     * row-group skipping on the sort key. Writes to a staging dir, then
-    * swaps — readers never see a half-compacted table.
+    * swaps.
+    *
+    * Contract: LOCAL filesystem, FLAT layout (a directory of .parquet files,
+    * no partition subdirectories) — the swap is two java.nio renames and the
+    * sizing walks the directory with java.io. The swap is two renames, not
+    * one atomic exchange: there is a window where the table path is absent,
+    * and readers racing the swap can fail; if the second rename throws, the
+    * original directory is RESTORED before rethrowing, so a crash never
+    * strands the table under _precompact. On an object store or a
+    * partitioned table, compact per partition through the catalog instead.
     *
     * Returns the output file count. File sizing uses the CURRENT on-disk
     * bytes (post-compression), so the target is approximate.
@@ -70,8 +79,13 @@ object Sinks {
     import org.apache.spark.sql.functions.col
     val dir = new java.io.File(path)
     def parquetFiles(d: java.io.File): Seq[java.io.File] =
-      d.listFiles().toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val totalBytes = parquetFiles(dir).map(_.length()).sum
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val found = parquetFiles(dir)
+    require(found.nonEmpty,
+      s"compact: no .parquet files directly under $path — flat local layout required " +
+        "(partitioned tables: compact each partition directory)")
+    val totalBytes = found.map(_.length()).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val staging = path.stripSuffix("/") + "_compacting"
@@ -82,9 +96,15 @@ object Sinks {
 
     val old = path.stripSuffix("/") + "_precompact"
     java.nio.file.Files.move(dir.toPath, java.nio.file.Paths.get(old))
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging), dir.toPath)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(staging), dir.toPath)
+    catch {
+      case e: Throwable =>
+        // put the original table back so the path is never left absent
+        java.nio.file.Files.move(java.nio.file.Paths.get(old), dir.toPath)
+        throw e
+    }
     def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete(): Unit
     }
     deleteRec(new java.io.File(old))

@@ -60,6 +60,23 @@ object Xlsx {
     finally zip.close()
   }
 
+  /** Text of one shared-string item: plain `<t>`, or the concatenation of
+    * rich-text runs' `<r><t>` — EXCLUDING phonetic runs (`<rPh>`, furigana
+    * annotations some Excel locales emit), whose `<t>` elements are guides,
+    * not cell content. `xml:space="preserve"` needs no handling: DOM keeps
+    * text content verbatim either way.
+    */
+  private def sharedStringText(si: Element): String =
+    childElems(si, "t").filter { t =>
+      var p = t.getParentNode
+      var inPhonetic = false
+      while (p != null && p != si) {
+        if (p.getNodeName == "rPh") inPhonetic = true
+        p = p.getParentNode
+      }
+      !inPhonetic
+    }.map(_.getTextContent).mkString
+
   /** "BC" -> 0-based column index (A=0, Z=25, AA=26 …). */
   private[sources] def colIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter)
@@ -90,7 +107,7 @@ object Xlsx {
       val shared: IndexedSeq[String] =
         if (zip.getEntry("xl/sharedStrings.xml") == null) IndexedSeq.empty
         else elems(parseXml(part(zip, "xl/sharedStrings.xml")), "si")
-          .map(si => childElems(si, "t").map(_.getTextContent).mkString).toIndexedSeq
+          .map(sharedStringText).toIndexedSeq
 
       val sheetDoc = parseXml(part(zip, partName))
       elems(sheetDoc, "row").map { row =>

@@ -38,6 +38,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Implements SupportsPushDownRequiredColumns: a `select` of 2 fields parses
   * and ships only those 2 — the reference hand-codes exactly this pruning as
   * `data[n]` request params (EIA7APipelineQuarterlyData.py:22-31).
+  *
+  * Implements SupportsPushDownFilters for comparisons on the period column
+  * (option `periodField`, default "period"): accepted filters are enforced
+  * row-level inside the reader, and in HTTP mode the tightest >=/<= bounds
+  * additionally become `start=`/`end=` request params — the reference
+  * hand-codes exactly this cutoff pushdown (EIA930PipelineHourlyData.py:48-53),
+  * and because the probe's `response.total` then reflects the filtered count,
+  * pushdown shrinks the number of planned page fetches, not just row volume.
+  * Comparisons are lexicographic, which matches chronological order for the
+  * fixed-width period formats the APIs serve (yyyy-MM-dd'T'HH, yyyy-MM,
+  * yyyy-Qn).
   */
 class PagesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -85,26 +96,91 @@ final class PagesTable(schema: StructType, properties: util.Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagesScanBuilder(schema, path, http)
+    new PagesScanBuilder(schema, path, http,
+      prop("periodField").getOrElse("period"))
 }
 
 final case class HttpConfig(url: String, pageSize: Int,
                             params: Map[String, String], retries: Int)
 
+/** A pushed period comparison, serializable into every reader partition.
+  * op is one of >=, >, <=, <, =; comparisons are lexicographic on the
+  * period string (chronological for fixed-width period formats).
+  */
+final case class PeriodFilter(op: String, value: String) {
+  def accepts(period: String): Boolean = {
+    if (period == null) return false
+    if (op == "notnull") return true
+    val c = period.compareTo(value)
+    op match {
+      case ">=" => c >= 0
+      case ">"  => c > 0
+      case "<=" => c <= 0
+      case "<"  => c < 0
+      case "="  => c == 0
+    }
+  }
+}
+
 final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
-                             http: Option[HttpConfig])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+                             http: Option[HttpConfig], periodField: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThanOrEqual(a, _: String) => a == periodField
+      case GreaterThan(a, _: String)        => a == periodField
+      case LessThanOrEqual(a, _: String)    => a == periodField
+      case LessThan(a, _: String)           => a == periodField
+      case EqualTo(a, _: String)            => a == periodField
+      case IsNotNull(a)                     => a == periodField
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def periodFilters: Seq[PeriodFilter] = pushed.toSeq.map {
+    case GreaterThanOrEqual(_, v: String) => PeriodFilter(">=", v)
+    case GreaterThan(_, v: String)        => PeriodFilter(">", v)
+    case LessThanOrEqual(_, v: String)    => PeriodFilter("<=", v)
+    case LessThan(_, v: String)           => PeriodFilter("<", v)
+    case EqualTo(_, v: String)            => PeriodFilter("=", v)
+    case IsNotNull(_)                     => PeriodFilter("notnull", "")
+    case other => throw new IllegalStateException(s"unpushable filter $other")
+  }
+
   override def build(): Scan = new Scan with Batch {
+    private val filters = periodFilters
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-pages ${path.orElse(http.map(_.url)).get}, " +
-        s"pruned to [${required.fieldNames.mkString(",")}]"
+        s"pruned to [${required.fieldNames.mkString(",")}], " +
+        s"pushed [${filters.map(f => s"$periodField ${f.op} ${f.value}").mkString(", ")}]"
+
+    // The API's start/end params are inclusive bounds, so strict comparisons
+    // push their value too (a superset); the reader's row-level check
+    // restores strictness. EqualTo pins both ends.
+    private def httpParams(cfg: HttpConfig): Map[String, String] = {
+      val lower = filters.collect {
+        case PeriodFilter(">=" | ">" | "=", v) => v
+      }.maxOption
+      val upper = filters.collect {
+        case PeriodFilter("<=" | "<" | "=", v) => v
+      }.minOption
+      cfg.params ++ lower.map("start" -> _) ++ upper.map("end" -> _)
+    }
 
     // lazy + cached: Spark calls planInputPartitions more than once on a
     // Scan (partitioning, RDD build) — one probe per query execution, not
@@ -117,7 +193,8 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
           .map(p => FilePagePartition(p): InputPartition)
       case None =>
         val cfg = http.get
-        val probe = new HttpPages(cfg.url, cfg.params, cfg.pageSize, cfg.retries)
+        val params = httpParams(cfg)
+        val probe = new HttpPages(cfg.url, params, cfg.pageSize, cfg.retries)
           .fetch(0).getOrElse(throw new IllegalStateException(
             s"graft-pages: empty probe response from ${cfg.url}"))
         val totalNode = new ObjectMapper().readTree(probe).path("response").path("total")
@@ -129,7 +206,7 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
         val total = if (totalNode.isNumber) totalNode.asLong() else totalNode.asText().toLong
         val nPages = math.max(1L, (total + cfg.pageSize - 1) / cfg.pageSize).toInt
         (0 until nPages).map { i =>
-          HttpPagePartition(cfg.url, cfg.params, cfg.pageSize, i * cfg.pageSize,
+          HttpPagePartition(cfg.url, params, cfg.pageSize, i * cfg.pageSize,
             cfg.retries, if (i == 0) Some(probe) else None): InputPartition
         }.toArray
     }
@@ -137,7 +214,7 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
     override def planInputPartitions(): Array[InputPartition] = planned
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new PagesReaderFactory(required)
+      new PagesReaderFactory(required, periodField, filters)
   }
 }
 
@@ -147,7 +224,9 @@ final case class HttpPagePartition(url: String, params: Map[String, String],
                                    pageSize: Int, offset: Int, retries: Int,
                                    prefetched: Option[String]) extends InputPartition
 
-final class PagesReaderFactory(required: StructType) extends PartitionReaderFactory {
+final class PagesReaderFactory(required: StructType, periodField: String,
+                               filters: Seq[PeriodFilter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val body = partition match {
       case FilePagePartition(file) =>
@@ -165,7 +244,22 @@ final class PagesReaderFactory(required: StructType) extends PartitionReaderFact
         .path("response").path("data")
       private var i = -1
 
-      override def next(): Boolean = { i += 1; i < data.size() }
+      // Pushed filters are ENFORCED here (Spark removed its own Filter node
+      // when the pushdown was accepted). The period is read from the raw
+      // node, not the pruned row — a query may filter on period while not
+      // selecting it.
+      private def rowAccepted(idx: Int): Boolean = {
+        if (filters.isEmpty) return true
+        val p = data.get(idx).get(periodField)
+        val s = if (p == null || p.isNull) null else p.asText()
+        filters.forall(_.accepts(s))
+      }
+
+      override def next(): Boolean = {
+        i += 1
+        while (i < data.size() && !rowAccepted(i)) i += 1
+        i < data.size()
+      }
 
       override def get(): InternalRow = {
         val node = data.get(i)

@@ -50,11 +50,12 @@ object EventStreams {
     */
   def windowedHeavyHitters(events: DataFrame, valueCol: String, k: Int,
                            windowLen: String = "1 hour",
-                           watermarkDelay: String = "2 hours"): DataFrame = {
+                           watermarkDelay: String = "2 hours",
+                           tsCol: String = "ts"): DataFrame = {
     val src =
-      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
     src
-      .groupBy(window(col("ts"), windowLen))
+      .groupBy(window(col(tsCol), windowLen))
       .agg(graft.operators.HeavyHitters.sketchOf(col(valueCol), k).as("candidates"))
       .select(col("window.start").as("window_start"), col("candidates"))
   }

@@ -30,6 +30,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == Some(55.0)) // ts == pts counts (<= bound)
   }
 
+  test("a null value in the latest right row surfaces as null, not the previous row's value") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-03 10:00:00")) // latest price row holds a NULL
+    ).toDF("event_id", "uid", "ts")
+    val prices = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some(100.0), "a"),
+      (10L, ts("2024-01-02 00:00:00"), None, "b") // latest; price is null
+    ).toDF("uid", "pts", "price", "tag")
+    val row = AsOfJoin.asOf(events, prices, "uid", "uid", "ts", "pts",
+      Seq("price", "tag")).select("price", "tag").collect()(0)
+    assert(row.isNullAt(0), "latest row's null must NOT be patched by an older row")
+    assert(row.getString(1) == "b")
+  }
+
   test("all left rows survive (left-join semantics), keys don't leak") {
     val left = Seq((1L, 99L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t2", "v")

@@ -57,6 +57,46 @@ class ExcelSourceSpec extends SparkSpec {
     assert(rows(1)(27).contains("tail"))
   }
 
+  test("real-world shared-strings workbook: rich text runs, styled cells, phonetic runs, preserve-space") {
+    // hand-built to mimic what Excel itself emits for the EIA930 reference
+    // workbook shape: an sst with count attributes, a plain <si><t>, a
+    // rich-text <si> split across styled runs, a phonetic <rPh> run (must be
+    // EXCLUDED), xml:space="preserve" leading whitespace, and styled cells
+    // (s= attributes) in the sheet
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_sst")
+    val p = dir.resolve("s.xlsx").toString
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(p)))
+    def put(name: String, content: String): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(content.getBytes("UTF-8")); out.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook><sheets><sheet name="BAs" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="3">""" +
+        """<si><t>BA Code</t></si>""" +
+        """<si><r><rPr><b/></rPr><t>California </t></r><r><t>ISO</t></r>""" +
+        """<rPh sb="0" eb="4"><t>phonetic-guide</t></rPh></si>""" +
+        """<si><t xml:space="preserve"> leading space</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="s" s="1"><v>0</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s" s="2"><v>1</v></c>""" +
+        """<c r="B2" t="s"><v>2</v></c><c r="C2" s="3"><v>42</v></c>""" +
+        """<c r="D2" s="3"/></row>""" + // styled cell with no value = absent
+        """</sheetData></worksheet>""")
+    out.close()
+    val rows = Xlsx.readRows(p, "BAs")
+    assert(rows(0) == Seq(Some("BA Code")))
+    assert(rows(1)(0).contains("California ISO"), "rich-text runs concatenate, rPh excluded")
+    assert(rows(1)(1).contains(" leading space"), "xml:space=preserve text kept verbatim")
+    assert(rows(1)(2).contains("42"))
+    assert(rows(1).lift(3).forall(_.isEmpty), "valueless styled cell is absent")
+  }
+
   test("reader handles inline strings (producer variant not used by the writer)") {
     // hand-build a minimal workbook whose sheet uses t="inlineStr" — openpyxl
     // write_only mode and several other producers emit this form

@@ -3,6 +3,7 @@ package graft.sources.v2
 import graft.SparkSpec
 import graft.sources.{EnvelopeJson, Schemas}
 import graft.sources.EnvelopeJson.FixturePages
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.ExplainMode
 
 class PagesDataSourceSpec extends SparkSpec {
@@ -75,5 +76,60 @@ class PagesDataSourceSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("pruned to [period,value]"), plan)
     assert(pruned.collect().forall(_.length == 2))
+  }
+
+  test("period filters push into the source and are enforced row-level") {
+    import org.apache.spark.sql.functions.col
+    val all = readV2.select("period").collect().map(_.getString(0)).sorted
+    val cutoff = all(all.length / 2)
+
+    val filtered = readV2.filter(col("period") >= cutoff)
+    val plan = filtered.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the scan reports the pushed bound, and no residual Filter node remains
+    assert(plan.contains(s"period >= $cutoff"), plan)
+    assert(!plan.contains("Filter ("), plan)
+    assert(filtered.select("period").collect().map(_.getString(0)).sorted.toSeq ==
+      all.filter(_ >= cutoff).toSeq)
+
+    // strict + upper-bound forms, and filtering on a non-selected column
+    val strict = readV2.filter(col("period") > cutoff).select("value")
+    assert(strict.count() == readV2.filter(col("period") > cutoff).count())
+    val upper = readV2.filter(col("period") < cutoff)
+    assert(upper.select("period").collect().map(_.getString(0)).sorted.toSeq ==
+      all.filter(_ < cutoff).toSeq)
+  }
+
+  test("http mode: pushed bounds become start/end request params") {
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", { ex =>
+      queries.add(ex.getRequestURI.getQuery)
+      // server honors start: rows p2..p4 when start=p2
+      val q = ex.getRequestURI.getQuery
+      val start = q.split("&").map(_.split("=", 2))
+        .collectFirst { case Array("start", v) => v }.getOrElse("p0")
+      val rows = (0 until 5).map(i => s"p$i").filter(_ >= start)
+        .map(p => s"""{"period":"$p","value":"1"}""").mkString(",")
+      val n = (0 until 5).count(i => s"p$i" >= start)
+      val body = s"""{"response":{"total":"$n","data":[$rows]}}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      import org.apache.spark.sql.functions.col
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("period", "string").add("value", "string")
+      val df = spark.read.format("graft-pages").schema(schema)
+        .option("url", url).option("pageSize", "10").load()
+        .filter(col("period") >= "p2")
+      assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("p2", "p3", "p4"))
+      assert(queries.asScala.forall(_.contains("start=p2")),
+        s"start param missing in ${queries.asScala.toList}")
+    } finally server.stop(0)
   }
 }

@@ -108,6 +108,60 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize over replayed micro-batches equals the w4 batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    // 3 users, 5 sessions: multi-event, gap-split, singleton
+    val fixture = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+      Event(3, ts("2024-01-01 11:00:00"), 1, "click", 1.0), // >30 min gap -> new session
+      Event(4, ts("2024-01-01 10:05:00"), 2, "click", 1.0),
+      Event(5, ts("2024-01-01 10:50:00"), 2, "view", 1.0), // >30 min gap -> new session
+      Event(6, ts("2024-01-01 11:05:00"), 2, "click", 1.0), // same session as 5
+      Event(7, ts("2024-01-01 10:20:00"), 3, "click", 1.0))
+    // one far-future flush event per user forces every REAL session closed
+    // (flatMapGroupsWithState NoTimeout only emits a session when a later
+    // event arrives past the gap; the flush sessions themselves stay open in
+    // state and are excluded from the comparison)
+    val flush = Seq(1L, 2L, 3L).map(u =>
+      Event(100 + u, ts("2024-01-02 00:00:00"), u, "flush", 0.0))
+
+    val input = MemoryStream[Event]
+    val q = sessionize(spark, input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessions_parity_out")
+      .outputMode("append").start()
+    try {
+      // replay in event-time-ordered micro-batches (the gap-session contract)
+      val ordered = fixture.sortBy(_.ts.getTime)
+      input.addData(ordered.take(3): _*); q.processAllAvailable()
+      input.addData(ordered.drop(3): _*); q.processAllAvailable()
+      input.addData(flush: _*); q.processAllAvailable()
+
+      val streamed = spark.table("sessions_parity_out").as[SessionUpdate].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+
+      // the w4 batch formulation (EtlQueries w4_sessionize) over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Long.MinValue, 0)
+      val batch = fixture.toDF()
+        .withColumn("new_s",
+          when(lag($"ts", 1).over(w).isNull ||
+            unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) > gapMs * 1000,
+            1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(run))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"), max($"ts").as("session_end"))
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+
+      assert(streamed == batch,
+        s"stream/batch sessionize diverged:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
+
   test("windowedHeavyHitters maintains one sketch per window across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
