@@ -58,30 +58,35 @@ object Bench {
   private val QuadraticBaselines = Set("d5_jaccard_bruteforce", "d8_embedding_neardup")
 
   /** Per-query seconds from a prior bench artifact, for the regression gate.
-    * Accepts either the raw one-line bench JSON (target/bench_last.json) or a
-    * driver round file (BENCH_r*.json) whose "tail" embeds that line. Source:
-    * SPARK_GRAFT_BENCH_PREV, else the newest BENCH_r*.json in the cwd. A
-    * hand-rolled scan, not a JSON library — build.sbt's dependency set is
-    * frozen and the format is self-produced.
+    * Accepts either the raw one-line bench JSON (BENCH_BASELINE.json,
+    * target/bench_last.json) or a driver round file (BENCH_r*.json) whose
+    * "tail" embeds that line. Source order: SPARK_GRAFT_BENCH_PREV, the
+    * committed BENCH_BASELINE.json (updated each round — the driver round
+    * files truncate their tail, losing the queries block), else the newest
+    * BENCH_r*.json in the cwd. A hand-rolled scan, not a JSON library —
+    * build.sbt's dependency set is frozen and the format is self-produced.
     */
   private def priorTimes(): Map[String, Double] = {
-    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
-    val fallback = {
-      val d = Paths.get(".").toAbsolutePath
-      val rounds = Option(d.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      rounds.lastOption.map(_.toPath)
-    }
-    explicit.orElse(fallback).filter(Files.exists(_)).map { p =>
+    def parse(p: java.nio.file.Path): Map[String, Double] = {
       val text = Files.readString(p)
-      // the driver file embeds the bench line inside a JSON string — unescape
+      // driver files embed the bench line inside a JSON string — unescape
       val flat = text.replace("\\\"", "\"")
       val qblock = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(flat).map(_.group(1))
       qblock.map { b =>
         "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(b)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty[String, Double])
-    }.getOrElse(Map.empty)
+    }
+    val candidates: Seq[java.nio.file.Path] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_)).toSeq ++
+        Seq(Paths.get("BENCH_BASELINE.json")) ++ {
+          val d = Paths.get(".").toAbsolutePath
+          Option(d.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+            .lastOption.map(_.toPath).toSeq
+        }
+    candidates.filter(Files.exists(_)).map(parse).find(_.nonEmpty)
+      .getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +105,21 @@ object Bench {
       df.limit(1).count()
     }
     SparkEntry.queries.head._2(spark, sfDir).count()
+    // JIT-warm the native per-row kernels (md5 prefix, minhash, simhash,
+    // dot product) on synthetic rows so the first dedup/ANN query measures
+    // the operator, not JVM compilation of its hash loops.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(2000).select(
+        graft.plans.MinhashSigLong.minhashSig(
+          concat_ws(" ", (0 until 12).map(i => conv(col("id") + i, 10, 16)): _*), 3),
+        graft.plans.SimhashLong.simhashLong(
+          concat_ws(" ", (0 until 12).map(i => conv(col("id") * i, 10, 16)): _*)),
+        graft.plans.GraftFunctions.dotLong(
+          transform(sequence(lit(1), lit(64)), x => x.cast("long") * col("id")),
+          transform(sequence(lit(1), lit(64)), x => x.cast("long") + col("id"))))
+        .count()
+    }
 
     // Dev-only subset filter (comma-separated names); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

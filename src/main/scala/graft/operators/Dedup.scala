@@ -114,15 +114,17 @@ object Dedup {
   def hashB(i: Int): Long = 12345L * i + 67
 
   /** 32-wide minhash signature per document: min over shingles of
-    * (a_i * h + b_i) mod p. One explode + one aggregation — partial mins
-    * combine map-side, so the shuffle carries 32 longs per document.
+    * (a_i * h + b_i) mod p. ONE per-row native expression
+    * (graft.plans.MinhashSigLong) — no shingle explode, no 32-column min
+    * aggregate, no shuffle; docs with < n words have no shingles and drop
+    * out, exactly as they dropped out of the groupBy in the relational form
+    * (which shuffled ~1M shingle rows at sf0.1 on this hot path).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = wordShinglesAll(df, idCol, textCol, n) // min is multiset-invariant
-      .withColumn("h", hash32(col("gram")))
-    val aggs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
-    sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val sig = df.select(col(idCol).as("sid"),
+      graft.plans.MinhashSigLong.minhashSig(col(textCol), n).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("sid") +: (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** LSH banding: (band, key) per document, key = the band's minhash slice. */
@@ -307,8 +309,14 @@ object Dedup {
     // measured as tens of seconds of DRIVER time on a 500-node graph.
     // Checkpointing truncates each round's plan to a leaf; caching alone
     // does not (it only short-circuits execution, not analysis).
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    // checkpoint pairs BEFORE the bidirectional union: the union references
+    // the pairs subtree twice in one plan, and when that subtree is a full
+    // LSH verification pipeline, exchange reuse is not guaranteed to dedup
+    // it (AQE re-plans per-branch) — one materialization guarantees one
+    // evaluation.
+    val p = pairs.localCheckpoint(false)
+    val edges = p.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(p.select(col("idb").as("src"), col("ida").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("sid")).distinct()
       .withColumn("component", col("sid")).localCheckpoint()
