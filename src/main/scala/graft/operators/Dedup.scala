@@ -289,6 +289,27 @@ object Dedup {
       col(idCol) === col("loser_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: corpus documents sharing ANY word n-gram
+    * with an evaluation/benchmark set, with the count of distinct
+    * overlapping grams — the standard guard against test-set leakage into
+    * training data. Returns (sid, n_overlap) for contaminated corpus docs
+    * only; anti-join the corpus against it to drop them.
+    *
+    * Scale shape: both sides reduce to distinct 48-bit gram hashes BEFORE
+    * the join, so the shuffle carries 8-byte keys (never text), and the
+    * benchmark side — eval sets are tiny relative to a corpus — typically
+    * broadcasts. Work scales with corpus token count, not corpus x benchmark.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val bg = wordShinglesAll(benchmark, idCol, textCol, n)
+      .select(hash48(col("gram")).as("g")).distinct()
+    val cg = wordShinglesAll(corpus, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g")).distinct()
+    cg.join(bg, Seq("g"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
+  }
+
   // ---- transitive grouping -------------------------------------------------
 
   /** Connected components over near-dup pairs: every document in a component

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-batch construction: documents are laid out
+  * in a deterministic order (`orderCol` asc) and concatenated into
+  * fixed-size context windows of `packSize` tokens; each document is
+  * assigned the pack containing its FIRST token (the GPT-style
+  * concatenate-then-chunk layout — a document crossing a boundary spills
+  * into the next pack, it is not moved). No reference analogue; this is the
+  * batch-construction step between a cleaned corpus and a trainer.
+  *
+  * Scale shape: the global running token sum is order-DEPENDENT but not
+  * inherently serial. A naive single `Window.orderBy` pulls the whole corpus
+  * through ONE task (the classic global-window bottleneck); here the prefix
+  * sum is two-level: value-derived buckets on the order key (deterministic —
+  * no spark_partition_id, whose assignment can differ between the two jobs),
+  * per-bucket token totals (a `buckets`-row aggregate), a driver-side
+  * exclusive scan of those totals (dimension-sized, like any broadcast dim),
+  * and a broadcast join back so the within-bucket cumsum runs as a window
+  * PARTITIONED BY bucket — every heavy step parallel, serial state = one
+  * long per bucket. Integer token counts make every offset engine-exact.
+  */
+object Packing {
+
+  /** (original columns) + n_tokens via `tokensOf`, start_offset, pack_id,
+    * offset_in_pack. `orderCol` must be unique (it defines the layout).
+    */
+  def assignPacks(spark: SparkSession, df: DataFrame, orderCol: String,
+                  tokensCol: String, packSize: Long,
+                  buckets: Int = 32): DataFrame = {
+    require(packSize > 0, s"packSize must be positive, got $packSize")
+    // value-derived bucket: order keys are range-bucketed by their value so
+    // bucket assignment is a pure function of the row, reproducible across
+    // the totals job and the cumsum job
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return packColumns(df, lit(0L), packSize) // empty
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val withBucket = df.withColumn("__bkt",
+      ((col(orderCol).cast("long") - lo) / width).cast("long"))
+
+    // per-bucket totals -> exclusive prefix offsets (driver scan of <=
+    // `buckets` rows — dimension-sized by construction)
+    val totals = withBucket.groupBy(col("__bkt"))
+      .agg(sum(col(tokensCol).cast("long")).as("__tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, tot)) => (b, acc + tot)
+    }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("__bkt", "__base")
+
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withStart = withBucket
+      .join(broadcast(offsetDf), Seq("__bkt"))
+      .withColumn("__start",
+        col("__base") + sum(col(tokensCol).cast("long")).over(w) -
+          col(tokensCol).cast("long"))
+    packColumns(withStart.drop("__bkt", "__base"), col("__start"), packSize)
+      .drop("__start")
+  }
+
+  private def packColumns(df: DataFrame, start: org.apache.spark.sql.Column,
+                          packSize: Long): DataFrame =
+    df.withColumn("start_offset", start)
+      .withColumn("pack_id", expr(s"start_offset div ${packSize}L"))
+      .withColumn("offset_in_pack", col("start_offset") % packSize)
+}

@@ -52,6 +52,21 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Per-key quota cap: keep at most `k` rows per `keyCol`, chosen by
+    * `orderCol` asc (deterministic — never "first seen") — the per-domain /
+    * per-source cap every crawl-derived corpus applies so one prolific
+    * source can't dominate training data. One shuffle by key; the window
+    * computes rank per key in parallel across keys, and skewed keys are
+    * bounded by the cap itself downstream.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
+                k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
     * all of rare ones). Strata absent from `rates` get `defaultRate`.
     */

@@ -545,6 +545,70 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Benchmark decontamination: corpus docs (doc_id % 7 <> 0) sharing any
+    // word 3-gram with the "benchmark" slice (doc_id % 7 = 0) — the
+    // test-set-leakage guard. Both sides reduce to distinct 48-bit gram
+    // hashes before the join, so only 8-byte keys shuffle.
+    QueryDef(
+      "d14_decontaminate",
+      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT DISTINCT doc_id AS sid,
+         |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
+         |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |bg AS (SELECT DISTINCT g FROM g WHERE sid % 7 = 0),
+         |cg AS (SELECT sid, g FROM g WHERE sid % 7 <> 0)
+         |SELECT sid AS doc_id, COUNT(*) AS n_overlap
+         |FROM cg JOIN bg USING (g) GROUP BY sid ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 3)
+        .select(col("sid").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing: documents concatenated in doc_id order into
+    // 2048-token context windows; each doc assigned the pack holding its
+    // first token. Engine computes the global prefix sum two-level
+    // (per-bucket totals + within-bucket windows — no single-task global
+    // window); the oracle is the naive one-window form, so the hash match
+    // proves the distributed prefix sum is exact.
+    QueryDef(
+      "pk1_sequence_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |st AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |    - n_tokens AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // 2048 AS pack_id,
+         |  start_offset % 2048 AS offset_in_pack
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.assignPacks(s, docs, "doc_id", "n_tokens", 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("pack_id"), col("offset_in_pack"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source quota cap: at most 20 docs per source, lowest doc_ids kept
+    // — the per-domain cap crawl corpora apply against dominant sources.
+    QueryDef(
+      "sm4_cap_per_source",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.capPerKey(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", 20)
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef(
       "d8_embedding_neardup",
       s"""WITH $quantVecCte
