@@ -13,7 +13,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sinks {
 
-  /** S10 — JDBC append sink (parity with the reference's blind append). */
+  /** S10 — JDBC append sink (parity with the reference's blind append).
+    *
+    * Tested against in-process Derby (zero-egress sandbox); Postgres 14 —
+    * the reference's actual sink (docker-compose.yaml:33) — differs only in
+    * Spark's JDBC type mapping: StringType lands as TEXT on Postgres vs
+    * CLOB on Derby, DoubleType as DOUBLE PRECISION (identical semantics),
+    * TimestampType as TIMESTAMP (the reference's columns are TEXT / FLOAT /
+    * INT / TIMESTAMP — databaseOperations.py:133-382 — all covered by the
+    * default dialect). No custom JdbcDialect needed; pass
+    * `.option("createTableColumnTypes", ...)` only to pin TEXT over VARCHAR
+    * when Spark creates the table itself.
+    */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)

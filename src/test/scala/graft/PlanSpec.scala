@@ -116,6 +116,35 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("pk1_sequence_pack: no single-task global window (the prefix sum is two-level)") {
+    val p = plan("pk1_sequence_pack")
+    // a naive global running sum plans Exchange SinglePartition under the
+    // Window — the exact bottleneck the two-level prefix sum exists to avoid.
+    // The final orderBy is presentation-only (range partitioned), so the only
+    // SinglePartition allowed is none at all.
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("d14_decontaminate: only hashed gram keys shuffle, never text") {
+    val p = plan("d14_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every exchange below the overlap join carries (g) or (sid, g) longs;
+    // the document text column must not appear in any exchange output
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("minhash/simhash signatures are per-row native kernels (no shingle explode shuffle)") {
+    val p = plan("d3_minhash_candidates")
+    assert(p.contains("graft_minhash_sig"), p)
+    // the signature stage must not explode shingles into an aggregate:
+    // the only exchanges are the band-bucket self-join's
+    assert(!p.contains("Generate explode"), p)
+  }
+
   test("dot-product kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("s1_knn_bruteforce")(spark, sf)
     df.collect() // AQE: codegen annotations only exist on the final plan

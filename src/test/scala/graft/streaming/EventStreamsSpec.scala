@@ -194,6 +194,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngest: batch N+1 dedups against what batch N ingested, via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest")
+    def p(s: String) = base.resolve(s).toString
+    // seed corpus + its band index
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    corpus.write.parquet(p("corpus"))
+    graft.operators.Dedup.bandIndex(corpus, "doc_id", "text", 3)
+      .write.parquet(p("bands"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = dedupIngest(input.toDF().toDF("doc_id", "text"),
+      p("corpus"), p("bands"), p("kept"), p("pairs"),
+      "doc_id", "text", n = 3, threshold = 0.5).start()
+    def drain(): Unit = { q.processAllAvailable() }
+
+    try {
+      // batch 1: one dup of the seed corpus, one novel doc
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+        (11L, "one two three four five six seven eight"))       // novel
+      drain()
+      // batch 2: a dup of the doc batch 1 ingested — only catchable if
+      // batch 1's bands were appended to the index
+      input.addData((20L, "one two three four five six seven eight"))
+      drain()
+
+      val kept = spark.read.parquet(p("kept")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L), s"kept $kept") // 10 dups seed, 20 dups 11
+      val pairs = spark.read.parquet(p("pairs"))
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 10L)), s"pairs $pairs")
+      assert(pairs.contains((11L, 20L)), s"pairs $pairs")
+      // the corpus grew by exactly the kept docs
+      val corpusIds = spark.read.parquet(p("corpus"))
+        .collect().map(_.getLong(0)).toSet
+      assert(corpusIds == Set(1L, 11L))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops retried keys across micro-batches, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
