@@ -84,14 +84,20 @@ object Dedup {
     * shared-shingle self-join. Exact but O(sum_g df(g)^2) — the baseline and
     * verify stage, not the scale path (use `minhashCandidates` first).
     * Jaccard is an integer ratio, so it's engine-exact.
+    *
+    * The self-join keys on the 48-bit gram HASH, not the gram string: the
+    * exchange carries 8-byte longs instead of text, and long equality beats
+    * string compare in the probe. The oracle hashes identically, so the
+    * (astronomically unlikely) collision behaves the same on both sides.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint(false)
+    val sh = wordShingles(df, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g")).localCheckpoint(false)
     val sizes = shingleSizes(sh)
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.gram") === col("b.gram") && col("a.sid") < col("b.sid"))
+        col("a.g") === col("b.g") && col("a.sid") < col("b.sid"))
       .groupBy(col("a.sid").as("ida"), col("b.sid").as("idb"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -176,13 +182,16 @@ object Dedup {
     // corpus's shingles.
     val candIds = cands.select(col("ida").as("cand_sid"))
       .union(cands.select(col("idb").as("cand_sid"))).distinct()
+    // gram hashes, not gram strings, through the intersection joins — same
+    // 8-byte-key discipline as jaccardPairs, mirrored by the oracle
     val sh = wordShingles(docs, idCol, textCol, n)
       .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi")
+      .select(col("sid"), hash48(col("gram")).as("g"))
       .localCheckpoint(false)
     val sizes = shingleSizes(sh)
     val inter = cands
       .join(sh.as("a"), col("ida") === col("a.sid"))
-      .join(sh.as("b"), col("idb") === col("b.sid") && col("a.gram") === col("b.gram"))
+      .join(sh.as("b"), col("idb") === col("b.sid") && col("a.g") === col("b.g"))
       .groupBy(col("ida"), col("idb"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -16,11 +16,16 @@ object CorpusQueries {
 
   // ---- shared oracle SQL fragments ----------------------------------------
 
-  /** Word n-gram shingle CTEs (mirror of Dedup.wordShingles, n=3). */
+  /** Word n-gram shingle CTEs (mirror of Dedup.wordShingles, n=3); `g` is
+    * the 48-bit gram hash the intersection joins key on (mirror of the
+    * engine's 8-byte-shuffle-key discipline).
+    */
   private val shingleCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id AS sid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |sh0 AS (SELECT DISTINCT doc_id AS sid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
       |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+      |sh AS (SELECT sid, gram,
+      |  CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) AS g FROM sh0),
       |sizes AS (SELECT sid, COUNT(*) AS nsh FROM sh GROUP BY sid)""".stripMargin
 
   /** Mirror of Dedup.hash32 / hash48. */
@@ -382,7 +387,7 @@ object CorpusQueries {
          |$bandsCte,
          |$candidatesCte,
          |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
-         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
          |  GROUP BY ida, idb)
          |SELECT * FROM (
          |  SELECT ida, idb,
@@ -397,7 +402,7 @@ object CorpusQueries {
       "d5_jaccard_bruteforce",
       s"""WITH $shingleCtes,
          |inter AS (SELECT a.sid AS ida, b.sid AS idb, COUNT(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.sid < b.sid
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.sid < b.sid
          |  GROUP BY 1, 2)
          |SELECT * FROM (
          |  SELECT ida, idb,
@@ -444,7 +449,7 @@ object CorpusQueries {
          |$bandsCte,
          |$candidatesCte,
          |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
-         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
          |  GROUP BY ida, idb),
          |pairs AS (SELECT ida, idb FROM (
          |  SELECT ida, idb,
@@ -472,7 +477,7 @@ object CorpusQueries {
          |$bandsCte,
          |$candidatesCte,
          |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
-         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
          |  GROUP BY ida, idb),
          |pairs AS (SELECT ida, idb FROM (
          |  SELECT ida, idb,
@@ -507,7 +512,7 @@ object CorpusQueries {
          |$bandsCte,
          |$candidatesCte,
          |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
-         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.gram = b.gram
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
          |  GROUP BY ida, idb)
          |SELECT * FROM (
          |  SELECT ida, idb,
