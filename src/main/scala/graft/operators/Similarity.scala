@@ -270,13 +270,14 @@ object Similarity {
     var cents = v.orderBy(col("sid")).limit(nCells)
       .select(col("sid").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
     for (_ <- 1 to updates) {
+      // one vector-sum aggregate per cell (graft.plans.VectorSumLong): the
+      // buffer is a single dim-long array with map-side partial combine, so
+      // the update shuffles nCells x partitions buffers — the previous
+      // posexplode -> (cid, pos) groupBy -> collect_list form shuffled
+      // n x dim rows and re-sorted every centroid back together
       cents = assignTop(v, packCells(cents))
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
         .groupBy(col("cid"))
-        .agg(collect_list(struct(col("pos"), col("sx"))).as("ps"))
-        .select(col("cid"),
-          transform(array_sort(col("ps")), p => p("sx")).as("cv"))
+        .agg(graft.plans.VectorSumLong.vectorSum(col("qv")).as("cv"))
         .withColumn("cnrm", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
     }
     cents
