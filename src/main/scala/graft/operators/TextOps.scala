@@ -206,6 +206,72 @@ object TextOps {
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(words(text), w => w.isin(markers.map(lit(_)): _*)))
 
+  /** Split documents into fixed-length character chunks with overlap — the
+    * context-window preprocessing in front of embedding/indexing jobs.
+    * Emits (id, chunk_id, chunk_start 1-based, chunk_text); stride =
+    * chunkLen - overlap. Pure explode + substring — map-side only, no
+    * shuffle, fuses into the scan at any scale.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkLen: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkLen > overlap && overlap >= 0,
+      s"need chunkLen > overlap >= 0, got ($chunkLen, $overlap)")
+    val stride = chunkLen - overlap
+    df.select(col(idCol),
+      posexplode(sequence(lit(1), greatest(length(col(textCol)), lit(1)),
+        lit(stride))).as(Seq("chunk_id", "chunk_start")),
+      col(textCol))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col(textCol).substr(col("chunk_start"), lit(chunkLen)).as("chunk_text"))
+  }
+
+  /** BM25 keyword ranking over whitespace tokens: score every document
+    * holding at least one query term, highest first (ties: lowest id).
+    * Scores are rounded to 6dp — BM25's idf log may differ in the last ulp
+    * between engines (the a8_median discipline).
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE any
+    * aggregation (the IN-list prunes ~all rows map-side), document lengths
+    * are one count per doc, corpus stats ride in a single broadcast row,
+    * and per-term document frequencies are a terms-sized broadcast join.
+    * The per-(doc, term) score sums in a FIXED expression order (one column
+    * per query term), so the double addition is deterministic across
+    * engines and partitionings.
+    */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    val toks = df.select(col(idCol).as("did"),
+      explode(words(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("did"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("tok") === t, col("s"))), lit(0.0)).as(s"s_$i")
+    }
+    scored.groupBy(col("did"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("did").as(idCol),
+        round(terms.indices.map(i => col(s"s_$i")).reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
     val Seq(en, de, es, fr, zh) = scores.map(_._2)

@@ -550,6 +550,49 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Character chunking with overlap: 120-char chunks, 20-char overlap
+    // (stride 100) — the context-window splitter ahead of embedding jobs.
+    QueryDef(
+      "ch1_chunk_docs",
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+        |  CAST((i - 1) * 100 + 1 AS BIGINT) AS chunk_start,
+        |  substr(text, (i - 1) * 100 + 1, 120) AS chunk_text
+        |FROM documents,
+        |  unnest(generate_series(1, (greatest(length(text), 1) + 99) // 100)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextOps.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        chunkLen = 120, overlap = 20)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // BM25 keyword ranking (k1=1.2, b=0.75), fixed-order per-term sums so
+    // the double addition is engine-deterministic; 6dp rounding absorbs the
+    // idf log's last ulp.
+    QueryDef(
+      "fts1_bm25_rank",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT did, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks
+        |    WHERE tok IN ('table', 'hash', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.did, tf.tok,
+        |    ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (did) CROSS JOIN stats),
+        |agg AS (SELECT did,
+        |    coalesce(SUM(CASE WHEN tok = 'table' THEN s END), 0.0) AS s0,
+        |    coalesce(SUM(CASE WHEN tok = 'hash' THEN s END), 0.0) AS s1,
+        |    coalesce(SUM(CASE WHEN tok = 'merge' THEN s END), 0.0) AS s2
+        |  FROM sc GROUP BY 1)
+        |SELECT did AS doc_id, round(s0 + s1 + s2, 6) AS score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TextOps.bm25Rank(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "merge"), k = 25)
+    },
+
     // Benchmark decontamination: corpus docs (doc_id % 7 <> 0) sharing any
     // word 3-gram with the "benchmark" slice (doc_id % 7 = 0) — the
     // test-set-leakage guard. Both sides reduce to distinct 48-bit gram

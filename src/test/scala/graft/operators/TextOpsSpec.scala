@@ -109,4 +109,39 @@ class TextOpsSpec extends SparkSpec {
       max(TextOps.qualityScore($"text")).as("hi")).collect()(0)
     assert(mm.getAs[Double]("lo") >= 0.0 && mm.getAs[Double]("hi") <= 1.0)
   }
+
+  test("chunkDocs: overlap layout, full coverage, short docs get one chunk") {
+    val docs = Seq((1L, "a" * 250), (2L, "xy")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text", chunkLen = 100, overlap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // stride 80: starts 1, 81, 161, 241 cover all 250 chars
+    assert(d1.map(_._3).toSeq == Seq(1L, 81L, 161L, 241L))
+    assert(d1.take(2).forall(_._4.length == 100))
+    assert(d1(2)._4.length == 90)  // chars 161..250
+    assert(d1.last._4.length == 10) // tail chunk clamps at end
+    // consecutive full-size chunks overlap by exactly `overlap`
+    d1.take(2).sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.takeRight(20) == b._4.take(20))
+    }
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._4 == "xy")
+  }
+
+  test("bm25Rank: term-bearing docs only, tf and rarity raise the score") {
+    val docs = Seq(
+      (1L, "table table table pad pad pad pad pad"),  // high tf of 'table'
+      (2L, "table pad pad pad pad pad pad pad"),      // low tf
+      (3L, "merge pad pad pad pad pad pad pad"),      // rare term
+      (4L, "pad pad pad pad pad pad pad pad")         // no term: excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Rank(docs, "doc_id", "text",
+      terms = Seq("table", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    val m = out.toMap
+    assert(m(1L) > m(2L), "higher tf must outrank")
+    assert(m(3L) > m(2L), "rarer term (df=1 vs df=2) must outrank at equal tf")
+    assert(out.sortBy(-_._2).map(_._1).toSeq == out.map(_._1).toSeq, "sorted desc")
+  }
 }
