@@ -789,6 +789,31 @@ object CorpusQueries {
     // mean == cosine to the sum), so the oracle unrolls both rounds in exact
     // arithmetic: seed cells -> argmax-cosine assignment -> per-dimension
     // sums -> reassignment.
+    // Per-label embedding centroid sums: the per-group vector reduction
+    // (graft.plans.VectorSumLong) oracle-checked directly — exact integer
+    // sums over quantized embeddings, any merge order. Output is flattened
+    // to (label, pos, sx) scalar rows: the harness hashes scalar columns.
+    QueryDef(
+      "e1_label_centroids",
+      s"""WITH v AS (SELECT label, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
+         |  FROM embeddings)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+         |  CAST(SUM(qv[pos]) AS BIGINT) AS sx
+         |FROM v, unnest(generate_series(1, 64)) AS t(pos)
+         |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          Similarity.quantize(col("embedding")).as("qv"))
+        .groupBy(col("label"))
+        .agg(graft.plans.VectorSumLong.vectorSum(col("qv")).as("centroid_sum"))
+        .select(col("label"),
+          posexplode(col("centroid_sum")).as(Seq("pos0", "sx")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          col("sx"))
+        .orderBy(col("label"), col("pos"))
+    },
+
     QueryDef(
       "s4_kmeans_refine",
       s"""WITH $quantVecCte,
