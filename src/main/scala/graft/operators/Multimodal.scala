@@ -37,6 +37,10 @@ case class MediaMeta(id: Long, format: String, n_bytes: Long, width: Long, heigh
 /** (id, media-bytes) row produced by [[Multimodal.attachMedia]]. */
 case class MediaRow(id: Long, media: Array[Byte])
 
+/** Parsed audio metadata from a WAV/RIFF header (see [[Multimodal.parseWav]]). */
+case class AudioMeta(id: Long, sample_rate: Long, channels: Long,
+                     data_bytes: Long, duration_us: Long)
+
 object Multimodal {
 
   /** Header sizes of the synthetic containers (fixed by construction):
@@ -164,6 +168,88 @@ object Multimodal {
       throw new IllegalArgumentException(
         s"unrecognized media container (${bytes.length} bytes)")
     }
+  }
+
+  // ---- WAV / RIFF audio (same discipline, audio modality) -----------------
+
+  val WavHeaderLen = 44 // canonical PCM WAV: RIFF(12) + fmt(24) + data hdr(8)
+
+  /** Deterministic fixture parameters for the audio variant. */
+  def sampleRateFor(n: Long): Int = (8000 + (n * 31L) % 40000).toInt
+  def channelsFor(n: Long): Int = (1 + n % 2).toInt
+
+  /** Canonical 44-byte PCM WAV header (RIFF spec layout: "RIFF" size "WAVE",
+    * "fmt " chunk with 16-byte PCM block, "data" chunk header), 16-bit
+    * samples, `payload` as the data section.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+    val byteRate = sampleRate * channels * 2
+    val buf = ByteBuffer.allocate(WavHeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + payload.length) // RIFF chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                   // PCM fmt chunk size
+    buf.putShort(1.toShort)          // audio format: PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(byteRate)
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16.toShort)             // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(payload.length)
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Parse (sampleRate, channels, dataLen, durationMicros) from WAV bytes.
+    * Magic/layout violations throw — same fail-loud stance as parseMeta.
+    * Duration is integer microseconds: dataLen * 1e6 / byteRate, exact and
+    * engine-reproducible.
+    */
+  def parseWav(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    if (bytes.length < WavHeaderLen ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE" ||
+        new String(bytes, 12, 4, "US-ASCII") != "fmt ")
+      throw new IllegalArgumentException(
+        s"not a canonical WAV header (${bytes.length} bytes)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val channels = bb.getShort(22).toInt
+    val rate = bb.getInt(24)
+    val byteRate = bb.getInt(28)
+    if (byteRate != rate * channels * 2)
+      throw new IllegalArgumentException(s"inconsistent byte rate $byteRate")
+    val dataLen = bb.getInt(40)
+    (rate, channels, dataLen, dataLen * 1000000L / byteRate)
+  }
+
+  /** Attach a WAV audio column wrapping the UTF-8 payload of `srcCol`. */
+  def attachAudio(spark: SparkSession, df: DataFrame, idCol: String,
+                  srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          MediaRow(id, wavBytes(sampleRateFor(n), channelsFor(n), payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse audio metadata out of WAV bytes — per-row map-side work. */
+  def decodeAudioMeta(spark: SparkSession, df: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, ch, dataLen, durUs) = parseWav(bytes)
+          AudioMeta(id, rate.toLong, ch.toLong, dataLen.toLong, durUs)
+        }
+      }
   }
 
   // ---- Spark kernels ------------------------------------------------------

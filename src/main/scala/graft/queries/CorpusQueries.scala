@@ -956,6 +956,25 @@ object CorpusQueries {
       Multimodal.frameFeatures(
         Multimodal.attachMedia(s, Tables.documents(s, d), "doc_id", "text"), 50)
         .orderBy(col("id"), col("pos"))
+    },
+
+    // Audio modality: canonical PCM WAV headers wrapped around the payload,
+    // sample rate / channels / duration recovered by PARSING THE BYTES; the
+    // oracle recomputes them from the generator's arithmetic, so an offset
+    // or endianness bug hash-mismatches. Duration is exact integer micros.
+    QueryDef(
+      "m3_audio_meta",
+      """SELECT doc_id AS id,
+        |  CAST(8000 + (n * 31) % 40000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + n % 2 AS BIGINT) AS channels,
+        |  n AS data_bytes,
+        |  CAST((n * 1000000) //
+        |    ((8000 + (n * 31) % 40000) * (1 + n % 2) * 2) AS BIGINT) AS duration_us
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |      FROM documents) ORDER BY id""".stripMargin) { (s, d) =>
+      Multimodal.decodeAudioMeta(s,
+        Multimodal.attachAudio(s, Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
     }
   )
 }

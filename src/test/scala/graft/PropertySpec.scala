@@ -116,6 +116,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val docGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf("key", "agg", "row", "scan", "table", "hash", "merge", ""),
+    Gen.alphaNumStr.map(_.take(8)))).map(_.mkString(" ").take(300))
+
+  test("native minhash kernel equals the relational explode + 32-min-agg form") {
+    import graft.operators.Dedup
+    forAllSamples(Gen.listOfN(40, docGen), 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // native path (production)
+      val native = Dedup.minhashSignatures(df, "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      // relational reference: explode shingles, hash, 32 min aggregates
+      val sh = Dedup.wordShinglesAll(df, "doc_id", "text", 3)
+        .withColumn("h", Dedup.hash32($"gram"))
+      val aggs = (0 until Dedup.NumHashes).map(i =>
+        min((lit(Dedup.hashA(i)) * $"h" + lit(Dedup.hashB(i))) % Dedup.MinhashPrime)
+          .as(s"m$i"))
+      val relational = sh.groupBy($"sid").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(native == relational)
+    }
+  }
+
+  test("native simhash kernel equals the relational explode + bit-sum form") {
+    import graft.operators.Dedup
+    forAllSamples(Gen.listOfN(40, docGen), 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val toks = df.select($"doc_id".as("sid"), explode(split($"text", " ")).as("tok"))
+        .withColumn("h", Dedup.hash48($"tok"))
+      val bitSums = (0 until Dedup.SimhashBits).map(b =>
+        sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val packed = (0 until Dedup.SimhashBits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+      val relational = toks.groupBy($"sid")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"sid", packed.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == relational)
+    }
+  }
+
+  test("native LSH bucket kernel equals the per-table codegen'd lshBucket form") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(16, Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)))
+    forAllSamples(vecGen, 3) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val nTables = 4; val nPlanes = 5; val dim = 8
+      val native = Similarity.lshNearDupPairs(df, "vec_id", "embedding",
+        dim, nTables, nPlanes, threshold = -2.0) // threshold -2 keeps ALL candidate pairs
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: per-table scalar lshBucket (independent codegen'd path)
+      val q = df.select($"vec_id".as("sid"), Similarity.quantize($"embedding").as("qv"))
+      val perTable = (0 until nTables).map { t =>
+        q.select($"sid", lit(t).as("tbl"),
+          Similarity.lshBucket($"qv", dim, t, nPlanes).as("bucket"))
+      }.reduce(_ unionByName _)
+      val expected = perTable.as("a")
+        .join(perTable.as("b"),
+          $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" && $"a.sid" < $"b.sid")
+        .select($"a.sid", $"b.sid").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native == expected)
+    }
+  }
+
   test("sampling invariants: nested rates nest, splits partition, salts independent") {
     forAllSamples(Gen.choose(1, 1000), 3) { seedIds =>
       val ids = (1L to 400L).map(i => Tuple1(i * seedIds)).toDF("id")
