@@ -301,6 +301,50 @@ object EtlQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // X-extension, TPC-H Q17 shape: correlated scalar-subquery (per-part
+    // average quantity) DECORRELATED into an aggregate + join — the plan
+    // rewrite every optimizer must get right. Exact decimal sums before the
+    // single double division keep both engines bit-identical.
+    QueryDef(
+      "x4_small_qty_revenue",
+      """WITH pq AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+        |      AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN pq ON pq.l_partkey = lineitem.l_partkey
+        |WHERE p_size <= 5 AND l_quantity < 0.2 * avg_qty""".stripMargin) { (s, d) =>
+      val pq = Tables.lineitem(s, d).groupBy(col("l_partkey").as("pq_partkey"))
+        .agg((ExactAgg.sumExact(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 5)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("pq_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((ExactAgg.sumExact(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    // X-extension, TPC-H Q13 shape: per-customer order counts INCLUDING the
+    // zero bucket (left join before the double aggregation) -> histogram.
+    QueryDef(
+      "x5_order_distribution",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // ---- §2c joins --------------------------------------------------------
 
     // J1: left-semi join against a filtered dimension
