@@ -301,6 +301,22 @@ object EtlQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // X-extension: SALTED two-phase aggregation — the skew-mitigation path
+    // for a hot key owning a reducer. The oracle is the PLAIN one-phase
+    // GROUP BY: a hash match proves the salted plan is result-identical
+    // (decimal-exact partials make it independent of partitioning).
+    QueryDef(
+      "sk1_salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+        |    AS sum_l_quantity,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.Salting.saltedSumCount(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", buckets = 16)
+        .orderBy(col("l_returnflag"))
+    },
+
     // X-extension, TPC-H Q17 shape: correlated scalar-subquery (per-part
     // average quantity) DECORRELATED into an aggregate + join — the plan
     // rewrite every optimizer must get right. Exact decimal sums before the
