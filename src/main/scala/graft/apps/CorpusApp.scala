@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *   read -> language filter -> quality threshold (score + repetition)
   *        -> PII redaction -> exact+near dedup
+  *        -> benchmark decontamination (optional)
+  *        -> sequence packing (optional)
   *        -> enriched curated corpus + per-stage stats
   *
   * Every stage is one of the library's oracle-checked operators; the
@@ -19,7 +21,27 @@ import org.apache.spark.sql.functions._
 object CorpusApp {
 
   case class Stats(input: Long, langKept: Long, qualityKept: Long,
-                   piiRedacted: Long, deduped: Long)
+                   piiRedacted: Long, deduped: Long,
+                   decontaminated: Long = 0L, packs: Long = 0L)
+
+  /** Drop curated docs sharing any word n-gram with the benchmark set, then
+    * lay the survivors into `packSize`-token training packs — the last two
+    * stages between a deduped corpus and a tokenizer. Returns the packed
+    * frame and (docs dropped, packs produced).
+    */
+  def decontaminateAndPack(spark: SparkSession, curated: DataFrame,
+                           benchmark: DataFrame, n: Int, packSize: Long)
+      : (DataFrame, Long, Long) = {
+    val contaminated = Dedup.decontaminate(curated, benchmark, "doc_id", "text", n)
+      .select(col("sid").as("bad_id"))
+    val clean = curated.join(broadcast(contaminated),
+      col("doc_id") === col("bad_id"), "left_anti")
+    val packed = graft.operators.Packing.assignPacks(
+      spark, clean, "doc_id", "n_tokens", packSize)
+    val dropped = curated.count() - clean.count()
+    val packs = packed.agg(countDistinct(col("pack_id"))).head().getLong(0)
+    (packed, dropped, packs)
+  }
 
   def curate(spark: SparkSession, docs: DataFrame,
              keepLangs: Set[String], minQuality: Double,

@@ -27,6 +27,27 @@ class CorpusAppSpec extends SparkSpec {
     assert(stats.qualityKept < stats.langKept)
   }
 
+  test("decontaminateAndPack: benchmark overlaps dropped, survivors packed contiguously") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val (curated, _) = CorpusApp.curate(spark, docs,
+      keepLangs = Set("en", "de", "es", "fr", "zh"), minQuality = 0.0)
+    // benchmark = the first curated doc's text: that doc (and its near-kin)
+    // must be dropped as contaminated
+    val first = curated.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text").collect()(0)
+    val benchmark = Seq((9999L, first.getString(1))).toDF("doc_id", "text")
+    val (packed, dropped, packs) =
+      CorpusApp.decontaminateAndPack(spark, curated, benchmark, n = 3, packSize = 256)
+    assert(dropped >= 1, "the benchmark-identical doc must be dropped")
+    assert(!packed.select("doc_id").as[Long].collect().contains(first.getLong(0)))
+    assert(packs >= 1)
+    // packing invariant: total tokens == last start_offset + its n_tokens
+    val agg = packed.agg(
+      sum($"n_tokens").as("tot"), max($"start_offset" + $"n_tokens").as("hi"))
+      .collect()(0)
+    assert(agg.getLong(0) == agg.getLong(1))
+  }
+
   test("curate: repetition gate drops boilerplate; PII is scrubbed before dedup") {
     val docs = Seq(
       (1L, "the quick brown fox jumped over the lazy dog and ran far away home", "en", 60L),
