@@ -490,6 +490,31 @@ object EtlQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // J-extension: range join WITHOUT an equi key (the shape Spark would
+    // nested-loop): orders whose date falls inside a 7-day post-shipment
+    // window of any heavy lineitem. Engine uses the banded rewrite (one
+    // hash shuffle on band ids + residual filter); oracle is the naive
+    // BETWEEN join. PlanSpec asserts no nested-loop/cartesian survives.
+    QueryDef(
+      "j7_range_join_banded",
+      """SELECT o_orderkey, COUNT(*) AS n_windows
+        |FROM orders JOIN (
+        |  SELECT l_shipdate FROM lineitem WHERE l_quantity >= 45) w
+        |  ON o_orderdate >= w.l_shipdate
+        |    AND o_orderdate < w.l_shipdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val windows = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_shipdate").as("w_start"),
+          (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+      graft.operators.RangeJoin.bandedRangeJoin(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        windows, "o_orderdate", "w_start", "w_end",
+        bandMicros = 7L * 24 * 3600 * 1000000)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_windows"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // J-extension: full outer join — unmatched rows from BOTH sides survive
     // with nulls (customers with no orders + orders of unknown customers).
     QueryDef(

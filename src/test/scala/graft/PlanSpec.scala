@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("j7_range_join_banded: the keyless range join is a hash join on bands, not a nested loop") {
+    val p = plan("j7_range_join_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("__band"), p) // the band id is the join key
+  }
+
   test("j4_asof_join: single shuffle per side, no nested-loop") {
     val p = plan("j4_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
