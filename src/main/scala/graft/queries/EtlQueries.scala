@@ -490,6 +490,43 @@ object EtlQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // J-extension: FORWARD as-of with tolerance — each event's next event
+    // of the same user (strictly later via a +1us probe), surfaced only if
+    // within 1 hour. Engine tolerance is 1h measured from the ORIGINAL ts
+    // (3_600_000_000 - 1 from the shifted probe), matching the oracle's
+    // `r_ts - ts <= INTERVAL 1 HOUR` exactly.
+    QueryDef(
+      "j4c_asof_forward_tol",
+      """WITH r AS (SELECT * FROM (
+        |  SELECT user_id AS r_uid, ts AS r_ts, event_id AS r_eid,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1)
+        |SELECT event_id, user_id,
+        |  CASE WHEN r_ts - ts <= INTERVAL 1 HOUR THEN r_eid END
+        |    AS next_event_id
+        |FROM events ASOF LEFT JOIN r
+        |  ON user_id = r_uid AND ts + INTERVAL 1 MICROSECOND <= r_ts
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val rightEvents = Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id").as("r_uid"), col("ts").as("r_ts"),
+          col("event_id").as("r_eid"))
+      val probes = Tables.events(s, d)
+        .withColumn("probe_ts", col("ts") + expr("INTERVAL 1 MICROSECOND"))
+      graft.operators.AsOfJoin.asOf(
+        probes, rightEvents,
+        leftKey = "user_id", rightKey = "r_uid",
+        leftTs = "probe_ts", rightTs = "r_ts",
+        rightValues = Seq("r_eid"),
+        direction = "forward",
+        toleranceMicros = Some(3600000000L - 1))
+        .select(col("event_id"), col("user_id"), col("r_eid").as("next_event_id"))
+        .orderBy(col("event_id"))
+    },
+
     // J-extension: range join WITHOUT an equi key (the shape Spark would
     // nested-loop): orders whose date falls inside a 7-day post-shipment
     // window of any heavy lineitem. Engine uses the banded rewrite (one

@@ -44,6 +44,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getString(1) == "b")
   }
 
+  test("forward direction picks the earliest at-or-after row; tolerance nulls far matches") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // next price at 12:00 (inclusive >= picks 12:00? no -> earliest AFTER-or-at 10:00 is 12:00)
+      (2L, 10L, ts("2024-01-01 12:00:00")), // simultaneous: inclusive
+      (3L, 10L, ts("2024-01-01 23:00:00"))  // nothing after
+    ).toDF("event_id", "uid", "ts")
+    val prices = Seq(
+      (10L, ts("2024-01-01 12:00:00"), 100.0),
+      (10L, ts("2024-01-01 14:00:00"), 200.0)
+    ).toDF("uid", "pts", "price")
+
+    val fwd = AsOfJoin.asOf(events, prices, "uid", "uid", "ts", "pts", Seq("price"),
+      direction = "forward")
+      .select("event_id", "price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(fwd(1L) == Some(100.0)) // earliest at-or-after, not latest
+    assert(fwd(2L) == Some(100.0)) // ts == pts counts (inclusive)
+    assert(fwd(3L) == None)
+
+    val tol = AsOfJoin.asOf(events, prices, "uid", "uid", "ts", "pts", Seq("price"),
+      direction = "forward", toleranceMicros = Some(3600L * 1000000)) // 1 hour
+      .select("event_id", "price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol(1L) == None)        // 2h gap exceeds tolerance -> nulled
+    assert(tol(2L) == Some(100.0)) // 0 gap within tolerance
+  }
+
   test("all left rows survive (left-join semantics), keys don't leak") {
     val left = Seq((1L, 99L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t2", "v")
