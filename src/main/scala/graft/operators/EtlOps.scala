@@ -183,4 +183,59 @@ object EtlOps {
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")
   }
+
+  /** Resample a keyed time series onto a fixed grid with forward-fill: one
+    * row per (key, grid slot) over [start, end), carrying the latest
+    * observation at-or-before the slot (null until a key's first
+    * observation). The gap-filling step an hourly pipeline needs when a
+    * source skips hours (the reference's hourly feeds do — it just never
+    * noticed).
+    *
+    * Observations are snapped to their slot (floor to `stepSeconds`),
+    * latest-per-slot wins (max ts, tiebreak by `tieBreak` desc). The grid is
+    * keys x sequence(start, end) — generated, not read — and the fill is
+    * last(ignoreNulls) over slot order: ONE shuffle by key, one per-key
+    * sort, any number of value columns carried in one struct (same
+    * discipline as AsOfJoin — a per-column fill would resurrect older
+    * values through a latest-but-null observation).
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    tieBreakCol: String, valueCols: Seq[String],
+                    start: java.sql.Timestamp, end: java.sql.Timestamp,
+                    stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepUs = stepSeconds * 1000000L
+    val slotOf: Column => Column = c =>
+      (floor(unix_micros(c.cast("timestamp")) / stepUs) * stepUs).cast("long")
+
+    // latest observation per (key, slot), values packed into one struct;
+    // tieBreakCol makes "latest" total under duplicate timestamps
+    val w = Window.partitionBy(col("__k"), col("__slot"))
+      .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
+    val obs = df
+      .filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
+      .withColumn("__k", col(keyCol))
+      .withColumn("__slot", slotOf(col(tsCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__slot"),
+        struct(valueCols.map(col): _*).as("__v"))
+
+    // same epoch-micros formula Spark's fromJavaTimestamp uses (UTC session)
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val gridStart = Math.floorDiv(usOf(start), stepUs) * stepUs
+    val grid = df.select(col(keyCol).as("__k")).distinct()
+      .select(col("__k"), explode(sequence(
+        lit(gridStart), lit(usOf(end) - 1), lit(stepUs))).as("__slot"))
+
+    val fillW = Window.partitionBy(col("__k")).orderBy(col("__slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("__k", "__slot"), "left")
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(fillW))
+      .select(
+        (Seq(col("__k").as(keyCol),
+          timestamp_micros(col("__slot")).as(tsCol)) ++
+          valueCols.map(c => col("__f")(c).as(c))): _*)
+  }
 }

@@ -301,6 +301,40 @@ object EtlQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // W-extension: resample onto an hourly grid with forward-fill — the
+    // gap-filling step for hourly feeds that skip hours. Grid is generated
+    // (keys x 168 slots over one week), latest-per-slot wins (ts then
+    // event_id), fill is last(ignoreNulls) over slot order.
+    QueryDef(
+      "ts1_resample_ffill",
+      """WITH grid AS (
+        |  SELECT user_id, 1704067200000000 + 3600000000 * g.i AS slot
+        |  FROM (SELECT DISTINCT user_id FROM events),
+        |       (SELECT unnest(generate_series(0, 167)) AS i) g),
+        |obs AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS slot, value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts >= make_timestamp(1704067200000000)
+        |    AND ts < make_timestamp(1704672000000000)),
+        |o1 AS (SELECT user_id, slot, value FROM obs WHERE rn = 1)
+        |SELECT g.user_id, make_timestamp(g.slot) AS ts,
+        |  LAST_VALUE(o1.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.slot
+        |    ROWS UNBOUNDED PRECEDING) AS value
+        |FROM grid g LEFT JOIN o1 ON g.user_id = o1.user_id AND g.slot = o1.slot
+        |ORDER BY g.user_id, ts""".stripMargin) { (s, d) =>
+      EtlOps.resampleFfill(Tables.events(s, d), "user_id", "ts", "event_id",
+        Seq("value"),
+        new java.sql.Timestamp(1704067200000L),  // 2024-01-01T00Z
+        new java.sql.Timestamp(1704672000000L),  // 2024-01-08T00Z
+        stepSeconds = 3600)
+        .orderBy(col("user_id"), col("ts"))
+    },
+
     // X-extension: SALTED two-phase aggregation — the skew-mitigation path
     // for a hot key owning a reducer. The oracle is the PLAIN one-phase
     // GROUP BY: a hash match proves the salted plan is result-identical

@@ -71,4 +71,25 @@ class EtlOpsSpec extends SparkSpec {
     val pages = Seq(0, 1, 2).map(i => li.filter($"l_orderkey" % 3 === i))
     assert(EtlOps.unionPages(pages).count() == li.count())
   }
+
+  test("resampleFfill: full grid per key, forward fill across gaps, null before first obs") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1704067200000L // 2024-01-01T00Z
+    val hour = 3600000L
+    val obs = Seq(
+      (1L, 10L, ts(base + hour + 600000), 5.0),      // key 10, slot 1
+      (2L, 10L, ts(base + hour + 1200000), 7.0),     // same slot, later ts wins
+      (3L, 10L, ts(base + 4 * hour), 9.0),           // slot 4 (slots 2,3 gap-filled with 7.0)
+      (4L, 20L, ts(base + 2 * hour), 1.0)            // key 20, slot 2
+    ).toDF("event_id", "uid", "ts", "v")
+    val out = EtlOps.resampleFfill(obs, "uid", "ts", "event_id", Seq("v"),
+      ts(base), ts(base + 6 * hour), stepSeconds = 3600)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.length == 12) // 2 keys x 6 hourly slots
+    val k10 = out.filter(_._1 == 10L).sortBy(_._2).map(_._3).toSeq
+    assert(k10 == Seq(None, Some(7.0), Some(7.0), Some(7.0), Some(9.0), Some(9.0)))
+    val k20 = out.filter(_._1 == 20L).sortBy(_._2).map(_._3).toSeq
+    assert(k20 == Seq(None, None, Some(1.0), Some(1.0), Some(1.0), Some(1.0)))
+  }
 }
