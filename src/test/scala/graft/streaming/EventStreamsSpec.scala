@@ -194,6 +194,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: dedup state survives a query restart (exactly-once across stop/start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val (outDir, ckptDir) = (base.resolve("out").toString, base.resolve("ckpt").toString)
+    val input = MemoryStream[Event]
+    def startQuery() = dedupWithinWatermark(input.toDF(), Seq("event_id"), "ts", "2 hours")
+      .select("event_id")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // while stopped: a RETRY of event 1 plus a new event — only the state
+    // store restored from the checkpoint can know 1 was already emitted
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 10:06:00"), 3, "click", 1.0))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(outDir).as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q2.stop()
+  }
+
   test("dedupIngest: batch N+1 dedups against what batch N ingested, via the persisted index") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_ingest")
