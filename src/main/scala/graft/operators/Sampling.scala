@@ -52,6 +52,19 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Weighted Bernoulli sample: each row survives with probability equal to
+    * its own `weightCol` (clamped to [0, 1]) — quality-weighted corpus
+    * downsampling, where high-quality documents keep (near-)certainty and
+    * junk keeps a thin tail instead of a hard cutoff. Deterministic like
+    * every sampler here: the row's fate is md5(salt, id) against
+    * weight x 2^32, so re-runs and engines agree exactly. Map-side filter —
+    * fuses into the scan.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     salt: String): DataFrame =
+    df.filter(bucket(col(idCol), salt).cast("double") <
+      least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) * Buckets)
+
   /** Per-key quota cap: keep at most `k` rows per `keyCol`, chosen by
     * `orderCol` asc (deterministic — never "first seen") — the per-domain /
     * per-source cap every crawl-derived corpus applies so one prolific

@@ -643,6 +643,33 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-WEIGHTED sampling: each doc survives with probability equal
+    // to its quality score — high quality keeps near-certainty, junk keeps
+    // a thin tail. Deterministic md5 bucket vs weight x 2^32, exactly
+    // mirrored by the oracle.
+    QueryDef(
+      "sm5_weighted_sample",
+      s"""SELECT doc_id, quality FROM (
+         |  SELECT doc_id,
+         |    0.4 * least(1.0, n_words / 100.0) + 0.3 * (1.0 - punct_ct / n_chars)
+         |      + 0.3 * least(1.0, 4.0 * stop_ct / n_words) AS quality
+         |  FROM (SELECT doc_id,
+         |    greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n_words,
+         |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS punct_ct,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE) AS stop_ct
+         |  FROM documents))
+         |WHERE CAST(CAST(concat('0x', substr(md5('w1:' || doc_id), 1, 8)) AS BIGINT)
+         |    AS DOUBLE)
+         |  < least(greatest(quality, 0.0), 1.0) * 4294967296.0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.weightedSample(scored, "doc_id", "quality", "w1")
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source quota cap: at most 20 docs per source, lowest doc_ids kept
     // — the per-domain cap crawl corpora apply against dominant sources.
     QueryDef(

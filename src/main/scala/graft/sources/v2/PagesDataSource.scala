@@ -125,14 +125,24 @@ final case class PeriodFilter(op: String, value: String) {
 final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
                              http: Option[HttpConfig], periodField: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // Partial pushdown (return false): with period filters enforced inside
+  // the reader a page may yield fewer rows than it holds, so the source
+  // can only bound work (fetch/plan fewer pages, stop each reader at n),
+  // while Spark applies the exact final limit.
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -162,12 +172,14 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
 
   override def build(): Scan = new Scan with Batch {
     private val filters = periodFilters
+    private val pushedLimit = limit
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-pages ${path.orElse(http.map(_.url)).get}, " +
         s"pruned to [${required.fieldNames.mkString(",")}], " +
-        s"pushed [${filters.map(f => s"$periodField ${f.op} ${f.value}").mkString(", ")}]"
+        s"pushed [${filters.map(f => s"$periodField ${f.op} ${f.value}").mkString(", ")}]" +
+        pushedLimit.map(n => s", limit $n").getOrElse("")
 
     // The API's start/end params are inclusive bounds, so strict comparisons
     // push their value too (a superset); the reader's row-level check
@@ -204,7 +216,12 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
               "partitions; use the sequential EnvelopeJson cyclers for " +
               "discovered-end pagination")
         val total = if (totalNode.isNumber) totalNode.asLong() else totalNode.asText().toLong
-        val nPages = math.max(1L, (total + cfg.pageSize - 1) / cfg.pageSize).toInt
+        // a pushed limit (with no row-dropping filters) bounds the pages
+        // worth FETCHING: n rows live in the first ceil(n/pageSize) pages
+        val cappedTotal =
+          if (filters.isEmpty) pushedLimit.fold(total)(n => math.min(total, n.toLong))
+          else total
+        val nPages = math.max(1L, (cappedTotal + cfg.pageSize - 1) / cfg.pageSize).toInt
         (0 until nPages).map { i =>
           HttpPagePartition(cfg.url, params, cfg.pageSize, i * cfg.pageSize,
             cfg.retries, if (i == 0) Some(probe) else None): InputPartition
@@ -214,7 +231,7 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
     override def planInputPartitions(): Array[InputPartition] = planned
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new PagesReaderFactory(required, periodField, filters)
+      new PagesReaderFactory(required, periodField, filters, pushedLimit)
   }
 }
 
@@ -225,7 +242,8 @@ final case class HttpPagePartition(url: String, params: Map[String, String],
                                    prefetched: Option[String]) extends InputPartition
 
 final class PagesReaderFactory(required: StructType, periodField: String,
-                               filters: Seq[PeriodFilter])
+                               filters: Seq[PeriodFilter],
+                               limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val body = partition match {
@@ -255,10 +273,17 @@ final class PagesReaderFactory(required: StructType, periodField: String,
         filters.forall(_.accepts(s))
       }
 
+      private var emitted = 0
+
       override def next(): Boolean = {
+        // pushed limit: each partition emits at most n accepted rows (Spark
+        // applies the exact global limit on top)
+        if (limit.exists(emitted >= _)) return false
         i += 1
         while (i < data.size() && !rowAccepted(i)) i += 1
-        i < data.size()
+        val has = i < data.size()
+        if (has) emitted += 1
+        has
       }
 
       override def get(): InternalRow = {

@@ -100,6 +100,47 @@ class PagesDataSourceSpec extends SparkSpec {
       all.filter(_ < cutoff).toSeq)
   }
 
+  test("limit pushdown: fixture mode bounds reader output; http mode plans fewer pages") {
+    import org.apache.spark.sql.functions.col
+    // fixture mode: readers stop early, Spark applies the exact limit
+    val limited = readV2.limit(3)
+    val plan = limited.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("limit 3"), plan)
+    assert(limited.count() == 3)
+    // limit + filter composes (filter makes the page-cap unsafe, so the
+    // limit only bounds per-reader output)
+    assert(readV2.filter(col("period") > "").limit(2).count() == 2)
+
+    // http mode: only the pages the limit needs are fetched
+    val offsets = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", { ex =>
+      val off = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .collectFirst { case Array("offset", v) => v.toInt }.get
+      offsets.add(off)
+      val rows = (off until math.min(off + 2, 10))
+        .map(i => s"""{"period":"p$i","value":"$i"}""").mkString(",")
+      val body = s"""{"response":{"total":"10","data":[$rows]}}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("period", "string").add("value", "string")
+      val df = spark.read.format("graft-pages").schema(schema)
+        .option("url", url).option("pageSize", "2").load().limit(3)
+      assert(df.count() == 3)
+      // 10 rows = 5 pages, but limit 3 needs ceil(3/2) = 2 pages
+      assert(offsets.asScala.toSet.subsetOf(Set(0, 2)),
+        s"fetched offsets ${offsets.asScala.toSet} — limit did not cap page planning")
+    } finally server.stop(0)
+  }
+
   test("http mode: pushed bounds become start/end request params") {
     val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
