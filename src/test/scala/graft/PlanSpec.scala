@@ -122,6 +122,14 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("w2_rownum_topn: per-group top-n gets WindowGroupLimit (rank filter pushed below the sort)") {
+    val p = plan("w2_rownum_topn")
+    // Spark 3.5+ plans rn <= k as WindowGroupLimit: each partition keeps k
+    // rows per group BEFORE the window sort's exchange — at scale this is
+    // the difference between shuffling k rows per group and every row
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("pk1_sequence_pack: no single-task global window (the prefix sum is two-level)") {
     val p = plan("pk1_sequence_pack")
     // a naive global running sum plans Exchange SinglePartition under the
