@@ -43,10 +43,14 @@ object RangeJoin {
 
     val p = points.withColumn("__band", bandOf(col(pointTs)))
     // an interval [s, e) overlaps bands floor(s/W) .. floor((e-1us)/W);
-    // sequence is inclusive on both ends
-    val i = intervals.withColumn("__band",
-      explode(sequence(bandOf(col(startCol)),
-        floor((micros(col(endCol)) - 1) / bandMicros).cast("long"))))
+    // sequence is inclusive on both ends. Degenerate intervals (e <= s)
+    // can match nothing but WOULD make sequence run backwards (Spark infers
+    // step -1 when start > stop), replicating junk rows — drop them first.
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__band",
+        explode(sequence(bandOf(col(startCol)),
+          floor((micros(col(endCol)) - 1) / bandMicros).cast("long"))))
     p.join(i, Seq("__band"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__band")
