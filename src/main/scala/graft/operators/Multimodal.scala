@@ -41,6 +41,9 @@ case class MediaRow(id: Long, media: Array[Byte])
 case class AudioMeta(id: Long, sample_rate: Long, channels: Long,
                      data_bytes: Long, duration_us: Long)
 
+/** Parsed video metadata from an AVI/RIFF header (see [[Multimodal.parseAvi]]). */
+case class VideoMeta(id: Long, fps: Long, n_frames: Long, duration_us: Long)
+
 object Multimodal {
 
   /** Header sizes of the synthetic containers (fixed by construction):
@@ -248,6 +251,87 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (rate, ch, dataLen, durUs) = parseWav(bytes)
           AudioMeta(id, rate.toLong, ch.toLong, dataLen.toLong, durUs)
+        }
+      }
+  }
+
+  // ---- AVI / RIFF video (same discipline, video modality) -----------------
+
+  /** Canonical minimal AVI layout: RIFF(12) + LIST hdrl header(12) +
+    * avih chunk header(8) + 56-byte MainAVIHeader.
+    */
+  val AviHeaderLen = 88
+
+  /** Deterministic fixture parameters for the video variant. */
+  def fpsFor(n: Long): Int = (10 + n % 50).toInt
+  def framesFor(n: Long): Int = (100 + n % 900).toInt
+
+  /** Minimal canonical AVI: 'RIFF' size 'AVI ' + LIST 'hdrl' containing one
+    * 'avih' MainAVIHeader (56 bytes: dwMicroSecPerFrame first,
+    * dwTotalFrames at offset +16), `payload` as the movi body stand-in.
+    */
+  def aviBytes(fps: Int, frames: Int, payload: Array[Byte]): Array[Byte] = {
+    val usPerFrame = 1000000 / fps
+    val buf = ByteBuffer.allocate(AviHeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(AviHeaderLen - 8 + payload.length) // RIFF chunk size
+    buf.put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII"))
+    buf.putInt(4 + 8 + 56) // hdrl list size: 'hdrl' + avih chunk
+    buf.put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII"))
+    buf.putInt(56) // MainAVIHeader size
+    buf.putInt(usPerFrame)         // dwMicroSecPerFrame
+    buf.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    buf.putInt(frames)             // dwTotalFrames
+    (0 until 9).foreach(_ => buf.putInt(0)) // initialFrames..reserved
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Parse (fps, frames, durationMicros) from canonical AVI bytes —
+    * fail-loud on layout violations like every parser here. Duration is
+    * frames x dwMicroSecPerFrame, exact integer micros.
+    */
+  def parseAvi(bytes: Array[Byte]): (Int, Int, Long) = {
+    if (bytes.length < AviHeaderLen ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "AVI " ||
+        new String(bytes, 24, 4, "US-ASCII") != "avih")
+      throw new IllegalArgumentException(
+        s"not a canonical AVI header (${bytes.length} bytes)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val usPerFrame = bb.getInt(32)
+    val frames = bb.getInt(48)
+    if (usPerFrame <= 0)
+      throw new IllegalArgumentException(s"invalid dwMicroSecPerFrame $usPerFrame")
+    (1000000 / usPerFrame, frames, frames.toLong * usPerFrame)
+  }
+
+  /** Attach an AVI video column wrapping the UTF-8 payload of `srcCol`. */
+  def attachVideo(spark: SparkSession, df: DataFrame, idCol: String,
+                  srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          MediaRow(id, aviBytes(fpsFor(n), framesFor(n), payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse video metadata out of AVI bytes — per-row map-side work. */
+  def decodeVideoMeta(spark: SparkSession, df: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (fps, frames, durUs) = parseAvi(bytes)
+          VideoMeta(id, fps.toLong, frames.toLong, durUs)
         }
       }
   }

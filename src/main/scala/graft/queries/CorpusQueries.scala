@@ -1002,6 +1002,24 @@ object CorpusQueries {
       Multimodal.decodeAudioMeta(s,
         Multimodal.attachAudio(s, Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy(col("id"))
+    },
+
+    // Video modality: canonical AVI (RIFF) MainAVIHeaders parsed byte-level;
+    // the oracle mirrors the generator arithmetic INCLUDING the
+    // fps -> usPerFrame -> fps integer round trip, so the parse must read
+    // the actual stored field, not re-derive the input.
+    QueryDef(
+      "m4_video_meta",
+      """SELECT doc_id AS id,
+        |  1000000 // (1000000 // fps0) AS fps,
+        |  frames AS n_frames,
+        |  CAST(frames * (1000000 // fps0) AS BIGINT) AS duration_us
+        |FROM (SELECT doc_id, 10 + n % 50 AS fps0, 100 + n % 900 AS frames
+        |      FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |            FROM documents)) ORDER BY id""".stripMargin) { (s, d) =>
+      Multimodal.decodeVideoMeta(s,
+        Multimodal.attachVideo(s, Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
     }
   )
 }
