@@ -335,6 +335,76 @@ object EtlQueries {
         .orderBy(col("user_id"), col("ts"))
     },
 
+    // Q-extension: per-column dataset profile — row/null/distinct counts and
+    // min/max rendered as strings, one row per column, one shared scan.
+    QueryDef(
+      "dp1_profile",
+      ("""SELECT * FROM (""" +
+        Seq("l_quantity", "l_returnflag", "l_shipdate").map(c =>
+          s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+             |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_s,
+             |  CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""".stripMargin)
+          .mkString("\nUNION ALL\n") +
+        """) ORDER BY "column"""").stripMargin) { (s, d) =>
+      graft.operators.Quality.profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("column"))
+    },
+
+    // Q-extension: data-quality expectation gate — violation counts for
+    // named rules in one scan; rules chosen so at least one fires.
+    QueryDef(
+      "dq1_expectations",
+      """SELECT 'qty_le_49' AS rule,
+        |  COUNT(CASE WHEN NOT coalesce(l_quantity <= 49, false) THEN 1 END)
+        |    AS n_violations,
+        |  CAST(COUNT(CASE WHEN NOT coalesce(l_quantity <= 49, false) THEN 1 END)
+        |    AS DOUBLE) / greatest(CAST(COUNT(*) AS DOUBLE), 1.0) AS violation_rate
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  COUNT(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 END),
+        |  CAST(COUNT(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 END)
+        |    AS DOUBLE) / greatest(CAST(COUNT(*) AS DOUBLE), 1.0)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_present',
+        |  COUNT(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, false) THEN 1 END),
+        |  CAST(COUNT(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, false) THEN 1 END)
+        |    AS DOUBLE) / greatest(CAST(COUNT(*) AS DOUBLE), 1.0)
+        |FROM lineitem
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      graft.operators.Quality.expect(Tables.lineitem(s, d), Seq(
+        "qty_le_49" -> (col("l_quantity") <= 49),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "shipdate_present" -> col("l_shipdate").isNotNull))
+        .orderBy(col("rule"))
+    },
+
+    // A-extension: incremental aggregate maintenance — a persisted per-key
+    // (sum, count) aggregate combined with a delta batch's aggregate equals
+    // the full recompute (the oracle). Algebraic partials make the combine
+    // exact under any split of the data.
+    QueryDef(
+      "a11_incremental_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      def part(pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        Tables.lineitem(s, d).filter(pred)
+          .groupBy(col("l_returnflag"))
+          .agg(ExactAgg.sumExact(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+      graft.operators.Quality.refreshSumCount(
+        part(col("l_orderkey") % 5 =!= 4), // the "materialized" aggregate
+        part(col("l_orderkey") % 5 === 4), // the delta batch's aggregate
+        Seq("l_returnflag"), "sum_qty", "n")
+        .orderBy(col("l_returnflag"))
+    },
+
     // X-extension: SALTED two-phase aggregation — the skew-mitigation path
     // for a hot key owning a reducer. The oracle is the PLAIN one-phase
     // GROUP BY: a hash match proves the salted plan is result-identical

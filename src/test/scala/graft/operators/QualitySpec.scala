@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts nulls/distinct and renders bounds per column") {
+    val df = Seq(
+      (Some(1.0), "a"), (Some(2.0), "a"), (None, "b")
+    ).toDF("x", "k")
+    val p = Quality.profile(df, Seq("x", "k")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("x").getLong(1) == 3 && p("x").getLong(2) == 1) // rows, nulls
+    assert(p("x").getLong(3) == 2) // distinct (nulls excluded)
+    assert(p("x").getString(4) == "1.0" && p("x").getString(5) == "2.0")
+    assert(p("k").getLong(2) == 0 && p("k").getLong(3) == 2)
+  }
+
+  test("expect: null predicates count as violations; rates over total rows") {
+    val df = Seq(Some(5), Some(60), None).map(Tuple1(_)).toDF("v")
+    val out = Quality.expect(df, Seq(
+      "v_le_50" -> ($"v" <= 50),       // 60 violates; NULL violates
+      "v_present" -> $"v".isNotNull)) // one null
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("v_le_50") == ((2L, 2.0 / 3)))
+    assert(out("v_present") == ((1L, 1.0 / 3)))
+  }
+
+  test("refreshSumCount: combining partial aggregates equals the full recompute") {
+    val rows = (1 to 100).map(i => (s"k${i % 3}", (i % 7).toDouble)).toDF("k", "v")
+      .withColumn("v", $"v".cast("string")) // sumExact takes the coercible form
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(ExactAgg.sumExact($"v").as("s"), count(lit(1)).as("n"))
+    val full = agg(rows).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val merged = Quality.refreshSumCount(
+      agg(rows.limit(60)), agg(rows.exceptAll(rows.limit(60))), Seq("k"), "s", "n")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(merged == full)
+  }
+}
