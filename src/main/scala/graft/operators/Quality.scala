@@ -10,23 +10,30 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   /** Column profile, one OUTPUT ROW PER COLUMN: row count, null count,
-    * exact distinct count, min/max rendered as strings. One aggregation
-    * pass per column batched into a single job via a union of per-column
-    * aggregates over a shared scan — at scale, swap exact distinct for
-    * approx_count_distinct per the ApproxOps contract.
+    * exact distinct count, min/max rendered as strings. ALL columns'
+    * statistics come from ONE aggregation over ONE scan (the multi-distinct
+    * Expand plan), then the single result row unpivots via a struct
+    * explode — profiling k columns costs one table pass, not k. At scale,
+    * swap exact distinct for approx_count_distinct per the ApproxOps
+    * contract.
     */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val perCol = columns.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        count(when(col(c).isNull, 1)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_s"),
-        max(col(c)).cast("string").as("max_s"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_s"), col("max_s"))
-    }
-    perCol.reduce(_ unionByName _)
+    require(columns.nonEmpty, "at least one column")
+    val aggs = columns.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(col("__n"),
+      explode(array(columns.map(c => struct(
+        lit(c).as("column"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))): _*)).as("p"))
+      .select(col("p.column"), col("__n").as("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
   }
 
   /** Expectation gate: named boolean predicates evaluated per row, violation
@@ -39,14 +46,18 @@ object Quality {
     val aggs = rules.map { case (name, pred) =>
       count(when(!coalesce(pred, lit(false)), 1)).as(s"__v_$name")
     }
-    val counted = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = rules.map { case (name, _) =>
-      counted.select(lit(name).as("rule"),
-        col(s"__v_$name").as("n_violations"),
-        (col(s"__v_$name").cast("double") /
+    // single aggregate row unpivoted by struct explode — a union of
+    // per-rule projections would re-evaluate the aggregation (and re-scan)
+    // once per rule
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(col("__n"),
+        explode(array(rules.map { case (name, _) => struct(
+          lit(name).as("rule"),
+          col(s"__v_$name").as("n_violations"))
+        }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_violations"),
+        (col("r.n_violations").cast("double") /
           greatest(col("__n").cast("double"), lit(1.0))).as("violation_rate"))
-    }
-    rows.reduce(_ unionByName _)
   }
 
   /** Incremental aggregate maintenance (additive IVM): combine a persisted

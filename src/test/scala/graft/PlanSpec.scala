@@ -122,6 +122,15 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("dp1/dq1: profiling and expectations cost ONE table scan each") {
+    Seq("dp1_profile", "dq1_expectations").foreach { q =>
+      val p = plan(q)
+      // one "Location:" detail block per scan node in formatted explain
+      assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1,
+        s"$q re-scans the table:\n$p")
+    }
+  }
+
   test("w2_rownum_topn: per-group top-n gets WindowGroupLimit (rank filter pushed below the sort)") {
     val p = plan("w2_rownum_topn")
     // Spark 3.5+ plans rn <= k as WindowGroupLimit: each partition keeps k
