@@ -46,6 +46,48 @@ object TaskGraph {
     results.toMap
   }
 
+  /** Like [[run]], but independent ready tasks execute CONCURRENTLY on
+    * `parallelism` worker threads (the reference's CeleryExecutor runs task
+    * processes in parallel; docker-compose.yaml scales workers). Semantics
+    * identical to `run`: a task starts only when every upstream Succeeded,
+    * downstream of failure is skipped, per-task retries apply. Wave-based
+    * scheduling: each wave launches every currently-ready task and joins —
+    * simple, deterministic result maps, and a Spark driver mostly WANTS
+    * bounded submission concurrency (jobs from separate threads fill the
+    * scheduler's pools).
+    */
+  def runParallel(tasks: Seq[Task], parallelism: Int = 4,
+                  sleep: Long => Unit = Thread.sleep): Map[String, TaskResult] = {
+    require(parallelism >= 1, "parallelism >= 1")
+    val byId = tasks.map(t => t.id -> t).toMap
+    require(byId.size == tasks.size, "duplicate task ids")
+    tasks.foreach(t => t.upstream.foreach(u =>
+      require(byId.contains(u), s"unknown upstream '$u' of '${t.id}'")))
+    topoSort(tasks) // cycle check up front
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val results = scala.collection.concurrent.TrieMap.empty[String, TaskResult]
+      var remaining = tasks
+      while (remaining.nonEmpty) {
+        val (ready, blocked) = remaining.partition(
+          _.upstream.forall(results.contains))
+        // topoSort guarantees progress: some task always has all upstreams done
+        val futures = ready.map { t =>
+          t -> pool.submit(new java.util.concurrent.Callable[TaskResult] {
+            override def call(): TaskResult =
+              if (t.upstream.exists(u => results(u) != Succeeded))
+                SkippedUpstreamFailure
+              else attempt(t, sleep)
+          })
+        }
+        futures.foreach { case (t, f) => results(t.id) = f.get() }
+        remaining = blocked
+      }
+      results.toMap
+    } finally pool.shutdown()
+  }
+
   private def attempt(t: Task, sleep: Long => Unit): TaskResult = {
     var attempts = 0
     var lastError: Throwable = null

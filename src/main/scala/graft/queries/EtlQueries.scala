@@ -1059,6 +1059,40 @@ object EtlQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // W4b: the BUILT-IN session_window formulation of w4's gap
+    // sessionization — same 30-minute-gap semantics through Spark's native
+    // session-window aggregation (the streaming-capable operator), checked
+    // against the same window-function oracle (session end = last event +
+    // gap by session_window's definition).
+    QueryDef(
+      "w7_session_window",
+      """WITH marks AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marks)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // W5: rolling time-range aggregate — per event, activity of the same
     // user in the trailing hour (RANGE frame over epoch micros; the decimal
     // cast keeps the windowed double sum engine-exact).

@@ -50,4 +50,28 @@ class TaskGraphSpec extends AnyFunSuite {
         Task("b", upstream = Seq("a"))(() => ())), sleep = _ => ())
     }
   }
+
+  test("runParallel: independent tasks overlap, dependencies and skip semantics hold") {
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // b and c both depend on a and can only finish if they RUN CONCURRENTLY
+    // (each waits at a 2-party barrier); d follows both
+    val r = TaskGraph.runParallel(Seq(
+      Task("a")(() => order.add("a")),
+      Task("b", upstream = Seq("a"))(() => { gate.await(); order.add("b") }),
+      Task("c", upstream = Seq("a"))(() => { gate.await(); order.add("c") }),
+      Task("d", upstream = Seq("b", "c"))(() => order.add("d"))),
+      parallelism = 2, sleep = _ => ())
+    assert(r.values.forall(_ == Succeeded))
+    val seq = order.toArray.map(_.toString).toSeq
+    assert(seq.head == "a" && seq.last == "d")
+
+    // failure skip propagates transitively in parallel mode too
+    val r2 = TaskGraph.runParallel(Seq(
+      Task("x", policy = RetryPolicy(retries = 0, delayMs = 1))(() => sys.error("nope")),
+      Task("y", upstream = Seq("x"))(() => ()),
+      Task("z", upstream = Seq("y"))(() => ())),
+      parallelism = 2, sleep = _ => ())
+    assert(r2("y") == SkippedUpstreamFailure && r2("z") == SkippedUpstreamFailure)
+  }
 }
