@@ -78,6 +78,28 @@ object EventStreams {
       events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Gap sessionization via Spark's NATIVE session-window aggregation — the
+    * declarative sibling of [[sessionize]] (flatMapGroupsWithState): same
+    * 30-minute-gap semantics (batch parity is oracle-checked as
+    * w7_session_window), but state handling, merging and eviction come from
+    * the engine. Streaming: append mode emits a session once the watermark
+    * passes its close; batch: plain aggregation. Prefer this one unless the
+    * session logic needs custom state (mid-session emission, enrichment).
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermarkDelay: String = "1 hour",
+                   tsCol: String = "ts", keyCol: String = "user_id"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Streaming ingestion dedup: every micro-batch of documents is checked
     * against the PERSISTED corpus LSH band index (Dedup.bandIndex parquet)
     * plus itself, near-dup pairs land in `pairsOutPath`, the surviving

@@ -194,6 +194,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStats: native session windows merge across micro-batches and close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionStats(input.toDF(), gap = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("native_sessions_out")
+      .outputMode("append").start()
+    try {
+      // two events 20 min apart: ONE session (gap < 30 min), split across batches
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts("2024-01-01 10:20:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past the session close
+      input.addData(Event(3, ts("2024-01-02 00:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("native_sessions_out")
+        .select("user_id", "session_start", "session_end", "n_events").collect()
+      assert(rows.length == 1, s"expected one closed session, got ${rows.toSeq}")
+      assert(rows(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getTimestamp(2) == ts("2024-01-01 10:50:00")) // last event + gap
+      assert(rows(0).getLong(3) == 2, "cross-micro-batch events must merge into one session")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: dedup state survives a query restart (exactly-once across stop/start)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
