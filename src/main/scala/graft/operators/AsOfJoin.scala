@@ -82,7 +82,7 @@ object AsOfJoin {
     unioned
       .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         rightValues.map(c => when(withinTol, col("__last")(c)).as(c)): _*)
   }
 }

@@ -23,7 +23,7 @@ object Salting {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      buckets: Int): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(ExactAgg.sumExact(col(valueCol)).as("__psum"),
@@ -44,7 +44,7 @@ object Salting {
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                  buildKey: String, buckets: Int): DataFrame = {
     val saltedProbe = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(buckets)))
+      pmod(hash(probe.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicatedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedProbe.join(replicatedBuild,

@@ -49,7 +49,7 @@ object CsvSources {
     */
   def balancingAuthoritiesXlsx(spark: SparkSession, path: String): DataFrame = {
     val df = Xlsx.readSheet(spark, path, "BAs")
-    df.select(df.columns.take(6).map(org.apache.spark.sql.functions.col): _*)
+    df.select(df.columns.take(6).toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** S5 — the workbook's 'Energy Sources' sheet, all columns. */
