@@ -122,6 +122,25 @@ object Sinks {
     parquetFiles(dir).size
   }
 
+  /** Compact every partition directory of a Hive-layout table
+    * (`root/col=value/...parquet`) independently via [[compact]] — the
+    * partitioned answer to compact's flat-layout contract. Partitions are
+    * isolated swaps: a failure mid-table leaves earlier partitions
+    * compacted and later ones untouched, never a broken partition.
+    * Returns (partition dir name -> output file count).
+    */
+  def compactPartitioned(spark: SparkSession, root: String, targetBytes: Long,
+                         sortCols: Seq[String]): Map[String, Int] = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .sortBy(_.getName)
+    require(dirs.nonEmpty,
+      s"compactPartitioned: no 'col=value' partition directories under $root")
+    dirs.map(d => d.getName ->
+      compact(spark, d.getAbsolutePath, targetBytes, sortCols)).toMap
+  }
+
   /** S11 — DDL from the declared sink schemas, against the session catalog. */
   def createTable(spark: SparkSession, db: String, table: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

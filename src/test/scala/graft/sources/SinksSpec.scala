@@ -56,6 +56,24 @@ class SinksSpec extends SparkSpec {
     }, ranges.mkString(", "))
   }
 
+  test("compactPartitioned compacts each partition directory independently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val days = (0 until 3).flatMap(d => (0 until 400).map(i =>
+      (s"2026-08-1$d", d * 1000L + i))).toDF("run_date", "id")
+    days.repartition(20).write.partitionBy("run_date").parquet(dir)
+    def filesPerPart = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains("=")).map(p =>
+        p.getName -> p.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerPart.values.forall(_ >= 10))
+    val out = Sinks.compactPartitioned(spark, dir, 64L * 1024 * 1024, Seq("id"))
+    assert(out.keySet == Set("run_date=2026-08-10", "run_date=2026-08-11", "run_date=2026-08-12"))
+    assert(filesPerPart.values.forall(_ <= 2), filesPerPart.toString)
+    // data and partition column survive
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1200)
+    assert(back.select("run_date").distinct().count() == 3)
+  }
+
   test("partitioned table reads prune by partition: one day's filter scans one directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val days = Seq(("2026-08-10", 1), ("2026-08-11", 2), ("2026-08-12", 3))
