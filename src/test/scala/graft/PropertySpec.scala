@@ -186,6 +186,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling boundaries: weight 0 keeps nothing, weight 1 keeps everything, monotone in between") {
+    val docs = (1L to 300L).map(i => (i, (i % 10) / 10.0)).toDF("id", "w")
+    def kept(wCol: org.apache.spark.sql.Column): Set[Long] =
+      graft.operators.Sampling.weightedSample(
+        docs.withColumn("w2", wCol), "id", "w2", "s1")
+        .select("id").as[Long].collect().toSet
+    assert(kept(lit(0.0)).isEmpty)
+    assert(kept(lit(1.0)).size == 300)
+    // per-row monotonicity: raising every weight can only ADD members
+    val low = kept($"w" * 0.5)
+    val high = kept($"w")
+    assert(low.subsetOf(high))
+  }
+
+  test("xlsx writer/reader round-trips randomized content (unicode, specials, gaps)") {
+    val cellGen: Gen[Any] = Gen.oneOf(
+      Gen.oneOf[Any](null, "", " lead", "tail ", "<&>\"'", "héllo wörld", "日本語テキスト"),
+      Gen.alphaNumStr.map(_.take(12): Any),
+      Gen.choose(-1000000, 1000000).map(v => v: Any))
+    val rowGen = Gen.listOfN(6, cellGen)
+    forAllSamples(Gen.listOfN(8, rowGen), 3) { rows =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_fuzz")
+        .resolve("f.xlsx").toString
+      val all: Seq[Seq[Any]] = Seq.fill(6)("h").asInstanceOf[Seq[Any]] +: rows
+      graft.sources.Xlsx.write(tmp, Seq("S" -> all))
+      val back = graft.sources.Xlsx.readRows(tmp, "S").drop(1)
+      rows.zipWithIndex.foreach { case (expected, i) =>
+        val got = back.lift(i).getOrElse(Seq.empty)
+        expected.zipWithIndex.foreach { case (cell, j) =>
+          val gotCell = got.lift(j).flatten
+          cell match {
+            case null => assert(gotCell.isEmpty, s"row $i col $j: expected absent, got $gotCell")
+            case s: String => assert(gotCell.contains(s), s"row $i col $j: $cell vs $gotCell")
+            case n => assert(gotCell.contains(n.toString), s"row $i col $j: $cell vs $gotCell")
+          }
+        }
+      }
+    }
+  }
+
   test("sampling invariants: nested rates nest, splits partition, salts independent") {
     forAllSamples(Gen.choose(1, 1000), 3) { seedIds =>
       val ids = (1L to 400L).map(i => Tuple1(i * seedIds)).toDF("id")

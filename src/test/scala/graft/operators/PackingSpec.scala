@@ -39,6 +39,16 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("bucket count never changes the layout (partitioning-independence)") {
+    val docs = (0 until 300).map(i => (i.toLong * 3, (i % 11 + 1).toLong)).toDF("id", "toks")
+    def layout(buckets: Int) =
+      Packing.assignPacks(spark, docs, "id", "toks", packSize = 64, buckets = buckets)
+        .select("id", "start_offset", "pack_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = layout(1)
+    assert(layout(7) == one && layout(32) == one)
+  }
+
   test("single row and empty frame") {
     val one = Seq((5L, 10L)).toDF("id", "toks")
     val r = Packing.assignPacks(spark, one, "id", "toks", 16).collect()(0)
