@@ -125,12 +125,36 @@ final case class PeriodFilter(op: String, value: String) {
 final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
                              http: Option[HttpConfig], periodField: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countPushed = false
+
+  // COUNT(*) with no grouping and no row-dropping filters, in HTTP mode,
+  // is answered ENTIRELY by the probe's response.total — one request, zero
+  // page fetches. Complete pushdown: the source emits the final count row.
+  private def countableShape(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    http.isDefined && pushed.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countableShape(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!countableShape(agg)) return false
+    countPushed = true
+    required = new StructType().add("count", org.apache.spark.sql.types.LongType)
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -197,7 +221,26 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
     // lazy + cached: Spark calls planInputPartitions more than once on a
     // Scan (partitioning, RDD build) — one probe per query execution, not
     // one per call
-    private lazy val planned: Array[InputPartition] = path match {
+    private lazy val planned: Array[InputPartition] =
+      if (countPushed) Array(CountPartition(probeTotal()))
+      else plannedPages
+
+    /** One probe request; returns response.total. Only called in HTTP mode
+      * (countableShape requires it).
+      */
+    private def probeTotal(): Long = {
+      val cfg = http.get
+      val probe = new HttpPages(cfg.url, httpParams(cfg), cfg.pageSize, cfg.retries)
+        .fetch(0).getOrElse(throw new IllegalStateException(
+          s"graft-pages: empty probe response from ${cfg.url}"))
+      val totalNode = new ObjectMapper().readTree(probe).path("response").path("total")
+      if (totalNode.isMissingNode)
+        throw new IllegalArgumentException(
+          "graft-pages count pushdown needs response.total in the envelope")
+      if (totalNode.isNumber) totalNode.asLong() else totalNode.asText().toLong
+    }
+
+    private lazy val plannedPages: Array[InputPartition] = path match {
       case Some(dir) =>
         val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
         val files = try stream.toArray.map(_.toString) finally stream.close()
@@ -237,6 +280,9 @@ final class PagesScanBuilder(fullSchema: StructType, path: Option[String],
 
 final case class FilePagePartition(file: String) extends InputPartition
 
+/** Single-partition result of a completely-pushed COUNT(*). */
+final case class CountPartition(total: Long) extends InputPartition
+
 final case class HttpPagePartition(url: String, params: Map[String, String],
                                    pageSize: Int, offset: Int, retries: Int,
                                    prefetched: Option[String]) extends InputPartition
@@ -246,6 +292,16 @@ final class PagesReaderFactory(required: StructType, periodField: String,
                                limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case CountPartition(total) =>
+        return new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = InternalRow(total)
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val body = partition match {
       case FilePagePartition(file) =>
         java.nio.file.Files.readString(java.nio.file.Paths.get(file))

@@ -141,6 +141,39 @@ class PagesDataSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("count(*) pushdown: answered by the probe's response.total, zero page fetches") {
+    val offsets = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", { ex =>
+      val off = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .collectFirst { case Array("offset", v) => v.toInt }.get
+      offsets.add(off)
+      val rows = (off until math.min(off + 2, 9))
+        .map(i => s"""{"period":"p$i","value":"$i"}""").mkString(",")
+      val body = s"""{"response":{"total":"9","data":[$rows]}}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("period", "string").add("value", "string")
+      val df = spark.read.format("graft-pages").schema(schema)
+        .option("url", url).option("pageSize", "2").load()
+      assert(df.count() == 9)
+      // 9 rows would be 5 pages; a pushed count touches ONLY offset 0
+      assert(offsets.asScala.toSet == Set(0),
+        s"count fetched pages: ${offsets.asScala.toSet}")
+      // filtered counts must NOT push (the reader drops rows): full answer
+      offsets.clear()
+      import org.apache.spark.sql.functions.col
+      assert(df.filter(col("period") >= "p3").count() == 6)
+    } finally server.stop(0)
+  }
+
   test("http mode: pushed bounds become start/end request params") {
     val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
