@@ -130,6 +130,28 @@ object EtlQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // A-extension: explicit GROUPING SETS — hand-picked aggregation levels
+    // (per-priority, per-status, grand total) in one pass, the general form
+    // rollup/cube specialize. One shuffle; the Expand operator replicates
+    // rows per set map-side.
+    QueryDef(
+      "a12_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(ExactAgg.sumExact(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+
     // A-extension: CUBE — all grouping-set combinations.
     QueryDef(
       "a9_cube",
