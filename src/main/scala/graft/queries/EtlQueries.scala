@@ -248,6 +248,31 @@ object EtlQueries {
         .orderBy(col("tag"), col("c_custkey"))
     },
 
+    // X-extension: MULTISET set ops — INTERSECT ALL / EXCEPT ALL keep
+    // duplicate cardinalities (a customer with 3 F-orders and 2 O-orders
+    // appears twice in the intersection, once in the difference), the form
+    // dedup accounting actually needs.
+    QueryDef(
+      "x1b_set_ops_all",
+      """SELECT 'both_all' AS tag, c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'only_f_all' AS tag, c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      f.intersectAll(o).select(lit("both_all").as("tag"), col("c_custkey"))
+        .unionByName(f.exceptAll(o).select(lit("only_f_all").as("tag"), col("c_custkey")))
+        .orderBy(col("tag"), col("c_custkey"))
+    },
+
     // Multi-way analytics, Q3 shape: two fact tables joined on the shuffle
     // key, a broadcast dimension filter, grouped revenue, top-k. The shape a
     // 100 TB engine must plan well — selective dims broadcast BEFORE the
