@@ -319,6 +319,39 @@ object Dedup {
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Corpus-level boilerplate detection: the fraction of a document's
+    * distinct word n-grams that are "boilerplate" — appearing in at least
+    * `minDf` distinct documents corpus-wide (headers, footers, templated
+    * spans, licensing blurbs). Returns one row per document:
+    * (sid, n_grams, n_boiler, boiler_frac); filter on the fraction to drop
+    * template-heavy docs, or feed it into a quality blend.
+    *
+    * This is the document-frequency dual of [[decontaminate]] (self-overlap
+    * instead of eval-set overlap) and shares its scale shape: documents
+    * reduce to distinct 48-bit gram hashes up front, the df count is a
+    * map-side-combinable groupBy on 8-byte keys, and the boiler-gram set
+    * re-joins per-doc grams on the same hash — no text ever shuffles. Docs
+    * shorter than n words have zero grams and report frac 0.
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDf: Long): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g"))
+    val boiler = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    val per = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_grams"))
+    val nb = sh.join(boiler, Seq("g"), "left_semi")
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_boiler"))
+    df.select(col(idCol).as("sid"))
+      .join(per, Seq("sid"), "left")
+      .join(nb, Seq("sid"), "left")
+      .select(col("sid"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler").cast("double") / col("n_grams"), lit(0.0)), 6)
+          .as("boiler_frac"))
+  }
+
   // ---- transitive grouping -------------------------------------------------
 
   /** Connected components over near-dup pairs: every document in a component

@@ -92,4 +92,38 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), salt) < thr)
   }
+
+  /** Temperature-flattened source mixing (the multilingual-corpus sampling
+    * rule of Conneau & Lample 2019, arXiv:1901.07291 §3.1, applied to
+    * sources): sample source s with probability proportional to n_s^alpha
+    * with alpha = 0.5 — big sources are downweighted, small sources
+    * upweighted — targeting ~`targetFrac` of the corpus overall. Rates cap
+    * at 1 (a small source can't yield more rows than it has; the realized
+    * total then lands slightly under target — deliberate, no renormalization
+    * pass).
+    *
+    * Float discipline: each source's weight sqrt(n_s) is rounded to integer
+    * MICRO-units once, the weight total is an exact long sum (order-proof),
+    * and each rate is one fixed-shape double expression from those integers,
+    * truncated to an integer bucket threshold — so engine and oracle agree
+    * exactly, like every sampler here. Scale shape: per-source counts are a
+    * map-side-combinable groupBy, rates are a broadcast dim joined back, and
+    * membership is the usual md5-bucket map-side filter.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+                        targetFrac: Double, salt: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w_fp", round(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
+    val totals = counts.agg(sum(col("n_s")).as("n_tot"), sum(col("w_fp")).as("w_tot"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(srcCol),
+        least(lit(1.0),
+          lit(targetFrac) * col("n_tot").cast("double") * col("w_fp").cast("double") /
+            (col("w_tot").cast("double") * col("n_s").cast("double"))).as("rate"))
+    // floor, not a bare long cast: SQL engines differ on double->int cast
+    // rounding (truncate vs round-to-nearest); floor is unambiguous
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(bucket(col(idCol), salt) < floor(col("rate") * Buckets).cast("long"))
+  }
 }

@@ -90,6 +90,66 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---- SQ8 scalar quantization ---------------------------------------------
+
+  /** SQ8 codebook: per-dimension [lo, hi] over the corpus, packed into ONE
+    * broadcastable row of two arrays. This is the whole training state of
+    * scalar quantization — 2 doubles per dimension — computed with a
+    * posexplode + min/max aggregate and a dimension-sized collect (the same
+    * dimension-sized-driver-data posture as IVF centroids). At 100 TB the
+    * codebook costs one map-side-combinable pass and compresses float
+    * vectors 4x (codes are 0..255), which is why SQ8 is the standard first
+    * rung of ANN memory reduction.
+    */
+  def sq8Train(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("d"))
+      .select(transform(col("d"), e => e("lo")).as("lo"),
+        transform(col("d"), e => e("hi")).as("hi"))
+
+  /** Quantize a vector against the codebook arrays: code_i = round((x_i -
+    * lo_i) * 255 / (hi_i - lo_i)), a constant dimension collapsing to code
+    * 0. Codes are array<long> so the exact-integer native dot kernel
+    * ([[idot]]) applies to them unchanged.
+    */
+  def sq8Codes(vec: Column, lo: Column, hi: Column): Column =
+    transform(vec, (x, i) =>
+      coalesce(
+        round((x.cast("double") - element_at(lo, i + 1)) * 255.0 /
+          nullif(element_at(hi, i + 1) - element_at(lo, i + 1), lit(0.0))),
+        lit(0.0)).cast("long"))
+
+  /** Brute-force top-k in SQ8 code space by exact integer squared L2
+    * distance, via the dot identity ||a-b||^2 = a.a + b.b - 2a.b — three
+    * native-kernel dots, the self-dots precomputed per vector. Same
+    * broadcast-queries/stream-candidates shape as [[bruteForceTopK]]; the
+    * candidate side reads 64 bytes of codes per vector instead of 256 bytes
+    * of floats, which at 100 TB is the difference between an in-memory and
+    * a spilling scan. Ranking quality vs float cosine degrades only as far
+    * as the per-dimension range is abused by outliers.
+    */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = sq8Train(candidates, vecCol)
+    def coded(df: DataFrame, idAs: String, cAs: String, nAs: String): DataFrame =
+      df.crossJoin(broadcast(cb))
+        .select(col(idCol).as(idAs),
+          sq8Codes(col(vecCol), col("lo"), col("hi")).as(cAs))
+        .withColumn(nAs, idot(col(cAs), col(cAs)))
+    val q = coded(queries, "qid", "qc", "qn")
+    val c = coded(candidates, "nid", "nc", "nn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qn") + col("nn") - lit(2L) * idot(col("qc"), col("nc"))).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
   /** IVF-flat ANN: partition vectors into `nCells` cells around centroid

@@ -281,4 +281,64 @@ object TextOps {
       .when(fr >= zh, "fr")
       .otherwise("zh")
   }
+
+  /** Mean word length over the single-space tokenizer: non-space chars per
+    * word. Exact integer inputs, one final division.
+    */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(nWords(text).cast("double"), lit(1.0))
+
+  /** Gopher-style (Rae et al. 2021, arXiv:2112.11446 §A1.1) repetition-free
+    * rule filter: hard per-document bounds instead of a blended score
+    * ([[qualityScore]]) — the two are complementary stages of a real corpus
+    * pipeline (rules first, scores for ranking survivors). Each rule is a
+    * boolean from exact integers (plus one deterministic division), so the
+    * oracle matches exactly. Pure per-row Column algebra: fuses into the
+    * scan, zero shuffle at any scale.
+    */
+  def gopherRules(text: Column, minWords: Long, maxWords: Long,
+                  minMeanWl: Double, maxMeanWl: Double,
+                  minStopwords: Long): (Column, Column, Column, Column) = {
+    val nw = nWords(text)
+    val okWords = nw >= minWords && nw <= maxWords
+    val mwl = meanWordLen(text)
+    val okMeanWl = mwl >= minMeanWl && mwl <= maxMeanWl
+    val okStop = stopwordCount(text) >= minStopwords
+    (okWords, okMeanWl, okStop, okWords && okMeanWl && okStop)
+  }
+
+  /** Per-document average negative log-likelihood under a corpus-trained
+    * unigram LM — the cheap stand-in for model-based perplexity filtering
+    * (rare-token soup scores high, common fluent text scores low).
+    *
+    * Float discipline: the per-token surprisal -ln(cnt/total) is rounded to
+    * integer MICRO-NATS once, then everything is exact long arithmetic
+    * (tf-weighted sum) until one final division — summation order cannot
+    * perturb the result, and the oracle mirrors the same fixed-point
+    * pipeline (ulp differences between libm and DuckDB's ln survive only if
+    * a surprisal sits within ~1e-9 of a rounding boundary).
+    *
+    * Scale shape: tokens are reduced to (doc, token) counts BEFORE any join
+    * (map-side combinable), the vocab join is token-keyed (shuffles counts,
+    * never text), and the corpus total rides in one broadcast row.
+    */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol).as("did"), explode(words(col(textCol))).as("tok"))
+      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    tf.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("did"), col("tf"),
+        (col("tf") * round(-log(col("cnt").cast("double") / col("n_total")) * 1e6)
+          .cast("long")).as("nll_fp"))
+      .groupBy(col("did"))
+      .agg(sum(col("tf")).as("dl"), sum(col("nll_fp")).as("nll_sum"))
+      .select(col("did"), col("dl"),
+        round(col("nll_sum").cast("double") / (col("dl").cast("double") * 1e6), 6)
+          .as("avg_nll"))
+  }
 }

@@ -1020,6 +1020,195 @@ object CorpusQueries {
       Multimodal.decodeVideoMeta(s,
         Multimodal.attachVideo(s, Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy(col("id"))
+    },
+
+    // Gopher-style rule filter (TextOps.gopherRules): every rule an exact
+    // integer predicate (one deterministic division for mean word length).
+    // Thresholds chosen to discriminate on the fixtures: ~25% fail the word
+    // floor, the mean-word-length band splits the middle, stop_ct >= 2
+    // catches the stopword-free tail.
+    QueryDef(
+      "t11_gopher_rules",
+      """SELECT doc_id, ok_words, ok_mean_wl, ok_stop,
+        |  (ok_words AND ok_mean_wl AND ok_stop) AS keep
+        |FROM (SELECT doc_id,
+        |  nw BETWEEN 30 AND 10000 AS ok_words,
+        |  mwl >= 4.0 AND mwl <= 5.0 AS ok_mean_wl,
+        |  sc >= 2 AS ok_stop
+        |FROM (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS nw,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |    greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mwl,
+        |  len(list_filter(string_split(text, ' '),
+        |    w -> w IN (${stopwordList}))) AS sc
+        |FROM documents)) ORDER BY doc_id""".stripMargin
+        .replace("${stopwordList}", sqlList(TextOps.stopwords))) { (s, d) =>
+      val (okW, okM, okS, keep) =
+        TextOps.gopherRules(col("text"), 30L, 10000L, 4.0, 5.0, 2L)
+      Tables.documents(s, d).select(col("doc_id"),
+        okW.as("ok_words"), okM.as("ok_mean_wl"), okS.as("ok_stop"),
+        keep.as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM surprisal scoring (TextOps.unigramNll): per-token
+    // micro-nat surprisal is fixed-point BIGINT from the one ln() call, so
+    // summation order can't perturb the hash — the transcendental-function
+    // analogue of ExactAgg's decimal discipline.
+    QueryDef(
+      "t12_unigram_nll",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks GROUP BY did, tok),
+        |vocab AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+        |contrib AS (SELECT did, tf,
+        |    tf * CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1e6) AS BIGINT) AS nll_fp
+        |  FROM tf JOIN vocab USING (tok) CROSS JOIN tot)
+        |SELECT did AS doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+        |  round(CAST(SUM(nll_fp) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1e6), 6) AS avg_nll
+        |FROM contrib GROUP BY did ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")
+        .select(col("did").as("doc_id"), col("dl"), col("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus boilerplate detection (Dedup.boilerplateStats): df-counted
+    // word 5-grams, same 48-bit gram-hash shuffle discipline as the LSH
+    // verify stage. Near-dup docs report frac ~1, clean docs 0.
+    QueryDef(
+      "d15_boilerplate_ngrams",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+         |  FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)),
+         |sh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh0),
+         |boiler AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+         |  WHERE df >= 2),
+         |per AS (SELECT sid, COUNT(*) AS n_grams FROM sh GROUP BY sid),
+         |nb AS (SELECT sid, COUNT(*) AS n_boiler FROM sh
+         |  WHERE g IN (SELECT g FROM boiler) GROUP BY sid)
+         |SELECT d.doc_id AS sid,
+         |  coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_boiler, 0) AS n_boiler,
+         |  round(coalesce(CAST(n_boiler AS DOUBLE) / n_grams, 0.0), 6) AS boiler_frac
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.sid
+         |  LEFT JOIN nb ON d.doc_id = nb.sid
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      Dedup.boilerplateStats(Tables.documents(s, d), "doc_id", "text", 5, 2L)
+        .orderBy(col("sid"))
+    },
+
+    // Temperature-flattened source mixing (Sampling.temperatureSample,
+    // alpha = 0.5, target half the corpus): the sqrt weights are
+    // micro-fixed-point so the weight total is an exact integer sum on both
+    // engines, and membership stays the md5-bucket filter.
+    QueryDef(
+      "sm6_temperature_mix",
+      s"""WITH counts AS (SELECT source, COUNT(*) AS n_s,
+         |    CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(n_s) AS n_tot, SUM(w_fp) AS w_tot FROM counts),
+         |rates AS (SELECT source,
+         |    least(1.0, 0.5 * CAST(n_tot AS DOUBLE) * CAST(w_fp AS DOUBLE) /
+         |      (CAST(w_tot AS DOUBLE) * CAST(n_s AS DOUBLE))) AS rate
+         |  FROM counts CROSS JOIN tot)
+         |SELECT doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+         |WHERE ${sqlHash("'tm:' || doc_id", 8)} < CAST(floor(rate * 4294967296) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.temperatureSample(
+        Tables.documents(s, d), "doc_id", "source", 0.5, "tm")
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    },
+
+    // Canonical-document selection per near-dup cluster: connected
+    // components over verified LSH pairs (the d9 machinery), then ONE
+    // survivor per component by quality score (rounded 6dp, doc_id
+    // tiebreak) — "dedup, keep the best copy", the last stage of a real
+    // dedup pipeline (d10 keeps min-id; this keeps max-quality).
+    QueryDef(
+      "d16_canonical_best",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y),
+         |comp AS (SELECT x AS sid, min(y) AS component FROM r GROUP BY x),
+         |scored AS (SELECT doc_id,
+         |    round(0.4 * least(1.0, n_words / 100.0) + 0.3 * (1.0 - punct_ct / n_chars)
+         |      + 0.3 * least(1.0, 4.0 * stop_ct / n_words), 6) AS quality
+         |  FROM (SELECT doc_id,
+         |    greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n_words,
+         |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS punct_ct,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE) AS stop_ct
+         |  FROM documents)),
+         |labeled AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component,
+         |    s.quality
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.sid
+         |  JOIN scored s ON d.doc_id = s.doc_id)
+         |SELECT doc_id, component, quality FROM (
+         |  SELECT doc_id, component, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM labeled) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5))
+      val labeled = docs
+        .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .join(comp, col("doc_id") === col("sid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"), col("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      labeled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("component"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SQ8 scalar-quantized kNN (Similarity.sq8TopK): per-dim [lo,hi]
+    // codebook -> 0..255 codes -> exact integer squared-L2 via the native
+    // dot kernel. The oracle rebuilds codebook + codes relationally and
+    // sums (qa-ca)^2 over positions — full hash-check of the quantized
+    // path, including the round-to-code boundary behavior.
+    QueryDef(
+      "s7_sq8_knn",
+      """WITH e AS (SELECT vec_id AS sid, unnest(embedding) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |mm AS (SELECT pos, min(CAST(x AS DOUBLE)) AS lo, max(CAST(x AS DOUBLE)) AS hi
+        |  FROM e GROUP BY pos),
+        |c AS (SELECT sid, e.pos,
+        |    CAST(round(coalesce((CAST(x AS DOUBLE) - lo) * 255.0 / nullif(hi - lo, 0.0),
+        |      0.0)) AS BIGINT) AS code
+        |  FROM e JOIN mm ON e.pos = mm.pos),
+        |q AS (SELECT * FROM c WHERE sid < 8),
+        |d AS (SELECT q.sid AS qid, c.sid AS nid,
+        |    CAST(SUM((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS d2
+        |  FROM c JOIN q ON c.pos = q.pos AND c.sid <> q.sid GROUP BY 1, 2)
+        |SELECT qid, nid, d2, rank FROM (
+        |  SELECT qid, nid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+        |  FROM d) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

@@ -691,15 +691,25 @@ object EtlQueries {
         |  ON o_orderdate >= w.l_shipdate
         |    AND o_orderdate < w.l_shipdate + INTERVAL 7 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Shipdates are day-granular, so the ~12% of lineitem rows passing the
+      // quantity filter collapse to ~2.5k DISTINCT windows: pre-aggregate
+      // duplicates to (window, multiplicity) BEFORE banding and sum the
+      // multiplicities after — identical result, and the banded join's
+      // intermediate shrinks by the duplication factor (~30x here). This is
+      // the aggregation-through-join pushdown a cost-based optimizer would
+      // want; done by hand because the multiplicity ride-along changes the
+      // join's output schema.
       val windows = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
         .select(col("l_shipdate").as("w_start"),
           (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+        .groupBy(col("w_start"), col("w_end"))
+        .agg(count(lit(1)).as("w_mult"))
       graft.operators.RangeJoin.bandedRangeJoin(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         windows, "o_orderdate", "w_start", "w_end",
         bandMicros = 7L * 24 * 3600 * 1000000)
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_windows"))
+        .agg(sum(col("w_mult")).as("n_windows"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -1229,6 +1239,96 @@ object EtlQueries {
         .agg(count(lit(1)).as("n"), ExactAgg.sumExact(col("value")).as("sum_value"))
         .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"))
+    },
+
+    // W-extension: OVERLAPPING sliding windows (3 h long, sliding hourly) —
+    // each row lands in 3 windows; Spark's window() generator expands them
+    // map-side (no self-join), the oracle mirrors with an explicit 3-way
+    // replication. Exact decimal sums, per the float discipline.
+    QueryDef(
+      "w8_sliding_window",
+      """SELECT win_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+        |FROM (SELECT date_trunc('hour', ts) - to_hours(i) AS win_start, value
+        |      FROM events, unnest([0, 1, 2]) AS t(i))
+        |GROUP BY win_start ORDER BY win_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "3 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), ExactAgg.sumExact(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
+    },
+
+    // X-extension, TPC-H Q4 shape: EXISTS with a non-equi residual (a
+    // lineitem shipped > 60 days after the order date) -> left-semi join
+    // with a composite condition; Catalyst keeps the equi part as the hash
+    // key and the inequality as the residual.
+    QueryDef(
+      "x6_late_ship_priority",
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // X-extension, TPC-H Q16 shape: distinct-count of suppliers per part
+    // attribute group with a dimension-side filter. The part dim broadcasts;
+    // the distinct agg is the two-phase partial/final Catalyst plans for
+    // free.
+    QueryDef(
+      "x7_supplier_part_counts",
+      """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 5, 9) AND p_brand <> 'Brand#13'
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size").isin(1, 5, 9) && col("p_brand") =!= "Brand#13")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    },
+
+    // X-extension, TPC-H Q22 shape: global-average scalar subquery (exact
+    // decimal avg — float discipline) + NOT EXISTS anti-join against a
+    // filtered fact, grouped by a broadcast dim.
+    QueryDef(
+      "x8_rich_inactive_by_nation",
+      """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+        |    / COUNT(*) AS a FROM customer)
+        |SELECT n_name, COUNT(*) AS n_rich_inactive
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey, ab
+        |WHERE c_acctbal > a AND NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val ab = Tables.customer(s, d)
+        .agg((ExactAgg.sumExact(col("c_acctbal")) / count(lit(1))).as("a"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(ab))
+        .filter(col("c_acctbal") > col("a"))
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rich_inactive"))
+        .orderBy(col("n_name"))
     }
   )
 }
