@@ -238,4 +238,65 @@ object EtlOps {
           timestamp_micros(col("__slot")).as(tsCol)) ++
           valueCols.map(c => col("__f")(c).as(c))): _*)
   }
+
+  /** Resample onto the same grid with LINEAR INTERPOLATION between the
+    * nearest observed slots (anchors are slot-quantized, latest-in-slot wins
+    * like [[resampleFfill]]): between two anchors the value is the exact
+    * linear blend, after the last anchor it carries forward, before the
+    * first it is NULL (no extrapolation backwards). The blend is one fixed
+    * double expression over integer slot deltas and the two anchor values,
+    * so engines agree bit-for-bit.
+    *
+    * Same scale shape as ffill: one shuffle to (key, slot), two
+    * unbounded-window passes per key (forward carry of the previous anchor,
+    * backward carry of the next), grid generated with `sequence` — no
+    * per-gap joins, no explosion beyond |keys| x |slots|.
+    */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+                     tieBreakCol: String, valueCol: String,
+                     start: java.sql.Timestamp, end: java.sql.Timestamp,
+                     stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepUs = stepSeconds * 1000000L
+    val slotOf: Column => Column = c =>
+      (floor(unix_micros(c.cast("timestamp")) / stepUs) * stepUs).cast("long")
+
+    val w = Window.partitionBy(col("__k"), col("__slot"))
+      .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
+    val obs = df
+      .filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
+      .withColumn("__k", col(keyCol))
+      .withColumn("__slot", slotOf(col(tsCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__slot"), col(valueCol).as("__v"))
+
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val gridStart = Math.floorDiv(usOf(start), stepUs) * stepUs
+    val grid = df.select(col(keyCol).as("__k")).distinct()
+      .select(col("__k"), explode(sequence(
+        lit(gridStart), lit(usOf(end) - 1), lit(stepUs))).as("__slot"))
+
+    val wPrev = Window.partitionBy(col("__k")).orderBy(col("__slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("__k")).orderBy(col("__slot"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("__k", "__slot"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__ps",
+        last(when(col("__v").isNotNull, col("__slot")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__ns",
+        first(when(col("__v").isNotNull, col("__slot")), ignoreNulls = true).over(wNext))
+      .select(col("__k").as(keyCol),
+        timestamp_micros(col("__slot")).as(tsCol),
+        when(col("__ps") === col("__ns"), col("__pv"))
+          .when(col("__ps").isNotNull && col("__ns").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((col("__slot") - col("__ps")).cast("double") /
+                (col("__ns") - col("__ps")).cast("double")))
+          .when(col("__ps").isNotNull, col("__pv"))
+          .otherwise(lit(null).cast("double")).as(valueCol))
+  }
 }

@@ -382,6 +382,55 @@ object EtlQueries {
         .orderBy(col("user_id"), col("ts"))
     },
 
+    // TS-extension: gap fill by LINEAR INTERPOLATION between slot anchors
+    // (EtlOps.resampleInterp) — between anchors the exact blend, ffill after
+    // the last, NULL before the first. The blend is integer slot deltas and
+    // two anchor doubles in one fixed expression, bit-equal across engines.
+    QueryDef(
+      "ts2_resample_interp",
+      """WITH grid AS (
+        |  SELECT user_id, 1704067200000000 + 3600000000 * g.i AS slot
+        |  FROM (SELECT DISTINCT user_id FROM events),
+        |       (SELECT unnest(generate_series(0, 167)) AS i) g),
+        |obs AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS slot, value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts >= make_timestamp(1704067200000000)
+        |    AND ts < make_timestamp(1704672000000000)),
+        |o1 AS (SELECT user_id, slot, value FROM obs WHERE rn = 1),
+        |j AS (SELECT g.user_id, g.slot, o1.value AS v,
+        |    LAST_VALUE(o1.value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.slot
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN o1.value IS NOT NULL THEN g.slot END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.slot
+        |        ROWS UNBOUNDED PRECEDING) AS ps,
+        |    FIRST_VALUE(o1.value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.slot
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN o1.value IS NOT NULL THEN g.slot END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.slot
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+        |  FROM grid g LEFT JOIN o1 ON g.user_id = o1.user_id AND g.slot = o1.slot)
+        |SELECT user_id, make_timestamp(slot) AS ts,
+        |  CASE WHEN ps = ns THEN pv
+        |       WHEN ps IS NOT NULL AND ns IS NOT NULL THEN
+        |         pv + (nv - pv) * (CAST(slot - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE))
+        |       WHEN ps IS NOT NULL THEN pv
+        |       ELSE NULL END AS value
+        |FROM j ORDER BY user_id, ts""".stripMargin) { (s, d) =>
+      EtlOps.resampleInterp(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value",
+        new java.sql.Timestamp(1704067200000L),
+        new java.sql.Timestamp(1704672000000L),
+        stepSeconds = 3600)
+        .orderBy(col("user_id"), col("ts"))
+    },
+
     // Q-extension: per-column dataset profile — row/null/distinct counts and
     // min/max rendered as strings, one row per column, one shared scan.
     QueryDef(

@@ -28,6 +28,24 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** OVERLAPPING sliding-window aggregate (the streaming twin of the w8
+    * batch query): each event expands map-side into len/slide windows —
+    * Spark's window() generator, no self-join — and the watermark retires
+    * window state once event time passes window end + delay, so state is
+    * O(open windows), not O(history). Batch/stream agnostic like
+    * [[hourlyStats]].
+    */
+  def slidingStats(events: DataFrame, windowLen: String = "3 hours",
+                   slide: String = "1 hour", watermarkDelay: String = "2 hours",
+                   tsCol: String = "ts"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+  }
+
   /** Stream-static enrichment: join a stream against a (small, periodically
     * reloaded) dimension table — the streaming twin of the BA semi-join
     * (P5/J1). The static side re-resolves per micro-batch, so dimension

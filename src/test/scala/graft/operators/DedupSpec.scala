@@ -114,4 +114,24 @@ class DedupSpec extends SparkSpec {
       .select("ida", "idb", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
   }
+
+  test("boilerplateStats: duplicated spans count as boilerplate, unique text scores 0") {
+    // docs 1 and 4 are exact dups (every 5-gram shared, df = 2);
+    // doc 3 shares nothing; doc 2 diverges from 1 only in the last word,
+    // so its final 5-grams (the ones covering "quickly") are unique.
+    val out = Dedup.boilerplateStats(docs, "doc_id", "text", 5, 2L)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_frac")))).toMap
+    assert(out(1L)._3 == 1.0)
+    assert(out(4L)._3 == 1.0)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(2L)._3 > 0.0 && out(2L)._3 < 1.0)
+    // 13-word docs have 9 distinct 5-grams
+    assert(out(1L)._1 == 9L)
+    // a doc shorter than n words has zero grams and frac 0, not a crash
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    val s = Dedup.boilerplateStats(short, "doc_id", "text", 5, 2L).collect().head
+    assert(s.getAs[Long]("n_grams") == 0L && s.getAs[Double]("boiler_frac") == 0.0)
+  }
 }

@@ -37,6 +37,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(splits("train") / n - 0.8) < 0.1, splits.toString)
   }
 
+  test("temperatureSample flattens: small source rate caps at 1, big source thins") {
+    // 400 "a" rows vs 25 "b" rows at alpha = 0.5, target 0.5:
+    //   w_a = 20, w_b = 5, n_tot = 425, w_tot = 25
+    //   rate_a = 0.5 * 425 * 20 / (25 * 400) = 0.425
+    //   rate_b = 0.5 * 425 * 5 / (25 * 25) = 1.7 -> capped at 1.0
+    // so the small source survives IN FULL (deterministically) while the
+    // big one keeps ~42.5%.
+    val docs = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 425).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(docs, "doc_id", "source", 0.5, "tm")
+    val again = Sampling.temperatureSample(docs, "doc_id", "source", 0.5, "tm")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == again) // deterministic
+    assert(out.filter($"source" === "b").count() == 25L, "capped rate keeps all")
+    val keptA = out.filter($"source" === "a").count().toDouble / 400.0
+    assert(math.abs(keptA - 0.425) < 0.08, s"big source kept $keptA, want ~0.425")
+  }
+
   test("stratifiedSample keeps every row of rate-1.0 strata, thins the rest") {
     val docs = graft.core.Tables.documents(spark, sf)
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",

@@ -153,4 +153,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(0).getSeq[Long](0) == Seq(1000L, 0L, 0L))
     assert(rows(1).getSeq[Long](0) == Seq(900L, 100L, 0L))
   }
+
+  test("sq8: codes span [0,255], constant dims collapse to 0, codebook is per-dim") {
+    val df = Seq(
+      (0L, Array(0.0f, 5.0f, 7.0f)),
+      (1L, Array(1.0f, 5.0f, 3.0f)),
+      (2L, Array(2.0f, 5.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.sq8Train(df, "embedding").collect().head
+    assert(cb.getSeq[Double](0) == Seq(0.0, 5.0, -1.0)) // lo
+    assert(cb.getSeq[Double](1) == Seq(2.0, 5.0, 7.0)) // hi
+    val codes = df.crossJoin(Similarity.sq8Train(df, "embedding"))
+      .select($"vec_id", Similarity.sq8Codes($"embedding", $"lo", $"hi").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // dim 0 range [0,2]: 0 -> 0, 1 -> 128 (round .5 up), 2 -> 255
+    // dim 1 constant: every code 0; dim 2 range [-1,7]: -1 -> 0, 7 -> 255
+    assert(codes(0L) == Seq(0L, 0L, 255L))
+    assert(codes(1L) == Seq(128L, 0L, 128L))
+    assert(codes(2L) == Seq(255L, 0L, 0L))
+  }
+
+  test("sq8TopK: an exact duplicate vector is its twin's nearest neighbor at d2=0") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val twin = emb.filter($"vec_id" === 3).select(
+      (lit(100000L)).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.sq8TopK(
+      emb.filter($"vec_id" === 3), emb.unionByName(twin),
+      "vec_id", "embedding", 3)
+      .select("qid", "nid", "d2", "rank").as[(Long, Long, Long, Long)].collect()
+    val top = out.find(_._4 == 1L).get
+    assert(top._2 == 100000L && top._3 == 0L)
+    // distances are nonnegative and ranked ascending
+    assert(out.forall(_._3 >= 0L))
+    assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
 }

@@ -144,4 +144,43 @@ class TextOpsSpec extends SparkSpec {
     assert(m(3L) > m(2L), "rarer term (df=1 vs df=2) must outrank at equal tf")
     assert(out.sortBy(-_._2).map(_._1).toSeq == out.map(_._1).toSeq, "sorted desc")
   }
+
+  test("gopherRules: each rule trips independently, keep is their conjunction") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat with the hat and a bat"), // passes all (12 words w/ rules below)
+      (2L, "big dog"),                                     // too few words
+      (3L, "the a an of in on to is or and the a"),        // mean word len too low
+      (4L, "elephant mountain computer keyboard wonderful dinosaur elephant mountain computer keyboard wonderful dinosaur") // no stopwords + long words
+    ).toDF("doc_id", "text")
+    val (okW, okM, okS, keep) = TextOps.gopherRules(col("text"),
+      minWords = 5L, maxWords = 50L, minMeanWl = 2.5, maxMeanWl = 6.0,
+      minStopwords = 2L)
+    val out = docs.select(col("doc_id"), okW.as("w"), okM.as("m"),
+      okS.as("s"), keep.as("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._4 == false)
+    assert(out(3L)._2 == false && out(3L)._4 == false)
+    assert(out(4L)._3 == false && out(4L)._4 == false)
+  }
+
+  test("unigramNll: rare-token docs score higher, values hand-check") {
+    // corpus: "w" x 10, "q" x 2  ->  p(w) = 10/12, p(q) = 2/12
+    val docs = Seq(
+      (1L, "w w w w"),  // avg_nll = -ln(10/12)
+      (2L, "w w q q"),  // avg_nll = (2*(-ln(10/12)) + 2*(-ln(2/12))) / 4
+      (3L, "w w w w")
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("did") ->
+        ((r.getAs[Long]("dl"), r.getAs[Double]("avg_nll")))).toMap
+    val pw = 10.0 / 12.0
+    val pq = 2.0 / 12.0
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - (-math.log(pw))) < 1e-5)
+    assert(math.abs(out(2L)._2 - (-(2 * math.log(pw) + 2 * math.log(pq)) / 4)) < 1e-5)
+    assert(out(2L)._2 > out(1L)._2, "rare tokens raise surprisal")
+    assert(out(1L)._2 == out(3L)._2, "identical docs score identically")
+  }
 }

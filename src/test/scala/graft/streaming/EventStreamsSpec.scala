@@ -44,6 +44,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStats: overlapping windows accumulate across micro-batches, match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = slidingStats(input.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("update").start()
+    val fixture = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:10:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 12:20:00"), 1, "view", 4.0))
+    try {
+      input.addData(fixture.take(2): _*); q.processAllAvailable()
+      input.addData(fixture.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .groupBy("win_start")
+        .agg(max("n").as("n"), max("sum_value").as("sum_value")) // latest update wins
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      // every event lands in 3 windows: [10:00,13:00) sees all three,
+      // [11:00,14:00) sees events 2+3, [12:00,15:00) only event 3
+      assert(streamed.contains((ts("2024-01-01 10:00:00"), 3L, 7.0)))
+      assert(streamed.contains((ts("2024-01-01 11:00:00"), 2L, 6.0)))
+      assert(streamed.contains((ts("2024-01-01 12:00:00"), 1L, 4.0)))
+      // batch/stream parity: the same expression over the same rows, batch mode
+      val batch = slidingStats(fixture.toDF())
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch sliding stats diverged:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dimension") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
