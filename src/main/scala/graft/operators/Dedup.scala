@@ -91,23 +91,28 @@ object Dedup {
     * (astronomically unlikely) collision behaves the same on both sides.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g")).localCheckpoint(false)
-    val sizes = shingleSizes(sh)
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.sid") < col("b.sid"))
-      .groupBy(col("a.sid").as("ida"), col("b.sid").as("idb"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("sa"), col("ida") === col("sa.sid"))
-      .join(sizes.as("sb"), col("idb") === col("sb.sid"))
-      .select(col("ida"), col("idb"),
-        (col("n_inter").cast("double") /
-          (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+                   n: Int, threshold: Double): DataFrame =
+    graft.core.Storage.freeingIntermediates(df.sparkSession) {
+      val sh = wordShingles(df, idCol, textCol, n)
+        .select(col("sid"), hash48(col("gram")).as("g")).localCheckpoint(false)
+      val sizes = shingleSizes(sh)
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.sid") < col("b.sid"))
+        .groupBy(col("a.sid").as("ida"), col("b.sid").as("idb"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.as("sa"), col("ida") === col("sa.sid"))
+        .join(sizes.as("sb"), col("idb") === col("sb.sid"))
+        .select(col("ida"), col("idb"),
+          (col("n_inter").cast("double") /
+            (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        // materialize the (small) verified-pair result so the shingle
+        // checkpoint above can be freed at operator exit instead of leaking
+        // into session storage (Storage.scala's contract)
+        .localCheckpoint()
+    }
 
   // ---- MinHash + LSH (the scale path) --------------------------------------
 
@@ -167,10 +172,16 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (ida, idb) pairs against the
     * documents in `docs` (which must contain every id the pairs mention).
+    *
+    * EAGER: the verified pairs (tiny — that is the point of LSH) are
+    * materialized before returning and the internal candidate/shingle
+    * checkpoints freed, so a session running many dedup queries doesn't
+    * accumulate their blocks in executor storage (Storage.scala).
     */
   private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
                                idCol: String, textCol: String,
-                               n: Int, threshold: Double): DataFrame = {
+                               n: Int, threshold: Double): DataFrame =
+   graft.core.Storage.freeingIntermediates(docs.sparkSession) {
     // localCheckpoint (not cache): the candidate DAG is referenced three
     // times below; a cache would re-ANALYZE the big logical subtree per
     // reference (driver-side Catalyst cost), a checkpoint truncates the
@@ -201,7 +212,8 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+      .localCheckpoint()
+   }
 
   /** Candidates verified by EDIT DISTANCE instead of Jaccard: keep pairs
     * with levenshtein <= (maxFracNum/maxFracDen) x the longer text — the
@@ -213,18 +225,20 @@ object Dedup {
     */
   def editDistanceVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                                 n: Int, maxFracNum: Int,
-                                maxFracDen: Int): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, n).localCheckpoint(false)
-    val texts = df.select(col(idCol).as("tid"), col(textCol).as("t"))
-    cands
-      .join(texts.as("ta"), col("ida") === col("ta.tid"))
-      .join(texts.as("tb"), col("idb") === col("tb.tid"))
-      .select(col("ida"), col("idb"),
-        levenshtein(col("ta.t"), col("tb.t")).cast("long").as("edit_dist"),
-        greatest(length(col("ta.t")), length(col("tb.t"))).cast("long").as("max_len"))
-      .filter(col("edit_dist") * maxFracDen <= lit(maxFracNum.toLong) * col("max_len"))
-      .select(col("ida"), col("idb"), col("edit_dist"))
-  }
+                                maxFracDen: Int): DataFrame =
+    graft.core.Storage.freeingIntermediates(df.sparkSession) {
+      val cands = minhashCandidates(df, idCol, textCol, n).localCheckpoint(false)
+      val texts = df.select(col(idCol).as("tid"), col(textCol).as("t"))
+      cands
+        .join(texts.as("ta"), col("ida") === col("ta.tid"))
+        .join(texts.as("tb"), col("idb") === col("tb.tid"))
+        .select(col("ida"), col("idb"),
+          levenshtein(col("ta.t"), col("tb.t")).cast("long").as("edit_dist"),
+          greatest(length(col("ta.t")), length(col("tb.t"))).cast("long").as("max_len"))
+        .filter(col("edit_dist") * maxFracDen <= lit(maxFracNum.toLong) * col("max_len"))
+        .select(col("ida"), col("idb"), col("edit_dist"))
+        .localCheckpoint() // verified pairs: tiny; frees cands at exit
+    }
 
   /** The persisted LSH band index of a corpus: (sid, band, bkey). Build once
     * per corpus, store next to the data, and reuse across ingestion runs —
@@ -249,7 +263,8 @@ object Dedup {
   def incrementalNearDupPairs(newDf: DataFrame, corpusDocs: DataFrame,
                               corpusBands: DataFrame, idCol: String,
                               textCol: String, n: Int,
-                              threshold: Double): DataFrame = {
+                              threshold: Double): DataFrame =
+   graft.core.Storage.freeingIntermediates(newDf.sparkSession) {
     val nb = bandIndex(newDf, idCol, textCol, n).localCheckpoint(false)
     val newNew = nb.as("a")
       .join(nb.as("b"),
@@ -273,9 +288,11 @@ object Dedup {
       .unionByName(corpusDocs
         .join(broadcast(newIds), col(idCol) === col("new_id"), "left_anti")
         .select(col(idCol), col(textCol)))
+    // verifyCandidates returns an eager leaf, so the band-index checkpoint
+    // `nb` above is computed by the time this frame exits and can be freed
     verifyCandidates(newNew.union(newOld).distinct(), docs, idCol, textCol,
       n, threshold)
-  }
+   }
 
   /** One-call corpus dedup: drop every document that is an exact duplicate
     * (non-minimal id for its text) or near-duplicate (member of a verified
