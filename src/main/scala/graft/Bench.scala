@@ -66,17 +66,21 @@ object Bench {
     * BENCH_r*.json in the cwd. A hand-rolled scan, not a JSON library —
     * build.sbt's dependency set is frozen and the format is self-produced.
     */
-  private def priorTimes(): Map[String, Double] = {
-    def parse(p: java.nio.file.Path): Map[String, Double] = {
-      val text = Files.readString(p)
-      // driver files embed the bench line inside a JSON string — unescape
-      val flat = text.replace("\\\"", "\"")
-      val qblock = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(flat).map(_.group(1))
-      qblock.map { b =>
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(b)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty[String, Double])
-    }
+  private[graft] def parseMetricBlock(text: String, key: String): Map[String, Double] = {
+    // driver files embed the bench line inside a JSON string — unescape
+    val flat = text.replace("\\\"", "\"")
+    val block = ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(flat).map(_.group(1))
+    block.map { b =>
+      "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty[String, Double])
+  }
+
+  /** (per-query seconds, per-query shuffle MB) from the newest available
+    * prior artifact (both maps from the SAME file, so time and shuffle gates
+    * judge against one coherent baseline).
+    */
+  private def priorMetrics(): (Map[String, Double], Map[String, Double]) = {
     val candidates: Seq[java.nio.file.Path] =
       sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_)).toSeq ++
         Seq(Paths.get("BENCH_BASELINE.json")) ++ {
@@ -85,9 +89,27 @@ object Bench {
             .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
             .lastOption.map(_.toPath).toSeq
         }
-    candidates.filter(Files.exists(_)).map(parse).find(_.nonEmpty)
-      .getOrElse(Map.empty)
+    candidates.filter(Files.exists(_)).map(Files.readString(_))
+      .map(t => (parseMetricBlock(t, "queries"), parseMetricBlock(t, "shuffle_mb")))
+      .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty))
   }
+
+  /** The regression gate, shared by the time and shuffle checks: queries
+    * whose metric grew beyond `factor` x its baseline value, with both
+    * values at or above `minAbs` (below it the drift is session noise — for
+    * seconds, sub-half-second timer jitter; for shuffle MB, sub-megabyte
+    * exchanges). Returns name -> growth ratio. The SHUFFLE gate is the one
+    * that predicts cluster cost: wall seconds on local[32] hide exchange
+    * growth that dominates at 1000 executors, exchanged bytes do not.
+    */
+  private[graft] def regressionsAgainst(current: Seq[(String, Double)],
+      prior: Map[String, Double], factor: Double,
+      minAbs: Double): Seq[(String, Double)] =
+    current.flatMap { case (name, v) =>
+      prior.get(name).collect {
+        case p if p >= minAbs && v >= minAbs && v > p * factor => name -> v / p
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +156,10 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
 
     val results = runnable.map { case (name, fn) =>
+      // blocking sweep of ALL persisted blocks between queries: per-query
+      // timing and shuffle attribution must not depend on every operator
+      // self-cleaning (Storage.scala's freeAll contract names this loop)
+      graft.core.Storage.freeAll(spark, blocking = true)
       listener.quiesce()
       val (shuffle0, spill0) = (listener.shuffle.get(), listener.spill.get())
       val t0 = System.nanoTime()
@@ -152,19 +178,25 @@ object Bench {
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
 
-    // Regression gate: per-query diff against the prior round's times. >1.5x
-    // drift on a non-trivial query is REPORTED LOUDLY (stderr + a dedicated
-    // JSON field) so a silent perf regression can't ship again — this
-    // round's predecessor shipped a 2.2x s2 regression invisibly. Sub-second
-    // queries are exempt: at that scale the drift is session noise.
-    val prior = priorTimes()
-    val regressions = good.flatMap { case (name, sec, _, _, _) =>
-      prior.get(name).collect {
-        case p if p >= 0.5 && sec >= 0.5 && sec > p * 1.5 =>
-          System.err.println(
-            f"[bench] REGRESSION $name: $p%.2f s -> $sec%.2f s (${sec / p}%.2fx)")
-          name -> sec / p
-      }
+    // Regression gates: per-query diff against the prior round. >1.5x drift
+    // on a non-trivial query is REPORTED LOUDLY (stderr + a dedicated JSON
+    // field) so a silent regression can't ship again — one round shipped a
+    // 2.2x s2 time regression invisibly, another a storage leak whose cost
+    // landed on unrelated queries. Time gate: sub-second queries exempt
+    // (session noise). Shuffle gate: exchanged bytes are the cluster-cost
+    // predictor local wall time hides; sub-megabyte queries exempt.
+    val (priorSec, priorShuffle) = priorMetrics()
+    val regressions =
+      regressionsAgainst(good.map(r => r._1 -> r._2), priorSec, 1.5, 0.5)
+    regressions.foreach { case (name, ratio) =>
+      System.err.println(
+        f"[bench] REGRESSION $name: ${priorSec(name)}%.2f s -> ${ratio * priorSec(name)}%.2f s ($ratio%.2fx)")
+    }
+    val shuffleRegressions =
+      regressionsAgainst(good.map(r => r._1 -> r._4), priorShuffle, 1.5, 1.0)
+    shuffleRegressions.foreach { case (name, ratio) =>
+      System.err.println(
+        f"[bench] SHUFFLE REGRESSION $name: ${priorShuffle(name)}%.1f MB -> ${ratio * priorShuffle(name)}%.1f MB ($ratio%.2fx)")
     }
 
     def names(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -178,6 +210,7 @@ object Bench {
         s""""shuffle_mb":${obj(good.map(r => r._1 -> r._4))},""" +
         s""""spill_mb":${obj(good.filter(_._5 > 0).map(r => r._1 -> r._5))},""" +
         s""""regressions":${obj(regressions)},""" +
+        s""""shuffle_regressions":${obj(shuffleRegressions)},""" +
         s""""failed":${names(failed)},"skipped":${names(skipped.map(_._1))}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")

@@ -18,6 +18,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // sweep persisted blocks between queries (Storage.freeAll contract):
+      // 115 checkpoint-leaving operators in one session would otherwise
+      // accumulate every result leaf in executor storage
+      graft.core.Storage.freeAll(spark, blocking = true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -41,31 +41,55 @@ object Storage {
       case _             => ()
     }
 
-  /** Run `build` — which must MATERIALIZE its result (eager checkpoint or an
-    * action) before returning — then free every RDD it newly persisted
-    * except the blocks backing the returned DataFrame. This is the
-    * "operator cleans up after itself" wrapper: callers get one leaf
-    * holding the result; the operator's internal checkpoints (candidate
-    * sets, shingle tables, loop iterations) are gone.
+  /** Run `build`, then free every RDD it newly persisted except the blocks
+    * backing the returned DataFrame. This is the "operator cleans up after
+    * itself" wrapper: callers get one leaf holding the result; the
+    * operator's internal checkpoints (candidate sets, shingle tables, loop
+    * iterations) are gone. If `build` throws, EVERYTHING it persisted is
+    * freed (there is no result to keep) before the exception propagates —
+    * a failed operator must not leak its partial state into the session.
+    *
+    * `build` must either materialize its result (eager checkpoint or an
+    * action) before returning, or return a plan whose only persisted inputs
+    * are its own checkpoint LEAVES — anything else it persisted is freed
+    * here and must not be needed again. Nesting is fine (an outer wrapper
+    * sees — and frees — an inner wrapper's kept leaf if the outer result no
+    * longer references it).
+    *
+    * CONCURRENCY CONTRACT: the before/after diff is over the
+    * SparkContext-GLOBAL persistent-RDD map, so two storage-disciplined
+    * operators running concurrently in one session would free each other's
+    * intermediates — including materialized checkpoints whose lineage is
+    * already truncated, i.e. unrecoverable data. A session must run at most
+    * one wrapped operator at a time (the single-driver-thread shape of
+    * Bench/Verify/ETL apps); concurrent-query sessions should serialize
+    * these operators behind this lock.
     */
-  def freeingIntermediates(spark: SparkSession)(build: => DataFrame): DataFrame = {
+  private[this] val lock = new Object
+  def freeingIntermediates(spark: SparkSession)(build: => DataFrame): DataFrame =
+   lock.synchronized {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = build
-    val keep = checkpointRddIds(out)
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
+    var out: DataFrame = null
+    try {
+      out = build
+      out
+    } finally {
+      val keep = if (out == null) Set.empty[Int] else checkpointRddIds(out)
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
-    out
-  }
+   }
 
   /** Free ALL persisted RDD blocks in the session — the between-queries
     * sweep for harnesses (Bench, Verify) that run many independent queries
     * in one session and need per-query timings attributable to the query,
-    * not to a predecessor's leaked storage. `blocking = true` waits for the
-    * removal so the next query's window doesn't absorb the cleanup.
+    * not to a predecessor's leaked storage. `blocking = true` (the default)
+    * waits for the removal so the next query's window doesn't absorb the
+    * cleanup.
     */
-  def freeAll(spark: SparkSession, blocking: Boolean = false): Unit =
+  def freeAll(spark: SparkSession, blocking: Boolean = true): Unit =
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking))
 

@@ -93,8 +93,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame =
     graft.core.Storage.freeingIntermediates(df.sparkSession) {
-      val sh = wordShingles(df, idCol, textCol, n)
-        .select(col("sid"), hash48(col("gram")).as("g")).localCheckpoint(false)
+      val sh = graft.core.Storage.cut(wordShingles(df, idCol, textCol, n)
+        .select(col("sid"), hash48(col("gram")).as("g")), eager = false)
       val sizes = shingleSizes(sh)
       val inter = sh.as("a")
         .join(sh.as("b"),
@@ -107,11 +107,13 @@ object Dedup {
         .select(col("ida"), col("idb"),
           (col("n_inter").cast("double") /
             (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
         // materialize the (small) verified-pair result so the shingle
         // checkpoint above can be freed at operator exit instead of leaking
-        // into session storage (Storage.scala's contract)
-        .localCheckpoint()
+        // into session storage (Storage.scala's contract); Storage.cut so a
+        // cluster run with a checkpoint dir gets a RELIABLE result leaf, not
+        // one copy in non-replicated executor storage
+        .filter(col("jaccard") >= threshold)
+        .transform(graft.core.Storage.cut(_))
     }
 
   // ---- MinHash + LSH (the scale path) --------------------------------------
@@ -182,11 +184,12 @@ object Dedup {
                                idCol: String, textCol: String,
                                n: Int, threshold: Double): DataFrame =
    graft.core.Storage.freeingIntermediates(docs.sparkSession) {
-    // localCheckpoint (not cache): the candidate DAG is referenced three
-    // times below; a cache would re-ANALYZE the big logical subtree per
-    // reference (driver-side Catalyst cost), a checkpoint truncates the
-    // plan to a leaf.
-    val cands = candidates.localCheckpoint(false)
+    // checkpoint (not cache): the candidate DAG is referenced three times
+    // below; a cache would re-ANALYZE the big logical subtree per reference
+    // (driver-side Catalyst cost), a checkpoint truncates the plan to a
+    // leaf. Storage.cut = localCheckpoint locally, reliable checkpoint when
+    // the session has a checkpoint dir (cluster fault tolerance).
+    val cands = graft.core.Storage.cut(candidates, eager = false)
     // Candidates are a tiny fraction of the corpus (that's the point of
     // LSH) — semi-join-filter the shingle table to candidate documents
     // BEFORE the gram join, so the verify stage never shuffles the full
@@ -195,10 +198,9 @@ object Dedup {
       .union(cands.select(col("idb").as("cand_sid"))).distinct()
     // gram hashes, not gram strings, through the intersection joins — same
     // 8-byte-key discipline as jaccardPairs, mirrored by the oracle
-    val sh = wordShingles(docs, idCol, textCol, n)
+    val sh = graft.core.Storage.cut(wordShingles(docs, idCol, textCol, n)
       .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi")
-      .select(col("sid"), hash48(col("gram")).as("g"))
-      .localCheckpoint(false)
+      .select(col("sid"), hash48(col("gram")).as("g")), eager = false)
     val sizes = shingleSizes(sh)
     val inter = cands
       .join(sh.as("a"), col("ida") === col("a.sid"))
@@ -212,7 +214,7 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("sa.nsh") + col("sb.nsh") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint()
+      .transform(graft.core.Storage.cut(_))
    }
 
   /** Candidates verified by EDIT DISTANCE instead of Jaccard: keep pairs
@@ -227,7 +229,8 @@ object Dedup {
                                 n: Int, maxFracNum: Int,
                                 maxFracDen: Int): DataFrame =
     graft.core.Storage.freeingIntermediates(df.sparkSession) {
-      val cands = minhashCandidates(df, idCol, textCol, n).localCheckpoint(false)
+      val cands =
+        graft.core.Storage.cut(minhashCandidates(df, idCol, textCol, n), eager = false)
       val texts = df.select(col(idCol).as("tid"), col(textCol).as("t"))
       cands
         .join(texts.as("ta"), col("ida") === col("ta.tid"))
@@ -237,7 +240,7 @@ object Dedup {
           greatest(length(col("ta.t")), length(col("tb.t"))).cast("long").as("max_len"))
         .filter(col("edit_dist") * maxFracDen <= lit(maxFracNum.toLong) * col("max_len"))
         .select(col("ida"), col("idb"), col("edit_dist"))
-        .localCheckpoint() // verified pairs: tiny; frees cands at exit
+        .transform(graft.core.Storage.cut(_)) // verified pairs: tiny; frees cands at exit
     }
 
   /** The persisted LSH band index of a corpus: (sid, band, bkey). Build once
@@ -265,7 +268,7 @@ object Dedup {
                               textCol: String, n: Int,
                               threshold: Double): DataFrame =
    graft.core.Storage.freeingIntermediates(newDf.sparkSession) {
-    val nb = bandIndex(newDf, idCol, textCol, n).localCheckpoint(false)
+    val nb = graft.core.Storage.cut(bandIndex(newDf, idCol, textCol, n), eager = false)
     val newNew = nb.as("a")
       .join(nb.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -300,7 +303,12 @@ object Dedup {
     * of `df` unchanged — the "give me the deduplicated corpus" API.
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                  n: Int = 3, threshold: Double = 0.5): DataFrame =
+   graft.core.Storage.freeingIntermediates(df.sparkSession) {
+    // nested wrappers: minhashVerifiedPairs and connectedComponents each
+    // clean up after themselves and return one materialized leaf; this
+    // outer wrapper then frees the verified-pairs leaf too (the result
+    // plan only references the component labels leaf, which it keeps)
     val components = connectedComponents(
       minhashVerifiedPairs(df, idCol, textCol, n, threshold))
     val nearLosers = components.filter(col("component") < col("sid"))
@@ -313,7 +321,7 @@ object Dedup {
       .select(col(idCol).as("loser_id"))
     df.join(broadcast(nearLosers.union(exactLosers).distinct()),
       col(idCol) === col("loser_id"), "left_anti")
-  }
+   }
 
   /** Benchmark decontamination: corpus documents sharing ANY word n-gram
     * with an evaluation/benchmark set, with the count of distinct
@@ -383,23 +391,27 @@ object Dedup {
     * round count is the metric that matters. Per round: two keyed shuffles,
     * cached + lineage-cut, one convergence count on the driver.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // localCheckpoint everywhere: an iterative self-joining loop otherwise
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+   graft.core.Storage.freeingIntermediates(pairs.sparkSession) {
+    // Storage.cut everywhere (localCheckpoint locally; RELIABLE checkpoint
+    // when the session sets a checkpoint dir, so a cluster run survives
+    // executor loss mid-loop): an iterative self-joining loop otherwise
     // re-analyzes an exponentially duplicated logical plan each round —
     // measured as tens of seconds of DRIVER time on a 500-node graph.
     // Checkpointing truncates each round's plan to a leaf; caching alone
     // does not (it only short-circuits execution, not analysis).
-    // checkpoint pairs BEFORE the bidirectional union: the union references
+    // Cut pairs BEFORE the bidirectional union: the union references
     // the pairs subtree twice in one plan, and when that subtree is a full
     // LSH verification pipeline, exchange reuse is not guaranteed to dedup
     // it (AQE re-plans per-branch) — one materialization guarantees one
-    // evaluation.
-    val p = pairs.localCheckpoint(false)
-    val edges = p.select(col("ida").as("src"), col("idb").as("dst"))
-      .union(p.select(col("idb").as("src"), col("ida").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("sid")).distinct()
-      .withColumn("component", col("sid")).localCheckpoint()
+    // evaluation. The freeingIntermediates wrapper frees p/edges and the
+    // final loop round on exit, keeping only the returned labels leaf.
+    val cut = graft.core.Storage.cut(_: DataFrame, _: Boolean)
+    val p = cut(pairs, false)
+    val edges = cut(p.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(p.select(col("idb").as("src"), col("ida").as("dst"))), true)
+    var labels = cut(edges.select(col("src").as("sid")).distinct()
+      .withColumn("component", col("sid")), true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -437,18 +449,19 @@ object Dedup {
             .select(stepped("sid"), stepped("prev"),
               least(stepped("component"), coalesce(col("l_comp"), stepped("component")))
                 .as("component"))
-        }).localCheckpoint()
+        }).transform(cut(_, true))
       val changed = next.filter(col("component") =!= col("prev")).count()
-      // free the superseded round's checkpoint blocks — a long loop would
-      // otherwise accumulate every round's label RDD in executor storage
-      labels.unpersist()
+      // free the superseded round's blocks AT THE RDD LAYER — a long loop
+      // would otherwise accumulate every round's label RDD in executor
+      // storage (Dataset.unpersist would be a silent no-op here: checkpoint
+      // blocks never enter the CacheManager — Storage.scala)
+      graft.core.Storage.freeCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("sid"), col("component"))
-  }
+   }
 
   // ---- SimHash -------------------------------------------------------------
 
@@ -465,15 +478,29 @@ object Dedup {
     df.select(col(idCol).as("sid"),
       graft.plans.SimhashLong.simhashLong(col(textCol)).as("simhash"))
 
-  /** Near-dup pairs by simhash: 4 x 12-bit chunk banding (any pair within
-    * hamming distance 6 of 48 bits shares at least one exact chunk only
-    * probabilistically — chunking guarantees recall for distance <= 3 by
-    * pigeonhole; we verify with bit_count and keep distance <= maxHamming).
+  /** Near-dup pairs by simhash chunk banding: the 48-bit signature is split
+    * into `numChunks` equal-width chunks and documents sharing any exact
+    * chunk become candidates, verified with bit_count and kept at distance
+    * <= maxHamming.
+    *
+    * Recall contract (pigeonhole): a pair at hamming distance d shares an
+    * exact chunk WHENEVER d < numChunks — so recall is guaranteed for
+    * d <= numChunks - 1 and probabilistic above. Occupancy contract: each
+    * chunk key space has 2^(48/numChunks) buckets, and the within-bucket
+    * self-join degrades quadratically once corpus size rivals the key
+    * space. The default 4 x 12-bit banding guarantees maxHamming <= 3 with
+    * n/4096 expected occupancy; a 100x corpus should move to 3 x 16-bit
+    * (n/65536 occupancy, recall guaranteed to d = 2) or keep 4 chunks and
+    * accept the larger buckets — the tradeoff is explicit, not hard-coded.
     */
-  def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(sim: DataFrame, maxHamming: Int, numChunks: Int = 4): DataFrame = {
+    require(numChunks > 0 && SimhashBits % numChunks == 0,
+      s"numChunks must divide $SimhashBits bits, got $numChunks")
+    val width = SimhashBits / numChunks
+    val mask = (1L << width) - 1
     val chunks = sim.select(col("sid"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), 12 * c).bitwiseAND(4095)): _*))
+      posexplode(array((0 until numChunks).map(c =>
+        shiftright(col("simhash"), width * c).bitwiseAND(mask)): _*))
         .as(Seq("chunk", "ckey")))
     chunks.as("a")
       .join(chunks.as("b"),

@@ -27,11 +27,19 @@ object Packing {
 
   /** (original columns) + n_tokens via `tokensOf`, start_offset, pack_id,
     * offset_in_pack. `orderCol` must be unique (it defines the layout).
+    *
+    * `buckets` <= 0 (the default) derives the bucket count from the INPUT's
+    * partition count: each window-sort bucket then holds ~one input
+    * partition's rows, so the per-task slice stays task-sized at any scale
+    * instead of growing as corpus/constant — the layout itself is
+    * bucket-count-independent (PackingSpec), so the only effect is
+    * parallelism.
     */
   def assignPacks(spark: SparkSession, df: DataFrame, orderCol: String,
                   tokensCol: String, packSize: Long,
-                  buckets: Int = 32): DataFrame = {
+                  buckets: Int = 0): DataFrame = {
     require(packSize > 0, s"packSize must be positive, got $packSize")
+    val nBuckets = bucketCountFor(df, buckets)
     // value-derived bucket: order keys are range-bucketed by their value so
     // bucket assignment is a pure function of the row, reproducible across
     // the totals job and the cumsum job
@@ -39,7 +47,7 @@ object Packing {
       max(col(orderCol)).cast("long")).head()
     if (bounds.isNullAt(0)) return packColumns(df, lit(0L), packSize) // empty
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
     val withBucket = df.withColumn("__bkt",
       ((col(orderCol).cast("long") - lo) / width).cast("long"))
 
@@ -63,6 +71,13 @@ object Packing {
     packColumns(withStart.drop("__bkt", "__base"), col("__start"), packSize)
       .drop("__start")
   }
+
+  /** Explicit `buckets` if positive, else one bucket per input partition —
+    * the per-bucket window-sort slice then tracks partition size (task-sized
+    * by definition) instead of corpus/constant.
+    */
+  private[operators] def bucketCountFor(df: DataFrame, buckets: Int): Int =
+    if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
 
   private def packColumns(df: DataFrame, start: org.apache.spark.sql.Column,
                           packSize: Long): DataFrame =

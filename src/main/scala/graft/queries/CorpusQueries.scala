@@ -462,9 +462,12 @@ object CorpusQueries {
          |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
          |SELECT x AS sid, min(y) AS component FROM r GROUP BY x
          |ORDER BY sid""".stripMargin) { (s, d) =>
-      Dedup.connectedComponents(
-        Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5))
-        .orderBy(col("sid"))
+      // the outer wrapper frees the verified-pairs leaf the CC result no
+      // longer references — the query leaves ONE leaf (the labels) behind
+      graft.core.Storage.freeingIntermediates(s) {
+        Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5))
+      }.orderBy(col("sid"))
     },
 
     // One-call corpus dedup: keep only canonical docs (min id per verified
@@ -1167,8 +1170,10 @@ object CorpusQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val comp = Dedup.connectedComponents(
-        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5))
+      val comp = graft.core.Storage.freeingIntermediates(s) {
+        Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5))
+      }
       val labeled = docs
         .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
         .join(comp, col("doc_id") === col("sid"), "left")

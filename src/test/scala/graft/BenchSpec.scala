@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gates are pure functions — test them directly so an
+  * injected regression provably fires without a 60-second bench run.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val baselineLine =
+    """{"metric":"total","value":55.3,"unit":"sec",""" +
+      """"queries":{"q_fast":0.2,"q_mid":2.0,"q_big":8.0},""" +
+      """"sf":"/root/testdata/sf0.1",""" +
+      """"shuffle_mb":{"q_fast":0.4,"q_mid":12.0,"q_big":140.5},""" +
+      """"spill_mb":{},"regressions":{},"failed":[],"skipped":[]}"""
+
+  test("parseMetricBlock reads queries and shuffle_mb from a raw bench line") {
+    assert(Bench.parseMetricBlock(baselineLine, "queries") ==
+      Map("q_fast" -> 0.2, "q_mid" -> 2.0, "q_big" -> 8.0))
+    assert(Bench.parseMetricBlock(baselineLine, "shuffle_mb") ==
+      Map("q_fast" -> 0.4, "q_mid" -> 12.0, "q_big" -> 140.5))
+  }
+
+  test("parseMetricBlock reads a driver round file that embeds the line as a JSON string") {
+    val wrapped = s"""{"tail": "${baselineLine.replace("\"", "\\\"")}"}"""
+    assert(Bench.parseMetricBlock(wrapped, "queries")("q_big") == 8.0)
+    assert(Bench.parseMetricBlock(wrapped, "shuffle_mb")("q_big") == 140.5)
+  }
+
+  test("time gate fires on an injected slowdown, ignores noise-floor queries") {
+    val prior = Bench.parseMetricBlock(baselineLine, "queries")
+    val current = Seq("q_fast" -> 0.45, "q_mid" -> 3.5, "q_big" -> 8.1)
+    val regs = Bench.regressionsAgainst(current, prior, factor = 1.5, minAbs = 0.5)
+    // q_mid 2.0 -> 3.5 = 1.75x fires; q_fast is sub-half-second noise even
+    // at 2.25x; q_big within factor
+    assert(regs.map(_._1) == Seq("q_mid"))
+    assert(math.abs(regs.head._2 - 1.75) < 1e-9)
+  }
+
+  test("shuffle gate fires on injected exchange growth (the cluster-cost signal)") {
+    val prior = Bench.parseMetricBlock(baselineLine, "shuffle_mb")
+    // a broadcast turned into a shuffle: bytes triple while wall time on
+    // local[32] would barely move — exactly what the gate must catch
+    val current = Seq("q_fast" -> 0.9, "q_mid" -> 36.0, "q_big" -> 150.0)
+    val regs = Bench.regressionsAgainst(current, prior, factor = 1.5, minAbs = 1.0)
+    assert(regs.map(_._1) == Seq("q_mid"))
+    assert(math.abs(regs.head._2 - 3.0) < 1e-9)
+  }
+
+  test("no baseline entry means no gate (new queries pass until re-baselined)") {
+    val regs = Bench.regressionsAgainst(Seq("brand_new" -> 99.0),
+      Map.empty[String, Double], factor = 1.5, minAbs = 0.5)
+    assert(regs.isEmpty)
+  }
+}

@@ -115,6 +115,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
   }
 
+  test("simhashPairs banding is parameterizable; pigeonhole recall holds per width") {
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    // exact dups (hamming 0) survive every legal banding by pigeonhole
+    for (chunks <- Seq(2, 3, 4, 6)) {
+      val pairs = Dedup.simhashPairs(sim, 6, numChunks = chunks)
+        .select("ida", "idb", "hamming").as[(Long, Long, Long)].collect()
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L),
+        s"lost the exact dup at numChunks=$chunks")
+    }
+    // recall guarantee: every TRUE pair at hamming <= chunks-1 is found —
+    // check the cluster-scale 3 x 16-bit banding against driver-computed
+    // ground truth (guarantee d <= 2 there)
+    val sigs = sim.as[(Long, Long)].collect()
+    val truePairs = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (a, b)).toSet
+    val at3 = Dedup.simhashPairs(sim, 2, numChunks = 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(at3),
+      s"3-chunk banding missed guaranteed pairs: ${truePairs -- at3}")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sim, 6, numChunks = 5) // 5 does not divide 48
+    }
+  }
+
   test("boilerplateStats: duplicated spans count as boilerplate, unique text scores 0") {
     // docs 1 and 4 are exact dups (every 5-gram shared, df = 2);
     // doc 3 shares nothing; doc 2 diverges from 1 only in the last word,

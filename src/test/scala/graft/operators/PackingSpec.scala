@@ -56,4 +56,23 @@ class PackingSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id", "toks")
     assert(Packing.assignPacks(spark, empty, "id", "toks", 16).count() == 0)
   }
+
+  test("default bucket count scales with input partitions (no fixed-32 window slice)") {
+    val rows = (0 until 4000).map(i => (i.toLong, (i % 9 + 1).toLong))
+    def withParts(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts)).toDF("id", "toks")
+    // the derived bucket count tracks input parallelism, so the per-bucket
+    // window-sort slice stays ~one partition's rows at any corpus size
+    assert(Packing.bucketCountFor(withParts(2), 0) == 2)
+    assert(Packing.bucketCountFor(withParts(16), 0) == 16)
+    assert(Packing.bucketCountFor(withParts(16), 7) == 7) // explicit wins
+    // and the auto-derived layout is identical to an explicit-bucket run
+    // (bucketing affects only parallelism, never the pack assignment)
+    val docs16 = withParts(16)
+    val auto = Packing.assignPacks(spark, docs16, "id", "toks", 128)
+      .select("id", "start_offset").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Packing.assignPacks(spark, docs16, "id", "toks", 128, buckets = 32)
+      .select("id", "start_offset").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == fixed)
+  }
 }
