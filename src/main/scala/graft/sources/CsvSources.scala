@@ -75,4 +75,59 @@ object CsvSources {
     }
     spark.read.parquet(dataDir)
   }
+
+  /** S6 — the HTTP HEAD probe that PRODUCES the stamp: the upstream's
+    * Last-Modified header (reference: EIA930PipelineHourlyData.py:18
+    * `requests.head(url).headers.get('Last-Modified')`). Returns "" when
+    * the server sends no header — matching the reference, whose stamp file
+    * starts empty so a missing header refetches every run (correct: with no
+    * change signal, staleness can't be ruled out). Driver-side: one HEAD
+    * request per pipeline run, never per task.
+    */
+  def lastModifiedStamp(url: String,
+      client: java.net.http.HttpClient = HttpPages.defaultClient): String = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody())
+      .timeout(java.time.Duration.ofSeconds(30)).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+    require(resp.statusCode() == 200,
+      s"lastModifiedStamp: HTTP ${resp.statusCode()} for HEAD $url")
+    resp.headers().firstValue("Last-Modified").orElse("")
+  }
+
+  /** S6 end-to-end: conditional-fetch cache keyed by the URL's Last-Modified
+    * header — `load` (typically an [[Xlsx]] read of the same URL) runs only
+    * when the upstream reports a change since the cached copy
+    * (EIA930PipelineHourlyData.py:15-42). A server that sends NO
+    * Last-Modified gives no change signal, so staleness can't be ruled out
+    * and every run refetches (a never-matching stamp).
+    */
+  def cachedByLastModified(spark: SparkSession, cacheDir: String, url: String,
+      client: java.net.http.HttpClient = HttpPages.defaultClient)(
+      load: => DataFrame): DataFrame =
+    cachedByStamp(spark, cacheDir, effectiveStamp(url, client))(load)
+
+  private def effectiveStamp(url: String,
+      client: java.net.http.HttpClient): String =
+    lastModifiedStamp(url, client) match {
+      case ""    => s"__no-last-modified-${System.nanoTime()}"
+      case stamp => stamp
+    }
+
+  /** The full S5+S6 production path: both EIA-930 reference tables from the
+    * workbook URL, conditionally cached behind ONE Last-Modified probe —
+    * the Spark shape of the reference's
+    * `harvestEIA930FormDataReferenceTables` (EIA930PipelineHourlyData
+    * .py:15-42): HEAD the URL, serve the parquet cache while the header is
+    * unchanged, re-read the workbook (driver-side, [[Xlsx]]) when it moves.
+    */
+  def referenceTablesFromUrl(spark: SparkSession, cacheDir: String, url: String,
+      client: java.net.http.HttpClient = HttpPages.defaultClient)
+      : (DataFrame, DataFrame) = {
+    val stamp = effectiveStamp(url, client)
+    (cachedByStamp(spark, s"$cacheDir/balancing_authorities", stamp)(
+       balancingAuthoritiesXlsx(spark, url)),
+     cachedByStamp(spark, s"$cacheDir/energy_sources", stamp)(
+       energySourcesXlsx(spark, url)))
+  }
 }

@@ -32,6 +32,30 @@ object Xlsx {
 
   // ---- reader -------------------------------------------------------------
 
+  /** Resolve a path-or-URL to a local file for the ZIP reader: plain paths
+    * pass through, `file://` URLs map to their path, and `http(s)://` URLs
+    * are fetched ONCE into a temp file that lives only for `f` — the
+    * reference reads the reference-tables workbook straight off the EIA URL
+    * (EIA930PipelineHourlyData.py:33 `pd.read_excel(url, ...)`), and a
+    * driver-side fetch of a dimension-sized workbook is the right shape at
+    * any scale (the data is broadcast from the driver either way).
+    */
+  private def withLocalCopy[T](pathOrUrl: String)(f: String => T): T =
+    if (pathOrUrl.startsWith("file:"))
+      f(java.nio.file.Paths.get(java.net.URI.create(pathOrUrl)).toString)
+    else if (pathOrUrl.startsWith("http://") || pathOrUrl.startsWith("https://")) {
+      val tmp = java.nio.file.Files.createTempFile("graft-xlsx", ".xlsx")
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(pathOrUrl))
+          .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+        val resp = HttpPages.defaultClient.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofFile(tmp))
+        require(resp.statusCode() == 200,
+          s"xlsx: HTTP ${resp.statusCode()} fetching $pathOrUrl")
+        f(tmp.toString)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else f(pathOrUrl)
+
   private def parseXml(bytes: Array[Byte]): Document = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false) // standard parts use the default (unprefixed) ns
@@ -53,9 +77,9 @@ object Xlsx {
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
   }
 
-  /** Sheet names in workbook order. */
-  def sheetNames(path: String): Seq[String] = {
-    val zip = new ZipFile(path)
+  /** Sheet names in workbook order. Accepts a local path or a URL. */
+  def sheetNames(path: String): Seq[String] = withLocalCopy(path) { local =>
+    val zip = new ZipFile(local)
     try elems(parseXml(part(zip, "xl/workbook.xml")), "sheet").map(_.getAttribute("name"))
     finally zip.close()
   }
@@ -88,8 +112,9 @@ object Xlsx {
     * resolved through shared strings. Driver-side: reference workbooks are
     * dimension-table sized.
     */
-  def readRows(path: String, sheet: String): Seq[Seq[Option[String]]] = {
-    val zip = new ZipFile(path)
+  def readRows(path: String, sheet: String): Seq[Seq[Option[String]]] =
+   withLocalCopy(path) { local =>
+    val zip = new ZipFile(local)
     try {
       val wb = parseXml(part(zip, "xl/workbook.xml"))
       val rels = parseXml(part(zip, "xl/_rels/workbook.xml.rels"))
@@ -129,7 +154,7 @@ object Xlsx {
         (0 until width).map(cells.get)
       }
     } finally zip.close()
-  }
+   }
 
   /** One sheet as a DataFrame: first row = header (null header cells become
     * _cN), every value a string — typing/slicing is downstream Column algebra,

@@ -42,6 +42,33 @@ class ExcelSourceSpec extends SparkSpec {
       .collect()(0).getAs[String]("Share") == "0.11")
   }
 
+  test("S5 over URL: the pipeline wiring reads the workbook via file:// and http://") {
+    // file:// URL straight through the S5 slice (the reference passes a URL,
+    // not a path, to pd.read_excel — EIA930PipelineHourlyData.py:33)
+    val fileUrl = java.nio.file.Paths.get(fixture).toUri.toString
+    assert(fileUrl.startsWith("file:"))
+    val ba = CsvSources.balancingAuthoritiesXlsx(spark, fileUrl)
+    assert(ba.columns.toSeq == CsvSources.balancingAuthoritiesSchema.fieldNames.toSeq)
+    assert(ba.count() == 4)
+
+    // http:// URL against an in-process server vending the workbook bytes
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/wb.xlsx", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val httpUrl = s"http://127.0.0.1:${server.getAddress.getPort}/wb.xlsx"
+      assert(Xlsx.sheetNames(httpUrl) == Seq("BAs", "Energy Sources"))
+      val es = CsvSources.energySourcesXlsx(spark, httpUrl)
+      assert(es.count() == 4)
+    } finally server.stop(0)
+  }
+
   test("writer/reader round-trip: shared strings, gaps, wide sheets, escaping") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx")
       .resolve("t.xlsx").toString
