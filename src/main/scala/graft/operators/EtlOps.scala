@@ -299,4 +299,41 @@ object EtlOps {
           .when(col("__ps").isNotNull, col("__pv"))
           .otherwise(lit(null).cast("double")).as(valueCol))
   }
+
+  /** SCD Type-2 history build: collapse an ordered stream of per-key
+    * snapshots into validity ranges — keep only rows where the tracked
+    * attributes CHANGED, stamp each with `valid_from` (its own order value),
+    * `valid_to` (the next change's order value, NULL while current) and
+    * `is_current`. The warehouse-side half of a slowly-changing-dimension
+    * load; the reference's sinks only ever overwrite (D3), so this is the
+    * history-preserving upgrade of that load path.
+    *
+    * Change detection is a null-safe struct compare against `lag` (a row
+    * with all-NULL attributes following another all-NULL row is a no-change
+    * row). Both windows sort by `orderCols` within the key — callers must
+    * include a tiebreaker column if the leading order column can repeat
+    * within a key, or which duplicate survives is nondeterministic.
+    *
+    * Scale shape: ONE hash exchange on the key; the second window (the
+    * `lead` over surviving change rows) reuses the first's partitioning AND
+    * sort order, so Catalyst plans it without a second exchange or sort.
+    * No data-dependent state beyond the per-key sorted run — skewed keys
+    * are bounded by that key's snapshot count, not the corpus.
+    */
+  def scd2(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs at least one order column and one tracked attribute")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    val prev = lag(attrs, 1).over(w)
+    df.withColumn("__chg", prev.isNull || !(attrs <=> prev))
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCol +: attrCols.toList).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

@@ -1093,6 +1093,32 @@ object EtlQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // U4: SCD Type-2 history build (EtlOps.scd2) — each customer's order
+    // stream collapsed to validity ranges of their order priority. The
+    // oracle mirrors both windows (change detection by lag, range close by
+    // lead over survivors); (o_orderdate, o_orderkey) is a total order per
+    // customer so survivorship is deterministic.
+    QueryDef(
+      "u4_scd2_history",
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |changes AS (
+        |  SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM changes
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, d) =>
+      EtlOps.scd2(Tables.orders(s, d), "o_custkey",
+          Seq("o_orderdate", "o_orderkey"), Seq("o_orderpriority"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    },
+
     // ---- window functions (engine surface beyond the reference) ----------
 
     // W2: ranked top-n per group with deterministic tiebreak.
@@ -1378,6 +1404,82 @@ object EtlQueries {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_rich_inactive"))
         .orderBy(col("n_name"))
+    },
+
+    // X-extension, TPC-H Q2 shape: correlated min subquery ("the supplier
+    // offering each part at its minimum unit price"). The DataFrame side
+    // decorrelates to a per-part window min + equality filter: ONE lineitem
+    // scan and ONE p_partkey exchange, where the textbook
+    // aggregate-and-join-back form scans the fact twice and shuffles three
+    // times; part and supplier dims broadcast. Unit price is a row-wise
+    // IEEE division (no accumulation), so doubles compare bit-exactly across
+    // engines.
+    QueryDef(
+      "x9_cheapest_supplier",
+      """WITH pl AS (SELECT l_partkey, l_suppkey,
+        |    l_extendedprice / l_quantity AS unit_price FROM lineitem)
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, unit_price
+        |FROM pl JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5
+        |  AND unit_price = (SELECT min(unit_price) FROM pl pl2
+        |                    WHERE pl2.l_partkey = pl.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, d) =>
+      val smallParts = Tables.part(s, d).filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_name"))
+      val pl = Tables.lineitem(s, d)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val byPart = Window.partitionBy(col("p_partkey"))
+      pl.withColumn("min_price", min(col("unit_price")).over(byPart))
+        .filter(col("unit_price") === col("min_price"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          col("unit_price"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    },
+
+    // X-extension, TPC-H Q21 shape: the double-correlated EXISTS / NOT
+    // EXISTS self-join ("the supplier who alone shipped last on a
+    // multi-supplier order"). Spark-first form: one left-semi + one
+    // left-anti self-join on the same l_orderkey hash key — all three
+    // lineitem scans share one Exchange partitioning, the inequality parts
+    // ride as join residuals, and the order-status filter plus the supplier
+    // dim broadcast. Counts are exact integers.
+    QueryDef(
+      "x10_waiting_orders",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate >= l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val l1 = l.join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val other = l.select(col("l_orderkey").as("o_lok"), col("l_suppkey").as("o_lsk"),
+        col("l_shipdate").as("o_lsd"))
+      l1.join(other,
+          col("l_orderkey") === col("o_lok") && col("l_suppkey") =!= col("o_lsk"),
+          "left_semi")
+        .join(other,
+          col("l_orderkey") === col("o_lok") && col("l_suppkey") =!= col("o_lsk") &&
+            col("o_lsd") >= col("l_shipdate"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }
   )
 }

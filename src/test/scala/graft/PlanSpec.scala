@@ -177,6 +177,34 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[[^\n]*graft_dot_long""".r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("u4_scd2_history: both SCD2 windows share ONE key exchange and sort") {
+    val p = plan("u4_scd2_history")
+    // change detection (lag) and range close (lead) use the same
+    // (key, order) window spec — the second Window must reuse the first's
+    // hashpartitioning and sort. Only the presentation orderBy's range
+    // exchange may appear beyond the one key exchange.
+    val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed == 1, s"SCD2 must cost one key exchange, got $keyed:\n$p")
+    assert("Window \\(".r.findAllIn(p).length == 2, p)
+  }
+
+  test("x9_cheapest_supplier: correlated min decorrelates to ONE scan + ONE exchange") {
+    val p = plan("x9_cheapest_supplier")
+    // window-min form: a single lineitem scan; the aggregate-join-back form
+    // would scan the fact twice and shuffle three times
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 3, p) // lineitem+part+supplier
+    val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed == 1, s"expected one p_partkey exchange, got $keyed:\n$p")
+    assert(!p.contains("SortMergeJoin"), p) // dims broadcast
+  }
+
+  test("x10_waiting_orders: exists/not-exists are equi-keyed semi/anti joins") {
+    val p = plan("x10_waiting_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("dot-product kernel throws on dimension mismatch instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")

@@ -92,4 +92,34 @@ class EtlOpsSpec extends SparkSpec {
     val k20 = out.filter(_._1 == 20L).sortBy(_._2).map(_._3).toSeq
     assert(k20 == Seq(None, None, Some(1.0), Some(1.0), Some(1.0), Some(1.0)))
   }
+
+  test("scd2 collapses no-change snapshots into validity ranges") {
+    // key 1: A A B A -> three ranges (the repeat A at t2 collapses into t1's);
+    // key 2: one all-NULL attr snapshot then a no-change NULL (collapses too)
+    val df = Seq(
+      (1L, 1, Some("A")), (1L, 2, Some("A")), (1L, 3, Some("B")), (1L, 4, Some("A")),
+      (2L, 1, None), (2L, 2, None)
+    ).toDF("k", "t", "attr")
+    val out = EtlOps.scd2(df, "k", Seq("t"), Seq("attr"))
+      .orderBy($"k", $"valid_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getBoolean(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, Some("A"), 1, Some(3), false),
+      (1L, Some("B"), 3, Some(4), false),
+      (1L, Some("A"), 4, None, true),
+      (2L, None, 1, None, true)))
+  }
+
+  test("scd2 tracks multi-attribute changes null-safely") {
+    val df = Seq(
+      (1L, 1, Some("A"), Some(10)),
+      (1L, 2, Some("A"), None),      // second attr changes to NULL -> new range
+      (1L, 3, Some("A"), None)       // no change -> collapses
+    ).toDF("k", "t", "a1", "a2")
+    val out = EtlOps.scd2(df, "k", Seq("t"), Seq("a1", "a2")).collect()
+    assert(out.length == 2)
+  }
 }
