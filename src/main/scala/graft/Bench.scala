@@ -76,11 +76,11 @@ object Bench {
     }.getOrElse(Map.empty[String, Double])
   }
 
-  /** (per-query seconds, per-query shuffle MB) from the newest available
-    * prior artifact (both maps from the SAME file, so time and shuffle gates
-    * judge against one coherent baseline).
+  /** (per-query seconds, per-query shuffle MB, calibration seconds) from the
+    * newest available prior artifact (all from the SAME file, so time and
+    * shuffle gates judge against one coherent baseline).
     */
-  private def priorMetrics(): (Map[String, Double], Map[String, Double]) = {
+  private def priorMetrics(): (Map[String, Double], Map[String, Double], Option[Double]) = {
     val candidates: Seq[java.nio.file.Path] =
       sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_)).toSeq ++
         Seq(Paths.get("BENCH_BASELINE.json")) ++ {
@@ -90,8 +90,10 @@ object Bench {
             .lastOption.map(_.toPath).toSeq
         }
     candidates.filter(Files.exists(_)).map(Files.readString(_))
-      .map(t => (parseMetricBlock(t, "queries"), parseMetricBlock(t, "shuffle_mb")))
-      .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty))
+      .map(t => (parseMetricBlock(t, "queries"), parseMetricBlock(t, "shuffle_mb"),
+        "\"calibration_sec\":([0-9.Ee+-]+)".r.findFirstMatchIn(t.replace("\\\"", "\""))
+          .map(_.group(1).toDouble)))
+      .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty, None))
   }
 
   /** The regression gate, shared by the time and shuffle checks: queries
@@ -143,6 +145,30 @@ object Bench {
         .count()
     }
 
+    // Hardware calibration: a FIXED CPU-bound workload (8M md5+xxhash64
+    // rows, shuffle-free, codegen'd) timed after warmup. Rounds run on
+    // whatever VM the scheduler provides, and 2x clock/steal differences
+    // between hosts are real and otherwise indistinguishable from code
+    // regressions (round 6 measured the same commit at 1.4-2.7x across two
+    // hosts). The time gate scales the prior round's seconds by
+    // (calibration_now / calibration_prior) when the prior artifact
+    // recorded one, so it compares work, not silicon. Shuffle bytes need no
+    // normalization (hardware-independent) — one more reason the shuffle
+    // gate is the primary cluster-cost signal.
+    val calibrationSec = locally {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 8L * 1000 * 1000, 1, cpus.toInt)
+          .select(sum(xxhash64(md5(col("id").cast("string")))
+            .bitwiseAND(lit(0xFFFFFFL)))).head() // mask: ANSI sum must not overflow
+
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT
+      math.min(once(), once())
+    }
+
     // Dev-only subset filter (comma-separated names); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val (skipped, runnable) = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -185,12 +211,17 @@ object Bench {
     // landed on unrelated queries. Time gate: sub-second queries exempt
     // (session noise). Shuffle gate: exchanged bytes are the cluster-cost
     // predictor local wall time hides; sub-megabyte queries exempt.
-    val (priorSec, priorShuffle) = priorMetrics()
+    val (priorSec, priorShuffle, priorCal) = priorMetrics()
+    val hwScale = priorCal.filter(_ > 0.05).map(calibrationSec / _).getOrElse(1.0)
+    if (math.abs(hwScale - 1.0) > 0.1)
+      System.err.println(
+        f"[bench] hardware scale vs baseline host: $hwScale%.2fx (calibration $calibrationSec%.2f s vs ${priorCal.getOrElse(0.0)}%.2f s)")
+    val scaledPriorSec = priorSec.map { case (k, v) => k -> v * hwScale }
     val regressions =
-      regressionsAgainst(good.map(r => r._1 -> r._2), priorSec, 1.5, 0.5)
+      regressionsAgainst(good.map(r => r._1 -> r._2), scaledPriorSec, 1.5, 0.5)
     regressions.foreach { case (name, ratio) =>
       System.err.println(
-        f"[bench] REGRESSION $name: ${priorSec(name)}%.2f s -> ${ratio * priorSec(name)}%.2f s ($ratio%.2fx)")
+        f"[bench] REGRESSION $name: ${scaledPriorSec(name)}%.2f s -> ${ratio * scaledPriorSec(name)}%.2f s ($ratio%.2fx)")
     }
     val shuffleRegressions =
       regressionsAgainst(good.map(r => r._1 -> r._4), priorShuffle, 1.5, 1.0)
@@ -207,6 +238,7 @@ object Bench {
     val total = good.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""calibration_sec":$calibrationSec,"hw_scale":${math.round(hwScale * 100.0) / 100.0},""" +
         s""""shuffle_mb":${obj(good.map(r => r._1 -> r._4))},""" +
         s""""spill_mb":${obj(good.filter(_._5 > 0).map(r => r._1 -> r._5))},""" +
         s""""regressions":${obj(regressions)},""" +
