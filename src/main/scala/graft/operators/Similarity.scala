@@ -150,6 +150,100 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- PQ (product quantization) ------------------------------------------
+
+  /** PQ codebook: split the dim-D quantized vector space into `m` subspaces
+    * of D/m dims; per subspace the codebook is the `k` lowest-id vectors'
+    * subvectors (training-free deterministic seeds, the same reproducible
+    * posture as IVF's seedCentroids — swap in per-subspace k-means for real
+    * workloads without touching the encode/search path). Packed into ONE
+    * broadcastable row: `cb[m][k] = array<long>` subvector.
+    *
+    * Scale math: PQ codes are m bytes per vector (k <= 256) vs 4·D float
+    * bytes — 32x compression at D=64/m=8, the rung above SQ8's 4x. At
+    * 100 TB of embeddings that is the difference between an index that fits
+    * in cluster memory and one that doesn't; the codebook itself is
+    * m·k·(D/m) longs — KBs, broadcast-free to every task.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+              k: Int): DataFrame = {
+    val v = prepared(df, idCol, vecCol)
+    v.orderBy(col("sid")).limit(k)
+      .agg(array_sort(collect_list(struct(col("sid"), col("qv")))).as("seeds"))
+      .select(transform(sequence(lit(0), lit(m - 1)), mm =>
+        transform(col("seeds"), s =>
+          slice(s("qv"), mm * (dim / m) + 1, lit(dim / m)))).as("cb"))
+  }
+
+  /** Exact integer squared L2 between two quantized subvectors, via the dot
+    * identity and the native codegen'd kernel (three dots, no explode).
+    */
+  private def subD2(a: Column, b: Column): Column =
+    idot(a, a) + idot(b, b) - lit(2L) * idot(a, b)
+
+  /** PQ-encode a quantized vector against the codebook: per subspace the
+    * argmin-d2 code (ties -> lowest code), as `array<long>` of length m.
+    * Pure per-row array algebra against the broadcast codebook row — NO
+    * shuffle; `array_min` over (d2, code) structs is the argmin (struct
+    * ordering is lexicographic), the same trick rankCells uses.
+    */
+  def pqCodes(vec: Column, cb: Column, dim: Int, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mm =>
+      array_min(
+        transform(element_at(cb, mm + 1), (c, kk) =>
+          struct(subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), c).as("d2"),
+            kk.cast("long").as("k"))))("k"))
+
+  /** PQ-ADC top-k: candidates are searched IN CODE SPACE (m bytes each),
+    * queries stay unquantized on their side of the asymmetry. Per query a
+    * distance lookup table `lut[m][k] = d2(query_sub_m, cb[m][k])` is
+    * computed ONCE (m·k native-kernel dots, query set is small by
+    * contract), then each candidate costs m table lookups — the classic
+    * asymmetric-distance trick that makes PQ search memory-bound instead of
+    * FLOP-bound. Same broadcast-queries / stream-candidates shape as
+    * [[bruteForceTopK]]: the big side is read once, never shuffled, and
+    * carries only its m-long code array into the scoring loop.
+    *
+    * All arithmetic is exact integers (quantized longs end-to-end), so a
+    * SQL oracle reproduces every distance and rank bit-for-bit.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, dim: Int, m: Int, k: Int, topK: Int): DataFrame =
+    pqTopKWith(pqTrain(candidates, idCol, vecCol, dim, m, k),
+      queries, candidates, idCol, vecCol, dim, m, topK)
+
+  /** PQ-ADC top-k against an already-trained codebook row — the production
+    * shape: train once, persist the one-row codebook, search many. The
+    * self-training [[pqTopK]] convenience re-derives the codebook subplan
+    * under each side's broadcast, which re-scans the corpus at scale; a
+    * persisted codebook makes the search path exactly two scans (candidates
+    * once, queries once).
+    */
+  def pqTopKWith(cb: DataFrame, queries: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String, dim: Int, m: Int,
+                 topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = prepared(candidates, idCol, vecCol)
+      .crossJoin(broadcast(cb))
+      .select(col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
+    val q = prepared(queries, idCol, vecCol)
+      .crossJoin(broadcast(cb))
+      .select(col("sid").as("qid"),
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          transform(element_at(col("cb"), mm + 1), cc =>
+            subD2(slice(col("qv"), mm * (dim / m) + 1, lit(dim / m)), cc)))
+          .as("lut"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(
+          zip_with(col("codes"), col("lut"), (code, row) => get(row, code.cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
   /** IVF-flat ANN: partition vectors into `nCells` cells around centroid

@@ -1214,6 +1214,43 @@ object CorpusQueries {
       Similarity.sq8TopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // PQ-ADC kNN (Similarity.pqTopK): 8 subspaces x 16 codes over the
+    // 64-dim quantized vectors — candidates shrink to 8 codes each (32x vs
+    // float), queries stay unquantized and rank candidates through a
+    // per-query distance lookup table. The oracle rebuilds the whole path
+    // relationally: seed codebook from the 16 lowest ids, per-(vector,
+    // subspace) argmin code with the same (d2, code) tiebreak, then the
+    // ADC sum over subspaces. Exact integer arithmetic end-to-end.
+    QueryDef(
+      "s8_pq_adc_knn",
+      """WITH e AS (SELECT vec_id AS sid,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q,
+        |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |        unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+        |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+        |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
+        |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+        |a AS (SELECT e.sid, e.m, cb.code,
+        |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+        |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+        |codes AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+        |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+        |  FROM a) WHERE rn = 1),
+        |dist AS (SELECT qa.sid AS qid, c.sid AS nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+        |  FROM codes c JOIN a qa ON qa.m = c.m AND qa.code = c.code
+        |  WHERE qa.sid < 8 AND qa.sid <> c.sid GROUP BY 1, 2)
+        |SELECT qid, nid, d2, rank FROM (
+        |  SELECT qid, nid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+        |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+          dim = 64, m = 8, k = 16, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

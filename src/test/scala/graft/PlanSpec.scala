@@ -205,6 +205,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("s8_pq_adc_knn: encoding is shuffle-free, top-k gets WindowGroupLimit") {
+    val p = plan("s8_pq_adc_knn")
+    // PQ encode is per-row array algebra against a broadcast codebook: the
+    // only keyed shuffle allowed is the per-query top-k window's qid
+    // exchange; the candidate table itself must never hash-shuffle
+    assert(!p.contains("hashpartitioning(sid"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("hashpartitioning(nid"), s"codes must not shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the sort
+  }
+
   test("dot-product kernel throws on dimension mismatch instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")

@@ -187,4 +187,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._3 >= 0L))
     assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
   }
+
+  test("pqCodes: a seed vector encodes to its own code in every subspace") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val codes = emb.filter($"vec_id" < 16).crossJoin(broadcast(cb))
+      .select($"vec_id",
+        Similarity.pqCodes(Similarity.quantize($"embedding"), $"cb", 64, 8).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // seeds are the 16 lowest vec_ids in id order, so seed i's subvectors
+    // ARE centroid i in every subspace: d2 = 0 at its own code (distinct
+    // random vectors make d2 > 0 at every other code)
+    (0 until 16).foreach { i =>
+      assert(codes(i.toLong) == Seq.fill(8)(i.toLong), s"seed $i: ${codes(i.toLong)}")
+    }
+    // and every code is in range for every vector
+    val all = emb.crossJoin(broadcast(cb))
+      .select(Similarity.pqCodes(Similarity.quantize($"embedding"), $"cb", 64, 8).as("c"))
+      .collect().flatMap(_.getSeq[Long](0))
+    assert(all.forall(c => c >= 0 && c < 16))
+  }
+
+  test("pqTopK: ADC ranks a code-identical twin at distance = LUT self-distance") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // a twin candidate with query 3's exact vector: identical codes, so its
+    // ADC distance equals the query's LUT distance to its OWN codes — the
+    // quantization-error floor, strictly the minimum over all candidates
+    val twin = emb.filter($"vec_id" === 3).select(
+      lit(100000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.pqTopK(
+      emb.filter($"vec_id" === 3), emb.unionByName(twin),
+      "vec_id", "embedding", dim = 64, m = 8, k = 16, topK = 3)
+      .select("qid", "nid", "d2", "rank").as[(Long, Long, Long, Long)].collect()
+    val top = out.find(_._4 == 1L).get
+    assert(top._2 == 100000L, out.mkString(", "))
+    assert(out.forall(_._3 >= 0L))
+    assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
 }
