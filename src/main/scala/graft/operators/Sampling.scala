@@ -126,4 +126,39 @@ object Sampling {
     df.join(broadcast(rates), Seq(srcCol))
       .filter(bucket(col(idCol), salt) < floor(col("rate") * Buckets).cast("long"))
   }
+
+  /** Deterministic global shuffle order for training: every row gets a
+    * contiguous 0-based `pos` by (md5 bucket, id) — the reproducible
+    * "shuffle the corpus before training" step, stable across retries,
+    * engines and re-runs, and resumable (a checkpointed trainer re-derives
+    * the exact order from the salt alone). Different `salt` = a fresh epoch
+    * permutation.
+    *
+    * Scale shape: a naive ROW_NUMBER() OVER (ORDER BY hash) pulls the whole
+    * corpus through ONE task. Here the rank is two-level (the Packing
+    * prefix-sum pattern): hash-value-derived buckets (uniform by
+    * construction — the hash IS the shuffle), per-bucket counts, a
+    * driver-side exclusive scan of those counts (dimension-sized), then a
+    * per-bucket window rank plus the broadcast base. Every heavy step is
+    * parallel; serial state is one long per bucket.
+    */
+  def shuffleOrder(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                   idCol: String, salt: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val width = Buckets / nBuckets + 1
+    val withB = df.withColumn("__sk", bucket(col(idCol), salt))
+      .withColumn("__bkt", (col("__sk") / width).cast("long"))
+    val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) return df.withColumn("pos", lit(0L)).limit(0)
+    val bases = counts.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    val baseDf = spark.createDataFrame(bases).toDF("__bkt", "__base")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__sk"), col(idCol))
+    withB.join(broadcast(baseDf), Seq("__bkt"))
+      .withColumn("pos", col("__base") + row_number().over(w) - 1)
+      .drop("__sk", "__bkt", "__base")
+  }
 }

@@ -1124,6 +1124,20 @@ object CorpusQueries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     },
 
+    // Deterministic global shuffle order (Sampling.shuffleOrder): the
+    // reproducible pre-training corpus shuffle — pos is a contiguous 0-based
+    // rank by (md5 bucket, id), derived with the two-level prefix pattern
+    // instead of a single-task global window. The oracle is the naive
+    // global ROW_NUMBER the operator decomposes.
+    QueryDef(
+      "sm7_shuffle_order",
+      s"""SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlHash("'ep0:' || doc_id", 8)}, doc_id) - 1 AS pos
+         |FROM documents ORDER BY pos""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.shuffleOrder(s, Tables.documents(s, d), "doc_id", "ep0")
+        .select(col("doc_id"), col("pos")).orderBy(col("pos"))
+    },
+
     // Canonical-document selection per near-dup cluster: connected
     // components over verified LSH pairs (the d9 machinery), then ONE
     // survivor per component by quality score (rounded 6dp, doc_id

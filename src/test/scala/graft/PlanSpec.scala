@@ -149,6 +149,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("sm7_shuffle_order: no single-task global window (rank is two-level)") {
+    val p = plan("sm7_shuffle_order")
+    // a naive ROW_NUMBER() OVER (ORDER BY hash) plans Exchange
+    // SinglePartition under the Window — the bottleneck the two-level rank
+    // exists to avoid. The presentation orderBy is range-partitioned.
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("d14_decontaminate: only hashed gram keys shuffle, never text") {
     val p = plan("d14_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -65,4 +65,24 @@ class SamplingSpec extends SparkSpec {
     val restOut = out.filter($"lang" =!= "zh").count()
     assert(restOut < restIn / 2, s"$restOut of $restIn kept")
   }
+
+  test("shuffleOrder: pos is a contiguous permutation, bucket-count-independent") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val n = docs.count()
+    val byDefault = Sampling.shuffleOrder(spark, docs, "doc_id", "ep0")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    // contiguous 0-based permutation
+    assert(byDefault.values.toSeq.sorted == (0L until n).toSeq)
+    // the layout is a pure function of (salt, id): bucket count only
+    // changes parallelism, never the order
+    val by3 = Sampling.shuffleOrder(spark, docs, "doc_id", "ep0", buckets = 3)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(by3 == byDefault)
+    // a different salt is a genuinely different epoch permutation
+    val ep1 = Sampling.shuffleOrder(spark, docs, "doc_id", "ep1")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(ep1 != byDefault)
+    // and not the identity layout
+    assert(byDefault.exists { case (id, pos) => id != pos })
+  }
 }
