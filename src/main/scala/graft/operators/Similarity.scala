@@ -233,12 +233,14 @@ object Similarity {
           transform(element_at(col("cb"), mm + 1), cc =>
             subD2(slice(col("qv"), mm * (dim / m) + 1, lit(dim / m)), cc)))
           .as("lut"))
+    // the per-pair distance is the native graft_pq_adc kernel: m primitive
+    // lookups inside whole-stage codegen — the interpreted
+    // aggregate(zip_with(...)) form costs a lambda dispatch and an
+    // intermediate array per (query, candidate) pair
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        aggregate(
-          zip_with(col("codes"), col("lut"), (code, row) => get(row, code.cast("int"))),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)

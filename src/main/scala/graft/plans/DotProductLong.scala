@@ -84,6 +84,7 @@ object GraftFunctions {
   val DotLongName = "graft_dot_long"
   val MisraGriesName = "graft_misra_gries"
   val LshBucketsName = "graft_lsh_buckets"
+  val PqAdcName = "graft_pq_adc"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -93,6 +94,13 @@ object GraftFunctions {
         dotId,
         new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
         (children: Seq[Expression]) => DotProductLong(children(0), children(1)))
+    }
+    val pqId = FunctionIdentifier(PqAdcName)
+    if (!registry.functionExists(pqId)) {
+      registry.registerFunction(
+        pqId,
+        new ExpressionInfo(classOf[PqAdcLong].getName, PqAdcName),
+        (children: Seq[Expression]) => PqAdcLong(children(0), children(1)))
     }
     val lshId = FunctionIdentifier(LshBucketsName)
     if (!registry.functionExists(lshId)) {
@@ -129,5 +137,11 @@ object GraftFunctions {
   def lshBuckets(vec: Column, planes: Column, nPlanes: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(LshBucketsName, vec, planes, lit(nPlanes))
+  }
+
+  /** PQ asymmetric distance: sum_m lut[m][codes[m]] (native codegen). */
+  def pqAdc(codes: Column, lut: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(PqAdcName, codes, lut)
   }
 }

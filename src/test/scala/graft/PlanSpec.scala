@@ -224,6 +224,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the sort
   }
 
+  test("pq-adc kernel participates in whole-stage codegen") {
+    val df = SparkEntry.queries("s8_pq_adc_knn")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*graft_pq_adc""".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("pq-adc kernel throws on out-of-range codes instead of a wrong distance") {
+    import spark.implicits._
+    val df = Seq((Array(0L, 9L), Array(Array(1L, 2L), Array(3L, 4L))))
+      .toDF("codes", "lut")
+      .select(graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")))
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("out of range")), e)
+  }
+
   test("dot-product kernel throws on dimension mismatch instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
