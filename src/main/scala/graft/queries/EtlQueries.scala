@@ -1480,6 +1480,71 @@ object EtlQueries {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // X-extension, TPC-H Q18 shape: large-quantity orders (HAVING on an
+    // exact decimal sum) joined back to orders + customer. Q18's IN
+    // (GROUP BY ... HAVING) subquery IS the aggregate — one lineitem
+    // exchange on l_orderkey feeds both the filter and the join; the
+    // customer dim broadcasts; the top-20 plans as TakeOrderedAndProject.
+    QueryDef(
+      "x11_big_quantity_orders",
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |WHERE sum_qty > 300
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(ExactAgg.sumExact(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    },
+
+    // X-extension, TPC-H Q20 shape: the nested "more than X times the
+    // average supply share" double aggregate — per-(part, supplier) totals
+    // compared against a per-part aggregate of those totals. Spark-first
+    // form: pre-partition lineitem by l_partkey so the (partkey, suppkey)
+    // aggregate AND the per-part window both reuse ONE exchange (a subset
+    // of the group keys satisfies the clustered distribution); the naive
+    // aggregate-then-join-back form shuffles three times. Quantities are
+    // integer-valued, so every sum and the share comparison are exact.
+    QueryDef(
+      "x12_dominant_suppliers",
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |shares AS (SELECT l_suppkey, q,
+        |    SUM(q) OVER (PARTITION BY l_partkey) AS tot,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS ns
+        |  FROM ps)
+        |SELECT s_name, COUNT(*) AS n_dominant
+        |FROM shares JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE q * ns > 2.0 * tot
+        |GROUP BY s_name ORDER BY n_dominant DESC, s_name""".stripMargin) { (s, d) =>
+      val byPart = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(ExactAgg.sumExact(col("l_quantity")).as("q"))
+        .withColumn("tot", sum(col("q")).over(byPart))
+        .withColumn("ns", count(lit(1)).over(byPart))
+        .filter(col("q") * col("ns") > lit(2.0) * col("tot"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_dominant"))
+        .orderBy(col("n_dominant").desc, col("s_name"))
     }
   )
 }

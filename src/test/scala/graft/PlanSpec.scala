@@ -214,6 +214,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("x11_big_quantity_orders: HAVING aggregate feeds the join, top-20 never global-sorts") {
+    val p = plan("x11_big_quantity_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+  }
+
+  test("x12_dominant_suppliers: aggregate and window share ONE fact exchange") {
+    val p = plan("x12_dominant_suppliers")
+    // the l_partkey pre-partitioning satisfies both the (partkey, suppkey)
+    // aggregate and the per-part window; only the dimension-sized s_name
+    // aggregate may add a keyed exchange
+    val keyed = p.linesIterator.count(_.contains("hashpartitioning(l_partkey"))
+    assert(keyed == 1, s"expected one l_partkey exchange, got $keyed:\n$p")
+    assert(!p.contains("SortMergeJoin"), p) // supplier dim broadcasts
+  }
+
   test("s8_pq_adc_knn: encoding is shuffle-free, top-k gets WindowGroupLimit") {
     val p = plan("s8_pq_adc_knn")
     // PQ encode is per-row array algebra against a broadcast codebook: the
