@@ -168,6 +168,36 @@ object EventStreams {
                            closed: Boolean)
   case class SessionState(start: Long, end: Long, n: Long)
 
+  /** Stream-stream interval join (attribution): match each `left` event to
+    * the `right` events of the same key whose timestamp falls in
+    * `[left.ts, left.ts + horizon]` — view-to-click attribution, order-to-
+    * shipment matching. The streaming twin of the J5 batch interval join:
+    * the SAME equi-key + time-range condition, but with BOTH sides
+    * watermarked so Spark can bound the join buffers — a left row retires
+    * once the right watermark passes `left.ts + horizon`, a right row once
+    * the left watermark passes `right.ts` — making state O(horizon + delay)
+    * per key instead of O(history). Inner join: an unmatched left row
+    * simply expires (append-safe).
+    *
+    * Batch/stream agnostic like [[hourlyStats]]: static inputs skip the
+    * watermarks and plan the ordinary interval join, so batch backfill and
+    * the live stream share one definition.
+    */
+  def attributeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, horizon: String,
+                    watermarkDelay: String = "2 hours"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val wm = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+      wm.select(wm.columns.map(c => col(c).as(s"$p$c")): _*)
+    }
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch for semantics windowed aggs can't express. A session
     * closes when a LATER event for the same key arrives past the gap

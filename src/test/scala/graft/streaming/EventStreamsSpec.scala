@@ -348,4 +348,41 @@ class EventStreamsSpec extends SparkSpec {
       assert(batch.count() == 1)
     } finally q.stop()
   }
+
+  test("attributeJoin: stream-stream interval join matches the batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributeJoin(views.toDF(), clicks.toDF(), "user_id", "ts", "30 minutes")
+      .select($"l_event_id".as("view_id"), $"r_event_id".as("click_id"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      val vRows = Seq(
+        Event(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(11, ts("2024-01-01 10:00:00"), 2, "view", 0.0))
+      val cRows1 = Seq(
+        Event(20, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // in horizon
+        Event(21, ts("2024-01-01 11:10:00"), 1, "click", 1.0)) // past horizon
+      views.addData(vRows: _*)
+      clicks.addData(cRows1: _*)
+      q.processAllAvailable()
+      // a later micro-batch still matches user 2's earlier view (buffered)
+      val cRows2 = Seq(
+        Event(22, ts("2024-01-01 10:29:00"), 2, "click", 1.0), // in horizon
+        Event(23, ts("2024-01-01 10:31:00"), 3, "click", 1.0)) // no view for key
+      clicks.addData(cRows2: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("attr_out")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == Set((10L, 20L), (11L, 22L)))
+
+      // batch/stream parity: the same definition over static frames
+      val batch = attributeJoin(vRows.toDF(), (cRows1 ++ cRows2).toDF(),
+          "user_id", "ts", "30 minutes")
+        .select($"l_event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
 }
