@@ -344,6 +344,44 @@ object Dedup {
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** C4-style duplicate-SPAN removal: chunk every document into fixed
+    * non-overlapping character spans, keep exactly ONE copy of each
+    * distinct span corpus-wide (first occurrence in (doc, position) order),
+    * and rebuild each document from its surviving spans. This is the
+    * span-granular rung between exact whole-document dedup (d1) and
+    * near-dup clustering: templated runs, syndicated passages and licensing
+    * blurbs disappear from every copy but the first, while the rest of the
+    * document survives. Documents whose every span is a repeat vanish
+    * entirely (their content exists verbatim earlier in the corpus).
+    *
+    * Returns (sid, n_spans, text_md5): surviving span count and the md5 of
+    * the rebuilt text — callers wanting the text itself swap the final md5
+    * for the joined string.
+    *
+    * Scale shape: chunking is map-side explode (fuses into the scan); the
+    * keep-first window shuffles each span ONCE keyed by its md5 (uniform by
+    * construction — spans are the shuffled payload AND the output, unlike
+    * the never-shuffle-text dedup detectors); the rebuild is a second
+    * map-side-combinable aggregate keyed by doc. Both shuffles are linear
+    * in corpus size; no self-join anywhere.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 spanLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = graft.operators.TextOps
+      .chunkDocs(df, idCol, textCol, spanLen, 0)
+      .select(col(idCol).as("sid"), col("chunk_start"), col("chunk_text"))
+    val w = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("sid"), col("chunk_start"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_spans"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_start"), col("chunk_text")))),
+          e => e("chunk_text")), "")).as("text_md5"))
+  }
+
   /** Corpus-level boilerplate detection: the fraction of a document's
     * distinct word n-grams that are "boilerplate" — appearing in at least
     * `minDf` distinct documents corpus-wide (headers, footers, templated

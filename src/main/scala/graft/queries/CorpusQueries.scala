@@ -1230,6 +1230,27 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C4-style duplicate-span removal (Dedup.dedupSpans): one surviving
+    // copy of every 40-char span corpus-wide, documents rebuilt from their
+    // surviving spans (md5-compared). 171 spans across 33 docs are repeats
+    // in the sf0.01 fixtures, so the query discriminates.
+    QueryDef(
+      "d17_dedup_spans",
+      """WITH chunks AS (SELECT doc_id, i AS cs,
+        |    substr(text, CAST(i AS INT), 40) AS c
+        |  FROM documents,
+        |    unnest(generate_series(1, greatest(length(text), 1), 40)) AS t(i)),
+        |kept AS (SELECT doc_id, cs, c FROM (SELECT doc_id, cs, c,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(c) ORDER BY doc_id, cs) AS rn
+        |  FROM chunks) WHERE rn = 1)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  md5(string_agg(c, '' ORDER BY cs)) AS text_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dedupSpans(Tables.documents(s, d), "doc_id", "text", 40)
+        .select(col("sid").as("doc_id"), col("n_spans"), col("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // PQ-ADC kNN (Similarity.pqTopK): 8 subspaces x 16 codes over the
     // 64-dim quantized vectors — candidates shrink to 8 codes each (32x vs
     // float), queries stay unquantized and rank candidates through a

@@ -160,4 +160,23 @@ class DedupSpec extends SparkSpec {
     val s = Dedup.boilerplateStats(short, "doc_id", "text", 5, 2L).collect().head
     assert(s.getAs[Long]("n_grams") == 0L && s.getAs[Double]("boiler_frac") == 0.0)
   }
+
+  test("dedupSpans: first occurrence keeps its span, later copies lose it, full repeats vanish") {
+    // span length 4: doc 1 = AAAABBBB, doc 2 = AAAACCCC (shares span AAAA),
+    // doc 3 = AAAABBBB (every span is a repeat -> vanishes),
+    // doc 4 = DDDD (unique, survives whole)
+    val docs = Seq(
+      (1L, "AAAABBBB"), (2L, "AAAACCCC"), (3L, "AAAABBBB"), (4L, "DDDD")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[String]("text_md5")))).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    assert(out(1L) == ((2L, md5("AAAABBBB")))) // first copy intact
+    assert(out(2L) == ((1L, md5("CCCC"))))     // repeated AAAA removed
+    assert(!out.contains(3L))                  // nothing survives
+    assert(out(4L) == ((1L, md5("DDDD"))))
+  }
 }
