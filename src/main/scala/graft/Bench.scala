@@ -91,10 +91,17 @@ object Bench {
         }
     candidates.filter(Files.exists(_)).map(Files.readString(_))
       .map(t => (parseMetricBlock(t, "queries"), parseMetricBlock(t, "shuffle_mb"),
-        "\"calibration_sec\":([0-9.Ee+-]+)".r.findFirstMatchIn(t.replace("\\\"", "\""))
-          .map(_.group(1).toDouble)))
+        parseCalibration(t)))
       .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty, None))
   }
+
+  /** The prior artifact's calibration probe seconds, if it recorded one
+    * (same raw-or-driver-embedded formats as [[parseMetricBlock]]).
+    */
+  private[graft] def parseCalibration(text: String): Option[Double] =
+    "\"calibration_sec\":([0-9.Ee+-]+)".r
+      .findFirstMatchIn(text.replace("\\\"", "\""))
+      .map(_.group(1).toDouble)
 
   /** The regression gate, shared by the time and shuffle checks: queries
     * whose metric grew beyond `factor` x its baseline value, with both

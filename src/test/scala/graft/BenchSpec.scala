@@ -52,4 +52,25 @@ class BenchSpec extends AnyFunSuite {
       Map.empty[String, Double], factor = 1.5, minAbs = 0.5)
     assert(regs.isEmpty)
   }
+
+  test("parseCalibration reads the probe from raw and driver-embedded artifacts") {
+    val raw = """{"metric":"total","value":1.0,"calibration_sec":0.642,"queries":{"a":1.0}}"""
+    assert(Bench.parseCalibration(raw).contains(0.642))
+    // driver round files embed the line as an escaped JSON string
+    val embedded = raw.replace("\"", "\\\"")
+    assert(Bench.parseCalibration(s"""{"tail":"$embedded"}""").contains(0.642))
+    // a pre-calibration baseline: no probe, gate falls back to unscaled
+    assert(Bench.parseCalibration("""{"queries":{"a":1.0}}""").isEmpty)
+  }
+
+  test("hardware scaling: a 2x-slower host doubles the allowed prior seconds") {
+    // the gate is regressionsAgainst(current, prior * hwScale): the same
+    // 2.6x-slower-silicon measurement that is NOT a regression on the slow
+    // host must not fire once the prior is scaled
+    val prior = Map("q" -> 1.0)
+    val current = Seq("q" -> 2.6)
+    assert(Bench.regressionsAgainst(current, prior, 1.5, 0.5).nonEmpty)
+    val scaled = prior.map { case (k, v) => k -> v * 2.6 } // calibration ratio
+    assert(Bench.regressionsAgainst(current, scaled, 1.5, 0.5).isEmpty)
+  }
 }
