@@ -208,7 +208,7 @@ object Bench {
       val spillMb = (listener.spill.get() - spill0) / 1e6
       (name, sec, ok, shuffleMb, spillMb)
     }
-    val good = results.filter(_._3)
+    var good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
 
     // Regression gates: per-query diff against the prior round. >1.5x drift
@@ -224,6 +224,29 @@ object Bench {
       System.err.println(
         f"[bench] hardware scale vs baseline host: $hwScale%.2fx (calibration $calibrationSec%.2f s vs ${priorCal.getOrElse(0.0)}%.2f s)")
     val scaledPriorSec = priorSec.map { case (k, v) => k -> v * hwScale }
+    // Confirm-before-flag: a time overage on the first pass is re-measured
+    // once and the MIN kept. CPU-steal bursts on shared VMs last minutes and
+    // land on whichever queries run inside them — three back-to-back full
+    // runs on one host flagged three DISJOINT "regression" sets. A burst is
+    // (very likely) gone on the retry; a real code regression reproduces.
+    // Shuffle bytes are deterministic, so the shuffle gate never re-runs.
+    val suspects = regressionsAgainst(good.map(r => r._1 -> r._2),
+      scaledPriorSec, 1.5, 0.5).map(_._1).toSet
+    if (suspects.nonEmpty) {
+      val byName = runnable.toMap
+      good = good.map {
+        case (name, sec, ok, sh, sp) if suspects(name) =>
+          graft.core.Storage.freeAll(spark, blocking = true)
+          val t0 = System.nanoTime()
+          val retried =
+            try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => sec }
+          if (retried < sec)
+            System.err.println(f"[bench] RETRY $name: $sec%.2f s -> $retried%.2f s (kept min)")
+          (name, math.min(sec, retried), ok, sh, sp)
+        case r => r
+      }
+    }
     val regressions =
       regressionsAgainst(good.map(r => r._1 -> r._2), scaledPriorSec, 1.5, 0.5)
     regressions.foreach { case (name, ratio) =>
