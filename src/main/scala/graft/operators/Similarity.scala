@@ -194,6 +194,14 @@ object Similarity {
           struct(subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), c).as("d2"),
             kk.cast("long").as("k"))))("k"))
 
+  /** Per-query ADC lookup table: `lut[mm][kk] = d2(query_sub_mm, cb[mm][kk])`
+    * — m·k native-kernel dots, computed once per query row.
+    */
+  private def pqLut(vec: Column, cb: Column, dim: Int, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mm =>
+      transform(element_at(cb, mm + 1), cc =>
+        subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), cc)))
+
   /** PQ-ADC top-k: candidates are searched IN CODE SPACE (m bytes each),
     * queries stay unquantized on their side of the asymmetry. Per query a
     * distance lookup table `lut[m][k] = d2(query_sub_m, cb[m][k])` is
@@ -228,11 +236,7 @@ object Similarity {
       .select(col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
     val q = prepared(queries, idCol, vecCol)
       .crossJoin(broadcast(cb))
-      .select(col("sid").as("qid"),
-        transform(sequence(lit(0), lit(m - 1)), mm =>
-          transform(element_at(col("cb"), mm + 1), cc =>
-            subD2(slice(col("qv"), mm * (dim / m) + 1, lit(dim / m)), cc)))
-          .as("lut"))
+      .select(col("sid").as("qid"), pqLut(col("qv"), col("cb"), dim, m).as("lut"))
     // the per-pair distance is the native graft_pq_adc kernel: m primitive
     // lookups inside whole-stage codegen — the interpreted
     // aggregate(zip_with(...)) form costs a lambda dispatch and an
@@ -345,6 +349,44 @@ object Similarity {
         pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ ANN — the production composition at the top of the ladder:
+    * the IVF coarse quantizer prunes the candidate set to `nProbe` cells,
+    * and within cells candidates are ranked by PQ asymmetric distance over
+    * their m-code arrays instead of full vectors. At 100 TB this is the
+    * standard shape (FAISS's IVFPQ): the index holds m bytes + a cell id
+    * per vector (32x+ compression), queries touch nProbe/nCells of it, and
+    * the per-candidate cost is m table lookups (the native graft_pq_adc
+    * kernel). Codes here are global-codebook (no per-cell residual
+    * encoding) — residual PQ buys recall at the same cost but needs
+    * per-cell codebooks; the probe/search path would not change.
+    *
+    * Scale shape: cell assignment and PQ encoding are per-row array algebra
+    * against two broadcast one-row frames (NO shuffle of the corpus); the
+    * only keyed join is per cell id, so work scales with probed-cell
+    * occupancy. All arithmetic stays exact integers end-to-end.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                nCells: Int, nProbe: Int, m: Int, k: Int,
+                topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(df, idCol, vecCol)
+    val ranked = rankCells(v, seedCentroids(v, nCells))
+    val cb = pqTrain(df, idCol, vecCol, dim, m, k)
+    val members = ranked.crossJoin(broadcast(cb)).select(
+      coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
+      col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
+    val probes = ranked.crossJoin(broadcast(cb)).select(
+      col("sid").as("qid"), pqLut(col("qv"), col("cb"), dim, m).as("lut"),
+      explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+    val scored = probes.join(members, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
   }
 
   /** The IVF probe path against any packed centroid row (seeded or trained). */

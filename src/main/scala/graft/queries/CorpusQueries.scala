@@ -1286,6 +1286,49 @@ object CorpusQueries {
           dim = 64, m = 8, k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // IVF-PQ (Similarity.ivfPqTopK): the production ANN composition — IVF
+    // cells prune candidates, PQ-ADC ranks within probed cells. The oracle
+    // stitches the s3 cell machinery to the s8 code machinery: seeded
+    // cells, top-1 assignment / top-4 probing, then the ADC sum joined
+    // through (cell, code). Exact integers end-to-end.
+    QueryDef(
+      "s9_ivfpq_knn",
+      s"""WITH $quantVecCte,
+         |c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+         |cscored AS (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+         |  FROM v CROSS JOIN c),
+         |cranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM cscored),
+         |e AS (SELECT sid, qv[pos] AS q,
+         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+         |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
+         |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+         |a AS (SELECT e.sid, e.m, cb.code,
+         |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+         |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+         |codes AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+         |  FROM a) WHERE rn = 1),
+         |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
+         |  FROM cranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
+         |probes AS (SELECT cid, sid AS qid FROM cranked WHERE crank <= 4),
+         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+         |  FROM probes p JOIN members mem ON p.cid = mem.cid
+         |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
+         |  WHERE p.qid <> mem.nid GROUP BY 1, 2)
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

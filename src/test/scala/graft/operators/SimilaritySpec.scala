@@ -224,4 +224,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._3 >= 0L))
     assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
   }
+
+  test("ivfPqTopK: a twin lands in the query's cell and wins the ADC ranking") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val twin = emb.filter($"vec_id" === 77).select(
+      lit(100000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.ivfPqTopK(emb.unionByName(twin), "vec_id", "embedding",
+      dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 3)
+      .filter($"qid" === 77)
+      .select("nid", "d2", "rank").as[(Long, Long, Long)].collect()
+    // identical vector -> identical cell and identical codes -> the twin's
+    // ADC distance is the query's own quantization floor, strictly minimal
+    assert(out.find(_._3 == 1L).map(_._1).contains(100000L), out.mkString(", "))
+    // probing 4 of 16 cells returns a nonempty, ascending ranking
+    assert(out.nonEmpty && out.sortBy(_._3).map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+  }
 }
