@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Empty-input contracts: a 100 TB pipeline routinely produces empty
+  * intermediate frames (a filter that matched nothing, a day with no new
+  * data, an empty partition of an incremental run). Every operator must
+  * return an empty frame with the right schema — never throw.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family: empty corpus in, empty result out") {
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashVerifiedPairs(noDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.dedupSpans(noDocs, "doc_id", "text", 40).count() == 0)
+    assert(Dedup.simhash(noDocs, "doc_id", "text").count() == 0)
+    val cc = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("ida", "idb"))
+    assert(cc.columns.toSeq == Seq("sid", "component") && cc.count() == 0)
+  }
+
+  test("similarity family: empty corpus in, empty result out") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 5)
+      .count() == 0)
+    assert(Similarity.pqTopK(noVecs, noVecs, "vec_id", "embedding", 64, 8, 16, 5)
+      .count() == 0)
+    assert(Similarity.ivfPqTopK(noVecs, "vec_id", "embedding", 64, 16, 4, 8, 16, 5)
+      .count() == 0)
+    assert(Similarity.lshNearDupPairs(noVecs, "vec_id", "embedding", 64, 4, 8, 0.9)
+      .count() == 0)
+  }
+
+  test("etl/sampling operators: empty in, empty out, schema intact") {
+    val noOrders = Seq.empty[(Long, Int, String)].toDF("k", "t", "attr")
+    val scd = EtlOps.scd2(noOrders, "k", Seq("t"), Seq("attr"))
+    assert(scd.columns.toSeq ==
+      Seq("k", "attr", "valid_from", "valid_to", "is_current") && scd.count() == 0)
+    val sh = Sampling.shuffleOrder(spark, noDocs, "doc_id", "x")
+    assert(sh.columns.contains("pos") && sh.count() == 0)
+    assert(Sampling.temperatureSample(noDocs.withColumn("source", lit("a")),
+      "doc_id", "source", 0.5, "t").count() == 0)
+    assert(Packing.assignPacks(spark, noDocs.withColumn("n", lit(1L)),
+      "doc_id", "n", 100L).count() == 0)
+  }
+}
