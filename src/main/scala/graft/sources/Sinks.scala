@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Sink + catalog surface (SURVEY.md S10-S12).
   *
@@ -88,6 +88,65 @@ object Sinks {
   def compact(spark: SparkSession, path: String, targetBytes: Long,
               sortCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
+    compactWith(spark, path, targetBytes) { (df, nFiles) =>
+      df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    }
+  }
+
+  /** Z-ORDER compaction: cluster on the Morton interleave of several
+    * columns instead of a lexicographic sort. A linear sort gives perfect
+    * min/max skipping on its FIRST key and none on the others; Z-ordering
+    * gives every listed column a min/max range of ~range/2^(k/n) per file
+    * (k = leading z-bits a file spans, n = columns), so selective filters
+    * on ANY of the columns prune files — the standard lakehouse layout for
+    * multi-dimension point/range lookups. Same staging-swap contract as
+    * [[compact]].
+    */
+  def compactZOrdered(spark: SparkSession, path: String, targetBytes: Long,
+                      zCols: Seq[String], bits: Int = 12): Int = {
+    import org.apache.spark.sql.functions.col
+    compactWith(spark, path, targetBytes) { (df, nFiles) =>
+      df.withColumn("__z", zOrderValue(df, zCols, bits))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+  }
+
+  /** Morton (Z-curve) value over 2+ numeric columns: each column is
+    * range-bucketed to `bits` bits against its OWN global [min, max] (one
+    * dimension-sized driver read, the Packing bounds posture), then the
+    * bucket bits interleave — column j contributes bit i to z-bit
+    * `i * n + j`. A fixed arithmetic expression (shift/mask/or), fully
+    * codegen'd. Range buckets assume roughly uniform values; heavy skew
+    * wants quantile buckets, which would only change this bucketing line.
+    */
+  def zOrderValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
+    import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, shiftleft, shiftright}
+    require(cols.size >= 2, s"zOrderValue needs >= 2 columns, got $cols")
+    require(bits * cols.size <= 62, s"bits x cols must fit a long, got $bits x ${cols.size}")
+    val bounds = df.agg(
+      org.apache.spark.sql.functions.array(cols.flatMap(c =>
+        Seq(org.apache.spark.sql.functions.min(col(c)).cast("double"),
+          org.apache.spark.sql.functions.max(col(c)).cast("double"))): _*)).head()
+      .getSeq[Double](0)
+    val n = cols.size
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (bounds(2 * j), bounds(2 * j + 1))
+      val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+        floor((col(c).cast("double") - lit(lo)) / lit(width) * lit(1 << bits)),
+        lit(0.0)), lit((1 << bits) - 1.0)).cast("long")
+    }
+    (for (i <- 0 until bits; j <- 0 until n) yield
+      shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** The staging-write + two-rename swap shared by the compaction modes. */
+  private def compactWith(spark: SparkSession, path: String, targetBytes: Long)
+      (layout: (DataFrame, Int) => DataFrame): Int = {
     val dir = new java.io.File(path)
     def parquetFiles(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
@@ -100,9 +159,7 @@ object Sinks {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val staging = path.stripSuffix("/") + "_compacting"
-    spark.read.parquet(path)
-      .repartitionByRange(nFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+    layout(spark.read.parquet(path), nFiles)
       .write.mode(SaveMode.Overwrite).parquet(staging)
 
     val old = path.stripSuffix("/") + "_precompact"

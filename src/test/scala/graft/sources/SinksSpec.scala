@@ -56,6 +56,49 @@ class SinksSpec extends SparkSpec {
     }, ranges.mkString(", "))
   }
 
+  test("compactZOrdered: selective filters on BOTH z columns prune files; linear sort can't") {
+    def fileRanges(dir: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c))
+        .groupBy($"f").agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSeq
+    def hitting(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      ranges.count { case (l, h) => h >= lo && l <= hi }
+
+    // two independent uniform dimensions (md5-derived, deterministic)
+    val df = spark.range(0, 30000).selectExpr("id",
+      "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 4), 16, 10) AS BIGINT) AS a",
+      "CAST(conv(substr(md5(CAST(id + 99999 AS STRING)), 1, 4), 16, 10) AS BIGINT) AS b")
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val (linDir, zDir) = (base + "/lin", base + "/z")
+    df.repartition(20).write.parquet(linDir)
+    df.repartition(20).write.parquet(zDir)
+    val small = 40L * 1024 // force ~8+ output files
+    Sinks.compact(spark, linDir, small, Seq("a", "b"))
+    val zFiles = Sinks.compactZOrdered(spark, zDir, small, Seq("a", "b"))
+    assert(zFiles >= 4, s"need enough files to show pruning, got $zFiles")
+
+    // a selective range on the SECOND dimension: the lexicographic layout
+    // spreads b across every file (no pruning possible); the z-order
+    // layout confines it to a fraction of them
+    val (bLo, bHi) = (0L, 65536L / 8)
+    val linHit = hitting(fileRanges(linDir, "b"), bLo, bHi)
+    val linAll = fileRanges(linDir, "b").size
+    val zHit = hitting(fileRanges(zDir, "b"), bLo, bHi)
+    val zAll = fileRanges(zDir, "b").size
+    assert(linHit == linAll, s"linear layout should not prune b: $linHit/$linAll")
+    assert(zHit < zAll, s"z-order must prune b-range scans: $zHit/$zAll")
+    // and the FIRST dimension still prunes under z-order
+    val zHitA = hitting(fileRanges(zDir, "a"), 0L, 65536L / 8)
+    assert(zHitA < zAll, s"z-order must also prune a-range scans: $zHitA/$zAll")
+    // rows survive the rewrite byte-exactly
+    val expected = spark.range(0, 30000).selectExpr(
+      "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 4), 16, 10) AS BIGINT) AS a",
+      "CAST(conv(substr(md5(CAST(id + 99999 AS STRING)), 1, 4), 16, 10) AS BIGINT) AS b")
+      .agg(sum($"a" + $"b")).as[Long].head()
+    assert(spark.read.parquet(zDir).agg(sum($"a" + $"b")).as[Long].head() == expected)
+  }
+
   test("compactPartitioned compacts each partition directory independently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
     val days = (0 until 3).flatMap(d => (0 until 400).map(i =>
