@@ -369,6 +369,70 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor resize of a 24bpp uncompressed BMP — a REAL pixel
+    * transform, pure JVM (no codec): parse the header, sample source rows
+    * and columns in storage order with 4-byte row padding respected, and
+    * re-emit a valid BMP around the new pixel array. Malformed input
+    * (wrong magic, compressed, non-24bpp, truncated pixel data, top-down)
+    * throws — a resize must never fabricate pixels.
+    *
+    * This is the decode+resize step of a multimodal ingest pipeline in the
+    * one raster format that needs no codec; JPEG/WebP swap this function
+    * for a library call without touching the Spark plumbing around it.
+    */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"target dims must be positive, got ${outW}x$outH")
+    require(bytes.length >= BmpHeaderLen && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    require(h > 0, "top-down BMPs (negative height) unsupported")
+    require(bb.getShort(28) == 24, s"only 24bpp supported, got ${bb.getShort(28)}")
+    require(bb.getInt(30) == 0, "compressed BMPs unsupported")
+    val inRow = ((3 * w + 3) / 4) * 4
+    require(bytes.length.toLong >= off.toLong + inRow.toLong * h,
+      s"truncated pixel array: need ${off + inRow.toLong * h} bytes, have ${bytes.length}")
+    val outRow = ((3 * outW + 3) / 4) * 4
+    val out = new Array[Byte](outRow * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        val src = off + sy * inRow + sx * 3
+        val dst = y * outRow + x * 3
+        out(dst) = bytes(src)
+        out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    bmpBytes(outW, outH, out)
+  }
+
+  case class ResizedMedia(id: Long, width: Long, height: Long, bytes: Array[Byte])
+
+  /** Resize a frame of (id, media) BMP blobs to a fixed thumbnail size —
+    * mapPartitions so a real codec's init would happen once per partition;
+    * per-row map-side work, no shuffle, fuses into the scan at any scale.
+    */
+  def resizeImages(spark: SparkSession, df: DataFrame, outW: Int,
+                   outH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val resized = resizeBmp(bytes, outW, outH)
+          ResizedMedia(id, outW.toLong, outH.toLong, resized)
+        }
+      }
+  }
+
   /** Header length column for media generated by `encodeMedia` (format
     * rotates by id).
     */

@@ -65,4 +65,47 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.count() == 100)
     assert(meta.filter(_.width >= 64).count() == 100)
   }
+
+  test("resizeBmp: exact nearest-neighbor pixels, padding respected, malformed input throws") {
+    // 2x2 BMP, 24bpp: row stride = ((3*2+3)/4)*4 = 8 bytes (2 pad bytes).
+    // Storage is bottom-up but nearest-neighbor sampling is storage-order
+    // symmetric, so we reason directly in storage rows.
+    def px(b: Int, g: Int, r: Int) = Array(b.toByte, g.toByte, r.toByte)
+    val row0 = px(1, 2, 3) ++ px(4, 5, 6) ++ Array[Byte](0, 0)
+    val row1 = px(7, 8, 9) ++ px(10, 11, 12) ++ Array[Byte](0, 0)
+    val src = Multimodal.bmpBytes(2, 2, row0 ++ row1)
+
+    // downsample to 1x1: picks storage (0, 0) -> pixel (1,2,3); row pads to 4
+    val one = Multimodal.resizeBmp(src, 1, 1)
+    val (fmt, w, h) = Multimodal.parseMeta(one)
+    assert((fmt, w, h) == (("bmp", 1, 1)))
+    assert(one.slice(54, 57).toSeq == Seq[Byte](1, 2, 3))
+
+    // identity resize reproduces the pixel array byte-for-byte
+    val same = Multimodal.resizeBmp(src, 2, 2)
+    assert(same.drop(54).toSeq == (row0 ++ row1).toSeq)
+
+    // upsample 2x2 -> 4x2 repeats each pixel horizontally
+    val wide = Multimodal.resizeBmp(src, 4, 2)
+    assert(wide.slice(54, 66).toSeq ==
+      (px(1, 2, 3) ++ px(1, 2, 3) ++ px(4, 5, 6) ++ px(4, 5, 6)).toSeq)
+
+    // malformed inputs surface as errors, never fabricated pixels
+    intercept[IllegalArgumentException](
+      Multimodal.resizeBmp(Multimodal.gifBytes(2, 2, row0), 1, 1))
+    intercept[IllegalArgumentException](
+      Multimodal.resizeBmp(Multimodal.bmpBytes(64, 64, row0), 1, 1)) // truncated
+  }
+
+  test("resizeImages: per-row map-side thumbnails over a BMP frame") {
+    import spark.implicits._
+    val pix = Array.tabulate(8 * 4)(i => (i % 127).toByte) // 2x4 image, stride 8... 3*2+2pad
+    val frame = Seq((1L, Multimodal.bmpBytes(2, 4, pix)),
+      (2L, Multimodal.bmpBytes(2, 4, pix))).toDF("id", "media")
+    val out = Multimodal.resizeImages(spark, frame, 1, 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.width == 1L && r.height == 2L))
+    val metas = out.map(r => Multimodal.parseMeta(r.bytes))
+    assert(metas.forall(_ == (("bmp", 1, 2))))
+  }
 }
