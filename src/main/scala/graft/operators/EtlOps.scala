@@ -300,6 +300,45 @@ object EtlOps {
           .otherwise(lit(null).cast("double")).as(valueCol))
   }
 
+  /** Snapshot diff (CDC extract): compare two states of a keyed table and
+    * classify every key as INSERT (new only), DELETE (old only), or UPDATE
+    * (both sides, any tracked attribute differs null-safely); unchanged
+    * keys are dropped. The change feed between full snapshots — what a
+    * downstream incremental consumer (or an audit log) ingests when the
+    * upstream can only provide full dumps.
+    *
+    * Scale shape: ONE full-outer join hash-keyed on the key columns — both
+    * snapshots shuffle once on the same key, attribute comparison is a
+    * null-safe struct equality in the join output projection (no second
+    * pass), and the unchanged majority is filtered before anything else
+    * sees it. Emits the NEW side's attributes for I/U and the OLD side's
+    * for D.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "snapshotDiff needs key and attribute columns")
+    // presence markers, not key-null tests: a genuinely-NULL key (the join
+    // condition is null-safe) must not read as an absent side
+    val o = oldDf.select((keyCols ++ attrCols).map(c => col(c).as(s"__o_$c")) :+
+      lit(true).as("__o_present"): _*)
+    val n = newDf.select((keyCols ++ attrCols).map(c => col(c).as(s"__n_$c")) :+
+      lit(true).as("__n_present"): _*)
+    val joinCond = keyCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    val oAttrs = struct(attrCols.map(c => col(s"__o_$c")): _*)
+    val nAttrs = struct(attrCols.map(c => col(s"__n_$c")): _*)
+    o.join(n, joinCond, "full_outer")
+      .withColumn("op",
+        when(col("__o_present").isNull, lit("I"))
+          .when(col("__n_present").isNull, lit("D"))
+          .when(!(oAttrs <=> nAttrs), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +:
+        keyCols.map(c => coalesce(col(s"__n_$c"), col(s"__o_$c")).as(c)) ++:
+        attrCols.map(c =>
+          when(col("op") === "D", col(s"__o_$c")).otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   /** SCD Type-2 history build: collapse an ordered stream of per-key
     * snapshots into validity ranges — keep only rows where the tracked
     * attributes CHANGED, stamp each with `valid_from` (its own order value),

@@ -1119,6 +1119,48 @@ object EtlQueries {
         .orderBy(col("o_custkey"), col("valid_from"))
     },
 
+    // U5: snapshot diff / CDC extract (EtlOps.snapshotDiff) — the change
+    // feed between two full dumps: one key-hashed full-outer join,
+    // null-safe attribute compare in the projection, unchanged keys
+    // dropped. The new state deterministically deletes keys %10=2,
+    // doubles totalprice for %10=0, and inserts shifted copies of %10=1.
+    QueryDef(
+      "u5_snapshot_diff",
+      """WITH oldt AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT op, o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |              WHEN n.o_orderkey IS NULL THEN 'D'
+        |              WHEN o.o_orderstatus <> n.o_orderstatus
+        |                OR o.o_totalprice <> n.o_totalprice THEN 'U' END AS op,
+        |    coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+        |         ELSE n.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+        |         ELSE n.o_totalprice END AS o_totalprice
+        |  FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+        |WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val oldT = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newT = Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 2)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(Tables.orders(s, d).filter(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      EtlOps.snapshotDiff(oldT, newT, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- window functions (engine surface beyond the reference) ----------
 
     // W2: ranked top-n per group with deterministic tiebreak.

@@ -113,6 +113,29 @@ class EtlOpsSpec extends SparkSpec {
       (2L, None, 1, None, true)))
   }
 
+  test("snapshotDiff classifies I/U/D, drops unchanged, handles null attrs and keys") {
+    val oldT = Seq(
+      (Some(1L), Some("a")),  // unchanged
+      (Some(2L), Some("b")),  // updated to null
+      (Some(3L), Some("c")),  // deleted
+      (None: Option[Long], Some("x")) // null key, unchanged
+    ).toDF("k", "v")
+    val newT = Seq(
+      (Some(1L), Some("a")),
+      (Some(2L), None: Option[String]),
+      (Some(4L), Some("d")),  // inserted
+      (None: Option[Long], Some("x"))
+    ).toDF("k", "v")
+    val out = EtlOps.snapshotDiff(oldT, newT, Seq("k"), Seq("v"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))).toSet
+    assert(out == Set(
+      ("U", Some(2L), None),
+      ("D", Some(3L), Some("c")),
+      ("I", Some(4L), Some("d"))))
+  }
+
   test("scd2 tracks multi-attribute changes null-safely") {
     val df = Seq(
       (1L, 1, Some("A"), Some(10)),
