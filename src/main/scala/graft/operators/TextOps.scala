@@ -116,6 +116,36 @@ object TextOps {
         (col("n_freq").cast("double") / col("n_bigrams")).as("coverage"))
   }
 
+  /** Gopher-style intra-document repetition signals over word n-grams: the
+    * occurrence share of the single most-repeated n-gram (`top_frac`, the
+    * paper's "fraction in top n-gram" filter) and the duplicate-occurrence
+    * share (`dup_frac` = 1 - distinct/total). High values mark looping or
+    * boilerplate-stuffed documents that the t2/t11 length-and-stopword
+    * rules cannot see.
+    *
+    * Scale shape: n-grams reduce to per-(doc, gram-hash) counts BEFORE the
+    * per-doc aggregate (two map-side-combinable groupBys on the doc key —
+    * the second reuses the first's partitioning, no extra exchange), only
+    * 8-byte hashes shuffle, and each ratio is one final division of exact
+    * integers. Docs with < n words have no grams and drop out, as in the
+    * SQL mirror.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    Dedup.wordShinglesAll(df, idCol, textCol, n)
+      .select(col("sid"), Dedup.hash48(col("gram")).as("g"))
+      // pre-partition on the doc key: sid satisfies BOTH groupBys'
+      // clustering (the x12 pattern), so the per-gram and per-doc
+      // aggregates share one exchange
+      .repartition(col("sid"))
+      .groupBy(col("sid"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("sid"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_count"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("sid"), col("n_grams"), col("top_count"),
+        (col("top_count").cast("double") / col("n_grams")).as("top_frac"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("dup_frac"))
+
   /** Corpus-trained subword vocabulary: the `topWords` most frequent words
     * stay whole pieces, the `topBigrams` most frequent character bigrams
     * (counted over word occurrences WITH multiplicity) become mid-word

@@ -225,6 +225,24 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // Gopher repetition signals (TextOps.repetitionSignals, n = 2): top
+    // n-gram occurrence share + duplicate-occurrence share per document —
+    // the looping-text filters the t11 length/stopword rules can't see.
+    QueryDef(
+      "t13_repetition_signals",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id, ${sqlHash("w[i] || ' ' || w[i+1]", 12)} AS g
+         |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         |cnt AS (SELECT doc_id AS sid, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |SELECT sid, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  CAST(MAX(c) AS BIGINT) AS top_count,
+         |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac,
+         |  1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac
+         |FROM cnt GROUP BY sid ORDER BY sid""".stripMargin) { (s, d) =>
+      TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text", 2)
+        .orderBy(col("sid"))
+    },
+
     // PII detect + redact. The fixtures' word-salad has no PII (an inert
     // detector would verify nothing — the t3 lesson), so the query
     // synthesizes deterministic PII for 3 of every 5 docs from doc_id and

@@ -183,4 +183,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2, "rare tokens raise surprisal")
     assert(out(1L)._2 == out(3L)._2, "identical docs score identically")
   }
+
+  test("repetitionSignals: looping text maxes top_frac, varied text scores zero dup") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: "a b" x3, "b a" x2 -> top 3/5, dup 1-2/5
+      (2L, "v w x y z")      // 4 distinct bigrams, each once -> top 1/4, dup 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("top_count"),
+          r.getAs[Double]("top_frac"), r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) == ((5L, 3L, 0.6, 1.0 - 2.0 / 5.0)))
+    assert(out(2L) == ((4L, 1L, 0.25, 0.0)))
+    // the doc-key pre-partitioning collapses both aggregates onto ONE exchange
+    val p = TextOps.repetitionSignals(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(sid".r.findAllIn(p).length <= 1, p)
+  }
 }
