@@ -185,7 +185,8 @@ object EventStreams {
     */
   def attributeJoin(left: DataFrame, right: DataFrame, keyCol: String,
                     tsCol: String, horizon: String,
-                    watermarkDelay: String = "2 hours"): DataFrame = {
+                    watermarkDelay: String = "2 hours",
+                    joinType: String = "inner"): DataFrame = {
     def side(df: DataFrame, p: String): DataFrame = {
       val wm = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
       wm.select(wm.columns.map(c => col(c).as(s"$p$c")): _*)
@@ -195,8 +196,21 @@ object EventStreams {
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"),
+      joinType)
   }
+
+  /** Left-outer attribution: like the inner [[attributeJoin]] but an
+    * unattributed left event IS a result — it emits with NULL right columns
+    * once the right watermark passes `left.ts + horizon` and no match can
+    * still arrive ("views that never converted", the funnel-drop feed).
+    * Emission is therefore watermark-delayed by construction; batch inputs
+    * plan the ordinary left-outer interval join with no delay.
+    */
+  def attributeJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String, horizon: String,
+                         watermarkDelay: String = "2 hours"): DataFrame =
+    attributeJoin(left, right, keyCol, tsCol, horizon, watermarkDelay, "left_outer")
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch for semantics windowed aggs can't express. A session

@@ -385,4 +385,50 @@ class EventStreamsSpec extends SparkSpec {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("attributeJoinOuter: an unconverted view emits with NULLs once the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributeJoinOuter(views.toDF(), clicks.toDF(), "user_id", "ts",
+        "30 minutes", "1 hour")
+      .select($"l_event_id".as("view_id"),
+        $"r_event_id".as("click_id")) // null when unattributed
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        Event(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0), // converts
+        Event(11, ts("2024-01-01 10:00:00"), 2, "view", 0.0)) // never converts
+      clicks.addData(Event(20, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // nothing can emit as unmatched yet: the watermark hasn't passed
+      // view.ts + horizon for user 2
+      val early = spark.table("attr_outer_out").as[(Long, Option[Long])].collect().toSet
+      assert(!early.contains((11L, None)), s"emitted before the watermark closed: $early")
+
+      // advance BOTH watermarks far past 10:30 + delay: user 2's view can
+      // no longer match and must emit with a NULL click
+      views.addData(Event(90, ts("2024-01-01 14:00:00"), 9, "view", 0.0))
+      clicks.addData(Event(91, ts("2024-01-01 14:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      views.addData(Event(92, ts("2024-01-01 18:00:00"), 9, "view", 0.0))
+      clicks.addData(Event(93, ts("2024-01-01 18:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("attr_outer_out").as[(Long, Option[Long])].collect().toSet
+      assert(out.contains((10L, Some(20L))), out.toString) // attributed
+      assert(out.contains((11L, None)), out.toString)      // funnel drop
+
+      // batch twin: same definition over the static union (no delay)
+      val batch = attributeJoinOuter(
+        Seq(Event(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+          Event(11, ts("2024-01-01 10:00:00"), 2, "view", 0.0)).toDF(),
+        Seq(Event(20, ts("2024-01-01 10:10:00"), 1, "click", 1.0)).toDF(),
+        "user_id", "ts", "30 minutes")
+        .select($"l_event_id", $"r_event_id".cast("long"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(batch == Set((10L, Some(20L)), (11L, None)))
+    } finally q.stop()
+  }
 }
