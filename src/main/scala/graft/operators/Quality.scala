@@ -60,6 +60,43 @@ object Quality {
           greatest(col("__n").cast("double"), lit(1.0))).as("violation_rate"))
   }
 
+  /** Schema-drift report: compare a frame's ACTUAL schema against an
+    * expected StructType and emit one row per divergence — `added` (column
+    * the contract doesn't know), `missing` (contract column absent),
+    * `type_changed`, `nullability_relaxed` (contract says required, data
+    * says nullable — the only nullability direction that breaks a
+    * consumer). Empty result = contract holds. Purely metadata — NO job
+    * runs, so it gates an ingest before any bytes are read; pair with
+    * [[expect]] for value-level rules.
+    */
+  def schemaDrift(df: DataFrame,
+                  expected: org.apache.spark.sql.types.StructType): DataFrame = {
+    import df.sparkSession.implicits._
+    val actual = df.schema
+    val a = actual.map(f => f.name -> f).toMap
+    val e = expected.map(f => f.name -> f).toMap
+    val drifts =
+      actual.filterNot(f => e.contains(f.name))
+        .map(f => ("added", f.name, f.dataType.simpleString, null: String)) ++
+      expected.filterNot(f => a.contains(f.name))
+        .map(f => ("missing", f.name, null: String, f.dataType.simpleString)) ++
+      expected.flatMap { ef =>
+        a.get(ef.name).toSeq.flatMap { af =>
+          val typeDrift =
+            if (af.dataType != ef.dataType)
+              Seq(("type_changed", ef.name, af.dataType.simpleString,
+                ef.dataType.simpleString))
+            else Nil
+          val nullDrift =
+            if (af.nullable && !ef.nullable)
+              Seq(("nullability_relaxed", ef.name, "nullable", "required"))
+            else Nil
+          typeDrift ++ nullDrift
+        }
+      }
+    drifts.toDF("drift", "column", "actual", "expected")
+  }
+
   /** Incremental aggregate maintenance (additive IVM): combine a persisted
     * per-key (sum, count) aggregate with the same aggregate of a new delta
     * batch, WITHOUT touching the base fact table — the materialized-view

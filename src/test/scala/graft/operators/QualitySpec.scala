@@ -40,4 +40,34 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(merged == full)
   }
+
+  test("schemaDrift reports added/missing/type/nullability divergences, empty when clean") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("price", DoubleType, nullable = true)))
+    val actual = spark.range(1).selectExpr(
+      "id",                            // long, NOT NULL (range output)
+      "'x' AS name",
+      "CAST(1 AS INT) AS price",       // type drift
+      "1.5 AS extra")                  // unknown column
+    val drifts = Quality.schemaDrift(actual, expected)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(drifts == Set(("added", "extra"), ("type_changed", "price")))
+
+    // nullability relaxation is the one direction that breaks consumers
+    val relaxed = spark.range(1).selectExpr(
+      "CAST(NULL AS BIGINT) AS id", "'x' AS name", "CAST(1.0 AS DOUBLE) AS price")
+    val nd = Quality.schemaDrift(relaxed, expected)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(nd == Set(("nullability_relaxed", "id")))
+
+    // a missing contract column is reported; a conforming frame is silent
+    assert(Quality.schemaDrift(actual.drop("name", "extra"), expected)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("missing", "name"), ("type_changed", "price")))
+    val clean = spark.range(1).selectExpr("id", "'x' AS name", "CAST(1 AS DOUBLE) AS price")
+    assert(Quality.schemaDrift(clean, expected).count() == 0)
+  }
 }
