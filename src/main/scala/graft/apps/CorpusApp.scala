@@ -84,6 +84,15 @@ object CorpusApp {
     (curated, Stats(input, langKept, qualityKept, piiRedacted, deduped))
   }
 
+  /** Final stage: deterministic training order — every curated doc gets a
+    * contiguous 0-based `pos` (Sampling.shuffleOrder), so the trainer
+    * streams a reproducible permutation and a checkpointed run re-derives
+    * the exact order from the salt alone; a new salt is a new epoch.
+    */
+  def orderForTraining(spark: SparkSession, curated: DataFrame,
+                       epochSalt: String): DataFrame =
+    graft.operators.Sampling.shuffleOrder(spark, curated, "doc_id", epochSalt)
+
   def main(argv: Array[String]): Unit = {
     val args = PipelineApps.parseArgs(argv)
     val spark = graft.core.Sessions.local("corpus-curate")

@@ -62,4 +62,21 @@ class CorpusAppSpec extends SparkSpec {
     val t3 = curated.filter($"doc_id" === 3L).select("text").as[String].collect()(0)
     assert(t3.contains("<EMAIL>") && !t3.contains("bob@example.com"))
   }
+
+  test("orderForTraining: curated corpus gets a reproducible epoch permutation") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(200)
+    val (curated, _) = CorpusApp.curate(spark, docs,
+      keepLangs = Set("en", "de", "fr", "es", "zh"), minQuality = 0.0)
+    val n = curated.count()
+    val e0 = CorpusApp.orderForTraining(spark, curated, "epoch0")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(e0.values.toSeq.sorted == (0L until n).toSeq) // contiguous permutation
+    // re-derivable from the salt alone (resume-safe) and fresh per epoch
+    val e0again = CorpusApp.orderForTraining(spark, curated, "epoch0")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(e0again == e0)
+    val e1 = CorpusApp.orderForTraining(spark, curated, "epoch1")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(e1 != e0)
+  }
 }
