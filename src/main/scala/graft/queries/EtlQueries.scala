@@ -1524,6 +1524,59 @@ object EtlQueries {
         .orderBy(col("numwait").desc, col("s_name"))
     },
 
+    // X-extension, TPC-H Q15 shape: the "top supplier by quarterly revenue"
+    // view — per-supplier revenue aggregate, then keep the max. The rev
+    // aggregate is supplier-cardinality (dimension-sized), so the global
+    // max rides back as ONE broadcast row + an equality filter: the fact
+    // shuffles once on l_suppkey and nothing else is wide. Ties all
+    // surface, per the original query's semantics.
+    QueryDef(
+      "x13_top_supplier",
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+        |      AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // W9: rank-distribution window functions — percent_rank and cume_dist
+    // per customer over order value. Both are single-pass window
+    // expressions on the same (key, order) spec, so they share one
+    // exchange and sort; doubles are fixed-shape divisions of integers
+    // (bit-exact across engines).
+    QueryDef(
+      "w9_rank_distribution",
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // X-extension, TPC-H Q18 shape: large-quantity orders (HAVING on an
     // exact decimal sum) joined back to orders + customer. Q18's IN
     // (GROUP BY ... HAVING) subquery IS the aggregate — one lineitem

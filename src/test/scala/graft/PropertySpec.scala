@@ -226,6 +226,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans invariant: a corpus with no repeated spans rebuilds byte-exactly") {
+    val wordGen = Gen.choose(0, 20).map(i => s"w$i")
+    val docGen = Gen.listOfN(25, wordGen).map(_.mkString(" "))
+    forAllSamples(Gen.listOfN(6, docGen), 3) { texts =>
+      // make every doc's spans globally unique by prefixing the doc id into
+      // every 40-char window (doc id occupies the first chars of each doc)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"uniq$i$i$i $t") }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", 4000)
+        .collect().map(r => r.getAs[Long]("sid") -> r.getAs[String]("text_md5")).toMap
+      // spanLen >= text length -> one span per doc; no cross-doc repeats by
+      // construction -> every doc survives whole
+      val expect = texts.zipWithIndex.map { case (t, i) =>
+        val full = s"uniq$i$i$i $t"
+        i.toLong -> java.security.MessageDigest.getInstance("MD5")
+          .digest(full.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }.toMap
+      assert(out == expect)
+    }
+  }
+
+  test("scd2 invariant: validity ranges tile each key's timeline without gaps") {
+    val attrGen = Gen.oneOf("A", "B", "C")
+    forAllSamples(Gen.listOfN(30, attrGen), 3) { attrs =>
+      val rows = attrs.zipWithIndex.map { case (a, t) => (1L, t, a) }
+      val out = graft.operators.EtlOps.scd2(
+        rows.toDF("k", "t", "attr"), "k", Seq("t"), Seq("attr"))
+        .orderBy($"valid_from")
+        .collect().map(r => (r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getBoolean(4)))
+      // first range starts at the first snapshot; each valid_to is the next
+      // range's valid_from; exactly one open (current) range at the end
+      assert(out.head._1 == 0)
+      out.sliding(2).foreach {
+        case Array((_, Some(to), _), (from, _, _)) => assert(to == from)
+        case _ =>
+      }
+      assert(out.count(_._3) == 1 && out.last._2.isEmpty)
+    }
+  }
+
+  test("snapshotDiff invariant: applying the diff to OLD reproduces NEW") {
+    val stGen = Gen.oneOf("x", "y", "z")
+    forAllSamples(
+      Gen.zip(Gen.listOfN(40, stGen), Gen.listOfN(40, stGen)), 3) {
+      case (oldVs, newVs) =>
+        // keys 0..39 in old; new keeps evens, mutates values, adds 100..104
+        val oldT = oldVs.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+        val newT = newVs.zipWithIndex.collect {
+          case (v, k) if k % 2 == 0 => (k.toLong, v)
+        } ++ (100L to 104L).map(k => (k, "n"))
+        val diff = graft.operators.EtlOps.snapshotDiff(
+          oldT.toDF("k", "v"), newT.toDF("k", "v"), Seq("k"), Seq("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        val applied = (oldT.toMap
+          -- diff.collect { case ("D", k, _) => k }
+          ++ diff.collect { case (op, k, v) if op != "D" => k -> v })
+        assert(applied == newT.toMap)
+    }
+  }
+
   test("sampling invariants: nested rates nest, splits partition, salts independent") {
     forAllSamples(Gen.choose(1, 1000), 3) { seedIds =>
       val ids = (1L to 400L).map(i => Tuple1(i * seedIds)).toDF("id")
