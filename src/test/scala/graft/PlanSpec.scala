@@ -240,6 +240,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the sort
   }
 
+  test("s9_ivfpq_knn: candidate generation keyed by cell id, never corpus x corpus") {
+    val p = plan("s9_ivfpq_knn")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only cross joins allowed are against the one-row broadcast
+    // codebook/centroid frames; the member-probe join must be cid-keyed
+    assert(p.contains("hashpartitioning(cid") ||
+      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty ||
+      p.contains("[cid"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("pq-adc kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("s8_pq_adc_knn")(spark, sf)
     df.collect()
