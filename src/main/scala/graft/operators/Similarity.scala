@@ -369,11 +369,32 @@ object Similarity {
     */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                 nCells: Int, nProbe: Int, m: Int, k: Int,
-                topK: Int): DataFrame = {
+                topK: Int): DataFrame =
+    // Storage.cut pins the shared index state: `ranked` feeds BOTH the
+    // member and the probe branch of the self-join, and without a
+    // materialization each branch re-runs the scan + cell ranking
+    // (self-join subplans are not exchange-reused); the codebook likewise
+    // anchors two broadcast subtrees. The final top-k is tiny; cutting it
+    // lets the wrapper free the corpus-sized intermediates on exit — the
+    // dedup-operator pattern.
+    graft.core.Storage.freeingIntermediates(df.sparkSession) {
+      graft.core.Storage.cut(
+        ivfPqPlan(df, idCol, vecCol, dim, nCells, nProbe, m, k, topK,
+          graft.core.Storage.cut(_)))
+    }
+
+  /** The IVF-PQ plan with index pinning as a seam: production passes
+    * Storage.cut; plan-shape tests pass identity to inspect the full lazy
+    * join structure.
+    */
+  private[operators] def ivfPqPlan(df: DataFrame, idCol: String, vecCol: String,
+                                   dim: Int, nCells: Int, nProbe: Int, m: Int,
+                                   k: Int, topK: Int,
+                                   pin: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
-    val ranked = rankCells(v, seedCentroids(v, nCells))
-    val cb = pqTrain(df, idCol, vecCol, dim, m, k)
+    val ranked = pin(rankCells(v, seedCentroids(v, nCells)))
+    val cb = pin(pqTrain(df, idCol, vecCol, dim, m, k))
     val members = ranked.crossJoin(broadcast(cb)).select(
       coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
       col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))

@@ -240,15 +240,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the sort
   }
 
-  test("s9_ivfpq_knn: candidate generation keyed by cell id, never corpus x corpus") {
-    val p = plan("s9_ivfpq_knn")
-    assert(!p.contains("CartesianProduct"), p)
-    // the only cross joins allowed are against the one-row broadcast
-    // codebook/centroid frames; the member-probe join must be cid-keyed
-    assert(p.contains("hashpartitioning(cid") ||
-      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty ||
-      p.contains("[cid"), p)
-    assert(p.contains("WindowGroupLimit"), p)
+  test("s9_ivfpq_knn: materialized index self-cleans (only the result leaf persists)") {
+    // the operator pins its shared index state (Storage.cut) so the member
+    // and probe branches run the scan + cell ranking ONCE; the
+    // freeingIntermediates wrapper must release those corpus-sized blocks
+    // on exit, keeping only the small top-k result. (Join-shape guards
+    // live in SimilaritySpec against the un-pinned plan.)
+    graft.core.Storage.freeAll(spark, blocking = true)
+    SparkEntry.queries("s9_ivfpq_knn")(spark, sf).count()
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.size <= 1,
+      s"index intermediates leaked: ${persisted.keySet}")
   }
 
   test("pq-adc kernel participates in whole-stage codegen") {

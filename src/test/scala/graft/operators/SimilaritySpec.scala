@@ -225,6 +225,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
   }
 
+  test("ivfPq plan shape: candidate generation keyed by cell id, never corpus x corpus") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // identity pin exposes the full lazy join structure
+    val p = Similarity.ivfPqPlan(emb, "vec_id", "embedding",
+        dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5,
+        pin = identity)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(cid") ||
+      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ivfPqTopK: a twin lands in the query's cell and wins the ADC ranking") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val twin = emb.filter($"vec_id" === 77).select(
