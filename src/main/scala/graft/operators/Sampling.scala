@@ -127,6 +127,27 @@ object Sampling {
       .filter(bucket(col(idCol), salt) < floor(col("rate") * Buckets).cast("long"))
   }
 
+  /** Exactly `k` rows per stratum, deterministically: rank rows within each
+    * stratum by (md5 bucket, id) and keep the first k — balanced eval-set
+    * construction, where rate-based sampling ([[stratifiedSample]]) can't
+    * promise exact counts on small strata. Stable under corpus growth in
+    * the hash-order sense: a new row displaces at most one prior member of
+    * its own stratum (rate samples share this; positional samples don't).
+    *
+    * Scale shape: one hash exchange on the stratum key; WindowGroupLimit
+    * keeps k rows per stratum BEFORE the window sort's exchange, so the
+    * shuffle carries ~k rows per stratum per map partition, not the corpus.
+    */
+  def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                       k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic global shuffle order for training: every row gets a
     * contiguous 0-based `pos` by (md5 bucket, id) — the reproducible
     * "shuffle the corpus before training" step, stable across retries,

@@ -1142,6 +1142,22 @@ object CorpusQueries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     },
 
+    // Exact-k-per-stratum sample (Sampling.exactKPerStratum): 20 docs per
+    // language by deterministic hash rank — balanced eval-set construction
+    // where rate-based strata can't promise exact counts.
+    QueryDef(
+      "sm8_exact_k_per_stratum",
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash("'ek:' || doc_id", 8)}, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20
+         |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.exactKPerStratum(
+          Tables.documents(s, d), "doc_id", "lang", 20, "ek")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Deterministic global shuffle order (Sampling.shuffleOrder): the
     // reproducible pre-training corpus shuffle — pos is a contiguous 0-based
     // rank by (md5 bucket, id), derived with the two-level prefix pattern

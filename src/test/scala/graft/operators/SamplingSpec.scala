@@ -66,6 +66,25 @@ class SamplingSpec extends SparkSpec {
     assert(restOut < restIn / 2, s"$restOut of $restIn kept")
   }
 
+  test("exactKPerStratum: exactly k per stratum (or the whole small stratum), deterministic") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Sampling.exactKPerStratum(docs, "doc_id", "lang", 20, "ek")
+    val byLang = out.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) => assert(n == math.min(20L, full(lang)), s"$lang: $n") }
+    // deterministic: same salt -> same members
+    val again = Sampling.exactKPerStratum(docs, "doc_id", "lang", 20, "ek")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // per-group limit is planned as WindowGroupLimit (k rows per stratum
+    // survive each map partition BEFORE the shuffle)
+    val p = Sampling.exactKPerStratum(docs, "doc_id", "lang", 20, "ek")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("shuffleOrder: pos is a contiguous permutation, bucket-count-independent") {
     val docs = graft.core.Tables.documents(spark, sf)
     val n = docs.count()
