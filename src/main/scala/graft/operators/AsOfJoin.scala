@@ -85,4 +85,69 @@ object AsOfJoin {
       .select(leftCols.toIndexedSeq.map(col) ++
         rightValues.map(c => when(withinTol, col("__last")(c)).as(c)): _*)
   }
+
+  /** NEAREST-timestamp join: for each left row, the same-key right row with
+    * the minimum |leftTs - rightTs| in EITHER direction (ties, including an
+    * exact-timestamp match, resolve backward) — sensor alignment and
+    * closest-reading enrichment, where backward-only as-of picks a stale
+    * reading when a near-simultaneous later one exists.
+    *
+    * Same merged-stream machinery and cost as [[asOf]], with BOTH carries
+    * from ONE exchange and ONE per-key sort: the backward carry is
+    * `last(..., ignoreNulls)` over the ascending frame, the forward carry
+    * is `first(..., ignoreNulls)` over the following frame of the SAME sort
+    * — Spark plans the two frames in a single Window stage, so nearest
+    * costs exactly what one-directional as-of costs.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightValues: Seq[String]): DataFrame = {
+    val rvType = org.apache.spark.sql.types.StructType(
+      right.schema(right.schema.fieldIndex(rightTs)).copy(name = "__rts") +:
+        rightValues.map(c => right.schema(right.schema.fieldIndex(c)).copy(name = c)))
+    val leftCols = left.columns
+    val unioned = EtlOps.unionPages(Seq(
+      left.select(
+        (Seq(col(leftKey).as("__k"), col(leftTs).as("__t"),
+          lit(0).as("__side"),
+          lit(null).cast(rvType).as("__rv")) ++
+          leftCols.map(col)): _*),
+      right.select(
+        (Seq(col(rightKey).as("__k"), col(rightTs).as("__t"),
+          lit(1).as("__side"),
+          struct(col(rightTs).as("__rts") +: rightValues.map(col): _*).as("__rv")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)))
+
+    // One sort order serves both directions: at an equal timestamp the
+    // right row sorts before the left row, so it lands in the BACKWARD
+    // frame (gap 0 — wins every tie) and stays out of the strictly-after
+    // forward frame.
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val micros: Column => Column = c => unix_micros(c.cast("timestamp"))
+    val chosen = {
+      val prev = col("__prev")
+      val next = col("__next")
+      when(prev.isNull, next)
+        .when(next.isNull, prev)
+        .when(micros(next("__rts")) - micros(col(leftTs)) <
+          micros(col(leftTs)) - micros(prev("__rts")), next)
+        .otherwise(prev)
+    }
+    unioned
+      .withColumn("__prev", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__next", first(col("__rv"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 0)
+      .select(leftCols.toIndexedSeq.map(col) ++
+        rightValues.map(c => chosen(c).as(c)): _*)
+  }
 }

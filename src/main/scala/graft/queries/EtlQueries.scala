@@ -727,6 +727,48 @@ object EtlQueries {
         .orderBy(col("event_id"))
     },
 
+    // J-extension: NEAREST-timestamp join (AsOfJoin.nearest) — each odd
+    // event matched to the closest even event of the same user in EITHER
+    // direction (ties backward). Both carries come from one exchange and
+    // one per-key sort; the oracle derives backward/forward candidates by
+    // correlated min/max and picks the nearer with the same tie rule.
+    QueryDef(
+      "j8_nearest_join",
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        |r AS (SELECT * FROM (
+        |  SELECT user_id AS r_uid, ts AS r_ts, event_id AS r_eid,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+        |cand AS (SELECT l.event_id, l.user_id, l.ts,
+        |    (SELECT max(r_ts) FROM r WHERE r_uid = l.user_id AND r_ts <= l.ts) AS bts,
+        |    (SELECT min(r_ts) FROM r WHERE r_uid = l.user_id AND r_ts > l.ts) AS fts
+        |  FROM l),
+        |pick AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN bts IS NULL THEN fts
+        |         WHEN fts IS NULL THEN bts
+        |         WHEN (fts - ts) < (ts - bts) THEN fts ELSE bts END AS mts
+        |  FROM cand)
+        |SELECT p.event_id, p.user_id, r.r_eid AS nearest_event_id
+        |FROM pick p LEFT JOIN r ON r.r_uid = p.user_id AND r.r_ts = p.mts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val rightEvents = Tables.events(s, d).filter(col("event_id") % 2 === 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id").as("r_uid"), col("ts").as("r_ts"),
+          col("event_id").as("r_eid"))
+      graft.operators.AsOfJoin.nearest(
+        Tables.events(s, d).filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("ts")),
+        rightEvents,
+        leftKey = "user_id", rightKey = "r_uid",
+        leftTs = "ts", rightTs = "r_ts",
+        rightValues = Seq("r_eid"))
+        .select(col("event_id"), col("user_id"), col("r_eid").as("nearest_event_id"))
+        .orderBy(col("event_id"))
+    },
+
     // J-extension: range join WITHOUT an equi key (the shape Spark would
     // nested-loop): orders whose date falls inside a 7-day post-shipment
     // window of any heavy lineitem. Engine uses the banded rewrite (one

@@ -79,4 +79,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "k", "t", "v"))
     assert(out.collect()(0).isNullAt(3)) // key 99 has no right rows
   }
+
+  test("nearest picks the closer side, resolves ties backward, and costs ONE window stage") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // prev 09:00, next 10:30 -> next
+      (2L, 10L, ts("2024-01-01 11:00:00")), // prev 10:30, next 13:00 -> prev
+      (3L, 10L, ts("2024-01-01 08:00:00")), // nothing before -> next (09:00)
+      (4L, 20L, ts("2024-01-01 12:00:00")), // nothing after -> prev (11:00)
+      (5L, 30L, ts("2024-01-01 12:00:00")), // exact match -> gap 0
+      (6L, 40L, ts("2024-01-01 12:00:00")), // equidistant -> backward wins
+      (7L, 99L, ts("2024-01-01 12:00:00"))  // keyless -> null
+    ).toDF("event_id", "uid", "ts")
+    val refs = Seq(
+      (10L, ts("2024-01-01 09:00:00"), "a"),
+      (10L, ts("2024-01-01 10:30:00"), "b"),
+      (10L, ts("2024-01-01 13:00:00"), "c"),
+      (20L, ts("2024-01-01 11:00:00"), "d"),
+      (30L, ts("2024-01-01 12:00:00"), "e"),
+      (40L, ts("2024-01-01 11:30:00"), "f"),
+      (40L, ts("2024-01-01 12:30:00"), "g")
+    ).toDF("uid", "rts", "tag")
+    val df = AsOfJoin.nearest(events, refs, "uid", "uid", "ts", "rts", Seq("tag"))
+    val out = df.select("event_id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("b"), 2L -> Some("b"), 3L -> Some("a"),
+      4L -> Some("d"), 5L -> Some("e"), 6L -> Some("f"), 7L -> None))
+    // both carries share one exchange and one sort: a single Window node
+    val p = df.queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(p).length == 1, p)
+  }
 }
