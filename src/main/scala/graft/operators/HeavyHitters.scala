@@ -32,4 +32,37 @@ object HeavyHitters {
       .orderBy(col("freq").desc, col("term").asc)
       .limit(topN)
   }
+
+  /** Per-GROUP heavy hitters: one Misra-Gries sketch per group value (the
+    * aggregate is group-able for free), then one exact recount of just the
+    * candidate (group, term) pairs — per-language/per-source vocabulary
+    * skylines without ever shuffling the full per-group term distribution.
+    *
+    * Scale shape: the sketch pass is a group-keyed aggregate whose buffers
+    * are k entries each (map-side combinable); the candidate set is
+    * groups x k rows — broadcast-sized for any real group cardinality — so
+    * the recount is a broadcast semi-join + one more group-keyed count.
+    * Lossless (exact top-N) whenever a group's distinct terms <= k, per the
+    * MG superset guarantee; approximate above that with the usual n/k
+    * frequency error bound.
+    */
+  def topTermsByGroup(df: DataFrame, groupCol: String, textCol: String,
+                      k: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("__mg_item"))
+    val cands = toks.groupBy(col("grp"))
+      .agg(map_keys(sketchOf(col("__mg_item"), k)).as("__cands"))
+      .select(col("grp").as("__cg"), explode(col("__cands")).as("__cand"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("freq").desc, col("term").asc)
+    toks.join(broadcast(cands),
+        toks("grp") === cands("__cg") && col("__mg_item") === col("__cand"),
+        "left_semi")
+      .groupBy(col("grp"), col("__mg_item").as("term"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("grp").as(groupCol), col("term"), col("freq"), col("rank"))
+  }
 }

@@ -968,6 +968,26 @@ object CorpusQueries {
         Tables.documents(s, d), "text", k = 64, topN = 10)
     },
 
+    // Per-language heavy hitters (HeavyHitters.topTermsByGroup): one MG
+    // sketch per group + exact candidate recount. k = 64 >= the 31-term
+    // per-language vocabulary, so the sketch is lossless and the oracle is
+    // the exact per-group top-5.
+    QueryDef(
+      "hh2_top_terms_by_lang",
+      """WITH tf AS (SELECT lang, term, COUNT(*) AS freq
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY lang, term)
+        |SELECT lang, term, freq, rank FROM (
+        |  SELECT lang, term, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY freq DESC, term) AS rank
+        |  FROM tf) WHERE rank <= 5 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+      graft.operators.HeavyHitters.topTermsByGroup(
+          Tables.documents(s, d), "lang", "text", k = 64, topN = 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+
     // == multimodal ==
 
     // Real container bytes (PNG/BMP/GIF headers built by encodeMedia) parsed

@@ -29,4 +29,19 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(viaSketch.toSeq == exact.toSeq) // k=64 >> distinct vocab -> lossless here
   }
+
+  test("topTermsByGroup: per-group sketch + recount equals per-group exact top-N") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, sf)
+    val viaSketch = HeavyHitters.topTermsByGroup(docs, "lang", "text", k = 64, topN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy($"lang").orderBy($"freq".desc, $"term".asc)
+    val exact = docs.select($"lang", explode(split($"text", " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaSketch == exact)
+    assert(viaSketch.map(_._1).size == 5 * 3 || viaSketch.groupBy(_._1).forall(_._2.size == 3))
+  }
 }
