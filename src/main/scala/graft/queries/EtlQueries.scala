@@ -1619,6 +1619,41 @@ object EtlQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // X-extension, TPC-H Q8 shape: market share — each nation's slice of
+    // yearly revenue as a ratio-to-report window. Float discipline: the
+    // per-(year, nation) revenue AND the per-year window total stay exact
+    // DECIMAL through the aggregation and the window (order-proof); doubles
+    // appear only in the final one-shot division of two exact values.
+    QueryDef(
+      "x14_market_share",
+      """WITH rev AS (SELECT year(o_orderdate) AS yr, n_name,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS rev_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT yr, n_name, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER (PARTITION BY yr) AS DOUBLE)
+        |    AS share
+        |FROM rev ORDER BY yr, n_name""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(25,4)")).as("rev_d"))
+      val byYear = Window.partitionBy(col("yr"))
+      rev.select(col("yr"), col("n_name"),
+          col("rev_d").cast("double").as("revenue"),
+          (col("rev_d").cast("double") /
+            sum(col("rev_d")).over(byYear).cast("double")).as("share"))
+        .orderBy(col("yr"), col("n_name"))
+    },
+
     // X-extension, TPC-H Q18 shape: large-quantity orders (HAVING on an
     // exact decimal sum) joined back to orders + customer. Q18's IN
     // (GROUP BY ... HAVING) subquery IS the aggregate — one lineitem
