@@ -370,6 +370,21 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                 nCells: Int, nProbe: Int, m: Int, k: Int,
                 topK: Int): DataFrame =
+    ivfPqTopKTrained(df, idCol, vecCol, dim, nCells, updates = 0, nProbe, m, k,
+      topK)
+
+  /** IVF-PQ with a TRAINED coarse quantizer: `updates` Lloyd rounds refine
+    * the seed centroids before cell assignment (updates = 0 degrades to the
+    * seeded build). On real clustered embeddings the trained cells are what
+    * keep occupancy balanced — hash-seeded cells skew on clustered data,
+    * making the per-cell candidate join a straggler and costing recall at a
+    * fixed nProbe. Training cost is `updates` linear passes (the kmeans
+    * machinery: broadcast assignment + one vector-sum aggregate per round);
+    * the probe path is unchanged.
+    */
+  def ivfPqTopKTrained(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       nCells: Int, updates: Int, nProbe: Int, m: Int, k: Int,
+                       topK: Int): DataFrame =
     // Storage.cut pins the shared index state: `ranked` feeds BOTH the
     // member and the probe branch of the self-join, and without a
     // materialization each branch re-runs the scan + cell ranking
@@ -379,7 +394,7 @@ object Similarity {
     // dedup-operator pattern.
     graft.core.Storage.freeingIntermediates(df.sparkSession) {
       graft.core.Storage.cut(
-        ivfPqPlan(df, idCol, vecCol, dim, nCells, nProbe, m, k, topK,
+        ivfPqPlan(df, idCol, vecCol, dim, nCells, updates, nProbe, m, k, topK,
           graft.core.Storage.cut(_)))
     }
 
@@ -388,12 +403,15 @@ object Similarity {
     * join structure.
     */
   private[operators] def ivfPqPlan(df: DataFrame, idCol: String, vecCol: String,
-                                   dim: Int, nCells: Int, nProbe: Int, m: Int,
-                                   k: Int, topK: Int,
+                                   dim: Int, nCells: Int, updates: Int,
+                                   nProbe: Int, m: Int, k: Int, topK: Int,
                                    pin: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
-    val ranked = pin(rankCells(v, seedCentroids(v, nCells)))
+    val centroidRow =
+      if (updates == 0) seedCentroids(v, nCells)
+      else packCells(kmeansCentroidsFrom(v, nCells, updates))
+    val ranked = pin(rankCells(v, centroidRow))
     val cb = pin(pqTrain(df, idCol, vecCol, dim, m, k))
     val members = ranked.crossJoin(broadcast(cb)).select(
       coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),

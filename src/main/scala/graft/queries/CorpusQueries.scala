@@ -1383,6 +1383,58 @@ object CorpusQueries {
           dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Trained IVF-PQ (Similarity.ivfPqTopKTrained): the flagship production
+    // composition — one Lloyd round refines the coarse quantizer (s4/s5's
+    // c0 -> a1 -> c1 integer-sum centroid CTEs), then the s9 PQ-ADC
+    // machinery ranks within probed cells. Trained cells are what keep
+    // occupancy balanced on clustered real data; exact integers end-to-end
+    // keep the oracle bit-identical through the training round.
+    QueryDef(
+      "s10_ivfpq_trained",
+      s"""WITH $quantVecCte,
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY cid, pos) GROUP BY cid),
+         |cranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT v.sid, v.qv, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+         |        FROM v CROSS JOIN c1 c)),
+         |e AS (SELECT sid, qv[pos] AS q,
+         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+         |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
+         |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+         |a AS (SELECT e.sid, e.m, cb.code,
+         |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+         |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+         |codes AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+         |  FROM a) WHERE rn = 1),
+         |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
+         |  FROM cranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
+         |probes AS (SELECT cid, sid AS qid FROM cranked WHERE crank <= 4),
+         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+         |  FROM probes p JOIN members mem ON p.cid = mem.cid
+         |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
+         |  WHERE p.qid <> mem.nid GROUP BY 1, 2)
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfPqTopKTrained(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8, k = 16, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

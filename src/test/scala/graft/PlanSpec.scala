@@ -253,6 +253,17 @@ class PlanSpec extends SparkSpec {
       s"index intermediates leaked: ${persisted.keySet}")
   }
 
+  test("s10_ivfpq_trained: trained index self-cleans like the seeded one") {
+    // the Lloyd rounds add per-round pinned frames inside
+    // kmeansCentroidsFrom's loop body; the freeingIntermediates wrapper
+    // must still release everything corpus-sized on exit
+    graft.core.Storage.freeAll(spark, blocking = true)
+    SparkEntry.queries("s10_ivfpq_trained")(spark, sf).count()
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.size <= 1,
+      s"trained index intermediates leaked: ${persisted.keySet}")
+  }
+
   test("pq-adc kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("s8_pq_adc_knn")(spark, sf)
     df.collect()

@@ -230,13 +230,41 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.core.Tables.embeddings(spark, sf)
     // identity pin exposes the full lazy join structure
     val p = Similarity.ivfPqPlan(emb, "vec_id", "embedding",
-        dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5,
+        dim = 64, nCells = 16, updates = 0, nProbe = 4, m = 8, k = 16, topK = 5,
         pin = identity)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("hashpartitioning(cid") ||
       """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty, p)
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("trained ivfPq plan shape: Lloyd rounds don't change the probe join — still per cell id") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val p = Similarity.ivfPqPlan(emb, "vec_id", "embedding",
+        dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8, k = 16, topK = 5,
+        pin = identity)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(cid") ||
+      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("ivfPqTopKTrained: twin wins the ADC ranking through the trained quantizer") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val twin = emb.filter($"vec_id" === 77).select(
+      lit(100000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.ivfPqTopKTrained(emb.unionByName(twin), "vec_id",
+      "embedding", dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8,
+      k = 16, topK = 3)
+      .filter($"qid" === 77)
+      .select("nid", "d2", "rank").as[(Long, Long, Long)].collect()
+    // an identical vector lands in the same (trained) cell with identical
+    // codes: its ADC distance is the query's quantization floor
+    assert(out.find(_._3 == 1L).map(_._1).contains(100000L), out.mkString(", "))
+    assert(out.nonEmpty && out.sortBy(_._3).map(_._2).toSeq == out.map(_._2).sorted.toSeq)
   }
 
   test("ivfPqTopK: a twin lands in the query's cell and wins the ADC ranking") {
