@@ -104,19 +104,25 @@ object Bench {
       .map(_.group(1).toDouble)
 
   /** The regression gate, shared by the time and shuffle checks: queries
-    * whose metric grew beyond `factor` x its baseline value, with both
-    * values at or above `minAbs` (below it the drift is session noise — for
-    * seconds, sub-half-second timer jitter; for shuffle MB, sub-megabyte
-    * exchanges). Returns name -> growth ratio. The SHUFFLE gate is the one
-    * that predicts cluster cost: wall seconds on local[32] hide exchange
-    * growth that dominates at 1000 executors, exchanged bytes do not.
+    * whose metric grew beyond `factor` x its baseline value, where the
+    * LARGER of the two values clears `minAbs` (below it the drift is
+    * session noise — for seconds, sub-half-second timer jitter; for shuffle
+    * MB, sub-megabyte exchanges). Gating on max(prior, current) rather than
+    * both closes the cheap-query blind spot: a 0.3 s query that blows up to
+    * 1.3 s is a real 4x regression the both-sides form waved through
+    * (observed round 6: d2 0.28 -> 1.27 s, zero flags), while 0.1 -> 0.2 s
+    * jitter still stays under the floor. Returns name -> growth ratio. The
+    * SHUFFLE gate is the one that predicts cluster cost: wall seconds on
+    * local[32] hide exchange growth that dominates at 1000 executors,
+    * exchanged bytes do not.
     */
   private[graft] def regressionsAgainst(current: Seq[(String, Double)],
       prior: Map[String, Double], factor: Double,
       minAbs: Double): Seq[(String, Double)] =
     current.flatMap { case (name, v) =>
       prior.get(name).collect {
-        case p if p >= minAbs && v >= minAbs && v > p * factor => name -> v / p
+        case p if math.max(p, v) >= minAbs && p > 0 && v > p * factor =>
+          name -> v / p
       }
     }
 

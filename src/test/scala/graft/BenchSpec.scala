@@ -47,6 +47,26 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(regs.head._2 - 3.0) < 1e-9)
   }
 
+  test("sub-floor blind spot closed: a cheap query gone expensive flags, jitter does not") {
+    // round 6 shipped d2 0.28 -> 1.27 s (4.5x) unflagged because BOTH sides
+    // had to clear the floor; gating on max(prior, current) catches it
+    val prior = Map("q_cheap" -> 0.3, "q_tiny" -> 0.1)
+    val regs = Bench.regressionsAgainst(
+      Seq("q_cheap" -> 1.2, "q_tiny" -> 0.2), prior, factor = 1.5, minAbs = 0.5)
+    assert(regs.map(_._1) == Seq("q_cheap")) // 4x with current >= 0.5 fires
+    assert(math.abs(regs.head._2 - 4.0) < 1e-9)
+    // 0.1 -> 0.2 s doubling stays under the floor on both sides: noise
+    assert(!regs.exists(_._1 == "q_tiny"))
+  }
+
+  test("a zero prior never divides: flag suppressed rather than infinite ratio") {
+    // driver round files round shuffle_mb to 2 decimals, so a prior can be
+    // exactly 0.0 — the gate must not emit ratio = Infinity
+    val regs = Bench.regressionsAgainst(
+      Seq("q" -> 5.0), Map("q" -> 0.0), factor = 1.5, minAbs = 1.0)
+    assert(regs.isEmpty)
+  }
+
   test("no baseline entry means no gate (new queries pass until re-baselined)") {
     val regs = Bench.regressionsAgainst(Seq("brand_new" -> 99.0),
       Map.empty[String, Double], factor = 1.5, minAbs = 0.5)
