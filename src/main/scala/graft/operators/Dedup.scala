@@ -250,6 +250,20 @@ object Dedup {
   def bandIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     lshBands(minhashSignatures(df, idCol, textCol, n))
 
+  /** Persist the corpus band index as a BUCKETED table keyed by the
+    * candidate join's equi-keys (band, bkey). This is the scale lever for
+    * incremental dedup: the candidate join in [[incrementalNearDupPairs]]
+    * keys on exactly these columns, so a bucketed corpus index makes the
+    * 100 TB side of that join exchange-free — every batch shuffles only
+    * ITSELF to the bucket layout, and the corpus bands are read aligned,
+    * never re-shuffled. (An unbucketed parquet index re-shuffles the whole
+    * corpus index every batch — the dominant cost at corpus scale.)
+    */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedBy(
+      bandIndex(df, idCol, textCol, n), table, Seq("band", "bkey"), nBuckets)
+
   /** Incremental near-dup detection: verified pairs that TOUCH a new batch —
     * new-vs-new plus new-vs-corpus — WITHOUT re-banding the corpus. At
     * ingestion scale this is the whole game: the corpus index
@@ -263,6 +277,20 @@ object Dedup {
     * candidates' shingles are computed (semi-join pushdown in
     * verifyCandidates) — a tiny id-filtered scan, not a corpus pass.
     */
+  /** Batch-vs-corpus candidate pairs: batch bands joined to the corpus band
+    * index on exactly (band, bkey). A seam for plan tests: when
+    * `corpusBands` is a [[writeBandIndex]] bucketed table, this join must
+    * plan with NO Exchange above the corpus-side scan.
+    */
+  private[operators] def crossBandCandidates(nb: DataFrame,
+                                             corpusBands: DataFrame): DataFrame =
+    nb.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.sid") =!= col("b.sid"))
+      .select(least(col("a.sid"), col("b.sid")).as("ida"),
+        greatest(col("a.sid"), col("b.sid")).as("idb"))
+
   def incrementalNearDupPairs(newDf: DataFrame, corpusDocs: DataFrame,
                               corpusBands: DataFrame, idCol: String,
                               textCol: String, n: Int,
@@ -274,12 +302,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("ida"), col("b.sid").as("idb"))
-    val newOld = nb.as("a")
-      .join(corpusBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.sid") =!= col("b.sid"))
-      .select(least(col("a.sid"), col("b.sid")).as("ida"),
-        greatest(col("a.sid"), col("b.sid")).as("idb"))
+    val newOld = crossBandCandidates(nb, corpusBands)
     // A re-ingested id present in BOTH sides would otherwise appear twice in
     // the verification doc set (old text + new text), inflating its shingle
     // counts and corrupting jaccard — anti-join the corpus side so such a

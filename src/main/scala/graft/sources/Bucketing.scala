@@ -18,10 +18,20 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int): Unit =
+    writeBucketedBy(df, table, Seq(bucketCol), nBuckets)
+
+  /** Multi-column bucketing: the bucket columns must be EXACTLY a join's
+    * equi-keys for the scan's HashPartitioning to satisfy the join's
+    * clustering requirement (Spark requires all cluster keys as partition
+    * keys for co-partition by default) — a subset match re-shuffles both
+    * sides.
+    */
+  def writeBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
+                      nBuckets: Int): Unit =
     df.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

@@ -94,6 +94,57 @@ class DedupSpec extends SparkSpec {
     assert(incremental.nonEmpty, "fixture must contain batch-touching near-dups")
   }
 
+  test("bucketed band index: corpus side of the incremental candidate join is exchange-free") {
+    val table = "b_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a crashed earlier run can leave warehouse files behind after the
+    // catalog entry is gone; CREATE TABLE refuses to reuse the location
+    locally {
+      val p = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+    val newBatch = docs.filter(col("doc_id") % 4 === 0)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, 4)
+
+    // the plan contract: batch bands shuffle TO the bucket layout (one
+    // Exchange), the corpus index reads bucket-aligned (zero Exchange) —
+    // force the shuffle-join path, the fixture is broadcast-small
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cands = Dedup.crossBandCandidates(
+        Dedup.bandIndex(newBatch, "doc_id", "text", 3), spark.table(table))
+      cands.collect()
+      // AQE's toString repeats the tree under "== Initial Plan ==" — count
+      // exchanges in the final plan section only
+      val plan = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"corpus side of the candidate join must not re-shuffle:\n$plan")
+
+      // and the bucketed index produces the exact same verified pairs as the
+      // freshly-computed one
+      val fromBucketed = Dedup.incrementalNearDupPairs(
+        newBatch, corpus, spark.table(table), "doc_id", "text", 3, 0.5)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      val fromFresh = Dedup.incrementalNearDupPairs(
+        newBatch, corpus, Dedup.bandIndex(corpus, "doc_id", "text", 3),
+        "doc_id", "text", 3, 0.5)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(fromBucketed == fromFresh)
+      assert(fromBucketed.nonEmpty, "fixture must contain batch-touching near-dups")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("connectedComponents labels chains transitively with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
     val labels = Dedup.connectedComponents(pairs)
