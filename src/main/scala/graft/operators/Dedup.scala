@@ -554,21 +554,33 @@ object Dedup {
     * (n/65536 occupancy, recall guaranteed to d = 2) or keep 4 chunks and
     * accept the larger buckets — the tradeoff is explicit, not hard-coded.
     */
-  def simhashPairs(sim: DataFrame, maxHamming: Int, numChunks: Int = 4): DataFrame = {
-    require(numChunks > 0 && SimhashBits % numChunks == 0,
-      s"numChunks must divide $SimhashBits bits, got $numChunks")
-    val width = SimhashBits / numChunks
+  def simhashPairs(sim: DataFrame, maxHamming: Int, numChunks: Int = 4): DataFrame =
+    hammingBandPairs(sim, "simhash", SimhashBits, maxHamming, numChunks)
+
+  /** Hamming-banded near-dup pairs over ANY packed bit signature column
+    * (simhash over text, dHash over images, ...): the `totalBits`-wide
+    * signature splits into `numChunks` equal chunks, rows sharing any exact
+    * chunk become candidates, verified with bit_count at distance <=
+    * maxHamming. Same pigeonhole recall contract and per-(chunk, ckey)
+    * subquadratic join shape as [[simhashPairs]] — which is this function at
+    * 48 bits.
+    */
+  def hammingBandPairs(sig: DataFrame, hashCol: String, totalBits: Int,
+                       maxHamming: Int, numChunks: Int): DataFrame = {
+    require(numChunks > 0 && totalBits % numChunks == 0,
+      s"numChunks must divide $totalBits bits, got $numChunks")
+    val width = totalBits / numChunks
     val mask = (1L << width) - 1
-    val chunks = sim.select(col("sid"), col("simhash"),
+    val chunks = sig.select(col("sid"), col(hashCol).as("__h"),
       posexplode(array((0 until numChunks).map(c =>
-        shiftright(col("simhash"), width * c).bitwiseAND(mask)): _*))
+        shiftright(col(hashCol), width * c).bitwiseAND(mask)): _*))
         .as(Seq("chunk", "ckey")))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("ida"), col("b.sid").as("idb"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.__h ^ b.__h)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

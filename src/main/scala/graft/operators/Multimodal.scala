@@ -439,6 +439,88 @@ object Multimodal {
   def headerLenCol(id: Column): Column =
     when(id % 3 === 0, PngHeaderLen).when(id % 3 === 1, BmpHeaderLen).otherwise(GifHeaderLen)
 
+  // ---- perceptual hashing (dHash) -----------------------------------------
+
+  /** Deterministic synthetic image fixture: a 32x32 24bpp BMP per id whose
+    * pixel bytes follow closed-form arithmetic a SQL oracle reproduces.
+    * Images share pixel content through `id % 31` (31 identical-image
+    * groups) with a small per-doc brightness perturbation on the leftmost
+    * pixel block through `id % 5` — so the corpus contains exact-dup pairs
+    * (hamming 0), near-dup pairs (small hamming from the perturbed block)
+    * and cross-group non-dups, exercising every dHash outcome.
+    *
+    * Pixel at storage row y, column x, channel c (32x32, row stride 96 —
+    * a multiple of 4, so no BMP row padding ambiguity):
+    * v = (g*37 + y*131 + x*17 + c*7 + (x < 4 ? p*40 : 0)) % 256
+    * with g = id % 31, p = id % 5.
+    */
+  def attachImageFixture(spark: SparkSession, df: DataFrame,
+                         idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = (id % 31).toInt
+          val p = (id % 5).toInt
+          val payload = new Array[Byte](96 * 32)
+          var i = 0
+          while (i < payload.length) {
+            val y = i / 96
+            val x = (i % 96) / 3
+            val c = i % 3
+            val pert = if (x < 4) p * 40 else 0
+            payload(i) = ((g * 37 + y * 131 + x * 17 + c * 7 + pert) % 256).toByte
+            i += 1
+          }
+          MediaRow(id, bmpBytes(32, 32, payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** 56-bit difference hash of a 24bpp BMP: nearest-neighbor resize to an
+    * 8x8 thumbnail (the real [[resizeBmp]] pixel path), per-pixel grayscale
+    * as the exact integer channel sum (no luma weights — engine-exact), and
+    * bit y*7+x set when gray(x+1, y) > gray(x, y). 7 comparisons x 8 rows =
+    * 56 bits, deliberately under 63 so the packed hash stays positive in a
+    * long on every engine. Standard dHash robustness: brightness shifts
+    * that preserve gradient direction hash identically.
+    */
+  def dHashBmp(bytes: Array[Byte]): Long = {
+    val thumb = resizeBmp(bytes, 8, 8)
+    val outRow = 24 // ((3*8 + 3) / 4) * 4
+    def gray(x: Int, y: Int): Int = {
+      val o = BmpHeaderLen + y * outRow + x * 3
+      (thumb(o) & 0xff) + (thumb(o + 1) & 0xff) + (thumb(o + 2) & 0xff)
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** (sid, dhash) per image — per-row map-side work, no shuffle; feed the
+    * result to `Dedup.hammingBandPairs(_, "dhash", 56, maxHamming, chunks)`
+    * for perceptual near-dup candidate pairs at simhash-banding cost.
+    */
+  def imageDHash(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, dHashBmp(bytes)) }
+      }
+      .toDF("sid", "dhash")
+  }
+
   /** Deterministic frame-feature sampling over the PAYLOAD region of the
     * media bytes: every `stride`-th byte rendered as its hex pair — stands in
     * for decode+resize+frame-sample while exercising real binary slicing.

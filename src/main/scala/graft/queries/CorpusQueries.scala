@@ -1063,6 +1063,47 @@ object CorpusQueries {
         .toDF().orderBy(col("id"))
     },
 
+    // Image perceptual near-dup: deterministic 32x32 BMPs (pixel arithmetic
+    // mirrored below) -> REAL resize to 8x8 (Multimodal.resizeBmp) -> 56-bit
+    // dHash -> the d7 hamming-banding machinery (Dedup.hammingBandPairs,
+    // 4 x 14-bit chunks). The oracle replays the nearest-neighbor sampling
+    // (sx = 4*rx, sy = 4*ry), channel-sum grayscale, gradient bits, and the
+    // banding arms — a resize off-by-one, a channel-order mistake or a band
+    //-layout drift all hash-mismatch.
+    QueryDef(
+      "m5_image_neardup",
+      s"""WITH ids AS (SELECT doc_id AS sid, doc_id % 31 AS g, doc_id % 5 AS p
+         |  FROM documents),
+         |g8 AS (SELECT sid, rx, ry,
+         |    (g*37 + ry*4*131 + rx*4*17 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |  + (g*37 + ry*4*131 + rx*4*17 + 7 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |  + (g*37 + ry*4*131 + rx*4*17 + 14 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |    AS gv
+         |  FROM ids, unnest(generate_series(0, 7)) t1(rx),
+         |       unnest(generate_series(0, 7)) t2(ry)),
+         |dh AS (SELECT a.sid,
+         |    CAST(SUM(CASE WHEN b.gv > a.gv
+         |      THEN CAST(1 AS BIGINT) << (a.ry*7 + a.rx) ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM g8 a JOIN g8 b ON a.sid = b.sid AND a.ry = b.ry AND b.rx = a.rx + 1
+         |  GROUP BY a.sid),
+         |chunks AS (
+         |${(0 until 4).map(c =>
+             s"  SELECT sid, dhash, $c AS chunk, (dhash >> ${14 * c}) & 16383 AS ckey FROM dh")
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.sid AS ida, b.sid AS idb,
+         |    bit_count(xor(a.dhash, b.dhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.sid < b.sid
+         |) WHERE hamming <= 6 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val sig = Multimodal.imageDHash(s,
+        Multimodal.attachImageFixture(s, Tables.documents(s, d), "doc_id"))
+      Dedup.hammingBandPairs(sig, "dhash", totalBits = 56, maxHamming = 6,
+          numChunks = 4)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Gopher-style rule filter (TextOps.gopherRules): every rule an exact
     // integer predicate (one deterministic division for mean word length).
     // Thresholds chosen to discriminate on the fixtures: ~25% fail the word
