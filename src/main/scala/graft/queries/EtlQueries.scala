@@ -1717,6 +1717,256 @@ object EtlQueries {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("n_dominant"))
         .orderBy(col("n_dominant").desc, col("s_name"))
+    },
+
+    // X-extension, TPC-H Q1 shape: the pricing summary — one lineitem scan,
+    // eight aggregates over two low-cardinality keys. The scan-side filter
+    // pushes to parquet; every sum is map-side-combinable decimal (exact at
+    // any parallelism); charge carries 6 fractional digits (price x disc x
+    // tax), so its decimal widens to (30,6) where the 4-digit sums use
+    // (25,4).
+    QueryDef(
+      "x15_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_quantity)
+        |    AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_extendedprice)
+        |    AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_discount)
+        |    AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Date.valueOf("2001-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          ExactAgg.sumExact(col("l_quantity")).as("sum_qty"),
+          ExactAgg.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast("decimal(30,6)")).cast("double")
+            .as("sum_charge"),
+          ExactAgg.meanExact(col("l_quantity")).as("avg_qty"),
+          ExactAgg.meanExact(col("l_extendedprice")).as("avg_price"),
+          ExactAgg.meanExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // X-extension, TPC-H Q6 shape: the forecasting-revenue scan — a single
+    // pass with three range predicates that ALL push to the parquet scan
+    // (PlanSpec asserts PushedFilters), one exact-decimal sum, no join, no
+    // window: the cheapest possible plan for the question.
+    QueryDef(
+      "x16_forecast_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate") < lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"))
+    },
+
+    // X-extension, TPC-H Q7 shape: volume shipped between two nations in
+    // either direction. The only fact-fact exchange is lineitem-orders on
+    // the order key; supplier/customer/nation are filtered THROUGH the
+    // two-nation predicate before broadcasting, so the fact stream thins at
+    // the broadcast probes, and the direction pair rides as a residual OR
+    // on the joined row.
+    QueryDef(
+      "x17_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val nations = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = Tables.supplier(s, d)
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // X-extension, TPC-H Q9 shape: the multi-join profit rollup by supplier
+    // nation and order year. The fixtures carry no partsupp, so supply cost
+    // is the retail-value proxy p_retailprice x l_quantity — same join
+    // graph, same decimal-exact profit arithmetic. Plan contract (PlanSpec):
+    // part (name-filtered), supplier and nation ALL broadcast; the only
+    // fact-fact exchange is lineitem-orders on the order key.
+    QueryDef(
+      "x18_nation_profit",
+      """SELECT nation, o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))
+        |         - CAST(p_retailprice * l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+        |    AS profit
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    l_extendedprice, l_discount, p_retailprice, l_quantity
+        |  FROM lineitem
+        |    JOIN part ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE p_name LIKE '%gear%')
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      val gearParts = Tables.part(s, d)
+        .filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      Tables.lineitem(s, d)
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(25,4)") -
+            (col("p_retailprice") * col("l_quantity")).cast("decimal(25,4)"))
+          .cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // X-extension, TPC-H Q12 shape: late-shipment priority counts — the
+    // conditional-aggregation join. The fixtures carry no ship mode or
+    // commit/receipt dates, so the group key is the return flag and "late"
+    // is shipped > 60 days after order date (the x6 lateness predicate).
+    // The CASE sums are exact integers; the date-range filter pushes to the
+    // lineitem scan, the lateness predicate rides the join.
+    QueryDef(
+      "x19_late_priority_counts",
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_shipdate") < lit(java.sql.Date.valueOf("1998-01-01")))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X-extension, TPC-H Q14 shape: promo revenue share for one ship month
+    // — two conditional decimal sums in ONE aggregate over the broadcast
+    // part join, then a single double expression both engines evaluate
+    // identically. No second scan for the denominator.
+    QueryDef(
+      "x20_promo_revenue",
+      """SELECT (100.0 * promo) / total AS promo_revenue
+        |FROM (SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))
+        |    ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS promo,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+        |    AS DOUBLE) AS total
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01')""".stripMargin) { (s, d) =>
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(25,4)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1997-09-01")) &&
+          col("l_shipdate") < lit(java.sql.Date.valueOf("1997-10-01")))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0).cast("decimal(25,4)"))).cast("double").as("promo"),
+          sum(disc).cast("double").as("total"))
+        .select(((lit(100.0) * col("promo")) / col("total")).as("promo_revenue"))
+    },
+
+    // X-extension, TPC-H Q19 shape: the OR-of-ANDs bracket predicate. The
+    // plan contract (PlanSpec) is what this query exists to demonstrate:
+    // Catalyst extracts each side's disjunction from the OR — the brand/size
+    // brackets reach the part scan, the quantity brackets reach the lineitem
+    // scan (PushedFilters on both) — and the cross-side conjunctions ride
+    // the broadcast join as a residual. A naive engine evaluates the whole
+    // OR after the join and scans both tables in full.
+    QueryDef(
+      "x21_bracket_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin) { (s, d) =>
+      val bracket1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11
+      val bracket2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20
+      val bracket3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 15) &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("p_partkey") === col("l_partkey"))
+        .filter(bracket1 || bracket2 || bracket3)
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
     }
   )
 }

@@ -253,6 +253,43 @@ class PlanSpec extends SparkSpec {
       s"index intermediates leaked: ${persisted.keySet}")
   }
 
+  test("x16_forecast_revenue: all three range predicates push to the parquet scan") {
+    val p = plan("x16_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+  }
+
+  test("x18_nation_profit: dims broadcast, lineitem-orders is the only fact exchange") {
+    // at fixture scale the optimizer would broadcast orders too; disabling
+    // the size-based threshold leaves only the EXPLICIT broadcast() hints —
+    // the plan a 100 TB run would see, where orders outgrows any broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan("x18_nation_profit")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // part/supplier/nation all ride broadcasts; the one shuffle join is the
+    // fact-fact lineitem-orders equi-join, plus the final group-by exchange.
+    // (Formatted explain prints each node once in the tree and once in the
+    // details section — count the numbered detail headers.)
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length == 3, p)
+    assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(p).length == 1, p)
+    // the p_name filter prunes part BEFORE its broadcast
+    assert(p.contains("StringContains(p_name,gear)") || p.contains("Contains(p_name, gear)"), p)
+  }
+
+  test("x21_bracket_revenue: Catalyst splits the OR-of-ANDs onto BOTH scans") {
+    val p = plan("x21_bracket_revenue")
+    // the brand/size disjunction must reach the part scan and the quantity
+    // disjunction must reach the lineitem scan as pushed filters — the Q19
+    // plan property that saves two full scans at 100 TB
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#12)"), p)
+    assert("""Or\(And\(GreaterThanOrEqual\(l_quantity,1""".r.findFirstIn(p).nonEmpty
+      || p.contains("Or(And(GreaterThanOrEqual(l_quantity"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("s10_ivfpq_trained: trained index self-cleans like the seeded one") {
     // the Lloyd rounds add per-round pinned frames inside
     // kmeansCentroidsFrom's loop body; the freeingIntermediates wrapper
