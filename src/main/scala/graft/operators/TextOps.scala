@@ -186,6 +186,84 @@ object TextOps {
   def subwordTokenCount(text: Column, vocab: Seq[String]): Column =
     graft.plans.SubwordCount.subwordCount(text, vocab)
 
+  /** REAL BPE merge training: `rounds` iterations of count-all-adjacent-
+    * symbol-pairs -> merge the argmax pair corpus-wide (ties: lexicographic
+    * (lft, rgt)) — the algorithm behind GPT-2/SentencePiece vocabularies,
+    * not a frequency-ranked substring heuristic. Returns one row per merge,
+    * in order: (rank, lft, rgt, merged, pair_freq). [[subwordVocab]] /
+    * [[subwordTokenCount]] (t9) remain the greedy APPLY path; this is the
+    * trainer that produces their vocabulary.
+    *
+    * Semantics pinned for oracle parity: pair counts are over the word-
+    * frequency table (standard BPE — each distinct word weighted by its
+    * corpus frequency), adjacent pairs count WITH overlap, and a merge
+    * applies greedily left-to-right within each word (in "aaa", pair (a,a)
+    * merges positions 1-2, not 2-3). No end-of-word marker — a documented
+    * simplification; adding one changes the alphabet, not the algorithm.
+    *
+    * Scale shape: the corpus collapses to (word, freq) ONCE (one map-side-
+    * combinable aggregate — at 100 TB the word table is millions of rows,
+    * not corpus-sized); each round is then one pair-count aggregate over
+    * 8-ish-byte pairs, a ONE-ROW argmax collect (the merge decision is a
+    * plan-time constant, the IVF-centroid posture), and a shuffle-free
+    * per-row fold applying the merge. The evolving symbol table is
+    * Storage.cut per round with the superseded round freed — the
+    * connectedComponents checkpoint discipline, without which `rounds`
+    * self-referencing plans re-analyze exponentially.
+    */
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.Storage.freeingIntermediates(spark) {
+      var st = graft.core.Storage.cut(
+        df.select(explode(split(col(textCol), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(split(col("w"), "").as("syms"), col("freq")),
+        eager = true)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var r = 0
+      var dry = false
+      while (r < rounds && !dry) {
+        // sequence(1, 0) DESCENDS in Spark, so single-symbol words need the
+        // explicit empty-array guard (the wordShingles pattern) or ANSI
+        // mode aborts on the out-of-bounds element_at
+        val top = st
+          .select(col("freq"),
+            explode(when(size(col("syms")) >= 2,
+              transform(sequence(lit(1), size(col("syms")) - 1), i =>
+                struct(element_at(col("syms"), i).as("l"),
+                  element_at(col("syms"), i + 1).as("r"))))
+              .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).as[(String, String, Long)].collect()
+        top.headOption match {
+          case None => dry = true // every word is a single symbol
+          case Some((l, rt, c)) =>
+            merges += ((r + 1L, l, rt, l + rt, c))
+            val next = graft.core.Storage.cut(
+              st.select(
+                aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+                  when(size(acc) > 0 &&
+                      element_at(acc, -1) === lit(l) && x === lit(rt),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
+                    .otherwise(concat(acc, array(x)))).as("syms"),
+                col("freq")),
+              eager = true)
+            graft.core.Storage.freeCheckpoint(st)
+            st = next
+        }
+        r += 1
+      }
+      graft.core.Storage.cut(
+        merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_freq"))
+    }
+  }
+
   /** PII patterns, kept to the Java-regex / RE2 common subset (explicit
     * classes, no lookaround) so engine and oracle agree. The phone pattern is
     * the reserved 555 fictional range — a stand-in for locale-specific

@@ -77,6 +77,40 @@ object CorpusQueries {
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
        |  FROM embeddings)""".stripMargin
 
+  /** One BPE training round as a DuckDB CTE chain (t14 oracle): pair counts
+    * with overlap (pcR), the argmax merge with (c DESC, l, r) tie-break
+    * (topR), then greedy left-to-right application via run-parity — within
+    * each maximal run of consecutive matching positions, merges start at
+    * even offsets (the only overlapping case is l = r), and a position is
+    * consumed when its predecessor started a merge.
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val p = s"st${r - 1}"
+    s"""pc$r AS (SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.freq) AS BIGINT) AS c
+       |  FROM $p a JOIN $p b ON a.wid = b.wid AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |top$r AS (SELECT l, r, c FROM pc$r ORDER BY c DESC, l, r LIMIT 1),
+       |mk$r AS (SELECT s.wid, s.freq, s.pos, s.sym, t.l AS tl, t.r AS tr,
+       |    CASE WHEN s.sym = t.l AND nx.sym = t.r THEN 1 ELSE 0 END AS cand
+       |  FROM $p s
+       |  LEFT JOIN $p nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+       |  CROSS JOIN top$r t),
+       |rn$r AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY wid, cand ORDER BY pos) AS grp
+       |  FROM mk$r),
+       |ss$r AS (SELECT *,
+       |    CASE WHEN cand = 1
+       |      AND (pos - MIN(pos) OVER (PARTITION BY wid, cand, grp)) % 2 = 0
+       |      THEN 1 ELSE 0 END AS strt
+       |  FROM rn$r),
+       |st$r AS (SELECT wid, freq,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN strt = 1 THEN tl || tr ELSE sym END AS sym
+       |  FROM (SELECT *,
+       |      COALESCE(LAG(strt) OVER (PARTITION BY wid ORDER BY pos), 0) AS consumed
+       |    FROM ss$r)
+       |  WHERE consumed = 0)""".stripMargin
+  }
+
   private def sqlCosine(a: String, b: String): String =
     s"""CAST(list_dot_product($a, $b) AS DOUBLE) /
        |    nullif(sqrt(CAST(list_dot_product($a, $a) AS DOUBLE)) * sqrt(CAST(list_dot_product($b, $b) AS DOUBLE)), 0.0)""".stripMargin
@@ -241,6 +275,29 @@ object CorpusQueries {
          |FROM cnt GROUP BY sid ORDER BY sid""".stripMargin) { (s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text", 2)
         .orderBy(col("sid"))
+    },
+
+    // REAL BPE merge training (TextOps.bpeMerges): 6 rounds of
+    // count-pairs -> merge-argmax over the corpus word-frequency table. The
+    // oracle replays every round with a DIFFERENT algorithm (window-function
+    // run-parity greedy matching over position rows vs the engine's
+    // per-word left fold), unrolled one CTE chain per round — so tie-break
+    // order, overlap counting and greedy merge semantics all hash-check.
+    QueryDef(
+      "t14_bpe_vocab",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS freq FROM toks WHERE len(w) > 0 GROUP BY w),
+         |st0 AS (SELECT w AS wid, freq, CAST(pos AS BIGINT) AS pos,
+         |    substr(w, pos, 1) AS sym
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(pos)),
+         |${(1 to 6).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 6).map(r =>
+             s"  SELECT CAST($r AS BIGINT) AS rank, l AS lft, r AS rgt, l || r AS merged, c AS pair_freq FROM top$r")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY rank""".stripMargin) { (s, d) =>
+      TextOps.bpeMerges(Tables.documents(s, d), "text", rounds = 6)
+        .orderBy(col("rank"))
     },
 
     // PII detect + redact. The fixtures' word-salad has no PII (an inert

@@ -200,4 +200,50 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("hashpartitioning\\(sid".r.findAllIn(p).length <= 1, p)
   }
+
+  test("bpeMerges: hand-checkable rounds, greedy overlap, weighted ties") {
+    // corpus: "aa aa ab" -> word freqs: aa x2, ab x1
+    // round 1 pairs: (a,a) weight 2, (a,b) weight 1 -> merge (a,a) -> "aa"
+    // round 2 pairs: only (a,b) x1 -> merge (a,b) -> "ab"
+    // round 3: no pairs anywhere -> training runs dry at 2 merges
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, "text", rounds = 5)
+      .orderBy($"rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", "a", "aa", 2L), (2L, "a", "b", "ab", 1L)), out)
+
+    // greedy left-to-right on odd runs: "aaa" merges positions 1-2 only,
+    // and pair counting is WITH overlap ((a,a) counts twice in "aaa")
+    val odd = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m1 = TextOps.bpeMerges(odd, "text", rounds = 1)
+      .as[(Long, String, String, String, Long)].collect().head
+    assert(m1 == ((1L, "a", "a", "aa", 2L)), m1)
+    // after merging, state is [aa, a]; round 2's only pair is (aa, a)
+    val m2 = TextOps.bpeMerges(odd, "text", rounds = 2)
+      .orderBy($"rank")
+      .as[(Long, String, String, String, Long)].collect().last
+    assert(m2 == ((2L, "aa", "a", "aaa", 1L)), m2)
+  }
+
+  test("bpeMerges: deterministic and rank-stable (shorter training is a prefix)") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(200)
+    val six = TextOps.bpeMerges(docs, "text", rounds = 6)
+      .orderBy($"rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val again = TextOps.bpeMerges(docs, "text", rounds = 6)
+      .orderBy($"rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(six == again, "training must be deterministic")
+    val three = TextOps.bpeMerges(docs, "text", rounds = 3)
+      .orderBy($"rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(six.take(3) == three, "merge ranks must be stable under more rounds")
+    assert(six.size == 6 && six.map(_._1) == (1L to 6L))
+    // per-call storage contract: every per-round checkpoint freed on exit,
+    // only the (tiny) returned merges leaf persists
+    graft.core.Storage.freeAll(spark, blocking = true)
+    TextOps.bpeMerges(docs, "text", rounds = 4).count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      spark.sparkContext.getPersistentRDDs.keySet.toString)
+  }
 }
