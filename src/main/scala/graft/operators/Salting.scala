@@ -42,13 +42,34 @@ object Salting {
     * must be the smaller input (it is multiplied by `buckets`).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
-                 buildKey: String, buckets: Int): DataFrame = {
+                 buildKey: String, buckets: Int): DataFrame =
+    saltedJoinAs(probe, build, probeKey, buildKey, buckets, "inner")
+
+  /** LEFT-OUTER salted join — the skewed ENRICHMENT join: every probe row
+    * survives, hot keys still spread over `buckets` reducers, and a probe
+    * row with no build match null-extends exactly once. Correctness under
+    * salting: each probe row carries exactly ONE salt value, and the build
+    * replication materializes EVERY (buildKey, salt) pair — so a probe row
+    * matches precisely the build rows of its key (same row set as the
+    * unsalted join), and when its key is absent from the build side, the
+    * left-outer join emits it exactly once with NULL build columns. (The
+    * same argument does NOT extend to right/full outer: an unmatched build
+    * row exists `buckets` times and would null-extend per replica.)
+    */
+  def saltedJoinOuter(probe: DataFrame, build: DataFrame, probeKey: String,
+                      buildKey: String, buckets: Int): DataFrame =
+    saltedJoinAs(probe, build, probeKey, buildKey, buckets, "left_outer")
+
+  private def saltedJoinAs(probe: DataFrame, build: DataFrame, probeKey: String,
+                           buildKey: String, buckets: Int,
+                           joinType: String): DataFrame = {
     val saltedProbe = probe.withColumn("__salt",
       pmod(hash(probe.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicatedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedProbe.join(replicatedBuild,
-      col(probeKey) === col(buildKey) && saltedProbe("__salt") === replicatedBuild("__salt"))
+      col(probeKey) === col(buildKey) && saltedProbe("__salt") === replicatedBuild("__salt"),
+      joinType)
       .drop("__salt")
   }
 }

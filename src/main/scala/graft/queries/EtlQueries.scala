@@ -690,6 +690,35 @@ object EtlQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // J-extension: LEFT-OUTER attribution interval join — the hash-checked
+    // batch twin of the streaming attributeJoinOuter (EventStreams), which
+    // EventStreamsSpec proves emits the same rows micro-batched. Every view
+    // is a result; purchases by the same user within the 1-hour horizon
+    // attach, funnel drops carry NULLs. The equi key keeps it a hash join
+    // with the time range as a residual — same plan discipline as j5.
+    QueryDef(
+      "j5b_attribution_outer",
+      """SELECT v.event_id AS view_id, v.user_id AS user_id,
+        |  p.event_id AS purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |    AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.attributeJoinOuter(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "1 hour")
+        .select(col("l_event_id").as("view_id"), col("l_user_id").as("user_id"),
+          col("r_event_id").as("purchase_id"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    },
+
     // J-extension: FORWARD as-of with tolerance — each event's next event
     // of the same user (strictly later via a +1us probe), surfaced only if
     // within 1 hour. Engine tolerance is 1h measured from the ORIGINAL ts

@@ -37,4 +37,32 @@ class SaltingSpec extends SparkSpec {
     val salted = Salting.saltedJoin(li, part, "l_partkey", "p_partkey", 4).count()
     assert(salted == plain)
   }
+
+  test("saltedJoinOuter: hot key at 10^4x median spreads over buckets, rows match unsalted") {
+    // probe: one key owning 10,000 rows vs a median of 1, plus keys with NO
+    // build match (the enrichment-join reality salting must not break)
+    val probe = (Seq.tabulate(10000)(i => (1L, i.toLong)) ++
+      Seq.tabulate(50)(i => (100L + i.toLong, i.toLong))).toDF("k", "payload")
+    val build = Seq((1L, "hot-dim"), (100L, "cold-dim"), (999L, "unprobed"))
+      .toDF("bk", "attr")
+
+    val buckets = 8
+    val salted = Salting.saltedJoinOuter(probe, build, "k", "bk", buckets)
+    val plain = probe.join(build, $"k" === $"bk", "left_outer")
+    // exact row parity (multiset: count per row signature)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"payload", $"bk", $"attr")
+      .collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+    assert(sig(salted) == sig(plain))
+    // unmatched probe keys null-extend exactly once each
+    assert(salted.filter($"bk".isNull).count() == 49L)
+
+    // balance: the hot key's probe rows occupy every salt bucket, so no
+    // single reducer owns the 10^4x key
+    val occupancy = probe
+      .withColumn("__salt", pmod(hash(probe.columns.map(col): _*), lit(buckets)))
+      .filter($"k" === 1L).select($"__salt").distinct().count()
+    assert(occupancy == buckets.toLong,
+      s"hot key must spread across all $buckets buckets, hit $occupancy")
+  }
 }
