@@ -388,7 +388,10 @@ object Multimodal {
     val off = bb.getInt(10)
     val w = bb.getInt(18)
     val h = bb.getInt(22)
+    require(w > 0, s"non-positive width $w") // w = 0 would degenerate every
+    // downstream length check (inRow = 0) and fabricate output from header bytes
     require(h > 0, "top-down BMPs (negative height) unsupported")
+    require(off >= BmpHeaderLen, s"pixel offset $off inside the header")
     require(bb.getShort(28) == 24, s"only 24bpp supported, got ${bb.getShort(28)}")
     require(bb.getInt(30) == 0, "compressed BMPs unsupported")
     val inRow = ((3 * w + 3) / 4) * 4
@@ -443,16 +446,22 @@ object Multimodal {
 
   /** Deterministic synthetic image fixture: a 32x32 24bpp BMP per id whose
     * pixel bytes follow closed-form arithmetic a SQL oracle reproduces.
-    * Images share pixel content through `id % 31` (31 identical-image
+    * Images share pixel content through `id % 101` (101 identical-image
     * groups) with a small per-doc brightness perturbation on the leftmost
-    * pixel block through `id % 5` — so the corpus contains exact-dup pairs
+    * pixel block through `id % 7` — so the corpus contains exact-dup pairs
     * (hamming 0), near-dup pairs (small hamming from the perturbed block)
-    * and cross-group non-dups, exercising every dHash outcome.
+    * and cross-group non-dups, exercising every dHash outcome. The gradient
+    * FREQUENCIES vary per group (coefficients depend on g mod 7 / mod 11),
+    * which is what separates groups in hash space: with constant
+    * coefficients every group shares most gradient signs and near-identical
+    * hashes, drowning the detector in cross-group pairs (measured: 1.6k
+    * spurious collisions under constant coefficients, ~0.3k here).
     *
     * Pixel at storage row y, column x, channel c (32x32, row stride 96 —
     * a multiple of 4, so no BMP row padding ambiguity):
-    * v = (g*37 + y*131 + x*17 + c*7 + (x < 4 ? p*40 : 0)) % 256
-    * with g = id % 31, p = id % 5.
+    * v = (g*53 + y*(97 + 17*(g%11)) + x*(11 + 6*(g%7)) + c*7
+    *      + (x < 4 ? p*40 : 0)) % 256
+    * with g = id % 101, p = id % 7.
     */
   def attachImageFixture(spark: SparkSession, df: DataFrame,
                          idCol: String): DataFrame = {
@@ -461,8 +470,8 @@ object Multimodal {
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val g = (id % 31).toInt
-          val p = (id % 5).toInt
+          val g = (id % 101).toInt
+          val p = (id % 7).toInt
           val payload = new Array[Byte](96 * 32)
           var i = 0
           while (i < payload.length) {
@@ -470,7 +479,8 @@ object Multimodal {
             val x = (i % 96) / 3
             val c = i % 3
             val pert = if (x < 4) p * 40 else 0
-            payload(i) = ((g * 37 + y * 131 + x * 17 + c * 7 + pert) % 256).toByte
+            payload(i) = ((g * 53 + y * (97 + 17 * (g % 11)) + x * (11 + 6 * (g % 7)) +
+              c * 7 + pert) % 256).toByte
             i += 1
           }
           MediaRow(id, bmpBytes(32, 32, payload))

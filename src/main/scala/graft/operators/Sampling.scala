@@ -168,10 +168,23 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
     val width = Buckets / nBuckets + 1
-    val withB = df.withColumn("__sk", bucket(col(idCol), salt))
-      .withColumn("__bkt", (col("__sk") / width).cast("long"))
+    // checkpoint-cut: the bucketed frame is executed TWICE (the driver-side
+    // count collect below, then the final join) — without a materialization
+    // a non-deterministic input (fresh uuids, a re-listed object store)
+    // could change between the two jobs and make `pos` silently
+    // non-contiguous. The leaf stays for the result plan; the session sweep
+    // (Storage.freeAll between queries) reclaims it.
+    val withB = graft.core.Storage.cut(
+      df.withColumn("__sk", bucket(col(idCol), salt))
+        .withColumn("__bkt", (col("__sk") / width).cast("long")),
+      eager = true)
     val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$idCol contains NULLs — a shuffle order over them is undefined; " +
+            "filter or key-fill upstream")
+        r.getLong(0) -> r.getLong(1)
+      }.sortBy(_._1)
     if (counts.isEmpty) return df.withColumn("pos", lit(0L)).limit(0)
     val bases = counts.scanLeft((Long.MinValue, 0L)) {
       case ((_, acc), (b, n)) => (b, acc + n)

@@ -167,6 +167,8 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
               k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
     val v = prepared(df, idCol, vecCol)
     v.orderBy(col("sid")).limit(k)
       .agg(array_sort(collect_list(struct(col("sid"), col("qv")))).as("seeds"))
@@ -230,6 +232,8 @@ object Similarity {
   def pqTopKWith(cb: DataFrame, queries: DataFrame, candidates: DataFrame,
                  idCol: String, vecCol: String, dim: Int, m: Int,
                  topK: Int): DataFrame = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
     import org.apache.spark.sql.expressions.Window
     val c = prepared(candidates, idCol, vecCol)
       .crossJoin(broadcast(cb))

@@ -50,6 +50,13 @@ case class PqAdcLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < m) {
+      // upstream plans type these arrays containsNull=true (transform /
+      // array_min slots), so nulls can't be rejected at type-check — an
+      // ACTUAL null must still fail loud, not read a stale primitive slot
+      // (codes) or NPE opaquely (LUT row)
+      if (codes.isNullAt(i) || lut.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$prettyName: null ${if (codes.isNullAt(i)) "code" else "LUT row"} in subspace $i")
       val row = lut.getArray(i)
       val c = codes.getLong(i)
       if (c < 0 || c >= row.numElements())
@@ -77,6 +84,11 @@ case class PqAdcLong(left: Expression, right: Expression)
          |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $m; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pq_adc: null " + ($a.isNullAt($i) ? "code" : "LUT row") +
+         |        " in subspace " + $i);
+         |  }
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
          |  long $c = $a.getLong($i);
          |  if ($c < 0 || $c >= $row.numElements()) {

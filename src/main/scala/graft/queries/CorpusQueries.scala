@@ -1129,12 +1129,12 @@ object CorpusQueries {
     //-layout drift all hash-mismatch.
     QueryDef(
       "m5_image_neardup",
-      s"""WITH ids AS (SELECT doc_id AS sid, doc_id % 31 AS g, doc_id % 5 AS p
+      s"""WITH ids AS (SELECT doc_id AS sid, doc_id % 101 AS g, doc_id % 7 AS p
          |  FROM documents),
          |g8 AS (SELECT sid, rx, ry,
-         |    (g*37 + ry*4*131 + rx*4*17 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
-         |  + (g*37 + ry*4*131 + rx*4*17 + 7 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
-         |  + (g*37 + ry*4*131 + rx*4*17 + 14 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |    (g*53 + ry*4*(97 + 17*(g%11)) + rx*4*(11 + 6*(g%7)) + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |  + (g*53 + ry*4*(97 + 17*(g%11)) + rx*4*(11 + 6*(g%7)) + 7 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |  + (g*53 + ry*4*(97 + 17*(g%11)) + rx*4*(11 + 6*(g%7)) + 14 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
          |    AS gv
          |  FROM ids, unnest(generate_series(0, 7)) t1(rx),
          |       unnest(generate_series(0, 7)) t2(ry)),

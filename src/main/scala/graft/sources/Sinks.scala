@@ -123,21 +123,30 @@ object Sinks {
     * wants quantile buckets, which would only change this bucketing line.
     */
   def zOrderValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
-    import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, shiftleft, shiftright}
     require(cols.size >= 2, s"zOrderValue needs >= 2 columns, got $cols")
+    // cap at 30: the bucket scale below is a long shift, and the z-bit
+    // interleave tops out at bit (bits*n - 1) <= 61 anyway
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
     require(bits * cols.size <= 62, s"bits x cols must fit a long, got $bits x ${cols.size}")
     val bounds = df.agg(
       org.apache.spark.sql.functions.array(cols.flatMap(c =>
         Seq(org.apache.spark.sql.functions.min(col(c)).cast("double"),
           org.apache.spark.sql.functions.max(col(c)).cast("double"))): _*)).head()
-      .getSeq[Double](0)
+      .getSeq[java.lang.Double](0) // boxed: empty table / all-null column = null bounds
     val n = cols.size
     val buckets = cols.zipWithIndex.map { case (c, j) =>
-      val (lo, hi) = (bounds(2 * j), bounds(2 * j + 1))
-      val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(greatest(
-        floor((col(c).cast("double") - lit(lo)) / lit(width) * lit(1 << bits)),
-        lit(0.0)), lit((1 << bits) - 1.0)).cast("long")
+      (Option(bounds(2 * j)).map(_.doubleValue),
+        Option(bounds(2 * j + 1)).map(_.doubleValue)) match {
+        case (Some(lo), Some(hi)) =>
+          val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+          // per-row NULLs (a null value in a column with real bounds) land
+          // in bucket 0 instead of nulling the whole z-value
+          coalesce(least(greatest(
+            floor((col(c).cast("double") - lit(lo)) / lit(width) * lit((1L << bits).toDouble)),
+            lit(0.0)), lit((1L << bits) - 1.0)).cast("long"), lit(0L))
+        case _ => lit(0L) // no range to bucket: the column contributes nothing
+      }
     }
     (for (i <- 0 until bits; j <- 0 until n) yield
       shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * n + j))

@@ -95,25 +95,29 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizeBmp(Multimodal.gifBytes(2, 2, row0), 1, 1))
     intercept[IllegalArgumentException](
       Multimodal.resizeBmp(Multimodal.bmpBytes(64, 64, row0), 1, 1)) // truncated
+    // a zero-width BMP must throw, not degenerate every length check and
+    // fabricate pixels from header bytes
+    intercept[IllegalArgumentException](
+      Multimodal.resizeBmp(Multimodal.bmpBytes(0, 2, row0), 1, 1))
   }
 
   test("dHash: identical images collide, perturbed twins stay near, hash matches the closed form") {
     import spark.implicits._
-    // ids 0 and 155 share (id % 31, id % 5) -> identical fixture images;
-    // id 62 shares the group (62 % 31 = 0) but not the perturbation level
+    // ids 0 and 707 share (id % 101, id % 7) -> identical fixture images;
+    // id 101 shares the group (101 % 101 = 0) but not the perturbation level
     val imgs = Multimodal.attachImageFixture(spark,
-      Seq(0L, 155L, 62L).toDF("doc_id"), "doc_id")
+      Seq(0L, 707L, 101L).toDF("doc_id"), "doc_id")
     val h = Multimodal.imageDHash(spark, imgs)
       .as[(Long, Long)].collect().toMap
-    assert(h(0L) == h(155L), "identical images must hash equal")
+    assert(h(0L) == h(707L), "identical images must hash equal")
     assert(h.values.forall(v => v >= 0L && v < (1L << 56)), h.toString)
-    val hamming = java.lang.Long.bitCount(h(0L) ^ h(62L))
+    val hamming = java.lang.Long.bitCount(h(0L) ^ h(101L))
     assert(hamming > 0 && hamming <= 8,
       s"same-group perturbed pair should differ only in left-column bits, got $hamming")
 
     // the engine hash equals the oracle's closed-form arithmetic for id 0
     def gray(rx: Int, ry: Int): Int =
-      (0 until 3).map(c => (ry * 4 * 131 + rx * 4 * 17 + c * 7) % 256).sum
+      (0 until 3).map(c => (ry * 4 * 97 + rx * 4 * 11 + c * 7) % 256).sum
     var want = 0L
     for (ry <- 0 until 8; rx <- 0 until 7)
       if (gray(rx + 1, ry) > gray(rx, ry)) want |= 1L << (ry * 7 + rx)

@@ -104,4 +104,11 @@ class SamplingSpec extends SparkSpec {
     // and not the identity layout
     assert(byDefault.exists { case (id, pos) => id != pos })
   }
+
+  test("shuffleOrder fails loud on NULL ids instead of a corrupt order") {
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val e = intercept[IllegalArgumentException](
+      Sampling.shuffleOrder(spark, withNull, "doc_id", "ep0").collect())
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
 }

@@ -208,6 +208,13 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(c => c >= 0 && c < 16))
   }
 
+  test("pq rejects a non-divisible (dim, m) instead of silently dropping tail dims") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 7, k = 16))
+    assert(e.getMessage.contains("divide"), e.getMessage)
+  }
+
   test("pqTopK: ADC ranks a code-identical twin at distance = LUT self-distance") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     // a twin candidate with query 3's exact vector: identical codes, so its

@@ -99,6 +99,23 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum($"a" + $"b")).as[Long].head() == expected)
   }
 
+  test("zOrderValue: null bounds (all-null column, empty frame) degrade to bucket 0, not NPE") {
+    val withNullCol = Seq((1L, Option.empty[Long]), (2L, None), (3L, None))
+      .toDF("a", "b")
+    val z = withNullCol.select(Sinks.zOrderValue(withNullCol, Seq("a", "b")).as("z"))
+      .as[Long].collect()
+    assert(z.length == 3 && z.forall(_ >= 0L)) // b contributes nothing, a still buckets
+    val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    assert(empty.select(Sinks.zOrderValue(empty, Seq("a", "b"))).count() == 0L)
+    // a per-row null in a column with real bounds lands in bucket 0
+    val mixed = Seq((0L, Some(5L)), (100L, None)).toDF("a", "b")
+    assert(mixed.select(Sinks.zOrderValue(mixed, Seq("a", "b")).as("z"))
+      .as[Long].collect().forall(_ >= 0L))
+    // the Int-shift overflow window is closed: bits > 30 is rejected
+    intercept[IllegalArgumentException](
+      Sinks.zOrderValue(mixed, Seq("a", "b"), bits = 31))
+  }
+
   test("compactPartitioned compacts each partition directory independently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
     val days = (0 until 3).flatMap(d => (0 until 400).map(i =>
