@@ -361,9 +361,16 @@ object Dedup {
                     textCol: String, n: Int): DataFrame = {
     val bg = wordShinglesAll(benchmark, idCol, textCol, n)
       .select(hash48(col("gram")).as("g")).distinct()
-    val cg = wordShinglesAll(corpus, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g")).distinct()
-    cg.join(bg, Seq("g"))
+    // FILTER before any corpus-side shuffle: the broadcast semi-join drops
+    // every non-overlapping gram map-side, so the distinct (needed because
+    // grams carry multiplicity and the contract counts DISTINCT overlaps)
+    // shuffles only matched grams — contamination-sized, not corpus-sized.
+    // (The previous shape distinct-shuffled EVERY corpus gram first: at
+    // 100 TB that exchange dwarfs the actual overlap work.)
+    wordShinglesAll(corpus, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g"))
+      .join(broadcast(bg), Seq("g"), "left_semi")
+      .distinct()
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
   }
 

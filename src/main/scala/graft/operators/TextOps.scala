@@ -211,6 +211,22 @@ object TextOps {
     * connectedComponents checkpoint discipline, without which `rounds`
     * self-referencing plans re-analyze exponentially.
     */
+  /** Apply trained BPE merges (in rank order) to a word: the segmentation a
+    * trained tokenizer produces, as an array of pieces. The APPLY half of
+    * [[bpeMerges]]: pure per-row array algebra with the merge table riding
+    * as literals (dimension-sized training output, the broadcast-dim
+    * posture) — shuffle-free at any corpus size. Same greedy left-to-right
+    * fold as training, so training-corpus words segment exactly as the
+    * trainer's final state has them.
+    */
+  def bpeSegmentCol(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "")) { case (arr, (l, r)) =>
+      aggregate(arr, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    }
+
   def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
                 rounds: Int): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

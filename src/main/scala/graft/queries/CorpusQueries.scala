@@ -300,6 +300,38 @@ object CorpusQueries {
         .orderBy(col("rank"))
     },
 
+    // BPE APPLY (TextOps.bpeSegmentCol): segment every distinct corpus word
+    // with the 6 trained merges. The oracle is t14's final training state —
+    // st6 IS the segmentation of every word after 6 merges — so train and
+    // apply are hash-checked to agree exactly. The apply path is per-row
+    // fold algebra with the merges as literals: zero shuffle beyond the
+    // word distinct.
+    QueryDef(
+      "t15_bpe_segment",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS freq FROM toks WHERE len(w) > 0 GROUP BY w),
+         |st0 AS (SELECT w AS wid, freq, CAST(pos AS BIGINT) AS pos,
+         |    substr(w, pos, 1) AS sym
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(pos)),
+         |${(1 to 6).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT wid AS word, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         |  string_agg(sym, ' ' ORDER BY pos) AS pieces
+         |FROM st6 GROUP BY wid ORDER BY word""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeMerges(docs, "text", rounds = 6)
+        .orderBy(col("rank")).select(col("lft"), col("rgt"))
+        .as[(String, String)].collect().toSeq
+      docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .select(col("word"),
+          TextOps.bpeSegmentCol(col("word"), merges).as("p"))
+        .select(col("word"), size(col("p")).cast("long").as("n_pieces"),
+          array_join(col("p"), " ").as("pieces"))
+        .orderBy(col("word"))
+    },
+
     // PII detect + redact. The fixtures' word-salad has no PII (an inert
     // detector would verify nothing — the t3 lesson), so the query
     // synthesizes deterministic PII for 3 of every 5 docs from doc_id and

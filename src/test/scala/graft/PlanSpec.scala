@@ -167,6 +167,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty, p)
     assert(!exchanges.exists(_.contains("text#")),
       s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+    // the benchmark semi-join filters corpus grams MAP-SIDE, below any
+    // exchange: walking UP from the corpus scan, the nearest join/exchange
+    // ancestor must be the broadcast semi-join, not a corpus-wide distinct
+    // shuffle (the 100 TB lever — only matched grams may shuffle)
+    val lines = p.split("\n\n").head.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet")) // probe side prints first
+    val nearest = (scanIdx - 1) to 0 by -1 collectFirst {
+      case i if lines(i).contains("BroadcastHashJoin") => "bhj"
+      case i if lines(i).contains("Exchange") => "exchange"
+    }
+    assert(nearest.contains("bhj"),
+      s"corpus grams must pass the semi-join BEFORE any shuffle, got $nearest:\n${lines.mkString("\n")}")
   }
 
   test("minhash/simhash signatures are per-row native kernels (no shingle explode shuffle)") {

@@ -225,6 +225,22 @@ class TextOpsSpec extends SparkSpec {
     assert(m2 == ((2L, "aa", "a", "aaa", 1L)), m2)
   }
 
+  test("bpeSegmentCol applies trained merges greedily in rank order") {
+    // merges from "aa aa ab": rank 1 = (a,a), rank 2 = (a,b)
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val out = Seq("aa", "ab", "aab", "aaa", "ba")
+      .toDF("w")
+      .select($"w", TextOps.bpeSegmentCol($"w", merges).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("aa") == Seq("aa"))
+    assert(out("ab") == Seq("ab"))
+    // "aab": (a,a) merges first -> [aa, b]; (a,b) finds no bare "a" left
+    assert(out("aab") == Seq("aa", "b"))
+    // odd run: greedy left-to-right, same as training
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("ba") == Seq("b", "a")) // no rule matches
+  }
+
   test("bpeMerges: deterministic and rank-stable (shorter training is a prefix)") {
     val docs = graft.core.Tables.documents(spark, sf).limit(200)
     val six = TextOps.bpeMerges(docs, "text", rounds = 6)
