@@ -35,6 +35,31 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-7 operators: empty in, empty out, schema intact") {
+    // BPE training on nothing: zero merges, right columns
+    val merges = TextOps.bpeMerges(noDocs, "text", rounds = 3)
+    assert(merges.columns.toSeq ==
+      Seq("rank", "lft", "rgt", "merged", "pair_freq") && merges.count() == 0)
+    // apply with an empty merge table degenerates to character split
+    assert(Seq("ab").toDF("w")
+      .select(TextOps.bpeSegmentCol($"w", Seq.empty).as("p"))
+      .as[Seq[String]].head() == Seq("a", "b"))
+    // image fixture + dHash + banding on an empty frame
+    val sig = Multimodal.imageDHash(spark,
+      Multimodal.attachImageFixture(spark, noDocs, "doc_id"))
+    assert(sig.count() == 0)
+    assert(Dedup.hammingBandPairs(sig, "dhash", 56, 6, 4).count() == 0)
+    // trained IVF-PQ on an empty corpus
+    assert(Similarity.ivfPqTopKTrained(noVecs, "vec_id", "embedding",
+      64, 16, 1, 4, 8, 16, 5).count() == 0)
+    // left-outer salted join: empty probe and empty build both behave
+    val probe = Seq((1L, "x")).toDF("k", "v")
+    val noBuild = Seq.empty[(Long, String)].toDF("bk", "attr")
+    assert(Salting.saltedJoinOuter(probe, noBuild, "k", "bk", 4).count() == 1)
+    assert(Salting.saltedJoinOuter(noBuild.toDF("k", "v"), probe.toDF("bk", "attr"),
+      "k", "bk", 4).count() == 0)
+  }
+
   test("etl/sampling operators: empty in, empty out, schema intact") {
     val noOrders = Seq.empty[(Long, Int, String)].toDF("k", "t", "attr")
     val scd = EtlOps.scd2(noOrders, "k", Seq("t"), Seq("attr"))
