@@ -639,6 +639,40 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // The PERSISTED-index incremental flow end-to-end: the corpus band
+    // index is written as a BUCKETED managed table (Dedup.writeBandIndex,
+    // bucketed on the candidate join's equi-keys) and read back for the
+    // incremental join — the shape a nightly ingest actually runs, where
+    // the corpus side of the candidate join is exchange-free
+    // (DedupSpec asserts the plan; this query hash-checks the results
+    // through the real write -> catalog -> read path). Same oracle as d12:
+    // storage layout must not change answers.
+    QueryDef(
+      "d18_incremental_bucketed",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb)
+         |SELECT * FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5 AND (ida % 4 = 0 OR idb % 4 = 0)
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val newBatch = docs.filter(col("doc_id") % 4 === 0)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val table = "graft_band_index_d18"
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, nBuckets = 8)
+      Dedup.incrementalNearDupPairs(newBatch, corpus, s.table(table),
+        "doc_id", "text", 3, 0.5)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Edit-distance verification of banding candidates (Dedup Scaladoc):
     // levenshtein <= 30% of the longer text, integer cross-multiplied.
     QueryDef(

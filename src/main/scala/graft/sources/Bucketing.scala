@@ -35,6 +35,22 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop `table` and any orphaned warehouse directory left by a session
+    * whose metastore is gone (fresh derby metastore + persistent
+    * spark-warehouse dir = CREATE TABLE refusing to reuse the location).
+    * Call before re-creating a managed table in a new session.
+    */
+  def ensureCleanTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Join two tables bucketed on their join keys — planned with NO Exchange
     * on either side when bucket counts match.
     */

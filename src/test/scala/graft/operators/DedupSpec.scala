@@ -96,18 +96,7 @@ class DedupSpec extends SparkSpec {
 
   test("bucketed band index: corpus side of the incremental candidate join is exchange-free") {
     val table = "b_band_index"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a crashed earlier run can leave warehouse files behind after the
-    // catalog entry is gone; CREATE TABLE refuses to reuse the location
-    locally {
-      val p = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
     val docs = graft.core.Tables.documents(spark, sf)
     val newBatch = docs.filter(col("doc_id") % 4 === 0)
     val corpus = docs.filter(col("doc_id") % 4 =!= 0)
