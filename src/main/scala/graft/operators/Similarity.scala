@@ -183,6 +183,63 @@ object Similarity {
   private def subD2(a: Column, b: Column): Column =
     idot(a, a) + idot(b, b) - lit(2L) * idot(a, b)
 
+  /** PQ codebook TRAINED by per-subspace Lloyd rounds — the k-means upgrade
+    * the [[pqTrain]] Scaladoc promises, producing the same one-row cb frame
+    * so [[pqTopKWith]] and the IVF-PQ composition consume it unchanged.
+    *
+    * Exactness through training: centroids are kept as INTEGER vectors —
+    * each update computes the exact integer per-dimension sum and count
+    * (map-side-combinable), then rounds sum/n back to an integer
+    * (`round(exact_int / exact_int)` is one deterministic double division
+    * both engines evaluate identically, and both round half away from
+    * zero). Codes are POSITIONS in the current codebook array, so when a
+    * cell empties out (standard Lloyd) the book densifies and the next
+    * round's argmin re-ranks against the packed array — the oracle mirrors
+    * the densification with a ROW_NUMBER.
+    *
+    * Scale shape per round: assignment is per-row array algebra against the
+    * broadcast codebook (NO shuffle of the corpus); the update is one
+    * (m, code)-keyed vector-sum aggregate — m x k groups, dimension-sized.
+    * updates = 0 returns the seeded book.
+    */
+  def pqTrainKmeans(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    m: Int, k: Int, updates: Int): DataFrame = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
+    val sub = dim / m
+    val v = prepared(df, idCol, vecCol)
+    // (sid, mm, sv): every vector's m subvectors
+    val subvecs = v.select(col("sid"),
+      explode(transform(sequence(lit(0), lit(m - 1)), mm =>
+        struct(mm.as("mm"), slice(col("qv"), mm * sub + 1, lit(sub)).as("sv"))))
+        .as("e"))
+      .select(col("sid"), col("e.mm").as("mm"), col("e.sv").as("sv"))
+    var cb = pqTrain(df, idCol, vecCol, dim, m, k)
+    for (_ <- 1 to updates) {
+      // assign each subvector its argmin-d2 code position in the current book
+      val assigned = subvecs.crossJoin(broadcast(cb))
+        .select(col("mm"), col("sv"),
+          array_min(transform(element_at(col("cb"), col("mm") + 1), (c, kk) =>
+            struct(subD2(col("sv"), c).as("d2"), kk.cast("long").as("k"))))("k")
+            .as("code"))
+      // exact integer sums + counts per (subspace, code); empty codes drop
+      val cents = assigned.groupBy(col("mm"), col("code"))
+        .agg(graft.plans.VectorSumLong.vectorSum(col("sv")).as("ssum"),
+          count(lit(1)).as("n"))
+        .select(col("mm"), col("code"),
+          transform(col("ssum"), x =>
+            round(x.cast("double") / col("n")).cast("long")).as("cv"))
+      // densify codes (drop gaps) and re-pack the one-row cb[m][k'] frame
+      cb = cents
+        .groupBy(col("mm"))
+        .agg(array_sort(collect_list(struct(col("code"), col("cv")))).as("entries"))
+        .agg(array_sort(collect_list(
+          struct(col("mm"), transform(col("entries"), e => e("cv")).as("cvs")))).as("rows"))
+        .select(transform(col("rows"), r => r("cvs")).as("cb"))
+    }
+    cb
+  }
+
   /** PQ-encode a quantized vector against the codebook: per subspace the
     * argmin-d2 code (ties -> lowest code), as `array<long>` of length m.
     * Pure per-row array algebra against the broadcast codebook row — NO

@@ -1506,6 +1506,57 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // PQ with a Lloyd-TRAINED codebook (Similarity.pqTrainKmeans): one
+    // per-subspace k-means round refines the seeded book — integer sums +
+    // counts, one deterministic double division rounded back to integers —
+    // then the unchanged s8 ADC search runs against it. The oracle replays
+    // assignment (a0/codes0), the update with code densification (c1, a
+    // DENSE_RANK mirroring the engine's packed-array positions), and the
+    // final ADC through the trained book.
+    QueryDef(
+      "s11_pq_trained",
+      """WITH e AS (SELECT vec_id AS sid,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q,
+        |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |        unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+        |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+        |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
+        |cb0 AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+        |a0 AS (SELECT e.sid, e.m, cb0.code,
+        |    CAST(SUM((e.q - cb0.q) * (e.q - cb0.q)) AS BIGINT) AS d2
+        |  FROM e JOIN cb0 ON e.m = cb0.m AND e.j = cb0.j GROUP BY 1, 2, 3),
+        |codes0 AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+        |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+        |  FROM a0) WHERE rn = 1),
+        |c1 AS (SELECT c0.m, c0.code, e.j,
+        |    CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+        |  FROM codes0 c0 JOIN e ON e.sid = c0.sid AND e.m = c0.m
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT m, DENSE_RANK() OVER (PARTITION BY m ORDER BY code) - 1 AS code,
+        |    j, q FROM c1),
+        |a1 AS (SELECT e.sid, e.m, cb1.code,
+        |    CAST(SUM((e.q - cb1.q) * (e.q - cb1.q)) AS BIGINT) AS d2
+        |  FROM e JOIN cb1 ON e.m = cb1.m AND e.j = cb1.j GROUP BY 1, 2, 3),
+        |codes1 AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+        |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+        |  FROM a1) WHERE rn = 1),
+        |dist AS (SELECT qa.sid AS qid, c.sid AS nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+        |  FROM codes1 c JOIN a1 qa ON qa.m = c.m AND qa.code = c.code
+        |  WHERE qa.sid < 8 AND qa.sid <> c.sid GROUP BY 1, 2)
+        |SELECT qid, nid, d2, rank FROM (
+        |  SELECT qid, nid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+        |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrainKmeans(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, updates = 1)
+      Similarity.pqTopKWith(cb, emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", dim = 64, m = 8, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // IVF-PQ (Similarity.ivfPqTopK): the production ANN composition — IVF
     // cells prune candidates, PQ-ADC ranks within probed cells. The oracle
     // stitches the s3 cell machinery to the s8 code machinery: seeded

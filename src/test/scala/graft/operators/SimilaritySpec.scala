@@ -259,6 +259,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
   }
 
+  test("pqTrainKmeans: trained book keeps shape, lowers distortion, twin still wins ADC") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val seeded = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 8, 16)
+    val trained = Similarity.pqTrainKmeans(emb, "vec_id", "embedding", 64, 8, 16,
+      updates = 2)
+    // shape: 8 subspace books, each <= 16 codes of 8-long subvectors
+    // (collect returns nested mutable ArraySeqs — normalize per level)
+    def deepCb(df: org.apache.spark.sql.DataFrame): Seq[Seq[Seq[Long]]] =
+      df.collect().head
+        .getSeq[scala.collection.Seq[scala.collection.Seq[Long]]](0)
+        .map(_.toSeq.map(_.toSeq))
+    val cb = deepCb(trained)
+    assert(cb.length == 8 && cb.forall(book =>
+      book.nonEmpty && book.length <= 16 && book.forall(_.length == 8)))
+    // training must not worsen total quantization distortion (Lloyd with
+    // rounded-integer centroids: the rounding perturbation is bounded by
+    // 0.25 per dim, far below the distortion a real update removes)
+    def distortion(book: org.apache.spark.sql.DataFrame): Long = {
+      val q = Similarity.quantize($"embedding")
+      emb.crossJoin(broadcast(book))
+        .select(aggregate(
+          transform(sequence(lit(0), lit(7)), mm =>
+            array_min(transform(element_at($"cb", mm + 1), c =>
+              aggregate(zip_with(slice(q, mm * 8 + 1, lit(8)), c,
+                (a, b) => (a - b) * (a - b)), lit(0L), _ + _)))),
+          lit(0L), _ + _).as("d"))
+        .agg(sum($"d")).as[Long].head()
+    }
+    val (ds, dt) = (distortion(seeded), distortion(trained))
+    assert(dt < ds, s"training should reduce distortion: seeded=$ds trained=$dt")
+    // determinism: re-training yields the identical book
+    assert(deepCb(Similarity.pqTrainKmeans(emb, "vec_id", "embedding", 64, 8, 16, 2)) == cb)
+    // a code-identical twin ranks first through the trained book, same as s8
+    val twin = emb.filter($"vec_id" === 3).select(
+      lit(100000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.pqTopKWith(trained, emb.filter($"vec_id" === 3),
+      emb.unionByName(twin), "vec_id", "embedding", dim = 64, m = 8, topK = 3)
+      .select("nid", "rank").as[(Long, Long)].collect()
+    assert(out.find(_._2 == 1L).map(_._1).contains(100000L), out.mkString(", "))
+  }
+
   test("ivfPq plan shape: candidate generation keyed by cell id, never corpus x corpus") {
     import org.apache.spark.sql.execution.ExplainMode
     val emb = graft.core.Tables.embeddings(spark, sf)
