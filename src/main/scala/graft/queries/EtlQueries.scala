@@ -1996,6 +1996,88 @@ object EtlQueries {
         .filter(bracket1 || bracket2 || bracket3)
         .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
+    },
+
+    // X-extension, TPC-H Q10 shape: returned-item revenue — which customers
+    // returned the most in a quarter. Completes the 22-query TPC-H shape
+    // sweep together with x23. One fact-fact exchange (lineitem-orders);
+    // customer and nation broadcast; the date window pushes to the orders
+    // scan, the return flag to the lineitem scan; top-20 plans as
+    // TakeOrderedAndProject.
+    QueryDef(
+      "x22_returned_revenue",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+              col("o_orderdate") < lit(java.sql.Date.valueOf("1997-04-01")))
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // X-extension, TPC-H Q11 shape: important stock — per-part shipped
+    // value from ONE nation's suppliers, kept when it exceeds a fraction of
+    // that nation's total (the fixtures carry no partsupp, so shipped
+    // l_quantity x p_retailprice is the stock-value proxy). The plan shape
+    // Q11 exists for: the same filtered aggregate feeds BOTH the per-part
+    // rows and the global scalar, the scalar rides a broadcast nested-loop
+    // (one row), and the HAVING compares against it.
+    QueryDef(
+      "x23_important_stock",
+      """WITH pv AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,4)))
+        |      AS DOUBLE) AS value
+        |  FROM lineitem
+        |    JOIN part ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value
+        |FROM pv WHERE value >
+        |  (SELECT CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) * 0.001 FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
+      val nationSupp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pv = Tables.lineitem(s, d)
+        .join(broadcast(nationSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(ExactAgg.sumExact(col("l_quantity") * col("p_retailprice"))
+          .as("value"))
+      // re-sum through decimal: each value carries <= 4 fractional digits,
+      // so the double -> decimal cast recovers it exactly and the global
+      // sum stays order-independent (a bare double SUM would differ from
+      // the oracle's single-threaded fold in the last ulp)
+      val threshold = pv.agg((ExactAgg.sumExact(col("value")) * 0.001).as("thr"))
+      pv.join(broadcast(threshold))
+        .filter(col("value") > col("thr")).drop("thr")
+        .orderBy(col("value").desc, col("l_partkey"))
     }
   )
 }

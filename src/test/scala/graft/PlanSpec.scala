@@ -302,6 +302,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x22_returned_revenue: top-20 plans as TakeOrderedAndProject, no cartesian") {
+    val p = plan("x22_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p) // flag pushed to the scan
+  }
+
+  test("x23_important_stock: threshold branch REUSES the per-part exchange") {
+    // Q11's shape hazard is computing the same filtered aggregate twice
+    // (per-part rows + the global scalar). The plan must share ONE lineitem
+    // exchange via ReusedExchange, with the scalar riding a one-row
+    // broadcast nested loop — the only place a BNLJ is the right plan.
+    val df = SparkEntry.queries("x23_important_stock")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"threshold must not re-scan the fact table:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s10_ivfpq_trained: trained index self-cleans like the seeded one") {
     // the Lloyd rounds add per-round pinned frames inside
     // kmeansCentroidsFrom's loop body; the freeingIntermediates wrapper
