@@ -489,6 +489,42 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ for an EXTERNAL query set — the serve-time shape: index
+    * `candidates` once (Lloyd-trained coarse cells + Lloyd-trained PQ
+    * codebook when `updates` > 0), then answer top-k for new query vectors
+    * that are not corpus members. Composes [[ivfSearch]]'s external-query
+    * split with the PQ-ADC ranking: members carry m-byte codes, probes
+    * carry per-query LUTs, the only keyed join is per cell id, and no
+    * self-exclusion is needed. All arithmetic stays exact integers.
+    */
+  def ivfPqSearch(queries: DataFrame, candidates: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, nCells: Int, updates: Int,
+                  nProbe: Int, m: Int, k: Int, topK: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(queries.sparkSession) {
+    import org.apache.spark.sql.expressions.Window
+    val cut = graft.core.Storage.cut(_: DataFrame)
+    val cv = prepared(candidates, idCol, vecCol)
+    val qv = prepared(queries, idCol, vecCol)
+    val centroidRow = cut(
+      if (updates == 0) seedCentroids(cv, nCells)
+      else packCells(kmeansCentroidsFrom(cv, nCells, updates)))
+    val cb = cut(
+      if (updates == 0) pqTrain(candidates, idCol, vecCol, dim, m, k)
+      else pqTrainKmeans(candidates, idCol, vecCol, dim, m, k, updates))
+    val members = rankCells(cv, centroidRow).crossJoin(broadcast(cb)).select(
+      coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
+      col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
+    val probes = rankCells(qv, centroidRow).crossJoin(broadcast(cb)).select(
+      col("sid").as("qid"), pqLut(col("qv"), col("cb"), dim, m).as("lut"),
+      explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+    val scored = probes.join(members, Seq("cid"))
+      .select(col("qid"), col("nid"),
+        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    cut(scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK))
+   }
+
   /** The IVF probe path against any packed centroid row (seeded or trained). */
   private def probeTopK(v: DataFrame, centroidRow: DataFrame, nProbe: Int,
                         k: Int): DataFrame = {

@@ -1641,6 +1641,57 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF-PQ with an EXTERNAL query set (Similarity.ivfPqSearch): index
+    // vectors >= 8, query with vectors < 8 — the serve-time shape (new
+    // vectors against a built compressed index; no self-exclusion). Oracle
+    // splits s9's machinery the way s6 splits s3's: cells and codebook
+    // derive from the CANDIDATE set only.
+    QueryDef(
+      "s12_ivfpq_search",
+      s"""WITH $quantVecCte,
+         |cset AS (SELECT sid, qv FROM v WHERE sid >= 8),
+         |qset AS (SELECT sid, qv FROM v WHERE sid < 8),
+         |cent AS (SELECT sid AS cid, qv AS cv FROM cset ORDER BY sid LIMIT 16),
+         |mranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+         |        FROM cset s CROSS JOIN cent c)),
+         |pranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+         |        FROM qset s CROSS JOIN cent c)),
+         |e AS (SELECT sid, qv[pos] AS q,
+         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+         |  FROM (SELECT DISTINCT sid FROM cset ORDER BY sid LIMIT 16)),
+         |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+         |a AS (SELECT e.sid, e.m, cb.code,
+         |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+         |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+         |codes AS (SELECT sid, m, code FROM (SELECT a.sid, m, code,
+         |    ROW_NUMBER() OVER (PARTITION BY a.sid, m ORDER BY d2, code) AS rn
+         |  FROM a JOIN cset cs ON cs.sid = a.sid) WHERE rn = 1),
+         |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
+         |  FROM mranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
+         |probes AS (SELECT cid, sid AS qid FROM pranked WHERE crank <= 4),
+         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+         |  FROM probes p JOIN members mem ON p.cid = mem.cid
+         |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqSearch(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+          "vec_id", "embedding", dim = 64, nCells = 16, updates = 0,
+          nProbe = 4, m = 8, k = 16, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Trained IVF-PQ (Similarity.ivfPqTopKTrained): the flagship production
     // composition — one Lloyd round refines the coarse quantizer (s4/s5's
     // c0 -> a1 -> c1 integer-sum centroid CTEs), then the s9 PQ-ADC

@@ -327,6 +327,21 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ivfPqSearch: external query finds its corpus twin through the trained index") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // the corpus contains vector 77; querying with the SAME vector under a
+    // fresh external id must land in 77's cell and rank it first (ADC floor)
+    val externalQ = emb.filter($"vec_id" === 77).select(
+      lit(500000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.ivfPqSearch(externalQ, emb, "vec_id", "embedding",
+      dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8, k = 16, topK = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._1 == 500000L))
+    assert(out.find(_._3 == 1L).map(_._2).contains(77L), out.mkString(", "))
+    // serve path self-cleans: index state freed, only the top-k leaf kept
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+  }
+
   test("ivfPqTopKTrained: twin wins the ADC ranking through the trained quantizer") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val twin = emb.filter($"vec_id" === 77).select(
