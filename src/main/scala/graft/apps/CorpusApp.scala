@@ -93,6 +93,29 @@ object CorpusApp {
                        epochSalt: String): DataFrame =
     graft.operators.Sampling.shuffleOrder(spark, curated, "doc_id", epochSalt)
 
+  /** Tokenizer handoff: train `rounds` BPE merges on the CURATED corpus
+    * (training on pre-dedup text overweights duplicated boilerplate — the
+    * reason this stage runs after [[curate]]) and annotate every document
+    * with its post-merge piece count, the number packing actually needs
+    * (whitespace `n_tokens` over-estimates sequence length once subwords
+    * merge). Returns (merge table, annotated docs). The merges ride back
+    * into the per-doc count as fold literals — training is `rounds` small
+    * jobs, the annotation is one shuffle-free map.
+    */
+  def trainTokenizer(spark: SparkSession, curated: DataFrame,
+                     rounds: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val merges = TextOps.bpeMerges(curated, "text", rounds)
+    val pairs = merges.orderBy(col("rank"))
+      .select(col("lft"), col("rgt")).as[(String, String)].collect().toSeq
+    val annotated = curated.withColumn("n_bpe_pieces",
+      aggregate(
+        transform(filter(split(col("text"), " "), w => length(w) > 0),
+          w => size(TextOps.bpeSegmentCol(w, pairs))),
+        lit(0), (acc, x) => acc + x).cast("long"))
+    (merges, annotated)
+  }
+
   def main(argv: Array[String]): Unit = {
     val args = PipelineApps.parseArgs(argv)
     val spark = graft.core.Sessions.local("corpus-curate")

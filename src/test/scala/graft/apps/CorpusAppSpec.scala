@@ -79,4 +79,21 @@ class CorpusAppSpec extends SparkSpec {
       .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
     assert(e1 != e0)
   }
+
+  test("trainTokenizer: merges from the curated corpus, piece counts bounded correctly") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val (curated, _) = CorpusApp.curate(spark, docs,
+      keepLangs = Set("en", "de", "fr", "es", "zh"), minQuality = 0.0)
+    val (merges, annotated) = CorpusApp.trainTokenizer(spark, curated, rounds = 4)
+    assert(merges.count() == 4)
+    val rows = annotated
+      .select($"n_tokens", $"n_bpe_pieces",
+        length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per doc: at least one piece per word, at most one piece per character,
+    // and 4 merges must actually compress SOME document below char count
+    assert(rows.forall { case (w, p, c) => p >= w && p <= c })
+    assert(rows.exists { case (_, p, c) => p < c }, "merges never applied")
+  }
 }
