@@ -103,6 +103,21 @@ object Bench {
       .findFirstMatchIn(text.replace("\\\"", "\""))
       .map(_.group(1).toDouble)
 
+  /** Hardware-scale a prior's seconds with a fixed-overhead model:
+    * `overhead + (prior - overhead) * hwScale`. A measured query is
+    * fixed job overhead (scheduling, codegen, stage setup — silicon-
+    * independent) plus CPU work (what the calibration probe measures).
+    * Scaling the WHOLE prior by the probe ratio over-corrects short
+    * queries: on a 1.4x-faster host a 1 s query's allowance shrank to
+    * 0.73 s even though ~0.25 s of it never speeds up — observed as four
+    * spurious ~1.5x flags on sub-second queries in one run. The model is
+    * symmetric: on a slower host it also stops over-inflating short-query
+    * allowances.
+    */
+  private[graft] val OverheadSec = 0.25
+  private[graft] def scalePrior(prior: Double, hwScale: Double): Double =
+    OverheadSec + math.max(0.0, prior - OverheadSec) * hwScale
+
   /** The regression gate, shared by the time and shuffle checks: queries
     * whose metric grew beyond `factor` x its baseline value, where the
     * LARGER of the two values clears `minAbs` (below it the drift is
@@ -229,7 +244,7 @@ object Bench {
     if (math.abs(hwScale - 1.0) > 0.1)
       System.err.println(
         f"[bench] hardware scale vs baseline host: $hwScale%.2fx (calibration $calibrationSec%.2f s vs ${priorCal.getOrElse(0.0)}%.2f s)")
-    val scaledPriorSec = priorSec.map { case (k, v) => k -> v * hwScale }
+    val scaledPriorSec = priorSec.map { case (k, v) => k -> scalePrior(v, hwScale) }
     // Confirm-before-flag: a time overage on the first pass is re-measured
     // once and the MIN kept. CPU-steal bursts on shared VMs last minutes and
     // land on whichever queries run inside them — three back-to-back full

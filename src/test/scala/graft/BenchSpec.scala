@@ -83,6 +83,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseCalibration("""{"queries":{"a":1.0}}""").isEmpty)
   }
 
+  test("overhead-aware scaling: short queries keep their fixed-cost allowance") {
+    // a 1.37x-faster host (hwScale 0.73): a 1.0 s prior must NOT shrink to
+    // 0.73 s — ~0.25 s of it is silicon-independent job overhead
+    val scaled = Bench.scalePrior(1.0, 0.73)
+    assert(scaled > 0.73 && scaled < 1.0, scaled.toString)
+    assert(math.abs(scaled - (0.25 + 0.75 * 0.73)) < 1e-9)
+    // observed spurious flag: prior 1.0, measured 1.11 on the faster host —
+    // under the overhead model that is < 1.5x and stays quiet
+    assert(Bench.regressionsAgainst(Seq("q" -> 1.11),
+      Map("q" -> Bench.scalePrior(1.0, 0.73)), 1.5, 0.5).isEmpty)
+    // a REAL 2x regression still fires through the model
+    assert(Bench.regressionsAgainst(Seq("q" -> 2.0),
+      Map("q" -> Bench.scalePrior(1.0, 0.73)), 1.5, 0.5).nonEmpty)
+    // long queries still scale ~proportionally (overhead amortized)
+    assert(math.abs(Bench.scalePrior(60.0, 0.5) - (0.25 + 59.75 * 0.5)) < 1e-9)
+  }
+
   test("hardware scaling: a 2x-slower host doubles the allowed prior seconds") {
     // the gate is regressionsAgainst(current, prior * hwScale): the same
     // 2.6x-slower-silicon measurement that is NOT a regression on the slow
