@@ -114,6 +114,69 @@ object Sinks {
     }
   }
 
+  /** QUANTILE-bucketed Morton value — the skew-robust variant
+    * [[zOrderValue]]'s Scaladoc calls for: bucket boundaries are each
+    * column's approximate quantiles instead of a uniform [min, max] grid,
+    * so a heavy-tailed column still spreads its rows evenly over 2^bits
+    * buckets (range-bucketing collapses such a column into a handful of
+    * low buckets, and file skipping on it degenerates).
+    *
+    * Implementation: one approx-quantile pass per column (driver holds
+    * 2^bits - 1 boundary doubles — dimension-sized, the Packing-bounds
+    * posture), then each row finds its bucket through a GENERATED
+    * binary-search expression tree (`bits` nested comparisons against
+    * boundary literals — fully codegen'd, no per-row lambda, no join).
+    * Default 8 bits/column: 255 boundaries, a 511-node tree, and with two
+    * columns a 16-bit z-key — addressable file counts far beyond any
+    * compaction target.
+    */
+  def zOrderValueQuantile(df: DataFrame, cols: Seq[String],
+                          bits: Int = 8): Column = {
+    import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright, when}
+    require(cols.size >= 2, s"zOrderValueQuantile needs >= 2 columns, got $cols")
+    require(bits >= 1 && bits <= 12, s"bits must be in [1, 12], got $bits")
+    require(bits * cols.size <= 62, s"bits x cols must fit a long, got $bits x ${cols.size}")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val n = cols.size
+    val buckets = cols.map { c =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      if (bounds.isEmpty) lit(0L)
+      else {
+        // binary-search CASE tree over [lo, hi] bucket range: bucket b holds
+        // values in (bounds(b-1), bounds(b)] with open ends at 0 and max
+        def search(lo: Int, hi: Int): Column =
+          if (lo == hi) lit(lo.toLong)
+          else {
+            val mid = (lo + hi) / 2
+            when(col(c).cast("double") <= bounds(mid), search(lo, mid))
+              .otherwise(search(mid + 1, hi))
+          }
+        // nulls route explicitly to bucket 0 (a null comparison would
+        // silently fall through every `otherwise` into the TOP bucket)
+        when(col(c).isNull, lit(0L)).otherwise(search(0, nBuckets - 1))
+      }
+    }
+    (for (i <- 0 until bits; j <- 0 until n) yield
+      shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** [[compactZOrdered]] with quantile bucketing — use when the clustered
+    * columns are skewed (the uniform-grid variant collapses heavy tails).
+    */
+  def compactZOrderedQuantile(spark: SparkSession, path: String,
+                              targetBytes: Long, zCols: Seq[String],
+                              bits: Int = 8): Int = {
+    import org.apache.spark.sql.functions.col
+    compactWith(spark, path, targetBytes) { (df, nFiles) =>
+      df.withColumn("__z", zOrderValueQuantile(df, zCols, bits))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+  }
+
   /** Morton (Z-curve) value over 2+ numeric columns: each column is
     * range-bucketed to `bits` bits against its OWN global [min, max] (one
     * dimension-sized driver read, the Packing bounds posture), then the

@@ -300,4 +300,55 @@ class PropertySpec extends AnyFunSuite {
       assert(splits.count() == 400 && splits.select("split").distinct().count() <= 3)
     }
   }
+
+  /** Independent single-threaded BPE reference: word-frequency table, pair
+    * counts with overlap, argmax merge with (count desc, pair asc)
+    * tie-break, greedy left-to-right application.
+    */
+  private def naiveBpe(corpus: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (pc.isEmpty) dry = true
+      else {
+        val ((l, rt), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, rt, c))
+        words = words.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == rt)
+              acc(acc.length - 1) = l + rt
+            else acc += x
+          }
+          acc.toVector -> f
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  test("distributed BPE training equals the independent single-threaded reference") {
+    val wordGen = Gen.listOfN(6, Gen.oneOf("ab", "aab", "abab", "ba", "aaa",
+      "abc", "cab", "bcbc", "aa", "b"))
+    forAllSamples(Gen.listOfN(5, wordGen.map(_.mkString(" "))), 6) { docs =>
+      val want = naiveBpe(docs, 4)
+      val got = graft.operators.TextOps
+        .bpeMerges(docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", rounds = 4)
+        .orderBy($"rank")
+        .select($"lft", $"rgt", $"pair_freq")
+        .as[(String, String, Long)].collect().toSeq
+      assert(got == want, s"docs=$docs\n got=$got\nwant=$want")
+    }
+  }
 }

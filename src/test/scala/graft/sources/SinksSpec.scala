@@ -99,6 +99,41 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum($"a" + $"b")).as[Long].head() == expected)
   }
 
+  test("zOrderValueQuantile: heavy-tailed column spreads evenly where the uniform grid collapses") {
+    // lognormal-ish skew: squaring a uniform hash concentrates mass near 0
+    // with a long tail — the classic case where min/max range bucketing
+    // puts almost everything into the bottom buckets
+    val df = spark.range(0, 20000).selectExpr(
+      "CAST(pow(conv(substr(md5(CAST(id AS STRING)), 1, 4), 16, 10) / 65536.0, 8) * 1e12 AS BIGINT) AS s",
+      "CAST(conv(substr(md5(CAST(id + 7 AS STRING)), 1, 4), 16, 10) AS BIGINT) AS u")
+    def topBucketShare(z: org.apache.spark.sql.Column): Double = {
+      // column s contributes the even-index z bits; project its bucket back
+      val counts = df.select(z.as("z"))
+        .selectExpr("aggregate(transform(sequence(0, 7), i -> ((z >> (2*i)) & 1) << i), 0L, (a, x) -> a + x) AS sb")
+        .groupBy($"sb").count().select($"count").as[Long].collect()
+      counts.max.toDouble / counts.sum
+    }
+    val uniformShare = topBucketShare(Sinks.zOrderValue(df, Seq("s", "u"), bits = 8))
+    val quantileShare = topBucketShare(Sinks.zOrderValueQuantile(df, Seq("s", "u"), bits = 8))
+    // uniform grid: the hottest s-bucket owns most of the corpus; quantile
+    // bucketing bounds every bucket near 1/256 (ties + approx error aside)
+    assert(uniformShare > 0.3, s"fixture not skewed enough: $uniformShare")
+    assert(quantileShare < 0.05, s"quantile buckets must stay balanced: $quantileShare")
+
+    // and the skewed column still prunes files after quantile z-compaction
+    val base = java.nio.file.Files.createTempDirectory("graft_zq").toString + "/data"
+    df.repartition(10).write.parquet(base)
+    val nf = Sinks.compactZOrderedQuantile(spark, base, 30L * 1024, Seq("s", "u"))
+    assert(nf >= 4, s"need several files, got $nf")
+    val ranges = spark.read.parquet(base)
+      .select(input_file_name().as("f"), $"s")
+      .groupBy($"f").agg(min($"s").as("lo"), max($"s").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    val (qLo, qHi) = (0L, 1000L) // the dense head of the distribution
+    val hit = ranges.count { case (l, h) => h >= qLo && l <= qHi }
+    assert(hit < ranges.length, s"head-range scans must prune: $hit/${ranges.length}")
+  }
+
   test("zOrderValue: null bounds (all-null column, empty frame) degrade to bucket 0, not NPE") {
     val withNullCol = Seq((1L, Option.empty[Long]), (2L, None), (3L, None))
       .toDF("a", "b")
