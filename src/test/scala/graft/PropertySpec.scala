@@ -337,6 +337,37 @@ class PropertySpec extends AnyFunSuite {
     out.toSeq
   }
 
+  test("dHash over arbitrary BMP dims equals an independent reference (padding-sensitive)") {
+    // random widths exercise 3w % 4 != 0 row padding in BOTH the source
+    // parse and the resize re-emit — the class of bug a fixed 32x32
+    // fixture can never catch
+    val dimGen = for {
+      w <- Gen.choose(8, 37)
+      h <- Gen.choose(8, 29)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, seed)
+    forAllSamples(dimGen, 25) { case (w, h, seed) =>
+      val inRow = ((3 * w + 3) / 4) * 4
+      val pix = Array.tabulate(inRow * h) { i =>
+        ((seed + i * 31 + (i / inRow) * 7) % 256).toByte
+      }
+      val bmp = graft.operators.Multimodal.bmpBytes(w, h, pix)
+      // independent reference: nearest-neighbor sample + channel sum +
+      // gradient bits, straight off the SOURCE pixel array
+      def gray(rx: Int, ry: Int): Int = {
+        val sx = (rx.toLong * w / 8).toInt
+        val sy = (ry.toLong * h / 8).toInt
+        val o = sy * inRow + sx * 3
+        (pix(o) & 0xff) + (pix(o + 1) & 0xff) + (pix(o + 2) & 0xff)
+      }
+      var want = 0L
+      for (ry <- 0 until 8; rx <- 0 until 7)
+        if (gray(rx + 1, ry) > gray(rx, ry)) want |= 1L << (ry * 7 + rx)
+      assert(graft.operators.Multimodal.dHashBmp(bmp) == want,
+        s"w=$w h=$h seed=$seed")
+    }
+  }
+
   test("distributed BPE training equals the independent single-threaded reference") {
     val wordGen = Gen.listOfN(6, Gen.oneOf("ab", "aab", "abab", "ba", "aaa",
       "abc", "cab", "bcbc", "aa", "b"))
