@@ -141,6 +141,18 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents converges on a 300-deep chain within the default budget") {
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds — 300 here, far past maxIter = 25); only the
+    // pointer-jumping O(log diameter) path can label it inside the budget.
+    // Orientation is adversarial: the min id sits at the FAR end.
+    val pairs = (1L until 300L).map(i => (i + 1, i)).toDF("ida", "idb")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 300 && labels.values.forall(_ == 1L),
+      labels.filter(_._2 != 1L).take(5).toString)
+  }
+
   test("simhash: identical docs hash equal, near-dups within small hamming") {
     val sim = Dedup.simhash(docs, "doc_id", "text").cache()
     val m = sim.as[(Long, Long)].collect().toMap
