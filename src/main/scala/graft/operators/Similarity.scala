@@ -525,6 +525,77 @@ object Similarity {
       .filter(col("rank") <= topK))
    }
 
+  /** RESIDUAL IVF-PQ: PQ codes encode each vector's RESIDUAL to its
+    * assigned cell centroid instead of the vector itself — the FAISS
+    * `IVFPQ` encode_residual variant of [[ivfPqTopK]]'s global codes. The
+    * ADC distance approximates ||q_res - n_res|| = ||q - n|| (the shared
+    * centroid cancels), so when cells approximate CLUSTER CENTERS the
+    * residuals are small and the same m-byte budget quantizes much finer —
+    * measured in SimilaritySpec: on cluster-aligned cells residual recall
+    * beats global, while on UNclustered data the residual can exceed the
+    * vector itself and global codes win (measured 0.12 vs 0.06 on the
+    * uniform fixture). Use this with trained/cluster-aligned cells; it is
+    * not a free upgrade on arbitrary data.
+    *
+    * Cells are the seeded coarse quantizer, so every centroid IS a corpus
+    * vector and the whole computation stays exact integers (a trained
+    * variant needs rounded-mean integer centroids — the pqTrainKmeans
+    * rounding discipline — without changing this search path). The query
+    * side computes ONE LUT per probed cell (its residual differs per
+    * cell): nProbe LUTs per query, the documented residual-PQ serve cost.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — assignment and encoding are
+    * broadcast array algebra, the only keyed join is per cell id.
+    */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nCells: Int, nProbe: Int, m: Int, k: Int,
+                        topK: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(df.sparkSession) {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
+    val cut = graft.core.Storage.cut(_: DataFrame)
+    val v = prepared(df, idCol, vecCol)
+    val centroidRow = cut(seedCentroids(v, nCells))
+    // unpacked (cid, centroid vector) dimension frame for residual joins
+    val cellVecs = centroidRow.select(explode(col("cells")).as("c"))
+      .select(col("c")("cid").as("rcid"), col("c")("cv").as("rcv"))
+    val ranked = cut(rankCells(v, centroidRow))
+    def resid(qv: Column, cv: Column): Column = zip_with(qv, cv, (a, b) => a - b)
+    // members: residual to the TOP-1 cell, then PQ-encode the residual
+    val withRes = cut(ranked
+      .select(coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
+        col("sid"), col("qv"))
+      .join(broadcast(cellVecs), col("cid") === col("rcid"))
+      .select(col("cid"), col("sid"), resid(col("qv"), col("rcv")).as("rv")))
+    // seeded codebook over RESIDUALS: the k lowest-id members' residual
+    // subvectors (the pqTrain posture, residual-space)
+    val cbr = cut(withRes.orderBy(col("sid")).limit(k)
+      .agg(array_sort(collect_list(struct(col("sid"), col("rv")))).as("seeds"))
+      .select(transform(sequence(lit(0), lit(m - 1)), mm =>
+        transform(col("seeds"), s =>
+          slice(s("rv"), mm * (dim / m) + 1, lit(dim / m)))).as("cb")))
+    val members = withRes.crossJoin(broadcast(cbr))
+      .select(col("cid"), col("sid").as("nid"),
+        pqCodes(col("rv"), col("cb"), dim, m).as("codes"))
+    // probes: one LUT per (query, probed cell) — the query's residual
+    // differs per cell, so the LUT rides the exploded probe row
+    val probes = ranked
+      .select(col("sid").as("qid"), col("qv"),
+        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+      .join(broadcast(cellVecs), col("cid") === col("rcid"))
+      .crossJoin(broadcast(cbr))
+      .select(col("qid"), col("cid"),
+        pqLut(resid(col("qv"), col("rcv")), col("cb"), dim, m).as("lut"))
+    val scored = probes.join(members, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    cut(scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK))
+   }
+
   /** The IVF probe path against any packed centroid row (seeded or trained). */
   private def probeTopK(v: DataFrame, centroidRow: DataFrame, nProbe: Int,
                         k: Int): DataFrame = {

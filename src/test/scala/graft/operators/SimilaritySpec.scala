@@ -327,12 +327,55 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("residual IVF-PQ: wins on cluster-aligned cells, and the regime claim is honest") {
+    // clustered corpus: 16 well-separated coarse centers + small per-id
+    // noise, ids round-robin over clusters so the 16 LOWEST ids are one
+    // vector per cluster — the seeded cells align with the true clusters
+    // and residuals are noise-sized (the regime residual PQ exists for)
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = (0 until 256).map { id =>
+      val g = id % 16
+      val vec = Array.tabulate(64) { j =>
+        val center = (h(s"c_${g}_$j") % 2000 - 1000).toFloat / 1000f
+        val noise = (h(s"n_${id}_$j") % 100 - 50).toFloat / 1000f
+        center + noise
+      }
+      (id.toLong, vec, "x")
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5))
+    def recall(s: Set[(Long, Long)]): Double =
+      (exact intersect s).size.toDouble / exact.size
+    // k = 128 codewords: enough codebook capacity to express the residual
+    // distribution (at k = 16 BOTH methods bottom out on codebook capacity
+    // and tie at 0.32 — measured; the win appears once capacity allows)
+    val global = recall(pairs(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, nCells = 16, nProbe = 4, m = 8, k = 128, topK = 5)))
+    val residual = recall(pairs(Similarity.ivfPqResidualTopK(emb, "vec_id",
+      "embedding", dim = 64, nCells = 16, nProbe = 4, m = 8, k = 128, topK = 5)))
+    assert(residual > global,
+      f"residual must win on clustered data: residual=$residual%.3f global=$global%.3f")
+    assert(residual >= 0.65, f"noise-sized residuals should quantize finely: $residual%.3f")
+    info(f"clustered recall@5 — residual: $residual%.3f  global: $global%.3f")
+    // per-call self-clean contract: one fresh call leaves only its result leaf
+    graft.core.Storage.freeAll(spark, blocking = true)
+    Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+      dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5).count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+  }
+
   test("ivfPqSearch: external query finds its corpus twin through the trained index") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     // the corpus contains vector 77; querying with the SAME vector under a
     // fresh external id must land in 77's cell and rank it first (ADC floor)
     val externalQ = emb.filter($"vec_id" === 77).select(
       lit(500000L).as("vec_id"), $"embedding", $"label")
+    graft.core.Storage.freeAll(spark, blocking = true) // isolate the leaf count
     val out = Similarity.ivfPqSearch(externalQ, emb, "vec_id", "embedding",
       dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8, k = 16, topK = 3)
       .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
