@@ -49,9 +49,17 @@ class EmptyInputSpec extends SparkSpec {
       Multimodal.attachImageFixture(spark, noDocs, "doc_id"))
     assert(sig.count() == 0)
     assert(Dedup.hammingBandPairs(sig, "dhash", 56, 6, 4).count() == 0)
-    // trained IVF-PQ on an empty corpus
+    // trained, residual and external-serve IVF-PQ on an empty corpus
     assert(Similarity.ivfPqTopKTrained(noVecs, "vec_id", "embedding",
       64, 16, 1, 4, 8, 16, 5).count() == 0)
+    assert(Similarity.ivfPqResidualTopK(noVecs, "vec_id", "embedding",
+      64, 16, 4, 8, 16, 5).count() == 0)
+    assert(Similarity.ivfPqSearch(noVecs, noVecs, "vec_id", "embedding",
+      64, 16, 1, 4, 8, 16, 5).count() == 0)
+    // trained PQ codebook on an empty corpus: one row of m empty books
+    val cbEmpty = Similarity.pqTrainKmeans(noVecs, "vec_id", "embedding",
+      64, 8, 16, updates = 1)
+    assert(cbEmpty.count() == 1)
     // left-outer salted join: empty probe and empty build both behave
     val probe = Seq((1L, "x")).toDF("k", "v")
     val noBuild = Seq.empty[(Long, String)].toDF("bk", "attr")
