@@ -579,14 +579,47 @@ object Similarity {
       .select(col("cid"), col("sid").as("nid"),
         pqCodes(col("rv"), col("cb"), dim, m).as("codes"))
     // probes: one LUT per (query, probed cell) — the query's residual
-    // differs per cell, so the LUT rides the exploded probe row
-    val probes = ranked
-      .select(col("sid").as("qid"), col("qv"),
-        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
-      .join(broadcast(cellVecs), col("cid") === col("rcid"))
+    // differs per cell. Computed via the FAISS precomputed-tables
+    // decomposition instead of the direct per-cell pqLut:
+    //   ||(q-c) - w||^2 = ||q_m - c_m||^2 + (||w||^2 + 2 c_m.w) + (-2 q_m.w)
+    // so the expensive m x k dot table (-2 q.w) is built ONCE per query,
+    // the (||w||^2 + 2 c.w) table once per CELL (dimension-sized,
+    // broadcast), and each probed cell costs only m cross-dots plus
+    // m x k integer adds — ~10x fewer native dots than the direct form
+    // (measured 16.5 s -> headline parity with s9), with bit-identical
+    // integers, so the oracle's direct-d2 arithmetic still hash-matches.
+    val sub = dim / m
+    val cellTables = cellVecs.crossJoin(broadcast(cbr)).select(
+      col("rcid"), col("rcv"),
+      transform(sequence(lit(0), lit(m - 1)), mm =>
+        transform(element_at(col("cb"), mm + 1), w =>
+          idot(w, w) + lit(2L) * idot(slice(col("rcv"), mm * sub + 1, lit(sub)), w)))
+        .as("ct"))
+    // qa is projected BEFORE the cell explode, so its m x k dots run once
+    // per query and the exploded rows carry the finished table
+    val qTables = ranked
       .crossJoin(broadcast(cbr))
+      .select(col("sid").as("qid"), col("qv"),
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          transform(element_at(col("cb"), mm + 1), w =>
+            lit(-2L) * idot(slice(col("qv"), mm * sub + 1, lit(sub)), w)))
+          .as("qa"),
+        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+    val probes = qTables
+      .join(broadcast(cellTables), col("cid") === col("rcid"))
       .select(col("qid"), col("cid"),
-        pqLut(resid(col("qv"), col("rcv")), col("cb"), dim, m).as("lut"))
+        // the cross-term array rides as a ZIP ARGUMENT (evaluated once per
+        // row, m dots); `d` is then a lambda variable inside the k-wide
+        // inner zip — putting subD2 in the inner lambda body would
+        // re-evaluate it per codeword
+        zip_with(
+          transform(sequence(lit(0), lit(m - 1)), mm =>
+            subD2(slice(col("qv"), mm * sub + 1, lit(sub)),
+              slice(col("rcv"), mm * sub + 1, lit(sub)))),
+          sequence(lit(0), lit(m - 1)),
+          (d, mm) => zip_with(
+            element_at(col("qa"), mm + 1), element_at(col("ct"), mm + 1),
+            (a, b) => a + b + d)).as("lut"))
     val scored = probes.join(members, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
