@@ -218,6 +218,13 @@ object TextOps {
     * posture) — shuffle-free at any corpus size. Same greedy left-to-right
     * fold as training, so training-corpus words segment exactly as the
     * trainer's final state has them.
+    *
+    * Expression-size contract: each merge adds one fold layer, so this form
+    * suits small-to-mid merge tables (hundreds — analysis, tests, oracle
+    * parity). A production 30k-merge vocabulary should apply through the
+    * native greedy segmenter instead ([[subwordTokenCount]] /
+    * `plans.SubwordCount` with the trained pieces as the vocab), which is
+    * one codegen'd kernel regardless of vocabulary size.
     */
   def bpeSegmentCol(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, "")) { case (arr, (l, r)) =>
