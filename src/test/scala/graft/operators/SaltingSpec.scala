@@ -38,6 +38,35 @@ class SaltingSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE skew-join split fires on a hot key (the claim Salting's Scaladoc defers to)") {
+    // one key owning ~95% of the probe side; thresholds lowered to make the
+    // fixture's hot partition count as skewed at test scale
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = (Seq.tabulate(60000)(i => (1L, s"payload_$i")) ++
+        Seq.tabulate(3000)(i => (2L + i % 50, s"p_$i"))).toDF("k", "v")
+      val build = Seq.tabulate(52)(i => (1L + i, s"dim_$i")).toDF("bk", "attr")
+      val joined = probe.join(build, $"k" === $"bk")
+      // collect() on THIS dataset: count() would execute a cloned plan and
+      // leave joined's own AQE plan un-finalized
+      assert(joined.collect().length == 63000)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoinOuter: hot key at 10^4x median spreads over buckets, rows match unsalted") {
     // probe: one key owning 10,000 rows vs a median of 1, plus keys with NO
     // build match (the enrichment-join reality salting must not break)
