@@ -60,7 +60,7 @@ object CorpusQueries {
   /** Mirror of Dedup.simhash: 48 signed bit sums -> packed long. */
   private val simhashCtes: String = {
     val bitSums = (0 until Dedup.SimhashBits).map(b =>
-      s"  SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      s"  CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$b")
     val packed = (0 until Dedup.SimhashBits).map(b =>
       s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
     s"""toks AS (SELECT doc_id AS sid, unnest(string_split(text, ' ')) AS tok FROM documents),
