@@ -136,6 +136,11 @@ object Bench {
       minAbs: Double): Seq[(String, Double)] =
     current.flatMap { case (name, v) =>
       prior.get(name).collect {
+        // zero prior (e.g. a query that used to shuffle 0 bytes growing a
+        // real exchange) can't form a ratio — flag it with v/minAbs as the
+        // reported growth instead of suppressing, so a broadcast join
+        // degrading to a shuffle join still fires (ADVICE r7 #1)
+        case p if p == 0.0 && v >= minAbs => name -> v / minAbs
         case p if math.max(p, v) >= minAbs && p > 0 && v > p * factor =>
           name -> v / p
       }

@@ -39,7 +39,7 @@ object Similarity {
   /** (id, qv, nrm) projection: quantized vector + its L2 norm, computed once
     * per vector — never per pair.
     */
-  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("sid"), quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
 
@@ -551,11 +551,47 @@ object Similarity {
                         dim: Int, nCells: Int, nProbe: Int, m: Int, k: Int,
                         topK: Int): DataFrame =
    graft.core.Storage.freeingIntermediates(df.sparkSession) {
+    val v = prepared(df, idCol, vecCol)
+    ivfPqResidualPlan(v, v, selfExclude = true, dim, nCells, nProbe, m, k, topK)
+   }
+
+  /** RESIDUAL IVF-PQ for an EXTERNAL query set — the serve-time production
+    * shape (FAISS `IndexIVFPQ` with `encode_residual`, searched with new
+    * vectors): the residual index — seeded cells, member residuals, the
+    * residual-space codebook, m-byte codes — is built from `candidates`
+    * only, then each query row probes its nProbe nearest cells and ranks
+    * members by residual ADC. No self-exclusion (an external query is never
+    * its own candidate). Composes [[ivfPqSearch]]'s query/candidate split
+    * with [[ivfPqResidualTopK]]'s per-cell LUT decomposition; exact
+    * integers end-to-end, so the DuckDB oracle hash-matches.
+    */
+  def ivfPqResidualSearch(queries: DataFrame, candidates: DataFrame,
+                          idCol: String, vecCol: String, dim: Int,
+                          nCells: Int, nProbe: Int, m: Int, k: Int,
+                          topK: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(queries.sparkSession) {
+    ivfPqResidualPlan(prepared(candidates, idCol, vecCol),
+      prepared(queries, idCol, vecCol), selfExclude = false,
+      dim, nCells, nProbe, m, k, topK)
+   }
+
+  /** Shared residual IVF-PQ plan: `cv` is the indexed corpus, `qvDf` the
+    * probe set (pass the SAME instance for the self-search form — the
+    * pinned cell ranking is then reused by both the member and probe
+    * branches instead of re-ranking the corpus twice). `pin` is the index
+    * materialization seam: production passes Storage.cut, plan-shape tests
+    * pass identity to inspect the full lazy join structure.
+    */
+  private[operators] def ivfPqResidualPlan(cv: DataFrame, qvDf: DataFrame,
+                                selfExclude: Boolean, dim: Int, nCells: Int,
+                                nProbe: Int, m: Int, k: Int, topK: Int,
+                                pin: DataFrame => DataFrame =
+                                  graft.core.Storage.cut(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
-    val cut = graft.core.Storage.cut(_: DataFrame)
-    val v = prepared(df, idCol, vecCol)
+    val cut = pin
+    val v = cv
     val centroidRow = cut(seedCentroids(v, nCells))
     // unpacked (cid, centroid vector) dimension frame for residual joins
     val cellVecs = centroidRow.select(explode(col("cells")).as("c"))
@@ -596,8 +632,11 @@ object Similarity {
           idot(w, w) + lit(2L) * idot(slice(col("rcv"), mm * sub + 1, lit(sub)), w)))
         .as("ct"))
     // qa is projected BEFORE the cell explode, so its m x k dots run once
-    // per query and the exploded rows carry the finished table
-    val qTables = ranked
+    // per query and the exploded rows carry the finished table. The probe
+    // set is the corpus itself in the self-search form (reusing the pinned
+    // ranking) or the external query set in the serve form.
+    val rankedQ = if (qvDf eq cv) ranked else rankCells(qvDf, centroidRow)
+    val qTables = rankedQ
       .crossJoin(broadcast(cbr))
       .select(col("sid").as("qid"), col("qv"),
         transform(sequence(lit(0), lit(m - 1)), mm =>
@@ -620,14 +659,15 @@ object Similarity {
           (d, mm) => zip_with(
             element_at(col("qa"), mm + 1), element_at(col("ct"), mm + 1),
             (a, b) => a + b + d)).as("lut"))
-    val scored = probes.join(members, Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
+    val joined = probes.join(members, Seq("cid"))
+    val scored = (if (selfExclude) joined.filter(col("qid") =!= col("nid"))
+                  else joined)
       .select(col("qid"), col("nid"),
         graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
     cut(scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK))
-   }
+  }
 
   /** The IVF probe path against any packed centroid row (seeded or trained). */
   private def probeTopK(v: DataFrame, centroidRow: DataFrame, nProbe: Int,

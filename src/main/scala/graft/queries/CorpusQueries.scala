@@ -665,7 +665,11 @@ object CorpusQueries {
       val docs = Tables.documents(s, d)
       val newBatch = docs.filter(col("doc_id") % 4 === 0)
       val corpus = docs.filter(col("doc_id") % 4 =!= 0)
-      val table = "graft_band_index_d18"
+      // per-session table name: two sessions sharing a warehouse must not
+      // race on one global name (ADVICE r7 #3). The bucketed write IS part
+      // of the measured query — the nightly flow pays it too.
+      val table = "graft_band_index_d18_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       graft.sources.Bucketing.ensureCleanTable(s, table)
       Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, nBuckets = 8)
       Dedup.incrementalNearDupPairs(newBatch, corpus, s.table(table),
@@ -1742,6 +1746,71 @@ object CorpusQueries {
       Similarity.ivfPqSearch(
           emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
           "vec_id", "embedding", dim = 64, nCells = 16, updates = 0,
+          nProbe = 4, m = 8, k = 16, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // RESIDUAL IVF-PQ serve (Similarity.ivfPqResidualSearch): external
+    // queries against a prebuilt RESIDUAL index — the FAISS production
+    // shape (IndexIVFPQ + encode_residual, searched with new vectors).
+    // Index (cells, member residuals, residual codebook, codes) derives
+    // from the candidate set only; each query computes one LUT per probed
+    // cell; no self-exclusion. Oracle = s12's cset/qset split stitched to
+    // s13's residual machinery, exact integers end-to-end.
+    QueryDef(
+      "s14_ivfpq_residual_search",
+      s"""WITH $quantVecCte,
+         |cset AS (SELECT sid, qv FROM v WHERE sid >= 8),
+         |qset AS (SELECT sid, qv FROM v WHERE sid < 8),
+         |cent AS (SELECT sid AS cid, qv AS cv FROM cset ORDER BY sid LIMIT 16),
+         |mranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+         |        FROM cset s CROSS JOIN cent c)),
+         |pranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+         |        FROM qset s CROSS JOIN cent c)),
+         |e AS (SELECT sid, qv[pos] AS q,
+         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+         |top1 AS (SELECT sid, cid FROM mranked WHERE crank = 1),
+         |eres AS (SELECT e.sid, t.cid, e.q - ec.q AS q, e.m, e.j
+         |  FROM e JOIN top1 t ON t.sid = e.sid
+         |  JOIN e ec ON ec.sid = t.cid AND ec.m = e.m AND ec.j = e.j),
+         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+         |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
+         |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
+         |ar AS (SELECT er.sid, er.m, cbr.code,
+         |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
+         |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
+         |codesr AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+         |  FROM ar) WHERE rn = 1),
+         |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
+         |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
+         |probes AS (SELECT sid AS qid, cid FROM pranked WHERE crank <= 4),
+         |eq AS (SELECT p.qid, p.cid, e.q - ec.q AS q, e.m, e.j
+         |  FROM probes p JOIN e ON e.sid = p.qid
+         |  JOIN e ec ON ec.sid = p.cid AND ec.m = e.m AND ec.j = e.j),
+         |aq AS (SELECT q.qid, q.cid, q.m, cbr.code,
+         |    CAST(SUM((q.q - cbr.q) * (q.q - cbr.q)) AS BIGINT) AS d2
+         |  FROM eq q JOIN cbr ON cbr.m = q.m AND cbr.j = q.j
+         |  GROUP BY 1, 2, 3, 4),
+         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+         |  FROM probes p JOIN members mem ON p.cid = mem.cid
+         |  JOIN aq qa ON qa.qid = p.qid AND qa.cid = p.cid
+         |    AND qa.m = mem.m AND qa.code = mem.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualSearch(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+          "vec_id", "embedding", dim = 64, nCells = 16,
           nProbe = 4, m = 8, k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))

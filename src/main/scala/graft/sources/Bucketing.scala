@@ -41,13 +41,41 @@ object Bucketing {
     * Call before re-creating a managed table in a new session.
     */
   def ensureCleanTable(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // resolve the true location from the catalog while the table still
+    // exists — the default-layout guess below is wrong for tables created
+    // with an explicit LOCATION
+    val resolved: Option[java.net.URI] =
+      if (spark.catalog.tableExists(table))
+        scala.util.Try(
+          spark.sessionState.catalog.getTableMetadata(ident).location).toOption
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+    // orphan sweep: reproduce the catalog's default managed layout —
+    // <warehouse>/<db>.db/<tbl> for qualified names, <warehouse>/<tbl> for
+    // the default db, names lowercased on disk
+    val default: java.net.URI = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val dbPart = ident.database.filter(_ != "default")
+        .map(d => s"/${d.toLowerCase}.db").getOrElse("")
+      java.net.URI.create(
+        s"$wh$dbPart/${ident.table.toLowerCase}".replace(" ", "%20"))
+    }
+    (resolved.toSeq :+ default).distinct.foreach { uri =>
+      // only file-scheme (or scheme-less local) locations can be swept here;
+      // remote warehouses are out of local reach and DROP TABLE handled them
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val p = java.nio.file.Paths.get(
+          Option(uri.getPath).filter(_.nonEmpty).getOrElse(uri.toString))
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          } finally walk.close()
+        }
+      }
     }
   }
 

@@ -139,8 +139,10 @@ object Sinks {
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val n = cols.size
-    val buckets = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+    // ONE scan computes every column's boundaries (the single-column
+    // overload re-reads the full input per column — ADVICE r7 #4)
+    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val buckets = cols.zip(allBounds).map { case (c, bounds) =>
       if (bounds.isEmpty) lit(0L)
       else {
         // binary-search CASE tree over [lo, hi] bucket range: bucket b holds

@@ -59,12 +59,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!regs.exists(_._1 == "q_tiny"))
   }
 
-  test("a zero prior never divides: flag suppressed rather than infinite ratio") {
+  test("a zero prior never divides, but a real metric growing from 0 still flags") {
     // driver round files round shuffle_mb to 2 decimals, so a prior can be
-    // exactly 0.0 — the gate must not emit ratio = Infinity
+    // exactly 0.0 — the gate must not emit ratio = Infinity, but it must
+    // also not go blind: a broadcast join degrading to a 5 MB shuffle from
+    // a zero-shuffle baseline is exactly the regression the gate exists for
+    // (ADVICE r7 #1). Ratio is reported as v/minAbs.
     val regs = Bench.regressionsAgainst(
       Seq("q" -> 5.0), Map("q" -> 0.0), factor = 1.5, minAbs = 1.0)
-    assert(regs.isEmpty)
+    assert(regs == Seq("q" -> 5.0))
+    assert(regs.head._2.isFinite)
+    // sub-floor drift from zero stays quiet (0.4 MB is rounding noise)
+    assert(Bench.regressionsAgainst(
+      Seq("q" -> 0.4), Map("q" -> 0.0), factor = 1.5, minAbs = 1.0).isEmpty)
   }
 
   test("no baseline entry means no gate (new queries pass until re-baselined)") {

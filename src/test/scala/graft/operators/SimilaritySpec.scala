@@ -369,6 +369,60 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= 1)
   }
 
+  test("residual serve plan shape: candidate generation stays cell-keyed, never corpus x corpus") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cv = emb.filter($"vec_id" >= 8)
+    val qv = emb.filter($"vec_id" < 8)
+    // identity pin exposes the full lazy join structure (the production
+    // path pins the index with Storage.cut, which hides it)
+    val p = Similarity.ivfPqResidualPlan(
+        Similarity.prepared(cv, "vec_id", "embedding"),
+        Similarity.prepared(qv, "vec_id", "embedding"),
+        selfExclude = false, dim = 64, nCells = 16, nProbe = 4, m = 8,
+        k = 16, topK = 5, pin = identity)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(cid") ||
+      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("ivfPqResidualSearch: external twin ranks first, serve path self-cleans") {
+    // clustered corpus (the regime residual PQ exists for — on the uniform
+    // fixture residuals dwarf the codebook and the twin's quantization
+    // error loses to other cells' approximation error, the documented
+    // honest-regime claim). Same construction as the recall test above.
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = (0 until 256).map { id =>
+      val g = id % 16
+      val vec = Array.tabulate(64) { j =>
+        val center = (h(s"c_${g}_$j") % 2000 - 1000).toFloat / 1000f
+        val noise = (h(s"n_${id}_$j") % 100 - 50).toFloat / 1000f
+        center + noise
+      }
+      (id.toLong, vec, "x")
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    // query = vector 77 under a fresh external id: its residual to 77's
+    // cell is IDENTICAL to 77's, so the ADC distance to 77 is 77's own
+    // quantization error — the floor within the probed cells. Exercises
+    // cell assignment, residual encoding, per-cell LUTs, and the
+    // no-self-exclusion contract.
+    val externalQ = emb.filter($"vec_id" === 77).select(
+      lit(500000L).as("vec_id"), $"embedding", $"label")
+    graft.core.Storage.freeAll(spark, blocking = true)
+    val out = Similarity.ivfPqResidualSearch(externalQ, emb, "vec_id",
+      "embedding", dim = 64, nCells = 16, nProbe = 4, m = 8, k = 128, topK = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._1 == 500000L))
+    assert(out.find(_._3 == 1L).map(_._2).contains(77L), out.mkString(", "))
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+  }
+
   test("ivfPqSearch: external query finds its corpus twin through the trained index") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     // the corpus contains vector 77; querying with the SAME vector under a
