@@ -264,6 +264,16 @@ object Dedup {
     graft.sources.Bucketing.writeBucketedBy(
       bandIndex(df, idCol, textCol, n), table, Seq("band", "bkey"), nBuckets)
 
+  /** Append a batch's bands to an existing [[writeBandIndex]] table — the
+    * per-batch index growth step of a streaming ingest. Appended files
+    * carry the same (band, bkey) bucket spec, so the corpus side of the
+    * next batch's candidate join STAYS exchange-free as the index grows.
+    */
+  def appendBandIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.appendBucketedBy(
+      bandIndex(df, idCol, textCol, n), table, Seq("band", "bkey"), nBuckets)
+
   /** Incremental near-dup detection: verified pairs that TOUCH a new batch —
     * new-vs-new plus new-vs-corpus — WITHOUT re-banding the corpus. At
     * ingestion scale this is the whole game: the corpus index

@@ -677,6 +677,67 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Batch twin of the STREAMING ingestion-dedup flow (VERDICT r7 ask #4):
+    // two micro-batches (doc_id % 8 = 0, then % 8 = 4) replayed against the
+    // bucketed corpus band index exactly as dedupIngestBucketed's
+    // foreachBatch does — round 1's verified pairs, round-1 LOSERS excluded
+    // from the index (only survivors' bands are appended), then round 2
+    // dedups against corpus + round-1 survivors. The oracle derives both
+    // rounds from the global verified-pair set: round 2 drops pairs whose
+    // batch-1 side lost round 1 (those bands never entered the index).
+    // EventStreamsSpec asserts the live foreachBatch stream produces
+    // byte-identical pairs, so the streaming path is oracle-anchored.
+    QueryDef(
+      "ds1_streaming_dedup_twin",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |vp AS (SELECT ida, idb, jaccard FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |pa AS (SELECT ida, idb, jaccard FROM vp
+         |  WHERE (ida % 8 = 0 OR idb % 8 = 0) AND ida % 8 <> 4 AND idb % 8 <> 4),
+         |la AS (SELECT DISTINCT GREATEST(ida, idb) AS loser FROM pa),
+         |pb AS (SELECT ida, idb, jaccard FROM vp
+         |  WHERE (ida % 8 = 4 OR idb % 8 = 4)
+         |    AND NOT (ida % 8 = 0 AND ida IN (SELECT loser FROM la))
+         |    AND NOT (idb % 8 = 0 AND idb IN (SELECT loser FROM la)))
+         |SELECT ida, idb, jaccard, round FROM (
+         |  SELECT ida, idb, jaccard, CAST(1 AS BIGINT) AS round FROM pa
+         |  UNION ALL
+         |  SELECT ida, idb, jaccard, CAST(2 AS BIGINT) AS round FROM pb)
+         |ORDER BY round, ida, idb""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batchA = docs.filter(col("doc_id") % 8 === 0)
+      val batchB = docs.filter(col("doc_id") % 8 === 4)
+      val table = "graft_band_index_ds1_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, nBuckets = 8)
+      // round 1 (incrementalNearDupPairs materializes its result, so the
+      // index append below cannot race the candidate join)
+      val pairsA = Dedup.incrementalNearDupPairs(batchA, corpus,
+        s.table(table), "doc_id", "text", 3, 0.5)
+      val losersA = pairsA
+        .select(greatest(col("ida"), col("idb")).as("loser")).distinct()
+      val keptA = batchA.join(broadcast(losersA),
+        col("doc_id") === col("loser"), "left_anti")
+      Dedup.appendBandIndex(keptA, "doc_id", "text", 3, table, nBuckets = 8)
+      // round 2: index and corpus now include round-1 survivors
+      val pairsB = Dedup.incrementalNearDupPairs(batchB,
+        corpus.unionByName(keptA), s.table(table), "doc_id", "text", 3, 0.5)
+      pairsA.withColumn("round", lit(1L))
+        .unionByName(pairsB.withColumn("round", lit(2L)))
+        .orderBy(col("round"), col("ida"), col("idb"))
+    },
+
     // Edit-distance verification of banding candidates (Dedup Scaladoc):
     // levenshtein <= 30% of the longer text, integer cross-multiplied.
     QueryDef(

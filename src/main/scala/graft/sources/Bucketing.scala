@@ -35,6 +35,21 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** APPEND to an existing bucketed table — the incremental-growth path
+    * (e.g. a streaming ingest appending each batch's band-index rows).
+    * The bucket spec must match the table's; Spark validates and refuses a
+    * mismatched append, so the table never silently loses its exchange-free
+    * join property.
+    */
+  def appendBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
+                       nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Drop `table` and any orphaned warehouse directory left by a session
     * whose metastore is gone (fresh derby metastore + persistent
     * spark-warehouse dir = CREATE TABLE refusing to reuse the location).

@@ -161,6 +161,45 @@ object EventStreams {
     }
   }
 
+  /** [[dedupIngest]] against a BUCKETED band-index table instead of plain
+    * parquet — the 100 TB shape: the corpus side of every micro-batch's
+    * candidate join reads bucket-aligned on (band, bkey) with NO Exchange
+    * (Dedup.writeBandIndex's contract), and each batch's surviving bands
+    * are appended WITH the same bucket spec (Dedup.appendBandIndex), so the
+    * property holds as the index grows. Per-batch cost stays
+    * |batch| x bucket occupancy while the corpus-side shuffle cost is zero
+    * — at corpus scale that exchange is the dominant term the plain-parquet
+    * form pays every batch. Results are identical to [[dedupIngest]]
+    * (storage layout must not change answers) — oracle-anchored by the
+    * ds1_streaming_dedup_twin batch query and the parity spec.
+    */
+  def dedupIngestBucketed(stream: DataFrame, corpusDocsPath: String,
+                          bandIndexTable: String, nBuckets: Int,
+                          docsOutPath: String, pairsOutPath: String,
+                          idCol: String, textCol: String, n: Int,
+                          threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val b = batch.localCheckpoint(false)
+      val corpus = spark.read.parquet(corpusDocsPath)
+      val bands = spark.table(bandIndexTable)
+      val pairs = Dedup.incrementalNearDupPairs(
+        b, corpus, bands, idCol, textCol, n, threshold).localCheckpoint(false)
+      pairs.write.mode("append").parquet(pairsOutPath)
+      val losers = pairs.select(org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.col("ida"),
+        org.apache.spark.sql.functions.col("idb")).as("loser"))
+      val kept = b.join(org.apache.spark.sql.functions.broadcast(losers),
+        b(idCol) === org.apache.spark.sql.functions.col("loser"), "left_anti")
+        .localCheckpoint(false)
+      kept.write.mode("append").parquet(docsOutPath)
+      kept.write.mode("append").parquet(corpusDocsPath)
+      Dedup.appendBandIndex(kept, idCol, textCol, n, bandIndexTable, nBuckets)
+    }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

@@ -134,6 +134,42 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("appendBandIndex: the exchange-free corpus read survives index growth") {
+    val table = "b_band_index_grow"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchA = docs.filter(col("doc_id") % 8 === 0)
+    val batchB = docs.filter(col("doc_id") % 8 === 4)
+    Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, 4)
+    // grow the index the way a streaming ingest does
+    Dedup.appendBandIndex(batchA, "doc_id", "text", 3, table, 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cands = Dedup.crossBandCandidates(
+        Dedup.bandIndex(batchB, "doc_id", "text", 3), spark.table(table))
+      cands.collect()
+      val plan = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"appended index must still read bucket-aligned:\n$plan")
+      // appended rows are really in the index: batchB-vs-batchA candidates
+      // are only reachable through the appended bands
+      val viaIndex = cands.as[(Long, Long)].collect().toSet
+      val direct = Dedup.crossBandCandidates(
+        Dedup.bandIndex(batchB, "doc_id", "text", 3),
+        Dedup.bandIndex(corpus.unionByName(batchA), "doc_id", "text", 3))
+        .as[(Long, Long)].collect().toSet
+      assert(viaIndex == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
   test("connectedComponents labels chains transitively with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
     val labels = Dedup.connectedComponents(pairs)

@@ -321,6 +321,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestBucketed parity: live two-batch stream equals the ds1 oracle twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_bkt")
+    def p(s: String) = base.resolve(s).toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 4 =!= 0).select("doc_id", "text")
+    val batchA = docs.filter($"doc_id" % 8 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val batchB = docs.filter($"doc_id" % 8 === 4)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(batchA.nonEmpty && batchB.nonEmpty)
+
+    // the batch twin the DuckDB oracle hash-checks (ds1 green in
+    // correctness) — per-round pair sets
+    val twin = graft.SparkEntry.queries("ds1_streaming_dedup_twin")(spark, sf)
+      .select("round", "ida", "idb")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (r, xs) => r -> xs.map(x => (x._2, x._3)).toSet }
+
+    // live foreachBatch replay against a fresh bucketed index
+    val table = "graft_band_index_ds1_stream_test"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    corpus.write.parquet(p("corpus"))
+    graft.operators.Dedup.writeBandIndex(
+      spark.read.parquet(p("corpus")), "doc_id", "text", 3, table, nBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val q = dedupIngestBucketed(input.toDF().toDF("doc_id", "text"),
+      p("corpus"), table, 8, p("kept"), p("pairs"),
+      "doc_id", "text", n = 3, threshold = 0.5).start()
+    try {
+      input.addData(batchA.toSeq: _*); q.processAllAvailable()
+      val pairsAfterA = spark.read.parquet(p("pairs"))
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      input.addData(batchB.toSeq: _*); q.processAllAvailable()
+      val pairsAll = spark.read.parquet(p("pairs"))
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(pairsAfterA == twin.getOrElse(1L, Set.empty),
+        s"round-1 stream=$pairsAfterA twin=${twin.get(1L)}")
+      assert(pairsAll -- pairsAfterA == twin.getOrElse(2L, Set.empty),
+        s"round-2 stream=${pairsAll -- pairsAfterA} twin=${twin.get(2L)}")
+      // the parity is only meaningful if the flow actually flags something
+      assert(pairsAll.nonEmpty)
+    } finally {
+      q.stop()
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
   test("dedupWithinWatermark drops retried keys across micro-batches, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
