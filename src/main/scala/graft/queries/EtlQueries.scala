@@ -479,6 +479,66 @@ object EtlQueries {
         .orderBy(col("rule"))
     },
 
+    // DQ-extension: the schema-drift gate as AN ORACLE-CHECKED QUERY
+    // (Quality.schemaDrift was spec-only — VERDICT r7 ask #8). The contract
+    // deliberately drifts from lineitem's real schema in all four ways the
+    // gate detects; the oracle derives the ACTUAL schema from DuckDB's
+    // information_schema over the same parquet (type names mapped to
+    // Spark's simpleString vocabulary), so the report is schema-driven on
+    // both sides, not a constant.
+    QueryDef(
+      "dq2_schema_drift",
+      """WITH actual AS (
+        |  SELECT column_name AS col,
+        |    CASE lower(data_type)
+        |      WHEN 'varchar' THEN 'string'
+        |      WHEN 'integer' THEN 'int'
+        |      WHEN 'timestamp' THEN 'timestamp_ntz'
+        |      ELSE lower(data_type) END AS typ
+        |  FROM information_schema.columns WHERE table_name = 'lineitem'),
+        |expected(col, typ, required) AS (VALUES
+        |  ('l_orderkey', 'bigint', true),
+        |  ('l_partkey', 'bigint', false),
+        |  ('l_suppkey', 'bigint', false),
+        |  ('l_linenumber', 'int', false),
+        |  ('l_quantity', 'decimal(12,2)', false),
+        |  ('l_extendedprice', 'double', false),
+        |  ('l_discount', 'double', false),
+        |  ('l_commitdate', 'date', false),
+        |  ('l_returnflag', 'string', false),
+        |  ('l_linestatus', 'string', false),
+        |  ('l_shipdate', 'timestamp_ntz', false))
+        |SELECT drift, "column", actual, expected FROM (
+        |  SELECT 'added' AS drift, a.col AS "column", a.typ AS actual,
+        |    CAST(NULL AS VARCHAR) AS expected
+        |  FROM actual a WHERE a.col NOT IN (SELECT col FROM expected)
+        |  UNION ALL
+        |  SELECT 'missing', e.col, CAST(NULL AS VARCHAR), e.typ
+        |  FROM expected e WHERE e.col NOT IN (SELECT col FROM actual)
+        |  UNION ALL
+        |  SELECT 'type_changed', e.col, a.typ, e.typ
+        |  FROM expected e JOIN actual a ON a.col = e.col WHERE a.typ <> e.typ
+        |  UNION ALL
+        |  SELECT 'nullability_relaxed', e.col, 'nullable', 'required'
+        |  FROM expected e JOIN actual a ON a.col = e.col WHERE e.required)
+        |ORDER BY drift, "column"""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val contract = StructType(Seq(
+        StructField("l_orderkey", LongType, nullable = false),
+        StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DecimalType(12, 2)),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_commitdate", DateType),
+        StructField("l_returnflag", StringType),
+        StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampNTZType)))
+      graft.operators.Quality.schemaDrift(Tables.lineitem(s, d), contract)
+        .orderBy(col("drift"), col("column"))
+    },
+
     // A-extension: incremental aggregate maintenance — a persisted per-key
     // (sum, count) aggregate combined with a delta batch's aggregate equals
     // the full recompute (the oracle). Algebraic partials make the combine
@@ -514,6 +574,40 @@ object EtlQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       graft.operators.Salting.saltedSumCount(
         Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", buckets = 16)
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X-extension: SALTED LEFT-OUTER join (Salting.saltedJoinOuter) — the
+    // skewed ENRICHMENT join. The oracle is the PLAIN left join: a hash
+    // match proves the salted plan is row-identical — every probe row
+    // survives exactly once, matched multiplicity is unchanged, and an
+    // unmatched row null-extends exactly once (a per-replica null-extension
+    // bug would inflate n_unmatched by the bucket count; a replication bug
+    // would inflate n_rows). Build side filtered to high-priority orders so
+    // unmatched probe rows actually exist.
+    QueryDef(
+      "sk2_salted_outer_join",
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(o_orderdate) AS n_matched,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM lineitem LEFT JOIN (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) o
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val build = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.Salting.saltedJoinOuter(
+          Tables.lineitem(s, d), build, "l_orderkey", "o_orderkey",
+          buckets = 16)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderdate")).as("n_matched"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"))
         .orderBy(col("l_returnflag"))
     },
 
