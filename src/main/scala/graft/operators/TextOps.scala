@@ -287,6 +287,87 @@ object TextOps {
     }
   }
 
+  /** BATCHED-merge BPE training — the scale regime [[bpeMerges]]'s Scaladoc
+    * flags: exact argmax-BPE pays one driver round-trip (2 Spark jobs) PER
+    * MERGE, so a 30k-merge production vocabulary is 60k jobs. This variant
+    * merges up to `batchK` NON-OVERLAPPING top pairs per sweep — the
+    * standard scalable approximation (pairs sharing no symbol can merge in
+    * one pass without perturbing each other's greedy application; a pair
+    * touching an already-selected symbol is deferred to the next sweep
+    * because the earlier merge invalidates its count). Jobs-per-vocab drops
+    * from 2/merge toward 2/batchK per merge — sub-linear in vocabulary
+    * size, measured in TextOpsSpec.
+    *
+    * `batchK = 1` degrades EXACTLY to [[bpeMerges]] (property-tested
+    * against it as an independent implementation): one sweep selects one
+    * argmax with the same (count desc, pair asc) tie-break and recomputes
+    * counts before the next. Exact mode stays the oracle path (t14);
+    * batchK > 1 is an approximation — recorded pair_freq values are
+    * PRE-SWEEP counts, and merge order within a sweep follows the same
+    * tie-break.
+    */
+  def bpeMergesBatched(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       rounds: Int, batchK: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.Storage.freeingIntermediates(spark) {
+      var st = graft.core.Storage.cut(
+        df.select(explode(split(col(textCol), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(split(col("w"), "").as("syms"), col("freq")),
+        eager = true)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var dry = false
+      while (merges.size < rounds && !dry) {
+        val top = st
+          .select(col("freq"),
+            explode(when(size(col("syms")) >= 2,
+              transform(sequence(lit(1), size(col("syms")) - 1), i =>
+                struct(element_at(col("syms"), i).as("l"),
+                  element_at(col("syms"), i + 1).as("r"))))
+              .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(batchK).as[(String, String, Long)].collect()
+        if (top.isEmpty) dry = true
+        else {
+          // greedy non-overlapping selection in rank order: a pair is
+          // deferred if either symbol was consumed by an earlier selection
+          // this sweep (its count is stale once that merge applies)
+          val used = scala.collection.mutable.Set.empty[String]
+          val selected = top.iterator
+            .filter { case (l, r, _) => !used(l) && !used(r) }
+            .map { p => used += p._1; used += p._2; p }
+            .take(rounds - merges.size)
+            .toSeq
+          selected.foreach { case (l, rt, c) =>
+            merges += ((merges.size + 1L, l, rt, l + rt, c))
+          }
+          // ONE pass applies every selected merge, in selection order —
+          // the same greedy left-to-right fold, merges chained in one
+          // expression so the sweep costs one job regardless of batchK
+          val folded = selected.foldLeft(col("syms")) { case (arr, (l, rt, _)) =>
+            aggregate(arr, array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(rt),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
+                .otherwise(concat(acc, array(x))))
+          }
+          val next = graft.core.Storage.cut(
+            st.select(folded.as("syms"), col("freq")), eager = true)
+          graft.core.Storage.freeCheckpoint(st)
+          st = next
+        }
+      }
+      graft.core.Storage.cut(
+        merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_freq"))
+    }
+  }
+
   /** PII patterns, kept to the Java-regex / RE2 common subset (explicit
     * classes, no lookaround) so engine and oracle agree. The phone pattern is
     * the reserved 555 fictional range — a stand-in for locale-specific

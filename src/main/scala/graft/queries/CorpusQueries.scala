@@ -300,6 +300,30 @@ object CorpusQueries {
         .orderBy(col("rank"))
     },
 
+    // BATCHED BPE trainer through its exact-degenerate mode (batchK = 1):
+    // the scalable multi-merge-per-sweep code path (TextOps.bpeMergesBatched,
+    // VERDICT r7 ask #5) hash-checked against the SAME exact-BPE oracle as
+    // t14 — K = 1 must reproduce argmax BPE bit-for-bit. The K > 1
+    // approximation (non-overlapping merge batches, sub-linear jobs) is
+    // property-tested in TextOpsSpec where SQL can't express it.
+    QueryDef(
+      "t16_bpe_batched",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS freq FROM toks WHERE len(w) > 0 GROUP BY w),
+         |st0 AS (SELECT w AS wid, freq, CAST(pos AS BIGINT) AS pos,
+         |    substr(w, pos, 1) AS sym
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(pos)),
+         |${(1 to 6).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 6).map(r =>
+             s"  SELECT CAST($r AS BIGINT) AS rank, l AS lft, r AS rgt, l || r AS merged, c AS pair_freq FROM top$r")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY rank""".stripMargin) { (s, d) =>
+      TextOps.bpeMergesBatched(Tables.documents(s, d), "text", rounds = 6,
+          batchK = 1)
+        .orderBy(col("rank"))
+    },
+
     // BPE APPLY (TextOps.bpeSegmentCol): segment every distinct corpus word
     // with the 6 trained merges. The oracle is t14's final training state —
     // st6 IS the segmentation of every word after 6 merges — so train and

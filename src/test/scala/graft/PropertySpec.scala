@@ -382,4 +382,23 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"docs=$docs\n got=$got\nwant=$want")
     }
   }
+
+  test("batched BPE at K=1 degrades to exact argmax BPE on arbitrary corpora") {
+    // the batched trainer is a SEPARATE implementation (one-pass multi-merge
+    // sweeps); at batchK = 1 it must equal both the exact trainer and the
+    // single-threaded reference on random inputs, tie-breaks included
+    val wordGen = Gen.listOfN(6, Gen.oneOf("ab", "aab", "abab", "ba", "aaa",
+      "abc", "cab", "bcbc", "aa", "b"))
+    forAllSamples(Gen.listOfN(5, wordGen.map(_.mkString(" "))), 4) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val want = naiveBpe(docs, 4)
+      val got = graft.operators.TextOps
+        .bpeMergesBatched(df, "text", rounds = 4, batchK = 1)
+        .orderBy($"rank")
+        .select($"lft", $"rgt", $"pair_freq")
+        .as[(String, String, Long)].collect().toSeq
+      assert(got == want, s"docs=$docs\n got=$got\nwant=$want")
+    }
+  }
 }

@@ -99,6 +99,73 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum($"a" + $"b")).as[Long].head() == expected)
   }
 
+  test("z-order file skipping is REAL at execution time: scan decodes only overlapping files") {
+    // VERDICT r7 ask #7: the earlier tests prove the min/max ranges WOULD
+    // allow pruning; this one proves the executed scan actually skips.
+    // Spark's v1 parquet scan lists every file (numFiles never shrinks
+    // without a table format), so execution-time skipping manifests as
+    // PARQUET ROW-GROUP PRUNING: each ~40 KB compacted file is one row
+    // group, and the scan's numOutputRows metric counts only decoded rows
+    // — files whose row-group stats miss the pushed predicate contribute 0.
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.nonEmpty, plan.toString)
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val df = spark.range(0, 30000).selectExpr("id",
+      "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 4), 16, 10) AS BIGINT) AS a",
+      "CAST(conv(substr(md5(CAST(id + 99999 AS STRING)), 1, 4), 16, 10) AS BIGINT) AS b")
+    val base = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    Seq("lin", "z", "zq").foreach(s => df.repartition(20).write.parquet(s"$base/$s"))
+    val small = 40L * 1024
+    Sinks.compact(spark, s"$base/lin", small, Seq("a", "b"))
+    Sinks.compactZOrdered(spark, s"$base/z", small, Seq("a", "b"))
+    Sinks.compactZOrderedQuantile(spark, s"$base/zq", small, Seq("a", "b"))
+
+    val (bLo, bHi) = (0L, 65536L / 8) // selective range on the SECOND dim
+    def filtered(dir: String) =
+      spark.read.parquet(dir).filter($"b" >= bLo && $"b" <= bHi)
+    // the predicate must reach the parquet reader or no row group can skip
+    assert(filtered(s"$base/z").queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(b), GreaterThanOrEqual(b,"),
+      "b-range predicate not pushed to the scan")
+
+    val total = 30000L
+    val linRows = scanOutputRows(filtered(s"$base/lin"))
+    Seq("z" -> s"$base/z", "zq" -> s"$base/zq").foreach { case (label, dir) =>
+      // prediction from file-level stats: rows in files whose [min,max]
+      // overlaps the range — the ceiling row-group pruning can reach
+      val perFile = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), $"b")
+        .groupBy($"f").agg(count(lit(1)).as("n"),
+          min($"b").as("lo"), max($"b").as("hi"))
+        .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      val predicted = perFile.collect {
+        case (n, lo, hi) if hi >= bLo && lo <= bHi => n }.sum
+      assert(predicted < total,
+        s"$label: fixture must have non-overlapping files ($predicted/$total)")
+      val zRows = scanOutputRows(filtered(dir))
+      // the STRICT skip: decoded rows never exceed the file-stats ceiling
+      // (page-level column indexes may prune even further), and are a
+      // strict subset of the corpus — skipped files were never decoded
+      assert(zRows <= predicted, s"$label: decoded $zRows > predicted $predicted")
+      assert(zRows < total, s"$label: nothing skipped ($zRows/$total)")
+      // z-order decodes strictly less than the linear layout on dim b
+      assert(zRows < linRows, s"$label: z=$zRows !< lin=$linRows")
+      // and answers are identical — skipping never changes results
+      assert(filtered(dir).count() == filtered(s"$base/lin").count())
+    }
+    // the linear layout cannot skip on b: it decodes (almost) everything
+    assert(linRows >= (total * 9) / 10, s"lin decoded only $linRows")
+  }
+
   test("zOrderValueQuantile: heavy-tailed column spreads evenly where the uniform grid collapses") {
     // lognormal-ish skew: squaring a uniform hash concentrates mass near 0
     // with a long tail — the classic case where min/max range bucketing
