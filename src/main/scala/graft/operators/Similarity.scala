@@ -575,27 +575,77 @@ object Similarity {
       dim, nCells, nProbe, m, k, topK)
    }
 
+  /** RESIDUAL IVF-PQ over LLOYD-TRAINED cells — the full production form:
+    * `updates` rounds refine the coarse quantizer, residuals are taken to
+    * the ROUNDED-MEAN integer centroid of each trained cell (the
+    * pqTrainKmeans rounding discipline, so arithmetic stays exact and the
+    * oracle hash-matches), and the s13 search path runs unchanged. This is
+    * the regime where residual PQ actually pays: trained cells approximate
+    * cluster centers, so residuals are noise-sized. Cell ASSIGNMENT ranks
+    * against the exact integer SUM centroids (cosine is scale-invariant);
+    * only the residual subtraction uses the rounded means.
+    */
+  def ivfPqResidualTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, nCells: Int, updates: Int,
+                               nProbe: Int, m: Int, k: Int,
+                               topK: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(df.sparkSession) {
+    val v = prepared(df, idCol, vecCol)
+    ivfPqResidualPlan(v, v, selfExclude = true, dim, nCells, nProbe, m, k,
+      topK, trainedUpdates = updates)
+   }
+
+  /** Final-round centroids WITH member counts: the assignment uses
+    * centroids after `updates - 1` Lloyd rounds, the returned frame carries
+    * the last round's exact integer sums plus counts — what a rounded-mean
+    * centroid needs.
+    */
+  private def kmeansSumCountCentroids(v: DataFrame, nCells: Int,
+                                      updates: Int): DataFrame = {
+    require(updates >= 1, s"updates must be >= 1, got $updates")
+    val prev = kmeansCentroidsFrom(v, nCells, updates - 1)
+    assignTop(v, packCells(prev))
+      .groupBy(col("cid"))
+      .agg(graft.plans.VectorSumLong.vectorSum(col("qv")).as("cv"),
+        count(lit(1)).as("cnt"))
+      .withColumn("cnrm", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
+  }
+
   /** Shared residual IVF-PQ plan: `cv` is the indexed corpus, `qvDf` the
     * probe set (pass the SAME instance for the self-search form — the
     * pinned cell ranking is then reused by both the member and probe
     * branches instead of re-ranking the corpus twice). `pin` is the index
     * materialization seam: production passes Storage.cut, plan-shape tests
     * pass identity to inspect the full lazy join structure.
+    * `trainedUpdates` = 0 uses seeded cells (centroids ARE corpus vectors);
+    * > 0 uses Lloyd-trained cells with rounded-mean residual anchors.
     */
   private[operators] def ivfPqResidualPlan(cv: DataFrame, qvDf: DataFrame,
                                 selfExclude: Boolean, dim: Int, nCells: Int,
                                 nProbe: Int, m: Int, k: Int, topK: Int,
                                 pin: DataFrame => DataFrame =
-                                  graft.core.Storage.cut(_)): DataFrame = {
+                                  graft.core.Storage.cut(_),
+                                trainedUpdates: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
     val cut = pin
     val v = cv
-    val centroidRow = cut(seedCentroids(v, nCells))
-    // unpacked (cid, centroid vector) dimension frame for residual joins
-    val cellVecs = centroidRow.select(explode(col("cells")).as("c"))
-      .select(col("c")("cid").as("rcid"), col("c")("cv").as("rcv"))
+    // centroidRow ranks (assignment/probing); cellVecs anchors residuals.
+    // Seeded: both are the corpus seed vectors. Trained: ranking uses the
+    // exact SUM centroids, residuals the rounded-mean integer centroids.
+    val (centroidRow, cellVecs) =
+      if (trainedUpdates == 0) {
+        val cr = cut(seedCentroids(v, nCells))
+        (cr, cr.select(explode(col("cells")).as("c"))
+          .select(col("c")("cid").as("rcid"), col("c")("cv").as("rcv")))
+      } else {
+        val sc = cut(kmeansSumCountCentroids(v, nCells, trainedUpdates))
+        val cr = cut(packCells(sc.select(col("cid"), col("cv"), col("cnrm"))))
+        (cr, sc.select(col("cid").as("rcid"),
+          transform(col("cv"), x =>
+            round(x.cast("double") / col("cnt")).cast("long")).as("rcv")))
+      }
     val ranked = cut(rankCells(v, centroidRow))
     def resid(qv: Column, cv: Column): Column = zip_with(qv, cv, (a, b) => a - b)
     // members: residual to the TOP-1 cell, then PQ-encode the residual

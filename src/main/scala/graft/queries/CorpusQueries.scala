@@ -1785,6 +1785,76 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // TRAINED-cells residual IVF-PQ (Similarity.ivfPqResidualTopKTrained):
+    // the full production form — one Lloyd round refines the coarse
+    // quantizer (s10's c0 -> a1 -> c1 integer-SUM centroid CTEs), residuals
+    // anchor to the ROUNDED-MEAN integer centroid of each trained cell
+    // (s11's rounding discipline: round(sum / count) per element), and the
+    // s13 residual search runs unchanged. Assignment ranks against the
+    // exact SUM centroids (cosine is scale-invariant), so every step stays
+    // integer-exact and hash-checkable.
+    QueryDef(
+      "s15_ivfpq_residual_trained",
+      s"""WITH $quantVecCte,
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+         |csum AS (SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos) GROUP BY cid, pos),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM csum GROUP BY cid),
+         |ccnt AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+         |cel AS (SELECT s.cid, ((s.pos - 1) // 8) AS m, ((s.pos - 1) % 8) AS j,
+         |    CAST(round(CAST(s.sx AS DOUBLE) / c.n) AS BIGINT) AS q
+         |  FROM csum s JOIN ccnt c USING (cid)),
+         |cranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+         |        FROM v CROSS JOIN c1 c)),
+         |e AS (SELECT sid, qv[pos] AS q,
+         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+         |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
+         |eres AS (SELECT e.sid, t.cid, e.q - ce.q AS q, e.m, e.j
+         |  FROM e JOIN top1 t ON t.sid = e.sid
+         |  JOIN cel ce ON ce.cid = t.cid AND ce.m = e.m AND ce.j = e.j),
+         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+         |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
+         |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
+         |ar AS (SELECT er.sid, er.m, cbr.code,
+         |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
+         |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
+         |codesr AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+         |  FROM ar) WHERE rn = 1),
+         |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
+         |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
+         |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
+         |eq AS (SELECT p.qid, p.cid, e.q - ce.q AS q, e.m, e.j
+         |  FROM probes p JOIN e ON e.sid = p.qid
+         |  JOIN cel ce ON ce.cid = p.cid AND ce.m = e.m AND ce.j = e.j),
+         |aq AS (SELECT q.qid, q.cid, q.m, cbr.code,
+         |    CAST(SUM((q.q - cbr.q) * (q.q - cbr.q)) AS BIGINT) AS d2
+         |  FROM eq q JOIN cbr ON cbr.m = q.m AND cbr.j = q.j
+         |  GROUP BY 1, 2, 3, 4),
+         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+         |  FROM probes p JOIN members mem ON p.cid = mem.cid
+         |  JOIN aq qa ON qa.qid = p.qid AND qa.cid = p.cid
+         |    AND qa.m = mem.m AND qa.code = mem.code
+         |  WHERE p.qid <> mem.nid GROUP BY 1, 2)
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfPqResidualTopKTrained(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8,
+          k = 16, topK = 5)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // IVF-PQ with an EXTERNAL query set (Similarity.ivfPqSearch): index
     // vectors >= 8, query with vectors < 8 — the serve-time shape (new
     // vectors against a built compressed index; no self-exclusion). Oracle

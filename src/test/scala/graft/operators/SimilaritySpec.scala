@@ -388,6 +388,31 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("trained residual plan shape: Lloyd rounds keep the candidate join cell-keyed") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val v = Similarity.prepared(emb, "vec_id", "embedding")
+    val p = Similarity.ivfPqResidualPlan(v, v, selfExclude = true,
+        dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5,
+        pin = identity, trainedUpdates = 1)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(cid") ||
+      """Left keys \[1\]: \[cid""".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("ivfPqResidualTopKTrained: self-cleans and training changes the index, not the contract") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    graft.core.Storage.freeAll(spark, blocking = true)
+    val out = Similarity.ivfPqResidualTopKTrained(emb, "vec_id", "embedding",
+      dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8, k = 16, topK = 5)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    // contract: every query gets <= topK ranked neighbors, never itself
+    assert(out.nonEmpty && out.forall { case (q, n, r) => q != n && r >= 1 && r <= 5 })
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+  }
+
   test("ivfPqResidualSearch: external twin ranks first, serve path self-cleans") {
     // clustered corpus (the regime residual PQ exists for — on the uniform
     // fixture residuals dwarf the codebook and the twin's quantization
