@@ -44,6 +44,81 @@ object ApproxOps {
           .otherwise(abs(col("n_approx") - col("n_exact")).cast("double") /
             col("n_exact") <= tol).as("approx_ok"))
 
+  /** KMV (k-minimum-values) distinct sketch per key: keep the k SMALLEST
+    * distinct 48-bit hashes of the value; with hashes uniform on [0, 2^48),
+    * the k-th smallest h_k estimates the distinct count as
+    * (k - 1) * 2^48 / h_k (the classic KMV/bottom-k estimator). Two
+    * properties HLL lacks make it worth carrying alongside ax1:
+    * DETERMINISM — hashes are md5-derived constants, so the raw estimate
+    * itself is oracle-checkable bit-for-bit (no accuracy-contract
+    * indirection) — and SET ALGEBRA — bottom-k sketches merge under set
+    * union ([[kmvUnionIntersect]]), giving distinct-union and
+    * Jaccard-intersection estimates.
+    *
+    * Scale shape: values reduce to distinct (key, 8-byte hash) pairs BEFORE
+    * any shuffle; the per-key bottom-k is a rank window (WindowGroupLimit
+    * keeps only k rows per key below the sort), so sketch state is k longs
+    * per key. Keys with fewer than k distinct values report the EXACT
+    * count (the sketch saw everything).
+    */
+  def kmvDistinctByKey(df: DataFrame, keyCol: String, valCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ranked = df
+      .select(col(keyCol), Dedup.hash48(col(valCol)).as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("sketch_size"), max(col("h")).as("kth_hash"))
+      .select(col(keyCol), col("sketch_size"),
+        when(col("sketch_size") < k, col("sketch_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
+            col("kth_hash").cast("double")).as("kmv_est"))
+  }
+
+  /** Distinct-union and intersection estimates from merged bottom-k
+    * sketches: SU = the k smallest hashes of HA UNION HB; the union size
+    * estimates as KMV on SU, the Jaccard similarity as
+    * |SU ∩ HA ∩ HB| / |SU| (every SU member is a uniform sample of the
+    * union), and the intersection as jaccard x union. One row out. When the
+    * union has fewer than k distinct hashes the sketch saw everything and
+    * all five numbers are exact. All arithmetic is a fixed expression over
+    * integers, so the oracle hash-matches.
+    */
+  def kmvUnionIntersect(a: DataFrame, b: DataFrame, valCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val two = 281474976710656.0 // 2^48
+    // global bottom-k as orderBy+limit: plans as TakeOrderedAndProject
+    // (per-partition top-k, driver merges k items) — never a
+    // single-partition global sort over the distinct-hash set
+    def bottomK(df: DataFrame): DataFrame = df
+      .select(Dedup.hash48(col(valCol)).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+    val sa = bottomK(a)
+    val sb = bottomK(b)
+    // merge: bottom-k of the union of the two sketches (= bottom-k of
+    // HA UNION HB, because any union-bottom-k hash is within its own
+    // side's bottom-k)
+    val su = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+    val both = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+    val est = su.agg(count(lit(1)).as("u_size"), max(col("h")).as("kth"))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(
+        when(col("u_size") < k, col("u_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble * two) / col("kth").cast("double"))
+          .as("n_union_est"),
+        (col("n_both").cast("double") / col("u_size").cast("double"))
+          .as("jaccard_est"),
+        col("u_size"), col("n_both"))
+    est.select(col("n_union_est"), col("jaccard_est"),
+      (col("jaccard_est") * col("n_union_est")).as("n_intersect_est"),
+      col("u_size").as("sketch_size"), col("n_both").as("n_shared"))
+  }
+
   /** Per-key count + whether the approximate percentile `p` (quantile
     * summaries with `accuracy`) lies within the exact [lo, hi] percentile
     * window — the rank-error contract restated over values.

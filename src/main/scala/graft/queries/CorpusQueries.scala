@@ -762,6 +762,73 @@ object CorpusQueries {
         .orderBy(col("round"), col("ida"), col("idb"))
     },
 
+    // KMV (bottom-k) distinct sketch per language (ApproxOps
+    // .kmvDistinctByKey): unlike HLL (ax1), the md5-derived hashes make the
+    // raw ESTIMATE deterministic, so the oracle checks it bit-for-bit — no
+    // accuracy-contract indirection. Languages with < k distinct tokens
+    // report the exact count.
+    QueryDef(
+      "ax3_kmv_distinct",
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |th AS (SELECT DISTINCT lang, ${sqlHash("w", 12)} AS h
+         |  FROM toks WHERE len(w) > 0),
+         |ranked AS (SELECT lang, h,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM th),
+         |sk AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         |    MAX(h) AS kth FROM ranked WHERE rn <= 64 GROUP BY lang)
+         |SELECT lang, sketch_size,
+         |  CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+         |       ELSE (63.0 * 281474976710656.0) / CAST(kth AS DOUBLE)
+         |  END AS kmv_est
+         |FROM sk ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.ApproxOps.kmvDistinctByKey(toks, "lang", "w", k = 64)
+        .orderBy(col("lang"))
+    },
+
+    // KMV set algebra (ApproxOps.kmvUnionIntersect): merged bottom-k
+    // sketches estimate the distinct UNION, Jaccard, and INTERSECTION of
+    // two token sets — the set operations HLL cannot express. Sketches are
+    // k-row frames; the merge is bottom-k of their union, and every number
+    // is a fixed deterministic expression the oracle replays.
+    QueryDef(
+      "ax4_kmv_setops",
+      s"""WITH ta AS (SELECT unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |ha AS (SELECT DISTINCT ${sqlHash("w", 12)} AS h FROM ta WHERE len(w) > 0),
+         |hb AS (SELECT DISTINCT ${sqlHash("w", 12)} AS h FROM tb WHERE len(w) > 0),
+         |sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         |sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         |su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+         |  ORDER BY h LIMIT 64),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS u_size, MAX(h) AS kth FROM su),
+         |bothc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM su
+         |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+         |SELECT
+         |  CASE WHEN u_size < 64 THEN CAST(u_size AS DOUBLE)
+         |       ELSE (63.0 * 281474976710656.0) / CAST(kth AS DOUBLE)
+         |  END AS n_union_est,
+         |  CAST(n_both AS DOUBLE) / CAST(u_size AS DOUBLE) AS jaccard_est,
+         |  (CAST(n_both AS DOUBLE) / CAST(u_size AS DOUBLE)) *
+         |    (CASE WHEN u_size < 64 THEN CAST(u_size AS DOUBLE)
+         |          ELSE (63.0 * 281474976710656.0) / CAST(kth AS DOUBLE) END)
+         |    AS n_intersect_est,
+         |  u_size AS sketch_size, n_both AS n_shared
+         |FROM stats, bothc""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def toks(p: org.apache.spark.sql.Column) = docs.filter(p)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.ApproxOps.kmvUnionIntersect(
+        toks(col("doc_id") % 2 === 0), toks(col("doc_id") % 2 === 1),
+        "w", k = 64)
+    },
+
     // Edit-distance verification of banding candidates (Dedup Scaladoc):
     // levenshtein <= 30% of the longer text, integer cross-multiplied.
     QueryDef(

@@ -31,4 +31,51 @@ class ApproxOpsSpec extends SparkSpec {
       0.5, 0.4999, 0.5001, 1)
     assert(!out.collect()(0).getAs[Boolean]("approx_ok"))
   }
+
+  test("KMV: estimate tracks exact distinct at ~1/sqrt(k) error, small keys exact") {
+    // 5000 distinct values under key "big" (KMV regime), 10 under "small"
+    // (below k: the sketch saw everything -> exact). Deterministic hashes,
+    // so the measured error is a fixed number — bound it at ~3 sigma for
+    // k = 64 (sigma ~ 12.6%)
+    val rows = (1 to 5000).map(i => ("big", s"tok_$i")) ++
+      (1 to 10).map(i => ("small", s"s_$i"))
+    val out = ApproxOps.kmvDistinctByKey(rows.toDF("k", "v"), "k", "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("sketch_size"), r.getAs[Double]("kmv_est"))).toMap
+    assert(out("small") == ((10L, 10.0)), out("small").toString)
+    val (size, est) = out("big")
+    assert(size == 64L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.38, s"est=$est")
+    // determinism: a second run returns the identical double
+    val again = ApproxOps.kmvDistinctByKey(rows.toDF("k", "v"), "k", "v", 64)
+      .filter($"k" === "big").collect()(0).getAs[Double]("kmv_est")
+    assert(again == est)
+  }
+
+  test("KMV set algebra: union/intersection estimates track known overlap; merge = bottom-k of union") {
+    val a = (0 until 1000).map(i => Tuple1(s"w_$i")).toDF("v")
+    val b = (500 until 1500).map(i => Tuple1(s"w_$i")).toDF("v")
+    val r = ApproxOps.kmvUnionIntersect(a, b, "v", k = 64).collect()(0)
+    val union = r.getAs[Double]("n_union_est")
+    val jacc = r.getAs[Double]("jaccard_est")
+    val inter = r.getAs[Double]("n_intersect_est")
+    // truth: union 1500, jaccard 1/3, intersection 500. KMV sigma ~12.6%,
+    // jaccard adds sampling noise — generous 3-sigma-ish bounds on the
+    // deterministic fixture
+    assert(math.abs(union - 1500.0) / 1500.0 < 0.38, s"union=$union")
+    assert(math.abs(jacc - 1.0 / 3.0) < 0.2, s"jacc=$jacc")
+    assert(math.abs(inter - 500.0) / 500.0 < 0.6, s"inter=$inter")
+    // merge correctness: the sketch of the union equals bottom-k computed
+    // directly over A UNION B — the mergeability KMV promises
+    val direct = ApproxOps.kmvDistinctByKey(
+      a.unionByName(b).select(lit("u").as("k"), $"v"), "k", "v", 64)
+      .collect()(0).getAs[Double]("kmv_est")
+    assert(direct == union, s"merged=$union direct=$direct")
+    // disjoint sets: intersection terms collapse to zero exactly
+    val c = (5000 until 6000).map(i => Tuple1(s"w_$i")).toDF("v")
+    val rd = ApproxOps.kmvUnionIntersect(a, c, "v", k = 64).collect()(0)
+    assert(rd.getAs[Long]("n_shared") == 0L)
+    assert(rd.getAs[Double]("n_intersect_est") == 0.0)
+    assert(rd.getAs[Double]("jaccard_est") == 0.0)
+  }
 }
