@@ -65,4 +65,34 @@ object HeavyHitters {
       .filter(col("rank") <= topN)
       .select(col("grp").as(groupCol), col("term"), col("freq"), col("rank"))
   }
+
+  /** Per-TUMBLING-WINDOW heavy hitters with exact recount — the batch twin
+    * of `EventStreams.windowedHeavyHitters`: the same one-MG-sketch-per-
+    * window aggregate produces the candidate set (identical sketch state to
+    * what the streaming query holds per window), then a second keyed pass
+    * recounts candidates exactly and ranks the top-N per window. With
+    * k >= the per-window value cardinality the sketch is lossless and the
+    * result IS the exact per-window top-N — the hh1/hh2 oracle discipline,
+    * now time-windowed. At scale both passes shuffle only (window, value)
+    * pairs; sketch state is k counters per window.
+    */
+  def topValuesByWindow(df: DataFrame, tsCol: String, valueCol: String,
+                        windowLen: String, k: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(
+      window(col(tsCol), windowLen)("start").as("window_start"),
+      col(valueCol).as("__mg_item"))
+    val cands = rows.groupBy(col("window_start"))
+      .agg(map_keys(sketchOf(col("__mg_item"), k)).as("__cands"))
+      .select(col("window_start").as("__cw"), explode(col("__cands")).as("__cand"))
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("freq").desc, col("value").asc)
+    rows.join(broadcast(cands),
+        rows("window_start") === cands("__cw") &&
+          col("__mg_item") === col("__cand"), "left_semi")
+      .groupBy(col("window_start"), col("__mg_item").as("value"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+  }
 }

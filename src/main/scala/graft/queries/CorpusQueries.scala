@@ -1308,6 +1308,32 @@ object CorpusQueries {
         .orderBy(col("lang"), col("rank"))
     },
 
+    // Windowed heavy hitters — the BATCH TWIN of the streaming
+    // windowedHeavyHitters monitor (one Misra-Gries sketch per tumbling
+    // window + exact candidate recount). k = 16 >= the event_type
+    // cardinality, so the sketch is lossless and the oracle is the exact
+    // per-window top-3. EventStreamsSpec asserts the live streaming query
+    // reaches identical per-window candidate sets.
+    QueryDef(
+      "hh3_windowed_top_values",
+      """WITH rows0 AS (SELECT
+        |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+        |      AS window_start,
+        |    event_type AS value
+        |  FROM events),
+        |tf AS (SELECT window_start, value, COUNT(*) AS freq
+        |  FROM rows0 GROUP BY 1, 2)
+        |SELECT window_start, value, freq, rank FROM (
+        |  SELECT window_start, value, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY window_start
+        |      ORDER BY freq DESC, value) AS rank
+        |  FROM tf) WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin) { (s, d) =>
+      graft.operators.HeavyHitters.topValuesByWindow(
+          Tables.events(s, d), "ts", "event_type", "1 hour", k = 16, topN = 3)
+        .orderBy(col("window_start"), col("rank"))
+    },
+
     // == multimodal ==
 
     // Real container bytes (PNG/BMP/GIF headers built by encodeMedia) parsed

@@ -321,6 +321,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters parity: streaming per-window candidates equal the hh3 batch twin's") {
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture events through a two-batch stream; k = 16 >= event_type
+    // cardinality, so the MG sketch is lossless and batch/stream candidate
+    // sets must be IDENTICAL per window (not merely supersets)
+    val evs = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    assert(evs.length > 100)
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Event]
+    val q = windowedHeavyHitters(input.toDF(), "event_type", k = 16)
+      .writeStream.format("memory").queryName("hh3_stream_parity")
+      .outputMode("complete").start()
+    try {
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("hh3_stream_parity")
+        .select($"window_start", map_keys($"candidates").as("ks"))
+        .as[(java.sql.Timestamp, Seq[String])].collect()
+        .map { case (ws, ks) => ws -> ks.toSet }.toMap
+      val batch = windowedHeavyHitters(
+          graft.core.Tables.events(spark, sf), "event_type", k = 16)
+        .select($"window_start", map_keys($"candidates").as("ks"))
+        .as[(java.sql.Timestamp, Seq[String])].collect()
+        .map { case (ws, ks) => ws -> ks.toSet }.toMap
+      assert(streamed.keySet == batch.keySet,
+        s"windows differ: ${streamed.keySet.size} vs ${batch.keySet.size}")
+      streamed.foreach { case (ws, ks) =>
+        assert(ks == batch(ws), s"window $ws: stream=$ks batch=${batch(ws)}")
+      }
+    } finally q.stop()
+  }
+
   test("dedupIngestBucketed parity: live two-batch stream equals the ds1 oracle twin") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_ingest_bkt")
