@@ -52,6 +52,33 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** LEAKAGE-SAFE split: assign train/val/test by CLUSTER, not by document
+    * — every member of a near-dup cluster lands in the same split, so the
+    * eval set can never contain a near-duplicate of a training document
+    * (the contamination document-level splitting silently permits).
+    * `labels` maps document ids to cluster labels (the
+    * `Dedup.connectedComponents` output shape); documents absent from it
+    * are singletons keyed by their own id. The split hash keys on the
+    * cluster representative, so it inherits every determinism property of
+    * [[splitAssign]] — and growing a cluster (new near-dups arriving) pulls
+    * the new members into the EXISTING split rather than reshuffling.
+    *
+    * Scale shape: `labels` only contains docs that belong to some near-dup
+    * pair — a small fraction of any deduplicated corpus — so the join
+    * broadcasts; the split itself stays a map-side expression.
+    */
+  def splitAssignByCluster(df: DataFrame, idCol: String, labels: DataFrame,
+                           labelIdCol: String, clusterCol: String,
+                           fractions: Seq[(String, Double)],
+                           salt: String): DataFrame = {
+    val lab = labels.select(col(labelIdCol).as("__lid"),
+      col(clusterCol).as("__cluster"))
+    val keyed = df.join(broadcast(lab), col(idCol) === col("__lid"), "left")
+      .withColumn("__rep", coalesce(col("__cluster"), col(idCol)))
+    splitAssign(keyed, "__rep", fractions, salt)
+      .drop("__lid", "__cluster", "__rep")
+  }
+
   /** Weighted Bernoulli sample: each row survives with probability equal to
     * its own `weightCol` (clamped to [0, 1]) — quality-weighted corpus
     * downsampling, where high-quality documents keep (near-)certainty and

@@ -420,6 +420,50 @@ object CorpusQueries {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     },
 
+    // LEAKAGE-SAFE split (Sampling.splitAssignByCluster): the split keys on
+    // each document's near-dup CLUSTER representative (d9's connected
+    // components; singletons key on their own id), so no near-duplicate of
+    // a training doc can land in val/test. Oracle = d9's recursive-CTE
+    // component labels composed with sm2's md5 split CASE over the
+    // representative — leakage safety is hash-checked end to end, clusters
+    // included.
+    QueryDef(
+      "sp1_leakage_safe_split",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y),
+         |comp AS (SELECT x AS sid, min(y) AS component FROM r GROUP BY x),
+         |rep AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rp
+         |  FROM documents d LEFT JOIN comp c ON c.sid = d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN ${sqlHash("'sp:' || rp", 8)} < ${math.round(0.8 * 4294967296L)} THEN 'train'
+         |       WHEN ${sqlHash("'sp:' || rp", 8)} < ${math.round(0.9 * 4294967296L)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rep ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labels = graft.core.Storage.freeingIntermediates(s) {
+        Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5))
+      }
+      graft.operators.Sampling.splitAssignByCluster(docs, "doc_id", labels,
+          "sid", "component",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    },
+
     // Stratified: keep every zh/fr doc, 20% of the rest — the language
     // rebalancing pass of a multilingual corpus build.
     QueryDef(

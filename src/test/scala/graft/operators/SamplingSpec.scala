@@ -111,4 +111,31 @@ class SamplingSpec extends SparkSpec {
       Sampling.shuffleOrder(spark, withNull, "doc_id", "ep0").collect())
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
+
+  test("splitAssignByCluster: clusters never straddle splits, singletons match plain split, growth is stable") {
+    val docs = (1L to 400L).map(Tuple1(_)).toDF("id")
+    // clusters: {1..5} -> 1, {10,11} -> 10; everyone else singleton
+    val labels = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)) ++
+      Seq((10L, 10L), (11L, 10L))).toDF("sid", "component")
+    val out = Sampling.splitAssignByCluster(docs, "id", labels,
+      "sid", "component", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    // leakage invariant: every cluster member shares one split
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(out).size == 1)
+    assert(Set(10L, 11L).map(out).size == 1)
+    // singletons degrade to the plain document-keyed split
+    val plain = Sampling.splitAssign(docs.filter($"id" > 20), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    plain.foreach { case (id, sp) => assert(out(id) == sp, s"id=$id") }
+    // growth stability: a NEW doc joining cluster 1 gets cluster 1's
+    // existing split — no reshuffle of anything already assigned
+    val grown = Sampling.splitAssignByCluster(
+      (1L to 401L).map(Tuple1(_)).toDF("id"), "id",
+      labels.unionByName(Seq((401L, 1L)).toDF("sid", "component")),
+      "sid", "component", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(grown(401L) == out(1L))
+    (1L to 400L).foreach(id => assert(grown(id) == out(id)))
+  }
 }
