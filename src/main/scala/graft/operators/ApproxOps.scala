@@ -111,7 +111,10 @@ object ApproxOps {
         when(col("u_size") < k, col("u_size").cast("double"))
           .otherwise(lit((k - 1).toDouble * two) / col("kth").cast("double"))
           .as("n_union_est"),
-        (col("n_both").cast("double") / col("u_size").cast("double"))
+        // empty union: jaccard is 0 by convention, not a division abort
+        // (ANSI mode turns n/0 into a job failure)
+        when(col("u_size") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") / col("u_size").cast("double"))
           .as("jaccard_est"),
         col("u_size"), col("n_both"))
     est.select(col("n_union_est"), col("jaccard_est"),

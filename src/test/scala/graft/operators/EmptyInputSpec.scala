@@ -68,6 +68,41 @@ class EmptyInputSpec extends SparkSpec {
       "k", "bk", 4).count() == 0)
   }
 
+  test("round-8 operators: empty in, empty out, schema intact") {
+    // residual serve with an empty QUERY set and an empty CORPUS
+    assert(Similarity.ivfPqResidualSearch(noVecs, noVecs, "vec_id",
+      "embedding", 64, 16, 4, 8, 16, 5).count() == 0)
+    assert(Similarity.ivfPqResidualTopKTrained(noVecs, "vec_id", "embedding",
+      64, 16, 1, 4, 8, 16, 5).count() == 0)
+    // batched BPE on nothing: zero merges, schema intact
+    val bm = TextOps.bpeMergesBatched(noDocs, "text", rounds = 3, batchK = 4)
+    assert(bm.columns.toSeq ==
+      Seq("rank", "lft", "rgt", "merged", "pair_freq") && bm.count() == 0)
+    // KMV: empty input -> empty per-key sketch; set algebra on two empty
+    // sides -> one row of zeros (u_size 0 guards the division)
+    assert(ApproxOps.kmvDistinctByKey(noDocs, "doc_id", "text", 64).count() == 0)
+    val kv = ApproxOps.kmvUnionIntersect(
+      noDocs.select($"text".as("v")), noDocs.select($"text".as("v")), "v", 64)
+      .collect()(0)
+    assert(kv.getAs[Double]("n_union_est") == 0.0)
+    assert(kv.getAs[Long]("n_shared") == 0L)
+    // windowed heavy hitters on an empty event frame
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "ts", "event_type")
+    val hh = HeavyHitters.topValuesByWindow(noEvents, "ts", "event_type",
+      "1 hour", 16, 3)
+    assert(hh.columns.toSeq ==
+      Seq("window_start", "value", "freq", "rank") && hh.count() == 0)
+    // cluster-keyed split: empty corpus and empty labels both behave
+    val noLabels = Seq.empty[(Long, Long)].toDF("sid", "component")
+    assert(Sampling.splitAssignByCluster(noDocs, "doc_id", noLabels,
+      "sid", "component", Seq("train" -> 0.8, "val" -> 0.2), "sp").count() == 0)
+    val sp = Sampling.splitAssignByCluster(Seq(Tuple1(7L)).toDF("doc_id"),
+      "doc_id", noLabels, "sid", "component",
+      Seq("train" -> 0.8, "val" -> 0.2), "sp")
+    assert(sp.count() == 1 && sp.columns.contains("split"))
+  }
+
   test("etl/sampling operators: empty in, empty out, schema intact") {
     val noOrders = Seq.empty[(Long, Int, String)].toDF("k", "t", "attr")
     val scd = EtlOps.scd2(noOrders, "k", Seq("t"), Seq("attr"))
