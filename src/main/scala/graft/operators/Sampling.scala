@@ -142,8 +142,14 @@ object Sampling {
     val counts = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_s"))
       .withColumn("w_fp", round(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
-    val totals = counts.agg(sum(col("n_s")).as("n_tot"), sum(col("w_fp")).as("w_tot"))
-    val rates = counts.crossJoin(broadcast(totals))
+    // totals ride an unpartitioned window over the counts frame — source
+    // cardinality is dimension-sized, and this drops the separate global
+    // aggregate + crossJoin(broadcast) (one fewer job, same exact sums)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = counts
+      .withColumn("n_tot", sum(col("n_s")).over(wAll))
+      .withColumn("w_tot", sum(col("w_fp")).over(wAll))
       .select(col(srcCol),
         least(lit(1.0),
           lit(targetFrac) * col("n_tot").cast("double") * col("w_fp").cast("double") /
