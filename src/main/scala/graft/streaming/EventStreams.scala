@@ -200,6 +200,65 @@ object EventStreams {
     }
   }
 
+  /** IDEMPOTENT ingestion dedup — closes [[dedupIngest]]'s documented
+    * at-least-once caveat: foreachBatch re-runs a failed batch with the
+    * SAME batchId, so every output (pairs, surviving docs, band-index rows)
+    * is written to an `ingest_batch = batchId` partition with dynamic
+    * partition overwrite — a retry REPLACES its own partition instead of
+    * appending duplicates — and every read filters to
+    * `ingest_batch < batchId`, so a retry sees exactly the pre-batch state
+    * even when the failed attempt already wrote files (the filter is
+    * partition-pruned, so "read the committed prefix" costs nothing).
+    * Seed the corpus and index under `ingest_batch = -1`.
+    *
+    * Storage-format tradeoff, stated honestly: the index here is PLAIN
+    * partitioned parquet, not the bucketed table of
+    * [[dedupIngestBucketed]] — Spark cannot partition-overwrite a bucketed
+    * managed table, so exactly-once and the exchange-free corpus join
+    * currently exclude each other; a transactional table format provides
+    * both, at the cost of an external dependency.
+    */
+  def dedupIngestIdempotent(stream: DataFrame, corpusDocsPath: String,
+                            bandIndexPath: String, pairsOutPath: String,
+                            idCol: String, textCol: String, n: Int,
+                            threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatchIdempotent(batch, batchId, corpusDocsPath, bandIndexPath,
+        pairsOutPath, idCol, textCol, n, threshold)
+    }
+
+  /** One idempotent micro-batch — public so retry semantics are testable
+    * without faulting a live query: calling this twice with the same
+    * (batch, batchId) leaves byte-identical state.
+    */
+  def ingestBatchIdempotent(batch: DataFrame, batchId: Long,
+                            corpusDocsPath: String, bandIndexPath: String,
+                            pairsOutPath: String, idCol: String,
+                            textCol: String, n: Int,
+                            threshold: Double): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{broadcast, col, greatest, lit}
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    def committed(path: String) =
+      spark.read.parquet(path).filter(col("ingest_batch") < batchId)
+    val corpus = committed(corpusDocsPath)
+    val bands = committed(bandIndexPath)
+    val pairs = Dedup.incrementalNearDupPairs(
+      b, corpus, bands, idCol, textCol, n, threshold).localCheckpoint(false)
+    graft.sources.Sinks.overwriteRunPartition(
+      pairs.withColumn("ingest_batch", lit(batchId)), pairsOutPath, "ingest_batch")
+    val losers = pairs.select(greatest(col("ida"), col("idb")).as("loser"))
+    val kept = b.join(broadcast(losers), b(idCol) === col("loser"), "left_anti")
+      .localCheckpoint(false)
+    graft.sources.Sinks.overwriteRunPartition(
+      kept.withColumn("ingest_batch", lit(batchId)), corpusDocsPath, "ingest_batch")
+    graft.sources.Sinks.overwriteRunPartition(
+      Dedup.bandIndex(kept, idCol, textCol, n)
+        .withColumn("ingest_batch", lit(batchId)), bandIndexPath, "ingest_batch")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

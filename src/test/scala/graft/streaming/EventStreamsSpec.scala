@@ -403,6 +403,51 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("ingestBatchIdempotent: a retried batch leaves byte-identical state, no duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_idem")
+    def p(s: String) = base.resolve(s).toString
+    // seed corpus + index under the ingest_batch = -1 partition
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    graft.sources.Sinks.overwriteRunPartition(
+      corpus.withColumn("ingest_batch", lit(-1L)), p("corpus"), "ingest_batch")
+    graft.sources.Sinks.overwriteRunPartition(
+      graft.operators.Dedup.bandIndex(corpus, "doc_id", "text", 3)
+        .withColumn("ingest_batch", lit(-1L)), p("bands"), "ingest_batch")
+
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      ingestBatchIdempotent(batch.toDF("doc_id", "text"), id,
+        p("corpus"), p("bands"), p("pairs"), "doc_id", "text", 3, 0.5)
+    def state(): (Set[(Long, Long, Long)], Set[(Long, Long)], Long) = (
+      spark.read.parquet(p("pairs"))
+        .select($"ida", $"idb", $"ingest_batch")
+        .as[(Long, Long, Long)].collect().toSet,
+      spark.read.parquet(p("corpus"))
+        .select($"doc_id", $"ingest_batch").as[(Long, Long)].collect().toSet,
+      spark.read.parquet(p("bands")).count())
+
+    val b0 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of seed 1
+      (11L, "one two three four five six seven eight"))       // novel
+    run(b0, 0)
+    val afterFirst = state()
+    // RETRY batch 0 (foreachBatch re-delivers the same id + data after a
+    // failure): state must be byte-identical, not doubled
+    run(b0, 0)
+    assert(state() == afterFirst, "retry must be a no-op")
+    // and the retry did not corrupt incremental semantics: batch 1 still
+    // dedups against what batch 0 ingested, exactly once
+    run(Seq((20L, "one two three four five six seven eight")), 1)
+    val (pairs, corpusIds, _) = state()
+    assert(pairs.map(x => (x._1, x._2)) == Set((1L, 10L), (11L, 20L)), pairs.toString)
+    assert(corpusIds.map(_._1) == Set(1L, 11L), corpusIds.toString)
+    // re-retry of an OLD batch after later batches committed is also safe:
+    // it rewrites partition 0 from the same pre-batch state
+    run(b0, 0)
+    val (pairs2, corpusIds2, _) = state()
+    assert(pairs2 == pairs && corpusIds2 == corpusIds)
+  }
+
   test("dedupWithinWatermark drops retried keys across micro-batches, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
