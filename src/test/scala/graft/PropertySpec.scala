@@ -383,6 +383,80 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV merge property: union sketch equals direct bottom-k on random sets") {
+    import graft.operators.ApproxOps
+    val setGen = for {
+      na <- Gen.choose(5, 400)
+      nb <- Gen.choose(5, 400)
+      offset <- Gen.choose(0, 300)
+    } yield (na, nb, offset)
+    forAllSamples(setGen, 4) { case (na, nb, offset) =>
+      val a = (0 until na).map(i => Tuple1(s"v_$i")).toDF("v")
+      val b = (offset until offset + nb).map(i => Tuple1(s"v_$i")).toDF("v")
+      val merged = ApproxOps.kmvUnionIntersect(a, b, "v", k = 32)
+        .collect()(0).getAs[Double]("n_union_est")
+      val direct = ApproxOps.kmvDistinctByKey(
+        a.unionByName(b).select(lit("u").as("k"), $"v"), "k", "v", 32)
+        .collect()(0).getAs[Double]("kmv_est")
+      assert(merged == direct, s"na=$na nb=$nb off=$offset: $merged != $direct")
+      // small unions are EXACT
+      val trueUnion = ((0 until na) ++ (offset until offset + nb)).distinct.size
+      if (trueUnion < 32) assert(merged == trueUnion.toDouble)
+    }
+  }
+
+  test("cluster split property: random cluster graphs never straddle splits") {
+    import graft.operators.Sampling
+    val genCase = for {
+      nDocs <- Gen.choose(50, 200)
+      nClusters <- Gen.choose(1, 8)
+      assignSeed <- Gen.choose(0, 1 << 20)
+    } yield (nDocs, nClusters, assignSeed)
+    forAllSamples(genCase, 4) { case (nDocs, nClusters, seed) =>
+      val docs = (1L to nDocs.toLong).map(Tuple1(_)).toDF("id")
+      // pseudo-random cluster membership: ~half the docs carry a label
+      val members = (1L to nDocs.toLong)
+        .filter(i => (i * 31 + seed) % 2 == 0)
+        .map(i => (i, ((i * 17 + seed) % nClusters) + 1000L))
+      val labels = members.toDF("sid", "component")
+      val out = Sampling.splitAssignByCluster(docs, "id", labels,
+        "sid", "component",
+        Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15), "px")
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+      assert(out.size == nDocs) // total: every doc assigned exactly once
+      members.groupBy(_._2).foreach { case (c, ms) =>
+        assert(ms.map(m => out(m._1)).toSet.size == 1, s"cluster $c straddles")
+      }
+    }
+  }
+
+  test("windowed heavy hitters property: lossless sketch equals exact per-window top-N") {
+    import graft.operators.HeavyHitters
+    val evGen = Gen.listOfN(120, for {
+      hour <- Gen.choose(0, 5)
+      v <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (hour, v))
+    forAllSamples(evGen, 3) { evs =>
+      val df = evs.zipWithIndex.map { case ((h, v), i) =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + h * 3600000L), v)
+      }.toDF("event_id", "ts", "v")
+      val got = HeavyHitters.topValuesByWindow(df, "ts", "v", "1 hour", 16, 3)
+        .select($"window_start", $"value", $"freq", $"rank")
+        .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+      // independent exact recompute: count per (hour, value), rank by
+      // (freq desc, value asc), keep top 3
+      val want = evs.groupBy(identity).map { case ((h, v), xs) =>
+        (h, v, xs.size.toLong) }.toSeq
+        .groupBy(_._1).flatMap { case (h, rows) =>
+          rows.sortBy { case (_, v, f) => (-f, v) }.zipWithIndex
+            .take(3).map { case ((_, v, f), i) =>
+              (new java.sql.Timestamp(1704067200000L + h * 3600000L),
+                v, f, i + 1L) }
+        }.toSet
+      assert(got == want, s"\ngot=$got\nwant=$want")
+    }
+  }
+
   test("batched BPE at K=1 degrades to exact argmax BPE on arbitrary corpora") {
     // the batched trainer is a SEPARATE implementation (one-pass multi-merge
     // sweeps); at batchK = 1 it must equal both the exact trainer and the
