@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => DotProductLong(c(0), c(1))))
     ext.injectFunction(fn(GraftFunctions.MisraGriesName, classOf[MisraGriesSketch],
       MisraGriesSketch.fromChildren))
+    ext.injectFunction(fn(KmvSketch.Name, classOf[KmvSketch],
+      KmvSketch.fromChildren))
     ext.injectFunction(fn(GraftFunctions.LshBucketsName, classOf[LshBucketsLong],
       c => LshBucketsLong(c(0), c(1), c(2))))
     ext.injectFunction(fn(Md5PrefixLong.Name, classOf[Md5PrefixLong],

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates for corpus-scale profiling: HyperLogLog++
@@ -77,6 +77,33 @@ object ApproxOps {
           .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
             col("kth_hash").cast("double")).as("kmv_est"))
   }
+
+  /** [[kmvDistinctByKey]] as ONE map-side-combinable aggregate — the native
+    * `graft_kmv` TypedImperativeAggregate holds the bottom-k buffer
+    * directly, so there is no distinct pre-shuffle and no rank window: each
+    * map partition keeps k longs per key and the merge tree moves k longs
+    * per node. Identical output contract (and identical DuckDB oracle —
+    * bottom-k is merge-order-independent, so the two plans agree
+    * bit-for-bit); this is also the form a streaming query can hold per
+    * window in the state store.
+    */
+  def kmvDistinctByKeyNative(df: DataFrame, keyCol: String, valCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(col(keyCol))
+      .agg(graft.plans.GraftFunctions
+        .kmvSketch(Dedup.hash48(col(valCol)), k).as("__sk"))
+      .select(col(keyCol), size(col("__sk")).cast("long").as("sketch_size"),
+        kmvEstimate(col("__sk"), k).as("kmv_est"))
+  }
+
+  /** The standard KMV estimate off a bottom-k sketch array: exact size when
+    * the sketch saw everything, (k-1) * 2^48 / h_k otherwise.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
+        element_at(sketch, -1).cast("double"))
 
   /** Distinct-union and intersection estimates from merged bottom-k
     * sketches: SU = the k smallest hashes of HA UNION HB; the union size

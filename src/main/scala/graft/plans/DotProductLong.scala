@@ -117,6 +117,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[MisraGriesSketch].getName, MisraGriesName),
         (children: Seq[Expression]) => MisraGriesSketch.fromChildren(children))
     }
+    val kmvId = FunctionIdentifier(KmvSketch.Name)
+    if (!registry.functionExists(kmvId)) {
+      registry.registerFunction(
+        kmvId,
+        new ExpressionInfo(classOf[KmvSketch].getName, KmvSketch.Name),
+        (children: Seq[Expression]) => KmvSketch.fromChildren(children))
+    }
   }
 
   /** Column-level API; registers into the active session on first use. */
@@ -129,6 +136,14 @@ object GraftFunctions {
   def misraGries(c: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(MisraGriesName, c, lit(k))
+  }
+
+  /** KMV bottom-k sketch aggregate over an already-hashed long column:
+    * ascending array of the k smallest distinct hashes.
+    */
+  def kmvSketch(hashed: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(KmvSketch.Name, hashed, lit(k))
   }
 
   /** Per-table LSH sign-bucket ids (array<long>, one per table); `planes` is

@@ -833,6 +833,33 @@ object CorpusQueries {
         .orderBy(col("lang"))
     },
 
+    // The SAME sketch through the native graft_kmv TypedImperativeAggregate
+    // (ApproxOps.kmvDistinctByKeyNative): one map-side-combinable aggregate
+    // instead of distinct + rank window. Bottom-k is merge-order-
+    // independent, so THE SAME oracle as ax3 hash-checks both plans —
+    // a cross-implementation anchor for the native kernel.
+    QueryDef(
+      "ax5_kmv_native",
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |th AS (SELECT DISTINCT lang, ${sqlHash("w", 12)} AS h
+         |  FROM toks WHERE len(w) > 0),
+         |ranked AS (SELECT lang, h,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM th),
+         |sk AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         |    MAX(h) AS kth FROM ranked WHERE rn <= 64 GROUP BY lang)
+         |SELECT lang, sketch_size,
+         |  CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+         |       ELSE (63.0 * 281474976710656.0) / CAST(kth AS DOUBLE)
+         |  END AS kmv_est
+         |FROM sk ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.ApproxOps.kmvDistinctByKeyNative(toks, "lang", "w", k = 64)
+        .orderBy(col("lang"))
+    },
+
     // KMV set algebra (ApproxOps.kmvUnionIntersect): merged bottom-k
     // sketches estimate the distinct UNION, Jaccard, and INTERSECTION of
     // two token sets — the set operations HLL cannot express. Sketches are

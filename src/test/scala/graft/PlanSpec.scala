@@ -333,6 +333,22 @@ class PlanSpec extends SparkSpec {
       s"trained index intermediates leaked: ${persisted.keySet}")
   }
 
+  test("ax5 native KMV: one partial+final aggregate pair, no distinct pre-shuffle") {
+    // the window-based plan (ax3) needs a distinct aggregate AND a rank
+    // window; the native aggregate must plan as ONE partial/final
+    // ObjectHashAggregate pair over the scan — the single-pass shape that
+    // moves k longs per partition instead of the distinct-hash set.
+    // Inspect the TREE section only (formatted explain repeats every node
+    // in the details section).
+    val tree = plan("ax5_kmv_native").split("\n\n").head
+    val aggs = tree.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+    assert(aggs == 2, s"expected exactly partial+final aggregate:\n$tree")
+    assert(!tree.contains("Window"), s"no rank window in the native path:\n$tree")
+    val exchanges = tree.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"one lang exchange (+ output sort) max:\n$tree")
+  }
+
   test("pq-adc kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("s8_pq_adc_knn")(spark, sf)
     df.collect()

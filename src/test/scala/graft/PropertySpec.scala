@@ -405,6 +405,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native KMV aggregate equals the relational distinct + rank-window form") {
+    import graft.operators.ApproxOps
+    val rowGen = Gen.listOfN(300, for {
+      key <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 150).map(i => s"tok_$i")
+    } yield (key, v))
+    forAllSamples(rowGen, 4) { rows =>
+      val df = rows.toDF("k", "v")
+      def m(out: org.apache.spark.sql.DataFrame) = out
+        .select($"k", $"sketch_size", $"kmv_est")
+        .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // k = 16 exercises BOTH regimes (some keys under, some over)
+      assert(m(ApproxOps.kmvDistinctByKeyNative(df, "k", "v", 16)) ==
+        m(ApproxOps.kmvDistinctByKey(df, "k", "v", 16)))
+    }
+  }
+
   test("cluster split property: random cluster graphs never straddle splits") {
     import graft.operators.Sampling
     val genCase = for {
