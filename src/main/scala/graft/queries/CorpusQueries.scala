@@ -860,6 +860,35 @@ object CorpusQueries {
         .orderBy(col("lang"))
     },
 
+    // Per-window distinct-user estimates — the BATCH TWIN of the streaming
+    // windowedDistinct monitor (one KMV sketch per tumbling window via the
+    // native graft_kmv aggregate; state is k longs per window). k = 64
+    // exercises BOTH regimes across the fixture's windows: sparse hours
+    // report exact counts, dense hours the (k-1)*2^48/h_k estimate — and
+    // determinism makes every number oracle-checkable.
+    QueryDef(
+      "ax6_windowed_distinct",
+      s"""WITH rows0 AS (SELECT
+         |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+         |      AS window_start,
+         |    ${sqlHash("CAST(user_id AS VARCHAR)", 12)} AS h
+         |  FROM events),
+         |th AS (SELECT DISTINCT window_start, h FROM rows0),
+         |ranked AS (SELECT window_start, h,
+         |    ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY h) AS rn
+         |  FROM th),
+         |sk AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         |    MAX(h) AS kth FROM ranked WHERE rn <= 64 GROUP BY window_start)
+         |SELECT window_start, sketch_size,
+         |  CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+         |       ELSE (63.0 * 281474976710656.0) / CAST(kth AS DOUBLE)
+         |  END AS kmv_est
+         |FROM sk ORDER BY window_start""".stripMargin) { (s, d) =>
+      graft.streaming.EventStreams.windowedDistinct(
+          Tables.events(s, d), "user_id", k = 64)
+        .orderBy(col("window_start"))
+    },
+
     // KMV set algebra (ApproxOps.kmvUnionIntersect): merged bottom-k
     // sketches estimate the distinct UNION, Jaccard, and INTERSECTION of
     // two token sets — the set operations HLL cannot express. Sketches are

@@ -78,6 +78,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("candidates"))
   }
 
+  /** Streaming per-window DISTINCT estimates: one KMV bottom-k sketch per
+    * tumbling window (the native `graft_kmv` TypedImperativeAggregate), so
+    * the state store holds k longs per window — never the distinct-value
+    * set — and incremental micro-batch merges are bottom-k insertions. The
+    * kmv estimate is DETERMINISTIC (md5-derived hashes, merge-order-
+    * independent bottom-k), so unlike an HLL monitor the streamed numbers
+    * are reproducible and batch/stream runs agree exactly (the ax6 batch
+    * twin is oracle-checked; the spec proves parity). Batch/stream
+    * agnostic like [[hourlyStats]].
+    */
+  def windowedDistinct(events: DataFrame, valueCol: String, k: Int,
+                       windowLen: String = "1 hour",
+                       watermarkDelay: String = "2 hours",
+                       tsCol: String = "ts"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.plans.GraftFunctions.kmvSketch(
+        graft.operators.Dedup.hash48(col(valueCol).cast("string")), k).as("__sk"))
+      .select(col("window.start").as("window_start"),
+        size(col("__sk")).cast("long").as("sketch_size"),
+        graft.operators.ApproxOps.kmvEstimate(col("__sk"), k).as("kmv_est"))
+  }
+
   /** Streaming exactly-once-per-key dedup with bounded state: duplicates of
     * `keyCols` arriving within `delay` of the watermark are dropped; state
     * for keys older than the watermark is evicted, so memory is bounded by

@@ -403,6 +403,36 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("windowedDistinct parity: streamed KMV estimates equal the batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Event]
+    val q = windowedDistinct(input.toDF(), "user_id", k = 16)
+      .writeStream.format("memory").queryName("wd_parity")
+      .outputMode("complete").start()
+    try {
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("wd_parity")
+        .select($"window_start", $"sketch_size", $"kmv_est")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = windowedDistinct(
+          graft.core.Tables.events(spark, sf), "user_id", k = 16)
+        .select($"window_start", $"sketch_size", $"kmv_est")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // bottom-k is merge-order-independent: streamed DOUBLES are
+      // bit-identical to the batch run, not merely close
+      assert(streamed == batch,
+        s"windows=${streamed.size} vs ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("ingestBatchIdempotent: a retried batch leaves byte-identical state, no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest_idem")
     def p(s: String) = base.resolve(s).toString
