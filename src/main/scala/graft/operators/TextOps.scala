@@ -535,6 +535,69 @@ object TextOps {
     * (map-side combinable), the vocab join is token-keyed (shuffles counts,
     * never text), and the corpus total rides in one broadcast row.
     */
+  /** BIGRAM language-model NLL with STUPID BACKOFF (Brants et al.'s
+    * count-based smoothing — the one that scales, because it needs no
+    * discount fitting): score every document of `df` against a bigram LM
+    * counted over `train`. Per bigram occurrence (w1, w2):
+    * P = c2(w1 w2) / c1(w1) when the bigram was seen in training, else
+    * 0.4 x (c1(w2) + 1) / (N + V) (backoff to the add-one unigram, so OOV
+    * w2 is defined). Extends t12's unigram scorer with CONTEXT: looping
+    * word-salad that unigram NLL scores as fluent gets caught by improbable
+    * transitions. Held-out docs (not in `train`) exercise the backoff path
+    * — on a train-only corpus every bigram is seen and backoff never fires.
+    *
+    * Exactness: counts stay integers; each bigram TYPE pays one -log
+    * rounded to micro-nats (the t12 fixed-point discipline), so engine and
+    * oracle agree bit-for-bit. `n_unseen` (occurrences scored through
+    * backoff) rides along — it is the held-out-ness signal and proves the
+    * backoff branch actually ran.
+    *
+    * Scale shape: everything is (8-byte-ish key, count) aggregation; the
+    * doc side reduces to per-(doc, bigram-type) counts before any join;
+    * totals are a broadcast one-row frame. Docs with < 2 tokens have no
+    * bigrams and drop out, as in the SQL mirror.
+    */
+  def bigramNll(df: org.apache.spark.sql.DataFrame,
+                train: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    def bigrams(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      in.select(col(idCol).as("did"), words(col(textCol)).as("w"))
+        .select(col("did"), explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            struct(element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .select(col("did"), col("p.w1"), col("p.w2"))
+    val tf2 = bigrams(df).groupBy(col("did"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c1 = train.select(explode(words(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = c1.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_size"))
+    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val scored = tf2
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("tok").as("w1"), col("c").as("cw1")), Seq("w1"), "left")
+      .join(c1.select(col("tok").as("w2"), col("c").as("cw2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("did"), col("tf"),
+        when(col("c2").isNotNull,
+          round(-log(col("c2").cast("double") / col("cw1").cast("double")) * 1e6))
+          .otherwise(
+            round(-log((lit(2.0) * (coalesce(col("cw2"), lit(0L)) + 1).cast("double")) /
+              (lit(5.0) * (col("n_total") + col("v_size")).cast("double"))) * 1e6))
+          .cast("long").as("nll_fp"),
+        when(col("c2").isNull, col("tf")).otherwise(0L).as("unseen"))
+    scored.groupBy(col("did"))
+      .agg(sum(col("tf")).as("dl2"),
+        sum(col("tf") * col("nll_fp")).as("nll_sum"),
+        sum(col("unseen")).as("n_unseen"))
+      .select(col("did"), col("dl2"),
+        round(col("nll_sum").cast("double") / (col("dl2").cast("double") * 1e6), 6)
+          .as("avg_nll2"),
+        col("n_unseen"))
+  }
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = df

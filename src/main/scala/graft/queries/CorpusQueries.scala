@@ -1579,6 +1579,48 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram stupid-backoff NLL (TextOps.bigramNll): the LM trains on the
+    // EVEN docs and scores ALL docs, so held-out (odd) docs route unseen
+    // transitions through the 0.4 x add-one-unigram backoff — n_unseen
+    // proves the branch fires. Same micro-nat fixed-point discipline as
+    // t12, one ln() per bigram type.
+    QueryDef(
+      "t17_bigram_nll",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+        |tf2 AS (SELECT doc_id AS did, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |tr AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT tok, COUNT(*) AS c FROM tr GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS v_size FROM c1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |scored AS (SELECT tf2.did, tf2.tf,
+        |    CASE WHEN c2.c IS NOT NULL THEN
+        |      CAST(round(-ln(CAST(c2.c AS DOUBLE) / CAST(u1.c AS DOUBLE)) * 1e6) AS BIGINT)
+        |    ELSE
+        |      CAST(round(-ln((2.0 * CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)) /
+        |        (5.0 * CAST(n_total + v_size AS DOUBLE))) * 1e6) AS BIGINT)
+        |    END AS nll_fp,
+        |    CASE WHEN c2.c IS NULL THEN tf2.tf ELSE CAST(0 AS BIGINT) END AS unseen
+        |  FROM tf2
+        |  LEFT JOIN c2 ON c2.w1 = tf2.w1 AND c2.w2 = tf2.w2
+        |  LEFT JOIN c1 u1 ON u1.tok = tf2.w1
+        |  LEFT JOIN c1 u2 ON u2.tok = tf2.w2
+        |  CROSS JOIN tot)
+        |SELECT did, CAST(SUM(tf) AS BIGINT) AS dl2,
+        |  round(CAST(SUM(tf * nll_fp) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1e6), 6)
+        |    AS avg_nll2,
+        |  CAST(SUM(unseen) AS BIGINT) AS n_unseen
+        |FROM scored GROUP BY did ORDER BY did""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.bigramNll(docs, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .orderBy(col("did"))
+    },
+
     // Unigram-LM surprisal scoring (TextOps.unigramNll): per-token
     // micro-nat surprisal is fixed-point BIGINT from the one ln() call, so
     // summation order can't perturb the hash — the transcendental-function

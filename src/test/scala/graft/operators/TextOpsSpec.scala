@@ -241,6 +241,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out("ba") == Seq("b", "a")) // no rule matches
   }
 
+  test("bigramNll: hand-checkable stupid backoff, context catches unigram-fluent loops") {
+    // train: "x y x y x y" -> c1: x=3, y=3, N=6, V=2; c2: (x,y)=3, (y,x)=2
+    val train = Seq((0L, "x y x y x y")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "x y"),   // seen bigram, P = 3/3 = 1 -> nll 0
+      (2L, "y x"),   // seen, P = 2/3
+      (3L, "x z"),   // unseen + OOV w2: 0.4 * (0+1)/(6+2) = 0.05
+      (4L, "y y y")  // unigram-fluent loop; (y,y) unseen: 0.4 * (3+1)/8 = 0.2
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramNll(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 0.0, 0L)))
+    assert(math.abs(out(2L)._2 - (-math.log(2.0 / 3.0))) < 1e-5 && out(2L)._3 == 0L)
+    assert(math.abs(out(3L)._2 - (-math.log(0.05))) < 1e-5 && out(3L)._3 == 1L)
+    // the context signal: a loop of the corpus's most frequent token scores
+    // WORSE than a real transition — exactly what unigram NLL cannot see
+    assert(math.abs(out(4L)._2 - (-math.log(0.2))) < 1e-5 && out(4L)._3 == 2L)
+    assert(out(4L)._2 > out(2L)._2)
+    // scoring the training corpus itself: every bigram seen, backoff silent
+    val self = TextOps.bigramNll(train, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(self(0L) == 0L)
+  }
+
   test("bpeMergesBatched: K=1 reproduces exact argmax BPE (independent implementations)") {
     val docs = graft.core.Tables.documents(spark, sf).limit(200)
     val exact = TextOps.bpeMerges(docs, "text", rounds = 6)
