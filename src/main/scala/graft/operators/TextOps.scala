@@ -560,25 +560,30 @@ object TextOps {
   def bigramNll(df: org.apache.spark.sql.DataFrame,
                 train: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String): org.apache.spark.sql.DataFrame = {
+    // token identity travels as the 48-bit hash, never the string — the
+    // shuffle-carries-8-byte-keys discipline of the dedup/jaccard machinery
+    // (same accepted collision tradeoff, and the oracle replays the same
+    // hashes)
     def bigrams(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       in.select(col(idCol).as("did"), words(col(textCol)).as("w"))
         .select(col("did"), explode(when(size(col("w")) >= 2,
           transform(sequence(lit(1), size(col("w")) - 1), i =>
-            struct(element_at(col("w"), i).as("w1"),
-              element_at(col("w"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
-        .select(col("did"), col("p.w1"), col("p.w2"))
-    val tf2 = bigrams(df).groupBy(col("did"), col("w1"), col("w2"))
+            struct(Dedup.hash48(element_at(col("w"), i)).as("h1"),
+              Dedup.hash48(element_at(col("w"), i + 1)).as("h2"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))).as("p"))
+        .select(col("did"), col("p.h1"), col("p.h2"))
+    val tf2 = bigrams(df).groupBy(col("did"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("tf"))
     val c1 = train.select(explode(words(col(textCol))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(Dedup.hash48(col("tok")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
     val tot = c1.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_size"))
-    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+    val c2 = bigrams(train).groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("c2"))
     val scored = tf2
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1.select(col("tok").as("w1"), col("c").as("cw1")), Seq("w1"), "left")
-      .join(c1.select(col("tok").as("w2"), col("c").as("cw2")), Seq("w2"), "left")
+      .join(c2, Seq("h1", "h2"), "left")
+      .join(c1.select(col("h").as("h1"), col("c").as("cw1")), Seq("h1"), "left")
+      .join(c1.select(col("h").as("h2"), col("c").as("cw2")), Seq("h2"), "left")
       .crossJoin(broadcast(tot))
       .select(col("did"), col("tf"),
         when(col("c2").isNotNull,

@@ -1586,16 +1586,17 @@ object CorpusQueries {
     // t12, one ln() per bigram type.
     QueryDef(
       "t17_bigram_nll",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, ${sqlHash("w[i]", 12)} AS h1,
+        |    ${sqlHash("w[i+1]", 12)} AS h2
         |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
-        |tf2 AS (SELECT doc_id AS did, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |tf2 AS (SELECT doc_id AS did, h1, h2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
         |tr AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents WHERE doc_id % 2 = 0),
-        |c1 AS (SELECT tok, COUNT(*) AS c FROM tr GROUP BY tok),
+        |c1 AS (SELECT ${sqlHash("tok", 12)} AS h, COUNT(*) AS c FROM tr GROUP BY 1),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
         |    CAST(COUNT(*) AS BIGINT) AS v_size FROM c1),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg
+        |c2 AS (SELECT h1, h2, COUNT(*) AS c FROM bg
         |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
         |scored AS (SELECT tf2.did, tf2.tf,
         |    CASE WHEN c2.c IS NOT NULL THEN
@@ -1606,9 +1607,9 @@ object CorpusQueries {
         |    END AS nll_fp,
         |    CASE WHEN c2.c IS NULL THEN tf2.tf ELSE CAST(0 AS BIGINT) END AS unseen
         |  FROM tf2
-        |  LEFT JOIN c2 ON c2.w1 = tf2.w1 AND c2.w2 = tf2.w2
-        |  LEFT JOIN c1 u1 ON u1.tok = tf2.w1
-        |  LEFT JOIN c1 u2 ON u2.tok = tf2.w2
+        |  LEFT JOIN c2 ON c2.h1 = tf2.h1 AND c2.h2 = tf2.h2
+        |  LEFT JOIN c1 u1 ON u1.h = tf2.h1
+        |  LEFT JOIN c1 u2 ON u2.h = tf2.h2
         |  CROSS JOIN tot)
         |SELECT did, CAST(SUM(tf) AS BIGINT) AS dl2,
         |  round(CAST(SUM(tf * nll_fp) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1e6), 6)
