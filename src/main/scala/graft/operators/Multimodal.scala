@@ -489,6 +489,86 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic WAV fixture for audio near-dup: 49 frames of 40 constant
+    * 16-bit samples each, frame-f amplitude
+    * (g*53 + f*(11 + 6*(g%7)) [+ p*40 when f = 0]) % 256 with
+    * g = id % 101, p = id % 7 — same construction discipline as
+    * [[attachImageFixture]]: docs sharing a group are near-identical
+    * waveforms whose perturbation touches ONE frame (so at most one energy
+    * delta bit flips), and every parameter is closed-form for the oracle.
+    */
+  def attachAudioFixture(spark: SparkSession, df: DataFrame,
+                         idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = (id % 101).toInt
+          val p = (id % 7).toInt
+          val payload = new Array[Byte](49 * 40 * 2)
+          var f = 0
+          while (f < 49) {
+            val pert = if (f == 0) p * 40 else 0
+            val a = (g * 53 + f * (11 + 6 * (g % 7)) + pert) % 256
+            var k = 0
+            while (k < 40) {
+              val off = (f * 40 + k) * 2
+              payload(off) = (a & 0xff).toByte // little-endian int16
+              payload(off + 1) = 0.toByte
+              k += 1
+            }
+            f += 1
+          }
+          MediaRow(id, wavBytes(8000, 1, payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** 48-bit energy-delta hash of PCM WAV audio — the audio analogue of
+    * [[dHashBmp]] (a simplified chromaprint-style signature): parse the
+    * real WAV header, read the 16-bit little-endian samples, split the
+    * sample sequence into 49 frames (sample j belongs to frame
+    * floor(j * 49 / n) — the integer-exact partition), sum |sample| as each
+    * frame's energy, and set bit f when energy(f+1) > energy(f). Loudness
+    * scaling that preserves the energy envelope's direction hashes
+    * identically — the robustness that makes it a NEAR-dup signature.
+    * Empty audio hashes to 0.
+    */
+  def audioEnergyHash(bytes: Array[Byte]): Long = {
+    val (_, _, dataLen, _) = parseWav(bytes)
+    val nSamples = dataLen / 2
+    if (nSamples == 0) return 0L
+    val energies = new Array[Long](49)
+    var j = 0
+    while (j < nSamples) {
+      val lo = bytes(WavHeaderLen + 2 * j) & 0xff
+      val hi = bytes(WavHeaderLen + 2 * j + 1).toInt
+      val s = (hi << 8) | lo
+      energies(((j.toLong * 49) / nSamples).toInt) += math.abs(s)
+      j += 1
+    }
+    var h = 0L
+    var f = 0
+    while (f < 48) {
+      if (energies(f + 1) > energies(f)) h |= 1L << f
+      f += 1
+    }
+    h
+  }
+
+  /** (sid, ahash) for a media frame of WAV bytes — per-row map-side work. */
+  def audioHash(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, audioEnergyHash(bytes)) }
+      }
+      .toDF("sid", "ahash")
+  }
+
   /** 56-bit difference hash of a 24bpp BMP: nearest-neighbor resize to an
     * 8x8 thumbnail (the real [[resizeBmp]] pixel path), per-pixel grayscale
     * as the exact integer channel sum (no luma weights — engine-exact), and

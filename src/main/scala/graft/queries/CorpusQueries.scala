@@ -1550,6 +1550,44 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Audio perceptual near-dup: 48-bit energy-delta hash (the audio
+    // analogue of m5's dHash — parse REAL WAV bytes, frame the samples,
+    // sum |amplitude| per frame, bit f = energy rising) + the shared
+    // hamming chunk banding. The fixture perturbs ONE frame per group
+    // member, so group-mates differ by <= 1 bit; the oracle replays the
+    // closed-form frame amplitudes (energy = 40 x amplitude, so the
+    // comparison order is identical) — a parser bug (endianness, header
+    // offset, frame split) hash-mismatches.
+    QueryDef(
+      "m6_audio_neardup",
+      s"""WITH ids AS (SELECT doc_id AS sid, doc_id % 101 AS g, doc_id % 7 AS p
+         |  FROM documents),
+         |amps AS (SELECT sid, f,
+         |    (g*53 + f*(11 + 6*(g%7)) + CASE WHEN f = 0 THEN p*40 ELSE 0 END) % 256 AS a
+         |  FROM ids, unnest(generate_series(0, 48)) t(f)),
+         |ah AS (SELECT a1.sid,
+         |    CAST(SUM(CASE WHEN b.a > a1.a
+         |      THEN CAST(1 AS BIGINT) << a1.f ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM amps a1 JOIN amps b ON a1.sid = b.sid AND b.f = a1.f + 1
+         |  GROUP BY a1.sid),
+         |chunks AS (
+         |${(0 until 4).map(c =>
+             s"  SELECT sid, ahash, $c AS chunk, (ahash >> ${12 * c}) & 4095 AS ckey FROM ah")
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.sid AS ida, b.sid AS idb,
+         |    bit_count(xor(a.ahash, b.ahash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.sid < b.sid
+         |) WHERE hamming <= 6 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val sig = Multimodal.audioHash(s,
+        Multimodal.attachAudioFixture(s, Tables.documents(s, d), "doc_id"))
+      Dedup.hammingBandPairs(sig, "ahash", totalBits = 48, maxHamming = 6,
+          numChunks = 4)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Gopher-style rule filter (TextOps.gopherRules): every rule an exact
     // integer predicate (one deterministic division for mean word length).
     // Thresholds chosen to discriminate on the fixtures: ~25% fail the word

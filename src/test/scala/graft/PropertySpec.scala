@@ -368,6 +368,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("audioEnergyHash over arbitrary sample counts equals an independent reference") {
+    // random (possibly frame-unaligned, negative-sample) PCM exercises the
+    // integer frame partition floor(j*49/n), the signed little-endian
+    // sample decode, and the |amplitude| energy — the classes of bug the
+    // fixed 40-samples-per-frame fixture can never catch
+    val caseGen = for {
+      n <- Gen.choose(1, 400)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (n, seed)
+    forAllSamples(caseGen, 25) { case (n, seed) =>
+      val samples = Array.tabulate(n)(j => ((seed + j * 2654435761L) % 65536 - 32768).toShort)
+      val payload = new Array[Byte](2 * n)
+      samples.zipWithIndex.foreach { case (s, j) =>
+        payload(2 * j) = (s & 0xff).toByte
+        payload(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val wav = graft.operators.Multimodal.wavBytes(8000, 1, payload)
+      // independent reference straight off the sample array
+      val energies = new Array[Long](49)
+      samples.zipWithIndex.foreach { case (s, j) =>
+        energies(((j.toLong * 49) / n).toInt) += math.abs(s.toLong)
+      }
+      var want = 0L
+      for (f <- 0 until 48) if (energies(f + 1) > energies(f)) want |= 1L << f
+      assert(graft.operators.Multimodal.audioEnergyHash(wav) == want,
+        s"n=$n seed=$seed")
+    }
+  }
+
   test("distributed BPE training equals the independent single-threaded reference") {
     val wordGen = Gen.listOfN(6, Gen.oneOf("ab", "aab", "abab", "ba", "aaa",
       "abc", "cab", "bcbc", "aa", "b"))
