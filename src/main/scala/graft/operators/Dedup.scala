@@ -274,6 +274,34 @@ object Dedup {
     graft.sources.Bucketing.appendBucketedBy(
       bandIndex(df, idCol, textCol, n), table, Seq("band", "bkey"), nBuckets)
 
+  /** [[writeBandIndex]] in the PARTITIONED-bucketed layout: the index is
+    * additionally partitioned by `ingest_batch` (seed rows land under
+    * `batch`, conventionally -1), so each ingestion batch's bands live in a
+    * partition of their own that [[overwriteBandIndexBatch]] can replace on
+    * retry — exactly-once index maintenance WITHOUT giving up the
+    * exchange-free corpus join: the bucket spec is table-level, so a
+    * committed-prefix read (`ingest_batch < N`) still scans bucket-aligned.
+    */
+  def writeBandIndexPartitioned(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, table: String, nBuckets: Int,
+                                batch: Long = -1L): Unit =
+    graft.sources.Bucketing.writeBucketedPartitionedBy(
+      bandIndex(df, idCol, textCol, n)
+        .withColumn("ingest_batch", lit(batch)),
+      table, "ingest_batch", Seq("band", "bkey"), nBuckets)
+
+  /** Idempotently write ONE batch's bands into a
+    * [[writeBandIndexPartitioned]] table — a retry of the same `batch`
+    * replaces its own partition (drop + bucketed append), never appends
+    * duplicates, and the table's exchange-free join property is preserved.
+    */
+  def overwriteBandIndexBatch(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, table: String, nBuckets: Int,
+                              batch: Long): Unit =
+    graft.sources.Bucketing.overwriteBucketedPartition(
+      bandIndex(df, idCol, textCol, n), table, "ingest_batch", batch,
+      Seq("band", "bkey"), nBuckets)
+
   /** Incremental near-dup detection: verified pairs that TOUCH a new batch —
     * new-vs-new plus new-vs-corpus — WITHOUT re-banding the corpus. At
     * ingestion scale this is the whole game: the corpus index

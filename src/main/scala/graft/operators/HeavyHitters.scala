@@ -75,6 +75,12 @@ object HeavyHitters {
     * result IS the exact per-window top-N — the hh1/hh2 oracle discipline,
     * now time-windowed. At scale both passes shuffle only (window, value)
     * pairs; sketch state is k counters per window.
+    *
+    * Saturation is OBSERVABLE, not silent: every row carries the window's
+    * `n_candidates` (sketch occupancy) and `lossless = n_candidates < k` —
+    * a sketch that never filled cannot have evicted, so `lossless = true`
+    * windows are provably exact top-N, and `false` windows are flagged for
+    * an exact recount rather than quietly approximate.
     */
   def topValuesByWindow(df: DataFrame, tsCol: String, valueCol: String,
                         windowLen: String, k: Int, topN: Int): DataFrame = {
@@ -82,17 +88,22 @@ object HeavyHitters {
     val rows = df.select(
       window(col(tsCol), windowLen)("start").as("window_start"),
       col(valueCol).as("__mg_item"))
-    val cands = rows.groupBy(col("window_start"))
+    val sk = rows.groupBy(col("window_start"))
       .agg(map_keys(sketchOf(col("__mg_item"), k)).as("__cands"))
-      .select(col("window_start").as("__cw"), explode(col("__cands")).as("__cand"))
+      .select(col("window_start").as("__cw"), col("__cands"),
+        size(col("__cands")).cast("long").as("n_candidates"))
     val w = Window.partitionBy(col("window_start"))
       .orderBy(col("freq").desc, col("value").asc)
-    rows.join(broadcast(cands),
-        rows("window_start") === cands("__cw") &&
-          col("__mg_item") === col("__cand"), "left_semi")
-      .groupBy(col("window_start"), col("__mg_item").as("value"))
+    rows.join(broadcast(sk),
+        rows("window_start") === col("__cw") &&
+          array_contains(col("__cands"), col("__mg_item")), "inner")
+      .groupBy(col("window_start"), col("__mg_item").as("value"),
+        col("n_candidates"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topN)
+      .withColumn("lossless", col("n_candidates") < k)
+      .select(col("window_start"), col("value"), col("freq"), col("rank"),
+        col("n_candidates"), col("lossless"))
   }
 }

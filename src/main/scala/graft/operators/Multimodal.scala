@@ -538,6 +538,12 @@ object Multimodal {
     */
   def audioEnergyHash(bytes: Array[Byte]): Long = {
     val (_, _, dataLen, _) = parseWav(bytes)
+    // a header whose dataLen overruns the buffer is malformed — fail loud
+    // like parseWav does, not with an executor-side ArrayIndexOutOfBounds
+    if (WavHeaderLen.toLong + dataLen > bytes.length)
+      throw new IllegalArgumentException(
+        s"not a canonical WAV: dataLen $dataLen overruns " +
+          s"${bytes.length}-byte buffer")
     val nSamples = dataLen / 2
     if (nSamples == 0) return 0L
     val energies = new Array[Long](49)

@@ -71,8 +71,11 @@ object Sampling {
                            labelIdCol: String, clusterCol: String,
                            fractions: Seq[(String, Double)],
                            salt: String): DataFrame = {
+    // dedup defensively: a labels frame with duplicate (id, cluster) rows
+    // (e.g. derived from pairs rather than connectedComponents output) must
+    // not inflate the output row count — it is load-bearing for split writes
     val lab = labels.select(col(labelIdCol).as("__lid"),
-      col(clusterCol).as("__cluster"))
+      col(clusterCol).as("__cluster")).dropDuplicates("__lid")
     val keyed = df.join(broadcast(lab), col(idCol) === col("__lid"), "left")
       .withColumn("__rep", coalesce(col("__cluster"), col(idCol)))
     splitAssign(keyed, "__rep", fractions, salt)
@@ -91,6 +94,72 @@ object Sampling {
                      salt: String): DataFrame =
     df.filter(bucket(col(idCol), salt).cast("double") <
       least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) * Buckets)
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select the `k` raw
+    * documents whose hashed n-gram feature distribution looks most like a
+    * TARGET slice, by sampling with importance weights rather than hard
+    * classification — the standard pretraining data-selection operator.
+    *
+    * Mechanics, each step engine-exact:
+    *  1. Features: unigrams + bigrams hashed into `nBuckets` buckets
+    *     (48-bit md5, the t7/d14 hash discipline).
+    *  2. Bag-of-buckets models with add-one smoothing for the target slice
+    *     (`isTarget` rows) and the raw pool (all rows); the per-bucket
+    *     log-likelihood ratio ln(p_t(b)) - ln(p_r(b)) is rounded to integer
+    *     MICRO-NATS from exact integer counts (t12's fixed-point
+    *     discipline), so per-doc summation is order-free integer addition:
+    *     logw_fp(d) = sum_b c_db x lr_fp(b).
+    *  3. Gumbel top-k resampling, derandomized: the Gumbel noise is
+    *     -ln(-ln(u)) in micro-nats with u = (md5bucket(salt:id)+0.5)/2^32 —
+    *     an exact dyadic rational, so re-runs and engines draw identical
+    *     noise. Sampling WITHOUT replacement ≡ top-k by
+    *     key_fp = logw_fp + gumbel_fp (the Gumbel-max trick), ties broken
+    *     by id.
+    *
+    * Scale shape: features shuffle as (did, bucket) pairs — 8-byte keys,
+    * never text; bucket stats are nBuckets rows (broadcast); selection is
+    * orderBy+limit ⇒ TakeOrderedAndProject (per-partition top-k, driver
+    * merges k rows), never a single-partition sort.
+    */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, nBuckets: Int, k: Int,
+                         salt: String): DataFrame = {
+    val base = df.select(col(idCol).as("did"), isTarget.as("is_t"),
+      graft.operators.TextOps.words(col(textCol)).as("w"))
+    val uni = base.select(col("did"), col("is_t"), explode(col("w")).as("feat"))
+      .filter(length(col("feat")) > 0)
+    val bi = base.filter(size(col("w")) >= 2)
+      .select(col("did"), col("is_t"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("feat"))
+    val feats = uni.unionByName(bi).select(col("did"), col("is_t"),
+      (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
+    val cdb = feats.groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
+    val bc = feats.groupBy(col("b")).agg(count(lit(1)).as("rc"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+    val tot = bc.agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
+    val lr = bc.crossJoin(broadcast(tot)).select(col("b"),
+      round((log((col("tc") + lit(1.0)) / (col("tn") + lit(nBuckets.toDouble)))
+        - log((col("rc") + lit(1.0)) / (col("rn") + lit(nBuckets.toDouble))))
+        * 1e6).cast("long").as("lr_fp"))
+    val logw = cdb.join(broadcast(lr), Seq("b"))
+      .groupBy(col("did")).agg(sum(col("c") * col("lr_fp")).as("logw_fp"))
+    // featureless docs (empty text) carry weight 0, they still compete
+    val all = df.select(col(idCol).as("did"))
+      .join(logw, Seq("did"), "left")
+      .withColumn("logw_fp", coalesce(col("logw_fp"), lit(0L)))
+    all
+      .withColumn("key_fp", col("logw_fp") +
+        round(-log(-log((bucket(col("did"), salt).cast("double") + lit(0.5))
+          / lit(Buckets.toDouble))) * 1e6).cast("long"))
+      .orderBy(col("key_fp").desc, col("did").asc)
+      .limit(k)
+      .select(col("did"), col("logw_fp"),
+        round(col("logw_fp").cast("double") / 1e6, 6).as("logw"),
+        col("key_fp"))
+  }
 
   /** Per-key quota cap: keep at most `k` rows per `keyCol`, chosen by
     * `orderCol` asc (deterministic — never "first seen") — the per-domain /

@@ -78,6 +78,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** Recall@k of one or more ANN result sets against exact ground truth —
+    * the accuracy CONTRACT the ANN ladder was missing: s2–s15 are
+    * hash-verified for determinism, this measures whether the approximate
+    * answers are any good, per method, as an oracle-checkable row
+    * (`method, hits, n, recall, recall_ok`). Integer hits / integer n make
+    * the recall division bit-reproducible across engines (the ApproxOps
+    * discipline: exact numbers + a boolean the oracle asserts).
+    *
+    * `exact` and each method frame carry (qid, nid) rows of their top-k
+    * (dupes impossible by construction); `n` is k x |queries| from the
+    * GROUND TRUTH, so a method returning fewer rows (over-pruned cells) is
+    * penalized, not excused. Scale shape: one semi-join + count per method
+    * — each is a broadcast of the query-set-sized ground truth, no
+    * corpus-sized shuffle.
+    */
+  def annRecall(methods: Seq[(String, DataFrame)], exact: DataFrame, k: Int,
+                minRecall: Double): DataFrame = {
+    require(methods.nonEmpty, "at least one ANN method frame required")
+    val gt = exact.select(col("qid"), col("nid"))
+    val nRow = gt.agg(countDistinct(col("qid")).cast("long").as("n_q"))
+    methods.map { case (name, ann) =>
+      ann.select(col("qid"), col("nid"))
+        .join(broadcast(gt), Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .crossJoin(broadcast(nRow))
+        .select(lit(name).as("method"), col("hits"),
+          (lit(k.toLong) * col("n_q")).as("n"))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall", col("hits").cast("double") / col("n"))
+      .withColumn("recall_ok", col("recall") >= minRecall)
+  }
+
   /** All pairs with cosine >= threshold — brute-force O(n^2) baseline for
     * embedding near-dup detection (use `lshTopK`'s bucketing at scale).
     */

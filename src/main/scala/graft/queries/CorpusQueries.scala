@@ -117,6 +117,141 @@ object CorpusQueries {
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
+  /** IVF-PQ (seeded) CTE chain, shared by the s9 oracle and the s16 recall
+    * oracle: seeded cells, top-1 assignment / top-4 probing, seeded PQ
+    * codebook, ADC distances. Ends at `dist (qid, nid, d2)`; callers rank.
+    */
+  private val ivfPqSeededCtes: String =
+    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+       |cscored AS (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+       |  FROM v CROSS JOIN c),
+       |cranked AS (SELECT sid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+       |  FROM cscored),
+       |e AS (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+       |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+       |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
+       |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+       |a AS (SELECT e.sid, e.m, cb.code,
+       |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+       |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+       |codes AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+       |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+       |  FROM a) WHERE rn = 1),
+       |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
+       |  FROM cranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
+       |probes AS (SELECT cid, sid AS qid FROM cranked WHERE crank <= 4),
+       |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+       |  FROM probes p JOIN members mem ON p.cid = mem.cid
+       |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
+       |  WHERE p.qid <> mem.nid GROUP BY 1, 2)""".stripMargin
+
+  /** RESIDUAL IVF-PQ CTE chain (s13 + s16 oracles): residual elements vs
+    * the assigned seeded cell, residual codebook, per-cell query LUTs.
+    * Ends at `dist (qid, nid, d2)`.
+    */
+  private val ivfPqResidualCtes: String =
+    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+       |cranked AS (SELECT sid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+       |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+       |        FROM v CROSS JOIN c)),
+       |e AS (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+       |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
+       |eres AS (SELECT e.sid, t.cid, e.q - ec.q AS q, e.m, e.j
+       |  FROM e JOIN top1 t ON t.sid = e.sid
+       |  JOIN e ec ON ec.sid = t.cid AND ec.m = e.m AND ec.j = e.j),
+       |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+       |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
+       |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
+       |ar AS (SELECT er.sid, er.m, cbr.code,
+       |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
+       |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
+       |codesr AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+       |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+       |  FROM ar) WHERE rn = 1),
+       |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
+       |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
+       |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
+       |eq AS (SELECT p.qid, p.cid, e.q - ec.q AS q, e.m, e.j
+       |  FROM probes p JOIN e ON e.sid = p.qid
+       |  JOIN e ec ON ec.sid = p.cid AND ec.m = e.m AND ec.j = e.j),
+       |aq AS (SELECT q.qid, q.cid, q.m, cbr.code,
+       |    CAST(SUM((q.q - cbr.q) * (q.q - cbr.q)) AS BIGINT) AS d2
+       |  FROM eq q JOIN cbr ON cbr.m = q.m AND cbr.j = q.j
+       |  GROUP BY 1, 2, 3, 4),
+       |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+       |  FROM probes p JOIN members mem ON p.cid = mem.cid
+       |  JOIN aq qa ON qa.qid = p.qid AND qa.cid = p.cid
+       |    AND qa.m = mem.m AND qa.code = mem.code
+       |  WHERE p.qid <> mem.nid GROUP BY 1, 2)""".stripMargin
+
+  /** TRAINED-cells residual IVF-PQ CTE chain (s15 + s16 oracles): one Lloyd
+    * round refines the coarse quantizer, residuals anchor to rounded-mean
+    * integer centroids, then the residual search. Ends at
+    * `dist (qid, nid, d2)`.
+    */
+  private val ivfPqResidualTrainedCtes: String =
+    s"""c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+       |a1 AS (SELECT sid, qv, cid FROM (
+       |  SELECT v.sid, v.qv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.sid
+       |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+       |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+       |csum AS (SELECT cid, pos, SUM(qv[pos]) AS sx
+       |  FROM a1, unnest(generate_series(1, 64)) AS t(pos) GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM csum GROUP BY cid),
+       |ccnt AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+       |cel AS (SELECT s.cid, ((s.pos - 1) // 8) AS m, ((s.pos - 1) % 8) AS j,
+       |    CAST(round(CAST(s.sx AS DOUBLE) / c.n) AS BIGINT) AS q
+       |  FROM csum s JOIN ccnt c USING (cid)),
+       |cranked AS (SELECT sid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+       |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+       |        FROM v CROSS JOIN c1 c)),
+       |e AS (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+       |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
+       |eres AS (SELECT e.sid, t.cid, e.q - ce.q AS q, e.m, e.j
+       |  FROM e JOIN top1 t ON t.sid = e.sid
+       |  JOIN cel ce ON ce.cid = t.cid AND ce.m = e.m AND ce.j = e.j),
+       |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+       |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
+       |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
+       |ar AS (SELECT er.sid, er.m, cbr.code,
+       |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
+       |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
+       |codesr AS (SELECT sid, m, code FROM (SELECT sid, m, code,
+       |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
+       |  FROM ar) WHERE rn = 1),
+       |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
+       |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
+       |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
+       |eq AS (SELECT p.qid, p.cid, e.q - ce.q AS q, e.m, e.j
+       |  FROM probes p JOIN e ON e.sid = p.qid
+       |  JOIN cel ce ON ce.cid = p.cid AND ce.m = e.m AND ce.j = e.j),
+       |aq AS (SELECT q.qid, q.cid, q.m, cbr.code,
+       |    CAST(SUM((q.q - cbr.q) * (q.q - cbr.q)) AS BIGINT) AS d2
+       |  FROM eq q JOIN cbr ON cbr.m = q.m AND cbr.j = q.j
+       |  GROUP BY 1, 2, 3, 4),
+       |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+       |  FROM probes p JOIN members mem ON p.cid = mem.cid
+       |  JOIN aq qa ON qa.qid = p.qid AND qa.cid = p.cid
+       |    AND qa.m = mem.m AND qa.code = mem.code
+       |  WHERE p.qid <> mem.nid GROUP BY 1, 2)""".stripMargin
+
+  /** The shared final ranking over `dist` for the IVF-PQ oracles. */
+  private val ivfPqRankSelect: String =
+    """SELECT qid, nid, d2, rank FROM (
+      |  SELECT qid, nid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+      |  FROM dist) WHERE rank <= 5""".stripMargin
+
   // ---- definitions --------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -806,6 +941,71 @@ object CorpusQueries {
         .orderBy(col("round"), col("ida"), col("idb"))
     },
 
+    // EXACTLY-ONCE + EXCHANGE-FREE ingestion dedup (VERDICT r8 ask #1):
+    // the same two-batch replay as ds1 driven through
+    // ingestBatchIdempotentBucketed — band index partitioned by
+    // ingest_batch AND bucketed on (band, bkey), docs/pairs in
+    // partition-overwrite parquet — with batch 0 deliberately RETRIED
+    // mid-run. The oracle is ds1's (storage layout and retries must not
+    // change answers): it goes green only if the retry replaced its own
+    // partition instead of duplicating pairs, and DedupSpec's plan
+    // contract separately proves the committed-prefix read stays
+    // bucket-aligned with no corpus-side Exchange.
+    QueryDef(
+      "ds2_ingest_exactly_once",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |vp AS (SELECT ida, idb, jaccard FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |pa AS (SELECT ida, idb, jaccard FROM vp
+         |  WHERE (ida % 8 = 0 OR idb % 8 = 0) AND ida % 8 <> 4 AND idb % 8 <> 4),
+         |la AS (SELECT DISTINCT GREATEST(ida, idb) AS loser FROM pa),
+         |pb AS (SELECT ida, idb, jaccard FROM vp
+         |  WHERE (ida % 8 = 4 OR idb % 8 = 4)
+         |    AND NOT (ida % 8 = 0 AND ida IN (SELECT loser FROM la))
+         |    AND NOT (idb % 8 = 0 AND idb IN (SELECT loser FROM la)))
+         |SELECT ida, idb, jaccard, round FROM (
+         |  SELECT ida, idb, jaccard, CAST(1 AS BIGINT) AS round FROM pa
+         |  UNION ALL
+         |  SELECT ida, idb, jaccard, CAST(2 AS BIGINT) AS round FROM pb)
+         |ORDER BY round, ida, idb""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+      val batchA = docs.filter(col("doc_id") % 8 === 0)
+      val batchB = docs.filter(col("doc_id") % 8 === 4)
+      val table = "graft_band_index_ds2_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      val base = java.nio.file.Files.createTempDirectory("graft_ds2_")
+      val corpusPath = base.resolve("corpus").toString
+      val pairsPath = base.resolve("pairs").toString
+      // seed under ingest_batch = -1: docs in partition-overwrite parquet,
+      // bands in the partitioned bucketed index
+      graft.sources.Sinks.overwriteRunPartition(
+        corpus.withColumn("ingest_batch", lit(-1L)), corpusPath, "ingest_batch")
+      Dedup.writeBandIndexPartitioned(corpus, "doc_id", "text", 3, table,
+        nBuckets = 8)
+      def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        graft.streaming.EventStreams.ingestBatchIdempotentBucketed(
+          batch.select("doc_id", "text"), id, corpusPath, table, 8,
+          pairsPath, "doc_id", "text", n = 3, threshold = 0.5)
+      run(batchA, 0L)
+      run(batchA, 0L) // the retry foreachBatch delivers after a failure
+      run(batchB, 1L)
+      s.read.parquet(pairsPath)
+        .select(col("ida"), col("idb"), col("jaccard"),
+          (col("ingest_batch") + 1L).cast("long").as("round"))
+        .orderBy(col("round"), col("ida"), col("idb"))
+    },
+
     // KMV (bottom-k) distinct sketch per language (ApproxOps
     // .kmvDistinctByKey): unlike HLL (ax1), the md5-derived hashes make the
     // raw ESTIMATE deterministic, so the oracle checks it bit-for-bit — no
@@ -1412,8 +1612,11 @@ object CorpusQueries {
     // windowedHeavyHitters monitor (one Misra-Gries sketch per tumbling
     // window + exact candidate recount). k = 16 >= the event_type
     // cardinality, so the sketch is lossless and the oracle is the exact
-    // per-window top-3. EventStreamsSpec asserts the live streaming query
-    // reaches identical per-window candidate sets.
+    // per-window top-3 — and because it never filled, the sketch's
+    // occupancy equals the window's exact distinct count, so the
+    // saturation columns (n_candidates, lossless) are oracle-replayable
+    // as COUNT(DISTINCT value) per window. EventStreamsSpec asserts the
+    // live streaming query reaches identical per-window candidate sets.
     QueryDef(
       "hh3_windowed_top_values",
       """WITH rows0 AS (SELECT
@@ -1422,13 +1625,19 @@ object CorpusQueries {
         |    event_type AS value
         |  FROM events),
         |tf AS (SELECT window_start, value, COUNT(*) AS freq
-        |  FROM rows0 GROUP BY 1, 2)
-        |SELECT window_start, value, freq, rank FROM (
+        |  FROM rows0 GROUP BY 1, 2),
+        |nc AS (SELECT window_start,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM tf GROUP BY 1)
+        |SELECT r.window_start, value, freq, rank,
+        |  n_candidates, n_candidates < 16 AS lossless
+        |FROM (
         |  SELECT window_start, value, freq,
         |    ROW_NUMBER() OVER (PARTITION BY window_start
         |      ORDER BY freq DESC, value) AS rank
-        |  FROM tf) WHERE rank <= 3
-        |ORDER BY window_start, rank""".stripMargin) { (s, d) =>
+        |  FROM tf) r JOIN nc ON r.window_start = nc.window_start
+        |WHERE rank <= 3
+        |ORDER BY r.window_start, rank""".stripMargin) { (s, d) =>
       graft.operators.HeavyHitters.topValuesByWindow(
           Tables.events(s, d), "ts", "event_type", "1 hour", k = 16, topN = 3)
         .orderBy(col("window_start"), col("rank"))
@@ -1746,6 +1955,51 @@ object CorpusQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // DSIR importance resampling (Sampling.importanceResample, VERDICT r8
+    // ask #3): hashed unigram+bigram features -> 64-bucket target ('en'
+    // slice) vs raw bag models -> per-doc log importance weight in integer
+    // micro-nats (the t12 fixed-point discipline, so summation is
+    // order-free) -> derandomized Gumbel top-k (md5-derived noise).
+    // The oracle replays every step: hashes, integer counts, micro-nat
+    // rounding, Gumbel keys, and the top-200 selection.
+    QueryDef(
+      "sm9_importance_resample",
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |uni AS (SELECT doc_id, lang, unnest(w) AS feat FROM w),
+         |bi AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS feat
+         |  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |f AS (SELECT doc_id, lang, ${sqlHash("feat", 12)} % 64 AS b
+         |  FROM (SELECT * FROM uni WHERE len(feat) > 0
+         |        UNION ALL SELECT * FROM bi)),
+         |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2),
+         |bc AS (SELECT b, COUNT(*) AS rc,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+         |  FROM f GROUP BY b),
+         |tot AS (SELECT SUM(rc) AS rn, SUM(tc) AS tn FROM bc),
+         |lr AS (SELECT b,
+         |    CAST(round((ln((tc + 1.0) / (tn + 64.0))
+         |      - ln((rc + 1.0) / (rn + 64.0))) * 1e6) AS BIGINT) AS lr_fp
+         |  FROM bc CROSS JOIN tot),
+         |logw AS (SELECT doc_id, SUM(c * lr_fp) AS logw_fp
+         |  FROM cdb JOIN lr USING (b) GROUP BY doc_id),
+         |allv AS (SELECT d.doc_id, COALESCE(logw_fp, 0) AS logw_fp
+         |  FROM documents d LEFT JOIN logw USING (doc_id)),
+         |keyed AS (SELECT doc_id, logw_fp, logw_fp + CAST(round(-ln(-ln(
+         |      (CAST(${sqlHash("'ir:' || doc_id", 8)} AS DOUBLE) + 0.5)
+         |        / 4294967296.0)) * 1e6) AS BIGINT) AS key_fp
+         |  FROM allv)
+         |SELECT doc_id, logw_fp,
+         |  round(CAST(logw_fp AS DOUBLE) / 1e6, 6) AS logw, key_fp
+         |FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 200""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.importanceResample(
+          Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", nBuckets = 64, k = 200, salt = "ir")
+        .withColumnRenamed("did", "doc_id")
+        .orderBy(col("key_fp").desc, col("doc_id"))
+    },
+
     // Deterministic global shuffle order (Sampling.shuffleOrder): the
     // reproducible pre-training corpus shuffle — pos is a contiguous 0-based
     // rank by (md5 bucket, id), derived with the two-level prefix pattern
@@ -1969,35 +2223,8 @@ object CorpusQueries {
     QueryDef(
       "s9_ivfpq_knn",
       s"""WITH $quantVecCte,
-         |c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
-         |cscored AS (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
-         |  FROM v CROSS JOIN c),
-         |cranked AS (SELECT sid, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
-         |  FROM cscored),
-         |e AS (SELECT sid, qv[pos] AS q,
-         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
-         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
-         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-         |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
-         |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
-         |a AS (SELECT e.sid, e.m, cb.code,
-         |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
-         |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
-         |codes AS (SELECT sid, m, code FROM (SELECT sid, m, code,
-         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
-         |  FROM a) WHERE rn = 1),
-         |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
-         |  FROM cranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
-         |probes AS (SELECT cid, sid AS qid FROM cranked WHERE crank <= 4),
-         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
-         |  FROM probes p JOIN members mem ON p.cid = mem.cid
-         |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
-         |  WHERE p.qid <> mem.nid GROUP BY 1, 2)
-         |SELECT qid, nid, d2, rank FROM (
-         |  SELECT qid, nid, d2,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
-         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+         |$ivfPqSeededCtes
+         |$ivfPqRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
@@ -2013,46 +2240,8 @@ object CorpusQueries {
     QueryDef(
       "s13_ivfpq_residual",
       s"""WITH $quantVecCte,
-         |c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
-         |cranked AS (SELECT sid, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
-         |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
-         |        FROM v CROSS JOIN c)),
-         |e AS (SELECT sid, qv[pos] AS q,
-         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
-         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
-         |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
-         |eres AS (SELECT e.sid, t.cid, e.q - ec.q AS q, e.m, e.j
-         |  FROM e JOIN top1 t ON t.sid = e.sid
-         |  JOIN e ec ON ec.sid = t.cid AND ec.m = e.m AND ec.j = e.j),
-         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-         |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
-         |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
-         |ar AS (SELECT er.sid, er.m, cbr.code,
-         |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
-         |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
-         |codesr AS (SELECT sid, m, code FROM (SELECT sid, m, code,
-         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
-         |  FROM ar) WHERE rn = 1),
-         |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
-         |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
-         |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
-         |eq AS (SELECT p.qid, p.cid, e.q - ec.q AS q, e.m, e.j
-         |  FROM probes p JOIN e ON e.sid = p.qid
-         |  JOIN e ec ON ec.sid = p.cid AND ec.m = e.m AND ec.j = e.j),
-         |aq AS (SELECT q.qid, q.cid, q.m, cbr.code,
-         |    CAST(SUM((q.q - cbr.q) * (q.q - cbr.q)) AS BIGINT) AS d2
-         |  FROM eq q JOIN cbr ON cbr.m = q.m AND cbr.j = q.j
-         |  GROUP BY 1, 2, 3, 4),
-         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
-         |  FROM probes p JOIN members mem ON p.cid = mem.cid
-         |  JOIN aq qa ON qa.qid = p.qid AND qa.cid = p.cid
-         |    AND qa.m = mem.m AND qa.code = mem.code
-         |  WHERE p.qid <> mem.nid GROUP BY 1, 2)
-         |SELECT qid, nid, d2, rank FROM (
-         |  SELECT qid, nid, d2,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
-         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+         |$ivfPqResidualCtes
+         |$ivfPqRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfPqResidualTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
@@ -2070,63 +2259,72 @@ object CorpusQueries {
     QueryDef(
       "s15_ivfpq_residual_trained",
       s"""WITH $quantVecCte,
-         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
-         |a1 AS (SELECT sid, qv, cid FROM (
-         |  SELECT v.sid, v.qv, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.sid
-         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
-         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
-         |csum AS (SELECT cid, pos, SUM(qv[pos]) AS sx
-         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos) GROUP BY cid, pos),
-         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM csum GROUP BY cid),
-         |ccnt AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
-         |cel AS (SELECT s.cid, ((s.pos - 1) // 8) AS m, ((s.pos - 1) % 8) AS j,
-         |    CAST(round(CAST(s.sx AS DOUBLE) / c.n) AS BIGINT) AS q
-         |  FROM csum s JOIN ccnt c USING (cid)),
-         |cranked AS (SELECT sid, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
-         |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
-         |        FROM v CROSS JOIN c1 c)),
-         |e AS (SELECT sid, qv[pos] AS q,
-         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
-         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
-         |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
-         |eres AS (SELECT e.sid, t.cid, e.q - ce.q AS q, e.m, e.j
-         |  FROM e JOIN top1 t ON t.sid = e.sid
-         |  JOIN cel ce ON ce.cid = t.cid AND ce.m = e.m AND ce.j = e.j),
-         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-         |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
-         |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
-         |ar AS (SELECT er.sid, er.m, cbr.code,
-         |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
-         |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
-         |codesr AS (SELECT sid, m, code FROM (SELECT sid, m, code,
-         |    ROW_NUMBER() OVER (PARTITION BY sid, m ORDER BY d2, code) AS rn
-         |  FROM ar) WHERE rn = 1),
-         |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
-         |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
-         |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
-         |eq AS (SELECT p.qid, p.cid, e.q - ce.q AS q, e.m, e.j
-         |  FROM probes p JOIN e ON e.sid = p.qid
-         |  JOIN cel ce ON ce.cid = p.cid AND ce.m = e.m AND ce.j = e.j),
-         |aq AS (SELECT q.qid, q.cid, q.m, cbr.code,
-         |    CAST(SUM((q.q - cbr.q) * (q.q - cbr.q)) AS BIGINT) AS d2
-         |  FROM eq q JOIN cbr ON cbr.m = q.m AND cbr.j = q.j
-         |  GROUP BY 1, 2, 3, 4),
-         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
-         |  FROM probes p JOIN members mem ON p.cid = mem.cid
-         |  JOIN aq qa ON qa.qid = p.qid AND qa.cid = p.cid
-         |    AND qa.m = mem.m AND qa.code = mem.code
-         |  WHERE p.qid <> mem.nid GROUP BY 1, 2)
-         |SELECT qid, nid, d2, rank FROM (
-         |  SELECT qid, nid, d2,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
-         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+         |$ivfPqResidualTrainedCtes
+         |$ivfPqRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfPqResidualTopKTrained(Tables.embeddings(s, d), "vec_id",
           "embedding", dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8,
           k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // ANN RECALL@5 as an oracle-checked contract (VERDICT r8 ask #2): the
+    // IVF-PQ ladder is hash-verified for determinism (s9/s13/s15); this row
+    // measures whether the approximate answers are GOOD — per-config hits
+    // against the s1 brute-force cosine ground truth over the same 8
+    // queries, exact integer hits/n, and a recall_ok the oracle asserts
+    // (the ApproxOps accuracy-contract pattern). Each config's CTE chain is
+    // the byte-same val its own green oracle uses, nested per-method via
+    // DuckDB's subquery-WITH so names don't collide.
+    QueryDef(
+      "s16_ann_recall",
+      s"""WITH gt AS (WITH $quantVecCte,
+         |  q AS (SELECT sid AS qid, qv AS qqv FROM v WHERE sid < 8),
+         |  scored AS (SELECT qid, v.sid AS nid,
+         |      ${sqlCosine("qqv", "v.qv")} AS cosine
+         |    FROM v CROSS JOIN q WHERE v.sid <> qid)
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |    FROM scored) WHERE rank <= 5),
+         |r9 AS (WITH $quantVecCte,
+         |$ivfPqSeededCtes
+         |$ivfPqRankSelect AND qid < 8),
+         |r13 AS (WITH $quantVecCte,
+         |$ivfPqResidualCtes
+         |$ivfPqRankSelect AND qid < 8),
+         |r15 AS (WITH $quantVecCte,
+         |$ivfPqResidualTrainedCtes
+         |$ivfPqRankSelect AND qid < 8),
+         |nq AS (SELECT CAST(5 * COUNT(DISTINCT qid) AS BIGINT) AS n FROM gt),
+         |m AS (
+         |  SELECT 'ivfpq_seeded' AS method,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r9 JOIN gt USING (qid, nid)) AS hits
+         |  UNION ALL SELECT 'ivfpq_residual',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r13 JOIN gt USING (qid, nid))
+         |  UNION ALL SELECT 'ivfpq_residual_trained',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r15 JOIN gt USING (qid, nid)))
+         |SELECT method, hits, n,
+         |  CAST(hits AS DOUBLE) / n AS recall,
+         |  CAST(hits AS DOUBLE) / n >= 0.5 AS recall_ok
+         |FROM m CROSS JOIN nq ORDER BY method""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      def top5(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("qid") < 8).select(col("qid"), col("nid"))
+      Similarity.annRecall(Seq(
+          "ivfpq_seeded" -> top5(Similarity.ivfPqTopK(emb, "vec_id",
+            "embedding", dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16,
+            topK = 5)),
+          "ivfpq_residual" -> top5(Similarity.ivfPqResidualTopK(emb, "vec_id",
+            "embedding", dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16,
+            topK = 5)),
+          "ivfpq_residual_trained" -> top5(Similarity.ivfPqResidualTopKTrained(
+            emb, "vec_id", "embedding", dim = 64, nCells = 16, updates = 1,
+            nProbe = 4, m = 8, k = 16, topK = 5))),
+        exact, k = 5, minRecall = 0.5)
+        .orderBy(col("method"))
     },
 
     // IVF-PQ with an EXTERNAL query set (Similarity.ivfPqSearch): index

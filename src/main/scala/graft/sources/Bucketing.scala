@@ -50,6 +50,73 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write `df` as a table that is BOTH partitioned by `partCol` AND
+    * bucketed by `bucketCols` — each partition directory holds a full set of
+    * bucket files, and the scan reports the table-level bucket spec
+    * regardless of partition pruning. This is the layout that reconciles
+    * exactly-once ingestion with exchange-free joins: batches live in their
+    * own partitions (replaceable via [[overwriteBucketedPartition]]) while
+    * every partition-filtered read still satisfies the join's
+    * HashPartitioning requirement with no Exchange.
+    */
+  def writeBucketedPartitionedBy(df: DataFrame, table: String, partCol: String,
+                                 bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Idempotently (re)write ONE partition of a [[writeBucketedPartitionedBy]]
+    * table: DROP PARTITION (which deletes a managed table's partition files)
+    * plus a belt-and-braces sweep of the partition directory (a crashed
+    * writer can leave committed files with no catalog entry), then append
+    * `df` with the full partition+bucket spec. A retry of the same
+    * `partValue` REPLACES its own partition — never duplicates — while
+    * every other partition, and the table's bucket property, is untouched.
+    * Spark's dynamic partitionOverwriteMode refuses bucketed tables, so this
+    * drop-then-append sequence IS the partition-overwrite for them; the
+    * non-atomic window (partition absent between drop and append) is
+    * acceptable because callers read behind a committed-prefix filter that
+    * excludes the in-flight partition anyway.
+    *
+    * `df` must NOT already contain `partCol`; it is stamped here so the rows
+    * land in exactly the partition being replaced.
+    */
+  def overwriteBucketedPartition(df: DataFrame, table: String, partCol: String,
+                                 partValue: Long, bucketCols: Seq[String],
+                                 nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$partValue)")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    if (meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED) {
+      val loc = meta.location
+      if (loc.getScheme == null || loc.getScheme == "file") {
+        val p = java.nio.file.Paths.get(loc.getPath, s"$partCol=$partValue")
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          } finally walk.close()
+        }
+      }
+    }
+    df.withColumn(partCol, org.apache.spark.sql.functions.lit(partValue))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy(partCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Drop `table` and any orphaned warehouse directory left by a session
     * whose metastore is gone (fresh derby metastore + persistent
     * spark-warehouse dir = CREATE TABLE refusing to reuse the location).
@@ -60,10 +127,17 @@ object Bucketing {
     // resolve the true location from the catalog while the table still
     // exists — the default-layout guess below is wrong for tables created
     // with an explicit LOCATION
+    // EXTERNAL tables (or explicit-LOCATION tables pointing at shared data)
+    // deliberately keep their files on DROP — sweeping them here would
+    // destroy data outside the managed warehouse, so only MANAGED locations
+    // qualify for the post-drop sweep
     val resolved: Option[java.net.URI] =
       if (spark.catalog.tableExists(table))
-        scala.util.Try(
-          spark.sessionState.catalog.getTableMetadata(ident).location).toOption
+        scala.util.Try(spark.sessionState.catalog.getTableMetadata(ident))
+          .toOption
+          .filter(_.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          .map(_.location)
       else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // orphan sweep: reproduce the catalog's default managed layout —

@@ -205,22 +205,30 @@ object EventStreams {
                           threshold: Double)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    import org.apache.spark.sql.functions.lit
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val b = batch.localCheckpoint(false)
       val corpus = spark.read.parquet(corpusDocsPath)
       val bands = spark.table(bandIndexTable)
       val pairs = Dedup.incrementalNearDupPairs(
         b, corpus, bands, idCol, textCol, n, threshold).localCheckpoint(false)
-      pairs.write.mode("append").parquet(pairsOutPath)
+      // every appended row carries its batchId, so a retried micro-batch's
+      // duplicates are DETECTABLE and compactable after the fact (group by
+      // ingest_batch, keep one copy); for retries that never duplicate in
+      // the first place use [[dedupIngestIdempotentBucketed]]
+      pairs.withColumn("ingest_batch", lit(batchId))
+        .write.mode("append").parquet(pairsOutPath)
       val losers = pairs.select(org.apache.spark.sql.functions.greatest(
         org.apache.spark.sql.functions.col("ida"),
         org.apache.spark.sql.functions.col("idb")).as("loser"))
       val kept = b.join(org.apache.spark.sql.functions.broadcast(losers),
         b(idCol) === org.apache.spark.sql.functions.col("loser"), "left_anti")
         .localCheckpoint(false)
-      kept.write.mode("append").parquet(docsOutPath)
-      kept.write.mode("append").parquet(corpusDocsPath)
+      kept.withColumn("ingest_batch", lit(batchId))
+        .write.mode("append").parquet(docsOutPath)
+      kept.withColumn("ingest_batch", lit(batchId))
+        .write.mode("append").parquet(corpusDocsPath)
       Dedup.appendBandIndex(kept, idCol, textCol, n, bandIndexTable, nBuckets)
     }
   }
@@ -236,12 +244,12 @@ object EventStreams {
     * partition-pruned, so "read the committed prefix" costs nothing).
     * Seed the corpus and index under `ingest_batch = -1`.
     *
-    * Storage-format tradeoff, stated honestly: the index here is PLAIN
-    * partitioned parquet, not the bucketed table of
-    * [[dedupIngestBucketed]] — Spark cannot partition-overwrite a bucketed
-    * managed table, so exactly-once and the exchange-free corpus join
-    * currently exclude each other; a transactional table format provides
-    * both, at the cost of an external dependency.
+    * Storage-format note: the index here is PLAIN partitioned parquet — the
+    * simplest idempotent layout. For exactly-once AND the exchange-free
+    * corpus join together, use [[dedupIngestIdempotentBucketed]], whose
+    * index is a partitioned bucketed table (Spark's dynamic partition
+    * overwrite refuses bucketed tables, but drop-partition + bucketed
+    * append achieves the same replace-your-own-batch semantics).
     */
   def dedupIngestIdempotent(stream: DataFrame, corpusDocsPath: String,
                             bandIndexPath: String, pairsOutPath: String,
@@ -282,6 +290,66 @@ object EventStreams {
     graft.sources.Sinks.overwriteRunPartition(
       Dedup.bandIndex(kept, idCol, textCol, n)
         .withColumn("ingest_batch", lit(batchId)), bandIndexPath, "ingest_batch")
+  }
+
+  /** EXACTLY-ONCE ingestion dedup with the EXCHANGE-FREE corpus join — the
+    * unification of [[dedupIngestBucketed]] (scale) and
+    * [[dedupIngestIdempotent]] (retry safety), closing the tradeoff the r8
+    * design accepted. The band index is a table partitioned by
+    * `ingest_batch` AND bucketed on (band, bkey)
+    * (Dedup.writeBandIndexPartitioned): each micro-batch's bands land in
+    * their own partition via drop-partition + bucketed append
+    * (Dedup.overwriteBandIndexBatch), so a retry REPLACES its own partition
+    * — and because the bucket spec is table-level, the committed-prefix
+    * read (`ingest_batch < batchId`, partition-pruned) still scans
+    * bucket-aligned with NO Exchange on the corpus side of the candidate
+    * join. Docs and pairs stay plain `ingest_batch`-partitioned parquet
+    * (they are not party to the bucket-keyed join); seed corpus under
+    * `ingest_batch = -1` (Sinks.overwriteRunPartition) and the seed index
+    * via Dedup.writeBandIndexPartitioned's default batch = -1.
+    */
+  def dedupIngestIdempotentBucketed(stream: DataFrame, corpusDocsPath: String,
+                                    bandIndexTable: String, nBuckets: Int,
+                                    pairsOutPath: String, idCol: String,
+                                    textCol: String, n: Int,
+                                    threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatchIdempotentBucketed(batch, batchId, corpusDocsPath,
+        bandIndexTable, nBuckets, pairsOutPath, idCol, textCol, n, threshold)
+    }
+
+  /** One exactly-once micro-batch against the bucketed index — public so
+    * retry semantics are testable without faulting a live query: calling
+    * this twice with the same (batch, batchId) leaves identical visible
+    * state, and the corpus side of the candidate join plans with no
+    * Exchange (DedupSpec's plan contract).
+    */
+  def ingestBatchIdempotentBucketed(batch: DataFrame, batchId: Long,
+                                    corpusDocsPath: String,
+                                    bandIndexTable: String, nBuckets: Int,
+                                    pairsOutPath: String, idCol: String,
+                                    textCol: String, n: Int,
+                                    threshold: Double): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{broadcast, col, greatest, lit}
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    val corpus = spark.read.parquet(corpusDocsPath)
+      .filter(col("ingest_batch") < batchId)
+    val bands = spark.table(bandIndexTable)
+      .filter(col("ingest_batch") < batchId)
+    val pairs = Dedup.incrementalNearDupPairs(
+      b, corpus, bands, idCol, textCol, n, threshold).localCheckpoint(false)
+    graft.sources.Sinks.overwriteRunPartition(
+      pairs.withColumn("ingest_batch", lit(batchId)), pairsOutPath, "ingest_batch")
+    val losers = pairs.select(greatest(col("ida"), col("idb")).as("loser"))
+    val kept = b.join(broadcast(losers), b(idCol) === col("loser"), "left_anti")
+      .localCheckpoint(false)
+    graft.sources.Sinks.overwriteRunPartition(
+      kept.withColumn("ingest_batch", lit(batchId)), corpusDocsPath, "ingest_batch")
+    Dedup.overwriteBandIndexBatch(kept, idCol, textCol, n, bandIndexTable,
+      nBuckets, batchId)
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -170,6 +170,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("partitioned bucketed index: committed-prefix read stays exchange-free") {
+    // the ds2 plan contract: an ingest_batch-partitioned AND (band, bkey)-
+    // bucketed index, read behind the idempotent path's committed-prefix
+    // filter, must STILL satisfy the candidate join bucket-aligned — i.e.
+    // exactly-once storage does not cost the corpus-side Exchange
+    val table = "b_band_index_part"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchA = docs.filter(col("doc_id") % 8 === 0)
+    val batchB = docs.filter(col("doc_id") % 8 === 4)
+    Dedup.writeBandIndexPartitioned(corpus, "doc_id", "text", 3, table, 4)
+    Dedup.overwriteBandIndexBatch(batchA, "doc_id", "text", 3, table, 4, batch = 0L)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val committed = spark.table(table).filter(col("ingest_batch") < 1L)
+      val cands = Dedup.crossBandCandidates(
+        Dedup.bandIndex(batchB, "doc_id", "text", 3), committed)
+      cands.collect()
+      val plan = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"committed-prefix read must not re-shuffle the index:\n$plan")
+      // the partition filter is pruning, not a data filter: only the seed +
+      // batch-0 partitions are listed
+      assert(plan.contains("PartitionFilters"), plan)
+      // and answers match the monolithic freshly-built index
+      val viaIndex = cands.as[(Long, Long)].collect().toSet
+      val direct = Dedup.crossBandCandidates(
+        Dedup.bandIndex(batchB, "doc_id", "text", 3),
+        Dedup.bandIndex(corpus.unionByName(batchA), "doc_id", "text", 3))
+        .as[(Long, Long)].collect().toSet
+      assert(viaIndex == direct && viaIndex.nonEmpty)
+      // retry replaces, never duplicates: same batch rewritten, same rows
+      val before = spark.table(table).count()
+      Dedup.overwriteBandIndexBatch(batchA, "doc_id", "text", 3, table, 4, batch = 0L)
+      assert(spark.table(table).count() == before, "retry must replace its partition")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
   test("connectedComponents labels chains transitively with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
     val labels = Dedup.connectedComponents(pairs)

@@ -92,7 +92,8 @@ class EmptyInputSpec extends SparkSpec {
     val hh = HeavyHitters.topValuesByWindow(noEvents, "ts", "event_type",
       "1 hour", 16, 3)
     assert(hh.columns.toSeq ==
-      Seq("window_start", "value", "freq", "rank") && hh.count() == 0)
+      Seq("window_start", "value", "freq", "rank", "n_candidates", "lossless") &&
+      hh.count() == 0)
     // cluster-keyed split: empty corpus and empty labels both behave
     val noLabels = Seq.empty[(Long, Long)].toDF("sid", "component")
     assert(Sampling.splitAssignByCluster(noDocs, "doc_id", noLabels,

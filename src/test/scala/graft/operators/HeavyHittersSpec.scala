@@ -44,4 +44,25 @@ class HeavyHittersSpec extends SparkSpec {
     assert(viaSketch == exact)
     assert(viaSketch.map(_._1).size == 5 * 3 || viaSketch.groupBy(_._1).forall(_._2.size == 3))
   }
+
+  test("topValuesByWindow saturation flag: lossless iff window cardinality < k") {
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    // hour 0: 3 distinct values (< k=4 -> lossless); hour 1: 8 distinct
+    // values (sketch fills -> flagged)
+    val evs =
+      (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).map((0, _)) ++
+      (1 to 8).flatMap(i => Seq.fill(i)(s"v$i")).map((1, _))
+    val df = evs.zipWithIndex.map { case ((h, v), i) =>
+      (i.toLong, new java.sql.Timestamp(t0 + h * 3600000L), v)
+    }.toDF("event_id", "ts", "v")
+    val got = HeavyHitters.topValuesByWindow(df, "ts", "v", "1 hour", k = 4, topN = 2)
+      .select($"window_start", $"value", $"n_candidates", $"lossless")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val hour0 = got.filter(_._1 == t0)
+    val hour1 = got.filter(_._1 == t0 + 3600000L)
+    assert(hour0.nonEmpty && hour0.forall { case (_, _, n, ok) => n == 3 && ok })
+    assert(hour0.map(_._2).toSet == Set("a", "b")) // still exact below k
+    assert(hour1.nonEmpty && hour1.forall { case (_, _, n, ok) => n == 4 && !ok })
+  }
 }

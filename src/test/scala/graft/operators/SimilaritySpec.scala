@@ -235,6 +235,33 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@5 — lsh8: $lsh8%.3f lsh16: $lsh16%.3f ivf: $ivf%.3f trained: $ivfTrained%.3f")
   }
 
+  test("annRecall: ground truth scores 1.0 against itself, misses are penalized") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 8), emb, "vec_id", "embedding", 5)
+    // self-recall is exactly 1.0 (the intersection is the whole truth set)
+    val self = Similarity.annRecall(
+      Seq("self" -> exact.select("qid", "nid")), exact, 5, 0.99).collect()(0)
+    assert(self.getAs[Long]("hits") == self.getAs[Long]("n"))
+    assert(self.getAs[Double]("recall") == 1.0 && self.getAs[Boolean]("recall_ok"))
+    // a method that returns NOTHING for a query is penalized through n
+    // (ground-truth-sized denominator), not silently excused
+    val partial = Similarity.annRecall(
+      Seq("half" -> exact.filter($"qid" % 2 === 0).select("qid", "nid")),
+      exact, 5, 0.99).collect()(0)
+    assert(partial.getAs[Long]("n") == self.getAs[Long]("n"))
+    assert(partial.getAs[Double]("recall") < 1.0 && !partial.getAs[Boolean]("recall_ok"))
+    // the s16 contract holds on the fixture: every IVF-PQ config clears the
+    // 0.5 floor the oracle asserts
+    val s16 = graft.SparkEntry.queries("s16_ann_recall")(spark, sf).collect()
+    assert(s16.length == 3)
+    s16.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"),
+        s"${r.getAs[String]("method")} recall ${r.getAs[Double]("recall")} below contract")
+      info(f"${r.getAs[String]("method")}: recall@5 = ${r.getAs[Double]("recall")}%.3f")
+    }
+  }
+
   test("pq rejects a non-divisible (dim, m) instead of silently dropping tail dims") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException](

@@ -478,6 +478,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(pairs2 == pairs && corpusIds2 == corpusIds)
   }
 
+  test("ingestBatchIdempotentBucketed: retries replace their partition, bucketed index stays correct") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_idem_bkt")
+    def p(s: String) = base.resolve(s).toString
+    val table = "graft_band_index_idem_bkt_test"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    graft.sources.Sinks.overwriteRunPartition(
+      corpus.withColumn("ingest_batch", lit(-1L)), p("corpus"), "ingest_batch")
+    graft.operators.Dedup.writeBandIndexPartitioned(
+      corpus, "doc_id", "text", 3, table, nBuckets = 4)
+
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      ingestBatchIdempotentBucketed(batch.toDF("doc_id", "text"), id,
+        p("corpus"), table, 4, p("pairs"), "doc_id", "text", 3, 0.5)
+    def state(): (Set[(Long, Long, Long)], Set[(Long, Long)], Long) = (
+      spark.read.parquet(p("pairs"))
+        .select($"ida", $"idb", $"ingest_batch")
+        .as[(Long, Long, Long)].collect().toSet,
+      spark.read.parquet(p("corpus"))
+        .select($"doc_id", $"ingest_batch").as[(Long, Long)].collect().toSet,
+      spark.table(table).count())
+
+    try {
+      val b0 = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of seed 1
+        (11L, "one two three four five six seven eight"))       // novel
+      run(b0, 0)
+      val afterFirst = state()
+      // RETRY batch 0: identical visible state — pairs, corpus AND the
+      // bucketed index row count (partition replaced, not appended)
+      run(b0, 0)
+      assert(state() == afterFirst, "retry must be a no-op")
+      // incremental semantics intact: batch 1 catches a dup of what batch 0
+      // ingested, through the bucketed index's batch-0 partition
+      run(Seq((20L, "one two three four five six seven eight")), 1)
+      val (pairs, corpusIds, _) = state()
+      assert(pairs.map(x => (x._1, x._2)) == Set((1L, 10L), (11L, 20L)), pairs.toString)
+      assert(corpusIds.map(_._1) == Set(1L, 11L), corpusIds.toString)
+      // late re-retry of an old batch after later commits is also safe
+      run(b0, 0)
+      val (pairs2, corpusIds2, _) = state()
+      assert(pairs2 == pairs && corpusIds2 == corpusIds)
+    } finally graft.sources.Bucketing.ensureCleanTable(spark, table)
+  }
+
   test("dedupWithinWatermark drops retried keys across micro-batches, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
