@@ -575,6 +575,99 @@ object Multimodal {
       .toDF("sid", "ahash")
   }
 
+  /** Deterministic AVI fixture for video near-dup: 49 frames of 8 bytes
+    * each (fps 24), pixel (f, x) value
+    * (g*53 + f*(11 + 6*(g%7)) + x*(97 + 17*(g%11)) [+ p*40 when f = 0 and
+    * x = 0]) % 256 with g = id % 101, p = id % 7 — the
+    * [[attachImageFixture]]/[[attachAudioFixture]] discipline extended to
+    * the time axis: docs sharing a group are near-identical frame
+    * sequences whose perturbation touches ONE pixel of ONE frame, so at
+    * most one spatial-gradient bit of frame 0 — and therefore at most one
+    * TEMPORAL bit of [[videoTemporalHash]] — flips between group-mates,
+    * and every parameter is closed-form for the oracle.
+    */
+  def attachVideoFixture(spark: SparkSession, df: DataFrame,
+                         idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = (id % 101).toInt
+          val p = (id % 7).toInt
+          val payload = new Array[Byte](49 * 8)
+          var f = 0
+          while (f < 49) {
+            var x = 0
+            while (x < 8) {
+              val pert = if (f == 0 && x == 0) p * 40 else 0
+              payload(f * 8 + x) = ((g * 53 + f * (11 + 6 * (g % 7)) +
+                x * (97 + 17 * (g % 11)) + pert) % 256).toByte
+              x += 1
+            }
+            f += 1
+          }
+          MediaRow(id, aviBytes(24, 49, payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** 48-bit temporal signature of canonical AVI video — [[dHashBmp]]'s
+    * spatial gradient composed with [[audioEnergyHash]]'s delta trick,
+    * completing the modality set: parse the REAL AVI header, split the movi
+    * payload into dwTotalFrames equal frames (the parse must read the
+    * stored dwTotalFrames — a frame-split bug hash-mismatches), per-frame
+    * spatial hash v(f) = bit x set when pix(f, x+1) > pix(f, x), and
+    * temporal bit f set when v(f+1) > v(f), capped at 48 bits. A uniform
+    * brightness shift inside a frame preserves v(f) exactly (dHash
+    * robustness), so global-exposure re-encodes that keep frame count and
+    * relative spatial structure hash identically — the property that makes
+    * this a NEAR-dup signature rather than a checksum.
+    */
+  def videoTemporalHash(bytes: Array[Byte]): Long = {
+    val (_, frames, _) = parseAvi(bytes)
+    val payloadLen = bytes.length - AviHeaderLen
+    if (frames <= 0 || payloadLen <= 0 || payloadLen % frames != 0)
+      throw new IllegalArgumentException(
+        s"not a canonical fixed-frame AVI: $payloadLen payload bytes over $frames frames")
+    val frameLen = payloadLen / frames
+    def pix(f: Int, x: Int): Int = bytes(AviHeaderLen + f * frameLen + x) & 0xff
+    val spatialBits = math.min(frameLen - 1, 63)
+    val v = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      var x = 0
+      while (x < spatialBits) {
+        if (pix(f, x + 1) > pix(f, x)) v(f) |= 1L << x
+        x += 1
+      }
+      f += 1
+    }
+    var h = 0L
+    val nBits = math.min(frames - 1, 48)
+    f = 0
+    while (f < nBits) {
+      if (v(f + 1) > v(f)) h |= 1L << f
+      f += 1
+    }
+    h
+  }
+
+  /** (sid, vhash) per video — per-row map-side work, no shuffle of media
+    * bytes; feed `Dedup.hammingBandPairs(_, "vhash", 48, maxHamming, 4)`
+    * for temporal near-dup candidate pairs at simhash-banding cost.
+    */
+  def videoHash(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, videoTemporalHash(bytes)) }
+      }
+      .toDF("sid", "vhash")
+  }
+
   /** 56-bit difference hash of a 24bpp BMP: nearest-neighbor resize to an
     * 8x8 thumbnail (the real [[resizeBmp]] pixel path), per-pixel grayscale
     * as the exact integer channel sum (no luma weights — engine-exact), and

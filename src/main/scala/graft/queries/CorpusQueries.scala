@@ -1797,6 +1797,53 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Video perceptual near-dup — the modality set's last member: m5's
+    // spatial dHash composed with m6's delta trick along the TIME axis.
+    // Deterministic 49-frame AVIs (8 bytes/frame, pixel arithmetic mirrored
+    // below) -> real AVI header parse (dwTotalFrames drives the frame
+    // split) -> per-frame 7-bit spatial gradient hash v(f) -> 48-bit
+    // temporal hash (bit f = v rising) -> the shared hamming chunk banding.
+    // The oracle replays pixels, spatial bits, temporal bits and banding —
+    // a header-parse bug, frame-split off-by-one or gradient-order mistake
+    // all hash-mismatch. Fixture perturbation touches one pixel of frame 0,
+    // so group-mates differ by <= 1 temporal bit.
+    QueryDef(
+      "m7_video_neardup",
+      s"""WITH ids AS (SELECT doc_id AS sid, doc_id % 101 AS g, doc_id % 7 AS p
+         |  FROM documents),
+         |pix AS (SELECT sid, f, x,
+         |    (g*53 + f*(11 + 6*(g%7)) + x*(97 + 17*(g%11))
+         |     + CASE WHEN f = 0 AND x = 0 THEN p*40 ELSE 0 END) % 256 AS b
+         |  FROM ids, unnest(generate_series(0, 48)) t1(f),
+         |       unnest(generate_series(0, 7)) t2(x)),
+         |sp AS (SELECT a.sid, a.f,
+         |    CAST(SUM(CASE WHEN b2.b > a.b
+         |      THEN CAST(1 AS BIGINT) << a.x ELSE 0 END) AS BIGINT) AS v
+         |  FROM pix a JOIN pix b2 ON a.sid = b2.sid AND a.f = b2.f AND b2.x = a.x + 1
+         |  GROUP BY a.sid, a.f),
+         |vh AS (SELECT a.sid,
+         |    CAST(SUM(CASE WHEN b2.v > a.v
+         |      THEN CAST(1 AS BIGINT) << a.f ELSE 0 END) AS BIGINT) AS vhash
+         |  FROM sp a JOIN sp b2 ON a.sid = b2.sid AND b2.f = a.f + 1
+         |  GROUP BY a.sid),
+         |chunks AS (
+         |${(0 until 4).map(c =>
+             s"  SELECT sid, vhash, $c AS chunk, (vhash >> ${12 * c}) & 4095 AS ckey FROM vh")
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.sid AS ida, b.sid AS idb,
+         |    bit_count(xor(a.vhash, b.vhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.sid < b.sid
+         |) WHERE hamming <= 6 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val sig = Multimodal.videoHash(s,
+        Multimodal.attachVideoFixture(s, Tables.documents(s, d), "doc_id"))
+      Dedup.hammingBandPairs(sig, "vhash", totalBits = 48, maxHamming = 6,
+          numChunks = 4)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Gopher-style rule filter (TextOps.gopherRules): every rule an exact
     // integer predicate (one deterministic division for mean word length).
     // Thresholds chosen to discriminate on the fixtures: ~25% fail the word

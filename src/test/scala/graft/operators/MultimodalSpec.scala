@@ -124,6 +124,35 @@ class MultimodalSpec extends SparkSpec {
     assert(h(0L) == want, f"engine ${h(0L)}%x vs closed form $want%x")
   }
 
+  test("videoTemporalHash: identical videos collide, perturbed twins differ by <= 1 bit, closed form matches") {
+    import spark.implicits._
+    // ids 0 and 707 share (id % 101, id % 7) -> identical fixture videos;
+    // id 101 shares the group but not the perturbation level (101 % 7 = 3)
+    val vids = Multimodal.attachVideoFixture(spark,
+      Seq(0L, 707L, 101L).toDF("doc_id"), "doc_id")
+    val h = Multimodal.videoHash(spark, vids)
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(707L), "identical videos must hash equal")
+    assert(h.values.forall(v => v >= 0L && v < (1L << 48)), h.toString)
+    val hamming = java.lang.Long.bitCount(h(0L) ^ h(101L))
+    assert(hamming <= 1,
+      s"one perturbed pixel in frame 0 flips at most temporal bit 0, got $hamming")
+
+    // the engine hash equals the oracle's closed-form arithmetic for id 0
+    def pix(f: Int, x: Int): Int = (f * 11 + x * 97) % 256
+    def spatial(f: Int): Long =
+      (0 until 7).foldLeft(0L)((v, x) =>
+        if (pix(f, x + 1) > pix(f, x)) v | (1L << x) else v)
+    var want = 0L
+    for (f <- 0 until 48) if (spatial(f + 1) > spatial(f)) want |= 1L << f
+    assert(h(0L) == want, f"engine ${h(0L)}%x vs closed form $want%x")
+
+    // fail-loud contract: a payload that does not split evenly into
+    // dwTotalFrames frames is malformed, not silently mis-framed
+    intercept[IllegalArgumentException](
+      Multimodal.videoTemporalHash(Multimodal.aviBytes(24, 48, new Array[Byte](49 * 8 - 1))))
+  }
+
   test("resizeImages: per-row map-side thumbnails over a BMP frame") {
     import spark.implicits._
     val pix = Array.tabulate(8 * 4)(i => (i % 127).toByte) // 2x4 image, stride 8... 3*2+2pad
