@@ -99,13 +99,22 @@ object CorpusApp {
     * with its post-merge piece count, the number packing actually needs
     * (whitespace `n_tokens` over-estimates sequence length once subwords
     * merge). Returns (merge table, annotated docs). The merges ride back
-    * into the per-doc count as fold literals — training is `rounds` small
-    * jobs, the annotation is one shuffle-free map.
+    * into the per-doc count as fold literals — the annotation is one
+    * shuffle-free map.
+    *
+    * Training runs the BATCHED trainer (TextOps.bpeMergesBatched): up to
+    * `batchK` non-overlapping merges are selected per corpus sweep, so
+    * jobs-per-vocab is ~2/batchK per merge instead of the exact trainer's
+    * 2/merge — the difference between a feasible and an infeasible driver
+    * loop when `rounds` is a real vocabulary size (32k) over 100 TB.
+    * `batchK = 1` degrades exactly to TextOps.bpeMerges (property-tested
+    * in TextOpsSpec), which stays the oracle path (t14); the app default
+    * batchK = 8 is the scale posture.
     */
   def trainTokenizer(spark: SparkSession, curated: DataFrame,
-                     rounds: Int): (DataFrame, DataFrame) = {
+                     rounds: Int, batchK: Int = 8): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val merges = TextOps.bpeMerges(curated, "text", rounds)
+    val merges = TextOps.bpeMergesBatched(curated, "text", rounds, batchK)
     val pairs = merges.orderBy(col("rank"))
       .select(col("lft"), col("rgt")).as[(String, String)].collect().toSeq
     val annotated = curated.withColumn("n_bpe_pieces",

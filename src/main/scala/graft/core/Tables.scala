@@ -25,19 +25,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. The fixture's nanos are microsecond-aligned
-    * (verified: max(epoch_ns % 1000) == 0), so we read nanos as long and
-    * integer-divide to microseconds — `div`, not `/`, because a double
-    * round-trip would lose precision above 2^53.
+  /** `events.ts` has shipped in two physical forms across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long via `nanosAsLong` and integer-divide to
+    * microseconds; `div`, not `/`, because a double round-trip would lose
+    * precision above 2^53) and plain naive timestamp[us] (which Spark 4
+    * infers as TIMESTAMP_NTZ). Both are normalized here to session-TZ
+    * TimestampType (session TZ is pinned UTC in Sessions.configure), so
+    * every downstream operator and oracle sees one canonical type
+    * regardless of which writer produced the fixture.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Comparisons against the converted column are rewritten back onto the
     // raw nanos long so they push into the scan (see NanosPredicatePushdown).
     graft.plans.NanosPredicatePushdown.install(s)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) fixture, micro-aligned
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ fixture: naive micros, wall-clock == UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

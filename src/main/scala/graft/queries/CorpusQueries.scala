@@ -2022,7 +2022,7 @@ object CorpusQueries {
          |        UNION ALL SELECT * FROM bi)),
          |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2),
          |bc AS (SELECT b, COUNT(*) AS rc,
-         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
          |  FROM f GROUP BY b),
          |tot AS (SELECT SUM(rc) AS rn, SUM(tc) AS tn FROM bc),
          |lr AS (SELECT b,

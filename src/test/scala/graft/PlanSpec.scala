@@ -16,11 +16,15 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
-  test("p4_time_cutoff: cutoff reaches the scan THROUGH the nanos conversion") {
+  test("p4_time_cutoff: cutoff reaches the scan THROUGH the ts conversion") {
     val p = plan("p4_time_cutoff")
-    // NanosPredicatePushdown rewrites ts < L onto the raw nanos long; the
-    // scan's PushedFilters must carry the rewritten bound.
-    assert(p.contains("LessThan(ts,1705276800000000000"), p)
+    // The events fixture has shipped as TIMESTAMP(NANOS) (read as raw long;
+    // NanosPredicatePushdown rewrites ts < L onto the nanos) and as naive
+    // timestamp[us] (TIMESTAMP_NTZ; Spark unwraps the NTZ->LTZ cast under
+    // the UTC session TZ). Either way the cutoff must reach PushedFilters —
+    // post-scan filtering would read 100% of rows at 100 TB.
+    assert(p.contains("LessThan(ts,1705276800000000000") ||
+           p.contains("LessThan(ts,2024-01-15T00:00"), p)
   }
 
   test("s5_column_slice: scan reads only the projected columns") {

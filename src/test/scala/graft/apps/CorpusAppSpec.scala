@@ -96,4 +96,24 @@ class CorpusAppSpec extends SparkSpec {
     assert(rows.forall { case (w, p, c) => p >= w && p <= c })
     assert(rows.exists { case (_, p, c) => p < c }, "merges never applied")
   }
+
+  test("trainTokenizer runs the BATCHED trainer; batchK=1 degrades to exact") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val (curated, _) = CorpusApp.curate(spark, docs,
+      keepLangs = Set("en", "de", "fr", "es", "zh"), minQuality = 0.0)
+    def tbl(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
+      df.orderBy($"rank").select($"rank", $"lft", $"rgt")
+        .as[(Long, String, String)].collect().toSeq
+    // the app's default path IS bpeMergesBatched (batchK = 8): same merge
+    // table as calling the batched trainer directly with the app's args
+    val (appMerges, _) = CorpusApp.trainTokenizer(spark, curated, rounds = 6)
+    assert(tbl(appMerges) ==
+      tbl(graft.operators.TextOps.bpeMergesBatched(curated, "text", 6, 8)))
+    // batchK = 1 must reproduce the exact job-per-merge trainer — the
+    // oracle path (t14) remains reachable through the app API
+    val (exactMerges, _) =
+      CorpusApp.trainTokenizer(spark, curated, rounds = 4, batchK = 1)
+    assert(tbl(exactMerges) ==
+      tbl(graft.operators.TextOps.bpeMerges(curated, "text", 4)))
+  }
 }
