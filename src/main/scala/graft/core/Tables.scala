@@ -37,7 +37,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Comparisons against the converted column are rewritten back onto the
     // raw nanos long so they push into the scan (see NanosPredicatePushdown).
@@ -47,8 +47,11 @@ object Tables {
       case LongType => // TIMESTAMP(NANOS) fixture, micro-aligned
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ fixture: naive micros, wall-clock == UTC
+      case _: TimestampNTZType => // naive micros, wall-clock == UTC
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => // fail fast: a blind cast would yield silent null ts
+        sys.error(s"events.ts: unsupported fixture type $other " +
+          "(expected nanos-as-long, timestamp, or timestamp_ntz)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -337,11 +337,15 @@ object TextOps {
         else {
           // greedy non-overlapping selection in rank order: a pair is
           // deferred if either symbol was consumed by an earlier selection
-          // this sweep (its count is stale once that merge applies)
+          // this sweep (its count is stale once that merge applies) — and
+          // the merged OUTPUT symbol is reserved too, so a later selection
+          // cannot consume tokens the earlier merge only just created
+          // (within one sweep every selected merge applies to pre-sweep
+          // token state)
           val used = scala.collection.mutable.Set.empty[String]
           val selected = top.iterator
             .filter { case (l, r, _) => !used(l) && !used(r) }
-            .map { p => used += p._1; used += p._2; p }
+            .map { p => used += p._1; used += p._2; used += p._1 + p._2; p }
             .take(rounds - merges.size)
             .toSeq
           selected.foreach { case (l, rt, c) =>

@@ -104,11 +104,18 @@ class CorpusAppSpec extends SparkSpec {
     def tbl(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
       df.orderBy($"rank").select($"rank", $"lft", $"rgt")
         .as[(Long, String, String)].collect().toSeq
-    // the app's default path IS bpeMergesBatched (batchK = 8): same merge
-    // table as calling the batched trainer directly with the app's args
+    // properties of the app-default (batchK = 8) output itself — not a
+    // re-run of the implementation as its own oracle: ranks are a
+    // contiguous 1..n prefix of the requested rounds, every merge is the
+    // concatenation of real non-empty sides, and no merge repeats
     val (appMerges, _) = CorpusApp.trainTokenizer(spark, curated, rounds = 6)
-    assert(tbl(appMerges) ==
-      tbl(graft.operators.TextOps.bpeMergesBatched(curated, "text", 6, 8)))
+    val app = appMerges.orderBy($"rank")
+      .select($"rank", $"lft", $"rgt", $"merged")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(app.nonEmpty && app.size <= 6)
+    assert(app.map(_._1) == (1L to app.size).toSeq)
+    assert(app.forall { case (_, l, r, m) => l.nonEmpty && r.nonEmpty && m == l + r })
+    assert(app.map(_._4).distinct.size == app.size)
     // batchK = 1 must reproduce the exact job-per-merge trainer — the
     // oracle path (t14) remains reachable through the app API
     val (exactMerges, _) =
