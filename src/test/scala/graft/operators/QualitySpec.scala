@@ -28,6 +28,43 @@ class QualitySpec extends SparkSpec {
     assert(out("v_present") == ((1L, 1.0 / 3)))
   }
 
+  test("distributionDrift: identical halves pass, a shifted run fires on the shifted column only") {
+    val q = graft.SparkEntry.queries("dq3_distribution_drift")(spark, sf).collect()
+    assert(q.length == 6)
+    val ok = q.map(r => (r.getAs[String]("scenario"), r.getAs[String]("column")) ->
+      r.getAs[Boolean]("drift_ok")).toMap
+    // parity split: same distribution, every column passes
+    assert(ok(("a_split", "o_orderpriority")) && ok(("a_split", "o_orderstatus")) &&
+      ok(("a_split", "o_totalprice")))
+    // price-truncated run: the shifted column fires, the independent
+    // categoricals stay green
+    assert(!ok(("b_price_shifted", "o_totalprice")))
+    assert(ok(("b_price_shifted", "o_orderpriority")) && ok(("b_price_shifted", "o_orderstatus")))
+    // TV is a real magnitude, not just a boolean: the truncation moved
+    // ~30% of the mass at sf0.01 (0.297 measured), and > 0.1 generally
+    val tvShift = q.find(r => r.getAs[String]("scenario") == "b_price_shifted" &&
+      r.getAs[String]("column") == "o_totalprice").get.getAs[Double]("tv")
+    assert(tvShift > 0.1, s"shifted TV $tvShift should exceed the gate budget")
+  }
+
+  test("distributionDrift: direct API — drifted bucket mass and halved cardinality both fire") {
+    val ref = (1 to 400).map(i => i % 20).toDF("v")
+    val sameD = (1 to 400).map(i => (i + 7) % 20).toDF("v")    // same uniform shape
+    val shifted = (1 to 400).map(i => i % 10).toDF("v")        // half the buckets
+    def run(cur: org.apache.spark.sql.DataFrame) =
+      Quality.distributionDrift(ref, cur,
+        Seq(("v", $"v", $"v".cast("string"))), maxTvPermille = 100, k = 8)
+        .collect()(0)
+    val same = run(sameD)
+    assert(same.getAs[Boolean]("drift_ok") && same.getAs[Double]("tv") == 0.0)
+    val drift = run(shifted)
+    // mass doubled on 10 buckets and vanished from 10: TV = 0.5, and the
+    // KMV sketch (k=8 < 10 distinct) still estimates, so both gates matter
+    assert(!drift.getAs[Boolean]("drift_ok"))
+    assert(drift.getAs[Double]("tv") == 0.5)
+    assert(drift.getAs[Long]("n_ref") == 400 && drift.getAs[Long]("n_cur") == 400)
+  }
+
   test("refreshSumCount: combining partial aggregates equals the full recompute") {
     val rows = (1 to 100).map(i => (s"k${i % 3}", (i % 7).toDouble)).toDF("k", "v")
       .withColumn("v", $"v".cast("string")) // sumExact takes the coercible form
