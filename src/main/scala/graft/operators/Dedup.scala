@@ -302,6 +302,31 @@ object Dedup {
       bandIndex(df, idCol, textCol, n), table, "ingest_batch", batch,
       Seq("band", "bkey"), nBuckets)
 
+  /** Compact an [[appendBandIndex]]-grown band index to one file per
+    * non-empty bucket — the ds1 maintenance op. Candidate pairs and the
+    * exchange-free corpus read are unchanged (rows only move between files
+    * of the same bucket); only the per-bucket file count drops. Run it on
+    * the cadence where appended-file count, not data size, starts to
+    * dominate the candidate join's open cost. Returns
+    * (files_before, files_after).
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, nBuckets: Int): (Int, Int) =
+    graft.sources.Bucketing.compactBucketedTable(
+      spark, table, Seq("band", "bkey"), nBuckets)
+
+  /** Compact ONE ingestion batch's partition of a
+    * [[writeBandIndexPartitioned]] table (the ds2 exactly-once layout) —
+    * same drop-plus-bucketed-append idempotence as the ingest path, so
+    * re-running after a crash repairs it. Returns
+    * (files_before, files_after).
+    */
+  def compactBandIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                            table: String, nBuckets: Int,
+                            batch: Long): (Int, Int) =
+    graft.sources.Bucketing.compactBucketedPartition(
+      spark, table, "ingest_batch", batch, Seq("band", "bkey"), nBuckets)
+
   /** Incremental near-dup detection: verified pairs that TOUCH a new batch —
     * new-vs-new plus new-vs-corpus — WITHOUT re-banding the corpus. At
     * ingestion scale this is the whole game: the corpus index

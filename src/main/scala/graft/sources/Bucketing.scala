@@ -117,6 +117,85 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Compact a bucketed managed table IN PLACE to one file per non-empty
+    * bucket (VERDICT r8 ask #5 — index maintenance under append churn).
+    *
+    * Why file COUNT is the target: every [[appendBucketedBy]] lands up to
+    * (writer partitions x nBuckets) more files; the bucketed reader must
+    * open every file of a bucket, so after B appended batches the
+    * "exchange-free" aligned scan opens O(B) files per bucket — at 100 TB
+    * the open/seek count, not the bytes, kills the candidate join.
+    * Rewriting the table repartitioned BY THE BUCKET ID VALUE (pmod of the
+    * murmur3 hash — the same mapping the bucketed writer applies) puts
+    * every bucket's rows in exactly one write task, and the writer splits
+    * files per (task, bucket), so the rewrite emits exactly one file per
+    * non-empty bucket. (Repartitioning by the raw bucket COLUMNS is not
+    * enough — the write task a row lands in and the bucket file it is
+    * routed to come from different pmod chains, so tasks straddle buckets
+    * and each straddle costs a file.) Rows only move between files of the
+    * SAME bucket — downstream join plans, their Exchange counts, and their
+    * results are unchanged (DedupSpec proves candidate pairs identical).
+    *
+    * Publication is a staging-table swap (the Sinks.compact contract
+    * in catalog form): write `<table>__compacting`, then drop + rename.
+    * The swap window is metadata-only; a crash between drop and rename
+    * leaves the staging table intact for manual recovery.
+    *
+    * Returns (files_before, files_after).
+    */
+  /** One task per bucket: partition by the bucket id (pmod of murmur3 over
+    * the bucket columns — `hash` IS Murmur3 with the writer's seed), so the
+    * bucketed writer's per-(task, bucket) file split emits one file per
+    * non-empty bucket.
+    */
+  private def bucketAligned(df: DataFrame, bucketCols: Seq[String],
+                            nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    df.repartition(nBuckets,
+      pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
+  }
+
+  def compactBucketedTable(spark: SparkSession, table: String,
+                           bucketCols: Seq[String], nBuckets: Int): (Int, Int) = {
+    val before = spark.table(table).inputFiles.length
+    val staging = table + "__compacting"
+    ensureCleanTable(spark, staging)
+    writeBucketedBy(
+      bucketAligned(spark.table(table), bucketCols, nBuckets),
+      staging, bucketCols, nBuckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    (before, spark.table(table).inputFiles.length)
+  }
+
+  /** [[compactBucketedTable]] for ONE partition of a
+    * [[writeBucketedPartitionedBy]] table — the ds2 layout's maintenance
+    * step: each ingestion batch's partition accretes (writer partitions x
+    * nBuckets) files at append time; compacting rewrites that partition to
+    * one file per non-empty bucket via the same idempotent
+    * drop-plus-bucketed-append that exactly-once ingestion uses, so a
+    * crash mid-compaction is repaired by simply re-running it. The
+    * partition's rows are pinned (eager local checkpoint — partition-sized,
+    * not corpus-sized) before its files are dropped.
+    *
+    * Returns (files_before, files_after) for the WHOLE table; other
+    * partitions' files are untouched.
+    */
+  def compactBucketedPartition(spark: SparkSession, table: String,
+                               partCol: String, partValue: Long,
+                               bucketCols: Seq[String],
+                               nBuckets: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val before = spark.table(table).inputFiles.length
+    val pinned = bucketAligned(
+      spark.table(table).filter(col(partCol) === partValue).drop(partCol),
+      bucketCols, nBuckets)
+      .localCheckpoint(true)
+    overwriteBucketedPartition(pinned, table, partCol, partValue,
+      bucketCols, nBuckets)
+    (before, spark.table(table).inputFiles.length)
+  }
+
   /** Drop `table` and any orphaned warehouse directory left by a session
     * whose metastore is gone (fresh derby metastore + persistent
     * spark-warehouse dir = CREATE TABLE refusing to reuse the location).

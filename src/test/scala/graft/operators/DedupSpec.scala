@@ -170,6 +170,93 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactBandIndex: file count strictly drops, pairs and the exchange-free read survive") {
+    val table = "b_band_index_compact"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchA = docs.filter(col("doc_id") % 8 === 0)
+    val probe = docs.filter(col("doc_id") % 8 === 4)
+    Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, 4)
+    Dedup.appendBandIndex(batchA, "doc_id", "text", 3, table, 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def cands() = Dedup.crossBandCandidates(
+        Dedup.bandIndex(probe, "doc_id", "text", 3), spark.table(table))
+      val beforePairs = cands().as[(Long, Long)].collect().toSet
+      assert(beforePairs.nonEmpty, "fixture must produce candidates")
+
+      val (before, after) = Dedup.compactBandIndex(spark, table, 4)
+      // append churn left more than one file per bucket; compaction lands
+      // exactly one per non-empty bucket
+      assert(after < before, s"expected fewer files, got $before -> $after")
+      assert(after <= 4, s"one file per bucket max, got $after")
+
+      val post = cands()
+      assert(post.as[(Long, Long)].collect().toSet == beforePairs,
+        "compaction must not change candidate pairs")
+      val plan = post.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"compacted index must still read bucket-aligned:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
+  test("compactBandIndexBatch: ds2 partition compaction is idempotent and content-preserving") {
+    val table = "b_band_index_part_compact"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchA = docs.filter(col("doc_id") % 8 === 0)
+    val probe = docs.filter(col("doc_id") % 8 === 4)
+    Dedup.writeBandIndexPartitioned(corpus, "doc_id", "text", 3, table, 4)
+    // ingest batch 0 the way a real source delivers it: writer partitions
+    // that straddle buckets, so the bucketed append lands a file per
+    // (task, bucket) — the churn the maintenance op exists to undo
+    graft.sources.Bucketing.overwriteBucketedPartition(
+      Dedup.bandIndex(batchA, "doc_id", "text", 3).repartition(7),
+      table, "ingest_batch", 0L, Seq("band", "bkey"), 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def committed() = spark.table(table).filter(col("ingest_batch") < 1L)
+      def cands() = Dedup.crossBandCandidates(
+        Dedup.bandIndex(probe, "doc_id", "text", 3), committed())
+      val beforePairs = cands().as[(Long, Long)].collect().toSet
+      assert(beforePairs.nonEmpty)
+      val seedFiles = spark.table(table)
+        .filter(col("ingest_batch") === -1L).inputFiles.length
+
+      val (before, after) = Dedup.compactBandIndexBatch(spark, table, 4, batch = 0L)
+      assert(after < before, s"expected fewer files, got $before -> $after")
+      // only batch 0's partition was rewritten; the seed partition's files
+      // are untouched
+      assert(spark.table(table).filter(col("ingest_batch") === -1L)
+        .inputFiles.length == seedFiles)
+      assert(cands().as[(Long, Long)].collect().toSet == beforePairs)
+      // idempotence: the maintenance op is a partition overwrite, so
+      // re-running it (the crash-repair story) converges to the same state
+      val (_, again) = Dedup.compactBandIndexBatch(spark, table, 4, batch = 0L)
+      assert(again == after)
+      assert(cands().as[(Long, Long)].collect().toSet == beforePairs)
+      val plan = cands().queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"compacted committed-prefix read must stay exchange-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
   test("partitioned bucketed index: committed-prefix read stays exchange-free") {
     // the ds2 plan contract: an ingest_batch-partitioned AND (band, bkey)-
     // bucketed index, read behind the idempotent path's committed-prefix
