@@ -348,11 +348,38 @@ object Similarity {
 
   /** Per-query ADC lookup table: `lut[mm][kk] = d2(query_sub_mm, cb[mm][kk])`
     * — m·k native-kernel dots, computed once per query row.
+    *
+    * LUT rows are m x k longs (32 KB at m=16, k=256): use this ONLY where
+    * the query side is broadcast-small (the external-query serve shapes).
+    * In the self-search plans every corpus row is a query, and carrying
+    * LUTs through the per-cell shuffle join multiplied exchange bytes by
+    * k/…— measured 10 MB -> 292 MB and 5.5 s -> 71 s at sf0.1 when k went
+    * 16 -> 256 — so those plans score pairs DIRECTLY ([[adcDirect]]).
     */
   private def pqLut(vec: Column, cb: Column, dim: Int, m: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), mm =>
       transform(element_at(cb, mm + 1), cc =>
         subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), cc)))
+
+  /** Per-PAIR ADC distance straight from the query vector, the candidate's
+    * m codes, and the BROADCAST codebook — the self-search scoring form:
+    * the probe side ships only its dim-long vector (512 B at dim=64)
+    * through the per-cell shuffle instead of an m x k LUT, so exchange
+    * bytes scale with dim, not with codebook size. Per pair it costs m
+    * native subD2 dots over dim/m-long slices — more FLOPs than a table
+    * lookup, but FLOPs inside whole-stage codegen are what a 100 TB
+    * cluster has; shuffled bytes are what it pays for. Identical exact
+    * integers to the LUT form, so every oracle hash-matches unchanged.
+    */
+  private def adcDirect(qv: Column, codes: Column, cb: Column, dim: Int,
+                        m: Int): Column = {
+    val sub = dim / m
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)), (c, mm) =>
+        subD2(slice(qv, mm * sub + 1, lit(sub)),
+          element_at(element_at(cb, mm + 1), c.cast("int") + 1))),
+      lit(0L), (acc, x) => acc + x)
+  }
 
   /** PQ-ADC top-k: candidates are searched IN CODE SPACE (m bytes each),
     * queries stay unquantized on their side of the asymmetry. Per query a
@@ -570,13 +597,17 @@ object Similarity {
     val members = ranked.crossJoin(broadcast(cb)).select(
       coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
       col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
-    val probes = ranked.crossJoin(broadcast(cb)).select(
-      col("sid").as("qid"), pqLut(col("qv"), col("cb"), dim, m).as("lut"),
+    // self-search: every corpus row is a query, so probes carry the RAW
+    // vector (dim longs) through the per-cell shuffle and pairs score via
+    // the broadcast codebook — see adcDirect for why not a LUT here
+    val probes = ranked.select(
+      col("sid").as("qid"), col("qv").as("qqv"),
       explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
     val scored = probes.join(members, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
+      .crossJoin(broadcast(cb))
       .select(col("qid"), col("nid"),
-        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
+        adcDirect(col("qqv"), col("codes"), col("cb"), dim, m).as("d2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
@@ -634,8 +665,9 @@ object Similarity {
     * vector and the whole computation stays exact integers (a trained
     * variant needs rounded-mean integer centroids — the pqTrainKmeans
     * rounding discipline — without changing this search path). The query
-    * side computes ONE LUT per probed cell (its residual differs per
-    * cell): nProbe LUTs per query, the documented residual-PQ serve cost.
+    * side computes ONE residual per probed cell (its residual differs per
+    * cell): nProbe dim-long residuals per query, the documented
+    * residual-PQ serve cost.
     *
     * Scale shape: identical to [[ivfPqTopK]] — assignment and encoding are
     * broadcast array algebra, the only keyed join is per cell id.
@@ -757,56 +789,28 @@ object Similarity {
     val members = withRes.crossJoin(broadcast(cbr))
       .select(col("cid"), col("sid").as("nid"),
         pqCodes(col("rv"), col("cb"), dim, m).as("codes"))
-    // probes: one LUT per (query, probed cell) — the query's residual
-    // differs per cell. Computed via the FAISS precomputed-tables
-    // decomposition instead of the direct per-cell pqLut:
-    //   ||(q-c) - w||^2 = ||q_m - c_m||^2 + (||w||^2 + 2 c_m.w) + (-2 q_m.w)
-    // so the expensive m x k dot table (-2 q.w) is built ONCE per query,
-    // the (||w||^2 + 2 c.w) table once per CELL (dimension-sized,
-    // broadcast), and each probed cell costs only m cross-dots plus
-    // m x k integer adds — ~10x fewer native dots than the direct form
-    // (measured 16.5 s -> headline parity with s9), with bit-identical
-    // integers, so the oracle's direct-d2 arithmetic still hash-matches.
-    val sub = dim / m
-    val cellTables = cellVecs.crossJoin(broadcast(cbr)).select(
-      col("rcid"), col("rcv"),
-      transform(sequence(lit(0), lit(m - 1)), mm =>
-        transform(element_at(col("cb"), mm + 1), w =>
-          idot(w, w) + lit(2L) * idot(slice(col("rcv"), mm * sub + 1, lit(sub)), w)))
-        .as("ct"))
-    // qa is projected BEFORE the cell explode, so its m x k dots run once
-    // per query and the exploded rows carry the finished table. The probe
-    // set is the corpus itself in the self-search form (reusing the pinned
-    // ranking) or the external query set in the serve form.
+    // probes: the query's residual differs per probed cell, so it is
+    // computed ONCE per (query, cell) row — a zip_with against the
+    // broadcast cell anchor — and rides the per-cell shuffle as dim longs
+    // (512 B at dim=64). Pairs then score via adcDirect against the
+    // broadcast residual codebook. (Round 9 used the FAISS
+    // precomputed-tables LUT decomposition here; at k=256 a LUT row is
+    // m x k longs and shuffling LUTs multiplied exchange bytes ~28x at
+    // sf0.1 — see pqLut. Bit-identical integers either way, so the
+    // oracle's direct-d2 arithmetic still hash-matches.)
     val rankedQ = if (qvDf eq cv) ranked else rankCells(qvDf, centroidRow)
-    val qTables = rankedQ
-      .crossJoin(broadcast(cbr))
+    val probes = rankedQ
       .select(col("sid").as("qid"), col("qv"),
-        transform(sequence(lit(0), lit(m - 1)), mm =>
-          transform(element_at(col("cb"), mm + 1), w =>
-            lit(-2L) * idot(slice(col("qv"), mm * sub + 1, lit(sub)), w)))
-          .as("qa"),
         explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
-    val probes = qTables
-      .join(broadcast(cellTables), col("cid") === col("rcid"))
+      .join(broadcast(cellVecs), col("cid") === col("rcid"))
       .select(col("qid"), col("cid"),
-        // the cross-term array rides as a ZIP ARGUMENT (evaluated once per
-        // row, m dots); `d` is then a lambda variable inside the k-wide
-        // inner zip — putting subD2 in the inner lambda body would
-        // re-evaluate it per codeword
-        zip_with(
-          transform(sequence(lit(0), lit(m - 1)), mm =>
-            subD2(slice(col("qv"), mm * sub + 1, lit(sub)),
-              slice(col("rcv"), mm * sub + 1, lit(sub)))),
-          sequence(lit(0), lit(m - 1)),
-          (d, mm) => zip_with(
-            element_at(col("qa"), mm + 1), element_at(col("ct"), mm + 1),
-            (a, b) => a + b + d)).as("lut"))
+        zip_with(col("qv"), col("rcv"), (a, b) => a - b).as("qrv"))
     val joined = probes.join(members, Seq("cid"))
     val scored = (if (selfExclude) joined.filter(col("qid") =!= col("nid"))
                   else joined)
+      .crossJoin(broadcast(cbr))
       .select(col("qid"), col("nid"),
-        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
+        adcDirect(col("qrv"), col("codes"), col("cb"), dim, m).as("d2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
     cut(scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK))
