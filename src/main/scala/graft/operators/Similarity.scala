@@ -152,9 +152,11 @@ object Similarity {
     */
   def ivfPqRefineTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       nCells: Int, nProbe: Int, m: Int, k: Int,
-                      shortlistK: Int, topK: Int): DataFrame =
+                      shortlistK: Int, topK: Int,
+                      probeFilter: Column = lit(true)): DataFrame =
     exactRerank(
-      ivfPqTopK(df, idCol, vecCol, dim, nCells, nProbe, m, k, topK = shortlistK),
+      ivfPqTopK(df, idCol, vecCol, dim, nCells, nProbe, m, k,
+        topK = shortlistK, probeFilter = probeFilter),
       df, idCol, vecCol, topK)
 
   /** Residual IVF-PQ over Lloyd-trained cells with exact refine — the full
@@ -164,11 +166,11 @@ object Similarity {
   def ivfPqResidualRefineTopKTrained(df: DataFrame, idCol: String,
                                      vecCol: String, dim: Int, nCells: Int,
                                      updates: Int, nProbe: Int, m: Int,
-                                     k: Int, shortlistK: Int,
-                                     topK: Int): DataFrame =
+                                     k: Int, shortlistK: Int, topK: Int,
+                                     probeFilter: Column = lit(true)): DataFrame =
     exactRerank(
       ivfPqResidualTopKTrained(df, idCol, vecCol, dim, nCells, updates,
-        nProbe, m, k, topK = shortlistK),
+        nProbe, m, k, topK = shortlistK, probeFilter = probeFilter),
       df, idCol, vecCol, topK)
 
   /** All pairs with cosine >= threshold — brute-force O(n^2) baseline for
@@ -336,15 +338,15 @@ object Similarity {
   /** PQ-encode a quantized vector against the codebook: per subspace the
     * argmin-d2 code (ties -> lowest code), as `array<long>` of length m.
     * Pure per-row array algebra against the broadcast codebook row — NO
-    * shuffle; `array_min` over (d2, code) structs is the argmin (struct
-    * ordering is lexicographic), the same trick rankCells uses.
+    * shuffle. Encoding scans the whole codebook per row (m x k subvector
+    * distances), so it runs as ONE native codegen'd kernel
+    * (graft.plans.PqEncodeLong) — the interpreted `array_min(transform(...))`
+    * argmin paid a lambda dispatch + slice + struct allocation per
+    * (row, subspace, entry), ~8M of them at N=2000/m=16/k=256. Same exact
+    * integers and lowest-code tie break, so oracles hash-match unchanged.
     */
   def pqCodes(vec: Column, cb: Column, dim: Int, m: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)), mm =>
-      array_min(
-        transform(element_at(cb, mm + 1), (c, kk) =>
-          struct(subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), c).as("d2"),
-            kk.cast("long").as("k"))))("k"))
+    graft.plans.GraftFunctions.pqEncode(vec, cb)
 
   /** Per-query ADC lookup table: `lut[mm][kk] = d2(query_sub_mm, cb[mm][kk])`
     * — m·k native-kernel dots, computed once per query row.
@@ -365,21 +367,18 @@ object Similarity {
     * m codes, and the BROADCAST codebook — the self-search scoring form:
     * the probe side ships only its dim-long vector (512 B at dim=64)
     * through the per-cell shuffle instead of an m x k LUT, so exchange
-    * bytes scale with dim, not with codebook size. Per pair it costs m
-    * native subD2 dots over dim/m-long slices — more FLOPs than a table
-    * lookup, but FLOPs inside whole-stage codegen are what a 100 TB
-    * cluster has; shuffled bytes are what it pays for. Identical exact
-    * integers to the LUT form, so every oracle hash-matches unchanged.
+    * bytes scale with dim, not with codebook size. Per pair it costs
+    * dim multiply-adds inside ONE native codegen'd kernel
+    * (graft.plans.PqAdcDirectLong) — the interpreted
+    * `aggregate(zip_with(...))` + slice form paid a lambda dispatch and an
+    * intermediate array per (pair, subspace), which at m=16/k=256 over ~1M
+    * probe pairs was 30x the whole plan (round-10 bench). Identical exact
+    * integers (the dot identity a.a + b.b - 2a.b IS sum (a-b)^2), so every
+    * oracle hash-matches unchanged.
     */
   private def adcDirect(qv: Column, codes: Column, cb: Column, dim: Int,
-                        m: Int): Column = {
-    val sub = dim / m
-    aggregate(
-      zip_with(codes, sequence(lit(0), lit(m - 1)), (c, mm) =>
-        subD2(slice(qv, mm * sub + 1, lit(sub)),
-          element_at(element_at(cb, mm + 1), c.cast("int") + 1))),
-      lit(0L), (acc, x) => acc + x)
-  }
+                        m: Int): Column =
+    graft.plans.GraftFunctions.pqAdcDirect(qv, codes, cb)
 
   /** PQ-ADC top-k: candidates are searched IN CODE SPACE (m bytes each),
     * queries stay unquantized on their side of the asymmetry. Per query a
@@ -487,10 +486,18 @@ object Similarity {
               .when(l("cid") > r("cid"), 1)
               .otherwise(0)).as("cellrank"))
 
+  /** `probeFilter` restricts which corpus rows act as QUERIES (a predicate
+    * over `qid`) without touching the index side — the answer for the kept
+    * qids is bit-identical to filtering the full self-search afterwards
+    * (the rank window partitions by qid), but the scoring join only carries
+    * the kept probes. This is the self-search form of an external query
+    * set: at 100 TB "re-rank these 1k docs against the corpus index" must
+    * not pay a corpus x corpus probe join just to discard it afterwards.
+    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-              nProbe: Int, k: Int): DataFrame = {
+              nProbe: Int, k: Int, probeFilter: Column = lit(true)): DataFrame = {
     val v = prepared(df, idCol, vecCol)
-    probeTopK(v, seedCentroids(v, nCells), nProbe, k)
+    probeTopK(v, seedCentroids(v, nCells), nProbe, k, probeFilter)
   }
 
   /** IVF ANN over a TRAINED index: `updates` Lloyd rounds refine the seed
@@ -499,9 +506,11 @@ object Similarity {
     * Better-centered cells raise recall at the same nProbe.
     */
   def ivfTopKTrained(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-                     updates: Int, nProbe: Int, k: Int): DataFrame = {
+                     updates: Int, nProbe: Int, k: Int,
+                     probeFilter: Column = lit(true)): DataFrame = {
     val v = prepared(df, idCol, vecCol)
-    probeTopK(v, packCells(kmeansCentroidsFrom(v, nCells, updates)), nProbe, k)
+    probeTopK(v, packCells(kmeansCentroidsFrom(v, nCells, updates)), nProbe, k,
+      probeFilter)
   }
 
   /** IVF ANN for an EXTERNAL query set: index `candidates` once (cells from
@@ -549,10 +558,10 @@ object Similarity {
     * occupancy. All arithmetic stays exact integers end-to-end.
     */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                nCells: Int, nProbe: Int, m: Int, k: Int,
-                topK: Int): DataFrame =
+                nCells: Int, nProbe: Int, m: Int, k: Int, topK: Int,
+                probeFilter: Column = lit(true)): DataFrame =
     ivfPqTopKTrained(df, idCol, vecCol, dim, nCells, updates = 0, nProbe, m, k,
-      topK)
+      topK, probeFilter)
 
   /** IVF-PQ with a TRAINED coarse quantizer: `updates` Lloyd rounds refine
     * the seed centroids before cell assignment (updates = 0 degrades to the
@@ -565,7 +574,7 @@ object Similarity {
     */
   def ivfPqTopKTrained(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        nCells: Int, updates: Int, nProbe: Int, m: Int, k: Int,
-                       topK: Int): DataFrame =
+                       topK: Int, probeFilter: Column = lit(true)): DataFrame =
     // Storage.cut pins the shared index state: `ranked` feeds BOTH the
     // member and the probe branch of the self-join, and without a
     // materialization each branch re-runs the scan + cell ranking
@@ -576,7 +585,7 @@ object Similarity {
     graft.core.Storage.freeingIntermediates(df.sparkSession) {
       graft.core.Storage.cut(
         ivfPqPlan(df, idCol, vecCol, dim, nCells, updates, nProbe, m, k, topK,
-          graft.core.Storage.cut(_)))
+          graft.core.Storage.cut(_), probeFilter))
     }
 
   /** The IVF-PQ plan with index pinning as a seam: production passes
@@ -586,7 +595,8 @@ object Similarity {
   private[operators] def ivfPqPlan(df: DataFrame, idCol: String, vecCol: String,
                                    dim: Int, nCells: Int, updates: Int,
                                    nProbe: Int, m: Int, k: Int, topK: Int,
-                                   pin: DataFrame => DataFrame): DataFrame = {
+                                   pin: DataFrame => DataFrame,
+                                   probeFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
     val centroidRow =
@@ -594,15 +604,26 @@ object Similarity {
       else packCells(kmeansCentroidsFrom(v, nCells, updates))
     val ranked = pin(rankCells(v, centroidRow))
     val cb = pin(pqTrain(df, idCol, vecCol, dim, m, k))
+    // repartition-by-cell is load-bearing twice over: (1) it is the
+    // production index layout (codes co-located by coarse cell, so the
+    // probe join is per-cell); (2) the exchange MATERIALIZES the encode
+    // projection exactly once per member. Without a barrier, whole-stage
+    // codegen defers non-join-key streamed columns into the hash-join match
+    // loop, re-running the m x k argmin encode once per (probe, member)
+    // PAIR — measured 94 s vs 3 s at sf0.1 when the planner streamed the
+    // member side (it picks sides from size estimates, so the blowup was
+    // config-dependent: appeared at a 64 MB broadcast threshold, not 10 MB).
     val members = ranked.crossJoin(broadcast(cb)).select(
       coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
       col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
+      .repartition(col("cid"))
     // self-search: every corpus row is a query, so probes carry the RAW
     // vector (dim longs) through the per-cell shuffle and pairs score via
     // the broadcast codebook — see adcDirect for why not a LUT here
     val probes = ranked.select(
       col("sid").as("qid"), col("qv").as("qqv"),
       explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+      .filter(probeFilter)
     val scored = probes.join(members, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .crossJoin(broadcast(cb))
@@ -635,9 +656,12 @@ object Similarity {
     val cb = cut(
       if (updates == 0) pqTrain(candidates, idCol, vecCol, dim, m, k)
       else pqTrainKmeans(candidates, idCol, vecCol, dim, m, k, updates))
+    // repartition-by-cell: index layout + an exchange barrier that pins the
+    // encode to once per member (see ivfPqPlan)
     val members = rankCells(cv, centroidRow).crossJoin(broadcast(cb)).select(
       coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
       col("sid").as("nid"), pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
+      .repartition(col("cid"))
     val probes = rankCells(qv, centroidRow).crossJoin(broadcast(cb)).select(
       col("sid").as("qid"), pqLut(col("qv"), col("cb"), dim, m).as("lut"),
       explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
@@ -674,10 +698,11 @@ object Similarity {
     */
   def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, nCells: Int, nProbe: Int, m: Int, k: Int,
-                        topK: Int): DataFrame =
+                        topK: Int, probeFilter: Column = lit(true)): DataFrame =
    graft.core.Storage.freeingIntermediates(df.sparkSession) {
     val v = prepared(df, idCol, vecCol)
-    ivfPqResidualPlan(v, v, selfExclude = true, dim, nCells, nProbe, m, k, topK)
+    ivfPqResidualPlan(v, v, selfExclude = true, dim, nCells, nProbe, m, k, topK,
+      probeFilter = probeFilter)
    }
 
   /** RESIDUAL IVF-PQ for an EXTERNAL query set — the serve-time production
@@ -712,12 +737,12 @@ object Similarity {
     */
   def ivfPqResidualTopKTrained(df: DataFrame, idCol: String, vecCol: String,
                                dim: Int, nCells: Int, updates: Int,
-                               nProbe: Int, m: Int, k: Int,
-                               topK: Int): DataFrame =
+                               nProbe: Int, m: Int, k: Int, topK: Int,
+                               probeFilter: Column = lit(true)): DataFrame =
    graft.core.Storage.freeingIntermediates(df.sparkSession) {
     val v = prepared(df, idCol, vecCol)
     ivfPqResidualPlan(v, v, selfExclude = true, dim, nCells, nProbe, m, k,
-      topK, trainedUpdates = updates)
+      topK, trainedUpdates = updates, probeFilter = probeFilter)
    }
 
   /** Final-round centroids WITH member counts: the assignment uses
@@ -750,7 +775,8 @@ object Similarity {
                                 nProbe: Int, m: Int, k: Int, topK: Int,
                                 pin: DataFrame => DataFrame =
                                   graft.core.Storage.cut(_),
-                                trainedUpdates: Int = 0): DataFrame = {
+                                trainedUpdates: Int = 0,
+                                probeFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
@@ -786,9 +812,13 @@ object Similarity {
       .select(transform(sequence(lit(0), lit(m - 1)), mm =>
         transform(col("seeds"), s =>
           slice(s("rv"), mm * (dim / m) + 1, lit(dim / m)))).as("cb")))
+    // repartition-by-cell: index layout + an exchange barrier that pins the
+    // encode to once per member (see ivfPqPlan — deferred streamed-column
+    // evaluation would otherwise re-encode per joined pair)
     val members = withRes.crossJoin(broadcast(cbr))
       .select(col("cid"), col("sid").as("nid"),
         pqCodes(col("rv"), col("cb"), dim, m).as("codes"))
+      .repartition(col("cid"))
     // probes: the query's residual differs per probed cell, so it is
     // computed ONCE per (query, cell) row — a zip_with against the
     // broadcast cell anchor — and rides the per-cell shuffle as dim longs
@@ -802,6 +832,7 @@ object Similarity {
     val probes = rankedQ
       .select(col("sid").as("qid"), col("qv"),
         explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+      .filter(probeFilter)
       .join(broadcast(cellVecs), col("cid") === col("rcid"))
       .select(col("qid"), col("cid"),
         zip_with(col("qv"), col("rcv"), (a, b) => a - b).as("qrv"))
@@ -818,7 +849,7 @@ object Similarity {
 
   /** The IVF probe path against any packed centroid row (seeded or trained). */
   private def probeTopK(v: DataFrame, centroidRow: DataFrame, nProbe: Int,
-                        k: Int): DataFrame = {
+                        k: Int, probeFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = rankCells(v, centroidRow)
 
@@ -832,6 +863,7 @@ object Similarity {
     val probes = ranked.select(col("sid").as("qid"), col("qv").as("qqv"),
       col("nrm").as("qnrm"),
       explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+      .filter(probeFilter)
 
     // No dedup needed: each nid lives in exactly one cell, so a (qid, nid)
     // pair appears at most once. (A dropDuplicates here shuffled a million
@@ -980,12 +1012,17 @@ object Similarity {
     * cost. Joins only happen within (table, bucket) — subquadratic at scale.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              nTables: Int, nPlanes: Int, k: Int): DataFrame = {
+              nTables: Int, nPlanes: Int, k: Int,
+              probeFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)
+    // probeFilter (a qid predicate) lands ABOVE the rename, and Catalyst
+    // pushes it through to the `a` side of the bucket self-join — the
+    // candidate join then only carries the kept queries' collisions
     val cands = lshCandidates(
       lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes), anti = false)
       .withColumnRenamed("ida", "qid").withColumnRenamed("idb", "nid")
+      .filter(probeFilter)
     val scored = cands
       .join(v.select(col("sid"), col("qv").as("qqv"), col("nrm").as("qnrm")),
         col("qid") === col("sid")).drop("sid")

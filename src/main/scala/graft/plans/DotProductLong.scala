@@ -85,6 +85,8 @@ object GraftFunctions {
   val MisraGriesName = "graft_misra_gries"
   val LshBucketsName = "graft_lsh_buckets"
   val PqAdcName = "graft_pq_adc"
+  val PqAdcDirectName = "graft_pq_adc_direct"
+  val PqEncodeName = "graft_pq_encode"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -101,6 +103,21 @@ object GraftFunctions {
         pqId,
         new ExpressionInfo(classOf[PqAdcLong].getName, PqAdcName),
         (children: Seq[Expression]) => PqAdcLong(children(0), children(1)))
+    }
+    val pqdId = FunctionIdentifier(PqAdcDirectName)
+    if (!registry.functionExists(pqdId)) {
+      registry.registerFunction(
+        pqdId,
+        new ExpressionInfo(classOf[PqAdcDirectLong].getName, PqAdcDirectName),
+        (children: Seq[Expression]) =>
+          PqAdcDirectLong(children(0), children(1), children(2)))
+    }
+    val pqeId = FunctionIdentifier(PqEncodeName)
+    if (!registry.functionExists(pqeId)) {
+      registry.registerFunction(
+        pqeId,
+        new ExpressionInfo(classOf[PqEncodeLong].getName, PqEncodeName),
+        (children: Seq[Expression]) => PqEncodeLong(children(0), children(1)))
     }
     val lshId = FunctionIdentifier(LshBucketsName)
     if (!registry.functionExists(lshId)) {
@@ -158,5 +175,21 @@ object GraftFunctions {
   def pqAdc(codes: Column, lut: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(PqAdcName, codes, lut)
+  }
+
+  /** PQ encode: codes[mm] = argmin_k d2(vec_sub_mm, cb[mm][k]), ties ->
+    * lowest code (native codegen).
+    */
+  def pqEncode(vec: Column, cb: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(PqEncodeName, vec, cb)
+  }
+
+  /** PQ asymmetric distance direct from (query vector, codes, codebook):
+    * sum_mm sum_j (qv[mm*sub+j] - cb[mm][codes[mm]][j])^2 (native codegen).
+    */
+  def pqAdcDirect(qv: Column, codes: Column, cb: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(PqAdcDirectName, qv, codes, cb)
   }
 }

@@ -2459,25 +2459,34 @@ object CorpusQueries {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      // probeFilter pushes the 8-query predicate into each ladder's probe
+      // side BEFORE the scoring join: the index (cells, codebook, codes,
+      // buckets) still derives from the full corpus — byte-identical to the
+      // oracle's self-search CTEs filtered on qid — but the scoring work is
+      // 8 queries, not a corpus-wide self-kNN discarded down to 40 rows
+      // (round 10 measured 372 s for this row; the filter-after form cannot
+      // push through the materialized rank window)
+      val qids = col("qid") < 8
       def top5(df: org.apache.spark.sql.DataFrame) =
-        df.filter(col("qid") < 8).select(col("qid"), col("nid"))
+        df.select(col("qid"), col("nid"))
       Similarity.annRecall(Seq(
           "ivf_flat" -> top5(Similarity.ivfTopK(emb, "vec_id", "embedding",
-            nCells = IvfCells, nProbe = IvfProbe, k = 5)),
+            nCells = IvfCells, nProbe = IvfProbe, k = 5, probeFilter = qids)),
           "ivfpq_refine" -> top5(Similarity.ivfPqRefineTopK(emb, "vec_id",
             "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
-            m = PqM, k = PqK, shortlistK = RefineShortlist, topK = 5)),
+            m = PqM, k = PqK, shortlistK = RefineShortlist, topK = 5,
+            probeFilter = qids)),
           "ivfpq_residual_refine" -> top5(
             Similarity.ivfPqResidualRefineTopKTrained(emb, "vec_id",
               "embedding", dim = 64, nCells = IvfCells, updates = 1,
               nProbe = IvfProbe, m = PqM, k = PqK,
-              shortlistK = RefineShortlist, topK = 5)),
+              shortlistK = RefineShortlist, topK = 5, probeFilter = qids)),
           "ivfpq_seeded" -> top5(Similarity.ivfPqTopK(emb, "vec_id",
             "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
-            m = PqM, k = PqK, topK = 5)),
+            m = PqM, k = PqK, topK = 5, probeFilter = qids)),
           "lsh" -> top5(Similarity.lshTopK(emb, "vec_id", "embedding",
             dim = 64, nTables = LshRecallTables, nPlanes = LshRecallPlanes,
-            k = 5))),
+            k = 5, probeFilter = qids))),
         exact, k = 5, minRecall = 0.5)
         .orderBy(col("method"))
     },
