@@ -106,16 +106,25 @@ object Sampling {
     *     (48-bit md5, the t7/d14 hash discipline).
     *  2. Bag-of-buckets models with add-one smoothing for the target slice
     *     (`isTarget` rows) and the raw pool (all rows); the per-bucket
-    *     log-likelihood ratio ln(p_t(b)) - ln(p_r(b)) is rounded to integer
-    *     MICRO-NATS from exact integer counts (t12's fixed-point
-    *     discipline), so per-doc summation is order-free integer addition:
-    *     logw_fp(d) = sum_b c_db x lr_fp(b).
+    *     log-likelihood ratio ln(p_t(b)) - ln(p_r(b)) is integer MICRO-NATS
+    *     from exact integer counts, so per-doc summation is order-free
+    *     integer addition: logw_fp(d) = sum_b c_db x lr_fp(b).
     *  3. Gumbel top-k resampling, derandomized: the Gumbel noise is
     *     -ln(-ln(u)) in micro-nats with u = (md5bucket(salt:id)+0.5)/2^32 —
     *     an exact dyadic rational, so re-runs and engines draw identical
     *     noise. Sampling WITHOUT replacement ≡ top-k by
     *     key_fp = logw_fp + gumbel_fp (the Gumbel-max trick), ties broken
     *     by id.
+    *
+    * EVERY ln above is graft.plans.LnFp's deterministic INTEGER fixed-point
+    * log (shift-and-square, no libm): round(ln(x)*1e6) via float ln is only
+    * cross-engine stable when both libms agree to within each value's
+    * distance from its rounding boundary, and this operator rolls 564+ such
+    * dice per run — the round-10 gate caught a host DuckDB flipping one
+    * (1.7e-4 margin on one bucket's ratio). With LnFp both engines compute
+    * identical integers BY CONSTRUCTION (the oracle twin is a recursive CTE
+    * over HUGEINT — CorpusQueries.sqlLog2Fp), removing libm from the
+    * contract entirely.
     *
     * Scale shape: features shuffle as (did, bucket) pairs — 8-byte keys,
     * never text; bucket stats are nBuckets rows (broadcast); selection is
@@ -140,10 +149,13 @@ object Sampling {
     val bc = feats.groupBy(col("b")).agg(count(lit(1)).as("rc"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
     val tot = bc.agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
+    // two INDEPENDENT integer fixed-point lns — not one float ln of the
+    // ratio of ratios — so each rounds from exact integer operands
     val lr = bc.crossJoin(broadcast(tot)).select(col("b"),
-      round((log((col("tc") + lit(1.0)) / (col("tn") + lit(nBuckets.toDouble)))
-        - log((col("rc") + lit(1.0)) / (col("rn") + lit(nBuckets.toDouble))))
-        * 1e6).cast("long").as("lr_fp"))
+      (graft.plans.LnFpFunctions.lnMicro(
+          col("tc") + lit(1L), col("tn") + lit(nBuckets.toLong))
+        - graft.plans.LnFpFunctions.lnMicro(
+          col("rc") + lit(1L), col("rn") + lit(nBuckets.toLong))).as("lr_fp"))
     val logw = cdb.join(broadcast(lr), Seq("b"))
       .groupBy(col("did")).agg(sum(col("c") * col("lr_fp")).as("logw_fp"))
     // featureless docs (empty text) carry weight 0, they still compete
@@ -152,8 +164,7 @@ object Sampling {
       .withColumn("logw_fp", coalesce(col("logw_fp"), lit(0L)))
     all
       .withColumn("key_fp", col("logw_fp") +
-        round(-log(-log((bucket(col("did"), salt).cast("double") + lit(0.5))
-          / lit(Buckets.toDouble))) * 1e6).cast("long"))
+        graft.plans.LnFpFunctions.gumbelMicro(bucket(col("did"), salt)))
       .orderBy(col("key_fp").desc, col("did").asc)
       .limit(k)
       .select(col("did"), col("logw_fp"),

@@ -32,6 +32,58 @@ object CorpusQueries {
   private def sqlHash(expr: String, hexChars: Int): String =
     s"CAST(concat('0x', substr(md5($expr), 1, $hexChars)) AS BIGINT)"
 
+  // ---- graft.plans.LnFp SQL twin (deterministic integer fixed-point ln) --
+
+  /** Powers of two 2^0..2^125 as HUGEINT — the "variable shift" primitive
+    * the LnFp recurrence needs (DuckDB has no HUGEINT shift operator).
+    */
+  private val pow2Cte =
+    """pow2(i, v) AS (
+      |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT i + 1, v * 2 FROM pow2 WHERE i < 125)""".stripMargin
+
+  /** Mirror of LnFp.log2fp50: EXACT integer Q50 log2(p/q) for a relation
+    * `src`(`key`, p, q) -> CTE `{x}L`(`key`, L). The 120-bit scaled
+    * quotient normalizes to a 51-bit mantissa; 50 shift-and-square rounds
+    * (a recursive CTE over HUGEINT) emit one fraction bit each. Every step
+    * is integer arithmetic, so L is a pure function of (p, q) — the same
+    * integers the engine's LnFp computes, no libm on either side.
+    */
+  private def sqlLog2Fp(x: String, src: String, key: String): String =
+    s"""${x}s AS (SELECT $key, p, q, length(format('{:b}', p)) AS blp FROM $src),
+       |${x}a AS (SELECT $key, blp,
+       |  (CAST(p << (62 - blp) AS HUGEINT) * 288230376151711744) // CAST(q AS HUGEINT) AS bq
+       |  FROM ${x}s),
+       |${x}b AS (SELECT $key, blp, bq, p2.i + 1 AS blq
+       |  FROM ${x}a JOIN pow2 p2 ON bq >= p2.v AND bq < p2.v * 2),
+       |${x}m AS (SELECT $key, (blq - 1) - 120 + blp AS etot, bq // p2.v AS x0
+       |  FROM ${x}b JOIN pow2 p2 ON p2.i = blq - 51),
+       |${x}it($key, i, x, fb) AS (
+       |  SELECT $key, 0, x0, CAST(0 AS BIGINT) FROM ${x}m
+       |  UNION ALL
+       |  SELECT $key, i + 1,
+       |    CASE WHEN y >= 2251799813685248 THEN y // 2 ELSE y END,
+       |    fb * 2 + CASE WHEN y >= 2251799813685248 THEN 1 ELSE 0 END
+       |  FROM (SELECT $key, i, (x * x) // 1125899906842624 AS y, fb
+       |        FROM ${x}it WHERE i < 50)),
+       |${x}L AS (SELECT m.$key, CAST(etot AS BIGINT) * 1125899906842624 + fb AS L
+       |  FROM ${x}m m JOIN ${x}it it ON m.$key = it.$key WHERE it.i = 50)""".stripMargin
+
+  /** Mirror of LnFp.lnMicro's final scaling: micro-nats from a Q50 log2
+    * (L x round(ln2*1e6*2^20), half-away-rounded >> 70).
+    */
+  private val sqlLnMicroFromL =
+    """CAST(CASE WHEN L >= 0
+      |  THEN (CAST(L AS HUGEINT) * 726817498003 + 590295810358705651712) // 1180591620717411303424
+      |  ELSE -((CAST(-L AS HUGEINT) * 726817498003 + 590295810358705651712) // 1180591620717411303424)
+      |END AS BIGINT)""".stripMargin
+
+  /** Mirror of LnFp.lnQ40's final scaling: Q40 nats from a Q50 log2. */
+  private val sqlLnQ40FromL =
+    """CAST(CASE WHEN L >= 0
+      |  THEN (CAST(L AS HUGEINT) * 24387948313146 + 18014398509481984) // 36028797018963968
+      |  ELSE -((CAST(-L AS HUGEINT) * 24387948313146 + 18014398509481984) // 36028797018963968)
+      |END AS BIGINT)""".stripMargin
+
   /** Mirror of Dedup.minhashSignatures: 32 min-aggregates. */
   private val sigSelect: String = {
     val aggs = (0 until Dedup.NumHashes).map(i =>
@@ -2067,9 +2119,17 @@ object CorpusQueries {
     // order-free) -> derandomized Gumbel top-k (md5-derived noise).
     // The oracle replays every step: hashes, integer counts, micro-nat
     // rounding, Gumbel keys, and the top-200 selection.
+    // Every ln below runs through the sqlLog2Fp integer twin of
+    // graft.plans.LnFp — NO float ln anywhere in this oracle. Round 10's
+    // gate showed why: one bucket's round(ln-ratio * 1e6) sat 1.7e-4 from
+    // its boundary and a host DuckDB's libm flipped it against the JVM.
+    // The lr relation stacks both smoothed ratios per bucket (side t/r);
+    // the Gumbel chains two lnFp passes (inner -ln u carried in Q40 nats as
+    // 33*ln2Q40 - lnQ40(2h+1), outer over the exact rational v/2^40).
     QueryDef(
       "sm9_importance_resample",
-      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
          |  FROM documents),
          |uni AS (SELECT doc_id, lang, unnest(w) AS feat FROM w),
          |bi AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS feat
@@ -2083,18 +2143,27 @@ object CorpusQueries {
          |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
          |  FROM f GROUP BY b),
          |tot AS (SELECT SUM(rc) AS rn, SUM(tc) AS tn FROM bc),
-         |lr AS (SELECT b,
-         |    CAST(round((ln((tc + 1.0) / (tn + 64.0))
-         |      - ln((rc + 1.0) / (rn + 64.0))) * 1e6) AS BIGINT) AS lr_fp
-         |  FROM bc CROSS JOIN tot),
+         |lrin AS (SELECT b * 2 AS key, tc + 1 AS p, tn + 64 AS q FROM bc CROSS JOIN tot
+         |  UNION ALL SELECT b * 2 + 1, rc + 1, rn + 64 FROM bc CROSS JOIN tot),
+         |${sqlLog2Fp("lf", "lrin", "key")},
+         |lrm AS (SELECT key, $sqlLnMicroFromL AS micro FROM lfL),
+         |lr AS (SELECT t.key // 2 AS b, t.micro - r.micro AS lr_fp
+         |  FROM lrm t JOIN lrm r ON r.key = t.key + 1 WHERE t.key % 2 = 0),
          |logw AS (SELECT doc_id, SUM(c * lr_fp) AS logw_fp
          |  FROM cdb JOIN lr USING (b) GROUP BY doc_id),
          |allv AS (SELECT d.doc_id, COALESCE(logw_fp, 0) AS logw_fp
          |  FROM documents d LEFT JOIN logw USING (doc_id)),
-         |keyed AS (SELECT doc_id, logw_fp, logw_fp + CAST(round(-ln(-ln(
-         |      (CAST(${sqlHash("'ir:' || doc_id", 8)} AS DOUBLE) + 0.5)
-         |        / 4294967296.0)) * 1e6) AS BIGINT) AS key_fp
-         |  FROM allv)
+         |g0 AS (SELECT doc_id AS key,
+         |    2 * ${sqlHash("'ir:' || doc_id", 8)} + 1 AS p, CAST(1 AS BIGINT) AS q
+         |  FROM allv),
+         |${sqlLog2Fp("g1", "g0", "key")},
+         |gv AS (SELECT key, 33 * 762123384786 - $sqlLnQ40FromL AS p,
+         |    CAST(1099511627776 AS BIGINT) AS q
+         |  FROM g1L),
+         |${sqlLog2Fp("g2", "gv", "key")},
+         |gum AS (SELECT key AS doc_id, -$sqlLnMicroFromL AS gumbel_fp FROM g2L),
+         |keyed AS (SELECT doc_id, logw_fp, logw_fp + gumbel_fp AS key_fp
+         |  FROM allv JOIN gum USING (doc_id))
          |SELECT doc_id, logw_fp,
          |  round(CAST(logw_fp AS DOUBLE) / 1e6, 6) AS logw, key_fp
          |FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 200""".stripMargin) { (s, d) =>
