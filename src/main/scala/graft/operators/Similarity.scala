@@ -432,6 +432,57 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
+  /** FAISS-discipline index sizing: nCells ~ 4*sqrt(N), nProbe ~ nCells/16.
+    *
+    * The candidate math that makes this load-bearing: a query scans
+    * N * nProbe / nCells candidates (uniform occupancy), so FIXED nCells is
+    * a scale-killer — at nCells = 16, nProbe = 4 every query scans N/4 of
+    * the corpus and self-search is O(N^2/4), an "index" that prunes almost
+    * nothing at 100x the corpus. With nCells = 4*sqrt(N) the per-query scan
+    * is nProbe*sqrt(N)/4 and self-search is O(nProbe * N^1.5 / 4) — the
+    * assignment cost per row, O(nCells * dim), grows only as sqrt(N)
+    * (SimilaritySpec's o(N^2) guard pins this). The oracle FIXTURES keep
+    * small fixed cells (nCells = 16 at N = 500/2000) because the DuckDB
+    * twin re-derives the index relationally; production call sites should
+    * size from the corpus: `val (c, p) = Similarity.indexParams(df.count())`.
+    *
+    * Bounds: >= 16 cells so tiny corpora still bucket; <= 2^18 cells keeps
+    * the broadcast centroid row (nCells * dim longs) under ~134 MB at
+    * dim = 64 — past that, shard the coarse quantizer before raising the cap.
+    * nProbe >= 4 keeps recall off the floor at small nCells.
+    */
+  def autoCells(n: Long): Int =
+    math.max(16, math.min(1 << 18, math.round(4.0 * math.sqrt(n.toDouble)).toInt))
+
+  def autoProbe(nCells: Int): Int = math.max(4, nCells / 16)
+
+  /** (nCells, nProbe) for a corpus of `n` vectors — see [[autoCells]]. */
+  def indexParams(n: Long): (Int, Int) = {
+    val c = autoCells(n)
+    (c, autoProbe(c))
+  }
+
+  /** Probe-join candidate volume of a seeded self-search at the given index
+    * parameters: sum over cells of probes(cell) x occupancy(cell) — the
+    * exact row count of the scoring join before top-k. Diagnostic for index
+    * sizing (the o(N^2) guard in SimilaritySpec asserts autoCells keeps
+    * this subquadratic); costs one pass over the corpus, no pair join.
+    */
+  private[operators] def selfSearchCandidateCount(df: DataFrame, idCol: String,
+                                                  vecCol: String, nCells: Int,
+                                                  nProbe: Int): Long = {
+    val v = prepared(df, idCol, vecCol)
+    val ranked = rankCells(v, seedCentroids(v, nCells))
+    val occ = ranked.select(
+        coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+    val probes = ranked.select(
+        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("np"))
+    occ.join(probes, Seq("cid"))
+      .agg(coalesce(sum(col("occ") * col("np")), lit(0L))).head().getLong(0)
+  }
+
   /** IVF-flat ANN: partition vectors into `nCells` cells around centroid
     * vectors; a query probes its `nProbe` closest cells and ranks only their
     * members. Centroids here are deterministic data samples (the lowest ids)

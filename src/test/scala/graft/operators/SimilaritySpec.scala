@@ -528,4 +528,21 @@ class SimilaritySpec extends SparkSpec {
     // probing 4 of 16 cells returns a nonempty, ascending ranking
     assert(out.nonEmpty && out.sortBy(_._3).map(_._2).toSeq == out.map(_._2).sorted.toSeq)
   }
+
+  test("autoCells keeps self-search candidates subquadratic (o(N^2) guard)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val (cells, probe) = Similarity.indexParams(n)
+    // sizing discipline: nCells ~ 4 sqrt(N) (here 89 at N=500), nProbe >= 4
+    assert(cells >= 4 * math.sqrt(n.toDouble) * 0.9 && cells <= 4 * math.sqrt(n.toDouble) * 1.1)
+    val auto = Similarity.selfSearchCandidateCount(emb, "vec_id", "embedding", cells, probe)
+    val fixed = Similarity.selfSearchCandidateCount(emb, "vec_id", "embedding", 16, 4)
+    // fixed 16 cells scans ~N/4 of the corpus per query -> ~N^2/4 pairs;
+    // auto sizing must beat it decisively and stay within a skew factor of
+    // the uniform-occupancy model nProbe * N^1.5 / 4
+    assert(auto < fixed / 2, s"auto=$auto not clearly below fixed=$fixed")
+    val model = probe * math.pow(n.toDouble, 1.5) / 4.0
+    assert(auto.toDouble <= 4.0 * model,
+      s"auto=$auto exceeds 4x the uniform model $model — cell skew out of bounds")
+  }
 }
