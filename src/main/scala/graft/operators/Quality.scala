@@ -97,6 +97,15 @@ object Quality {
         when(col(s"skn_$side") < k, col(s"skn_$side").cast("double"))
           .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
             col(s"kth_$side").cast("double"))
+      // exact integer gate: 1000 * l1x2 <= 2 * maxTvPermille * nr * nc.
+      // Magnitude bound (documented, ANSI fails loud past it): the products
+      // stay inside decimal(38,0) up to ~1e16 rows per side
+      // (2e3 * nr * nc <= 1e38) — past that, pre-aggregate or sample before
+      // gating. An empty side can NEVER pass: the n > 0 guards below short-
+      // circuit drift_ok to false instead of a null (empty-sum) comparison
+      // leaking through as a non-boolean gate.
+      val nr0 = coalesce(col("nr"), lit(0L))
+      val nc0 = coalesce(col("nc"), lit(0L))
       val tvOk = col("l1x2") * lit(1000L).cast(dec) <=
         lit(2L * maxTvPermille).cast(dec) * col("nr").cast(dec) * col("nc").cast(dec)
       val kmvOk = est("cur") * lit(2.0) >= est("ref") &&
@@ -104,12 +113,12 @@ object Quality {
       l1.crossJoin(broadcast(tot))
         .crossJoin(broadcast(sk(ref, "ref"))).crossJoin(broadcast(sk(cur, "cur")))
         .select(lit(name).as("column"),
-          col("nr").as("n_ref"), col("nc").as("n_cur"),
+          nr0.as("n_ref"), nc0.as("n_cur"),
           col("l1x2").cast("double").as("l1_x2"),
           (col("l1x2").cast("double") /
             (lit(2.0) * col("nr").cast("double") * col("nc").cast("double"))).as("tv"),
           est("ref").as("kmv_ref"), est("cur").as("kmv_cur"),
-          (tvOk && kmvOk).as("drift_ok"))
+          (nr0 > 0 && nc0 > 0 && tvOk && kmvOk).as("drift_ok"))
     }.reduce(_.unionByName(_))
   }
 

@@ -33,10 +33,12 @@ object EtlQueries {
          |    FROM (SELECT DISTINCT CAST(concat('0x', substr(md5($kexpr), 1, 12)) AS BIGINT) AS h
          |      FROM orders WHERE $where ORDER BY h LIMIT 64))""".stripMargin
     s"""SELECT '$scenario' AS scenario, '$colName' AS "column",
-       |  nr AS n_ref, nc AS n_cur, CAST(l1x2 AS DOUBLE) AS l1_x2,
+       |  coalesce(nr, 0) AS n_ref, coalesce(nc, 0) AS n_cur,
+       |  CAST(l1x2 AS DOUBLE) AS l1_x2,
        |  CAST(l1x2 AS DOUBLE) / (2.0 * nr * nc) AS tv,
        |  kr AS kmv_ref, kc AS kmv_cur,
-       |  ((1000 * l1x2 <= 200 * nr * nc)
+       |  (coalesce(nr, 0) > 0 AND coalesce(nc, 0) > 0
+       |    AND (1000 * l1x2 <= 200 * nr * nc)
        |    AND (kc * 2.0 >= kr AND kc <= kr * 2.0)) AS drift_ok
        |FROM (
        |  WITH refh AS (SELECT coalesce(CAST($bexpr AS VARCHAR), '<null>') AS b, COUNT(*) AS c

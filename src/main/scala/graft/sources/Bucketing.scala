@@ -159,12 +159,20 @@ object Bucketing {
                            bucketCols: Seq[String], nBuckets: Int): (Int, Int) = {
     val before = spark.table(table).inputFiles.length
     val staging = table + "__compacting"
+    val retired = table + "__old"
     ensureCleanTable(spark, staging)
+    ensureCleanTable(spark, retired)
     writeBucketedBy(
       bucketAligned(spark.table(table), bucketCols, nBuckets),
       staging, bucketCols, nBuckets)
-    spark.sql(s"DROP TABLE $table")
+    // rename-aside publish: the live name is re-pointed in two renames
+    // rather than DROP + RENAME, so EVERY crash window leaves a queryable
+    // table under some name (live, or staging + __old) and recovery is a
+    // single rename — a drop-first swap had a window where the name bound
+    // to nothing and the old data was already gone
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $retired")
     (before, spark.table(table).inputFiles.length)
   }
 
@@ -172,11 +180,19 @@ object Bucketing {
     * [[writeBucketedPartitionedBy]] table — the ds2 layout's maintenance
     * step: each ingestion batch's partition accretes (writer partitions x
     * nBuckets) files at append time; compacting rewrites that partition to
-    * one file per non-empty bucket via the same idempotent
-    * drop-plus-bucketed-append that exactly-once ingestion uses, so a
-    * crash mid-compaction is repaired by simply re-running it. The
-    * partition's rows are pinned (eager local checkpoint — partition-sized,
-    * not corpus-sized) before its files are dropped.
+    * one file per non-empty bucket.
+    *
+    * Crash safety: the compacted rows are staged DURABLY (a bucketed
+    * staging table on disk) BEFORE the live partition's files are dropped —
+    * an executor-memory pin (localCheckpoint) here was a data-loss window:
+    * crash or executor loss between drop and append lost the partition, and
+    * a re-run read the now-empty partition and silently converged to empty.
+    * Recovery rule on re-run: a staging table left by a crash is REUSED iff
+    * the live partition is empty (the crash was between drop and append);
+    * a non-empty live partition always rebuilds staging from the live rows,
+    * so a stale staging can never shadow later appends. Staging is dropped
+    * on success, so its existence implies a crashed compaction.
+    * DedupSpec drives the drop-then-crash path.
     *
     * Returns (files_before, files_after) for the WHOLE table; other
     * partitions' files are untouched.
@@ -187,12 +203,19 @@ object Bucketing {
                                nBuckets: Int): (Int, Int) = {
     import org.apache.spark.sql.functions.col
     val before = spark.table(table).inputFiles.length
-    val pinned = bucketAligned(
-      spark.table(table).filter(col(partCol) === partValue).drop(partCol),
-      bucketCols, nBuckets)
-      .localCheckpoint(true)
-    overwriteBucketedPartition(pinned, table, partCol, partValue,
-      bucketCols, nBuckets)
+    val staging = s"${table}__compact_p$partValue"
+    val live = spark.table(table).filter(col(partCol) === partValue).drop(partCol)
+    if (!(spark.catalog.tableExists(staging) && live.isEmpty)) {
+      ensureCleanTable(spark, staging)
+      writeBucketedBy(bucketAligned(live, bucketCols, nBuckets),
+        staging, bucketCols, nBuckets)
+    }
+    // re-align on read-back so the one-file-per-bucket contract survives
+    // the staging round-trip regardless of how the staging scan splits
+    overwriteBucketedPartition(
+      bucketAligned(spark.table(staging), bucketCols, nBuckets),
+      table, partCol, partValue, bucketCols, nBuckets)
+    spark.sql(s"DROP TABLE $staging")
     (before, spark.table(table).inputFiles.length)
   }
 

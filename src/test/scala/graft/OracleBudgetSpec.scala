@@ -24,6 +24,12 @@ class OracleBudgetSpec extends AnyFunSuite {
         .start().waitFor() == 0
       catch { case _: Exception => false }
     assume(available, "python3 + duckdb unavailable (driver-side only)")
+    // no-op outside the driver machine even when duckdb happens to exist:
+    // without the fixture dir the view creation would THROW and fail the
+    // suite instead of cancelling
+    assume(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/root/testdata/sf0.01")),
+      "sf0.01 fixture directory unavailable (driver-side only)")
 
     val dir = java.nio.file.Files.createTempDirectory("graft_oracle_budget")
     SparkEntry.oracleSql.foreach { case (name, sql) =>

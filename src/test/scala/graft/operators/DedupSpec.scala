@@ -257,6 +257,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactBandIndexBatch: crash between partition drop and append is recovered from durable staging") {
+    val table = "b_band_index_crash_compact"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchA = docs.filter(col("doc_id") % 8 === 0)
+    Dedup.writeBandIndexPartitioned(corpus, "doc_id", "text", 3, table, 4)
+    graft.sources.Bucketing.overwriteBucketedPartition(
+      Dedup.bandIndex(batchA, "doc_id", "text", 3).repartition(7),
+      table, "ingest_batch", 0L, Seq("band", "bkey"), 4)
+    try {
+      val batchRows = spark.table(table).filter(col("ingest_batch") === 0L)
+        .drop("ingest_batch").collect().toSet
+      assert(batchRows.nonEmpty)
+      // phase 1 of compaction: durable staging of the compacted partition
+      val staging = s"${table}__compact_p0"
+      graft.sources.Bucketing.ensureCleanTable(spark, staging)
+      graft.sources.Bucketing.writeBucketedBy(
+        spark.table(table).filter(col("ingest_batch") === 0L).drop("ingest_batch")
+          .repartition(4, col("band"), col("bkey")),
+        staging, Seq("band", "bkey"), 4)
+      // CRASH INJECTION: the partition's files are dropped (the window
+      // inside overwriteBucketedPartition) and the process "dies" before
+      // the append — the partition is now empty, only staging survives
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ingest_batch=0)")
+      assert(spark.table(table).filter(col("ingest_batch") === 0L).isEmpty)
+      // re-running the maintenance op must RESTORE the partition from the
+      // durable staging instead of converging to an empty partition
+      Dedup.compactBandIndexBatch(spark, table, 4, batch = 0L)
+      val recovered = spark.table(table).filter(col("ingest_batch") === 0L)
+        .drop("ingest_batch").collect().toSet
+      assert(recovered == batchRows,
+        s"recovered ${recovered.size} rows != original ${batchRows.size}")
+      // staging is dropped on success — its absence marks a clean state
+      assert(!spark.catalog.tableExists(staging))
+    } finally {
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+      graft.sources.Bucketing.ensureCleanTable(spark, s"${table}__compact_p0")
+    }
+  }
+
   test("partitioned bucketed index: committed-prefix read stays exchange-free") {
     // the ds2 plan contract: an ingest_batch-partitioned AND (band, bkey)-
     // bucketed index, read behind the idempotent path's committed-prefix
