@@ -1057,13 +1057,40 @@ object Similarity {
       .distinct()
   }
 
+  /** Recommended LSH configurations — the two regimes a user picks between
+    * (both ship in the oracle suite; s2 uses precision, s16's recall
+    * contract uses recall):
+    *
+    *  - PRECISION ([[LshPrecisionTables]] x [[LshPrecisionPlanes]] = 8 x 10):
+    *    10 sign bits per bucket -> small, pure buckets; candidates are few
+    *    and mostly true neighbors. Use for top-k serving where the exact
+    *    re-rank is the cost to protect. Misses more true neighbors (each
+    *    must agree on all 10 bits in SOME table).
+    *  - RECALL ([[LshRecallTables]] x [[LshRecallPlanes]] = 8 x 4): 4-bit
+    *    buckets collide ~60x more -> candidate volume is the price,
+    *    recall@5 ~0.8 on the fixtures (vs the floor the 8 x 10 config hits
+    *    on uniform vectors). Use for near-dup mining / recall-contracted
+    *    retrieval where missing a neighbor costs more than scoring extras.
+    *
+    * Scaling either: buckets-per-vector is nTables (linear cost knob);
+    * bucket purity is 2^nPlanes (candidate-volume knob). Grow nPlanes with
+    * log2(N) to hold bucket occupancy roughly constant as the corpus grows.
+    */
+  val LshPrecisionTables = 8
+  val LshPrecisionPlanes = 10
+  val LshRecallTables = 8
+  val LshRecallPlanes = 4
+
   /** Multi-table LSH ANN: `nTables` independent hyperplane tables; candidate
     * pairs share a bucket in ANY table (union -> distinct), then exact
     * cosine ranks the union. More tables = higher recall at linear candidate
     * cost. Joins only happen within (table, bucket) — subquadratic at scale.
+    * Config choice (precision 8 x 10 vs recall 8 x 4): see the preset
+    * constants above.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              nTables: Int, nPlanes: Int, k: Int,
+              nTables: Int = LshPrecisionTables,
+              nPlanes: Int = LshPrecisionPlanes, k: Int = 5,
               probeFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(df, idCol, vecCol)

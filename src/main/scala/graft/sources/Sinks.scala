@@ -295,6 +295,16 @@ object Sinks {
   def truncateTable(spark: SparkSession, db: String, table: String): Unit =
     spark.sql(s"TRUNCATE TABLE $db.$table")
 
-  def dropAllTables(spark: SparkSession, db: String): Unit =
+  /** Drop every table in `db`. The reference's interactive y/N guard
+    * (databaseOperations.py:87-110, `removeAllTablesfromDatabase`) becomes a
+    * type-the-name confirmation in library form: the caller must repeat the
+    * database name, so a destructive sweep can never ride on a variable
+    * mix-up or a default argument. Fails loud before touching the catalog.
+    */
+  def dropAllTables(spark: SparkSession, db: String, confirmDb: String): Unit = {
+    require(confirmDb == db,
+      s"dropAllTables is destructive: pass confirmDb == db to proceed " +
+        s"(got db='$db', confirmDb='$confirmDb')")
     listTables(spark, db).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+  }
 }

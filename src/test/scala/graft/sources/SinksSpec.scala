@@ -16,7 +16,12 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.peek(spark, "graft_test", "eia930_energy_sources", 1).count() == 1)
     Sinks.truncateTable(spark, "graft_test", "eia930_energy_sources")
     assert(spark.table("graft_test.eia930_energy_sources").count() == 0)
-    Sinks.dropAllTables(spark, "graft_test")
+    // the confirm-guard is the reference's y/N prompt in library form:
+    // a mismatched confirmation must refuse before touching the catalog
+    intercept[IllegalArgumentException](
+      Sinks.dropAllTables(spark, "graft_test", confirmDb = "graft_tets"))
+    assert(Sinks.listTables(spark, "graft_test").nonEmpty)
+    Sinks.dropAllTables(spark, "graft_test", confirmDb = "graft_test")
     assert(Sinks.listTables(spark, "graft_test").isEmpty)
   }
 
