@@ -1562,6 +1562,25 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // AUTO-SIZED IVF (Similarity.indexParams): the FAISS-discipline
+    // nCells ~ 4 sqrt(N) defaults, oracle-verified — the same probe path as
+    // s3 but with the index sized from the corpus (N = 500 at the oracle's
+    // sf0.01 -> 89 cells, probe 5; the oracle pins those numbers, the Spark
+    // side derives them from count() so bench runs at other SFs keep
+    // scaling). This is the configuration a production corpus should run;
+    // s3's fixed 16 cells remain as the small-fixture baseline.
+    QueryDef(
+      "s18_knn_ivf_auto",
+      s"""WITH $quantVecCte,
+         |${ivfFlatCtes(89, 5)}
+         |$cosineRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cells, probe) = Similarity.indexParams(emb.count())
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        nCells = cells, nProbe = probe, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Spherical k-means embedding clustering (2 Lloyd rounds). Fully
     // hash-checked because centroids are integer SUM vectors (cosine to the
     // mean == cosine to the sum), so the oracle unrolls both rounds in exact

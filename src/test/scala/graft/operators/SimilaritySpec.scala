@@ -545,4 +545,32 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.toDouble <= 4.0 * model,
       s"auto=$auto exceeds 4x the uniform model $model — cell skew out of bounds")
   }
+
+  test("probeFilter pushdown is bit-identical to filtering the full self-search") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val qids = col("qid") < 8
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("ivfTopK",
+        Similarity.ivfTopK(emb, "vec_id", "embedding", 16, 4, 5),
+        Similarity.ivfTopK(emb, "vec_id", "embedding", 16, 4, 5, probeFilter = qids)),
+      ("ivfPqTopK",
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", 64, 16, 4, 16, 256, 5),
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", 64, 16, 4, 16, 256, 5,
+          probeFilter = qids)),
+      ("ivfPqResidualTopK",
+        Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", 64, 16, 4, 16, 256, 5),
+        Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", 64, 16, 4, 16, 256, 5,
+          probeFilter = qids)),
+      ("lshTopK",
+        Similarity.lshTopK(emb, "vec_id", "embedding", 64, 8, 4, 5),
+        Similarity.lshTopK(emb, "vec_id", "embedding", 64, 8, 4, 5, probeFilter = qids)))
+    for ((name, full, pushed) <- cases) {
+      // the contract the s16 oracle depends on: the same INDEX (built from
+      // the full corpus), only the probe side restricted — so the kept
+      // qids' rows, ranks included, match the full run exactly
+      assert(rows(pushed) == rows(full.filter(qids)), s"$name pushdown diverged")
+    }
+  }
 }
