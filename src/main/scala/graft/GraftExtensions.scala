@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvSketch.fromChildren))
     ext.injectFunction(fn(GraftFunctions.LshBucketsName, classOf[LshBucketsLong],
       c => LshBucketsLong(c(0), c(1), c(2))))
+    ext.injectFunction(fn(GraftFunctions.PqAdcName, classOf[PqAdcLong],
+      c => PqAdcLong(c(0), c(1))))
+    ext.injectFunction(fn(GraftFunctions.PqAdcDirectName, classOf[PqAdcDirectLong],
+      c => PqAdcDirectLong(c(0), c(1), c(2))))
+    ext.injectFunction(fn(GraftFunctions.PqEncodeName, classOf[PqEncodeLong],
+      c => PqEncodeLong(c(0), c(1))))
+    ext.injectFunction(fn(LnFpFunctions.LnMicroName, classOf[LnMicroLong],
+      c => LnMicroLong(c(0), c(1))))
+    ext.injectFunction(fn(LnFpFunctions.GumbelMicroName, classOf[GumbelMicroLong],
+      c => GumbelMicroLong(c(0))))
     ext.injectFunction(fn(Md5PrefixLong.Name, classOf[Md5PrefixLong],
       c => c(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>

@@ -45,7 +45,14 @@ class GraftExtensionsSpec extends AnyFunSuite
         |  graft_lsh_buckets(array(1L, -1L),
         |    array(1L, 1L, 1L, -1L, -1L, 1L, -1L, -1L), 2) AS lsh,
         |  graft_winnow_long('abcdefghij', 4, 3) AS win,
-        |  graft_subword_count('abab', array('ab', 'a', 'b')) AS sw""".stripMargin)
+        |  graft_subword_count('abab', array('ab', 'a', 'b')) AS sw,
+        |  graft_pq_adc(array(1L, 0L), array(array(7L, 9L), array(3L, 5L))) AS adc,
+        |  graft_pq_encode(array(0L, 0L),
+        |    array(array(array(5L), array(0L)), array(array(1L), array(2L)))) AS enc,
+        |  graft_pq_adc_direct(array(0L, 0L), array(1L, 0L),
+        |    array(array(array(5L), array(0L)), array(array(1L), array(2L)))) AS adcd,
+        |  graft_ln_micro(2L, 1L) AS lnm,
+        |  graft_gumbel_micro(0L) AS gum""".stripMargin)
       .collect()(0)
     assert(row.getLong(0) == 4 + 10 + 18)
     // md5('abc') = 900150983cd24fb0...; first 4 bytes unsigned
@@ -53,6 +60,11 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(row.getSeq[Long](3).length == 32)
     assert(row.getSeq[Long](4).length == 2)
     assert(row.getLong(6) == 2L) // 'abab' -> two 'ab' merges
+    assert(row.getLong(7) == 9L + 3L) // lut[0][1] + lut[1][0]
+    assert(row.getSeq[Long](8) == Seq(1L, 0L)) // argmin per subspace
+    assert(row.getLong(9) == 0L + 1L) // (0-0)^2 + (0-1)^2
+    assert(row.getLong(10) == 693147L) // ln 2 in micro-nats
+    assert(row.getLong(11) == graft.plans.LnFp.gumbelMicro(0L))
   }
 
   test("aggregates (misra-gries, vector sum) work from SQL GROUP BY") {

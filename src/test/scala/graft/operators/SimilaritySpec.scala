@@ -349,6 +349,41 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ivfPq plan shape: member encode materializes behind a cid exchange (never per-pair)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // the barrier behind round 11's 30x fix: whole-stage codegen defers
+    // non-join-key streamed columns into the hash-join match loop, so
+    // WITHOUT an exchange between the encode projection and the probe
+    // join, graft_pq_encode re-runs once per (probe, member) PAIR whenever
+    // the planner streams the member side — which it picks from size
+    // estimates, i.e. config-dependently (surfaced at a 64 MB broadcast
+    // threshold, hidden at 10 MB). repartition(cid) is also the production
+    // index layout. Assert the exchange exists, the encode is projected in
+    // exactly one subtree, and pair scoring is the ADC kernel.
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    def planOf(residual: Boolean): String = {
+      val df =
+        if (residual) Similarity.ivfPqResidualPlan(
+          Similarity.prepared(emb, "vec_id", "embedding"),
+          Similarity.prepared(emb, "vec_id", "embedding"),
+          selfExclude = true, dim = 64, nCells = 16, nProbe = 4, m = 8,
+          k = 16, topK = 5, pin = identity)
+        else Similarity.ivfPqPlan(emb, "vec_id", "embedding",
+          dim = 64, nCells = 16, updates = 0, nProbe = 4, m = 8, k = 16,
+          topK = 5, pin = identity)
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    for (residual <- Seq(false, true)) {
+      val p = planOf(residual)
+      assert(p.contains("hashpartitioning(cid"),
+        s"member index must repartition by cell id (residual=$residual):\n$p")
+      assert("graft_pq_encode".r.findAllIn(p).size == 1,
+        s"encode must be projected exactly once (residual=$residual):\n$p")
+      assert(p.contains("graft_pq_adc_direct"),
+        s"pair scoring must be the native ADC kernel (residual=$residual):\n$p")
+    }
+  }
+
   test("trained ivfPq plan shape: Lloyd rounds don't change the probe join — still per cell id") {
     import org.apache.spark.sql.execution.ExplainMode
     val emb = graft.core.Tables.embeddings(spark, sf)
