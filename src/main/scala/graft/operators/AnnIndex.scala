@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF-PQ index: the ANN counterpart of the dedup band index
+  * (Dedup.writeBandIndex) — build the index ONCE, persist it as catalog
+  * tables, then serve many query batches and ingest new vectors without
+  * ever re-reading the corpus' full vectors.
+  *
+  * Three tables per index `name`:
+  *   - `<name>_members`  (cid, nid, codes): one m-byte-code row per indexed
+  *     vector, BUCKETED on `cid` — the probe join's equi-key — so serve-time
+  *     candidate joins read the index exchange-free (the scan itself
+  *     satisfies the join's HashPartitioning; only the query-batch side
+  *     shuffles, and a small batch broadcasts instead). At 100 TB this is
+  *     the table that holds the corpus: m bytes + a cell id per vector,
+  *     32x+ smaller than the float vectors it replaces.
+  *   - `<name>_centroids` (cid, cv, cnrm): the coarse quantizer — nCells
+  *     rows, KBs; read back and re-packed into the one-row broadcast form
+  *     every search uses for shuffle-free cell ranking.
+  *   - `<name>_codebook` (cb): the one-row PQ codebook (m x k subvectors).
+  *
+  * FROZEN-index semantics: [[appendIvfPq]] encodes new vectors against the
+  * PERSISTED centroids and codebook — never retrains — so appended rows are
+  * comparable to existing codes and a query's answer is exactly what a
+  * from-scratch index over (base + appended) with the BASE's training state
+  * would produce. This is the production ingest contract (FAISS `add` after
+  * `train`): retraining is an explicit, separate rebuild
+  * ([[writeIvfPq]] again), not a side effect of ingestion. Re-training on
+  * append would silently re-key every existing member's codes.
+  *
+  * All arithmetic inherits Similarity's exact-integer discipline (quantized
+  * longs end-to-end), so a SQL oracle reproduces every persisted code and
+  * search ranking bit-for-bit — the s19 query hash-checks the whole
+  * write -> catalog -> append -> search path against DuckDB.
+  */
+object AnnIndex {
+
+  def membersTable(name: String): String = name + "_members"
+  def centroidsTable(name: String): String = name + "_centroids"
+  def codebookTable(name: String): String = name + "_codebook"
+
+  /** Build and persist the index from `df`: seeded coarse cells (the
+    * reproducible training-free posture of Similarity.ivfTopK — swap the
+    * centroids table's rows for Lloyd output via Similarity.kmeansCentroids
+    * to train, without touching encode or search), seeded PQ codebook, and
+    * every vector's (cid, codes) row bucketed by cell.
+    *
+    * Scale shape: one pass over the corpus — cell assignment and PQ
+    * encoding are per-row array algebra against the two broadcast one-row
+    * frames (NO shuffle), and the only exchange is the bucketed write
+    * itself, which is the point: that shuffle is paid once, then every
+    * serve-time probe join is exchange-free on the index side.
+    */
+  def writeIvfPq(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 nCells: Int, m: Int, k: Int, name: String,
+                 nBuckets: Int): Unit = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
+    val spark = df.sparkSession
+    Seq(membersTable(name), centroidsTable(name), codebookTable(name))
+      .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
+    val v = Similarity.prepared(df, idCol, vecCol)
+    // persist the training state FIRST; members are then encoded against
+    // the persisted values, so write and append share one encode path and
+    // the on-disk tables are authoritative (not a driver-side copy)
+    Similarity.seedCentroids(v, nCells)
+      .select(explode(col("cells")).as("c"))
+      .select(col("c")("cid").as("cid"), col("c")("cv").as("cv"),
+        col("c")("cnrm").as("cnrm"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(centroidsTable(name))
+    Similarity.pqTrain(df, idCol, vecCol, dim, m, k)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(codebookTable(name))
+    graft.sources.Bucketing.writeBucketed(
+      encodeAgainstIndex(spark, v, dim, m, name),
+      membersTable(name), "cid", nBuckets)
+  }
+
+  /** Ingest a batch into an existing index: encode against the FROZEN
+    * persisted centroids + codebook (see the object Scaladoc for why), then
+    * append to the bucketed members table — Spark validates the bucket spec,
+    * so the exchange-free join property survives every append. After many
+    * appends, compact with
+    * `Bucketing.compactBucketedTable(spark, membersTable(name), Seq("cid"), nBuckets)`
+    * — same maintenance discipline as the dedup band index.
+    */
+  def appendIvfPq(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, name: String, nBuckets: Int): Unit = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
+    graft.sources.Bucketing.appendBucketedBy(
+      encodeAgainstIndex(df.sparkSession,
+        Similarity.prepared(df, idCol, vecCol), dim, m, name),
+      membersTable(name), Seq("cid"), nBuckets)
+  }
+
+  /** (cid, nid, codes) for `v` against the index's persisted training state:
+    * top-1 cell by (cosine desc, cid asc) + native-kernel PQ encode — the
+    * same broadcast array algebra as Similarity.ivfPqPlan's member branch.
+    */
+  private def encodeAgainstIndex(spark: SparkSession, v: DataFrame, dim: Int,
+                                 m: Int, name: String): DataFrame = {
+    val centroidRow = Similarity.packCells(spark.table(centroidsTable(name)))
+    val cb = spark.table(codebookTable(name))
+    Similarity.rankCells(v, centroidRow)
+      .crossJoin(broadcast(cb))
+      .select(
+        coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue))
+          .as("cid"),
+        col("sid").as("nid"),
+        Similarity.pqCodes(col("qv"), col("cb"), dim, m).as("codes"))
+  }
+
+  /** [[writeIvfPq]] in the EXACTLY-ONCE ingestion layout: the members table
+    * is partitioned by `ingest_batch` AND bucketed on `cid` (the
+    * Bucketing.writeBucketedPartitionedBy reconciliation), with the seed
+    * corpus under `ingest_batch = seedBatch` (-1 by convention). Each later
+    * micro-batch lands in its own partition via [[ingestVectorBatch]] —
+    * a retry REPLACES its own partition — while every partition-filtered
+    * read still satisfies the probe join's HashPartitioning with no
+    * Exchange (the table-level bucket spec survives partition pruning).
+    * Centroids and codebook are identical to [[writeIvfPq]]'s.
+    */
+  def writeIvfPqPartitioned(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, nCells: Int, m: Int, k: Int,
+                            name: String, nBuckets: Int,
+                            seedBatch: Long = -1L): Unit = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
+    val spark = df.sparkSession
+    Seq(membersTable(name), centroidsTable(name), codebookTable(name))
+      .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
+    val v = Similarity.prepared(df, idCol, vecCol)
+    Similarity.seedCentroids(v, nCells)
+      .select(explode(col("cells")).as("c"))
+      .select(col("c")("cid").as("cid"), col("c")("cv").as("cv"),
+        col("c")("cnrm").as("cnrm"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(centroidsTable(name))
+    Similarity.pqTrain(df, idCol, vecCol, dim, m, k)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(codebookTable(name))
+    graft.sources.Bucketing.writeBucketedPartitionedBy(
+      encodeAgainstIndex(spark, v, dim, m, name)
+        .withColumn("ingest_batch", lit(seedBatch)),
+      membersTable(name), "ingest_batch", Seq("cid"), nBuckets)
+  }
+
+  /** One EXACTLY-ONCE vector ingest micro-batch against a
+    * [[writeIvfPqPartitioned]] index — public so retry semantics are
+    * testable without faulting a live query: foreachBatch re-runs a failed
+    * batch with the SAME batchId, and this encodes against the frozen
+    * training state then drop-partition + bucketed-appends into
+    * `ingest_batch = batchId` — so calling it twice with the same
+    * (batch, batchId) leaves byte-identical visible state (a retry replaces
+    * its own partition, never duplicates), and every other batch's codes
+    * are untouched.
+    */
+  def ingestVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
+                        vecCol: String, dim: Int, m: Int, name: String,
+                        nBuckets: Int): Unit = {
+    require(m > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim, m=$m (a remainder would silently drop the tail dims)")
+    graft.sources.Bucketing.overwriteBucketedPartition(
+      encodeAgainstIndex(batch.sparkSession,
+        Similarity.prepared(batch, idCol, vecCol), dim, m, name),
+      membersTable(name), "ingest_batch", batchId, Seq("cid"), nBuckets)
+  }
+
+  /** STREAMING vector ingestion into the persisted index — the ANN twin of
+    * EventStreams.dedupIngestIdempotentBucketed: each micro-batch of new
+    * embedding rows is encoded against the FROZEN training state and lands
+    * exactly-once in its own members partition. Callers `.start()` with
+    * their checkpoint location; a crashed batch replays into the same
+    * partition and the visible index state is as if it ran once
+    * (AnnIndexSpec proves retry-replay and live-stream parity).
+    */
+  def ingestVectors(stream: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, m: Int, name: String, nBuckets: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestVectorBatch(batch, batchId, idCol, vecCol, dim, m, name, nBuckets)
+    }
+
+  /** Serve top-k for an external query batch against the persisted index —
+    * the read side of the train-once/search-many contract. Each query ranks
+    * the (broadcast, re-packed) centroids shuffle-free, computes its ADC
+    * lookup table once (m x k native-kernel dots — the external-query LUT
+    * form; query batches are small relative to the corpus by contract), and
+    * probes its `nProbe` best cells. The members scan arrives
+    * pre-partitioned by `cid` from bucketing: a small query batch broadcasts
+    * over it, a huge one sort-merges against it — in both plans the INDEX
+    * side never shuffles (AnnIndexSpec asserts the no-Exchange plan).
+    *
+    * Returns (qid, nid, d2, rank), rank <= topK by (d2 asc, nid asc).
+    *
+    * `memberFilter` restricts which index rows are candidates — e.g. the
+    * committed-prefix read `col("ingest_batch") < batchId` over a
+    * [[writeIvfPqPartitioned]] index (partition-pruned, and the bucket spec
+    * survives pruning, so the filtered scan still joins exchange-free).
+    */
+  def searchIvfPq(queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, nProbe: Int, topK: Int, name: String,
+                  memberFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val centroidRow = Similarity.packCells(spark.table(centroidsTable(name)))
+    val cb = spark.table(codebookTable(name))
+    val probes = Similarity.rankCells(
+        Similarity.prepared(queries, idCol, vecCol), centroidRow)
+      .crossJoin(broadcast(cb))
+      .select(col("sid").as("qid"),
+        Similarity.pqLut(col("qv"), col("cb"), dim, m).as("lut"),
+        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid")))
+          .as("cid"))
+    val scored = probes.join(
+        spark.table(membersTable(name)).filter(memberFilter), Seq("cid"))
+      .select(col("qid"), col("nid"),
+        graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Drop the index's three tables (and any orphaned warehouse dirs). */
+  def dropIvfPq(spark: SparkSession, name: String): Unit =
+    Seq(membersTable(name), centroidsTable(name), codebookTable(name))
+      .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
+}

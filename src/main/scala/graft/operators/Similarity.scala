@@ -358,7 +358,7 @@ object Similarity {
     * k/…— measured 10 MB -> 292 MB and 5.5 s -> 71 s at sf0.1 when k went
     * 16 -> 256 — so those plans score pairs DIRECTLY ([[adcDirect]]).
     */
-  private def pqLut(vec: Column, cb: Column, dim: Int, m: Int): Column =
+  private[operators] def pqLut(vec: Column, cb: Column, dim: Int, m: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), mm =>
       transform(element_at(cb, mm + 1), cc =>
         subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), cc)))
@@ -503,7 +503,7 @@ object Similarity {
   /** Seed centroids: the `nCells` lowest-id vectors, packed into ONE row as
     * an array of (cid, cv, cnrm) structs for broadcasting.
     */
-  private def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
+  private[operators] def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
     v.orderBy(col("sid")).limit(nCells)
       .agg(collect_list(struct(col("sid").as("cid"), col("qv").as("cv"),
         col("nrm").as("cnrm"))).as("cells"))
@@ -511,7 +511,7 @@ object Similarity {
   /** Pack an unpacked (cid, cv, cnrm) centroid frame into the one-row
     * broadcast form `rankCells` consumes.
     */
-  private def packCells(centroids: DataFrame): DataFrame =
+  private[operators] def packCells(centroids: DataFrame): DataFrame =
     centroids.agg(collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cells"))
 
   /** (sid, qv, nrm, cellrank): every vector with its cells sorted by
@@ -521,7 +521,7 @@ object Similarity {
     * with ties broken by cid, exactly the window's NULLS LAST ordering the
     * oracle mirrors.
     */
-  private def rankCells(v: DataFrame, centroidRow: DataFrame): DataFrame =
+  private[operators] def rankCells(v: DataFrame, centroidRow: DataFrame): DataFrame =
     v.crossJoin(broadcast(centroidRow))
       .select(col("sid"), col("qv"), col("nrm"),
         array_sort(

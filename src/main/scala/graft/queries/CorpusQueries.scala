@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AnnIndex, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (dedup, similarity search, text analysis,
@@ -2769,6 +2769,122 @@ object CorpusQueries {
           dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 8, k = 16, topK = 5)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // PERSISTED IVF-PQ index (AnnIndex) — the train-once / serve-many flow
+    // end-to-end through real storage, the ANN twin of d18's bucketed band
+    // index: the index (centroids + codebook + cid-bucketed m-byte codes)
+    // is BUILT from the base corpus (sid >= 8, sid % 4 <> 0) and written as
+    // catalog tables; a later batch (sid % 4 = 0) is APPENDED with the
+    // training state FROZEN (encoded against the persisted centroids +
+    // codebook — the FAISS add-after-train contract); then 8 external
+    // queries are served from the tables. The oracle re-derives the same
+    // math relationally — cells and codebook from the BASE set only, codes
+    // for base + batch — so a hash match proves storage round-trip, frozen
+    // append, and serve are all value-identical to the relational spec.
+    // Serve-time scale shape: the members scan arrives pre-partitioned by
+    // cell from bucketing, so the probe join never shuffles the index side
+    // (AnnIndexSpec asserts the no-Exchange plan).
+    QueryDef(
+      "s19_ivfpq_persisted",
+      persistedIvfPqOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)
+      // per-session index name: two sessions sharing a warehouse must not
+      // race on one global name (the d18 discipline). The bucketed index
+      // write and the frozen append ARE part of the measured query — the
+      // nightly build + ingest flow pays them too.
+      val name = "graft_ann_s19_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      AnnIndex.writeIvfPq(base, "vec_id", "embedding", dim = 64,
+        nCells = 16, m = 8, k = 16, name, nBuckets = 8)
+      AnnIndex.appendIvfPq(batch, "vec_id", "embedding", dim = 64,
+        m = 8, name, nBuckets = 8)
+      AnnIndex.searchIvfPq(emb.filter(col("vec_id") < 8), "vec_id",
+          "embedding", dim = 64, m = 8, nProbe = 4, topK = 5, name)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // EXACTLY-ONCE STREAMING VECTOR INGESTION into the persisted ANN index
+    // (AnnIndex.ingestVectorBatch / ingestVectors) — the ds2 contract
+    // applied to ANN: the members table is ingest_batch-partitioned AND
+    // cid-bucketed, each micro-batch encodes against the FROZEN training
+    // state and replaces its own partition, so a foreachBatch retry is
+    // invisible. This batch twin replays batch 0 TWICE mid-run (the ds2
+    // oracle-replay discipline) before ingesting batch 1 and serving: the
+    // oracle is the SAME relational spec as s19 — storage layout, batch
+    // boundaries, and the injected retry must not change a single answer.
+    QueryDef(
+      "ds3_ann_ingest_exactly_once",
+      persistedIvfPqOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0)
+      val batchA = emb.filter(col("vec_id") >= 8 && col("vec_id") % 8 === 0)
+      val batchB = emb.filter(col("vec_id") >= 8 && col("vec_id") % 8 === 4)
+      val name = "graft_ann_ds3_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      AnnIndex.writeIvfPqPartitioned(base, "vec_id", "embedding", dim = 64,
+        nCells = 16, m = 8, k = 16, name, nBuckets = 8)
+      // batch 0 ingested twice with the same batchId — the retry replay a
+      // crashed foreachBatch attempt produces; must be invisible
+      AnnIndex.ingestVectorBatch(batchA, 0L, "vec_id", "embedding",
+        dim = 64, m = 8, name, nBuckets = 8)
+      AnnIndex.ingestVectorBatch(batchA, 0L, "vec_id", "embedding",
+        dim = 64, m = 8, name, nBuckets = 8)
+      AnnIndex.ingestVectorBatch(batchB, 1L, "vec_id", "embedding",
+        dim = 64, m = 8, name, nBuckets = 8)
+      AnnIndex.searchIvfPq(emb.filter(col("vec_id") < 8), "vec_id",
+          "embedding", dim = 64, m = 8, nProbe = 4, topK = 5, name)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
+
+  /** Relational spec of the persisted-index flow, shared by s19 (build +
+    * frozen append + serve) and ds3 (exactly-once streaming ingest with a
+    * retry replay): cells and codebook derive from the BASE set only
+    * (sid >= 8, sid % 4 <> 0 — the training state is FROZEN before any
+    * append), codes cover base + appended batches (sid >= 8), queries are
+    * sid < 8. Any divergence between the two queries' storage paths and
+    * this one spec is a hash mismatch.
+    */
+  private lazy val persistedIvfPqOracle: String =
+      s"""WITH $quantVecCte,
+         |base AS (SELECT sid, qv FROM v WHERE sid >= 8 AND sid % 4 <> 0),
+         |cset AS (SELECT sid, qv FROM v WHERE sid >= 8),
+         |qset AS (SELECT sid, qv FROM v WHERE sid < 8),
+         |cent AS (SELECT sid AS cid, qv AS cv FROM base ORDER BY sid LIMIT 16),
+         |mranked AS MATERIALIZED (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+         |        FROM cset s CROSS JOIN cent c)),
+         |pranked AS (SELECT sid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+         |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+         |        FROM qset s CROSS JOIN cent c)),
+         |e AS MATERIALIZED (SELECT sid, qv[pos] AS q,
+         |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+         |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+         |seeds AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+         |  FROM (SELECT DISTINCT sid FROM base ORDER BY sid LIMIT 16)),
+         |cb AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds s USING (sid)),
+         |a AS MATERIALIZED (SELECT e.sid, e.m, cb.code,
+         |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+         |  FROM e JOIN cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+         |codes AS (SELECT sid, m, code FROM (SELECT a.sid, m, code,
+         |    ROW_NUMBER() OVER (PARTITION BY a.sid, m ORDER BY d2, code) AS rn
+         |  FROM a JOIN cset cs ON cs.sid = a.sid) WHERE rn = 1),
+         |members AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
+         |  FROM mranked r JOIN codes cd ON r.sid = cd.sid WHERE r.crank = 1),
+         |probes AS (SELECT cid, sid AS qid FROM pranked WHERE crank <= 4),
+         |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+         |  FROM probes p JOIN members mem ON p.cid = mem.cid
+         |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 }
