@@ -2839,6 +2839,40 @@ object CorpusQueries {
           "embedding", dim = 64, m = 8, nProbe = 4, topK = 5, name)
         .select(col("qid"), col("nid"), col("d2"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Persisted-index serve in the RECOMMENDED refine configuration
+    // (AnnIndex.searchIvfPqRefine): the s19 ADC chain proposes a top-25
+    // shortlist per query from the persisted m-byte codes, then only those
+    // rows are scored against FULL vectors and the exact-cosine top-5 wins
+    // — the s17 refine pattern composed over real storage. The index stores
+    // no vectors (that is the 32x memory win), so the re-rank attaches them
+    // from the embeddings table; oracle = the shared persisted CTEs + the
+    // s17 shortlist/re-rank tail.
+    QueryDef(
+      "s20_ivfpq_persisted_refine",
+      s"""$persistedIvfPqCtes,
+         |short AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist) WHERE rank <= $RefineShortlist),
+         |sc AS (SELECT s.qid, s.nid, ${sqlCosine("qa.qv", "nb.qv")} AS cosine
+         |  FROM short s JOIN v qa ON s.qid = qa.sid JOIN v nb ON s.nid = nb.sid)
+         |$cosineRankSelect ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)
+      val name = "graft_ann_s20_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      AnnIndex.writeIvfPq(base, "vec_id", "embedding", dim = 64,
+        nCells = 16, m = 8, k = 16, name, nBuckets = 8)
+      AnnIndex.appendIvfPq(batch, "vec_id", "embedding", dim = 64,
+        m = 8, name, nBuckets = 8)
+      AnnIndex.searchIvfPqRefine(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", dim = 64, m = 8, nProbe = 4,
+          shortlistK = RefineShortlist, topK = 5, name)
+        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 
@@ -2850,7 +2884,12 @@ object CorpusQueries {
     * sid < 8. Any divergence between the two queries' storage paths and
     * this one spec is a hash mismatch.
     */
-  private lazy val persistedIvfPqOracle: String =
+  /** The persisted-index CTE chain up to `dist (qid, nid, d2)` — shared by
+    * the raw-ADC serve oracles (s19/ds3) and the refine serve oracle (s20),
+    * which extends it with a shortlist + exact-cosine re-rank (the s17
+    * pattern over the persisted chain).
+    */
+  private lazy val persistedIvfPqCtes: String =
       s"""WITH $quantVecCte,
          |base AS (SELECT sid, qv FROM v WHERE sid >= 8 AND sid % 4 <> 0),
          |cset AS (SELECT sid, qv FROM v WHERE sid >= 8),
@@ -2882,7 +2921,10 @@ object CorpusQueries {
          |dist AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
          |  FROM probes p JOIN members mem ON p.cid = mem.cid
          |  JOIN a qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val persistedIvfPqOracle: String =
+      s"""$persistedIvfPqCtes
          |SELECT qid, nid, d2, rank FROM (
          |  SELECT qid, nid, d2,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank

@@ -78,6 +78,29 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.dropIvfPq(spark, name)
   }
 
+  test("persisted refine serve equals the in-memory shortlist + exact re-rank") {
+    val name = "ann_idx_refine"
+    AnnIndex.dropIvfPq(spark, name)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") < 8)
+    AnnIndex.writeIvfPq(corpus, "vec_id", "embedding", dim = 64,
+      nCells = 16, m = 8, k = 16, name, nBuckets = 4)
+    def cosRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val persisted = cosRows(AnnIndex.searchIvfPqRefine(queries, emb,
+      "vec_id", "embedding", dim = 64, m = 8, nProbe = 4,
+      shortlistK = 25, topK = 5, name))
+    val direct = cosRows(Similarity.exactRerank(
+      Similarity.ivfPqSearch(queries, corpus, "vec_id", "embedding",
+        dim = 64, nCells = 16, updates = 0, nProbe = 4, m = 8, k = 16,
+        topK = 25),
+      emb, "vec_id", "embedding", 5))
+    assert(persisted == direct)
+    assert(persisted.nonEmpty)
+    AnnIndex.dropIvfPq(spark, name)
+  }
+
   private def membersSet(name: String) =
     spark.table(AnnIndex.membersTable(name))
       .select("cid", "nid", "codes").as[(Long, Long, Seq[Long])]
