@@ -261,6 +261,36 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Cluster-balanced CORESET over an embedding column: spherical-kmeans
+    * the corpus (Similarity.kmeansAssign — exact integer sum-centroids, so
+    * clusters are bit-reproducible), then keep each cluster's `k` MOST
+    * CENTRAL members (cosine-to-centroid desc, id tiebreak; zero-norm
+    * vectors have NULL cosine and sort last). This is diversity-aware
+    * subsampling: where [[hashSample]] keeps a uniform slice and
+    * [[exactKPerStratum]] balances a LABELED stratum, a coreset balances
+    * the corpus' own embedding-space modes — every cluster contributes its
+    * k best exemplars regardless of cluster mass, so dominant modes can't
+    * crowd the sample. (Representative selection, k-medoid-style; for
+    * boundary coverage invert to cosine asc.)
+    *
+    * Output: (sid, cid, cosine, rank), rank <= k per cid.
+    *
+    * Scale shape: assignment is the shuffle-free broadcast array algebra of
+    * kmeansAssign (`rounds` linear passes); selection is one hash exchange
+    * on cid with WindowGroupLimit keeping k rows per cluster BEFORE the
+    * sort's exchange — the [[exactKPerStratum]] posture, so the shuffle
+    * carries ~k rows per cluster per map partition, never the corpus.
+    */
+  def coresetPerCluster(df: DataFrame, idCol: String, vecCol: String,
+                        nClusters: Int, rounds: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity.kmeansAssign(df, idCol, vecCol, nClusters, rounds)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("cosine").desc_nulls_last, col("sid").asc)
+    assigned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic global shuffle order for training: every row gets a
     * contiguous 0-based `pos` by (md5 bucket, id) — the reproducible
     * "shuffle the corpus before training" step, stable across retries,

@@ -2131,6 +2131,44 @@ object CorpusQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // Cluster-balanced CORESET (Sampling.coresetPerCluster): spherical-
+    // kmeans the embeddings (s4's exact-integer machinery, 2 rounds), then
+    // keep each cluster's 10 most central members — diversity-aware
+    // subsampling where every embedding-space mode contributes its best
+    // exemplars regardless of cluster mass. Oracle = s4's two-round CTE
+    // chain + a per-cluster centrality rank (NULLS LAST pins zero-norm
+    // vectors behind every real cosine, matching desc_nulls_last).
+    QueryDef(
+      "sm10_coreset_per_cluster",
+      s"""WITH $quantVecCte,
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 8),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY cid, pos) GROUP BY cid),
+         |asg AS (SELECT sid, cid, cosine FROM (
+         |  SELECT v.sid, c.cid, ${sqlCosine("v.qv", "c.cv")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c1 c) WHERE rn = 1)
+         |SELECT sid, cid, cosine, rank FROM (
+         |  SELECT sid, cid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC NULLS LAST, sid) AS rank
+         |  FROM asg) WHERE rank <= 10
+         |ORDER BY cid, rank""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.coresetPerCluster(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nClusters = 8, rounds = 2, k = 10)
+        .select(col("sid"), col("cid"), col("cosine"), col("rank"))
+        .orderBy(col("cid"), col("rank"))
+    },
+
     // DSIR importance resampling (Sampling.importanceResample, VERDICT r8
     // ask #3): hashed unigram+bigram features -> 64-bucket target ('en'
     // slice) vs raw bag models -> per-doc log importance weight in integer

@@ -6,6 +6,39 @@ import org.apache.spark.sql.functions._
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("coresetPerCluster: k most-central members per cluster, deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val k = 5
+    val core = Sampling.coresetPerCluster(emb, "vec_id", "embedding",
+      nClusters = 8, rounds = 2, k = k)
+      .select($"sid", $"cid", $"cosine").as[(Long, Long, Option[Double])]
+      .collect()
+    // per-cluster count = min(k, cluster size), derived from the same
+    // assignment the coreset ranked
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", 8, 2)
+      .select($"sid", $"cid", $"cosine").as[(Long, Long, Option[Double])]
+      .collect()
+    val bySize = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    val coreByCid = core.groupBy(_._2)
+    assert(coreByCid.keySet == bySize.keySet.filter(bySize(_) > 0))
+    coreByCid.foreach { case (cid, rows) =>
+      assert(rows.length == math.min(k, bySize(cid)), s"cluster $cid")
+    }
+    // dominance: every kept member is at least as central as every unkept
+    // member of its own cluster (None = zero-norm sorts last)
+    def key(c: Option[Double]) = c.getOrElse(Double.NegativeInfinity)
+    val keptIds = core.map(_._1).toSet
+    coreByCid.foreach { case (cid, rows) =>
+      val worstKept = rows.map(r => key(r._3)).min
+      assigned.filter(a => a._2 == cid && !keptIds.contains(a._1))
+        .foreach(a => assert(key(a._3) <= worstKept, s"cluster $cid: ${a._1}"))
+    }
+    // deterministic across runs
+    val again = Sampling.coresetPerCluster(emb, "vec_id", "embedding", 8, 2, k)
+      .select($"sid").as[Long].collect().toSet
+    assert(again == keptIds)
+  }
+
   test("hashSample: deterministic, near-rate, and stable under corpus growth") {
     val docs = graft.core.Tables.documents(spark, sf)
     val a = Sampling.hashSample(docs, "doc_id", 0.2, "t").select("doc_id")
