@@ -443,6 +443,39 @@ object TextOps {
         col(textCol).substr(col("chunk_start"), lit(chunkLen)).as("chunk_text"))
   }
 
+  /** Split documents into TOKEN-budget windows with overlap — the
+    * context-window preprocessing for models that count tokens, not
+    * characters (RAG chunking, long-doc embedding): chunk i covers
+    * whitespace tokens [1 + i*stride, i*stride + chunkToks], stride =
+    * chunkToks - overlap. Emits (id, chunk_id, tok_start 1-based,
+    * chunk_text, n_tokens); the final partial window is kept (its
+    * n_tokens says how short it ran). Empty docs emit one empty chunk —
+    * dropping rows here would silently lose ids mid-pipeline.
+    *
+    * Same scale posture as [[chunkDocs]]: split + explode + slice is
+    * map-side only, no shuffle, fuses into the scan. Whitespace tokens are
+    * the budget proxy; swap in n_bpe_pieces (CorpusApp.trainTokenizer) when
+    * the real tokenizer's counts matter.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkToks: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkToks > overlap && overlap >= 0,
+      s"need chunkToks > overlap >= 0, got ($chunkToks, $overlap)")
+    val stride = chunkToks - overlap
+    df.select(col(idCol),
+        filter(words(col(textCol)), w => length(w) > 0).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(1), greatest(size(col("__w")), lit(1)),
+          lit(stride))).as(Seq("chunk_id", "tok_start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        concat_ws(" ", slice(col("__w"), col("tok_start"), lit(chunkToks)))
+          .as("chunk_text"),
+        least(lit(chunkToks), size(col("__w")) - col("tok_start") + 1)
+          .cast("long").as("n_tokens"))
+  }
+
   /** BM25 keyword ranking over whitespace tokens: score every document
     * holding at least one query term, highest first (ties: lowest id).
     * Scores are rounded to 6dp — BM25's idf log may differ in the last ulp

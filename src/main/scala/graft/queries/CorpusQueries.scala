@@ -1309,6 +1309,28 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Token-budget chunking with overlap (TextOps.chunkTokens): 32-token
+    // windows, 8-token overlap (stride 24) — the RAG/embedding prep twin
+    // of ch1's character chunks. The oracle mirrors the filtered split,
+    // the stride sequence, the inclusive slice, and the final-partial
+    // n_tokens arithmetic.
+    QueryDef(
+      "ch2_chunk_tokens",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+        |  CAST((i - 1) * 24 + 1 AS BIGINT) AS tok_start,
+        |  array_to_string(w[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ') AS chunk_text,
+        |  CAST(least(32, len(w) - ((i - 1) * 24 + 1) + 1) AS BIGINT) AS n_tokens
+        |FROM w,
+        |  unnest(generate_series(1, (greatest(len(w), 1) - 1) // 24 + 1)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkToks = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // BM25 keyword ranking (k1=1.2, b=0.75), fixed-order per-term sums so
     // the double addition is engine-deterministic; 6dp rounding absorbs the
     // idf log's last ulp.

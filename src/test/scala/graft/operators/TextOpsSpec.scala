@@ -6,6 +6,34 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkTokens: overlapped windows tile and reconstruct the token stream") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf)
+    val (t, o) = (32, 8)
+    val chunks = TextOps.chunkTokens(docs, "doc_id", "text", t, o)
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        col("chunk_text"), col("n_tokens"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(chunks.map(_._1).toSet == texts.keySet, "every doc chunks")
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      // starts are stride-spaced from 1; n_tokens matches the slice taken
+      ordered.foreach { case (_, cid, start, text, n) =>
+        assert(start == cid * (t - o) + 1)
+        assert(n == text.split(" ").count(_.nonEmpty), s"doc $id chunk $cid")
+      }
+      // dropping each later chunk's overlap prefix reconstructs the doc
+      val rebuilt = ordered.zipWithIndex.flatMap { case ((_, _, _, text, _), i) =>
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        if (i == 0) ws else ws.drop(o)
+      }
+      assert(rebuilt.toSeq == texts(id).split(" ").filter(_.nonEmpty).toSeq,
+        s"doc $id")
+    }
+  }
+
   test("token counts: whitespace vs bpe-ish") {
     val df = Seq("the quick, brown fox!").toDF("text").select(
       TextOps.wsTokenCount($"text").as("ws"),
