@@ -149,6 +149,50 @@ object ApproxOps {
       col("u_size").as("sketch_size"), col("n_both").as("n_shared"))
   }
 
+  /** Bottom-m hash-rank sample quantiles per key: rank every row by the
+    * 48-bit md5 of its (salted) id, keep the m smallest ranks per key — a
+    * MERGEABLE uniform sample without replacement (the bottom-m of a union
+    * is the bottom-m of the merged per-part bottom-m's: the KMV discipline
+    * of [[kmvDistinctByKey]] applied to row sampling) — and report order
+    * statistics of the sampled values as quantile estimates. Unlike
+    * percentile_approx's engine-private summaries, sample membership and
+    * therefore every estimate is md5-determined, so the whole output is
+    * oracle-checkable bit-for-bit (the accuracy-contract indirection of
+    * [[percentileWithinWindow]] isn't needed).
+    *
+    * Estimate rule: quantile q over the sorted n-row sample is the value at
+    * 0-based index floor(q * (n - 1)). Keys with <= m rows report EXACT
+    * order statistics (the sample is the population). `idCol` must be
+    * row-unique (sample membership is decided by its hash alone).
+    *
+    * Scale shape: the per-key bottom-m is a rank window — WindowGroupLimit
+    * keeps only m rows per key BELOW the sort, map-side — so the exchange
+    * carries at most m rows per (key, map partition) and per-key state is
+    * one m-array. Cost is bounded by keys x m, never by row count; sample
+    * error is the standard sqrt(q(1-q)/m) binomial band.
+    */
+  def kmvQuantilesByKey(df: DataFrame, keyCol: String, idCol: String,
+                        valCol: String, m: Int, qs: Seq[Double],
+                        salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 2, s"m must be >= 2, got $m")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs $qs")
+    val ranked = df
+      .select(col(keyCol), col(valCol),
+        Dedup.hash48(concat(lit(salt + ":"), col(idCol).cast("string"))).as("r"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("r"))))
+      .filter(col("rn") <= m)
+    val qCols = qs.map { q =>
+      val idx = (floor(lit(q) * (col("n_sample") - 1)) + 1).cast("int")
+      element_at(col("vals"), idx).as(s"q${math.round(q * 100)}")
+    }
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col(valCol))).as("vals"))
+      .select(col(keyCol) +: col("n_sample") +: qCols: _*)
+  }
+
   /** Per-key count + whether the approximate percentile `p` (quantile
     * summaries with `accuracy`) lies within the exact [lo, hi] percentile
     * window — the rank-error contract restated over values.

@@ -437,6 +437,73 @@ object Dedup {
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Decontamination behind a Bloom-filter prefilter — the layout for
+    * benchmark sets too large to broadcast as a join hash relation.
+    *
+    * The benchmark's distinct gram hashes are folded into an m-bit Bloom
+    * bitmap (k = 3 probes carved as disjoint 16-bit slices of the 48-bit
+    * md5 gram hash), shipped to every task as a CONSTANT-size array literal
+    * (8 KiB at the default log2m = 16), and tested IN-SCAN against every
+    * corpus gram: only grams whose three probe bits are all set survive to
+    * the distinct + exact-verify stages. `decontaminate` broadcasts a hash
+    * relation proportional to the benchmark's gram count; the bitmap here
+    * stays constant no matter how many benchmarks are stacked, at the cost
+    * of false-positive candidates that the exact verify then rejects — the
+    * standard scan-side prefilter for semi-joins whose build side outgrows
+    * broadcast budgets.
+    *
+    * Output (sid, n_bloom, n_exact) makes the false-positive overhead
+    * observable: n_bloom counts distinct candidate grams that passed the
+    * filter, n_exact the subset actually present in the benchmark (equal to
+    * `decontaminate`'s n_overlap — asserted in DedupSpec).
+    *
+    * Scale: the corpus side never shuffles unfiltered grams — the bitmap
+    * test runs inside the scan, and only candidates (contamination-sized +
+    * fp-rate-sized) reach an exchange. Driver-side state is the distinct
+    * probe-position set, bounded by m (<= 65536 ints), never by data.
+    * Determinism: probes are bit-slices of the md5-derived gram hash, so an
+    * SQL oracle rebuilds the bitmap and candidate set bit-for-bit.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         log2m: Int = 16): DataFrame = {
+    // three disjoint 16-bit slices of the 48-bit hash; log2m <= 16 keeps
+    // each probe a sub-slice (independence across probes), >= 6 one word
+    require(log2m >= 6 && log2m <= 16, s"log2m must be in [6,16], got $log2m")
+    val m = 1 << log2m
+    val mask = (m - 1).toLong
+    val probeShifts = Seq(0, 16, 32)
+    def probe(g: Column, s: Int): Column =
+      call_function("shiftright", g, lit(s)).bitwiseAND(lit(mask))
+
+    val bg = wordShinglesAll(benchmark, idCol, textCol, n)
+      .select(hash48(col("gram")).as("g")).distinct()
+    // Distinct probe positions: at most m of them regardless of benchmark
+    // size, so this collect is bitmap-bounded, not data-bounded.
+    val positions = bg
+      .select(explode(array(probeShifts.map(s => probe(col("g"), s)): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](m >> 6)
+    positions.foreach(p => bitmap(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    val bm = typedLit(bitmap.toSeq)
+    def testBit(pos: Column): Column = {
+      val word = call_function("element_at", bm,
+        call_function("shiftright", pos, lit(6)).cast("int") + 1)
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }
+    // filter BEFORE the candidate distinct, same discipline as decontaminate:
+    // the only corpus-side exchange carries bloom survivors
+    val cand = wordShinglesAll(corpus, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g"))
+      .filter(probeShifts.map(s => testBit(probe(col("g"), s))).reduce(_ && _))
+      .distinct()
+    cand.join(broadcast(bg.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_bloom"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_exact"))
+  }
+
   /** C4-style duplicate-SPAN removal: chunk every document into fixed
     * non-overlapping character spans, keep exactly ONE copy of each
     * distinct span corpus-wide (first occurrence in (doc, position) order),

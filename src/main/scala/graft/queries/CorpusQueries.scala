@@ -1233,6 +1233,33 @@ object CorpusQueries {
         .orderBy(col("window_start"))
     },
 
+    // KMV-sampled quantiles (ApproxOps.kmvQuantilesByKey): per-lang
+    // bottom-64 md5-rank row sample (mergeable, deterministic) -> order
+    // statistics of n_chars as q50/q90 estimates. The whole estimate —
+    // sample membership included — is md5-determined, so unlike ax2's
+    // accuracy-contract check this hash-matches the raw numbers.
+    QueryDef(
+      "ax7_kmv_quantile",
+      s"""WITH r AS (SELECT lang, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash("'kq:' || doc_id", 12)}) AS rn
+         |  FROM documents),
+         |s AS MATERIALIZED (SELECT lang, n_chars FROM r WHERE rn <= 64),
+         |o AS (SELECT lang, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS p,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n FROM s)
+         |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_sample,
+         |  MAX(CASE WHEN p = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+         |      THEN n_chars END) AS q50,
+         |  MAX(CASE WHEN p = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+         |      THEN n_chars END) AS q90
+         |FROM o GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.operators.ApproxOps.kmvQuantilesByKey(
+        Tables.documents(s, d), "lang", "doc_id", "n_chars",
+        m = 64, qs = Seq(0.5, 0.9), salt = "kq")
+        .orderBy(col("lang"))
+    },
+
     // KMV set algebra (ApproxOps.kmvUnionIntersect): merged bottom-k
     // sketches estimate the distinct UNION, Jaccard, and INTERSECTION of
     // two token sets — the set operations HLL cannot express. Sketches are
@@ -1379,6 +1406,40 @@ object CorpusQueries {
         docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", 3)
         .select(col("sid").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Bloom-prefiltered decontamination: the same leakage guard as d14, but
+    // the benchmark gram set is compressed to a 2^16-bit Bloom bitmap
+    // (k = 3 disjoint 16-bit slices of the 48-bit gram hash) tested in-scan
+    // — the layout for benchmark sets too big to broadcast as a join hash
+    // relation. The oracle rebuilds the bitmap as a distinct probe-position
+    // set and mirrors the 3-probe AND, so candidate selection (including
+    // Bloom false positives, observable as n_bloom > n_exact) hash-checks
+    // bit-for-bit. n_exact equals d14's n_overlap (asserted in DedupSpec).
+    QueryDef(
+      "bf1_bloom_prefilter",
+      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS MATERIALIZED (SELECT DISTINCT doc_id AS sid,
+         |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
+         |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |bg AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE sid % 7 = 0),
+         |bp AS MATERIALIZED (SELECT DISTINCT (g >> t.s) & 65535 AS pos
+         |  FROM bg, unnest([0, 16, 32]) AS t(s)),
+         |cand AS (SELECT sid, g FROM g WHERE sid % 7 <> 0
+         |  AND (g & 65535) IN (SELECT pos FROM bp)
+         |  AND ((g >> 16) & 65535) IN (SELECT pos FROM bp)
+         |  AND ((g >> 32) & 65535) IN (SELECT pos FROM bp))
+         |SELECT sid AS doc_id, COUNT(*) AS n_bloom,
+         |  CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM cand LEFT JOIN bg ON cand.g = bg.g
+         |GROUP BY sid ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 3)
+        .select(col("sid").as("doc_id"), col("n_bloom"), col("n_exact"))
         .orderBy(col("doc_id"))
     },
 

@@ -78,4 +78,41 @@ class ApproxOpsSpec extends SparkSpec {
     assert(rd.getAs[Double]("n_intersect_est") == 0.0)
     assert(rd.getAs[Double]("jaccard_est") == 0.0)
   }
+
+  test("KMV sample quantiles: exact when the key fits in the sample") {
+    val df = (1 to 50).map(i => ("a", i.toLong, i.toLong * 10)).toDF("k", "id", "v")
+    val r = ApproxOps.kmvQuantilesByKey(df, "k", "id", "v",
+      m = 64, qs = Seq(0.0, 0.5, 1.0), salt = "t").collect()(0)
+    // 50 <= m: the sample IS the population -> exact order statistics
+    assert(r.getAs[Long]("n_sample") == 50L)
+    assert(r.getAs[Long]("q0") == 10L) // floor(0*(50-1)) -> index 0
+    assert(r.getAs[Long]("q50") == 250L) // floor(0.5*49)=24 -> 25th value
+    assert(r.getAs[Long]("q100") == 500L) // floor(1*49)=49 -> last value
+  }
+
+  test("KMV sample quantiles: mergeable and near the truth on a large key") {
+    val df = (1 to 10000).map(i => ("a", i.toLong, i.toLong)).toDF("k", "id", "v")
+    val r = ApproxOps.kmvQuantilesByKey(df, "k", "id", "v",
+      m = 256, qs = Seq(0.5), salt = "t").collect()(0)
+    assert(r.getAs[Long]("n_sample") == 256L)
+    // binomial band sqrt(.25/256) ~ 3.1% rank sigma; allow ~4 sigma
+    assert(math.abs(r.getAs[Long]("q50") - 5000L) < 1250L, r.toString)
+    // mergeability: sampling each half then re-sampling the union of the
+    // kept rows equals sampling the whole — bottom-m is a KMV merge
+    val halves = Seq(df.filter($"id" % 2 === 0), df.filter($"id" % 2 === 1))
+    val kept = halves.map(h => ApproxOps.kmvQuantilesByKey(h, "k", "id", "v",
+      m = 256, qs = Seq(0.5), salt = "t"))
+    // rebuild the kept row-sets by rerunning the rank filter directly
+    import org.apache.spark.sql.expressions.Window
+    def bottom(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("r", Dedup.hash48(concat(lit("t:"), $"id".cast("string"))))
+      .withColumn("rn", row_number().over(Window.partitionBy($"k").orderBy($"r")))
+      .filter($"rn" <= 256).select("k", "id", "v")
+    val merged = ApproxOps.kmvQuantilesByKey(
+      bottom(halves(0)).unionByName(bottom(halves(1))), "k", "id", "v",
+      m = 256, qs = Seq(0.5), salt = "t").collect()(0)
+    assert(merged.getAs[Long]("q50") == r.getAs[Long]("q50"),
+      s"merged ${merged} != direct $r")
+    assert(kept.forall(_.collect()(0).getAs[Long]("n_sample") == 256L))
+  }
 }

@@ -36,4 +36,38 @@ class DecontaminateSpec extends SparkSpec {
     val benchmark = Seq((9L, "p q r s t")).toDF("doc_id", "text")
     assert(Dedup.decontaminate(corpus, benchmark, "doc_id", "text", 3).count() == 0)
   }
+
+  test("bloom prefilter: n_exact matches decontaminate exactly; n_bloom is a superset count") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val corpus = d.filter($"doc_id" % 7 =!= 0)
+    val benchmark = d.filter($"doc_id" % 7 === 0)
+    val exact = Dedup.decontaminate(corpus, benchmark, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.bloomDecontaminate(corpus, benchmark, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), (r.getAs[Long]("n_bloom"), r.getAs[Long]("n_exact")))).toMap
+    // every truly contaminated doc appears with the same exact-overlap count
+    exact.foreach { case (sid, n) =>
+      assert(bloom.contains(sid), s"bloom missed contaminated doc $sid")
+      assert(bloom(sid)._2 == n, s"doc $sid n_exact ${bloom(sid)._2} != $n")
+    }
+    // candidates are a superset: n_bloom >= n_exact everywhere, and docs
+    // present only via false positives carry n_exact = 0
+    bloom.foreach { case (sid, (nb, ne)) =>
+      assert(nb >= ne)
+      assert(ne == exact.getOrElse(sid, 0L))
+    }
+  }
+
+  test("bloom prefilter with a tiny bitmap still verifies exactly (high fp-rate stress)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely unrelated corpus text here today")).toDF("doc_id", "text")
+    val benchmark = Seq((9L, "the quick brown fox is a benchmark item")).toDF("doc_id", "text")
+    val out = Dedup.bloomDecontaminate(corpus, benchmark, "doc_id", "text", 3, log2m = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // at m = 64 bits nearly everything collides into candidates, but the
+    // exact verify still reports the true overlaps only
+    assert(out(1L)._2 == 2L)
+    assert(out.getOrElse(2L, (0L, 0L))._2 == 0L)
+  }
 }
