@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MisraGriesSketch.fromChildren))
     ext.injectFunction(fn(KmvSketch.Name, classOf[KmvSketch],
       KmvSketch.fromChildren))
+    ext.injectFunction(fn(CountMinSketch.Name, classOf[CountMinSketch],
+      CountMinSketch.fromChildren))
     ext.injectFunction(fn(GraftFunctions.LshBucketsName, classOf[LshBucketsLong],
       c => LshBucketsLong(c(0), c(1), c(2))))
     ext.injectFunction(fn(GraftFunctions.PqAdcName, classOf[PqAdcLong],

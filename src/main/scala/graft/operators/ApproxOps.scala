@@ -193,6 +193,37 @@ object ApproxOps {
       .select(col(keyCol) +: col("n_sample") +: qCols: _*)
   }
 
+  /** Count-min frequency estimates for every distinct item, with the exact
+    * count and the sketch's one-sided guarantee as oracle anchors. The
+    * sketch is the native [[graft.plans.CountMinSketch]] aggregate — a
+    * d x w counter matrix whose cells are pure order-insensitive sums, so
+    * unlike HLL/percentile summaries the whole estimate is bit-deterministic
+    * and the oracle hash-checks the NUMBERS, not just a contract boolean.
+    * `never_under` (est >= exact, CMS's defining property) is still emitted
+    * so the guarantee is asserted row-by-row.
+    *
+    * Scale shape: the sketch pass keeps ONE d x w matrix per partition and
+    * merges matrices — no per-key state, the 100 TB path. The exact branch
+    * (a per-item groupBy) exists as the oracle anchor and the collision
+    * observer; at scale it is the branch you drop, leaving probe-only
+    * estimates against the broadcast one-row sketch.
+    */
+  def cmsEstimates(items: DataFrame, itemCol: String, w: Int, d: Int): DataFrame = {
+    require(d >= 1 && d <= 3, s"d must be in [1,3], got $d")
+    require(w >= 2 && w <= 65536, s"w must be in [2,65536], got $w")
+    val it = items.select(col(itemCol).as("item")).filter(col("item").isNotNull)
+    val sk = it.agg(graft.plans.GraftFunctions.countMin(col("item"), w, d).as("sk"))
+    val probe = (0 until d).map { j =>
+      element_at(element_at(col("sk"), j + 1),
+        (call_function("shiftright", Dedup.hash48(col("item")), lit(16 * j))
+          .bitwiseAND(lit(0xffffL)) % w).cast("int") + 1)
+    }.reduce(least(_, _))
+    it.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sk))
+      .select(col("item"), col("n_exact"), probe.as("cms_est"))
+      .withColumn("never_under", col("cms_est") >= col("n_exact"))
+  }
+
   /** Per-key count + whether the approximate percentile `p` (quantile
     * summaries with `accuracy`) lies within the exact [lo, hi] percentile
     * window — the rank-error contract restated over values.

@@ -141,6 +141,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[KmvSketch].getName, KmvSketch.Name),
         (children: Seq[Expression]) => KmvSketch.fromChildren(children))
     }
+    val cmsId = FunctionIdentifier(CountMinSketch.Name)
+    if (!registry.functionExists(cmsId)) {
+      registry.registerFunction(
+        cmsId,
+        new ExpressionInfo(classOf[CountMinSketch].getName, CountMinSketch.Name),
+        (children: Seq[Expression]) => CountMinSketch.fromChildren(children))
+    }
   }
 
   /** Column-level API; registers into the active session on first use. */
@@ -161,6 +168,14 @@ object GraftFunctions {
   def kmvSketch(hashed: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(KmvSketch.Name, hashed, lit(k))
+  }
+
+  /** Count-min sketch aggregate: the full d x w counter matrix as
+    * array<array<bigint>> — order-insensitive sums, so bit-deterministic.
+    */
+  def countMin(c: Column, w: Int, d: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(CountMinSketch.Name, c, lit(w), lit(d))
   }
 
   /** Per-table LSH sign-bucket ids (array<long>, one per table); `planes` is

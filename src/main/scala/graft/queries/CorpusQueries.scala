@@ -1260,6 +1260,34 @@ object CorpusQueries {
         .orderBy(col("lang"))
     },
 
+    // Count-min sketch (ApproxOps.cmsEstimates over the native
+    // graft_count_min aggregate): d = 3 disjoint 16-bit md5 slices mod
+    // w = 64 — small enough that the ~40-word fixture vocabulary collides
+    // and overcounts become visible. CMS cells are order-insensitive SUMS,
+    // so the oracle rebuilds the full counter matrix with a GROUP BY and
+    // hash-checks the estimates themselves; never_under asserts the
+    // one-sided guarantee per item.
+    QueryDef(
+      "ax8_cms_counts",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item
+         |  FROM documents),
+         |h AS MATERIALIZED (SELECT item, ${sqlHash("item", 12)} AS g FROM toks),
+         |p AS (SELECT item, j, ((g >> (16 * j)) & 65535) % 64 AS pos
+         |  FROM h, unnest([0, 1, 2]) AS t(j)),
+         |counters AS MATERIALIZED (SELECT j, pos, COUNT(*) AS c
+         |  FROM p GROUP BY j, pos),
+         |ip AS (SELECT DISTINCT item, j, pos FROM p),
+         |exact AS (SELECT item, COUNT(*) AS n_exact FROM toks GROUP BY item),
+         |est AS (SELECT item, MIN(c) AS cms_est
+         |  FROM ip JOIN counters USING (j, pos) GROUP BY item)
+         |SELECT item, n_exact, cms_est, cms_est >= n_exact AS never_under
+         |FROM exact JOIN est USING (item) ORDER BY item""".stripMargin) { (s, d) =>
+      graft.operators.ApproxOps.cmsEstimates(
+        Tables.documents(s, d).select(explode(split(col("text"), " ")).as("item")),
+        "item", w = 64, d = 3)
+        .orderBy(col("item"))
+    },
+
     // KMV set algebra (ApproxOps.kmvUnionIntersect): merged bottom-k
     // sketches estimate the distinct UNION, Jaccard, and INTERSECTION of
     // two token sets — the set operations HLL cannot express. Sketches are

@@ -79,6 +79,39 @@ class ApproxOpsSpec extends SparkSpec {
     assert(rd.getAs[Double]("jaccard_est") == 0.0)
   }
 
+  test("CMS: estimates equal exact counts at a collision-free width") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("item")
+    val out = ApproxOps.cmsEstimates(df, "item", w = 4096, d = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 3 items in 4096 slots x 3 rows: a slice collision would need all
+    // three 16-bit md5 slices to collide mod 4096 — est is exact here
+    assert(out == Map("a" -> (5L, 5L), "b" -> (3L, 3L), "c" -> (1L, 1L)))
+  }
+
+  test("CMS: never undercounts, only overcounts, under forced collisions") {
+    val df = (1 to 400).map(i => s"tok$i").toDF("item")
+    val rows = ApproxOps.cmsEstimates(df, "item", w = 16, d = 2).collect()
+    assert(rows.length == 400)
+    // the defining one-sided guarantee holds for every item...
+    assert(rows.forall(_.getAs[Boolean]("never_under")))
+    // ...and at 400 items over 16 slots collisions MUST inflate some
+    // estimate (each row's counters sum to 400, so some cell >= 25 > 1)
+    assert(rows.exists(r => r.getAs[Long]("cms_est") > r.getAs[Long]("n_exact")))
+  }
+
+  test("CMS: sketch matrix is merge-order insensitive (split-union equals direct)") {
+    val items = (1 to 200).map(i => s"w${i % 37}")
+    val direct = items.toDF("item")
+      .agg(graft.plans.GraftFunctions.countMin(col("item"), 32, 3))
+      .head.getSeq[scala.collection.Seq[Long]](0).map(_.toList)
+    val shuffled = scala.util.Random.shuffle(items).toDF("item").repartition(7)
+      .agg(graft.plans.GraftFunctions.countMin(col("item"), 32, 3))
+      .head.getSeq[scala.collection.Seq[Long]](0).map(_.toList)
+    assert(direct == shuffled)
+    // counters are sums: every row of the matrix totals the input size
+    assert(direct.forall(_.sum == 200L))
+  }
+
   test("KMV sample quantiles: exact when the key fits in the sample") {
     val df = (1 to 50).map(i => ("a", i.toLong, i.toLong * 10)).toDF("k", "id", "v")
     val r = ApproxOps.kmvQuantilesByKey(df, "k", "id", "v",
