@@ -162,6 +162,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("ax8_cms_counts: sketch matrices merge map-side (partial+final agg), never per-key rows") {
+    val p = plan("ax8_cms_counts")
+    // the sketch branch must plan as ObjectHashAggregate partial -> one
+    // matrix-sized row per partition -> final merge; a per-key shuffle of
+    // raw items would defeat the whole point of a bounded-state sketch
+    assert(p.contains("partial_graft_count_min"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("ax7_kmv_quantile: bottom-m rank filter runs below the key exchange (WindowGroupLimit x2)") {
+    val p = plan("ax7_kmv_quantile")
+    // partial WindowGroupLimit under the Exchange caps the shuffle at m rows
+    // per (key, map partition); its absence means every row rides the shuffle
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+    val exIdx = p.indexOf("+- Exchange")
+    val wglIdx = p.lastIndexOf("WindowGroupLimit")
+    assert(exIdx >= 0 && wglIdx > exIdx, p) // a WGL sits BELOW an exchange
+  }
+
+  test("bf1_bloom_prefilter: bitmap test filters in-scan; exact verify is a broadcast join") {
+    val p = plan("bf1_bloom_prefilter")
+    // the corpus side must test the literal bitmap (shiftright probes)
+    // BEFORE its distinct exchange — only bloom survivors ride a shuffle —
+    // and the benchmark side joins as a broadcast, never a shuffle join
+    assert(p.contains("shiftright"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("d14_decontaminate: only hashed gram keys shuffle, never text") {
     val p = plan("d14_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
