@@ -592,6 +592,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** IVF RANGE search — FAISS `range_search` parity, the ANN API the top-k
+    * ladder lacks: return EVERY candidate with cosine >= `minCosine` for
+    * each query, not a fixed k. The serve shape for radius workloads
+    * (duplicate sweeps at a similarity bar, "all docs at least this close"
+    * retrieval) where k is unknowable a priori: result size is data-driven,
+    * so a top-k would either truncate or over-fetch.
+    *
+    * Same index and probe path as [[ivfSearch]] (seeded or Lloyd-trained
+    * cells, broadcast centroid row, per-cell keyed join) — but NO rank
+    * window at all: the threshold filters the scoring join directly, so
+    * the only post-join work is a codegen'd comparison, and the plan has
+    * one exchange (the cell-keyed join), no per-query sort. Recall caveat
+    * is IVF's: matches in unprobed cells are missed; raise nProbe to trade
+    * cost for recall (the s16 discipline applies unchanged).
+    *
+    * Self-id pairs are excluded (the [[bruteForceTopK]] convention, so
+    * corpus-subset query frames don't return themselves); pass disjoint id
+    * spaces for true external queries.
+    */
+  def ivfRangeSearch(queries: DataFrame, candidates: DataFrame, idCol: String,
+                     vecCol: String, nCells: Int, updates: Int, nProbe: Int,
+                     minCosine: Double): DataFrame = {
+    val cv = prepared(candidates, idCol, vecCol)
+    val qv = prepared(queries, idCol, vecCol)
+    val centroidRow =
+      if (updates == 0) seedCentroids(cv, nCells)
+      else packCells(kmeansCentroidsFrom(cv, nCells, updates))
+    val members = rankCells(cv, centroidRow)
+      .select(coalesce(element_at(col("cellrank"), 1)("cid"), lit(Long.MinValue)).as("cid"),
+        col("sid").as("nid"), col("qv").as("nqv"), col("nrm").as("nnrm"))
+    val probes = rankCells(qv, centroidRow)
+      .select(col("sid").as("qid"), col("qv").as("qqv"), col("nrm").as("qnrm"),
+        explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid"))).as("cid"))
+    probes.join(members, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** IVF-PQ ANN — the production composition at the top of the ladder:
     * the IVF coarse quantizer prunes the candidate set to `nProbe` cells,
     * and within cells candidates are ranked by PQ asymmetric distance over

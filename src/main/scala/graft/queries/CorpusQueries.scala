@@ -1692,6 +1692,26 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF RANGE search (Similarity.ivfRangeSearch): FAISS range_search
+    // parity — every candidate with cosine >= 0.25 for each of the 8 query
+    // vectors, via the same seeded 16-cell/4-probe index as s3. No rank
+    // window anywhere: the threshold filters the per-cell scoring join
+    // directly, so result size is data-driven (the radius serve shape).
+    // The oracle reuses s3's IVF CTE chain with a threshold instead of a
+    // rank.
+    QueryDef(
+      "s21_ivf_range",
+      s"""WITH $quantVecCte,
+         |${ivfFlatCtes(16, 4)}
+         |SELECT qid, nid, cosine FROM sc
+         |WHERE qid < 8 AND cosine >= 0.25 ORDER BY qid, nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfRangeSearch(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", nCells = 16, updates = 0, nProbe = 4,
+        minCosine = 0.25)
+        .orderBy(col("qid"), col("nid"))
+    },
+
     // Spherical k-means embedding clustering (2 Lloyd rounds). Fully
     // hash-checked because centroids are integer SUM vectors (cosine to the
     // mean == cosine to the sum), so the oracle unrolls both rounds in exact

@@ -91,6 +91,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / got.length > 0.15)
   }
 
+  test("ivfRangeSearch: exactly the probed-cell pairs at or above the threshold") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val tau = 0.25
+    val got = Similarity.ivfRangeSearch(emb.filter($"vec_id" < 8), emb,
+      "vec_id", "embedding", nCells = 16, updates = 0, nProbe = 4, minCosine = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "threshold 0.25 should match some pairs on the fixture")
+    // every returned pair genuinely clears the threshold
+    assert(got.forall(_._3 >= tau), got.mkString("\n"))
+    // completeness within the probed index: raising the threshold to the
+    // max returned cosine still returns that pair; and the result equals
+    // the top-k path filtered at tau when k is larger than any result set
+    val viaTopK = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        nCells = 16, nProbe = 4, k = Int.MaxValue, probeFilter = col("qid") < 8)
+      .filter($"cosine" >= tau)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(got.toSet == viaTopK,
+      s"range != filtered top-all: ${(got.toSet diff viaTopK) ++ (viaTopK diff got.toSet)}")
+  }
+
   test("ivfTopKTrained: trained-centroid probe still finds true neighbors") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 15)
