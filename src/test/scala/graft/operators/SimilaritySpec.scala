@@ -91,6 +91,29 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / got.length > 0.15)
   }
 
+  test("lshTopKMultiProbe: 0 flips equals plain LSH; more flips never lose recall") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val qids = col("qid") < 8
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val plain = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
+      dim = 64, nTables = 8, nPlanes = 10, k = 5, probeFilter = qids))
+    val f0 = pairs(Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, nTables = 8, nPlanes = 10, maxFlips = 0, k = 5, probeFilter = qids))
+    assert(f0 == plain, "0-flip multiprobe must degrade to the plain probe")
+    val exact = pairs(Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 8), emb, "vec_id", "embedding", 5))
+    def recall(s: Set[(Long, Long)]) = (s intersect exact).size
+    val r1 = recall(pairs(Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, nTables = 8, nPlanes = 10, maxFlips = 1, k = 5, probeFilter = qids)))
+    val r2 = recall(pairs(Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, nTables = 8, nPlanes = 10, maxFlips = 2, k = 5, probeFilter = qids)))
+    // candidate sets are supersets as flips grow, and the final ranking is
+    // exact cosine — so recall is monotone in maxFlips
+    assert(recall(plain) <= r1 && r1 <= r2, s"recall not monotone: ${recall(plain)}, $r1, $r2")
+    assert(r2 > recall(plain), "2-flip probing should recover neighbors the plain probe misses")
+  }
+
   test("ivfRangeSearch: exactly the probed-cell pairs at or above the threshold") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val tau = 0.25
