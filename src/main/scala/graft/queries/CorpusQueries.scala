@@ -2705,6 +2705,11 @@ object CorpusQueries {
          |    SELECT qid, nid,
          |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |    FROM sc WHERE qid < 8) WHERE rank <= 5),
+         |mp5 AS (WITH ${lshMultiProbeCtes(8, 10)}
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |    FROM sc) WHERE rank <= 5),
          |i5 AS (WITH ${ivfFlatCtes(IvfCells, IvfProbe)}
          |  SELECT qid, nid FROM (
          |    SELECT qid, nid,
@@ -2751,7 +2756,9 @@ object CorpusQueries {
          |  UNION ALL SELECT 'ivfpq_seeded',
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r9 JOIN gt USING (qid, nid))
          |  UNION ALL SELECT 'lsh',
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM l5 JOIN gt USING (qid, nid)))
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM l5 JOIN gt USING (qid, nid))
+         |  UNION ALL SELECT 'lsh_multiprobe',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mp5 JOIN gt USING (qid, nid)))
          |SELECT method, hits, n,
          |  CAST(hits AS DOUBLE) / n AS recall,
          |  CAST(hits AS DOUBLE) / n >= 0.5 AS recall_ok
@@ -2786,7 +2793,10 @@ object CorpusQueries {
             m = PqM, k = PqK, topK = 5, probeFilter = qids)),
           "lsh" -> top5(Similarity.lshTopK(emb, "vec_id", "embedding",
             dim = 64, nTables = LshRecallTables, nPlanes = LshRecallPlanes,
-            k = 5, probeFilter = qids))),
+            k = 5, probeFilter = qids)),
+          "lsh_multiprobe" -> top5(Similarity.lshTopKMultiProbe(emb,
+            "vec_id", "embedding", dim = 64, nTables = 8, nPlanes = 10,
+            maxFlips = 2, k = 5, probeFilter = qids))),
         exact, k = 5, minRecall = 0.5)
         .orderBy(col("method"))
     },
