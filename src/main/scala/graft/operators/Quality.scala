@@ -197,4 +197,34 @@ object Quality {
       .groupBy(keys.map(col): _*)
       .agg(ExactAgg.sumExact(col(sumCol)).as(sumCol),
         sum(col(cntCol)).as(cntCol))
+
+  /** Curation-funnel report: the survivor count of each stage of the
+    * standard pre-training filter chain — Gopher rule gate
+    * ([[TextOps.gopherRules]]), quality-score threshold
+    * ([[TextOps.qualityScore]]), and fingerprint dedup
+    * ([[TextOps.fingerprint]] canonicals) — applied SEQUENTIALLY, as ONE
+    * row of monotone non-increasing counts. The funnel is the first
+    * artifact a curation run reports (how much did each gate cost?);
+    * keeping it one deterministic row keeps it oracle-checkable.
+    *
+    * Scale shape: every stage predicate is per-row Column algebra, so all
+    * four counts come from ONE aggregation over ONE scan (the dp1/dq1
+    * discipline) — n_unique is a conditional COUNT(DISTINCT md5), so only
+    * 32-char fingerprint keys of quality survivors ride the distinct
+    * exchange. No stage materializes an intermediate corpus.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double): DataFrame = {
+    val (_, _, _, keep) =
+      TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)
+    val staged = docs.select(
+      keep.as("g"),
+      (keep && TextOps.qualityScore(col(textCol)) >= minQuality).as("gq"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    staged.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("g"), 1L).otherwise(0L)).as("n_gopher"),
+      sum(when(col("gq"), 1L).otherwise(0L)).as("n_quality"),
+      countDistinct(when(col("gq"), col("fp"))).as("n_unique"))
+  }
 }

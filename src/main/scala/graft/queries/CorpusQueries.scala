@@ -2176,6 +2176,37 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Curation funnel (Quality.curationFunnel): the survivor count of the
+    // sequential pre-training filter chain — Gopher rules -> quality >= 0.6
+    // -> fingerprint dedup — as ONE row of monotone counts from ONE scan.
+    // The oracle recomposes the t11 gate, t2 score, and d2 fingerprint
+    // expressions verbatim, so the whole funnel hash-checks.
+    QueryDef(
+      "fn1_curation_funnel",
+      s"""WITH f AS (SELECT
+         |  (len(string_split(text, ' ')) BETWEEN 30 AND 10000
+         |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |        greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
+         |       BETWEEN 4.0 AND 5.0
+         |   AND len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) >= 2) AS g,
+         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS q,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |FROM documents)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+         |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(SUM(CASE WHEN g AND q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(COUNT(DISTINCT CASE WHEN g AND q >= 0.6 THEN fp END) AS BIGINT) AS n_unique
+         |FROM f""".stripMargin) { (s, d) =>
+      graft.operators.Quality.curationFunnel(
+        Tables.documents(s, d), "doc_id", "text", minQuality = 0.6)
+    },
+
     // Bigram stupid-backoff NLL (TextOps.bigramNll): the LM trains on the
     // EVEN docs and scores ALL docs, so held-out (odd) docs route unseen
     // transitions through the 0.4 x add-one-unigram backoff — n_unseen

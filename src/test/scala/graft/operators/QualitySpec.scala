@@ -107,4 +107,18 @@ class QualitySpec extends SparkSpec {
     val clean = spark.range(1).selectExpr("id", "'x' AS name", "CAST(1 AS DOUBLE) AS price")
     assert(Quality.schemaDrift(clean, expected).count() == 0)
   }
+
+  test("curationFunnel: monotone counts that match the composed stage filters") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val r = Quality.curationFunnel(docs, "doc_id", "text", minQuality = 0.6).collect()(0)
+    val (nIn, nG, nQ, nU) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nIn == docs.count())
+    assert(nIn >= nG && nG >= nQ && nQ >= nU, r.toString)
+    assert(nU > 0, "funnel should keep something on the fixture")
+    // recompute stage 2 + 3 by materializing the stages independently
+    val (_, _, _, keep) = TextOps.gopherRules(col("text"), 30L, 10000L, 4.0, 5.0, 2L)
+    val s2 = docs.filter(keep).filter(TextOps.qualityScore(col("text")) >= 0.6)
+    assert(s2.count() == nQ)
+    assert(s2.select(TextOps.fingerprint(col("text"))).distinct().count() == nU)
+  }
 }
