@@ -658,4 +658,39 @@ object TextOps {
         round(col("nll_sum").cast("double") / (col("dl").cast("double") * 1e6), 6)
           .as("avg_nll"))
   }
+
+  /** Per-document token ENTROPY in nats — the within-doc quality signal
+    * [[unigramNll]]'s corpus-LM score can't see: a doc looping a few tokens
+    * has low entropy no matter how corpus-frequent those tokens are
+    * (H = sum_t (tf/dl) ln(dl/tf); maximal = ln(n_types) when all types
+    * are distinct, 0 for a single repeated token). The repetition-filter
+    * complement to [[repetitionSignals]]' n-gram shares.
+    *
+    * Exactness: every ln runs through the libm-free integer kernel
+    * (graft.plans.LnFp) over the exact rational dl/tf, so the per-type
+    * micro-nat contributions — and therefore the summed fixed-point
+    * entropy — are bit-identical in any engine implementing the same
+    * integer recurrence (the sm9 discipline; a float ln here would sit
+    * 1-ulp from a rounding boundary somewhere in a large corpus).
+    *
+    * Scale shape: one (doc, type) aggregation (map-side combinable), the
+    * kernel evaluated once per type — never per token — and a per-doc sum.
+    * No joins, no broadcast state.
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol).as("did"),
+        size(words(col(textCol))).cast("long").as("dl"),
+        explode(words(col(textCol))).as("tok"))
+      .groupBy(col("did"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.select(col("did"), col("dl"),
+        (col("tf") * graft.plans.LnFpFunctions.lnMicro(col("dl"), col("tf")))
+          .as("ent_c"))
+      .groupBy(col("did"), col("dl"))
+      .agg(count(lit(1)).as("n_types"), sum(col("ent_c")).as("ent_fp"))
+      .select(col("did"), col("dl"), col("n_types"),
+        round(col("ent_fp").cast("double") / (col("dl").cast("double") * 1e6), 6)
+          .as("entropy"))
+  }
 }

@@ -2176,6 +2176,33 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-doc token entropy (TextOps.tokenEntropy): within-doc repetition
+    // signal, every ln through the sqlLog2Fp integer twin of
+    // graft.plans.LnFp (the sm9 libm-free discipline) — entropy_fp is a
+    // pure integer function of the (dl, tf) rationals, so the rounded
+    // 6dp value hash-matches bit-for-bit.
+    QueryDef(
+      "t18_token_entropy",
+      s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tf AS (SELECT doc_id, len(w) AS dl, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, w, unnest(w) AS tok FROM w) GROUP BY 1, 2, 3),
+         |lin AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id, tok) AS key,
+         |    doc_id, dl, tf, dl AS p, tf AS q FROM tf),
+         |${sqlLog2Fp("te", "lin", "key")},
+         |m AS (SELECT l.doc_id, l.dl, l.tf, $sqlLnMicroFromL AS micro
+         |  FROM teL JOIN lin l USING (key)),
+         |agg AS (SELECT doc_id, MAX(dl) AS dl, COUNT(*) AS n_types,
+         |    SUM(tf * micro) AS ent_fp FROM m GROUP BY doc_id)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |  CAST(n_types AS BIGINT) AS n_types,
+         |  round(CAST(ent_fp AS DOUBLE) / (CAST(dl AS DOUBLE) * 1e6), 6) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .select(col("did").as("doc_id"), col("dl"), col("n_types"), col("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // Curation funnel (Quality.curationFunnel): the survivor count of the
     // sequential pre-training filter chain — Gopher rules -> quality >= 0.6
     // -> fingerprint dedup — as ONE row of monotone counts from ONE scan.

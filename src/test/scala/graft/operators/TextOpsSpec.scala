@@ -391,4 +391,19 @@ class TextOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= 1,
       spark.sparkContext.getPersistentRDDs.keySet.toString)
   }
+
+  test("tokenEntropy: 0 for a looped token, ln(n) for all-distinct, repetition lowers it") {
+    val docs = Seq(
+      (1L, "x x x x x x x x"),                 // one type: H = 0
+      (2L, "a b c d e f g h"),                 // 8 distinct: H = ln 8
+      (3L, "a a a a b c d e")                  // skewed: 0 < H < ln 8
+    ).toDF("doc_id", "text")
+    val r = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("entropy") == 0.0)
+    assert(math.abs(r(2L).getAs[Double]("entropy") - math.log(8)) < 1e-5)
+    val h3 = r(3L).getAs[Double]("entropy")
+    assert(h3 > 0.0 && h3 < r(2L).getAs[Double]("entropy"), h3.toString)
+    assert(r(2L).getAs[Long]("n_types") == 8L && r(3L).getAs[Long]("n_types") == 5L)
+  }
 }
