@@ -71,6 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"${WinnowLong.Name} (k, w) arguments must be literal ints, got $other")
       }))
+    ext.injectFunction(fn(AhoCorasickCount.Name, classOf[AhoCorasickCount],
+      AhoCorasickCount.fromChildren))
     ext.injectFunction(fn(SubwordCount.Name, classOf[SubwordCount],
       c => {
         require(c(1).foldable, s"${SubwordCount.Name} vocab must be a literal array")

@@ -659,6 +659,26 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** Blocklist hit profile: for every document, the occurrence count of
+    * each blocked phrase (overlaps included) — the banned-phrase gate of a
+    * curation pipeline, sparse output (only hits). One Aho-Corasick pass
+    * per document via the native [[graft.plans.AhoCorasickCount]]
+    * expression: the text is read ONCE for the whole pattern set inside the
+    * scan (O(len + matches)), where N `regexp_count` columns would rescan
+    * it N times and miss self-overlapping occurrences. No shuffle until
+    * the sparse (doc, pattern) hits — contamination-sized, not corpus-sized.
+    */
+  def blocklistHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, patterns: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("did"),
+        posexplode(graft.plans.AhoCorasickCount.multiMatchCounts(
+          col(textCol), patterns)).as(Seq("pid", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(col("did"), col("pid").cast("long").as("pid"),
+        element_at(typedlit(patterns), col("pid").cast("int") + 1).as("pattern"),
+        col("n_hits"))
+
   /** Per-document token ENTROPY in nats — the within-doc quality signal
     * [[unigramNll]]'s corpus-LM score can't see: a doc looping a few tokens
     * has low entropy no matter how corpus-frequent those tokens are

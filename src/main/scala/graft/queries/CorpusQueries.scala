@@ -2203,6 +2203,29 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Blocklist phrase gate (TextOps.blocklistHits): per-doc occurrence
+    // counts of 4 banned phrases in ONE Aho-Corasick pass (native
+    // graft_aho_corasick expression), overlap-inclusive. The oracle counts
+    // every position where substr(text, i, |p|) = p — the exact semantics
+    // the automaton implements — so sparse hits hash-check bit-for-bit,
+    // including self-overlapping runs regex counting would miss.
+    QueryDef(
+      "t19_blocklist",
+      s"""WITH bl AS (SELECT * FROM (VALUES (0, 'a a'), (1, 'table table'),
+         |    (2, 'fast sort'), (3, 'spark')) AS t(pid, pat)),
+         |occ AS (SELECT d.doc_id, b.pid, b.pat, COUNT(*) AS n_hits
+         |  FROM documents d, bl b,
+         |    unnest(generate_series(1, length(d.text) - length(b.pat) + 1)) AS g(i)
+         |  WHERE substr(d.text, i, length(b.pat)) = b.pat
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(pid AS BIGINT) AS pid, pat AS pattern, n_hits
+         |FROM occ ORDER BY doc_id, pid""".stripMargin) { (s, d) =>
+      TextOps.blocklistHits(Tables.documents(s, d), "doc_id", "text",
+        Seq("a a", "table table", "fast sort", "spark"))
+        .select(col("did").as("doc_id"), col("pid"), col("pattern"), col("n_hits"))
+        .orderBy(col("doc_id"), col("pid"))
+    },
+
     // Curation funnel (Quality.curationFunnel): the survivor count of the
     // sequential pre-training filter chain — Gopher rules -> quality >= 0.6
     // -> fingerprint dedup — as ONE row of monotone counts from ONE scan.

@@ -406,4 +406,29 @@ class TextOpsSpec extends SparkSpec {
     assert(h3 > 0.0 && h3 < r(2L).getAs[Double]("entropy"), h3.toString)
     assert(r(2L).getAs[Long]("n_types") == 8L && r(3L).getAs[Long]("n_types") == 5L)
   }
+
+  test("blocklistHits: overlap-inclusive counts, one automaton pass, sparse output") {
+    val docs = Seq(
+      (1L, "a a a table table table"),      // "a a" x2 overlapping, "table table" x2
+      (2L, "spark spark and fast sorting"), // "spark" x2, "fast sort" x1 (prefix hit)
+      (3L, "nothing to see")                // no hits -> no rows
+    ).toDF("doc_id", "text")
+    val pats = Seq("a a", "table table", "fast sort", "spark")
+    val out = TextOps.blocklistHits(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(3)).toMap
+    assert(out == Map(
+      (1L, "a a") -> 2L, (1L, "table table") -> 2L,
+      (2L, "spark") -> 2L, (2L, "fast sort") -> 1L))
+    // parity with the naive per-pattern position scan on fixture docs
+    val fix = graft.core.Tables.documents(spark, sf)
+    val got = TextOps.blocklistHits(fix, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val naive = fix.select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
+      case (did, text) => pats.zipWithIndex.flatMap { case (p, pid) =>
+        val n = (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length))
+        if (n > 0) Some((did, pid.toLong) -> n.toLong) else None
+      }
+    }.toMap
+    assert(got == naive, s"AC != naive: ${(got.toSet diff naive.toSet) ++ (naive.toSet diff got.toSet)}")
+  }
 }
