@@ -191,6 +191,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("s22_lsh_multiprobe: probe fan-out is per-row explode, bucket join never a cartesian") {
+    val p = plan("s22_lsh_multiprobe")
+    // the XOR flip expansion must be a Generate on the probe side (query
+    // rows only), not a join against a flip table; candidates stay a
+    // (tbl, bucket)-keyed hash join; top-k gets WindowGroupLimit
+    assert("Generate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("fn1_curation_funnel: the whole funnel costs ONE table scan") {
+    val p = plan("fn1_curation_funnel")
+    // formatted plans print each node twice (tree line + detail block)
+    assert("Scan parquet".r.findAllIn(p).length == 2, p)
+  }
+
+  test("t19_blocklist: one Aho-Corasick pass inside the scan stage, no pre-explode shuffle") {
+    val p = plan("t19_blocklist")
+    assert(p.contains("graft_aho_corasick"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 2, p) // one scan node
+    // the only exchange is the presentation sort — matching runs map-side
+    assert("Exchange".r.findAllIn(p).length <= 2, p) // one exchange node
+  }
+
+  test("t18_token_entropy: ln kernel per (doc, type) behind a map-side combine") {
+    val p = plan("t18_token_entropy")
+    assert(p.contains("graft_ln_micro"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+  }
+
   test("d14_decontaminate: only hashed gram keys shuffle, never text") {
     val p = plan("d14_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
