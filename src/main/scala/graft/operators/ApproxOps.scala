@@ -213,16 +213,24 @@ object ApproxOps {
     require(w >= 2 && w <= 65536, s"w must be in [2,65536], got $w")
     val it = items.select(col(itemCol).as("item")).filter(col("item").isNotNull)
     val sk = it.agg(graft.plans.GraftFunctions.countMin(col("item"), w, d).as("sk"))
-    val probe = (0 until d).map { j =>
-      element_at(element_at(col("sk"), j + 1),
-        (call_function("shiftright", Dedup.hash48(col("item")), lit(16 * j))
-          .bitwiseAND(lit(0xffffL)) % w).cast("int") + 1)
-    }.reduce(least(_, _))
     it.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(sk))
-      .select(col("item"), col("n_exact"), probe.as("cms_est"))
+      .select(col("item"), col("n_exact"),
+        cmsProbe(col("sk"), col("item"), w, d).as("cms_est"))
       .withColumn("never_under", col("cms_est") >= col("n_exact"))
   }
+
+  /** Point estimate from a CMS matrix column: min over the d rows at the
+    * item's md5-slice positions — probe ANY value against a persisted or
+    * windowed sketch after the fact (the matrix answers queries the
+    * aggregation never saw coming, unlike a watched-key counter).
+    */
+  def cmsProbe(sk: Column, item: Column, w: Int, d: Int): Column =
+    (0 until d).map { j =>
+      element_at(element_at(sk, j + 1),
+        (call_function("shiftright", Dedup.hash48(item), lit(16 * j))
+          .bitwiseAND(lit(0xffffL)) % w).cast("int") + 1)
+    }.reduce(least(_, _))
 
   /** Per-key count + whether the approximate percentile `p` (quantile
     * summaries with `accuracy`) lies within the exact [lo, hi] percentile

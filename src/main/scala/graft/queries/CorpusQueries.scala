@@ -1314,6 +1314,46 @@ object CorpusQueries {
         .orderBy(col("item"))
     },
 
+    // Windowed CMS monitor (EventStreams.windowedCms + ApproxOps.cmsProbe):
+    // one 3 x 64 counter matrix per hourly window over event_type, probed
+    // for every type that actually occurred — per-window frequency
+    // monitoring with state independent of value cardinality, probeable
+    // post-hoc for values never watched. Matrix cells are sums, so the
+    // oracle rebuilds every counter and the estimates hash-check; the
+    // batch frame here is the deterministic twin of the streaming run
+    // (cells are merge-order-insensitive).
+    QueryDef(
+      "ax9_windowed_cms",
+      s"""WITH rows0 AS (SELECT
+         |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS ws,
+         |    event_type AS item FROM events),
+         |h AS MATERIALIZED (SELECT ws, item, ${sqlHash("item", 12)} AS g FROM rows0),
+         |p AS (SELECT ws, item, j, ((g >> (16 * j)) & 65535) % 64 AS pos
+         |  FROM h, unnest([0, 1, 2]) AS t(j)),
+         |counters AS MATERIALIZED (SELECT ws, j, pos, COUNT(*) AS c
+         |  FROM p GROUP BY 1, 2, 3),
+         |ip AS (SELECT DISTINCT ws, item, j, pos FROM p),
+         |exact AS (SELECT ws, item, COUNT(*) AS n_exact FROM rows0 GROUP BY 1, 2),
+         |est AS (SELECT ws, item, MIN(c) AS cms_est
+         |  FROM ip JOIN counters USING (ws, j, pos) GROUP BY 1, 2)
+         |SELECT ws AS window_start, item, n_exact, cms_est,
+         |  cms_est >= n_exact AS never_under
+         |FROM exact JOIN est USING (ws, item)
+         |ORDER BY window_start, item""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sk = graft.streaming.EventStreams.windowedCms(ev, "event_type", w = 64, d = 3)
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_exact"))
+        .select(col("window.start").as("window_start"),
+          col("event_type").as("item"), col("n_exact"))
+        .join(sk, Seq("window_start"))
+        .select(col("window_start"), col("item"), col("n_exact"),
+          graft.operators.ApproxOps.cmsProbe(col("sk"), col("item"), 64, 3)
+            .as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("n_exact"))
+        .orderBy(col("window_start"), col("item"))
+    },
+
     // KMV set algebra (ApproxOps.kmvUnionIntersect): merged bottom-k
     // sketches estimate the distinct UNION, Jaccard, and INTERSECTION of
     // two token sets — the set operations HLL cannot express. Sketches are

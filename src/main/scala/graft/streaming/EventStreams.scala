@@ -103,6 +103,30 @@ object EventStreams {
         graft.operators.ApproxOps.kmvEstimate(col("__sk"), k).as("kmv_est"))
   }
 
+  /** Streaming per-window count-min sketch: one d x w counter matrix per
+    * tumbling window (the native `graft_count_min` TypedImperativeAggregate)
+    * — the frequency monitor whose state is O(windows x d x w) no matter
+    * how many distinct values flow through, and whose matrix can be probed
+    * for ANY value after the fact ([[graft.operators.ApproxOps.cmsProbe]]),
+    * unlike a watched-key counter that had to know the keys up front.
+    * Matrix cells are order-insensitive sums, so micro-batch merge order
+    * cannot change the emitted sketch — batch and stream runs agree
+    * bit-for-bit (the windowedDistinct determinism posture, stronger than
+    * MG's candidate-set semantics). Batch/stream agnostic.
+    */
+  def windowedCms(events: DataFrame, valueCol: String, w: Int, d: Int,
+                  windowLen: String = "1 hour",
+                  watermarkDelay: String = "2 hours",
+                  tsCol: String = "ts"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.plans.GraftFunctions.countMin(
+        col(valueCol).cast("string"), w, d).as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+  }
+
   /** Streaming exactly-once-per-key dedup with bounded state: duplicates of
     * `keyCols` arriving within `delay` of the watermark are dropped; state
     * for keys older than the watermark is evicted, so memory is bounded by

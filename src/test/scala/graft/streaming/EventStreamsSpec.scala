@@ -433,6 +433,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCms parity: streamed counter matrices equal the batch twin bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Event]
+    val q = windowedCms(input.toDF(), "event_type", w = 32, d = 3)
+      .writeStream.format("memory").queryName("cms_parity")
+      .outputMode("complete").start()
+    try {
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      def matrices(df: org.apache.spark.sql.DataFrame) = df
+        .select($"window_start", $"sk").collect()
+        .map(r => r.getTimestamp(0) ->
+          r.getSeq[scala.collection.Seq[Long]](1).map(_.toList).toList).toMap
+      val streamed = matrices(spark.table("cms_parity"))
+      val batch = matrices(windowedCms(
+        graft.core.Tables.events(spark, sf), "event_type", w = 32, d = 3))
+      // CMS cells are sums: the streamed MATRIX (not just estimates) is
+      // bit-identical to the batch run under any micro-batch split
+      assert(streamed == batch, s"windows=${streamed.size} vs ${batch.size}")
+      assert(streamed.nonEmpty)
+      // each matrix row sums to its window's event count (cells are sums)
+      val rowCounts = graft.core.Tables.events(spark, sf)
+        .groupBy(window($"ts", "1 hour")).count()
+        .select($"window.start", $"count").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      streamed.foreach { case (ws, m) =>
+        m.foreach(row => assert(row.sum == rowCounts(ws), s"window $ws"))
+      }
+    } finally q.stop()
+  }
+
   test("ingestBatchIdempotent: a retried batch leaves byte-identical state, no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest_idem")
     def p(s: String) = base.resolve(s).toString
