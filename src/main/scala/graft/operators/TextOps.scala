@@ -679,6 +679,23 @@ object TextOps {
         element_at(typedlit(patterns), col("pid").cast("int") + 1).as("pattern"),
         col("n_hits"))
 
+  /** Redact blocked phrases: every occurrence of any pattern becomes
+    * `mask` — the write-side companion of [[blocklistHits]] (detect, then
+    * scrub, the t8 PII discipline applied to phrases). One alternation
+    * regex with alternatives sorted LONGEST-FIRST, so nested phrases
+    * resolve to the longest match identically under Java and RE2
+    * order-priority alternation and an oracle's regexp_replace mirrors the
+    * output byte-for-byte. Patterns must be regex-literal (letters, digits,
+    * spaces) — this is a phrase list, not a pattern language.
+    */
+  def blocklistRedact(text: Column, patterns: Seq[String],
+                      mask: String = "[BLOCKED]"): Column = {
+    require(patterns.nonEmpty && patterns.forall(_.matches("[a-z0-9 ]+")),
+      "patterns must be non-empty lowercase alphanumeric/space phrases")
+    regexp_replace(text,
+      patterns.sortBy(p => (-p.length, p)).mkString("|"), mask)
+  }
+
   /** Per-document token ENTROPY in nats — the within-doc quality signal
     * [[unigramNll]]'s corpus-LM score can't see: a doc looping a few tokens
     * has low entropy no matter how corpus-frequent those tokens are

@@ -2266,6 +2266,27 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("pid"))
     },
 
+    // Blocklist redaction (TextOps.blocklistRedact): the scrub side of
+    // t19 — longest-first alternation replace, verified by md5 of the
+    // redacted text (the t8 PII discipline). n_masked counts insertions.
+    QueryDef(
+      "t20_blocklist_redact",
+      s"""SELECT doc_id,
+         |  CAST((length(r) - length(replace(r, '[BLOCKED]', ''))) // 9 AS BIGINT)
+         |    AS n_masked,
+         |  md5(r) AS redacted_md5
+         |FROM (SELECT doc_id,
+         |  regexp_replace(text, 'table table|fast sort|spark|a a', '[BLOCKED]', 'g') AS r
+         |  FROM documents) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val r = TextOps.blocklistRedact(col("text"),
+        Seq("a a", "table table", "fast sort", "spark"))
+      Tables.documents(s, d).select(col("doc_id"),
+        ((length(r) - length(regexp_replace(r, "\\[BLOCKED\\]", ""))) / 9L)
+          .cast("long").as("n_masked"),
+        md5(r).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Curation funnel (Quality.curationFunnel): the survivor count of the
     // sequential pre-training filter chain — Gopher rules -> quality >= 0.6
     // -> fingerprint dedup — as ONE row of monotone counts from ONE scan.

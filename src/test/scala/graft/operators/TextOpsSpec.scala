@@ -431,4 +431,17 @@ class TextOpsSpec extends SparkSpec {
     }.toMap
     assert(got == naive, s"AC != naive: ${(got.toSet diff naive.toSet) ++ (naive.toSet diff got.toSet)}")
   }
+
+  test("blocklistRedact: longest phrase wins, all occurrences masked, literal-only patterns") {
+    val docs = Seq((1L, "fast sorting a table table table here")).toDF("doc_id", "text")
+    val out = docs.select(TextOps.blocklistRedact(
+      $"text", Seq("a a", "table table", "fast sort", "spark")).as("r"))
+      .head.getString(0)
+    // "fast sort" masks inside "fast sorting"; "table table" (longest-first)
+    // consumes the first two tables, the third survives
+    assert(out == "[BLOCKED]ing a [BLOCKED] table here", out)
+    intercept[IllegalArgumentException] {
+      docs.select(TextOps.blocklistRedact($"text", Seq("a.*b"))).collect()
+    }
+  }
 }
