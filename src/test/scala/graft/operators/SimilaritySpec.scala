@@ -299,9 +299,10 @@ class SimilaritySpec extends SparkSpec {
     // the 0.5 floor the oracle asserts — lsh, ivf_flat, raw ADC at
     // m=16/k=256, and both refine serve paths
     val s16 = graft.SparkEntry.queries("s16_ann_recall")(spark, sf).collect()
-    assert(s16.length == 5)
+    assert(s16.length == 6)
     assert(s16.map(_.getAs[String]("method")).toSeq == Seq("ivf_flat",
-      "ivfpq_refine", "ivfpq_residual_refine", "ivfpq_seeded", "lsh"))
+      "ivfpq_refine", "ivfpq_residual_refine", "ivfpq_seeded", "lsh",
+      "lsh_multiprobe"))
     s16.foreach { r =>
       assert(r.getAs[Boolean]("recall_ok"),
         s"${r.getAs[String]("method")} recall ${r.getAs[Double]("recall")} below contract")
