@@ -521,6 +521,33 @@ object TextOps {
       .limit(k)
   }
 
+  /** Boolean keyword retrieval: documents containing ALL of `mustAll` and
+    * NONE of `mustNone` — the filter-style search companion to
+    * [[bm25Rank]]'s ranked retrieval (candidate pre-selection, compliance
+    * holds, eval-set carving).
+    *
+    * Scale shape: ONE postings pass — tokens filtered to the watched set
+    * IN-SCAN (the IN-list prunes map-side), deduped to distinct
+    * (doc, token), then a single per-doc counting aggregate decides both
+    * the conjunction (distinct must-hits == |mustAll|) and the exclusion
+    * (block-hits == 0). No joins at all, where the textbook form runs
+    * |mustAll| semi-joins plus an anti-join over the same postings.
+    */
+  def booleanSearch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, mustAll: Seq[String],
+                    mustNone: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(mustAll.nonEmpty, "at least one required term (else every doc matches)")
+    val watched = (mustAll ++ mustNone).distinct
+    val post = df
+      .select(col(idCol).as("did"), explode(words(col(textCol))).as("tok"))
+      .filter(col("tok").isin(watched: _*)).distinct()
+    post.groupBy(col("did"))
+      .agg(count(when(col("tok").isin(mustAll: _*), 1)).as("n_must"),
+        count(when(col("tok").isin(mustNone: _*), 1)).as("n_block"))
+      .filter(col("n_must") === mustAll.size && col("n_block") === 0)
+      .select(col("did"))
+  }
+
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
     val Seq(en, de, es, fr, zh) = scores.map(_._2)

@@ -1480,6 +1480,27 @@ object CorpusQueries {
         terms = Seq("table", "hash", "merge"), k = 25)
     },
 
+    // Boolean keyword retrieval (TextOps.booleanSearch): docs containing
+    // ALL of {spark, query} and NONE of {merge} — one postings pass, the
+    // IN-list pruned in-scan, conjunction + exclusion decided by a single
+    // per-doc counting aggregate (no semi/anti join chain).
+    QueryDef(
+      "fts2_boolean_search",
+      """WITH post AS (SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('spark', 'query', 'merge')),
+        |a AS (SELECT doc_id,
+        |    COUNT(CASE WHEN tok IN ('spark', 'query') THEN 1 END) AS n_must,
+        |    COUNT(CASE WHEN tok = 'merge' THEN 1 END) AS n_block
+        |  FROM post GROUP BY doc_id)
+        |SELECT doc_id FROM a WHERE n_must = 2 AND n_block = 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.booleanSearch(Tables.documents(s, d), "doc_id", "text",
+        mustAll = Seq("spark", "query"), mustNone = Seq("merge"))
+        .select(col("did").as("doc_id")).orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: corpus docs (doc_id % 7 <> 0) sharing any
     // word 3-gram with the "benchmark" slice (doc_id % 7 = 0) — the
     // test-set-leakage guard. Both sides reduce to distinct 48-bit gram

@@ -444,4 +444,19 @@ class TextOpsSpec extends SparkSpec {
       docs.select(TextOps.blocklistRedact($"text", Seq("a.*b"))).collect()
     }
   }
+
+  test("booleanSearch: conjunction and exclusion both enforced, empty must rejected") {
+    val docs = Seq(
+      (1L, "spark runs a query fast"),      // both musts, no block -> kept
+      (2L, "spark query merge plan"),       // blocked by merge
+      (3L, "spark only here"),              // missing query
+      (4L, "query spark query spark")       // duplicates count once -> kept
+    ).toDF("doc_id", "text")
+    val kept = TextOps.booleanSearch(docs, "doc_id", "text",
+      Seq("spark", "query"), Seq("merge")).as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      TextOps.booleanSearch(docs, "doc_id", "text", Seq.empty, Seq("merge"))
+    }
+  }
 }
