@@ -172,6 +172,41 @@ object Sampling {
         col("key_fp"))
   }
 
+  /** Weighted EXACT-k sample per stratum, without replacement
+    * (Efraimidis–Spirakis via the Gumbel-max identity): within each
+    * stratum keep the k rows with the largest `ln(w) + Gumbel` key —
+    * inclusion probability proportional to the integer weight, no
+    * replacement, balanced strata. The quality-weighted version of
+    * [[exactKPerStratum]], and the per-stratum form of
+    * [[importanceResample]]'s selection stage (same derandomized Gumbel
+    * draw, same libm-free integer fixed point — graft.plans.LnFp — so the
+    * keys, and therefore the SAMPLE MEMBERSHIP, are bit-identical in any
+    * engine implementing the integer recurrence).
+    *
+    * Rows with weight < 1 are excluded (probability-0 rows can never be
+    * drawn under ∝w; integer weights are the exactness contract — scale
+    * fractional weights up front). Scale shape: one ln + one Gumbel per
+    * row (micro-seconds, never per pair), then a per-stratum rank window —
+    * WindowGroupLimit keeps k rows per stratum BELOW the sort, so the
+    * exchange carries k rows per (stratum, map partition).
+    */
+  def weightedKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                          weightCol: String, k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyed = df
+      .select(col(stratumCol).as("stratum"), col(idCol).as("did"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") >= 1L)
+      .withColumn("key_fp",
+        graft.plans.LnFpFunctions.lnMicro(col("w"), lit(1L)) +
+          graft.plans.LnFpFunctions.gumbelMicro(bucket(col("did"), salt)))
+    val win = Window.partitionBy(col("stratum"))
+      .orderBy(col("key_fp").desc, col("did").asc)
+    keyed.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-key quota cap: keep at most `k` rows per `keyCol`, chosen by
     * `orderCol` asc (deterministic — never "first seen") — the per-domain /
     * per-source cap every crawl-derived corpus applies so one prolific

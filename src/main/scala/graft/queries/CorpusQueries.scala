@@ -2568,6 +2568,40 @@ object CorpusQueries {
         .orderBy(col("key_fp").desc, col("doc_id"))
     },
 
+    // Weighted exact-k per stratum (Sampling.weightedKPerStratum):
+    // Efraimidis–Spirakis without replacement via derandomized Gumbel-max
+    // keys — per-lang top-20 by ln(n_chars) + Gumbel, every ln through the
+    // sqlLog2Fp integer twin (the sm9 libm-free discipline), so sample
+    // MEMBERSHIP hash-checks bit-for-bit.
+    QueryDef(
+      "sm11_weighted_k_per_stratum",
+      s"""WITH RECURSIVE $pow2Cte,
+         |base AS (SELECT lang, doc_id, n_chars AS w FROM documents
+         |  WHERE n_chars >= 1),
+         |lw0 AS (SELECT doc_id AS key, w AS p, CAST(1 AS BIGINT) AS q FROM base),
+         |${sqlLog2Fp("lw", "lw0", "key")},
+         |lnw AS (SELECT key AS doc_id, $sqlLnMicroFromL AS lw_fp FROM lwL),
+         |g0 AS (SELECT doc_id AS key,
+         |    2 * ${sqlHash("'ws:' || doc_id", 8)} + 1 AS p,
+         |    CAST(1 AS BIGINT) AS q FROM base),
+         |${sqlLog2Fp("g1", "g0", "key")},
+         |gv AS (SELECT key, 33 * 762123384786 - $sqlLnQ40FromL AS p,
+         |    CAST(1099511627776 AS BIGINT) AS q FROM g1L),
+         |${sqlLog2Fp("g2", "gv", "key")},
+         |gum AS (SELECT key AS doc_id, -$sqlLnMicroFromL AS gumbel_fp FROM g2L),
+         |keyed AS (SELECT b.lang AS stratum, b.doc_id AS did, b.w,
+         |    lw_fp + gumbel_fp AS key_fp
+         |  FROM base b JOIN lnw USING (doc_id) JOIN gum USING (doc_id)),
+         |r AS (SELECT stratum, did, w, key_fp,
+         |    ROW_NUMBER() OVER (PARTITION BY stratum
+         |      ORDER BY key_fp DESC, did) AS rank FROM keyed)
+         |SELECT stratum, did, w, key_fp, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY stratum, rank""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.weightedKPerStratum(
+        Tables.documents(s, d), "doc_id", "lang", "n_chars", k = 20, salt = "ws")
+        .orderBy(col("stratum"), col("rank"))
+    },
+
     // Deterministic global shuffle order (Sampling.shuffleOrder): the
     // reproducible pre-training corpus shuffle — pos is a contiguous 0-based
     // rank by (md5 bucket, id), derived with the two-level prefix pattern

@@ -171,4 +171,25 @@ class SamplingSpec extends SparkSpec {
     assert(grown(401L) == out(1L))
     (1L to 400L).foreach(id => assert(grown(id) == out(id)))
   }
+
+  test("weightedKPerStratum: exact k per stratum, weight-biased, zero-weight excluded, deterministic") {
+    // 2 strata x 100 rows; in stratum "a" rows 0..9 carry 1000x the weight
+    val rows = (0 until 100).flatMap { i =>
+      Seq(("a", i.toLong, if (i < 10) 100000L else 100L),
+          ("b", (100 + i).toLong, 100L))
+    } :+ (("a", 999L, 0L)) // weight 0: must never appear
+    val df = rows.toDF("lang", "doc_id", "wt")
+    val out = Sampling.weightedKPerStratum(df, "doc_id", "lang", "wt", k = 10, salt = "t")
+    val byStratum = out.collect().groupBy(_.getString(0))
+    assert(byStratum("a").length == 10 && byStratum("b").length == 10)
+    assert(out.filter($"did" === 999L).isEmpty) // zero weight excluded
+    // ln(1000x) = +6.9 nats: the 10 heavy rows should crowd out the light
+    // ones almost surely (Gumbel spread is ~1.3 nats); require >= 8 of 10
+    val heavy = byStratum("a").map(_.getAs[Long]("did")).count(_ < 10)
+    assert(heavy >= 8, s"only $heavy heavy rows sampled in stratum a")
+    // determinism: a second run is identical
+    val again = Sampling.weightedKPerStratum(df, "doc_id", "lang", "wt", k = 10, salt = "t")
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+  }
 }
