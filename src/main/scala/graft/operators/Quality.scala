@@ -198,6 +198,46 @@ object Quality {
       .agg(ExactAgg.sumExact(col(sumCol)).as(sumCol),
         sum(col(cntCol)).as(cntCol))
 
+  /** Robust per-key outlier gate: median/MAD (median absolute deviation)
+    * flagging — the outlier detector that mean/stddev gates get wrong,
+    * because one extreme value drags the mean AND inflates the stddev until
+    * the gate stops firing; the median/MAD pair has a 50% breakdown point.
+    * Per key: exact median, exact MAD, the count of values beyond
+    * `nSigma` x MAD of the median, and a boolean gate on the outlier
+    * fraction — the dq1/dq3 posture (exact anchors + an oracle-assertable
+    * verdict).
+    *
+    * Determinism: interpolated percentiles of identical doubles are
+    * IEEE-identical across engines (the a8 discipline), and every
+    * comparison happens on the raw values — rounding is display-only.
+    *
+    * Scale shape: three passes (median -> MAD -> count), each a map-side-
+    * combinable aggregate with key-count-sized results broadcast back —
+    * the honest cost of exact order statistics; swap percentile_approx in
+    * per the ax2 contract when a single pass matters more than exactness.
+    */
+  def madOutlierGate(df: DataFrame, keyCol: String, valCol: String,
+                     nSigma: Double, maxOutlierFrac: Double): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val ad = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("__ad", abs(col(valCol).cast("double") - col("med")))
+    val mad = ad.groupBy(col(keyCol))
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    ad.join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("__med"),
+        max(col("mad")).as("__mad"),
+        sum(when(col("__ad") > lit(nSigma) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(keyCol), col("n"), round(col("__med"), 6).as("med"),
+        round(col("__mad"), 6).as("mad"), col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+          .as("outlier_frac"),
+        (col("n_outliers").cast("double") / col("n").cast("double")
+          <= maxOutlierFrac).as("gate_ok"))
+  }
+
   /** Curation-funnel report: the survivor count of each stage of the
     * standard pre-training filter chain — Gopher rule gate
     * ([[TextOps.gopherRules]]), quality-score threshold

@@ -575,6 +575,36 @@ object EtlQueries {
         .orderBy(col("drift"), col("column"))
     },
 
+    // DQ-extension: robust median/MAD outlier gate (Quality.madOutlierGate)
+    // per event_type over value — the 50%-breakdown detector a mean/stddev
+    // gate isn't (one extreme value inflates stddev until the gate stops
+    // firing). Exact interpolated percentiles chain med -> MAD -> count on
+    // raw doubles (the a8 discipline), rounding display-only, so counts,
+    // stats, and the gate boolean all hash-match.
+    QueryDef(
+      "dq4_mad_outliers",
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |ad AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM ad GROUP BY 1)
+        |SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(MAX(a.med), 6) AS med, round(MAX(m2.mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN a.ad > 5.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(CAST(SUM(CASE WHEN a.ad > 5.0 * m2.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS outlier_frac,
+        |  (CAST(SUM(CASE WHEN a.ad > 5.0 * m2.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*)) <= 0.02 AS gate_ok
+        |FROM ad a JOIN mad m2 USING (event_type)
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      graft.operators.Quality.madOutlierGate(
+        Tables.events(s, d), "event_type", "value",
+        nSigma = 5.0, maxOutlierFrac = 0.02)
+        .orderBy(col("event_type"))
+    },
+
     // DQ-extension: DISTRIBUTION-drift gate (Quality.distributionDrift —
     // VERDICT r8 ask #7): dq1 gates rows, dq2 the schema, dq3 the SHAPE.
     // Two scenarios against the same reference run (even orderkeys):

@@ -121,4 +121,22 @@ class QualitySpec extends SparkSpec {
     assert(s2.count() == nQ)
     assert(s2.select(TextOps.fingerprint(col("text"))).distinct().count() == nU)
   }
+
+  test("madOutlierGate: clean data passes, planted spikes fire, stddev would have missed them") {
+    val clean = (1 to 1000).map(i => ("a", 100.0 + (i % 21))).toDF("k", "v")
+    val c = Quality.madOutlierGate(clean, "k", "v", nSigma = 5.0, maxOutlierFrac = 0.02)
+      .collect()(0)
+    assert(c.getAs[Long]("n_outliers") == 0L && c.getAs[Boolean]("gate_ok"))
+    // plant 30 extreme spikes among 1000: fires at 3% > 2%
+    val dirty = clean.unionByName(
+      (1 to 30).map(_ => ("a", 1e9)).toDF("k", "v"))
+    val d = Quality.madOutlierGate(dirty, "k", "v", nSigma = 5.0, maxOutlierFrac = 0.02)
+      .collect()(0)
+    assert(d.getAs[Long]("n_outliers") == 30L && !d.getAs[Boolean]("gate_ok"), d.toString)
+    // the median/MAD are UNMOVED by the spikes (robustness: the breakdown
+    // property a mean/stddev gate lacks — 30 spikes at 1e9 would inflate
+    // stddev ~5e7, putting every spike within ~1 sigma of the mean)
+    assert(d.getAs[Double]("med") == c.getAs[Double]("med"))
+    assert(math.abs(d.getAs[Double]("mad") - c.getAs[Double]("mad")) <= 1.0)
+  }
 }
