@@ -222,6 +222,36 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Token-budget selection per source: keep each source's BEST documents
+    * — ordered by `scoreCol` descending (ties: lowest id) — until the
+    * running token total reaches `budgetTokens`; the first doc that crosses
+    * the budget is KEPT (budgets are floors on useful data, not hard caps
+    * — dropping the crossing doc could leave a source far under budget
+    * when documents are long). The "take the best N tokens per domain"
+    * selection step of a mixture-curated pre-training corpus — the
+    * token-weighted upgrade of [[capPerKey]]'s row quota.
+    *
+    * Output adds `cum_tokens` (running total INCLUDING the row, within its
+    * source's kept order) — the audit column a mixture report wants.
+    *
+    * Scale shape: one per-source window (running sum over the score sort) —
+    * a single hash exchange on the source key; no global coordination,
+    * since budgets are per-source by construction. Determinism: the score
+    * expression is a fixed IEEE tree (the t2 discipline) and the tiebreak
+    * is total, so kept membership is engine-identical.
+    */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: String, idCol: String,
+                        tokenCol: String, scoreCol: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") - col(tokenCol).cast("long") < budgetTokens)
+  }
+
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
     * all of rare ones). Strata absent from `rates` get `defaultRate`.
     */

@@ -2602,6 +2602,38 @@ object CorpusQueries {
         .orderBy(col("stratum"), col("rank"))
     },
 
+    // Token-budget selection per source (Sampling.tokenBudgetPerKey):
+    // keep each source's best-quality docs until 800 tokens, the crossing
+    // doc kept — the "best N tokens per domain" mixture-curation step.
+    // Ordering uses the t2 quality expression verbatim (fixed IEEE tree),
+    // so kept membership and running totals hash-check.
+    QueryDef(
+      "sm12_token_budget",
+      s"""WITH q AS (SELECT doc_id, source,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS score
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q)
+         |SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum - n_tokens < 800
+         |ORDER BY source, cum_tokens""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("score"))
+      graft.operators.Sampling.tokenBudgetPerKey(docs, "source", "doc_id",
+          "n_tokens", "score", budgetTokens = 800L)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+
     // Deterministic global shuffle order (Sampling.shuffleOrder): the
     // reproducible pre-training corpus shuffle — pos is a contiguous 0-based
     // rank by (md5 bucket, id), derived with the two-level prefix pattern

@@ -192,4 +192,20 @@ class SamplingSpec extends SparkSpec {
     assert(out.collect().map(_.toString).sorted.toSeq ==
       again.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("tokenBudgetPerKey: best-first fill, crossing doc kept, budgets independent per key") {
+    val docs = Seq(
+      // source a: scores order docs 3 > 1 > 2; budget 100
+      ("a", 1L, 60L, 0.8), ("a", 2L, 60L, 0.5), ("a", 3L, 50L, 0.9),
+      // source b: one giant doc crossing alone is still kept
+      ("b", 4L, 500L, 0.9), ("b", 5L, 10L, 0.8)
+    ).toDF("src", "doc_id", "n_tokens", "score")
+    val out = Sampling.tokenBudgetPerKey(docs, "src", "doc_id", "n_tokens",
+      "score", budgetTokens = 100L)
+      .select("src", "doc_id", "cum_tokens").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // a: doc3 (50) then doc1 (cum 110, starts at 50 < 100 -> kept, crosses);
+    //    doc2 starts at 110 >= 100 -> dropped
+    assert(out == Map(("a", 3L) -> 50L, ("a", 1L) -> 110L, ("b", 4L) -> 500L))
+  }
 }
