@@ -72,6 +72,61 @@ object Packing {
       .drop("__start")
   }
 
+  /** LENGTH-BANDED packing: documents are first split into bands (e.g. by
+    * token-length quantile or range) and packed INDEPENDENTLY within each
+    * band — the batch-construction layout that keeps similar-length
+    * documents together, so a pack rarely splices a long-document tail
+    * against many short ones (less cross-document attention bleed and less
+    * fragmentation at pack boundaries than the single global layout of
+    * [[assignPacks]]). `pack_id` is per-band; (band, pack_id) is the
+    * training batch key.
+    *
+    * Same two-level prefix-sum shape, generalized: range buckets nest
+    * INSIDE bands, per-(band, bucket) totals aggregate in one pass, the
+    * driver scans band-by-band (bands x buckets rows — dimension-sized),
+    * and the within-bucket cumsum windows partition by (band, bucket). No
+    * single-task window at any band size; serial state is one long per
+    * (band, bucket).
+    */
+  def assignPacksBanded(spark: SparkSession, df: DataFrame, orderCol: String,
+                        tokensCol: String, packSize: Long, bandCol: String,
+                        buckets: Int = 0): DataFrame = {
+    require(packSize > 0, s"packSize must be positive, got $packSize")
+    val nBuckets = bucketCountFor(df, buckets)
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return packColumns(df, lit(0L), packSize)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    val withBucket = df.withColumn("__bkt",
+      ((col(orderCol).cast("long") - lo) / width).cast("long"))
+
+    val totals = withBucket.groupBy(col(bandCol).cast("long").as("__band"), col("__bkt"))
+      .agg(sum(col(tokensCol).cast("long")).as("__tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (band, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(
+        sorted.map(_._3).scanLeft(0L)(_ + _).init).map { case (b, base) =>
+        (band, b, base)
+      }
+    }
+    val offsetDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__band", "__bkt", "__base")
+
+    val w = Window.partitionBy(col("__band"), col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withStart = withBucket
+      .withColumn("__band", col(bandCol).cast("long"))
+      .join(broadcast(offsetDf), Seq("__band", "__bkt"))
+      .withColumn("__start",
+        col("__base") + sum(col(tokensCol).cast("long")).over(w) -
+          col(tokensCol).cast("long"))
+    packColumns(withStart.drop("__bkt", "__base", "__band"),
+      col("__start"), packSize)
+      .drop("__start")
+  }
+
   /** Explicit `buckets` if positive, else one bucket per input partition —
     * the per-bucket window-sort slice then tracks partition size (task-sized
     * by definition) instead of corpus/constant.

@@ -1585,6 +1585,37 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Length-banded packing (Packing.assignPacksBanded): docs band by
+    // token-length (4 bands at 32-token width, top band open) and pack
+    // independently within each band into 256-token windows — similar
+    // lengths pack together. The oracle is the naive per-band window
+    // cumsum; the engine's two-level decomposition must hash-match it,
+    // band offsets included.
+    QueryDef(
+      "pk2_banded_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |    least(n_tokens // 32, 3) AS band FROM t),
+         |st AS (SELECT doc_id, n_tokens, band,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY band ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+         |  FROM b)
+         |SELECT doc_id, n_tokens, CAST(band AS BIGINT) AS band, start_offset,
+         |  start_offset // 256 AS pack_id,
+         |  start_offset % 256 AS offset_in_pack
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("band", least(expr("n_tokens div 32"), lit(3L)).cast("long"))
+      graft.operators.Packing.assignPacksBanded(s, docs, "doc_id", "n_tokens",
+          256L, "band")
+        .select(col("doc_id"), col("n_tokens"), col("band"),
+          col("start_offset"), col("pack_id"), col("offset_in_pack"))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality-WEIGHTED sampling: each doc survives with probability equal
     // to its quality score — high quality keeps near-certainty, junk keeps
     // a thin tail. Deterministic md5 bucket vs weight x 2^32, exactly

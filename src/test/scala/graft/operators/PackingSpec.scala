@@ -75,4 +75,28 @@ class PackingSpec extends SparkSpec {
       .select("id", "start_offset").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(auto == fixed)
   }
+
+  test("assignPacksBanded: per-band layouts are independent, bucket-count-invariant, contiguous") {
+    val docs = (1L to 300L).map(i => (i, 10L + (i % 5), (i % 3))).toDF("id", "toks", "band")
+    val out = Packing.assignPacksBanded(spark, docs, "id", "toks", 64L, "band")
+      .select($"id", $"toks", $"band", $"start_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // within each band: offsets are the exclusive running sum in id order
+    out.groupBy(_._3).foreach { case (band, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val expected = sorted.map(_._2).scanLeft(0L)(_ + _).init
+      assert(sorted.map(_._4).toSeq == expected.toSeq, s"band $band")
+    }
+    // the layout is a pure function of the data — bucket count only
+    // changes parallelism
+    val by7 = Packing.assignPacksBanded(spark, docs, "id", "toks", 64L, "band", buckets = 7)
+      .select($"id", $"start_offset").as[(Long, Long)].collect().toMap
+    assert(by7 == out.map(r => r._1 -> r._4).toMap)
+    // a doc's pack never depends on other bands: dropping band 2 entirely
+    // leaves bands 0/1 byte-identical
+    val dropped = Packing.assignPacksBanded(spark,
+      docs.filter($"band" =!= 2), "id", "toks", 64L, "band")
+      .select($"id", $"start_offset").as[(Long, Long)].collect().toMap
+    out.filter(_._3 != 2L).foreach { r => assert(dropped(r._1) == r._4) }
+  }
 }
