@@ -221,6 +221,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
   }
 
+  test("pk2_banded_pack: banded prefix sum never plans a single-task window") {
+    val p = plan("pk2_banded_pack")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sm11_weighted_k_per_stratum: per-stratum top-k gets WindowGroupLimit") {
+    val p = plan("sm11_weighted_k_per_stratum")
+    // partial WGL below the stratum exchange caps shuffled rows at k per
+    // (stratum, map partition)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("sm12_token_budget: one window exchange on the source key, no global sort below it") {
+    val p = plan("sm12_token_budget")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("d14_decontaminate: only hashed gram keys shuffle, never text") {
     val p = plan("d14_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
