@@ -127,6 +127,26 @@ object Packing {
       .drop("__start")
   }
 
+  /** Pack-homogeneity report: for a packed layout, the per-pack document-
+    * length spread (max - min tokens within each pack), summarized as ONE
+    * row of exact integers — the measurement behind [[assignPacksBanded]]'s
+    * claim (banding packs similar lengths together, so within-pack spread
+    * collapses vs the global layout; a PackingSpec test asserts the banded
+    * sum is strictly smaller on the fixtures). `packKeys` is the batch key
+    * — Seq("pack_id") for the global layout, Seq("band", "pack_id") for
+    * the banded one. One aggregation over the packed frame; all integers,
+    * so cross-layout comparisons are exact.
+    */
+  def packSpreadReport(packed: DataFrame, tokensCol: String,
+                       packKeys: Seq[String], layout: String): DataFrame =
+    packed.groupBy(packKeys.map(col): _*)
+      .agg((max(col(tokensCol).cast("long")) - min(col(tokensCol).cast("long")))
+        .as("__spread"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("__spread")).as("sum_spread"))
+      .select(lit(layout).as("layout"), col("n_packs"), col("sum_spread"),
+        round(col("sum_spread").cast("double") / col("n_packs"), 6)
+          .as("mean_spread"))
+
   /** Explicit `buckets` if positive, else one bucket per input partition —
     * the per-bucket window-sort slice then tracks partition size (task-sized
     * by definition) instead of corpus/constant.

@@ -1616,6 +1616,52 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Pack-homogeneity report (Packing.packSpreadReport): per-pack token-
+    // length spread (max - min) summed over packs, for the GLOBAL pk1
+    // layout vs the BANDED pk2 layout at the same 256-token pack size —
+    // exact integers, so the banding claim (similar lengths together) is
+    // measured, not asserted. The oracle replays both cumsum layouts.
+    QueryDef(
+      "pk3_pack_spread",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (SELECT n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS BIGINT) // 256 AS pack_id FROM t),
+         |gs AS (SELECT 'global' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS n_packs,
+         |    CAST(SUM(sp) AS BIGINT) AS sum_spread
+         |  FROM (SELECT pack_id, MAX(n_tokens) - MIN(n_tokens) AS sp
+         |        FROM g GROUP BY pack_id)),
+         |b2 AS (SELECT band, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY band ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) // 256 AS pack_id
+         |  FROM (SELECT doc_id, n_tokens, least(n_tokens // 32, 3) AS band FROM t)),
+         |bs AS (SELECT 'banded' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS n_packs,
+         |    CAST(SUM(sp) AS BIGINT) AS sum_spread
+         |  FROM (SELECT band, pack_id, MAX(n_tokens) - MIN(n_tokens) AS sp
+         |        FROM b2 GROUP BY band, pack_id))
+         |SELECT layout, n_packs, sum_spread,
+         |  round(CAST(sum_spread AS DOUBLE) / n_packs, 6) AS mean_spread
+         |FROM (SELECT * FROM gs UNION ALL SELECT * FROM bs)
+         |ORDER BY layout""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      val global = graft.operators.Packing.assignPacks(
+        s, docs, "doc_id", "n_tokens", 256L)
+      val banded = graft.operators.Packing.assignPacksBanded(
+        s, docs.withColumn("band",
+          least(expr("n_tokens div 32"), lit(3L)).cast("long")),
+        "doc_id", "n_tokens", 256L, "band")
+      graft.operators.Packing.packSpreadReport(global, "n_tokens",
+          Seq("pack_id"), "global")
+        .unionByName(graft.operators.Packing.packSpreadReport(banded,
+          "n_tokens", Seq("band", "pack_id"), "banded"))
+        .orderBy(col("layout"))
+    },
+
     // Quality-WEIGHTED sampling: each doc survives with probability equal
     // to its quality score — high quality keeps near-certainty, junk keeps
     // a thin tail. Deterministic md5 bucket vs weight x 2^32, exactly

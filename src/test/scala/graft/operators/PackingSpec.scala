@@ -99,4 +99,20 @@ class PackingSpec extends SparkSpec {
       .select($"id", $"start_offset").as[(Long, Long)].collect().toMap
     out.filter(_._3 != 2L).foreach { r => assert(dropped(r._1) == r._4) }
   }
+
+  test("packSpreadReport: banding measurably tightens within-pack length spread") {
+    val docs = graft.core.Tables.documents(spark, sf).select($"doc_id",
+      TextOps.wsTokenCount($"text").cast("long").as("n_tokens"))
+    val global = Packing.assignPacks(spark, docs, "doc_id", "n_tokens", 256L)
+    val banded = Packing.assignPacksBanded(spark,
+      docs.withColumn("band", least(expr("n_tokens div 32"), lit(3L)).cast("long")),
+      "doc_id", "n_tokens", 256L, "band")
+    val g = Packing.packSpreadReport(global, "n_tokens", Seq("pack_id"), "global").head
+    val b = Packing.packSpreadReport(banded, "n_tokens", Seq("band", "pack_id"), "banded").head
+    // the whole point of banding: strictly tighter packs at a comparable
+    // pack count (bands only add at most nBands boundary packs)
+    assert(b.getAs[Long]("sum_spread") < g.getAs[Long]("sum_spread"),
+      s"banded ${b} not tighter than global ${g}")
+    assert(math.abs(b.getAs[Long]("n_packs") - g.getAs[Long]("n_packs")) <= 4)
+  }
 }
