@@ -521,4 +521,48 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"docs=$docs\n got=$got\nwant=$want")
     }
   }
+
+  test("Aho-Corasick automaton equals naive position-scan counting on arbitrary inputs") {
+    val textGen: Gen[String] = Gen.listOfN(60,
+      Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    val patsGen: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)))
+      .map(_.distinct.take(6))
+    forAllSamples(Gen.zip(textGen, patsGen), 300) { case (text, pats) =>
+      val auto = new graft.plans.AhoCorasickCount.Automaton(pats)
+      val got = auto.counts(text).toSeq
+      val want = pats.map { p =>
+        (0 to text.length - p.length)
+          .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+      }
+      assert(got == want, s"text='$text' pats=$pats: $got != $want")
+    }
+  }
+
+  test("native CMS aggregate equals the driver-recomputed matrix; estimates never undercount") {
+    val itemsGen: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.choose(0, 30).map(i => s"w$i")).map(_.take(300))
+    val (w, d) = (16, 3)
+    forAllSamples(itemsGen, 8) { items =>
+      val sk = items.toDF("item")
+        .agg(graft.plans.GraftFunctions.countMin(col("item"), w, d))
+        .head.getSeq[scala.collection.Seq[Long]](0).map(_.toList)
+      // independent reference: fold md5-slice positions on the driver
+      val ref = Array.fill(d, w)(0L)
+      items.foreach { it =>
+        val h = graft.plans.Md5PrefixLong.prefix(it.getBytes("UTF-8"), 6)
+        (0 until d).foreach(j => ref(j)((((h >>> (16 * j)) & 0xffffL) % w).toInt) += 1L)
+      }
+      assert(sk.map(_.toList) == ref.map(_.toList).toSeq)
+      // one-sided guarantee for every distinct item
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (it, n) =>
+        val h = graft.plans.Md5PrefixLong.prefix(it.getBytes("UTF-8"), 6)
+        val est = (0 until d).map(j =>
+          sk(j)((((h >>> (16 * j)) & 0xffffL) % w).toInt)).min
+        assert(est >= n, s"$it: est $est < exact $n")
+      }
+    }
+  }
 }
