@@ -40,6 +40,7 @@ object AnnIndex {
   def membersTable(name: String): String = name + "_members"
   def centroidsTable(name: String): String = name + "_centroids"
   def codebookTable(name: String): String = name + "_codebook"
+  def deletesTable(name: String): String = name + "_deletes"
 
   /** Build and persist the index from `df`: seeded coarse cells (the
     * reproducible training-free posture of Similarity.ivfTopK — swap the
@@ -185,6 +186,66 @@ object AnnIndex {
       ingestVectorBatch(batch, batchId, idCol, vecCol, dim, m, name, nBuckets)
     }
 
+  /** TOMBSTONE-delete vectors from the index (FAISS `remove_ids` semantics
+    * over storage): ids land in a `<name>_deletes` side table, and every
+    * serve call anti-joins them out of the candidate set BEFORE ranking —
+    * so deleted vectors stop appearing immediately, and lower-ranked
+    * neighbors flow up exactly as a from-scratch index without those rows
+    * would rank them. The TRAINING STATE is untouched (a deleted seed
+    * vector still anchors its centroid/codeword — deletion removes storage
+    * entries, never re-trains; that is [[writeIvfPq]]'s rebuild).
+    *
+    * Deletes are logical until [[compactIvfPqDeletes]] rewrites the
+    * members table without them — the band-index compaction discipline.
+    * Idempotent: re-deleting an id is a no-op (the serve join is semi-set
+    * semantics; compaction dedupes the tombstone table).
+    *
+    * Scale: the tombstone table broadcasts into the serve plan (deletes
+    * are assumed small relative to the corpus between compactions — the
+    * standard tombstone contract; compact before they outgrow the
+    * broadcast budget).
+    */
+  def deleteIvfPq(spark: SparkSession, name: String, ids: DataFrame,
+                  idCol: String): Unit = {
+    val t = deletesTable(name)
+    val rows = ids.select(col(idCol).cast("long").as("nid")).distinct()
+    if (spark.catalog.tableExists(t))
+      rows.write.mode(SaveMode.Append).format("parquet").saveAsTable(t)
+    else rows.write.format("parquet").saveAsTable(t)
+  }
+
+  /** Physically rewrite the members table WITHOUT tombstoned rows (same
+    * bucket spec, so the exchange-free serve plan survives), publish via
+    * the rename-aside swap (every crash window leaves a queryable table
+    * under some name — the Bucketing.compactBucketedTable discipline),
+    * then drop the tombstone table. No-op when nothing is deleted.
+    * For the [[writeIvfPq]] single-layout table only — a partitioned
+    * ([[writeIvfPqPartitioned]]) index keeps tombstone-masked serve, or
+    * compacts per partition with Bucketing.compactBucketedPartition.
+    */
+  def compactIvfPqDeletes(spark: SparkSession, name: String,
+                          nBuckets: Int): Unit = {
+    val dt = deletesTable(name)
+    if (!spark.catalog.tableExists(dt)) return
+    val table = membersTable(name)
+    require(!spark.table(table).columns.contains("ingest_batch"),
+      "compactIvfPqDeletes rewrites the single-layout members table; " +
+        "partitioned indexes compact per partition")
+    val staging = table + "__compacting"
+    val retired = table + "__old"
+    graft.sources.Bucketing.ensureCleanTable(spark, staging)
+    // staging is durably written BEFORE any destructive step — the lazy
+    // read of the live table is safe because the swap happens after
+    graft.sources.Bucketing.writeBucketed(
+      spark.table(table)
+        .join(broadcast(spark.table(dt)), Seq("nid"), "left_anti"),
+      staging, "cid", nBuckets)
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $retired")
+    spark.sql(s"DROP TABLE $dt")
+  }
+
   /** Serve top-k for an external query batch against the persisted index —
     * the read side of the train-once/search-many contract. Each query ranks
     * the (broadcast, re-packed) centroids shuffle-free, computes its ADC
@@ -216,8 +277,16 @@ object AnnIndex {
         Similarity.pqLut(col("qv"), col("cb"), dim, m).as("lut"),
         explode(transform(slice(col("cellrank"), 1, nProbe), c => c("cid")))
           .as("cid"))
-    val scored = probes.join(
-        spark.table(membersTable(name)).filter(memberFilter), Seq("cid"))
+    // tombstone mask: a broadcast anti join keeps the index side's bucketed
+    // partitioning intact (the stream side of a broadcast join never
+    // shuffles), so deletion costs no exchange on the serve path
+    val live0 = spark.table(membersTable(name)).filter(memberFilter)
+    val live =
+      if (spark.catalog.tableExists(deletesTable(name)))
+        live0.join(broadcast(spark.table(deletesTable(name))),
+          Seq("nid"), "left_anti")
+      else live0
+    val scored = probes.join(live, Seq("cid"))
       .select(col("qid"), col("nid"),
         graft.plans.GraftFunctions.pqAdc(col("codes"), col("lut")).as("d2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
@@ -249,8 +318,9 @@ object AnnIndex {
         memberFilter),
       vectors, idCol, vecCol, topK)
 
-  /** Drop the index's three tables (and any orphaned warehouse dirs). */
+  /** Drop the index's tables (and any orphaned warehouse dirs). */
   def dropIvfPq(spark: SparkSession, name: String): Unit =
-    Seq(membersTable(name), centroidsTable(name), codebookTable(name))
+    Seq(membersTable(name), centroidsTable(name), codebookTable(name),
+        deletesTable(name))
       .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
 }

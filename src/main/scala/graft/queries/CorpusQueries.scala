@@ -3377,6 +3377,43 @@ object CorpusQueries {
     // no vectors (that is the 32x memory win), so the re-rank attaches them
     // from the embeddings table; oracle = the shared persisted CTEs + the
     // s17 shortlist/re-rank tail.
+    // TOMBSTONE DELETION from the persisted index (AnnIndex.deleteIvfPq +
+    // compactIvfPqDeletes) — the index-lifecycle step s19/ds3/s20 lack:
+    // build + append as s19, DELETE every indexed id ending in 2, serve
+    // (tombstone-masked), COMPACT (bucketed rewrite minus tombstones,
+    // rename-aside publish), and serve again — both serves must equal the
+    // oracle that drops the deleted ids from the candidate set BEFORE
+    // ranking (lower neighbors flow up). Training state stays frozen:
+    // deleted seeds still anchor their centroids/codewords, exactly the
+    // FAISS remove_ids contract the oracle encodes by filtering only
+    // `dist`. The query returns the POST-COMPACTION serve; the spec
+    // asserts pre == post.
+    QueryDef(
+      "s23_ivfpq_deleted",
+      s"""$persistedIvfPqCtes
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist WHERE nid % 10 <> 2) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)
+      val name = "graft_ann_s23_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      AnnIndex.writeIvfPq(base, "vec_id", "embedding", dim = 64,
+        nCells = 16, m = 8, k = 16, name, nBuckets = 8)
+      AnnIndex.appendIvfPq(batch, "vec_id", "embedding", dim = 64,
+        m = 8, name, nBuckets = 8)
+      AnnIndex.deleteIvfPq(s, name,
+        emb.filter(col("vec_id") >= 8 && col("vec_id") % 10 === 2), "vec_id")
+      AnnIndex.compactIvfPqDeletes(s, name, nBuckets = 8)
+      AnnIndex.searchIvfPq(emb.filter(col("vec_id") < 8), "vec_id",
+          "embedding", dim = 64, m = 8, nProbe = 4, topK = 5, name)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     QueryDef(
       "s20_ivfpq_persisted_refine",
       s"""$persistedIvfPqCtes,

@@ -215,4 +215,37 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     AnnIndex.dropIvfPq(spark, name)
   }
+
+  test("tombstone delete: masked serve == compacted serve == from-scratch without the rows") {
+    val name = "ann_idx_delete"
+    AnnIndex.dropIvfPq(spark, name)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") < 8)
+    AnnIndex.writeIvfPq(corpus, "vec_id", "embedding", dim = 64,
+      nCells = 16, m = 8, k = 16, name, nBuckets = 4)
+    val before = rows(AnnIndex.searchIvfPq(queries, "vec_id", "embedding",
+      dim = 64, m = 8, nProbe = 4, topK = 5, name))
+    // delete every id that appeared in the pre-delete top-5 — the harshest
+    // case: every answer must be replaced by a lower-ranked neighbor
+    val doomed = before.map(_._2).toSeq
+    AnnIndex.deleteIvfPq(spark, name,
+      doomed.toDF("vec_id"), "vec_id")
+    val masked = rows(AnnIndex.searchIvfPq(queries, "vec_id", "embedding",
+      dim = 64, m = 8, nProbe = 4, topK = 5, name))
+    assert(masked.nonEmpty && masked.map(_._2).intersect(doomed.toSet).isEmpty)
+    // idempotent re-delete changes nothing
+    AnnIndex.deleteIvfPq(spark, name, doomed.take(3).toDF("vec_id"), "vec_id")
+    assert(rows(AnnIndex.searchIvfPq(queries, "vec_id", "embedding",
+      dim = 64, m = 8, nProbe = 4, topK = 5, name)) == masked)
+    // compaction: physically removes rows, drops the tombstone table,
+    // serves byte-identically
+    AnnIndex.compactIvfPqDeletes(spark, name, nBuckets = 4)
+    assert(!spark.catalog.tableExists(AnnIndex.deletesTable(name)))
+    assert(spark.table(AnnIndex.membersTable(name))
+      .filter(col("nid").isin(doomed: _*)).isEmpty)
+    val compacted = rows(AnnIndex.searchIvfPq(queries, "vec_id", "embedding",
+      dim = 64, m = 8, nProbe = 4, topK = 5, name))
+    assert(compacted == masked)
+    AnnIndex.dropIvfPq(spark, name)
+  }
 }
