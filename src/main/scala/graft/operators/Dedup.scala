@@ -327,6 +327,39 @@ object Dedup {
     graft.sources.Bucketing.compactBucketedPartition(
       spark, table, "ingest_batch", batch, Seq("band", "bkey"), nBuckets)
 
+  /** TAKEDOWN: physically remove documents' bands from a persisted
+    * [[writeBandIndex]] table — the compliance operation of an ingestion
+    * pipeline (a removed document must stop acting as a dedup witness:
+    * future batches can no longer candidate-match against it, exactly as
+    * if it had never been indexed). The rewrite keeps the (band, bkey)
+    * bucket spec — the exchange-free corpus join survives — and publishes
+    * via the rename-aside swap (every crash window leaves a queryable
+    * table under some name; re-run to repair). The removal id set
+    * broadcasts (takedown batches are small by nature).
+    *
+    * Single-layout tables only; a partitioned
+    * ([[writeBandIndexPartitioned]]) index rewrites the affected batch
+    * partitions with [[overwriteBandIndexBatch]] from re-filtered source.
+    */
+  def removeFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, ids: DataFrame, idCol: String,
+                          nBuckets: Int): Unit = {
+    require(!spark.table(table).columns.contains("ingest_batch"),
+      "removeFromBandIndex rewrites the single-layout index; partitioned " +
+        "indexes rewrite affected batch partitions")
+    val staging = table + "__compacting"
+    val retired = table + "__old"
+    graft.sources.Bucketing.ensureCleanTable(spark, staging)
+    graft.sources.Bucketing.writeBucketedBy(
+      spark.table(table).join(
+        broadcast(ids.select(col(idCol).cast("long").as("__rid")).distinct()),
+        col("sid") === col("__rid"), "left_anti"),
+      staging, Seq("band", "bkey"), nBuckets)
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $retired")
+  }
+
   /** Incremental near-dup detection: verified pairs that TOUCH a new batch —
     * new-vs-new plus new-vs-corpus — WITHOUT re-banding the corpus. At
     * ingestion scale this is the whole game: the corpus index

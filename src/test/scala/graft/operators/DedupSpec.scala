@@ -441,4 +441,45 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L))                  // nothing survives
     assert(out(4L) == ((1L, md5("DDDD"))))
   }
+
+  test("removeFromBandIndex: a taken-down doc stops matching; equals a never-indexed rebuild") {
+    val table = "b_band_takedown"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val newBatch = docs.filter(col("doc_id") % 4 === 0)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    Dedup.writeBandIndex(corpus, "doc_id", "text", 3, table, 4)
+    def pairs() = Dedup.incrementalNearDupPairs(
+      newBatch, corpus, spark.table(table), "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    // take down every corpus doc that matched the batch — the worst case
+    val doomed = (before.map(_._1) ++ before.map(_._2))
+      .filter(_ % 4 != 0).toSeq
+    assert(doomed.nonEmpty)
+    Dedup.removeFromBandIndex(spark, table, doomed.toDF("doc_id"), "doc_id", 4)
+    val after = pairs()
+    assert(after.flatMap(p => Seq(p._1, p._2)).intersect(doomed.toSet).isEmpty,
+      s"taken-down ids still matching: $after")
+    // equivalence: the rewritten index behaves as one built without them
+    val rebuilt = Dedup.incrementalNearDupPairs(
+      newBatch, corpus, Dedup.bandIndex(
+        corpus.filter(!col("doc_id").isin(doomed: _*)), "doc_id", "text", 3),
+      "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(after == rebuilt)
+    // the bucket layout survived the rewrite: exchange-free corpus read
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cands = Dedup.crossBandCandidates(
+        Dedup.bandIndex(newBatch, "doc_id", "text", 3), spark.table(table))
+      cands.collect()
+      val plan = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
