@@ -216,9 +216,13 @@ object AnnIndex {
 
   /** Physically rewrite the members table WITHOUT tombstoned rows (same
     * bucket spec, so the exchange-free serve plan survives), publish via
-    * the rename-aside swap (every crash window leaves a queryable table
-    * under some name — the Bucketing.compactBucketedTable discipline),
-    * then drop the tombstone table. No-op when nothing is deleted.
+    * the rename-aside swap — every crash window leaves a queryable table
+    * under SOME name (live, or staging + __old): pre-rename crashes repair
+    * by re-running, a mid-swap crash recovers with one manual rename (the
+    * Bucketing.compactBucketedTable contract). The tombstone table is
+    * dropped LAST, so an interrupted compaction never un-deletes: the
+    * masked serve stays correct until the swap fully lands. No-op when
+    * nothing is deleted.
     * For the [[writeIvfPq]] single-layout table only — a partitioned
     * ([[writeIvfPqPartitioned]]) index keeps tombstone-masked serve, or
     * compacts per partition with Bucketing.compactBucketedPartition.

@@ -333,9 +333,11 @@ object Dedup {
     * future batches can no longer candidate-match against it, exactly as
     * if it had never been indexed). The rewrite keeps the (band, bkey)
     * bucket spec — the exchange-free corpus join survives — and publishes
-    * via the rename-aside swap (every crash window leaves a queryable
-    * table under some name; re-run to repair). The removal id set
-    * broadcasts (takedown batches are small by nature).
+    * via the rename-aside swap: every crash window leaves a queryable
+    * table under SOME name (live, or staging + __old); a crash before the
+    * first rename repairs by re-running, a crash mid-swap recovers with
+    * one manual rename (the compactBucketedTable contract). The removal
+    * id set broadcasts (takedown batches are small by nature).
     *
     * Single-layout tables only; a partitioned
     * ([[writeBandIndexPartitioned]]) index rewrites the affected batch
