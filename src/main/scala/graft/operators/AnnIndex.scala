@@ -250,6 +250,25 @@ object AnnIndex {
     spark.sql(s"DROP TABLE $dt")
   }
 
+  /** UPSERT changed vectors: physically remove the ids' old rows (tombstone
+    * + immediate compaction — an append under a live tombstone for the same
+    * id would be masked too, since tombstones are by id, not by version),
+    * then re-encode the new vectors against the FROZEN training state and
+    * append. The FAISS update idiom (`remove_ids` + `add`): old codes
+    * vanish, new codes are comparable to every existing member, training
+    * state untouched. Cost: one members rewrite + one batch encode — batch
+    * upserts amortize the rewrite; for high-churn workloads prefer the
+    * partitioned layout and replace whole ingest batches instead
+    * ([[ingestVectorBatch]]).
+    */
+  def upsertIvfPq(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, name: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    deleteIvfPq(spark, name, df.select(col(idCol)), idCol)
+    compactIvfPqDeletes(spark, name, nBuckets)
+    appendIvfPq(df, idCol, vecCol, dim, m, name, nBuckets)
+  }
+
   /** Serve top-k for an external query batch against the persisted index —
     * the read side of the train-once/search-many contract. Each query ranks
     * the (broadcast, re-packed) centroids shuffle-free, computes its ADC
