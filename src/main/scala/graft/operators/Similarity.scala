@@ -1178,20 +1178,27 @@ object Similarity {
     * set (the lshTopK discipline). At 100 TB this is the serve-time recall
     * upgrade: re-index nothing, probe harder.
     */
-  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, nTables: Int, nPlanes: Int, maxFlips: Int,
-                        k: Int, probeFilter: Column = lit(true)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** XOR masks for every bucket perturbation of at most `maxFlips` sign
+    * bits: 1 + C(nPlanes, 1) + C(nPlanes, 2) masks at the cap.
+    */
+  private def flipMasks(nPlanes: Int, maxFlips: Int): Seq[Long] = {
     require(maxFlips >= 0 && maxFlips <= 2,
       s"maxFlips must be 0, 1, or 2 (probe count grows as C(nPlanes, f)), got $maxFlips")
-    val v = prepared(df, idCol, vecCol)
-    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
-    val flips: Seq[Long] = 0L +:
+    0L +:
       ((if (maxFlips >= 1) (0 until nPlanes).map(m => 1L << m) else Seq.empty) ++
        (if (maxFlips >= 2)
           for { a <- 0 until nPlanes; b <- a + 1 until nPlanes }
             yield (1L << a) | (1L << b)
         else Seq.empty))
+  }
+
+  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nTables: Int, nPlanes: Int, maxFlips: Int,
+                        k: Int, probeFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(df, idCol, vecCol)
+    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
+    val flips = flipMasks(nPlanes, maxFlips)
     val probes = buckets.withColumnRenamed("sid", "qid").filter(probeFilter)
       .select(col("qid"), col("tbl"),
         explode(transform(typedLit(flips), f => col("bucket").bitwiseXOR(f)))
@@ -1221,6 +1228,39 @@ object Similarity {
                       nTables: Int, nPlanes: Int, threshold: Double): DataFrame = {
     val v = prepared(df, idCol, vecCol)
     lshCandidates(lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes), anti = true)
+      .join(v.select(col("sid"), col("qv").as("aqv"), col("nrm").as("anrm")),
+        col("ida") === col("sid")).drop("sid")
+      .join(v.select(col("sid"), col("qv").as("bqv"), col("nrm").as("bnrm")),
+        col("idb") === col("sid")).drop("sid")
+      .select(col("ida"), col("idb"),
+        pairCosine(col("aqv"), col("bqv"), col("anrm"), col("bnrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** MULTI-PROBE near-dup mining — [[lshNearDupPairs]]'s recall upgrade on
+    * the same index: a candidate pair needs its two bucket ids within
+    * `maxFlips` sign bits in SOME table (one side probes its XOR-perturbed
+    * buckets against the other's exact buckets — symmetric, since the flip
+    * set is closed under XOR direction). Precision stays 1 by construction
+    * (exact cosine verifies every pair); candidates grow by the perturbed
+    * collisions only, far fewer than coarsening the whole index to shorter
+    * buckets (the s22 measurement: ~10x fewer candidates than the 8 x 4
+    * recall preset at better recall). Candidate generation remains a
+    * per-(table, bucket) equi-join of skinny id rows.
+    */
+  def lshNearDupPairsMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                                dim: Int, nTables: Int, nPlanes: Int,
+                                maxFlips: Int, threshold: Double): DataFrame = {
+    val v = prepared(df, idCol, vecCol)
+    val buckets = lshBuckets(df, idCol, vecCol, dim, nTables, nPlanes)
+    val probes = buckets.select(col("sid"), col("tbl"),
+      explode(transform(typedLit(flipMasks(nPlanes, maxFlips)), f =>
+        col("bucket").bitwiseXOR(f))).as("bucket"))
+    probes.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("ida"), col("b.sid").as("idb")).distinct()
       .join(v.select(col("sid"), col("qv").as("aqv"), col("nrm").as("anrm")),
         col("ida") === col("sid")).drop("sid")
       .join(v.select(col("sid"), col("qv").as("bqv"), col("nrm").as("bnrm")),

@@ -1746,6 +1746,37 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // MULTI-PROBE near-dup mining (Similarity.lshNearDupPairsMultiProbe):
+    // the 8 x 10 precision index probed at <= 2 sign-bit flips. Measured
+    // recall vs the exact d8 baseline at the same 0.45 threshold: 0.867
+    // (sf0.01) / 0.943 (sf0.1) — above d11's 16 x 6 config (0.600/0.780)
+    // at ~1.6x its candidates — precision still 1 by construction. Oracle
+    // mirrors the XOR probe expansion into the pair join.
+    QueryDef(
+      "d20_neardup_multiprobe",
+      s"""WITH $quantVecCte,
+         |${lshIndexCtes(8, 10)},
+         |fl AS (SELECT CAST(0 AS BIGINT) AS flip
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << f)
+         |    FROM generate_series(0, 9) g(f)
+         |  UNION ALL SELECT xor(CAST(1 AS BIGINT) << a.a, CAST(1 AS BIGINT) << b.b)
+         |    FROM generate_series(0, 9) a(a), generate_series(0, 9) b(b)
+         |    WHERE a.a < b.b),
+         |probes AS (SELECT sid, tbl, xor(bucket, flip) AS bucket
+         |  FROM buckets, fl),
+         |cand AS (SELECT DISTINCT p.sid AS ida, b.sid AS idb
+         |  FROM probes p JOIN buckets b
+         |    ON p.tbl = b.tbl AND p.bucket = b.bucket AND p.sid < b.sid)
+         |SELECT * FROM (
+         |  SELECT c.ida, c.idb, ${sqlCosine("va.qv", "vb.qv")} AS cosine
+         |  FROM cand c JOIN v va ON c.ida = va.sid JOIN v vb ON c.idb = vb.sid)
+         |WHERE cosine >= 0.45 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Similarity.lshNearDupPairsMultiProbe(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, nTables = 8, nPlanes = 10, maxFlips = 2,
+        threshold = 0.45)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Embedding dedup CLUSTERS: the d11 LSH-bucketed pairs fed through the
     // same pointer-jumping connected components text dedup uses (d9) —
     // semantic near-dup groups labeled by min id, the embedding analog of

@@ -114,6 +114,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 > recall(plain), "2-flip probing should recover neighbors the plain probe misses")
   }
 
+  test("lshNearDupPairsMultiProbe: superset of the plain pairs, precision 1, beats the recall config") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb").as[(Long, Long)].collect().toSet
+    val tau = 0.45
+    val exact = pairSet(Similarity.nearDupPairs(emb, "vec_id", "embedding", tau))
+    val plain = pairSet(Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, nTables = 8, nPlanes = 10, threshold = tau))
+    val mp = pairSet(Similarity.lshNearDupPairsMultiProbe(emb, "vec_id",
+      "embedding", dim = 64, nTables = 8, nPlanes = 10, maxFlips = 2,
+      threshold = tau))
+    // probing is additive: multiprobe candidates contain the 0-flip ones
+    assert(plain.subsetOf(mp))
+    // precision 1: every emitted pair passes the exact threshold
+    assert(mp.subsetOf(exact), s"false positives: ${mp diff exact}")
+    // recall beats the d11-style plain mining on the same fixture
+    val d11 = pairSet(Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, nTables = 16, nPlanes = 6, threshold = tau))
+    assert(mp.size > d11.size, s"mp ${mp.size} <= d11 ${d11.size} of ${exact.size}")
+  }
+
   test("ivfRangeSearch: exactly the probed-cell pairs at or above the threshold") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val tau = 0.25
