@@ -252,6 +252,46 @@ object Sampling {
       .filter(col("cum_tokens") - col(tokenCol).cast("long") < budgetTokens)
   }
 
+  /** EXACT target-proportion mixing: keep the LARGEST corpus whose stratum
+    * shares match integer `weights` (shares w_s / sum(w)) — the "make the
+    * mix 50% web / 20% code / 30% books" step stated as proportions, where
+    * [[temperatureSample]] states it as a flattening exponent. The binding
+    * stratum (smallest n_s·W/w_s) is kept near-fully; every other stratum
+    * downsamples to match. All arithmetic is integer (T* = min_s
+    * floor(n_s·W/w_s), k_s = floor(w_s·T* / W)), so the kept counts — and,
+    * through the md5 rank, the exact membership — are engine-reproducible.
+    * Strata outside `weights` are dropped (weight 0); a weighted stratum
+    * with no rows zeroes the whole mix (fail-loud by construction: you
+    * asked for a share of something that does not exist).
+    *
+    * Scale shape: one count aggregate (stratum-cardinality-sized collect),
+    * then a per-stratum md5 rank window against a broadcast quota frame —
+    * the sm8 discipline with per-stratum k.
+    */
+  def mixToWeights(df: DataFrame, idCol: String, stratumCol: String,
+                   weights: Map[String, Long], salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    val wTotal = weights.values.sum
+    val counts = df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
+      .groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tStar = weights.map { case (s, w) =>
+      counts.getOrElse(s, 0L) * wTotal / w
+    }.min
+    val quotas = weights.toSeq.map { case (s, w) => (s, w * tStar / wTotal) }
+    val quotaDf = df.sparkSession.createDataFrame(quotas)
+      .toDF(stratumCol, "__quota")
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
+      .withColumn("__rn", row_number().over(win).cast("long"))
+      .join(broadcast(quotaDf), Seq(stratumCol))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
     * all of rare ones). Strata absent from `rates` get `defaultRate`.
     */

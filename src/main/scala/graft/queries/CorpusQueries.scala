@@ -2710,6 +2710,31 @@ object CorpusQueries {
         .orderBy(col("stratum"), col("rank"))
     },
 
+    // Exact target-proportion mixing (Sampling.mixToWeights): keep the
+    // largest corpus at lang shares 5:2:1:1:1 (en:de:es:fr:zh) — all
+    // integer arithmetic (T* = min floor(n*W/w), k = floor(w*T*/W)) and
+    // md5-rank membership, so the kept set hash-checks bit-for-bit.
+    QueryDef(
+      "sm13_target_mix",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |w(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('es', 1), ('fr', 1),
+         |  ('zh', 1)),
+         |t AS (SELECT MIN(n * 10 // wt) AS tstar FROM c JOIN w USING (lang)),
+         |k AS (SELECT lang, wt * tstar // 10 AS quota FROM w CROSS JOIN t),
+         |r AS (SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash("'mx:' || doc_id", 4)}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, doc_id FROM r JOIN k USING (lang) WHERE rn <= quota
+         |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.mixToWeights(Tables.documents(s, d),
+          "doc_id", "lang",
+          Map("en" -> 5L, "de" -> 2L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L),
+          salt = "mx")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Token-budget selection per source (Sampling.tokenBudgetPerKey):
     // keep each source's best-quality docs until 800 tokens, the crossing
     // doc kept — the "best N tokens per domain" mixture-curation step.

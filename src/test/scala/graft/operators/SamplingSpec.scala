@@ -208,4 +208,29 @@ class SamplingSpec extends SparkSpec {
     //    doc2 starts at 110 >= 100 -> dropped
     assert(out == Map(("a", 3L) -> 50L, ("a", 1L) -> 110L, ("b", 4L) -> 500L))
   }
+
+  test("mixToWeights: exact shares, binding stratum near-full, deterministic, growth-stable") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val w = Map("en" -> 5L, "de" -> 2L, "zh" -> 1L)
+    val out = Sampling.mixToWeights(docs, "doc_id", "lang", w, "mx")
+    val kept = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only weighted strata appear, at the documented floor quotas:
+    // T* = min_s floor(n_s*W/w_s), k_s = floor(w_s*T*/W)
+    assert(kept.keySet == w.keySet)
+    val full = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wTotal = w.values.sum
+    val tStar = w.map { case (s, wt) => full(s) * wTotal / wt }.min
+    w.foreach { case (s, wt) =>
+      assert(kept(s) == wt * tStar / wTotal, s"$s: ${kept(s)}")
+    }
+    kept.foreach { case (l, n) => assert(n <= full(l)) }
+    assert(kept.exists { case (l, n) => full(l) - n < 10 },
+      s"no stratum near-fully used: $kept vs $full")
+    // deterministic, and a re-run over MORE data keeps prior members
+    val again = Sampling.mixToWeights(docs, "doc_id", "lang", w, "mx")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
 }
