@@ -1616,6 +1616,51 @@ object EtlQueries {
         .orderBy(col("event_type"))
     },
 
+    // A-extension: EXACT skewness / excess kurtosis per key from decimal
+    // power sums (the a10 exact-moments discipline extended to 3rd/4th
+    // order): every sum is order-independent decimal arithmetic, the
+    // central-moment algebra is one identical IEEE expression tree on both
+    // engines, so the shape statistics hash-match without any rounding.
+    QueryDef(
+      "a13_moments_exact",
+      """SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / nullif((s2 / n - (s1 / n) * (s1 / n))
+        |        * sqrt(s2 / n - (s1 / n) * (s1 / n)), 0.0) AS skewness,
+        |  (s4 / n - 4 * (s1 / n) * (s3 / n)
+        |     + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / nullif((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)), 0.0)
+        |    - 3 AS kurtosis_excess
+        |FROM (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(25,4))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(value * value * value AS DECIMAL(25,4))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(value * value * value * value AS DECIMAL(25,4))) AS DOUBLE) AS s4
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = col("s1") / col("n")
+      val m2c = col("s2") / col("n") - m * m
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          ExactAgg.sumExact(col("value")).as("s1"),
+          ExactAgg.sumExact(col("value") * col("value")).as("s2"),
+          ExactAgg.sumExact(col("value") * col("value") * col("value")).as("s3"),
+          ExactAgg.sumExact(col("value") * col("value") * col("value") * col("value")).as("s4"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          ((col("s3") / col("n") - lit(3) * m * (col("s2") / col("n"))
+            + lit(2) * m * m * m)
+            / nullif(m2c * sqrt(m2c), lit(0.0))).as("skewness"),
+          ((col("s4") / col("n") - lit(4) * m * (col("s3") / col("n"))
+            + lit(6) * m * m * (col("s2") / col("n"))
+            - lit(3) * m * m * m * m)
+            / nullif(m2c * m2c, lit(0.0)) - lit(3)).as("kurtosis_excess"))
+        .orderBy(col("event_type"))
+    },
+
     // W1: tumbling-window aggregate (batch twin of the streaming path;
     // window(ts, '1 hour').start == date_trunc('hour', ts)).
     QueryDef(
