@@ -80,6 +80,23 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(vs == Seq(11L, 22L))
   }
 
+  test("kmv, count-min, and aho-corasick work from plain SQL too") {
+    spark.sql("SELECT * FROM VALUES ('a'), ('a'), ('b') t(x)")
+      .createOrReplaceTempView("letters2")
+    // bottom-k of the 48-bit hashes: 2 distinct values -> 2 entries
+    val kmv = spark.sql(
+      "SELECT graft_kmv(graft_md5_prefix_long(x, 6), 8) FROM letters2")
+      .collect()(0).getSeq[Long](0)
+    assert(kmv.length == 2 && kmv == kmv.sorted)
+    val cm = spark.sql("SELECT graft_count_min(x, 8, 2) FROM letters2")
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+    assert(cm.length == 2 && cm.forall(_.sum == 3L))
+    val ac = spark.sql(
+      "SELECT graft_aho_corasick('abcabc', array('abc', 'ca', 'zz'))")
+      .collect()(0).getSeq[Long](0)
+    assert(ac == Seq(2L, 1L, 0L))
+  }
+
   test("the nanos-pushdown rule is active without Tables.events installing it") {
     import spark.implicits._
     // a parquet-backed source: a local relation of literals would be fully
