@@ -411,6 +411,50 @@ object Sampling {
     * per-bucket window rank plus the broadcast base. Every heavy step is
     * parallel; serial state is one long per bucket.
     */
+  /** CURRICULUM training order: a contiguous 0-based `pos` that walks the
+    * stages in ascending `stageCol` order, md5-shuffled WITHIN each stage —
+    * the curriculum-learning layout (easy/clean stages stream first, each
+    * stage internally shuffled for i.i.d.-ness), with every determinism
+    * property of [[shuffleOrder]] (md5-keyed, salt = epoch, re-derivable
+    * from the salt alone). `stageCol` must be a non-null integer the caller
+    * derives (quality band, difficulty bucket, source tier).
+    *
+    * Scale shape: the same two-level prefix discipline as [[shuffleOrder]],
+    * with (stage, range-bucket) composite buckets — per-bucket totals, a
+    * driver-side exclusive scan in (stage, bucket) order (stages x buckets
+    * longs), and a within-bucket window. No single-task global sort at any
+    * stage size.
+    */
+  def curriculumOrder(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                      idCol: String, stageCol: String, salt: String,
+                      buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val width = Buckets / nBuckets + 1
+    val withB = graft.core.Storage.cut(
+      df.withColumn("__sk", bucket(col(idCol), salt))
+        .withColumn("__stg", col(stageCol).cast("long"))
+        .withColumn("__bkt", (col("__sk") / width).cast("long")),
+      eager = true)
+    val counts = withB.groupBy(col("__stg"), col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"$idCol/$stageCol contain NULLs — a curriculum order over them is undefined")
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }.sortBy(t => (t._1, t._2))
+    if (counts.isEmpty) return df.withColumn("pos", lit(0L)).limit(0)
+    val bases = counts.scanLeft(((Long.MinValue, Long.MinValue), 0L)) {
+      case ((_, acc), (s, b, n)) => ((s, b), acc + n)
+    }.sliding(2).collect { case Array((_, prev), ((s, b), _)) => (s, b, prev) }.toSeq
+    val baseDf = spark.createDataFrame(bases).toDF("__stg", "__bkt", "__base")
+    val w = Window.partitionBy(col("__stg"), col("__bkt"))
+      .orderBy(col("__sk"), col(idCol))
+    withB.join(broadcast(baseDf), Seq("__stg", "__bkt"))
+      .withColumn("pos", col("__base") + row_number().over(w) - 1)
+      .drop("__sk", "__stg", "__bkt", "__base")
+  }
+
   def shuffleOrder(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                    idCol: String, salt: String, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

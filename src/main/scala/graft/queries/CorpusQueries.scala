@@ -2710,6 +2710,36 @@ object CorpusQueries {
         .orderBy(col("stratum"), col("rank"))
     },
 
+    // Curriculum training order (Sampling.curriculumOrder): clean docs
+    // first — stage 0 = quality >= 0.7, 1 = >= 0.6, else 2 — md5-shuffled
+    // within each stage, pos contiguous across stages (the curriculum-
+    // learning data layout). The quality staging reuses the t2 expression
+    // verbatim; the oracle is the naive global ROW_NUMBER the two-level
+    // rank decomposes.
+    QueryDef(
+      "sm14_curriculum_order",
+      s"""WITH q AS (SELECT doc_id,
+         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS score
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN score >= 0.7 THEN 0 WHEN score >= 0.6 THEN 1 ELSE 2 END AS stage
+         |  FROM q)
+         |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+         |  ROW_NUMBER() OVER (ORDER BY stage, ${sqlHash("'cur:' || doc_id", 8)}, doc_id) - 1 AS pos
+         |FROM s ORDER BY pos""".stripMargin) { (s, d) =>
+      val score = TextOps.qualityScore(col("text"))
+      val staged = Tables.documents(s, d).select(col("doc_id"),
+        when(score >= 0.7, 0L).when(score >= 0.6, 1L).otherwise(2L).as("stage"))
+      graft.operators.Sampling.curriculumOrder(s, staged, "doc_id", "stage", "cur")
+        .select(col("doc_id"), col("stage"), col("pos"))
+        .orderBy(col("pos"))
+    },
+
     // Exact target-proportion mixing (Sampling.mixToWeights): keep the
     // largest corpus at lang shares 5:2:1:1:1 (en:de:es:fr:zh) — all
     // integer arithmetic (T* = min floor(n*W/w), k = floor(w*T*/W)) and

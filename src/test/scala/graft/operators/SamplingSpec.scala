@@ -233,4 +233,21 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("curriculumOrder: stages stream in order, contiguous pos, bucket-invariant, shuffled within") {
+    val docs = (1L to 300L).map(i => (i, i % 3)).toDF("doc_id", "stage")
+    val out = Sampling.curriculumOrder(spark, docs, "doc_id", "stage", "ep0")
+      .select($"doc_id", $"stage", $"pos").as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).sorted.toSeq == (0L until 300L).toSeq) // contiguous
+    // stage boundaries: all of stage s precedes all of stage s+1
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos.toSeq == byPos.sorted.toSeq, "stages interleaved")
+    // shuffled within a stage: not id order
+    val stage0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(stage0.toSeq != stage0.sorted.toSeq, "stage not shuffled")
+    // bucket count only changes parallelism, never the layout
+    val by7 = Sampling.curriculumOrder(spark, docs, "doc_id", "stage", "ep0", buckets = 7)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(by7 == out.map(r => r._1 -> r._3).toMap)
+  }
 }
