@@ -1661,6 +1661,44 @@ object EtlQueries {
         .orderBy(col("event_type"))
     },
 
+    // W-extension: time-DECAYED aggregate per key — recency-weighted
+    // engagement scoring with a one-day half-life, weight = 2^-(age_days)
+    // anchored at the data's max ts. The decay base is 2 BY DESIGN: the
+    // weight is an exact integer shift (value_fp << (30 - age)), summed in
+    // decimal — no libm exp() on either engine (the LnFp rationale applied
+    // to decay), so the scores hash-match bit-for-bit. Ages cap at 30 days
+    // (weight 1 floor); one scan + one broadcast max.
+    QueryDef(
+      "w10_decayed_sum",
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+        |e AS (SELECT event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS vfp,
+        |    least((epoch_us(mts) - epoch_us(ts)) // 86400000000, 30) AS age
+        |  FROM events CROSS JOIN mx)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(vfp * (CAST(1 AS BIGINT) << (30 - age)) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1073741824.0 / 1000.0, 6) AS decayed_sum,
+        |  round(CAST(SUM(CAST(CAST(1 AS BIGINT) << (30 - age) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1073741824.0, 6) AS decayed_count
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max(col("ts")).as("mts"))
+      val e = ev.crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          round(col("value") * 1000).cast("long").as("vfp"),
+          least(expr("(unix_micros(mts) - unix_micros(ts)) div 86400000000"),
+            lit(30L)).as("age"))
+        .withColumn("w", expr("shiftleft(1L, cast(30 - age AS int))"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("vfp") * col("w")).cast("decimal(38,0)")).as("ds"),
+          sum(col("w").cast("decimal(38,0)")).as("dc"))
+        .select(col("event_type"), col("n"),
+          round(col("ds").cast("double") / 1073741824.0 / 1000.0, 6).as("decayed_sum"),
+          round(col("dc").cast("double") / 1073741824.0, 6).as("decayed_count"))
+        .orderBy(col("event_type"))
+    },
+
     // W1: tumbling-window aggregate (batch twin of the streaming path;
     // window(ts, '1 hour').start == date_trunc('hour', ts)).
     QueryDef(
