@@ -53,6 +53,12 @@ object AnnIndex {
     * frames (NO shuffle), and the only exchange is the bucketed write
     * itself, which is the point: that shuffle is paid once, then every
     * serve-time probe join is exchange-free on the index side.
+    *
+    * `nCells <= 0` auto-sizes the coarse quantizer from a corpus count
+    * (Similarity.autoCells ~ 4*sqrt(N)) — the default for production call
+    * sites, because a FIXED cell count is the s18 scale-killer: at 100x
+    * the corpus a query would scan 100x the candidates. The explicit form
+    * exists for oracle fixtures that must re-derive the index relationally.
     */
   def writeIvfPq(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                  nCells: Int, m: Int, k: Int, name: String,
@@ -63,10 +69,11 @@ object AnnIndex {
     Seq(membersTable(name), centroidsTable(name), codebookTable(name))
       .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
     val v = Similarity.prepared(df, idCol, vecCol)
+    val cells = if (nCells > 0) nCells else Similarity.autoCells(v.count())
     // persist the training state FIRST; members are then encoded against
     // the persisted values, so write and append share one encode path and
     // the on-disk tables are authoritative (not a driver-side copy)
-    Similarity.seedCentroids(v, nCells)
+    Similarity.seedCentroids(v, cells)
       .select(explode(col("cells")).as("c"))
       .select(col("c")("cid").as("cid"), col("c")("cv").as("cv"),
         col("c")("cnrm").as("cnrm"))
@@ -123,7 +130,8 @@ object AnnIndex {
     * a retry REPLACES its own partition — while every partition-filtered
     * read still satisfies the probe join's HashPartitioning with no
     * Exchange (the table-level bucket spec survives partition pruning).
-    * Centroids and codebook are identical to [[writeIvfPq]]'s.
+    * Centroids and codebook are identical to [[writeIvfPq]]'s, including
+    * the `nCells <= 0` auto-sizing default (Similarity.autoCells).
     */
   def writeIvfPqPartitioned(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, nCells: Int, m: Int, k: Int,
@@ -135,7 +143,8 @@ object AnnIndex {
     Seq(membersTable(name), centroidsTable(name), codebookTable(name))
       .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
     val v = Similarity.prepared(df, idCol, vecCol)
-    Similarity.seedCentroids(v, nCells)
+    val cells = if (nCells > 0) nCells else Similarity.autoCells(v.count())
+    Similarity.seedCentroids(v, cells)
       .select(explode(col("cells")).as("c"))
       .select(col("c")("cid").as("cid"), col("c")("cv").as("cv"),
         col("c")("cnrm").as("cnrm"))
@@ -235,6 +244,7 @@ object AnnIndex {
     require(!spark.table(table).columns.contains("ingest_batch"),
       "compactIvfPqDeletes rewrites the single-layout members table; " +
         "partitioned indexes compact per partition")
+    graft.sources.Bucketing.requireBucketCount(spark, table, nBuckets)
     val staging = table + "__compacting"
     val retired = table + "__old"
     graft.sources.Bucketing.ensureCleanTable(spark, staging)

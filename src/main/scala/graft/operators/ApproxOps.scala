@@ -177,6 +177,13 @@ object ApproxOps {
     import org.apache.spark.sql.expressions.Window
     require(m >= 2, s"m must be >= 2, got $m")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs $qs")
+    // output columns are named q<round(q*100)>: two quantiles within 0.005
+    // (e.g. 0.50 and 0.504) would collide into one duplicated column name
+    // and an invalid frame — fail loudly instead
+    val labels = qs.map(q => s"q${math.round(q * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide after rounding to whole percents: $qs -> $labels — " +
+        "space requested quantiles at least 0.005 apart")
     val ranked = df
       .select(col(keyCol), col(valCol),
         Dedup.hash48(concat(lit(salt + ":"), col(idCol).cast("string"))).as("r"))

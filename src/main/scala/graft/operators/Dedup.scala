@@ -349,6 +349,7 @@ object Dedup {
     require(!spark.table(table).columns.contains("ingest_batch"),
       "removeFromBandIndex rewrites the single-layout index; partitioned " +
         "indexes rewrite affected batch partitions")
+    graft.sources.Bucketing.requireBucketCount(spark, table, nBuckets)
     val staging = table + "__compacting"
     val retired = table + "__old"
     graft.sources.Bucketing.ensureCleanTable(spark, staging)
@@ -498,10 +499,18 @@ object Dedup {
     * probe-position set, bounded by m (<= 65536 ints), never by data.
     * Determinism: probes are bit-slices of the md5-derived gram hash, so an
     * SQL oracle rebuilds the bitmap and candidate set bit-for-bit.
+    *
+    * The exact-verify join broadcasts the benchmark's 8-byte gram HASHES
+    * (~25x smaller than the grams `decontaminate` would ship) only while
+    * their count stays under `verifyBroadcastMaxGrams` (default 2^23 ~ 8M
+    * hashes ~ 64 MB payload); past that the verify falls back to a shuffled
+    * join — the candidate side is contamination-sized by then, so the
+    * shuffle carries survivors, not the corpus.
     */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int,
-                         log2m: Int = 16): DataFrame = {
+                         log2m: Int = 16,
+                         verifyBroadcastMaxGrams: Long = 1L << 23): DataFrame = {
     // three disjoint 16-bit slices of the 48-bit hash; log2m <= 16 keeps
     // each probe a sub-slice (independence across probes), >= 6 one word
     require(log2m >= 6 && log2m <= 16, s"log2m must be in [6,16], got $log2m")
@@ -533,7 +542,13 @@ object Dedup {
       .select(col("sid"), hash48(col("gram")).as("g"))
       .filter(probeShifts.map(s => testBit(probe(col("g"), s))).reduce(_ && _))
       .distinct()
-    cand.join(broadcast(bg.withColumn("hit", lit(1L))), Seq("g"), "left")
+    // verify side: broadcast the 8-byte hash set while it fits the budget;
+    // a benchmark stack past the threshold shuffles instead (both sides are
+    // already candidate/benchmark-sized — the corpus never reaches here)
+    val hits = bg.withColumn("hit", lit(1L))
+    val verify =
+      if (bg.count() <= verifyBroadcastMaxGrams) broadcast(hits) else hits
+    cand.join(verify, Seq("g"), "left")
       .groupBy(col("sid"))
       .agg(count(lit(1)).as("n_bloom"),
         sum(coalesce(col("hit"), lit(0L))).as("n_exact"))

@@ -55,7 +55,11 @@ object Packing {
     // `buckets` rows — dimension-sized by construction)
     val totals = withBucket.groupBy(col("__bkt"))
       .agg(sum(col(tokensCol).cast("long")).as("__tot"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"$orderCol/$tokensCol contain NULLs — a token-budget packing over them is undefined")
+        r.getLong(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val offsets = totals.scanLeft((Long.MinValue, 0L)) {
       case ((_, acc), (b, tot)) => (b, acc + tot)
     }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
@@ -103,7 +107,11 @@ object Packing {
 
     val totals = withBucket.groupBy(col(bandCol).cast("long").as("__band"), col("__bkt"))
       .agg(sum(col(tokensCol).cast("long")).as("__tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          s"$bandCol/$orderCol/$tokensCol contain NULLs — a banded packing over them is undefined")
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
     val offsets = totals.groupBy(_._1).toSeq.flatMap { case (band, rows) =>
       val sorted = rows.sortBy(_._2)
       sorted.map(_._2).zip(

@@ -167,9 +167,10 @@ object Sampling {
         graft.plans.LnFpFunctions.gumbelMicro(bucket(col("did"), salt)))
       .orderBy(col("key_fp").desc, col("did").asc)
       .limit(k)
-      .select(col("did"), col("logw_fp"),
-        round(col("logw_fp").cast("double") / 1e6, 6).as("logw"),
-        col("key_fp"))
+      // output is 100% integer: logw in nats is logw_fp / 1e6, derivable by
+      // the caller — a float display column here would put one
+      // round(double/1e6) back inside the engine-exact hashed contract
+      .select(col("did"), col("logw_fp"), col("key_fp"))
   }
 
   /** Weighted EXACT-k sample per stratum, without replacement

@@ -537,14 +537,21 @@ object TextOps {
                     textCol: String, mustAll: Seq[String],
                     mustNone: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(mustAll.nonEmpty, "at least one required term (else every doc matches)")
-    val watched = (mustAll ++ mustNone).distinct
+    // the conjunction counts DISTINCT (doc, token) hits, so duplicate
+    // required terms (or a term in both lists) would make
+    // n_must == |mustAll| unsatisfiable and silently return zero docs
+    val must = mustAll.distinct
+    val block = mustNone.distinct
+    require(must.intersect(block).isEmpty,
+      s"mustAll and mustNone overlap: ${must.intersect(block).mkString(", ")}")
+    val watched = must ++ block
     val post = df
       .select(col(idCol).as("did"), explode(words(col(textCol))).as("tok"))
       .filter(col("tok").isin(watched: _*)).distinct()
     post.groupBy(col("did"))
-      .agg(count(when(col("tok").isin(mustAll: _*), 1)).as("n_must"),
-        count(when(col("tok").isin(mustNone: _*), 1)).as("n_block"))
-      .filter(col("n_must") === mustAll.size && col("n_block") === 0)
+      .agg(count(when(col("tok").isin(must: _*), 1)).as("n_must"),
+        count(when(col("tok").isin(block: _*), 1)).as("n_block"))
+      .filter(col("n_must") === must.size && col("n_block") === 0)
       .select(col("did"))
   }
 

@@ -2628,6 +2628,10 @@ object CorpusQueries {
     // The lr relation stacks both smoothed ratios per bucket (side t/r);
     // the Gumbel chains two lnFp passes (inner -ln u carried in Q40 nats as
     // 33*ln2Q40 - lnQ40(2h+1), outer over the exact rational v/2^40).
+    // The hashed output is 100% INTEGER (doc_id, logw_fp, key_fp): round 11
+    // showed the last float display column round(logw_fp/1e6, 6) could
+    // still flip across DuckDB builds, so it is dropped from the contract
+    // (logw in nats is derivable as logw_fp / 1e6 by any consumer).
     QueryDef(
       "sm9_importance_resample",
       s"""WITH RECURSIVE $pow2Cte,
@@ -2666,8 +2670,7 @@ object CorpusQueries {
          |gum AS (SELECT key AS doc_id, -$sqlLnMicroFromL AS gumbel_fp FROM g2L),
          |keyed AS (SELECT doc_id, logw_fp, logw_fp + gumbel_fp AS key_fp
          |  FROM allv JOIN gum USING (doc_id))
-         |SELECT doc_id, logw_fp,
-         |  round(CAST(logw_fp AS DOUBLE) / 1e6, 6) AS logw, key_fp
+         |SELECT doc_id, logw_fp, key_fp
          |FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 200""".stripMargin) { (s, d) =>
       graft.operators.Sampling.importanceResample(
           Tables.documents(s, d), "doc_id", "text",

@@ -1676,9 +1676,10 @@ object EtlQueries {
         |    least((epoch_us(mts) - epoch_us(ts)) // 86400000000, 30) AS age
         |  FROM events CROSS JOIN mx)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(CAST(SUM(CAST(vfp * (CAST(1 AS BIGINT) << (30 - age)) AS DECIMAL(38,0)))
+        |  round(CAST(SUM(CAST(vfp AS DECIMAL(18,0))
+        |        * CAST(CAST(1 AS BIGINT) << (30 - age) AS DECIMAL(11,0)))
         |      AS DOUBLE) / 1073741824.0 / 1000.0, 6) AS decayed_sum,
-        |  round(CAST(SUM(CAST(CAST(1 AS BIGINT) << (30 - age) AS DECIMAL(38,0)))
+        |  round(CAST(SUM(CAST(CAST(1 AS BIGINT) << (30 - age) AS DECIMAL(11,0)))
         |      AS DOUBLE) / 1073741824.0, 6) AS decayed_count
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
@@ -1689,10 +1690,13 @@ object EtlQueries {
           least(expr("(unix_micros(mts) - unix_micros(ts)) div 86400000000"),
             lit(30L)).as("age"))
         .withColumn("w", expr("shiftleft(1L, cast(30 - age AS int))"))
+      // multiply IN DECIMAL: vfp * w in LongType would wrap silently for
+      // |value| > ~8.6e6 at age 0 (w = 2^30) under non-ANSI Spark while
+      // DuckDB errors — the cast must happen before the product
       e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum((col("vfp") * col("w")).cast("decimal(38,0)")).as("ds"),
-          sum(col("w").cast("decimal(38,0)")).as("dc"))
+          sum(col("vfp").cast("decimal(18,0)") * col("w").cast("decimal(11,0)")).as("ds"),
+          sum(col("w").cast("decimal(11,0)")).as("dc"))
         .select(col("event_type"), col("n"),
           round(col("ds").cast("double") / 1073741824.0 / 1000.0, 6).as("decayed_sum"),
           round(col("dc").cast("double") / 1073741824.0, 6).as("decayed_count"))

@@ -270,6 +270,32 @@ object Bucketing {
     }
   }
 
+  /** The live table's bucket count from the catalog, or None for an
+    * unbucketed table. Maintenance rewrites (compaction, takedown) MUST
+    * preserve the bucket spec or every downstream exchange-free join plan
+    * silently re-shuffles — read the truth from here instead of trusting a
+    * caller-supplied count.
+    */
+  def liveBucketCount(spark: SparkSession, table: String): Option[Int] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(ident)
+      .bucketSpec.map(_.numBuckets)
+  }
+
+  /** Fail loudly when a caller-supplied bucket count disagrees with the
+    * catalog — a mismatched maintenance rewrite would otherwise republish
+    * the table under a DIFFERENT bucket spec and break the exchange-free
+    * serve plans the rewrite exists to preserve.
+    */
+  def requireBucketCount(spark: SparkSession, table: String,
+                         nBuckets: Int): Unit = {
+    val live = liveBucketCount(spark, table)
+    require(live.contains(nBuckets),
+      s"bucket-count mismatch on $table: caller passed $nBuckets but the " +
+        s"catalog says ${live.map(_.toString).getOrElse("unbucketed")} — " +
+        "a rewrite with the wrong count breaks exchange-free serve joins")
+  }
+
   /** Join two tables bucketed on their join keys — planned with NO Exchange
     * on either side when bucket counts match.
     */

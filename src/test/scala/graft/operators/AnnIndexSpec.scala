@@ -35,6 +35,33 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.dropIvfPq(spark, name)
   }
 
+  test("nCells <= 0 auto-sizes the persisted coarse quantizer from the corpus count") {
+    // the storage path must not recreate the fixed-cell scale-killer the
+    // in-memory ladder fixed (s18): default sizing is autoCells ~ 4*sqrt(N)
+    val name = "ann_idx_autosize"
+    AnnIndex.dropIvfPq(spark, name)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    AnnIndex.writeIvfPq(corpus, "vec_id", "embedding", dim = 64,
+      nCells = 0, m = 8, k = 16, name, nBuckets = 4)
+    val expected = Similarity.autoCells(corpus.count())
+    val got = spark.table(AnnIndex.centroidsTable(name)).count()
+    assert(got == expected.toLong,
+      s"auto-sized centroids: got $got, expected autoCells = $expected")
+    // the auto-sized index still serves (external queries, masked nothing)
+    val served = AnnIndex.searchIvfPq(emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", dim = 64, m = 8,
+      nProbe = Similarity.autoProbe(expected), topK = 5, name)
+    assert(served.count() > 0)
+    AnnIndex.dropIvfPq(spark, name)
+
+    val namep = "ann_idx_autosize_part"
+    AnnIndex.dropIvfPq(spark, namep)
+    AnnIndex.writeIvfPqPartitioned(corpus, "vec_id", "embedding", dim = 64,
+      nCells = 0, m = 8, k = 16, namep, nBuckets = 4)
+    assert(spark.table(AnnIndex.centroidsTable(namep)).count() == expected.toLong)
+    AnnIndex.dropIvfPq(spark, namep)
+  }
+
   test("append freezes training state and never re-keys existing members") {
     val name = "ann_idx_append"
     AnnIndex.dropIvfPq(spark, name)

@@ -70,4 +70,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(1L)._2 == 2L)
     assert(out.getOrElse(2L, (0L, 0L))._2 == 0L)
   }
+
+  test("verify join falls back to a shuffled join past the broadcast budget, same answer") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val corpus = d.filter($"doc_id" % 7 =!= 0)
+    val benchmark = d.filter($"doc_id" % 7 === 0)
+    def rows(maxGrams: Long) =
+      Dedup.bloomDecontaminate(corpus, benchmark, "doc_id", "text", 3,
+          verifyBroadcastMaxGrams = maxGrams)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n_bloom"),
+          r.getAs[Long]("n_exact"))).sortBy(_._1).toSeq
+    // threshold 0 forces the shuffled verify; results must be identical
+    val shuffled = rows(0L)
+    val broadcasted = rows(Long.MaxValue)
+    assert(shuffled.nonEmpty)
+    assert(shuffled == broadcasted)
+  }
 }

@@ -300,6 +300,39 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@5 — lsh8: $lsh8%.3f lsh16: $lsh16%.3f ivf: $ivf%.3f trained: $ivfTrained%.3f")
   }
 
+  test("refine recall holds at sf0.1 where raw ADC sinks (corpus-growth stability contract)") {
+    // README's s16 table claims refine recall stays 0.83+ at sf0.1 while
+    // fixed-parameter raw ADC sinks to ~0.43 — this makes that claim a
+    // CONTRACT at the larger scale (the oracle gate runs at sf0.01 only).
+    // Same fixed index parameters as s16: the point is recall stability
+    // under corpus growth with parameters held constant.
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val qids = col("qid") < 8
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+    def top5(df: org.apache.spark.sql.DataFrame) = df.select(col("qid"), col("nid"))
+    val rec = Similarity.annRecall(Seq(
+        "ivfpq_seeded" -> top5(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          dim = 64, nCells = 16, nProbe = 4, m = 16, k = 256, topK = 5,
+          probeFilter = qids)),
+        "ivfpq_refine" -> top5(Similarity.ivfPqRefineTopK(emb, "vec_id",
+          "embedding", dim = 64, nCells = 16, nProbe = 4, m = 16, k = 256,
+          shortlistK = 25, topK = 5, probeFilter = qids)),
+        "ivfpq_residual_refine" -> top5(
+          Similarity.ivfPqResidualRefineTopKTrained(emb, "vec_id", "embedding",
+            dim = 64, nCells = 16, updates = 1, nProbe = 4, m = 16, k = 256,
+            shortlistK = 25, topK = 5, probeFilter = qids))),
+      exact, k = 5, minRecall = 0.8)
+      .collect().map(r => r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+    assert(rec("ivfpq_refine") >= 0.8,
+      s"refine recall sank at sf0.1: ${rec("ivfpq_refine")}")
+    assert(rec("ivfpq_residual_refine") >= 0.8,
+      s"residual refine recall sank at sf0.1: ${rec("ivfpq_residual_refine")}")
+    assert(rec("ivfpq_refine") > rec("ivfpq_seeded"),
+      s"refine must beat raw ADC at the larger corpus: $rec")
+    info(rec.map { case (m, r) => f"$m: $r%.3f" }.mkString(" "))
+  }
+
   test("annRecall: ground truth scores 1.0 against itself, misses are penalized") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(
