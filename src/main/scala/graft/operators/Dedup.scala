@@ -625,6 +625,43 @@ object Dedup {
           .as("boiler_frac"))
   }
 
+  /** Corpus-order n-gram NOVELTY: the fraction of a document's distinct
+    * word n-grams whose FIRST corpus occurrence (minimum doc id) is this
+    * document — the scoring dual of [[dedupSpans]] (which rewrites) and the
+    * ordering dual of [[boilerplateStats]] (df-based, order-free). Low
+    * novelty means the document is mostly re-stating earlier corpus content
+    * — the signal behind dedup-priority ordering, memorization-risk
+    * auditing, and "keep the first, score the rest" curation. Ids define
+    * corpus order; ties (same gram, same doc) are impossible after the
+    * per-doc distinct.
+    *
+    * Returns (sid, n_grams, n_novel, novelty): exact integer counts and one
+    * final division (novelty is NULL for docs with no grams — shorter than
+    * n words — not a fake 0/1). `mostly_seen` callers threshold novelty.
+    *
+    * Scale shape: documents reduce to distinct 48-bit gram hashes in-scan;
+    * the first-occurrence reduce is a map-side-combinable min over 8-byte
+    * keys; novel credits re-aggregate doc-keyed. Three linear shuffles on
+    * hashed keys — the corpus-gram relation never self-joins and text never
+    * shuffles (the d14/d15 discipline).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g"))
+    val per = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_grams"))
+    // each distinct gram credits exactly one document: its first holder
+    val novel = sh.groupBy(col("g")).agg(min(col("sid")).as("sid"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_novel"))
+    val ng = coalesce(col("n_grams"), lit(0L))
+    val nn = coalesce(col("n_novel"), lit(0L))
+    df.select(col(idCol).as("sid"))
+      .join(per, Seq("sid"), "left")
+      .join(novel, Seq("sid"), "left")
+      .select(col("sid"), ng.as("n_grams"), nn.as("n_novel"),
+        when(ng > 0L, nn.cast("double") / ng).as("novelty"))
+  }
+
   // ---- transitive grouping -------------------------------------------------
 
   /** Connected components over near-dup pairs: every document in a component

@@ -2538,6 +2538,36 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // Corpus-order n-gram novelty (Dedup.ngramNovelty): per document, the
+    // fraction of its distinct word 3-grams first seen in THIS document
+    // (minimum doc id holds the credit) — low novelty flags docs that
+    // mostly restate earlier corpus content (dedup-priority ordering,
+    // memorization-risk audit). Counts are exact integers over the d14
+    // 48-bit gram hashes; novelty is one final division, NULL for gramless
+    // docs rather than a fake 0.
+    QueryDef(
+      "d21_ngram_novelty",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |sh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh0),
+         |per AS (SELECT sid, COUNT(*) AS n_grams FROM sh GROUP BY sid),
+         |nov AS (SELECT sid, COUNT(*) AS n_novel FROM
+         |  (SELECT g, MIN(sid) AS sid FROM sh GROUP BY g) GROUP BY sid)
+         |SELECT d.doc_id AS sid,
+         |  coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN CAST(coalesce(n_novel, 0) AS DOUBLE) / coalesce(n_grams, 0)
+         |    END AS novelty
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.sid
+         |  LEFT JOIN nov ON d.doc_id = nov.sid
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      Dedup.ngramNovelty(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("sid"))
+    },
+
     // Temperature-flattened source mixing (Sampling.temperatureSample,
     // alpha = 0.5, target half the corpus): the sqrt weights are
     // micro-fixed-point so the weight total is an exact integer sum on both

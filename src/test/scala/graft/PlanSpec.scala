@@ -263,6 +263,19 @@ class PlanSpec extends SparkSpec {
       s"corpus grams must pass the semi-join BEFORE any shuffle, got $nearest:\n${lines.mkString("\n")}")
   }
 
+  test("d21_ngram_novelty: hashed gram keys shuffle with map-side combine, never text") {
+    val p = plan("d21_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+    // both reduces (per-doc totals, first-holder min) combine map-side:
+    // partial aggregates must appear below their exchanges
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"gram aggregates must combine map-side:\n$p")
+  }
+
   test("minhash/simhash signatures are per-row native kernels (no shingle explode shuffle)") {
     val p = plan("d3_minhash_candidates")
     assert(p.contains("graft_minhash_sig"), p)

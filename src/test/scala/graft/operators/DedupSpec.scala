@@ -423,6 +423,29 @@ class DedupSpec extends SparkSpec {
     assert(s.getAs[Long]("n_grams") == 0L && s.getAs[Double]("boiler_frac") == 0.0)
   }
 
+  test("ngramNovelty: first holder gets the credit, verbatim repeats score 0, partial copies in between") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // introduces all 3 of its 3-grams
+      (2L, "a b c d e"),       // verbatim repeat of 1 -> novelty 0
+      (3L, "a b c x y z"),     // shares "a b c" with doc 1, adds 3 new grams
+      (4L, "one two")          // shorter than n -> no grams, novelty NULL
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          Option(r.getAs[java.lang.Double]("novelty"))))).toMap
+    assert(out(1L) == ((3L, 3L, Some(1.0))))
+    assert(out(2L) == ((3L, 0L, Some(0.0))))
+    assert(out(3L)._1 == 4L && out(3L)._2 == 3L) // "a b c" credited to doc 1
+    assert(out(3L)._3.contains(0.75))
+    assert(out(4L) == ((0L, 0L, None)))
+    // totals conserve: every distinct gram is credited exactly once
+    val totalNovel = out.values.map(_._2).sum
+    val distinctGrams = Dedup.wordShingles(docs, "doc_id", "text", 3)
+      .select("gram").distinct().count()
+    assert(totalNovel == distinctGrams)
+  }
+
   test("dedupSpans: first occurrence keeps its span, later copies lose it, full repeats vanish") {
     // span length 4: doc 1 = AAAABBBB, doc 2 = AAAACCCC (shares span AAAA),
     // doc 3 = AAAABBBB (every span is a repeat -> vanishes),
