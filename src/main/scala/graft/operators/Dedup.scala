@@ -662,6 +662,75 @@ object Dedup {
         when(ng > 0L, nn.cast("double") / ng).as("novelty"))
   }
 
+  /** Persist the corpus' FIRST-HOLDER gram index: one (g, first_sid) row
+    * per distinct 48-bit gram hash, BUCKETED on `g` — the incremental form
+    * of [[ngramNovelty]] and the third instance of the persisted-index
+    * discipline ([[writeBandIndex]] for dedup, AnnIndex for ANN): build
+    * once, then score every ingestion batch against it without re-reading
+    * the corpus. Bucketing on the serve join's equi-key keeps the 100 TB
+    * side exchange-free at serve time.
+    */
+  def writeNoveltyIndex(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedBy(
+      wordShingles(df, idCol, textCol, n)
+        .select(hash48(col("gram")).as("g"), col("sid"))
+        .groupBy(col("g")).agg(min(col("sid")).as("first_sid")),
+      table, Seq("g"), nBuckets)
+
+  /** Grow the first-holder index by one batch: the batch's per-gram min ids
+    * APPEND under the same bucket spec — no rewrite, no read-modify-write.
+    * The index is an append-only log of first-holder candidates; serve-time
+    * reads min-merge per gram ([[batchNovelty]]'s `min(first_sid)`), which
+    * is exchange-free on the bucketed layout, so duplicate gram rows across
+    * appends cost a bucketed-local reduce, never a shuffle. Compact with
+    * Bucketing.compactBucketedTable when append count warrants.
+    */
+  def appendNoveltyIndex(batch: DataFrame, idCol: String, textCol: String,
+                         n: Int, table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.appendBucketedBy(
+      wordShingles(batch, idCol, textCol, n)
+        .select(hash48(col("gram")).as("g"), col("sid"))
+        .groupBy(col("g")).agg(min(col("sid")).as("first_sid")),
+      table, Seq("g"), nBuckets)
+
+  /** Score ONE ingestion batch's novelty against the persisted first-holder
+    * index — equal BY CONSTRUCTION to [[ngramNovelty]] over
+    * (corpus UNION batch) restricted to batch ids (ids unique corpus-wide
+    * is the contract): a batch gram is novel iff its batch-minimum id beats
+    * every id the index has seen for that gram. This is the per-batch
+    * curation gate: score, threshold, ingest survivors, then
+    * [[appendNoveltyIndex]] the batch so the next batch sees it.
+    *
+    * Scale shape: the index side min-merges WITHOUT an exchange (bucketed
+    * on `g`); only the batch's gram hashes shuffle — per-batch cost scales
+    * with |batch|, never |corpus| (the incrementalNearDupPairs economics).
+    */
+  def batchNovelty(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                   idCol: String, textCol: String, n: Int,
+                   table: String): DataFrame = {
+    val bg = wordShingles(batch, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g"))
+    val per = bg.groupBy(col("sid")).agg(count(lit(1)).as("n_grams"))
+    val bmin = bg.groupBy(col("g")).agg(min(col("sid")).as("b_sid"))
+    val imin = spark.table(table)
+      .groupBy(col("g")).agg(min(col("first_sid")).as("idx_sid"))
+    // <= not <: with corpus-unique ids equality can only mean the index
+    // already holds THIS batch's own grams (a replayed append), so <= makes
+    // scoring idempotent under re-ingest — score-then-append retries return
+    // the first run's numbers instead of zeroing the batch's credit
+    val novel = bmin.join(imin, Seq("g"), "left")
+      .filter(col("idx_sid").isNull || col("b_sid") <= col("idx_sid"))
+      .groupBy(col("b_sid").as("sid")).agg(count(lit(1)).as("n_novel"))
+    val ng = coalesce(col("n_grams"), lit(0L))
+    val nn = coalesce(col("n_novel"), lit(0L))
+    batch.select(col(idCol).as("sid"))
+      .join(per, Seq("sid"), "left")
+      .join(novel, Seq("sid"), "left")
+      .select(col("sid"), ng.as("n_grams"), nn.as("n_novel"),
+        when(ng > 0L, nn.cast("double") / ng).as("novelty"))
+  }
+
   // ---- transitive grouping -------------------------------------------------
 
   /** Connected components over near-dup pairs: every document in a component

@@ -2568,6 +2568,124 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // INCREMENTAL novelty against the persisted first-holder gram index
+    // (Dedup.writeNoveltyIndex / batchNovelty) — the production form of
+    // d21 and the third persisted-index lifecycle (after the d18 band
+    // index and the s19 ANN index): the seed corpus (doc_id % 5 <> 0)
+    // builds a g-bucketed (gram-hash, first_sid) table ONCE; the batch
+    // (doc_id % 5 = 0) is scored against it with the index side
+    // exchange-free (min-merge on the bucket key) and only batch grams
+    // shuffling. Equal by construction to d21 over the full corpus
+    // restricted to batch ids — which is exactly what the oracle computes,
+    // so a hash match proves the storage round-trip and the incremental
+    // serve agree with the from-scratch semantics.
+    QueryDef(
+      "d22_batch_novelty",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |sh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh0),
+         |per AS (SELECT sid, COUNT(*) AS n_grams FROM sh GROUP BY sid),
+         |nov AS (SELECT sid, COUNT(*) AS n_novel FROM
+         |  (SELECT g, MIN(sid) AS sid FROM sh GROUP BY g) GROUP BY sid)
+         |SELECT d.doc_id AS sid,
+         |  coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN CAST(coalesce(n_novel, 0) AS DOUBLE) / coalesce(n_grams, 0)
+         |    END AS novelty
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.sid
+         |  LEFT JOIN nov ON d.doc_id = nov.sid
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val seed = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      // per-session table name (the d18/s19 discipline); the bucketed index
+      // build IS part of the measured query — the nightly flow pays it too
+      val table = "graft_novelty_d22_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      Dedup.writeNoveltyIndex(seed, "doc_id", "text", 3, table, 8)
+      Dedup.batchNovelty(s, batch, "doc_id", "text", 3, table)
+        .orderBy(col("sid"))
+    },
+
+    // STREAMING NOVELTY INGESTION (EventStreams.noveltyIngestBatch) — the
+    // ds-series contract applied to the first-holder index: batch 0
+    // (doc_id % 5 = 0) is scored against the seed index then appended;
+    // batch 0 is REPLAYED (the ds2/ds3 injected-retry discipline) — the
+    // min-merge lattice absorbs the duplicate append and the <= serve
+    // comparison returns the first run's scores; then batch 1
+    // (doc_id % 5 = 1) is scored against seed+batch0. The oracle computes
+    // each batch's PREFIX novelty from scratch (batch 0 vs documents
+    // outside batch 1; batch 1 vs all documents), so a hash match proves
+    // the replay changed nothing and the index growth is visible to the
+    // next batch.
+    QueryDef(
+      "ds4_novelty_ingest",
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id % 5 <> 1),
+         |sh00 AS (SELECT DISTINCT doc_id AS sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |  FROM w0, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |sha AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh00),
+         |pera AS (SELECT sid, COUNT(*) AS n_grams FROM sha GROUP BY sid),
+         |nova AS (SELECT sid, COUNT(*) AS n_novel FROM
+         |  (SELECT g, MIN(sid) AS sid FROM sha GROUP BY g) GROUP BY sid),
+         |w1 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh10 AS (SELECT DISTINCT doc_id AS sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |  FROM w1, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |shb AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh10),
+         |perb AS (SELECT sid, COUNT(*) AS n_grams FROM shb GROUP BY sid),
+         |novb AS (SELECT sid, COUNT(*) AS n_novel FROM
+         |  (SELECT g, MIN(sid) AS sid FROM shb GROUP BY g) GROUP BY sid)
+         |SELECT * FROM (
+         |SELECT d.doc_id AS sid,
+         |  coalesce(pera.n_grams, 0) AS n_grams,
+         |  coalesce(nova.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(pera.n_grams, 0) > 0
+         |    THEN CAST(coalesce(nova.n_novel, 0) AS DOUBLE) / coalesce(pera.n_grams, 0)
+         |    END AS novelty,
+         |  CAST(0 AS BIGINT) AS ingest_batch
+         |FROM documents d LEFT JOIN pera ON d.doc_id = pera.sid
+         |  LEFT JOIN nova ON d.doc_id = nova.sid
+         |WHERE d.doc_id % 5 = 0
+         |UNION ALL
+         |SELECT d.doc_id AS sid,
+         |  coalesce(perb.n_grams, 0) AS n_grams,
+         |  coalesce(novb.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(perb.n_grams, 0) > 0
+         |    THEN CAST(coalesce(novb.n_novel, 0) AS DOUBLE) / coalesce(perb.n_grams, 0)
+         |    END AS novelty,
+         |  CAST(1 AS BIGINT) AS ingest_batch
+         |FROM documents d LEFT JOIN perb ON d.doc_id = perb.sid
+         |  LEFT JOIN novb ON d.doc_id = novb.sid
+         |WHERE d.doc_id % 5 = 1)
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val seed = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val b0 = docs.filter(col("doc_id") % 5 === 0)
+      val b1 = docs.filter(col("doc_id") % 5 === 1)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = "graft_novelty_ds4_" + app
+      val out = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_novelty_ds4_scores_" + app
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      Dedup.writeNoveltyIndex(seed, "doc_id", "text", 3, table, 8)
+      import graft.streaming.EventStreams.noveltyIngestBatch
+      noveltyIngestBatch(b0, 0L, table, 8, out, "doc_id", "text", 3)
+      // injected retry: replay batch 0 after its append already landed
+      noveltyIngestBatch(b0, 0L, table, 8, out, "doc_id", "text", 3)
+      noveltyIngestBatch(b1, 1L, table, 8, out, "doc_id", "text", 3)
+      s.read.parquet(out)
+        .select(col("sid"), col("n_grams"), col("n_novel"), col("novelty"),
+          col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("sid"))
+    },
+
     // Temperature-flattened source mixing (Sampling.temperatureSample,
     // alpha = 0.5, target half the corpus): the sqrt weights are
     // micro-fixed-point so the weight total is an exact integer sum on both

@@ -376,6 +376,53 @@ object EventStreams {
       nBuckets, batchId)
   }
 
+  /** STREAMING NOVELTY SCORING with index growth — each micro-batch of
+    * documents is scored against the persisted first-holder gram index
+    * (Dedup.batchNovelty), the scores land exactly-once in an
+    * `ingest_batch = batchId` partition, and the batch's grams are appended
+    * so the NEXT batch sees them. Retry safety here needs NO committed-
+    * prefix read and NO index partition replacement, because the index is a
+    * MIN-MERGE LATTICE: appending the same (g, first_sid) rows twice
+    * changes no serve-time `min(first_sid)`, and batchNovelty's `<=`
+    * comparison returns the first run's scores even when the retried
+    * batch's own grams are already in the index. The only exactly-once
+    * machinery needed is the scores partition replace.
+    *
+    * Stream contract: ids monotone with ingestion order (the normal
+    * assignment). With arbitrary ids each batch's scores are still exact
+    * for its own prefix, but a later smaller id can re-claim a gram an
+    * earlier batch already scored as novel.
+    */
+  def noveltyIngest(stream: DataFrame, indexTable: String, nBuckets: Int,
+                    scoresOutPath: String, idCol: String, textCol: String,
+                    n: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      noveltyIngestBatch(batch, batchId, indexTable, nBuckets,
+        scoresOutPath, idCol, textCol, n)
+    }
+
+  /** One streaming novelty micro-batch — public so retry semantics are
+    * testable without faulting a live query: calling this twice with the
+    * same (batch, batchId) leaves identical visible state (scores replace
+    * their own partition; duplicate index appends are absorbed by the
+    * min-merge).
+    */
+  def noveltyIngestBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                         nBuckets: Int, scoresOutPath: String, idCol: String,
+                         textCol: String, n: Int): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.lit
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    val scores = Dedup.batchNovelty(spark, b, idCol, textCol, n, indexTable)
+      .localCheckpoint(false)
+    graft.sources.Sinks.overwriteRunPartition(
+      scores.withColumn("ingest_batch", lit(batchId)),
+      scoresOutPath, "ingest_batch")
+    Dedup.appendNoveltyIndex(b, idCol, textCol, n, indexTable, nBuckets)
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

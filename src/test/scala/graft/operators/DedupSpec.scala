@@ -446,6 +446,54 @@ class DedupSpec extends SparkSpec {
     assert(totalNovel == distinctGrams)
   }
 
+  test("novelty index lifecycle: incremental serve equals from-scratch, survives append, index side exchange-free") {
+    val table = "b_novelty_index"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+    val b2 = docs.filter(col("doc_id") % 5 === 1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("sid") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
+    Dedup.writeNoveltyIndex(seed, "doc_id", "text", 3, table, 4)
+
+    // batch 1 against the seed index == from-scratch over (seed U b1)
+    // restricted to b1 ids
+    val inc1 = asMap(Dedup.batchNovelty(spark, b1, "doc_id", "text", 3, table))
+    val scratch1 = asMap(
+      Dedup.ngramNovelty(seed.unionByName(b1), "doc_id", "text", 3)
+        .filter(col("sid") % 5 === 0))
+    assert(inc1 == scratch1)
+    assert(inc1.values.exists(_._2 > 0), "fixture batch must introduce grams")
+
+    // append b1, then batch 2 == from-scratch over (seed U b1 U b2)
+    Dedup.appendNoveltyIndex(b1, "doc_id", "text", 3, table, 4)
+    val inc2 = asMap(Dedup.batchNovelty(spark, b2, "doc_id", "text", 3, table))
+    val scratch2 = asMap(
+      Dedup.ngramNovelty(seed.unionByName(b1).unionByName(b2), "doc_id", "text", 3)
+        .filter(col("sid") % 5 === 1))
+    assert(inc2 == scratch2)
+
+    // plan contract: the index min-merge + serve join never exchange the
+    // index side — only batch grams shuffle (force the shuffle-join path)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bg = Dedup.wordShingles(b2, "doc_id", "text", 3)
+        .select(col("sid"), Dedup.hash48(col("gram")).as("g"))
+      val joined = bg.groupBy(col("g")).agg(min(col("sid")).as("b_sid"))
+        .join(spark.table(table).groupBy(col("g"))
+          .agg(min(col("first_sid")).as("idx_sid")), Seq("g"), "left")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"index side of the novelty serve must not re-shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedupSpans: first occurrence keeps its span, later copies lose it, full repeats vanish") {
     // span length 4: doc 1 = AAAABBBB, doc 2 = AAAACCCC (shares span AAAA),
     // doc 3 = AAAABBBB (every span is a repeat -> vanishes),

@@ -403,6 +403,48 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyIngest parity: live two-batch stream equals the ds4 batch twin, retry absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_novelty_stream")
+    val out = base.resolve("scores").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    val seed = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 5 =!= 1)
+    val b0 = docs.filter($"doc_id" % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(b0.nonEmpty && b1.nonEmpty)
+
+    val twin = graft.SparkEntry.queries("ds4_novelty_ingest")(spark, sf)
+      .select("sid", "n_grams", "n_novel", "ingest_batch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val table = "graft_novelty_stream_test"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    graft.operators.Dedup.writeNoveltyIndex(seed, "doc_id", "text", 3, table, 8)
+    val input = MemoryStream[(Long, String)]
+    val q = noveltyIngest(input.toDF().toDF("doc_id", "text"),
+      table, 8, out, "doc_id", "text", n = 3).start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      val live = spark.read.parquet(out)
+        .select($"sid", $"n_grams", $"n_novel", $"ingest_batch".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(live == twin, "live stream diverged from the replayed batch twin")
+      // retry absorption OUTSIDE a running query too: replay batch 1 by hand
+      noveltyIngestBatch(docs.filter($"doc_id" % 5 === 1), 1L, table, 8,
+        out, "doc_id", "text", 3)
+      val replayed = spark.read.parquet(out)
+        .select($"sid", $"n_grams", $"n_novel", $"ingest_batch".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(replayed == live, "a replayed batch changed visible state")
+    } finally {
+      q.stop()
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
   test("windowedDistinct parity: streamed KMV estimates equal the batch twin exactly") {
     implicit val sqlCtx = spark.sqlContext
     val evs = graft.core.Tables.events(spark, sf)
