@@ -2612,6 +2612,50 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // ASYMMETRIC CONTAINMENT pairs (Dedup.containmentPairs): the
+    // quote/near-superset detector Jaccard structurally misses — a short
+    // doc quoted inside a long one has Jaccard ~ |short|/|long| but
+    // containment ~ 1.0 on the smaller side. MOSS discipline: winnow
+    // fingerprints (t5's exact machinery, k=8/w=10 — any shared run of
+    // >= 17 chars shares a fingerprint) propose candidates at >= 2 shared
+    // fingerprints, exact word-3-gram containment verifies at tau = 0.4.
+    // The oracle rebuilds winnowing (the t5 window CTE), the candidate
+    // pair join, and the gram intersection from scratch.
+    QueryDef(
+      "d23_containment_pairs",
+      s"""WITH pos AS (
+         |  SELECT doc_id AS sid, i AS pos, len(text) - 7 AS npos,
+         |    ${sqlHash("substr(text, i, 8)", 12)} AS h
+         |  FROM documents, unnest(generate_series(1, len(text) - 7)) AS t(i)
+         |  WHERE len(text) >= 8),
+         |win AS (
+         |  SELECT sid, pos, npos,
+         |    min(h) OVER (PARTITION BY sid ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wmin
+         |  FROM pos),
+         |fps AS (SELECT DISTINCT sid, wmin AS fp FROM win WHERE pos <= npos - 9),
+         |cand AS (SELECT a.sid AS ida, b.sid AS idb
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.sid < b.sid
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT DISTINCT doc_id AS sid,
+         |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
+         |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |sizes AS (SELECT sid, COUNT(*) AS nsh FROM g GROUP BY sid),
+         |inter AS (SELECT c.ida, c.idb, COUNT(*) AS n_inter
+         |  FROM cand c JOIN g ga ON ga.sid = c.ida
+         |  JOIN g gb ON gb.sid = c.idb AND gb.g = ga.g
+         |  GROUP BY 1, 2)
+         |SELECT ida, idb, n_inter, za.nsh AS nsh_a, zb.nsh AS nsh_b,
+         |  CAST(n_inter AS DOUBLE) / least(za.nsh, zb.nsh) AS containment
+         |FROM inter JOIN sizes za ON ida = za.sid JOIN sizes zb ON idb = zb.sid
+         |WHERE CAST(n_inter AS DOUBLE) / least(za.nsh, zb.nsh) >= 0.4
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 8, w = 10, minShared = 2L, threshold = 0.4)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // STREAMING NOVELTY INGESTION (EventStreams.noveltyIngestBatch) — the
     // ds-series contract applied to the first-holder index: batch 0
     // (doc_id % 5 = 0) is scored against the seed index then appended;

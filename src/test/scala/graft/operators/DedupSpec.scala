@@ -446,6 +446,32 @@ class DedupSpec extends SparkSpec {
     assert(totalNovel == distinctGrams)
   }
 
+  test("containmentPairs: catches a quote Jaccard misses; unrelated docs stay out") {
+    // doc 2 quotes 10 consecutive words of doc 1 verbatim inside unrelated
+    // text: Jaccard is diluted by doc 1's extra length, containment is the
+    // quote's coverage of doc 2
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, quote + " kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three four"),
+      (2L, "unrelated lead-in words " + quote),
+      (3L, "completely different content with nothing shared at all here today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, k = 8, w = 10, minShared = 2L, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(pairs.contains((1L, 2L)), s"quote pair missed: $pairs")
+    assert(pairs((1L, 2L)) >= 0.5, s"containment too low: ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc flagged: $pairs")
+    // and the same pair is BELOW a typical Jaccard near-dup threshold —
+    // the case this operator exists for
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)),
+      "fixture invalid: Jaccard already catches the quote, containment adds nothing")
+  }
+
   test("novelty index lifecycle: incremental serve equals from-scratch, survives append, index side exchange-free") {
     val table = "b_novelty_index"
     graft.sources.Bucketing.ensureCleanTable(spark, table)
