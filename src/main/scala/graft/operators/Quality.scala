@@ -267,4 +267,51 @@ object Quality {
       sum(when(col("gq"), 1L).otherwise(0L)).as("n_quality"),
       countDistinct(when(col("gq"), col("fp"))).as("n_unique"))
   }
+
+  /** [[curationFunnel]] extended with a NOVELTY stage: the local gates
+    * (Gopher rules, quality threshold, keep-first fingerprint dedup) prune
+    * the corpus FIRST, then [[Dedup.ngramNovelty]] — a corpus-wide
+    * first-holder reduce — runs over the SURVIVORS ONLY, and the final
+    * count keeps docs whose novelty clears `minNovelty`. One extra column:
+    * n_novel (docs among the unique survivors with novelty >= minNovelty;
+    * gramless survivors have NULL novelty and never count).
+    *
+    * This stage ordering is the funnel's scale argument, made explicit:
+    * the per-row gates fuse into one scan (fn1's shape) and the expensive
+    * global operator pays for the PRUNED set — at 100 TB the difference
+    * between "novelty over everything" and "novelty over the quality
+    * survivors" is the dominant cost line of the whole chain. Dedup before
+    * novelty also keeps the first-holder credit meaningful: exact copies
+    * are gone, so low novelty now flags REWORDED or quoted content, not
+    * byte-dups.
+    */
+  def curationFunnelNovelty(docs: DataFrame, idCol: String, textCol: String,
+                            minQuality: Double, n: Int,
+                            minNovelty: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, _, _, keep) =
+      TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)
+    val staged = docs.select(
+      col(idCol).as("sid"), col(textCol).as("text"),
+      keep.as("g"),
+      (keep && TextOps.qualityScore(col(textCol)) >= minQuality).as("gq"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    // keep-first per fingerprint among quality survivors — the d1/d2
+    // canonical rule (minimum id wins), materialized because the novelty
+    // stage needs the survivor DOCUMENTS, not just their count
+    val unique = staged.filter(col("gq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("sid"))))
+      .filter(col("rn") === 1)
+      .select(col("sid"), col("text"))
+    val novel = Dedup.ngramNovelty(unique, "sid", "text", n)
+      .agg(sum(when(col("novelty") >= minNovelty, 1L).otherwise(0L))
+        .as("n_novel"))
+    staged.agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_gopher"),
+        sum(when(col("gq"), 1L).otherwise(0L)).as("n_quality"),
+        countDistinct(when(col("gq"), col("fp"))).as("n_unique"))
+      .crossJoin(broadcast(novel))
+  }
 }

@@ -2447,6 +2447,58 @@ object CorpusQueries {
         Tables.documents(s, d), "doc_id", "text", minQuality = 0.6)
     },
 
+    // Novelty-gated curation funnel (Quality.curationFunnelNovelty): fn1's
+    // local gates (one scan) prune FIRST, then the corpus-wide first-holder
+    // novelty reduce runs over the SURVIVORS only and docs with novelty
+    // >= 0.5 count as n_novel — the funnel economics made explicit (the
+    // expensive global stage pays for the pruned set). The oracle
+    // recomposes fn1's gate expressions, the keep-first fingerprint window,
+    // and the d21 novelty CTEs over the survivor slice.
+    QueryDef(
+      "fn2_novelty_funnel",
+      s"""WITH f AS (SELECT doc_id, text,
+         |  (len(string_split(text, ' ')) BETWEEN 30 AND 10000
+         |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |        greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
+         |       BETWEEN 4.0 AND 5.0
+         |   AND len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) >= 2) AS g,
+         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS q,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |FROM documents),
+         |uniq AS (SELECT doc_id AS sid, text FROM (
+         |  SELECT doc_id, text,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM f WHERE g AND q >= 0.6) WHERE rn = 1),
+         |w2 AS (SELECT sid, string_split(text, ' ') AS w FROM uniq),
+         |sh0 AS (SELECT DISTINCT sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |  FROM w2, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |sh AS (SELECT sid, ${sqlHash("gram", 12)} AS gh FROM sh0),
+         |per AS (SELECT sid, COUNT(*) AS n_grams FROM sh GROUP BY sid),
+         |nov AS (SELECT sid, COUNT(*) AS n_novel FROM
+         |  (SELECT gh, MIN(sid) AS sid FROM sh GROUP BY gh) GROUP BY sid),
+         |nn AS (SELECT CAST(SUM(CASE WHEN coalesce(per.n_grams, 0) > 0
+         |    AND CAST(coalesce(nov.n_novel, 0) AS DOUBLE) / per.n_grams >= 0.5
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM uniq u LEFT JOIN per ON u.sid = per.sid
+         |    LEFT JOIN nov ON u.sid = nov.sid)
+         |SELECT n_input, n_gopher, n_quality, n_unique, n_novel FROM (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+         |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |    CAST(SUM(CASE WHEN g AND q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |    CAST(COUNT(DISTINCT CASE WHEN g AND q >= 0.6 THEN fp END) AS BIGINT) AS n_unique
+         |  FROM f) CROSS JOIN nn""".stripMargin) { (s, d) =>
+      graft.operators.Quality.curationFunnelNovelty(
+        Tables.documents(s, d), "doc_id", "text",
+        minQuality = 0.6, n = 3, minNovelty = 0.5)
+    },
+
     // Bigram stupid-backoff NLL (TextOps.bigramNll): the LM trains on the
     // EVEN docs and scores ALL docs, so held-out (odd) docs route unseen
     // transitions through the 0.4 x add-one-unigram backoff — n_unseen

@@ -122,6 +122,24 @@ class QualitySpec extends SparkSpec {
     assert(s2.select(TextOps.fingerprint(col("text"))).distinct().count() == nU)
   }
 
+  test("curationFunnelNovelty: extends fn1 unchanged, novelty stage discriminates and is monotone") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val r = Quality.curationFunnelNovelty(docs, "doc_id", "text",
+      minQuality = 0.6, n = 3, minNovelty = 0.5).collect()(0)
+    val (nIn, nG, nQ, nU, nN) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    // the first four counts are fn1's, untouched by the added stage
+    val base = Quality.curationFunnel(docs, "doc_id", "text", 0.6).collect()(0)
+    assert((nIn, nG, nQ, nU) ==
+      ((base.getLong(0), base.getLong(1), base.getLong(2), base.getLong(3))))
+    assert(nN <= nU, s"novelty stage must be a filter: $nN > $nU")
+    assert(nN > 0, "fixture survivors should include novel docs")
+    // at minNovelty = 0 every survivor with grams passes — upper bound check
+    val all = Quality.curationFunnelNovelty(docs, "doc_id", "text",
+      minQuality = 0.6, n = 3, minNovelty = 0.0).collect()(0).getLong(4)
+    assert(nN <= all && all <= nU)
+  }
+
   test("madOutlierGate: clean data passes, planted spikes fire, stddev would have missed them") {
     val clean = (1 to 1000).map(i => ("a", 100.0 + (i % 21))).toDF("k", "v")
     val c = Quality.madOutlierGate(clean, "k", "v", nSigma = 5.0, maxOutlierFrac = 0.02)
