@@ -680,19 +680,32 @@ object Dedup {
     * Scale shape: candidates join on winnowed fingerprints — ~2/(w+1) the
     * density of the raw k-gram relation, 8-byte keys, never text; the
     * verify stage semi-join-filters shingles to candidate docs BEFORE the
-    * gram join (the minhash-verify economics). Like all shared-key pair
-    * generation this is O(sum_fp df(fp)^2) in candidate generation —
-    * boilerplate-heavy corpora should strip [[boilerplateStats]]-flagged
-    * spans first, exactly as LSH banding expects.
+    * gram join (the minhash-verify economics). Shared-key pair generation
+    * is O(sum_fp df(fp)^2), so HOT fingerprints (common 8-char substrings
+    * — " the and"-grade boilerplate shared by thousands of docs) are
+    * suppressed before pairing: fingerprints with document frequency >
+    * `maxDf` are anti-joined out (a broadcast of the few heavy hitters),
+    * bounding the join at maxDf x |fingerprints| — without the cap the
+    * hot keys alone made the sf0.1 fixture 30x slower. The winnowing
+    * recall guarantee weakens accordingly, and honestly: a shared run is
+    * proposed iff it contributes >= minShared fingerprints that fewer
+    * than maxDf documents contain — runs made ENTIRELY of corpus-wide
+    * boilerplate stop being candidates, which is the curation intent
+    * (strip [[boilerplateStats]]-flagged spans first for stricter recall).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int, w: Int, minShared: Long,
-                       threshold: Double): DataFrame =
+                       threshold: Double, maxDf: Long = 64L): DataFrame =
     graft.core.Storage.freeingIntermediates(df.sparkSession) {
       require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-      val fps = graft.core.Storage.cut(
+      require(maxDf >= 2, s"maxDf must be >= 2 (pairs need df 2), got $maxDf")
+      val fpsAll = graft.core.Storage.cut(
         graft.operators.TextOps.winnowFingerprints(df, idCol, textCol, k, w),
         eager = false)
+      val hot = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf") > maxDf).select(col("fp"))
+      val fps = graft.core.Storage.cut(
+        fpsAll.join(broadcast(hot), Seq("fp"), "left_anti"), eager = false)
       val cands = fps.as("a")
         .join(fps.as("b"),
           col("a.fp") === col("b.fp") && col("a.sid") < col("b.sid"))

@@ -2671,8 +2671,12 @@ object CorpusQueries {
     // fingerprints (t5's exact machinery, k=8/w=10 — any shared run of
     // >= 17 chars shares a fingerprint) propose candidates at >= 2 shared
     // fingerprints, exact word-3-gram containment verifies at tau = 0.4.
-    // The oracle rebuilds winnowing (the t5 window CTE), the candidate
-    // pair join, and the gram intersection from scratch.
+    // Fingerprints in more than 64 documents are suppressed before the
+    // pair join (hot-key discipline: common 8-char substrings alone made
+    // the sf0.1 candidate join 30x slower; boilerplate-only runs are not
+    // containment evidence). The oracle rebuilds winnowing (the t5 window
+    // CTE), the df cap, the candidate pair join, and the gram
+    // intersection from scratch.
     QueryDef(
       "d23_containment_pairs",
       s"""WITH pos AS (
@@ -2685,7 +2689,10 @@ object CorpusQueries {
          |    min(h) OVER (PARTITION BY sid ORDER BY pos
          |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wmin
          |  FROM pos),
-         |fps AS (SELECT DISTINCT sid, wmin AS fp FROM win WHERE pos <= npos - 9),
+         |fps0 AS (SELECT DISTINCT sid, wmin AS fp FROM win WHERE pos <= npos - 9),
+         |fps AS (SELECT sid, fp FROM fps0 WHERE fp NOT IN (
+         |  SELECT fp FROM (SELECT fp, COUNT(*) AS fdf FROM fps0 GROUP BY fp)
+         |  WHERE fdf > 64)),
          |cand AS (SELECT a.sid AS ida, b.sid AS idb
          |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.sid < b.sid
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
