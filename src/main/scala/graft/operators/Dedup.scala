@@ -735,6 +735,39 @@ object Dedup {
         .transform(graft.core.Storage.cut(_))
     }
 
+  /** CROSS-SOURCE leakage matrix: for every ordered source pair
+    * (src, other), how many of src's documents share at least `minShared`
+    * distinct word n-grams with other's gram set, and how many
+    * (doc, shared-gram) hits there are in total — the curation dashboard
+    * behind "how much of corpus A is already inside corpus B" decisions
+    * (mixing weights, source dedup order, licensing exposure). This is
+    * [[decontaminate]] lifted from one benchmark to the full source x
+    * source grid in ONE pass — not |sources|^2 pairwise runs.
+    *
+    * Scale shape: per-doc distinct grams join the (source, gram) DISTINCT
+    * relation on the 48-bit hash; fan-out per gram row is bounded by the
+    * number of SOURCES holding that gram (never df^2 — the containment
+    * hot-key problem doesn't arise because the build side is
+    * source-collapsed). Aggregates are (doc, other)-keyed then
+    * (src, other)-keyed, both map-side combinable; text never shuffles.
+    */
+  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, n: Int,
+                         minShared: Long): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val grams = wordShingles(df, idCol, textCol, n)
+      .join(df.select(col(idCol).as("sid"), col(sourceCol).as("src")), Seq("sid"))
+      .select(col("sid"), col("src"), hash48(col("gram")).as("g"))
+    val sourceGrams = grams.select(col("src").as("other"), col("g")).distinct()
+    grams.join(sourceGrams, Seq("g"))
+      .filter(col("src") =!= col("other"))
+      .groupBy(col("sid"), col("src"), col("other"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("src"), col("other"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("shared")).as("n_gram_hits"))
+  }
+
   /** Persist the corpus' FIRST-HOLDER gram index: one (g, first_sid) row
     * per distinct 48-bit gram hash, BUCKETED on `g` — the incremental form
     * of [[ngramNovelty]] and the third instance of the persisted-index

@@ -2715,6 +2715,31 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // CROSS-SOURCE leakage matrix (Dedup.crossSourceOverlap): per ordered
+    // source pair, docs of src sharing >= 5 distinct word 3-grams with
+    // other's gram set + total hits — d14's decontamination lifted to the
+    // full source x source grid in one pass (mixing-weight / source-dedup
+    // dashboards). Build side is source-collapsed, so per-gram fan-out is
+    // bounded by source count, never df^2.
+    QueryDef(
+      "d24_cross_source_leakage",
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT DISTINCT doc_id AS sid, source AS src,
+         |    ${sqlHash("w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]", 12)} AS g
+         |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |sg AS (SELECT DISTINCT src AS other, g FROM g),
+         |x AS (SELECT sid, src, other, COUNT(*) AS shared
+         |  FROM g JOIN sg USING (g) WHERE src <> other
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5)
+         |SELECT src, other, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(shared) AS BIGINT) AS n_gram_hits
+         |FROM x GROUP BY 1, 2 ORDER BY src, other""".stripMargin) { (s, d) =>
+      Dedup.crossSourceOverlap(Tables.documents(s, d), "doc_id", "text",
+          "source", n = 3, minShared = 5L)
+        .orderBy(col("src"), col("other"))
+    },
+
     // STREAMING NOVELTY INGESTION (EventStreams.noveltyIngestBatch) — the
     // ds-series contract applied to the first-holder index: batch 0
     // (doc_id % 5 = 0) is scored against the seed index then appended;

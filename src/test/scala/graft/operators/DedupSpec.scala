@@ -446,6 +446,30 @@ class DedupSpec extends SparkSpec {
     assert(totalNovel == distinctGrams)
   }
 
+  test("crossSourceOverlap: each matrix cell equals a pairwise decontaminate run") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val m = Dedup.crossSourceOverlap(docs, "doc_id", "text", "source", 3, 5L)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("other")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_gram_hits")))).toMap
+    assert(m.nonEmpty, "fixture should contain cross-source gram overlap")
+    // spot-check three cells against the one-benchmark operator: docs of
+    // src with >= 5 distinct grams overlapping other's docs
+    m.keys.take(3).foreach { case (src, other) =>
+      val pairwise = Dedup.decontaminate(
+          docs.filter(col("source") === src),
+          docs.filter(col("source") === other), "doc_id", "text", 3)
+        .filter(col("n_overlap") >= 5L)
+        .agg(count(lit(1)), sum(col("n_overlap")))
+        .collect()(0)
+      assert((pairwise.getLong(0), pairwise.getLong(1)) == m((src, other)),
+        s"cell ($src, $other): matrix ${m((src, other))} != pairwise " +
+          s"(${pairwise.getLong(0)}, ${pairwise.getLong(1)})")
+    }
+    // the matrix is genuinely asymmetric (containment direction matters)
+    assert(m.exists { case ((a, b), v) => m.get((b, a)).exists(_ != v) },
+      "expected at least one asymmetric source pair")
+  }
+
   test("containmentPairs: catches a quote Jaccard misses; unrelated docs stay out") {
     // doc 2 quotes 10 consecutive words of doc 1 verbatim inside unrelated
     // text: Jaccard is diluted by doc 1's extra length, containment is the
