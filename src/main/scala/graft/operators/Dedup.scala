@@ -755,8 +755,16 @@ object Dedup {
                          sourceCol: String, n: Int,
                          minShared: Long): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val grams = wordShingles(df, idCol, textCol, n)
-      .join(df.select(col(idCol).as("sid"), col(sourceCol).as("src")), Seq("sid"))
+    // source rides the shingle scan (no join back to the doc table — that
+    // would shuffle the corpus-gram relation by doc id just to attach it)
+    val w = split(col(textCol), " ")
+    val sh = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df
+      .select(col(idCol).as("sid"), col(sourceCol).as("src"),
+        explode(sh).as("gram"))
       .select(col("sid"), col("src"), hash48(col("gram")).as("g"))
     val sourceGrams = grams.select(col("src").as("other"), col("g")).distinct()
     grams.join(sourceGrams, Seq("g"))
