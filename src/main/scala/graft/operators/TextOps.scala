@@ -555,6 +555,33 @@ object TextOps {
       .select(col("did"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge any number
+    * of top-k rankings — BM25 + vector ANN is the canonical hybrid-search
+    * pair, but any (did, rank) frames fuse — by summing per-list credits
+    * 1e6 DIV (rrfK + rank). Credits are INTEGER (floor division of exact
+    * integers), so the fused ordering is engine-exact with no float
+    * blending weights to disagree about; rank ties break by id. RRF is the
+    * standard fusion precisely because it needs no score calibration
+    * between lists whose scales are incomparable (BM25 logs vs cosines).
+    *
+    * Returns (did, rrf_fp, n_lists) top `k` by fused score. Scale shape:
+    * inputs are top-k lists — k x |lists| rows total, broadcast-sized by
+    * construction — so this is driver-cheap glue; the heavy lifting
+    * happened in the rankers.
+    */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame], rrfK: Int,
+              k: Int): org.apache.spark.sql.DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    rankings.map(_.select(col("did"), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("c_fp", expr(s"CAST(1000000 DIV ($rrfK + rank) AS BIGINT)"))
+      .groupBy(col("did"))
+      .agg(sum(col("c_fp")).as("rrf_fp"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_fp").desc, col("did").asc)
+      .limit(k)
+  }
+
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
     val Seq(en, de, es, fr, zh) = scores.map(_._2)

@@ -1501,6 +1501,64 @@ object CorpusQueries {
         .select(col("did").as("doc_id")).orderBy(col("doc_id"))
     },
 
+    // HYBRID retrieval via reciprocal-rank fusion (TextOps.rrfFuse,
+    // Cormack et al. SIGIR'09): the fts1 BM25 top-25 fused with the exact
+    // cosine top-25 of query vector 0 (doc ids and vec ids share the id
+    // space in the fixtures). Credits are integer 1e6 DIV (60 + rank), so
+    // the fused ordering is engine-exact with no score calibration between
+    // the incomparable scales — the reason RRF is the production hybrid
+    // default. Output: top-10 fused docs with list-membership count.
+    QueryDef(
+      "fts3_hybrid_rrf",
+      s"""WITH $quantVecCte,
+        |toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT did, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks
+        |    WHERE tok IN ('table', 'hash', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.did, tf.tok,
+        |    ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (did) CROSS JOIN stats),
+        |agg AS (SELECT did,
+        |    coalesce(SUM(CASE WHEN tok = 'table' THEN s END), 0.0) AS s0,
+        |    coalesce(SUM(CASE WHEN tok = 'hash' THEN s END), 0.0) AS s1,
+        |    coalesce(SUM(CASE WHEN tok = 'merge' THEN s END), 0.0) AS s2
+        |  FROM sc GROUP BY 1),
+        |kw AS (SELECT did, rank FROM (SELECT did,
+        |    ROW_NUMBER() OVER (ORDER BY round(s0 + s1 + s2, 6) DESC, did) AS rank
+        |  FROM agg) WHERE rank <= 25),
+        |vec AS (SELECT did, rank FROM (
+        |  SELECT v.sid AS did,
+        |    ROW_NUMBER() OVER (ORDER BY ${sqlCosine("q.qv", "v.qv")} DESC, v.sid) AS rank
+        |  FROM v CROSS JOIN (SELECT qv FROM v WHERE sid = 0) q
+        |  WHERE v.sid <> 0) WHERE rank <= 25),
+        |u AS (SELECT did, 1000000 // (60 + rank) AS c_fp FROM kw
+        |  UNION ALL SELECT did, 1000000 // (60 + rank) FROM vec)
+        |SELECT did AS doc_id, CAST(SUM(c_fp) AS BIGINT) AS rrf_fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY did ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      // the BM25 list is 25 rows post-limit, so the rank window is
+      // list-sized, never corpus-sized
+      val kw = TextOps.bm25Rank(docs, "doc_id", "text",
+          terms = Seq("table", "hash", "merge"), k = 25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id").as("did"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 25)
+        .select(col("nid").as("did"), col("rank"))
+      TextOps.rrfFuse(Seq(kw, vec), rrfK = 60, k = 10)
+        .select(col("did").as("doc_id"), col("rrf_fp"), col("n_lists"))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+    },
+
     // Benchmark decontamination: corpus docs (doc_id % 7 <> 0) sharing any
     // word 3-gram with the "benchmark" slice (doc_id % 7 = 0) — the
     // test-set-leakage guard. Both sides reduce to distinct 48-bit gram

@@ -445,6 +445,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: both-list docs beat single-list peers, credits are exact integers") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("did", "rank")
+    val b = Seq((12L, 1L), (13L, 2L), (10L, 3L)).toDF("did", "rank")
+    val out = TextOps.rrfFuse(Seq(a, b), rrfK = 60, k = 10)
+      .collect().map(r => r.getAs[Long]("did") ->
+        ((r.getAs[Long]("rrf_fp"), r.getAs[Long]("n_lists")))).toMap
+    // exact integer credits: 1e6 div (60 + rank)
+    def c(rank: Long) = 1000000L / (60L + rank)
+    assert(out(10L) == ((c(1) + c(3), 2L)))
+    assert(out(12L) == ((c(3) + c(1), 2L)))
+    assert(out(11L) == ((c(2), 1L)))
+    assert(out(13L) == ((c(2), 1L)))
+    // any two-list doc outranks every one-list doc here
+    val twoMin = out.collect { case (_, (s, 2L)) => s }.min
+    val oneMax = out.collect { case (_, (s, 1L)) => s }.max
+    assert(twoMin > oneMax)
+    // fewer than two rankings is a misuse, not a silent pass-through
+    intercept[IllegalArgumentException] { TextOps.rrfFuse(Seq(a), 60, 10) }
+  }
+
   test("booleanSearch: conjunction and exclusion both enforced, empty must rejected") {
     val docs = Seq(
       (1L, "spark runs a query fast"),      // both musts, no block -> kept
