@@ -565,4 +565,61 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.choose(3, 10)
+    docs <- Gen.listOfN(nDocs,
+      Gen.listOfN(12, Gen.choose(0, 8).map(i => s"w$i")).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("novelty properties: bounds, gram-credit conservation, id-shift invariance") {
+    forAllSamples(corpusGen, 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.ngramNovelty(df, "doc_id", "text", 3)
+        .collect().map(r => r.getAs[Long]("sid") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
+      // bounds: 0 <= n_novel <= n_grams per doc
+      out.values.foreach { case (ng, nn) => assert(nn >= 0 && nn <= ng) }
+      // conservation: every distinct gram credited exactly once corpus-wide
+      val distinctGrams = graft.operators.Dedup
+        .wordShingles(df, "doc_id", "text", 3)
+        .select("gram").distinct().count()
+      assert(out.values.map(_._2).sum == distinctGrams)
+      // shifting every id by a constant preserves all (n_grams, n_novel):
+      // novelty depends on id ORDER, not id values
+      val shifted = graft.operators.Dedup.ngramNovelty(
+          docs.map { case (i, t) => (i + 1000L, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", 3)
+        .collect().map(r => (r.getAs[Long]("sid") - 1000L) ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
+      assert(shifted == out)
+    }
+  }
+
+  test("containment properties: C <= 1, bounded by the smaller gram set, subset scores 1") {
+    forAllSamples(corpusGen, 4) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup.containmentPairs(
+          df, "doc_id", "text", n = 3, k = 8, w = 10,
+          minShared = 1L, threshold = 0.0)
+        .collect()
+      pairs.foreach { r =>
+        val (ni, na, nb, c) = (r.getAs[Long]("n_inter"), r.getAs[Long]("nsh_a"),
+          r.getAs[Long]("nsh_b"), r.getAs[Double]("containment"))
+        assert(ni <= math.min(na, nb), r.toString)
+        assert(c >= 0.0 && c <= 1.0, r.toString)
+        assert(c == ni.toDouble / math.min(na, nb), r.toString)
+      }
+      // a verbatim prefix copy (a strict gram subset) must score exactly 1
+      val base = docs.head._2
+      val sub = base.split(" ").take(7).mkString(" ")
+      val planted = Seq((900L, base + " tail0 tail1 tail2"), (901L, sub))
+        .toDF("doc_id", "text")
+      val hit = graft.operators.Dedup.containmentPairs(
+          planted, "doc_id", "text", 3, 8, 10, 1L, 0.0)
+        .filter(col("ida") === 900L && col("idb") === 901L).collect()
+      assert(hit.length == 1 && hit(0).getAs[Double]("containment") == 1.0,
+        s"subset must score containment 1: ${hit.mkString}")
+    }
+  }
 }
