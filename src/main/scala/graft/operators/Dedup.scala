@@ -702,10 +702,16 @@ object Dedup {
       val fpsAll = graft.core.Storage.cut(
         graft.operators.TextOps.winnowFingerprints(df, idCol, textCol, k, w),
         eager = false)
+      // no broadcast hint on the hot set: its size is bounded only by
+      // |fingerprint instances| / maxDf — tiny on most corpora (AQE will
+      // broadcast it), but a boilerplate-saturated 100 TB corpus can push
+      // it past any driver budget, and then the anti-join must be allowed
+      // to plan as a shuffle (fp-keyed, 8-byte rows — same cost class as
+      // the pair join it protects)
       val hot = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
         .filter(col("fdf") > maxDf).select(col("fp"))
       val fps = graft.core.Storage.cut(
-        fpsAll.join(broadcast(hot), Seq("fp"), "left_anti"), eager = false)
+        fpsAll.join(hot, Seq("fp"), "left_anti"), eager = false)
       val cands = fps.as("a")
         .join(fps.as("b"),
           col("a.fp") === col("b.fp") && col("a.sid") < col("b.sid"))

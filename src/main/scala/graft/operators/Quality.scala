@@ -305,8 +305,8 @@ object Quality {
       .filter(col("rn") === 1)
       .select(col("sid"), col("text"))
     val novel = Dedup.ngramNovelty(unique, "sid", "text", n)
-      .agg(sum(when(col("novelty") >= minNovelty, 1L).otherwise(0L))
-        .as("n_novel"))
+      .agg(coalesce(sum(when(col("novelty") >= minNovelty, 1L).otherwise(0L)),
+        lit(0L)).as("n_novel")) // empty survivor set reports 0, not NULL
     staged.agg(
         count(lit(1)).as("n_input"),
         sum(when(col("g"), 1L).otherwise(0L)).as("n_gopher"),

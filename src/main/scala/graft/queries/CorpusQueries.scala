@@ -2541,9 +2541,9 @@ object CorpusQueries {
          |per AS (SELECT sid, COUNT(*) AS n_grams FROM sh GROUP BY sid),
          |nov AS (SELECT sid, COUNT(*) AS n_novel FROM
          |  (SELECT gh, MIN(sid) AS sid FROM sh GROUP BY gh) GROUP BY sid),
-         |nn AS (SELECT CAST(SUM(CASE WHEN coalesce(per.n_grams, 0) > 0
+         |nn AS (SELECT CAST(coalesce(SUM(CASE WHEN coalesce(per.n_grams, 0) > 0
          |    AND CAST(coalesce(nov.n_novel, 0) AS DOUBLE) / per.n_grams >= 0.5
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_novel
          |  FROM uniq u LEFT JOIN per ON u.sid = per.sid
          |    LEFT JOIN nov ON u.sid = nov.sid)
          |SELECT n_input, n_gopher, n_quality, n_unique, n_novel FROM (
