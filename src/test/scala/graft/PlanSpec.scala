@@ -276,6 +276,27 @@ class PlanSpec extends SparkSpec {
       s"gram aggregates must combine map-side:\n$p")
   }
 
+  test("d24_cross_source_leakage: gram keys shuffle, text never does, no cartesian") {
+    val p = plan("d24_cross_source_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sm9 hashed contract stays ALL-INTEGER (the round-12 cross-engine-float lesson)") {
+    // two rounds of driver-red taught this: any float column in sm9's
+    // hashed output can flip across DuckDB builds. The operator emits only
+    // integral columns now — this guard keeps it that way.
+    val df = SparkEntry.queries("sm9_importance_resample")(spark, sf)
+    val nonIntegral = df.schema.fields.filterNot(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    assert(nonIntegral.isEmpty,
+      s"sm9 output must be all-integer, found: ${nonIntegral.mkString(", ")}")
+  }
+
   test("minhash/simhash signatures are per-row native kernels (no shingle explode shuffle)") {
     val p = plan("d3_minhash_candidates")
     assert(p.contains("graft_minhash_sig"), p)
