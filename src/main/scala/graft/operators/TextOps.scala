@@ -791,4 +791,44 @@ object TextOps {
         round(col("ent_fp").cast("double") / (col("dl").cast("double") * 1e6), 6)
           .as("entropy"))
   }
+
+  /** VOCABULARY GROWTH curve (Heaps' law, empirically): walk the corpus in
+    * id order split into `nBuckets` equal-width id ranges and report, per
+    * bucket, how many word types appear there FIRST plus the cumulative
+    * vocabulary after the bucket — the curve that sizes tokenizer training
+    * corpora (where does type growth flatten?) and flags dedup problems
+    * (a healthy corpus grows sublinearly; near-constant per-bucket growth
+    * means the corpus keeps introducing boilerplate variants).
+    *
+    * All integers: (bucket, n_tokens, n_new_types, cum_types). The
+    * first-holder reduce is [[graft.operators.Dedup.ngramNovelty]]'s
+    * machinery pointed at words and bucketed by id range; the cumulative
+    * sum is a window over `nBuckets` rows — driver-bounded, never
+    * data-sized.
+    */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val toks = df.select(col(idCol).cast("long").as("did"),
+      explode(words(col(textCol))).as("tok")).filter(length(col("tok")) > 0)
+    val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi"))
+    // DIV, not '/': Spark's '/' on longs is double division, and the
+    // bucket id must be exact integer arithmetic at any id magnitude
+    val withB = toks.crossJoin(broadcast(bounds))
+      .select(col("did"), col("tok"),
+        expr(s"least(CAST(${nBuckets - 1} AS BIGINT), " +
+          s"(did - lo) * $nBuckets DIV (hi - lo + 1))").as("bucket"))
+    val perBucketTokens = withB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = withB.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    perBucketTokens.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("n_new_types")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"), col("cum_types"))
+  }
 }

@@ -2505,6 +2505,36 @@ object CorpusQueries {
         Tables.documents(s, d), "doc_id", "text", minQuality = 0.6)
     },
 
+    // Vocabulary-growth curve (TextOps.vocabGrowth, Heaps' law measured):
+    // the corpus walked in id order as 10 equal-width id ranges, per range
+    // the word types first seen there + the cumulative vocabulary — the
+    // curve that sizes tokenizer corpora and flags boilerplate-variant
+    // growth. Exact integers; the first-holder reduce is the d21 machinery
+    // pointed at words; the cumsum window is 10 rows, driver-bounded.
+    QueryDef(
+      "t21_vocab_growth",
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |toks AS (SELECT doc_id AS did, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0),
+        |wb AS (SELECT did, tok,
+        |    least(9, (did - lo) * 10 // (hi - lo + 1)) AS bucket
+        |  FROM toks CROSS JOIN b),
+        |pb AS (SELECT bucket, COUNT(*) AS n_tokens FROM wb GROUP BY bucket),
+        |fs AS (SELECT bucket, COUNT(*) AS n_new_types FROM (
+        |    SELECT tok, MIN(bucket) AS bucket FROM wb GROUP BY tok)
+        |  GROUP BY bucket)
+        |SELECT pb.bucket, n_tokens,
+        |  coalesce(n_new_types, 0) AS n_new_types,
+        |  CAST(SUM(coalesce(n_new_types, 0)) OVER (ORDER BY pb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+        |ORDER BY pb.bucket""".stripMargin) { (s, d) =>
+      TextOps.vocabGrowth(Tables.documents(s, d), "doc_id", "text", 10)
+        .orderBy(col("bucket"))
+    },
+
     // Novelty-gated curation funnel (Quality.curationFunnelNovelty): fn1's
     // local gates (one scan) prune FIRST, then the corpus-wide first-holder
     // novelty reduce runs over the SURVIVORS only and docs with novelty

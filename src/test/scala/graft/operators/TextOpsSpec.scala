@@ -392,6 +392,33 @@ class TextOpsSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.keySet.toString)
   }
 
+  test("vocabGrowth: new types credit their first bucket, cumsum is total vocab, tokens conserve") {
+    // buckets of 2 docs each; vocabulary grows then repeats
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"),        // bucket 0: types a b c
+      (2L, "c d"), (3L, "d e f"),        // bucket 1: new d e f
+      (4L, "a f"), (5L, "a b c")         // bucket 2: nothing new
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_new_types"),
+          r.getAs[Long]("cum_types")))).toMap
+    assert(out(0L) == ((5L, 3L, 3L)))
+    assert(out(1L) == ((5L, 3L, 6L)))
+    assert(out(2L) == ((5L, 0L, 6L)))
+    // conservation: cumulative vocab equals corpus-wide distinct types;
+    // token counts sum to the corpus token count
+    val vocab = docs.select(explode(split(col("text"), " "))).distinct().count()
+    assert(out(2L)._3 == vocab)
+    assert(out.values.map(_._1).sum == 15L)
+    // sparse id spaces bucket by RANGE, not rank: ids 0 and 100 with 2
+    // buckets land in buckets 0 and 1
+    val sparse = Seq((0L, "x"), (100L, "y")).toDF("doc_id", "text")
+    val sp = TextOps.vocabGrowth(sparse, "doc_id", "text", 2)
+      .collect().map(r => r.getAs[Long]("bucket")).toSet
+    assert(sp == Set(0L, 1L))
+  }
+
   test("tokenEntropy: 0 for a looped token, ln(n) for all-distinct, repetition lowers it") {
     val docs = Seq(
       (1L, "x x x x x x x x"),                 // one type: H = 0
