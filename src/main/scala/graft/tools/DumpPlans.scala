@@ -77,7 +77,7 @@ object DumpPlans {
     // index write; its exchange-free serve plan contract lives in
     // DedupSpec.
     "d21_ngram_novelty", "d23_containment_pairs", "fn2_novelty_funnel",
-    "d24_cross_source_leakage", "fts3_hybrid_rrf")
+    "d24_cross_source_leakage", "fts3_hybrid_rrf", "t21_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

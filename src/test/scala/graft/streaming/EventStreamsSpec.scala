@@ -445,6 +445,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyIngest survives a checkpointed restart: batch ids resume, state identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_novelty_ckpt")
+    val (out, ckpt) = (base.resolve("scores").toString, base.resolve("ckpt").toString)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val seed = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 5 =!= 1)
+    val b0 = docs.filter($"doc_id" % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val table = "graft_novelty_ckpt_test"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    graft.operators.Dedup.writeNoveltyIndex(seed, "doc_id", "text", 3, table, 8)
+    val input = MemoryStream[(Long, String)]
+    def startQuery() = noveltyIngest(input.toDF().toDF("doc_id", "text"),
+        table, 8, out, "doc_id", "text", n = 3)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = startQuery()
+    input.addData(b0.toSeq: _*); q1.processAllAvailable(); q1.stop()
+    // enqueue while stopped; the restarted query must resume batch
+    // numbering from the checkpoint, not re-run batch 0
+    input.addData(b1.toSeq: _*)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val live = spark.read.parquet(out)
+        .select($"sid", $"n_grams", $"n_novel", $"ingest_batch".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val twin = graft.SparkEntry.queries("ds4_novelty_ingest")(spark, sf)
+        .select("sid", "n_grams", "n_novel", "ingest_batch")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(live == twin, "restarted stream diverged from the batch twin")
+    } finally {
+      q2.stop()
+      graft.sources.Bucketing.ensureCleanTable(spark, table)
+    }
+  }
+
   test("windowedDistinct parity: streamed KMV estimates equal the batch twin exactly") {
     implicit val sqlCtx = spark.sqlContext
     val evs = graft.core.Tables.events(spark, sf)
