@@ -3867,6 +3867,39 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // METADATA-FILTERED serve over the persisted index (the FAISS
+    // IDSelector / filtered-vector-search pattern): an arbitrary member
+    // predicate (here nid % 3 = 0 — "the allowed shard") restricts
+    // candidates INSIDE the bucketed members scan before probing, so
+    // lower-ranked allowed neighbors flow up exactly as a from-scratch
+    // index over the allowed subset would rank them, and the filtered
+    // scan still joins exchange-free (the bucket spec survives a filter).
+    // Distinct from s23's tombstones: this is per-QUERY policy, not
+    // storage-state deletion — the same index serves every policy.
+    QueryDef(
+      "s24_ivfpq_filtered_serve",
+      s"""$persistedIvfPqCtes
+         |SELECT qid, nid, d2, rank FROM (
+         |  SELECT qid, nid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM dist WHERE nid % 3 = 0) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)
+      val name = "graft_ann_s24_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      AnnIndex.writeIvfPq(base, "vec_id", "embedding", dim = 64,
+        nCells = 16, m = 8, k = 16, name, nBuckets = 8)
+      AnnIndex.appendIvfPq(batch, "vec_id", "embedding", dim = 64,
+        m = 8, name, nBuckets = 8)
+      AnnIndex.searchIvfPq(emb.filter(col("vec_id") < 8), "vec_id",
+          "embedding", dim = 64, m = 8, nProbe = 4, topK = 5, name,
+          memberFilter = col("nid") % 3 === 0)
+        .select(col("qid"), col("nid"), col("d2"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     QueryDef(
       "s20_ivfpq_persisted_refine",
       s"""$persistedIvfPqCtes,
