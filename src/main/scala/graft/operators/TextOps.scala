@@ -831,4 +831,68 @@ object TextOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("bucket"), col("n_tokens"), col("n_new_types"), col("cum_types"))
   }
+
+  /** Hashed linear quality classifier: naive-Bayes log-odds over
+    * hashing-trick unigram buckets, trained on weak labels and applied to
+    * every document in the same pass — the "curated-vs-crawl" quality
+    * filter of LLM pretraining pipelines (a fastText-style linear model:
+    * GPT-3 filtered CommonCrawl with exactly this shape, a linear
+    * classifier over hashed features scoring similarity to a curated
+    * corpus).
+    *
+    * Train: per-bucket token counts in positive (`isPositive`) vs negative
+    * documents with add-one smoothing give the per-bucket weight
+    * w_fp(b) = ln(p⁺(b)) − ln(p⁻(b)) in integer MICRO-NATS; a document
+    * prior ln((P+1)/(N+1)) from doc-level label counts. Score:
+    * score_fp(d) = prior_fp + Σ_b c_db · w_fp(b); predict positive when
+    * score_fp > 0. EVERY ln is [[graft.plans.LnFp]]'s deterministic
+    * integer fixed point (the sm9/t18 libm-free discipline), so weights,
+    * scores and PREDICTIONS are bit-identical in any engine implementing
+    * the integer recurrence — a float-ln model this dense (nBuckets + 1
+    * rounded lns, each a potential boundary flip) could never hash-check.
+    *
+    * Scale shape: features shuffle as (did, bucket) 8-byte pairs, never
+    * text; the model is `nBuckets` rows + one prior row (broadcast both —
+    * the hashing trick exists precisely so the model stays
+    * broadcast-sized at any corpus size); scoring is one map-side
+    * combinable per-doc sum. Train and serve in two passes over the same
+    * featurized frame — no iterative optimizer, no driver-side loop.
+    */
+  def hashedQualityClassifier(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              isPositive: Column, nBuckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    val docs = df.select(col(idCol).as("did"), isPositive.as("is_p"))
+    val feats = df
+      .select(col(idCol).as("did"), isPositive.as("is_p"),
+        explode(words(col(textCol))).as("feat"))
+      .filter(length(col("feat")) > 0)
+      .select(col("did"), col("is_p"),
+        (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
+    val cdb = feats.groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
+    val bc = feats.groupBy(col("b")).agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).as("pc"),
+      sum(when(col("is_p"), 0L).otherwise(1L)).as("nc"))
+    val tot = bc.agg(sum(col("pc")).as("pn"), sum(col("nc")).as("nn"))
+    // two INDEPENDENT integer lns per bucket (the sm9 discipline): each
+    // rounds once from exact integer operands, never a float ratio
+    val w = bc.crossJoin(broadcast(tot)).select(col("b"),
+      (ln(col("pc") + lit(1L), col("pn") + lit(nBuckets.toLong))
+        - ln(col("nc") + lit(1L), col("nn") + lit(nBuckets.toLong))).as("w_fp"))
+    val prior = docs.agg(
+        sum(when(col("is_p"), 1L).otherwise(0L)).as("pd"), count(lit(1)).as("nd"))
+      .select(ln(col("pd") + lit(1L), col("nd") - col("pd") + lit(1L))
+        .as("prior_fp"))
+    val ll = cdb.join(broadcast(w), Seq("b"))
+      .groupBy(col("did")).agg(sum(col("c") * col("w_fp")).as("ll_fp"))
+    // featureless docs (empty text) score the prior alone
+    docs.join(ll, Seq("did"), "left").crossJoin(broadcast(prior))
+      .select(col("did"),
+        (coalesce(col("ll_fp"), lit(0L)) + col("prior_fp")).as("score_fp"),
+        col("is_p").as("actual"))
+      .withColumn("pred", col("score_fp") > 0L)
+  }
 }

@@ -2535,6 +2535,55 @@ object CorpusQueries {
         .orderBy(col("bucket"))
     },
 
+    // Hashed linear quality classifier (TextOps.hashedQualityClassifier):
+    // naive-Bayes log-odds over 256 hashing-trick unigram buckets, weak
+    // labels "curated sources" (src0-3) vs the rest — the GPT-3-style
+    // curated-vs-crawl filter as one train+serve pass. Every ln is the
+    // sqlLog2Fp integer twin of graft.plans.LnFp (the sm9 libm-free
+    // discipline): 513 rounded lns in one model would otherwise be 513
+    // libm boundary dice. Hashed output is (score integer, booleans).
+    QueryDef(
+      "t22_quality_classifier",
+      s"""WITH RECURSIVE $pow2Cte,
+         |docs AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_p
+         |  FROM documents),
+         |f AS (SELECT doc_id, is_p, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT d.doc_id, d.source IN ('src0','src1','src2','src3') AS is_p,
+         |          unnest(string_split(d.text, ' ')) AS feat
+         |        FROM documents d)
+         |  WHERE len(feat) > 0),
+         |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2),
+         |bc AS (SELECT b,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+         |    CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS nc
+         |  FROM f GROUP BY b),
+         |tot AS (SELECT SUM(pc) AS pn, SUM(nc) AS nn FROM bc),
+         |win AS (SELECT b * 2 AS key, pc + 1 AS p, pn + 256 AS q FROM bc CROSS JOIN tot
+         |  UNION ALL SELECT b * 2 + 1, nc + 1, nn + 256 FROM bc CROSS JOIN tot),
+         |${sqlLog2Fp("wl", "win", "key")},
+         |wm AS (SELECT key, $sqlLnMicroFromL AS micro FROM wlL),
+         |wt AS (SELECT p.key // 2 AS b, p.micro - n.micro AS w_fp
+         |  FROM wm p JOIN wm n ON n.key = p.key + 1 WHERE p.key % 2 = 0),
+         |ll AS (SELECT doc_id, SUM(c * w_fp) AS ll_fp
+         |  FROM cdb JOIN wt USING (b) GROUP BY doc_id),
+         |dt AS (SELECT 0 AS key,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p,
+         |    CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) + 1 AS BIGINT) AS q
+         |  FROM docs),
+         |${sqlLog2Fp("pr", "dt", "key")},
+         |prior AS (SELECT $sqlLnMicroFromL AS prior_fp FROM prL)
+         |SELECT doc_id, COALESCE(ll_fp, 0) + prior_fp AS score_fp,
+         |  is_p AS actual, (COALESCE(ll_fp, 0) + prior_fp) > 0 AS pred
+         |FROM docs LEFT JOIN ll USING (doc_id) CROSS JOIN prior
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.hashedQualityClassifier(Tables.documents(s, d), "doc_id", "text",
+          isPositive = col("source").isin("src0", "src1", "src2", "src3"),
+          nBuckets = 256)
+        .select(col("did").as("doc_id"), col("score_fp"), col("actual"),
+          col("pred"))
+        .orderBy(col("doc_id"))
+    },
+
     // Novelty-gated curation funnel (Quality.curationFunnelNovelty): fn1's
     // local gates (one scan) prune FIRST, then the corpus-wide first-holder
     // novelty reduce runs over the SURVIVORS only and docs with novelty
@@ -2571,9 +2620,9 @@ object CorpusQueries {
          |per AS (SELECT sid, COUNT(*) AS n_grams FROM sh GROUP BY sid),
          |nov AS (SELECT sid, COUNT(*) AS n_novel FROM
          |  (SELECT gh, MIN(sid) AS sid FROM sh GROUP BY gh) GROUP BY sid),
-         |nn AS (SELECT CAST(coalesce(SUM(CASE WHEN coalesce(per.n_grams, 0) > 0
+         |nn AS (SELECT coalesce(CAST(SUM(CASE WHEN coalesce(per.n_grams, 0) > 0
          |    AND CAST(coalesce(nov.n_novel, 0) AS DOUBLE) / per.n_grams >= 0.5
-         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_novel
+         |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_novel
          |  FROM uniq u LEFT JOIN per ON u.sid = per.sid
          |    LEFT JOIN nov ON u.sid = nov.sid)
          |SELECT n_input, n_gopher, n_quality, n_unique, n_novel FROM (

@@ -506,4 +506,38 @@ class TextOpsSpec extends SparkSpec {
       TextOps.booleanSearch(docs, "doc_id", "text", Seq.empty, Seq("merge"))
     }
   }
+
+  test("hashedQualityClassifier: separates disjoint vocabularies, prior-only on empty text") {
+    // two disjoint vocabularies: tokens seen only in positive docs push the
+    // log-odds positive, and vice versa — held-out docs from each
+    // vocabulary must classify to their side
+    val docs = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good clean text here", true),
+      (3L, "spam junk noise zzz", false),
+      (4L, "spam junk garbage zzz", false),
+      (5L, "good clean prose text", true),   // positive-vocab holdout
+      (6L, "spam junk noise garbage", false), // negative-vocab holdout
+      (7L, "", true)                          // featureless -> prior only
+    ).toDF("doc_id", "text", "lab")
+    val out = TextOps.hashedQualityClassifier(docs, "doc_id", "text",
+      isPositive = $"lab", nBuckets = 64)
+      .select($"did", $"score_fp", $"pred")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(5L)._3, "positive-vocab doc must predict positive")
+    assert(!byId(6L)._3, "negative-vocab doc must predict negative")
+    // prior: 4 positive vs 3 negative docs -> ln(5/4) micro-nats > 0
+    assert(byId(7L)._2 == graft.plans.LnFp.lnMicro(5L, 4L),
+      "empty text scores exactly the doc prior")
+    // deterministic: a rerun produces identical integers
+    val rerun = TextOps.hashedQualityClassifier(docs, "doc_id", "text",
+      isPositive = $"lab", nBuckets = 64)
+      .select($"did", $"score_fp", $"pred")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rerun.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] {
+      TextOps.hashedQualityClassifier(docs, "doc_id", "text", $"lab", 1)
+    }
+  }
 }
