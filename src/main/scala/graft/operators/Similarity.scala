@@ -185,6 +185,54 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic dedup by clustering embeddings with k-means and pruning
+    * within-cluster near-duplicates — the step that removes paraphrases
+    * and templated rewrites exact/minhash dedup can't see. Per cluster:
+    * pairs with cosine >= `threshold` form duplicate groups (connected
+    * components of the within-cell >=τ graph — order-free, where the
+    * paper's greedy scan depends on iteration order); each group KEEPS
+    * the member with the LOWEST cosine to its centroid (the paper's
+    * "low similarity to centroid" keep rule — retain the hardest,
+    * least-prototypical example), ties to the lowest id.
+    *
+    * Output, one row per input vector: (sid, cid, cosine [to centroid],
+    * component [= own sid for non-duplicates], keep). Downstream filters
+    * `keep` for the pruned corpus; `component` keys the d16-style
+    * canonical-metadata merge.
+    *
+    * Scale shape: the quadratic pairwise work is confined WITHIN cells —
+    * one shuffle on cid, then per-cell self-joins: candidate pairs ~
+    * C·(N/C)² = N²/C, so with the autoCells discipline (C ≈ 4√N) the
+    * pair count is N^1.5/4, the same exponent the paper's per-cluster GPU
+    * scan pays. A hot cell is an AQE skew-join case; cap it by raising
+    * nCells. Components run on the DUP PAIRS only — contamination-sized,
+    * not corpus-sized.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+               rounds: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(df, idCol, vecCol)
+    val asg = kmeansAssign(df, idCol, vecCol, nCells, rounds)
+    val m = v.join(asg.select(col("sid"), col("cid")), Seq("sid"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("a.sid") < col("b.sid"))
+      .filter(pairCosine(col("a.qv"), col("b.qv"),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("a.sid").as("ida"), col("b.sid").as("idb"))
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    val win = Window.partitionBy(col("component"))
+      .orderBy(col("cosine").asc_nulls_first, col("sid").asc)
+    val ranked = asg.join(comp, Seq("sid"))
+      .withColumn("rn", row_number().over(win))
+      .select(col("sid"), col("component"), col("rn"))
+    asg.join(ranked, Seq("sid"), "left")
+      .select(col("sid"), col("cid"), col("cosine"),
+        coalesce(col("component"), col("sid")).as("component"),
+        (col("rn").isNull || col("rn") === 1).as("keep"))
+  }
+
   // ---- SQ8 scalar quantization ---------------------------------------------
 
   /** SQ8 codebook: per-dimension [lo, hi] over the corpus, packed into ONE

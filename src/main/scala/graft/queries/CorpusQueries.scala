@@ -2877,6 +2877,53 @@ object CorpusQueries {
         .orderBy(col("src"), col("other"))
     },
 
+    // SemDeDup (Similarity.semDedup, Abbas et al. 2023): k-means cells
+    // (the s4 seeded-Lloyd CTEs), within-cell pairs at cosine >= 0.45,
+    // duplicate groups as connected components (the d19 recursive CTE),
+    // keep = lowest centroid-cosine member per group (retain the hardest
+    // example). The oracle replays cells, pairs, components and the keep
+    // window — the pruning DECISION hash-checks, not just counts.
+    QueryDef(
+      "d25_semdedup",
+      s"""WITH RECURSIVE $quantVecCte,
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM v ORDER BY sid LIMIT 8),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY cid, pos) GROUP BY cid),
+         |a2 AS (SELECT sid, qv, cid, cosine FROM (
+         |  SELECT v.sid, v.qv, c.cid, ${sqlCosine("v.qv", "c.cv")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
+         |pairs AS (SELECT a.sid AS ida, b.sid AS idb
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.sid < b.sid
+         |  WHERE ${sqlCosine("a.qv", "b.qv")} >= 0.45),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y),
+         |comp AS (SELECT x AS sid, MIN(y) AS component FROM r GROUP BY x),
+         |ranked AS (SELECT sid, component,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY cosine ASC NULLS FIRST, sid) AS rn
+         |  FROM a2 JOIN comp USING (sid))
+         |SELECT a2.sid, a2.cid, a2.cosine,
+         |  coalesce(ranked.component, a2.sid) AS component,
+         |  (ranked.rn IS NULL OR ranked.rn = 1) AS keep
+         |FROM a2 LEFT JOIN ranked ON a2.sid = ranked.sid
+         |ORDER BY a2.sid""".stripMargin) { (s, d) =>
+      graft.core.Storage.freeingIntermediates(s) {
+        Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 8, rounds = 2, threshold = 0.45)
+      }.orderBy(col("sid"))
+    },
+
     // STREAMING NOVELTY INGESTION (EventStreams.noveltyIngestBatch) — the
     // ds-series contract applied to the first-holder index: batch 0
     // (doc_id % 5 = 0) is scored against the seed index then appended;

@@ -707,4 +707,34 @@ class SimilaritySpec extends SparkSpec {
       assert(rows(pushed) == rows(full.filter(qids)), s"$name pushdown diverged")
     }
   }
+
+  test("semDedup: duplicate groups keep exactly one member, singletons survive") {
+    // two groups of exact duplicates + two singletons: groups must collapse
+    // to one kept member each (lowest sid on centroid-cosine ties),
+    // singletons keep themselves with component = own sid
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f)), (4L, Array(0.5f, 0.8f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)), (6L, Array(0f, 0f, 1f, 0f)),
+      (7L, Array(0f, 0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCells = 2, rounds = 2, threshold = 0.99)
+      .select($"sid", $"component", $"keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val byComp = out.groupBy(_._2)
+    // every component keeps exactly one member
+    byComp.foreach { case (c, ms) =>
+      assert(ms.count(_._3) == 1, s"component $c kept ${ms.count(_._3)}")
+    }
+    assert(byComp(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byComp(5L).map(_._1).toSet == Set(5L, 6L))
+    // singletons: own component, kept
+    for (s <- Seq(4L, 7L)) {
+      assert(byComp(s).map(_._1).toSeq == Seq(s))
+      assert(out.find(_._1 == s).get._3, s"singleton $s must be kept")
+    }
+    // exact-duplicate ties break to the lowest sid
+    assert(out.filter(_._3).map(_._1).toSet == Set(1L, 4L, 5L, 7L))
+  }
 }
