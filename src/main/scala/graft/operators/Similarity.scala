@@ -110,6 +110,55 @@ object Similarity {
       .withColumn("recall_ok", col("recall") >= minRecall)
   }
 
+  /** Per-query rank-quality metrics of an ANN method against exact ground
+    * truth — the standard retrieval-eval triple beyond [[annRecall]]'s
+    * set-overlap: hit count, MRR (reciprocal rank at which the TRUE
+    * nearest neighbor surfaces) and binary-relevance DCG@k, with
+    * relevance = membership in the exact top-k. Both inputs are
+    * (qid, nid, rank) frames (the [[bruteForceTopK]]/[[lshTopK]] shape).
+    *
+    * Everything is integer fixed point, so the metrics hash-check across
+    * engines: mrr_fp = 10^6 ÷ first-hit-rank (floor), and the DCG
+    * discount is dg_fp(r) = 10^12 ÷ lnMicro(r+1) via [[graft.plans.LnFp]]
+    * — ln instead of log2 rescales DCG and IDCG by the same constant, so
+    * the derivable ratio ndcg = dcg_fp / idcg_fp is the textbook value
+    * while every REPORTED column stays an exact integer (the sm9
+    * discipline: no float ln, no float division in the contract).
+    * idcg_fp (the all-hits discount sum, k terms) is a driver-side
+    * constant from the same integer kernel — reported so consumers
+    * normalize without recomputing the table.
+    *
+    * Scale shape: one skinny (qid, nid) equi-join between two k-rows-per-
+    * query frames, then a per-qid aggregate — metric cost is O(queries·k),
+    * independent of corpus size; the expensive parts (the ANN method and
+    * the ground truth) are the caller's inputs, computed once and reused
+    * across method comparisons.
+    */
+  def retrievalMetrics(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idcgFp = (1 to k).map(r =>
+      1000000000000L / graft.plans.LnFp.lnMicro(r + 1L, 1L)).sum
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").as("erank"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").as("arank"))
+    val hits = ap.join(ex, Seq("qid", "nid"))
+      .withColumn("lnm",
+        graft.plans.LnFpFunctions.lnMicro(col("arank") + lit(1L), lit(1L)))
+      .withColumn("dg_fp", expr("1000000000000 DIV lnm"))
+    val perQ = hits.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_hits"),
+      sum(col("dg_fp")).as("dcg_fp"),
+      min(when(col("erank") === 1, col("arank"))).as("fr"))
+    ex.select(col("qid")).distinct()
+      .join(perQ, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("1000000 DIV fr"), lit(0L)).as("mrr_fp"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        lit(idcgFp).as("idcg_fp"))
+  }
+
   /** Exact cosine re-rank of an ANN candidate shortlist — the refine stage
     * of a production ANN serve path (FAISS's IndexRefineFlat composition):
     * the compressed index (PQ/IVF-PQ) proposes `|shortlist|` candidates per

@@ -2012,6 +2012,57 @@ object CorpusQueries {
         .orderBy(col("label"), col("pos"))
     },
 
+    // Retrieval metrics (Similarity.retrievalMetrics): per-query hit
+    // count, MRR and binary-relevance DCG@5 of the s2 LSH rung against s1
+    // exact ground truth — all integer fixed point (mrr_fp = 1e6 // rank;
+    // discount 1e12 // lnMicro(r+1) through the sqlLog2Fp twin of
+    // graft.plans.LnFp, so the 5-row discount table cross-checks the
+    // kernel). idcg_fp is the same table summed — the normalizer reported
+    // as data.
+    QueryDef(
+      "e2_retrieval_metrics",
+      s"""WITH RECURSIVE $pow2Cte, $quantVecCte,
+         |${lshCtes(8, 10)},
+         |ap AS (SELECT qid, nid, arank FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS arank
+         |  FROM sc WHERE qid < 8) WHERE arank <= 5),
+         |q AS (SELECT sid AS qid, qv AS qqv FROM v WHERE sid < 8),
+         |exsc AS (SELECT qid, v.sid AS nid, ${sqlCosine("qqv", "v.qv")} AS cosine
+         |  FROM v CROSS JOIN q WHERE v.sid <> qid),
+         |ex AS (SELECT qid, nid, erank FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS erank
+         |  FROM exsc) WHERE erank <= 5),
+         |din AS (SELECT r AS key, CAST(r + 1 AS BIGINT) AS p,
+         |    CAST(1 AS BIGINT) AS q FROM generate_series(1, 5) g(r)),
+         |${sqlLog2Fp("dl", "din", "key")},
+         |disc AS (SELECT key AS r, 1000000000000 // ($sqlLnMicroFromL) AS dg_fp
+         |  FROM dlL),
+         |idcg AS (SELECT CAST(SUM(dg_fp) AS BIGINT) AS idcg_fp FROM disc),
+         |hits AS (SELECT ap.qid, ap.arank, ex.erank, d.dg_fp
+         |  FROM ap JOIN ex ON ap.qid = ex.qid AND ap.nid = ex.nid
+         |  JOIN disc d ON d.r = ap.arank),
+         |perq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    CAST(SUM(dg_fp) AS BIGINT) AS dcg_fp,
+         |    MIN(CASE WHEN erank = 1 THEN arank END) AS fr
+         |  FROM hits GROUP BY qid)
+         |SELECT qs.qid, coalesce(n_hits, 0) AS n_hits,
+         |  coalesce(1000000 // fr, 0) AS mrr_fp,
+         |  coalesce(dcg_fp, 0) AS dcg_fp, idcg_fp
+         |FROM (SELECT DISTINCT qid FROM ex) qs
+         |CROSS JOIN idcg LEFT JOIN perq USING (qid)
+         |ORDER BY qs.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+        dim = 64, nTables = 8, nPlanes = 10, k = 5,
+        probeFilter = col("qid") < 8)
+      Similarity.retrievalMetrics(approx, exact, 5)
+        .orderBy(col("qid"))
+    },
+
     QueryDef(
       "s4_kmeans_refine",
       s"""WITH $quantVecCte,

@@ -708,6 +708,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrievalMetrics: hand-checkable MRR and DCG integers, zero row for missed query") {
+    // qid 1: approx hits exact members at ranks 1 and 3; the TRUE nearest
+    // neighbor (erank 1 = nid 10) surfaces at arank 3. qid 2: no overlap.
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L)
+    ).toDF("qid", "nid", "rank")
+    val approx = Seq(
+      (1L, 11L, 1L), (1L, 99L, 2L), (1L, 10L, 3L),
+      (2L, 98L, 1L), (2L, 97L, 2L), (2L, 96L, 3L)
+    ).toDF("qid", "nid", "rank")
+    val out = Similarity.retrievalMetrics(approx, exact, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    def dg(r: Long) = 1000000000000L / graft.plans.LnFp.lnMicro(r + 1, 1)
+    val idcg = (1L to 3L).map(dg).sum
+    assert(out == List(
+      (1L, 2L, 1000000L / 3L, dg(1) + dg(3), idcg),
+      (2L, 0L, 0L, 0L, idcg)))
+  }
+
   test("semDedup: duplicate groups keep exactly one member, singletons survive") {
     // two groups of exact duplicates + two singletons: groups must collapse
     // to one kept member each (lowest sid on centroid-cosine ties),
