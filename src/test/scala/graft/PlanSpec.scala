@@ -215,6 +215,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 2, p) // one exchange node
   }
 
+  test("t22_quality_classifier: model passes shuffle 8-byte buckets, never text") {
+    val p = plan("t22_quality_classifier")
+    assert(p.contains("graft_ln_micro"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    // features travel as (did, bucket) longs; document text must stay
+    // inside the scan stage (the d14 text-free-shuffle contract)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("e2_retrieval_metrics: integer metrics, equi-joined hits, no cartesian blowup") {
+    val p = plan("e2_retrieval_metrics")
+    assert(p.contains("graft_ln_micro"), p) // DCG discounts via the kernel
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p) // both top-k inputs stay capped
+  }
+
   test("t18_token_entropy: ln kernel per (doc, type) behind a map-side combine") {
     val p = plan("t18_token_entropy")
     assert(p.contains("graft_ln_micro"), p)
