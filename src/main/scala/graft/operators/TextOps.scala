@@ -555,6 +555,45 @@ object TextOps {
       .select(col("did"))
   }
 
+  /** Positional phrase search: documents containing the EXACT consecutive
+    * token sequence `phrase`, with match count and first match position —
+    * the positional-index query class ([[booleanSearch]] answers "all
+    * terms somewhere"; this answers "these terms, adjacent, in order").
+    * Overlapping matches count separately ("table table table" matches
+    * "table table" twice), and repeated phrase terms are handled: each
+    * posting emits one row per phrase slot its token fills.
+    *
+    * Mechanics: positional postings (doc, pos, token) align on
+    * base = pos − slot; a full match at `base` is all |phrase| slots
+    * present. For a fixed (doc, base, slot) the source position is
+    * determined (pos = base + slot), so a plain COUNT equals the distinct
+    * slot count — no distinct aggregate needed.
+    *
+    * Scale shape: the slot fan-out is a literal-array filter+explode
+    * INSIDE the scan stage (max 16 elements, codegen'd — no join against
+    * a terms table), so non-phrase tokens vanish map-side and only
+    * (doc, base, slot) longs shuffle — watched-term-sized, not
+    * corpus-sized. Two map-side-combinable aggregates follow.
+    */
+  def phraseSearch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, phrase: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16, "1..16 phrase terms")
+    val marks = array(phrase.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("t"), lit(i.toLong).as("i"))
+    }: _*)
+    val posts = df
+      .select(col(idCol).as("did"),
+        posexplode(words(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("did"), col("pos").cast("long").as("pos"),
+        explode(filter(marks, m => m("t") === col("tok"))).as("m"))
+      .select(col("did"), (col("pos") - col("m.i")).as("base"))
+    posts.groupBy(col("did"), col("base")).agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === phrase.size.toLong)
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge any number
     * of top-k rankings — BM25 + vector ANN is the canonical hybrid-search
     * pair, but any (did, rank) frames fuse — by summing per-list credits

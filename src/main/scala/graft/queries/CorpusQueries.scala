@@ -1559,6 +1559,28 @@ object CorpusQueries {
         .orderBy(col("rrf_fp").desc, col("doc_id"))
     },
 
+    // Positional phrase search (TextOps.phraseSearch): docs containing the
+    // exact consecutive sequence "table table" + match count + first
+    // position — a repeated-term phrase, so the slot alignment (not mere
+    // co-occurrence) is what the hash check proves. Overlaps count
+    // separately on both engines.
+    QueryDef(
+      "fts4_phrase_search",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id AS did, i - 1 AS pos, w[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(w))) AS t(i)),
+        |ph(tok, idx) AS (SELECT * FROM (VALUES ('table', 0), ('table', 1))),
+        |m AS (SELECT did, pos - idx AS base FROM p JOIN ph USING (tok)),
+        |g AS (SELECT did, base, COUNT(*) AS n_slots FROM m GROUP BY 1, 2)
+        |SELECT did AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(base) AS BIGINT) AS first_pos
+        |FROM g WHERE n_slots = 2 GROUP BY did ORDER BY did""".stripMargin) { (s, d) =>
+      TextOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+          Seq("table", "table"))
+        .select(col("did").as("doc_id"), col("n_matches"), col("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: corpus docs (doc_id % 7 <> 0) sharing any
     // word 3-gram with the "benchmark" slice (doc_id % 7 = 0) — the
     // test-set-leakage guard. Both sides reduce to distinct 48-bit gram

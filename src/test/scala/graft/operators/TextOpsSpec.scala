@@ -507,6 +507,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: adjacency in order, overlapping matches, repeated terms") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),        // phrase at pos 0
+      (2L, "quick the brown fox"),        // terms present, wrong order
+      (3L, "x the quick y the quick z"),  // two matches, first at pos 1
+      (4L, "the the quick"),              // match at pos 1 only
+      (5L, "nothing here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(docs, "doc_id", "text", Seq("the", "quick"))
+      .select($"did", $"n_matches", $"first_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out == List((1L, 1L, 0L), (3L, 2L, 1L), (4L, 1L, 1L)))
+    // repeated phrase terms: "a a a" matches "a a" twice (overlap)
+    val rep = Seq((1L, "a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val out2 = TextOps.phraseSearch(rep, "doc_id", "text", Seq("a", "a"))
+      .select($"did", $"n_matches", $"first_pos")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out2 == List((1L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextOps.phraseSearch(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("hashedQualityClassifier: separates disjoint vocabularies, prior-only on empty text") {
     // two disjoint vocabularies: tokens seen only in positive docs push the
     // log-odds positive, and vice versa — held-out docs from each
