@@ -901,37 +901,87 @@ object TextOps {
                               idCol: String, textCol: String,
                               isPositive: Column, nBuckets: Int)
       : org.apache.spark.sql.DataFrame = {
+    val model = trainQualityModel(df, idCol, textCol, isPositive, nBuckets)
+    scoreQuality(df, idCol, textCol, model, nBuckets)
+      .join(df.select(col(idCol).as("did"), isPositive.as("actual")),
+        Seq("did"))
+      .select(col("did"), col("score_fp"), col("actual"), col("pred"))
+  }
+
+  /** Train-only half of [[hashedQualityClassifier]]: the DENSE model as a
+    * DataFrame — one (b, w_fp) log-odds row per bucket 0..nBuckets-1
+    * (buckets unseen in training get the fully-smoothed weight, so
+    * serve-time tokens hashing there score consistently) plus the doc
+    * prior as the reserved row b = -1. nBuckets + 1 rows total —
+    * broadcast-sized at any corpus size, and a self-contained frozen
+    * artifact: persist it once, serve it from batch or stream (ds5).
+    */
+  def trainQualityModel(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, isPositive: Column, nBuckets: Int)
+      : org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, 2^20], got $nBuckets")
     val ln = graft.plans.LnFpFunctions.lnMicro _
-    val docs = df.select(col(idCol).as("did"), isPositive.as("is_p"))
-    val feats = df
-      .select(col(idCol).as("did"), isPositive.as("is_p"),
-        explode(words(col(textCol))).as("feat"))
-      .filter(length(col("feat")) > 0)
-      .select(col("did"), col("is_p"),
-        (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
-    val cdb = feats.groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
+    // is_p travels INLINE through the featurizer (no did-join): the label
+    // is one bit per row, a join would shuffle the whole feature stream
+    val feats = featurize(df.select(col(idCol).as("did"),
+      col(textCol).as("__text"), isPositive.as("is_p")), "__text", nBuckets)
     val bc = feats.groupBy(col("b")).agg(
       sum(when(col("is_p"), 1L).otherwise(0L)).as("pc"),
       sum(when(col("is_p"), 0L).otherwise(1L)).as("nc"))
+    val dense = df.sparkSession.range(nBuckets).select(col("id").as("b"))
+      .join(bc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("pc"), lit(0L)).as("pc"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
     val tot = bc.agg(sum(col("pc")).as("pn"), sum(col("nc")).as("nn"))
     // two INDEPENDENT integer lns per bucket (the sm9 discipline): each
     // rounds once from exact integer operands, never a float ratio
-    val w = bc.crossJoin(broadcast(tot)).select(col("b"),
+    val w = dense.crossJoin(broadcast(tot)).select(col("b"),
       (ln(col("pc") + lit(1L), col("pn") + lit(nBuckets.toLong))
         - ln(col("nc") + lit(1L), col("nn") + lit(nBuckets.toLong))).as("w_fp"))
-    val prior = docs.agg(
-        sum(when(col("is_p"), 1L).otherwise(0L)).as("pd"), count(lit(1)).as("nd"))
-      .select(ln(col("pd") + lit(1L), col("nd") - col("pd") + lit(1L))
-        .as("prior_fp"))
+    val prior = df.select(col(idCol).as("did"), isPositive.as("is_p"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("pd"),
+        count(lit(1)).as("nd"))
+      .select(lit(-1L).as("b"),
+        ln(col("pd") + lit(1L), col("nd") - col("pd") + lit(1L)).as("w_fp"))
+    w.unionByName(prior)
+  }
+
+  /** Serve-only half of [[hashedQualityClassifier]]: score `df` against a
+    * frozen `model` from [[trainQualityModel]] — (did, score_fp, pred).
+    * The model broadcasts; scoring is one featurize pass + a per-doc sum,
+    * so a persisted model serves any number of corpora (or stream
+    * micro-batches) without retraining.
+    */
+  def scoreQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, model: org.apache.spark.sql.DataFrame,
+                   nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val w = model.filter(col("b") >= 0L).select(col("b"), col("w_fp"))
+    val prior = model.filter(col("b") === -1L)
+      .select(col("w_fp").as("prior_fp"))
+    val cdb = featurize(df.select(col(idCol).as("did"),
+        col(textCol).as("__text")), "__text", nBuckets)
+      .groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
     val ll = cdb.join(broadcast(w), Seq("b"))
       .groupBy(col("did")).agg(sum(col("c") * col("w_fp")).as("ll_fp"))
     // featureless docs (empty text) score the prior alone
-    docs.join(ll, Seq("did"), "left").crossJoin(broadcast(prior))
+    df.select(col(idCol).as("did")).join(ll, Seq("did"), "left")
+      .crossJoin(broadcast(prior))
       .select(col("did"),
-        (coalesce(col("ll_fp"), lit(0L)) + col("prior_fp")).as("score_fp"),
-        col("is_p").as("actual"))
+        (coalesce(col("ll_fp"), lit(0L)) + col("prior_fp")).as("score_fp"))
       .withColumn("pred", col("score_fp") > 0L)
   }
+
+  /** Hashing-trick unigram featurizer shared by train and serve: explodes
+    * `textCol` into one (…, b) row per token OCCURRENCE (counts matter
+    * downstream), b = 48-bit md5 of the token mod nBuckets. All other
+    * columns of `base` ride along, so labels stay inline — no re-join.
+    */
+  private def featurize(base: org.apache.spark.sql.DataFrame,
+                        textCol: String, nBuckets: Int)
+      : org.apache.spark.sql.DataFrame =
+    base.withColumn("feat", explode(words(col(textCol))))
+      .filter(length(col("feat")) > 0)
+      .withColumn("b", graft.operators.Dedup.hash48(col("feat")) % nBuckets)
+      .drop(textCol, "feat")
 }

@@ -3071,6 +3071,77 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // STREAMING QUALITY GATE (EventStreams.qualityGateBatch): the t22
+    // classifier trained ONCE on the seed slice (doc_id % 5 not in {0,1}),
+    // frozen, then serving batches 0 and 1 with partition-replace writes;
+    // batch 0 is REPLAYED (the injected-retry discipline) — read-only
+    // model state makes the rewrite bit-identical. The model is DENSE
+    // (trainQualityModel emits all 256 buckets), so batch tokens hashing
+    // to buckets unseen in training score the fully-smoothed weight —
+    // which the oracle's dense bucket table reproduces exactly.
+    QueryDef(
+      "ds5_quality_gate",
+      s"""WITH RECURSIVE $pow2Cte,
+         |seed AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_p,
+         |    text FROM documents WHERE doc_id % 5 NOT IN (0, 1)),
+         |sf AS (SELECT doc_id, is_p, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT doc_id, is_p, unnest(string_split(text, ' ')) AS feat
+         |        FROM seed)
+         |  WHERE len(feat) > 0),
+         |bc AS (SELECT b,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+         |    CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS nc
+         |  FROM sf GROUP BY b),
+         |tot AS (SELECT SUM(pc) AS pn, SUM(nc) AS nn FROM bc),
+         |bcd AS (SELECT g.b, coalesce(pc, 0) AS pc, coalesce(nc, 0) AS nc
+         |  FROM generate_series(0, 255) g(b) LEFT JOIN bc ON bc.b = g.b),
+         |win AS (SELECT b * 2 AS key, pc + 1 AS p, pn + 256 AS q
+         |    FROM bcd CROSS JOIN tot
+         |  UNION ALL SELECT b * 2 + 1, nc + 1, nn + 256 FROM bcd CROSS JOIN tot),
+         |${sqlLog2Fp("wl", "win", "key")},
+         |wm AS (SELECT key, $sqlLnMicroFromL AS micro FROM wlL),
+         |wt AS (SELECT p.key // 2 AS b, p.micro - n.micro AS w_fp
+         |  FROM wm p JOIN wm n ON n.key = p.key + 1 WHERE p.key % 2 = 0),
+         |dt AS (SELECT 0 AS key,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p,
+         |    CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) + 1 AS BIGINT) AS q
+         |  FROM (SELECT DISTINCT doc_id, is_p FROM seed)),
+         |${sqlLog2Fp("pr", "dt", "key")},
+         |prior AS (SELECT $sqlLnMicroFromL AS prior_fp FROM prL),
+         |bf AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+         |        FROM documents WHERE doc_id % 5 IN (0, 1))
+         |  WHERE len(feat) > 0),
+         |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+         |ll AS (SELECT doc_id, SUM(c * w_fp) AS ll_fp
+         |  FROM cdb JOIN wt USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(ll_fp, 0) + prior_fp AS score_fp,
+         |  (COALESCE(ll_fp, 0) + prior_fp) > 0 AS pred,
+         |  CAST(d.doc_id % 5 AS BIGINT) AS ingest_batch
+         |FROM documents d CROSS JOIN prior LEFT JOIN ll USING (doc_id)
+         |WHERE d.doc_id % 5 IN (0, 1)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isPos = col("source").isin("src0", "src1", "src2", "src3")
+      val seed = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val model = TextOps.trainQualityModel(seed, "doc_id", "text", isPos, 256)
+        .localCheckpoint(false) // frozen: trained once, served thrice below
+      val b0 = docs.filter(col("doc_id") % 5 === 0)
+      val b1 = docs.filter(col("doc_id") % 5 === 1)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_quality_ds5_scores_" + app
+      import graft.streaming.EventStreams.qualityGateBatch
+      qualityGateBatch(b0, 0L, model, out, "doc_id", "text", 256)
+      // injected retry: replay batch 0 over its already-written partition
+      qualityGateBatch(b0, 0L, model, out, "doc_id", "text", 256)
+      qualityGateBatch(b1, 1L, model, out, "doc_id", "text", 256)
+      s.read.parquet(out)
+        .select(col("did").as("doc_id"), col("score_fp"), col("pred"),
+          col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-flattened source mixing (Sampling.temperatureSample,
     // alpha = 0.5, target half the corpus): the sqrt weights are
     // micro-fixed-point so the weight total is an exact integer sum on both

@@ -423,6 +423,42 @@ object EventStreams {
     Dedup.appendNoveltyIndex(b, idCol, textCol, n, indexTable, nBuckets)
   }
 
+  /** Streaming wrapper over [[qualityGateBatch]]: a foreachBatch writer
+    * gating a live document stream with a frozen quality model — start
+    * with `.option("checkpointLocation", …).start()`. Restart-safe for
+    * the same reason the replay is: Spark re-runs the uncommitted batch
+    * id and the partition replace rewrites identical integers.
+    */
+  def qualityGateIngest(stream: DataFrame, model: DataFrame,
+                        scoresOutPath: String, idCol: String,
+                        textCol: String, nBuckets: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      qualityGateBatch(batch, batchId, model, scoresOutPath, idCol, textCol,
+        nBuckets)
+    }
+
+  /** Exactly-once QUALITY-GATE ingestion: score one micro-batch against a
+    * FROZEN quality model ([[graft.operators.TextOps.trainQualityModel]],
+    * trained offline — the production shape: the classifier never retrains
+    * inside the serving path) and write (doc, score_fp, pred) by
+    * partition-replace on `ingest_batch`. Replay-idempotent by
+    * construction — the model is read-only state, so a retried batch
+    * rewrites its own partition with identical integers (the ds2/ds3
+    * injected-retry contract with NO merge lattice needed). Downstream
+    * admits `pred` rows into the corpus.
+    */
+  def qualityGateBatch(batch: DataFrame, batchId: Long, model: DataFrame,
+                       scoresOutPath: String, idCol: String, textCol: String,
+                       nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val scores = graft.operators.TextOps.scoreQuality(
+      batch, idCol, textCol, model, nBuckets)
+    graft.sources.Sinks.overwriteRunPartition(
+      scores.withColumn("ingest_batch", lit(batchId)),
+      scoresOutPath, "ingest_batch")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

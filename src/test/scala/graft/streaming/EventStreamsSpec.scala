@@ -445,6 +445,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("qualityGateIngest: frozen-model stream equals the ds5 batch twin, replay absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_quality_stream")
+      .resolve("scores").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    val isPos = $"source".isin("src0", "src1", "src2", "src3")
+    val seed = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 5 =!= 1)
+    val model = graft.operators.TextOps
+      .trainQualityModel(seed, "doc_id", "text", isPos, 256)
+      .localCheckpoint(false)
+    // dense-model contract: every bucket present exactly once + the prior
+    val bs = model.select($"b").as[Long].collect().sorted
+    assert(bs.toSeq == (-1L until 256L).toSeq, "model must be dense over buckets")
+    val b0 = docs.filter($"doc_id" % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(b0.nonEmpty && b1.nonEmpty)
+    val twin = graft.SparkEntry.queries("ds5_quality_gate")(spark, sf)
+      .select($"doc_id", $"score_fp", $"pred", $"ingest_batch")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = qualityGateIngest(input.toDF().toDF("doc_id", "text"),
+      model, out, "doc_id", "text", 256).start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      def state() = spark.read.parquet(out)
+        .select($"did", $"score_fp", $"pred", $"ingest_batch".cast("long"))
+        .as[(Long, Long, Boolean, Long)].collect().toSet
+      val live = state()
+      assert(live == twin, "live stream diverged from the ds5 batch twin")
+      // injected retry outside the query: replay batch 1 by hand
+      qualityGateBatch(docs.filter($"doc_id" % 5 === 1), 1L, model, out,
+        "doc_id", "text", 256)
+      assert(state() == live, "a replayed batch changed visible state")
+    } finally q.stop()
+  }
+
   test("noveltyIngest survives a checkpointed restart: batch ids resume, state identical") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_novelty_ckpt")
