@@ -262,8 +262,11 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
                rounds: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // nCells <= 0 auto-sizes like the index writers (s18 discipline): a
+    // fixed small cell count would make the within-cell joins quadratic
+    val cells = if (nCells > 0) nCells else autoCells(df.count())
     val v = prepared(df, idCol, vecCol)
-    val asg = kmeansAssign(df, idCol, vecCol, nCells, rounds)
+    val asg = kmeansAssign(df, idCol, vecCol, cells, rounds)
     val m = v.join(asg.select(col("sid"), col("cid")), Seq("sid"))
     val pairs = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") && col("a.sid") < col("b.sid"))

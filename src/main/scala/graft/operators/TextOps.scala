@@ -759,6 +759,41 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data"):
+    * per group (CCNet buckets per LANGUAGE), rank documents by LM score
+    * and label the best third `head`, then `middle`, then `tail` — the
+    * standard crawl-corpus quality tiers (train on head+middle, drop or
+    * downweight tail). The LM is [[unigramNll]]'s corpus unigram model
+    * (CCNet uses a wiki-trained 5-gram; the bucketing contract — rank
+    * thirds within group, deterministic ties — is the operator; the
+    * scorer is swappable). Thirds by integer arithmetic on the rank
+    * (3r ≤ n / 3r > 2n), ties by id, so membership is engine-exact.
+    *
+    * Scale shape: the NLL scoring is the t12 aggregate; bucketing adds
+    * one window exchange on the group key — per-language partitions,
+    * never a global sort.
+    */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, groupCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = unigramNll(df, idCol, textCol)
+    val j = nll.join(
+      df.select(col(idCol).as("did"), col(groupCol).as("grp")), Seq("did"))
+    val byGrp = Window.partitionBy(col("grp"))
+    j.withColumn("r",
+        row_number().over(byGrp.orderBy(col("avg_nll").asc, col("did").asc))
+          .cast("long"))
+      .withColumn("n", count(lit(1)).over(byGrp))
+      .withColumn("bucket",
+        when(col("r") * 3 <= col("n"), "head")
+          .when(col("r") * 3 > col("n") * 2, "tail")
+          .otherwise("middle"))
+      .select(col("did"), col("grp"), col("dl"), col("avg_nll"), col("r"),
+        col("bucket"))
+  }
+
   /** Blocklist hit profile: for every document, the occurrence count of
     * each blocked phrase (overlaps included) — the banned-phrase gate of a
     * curation pipeline, sparse output (only hits). One Aho-Corasick pass

@@ -2774,6 +2774,43 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet perplexity tiers (TextOps.perplexityBuckets): per-language
+    // head/middle/tail thirds by unigram NLL rank — integer third
+    // boundaries (3r <= n / 3r > 2n), ties by id, so tier MEMBERSHIP
+    // hash-checks. The scorer is t12's contract verbatim; the oracle adds
+    // the per-language rank windows.
+    QueryDef(
+      "t23_perplexity_buckets",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks GROUP BY did, tok),
+        |vocab AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+        |contrib AS (SELECT did, tf,
+        |    tf * CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1e6) AS BIGINT) AS nll_fp
+        |  FROM tf JOIN vocab USING (tok) CROSS JOIN tot),
+        |nllt AS (SELECT did, CAST(SUM(tf) AS BIGINT) AS dl,
+        |    round(CAST(SUM(nll_fp) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1e6), 6) AS avg_nll
+        |  FROM contrib GROUP BY did),
+        |j AS (SELECT did, lang AS grp, dl, avg_nll
+        |  FROM nllt JOIN documents ON did = doc_id),
+        |rk AS (SELECT did, grp, dl, avg_nll,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY avg_nll, did) AS BIGINT) AS r,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM j)
+        |SELECT did AS doc_id, grp AS lang, dl, avg_nll, r,
+        |  CASE WHEN r * 3 <= n THEN 'head'
+        |       WHEN r * 3 > n * 2 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.perplexityBuckets(Tables.documents(s, d), "doc_id", "text",
+          "lang")
+        .select(col("did").as("doc_id"), col("grp").as("lang"), col("dl"),
+          col("avg_nll"), col("r"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus boilerplate detection (Dedup.boilerplateStats): df-counted
     // word 5-grams, same 48-bit gram-hash shuffle discipline as the LSH
     // verify stage. Near-dup docs report frac ~1, clean docs 0.

@@ -77,7 +77,13 @@ object DumpPlans {
     // index write; its exchange-free serve plan contract lives in
     // DedupSpec.
     "d21_ngram_novelty", "d23_containment_pairs", "fn2_novelty_funnel",
-    "d24_cross_source_leakage", "fts3_hybrid_rrf", "t21_vocab_growth")
+    "d24_cross_source_leakage", "fts3_hybrid_rrf", "t21_vocab_growth",
+    // round 12 additions: t22's text-free bucket shuffles; e2's ln-kernel
+    // discount metrics; fts4's in-scan slot fan-out; t23's per-group rank
+    // windows. d25 is omitted like d9/d19: components checkpoint-truncate
+    // the plan; ds5 executes writes like the other ds queries.
+    "t22_quality_classifier", "e2_retrieval_metrics", "fts4_phrase_search",
+    "t23_perplexity_buckets")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

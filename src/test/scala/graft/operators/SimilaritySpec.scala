@@ -756,5 +756,16 @@ class SimilaritySpec extends SparkSpec {
     }
     // exact-duplicate ties break to the lowest sid
     assert(out.filter(_._3).map(_._1).toSet == Set(1L, 4L, 5L, 7L))
+    // nCells <= 0 auto-sizes (the s18 discipline) — same decisions as the
+    // explicit autoCells value
+    val auto = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCells = 0, rounds = 2, threshold = 0.99)
+      .select($"sid", $"component", $"keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val explicit = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCells = Similarity.autoCells(7L), rounds = 2, threshold = 0.99)
+      .select($"sid", $"component", $"keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(auto.toSeq == explicit.toSeq)
   }
 }

@@ -507,6 +507,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: exact thirds per group, head strictly easier than tail") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = TextOps.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select($"grp", $"avg_nll", $"r", $"bucket")
+      .as[(String, Double, Long, String)].collect()
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      val n = rows.length
+      val h = rows.count(_._4 == "head")
+      val t = rows.count(_._4 == "tail")
+      // integer third boundaries: head = floor(n/3), tail = n - floor(2n/3)
+      assert(h == n / 3, s"$g: head $h of $n")
+      assert(t == n - 2 * n / 3, s"$g: tail $t of $n")
+      if (h > 0 && t > 0) {
+        val maxHead = rows.filter(_._4 == "head").map(_._2).max
+        val minTail = rows.filter(_._4 == "tail").map(_._2).min
+        assert(maxHead <= minTail, s"$g: head must rank easier than tail")
+      }
+      // ranks are a permutation of 1..n
+      assert(rows.map(_._3).sorted.toSeq == (1L to n.toLong).toSeq, g)
+    }
+  }
+
   test("phraseSearch: adjacency in order, overlapping matches, repeated terms") {
     val docs = Seq(
       (1L, "the quick brown fox"),        // phrase at pos 0
