@@ -501,6 +501,25 @@ object TextOps {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = toks.filter(col("tok").isin(terms: _*))
       .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25ScoreFrames(tf, dl, stats, terms, k, k1, b)
+      .withColumnRenamed("did", idCol)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25Rank]] (in-memory) and
+    * [[FtsIndex.searchBm25]] (persisted index): ONE expression tree, so
+    * both paths produce bit-identical doubles — the serve path's scores
+    * hash-check against the from-scratch oracle because this code is
+    * shared, not merely similar. Inputs: tf (did, tok, tf) already
+    * filtered to `terms`; dl (did, dl); stats one row (n_docs DOUBLE,
+    * avgdl DOUBLE). Per-term sums in fixed `terms` order keep the double
+    * addition engine-deterministic.
+    */
+  private[operators] def bm25ScoreFrames(tf: org.apache.spark.sql.DataFrame,
+                                         dl: org.apache.spark.sql.DataFrame,
+                                         stats: org.apache.spark.sql.DataFrame,
+                                         terms: Seq[String], k: Int,
+                                         k1: Double, b: Double)
+      : org.apache.spark.sql.DataFrame = {
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     val scored = tf
       .join(broadcast(dfreq), Seq("tok"))
@@ -515,9 +534,9 @@ object TextOps {
     }
     scored.groupBy(col("did"))
       .agg(perTerm.head, perTerm.tail: _*)
-      .select(col("did").as(idCol),
+      .select(col("did"),
         round(terms.indices.map(i => col(s"s_$i")).reduce(_ + _), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
+      .orderBy(col("score").desc, col("did").asc)
       .limit(k)
   }
 

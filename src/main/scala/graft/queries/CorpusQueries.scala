@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.operators.{AnnIndex, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AnnIndex, Dedup, FtsIndex, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (dedup, similarity search, text analysis,
@@ -1478,6 +1478,44 @@ object CorpusQueries {
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
       TextOps.bm25Rank(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("table", "hash", "merge"), k = 25)
+    },
+
+    // PERSISTED BM25 index (FtsIndex): write from two thirds of the corpus,
+    // APPEND the rest, then serve the fts1 query from storage — the oracle
+    // is the from-scratch fts1 SQL over the whole corpus, so the hash
+    // check proves the write -> append -> search storage round-trip
+    // (bucketed postings, summed meta stats, serve-time dfreq) loses
+    // nothing. Scoring code is SHARED with bm25Rank, not similar.
+    QueryDef(
+      "fts5_persisted_bm25",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT did, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks
+        |    WHERE tok IN ('table', 'hash', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.did, tf.tok,
+        |    ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (did) CROSS JOIN stats),
+        |agg AS (SELECT did,
+        |    coalesce(SUM(CASE WHEN tok = 'table' THEN s END), 0.0) AS s0,
+        |    coalesce(SUM(CASE WHEN tok = 'hash' THEN s END), 0.0) AS s1,
+        |    coalesce(SUM(CASE WHEN tok = 'merge' THEN s END), 0.0) AS s2
+        |  FROM sc GROUP BY 1)
+        |SELECT did AS doc_id, round(s0 + s1 + s2, 6) AS score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = "fts5_" + app
+      FtsIndex.writeBm25(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", name, nBuckets = 8)
+      FtsIndex.appendBm25(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", name, nBuckets = 8)
+      FtsIndex.searchBm25(s, name, Seq("table", "hash", "merge"), k = 25)
+        .withColumnRenamed("did", "doc_id")
     },
 
     // Boolean keyword retrieval (TextOps.booleanSearch): docs containing
