@@ -84,6 +84,72 @@ object FtsIndex {
     writeAux(p, name, SaveMode.Append)
   }
 
+  /** Partitioned layout for EXACTLY-ONCE streaming ingest: postings both
+    * partitioned by `ingest_batch` AND bucketed by tok (the ds2/ds3
+    * layout), doclens and meta partitioned by `ingest_batch` — every
+    * batch's rows live in replaceable partitions, so a retried batch
+    * REWRITES its own slice instead of double-appending (the failure mode
+    * [[appendBm25]] has by design: that path is for trusted one-shot
+    * backfills). Serve reads all partitions; scores are exact at every
+    * committed point because dfreq and the summed meta stats see exactly
+    * the landed documents.
+    */
+  def writeBm25Partitioned(df: DataFrame, idCol: String, textCol: String,
+                           name: String, nBuckets: Int,
+                           seedBatch: Long = -1L): Unit = {
+    val spark = df.sparkSession
+    Seq(postingsTable(name), doclensTable(name), metaTable(name))
+      .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
+    val p = postings(df, idCol, textCol).localCheckpoint(false)
+    graft.sources.Bucketing.writeBucketedPartitionedBy(
+      p.select(col("tok"), col("did"), col("tf"))
+        .withColumn("ingest_batch", lit(seedBatch)),
+      postingsTable(name), "ingest_batch", Seq("tok"), nBuckets)
+    val dl = p.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(false)
+    dl.withColumn("ingest_batch", lit(seedBatch))
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .format("parquet").saveAsTable(doclensTable(name))
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("ingest_batch", lit(seedBatch))
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .format("parquet").saveAsTable(metaTable(name))
+  }
+
+  /** Ingest one micro-batch exactly-once: postings, doclens and meta rows
+    * all land via partition replace on `batchId` — replaying a batch
+    * rewrites identical content (the ds2/ds3 injected-retry contract).
+    */
+  def ingestBm25Batch(batch: DataFrame, batchId: Long, idCol: String,
+                      textCol: String, name: String, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Bucketing.requireBucketCount(
+      spark, postingsTable(name), nBuckets)
+    val p = postings(batch, idCol, textCol).localCheckpoint(false)
+    graft.sources.Bucketing.overwriteBucketedPartition(
+      p.select(col("tok"), col("did"), col("tf")),
+      postingsTable(name), "ingest_batch", batchId, Seq("tok"), nBuckets)
+    val dl = p.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(false)
+    graft.sources.Sinks.overwriteTablePartition(
+      dl, doclensTable(name), "ingest_batch", batchId)
+    graft.sources.Sinks.overwriteTablePartition(
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      metaTable(name), "ingest_batch", batchId)
+  }
+
+  /** Streaming wrapper over [[ingestBm25Batch]]: foreachBatch ingestion of
+    * a live document stream into the partitioned index — start with
+    * `.option("checkpointLocation", …).start()`; an uncommitted batch id
+    * re-runs and replaces its own partitions.
+    */
+  def bm25Ingest(stream: DataFrame, idCol: String, textCol: String,
+                 name: String, nBuckets: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      ingestBm25Batch(b, id, idCol, textCol, name, nBuckets)
+    }
+
   /** Serve a BM25 query from the persisted index: the postings scan is
     * filtered to `terms` (bucket-pruned), global stats come from the
     * summed meta rows, and the scoring tail is the shared
@@ -92,9 +158,11 @@ object FtsIndex {
   def searchBm25(spark: SparkSession, name: String, terms: Seq[String],
                  k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    // explicit projections: the partitioned layout carries ingest_batch
     val tf = spark.table(postingsTable(name))
       .filter(col("tok").isin(terms: _*))
-    val dl = spark.table(doclensTable(name))
+      .select(col("tok"), col("did"), col("tf"))
+    val dl = spark.table(doclensTable(name)).select(col("did"), col("dl"))
     val stats = spark.table(metaTable(name))
       .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sd"))
       .select(col("nd").cast("double").as("n_docs"),

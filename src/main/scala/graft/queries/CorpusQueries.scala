@@ -1518,6 +1518,49 @@ object CorpusQueries {
         .withColumnRenamed("did", "doc_id")
     },
 
+    // EXACTLY-ONCE STREAMING FTS ingestion (FtsIndex.ingestBm25Batch): the
+    // ds-series contract applied to the BM25 index — postings/doclens/meta
+    // all batch-partitioned, a batch REPLACES its own partitions on retry
+    // (where fts5's appendBm25 would double-append). Seed = doc_id%3==2,
+    // batch 0 ingested TWICE (injected retry), batch 1, then serve; the
+    // oracle is the from-scratch SQL over the whole corpus, so the hash
+    // match proves the replay changed nothing and stats summed exactly.
+    QueryDef(
+      "ds6_fts_ingest",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT did, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks
+        |    WHERE tok IN ('table', 'hash', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.did, tf.tok,
+        |    ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (did) CROSS JOIN stats),
+        |agg AS (SELECT did,
+        |    coalesce(SUM(CASE WHEN tok = 'table' THEN s END), 0.0) AS s0,
+        |    coalesce(SUM(CASE WHEN tok = 'hash' THEN s END), 0.0) AS s1,
+        |    coalesce(SUM(CASE WHEN tok = 'merge' THEN s END), 0.0) AS s2
+        |  FROM sc GROUP BY 1)
+        |SELECT did AS doc_id, round(s0 + s1 + s2, 6) AS score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = "ds6_" + app
+      FtsIndex.writeBm25Partitioned(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", name, nBuckets = 8)
+      val b0 = docs.filter(col("doc_id") % 3 === 0)
+      FtsIndex.ingestBm25Batch(b0, 0L, "doc_id", "text", name, nBuckets = 8)
+      // injected retry: replay batch 0 over its already-written partitions
+      FtsIndex.ingestBm25Batch(b0, 0L, "doc_id", "text", name, nBuckets = 8)
+      FtsIndex.ingestBm25Batch(docs.filter(col("doc_id") % 3 === 1), 1L,
+        "doc_id", "text", name, nBuckets = 8)
+      FtsIndex.searchBm25(s, name, Seq("table", "hash", "merge"), k = 25)
+        .withColumnRenamed("did", "doc_id")
+    },
+
     // Boolean keyword retrieval (TextOps.booleanSearch): docs containing
     // ALL of {spark, query} and NONE of {merge} — one postings pass, the
     // IN-list pruned in-scan, conjunction + exclusion decided by a single

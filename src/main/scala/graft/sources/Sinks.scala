@@ -42,6 +42,43 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(runCol).parquet(path)
 
+  /** [[overwriteRunPartition]] for a MANAGED partitioned catalog table
+    * (non-bucketed — the bucketed twin is
+    * `Bucketing.overwriteBucketedPartition`, and this mirrors its
+    * drop+sweep+append sequence): replace exactly the `partValue`
+    * partition, leaving every other partition untouched. `df` must NOT
+    * already contain `partCol`; it is stamped here so the rows land in
+    * exactly the partition being replaced.
+    */
+  def overwriteTablePartition(df: DataFrame, table: String, partCol: String,
+                              partValue: Long): Unit = {
+    val spark = df.sparkSession
+    spark.sql(
+      s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$partValue)")
+    // belt-and-braces file sweep: a crashed writer can leave committed
+    // files with no catalog entry (the Bucketing helper's rationale)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    if (meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED) {
+      val loc = meta.location
+      if (loc.getScheme == null || loc.getScheme == "file") {
+        val p = java.nio.file.Paths.get(loc.getPath, s"$partCol=$partValue")
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          } finally walk.close()
+        }
+      }
+    }
+    df.withColumn(partCol, org.apache.spark.sql.functions.lit(partValue))
+      .write.mode(SaveMode.Append).partitionBy(partCol)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Format-parameterized batch sink: the engine treats the storage format
     * as a knob (parquet default; orc for ORC-native warehouses; csv/json for
     * interchange). Columnar formats keep predicate pushdown + pruning; the

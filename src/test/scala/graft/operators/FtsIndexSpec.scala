@@ -51,6 +51,45 @@ class FtsIndexSpec extends SparkSpec {
     } finally cleanup(name)
   }
 
+  test("partitioned ingest: live stream equals the batch path, retry replaces not appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val name = "spec_ingest"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val terms = Seq("table", "hash", "merge")
+    try {
+      FtsIndex.writeBm25Partitioned(docs.filter($"doc_id" % 3 === 2),
+        "doc_id", "text", name, nBuckets = 4)
+      val b0 = docs.filter($"doc_id" % 3 === 0)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val b1 = docs.filter($"doc_id" % 3 === 1)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      assert(b0.nonEmpty && b1.nonEmpty)
+      val input = MemoryStream[(Long, String)]
+      val q = FtsIndex.bm25Ingest(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", name, nBuckets = 4).start()
+      try {
+        input.addData(b0.toSeq: _*); q.processAllAvailable()
+        input.addData(b1.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val served = FtsIndex.searchBm25(spark, name, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      val scratch = TextOps.bm25Rank(docs, "doc_id", "text", terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      assert(served == scratch, "streamed index must serve the exact ranking")
+      // injected retry: replaying batch 1 replaces its partitions — the
+      // doc count stays the corpus count and the ranking is unchanged
+      FtsIndex.ingestBm25Batch(docs.filter($"doc_id" % 3 === 1), 1L,
+        "doc_id", "text", name, nBuckets = 4)
+      val metaDocs = spark.table(FtsIndex.metaTable(name))
+        .agg(sum($"n_docs")).as[Long].collect().head
+      assert(metaDocs == docs.count(), "retry must replace, never append")
+      val replayed = FtsIndex.searchBm25(spark, name, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      assert(replayed == served, "a replayed batch changed the ranking")
+    } finally cleanup(name)
+  }
+
   test("meta stats are additive: appends never rewrite, serve sums the rows") {
     val name = "spec_meta"
     val docs = graft.core.Tables.documents(spark, sf)
