@@ -234,6 +234,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // both top-k inputs stay capped
   }
 
+  test("fts4_phrase_search: slot fan-out in-scan, only watched-term longs shuffle") {
+    val p = plan("fts4_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the slot marks are a literal-array Generate, not a join against a
+    // terms table; text stays inside the scan stage
+    assert(p.contains("Generate"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("t23_perplexity_buckets: per-group windows, never a single-partition window") {
+    val p = plan("t23_perplexity_buckets")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("t18_token_entropy: ln kernel per (doc, type) behind a map-side combine") {
     val p = plan("t18_token_entropy")
     assert(p.contains("graft_ln_micro"), p)
