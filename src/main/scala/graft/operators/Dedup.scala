@@ -937,6 +937,39 @@ object Dedup {
     labels.select(col("sid"), col("component"))
    }
 
+  /** INCREMENTAL connected components: fold a batch of NEW near-dup pairs
+    * into an existing [[connectedComponents]] labeling without recomputing
+    * the corpus — the cluster-maintenance step of streaming dedup (ds1/ds2
+    * find the new pairs; this keeps the CLUSTER labels current so
+    * canonical-selection/leakage-safe-split stay correct as dups arrive).
+    *
+    * Clusters untouched by any new-pair endpoint pass through UNCHANGED;
+    * touched clusters are reduced to their star edges (member — label) and
+    * re-solved together with the new pairs. Labels are min-member-ids on
+    * both paths, so the merged output is IDENTICAL to a from-scratch run
+    * over the union of all pairs (d26's oracle states exactly that) —
+    * incremental is an optimization, never a semantic.
+    *
+    * Scale shape: cost ∝ touched clusters + new pairs — batch-sized, never
+    * corpus-sized (the d22/s19 incremental discipline). The touched-
+    * component set is batch-bounded and broadcasts into both the keep and
+    * recompute splits.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val pairs = newPairs.select(col("ida"), col("idb"))
+    val ends = pairs.select(col("ida").as("sid"))
+      .unionByName(pairs.select(col("idb").as("sid"))).distinct()
+    val touched = labels.join(ends, Seq("sid"), "left_semi")
+      .select(col("component")).distinct()
+    val keep = labels.join(broadcast(touched), Seq("component"), "left_anti")
+      .select(col("sid"), col("component"))
+    val starEdges = labels.join(broadcast(touched), Seq("component"), "left_semi")
+      .filter(col("sid") =!= col("component"))
+      .select(col("sid").as("ida"), col("component").as("idb"))
+    keep.unionByName(
+      connectedComponents(starEdges.unionByName(pairs)))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val SimhashBits = 48

@@ -1979,6 +1979,52 @@ object CorpusQueries {
       }.orderBy(col("sid"))
     },
 
+    // INCREMENTAL components (Dedup.mergeComponents): the d19 pair set
+    // split into an "existing corpus" slice and a "new batch" slice
+    // (pairs touching vec_id % 4 == 3), labels built from the first then
+    // MERGED with the second — the oracle is d19's from-scratch recursive
+    // closure over ALL pairs, so the hash match proves incremental
+    // label maintenance loses nothing (untouched clusters pass through,
+    // touched clusters re-solve via their star edges).
+    QueryDef(
+      "d26_incremental_components",
+      s"""WITH RECURSIVE $quantVecCte,
+         |planes AS (
+         |  SELECT t.t AS tbl, m.m AS m,
+         |    list(${sqlHash("'plane_' || t.t || '_' || m.m || '_' || j.j", 8)} % 2001 - 1000
+         |         ORDER BY j.j) AS pv
+         |  FROM generate_series(0, 15) t(t), generate_series(0, 5) m(m),
+         |       generate_series(0, 63) j(j)
+         |  GROUP BY t.t, m.m),
+         |buckets AS (
+         |  SELECT v.sid, p.tbl,
+         |    SUM(CASE WHEN list_dot_product(v.qv, p.pv) > 0
+         |        THEN (CAST(1 AS BIGINT) << p.m) ELSE 0 END) AS bucket
+         |  FROM v CROSS JOIN planes p
+         |  GROUP BY v.sid, p.tbl),
+         |cand AS (SELECT DISTINCT a.sid AS ida, b.sid AS idb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sid < b.sid),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT c.ida, c.idb, ${sqlCosine("va.qv", "vb.qv")} AS cosine
+         |  FROM cand c JOIN v va ON c.ida = va.sid JOIN v vb ON c.idb = vb.sid)
+         |  WHERE cosine >= 0.45),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
+         |SELECT x AS sid, min(y) AS component FROM r GROUP BY x
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      graft.core.Storage.freeingIntermediates(s) {
+        val pairs = Similarity.lshNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, nTables = 16, nPlanes = 6,
+          threshold = 0.45)
+        val isNew = col("ida") % 4 === 3 || col("idb") % 4 === 3
+        val labels0 = Dedup.connectedComponents(pairs.filter(!isNew))
+        Dedup.mergeComponents(labels0, pairs.filter(isNew))
+      }.orderBy(col("sid"))
+    },
+
     // == similarity search ==
 
     QueryDef(

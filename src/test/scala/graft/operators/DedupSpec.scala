@@ -603,4 +603,26 @@ class DedupSpec extends SparkSpec {
       assert("Exchange".r.findAllIn(plan).size == 1, plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("mergeComponents: cluster merges, fresh clusters, untouched passthrough — equals from-scratch") {
+    import spark.implicits._
+    // existing clusters: {1,2,3} label 1, {10,11} label 10, {20,21} label 20
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("ida", "idb")
+    val labels0 = Dedup.connectedComponents(oldPairs)
+    // new batch: bridges the 1- and 10-clusters, adds a fresh {30,31}
+    // cluster, touches nothing in {20,21}
+    val newPairs = Seq((3L, 10L), (30L, 31L)).toDF("ida", "idb")
+    val merged = Dedup.mergeComponents(labels0, newPairs)
+      .as[(Long, Long)].collect().toSet
+    val scratch = Dedup.connectedComponents(
+        oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == scratch, "incremental must equal from-scratch labels")
+    assert(merged.contains(20L -> 20L) && merged.contains(21L -> 20L),
+      "untouched cluster must pass through unchanged")
+    assert(merged.filter(_._2 == 1L).map(_._1) ==
+      Set(1L, 2L, 3L, 10L, 11L), "bridged clusters must unify under min id")
+    assert(merged.contains(30L -> 30L) && merged.contains(31L -> 30L))
+  }
 }
