@@ -35,6 +35,34 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-12 operators: empty in, empty out, schema intact") {
+    // classifier on an empty corpus: empty scores, dense model still full
+    val model = TextOps.trainQualityModel(noDocs, "doc_id", "text",
+      lit(true), 16)
+    assert(model.count() == 17, "dense model: 16 buckets + prior")
+    assert(TextOps.scoreQuality(noDocs, "doc_id", "text", model, 16)
+      .count() == 0)
+    // semDedup needs a positive cell count on an empty frame (auto would
+    // divide by zero rows) — explicit cells return empty with the schema
+    val sd = Similarity.semDedup(noVecs, "vec_id", "embedding", 2, 1, 0.9)
+    assert(sd.columns.toSeq ==
+      Seq("sid", "cid", "cosine", "component", "keep") && sd.count() == 0)
+    // phrase search / perplexity buckets / metrics over nothing
+    assert(TextOps.phraseSearch(noDocs, "doc_id", "text", Seq("a", "b"))
+      .count() == 0)
+    assert(TextOps.perplexityBuckets(noDocs, "doc_id", "text", "text")
+      .count() == 0)
+    val noRanks = Seq.empty[(Long, Long, Long)].toDF("qid", "nid", "rank")
+    val rm = Similarity.retrievalMetrics(noRanks, noRanks, 5)
+    assert(rm.columns.toSeq ==
+      Seq("qid", "n_hits", "mrr_fp", "dcg_fp", "idcg_fp") && rm.count() == 0)
+    // incremental components with an empty batch: labels pass through
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("sid", "component")
+    assert(Dedup.mergeComponents(labels,
+      Seq.empty[(Long, Long)].toDF("ida", "idb"))
+      .as[(Long, Long)].collect().toSet == Set(1L -> 1L, 2L -> 1L))
+  }
+
   test("round-7 operators: empty in, empty out, schema intact") {
     // BPE training on nothing: zero merges, right columns
     val merges = TextOps.bpeMerges(noDocs, "text", rounds = 3)

@@ -90,6 +90,27 @@ class FtsIndexSpec extends SparkSpec {
     } finally cleanup(name)
   }
 
+  test("postings compaction under append churn: ranking byte-identical, fewer files") {
+    val name = "spec_compact"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val terms = Seq("table", "hash", "merge")
+    try {
+      FtsIndex.writeBm25(docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text",
+        name, nBuckets = 4)
+      FtsIndex.appendBm25(docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        name, nBuckets = 4)
+      val before = FtsIndex.searchBm25(spark, name, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      val (nBefore, nAfter) = graft.sources.Bucketing.compactBucketedTable(
+        spark, FtsIndex.postingsTable(name), Seq("tok"), 4)
+      assert(nAfter < nBefore, s"compaction must shrink files: $nBefore -> $nAfter")
+      assert(nAfter <= 4, "one file per non-empty bucket")
+      val after = FtsIndex.searchBm25(spark, name, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      assert(after == before, "compaction changed the served ranking")
+    } finally cleanup(name)
+  }
+
   test("meta stats are additive: appends never rewrite, serve sums the rows") {
     val name = "spec_meta"
     val docs = graft.core.Tables.documents(spark, sf)
