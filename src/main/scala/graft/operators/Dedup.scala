@@ -970,6 +970,26 @@ object Dedup {
       connectedComponents(starEdges.unionByName(pairs)))
   }
 
+  /** Persisted-labels form of [[mergeComponents]]: fold a batch of pairs
+    * into the `table` of (sid, component) labels and overwrite it — the
+    * state-maintenance step a streaming dedup pipeline runs per
+    * micro-batch (ds7). REPLAY-IDEMPOTENT by the merge's semantics:
+    * re-merging pairs whose endpoints are already unified re-solves the
+    * touched clusters to the same min-member-id labels, so a retried
+    * batch rewrites identical content — no partition machinery needed for
+    * this (cluster-membership-sized, not corpus-sized) table. The merge
+    * result is checkpoint-cut before the overwrite so the write never
+    * reads the table it replaces.
+    */
+  def mergeComponentsTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String, newPairs: DataFrame): Unit = {
+    val merged = graft.core.Storage.cut(
+      mergeComponents(spark.table(table), newPairs), true)
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+    graft.core.Storage.freeCheckpoint(merged)
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val SimhashBits = 48

@@ -1979,6 +1979,57 @@ object CorpusQueries {
       }.orderBy(col("sid"))
     },
 
+    // STREAMING COMPONENT-LABEL MAINTENANCE (Dedup.mergeComponentsTable):
+    // the d26 merge driven through STORAGE with an injected replay — seed
+    // labels from the corpus-slice minhash pairs, then two batches of
+    // pairs folded into the persisted labels table, batch 1 merged TWICE
+    // (replay-idempotent by the merge's semantics: re-merging unified
+    // endpoints re-solves to identical min-member labels — no partition
+    // machinery needed for cluster-sized state). The oracle is the
+    // from-scratch closure over ALL verified pairs.
+    QueryDef(
+      "ds7_component_ingest",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |vp AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM vp UNION SELECT idb, ida FROM vp),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
+         |SELECT x AS sid, min(y) AS component FROM r GROUP BY x
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      graft.core.Storage.freeingIntermediates(s) {
+        val docs = Tables.documents(s, d)
+        val vp = graft.core.Storage.cut(
+          Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5), true)
+        def stage(c: org.apache.spark.sql.Column) =
+          when(c % 8 === 0, 1L).when(c % 8 === 4, 2L).otherwise(0L)
+        val ps = vp.withColumn("stg",
+          greatest(stage(col("ida")), stage(col("idb"))))
+        val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val table = "graft_labels_ds7_" + app
+        graft.sources.Bucketing.ensureCleanTable(s, table)
+        Dedup.connectedComponents(ps.filter(col("stg") === 0))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(table)
+        val p1 = ps.filter(col("stg") === 1)
+        Dedup.mergeComponentsTable(s, table, p1)
+        // injected replay: fold batch 1 in again after it already landed
+        Dedup.mergeComponentsTable(s, table, p1)
+        Dedup.mergeComponentsTable(s, table, ps.filter(col("stg") === 2))
+        s.table(table)
+      }.orderBy(col("sid"))
+    },
+
     // INCREMENTAL components (Dedup.mergeComponents): the d19 pair set
     // split into an "existing corpus" slice and a "new batch" slice
     // (pairs touching vec_id % 4 == 3), labels built from the first then
