@@ -314,4 +314,43 @@ object Quality {
         countDistinct(when(col("gq"), col("fp"))).as("n_unique"))
       .crossJoin(broadcast(novel))
   }
+
+  /** Per-document curation DECISION LOG — the per-row dual of
+    * [[curationFunnel]]'s aggregate report: every document gets the FIRST
+    * gate that rejected it (funnel order), or `kept`. This is the
+    * provenance artifact an auditable curation run ships alongside the
+    * pruned corpus ("why is doc X not in the training set?"), and the
+    * debugging surface when a source's survival rate drops.
+    *
+    * Verdicts: `gopher` (failed the rule gate), `low_quality` (passed
+    * rules, score < minQuality), `duplicate` (quality survivor whose
+    * fingerprint was first claimed by a lower id — the d2 keep-first
+    * rule), `kept`. Counts reconcile with [[curationFunnel]] by
+    * construction: n_gopher = n - #gopher, n_quality = n_gopher -
+    * #low_quality, n_unique = #kept (spec-asserted).
+    *
+    * Scale shape: the gates stay one scan; the duplicate verdict needs
+    * one shuffle on the fingerprint (an unordered per-partition MIN —
+    * cheaper than the rank window, no sort) — the same exchange d2's
+    * dedup pays.
+    */
+  def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
+                       minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, _, _, keep) =
+      TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)
+    val staged = docs.select(
+      col(idCol).as("sid"), keep.as("g"),
+      (keep && TextOps.qualityScore(col(textCol)) >= minQuality).as("gq"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val minGq = min(when(col("gq"), col("sid")))
+      .over(Window.partitionBy(col("fp")))
+    staged
+      .withColumn("verdict",
+        when(!col("g"), "gopher")
+          .when(!col("gq"), "low_quality")
+          .when(col("sid") =!= minGq, "duplicate")
+          .otherwise("kept"))
+      .select(col("sid"), col("verdict"))
+  }
 }

@@ -2887,6 +2887,46 @@ object CorpusQueries {
         minQuality = 0.6, n = 3, minNovelty = 0.5)
     },
 
+    // Per-doc curation DECISION LOG (Quality.rejectionReasons): every
+    // document's FIRST failing gate in funnel order (gopher ->
+    // low_quality -> duplicate) or `kept` — the provenance artifact the
+    // fn1 aggregate summarizes. Duplicate = quality survivor whose
+    // fingerprint a lower id claimed first (the d2 keep-first rule via an
+    // unordered per-fingerprint MIN). Counts reconcile with fn1,
+    // spec-asserted.
+    QueryDef(
+      "fn3_rejection_reasons",
+      s"""WITH f AS (SELECT doc_id AS sid,
+         |  (len(string_split(text, ' ')) BETWEEN 30 AND 10000
+         |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |        greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
+         |       BETWEEN 4.0 AND 5.0
+         |   AND len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) >= 2) AS g,
+         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS q,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |FROM documents),
+         |m AS (SELECT sid, g, (g AND q >= 0.6) AS gq, fp,
+         |    MIN(CASE WHEN g AND q >= 0.6 THEN sid END)
+         |      OVER (PARTITION BY fp) AS mgq
+         |  FROM f)
+         |SELECT sid AS doc_id,
+         |  CASE WHEN NOT g THEN 'gopher'
+         |       WHEN NOT gq THEN 'low_quality'
+         |       WHEN sid <> mgq THEN 'duplicate'
+         |       ELSE 'kept' END AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Quality.rejectionReasons(
+          Tables.documents(s, d), "doc_id", "text", minQuality = 0.6)
+        .select(col("sid").as("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
     // Bigram stupid-backoff NLL (TextOps.bigramNll): the LM trains on the
     // EVEN docs and scores ALL docs, so held-out (odd) docs route unseen
     // transitions through the 0.4 x add-one-unigram backoff — n_unseen

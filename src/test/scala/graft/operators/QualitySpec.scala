@@ -157,4 +157,19 @@ class QualitySpec extends SparkSpec {
     assert(d.getAs[Double]("med") == c.getAs[Double]("med"))
     assert(math.abs(d.getAs[Double]("mad") - c.getAs[Double]("mad")) <= 1.0)
   }
+
+  test("rejectionReasons: verdict counts reconcile with the fn1 funnel exactly") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val verdicts = Quality.rejectionReasons(docs, "doc_id", "text", 0.6)
+      .groupBy($"verdict").count()
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val f = Quality.curationFunnel(docs, "doc_id", "text", 0.6).collect().head
+    val n = f.getAs[Long]("n_input")
+    assert(verdicts.values.sum == n, "every doc gets exactly one verdict")
+    assert(n - verdicts("gopher") == f.getAs[Long]("n_gopher"))
+    assert(n - verdicts("gopher") - verdicts("low_quality") ==
+      f.getAs[Long]("n_quality"))
+    assert(verdicts("kept") == f.getAs[Long]("n_unique"),
+      "kept == distinct quality survivors (one per fingerprint)")
+  }
 }
