@@ -1033,14 +1033,7 @@ object Dedup {
     */
   def hammingBandPairs(sig: DataFrame, hashCol: String, totalBits: Int,
                        maxHamming: Int, numChunks: Int): DataFrame = {
-    require(numChunks > 0 && totalBits % numChunks == 0,
-      s"numChunks must divide $totalBits bits, got $numChunks")
-    val width = totalBits / numChunks
-    val mask = (1L << width) - 1
-    val chunks = sig.select(col("sid"), col(hashCol).as("__h"),
-      posexplode(array((0 until numChunks).map(c =>
-        shiftright(col(hashCol), width * c).bitwiseAND(mask)): _*))
-        .as(Seq("chunk", "ckey")))
+    val chunks = hammingChunks(sig, hashCol, totalBits, numChunks)
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
@@ -1050,4 +1043,72 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** (sid, __h, chunk, ckey) chunk postings of a hamming signature — the
+    * band-index shape for perceptual hashes, shared by the in-memory
+    * [[hammingBandPairs]] and the persisted [[writeHammingIndex]] path.
+    */
+  private def hammingChunks(sig: DataFrame, hashCol: String, totalBits: Int,
+                            numChunks: Int): DataFrame = {
+    require(numChunks > 0 && totalBits % numChunks == 0,
+      s"numChunks must divide $totalBits bits, got $numChunks")
+    val width = totalBits / numChunks
+    val mask = (1L << width) - 1
+    sig.select(col("sid"), col(hashCol).as("__h"),
+      posexplode(array((0 until numChunks).map(c =>
+        shiftright(col(hashCol), width * c).bitwiseAND(mask)): _*))
+        .as(Seq("chunk", "ckey")))
+  }
+
+  /** Persist a perceptual-hash chunk index as a bucketed table keyed by
+    * the candidate join's equi-keys (chunk, ckey) — [[writeBandIndex]]'s
+    * discipline applied to hamming signatures (image dHash, audio energy
+    * hash, video temporal hash all share this shape), so incremental
+    * media dedup joins the corpus side EXCHANGE-FREE.
+    */
+  def writeHammingIndex(sig: DataFrame, hashCol: String, totalBits: Int,
+                        numChunks: Int, table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedBy(
+      hammingChunks(sig, hashCol, totalBits, numChunks),
+      table, Seq("chunk", "ckey"), nBuckets)
+
+  /** Append a batch's chunk postings to a [[writeHammingIndex]] table —
+    * per-batch media-index growth, bucket spec validated by Spark.
+    */
+  def appendHammingIndex(sig: DataFrame, hashCol: String, totalBits: Int,
+                         numChunks: Int, table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.appendBucketedBy(
+      hammingChunks(sig, hashCol, totalBits, numChunks),
+      table, Seq("chunk", "ckey"), nBuckets)
+
+  /** Incremental media near-dup: a batch of new signatures against the
+    * persisted chunk index (+ within-batch pairs) — the media analogue of
+    * [[incrementalNearDupPairs]]: per-batch cost follows the batch, the
+    * index side of the candidate join is exchange-free on its bucketed
+    * (chunk, ckey) layout, and the result equals the full
+    * [[hammingBandPairs]] run restricted to pairs touching the batch.
+    * The exact hamming verify needs no document reassembly — the 64-bit
+    * signatures travel with the chunk rows.
+    */
+  def incrementalHammingPairs(newSig: DataFrame, corpusChunks: DataFrame,
+                              hashCol: String, totalBits: Int,
+                              maxHamming: Int, numChunks: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(newSig.sparkSession) {
+    val nb = graft.core.Storage.cut(
+      hammingChunks(newSig, hashCol, totalBits, numChunks), eager = false)
+    def pairsOf(b: DataFrame, lt: Boolean): DataFrame = {
+      val cond = col("a.chunk") === col("b.chunk") &&
+        col("a.ckey") === col("b.ckey") &&
+        (if (lt) col("a.sid") < col("b.sid") else col("a.sid") =!= col("b.sid"))
+      nb.as("a").join(b.as("b"), cond)
+        .select(least(col("a.sid"), col("b.sid")).as("ida"),
+          greatest(col("a.sid"), col("b.sid")).as("idb"),
+          expr("bit_count(a.__h ^ b.__h)").as("hamming"))
+    }
+    graft.core.Storage.cut(
+      pairsOf(nb, lt = true)
+        .unionByName(pairsOf(corpusChunks, lt = false))
+        .distinct()
+        .filter(col("hamming") <= maxHamming), eager = true)
+   }
 }

@@ -2540,6 +2540,54 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // INCREMENTAL media near-dup (Dedup.incrementalHammingPairs): the m5
+    // dHash corpus persisted as a (chunk, ckey)-bucketed index, a batch
+    // (doc_id % 4 == 0) deduped against it + within itself — the d12
+    // incremental contract for perceptual hashes: the oracle is the FULL
+    // m5 pair set restricted to batch-touching pairs, so a hash match
+    // proves the persisted-index path finds exactly the from-scratch
+    // pairs at batch-sized cost.
+    QueryDef(
+      "m8_image_incremental",
+      s"""WITH ids AS (SELECT doc_id AS sid, doc_id % 101 AS g, doc_id % 7 AS p
+         |  FROM documents),
+         |g8 AS (SELECT sid, rx, ry,
+         |    (g*53 + ry*4*(97 + 17*(g%11)) + rx*4*(11 + 6*(g%7)) + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |  + (g*53 + ry*4*(97 + 17*(g%11)) + rx*4*(11 + 6*(g%7)) + 7 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |  + (g*53 + ry*4*(97 + 17*(g%11)) + rx*4*(11 + 6*(g%7)) + 14 + CASE WHEN rx = 0 THEN p*40 ELSE 0 END) % 256
+         |    AS gv
+         |  FROM ids, unnest(generate_series(0, 7)) t1(rx),
+         |       unnest(generate_series(0, 7)) t2(ry)),
+         |dh AS (SELECT a.sid,
+         |    CAST(SUM(CASE WHEN b.gv > a.gv
+         |      THEN CAST(1 AS BIGINT) << (a.ry*7 + a.rx) ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM g8 a JOIN g8 b ON a.sid = b.sid AND a.ry = b.ry AND b.rx = a.rx + 1
+         |  GROUP BY a.sid),
+         |chunks AS (
+         |${(0 until 4).map(c =>
+             s"  SELECT sid, dhash, $c AS chunk, (dhash >> ${14 * c}) & 16383 AS ckey FROM dh")
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.sid AS ida, b.sid AS idb,
+         |    bit_count(xor(a.dhash, b.dhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.sid < b.sid
+         |) WHERE hamming <= 6 AND (ida % 4 = 0 OR idb % 4 = 0)
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val sig = Multimodal.imageDHash(s,
+        Multimodal.attachImageFixture(s, Tables.documents(s, d), "doc_id"))
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = "graft_hamming_m8_" + app
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      Dedup.writeHammingIndex(sig.filter(col("sid") % 4 =!= 0), "dhash",
+        totalBits = 56, numChunks = 4, table, nBuckets = 8)
+      Dedup.incrementalHammingPairs(sig.filter(col("sid") % 4 === 0),
+          s.table(table), "dhash", totalBits = 56, maxHamming = 6,
+          numChunks = 4)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Audio perceptual near-dup: 48-bit energy-delta hash (the audio
     // analogue of m5's dHash — parse REAL WAV bytes, frame the samples,
     // sum |amplitude| per frame, bit f = energy rising) + the shared

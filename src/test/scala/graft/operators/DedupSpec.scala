@@ -604,6 +604,29 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incrementalHammingPairs: equals the full run restricted to the batch") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val sig = Multimodal.imageDHash(spark,
+      Multimodal.attachImageFixture(spark, docs, "doc_id"))
+    val table = "graft_hamming_spec"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    try {
+      Dedup.writeHammingIndex(sig.filter($"sid" % 4 =!= 0), "dhash", 56, 4,
+        table, nBuckets = 4)
+      assert(graft.sources.Bucketing.liveBucketCount(spark, table)
+        .contains(4), "index must be bucketed on the candidate keys")
+      val inc = Dedup.incrementalHammingPairs(sig.filter($"sid" % 4 === 0),
+          spark.table(table), "dhash", 56, 6, 4)
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Dedup.hammingBandPairs(sig, "dhash", 56, 6, 4)
+        .filter($"ida" % 4 === 0 || $"idb" % 4 === 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(inc == full, "incremental must equal full restricted to batch")
+      assert(inc.nonEmpty, "fixture must produce batch-touching pairs")
+    } finally graft.sources.Bucketing.ensureCleanTable(spark, table)
+  }
+
   test("mergeComponents: cluster merges, fresh clusters, untouched passthrough — equals from-scratch") {
     import spark.implicits._
     // existing clusters: {1,2,3} label 1, {10,11} label 10, {20,21} label 20
