@@ -234,6 +234,41 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** EMBEDDING-SPACE drift between two corpus snapshots, per label: the
+    * cosine between the two snapshots' label centroids — the monitoring
+    * gate for embedding pipelines (a model/preprocessing change or a
+    * source-mix shift moves centroids; cosine near 1 = stable). Centroid
+    * sums are exact integers ([[graft.plans.VectorSumLong]], the e1
+    * contract); each sum is arithmetic-shifted (floor, >> 10) so the
+    * cross-centroid dot stays in Long range at any corpus size, and the
+    * cosine is then the house integer-ratio double (deterministic IEEE —
+    * the sqlCosine discipline). A label present in only one snapshot has
+    * NULL cosine and always drifts.
+    *
+    * Scale shape: one map-side-combinable vector-sum aggregate per
+    * snapshot (label-count rows out), then a label-equi full-outer join —
+    * no per-vector pairwise work anywhere.
+    */
+  def centroidDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String,
+                    labelCol: String, minCosine: Double): DataFrame = {
+    def cent(df: DataFrame, n: String, c: String): DataFrame =
+      df.select(col(labelCol).cast("long").as("label"),
+          quantize(col(vecCol)).as("qv"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as(n),
+          graft.plans.VectorSumLong.vectorSum(col("qv")).as("sv"))
+        .select(col("label"), col(n),
+          transform(col("sv"), x => shiftright(x, 10)).as(c))
+    cent(dfA, "n_a", "cva")
+      .join(cent(dfB, "n_b", "cvb"), Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        cosineQ(col("cva"), col("cvb")).as("cosine_shift"))
+      .withColumn("drift",
+        col("cosine_shift").isNull || col("cosine_shift") < minCosine)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * semantic dedup by clustering embeddings with k-means and pruning

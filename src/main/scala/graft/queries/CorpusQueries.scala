@@ -2212,6 +2212,46 @@ object CorpusQueries {
         .orderBy(col("label"), col("pos"))
     },
 
+    // Embedding-space drift (Similarity.centroidDrift): per-label centroid
+    // cosine between two snapshot slices (even vs odd vec_ids) — exact
+    // integer centroid sums (the e1 contract) floor-shifted >> 10 so the
+    // cross dot stays in BIGINT, then the house integer-ratio cosine.
+    // Labels in one slice only drift by definition (NULL cosine).
+    QueryDef(
+      "e3_centroid_drift",
+      s"""WITH va AS (SELECT CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |vb AS (SELECT CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |na AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_a FROM va GROUP BY label),
+         |nb AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_b FROM vb GROUP BY label),
+         |sa AS (SELECT label, list(sx >> 10 ORDER BY pos) AS cva FROM (
+         |  SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sx
+         |  FROM va, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY label, pos) GROUP BY label),
+         |sb AS (SELECT label, list(sx >> 10 ORDER BY pos) AS cvb FROM (
+         |  SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sx
+         |  FROM vb, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY label, pos) GROUP BY label),
+         |j AS (SELECT coalesce(sa.label, sb.label) AS label,
+         |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+         |    ${sqlCosine("cva", "cvb")} AS cosine_shift
+         |  FROM sa FULL OUTER JOIN sb ON sa.label = sb.label
+         |    LEFT JOIN na ON na.label = sa.label
+         |    LEFT JOIN nb ON nb.label = sb.label)
+         |SELECT label, n_a, n_b, cosine_shift,
+         |  (cosine_shift IS NULL OR cosine_shift < 0.95) AS drift
+         |FROM j ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "embedding", "label", minCosine = 0.95)
+        .orderBy(col("label"))
+    },
+
     // Retrieval metrics (Similarity.retrievalMetrics): per-query hit
     // count, MRR and binary-relevance DCG@5 of the s2 LSH rung against s1
     // exact ground truth — all integer fixed point (mrr_fp = 1e6 // rank;

@@ -708,6 +708,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidDrift: identical snapshots report cosine 1, one-sided labels drift") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val same = Similarity.centroidDrift(emb, emb, "embedding", "label", 0.95)
+      .select($"label", $"cosine_shift", $"drift")
+      .as[(Long, Option[Double], Boolean)].collect()
+    assert(same.nonEmpty)
+    same.foreach { case (l, c, d) =>
+      assert(c.exists(v => math.abs(v - 1.0) < 1e-9) && !d,
+        s"label $l: identical snapshots must not drift ($c)")
+    }
+    // a label present only in snapshot A: NULL cosine, drift = true
+    val onlyA = Similarity.centroidDrift(
+        emb, emb.filter($"label" =!= emb.select(min($"label")).as[Int].head()),
+        "embedding", "label", 0.95)
+      .filter($"n_b" === 0)
+      .select($"cosine_shift", $"drift")
+      .as[(Option[Double], Boolean)].collect()
+    assert(onlyA.nonEmpty && onlyA.forall { case (c, d) => c.isEmpty && d })
+  }
+
   test("retrievalMetrics: hand-checkable MRR and DCG integers, zero row for missed query") {
     // qid 1: approx hits exact members at ranks 1 and 3; the TRUE nearest
     // neighbor (erank 1 = nid 10) surfaces at arank 3. qid 2: no overlap.
