@@ -320,6 +320,97 @@ object Similarity {
         (col("rn").isNull || col("rn") === 1).as("keep"))
   }
 
+  // ---- persisted semantic-dedup index (streaming SemDeDup) -----------------
+
+  def semMembersTable(name: String): String = s"graft_sem_${name}_members"
+  def semCentroidsTable(name: String): String = s"graft_sem_${name}_centroids"
+  def semLabelsTable(name: String): String = s"graft_sem_${name}_labels"
+
+  /** Within-cell candidate pairs at cosine >= threshold between two
+    * (cid, sid, qv, nrm) frames — the [[semDedup]] pair stage against
+    * arbitrary sides (in-memory or persisted members).
+    */
+  private def semCellPairs(a: DataFrame, b: DataFrame, threshold: Double,
+                           strict: Boolean): DataFrame =
+    a.as("a").join(b.as("b"), col("a.cid") === col("b.cid") &&
+        (if (strict) col("a.sid") < col("b.sid")
+         else col("a.sid") =!= col("b.sid")))
+      .filter(pairCosine(col("a.qv"), col("b.qv"),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(least(col("a.sid"), col("b.sid")).as("ida"),
+        greatest(col("a.sid"), col("b.sid")).as("idb"))
+
+  private def semAssign(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame =
+    assignTop(prepared(df, idCol, vecCol), packCells(centroids))
+      .select(col("cid"), col("sid"), col("qv"))
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+
+  /** STREAMING SemDeDup, write side: [[semDedup]] made train-once/serve-
+    * many. Persists (1) the FROZEN k-means centroids (trained on the seed
+    * corpus — the [[graft.operators.AnnIndex]] frozen-training
+    * discipline), (2) members (cid, sid, qv, nrm) PARTITIONED by
+    * ingest_batch AND bucketed by cid (the ds2/ds3 exactly-once layout —
+    * cell joins are exchange-free on the index side and a retried batch
+    * replaces its own partition), (3) the duplicate-group labels table
+    * seeded from the corpus's within-cell pairs. [[ingestSemBatch]] then
+    * folds each arriving micro-batch in.
+    */
+  def writeSemIndex(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, rounds: Int, threshold: Double,
+                    name: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    Seq(semMembersTable(name), semCentroidsTable(name), semLabelsTable(name))
+      .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
+    val v = prepared(df, idCol, vecCol)
+    val cells = if (nCells > 0) nCells else autoCells(v.count())
+    kmeansCentroidsFrom(v, cells, rounds - 1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(semCentroidsTable(name))
+    // members assigned against the PERSISTED centroids — storage is
+    // authoritative, write and ingest share one assignment path
+    val asg = graft.core.Storage.cut(
+      semAssign(df, idCol, vecCol, spark.table(semCentroidsTable(name))),
+      eager = true)
+    graft.sources.Bucketing.writeBucketedPartitionedBy(
+      asg.withColumn("ingest_batch", lit(-1L)),
+      semMembersTable(name), "ingest_batch", Seq("cid"), nBuckets)
+    graft.operators.Dedup.connectedComponents(
+        semCellPairs(asg, asg, threshold, strict = true))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(semLabelsTable(name))
+  }
+
+  /** STREAMING SemDeDup, ingest side: assign the batch against the frozen
+    * centroids, find its within-cell pairs vs the OTHER committed batches
+    * (partition-pruned — a replayed batch never pairs against its own
+    * prior copy) and within itself, fold them into the labels table
+    * ([[graft.operators.Dedup.mergeComponentsTable]] — replay-idempotent),
+    * then partition-replace the batch's member rows. Per-batch cost
+    * follows the batch and its touched cells, never the corpus.
+    */
+  def ingestSemBatch(batch: DataFrame, batchId: Long, idCol: String,
+                     vecCol: String, threshold: Double, name: String,
+                     nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Bucketing.requireBucketCount(
+      spark, semMembersTable(name), nBuckets)
+    val asg = graft.core.Storage.cut(
+      semAssign(batch, idCol, vecCol, spark.table(semCentroidsTable(name))),
+      eager = true)
+    val others = spark.table(semMembersTable(name))
+      .filter(col("ingest_batch") =!= batchId)
+      .select(col("cid"), col("sid"), col("qv"), col("nrm"))
+    val pairs = semCellPairs(asg, asg, threshold, strict = true)
+      .unionByName(semCellPairs(asg, others, threshold, strict = false))
+      .distinct()
+    graft.operators.Dedup.mergeComponentsTable(
+      spark, semLabelsTable(name), pairs)
+    graft.sources.Bucketing.overwriteBucketedPartition(
+      asg, semMembersTable(name), "ingest_batch", batchId, Seq("cid"),
+      nBuckets)
+  }
+
   // ---- SQ8 scalar quantization ---------------------------------------------
 
   /** SQ8 codebook: per-dimension [lo, hi] over the corpus, packed into ONE

@@ -2030,6 +2030,62 @@ object CorpusQueries {
       }.orderBy(col("sid"))
     },
 
+    // STREAMING SEMDEDUP (Similarity.writeSemIndex/ingestSemBatch): d25
+    // made train-once/serve-many — centroids FROZEN on the seed corpus
+    // (vec_id % 4 != 0), members batch-partitioned + cid-bucketed, labels
+    // maintained incrementally per batch; batch 0 ingested TWICE (the
+    // injected-retry discipline — partition replace + idempotent label
+    // merge absorb it). The oracle is the from-scratch spec: assign ALL
+    // vectors to the corpus-trained centroids, within-cell pairs at
+    // 0.45, recursive closure — so the hash match proves the streaming
+    // path accumulates exactly the full pair set's labels.
+    QueryDef(
+      "ds8_semdedup_ingest",
+      s"""WITH RECURSIVE $quantVecCte,
+         |vc AS (SELECT sid, qv FROM v WHERE sid % 4 <> 0),
+         |c0 AS (SELECT sid AS cid, qv AS cv FROM vc ORDER BY sid LIMIT 8),
+         |a1 AS (SELECT sid, qv, cid FROM (
+         |  SELECT vc.sid, vc.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vc.sid
+         |      ORDER BY ${sqlCosine("vc.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM vc CROSS JOIN c0 c) WHERE rn = 1),
+         |c1 AS (SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, SUM(qv[pos]) AS sx
+         |  FROM a1, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY cid, pos) GROUP BY cid),
+         |a2 AS (SELECT sid, qv, cid FROM (
+         |  SELECT v.sid, v.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.sid
+         |      ORDER BY ${sqlCosine("v.qv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
+         |pairs AS (SELECT a.sid AS ida, b.sid AS idb
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.sid < b.sid
+         |  WHERE ${sqlCosine("a.qv", "b.qv")} >= 0.45),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y)
+         |SELECT x AS sid, min(y) AS component FROM r GROUP BY x
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      graft.core.Storage.freeingIntermediates(s) {
+        val emb = Tables.embeddings(s, d)
+        val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val name = "ds8_" + app
+        Similarity.writeSemIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", nCells = 8, rounds = 2, threshold = 0.45,
+          name, nBuckets = 8)
+        val b0 = emb.filter(col("vec_id") % 8 === 0)
+        Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45,
+          name, nBuckets = 8)
+        // injected retry: replay batch 0 after its partition landed
+        Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45,
+          name, nBuckets = 8)
+        Similarity.ingestSemBatch(emb.filter(col("vec_id") % 8 === 4), 1L,
+          "vec_id", "embedding", 0.45, name, nBuckets = 8)
+        s.table(Similarity.semLabelsTable(name))
+      }.orderBy(col("sid"))
+    },
+
     // INCREMENTAL components (Dedup.mergeComponents): the d19 pair set
     // split into an "existing corpus" slice and a "new batch" slice
     // (pairs touching vec_id % 4 == 3), labels built from the first then

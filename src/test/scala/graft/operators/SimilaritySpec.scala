@@ -708,6 +708,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semIndex ingest: replay replaces members and rewrites identical labels") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val name = "spec_sem"
+    try {
+      Similarity.writeSemIndex(emb.filter($"vec_id" % 4 =!= 0), "vec_id",
+        "embedding", nCells = 4, rounds = 2, threshold = 0.45, name,
+        nBuckets = 4)
+      val b0 = emb.filter($"vec_id" % 8 === 0)
+      Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45, name, 4)
+      def labels() = spark.table(Similarity.semLabelsTable(name))
+        .as[(Long, Long)].collect().toSet
+      def nMembers() = spark.table(Similarity.semMembersTable(name)).count()
+      val (l1, m1) = (labels(), nMembers())
+      // injected retry
+      Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45, name, 4)
+      assert(labels() == l1, "replay changed the labels table")
+      assert(nMembers() == m1, "replay must replace its member partition")
+      assert(m1 == emb.filter($"vec_id" % 4 =!= 0).count() + b0.count())
+      // wrong bucket count fails loud before any destructive step
+      intercept[IllegalArgumentException] {
+        Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45, name, 8)
+      }
+    } finally
+      Seq(Similarity.semMembersTable(name), Similarity.semCentroidsTable(name),
+        Similarity.semLabelsTable(name))
+        .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
+  }
+
   test("centroidDrift: identical snapshots report cosine 1, one-sided labels drift") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val same = Similarity.centroidDrift(emb, emb, "embedding", "label", 0.95)
