@@ -983,8 +983,13 @@ object Dedup {
     */
   def mergeComponentsTable(spark: org.apache.spark.sql.SparkSession,
                            table: String, newPairs: DataFrame): Unit = {
-    val merged = graft.core.Storage.cut(
-      mergeComponents(spark.table(table), newPairs), true)
+    // the wrapper frees the merge's INNER components leaf (the eager outer
+    // cut no longer references it) — a per-micro-batch caller must not
+    // accumulate one labels RDD per batch in executor storage
+    val merged = graft.core.Storage.freeingIntermediates(spark) {
+      graft.core.Storage.cut(
+        mergeComponents(spark.table(table), newPairs), true)
+    }
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(table)
     graft.core.Storage.freeCheckpoint(merged)
@@ -1096,6 +1101,13 @@ object Dedup {
    graft.core.Storage.freeingIntermediates(newSig.sparkSession) {
     val nb = graft.core.Storage.cut(
       hammingChunks(newSig, hashCol, totalBits, numChunks), eager = false)
+    // a RE-INGESTED id (new signature for a doc already in the index) must
+    // verify against its NEW hash only — anti-join its stale index rows
+    // out, the incrementalNearDupPairs re-ingest discipline. Broadcast
+    // filter (batch-sized ids), not a corpus shuffle.
+    val newIds = newSig.select(col("sid").as("new_sid")).distinct()
+    val fresh = corpusChunks
+      .join(broadcast(newIds), col("sid") === col("new_sid"), "left_anti")
     def pairsOf(b: DataFrame, lt: Boolean): DataFrame = {
       val cond = col("a.chunk") === col("b.chunk") &&
         col("a.ckey") === col("b.ckey") &&
@@ -1107,7 +1119,7 @@ object Dedup {
     }
     graft.core.Storage.cut(
       pairsOf(nb, lt = true)
-        .unionByName(pairsOf(corpusChunks, lt = false))
+        .unionByName(pairsOf(fresh, lt = false))
         .distinct()
         .filter(col("hamming") <= maxHamming), eager = true)
    }

@@ -44,12 +44,28 @@ object FtsIndex {
         explode(TextOps.words(col(textCol))).as("tok"))
       .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
 
-  private def writeAux(p: DataFrame, name: String, mode: SaveMode): Unit = {
+  /** Doclens + meta writes shared by every layout: flat (no stamp) or
+    * ingest_batch-partitioned (`stamp` set) — one implementation, so the
+    * served schemas cannot diverge between the append and exactly-once
+    * paths.
+    */
+  private def writeAux(p: DataFrame, name: String, mode: SaveMode,
+                       stamp: Option[Long] = None): Unit = {
     val dl = p.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(false) // dl feeds both tables; tokenize once
-    dl.write.mode(mode).format("parquet").saveAsTable(doclensTable(name))
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode(mode).format("parquet").saveAsTable(metaTable(name))
+    val meta = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    stamp match {
+      case None =>
+        dl.write.mode(mode).format("parquet").saveAsTable(doclensTable(name))
+        meta.write.mode(mode).format("parquet").saveAsTable(metaTable(name))
+      case Some(b) =>
+        dl.withColumn("ingest_batch", lit(b))
+          .write.mode(mode).partitionBy("ingest_batch")
+          .format("parquet").saveAsTable(doclensTable(name))
+        meta.withColumn("ingest_batch", lit(b))
+          .write.mode(mode).partitionBy("ingest_batch")
+          .format("parquet").saveAsTable(metaTable(name))
+    }
   }
 
   /** Build the index from scratch: postings bucketed by term, doclens,
@@ -105,15 +121,7 @@ object FtsIndex {
       p.select(col("tok"), col("did"), col("tf"))
         .withColumn("ingest_batch", lit(seedBatch)),
       postingsTable(name), "ingest_batch", Seq("tok"), nBuckets)
-    val dl = p.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(false)
-    dl.withColumn("ingest_batch", lit(seedBatch))
-      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
-      .format("parquet").saveAsTable(doclensTable(name))
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .withColumn("ingest_batch", lit(seedBatch))
-      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
-      .format("parquet").saveAsTable(metaTable(name))
+    writeAux(p, name, SaveMode.Overwrite, stamp = Some(seedBatch))
   }
 
   /** Ingest one micro-batch exactly-once: postings, doclens and meta rows

@@ -253,10 +253,17 @@ object Quality {
     * 32-char fingerprint keys of quality survivors ride the distinct
     * exchange. No stage materializes an intermediate corpus.
     */
+  /** The ONE funnel gate parameterization (Gopher rule constants) shared
+    * by every funnel-family operator — [[curationFunnel]],
+    * [[curationFunnelNovelty]] and [[rejectionReasons]] reconcile count-
+    * for-count ONLY while they gate identically, so the tuple lives once.
+    */
+  private def funnelGopherKeep(textCol: String): org.apache.spark.sql.Column =
+    TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)._4
+
   def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double): DataFrame = {
-    val (_, _, _, keep) =
-      TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)
+    val keep = funnelGopherKeep(textCol)
     val staged = docs.select(
       keep.as("g"),
       (keep && TextOps.qualityScore(col(textCol)) >= minQuality).as("gq"),
@@ -289,8 +296,7 @@ object Quality {
                             minQuality: Double, n: Int,
                             minNovelty: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (_, _, _, keep) =
-      TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)
+    val keep = funnelGopherKeep(textCol)
     val staged = docs.select(
       col(idCol).as("sid"), col(textCol).as("text"),
       keep.as("g"),
@@ -337,8 +343,7 @@ object Quality {
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
                        minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (_, _, _, keep) =
-      TextOps.gopherRules(col(textCol), 30L, 10000L, 4.0, 5.0, 2L)
+    val keep = funnelGopherKeep(textCol)
     val staged = docs.select(
       col(idCol).as("sid"), keep.as("g"),
       (keep && TextOps.qualityScore(col(textCol)) >= minQuality).as("gq"),

@@ -375,10 +375,14 @@ object Similarity {
     graft.sources.Bucketing.writeBucketedPartitionedBy(
       asg.withColumn("ingest_batch", lit(-1L)),
       semMembersTable(name), "ingest_batch", Seq("cid"), nBuckets)
-    graft.operators.Dedup.connectedComponents(
-        semCellPairs(asg, asg, threshold, strict = true))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val labels = graft.operators.Dedup.connectedComponents(
+      semCellPairs(asg, asg, threshold, strict = true))
+    labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(semLabelsTable(name))
+    // a write-side entry point frees its own leaves — callers (streams,
+    // pipelines) have no freeingIntermediates wrapper around them
+    graft.core.Storage.freeCheckpoint(labels)
+    graft.core.Storage.freeCheckpoint(asg)
   }
 
   /** STREAMING SemDeDup, ingest side: assign the batch against the frozen
@@ -409,6 +413,9 @@ object Similarity {
     graft.sources.Bucketing.overwriteBucketedPartition(
       asg, semMembersTable(name), "ingest_batch", batchId, Seq("cid"),
       nBuckets)
+    // per-micro-batch entry point: free the batch's assignment leaf, or a
+    // long-running stream accumulates one per batch in executor storage
+    graft.core.Storage.freeCheckpoint(asg)
   }
 
   // ---- SQ8 scalar quantization ---------------------------------------------

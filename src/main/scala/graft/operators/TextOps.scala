@@ -980,9 +980,12 @@ object TextOps {
     // is one bit per row, a join would shuffle the whole feature stream
     val feats = featurize(df.select(col(idCol).as("did"),
       col(textCol).as("__text"), isPositive.as("is_p")), "__text", nBuckets)
-    val bc = feats.groupBy(col("b")).agg(
+    // bc feeds BOTH the dense weights and the totals: checkpoint-cut it so
+    // the corpus-wide tokenize+hash+aggregate pass runs once, not once per
+    // plan branch (exchange reuse is not guaranteed under AQE)
+    val bc = graft.core.Storage.cut(feats.groupBy(col("b")).agg(
       sum(when(col("is_p"), 1L).otherwise(0L)).as("pc"),
-      sum(when(col("is_p"), 0L).otherwise(1L)).as("nc"))
+      sum(when(col("is_p"), 0L).otherwise(1L)).as("nc")), eager = false)
     val dense = df.sparkSession.range(nBuckets).select(col("id").as("b"))
       .join(bc, Seq("b"), "left")
       .select(col("b"), coalesce(col("pc"), lit(0L)).as("pc"),

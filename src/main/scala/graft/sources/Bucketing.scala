@@ -85,10 +85,15 @@ object Bucketing {
     * `df` must NOT already contain `partCol`; it is stamped here so the rows
     * land in exactly the partition being replaced.
     */
-  def overwriteBucketedPartition(df: DataFrame, table: String, partCol: String,
-                                 partValue: Long, bucketCols: Seq[String],
-                                 nBuckets: Int): Unit = {
-    val spark = df.sparkSession
+  /** DROP PARTITION plus the belt-and-braces file sweep (a crashed writer
+    * can leave committed files with no catalog entry) — the shared first
+    * half of [[overwriteBucketedPartition]] and
+    * `Sinks.overwriteTablePartition`: one implementation, so the two
+    * exactly-once paths can never diverge on sweep semantics.
+    */
+  private[sources] def dropPartitionWithSweep(spark: SparkSession,
+                                              table: String, partCol: String,
+                                              partValue: Long): Unit = {
     spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$partValue)")
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -107,6 +112,13 @@ object Bucketing {
         }
       }
     }
+  }
+
+  def overwriteBucketedPartition(df: DataFrame, table: String, partCol: String,
+                                 partValue: Long, bucketCols: Seq[String],
+                                 nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    dropPartitionWithSweep(spark, table, partCol, partValue)
     df.withColumn(partCol, org.apache.spark.sql.functions.lit(partValue))
       .write
       .mode(SaveMode.Append)

@@ -44,8 +44,9 @@ object Sinks {
 
   /** [[overwriteRunPartition]] for a MANAGED partitioned catalog table
     * (non-bucketed — the bucketed twin is
-    * `Bucketing.overwriteBucketedPartition`, and this mirrors its
-    * drop+sweep+append sequence): replace exactly the `partValue`
+    * `Bucketing.overwriteBucketedPartition`; both SHARE
+    * `Bucketing.dropPartitionWithSweep`, so the exactly-once paths cannot
+    * diverge on sweep semantics): replace exactly the `partValue`
     * partition, leaving every other partition untouched. `df` must NOT
     * already contain `partCol`; it is stamped here so the rows land in
     * exactly the partition being replaced.
@@ -53,27 +54,7 @@ object Sinks {
   def overwriteTablePartition(df: DataFrame, table: String, partCol: String,
                               partValue: Long): Unit = {
     val spark = df.sparkSession
-    spark.sql(
-      s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$partValue)")
-    // belt-and-braces file sweep: a crashed writer can leave committed
-    // files with no catalog entry (the Bucketing helper's rationale)
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    if (meta.tableType ==
-        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED) {
-      val loc = meta.location
-      if (loc.getScheme == null || loc.getScheme == "file") {
-        val p = java.nio.file.Paths.get(loc.getPath, s"$partCol=$partValue")
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.delete)
-          } finally walk.close()
-        }
-      }
-    }
+    Bucketing.dropPartitionWithSweep(spark, table, partCol, partValue)
     df.withColumn(partCol, org.apache.spark.sql.functions.lit(partValue))
       .write.mode(SaveMode.Append).partitionBy(partCol)
       .format("parquet").saveAsTable(table)

@@ -627,6 +627,26 @@ class DedupSpec extends SparkSpec {
     } finally graft.sources.Bucketing.ensureCleanTable(spark, table)
   }
 
+  test("incrementalHammingPairs: a re-ingested id verifies against its NEW signature only") {
+    import spark.implicits._
+    // corpus: 1 and 2 share hash 7; 3 is far away. Doc 2 is then
+    // re-ingested with hash == 3's — the stale index rows for 2 must not
+    // pair it with 1 (old-hash hamming 0), only the new (2,3) must emit.
+    val far = 255L << 40
+    val corpus = Seq((1L, 7L), (2L, 7L), (3L, far)).toDF("sid", "h")
+    val table = "graft_hamming_reingest_spec"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    try {
+      Dedup.writeHammingIndex(corpus, "h", 56, 4, table, nBuckets = 2)
+      val batch = Seq((2L, far)).toDF("sid", "h")
+      val inc = Dedup.incrementalHammingPairs(batch, spark.table(table),
+          "h", 56, maxHamming = 0, numChunks = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(inc == Set((2L, 3L, 0L)),
+        s"stale signature leaked into verification: $inc")
+    } finally graft.sources.Bucketing.ensureCleanTable(spark, table)
+  }
+
   test("mergeComponents: cluster merges, fresh clusters, untouched passthrough — equals from-scratch") {
     import spark.implicits._
     // existing clusters: {1,2,3} label 1, {10,11} label 10, {20,21} label 20
