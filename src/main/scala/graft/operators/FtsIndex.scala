@@ -171,10 +171,12 @@ object FtsIndex {
       .filter(col("tok").isin(terms: _*))
       .select(col("tok"), col("did"), col("tf"))
     val dl = spark.table(doclensTable(name)).select(col("did"), col("dl"))
+    // nullif: an EMPTY index (zero docs) must serve zero rows, not abort
+    // on ANSI division by zero while computing avgdl nobody will read
     val stats = spark.table(metaTable(name))
       .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sd"))
       .select(col("nd").cast("double").as("n_docs"),
-        (col("sd").cast("double") / col("nd")).as("avgdl"))
+        (col("sd").cast("double") / nullif(col("nd"), lit(0L))).as("avgdl"))
     TextOps.bm25ScoreFrames(tf, dl, stats, terms, k, k1, b)
   }
 }

@@ -340,6 +340,41 @@ object Quality {
     * cheaper than the rank window, no sort) — the same exchange d2's
     * dedup pays.
     */
+  /** Curation DASHBOARD CUBE: per (lang, source) — plus each one-dim
+    * rollup and the grand total — document/token counts and the funnel
+    * survival ladder (Gopher pass, quality pass, distinct fingerprints
+    * among survivors), ALL from one scan + one grouping-sets aggregate.
+    * This is the mixing-weight dashboard a curation run publishes: which
+    * language x source cells carry the tokens, and how much survives each
+    * gate. Rolled-up dimensions render as `<all>` so the contract is
+    * NULL-free.
+    *
+    * Scale shape: the cube is Spark's Expand over one scan (4 grouping
+    * sets x rows map-side, then one combinable aggregate keyed by
+    * |langs| x |sources| — dashboard-sized). The only distinct is the
+    * fingerprint count, quality-survivor keys only.
+    */
+  def curationCube(docs: DataFrame, textCol: String, langCol: String,
+                   sourceCol: String, minQuality: Double): DataFrame = {
+    val keep = funnelGopherKeep(textCol)
+    val staged = docs.select(
+      col(langCol).as("lang"), col(sourceCol).as("source"),
+      TextOps.wsTokenCount(col(textCol)).cast("long").as("n_tok"),
+      keep.as("g"),
+      (keep && TextOps.qualityScore(col(textCol)) >= minQuality).as("gq"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    staged.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_gopher"),
+        sum(when(col("gq"), 1L).otherwise(0L)).as("n_quality"),
+        countDistinct(when(col("gq"), col("fp"))).as("n_unique"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_gopher"), col("n_quality"),
+        col("n_unique"))
+  }
+
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
                        minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

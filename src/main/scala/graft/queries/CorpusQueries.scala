@@ -3071,6 +3071,43 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Curation dashboard CUBE (Quality.curationCube): per lang x source
+    // cell + rollups + grand total, the token counts and funnel survival
+    // ladder in ONE grouping-sets pass — the mixing-weight dashboard.
+    // Rolled dims render '<all>' so the hashed contract is NULL-free;
+    // expressions are the fn1/fn3 gates verbatim.
+    QueryDef(
+      "dp2_curation_cube",
+      s"""WITH f AS (SELECT lang, source,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |  (len(string_split(text, ' ')) BETWEEN 30 AND 10000
+         |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |        greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
+         |       BETWEEN 4.0 AND 5.0
+         |   AND len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) >= 2) AS g,
+         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS q,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |FROM documents)
+         |SELECT coalesce(lang, '<all>') AS lang,
+         |  coalesce(source, '<all>') AS source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(SUM(CASE WHEN g AND q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(COUNT(DISTINCT CASE WHEN g AND q >= 0.6 THEN fp END) AS BIGINT) AS n_unique
+         |FROM f GROUP BY CUBE (lang, source)
+         |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      graft.operators.Quality.curationCube(Tables.documents(s, d), "text",
+          "lang", "source", minQuality = 0.6)
+        .orderBy(col("lang"), col("source"))
+    },
+
     // Bigram stupid-backoff NLL (TextOps.bigramNll): the LM trains on the
     // EVEN docs and scores ALL docs, so held-out (odd) docs route unseen
     // transitions through the 0.4 x add-one-unigram backoff — n_unseen

@@ -61,6 +61,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.mergeComponents(labels,
       Seq.empty[(Long, Long)].toDF("ida", "idb"))
       .as[(Long, Long)].collect().toSet == Set(1L -> 1L, 2L -> 1L))
+    // an EMPTY persisted FTS index serves zero rows (no ANSI divide-by-
+    // zero from the avgdl nobody reads)
+    val ftsName = "spec_empty_fts"
+    try {
+      FtsIndex.writeBm25(noDocs, "doc_id", "text", ftsName, nBuckets = 2)
+      assert(FtsIndex.searchBm25(spark, ftsName, Seq("table"), 5).count() == 0)
+    } finally
+      Seq(FtsIndex.postingsTable(ftsName), FtsIndex.doclensTable(ftsName),
+        FtsIndex.metaTable(ftsName))
+        .foreach(graft.sources.Bucketing.ensureCleanTable(spark, _))
   }
 
   test("round-7 operators: empty in, empty out, schema intact") {

@@ -158,6 +158,26 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("mad") - c.getAs[Double]("mad")) <= 1.0)
   }
 
+  test("curationCube: grand total equals fn1, cells sum to rollups") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val cube = Quality.curationCube(docs, "text", "lang", "source", 0.6)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val total = cube.find(r => r._1 == "<all>" && r._2 == "<all>").get
+    val f = Quality.curationFunnel(docs, "doc_id", "text", 0.6).collect().head
+    assert(total._3 == f.getAs[Long]("n_input"))
+    assert(total._5 == f.getAs[Long]("n_gopher"))
+    assert(total._6 == f.getAs[Long]("n_quality"))
+    assert(total._7 == f.getAs[Long]("n_unique"))
+    // additive measures: per-lang rollups sum the (lang, source) cells
+    val cells = cube.filter(r => r._1 != "<all>" && r._2 != "<all>")
+    cube.filter(r => r._1 != "<all>" && r._2 == "<all>").foreach { roll =>
+      val mine = cells.filter(_._1 == roll._1)
+      assert(mine.map(_._3).sum == roll._3 && mine.map(_._4).sum == roll._4 &&
+        mine.map(_._5).sum == roll._5 && mine.map(_._6).sum == roll._6,
+        s"lang ${roll._1} rollup mismatch")
+    }
+  }
+
   test("rejectionReasons: verdict counts reconcile with the fn1 funnel exactly") {
     val docs = graft.core.Tables.documents(spark, sf)
     val verdicts = Quality.rejectionReasons(docs, "doc_id", "text", 0.6)
