@@ -83,7 +83,12 @@ object DumpPlans {
     // windows. d25 is omitted like d9/d19: components checkpoint-truncate
     // the plan; ds5 executes writes like the other ds queries.
     "t22_quality_classifier", "e2_retrieval_metrics", "fts4_phrase_search",
-    "t23_perplexity_buckets")
+    "t23_perplexity_buckets",
+    // fn3's one-scan + fp-min window; dp2's single Expand cube; e3's
+    // two vector-sum aggregates + label join. d26/ds7/ds8/m8/fts5/ds5/ds6
+    // are omitted: components checkpoint-truncate or constructing them
+    // executes index writes (the ds-series rule).
+    "fn3_rejection_reasons", "dp2_curation_cube", "e3_centroid_drift")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
