@@ -995,6 +995,38 @@ object Dedup {
     graft.core.Storage.freeCheckpoint(merged)
   }
 
+  /** Near-VERSION dedup via content-defined chunks: document pairs sharing
+    * at least `minShared` distinct CDC chunk hashes
+    * ([[graft.operators.TextOps.cdcChunks]]) — the edit-robust dedup
+    * family member. Minhash Jaccard (d4) dilutes when one version gains a
+    * large insertion; CDC boundaries re-synchronize after the edit, so
+    * the unchanged regions still hash to IDENTICAL chunks and the pair
+    * count survives — versioned/forked documents stay detectable.
+    *
+    * Scale shape: chunks shuffle as 8-byte hashes (expected one per
+    * `divisor` tokens — ~divisor× FEWER keys than a gram-level join);
+    * hashes with document frequency above `maxDf` are anti-joined out
+    * before pairing (the d23 hot-key discipline — a boilerplate chunk
+    * would otherwise contribute O(df²) pairs), bounding the join fan-out
+    * at maxDf per hash.
+    */
+  def cdcOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, divisor: Int = 64, minShared: Long = 2L,
+                      maxDf: Long = 1000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val ch = graft.operators.TextOps.cdcChunks(df, idCol, textCol, n, divisor)
+      .select(col("did").as("sid"), col("chunk_hash").as("h")).distinct()
+    val hot = ch.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+      .filter(col("hdf") > maxDf).select(col("h"))
+    val cold = ch.join(broadcast(hot), Seq("h"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("ida"), col("b.sid").as("idb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val SimhashBits = 48

@@ -778,6 +778,53 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** CONTENT-DEFINED chunking (the rsync/LBFS boundary discipline applied
+    * to token streams): a chunk boundary falls AT every position whose
+    * word n-gram hashes to 0 mod `divisor`, so boundaries depend on LOCAL
+    * content only — an insertion early in a document shifts positions but
+    * downstream boundaries RE-SYNCHRONIZE, and the chunks after the edit
+    * hash identically. That edit-stability is what fixed-width chunking
+    * (ch1/ch2) fundamentally lacks, and it is why CDC is the unit for
+    * near-version dedup (d27 joins on these chunk hashes). Expected chunk
+    * length ≈ `divisor` tokens.
+    *
+    * Output, one row per chunk: (did, chunk_id [1-based], start_pos
+    * [1-based token index], n_tokens, chunk_hash [48-bit md5 of the
+    * chunk text]). Docs shorter than `n` tokens form one whole-doc chunk.
+    *
+    * Scale shape: boundary detection, chunk slicing and hashing are ALL
+    * per-row array algebra inside the scan — the only explode emits the
+    * final chunk rows, and nothing shuffles until the caller aggregates.
+    */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, n: Int = 3, divisor: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val w = words(col(textCol))
+    // 1-based gram positions 1..size-n+1 (guarded: Spark's sequence runs
+    // DESCENDING when start > stop, which would fabricate positions)
+    val gramPos = when(size(w) >= n,
+      sequence(lit(1), size(w) - (n - 1))).otherwise(array())
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(o => element_at(w, i + o)): _*)
+    val bounds = filter(gramPos,
+      i => graft.operators.Dedup.hash48(gram(i)) % divisor === 0)
+    val starts = concat(array(lit(1)), transform(bounds, p => p + 1))
+    val ends = concat(bounds, array(size(w)))
+    val spans = zip_with(starts, ends, (s, e) =>
+      struct(s.as("s"), e.as("e")))
+    df.select(col(idCol).as("did"), w.as("__w"),
+        posexplode(spans).as(Seq("__k", "__c")))
+      .select(col("did"), (col("__k") + 1).cast("long").as("chunk_id"),
+        col("__c")("s").cast("long").as("start_pos"),
+        (col("__c")("e") - col("__c")("s") + 1).cast("long").as("n_tokens"),
+        graft.operators.Dedup.hash48(array_join(
+          slice(col("__w"), col("__c")("s"),
+            col("__c")("e") - col("__c")("s") + 1), " "))
+          .as("chunk_hash"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data"):
     * per group (CCNet buckets per LANGUAGE), rank documents by LM score

@@ -1452,6 +1452,69 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // CONTENT-DEFINED chunking (TextOps.cdcChunks): boundaries where the
+    // word 3-gram hash is 0 mod 64 — edit-stable chunks (an insertion
+    // re-synchronizes downstream boundaries), the unit d27 dedups on.
+    // The oracle rebuilds boundary lists, chunk spans and chunk hashes
+    // from the same md5 formula — offsets AND hashes hash-check.
+    QueryDef(
+      "ch3_cdc_chunks",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, list(i ORDER BY i) AS bs
+         |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)
+         |  WHERE ${sqlHash("w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]", 12)} % 64 = 0
+         |  GROUP BY doc_id),
+         |s AS (SELECT w.doc_id, w.w,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_transform(coalesce(bs, []), p -> CAST(p + 1 AS BIGINT))) AS starts,
+         |    list_concat(list_transform(coalesce(bs, []), p -> CAST(p AS BIGINT)),
+         |      [CAST(len(w.w) AS BIGINT)]) AS ends
+         |  FROM w LEFT JOIN b USING (doc_id))
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  starts[k] AS start_pos, ends[k] - starts[k] + 1 AS n_tokens,
+         |  ${sqlHash("array_to_string(w[starts[k]:ends[k]], ' ')", 12)} AS chunk_hash
+         |FROM s, unnest(generate_series(1, len(starts))) AS t(k)
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          n = 3, divisor = 64)
+        .select(col("did").as("doc_id"), col("chunk_id"), col("start_pos"),
+          col("n_tokens"), col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Near-VERSION dedup on CDC chunks (Dedup.cdcOverlapPairs): pairs
+    // sharing >= 2 distinct edit-stable chunk hashes, hot hashes
+    // (df > 1000) suppressed before pairing — the dedup family member
+    // that survives large insertions where Jaccard dilutes.
+    QueryDef(
+      "d27_cdc_overlap",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, list(i ORDER BY i) AS bs
+         |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)
+         |  WHERE ${sqlHash("w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]", 12)} % 64 = 0
+         |  GROUP BY doc_id),
+         |s AS (SELECT w.doc_id, w.w,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_transform(coalesce(bs, []), p -> CAST(p + 1 AS BIGINT))) AS starts,
+         |    list_concat(list_transform(coalesce(bs, []), p -> CAST(p AS BIGINT)),
+         |      [CAST(len(w.w) AS BIGINT)]) AS ends
+         |  FROM w LEFT JOIN b USING (doc_id)),
+         |c AS (SELECT doc_id,
+         |    ${sqlHash("array_to_string(w[starts[k]:ends[k]], ' ')", 12)} AS h
+         |  FROM s, unnest(generate_series(1, len(starts))) AS t(k)),
+         |dd AS (SELECT DISTINCT doc_id AS sid, h FROM c),
+         |cold AS (SELECT sid, h FROM dd WHERE h NOT IN (
+         |  SELECT h FROM (SELECT h, COUNT(*) AS hdf FROM dd GROUP BY h)
+         |  WHERE hdf > 1000))
+         |SELECT a.sid AS ida, b.sid AS idb, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM cold a JOIN cold b ON a.h = b.h AND a.sid < b.sid
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.cdcOverlapPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, divisor = 64, minShared = 2L, maxDf = 1000L)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // BM25 keyword ranking (k1=1.2, b=0.75), fixed-order per-term sums so
     // the double addition is engine-deterministic; 6dp rounding absorbs the
     // idf log's last ulp.

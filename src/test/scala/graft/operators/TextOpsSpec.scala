@@ -507,6 +507,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: tokens conserve, boundaries re-synchronize after a prefix edit") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val ch = TextOps.cdcChunks(docs, "doc_id", "text", n = 3, divisor = 8)
+    // chunks tile the token stream exactly
+    val perDoc = ch.groupBy($"did").agg(sum($"n_tokens").as("nt"))
+      .join(docs.select($"doc_id".as("did"),
+        size(TextOps.words($"text")).cast("long").as("nw")), Seq("did"))
+      .filter($"nt" =!= $"nw").count()
+    assert(perDoc == 0, "chunk n_tokens must sum to the doc's token count")
+    // EDIT STABILITY: prepend two tokens to a multi-chunk doc — every
+    // chunk after the first must reappear with an identical hash (fixed-
+    // width chunking shares none; this is CDC's reason to exist)
+    val text = docs.orderBy($"doc_id")
+      .select($"text").as[String].collect()
+      .find(t => TextOps.cdcChunks(Seq((1L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 8).count() >= 3).get
+    def hashes(t: String) = TextOps.cdcChunks(
+        Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text", 3, 8)
+      .orderBy($"chunk_id").select($"chunk_hash").as[Long].collect().toSeq
+    val before = hashes(text)
+    val after = hashes("zzzz qqqq " + text)
+    assert(before.drop(1).forall(after.contains),
+      "chunks beyond the first must survive a prefix insertion")
+  }
+
   test("perplexityBuckets: exact thirds per group, head strictly easier than tail") {
     val docs = graft.core.Tables.documents(spark, sf)
     val out = TextOps.perplexityBuckets(docs, "doc_id", "text", "lang")
