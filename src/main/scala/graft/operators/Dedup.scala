@@ -1015,8 +1015,13 @@ object Dedup {
                       maxDf: Long = 1000L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val ch = graft.operators.TextOps.cdcChunks(df, idCol, textCol, n, divisor)
-      .select(col("did").as("sid"), col("chunk_hash").as("h")).distinct()
+    // ch feeds the hot-hash filter AND both self-join sides: checkpoint-cut
+    // it so the chunking scan (per-gram hashing is interpreted HOF work)
+    // runs once, not once per plan branch
+    val ch = graft.core.Storage.cut(
+      graft.operators.TextOps.cdcChunks(df, idCol, textCol, n, divisor)
+        .select(col("did").as("sid"), col("chunk_hash").as("h")).distinct(),
+      eager = false)
     val hot = ch.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
       .filter(col("hdf") > maxDf).select(col("h"))
     val cold = ch.join(broadcast(hot), Seq("h"), "left_anti")

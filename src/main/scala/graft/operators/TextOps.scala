@@ -802,14 +802,12 @@ object TextOps {
     require(n >= 2, s"gram width must be >= 2, got $n")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val w = words(col(textCol))
-    // 1-based gram positions 1..size-n+1 (guarded: Spark's sequence runs
-    // DESCENDING when start > stop, which would fabricate positions)
-    val gramPos = when(size(w) >= n,
-      sequence(lit(1), size(w) - (n - 1))).otherwise(array())
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(o => element_at(w, i + o)): _*)
-    val bounds = filter(gramPos,
-      i => graft.operators.Dedup.hash48(gram(i)) % divisor === 0)
+    // boundary positions via the NATIVE one-pass kernel — the HOF
+    // filter-over-sequence formulation evaluates interpreted per gram
+    // (~7 s at sf0.1); the kernel is codegen'd and hashes each gram in
+    // place over the document's bytes (same md5 the oracle mirrors)
+    val bounds = graft.plans.CdcBoundariesLong.cdcBoundaries(
+      col(textCol), n, divisor)
     val starts = concat(array(lit(1)), transform(bounds, p => p + 1))
     val ends = concat(bounds, array(size(w)))
     val spans = zip_with(starts, ends, (s, e) =>

@@ -252,6 +252,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("ch3_cdc_chunks: native boundary kernel in-plan, no pre-chunk shuffle") {
+    val p = plan("ch3_cdc_chunks")
+    assert(p.contains("graft_cdc_boundaries"), p)
+    // chunking is map-side: the only exchange is the presentation sort
+    assert(!p.contains("Arguments: hashpartitioning"), p)
+  }
+
   test("t18_token_entropy: ln kernel per (doc, type) behind a map-side combine") {
     val p = plan("t18_token_entropy")
     assert(p.contains("graft_ln_micro"), p)
