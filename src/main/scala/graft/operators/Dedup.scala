@@ -1016,12 +1016,9 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     // ch feeds the hot-hash filter AND both self-join sides: checkpoint-cut
-    // it so the chunking scan (per-gram hashing is interpreted HOF work)
-    // runs once, not once per plan branch
+    // it so the chunking scan runs once, not once per plan branch
     val ch = graft.core.Storage.cut(
-      graft.operators.TextOps.cdcChunks(df, idCol, textCol, n, divisor)
-        .select(col("did").as("sid"), col("chunk_hash").as("h")).distinct(),
-      eager = false)
+      cdcChunkHashes(df, idCol, textCol, n, divisor), eager = false)
     val hot = ch.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
       .filter(col("hdf") > maxDf).select(col("h"))
     val cold = ch.join(broadcast(hot), Seq("h"), "left_anti")
@@ -1031,6 +1028,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** (sid, h) distinct CDC chunk-hash postings — the index shape shared by
+    * [[cdcOverlapPairs]] and the persisted [[writeCdcIndex]] path.
+    */
+  private def cdcChunkHashes(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, divisor: Int): DataFrame =
+    graft.operators.TextOps.cdcChunks(df, idCol, textCol, n, divisor)
+      .select(col("did").as("sid"), col("chunk_hash").as("h")).distinct()
+
+  /** Persist the CDC chunk-hash postings as a table bucketed on the
+    * candidate join key — [[writeBandIndex]]'s discipline for the
+    * edit-stable chunk family, so incremental near-version dedup joins
+    * the corpus side exchange-free.
+    */
+  def writeCdcIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    divisor: Int, table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedBy(
+      cdcChunkHashes(df, idCol, textCol, n, divisor),
+      table, Seq("h"), nBuckets)
+
+  /** Append a batch's chunk-hash postings — per-batch CDC-index growth. */
+  def appendCdcIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     divisor: Int, table: String, nBuckets: Int): Unit =
+    graft.sources.Bucketing.appendBucketedBy(
+      cdcChunkHashes(df, idCol, textCol, n, divisor),
+      table, Seq("h"), nBuckets)
+
+  /** Incremental near-version dedup: a batch against the persisted CDC
+    * chunk index (+ within itself) — equals the full [[cdcOverlapPairs]]
+    * run restricted to batch-touching pairs. The hot-hash suppression
+    * recomputes document frequency over the COMBINED (fresh corpus +
+    * batch) postings — one bucket-local aggregate over the index — so the
+    * suppressed set matches the from-scratch run's exactly; re-ingested
+    * ids verify against their new chunks only (stale index rows
+    * anti-joined out, the m8/incrementalNearDupPairs discipline).
+    */
+  def incrementalCdcPairs(newDf: DataFrame, corpusIdx: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          divisor: Int, minShared: Long,
+                          maxDf: Long = 1000L): DataFrame =
+   graft.core.Storage.freeingIntermediates(newDf.sparkSession) {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val nb = graft.core.Storage.cut(
+      cdcChunkHashes(newDf, idCol, textCol, n, divisor), eager = false)
+    val newIds = newDf.select(col(idCol).as("new_sid")).distinct()
+    val fresh = corpusIdx.select(col("sid"), col("h"))
+      .join(broadcast(newIds), col("sid") === col("new_sid"), "left_anti")
+    val all = fresh.unionByName(nb)
+    val hot = all.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+      .filter(col("hdf") > maxDf).select(col("h"))
+    val coldN = nb.join(broadcast(hot), Seq("h"), "left_anti")
+    val coldC = fresh.join(broadcast(hot), Seq("h"), "left_anti")
+    def pairs(b: DataFrame, lt: Boolean): DataFrame =
+      coldN.as("a").join(b.as("b"), col("a.h") === col("b.h") &&
+          (if (lt) col("a.sid") < col("b.sid")
+           else col("a.sid") =!= col("b.sid")))
+        .select(least(col("a.sid"), col("b.sid")).as("ida"),
+          greatest(col("a.sid"), col("b.sid")).as("idb"), col("a.h").as("h"))
+    graft.core.Storage.cut(
+      pairs(coldN, lt = true).unionByName(pairs(coldC, lt = false))
+        .distinct()
+        .groupBy(col("ida"), col("idb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared), eager = true)
+   }
 
   // ---- SimHash -------------------------------------------------------------
 

@@ -1515,6 +1515,49 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // INCREMENTAL near-version dedup (Dedup.incrementalCdcPairs): the d27
+    // chunk postings persisted h-bucketed, a batch (doc_id % 5 == 0)
+    // deduped against the index + itself — the d12/m8 incremental
+    // contract for the CDC family: the oracle is d27's full pair set
+    // restricted to batch-touching pairs.
+    QueryDef(
+      "d28_cdc_incremental",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, list(i ORDER BY i) AS bs
+         |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)
+         |  WHERE ${sqlHash("w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]", 12)} % 64 = 0
+         |  GROUP BY doc_id),
+         |s AS (SELECT w.doc_id, w.w,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_transform(coalesce(bs, []), p -> CAST(p + 1 AS BIGINT))) AS starts,
+         |    list_concat(list_transform(coalesce(bs, []), p -> CAST(p AS BIGINT)),
+         |      [CAST(len(w.w) AS BIGINT)]) AS ends
+         |  FROM w LEFT JOIN b USING (doc_id)),
+         |c AS (SELECT doc_id,
+         |    ${sqlHash("array_to_string(w[starts[k]:ends[k]], ' ')", 12)} AS h
+         |  FROM s, unnest(generate_series(1, len(starts))) AS t(k)),
+         |dd AS (SELECT DISTINCT doc_id AS sid, h FROM c),
+         |cold AS (SELECT sid, h FROM dd WHERE h NOT IN (
+         |  SELECT h FROM (SELECT h, COUNT(*) AS hdf FROM dd GROUP BY h)
+         |  WHERE hdf > 1000))
+         |SELECT * FROM (
+         |  SELECT a.sid AS ida, b.sid AS idb, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM cold a JOIN cold b ON a.h = b.h AND a.sid < b.sid
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |WHERE ida % 5 = 0 OR idb % 5 = 0
+         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = "graft_cdc_d28_" + app
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      Dedup.writeCdcIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id",
+        "text", n = 3, divisor = 64, table, nBuckets = 8)
+      Dedup.incrementalCdcPairs(docs.filter(col("doc_id") % 5 === 0),
+          s.table(table), "doc_id", "text", n = 3, divisor = 64,
+          minShared = 2L, maxDf = 1000L)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // BM25 keyword ranking (k1=1.2, b=0.75), fixed-order per-term sums so
     // the double addition is engine-deterministic; 6dp rounding absorbs the
     // idf log's last ulp.

@@ -88,7 +88,10 @@ object DumpPlans {
     // two vector-sum aggregates + label join. d26/ds7/ds8/m8/fts5/ds5/ds6
     // are omitted: components checkpoint-truncate or constructing them
     // executes index writes (the ds-series rule).
-    "fn3_rejection_reasons", "dp2_curation_cube", "e3_centroid_drift")
+    "fn3_rejection_reasons", "dp2_curation_cube", "e3_centroid_drift",
+    // ch3's native boundary kernel + map-side chunking; d27's hash-keyed
+    // chunk join. d28 executes the index write (omitted, ds-series rule).
+    "ch3_cdc_chunks", "d27_cdc_overlap")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -647,6 +647,27 @@ class DedupSpec extends SparkSpec {
     } finally graft.sources.Bucketing.ensureCleanTable(spark, table)
   }
 
+  test("incrementalCdcPairs: equals the full run restricted to the batch") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val table = "graft_cdc_spec"
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    try {
+      // divisor 8 so the tiny fixture yields chunk-sharing pairs
+      Dedup.writeCdcIndex(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text",
+        3, 8, table, nBuckets = 4)
+      val inc = Dedup.incrementalCdcPairs(docs.filter($"doc_id" % 5 === 0),
+          spark.table(table), "doc_id", "text", 3, 8, minShared = 1L)
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Dedup.cdcOverlapPairs(docs, "doc_id", "text", 3, 8,
+          minShared = 1L)
+        .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(inc == full, "incremental must equal full restricted to batch")
+      assert(inc.nonEmpty, "fixture must produce batch-touching pairs")
+    } finally graft.sources.Bucketing.ensureCleanTable(spark, table)
+  }
+
   test("mergeComponents: cluster merges, fresh clusters, untouched passthrough — equals from-scratch") {
     import spark.implicits._
     // existing clusters: {1,2,3} label 1, {10,11} label 10, {20,21} label 20
