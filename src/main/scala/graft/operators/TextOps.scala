@@ -1074,6 +1074,113 @@ object TextOps {
       .withColumn("pred", col("score_fp") > 0L)
   }
 
+  /** N-gram LM count tables (orders 1..`maxOrder`) with Kneser–Ney
+    * continuation counts — the MapReduce step of count-based language-model
+    * training (the layout Brants et al. 2007 used to train 5-gram models on
+    * 2T tokens; KenLM consumes exactly these tables). One row per surviving
+    * n-gram type: (ord, gram, c, ccount) where `c` is the corpus occurrence
+    * count and `ccount` = N1+(·g), the number of DISTINCT single-token left
+    * extensions of g — the Kneser–Ney lower-order evidence ("how many
+    * contexts does g complete", not "how often does g occur"). Document-
+    * initial occurrences have no left context and contribute no ccount
+    * (corpus-scale LM counting never crosses document boundaries).
+    *
+    * `minCount` prunes the singleton tail AFTER counting (count-threshold
+    * pruning, the standard LM-scale lever) so surviving rows carry full
+    * evidence. Unlike the dedup family, gram TEXT is the groupBy key — the
+    * count table IS the product, so the strings must survive the shuffle;
+    * map-side combine bounds the exchange at distinct types per partition.
+    *
+    * Scale shape: all orders fan out inside ONE scan (a flatten/transform
+    * over the token array — no per-order re-scan), then a single
+    * map-side-combinable aggregate on (ord, gram); the continuation count
+    * is a two-phase distinct on the same key, no extra exchange beyond
+    * the partial-distinct pass.
+    */
+  def ngramLmCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, maxOrder: Int,
+                    minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val rows = df
+      .select(words(col(textCol)).as("w"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(maxOrder)), n =>
+          transform(
+            // positions where an order-n gram fits; filter (not
+            // sequence(1, size-n+1)) because Spark's sequence runs
+            // DESCENDING when the bound is < 1 — a short doc would emit
+            // bogus [1, 0] positions instead of none
+            filter(sequence(lit(1), size(col("w"))), i =>
+              i <= size(col("w")) - n + 1),
+            i => struct(
+              n.cast("long").as("ord"),
+              concat_ws(" ", slice(col("w"), i, n)).as("gram"),
+              when(i >= 2, element_at(col("w"), i - 1)).as("prev")))))).as("r"))
+      .select(col("r.ord").as("ord"), col("r.gram").as("gram"),
+        col("r.prev").as("prev"))
+    rows.groupBy(col("ord"), col("gram"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("prev")).as("ccount"))
+      .filter(col("c") >= minCount)
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Chen & Goodman 1999,
+    * absolute discount D = 3/4) for every observed bigram, as EXACT
+    * fixed-point integers: with c = c(w1 w2), L = Σ_w c(w1 w) the left-
+    * context mass, P = N1+(w1 ·) distinct continuations of w1,
+    * C = N1+(· w2) distinct left extensions of w2 and T = N1+(· ·) total
+    * bigram types,
+    *
+    *   p(w2|w1) = max(c - D, 0)/L + D·P/L · C/T
+    *            = ((4c - 3)·T + 3·P·C) / (4·L·T)        (c >= 1, D = 3/4)
+    *
+    * — one exact integer ratio. `p_fp` = floor(num · 1e12 / den): both
+    * engines evaluate the same integer arithmetic (decimal here, HUGEINT
+    * in the oracle), so probabilities hash-check bit-for-bit with no libm
+    * anywhere. Per-context probabilities sum to <= 1e12 exactly (equality
+    * up to floor dust when every continuation of w1 is observed) —
+    * property-tested.
+    *
+    * `minCount` bounds the OUTPUT only: the backoff statistics (L, P, C,
+    * T) always see the full bigram table, so surviving rows carry the
+    * probabilities the full model would assign.
+    *
+    * Scale shape: one bigram-count aggregate (map-side combined), then two
+    * key-local reshuffles for the left/right marginals, one 1-row global
+    * broadcast, and an equi-join chain back onto the count table — no
+    * window, no per-pair work beyond observed types.
+    */
+  def knBigramProbs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bi = df
+      .select(words(col(textCol)).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val lf = bc.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cleft"), count(lit(1)).as("n1p"))
+    val rc = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val tot = bc.agg(count(lit(1)).as("n1tot"))
+    bc.join(lf, Seq("w1")).join(rc, Seq("w2")).crossJoin(broadcast(tot))
+      .filter(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c"),
+        // decimal(38,0) keeps the numerator exact past Long range (c and T
+        // both grow with the corpus; 4cT overflows BIGINT near c·T ~ 2e18)
+        expr("""CAST(
+          (CAST(4 * c - 3 AS DECIMAL(38, 0)) * n1tot
+             + CAST(3 AS DECIMAL(38, 0)) * n1p * n1c)
+            * CAST(1000000000000 AS DECIMAL(38, 0))
+          div (CAST(4 AS DECIMAL(38, 0)) * cleft * n1tot)
+        AS BIGINT)""").as("p_fp"))
+  }
+
   /** Hashing-trick unigram featurizer shared by train and serve: explodes
     * `textCol` into one (…, b) row per token OCCURRENCE (counts matter
     * downstream), b = 48-bit md5 of the token mod nBuckets. All other

@@ -4706,6 +4706,58 @@ object CorpusQueries {
           shortlistK = RefineShortlist, topK = 5, name)
         .select(col("qid"), col("nid"), col("cosine"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // == count-based language modeling ==
+
+    // N-gram LM count tables (orders 1-3) with Kneser-Ney continuation
+    // counts — the MapReduce step of count-based LM training (KenLM's
+    // input layout). ccount = N1+(.g) counts DISTINCT left extensions, so
+    // a gram that appears 900 times after the same single word carries
+    // ccount 1; document-initial occurrences contribute no left context.
+    // minCount = 3 prunes AFTER counting (full evidence in survivors).
+    QueryDef(
+      "lm1_ngram_counts",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT n.n AS ord,
+        |    array_to_string(w.w[t.i:t.i+n.n-1], ' ') AS gram,
+        |    CASE WHEN t.i >= 2 THEN w.w[t.i-1] ELSE NULL END AS prev
+        |  FROM w, unnest(generate_series(1, 3)) AS n(n),
+        |       unnest(generate_series(1, len(w.w) - n.n + 1)) AS t(i))
+        |SELECT CAST(ord AS BIGINT) AS ord, gram, COUNT(*) AS c,
+        |  COUNT(DISTINCT prev) AS ccount
+        |FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY ord, gram""".stripMargin) { (s, d) =>
+      TextOps.ngramLmCounts(Tables.documents(s, d), "doc_id", "text",
+          maxOrder = 3, minCount = 3L)
+        .orderBy(col("ord"), col("gram"))
+    },
+
+    // Interpolated Kneser-Ney bigram probabilities (D = 3/4) as EXACT
+    // fixed-point integers: p_fp = floor(((4c-3)T + 3PC) * 1e12 / (4LT)).
+    // Decimal arithmetic on the engine side, HUGEINT in the oracle — the
+    // same integers, so probabilities hash-check with no libm anywhere.
+    // Per-context sums reach 1e12 exactly up to floor dust (spec).
+    QueryDef(
+      "lm2_kneser_ney",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
+        |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |lf AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cleft,
+        |    CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY 1),
+        |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1c FROM bc GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM bc)
+        |SELECT w1, w2, c,
+        |  CAST(((4 * c - 3) * n1tot + 3 * n1p * n1c)
+        |      * CAST(1000000000000 AS HUGEINT)
+        |    // (4 * cleft * n1tot) AS BIGINT) AS p_fp
+        |FROM bc JOIN lf USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+        |WHERE c >= 5 ORDER BY w1, w2""".stripMargin) { (s, d) =>
+      TextOps.knBigramProbs(Tables.documents(s, d), "doc_id", "text",
+          minCount = 5L)
+        .select(col("w1"), col("w2"), col("c"), col("p_fp"))
+        .orderBy(col("w1"), col("w2"))
     }
   )
 

@@ -528,6 +528,25 @@ class PlanSpec extends SparkSpec {
       c.getMessage != null && c.getMessage.contains("out of range")), e)
   }
 
+  test("lm1_ngram_counts: all orders fan out in ONE scan, aggregate is map-side combined") {
+    val p = plan("lm1_ngram_counts")
+    // one documents scan: the per-order union-of-scans shape re-reads the
+    // text column maxOrder times at 100 TB (count detail headers only —
+    // each node also appears once in the tree summary)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1, p)
+    // partial+final aggregate pair around the (ord, gram) exchange
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 2, p)
+  }
+
+  test("lm2_kneser_ney: marginals derive from the count table, no window, no cartesian blowup") {
+    val p = plan("lm2_kneser_ney")
+    assert(!p.contains("Window"), p)
+    // the only nested-loop join is the broadcast of the 1-row n1tot total
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dot-product kernel throws on dimension mismatch instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")

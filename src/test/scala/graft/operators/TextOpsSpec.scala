@@ -610,4 +610,77 @@ class TextOpsSpec extends SparkSpec {
       TextOps.hashedQualityClassifier(docs, "doc_id", "text", $"lab", 1)
     }
   }
+
+  test("ngramLmCounts: counts and KN continuation counts by hand") {
+    // corpus: "a b c", "x b c", "b c" — trigram window only fits twice
+    val docs = Seq((1L, "a b c"), (2L, "x b c"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramLmCounts(docs, "doc_id", "text",
+        maxOrder = 3, minCount = 1L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // unigram "b": 3 occurrences; distinct left contexts {a, x} — the
+    // doc-initial "b" of doc 3 contributes no context
+    assert(got((1L, "b")) == (3L, 2L))
+    // unigram "c": always follows b — high count, ccount 1 (the KN point)
+    assert(got((1L, "c")) == (3L, 1L))
+    // doc-initial-only tokens have zero continuation evidence
+    assert(got((1L, "a")) == (1L, 0L))
+    assert(got((2L, "b c")) == (3L, 2L)) // bigram "b c" after {a, x}
+    assert(got((3L, "a b c")) == (1L, 0L))
+    // minCount prunes types, not occurrences: c >= 3 keeps only b/c/"b c"
+    val pruned = TextOps.ngramLmCounts(docs, "doc_id", "text", 3, 3L)
+      .as[(Long, String, Long, Long)].collect().map(_._2).toSet
+    assert(pruned == Set("b", "c", "b c"))
+  }
+
+  test("knBigramProbs: exact KN arithmetic and per-context mass") {
+    // bigrams: (a,b) x2, (a,c) x1 -> L(a)=3, P(a)=2, C(b)=C(c)=1, T=2
+    // p(b|a) = max(2-3/4,0)/3 + (3/4)(2/3)(1/2) = 2/3; p(c|a) = 1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.knBigramProbs(docs, "doc_id", "text", minCount = 1L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("a", "b")) == 666666666666L)
+    assert(got(("a", "c")) == 333333333333L)
+    // real corpus: replay the whole model in BigInt and require the
+    // engine's decimal arithmetic to match EXACTLY, bigram by bigram;
+    // then check the KN mass identity sum_all_w p(w|u) = 1 per context
+    // (observed mass + backoff to unobserved continuations)
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val grams = corpus.select($"text").as[String].collect()
+      .flatMap(_.split(" ").sliding(2).collect { case Array(a, b) => (a, b) })
+    val bc = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cleft = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1c = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = bc.size.toLong
+    def pFp(p: (String, String)): Long =
+      ((BigInt(4 * bc(p) - 3) * t + BigInt(3) * n1p(p._1) * n1c(p._2)) *
+        BigInt(1000000000000L) / (BigInt(4) * cleft(p._1) * t)).toLong
+    val engine = TextOps.knBigramProbs(corpus, "doc_id", "text", 1L)
+      .as[(String, String, Long, Long)].collect()
+    assert(engine.length == bc.size)
+    engine.foreach { case (w1, w2, c, fp) =>
+      assert(c == bc((w1, w2)), s"count($w1,$w2)")
+      assert(fp == pFp((w1, w2)), s"p_fp($w1,$w2)")
+    }
+    // mass identity: observed sum + 3P/(4L) * sum(C(unobserved))/T = 1,
+    // in exact rationals (floor dust only on the fixed-point side)
+    cleft.keys.foreach { u =>
+      val obs = bc.keys.filter(_._1 == u).toSeq
+      val obsMass = obs.map(p =>
+        BigDecimal(BigInt(4 * bc(p) - 3) * t + BigInt(3) * n1p(u) * n1c(p._2)) /
+          BigDecimal(BigInt(4) * cleft(u) * t)).sum
+      // iterator, not keys.map: mapping a key SET to counts would collapse
+      // equal counts before the sum
+      val unobsC = n1c.keys.iterator.filterNot(w => bc.contains((u, w)))
+        .map(n1c).sum
+      val backoff = BigDecimal(BigInt(3) * n1p(u) * unobsC) /
+        BigDecimal(BigInt(4) * cleft(u) * t)
+      assert(((obsMass + backoff) - 1).abs < BigDecimal("1e-18"),
+        s"context $u mass ${obsMass + backoff}")
+    }
+  }
 }
