@@ -3065,7 +3065,7 @@ object CorpusQueries {
          |wm AS (SELECT key, $sqlLnMicroFromL AS micro FROM wlL),
          |wt AS (SELECT p.key // 2 AS b, p.micro - n.micro AS w_fp
          |  FROM wm p JOIN wm n ON n.key = p.key + 1 WHERE p.key % 2 = 0),
-         |ll AS (SELECT doc_id, SUM(c * w_fp) AS ll_fp
+         |ll AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
          |  FROM cdb JOIN wt USING (b) GROUP BY doc_id),
          |dt AS (SELECT 0 AS key,
          |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p,
@@ -3655,7 +3655,7 @@ object CorpusQueries {
          |        FROM documents WHERE doc_id % 5 IN (0, 1))
          |  WHERE len(feat) > 0),
          |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM bf GROUP BY 1, 2),
-         |ll AS (SELECT doc_id, SUM(c * w_fp) AS ll_fp
+         |ll AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
          |  FROM cdb JOIN wt USING (b) GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(ll_fp, 0) + prior_fp AS score_fp,
          |  (COALESCE(ll_fp, 0) + prior_fp) > 0 AS pred,
@@ -3801,7 +3801,7 @@ object CorpusQueries {
          |lrm AS (SELECT key, $sqlLnMicroFromL AS micro FROM lfL),
          |lr AS (SELECT t.key // 2 AS b, t.micro - r.micro AS lr_fp
          |  FROM lrm t JOIN lrm r ON r.key = t.key + 1 WHERE t.key % 2 = 0),
-         |logw AS (SELECT doc_id, SUM(c * lr_fp) AS logw_fp
+         |logw AS (SELECT doc_id, CAST(SUM(c * lr_fp) AS BIGINT) AS logw_fp
          |  FROM cdb JOIN lr USING (b) GROUP BY doc_id),
          |allv AS (SELECT d.doc_id, COALESCE(logw_fp, 0) AS logw_fp
          |  FROM documents d LEFT JOIN logw USING (doc_id)),

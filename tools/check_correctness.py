@@ -51,6 +51,24 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception:
             want_s, got_s = want, got
         diffs = []
+        # Dtype-KIND drift gate: the driver's hash normalizes integer widths
+        # (int8 vs int64 both hash as ints) but distinguishes float from int —
+        # a DuckDB SUM(BIGINT) silently returns HUGEINT, which pandas
+        # materializes as float64, flipping the hash even when every value is
+        # identical (the r12 sm9/t22/ds5 saga). Fail loudly on int-vs-float so
+        # oracle type drift is caught locally before the driver sees it.
+        kind_drift = []
+        for c in cols:
+            wk, gk = want_s[c].dtype.kind, got_s[c].dtype.kind
+            wk = "i" if wk == "u" else wk
+            gk = "i" if gk == "u" else gk
+            if {wk, gk} == {"i", "f"}:
+                kind_drift.append(f"{c}: oracle={want_s[c].dtype} engine={got_s[c].dtype}")
+        if kind_drift:
+            print(f"FAIL {name}: int-vs-float dtype drift (driver hash is "
+                  f"kind-sensitive): " + "; ".join(kind_drift))
+            failures += 1
+            continue
         for c in cols:
             a, b = want_s[c], got_s[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
