@@ -235,22 +235,81 @@ object Sampling {
     * Output adds `cum_tokens` (running total INCLUDING the row, within its
     * source's kept order) — the audit column a mixture report wants.
     *
-    * Scale shape: one per-source window (running sum over the score sort) —
-    * a single hash exchange on the source key; no global coordination,
-    * since budgets are per-source by construction. Determinism: the score
+    * Scale shape: the running sum is TWO-LEVEL (pk1's prefix-sum shape
+    * with a score sort key) — a per-source-only window would funnel each
+    * source's full document set through ONE task, and a handful of sources
+    * IS the whole corpus at 100 TB. Instead: score-RANGE buckets (a
+    * monotone map of the sort key, min/max-derived width), one
+    * (source, bucket) token-sum aggregate, a driver-side exclusive scan in
+    * DESCENDING bucket order (sources × buckets longs), then a
+    * within-bucket running sum plus the broadcast base. Monotone bucketing
+    * guarantees every row in bucket b+1 sorts strictly before every row in
+    * bucket b (equal scores share a bucket), so base + local prefix IS the
+    * per-source prefix. Score-range buckets are value-distribution-
+    * dependent (unlike the md5 buckets of shuffleOrder) — a degenerate
+    * all-one-score source collapses to one bucket, which is exactly the
+    * per-key window it replaces, never worse. Determinism: the score
     * expression is a fixed IEEE tree (the t2 discipline) and the tiebreak
     * is total, so kept membership is engine-identical.
     */
   def tokenBudgetPerKey(df: DataFrame, keyCol: String, idCol: String,
                         tokenCol: String, scoreCol: String,
-                        budgetTokens: Long): DataFrame = {
+                        budgetTokens: Long, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
-      .filter(col("cum_tokens") - col(tokenCol).cast("long") < budgetTokens)
+    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    // checkpoint-cut: the scored frame feeds two jobs (min/max + counts,
+    // then the prefix join) — the shuffleOrder determinism contract.
+    val cut = graft.core.Storage.cut(
+      df.withColumn("__s", col(scoreCol).cast("double"))
+        .withColumn("__t", col(tokenCol).cast("long")),
+      eager = true)
+    val mm = cut.agg(min(col("__s")), max(col("__s"))).head()
+    if (mm.isNullAt(0))
+      return cut.withColumn("cum_tokens", lit(0L)).drop("__s", "__t").limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = hi - lo
+    // floor((s-lo)/width) is monotone non-decreasing in s (IEEE subtraction
+    // and positive division preserve order), clamped so s = hi lands in the
+    // last bucket; span 0 (or non-finite) degenerates to one bucket.
+    val kb =
+      if (span > 0 && !span.isInfinity)
+        least(floor((col("__s") - lit(lo)) / lit(span / nBuckets)),
+          lit(nBuckets - 1.0)).cast("long")
+      else lit(0L)
+    val withB = cut.withColumn("__kb", kb)
+    val keyField = withB.schema(keyCol)
+    val bucketSums = withB.groupBy(col(keyCol), col("__kb"))
+      .agg(sum(col("__t")).as("__n")).collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$keyCol contains NULLs — a per-key token budget over them is undefined")
+        (r.get(0), r.getLong(1), r.getLong(2))
+      }
+    // DESCENDING bucket order: the base of bucket b is the token mass of
+    // every better-scoring bucket b' > b for that key.
+    val bases = bucketSums.groupBy(_._1).toSeq.flatMap { case (k, bs) =>
+      bs.sortBy(-_._2).scanLeft((k, Long.MinValue, 0L, 0L)) {
+        case ((_, _, acc, n), (_, b, m)) => (k, b, acc + n, m)
+      }.drop(1).map { case (k2, b, base, _) =>
+        org.apache.spark.sql.Row(k2, b, base)
+      }
+    }
+    val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+      keyField,
+      org.apache.spark.sql.types.StructField(
+        "__kb", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__base", org.apache.spark.sql.types.LongType, nullable = false)))
+    val baseDf = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(bases).asJava), baseSchema)
+    val w = Window.partitionBy(col(keyCol), col("__kb"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB.join(broadcast(baseDf), Seq(keyCol, "__kb"))
+      .withColumn("cum_tokens", col("__base") + sum(col("__t")).over(w))
+      .filter(col("cum_tokens") - col("__t") < budgetTokens)
+      .drop("__s", "__t", "__kb", "__base")
   }
 
   /** EXACT target-proportion mixing: keep the LARGEST corpus whose stratum
@@ -265,32 +324,64 @@ object Sampling {
     * with no rows zeroes the whole mix (fail-loud by construction: you
     * asked for a share of something that does not exist).
     *
-    * Scale shape: one count aggregate (stratum-cardinality-sized collect),
-    * then a per-stratum md5 rank window against a broadcast quota frame —
-    * the sm8 discipline with per-stratum k.
+    * Scale shape: the per-stratum rank is TWO-LEVEL (the shuffleOrder /
+    * curriculumOrder prefix discipline) — a per-stratum-only window would
+    * funnel each stratum through ONE task, and quotas here are
+    * stratum-sized, so `WindowGroupLimit` cannot prune it. Instead: md5
+    * range-buckets (uniform by construction — the md5 IS the rank key),
+    * one (stratum, bucket) count aggregate whose driver-side exclusive
+    * scan yields both the stratum totals for T* AND the per-bucket rank
+    * bases, then a within-bucket window plus the broadcast base. Serial
+    * state is strata × buckets longs; no task ever sorts more than one
+    * bucket's slice.
     */
   def mixToWeights(df: DataFrame, idCol: String, stratumCol: String,
-                   weights: Map[String, Long], salt: String): DataFrame = {
+                   weights: Map[String, Long], salt: String,
+                   buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"weights must be positive, got $weights")
     val wTotal = weights.values.sum
-    val counts = df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
-      .groupBy(col(stratumCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val width = Buckets / nBuckets + 1
+    // checkpoint-cut: the bucketed frame feeds two jobs (the count collect,
+    // then the rank join) — the shuffleOrder determinism contract.
+    val withB = graft.core.Storage.cut(
+      df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
+        .withColumn("__sk", bucket(col(idCol), salt))
+        .withColumn("__kb", (col("__sk") / width).cast("long")),
+      eager = true)
+    val bucketCounts = withB.groupBy(col(stratumCol), col("__kb"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$stratumCol contains NULLs — a weighted mix over them is undefined")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    val counts = bucketCounts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val tStar = weights.map { case (s, w) =>
       counts.getOrElse(s, 0L) * wTotal / w
     }.min
     val quotas = weights.toSeq.map { case (s, w) => (s, w * tStar / wTotal) }
+    val bases = bucketCounts.groupBy(_._1).toSeq.flatMap { case (s, bs) =>
+      bs.sortBy(_._2).scanLeft((s, Long.MinValue, 0L, 0L)) {
+        case ((_, _, acc, n), (_, b, m)) => (s, b, acc + n, m)
+      }.drop(1).map { case (s2, b, base, _) => (s2, b, base) }
+    }
     val quotaDf = df.sparkSession.createDataFrame(quotas)
       .toDF(stratumCol, "__quota")
-    val win = Window.partitionBy(col(stratumCol))
-      .orderBy(bucket(col(idCol), salt), col(idCol))
-    df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
-      .withColumn("__rn", row_number().over(win).cast("long"))
+    val baseDf = df.sparkSession
+      .createDataFrame(if (bases.isEmpty) Seq(("", -1L, 0L)) else bases)
+      .toDF(stratumCol, "__kb", "__base")
+      .filter(col("__kb") >= 0)
+    val win = Window.partitionBy(col(stratumCol), col("__kb"))
+      .orderBy(col("__sk"), col(idCol))
+    withB
+      .join(broadcast(baseDf), Seq(stratumCol, "__kb"))
+      .withColumn("__rn", col("__base") + row_number().over(win).cast("long"))
       .join(broadcast(quotaDf), Seq(stratumCol))
       .filter(col("__rn") <= col("__quota"))
-      .drop("__rn", "__quota")
+      .drop("__sk", "__kb", "__base", "__rn", "__quota")
   }
 
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep

@@ -834,25 +834,64 @@ object TextOps {
     * scorer is swappable). Thirds by integer arithmetic on the rank
     * (3r ≤ n / 3r > 2n), ties by id, so membership is engine-exact.
     *
-    * Scale shape: the NLL scoring is the t12 aggregate; bucketing adds
-    * one window exchange on the group key — per-language partitions,
-    * never a global sort.
+    * Scale shape: the NLL scoring is the t12 aggregate; the per-group rank
+    * is TWO-LEVEL (the shuffleOrder prefix discipline) — a
+    * group-partitioned window would funnel each LANGUAGE through one task,
+    * and at 100 TB one language is most of the corpus. avg_nll is a
+    * 6-decimal-rounded double, so round(avg_nll·1e6) is an EXACT monotone
+    * long image of the sort key; range-bucketing that image (min/max-
+    * derived width), counting per (group, bucket), and exclusive-scanning
+    * the counts on the driver (groups × buckets longs) yields both the
+    * per-bucket rank base AND the per-group totals — the thirds become
+    * integer boundary comparisons against the broadcast totals, and the
+    * only window sorts one (group, bucket) slice. NLL-range buckets are
+    * value-distribution-dependent (real corpora spread; a degenerate
+    * constant-score group collapses to the per-group window it replaces,
+    * never worse).
     */
   def perplexityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
-                        textCol: String, groupCol: String)
-      : org.apache.spark.sql.DataFrame = {
+                        textCol: String, groupCol: String,
+                        buckets: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
     val nll = unigramNll(df, idCol, textCol)
-    val j = nll.join(
-      df.select(col(idCol).as("did"), col(groupCol).as("grp")), Seq("did"))
-    val byGrp = Window.partitionBy(col("grp"))
-    j.withColumn("r",
-        row_number().over(byGrp.orderBy(col("avg_nll").asc, col("did").asc))
-          .cast("long"))
-      .withColumn("n", count(lit(1)).over(byGrp))
+    // checkpoint-cut: the keyed frame feeds two jobs (min/max + counts,
+    // then the rank join) — the shuffleOrder determinism contract.
+    val keyed = graft.core.Storage.cut(
+      nll.join(
+          df.select(col(idCol).as("did"), col(groupCol).as("grp")), Seq("did"))
+        .withColumn("__k", round(col("avg_nll") * 1e6).cast("long")),
+      eager = true)
+    val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
+    if (mm.isNullAt(0))
+      return keyed.withColumn("r", lit(0L)).withColumn("bucket", lit(""))
+        .select(col("did"), col("grp"), col("dl"), col("avg_nll"), col("r"),
+          col("bucket")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    val withB = keyed.withColumn("__kb", ((col("__k") - lit(lo)) / lit(width))
+      .cast("long"))
+    val counts = withB.groupBy(col("grp"), col("__kb"))
+      .agg(count(lit(1)).as("__n")).collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$groupCol contains NULLs — a per-group bucketing over them is undefined")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    val bases = counts.groupBy(_._1).toSeq.flatMap { case (g, bs) =>
+      val tot = bs.map(_._3).sum
+      bs.sortBy(_._2).scanLeft((g, Long.MinValue, 0L, 0L)) {
+        case ((_, _, acc, n), (_, b, m)) => (g, b, acc + n, m)
+      }.drop(1).map { case (g2, b, base, _) => (g2, b, base, tot) }
+    }
+    val baseDf = df.sparkSession.createDataFrame(bases)
+      .toDF("grp", "__kb", "__base", "__tot")
+    val w = Window.partitionBy(col("grp"), col("__kb"))
+      .orderBy(col("avg_nll").asc, col("did").asc)
+    withB.join(broadcast(baseDf), Seq("grp", "__kb"))
+      .withColumn("r", col("__base") + row_number().over(w).cast("long"))
       .withColumn("bucket",
-        when(col("r") * 3 <= col("n"), "head")
-          .when(col("r") * 3 > col("n") * 2, "tail")
+        when(col("r") * 3 <= col("__tot"), "head")
+          .when(col("r") * 3 > col("__tot") * 2, "tail")
           .otherwise("middle"))
       .select(col("did"), col("grp"), col("dl"), col("avg_nll"), col("r"),
         col("bucket"))
@@ -1096,6 +1135,10 @@ object TextOps {
     * map-side-combinable aggregate on (ord, gram); the continuation count
     * is a two-phase distinct on the same key, no extra exchange beyond
     * the partial-distinct pass.
+    *
+    * `idCol` is accepted only for signature uniformity with the rest of the
+    * TextOps family — counts are corpus-global; the id never participates
+    * in grouping (same for [[knBigramProbs]]).
     */
   def ngramLmCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, maxOrder: Int,

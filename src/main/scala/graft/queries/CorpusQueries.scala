@@ -4749,9 +4749,10 @@ object CorpusQueries {
         |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1c FROM bc GROUP BY 1),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM bc)
         |SELECT w1, w2, c,
-        |  CAST(((4 * c - 3) * n1tot + 3 * n1p * n1c)
+        |  CAST((CAST(4 * c - 3 AS HUGEINT) * n1tot
+        |      + CAST(3 AS HUGEINT) * n1p * n1c)
         |      * CAST(1000000000000 AS HUGEINT)
-        |    // (4 * cleft * n1tot) AS BIGINT) AS p_fp
+        |    // (CAST(4 AS HUGEINT) * cleft * n1tot) AS BIGINT) AS p_fp
         |FROM bc JOIN lf USING (w1) JOIN rc USING (w2) CROSS JOIN tot
         |WHERE c >= 5 ORDER BY w1, w2""".stripMargin) { (s, d) =>
       TextOps.knBigramProbs(Tables.documents(s, d), "doc_id", "text",

@@ -246,10 +246,18 @@ class PlanSpec extends SparkSpec {
       s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
   }
 
-  test("t23_perplexity_buckets: per-group windows, never a single-partition window") {
+  test("t23_perplexity_buckets: rank window is (group, bucket)-partitioned, " +
+      "never group-only") {
     val p = plan("t23_perplexity_buckets")
     assert(p.contains("Window"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
+    // the r12 scale finding: a window partitioned by the group alone
+    // serializes each LANGUAGE through one task at 100 TB. Every window
+    // spec must carry the prefix bucket key alongside the group.
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("__kb#")),
+      s"group-only window (no __kb bucket key):\n${specs.mkString("\n")}")
   }
 
   test("ch3_cdc_chunks: native boundary kernel in-plan, no pre-chunk shuffle") {
@@ -278,10 +286,29 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
   }
 
-  test("sm12_token_budget: one window exchange on the source key, no global sort below it") {
+  test("sm12_token_budget: running-sum window is (source, bucket)-partitioned, " +
+      "never source-only") {
     val p = plan("sm12_token_budget")
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(p.contains("Window"), p)
+    // a handful of sources IS the corpus at 100 TB — the running sum must
+    // ride the two-level score-range buckets, not a per-source sort
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("__kb#")),
+      s"source-only window (no __kb bucket key):\n${specs.mkString("\n")}")
+  }
+
+  test("sm13_target_mix: quota rank window is (stratum, bucket)-partitioned, " +
+      "never stratum-only") {
+    val p = plan("sm13_target_mix")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // quotas are stratum-sized, so WindowGroupLimit cannot prune a
+    // stratum-only rank — the md5 range buckets are the only scale path
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("__kb#")),
+      s"stratum-only window (no __kb bucket key):\n${specs.mkString("\n")}")
   }
 
   test("d14_decontaminate: only hashed gram keys shuffle, never text") {
