@@ -1224,6 +1224,88 @@ object TextOps {
         AS BIGINT)""").as("p_fp"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM probabilities (Chen & Goodman 1999,
+    * absolute discount D = 3/4 at both orders) — the order-3 rung above
+    * [[knBigramProbs]], riding the same one-scan/count-table discipline as
+    * [[ngramLmCounts]]. For every observed trigram, with
+    *
+    *   c  = c(w1 w2 w3),  L = c(w1 w2 ·),   P  = N1+(w1 w2 ·),
+    *   b  = N1+(· w2 w3), M = N1+(· w2 ·),  P2 = N1+(w2 ·),
+    *   C1 = N1+(· w3),    T = N1+(· ·)
+    *
+    * (ALL lower-order statistics derived from the trigram TYPE table — the
+    * Chen–Goodman continuation-count construction; no sentence padding, no
+    * cross-document grams, consistent with [[ngramLmCounts]]'s
+    * doc-boundary contract):
+    *
+    *   p2(w3|w2)    = max(b − D, 0)/M + D·P2/M · C1/T
+    *                = ((4b − 3)·T + 3·P2·C1) / (4·M·T)
+    *   p3(w3|w1 w2) = max(c − D, 0)/L + D·P/L · p2(w3|w2)
+    *
+    * Fixed-point contract: `p2_fp` is the exact floor of p2 · 1e12 (the
+    * lm2 single-ratio discipline); `p_fp` nests ONE floor —
+    * floor(((4c−3)·1e12 + 3·P·p2_fp) / (4·L)) — so every intermediate
+    * stays within decimal(38,0) at any corpus size (the un-nested single
+    * ratio would need ~10^52 at 100 TB). The nesting under-counts p3 by
+    * < 3·P/(4·L) · 1e-12 < 1 fp unit — below the fixed-point resolution,
+    * and monotone (never over 1), so the per-context mass identity
+    * Σ p3 ≤ 1e12 survives exactly (property-tested). Both engines run the
+    * same integer arithmetic (decimal here, HUGEINT in the oracle), so
+    * probabilities hash-check bit-for-bit with no libm anywhere.
+    *
+    * `minCount` bounds the OUTPUT only; backoff statistics always see the
+    * full type table.
+    *
+    * Scale shape: one trigram-count aggregate (map-side combined), three
+    * key-local type aggregates (context, middle-pair, unigram marginals),
+    * one 1-row broadcast total, and equi-join chains back onto the count
+    * table — no window, no per-pair work beyond observed types. `idCol`
+    * accepted only for signature uniformity (counts are corpus-global).
+    */
+  def knTrigramProbs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tri = df
+      .select(words(col(textCol)).as("w"))
+      .select(explode(when(size(col("w")) >= 3,
+        transform(sequence(lit(1), size(col("w")) - 2), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"),
+            element_at(col("w"), i + 2).as("w3"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+    val tc = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+    // highest-order context: token mass and distinct continuations
+    val ctx = tc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("l3"), count(lit(1)).as("p3n"))
+    // middle-order continuation pairs: b(w2,w3) = N1+(· w2 w3)
+    val cb = tc.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("cb2"))
+    val mid = cb.groupBy(col("w2"))
+      .agg(sum(col("cb2")).as("m2"), count(lit(1)).as("p2n"))
+    val c1 = cb.groupBy(col("w3")).agg(count(lit(1)).as("c1"))
+    val tot = cb.agg(count(lit(1)).as("n1tot"))
+    val p2 = cb.join(mid, Seq("w2")).join(c1, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .select(col("w2"), col("w3"),
+        expr("""CAST(
+          (CAST(4 * cb2 - 3 AS DECIMAL(38, 0)) * n1tot
+             + CAST(3 AS DECIMAL(38, 0)) * p2n * c1)
+            * CAST(1000000000000 AS DECIMAL(38, 0))
+          div (CAST(4 AS DECIMAL(38, 0)) * m2 * n1tot)
+        AS BIGINT)""").as("p2_fp"))
+    tc.join(ctx, Seq("w1", "w2")).join(p2, Seq("w2", "w3"))
+      .filter(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("w3"), col("c"),
+        expr("""CAST(
+          (CAST(4 * c - 3 AS DECIMAL(38, 0)) * 1000000000000
+             + CAST(3 AS DECIMAL(38, 0)) * p3n * p2_fp)
+          div (CAST(4 AS DECIMAL(38, 0)) * l3)
+        AS BIGINT)""").as("p_fp"))
+  }
+
   /** Hashing-trick unigram featurizer shared by train and serve: explodes
     * `textCol` into one (…, b) row per token OCCURRENCE (counts matter
     * downstream), b = 48-bit md5 of the token mod nBuckets. All other

@@ -4759,6 +4759,43 @@ object CorpusQueries {
           minCount = 5L)
         .select(col("w1"), col("w2"), col("c"), col("p_fp"))
         .orderBy(col("w1"), col("w2"))
+    },
+
+    // Interpolated Kneser-Ney TRIGRAM probabilities (D = 3/4 at both
+    // orders): all backoff statistics from the trigram TYPE table
+    // (Chen-Goodman continuation counts, no sentence padding), p2_fp the
+    // exact lm2-style single ratio, p_fp nesting ONE floor so every
+    // intermediate fits decimal(38,0) at any corpus size. HUGEINT oracle
+    // = decimal engine, bit-for-bit.
+    QueryDef(
+      "lm3_kneser_ney_trigram",
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |tri AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
+        |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)),
+        |tc AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tri GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS l3,
+        |    CAST(COUNT(*) AS BIGINT) AS p3n FROM tc GROUP BY 1, 2),
+        |cb AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cb2
+        |  FROM tc GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(cb2) AS BIGINT) AS m2,
+        |    CAST(COUNT(*) AS BIGINT) AS p2n FROM cb GROUP BY 1),
+        |c1 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM cb),
+        |p2 AS (SELECT w2, w3,
+        |    CAST((CAST(4 * cb2 - 3 AS HUGEINT) * n1tot
+        |        + CAST(3 AS HUGEINT) * p2n * c1)
+        |        * CAST(1000000000000 AS HUGEINT)
+        |      // (CAST(4 AS HUGEINT) * m2 * n1tot) AS BIGINT) AS p2_fp
+        |  FROM cb JOIN mid USING (w2) JOIN c1 USING (w3) CROSS JOIN tot)
+        |SELECT w1, w2, w3, c,
+        |  CAST((CAST(4 * c - 3 AS HUGEINT) * 1000000000000
+        |      + CAST(3 AS HUGEINT) * p3n * p2_fp)
+        |    // (CAST(4 AS HUGEINT) * l3) AS BIGINT) AS p_fp
+        |FROM tc JOIN ctx USING (w1, w2) JOIN p2 USING (w2, w3)
+        |WHERE c >= 3 ORDER BY w1, w2, w3""".stripMargin) { (s, d) =>
+      TextOps.knTrigramProbs(Tables.documents(s, d), "doc_id", "text",
+          minCount = 3L)
+        .orderBy(col("w1"), col("w2"), col("w3"))
     }
   )
 

@@ -683,4 +683,73 @@ class TextOpsSpec extends SparkSpec {
         s"context $u mass ${obsMass + backoff}")
     }
   }
+
+  test("knTrigramProbs: exact nested-floor arithmetic and per-context mass") {
+    // trigrams: (a,b,c) x2, (a,b,d) x1 -> L=3, P=2; cb(b,c)=cb(b,d)=1,
+    // M=2, P2=2, C1(c)=C1(d)=1, T=2 -> p2 = (1*2 + 3*2*1)/(4*2*2) = 1/2
+    // p(c|a,b) = ((8-3)e12 + 3*2*5e11)/12 = 2/3; p(d|a,b) = 1/3
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.knTrigramProbs(docs, "doc_id", "text", minCount = 1L)
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._5).toMap
+    assert(got(("a", "b", "c")) == 666666666666L)
+    assert(got(("a", "b", "d")) == 333333333333L)
+    // real corpus: replay the whole model in BigInt (nested floor and all)
+    // and require the engine's decimal arithmetic to match EXACTLY
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val grams = corpus.select($"text").as[String].collect()
+      .flatMap(_.split(" ").sliding(3).collect {
+        case Array(a, b, c) => (a, b, c) })
+    val tc = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val l3 = tc.groupBy(t => (t._1._1, t._1._2)).view.mapValues(_.values.sum).toMap
+    val p3n = tc.groupBy(t => (t._1._1, t._1._2)).view.mapValues(_.size.toLong).toMap
+    val cb = tc.keys.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val m2 = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p2n = cb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val c1 = cb.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = cb.size.toLong
+    val E12 = BigInt(1000000000000L)
+    def p2Fp(p: (String, String)): BigInt =
+      (BigInt(4 * cb(p) - 3) * t + BigInt(3) * p2n(p._1) * c1(p._2)) * E12 /
+        (BigInt(4) * m2(p._1) * t)
+    def pFp(g: (String, String, String)): Long =
+      ((BigInt(4 * tc(g) - 3) * E12 +
+        BigInt(3) * p3n((g._1, g._2)) * p2Fp((g._2, g._3))) /
+        (BigInt(4) * l3((g._1, g._2)))).toLong
+    val engine = TextOps.knTrigramProbs(corpus, "doc_id", "text", 1L)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(engine.length == tc.size)
+    engine.foreach { case (w1, w2, w3, c, fp) =>
+      assert(c == tc((w1, w2, w3)), s"count($w1,$w2,$w3)")
+      assert(fp == pFp((w1, w2, w3)), s"p_fp($w1,$w2,$w3)")
+    }
+    // mass identity in exact rationals (pre-floor): per context (u, v),
+    // observed mass + backoff over unobserved continuations = 1, where the
+    // unobserved mass splits into pairs observed in cb and pure-unigram
+    // backoff (sum of C1 over w3 with no (v, w3) pair)
+    def p2Rat(p: (String, String)): BigDecimal =
+      BigDecimal(BigInt(4 * cb(p) - 3) * t + BigInt(3) * p2n(p._1) * c1(p._2)) /
+        BigDecimal(BigInt(4) * m2(p._1) * t)
+    l3.keys.take(200).foreach { case uv @ (_, v) =>
+      val lam = BigDecimal(BigInt(3) * p3n(uv)) / BigDecimal(BigInt(4) * l3(uv))
+      val obs = tc.keys.filter(g => (g._1, g._2) == uv).toSeq
+      val obsMass = obs.map { g =>
+        BigDecimal(BigInt(4 * tc(g) - 3)) / BigDecimal(BigInt(4) * l3(uv)) +
+          lam * p2Rat((g._2, g._3))
+      }.sum
+      val obsW3 = obs.map(_._3).toSet
+      // continuations of v observed as pairs but not after (u, v)
+      val pairBackoff = cb.keys.iterator
+        .filter(p => p._1 == v && !obsW3(p._2)).map(p2Rat).sum
+      // continuations never seen after v at all: p2 backs off to C1/T
+      val vW3 = cb.keys.iterator.filter(_._1 == v).map(_._2).toSet
+      val lam2 = BigDecimal(BigInt(3) * p2n(v)) / BigDecimal(BigInt(4) * m2(v))
+      val uniBackoff = lam2 *
+        BigDecimal(c1.iterator.filterNot(kv => vW3(kv._1)).map(_._2).sum) /
+        BigDecimal(t)
+      val mass = obsMass + lam * (pairBackoff + uniBackoff)
+      assert((mass - 1).abs < BigDecimal("1e-18"), s"context $uv mass $mass")
+    }
+  }
 }
