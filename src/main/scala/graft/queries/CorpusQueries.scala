@@ -84,6 +84,41 @@ object CorpusQueries {
       |  ELSE -((CAST(-L AS HUGEINT) * 24387948313146 + 18014398509481984) // 36028797018963968)
       |END AS BIGINT)""".stripMargin
 
+  /** Mirror of TextOps.trainQualityModel for training docs selected by
+    * `where`: emits the CTE chain `<t>seed … <t>wt` (dense per-bucket
+    * w_fp, 256 buckets) and `<t>prior` — tag-prefixed so ds9 can carry
+    * two model versions in one WITH RECURSIVE. The ds5 oracle spells the
+    * same chain inline (untagged, single version).
+    */
+  private def qualityModelCtes(t: String, where: String): String =
+    s"""${t}seed AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_p,
+       |    text FROM documents WHERE $where),
+       |${t}sf AS (SELECT doc_id, is_p, ${sqlHash("feat", 12)} % 256 AS b
+       |  FROM (SELECT doc_id, is_p, unnest(string_split(text, ' ')) AS feat
+       |        FROM ${t}seed)
+       |  WHERE len(feat) > 0),
+       |${t}bc AS (SELECT b,
+       |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+       |    CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS nc
+       |  FROM ${t}sf GROUP BY b),
+       |${t}tot AS (SELECT SUM(pc) AS pn, SUM(nc) AS nn FROM ${t}bc),
+       |${t}bcd AS (SELECT g.b, coalesce(pc, 0) AS pc, coalesce(nc, 0) AS nc
+       |  FROM generate_series(0, 255) g(b) LEFT JOIN ${t}bc ON ${t}bc.b = g.b),
+       |${t}win AS (SELECT b * 2 AS key, pc + 1 AS p, pn + 256 AS q
+       |    FROM ${t}bcd CROSS JOIN ${t}tot
+       |  UNION ALL SELECT b * 2 + 1, nc + 1, nn + 256
+       |    FROM ${t}bcd CROSS JOIN ${t}tot),
+       |${sqlLog2Fp(s"${t}wl", s"${t}win", "key")},
+       |${t}wm AS (SELECT key, $sqlLnMicroFromL AS micro FROM ${t}wlL),
+       |${t}wt AS (SELECT p.key // 2 AS b, p.micro - n.micro AS w_fp
+       |  FROM ${t}wm p JOIN ${t}wm n ON n.key = p.key + 1 WHERE p.key % 2 = 0),
+       |${t}dt AS (SELECT 0 AS key,
+       |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) + 1 AS BIGINT) AS q
+       |  FROM (SELECT DISTINCT doc_id, is_p FROM ${t}seed)),
+       |${sqlLog2Fp(s"${t}pr", s"${t}dt", "key")},
+       |${t}prior AS (SELECT $sqlLnMicroFromL AS prior_fp FROM ${t}prL)""".stripMargin
+
   /** Mirror of Dedup.minhashSignatures: 32 min-aggregates. */
   private val sigSelect: String = {
     val aggs = (0 until Dedup.NumHashes).map(i =>
@@ -3681,6 +3716,76 @@ object CorpusQueries {
       s.read.parquet(out)
         .select(col("did").as("doc_id"), col("score_fp"), col("pred"),
           col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("doc_id"))
+    },
+
+    // MODEL-REFRESH lifecycle (EventStreams.qualityRetrainBatch /
+    // qualityServeVersioned) — the retrain path ds5's frozen gate lacks:
+    // model v0 trains on the seed slice and serves batch 0; the REFRESH
+    // retrains v1 on seed + committed batch 0 and serves batch 1. Models
+    // live in a store partitioned by model_version (partition-replace
+    // writes, partition-pruned serve reads); BOTH the v1 retrain and the
+    // batch-1 serve are REPLAYED (injected retry) — storage-derived
+    // training input + integer-deterministic training make each rewrite
+    // bit-identical. The score log records which version served which
+    // batch. Oracle: the same dense model arithmetic twice, tag-prefixed.
+    QueryDef(
+      "ds9_model_refresh",
+      s"""WITH RECURSIVE $pow2Cte,
+         |${qualityModelCtes("a", "doc_id % 5 NOT IN (0, 1)")},
+         |${qualityModelCtes("b", "doc_id % 5 <> 1")},
+         |bf0 AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+         |        FROM documents WHERE doc_id % 5 = 0)
+         |  WHERE len(feat) > 0),
+         |cdb0 AS (SELECT doc_id, b, COUNT(*) AS c FROM bf0 GROUP BY 1, 2),
+         |ll0 AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
+         |  FROM cdb0 JOIN awt USING (b) GROUP BY doc_id),
+         |bf1 AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+         |        FROM documents WHERE doc_id % 5 = 1)
+         |  WHERE len(feat) > 0),
+         |cdb1 AS (SELECT doc_id, b, COUNT(*) AS c FROM bf1 GROUP BY 1, 2),
+         |ll1 AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
+         |  FROM cdb1 JOIN bwt USING (b) GROUP BY doc_id)
+         |SELECT * FROM (
+         |SELECT d.doc_id, COALESCE(ll_fp, 0) + prior_fp AS score_fp,
+         |  (COALESCE(ll_fp, 0) + prior_fp) > 0 AS pred,
+         |  CAST(0 AS BIGINT) AS ingest_batch, CAST(0 AS BIGINT) AS model_version
+         |FROM documents d CROSS JOIN aprior LEFT JOIN ll0 USING (doc_id)
+         |WHERE d.doc_id % 5 = 0
+         |UNION ALL
+         |SELECT d.doc_id, COALESCE(ll_fp, 0) + prior_fp AS score_fp,
+         |  (COALESCE(ll_fp, 0) + prior_fp) > 0 AS pred,
+         |  CAST(1 AS BIGINT) AS ingest_batch, CAST(1 AS BIGINT) AS model_version
+         |FROM documents d CROSS JOIN bprior LEFT JOIN ll1 USING (doc_id)
+         |WHERE d.doc_id % 5 = 1)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isPos = col("source").isin("src0", "src1", "src2", "src3")
+      val seed = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val b0 = docs.filter(col("doc_id") % 5 === 0)
+      val b1 = docs.filter(col("doc_id") % 5 === 1)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val modelPath = base + "/graft_quality_ds9_models_" + app
+      val out = base + "/graft_quality_ds9_scores_" + app
+      import graft.streaming.EventStreams.{qualityRetrainBatch, qualityServeVersioned}
+      qualityRetrainBatch(seed, 0L, isPos, modelPath, "doc_id", "text", 256)
+      qualityServeVersioned(b0, 0L, modelPath, 0L, out, "doc_id", "text", 256)
+      // REFRESH: v1 trains on curated seed + committed batch 0
+      qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, modelPath,
+        "doc_id", "text", 256)
+      // injected retry: replay the refresh after its write already landed
+      qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, modelPath,
+        "doc_id", "text", 256)
+      qualityServeVersioned(b1, 1L, modelPath, 1L, out, "doc_id", "text", 256)
+      // injected retry on the serve too
+      qualityServeVersioned(b1, 1L, modelPath, 1L, out, "doc_id", "text", 256)
+      s.read.parquet(out)
+        .select(col("did").as("doc_id"), col("score_fp"), col("pred"),
+          col("ingest_batch").cast("long").as("ingest_batch"),
+          col("model_version").cast("long").as("model_version"))
         .orderBy(col("doc_id"))
     },
 

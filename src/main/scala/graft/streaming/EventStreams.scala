@@ -459,6 +459,54 @@ object EventStreams {
       scoresOutPath, "ingest_batch")
   }
 
+  /** MODEL-REFRESH half of the quality lifecycle (completing ds5's frozen
+    * serve with the retrain path a production gate needs): train a fresh
+    * model VERSION from a deterministic curated+batch input and write the
+    * nBuckets+1 model rows by partition-replace on `model_version` — the
+    * FtsIndex partition-replace discipline applied to the model artifact
+    * itself. Replay-idempotent: the training input is storage-derived and
+    * [[graft.operators.TextOps.trainQualityModel]] is integer-deterministic
+    * (every ln the LnFp fixed point), so a retried retrain rewrites its
+    * version partition with IDENTICAL integers. A half-written refresh is
+    * invisible to serving (which reads one committed version partition);
+    * rollback is "serve the previous version" — old versions stay.
+    */
+  def qualityRetrainBatch(train: DataFrame, version: Long,
+                          isPositive: org.apache.spark.sql.Column,
+                          modelPath: String, idCol: String, textCol: String,
+                          nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val model = graft.operators.TextOps.trainQualityModel(
+      train, idCol, textCol, isPositive, nBuckets)
+    graft.sources.Sinks.overwriteRunPartition(
+      model.withColumn("model_version", lit(version)),
+      modelPath, "model_version")
+  }
+
+  /** Serve one micro-batch against a COMMITTED model version from
+    * [[qualityRetrainBatch]]'s versioned store: the read partition-prunes
+    * to the one version directory (nBuckets+1 rows — broadcast-sized at
+    * any corpus size), scores like [[qualityGateBatch]], and records WHICH
+    * model served the batch in the score log (`model_version` — the audit
+    * column that makes a refresh explainable after the fact). Same
+    * replay-idempotence: (batch, version) is pure, the partition-replace
+    * rewrites identical integers.
+    */
+  def qualityServeVersioned(batch: DataFrame, batchId: Long,
+                            modelPath: String, version: Long,
+                            scoresOutPath: String, idCol: String,
+                            textCol: String, nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val model = batch.sparkSession.read.parquet(modelPath)
+      .filter(col("model_version") === version).drop("model_version")
+    val scores = graft.operators.TextOps.scoreQuality(
+        batch, idCol, textCol, model, nBuckets)
+      .withColumn("model_version", lit(version))
+    graft.sources.Sinks.overwriteRunPartition(
+      scores.withColumn("ingest_batch", lit(batchId)),
+      scoresOutPath, "ingest_batch")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

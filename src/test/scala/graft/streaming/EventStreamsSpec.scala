@@ -484,6 +484,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityRetrain/ServeVersioned: refresh keeps old versions, replays are bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quality_refresh")
+    val (models, out) = (dir.resolve("models").toString, dir.resolve("scores").toString)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val isPos = $"source".isin("src0", "src1", "src2", "src3")
+    val seed = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 5 =!= 1)
+    val b0 = docs.filter($"doc_id" % 5 === 0)
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+    qualityRetrainBatch(seed, 0L, isPos, models, "doc_id", "text", 256)
+    qualityServeVersioned(b0, 0L, models, 0L, out, "doc_id", "text", 256)
+    def modelRows(v: Long) = spark.read.parquet(models)
+      .filter($"model_version" === v).select($"b", $"w_fp")
+      .as[(Long, Long)].collect().toSet
+    val v0 = modelRows(0L)
+    assert(v0.size == 257, "dense model: 256 buckets + prior")
+    // REFRESH to v1 on seed + committed batch 0
+    qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, models, "doc_id", "text", 256)
+    val v1 = modelRows(1L)
+    assert(modelRows(0L) == v0, "a refresh must not disturb committed versions")
+    assert(v1 != v0, "the refreshed model saw new data and must differ")
+    // injected retry: the replayed retrain rewrites identical integers
+    qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, models, "doc_id", "text", 256)
+    assert(modelRows(1L) == v1, "a replayed retrain changed the model")
+    // serve batch 1 with v1; the score log must record the version, and
+    // the scores must equal a direct scoreQuality against the v1 rows
+    qualityServeVersioned(b1, 1L, models, 1L, out, "doc_id", "text", 256)
+    def scores() = spark.read.parquet(out)
+      .select($"did", $"score_fp", $"pred", $"model_version",
+        $"ingest_batch".cast("long"))
+      .as[(Long, Long, Boolean, Long, Long)].collect().toSet
+    val s1 = scores()
+    assert(s1.filter(_._5 == 1L).forall(_._4 == 1L), "batch 1 served by v1")
+    assert(s1.filter(_._5 == 0L).forall(_._4 == 0L), "batch 0 served by v0")
+    val direct = graft.operators.TextOps.scoreQuality(
+        b1, "doc_id", "text",
+        spark.read.parquet(models).filter($"model_version" === 1L)
+          .select($"b", $"w_fp"), 256)
+      .select($"did", $"score_fp", $"pred").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(s1.filter(_._5 == 1L).map(t => (t._1, t._2, t._3)) == direct)
+    // replayed serve: identical partition rewrite
+    qualityServeVersioned(b1, 1L, models, 1L, out, "doc_id", "text", 256)
+    assert(scores() == s1, "a replayed serve changed visible state")
+  }
+
   test("noveltyIngest survives a checkpointed restart: batch ids resume, state identical") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_novelty_ckpt")
