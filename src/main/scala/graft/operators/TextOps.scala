@@ -1306,6 +1306,94 @@ object TextOps {
         AS BIGINT)""").as("p_fp"))
   }
 
+  /** Document log-likelihood under an interpolated Kneser–Ney BIGRAM model
+    * trained on `train` — the CCNet scorer made real (Wenzek et al. 2020
+    * score crawl docs by the perplexity of a wiki-trained KN LM;
+    * [[perplexityBuckets]]'s scorer contract says the ranker is swappable —
+    * this is the swap-in). Three-case probability for a scored pair
+    * (w1, w2), all lm2 statistics (c, L, P, C1, T from the train bigram
+    * table; U = distinct-continuation vocab + 1 as the add-one floor):
+    *
+    *   observed:       ((4c−3)·T + 3·P·C1) / (4·L·T)      (the lm2 ratio)
+    *   context-only:   3·P/(4·L) · (C1+1)/(T+U)           (KN backoff, floored)
+    *   OOV context:    (C1+1)/(T+U)                       (continuation prior)
+    *
+    * Each case floors ONCE to `p_fp` ∈ [1, 1e12] (decimal(38,0) keeps the
+    * products exact at any corpus size — the lm2/lm3 discipline), then
+    * ln(p_fp/1e12) through [[graft.plans.LnFp]]'s integer micro-nat fixed
+    * point — so scores are the fixed-point MODEL's exact log-likelihoods,
+    * bit-identical in any engine implementing the same integer recurrence
+    * (the sm9/t18 libm-free discipline; a float ln per pair could never
+    * hash-check). Output per scored doc: (doc_id, n_bigrams, ll_fp
+    * [micro-nats, ≤ 0], avg_nll_micro = floor(−ll/n), NULL when the doc
+    * has no bigram). Low ll = atypical under the reference corpus — the
+    * filter/tier signal.
+    *
+    * Scale shape: pair statistics are type-keyed equi-joins (never
+    * occurrence-keyed); the ln evaluates once per DISTINCT pair type, then
+    * one map-side-combinable per-doc weighted sum. One 1-row broadcast
+    * total; no window, no driver state.
+    */
+  def knDocScore(train: org.apache.spark.sql.DataFrame,
+                 score: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    def pairs(df: org.apache.spark.sql.DataFrame,
+              extra: Seq[(Column, String)]) = {
+      val names = extra.map { case (_, n) => col(n) }
+      df.select(extra.map { case (c, n) => c.as(n) } :+
+          words(col(textCol)).as("w"): _*)
+        .select(names :+ explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            struct(element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"): _*)
+        .select(names ++ Seq(col("b.w1"), col("b.w2")): _*)
+    }
+    val bc = pairs(train, Seq.empty).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val lf = bc.groupBy(col("w1"))
+      .agg(sum(col("c")).as("l"), count(lit(1)).as("p"))
+    val rc = bc.groupBy(col("w2")).agg(count(lit(1)).as("c1"))
+    val tot = bc.agg(count(lit(1)).as("t"),
+      (countDistinct(col("w2")) + lit(1L)).as("u"))
+    val db = pairs(score, Seq(col(idCol) -> "did"))
+      .groupBy(col("did"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val lnp = db.select(col("w1"), col("w2")).distinct()
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(lf, Seq("w1"), "left")
+      .join(rc, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), expr("""CASE
+        WHEN c IS NOT NULL THEN CAST(
+          (CAST(4 * c - 3 AS DECIMAL(38, 0)) * t
+             + CAST(3 AS DECIMAL(38, 0)) * p * c1)
+            * CAST(1000000000000 AS DECIMAL(38, 0))
+          div (CAST(4 AS DECIMAL(38, 0)) * l * t) AS BIGINT)
+        WHEN l IS NOT NULL THEN CAST(
+          CAST(3 AS DECIMAL(38, 0)) * p * (coalesce(c1, 0) + 1)
+            * CAST(1000000000000 AS DECIMAL(38, 0))
+          div (CAST(4 AS DECIMAL(38, 0)) * l * (t + u)) AS BIGINT)
+        ELSE CAST(
+          CAST(coalesce(c1, 0) + 1 AS DECIMAL(38, 0))
+            * CAST(1000000000000 AS DECIMAL(38, 0))
+          div CAST(t + u AS DECIMAL(38, 0)) AS BIGINT)
+        END""").as("p_fp"))
+      .select(col("w1"), col("w2"),
+        ln(greatest(col("p_fp"), lit(1L)), lit(1000000000000L)).as("lnp"))
+    val dl = db.join(lnp, Seq("w1", "w2"))
+      .groupBy(col("did"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("lnp")).as("ll_fp"))
+    score.select(col(idCol).as("doc_id"))
+      .join(dl.withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_fp"), lit(0L)).as("ll_fp"))
+      .withColumn("avg_nll_micro",
+        when(col("n_bigrams") > 0, expr("(-ll_fp) div n_bigrams")))
+  }
+
   /** Hashing-trick unigram featurizer shared by train and serve: explodes
     * `textCol` into one (…, b) row per token OCCURRENCE (counts matter
     * downstream), b = 48-bit md5 of the token mod nBuckets. All other

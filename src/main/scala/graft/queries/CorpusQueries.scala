@@ -4901,6 +4901,67 @@ object CorpusQueries {
       TextOps.knTrigramProbs(Tables.documents(s, d), "doc_id", "text",
           minCount = 3L)
         .orderBy(col("w1"), col("w2"), col("w3"))
+    },
+
+    // Document log-likelihood under the KN bigram model (the CCNet scorer
+    // made real): model trained on the doc_id % 3 <> 0 reference slice,
+    // ALL docs scored — held-out docs exercise the context-only and OOV
+    // backoff cases. Three-case p_fp floors once per case (HUGEINT =
+    // decimal), ln through the sqlLog2Fp integer twin once per distinct
+    // pair TYPE, per-doc weighted sums, avg as floor((-ll)/n) — positive
+    // floor division agrees between DuckDB // and Spark div.
+    QueryDef(
+      "lm4_kn_doc_score",
+      s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+         |lf AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS l,
+         |    CAST(COUNT(*) AS BIGINT) AS p FROM bc GROUP BY 1),
+         |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(COUNT(DISTINCT w2) + 1 AS BIGINT) AS u FROM bc),
+         |sb AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)),
+         |db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM sb GROUP BY 1, 2, 3),
+         |pt AS (SELECT DISTINCT w1, w2 FROM db),
+         |pp AS (SELECT pt.w1, pt.w2, CASE
+         |    WHEN bc.c IS NOT NULL THEN CAST(
+         |      (CAST(4 * bc.c - 3 AS HUGEINT) * t
+         |         + CAST(3 AS HUGEINT) * lf.p * rc.c1)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // (CAST(4 AS HUGEINT) * lf.l * t) AS BIGINT)
+         |    WHEN lf.l IS NOT NULL THEN CAST(
+         |      CAST(3 AS HUGEINT) * lf.p * (coalesce(rc.c1, 0) + 1)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // (CAST(4 AS HUGEINT) * lf.l * (t + u)) AS BIGINT)
+         |    ELSE CAST(
+         |      CAST(coalesce(rc.c1, 0) + 1 AS HUGEINT)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // CAST(t + u AS HUGEINT) AS BIGINT)
+         |    END AS p_fp
+         |  FROM pt LEFT JOIN bc USING (w1, w2) LEFT JOIN lf USING (w1)
+         |    LEFT JOIN rc USING (w2) CROSS JOIN tot),
+         |l0 AS (SELECT w1 || ' ' || w2 AS key, greatest(p_fp, 1) AS p,
+         |    CAST(1000000000000 AS BIGINT) AS q FROM pp),
+         |${sqlLog2Fp("lk", "l0", "key")},
+         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
+         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
+         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(ll_fp, 0) AS ll_fp,
+         |  CASE WHEN coalesce(n_bigrams, 0) > 0
+         |    THEN (-ll_fp) // n_bigrams END AS avg_nll_micro
+         |FROM documents d LEFT JOIN dl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.knDocScore(docs.filter(col("doc_id") % 3 =!= 0), docs,
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     }
   )
 

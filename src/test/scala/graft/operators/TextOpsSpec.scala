@@ -752,4 +752,61 @@ class TextOpsSpec extends SparkSpec {
       assert((mass - 1).abs < BigDecimal("1e-18"), s"context $uv mass $mass")
     }
   }
+
+  test("knDocScore: three-case backoff replayed exactly, held-out docs hit backoff") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val train = corpus.filter($"doc_id" % 3 =!= 0)
+    val engine = TextOps.knDocScore(train, corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    // replay the whole model driver-side: train stats from the slice,
+    // three-case p_fp in BigInt, ln through the SAME integer fixed point
+    val texts = corpus.select($"doc_id", $"text").as[(Long, String)].collect()
+    def bigrams(t: String) =
+      t.split(" ").sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+    val tb = texts.filter(_._1 % 3 != 0).flatMap(t => bigrams(t._2))
+    val bc = tb.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val lf = bc.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val rc = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = bc.size.toLong
+    val u = bc.keys.map(_._2).toSet.size.toLong + 1
+    val E12 = BigInt(1000000000000L)
+    def pFp(pr: (String, String)): Long = (bc.get(pr) match {
+      case Some(c) =>
+        val (l, p) = lf(pr._1)
+        (BigInt(4 * c - 3) * t + BigInt(3) * p * rc(pr._2)) * E12 /
+          (BigInt(4) * l * t)
+      case None => lf.get(pr._1) match {
+        case Some((l, p)) =>
+          BigInt(3) * p * (rc.getOrElse(pr._2, 0L) + 1) * E12 /
+            (BigInt(4) * l * (t + u))
+        case None => BigInt(rc.getOrElse(pr._2, 0L) + 1) * E12 / BigInt(t + u)
+      }
+    }).toLong
+    def lnp(pr: (String, String)): Long =
+      graft.plans.LnFp.lnMicro(math.max(pFp(pr), 1L), 1000000000000L)
+    val want = texts.map { case (id, tx) =>
+      val bs = bigrams(tx)
+      id -> (bs.length.toLong, bs.map(lnp).sum)
+    }.toMap
+    assert(engine.length == texts.length)
+    engine.foreach { case (id, n, ll, avg) =>
+      val (wn, wll) = want(id)
+      assert(n == wn, s"n_bigrams($id)")
+      assert(ll == wll, s"ll_fp($id)")
+      assert(avg == (if (wn > 0) Some(-wll / wn) else None), s"avg($id)")
+    }
+    // the held-out third must actually exercise the context-only case
+    val scored = texts.flatMap(t => bigrams(t._2)).distinct
+    assert(scored.exists(pr => !bc.contains(pr) && lf.contains(pr._1)),
+      "no context-only backoff pair in the fixture")
+    // OOV case (sf0.001's held-out contexts are all covered, so force it):
+    // train {a b, b a}, score "zz b" -> p = (C1(b)+1)/(T+U) = 2/5
+    val tr = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val sc = Seq((9L, "zz b")).toDF("doc_id", "text")
+    val Array((_, n1, ll1, _)) = TextOps.knDocScore(tr, sc, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(n1 == 1L)
+    assert(ll1 == graft.plans.LnFp.lnMicro(400000000000L, 1000000000000L))
+  }
 }
