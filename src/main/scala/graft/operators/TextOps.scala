@@ -1113,6 +1113,35 @@ object TextOps {
       .withColumn("pred", col("score_fp") > 0L)
   }
 
+  /** One (ord, gram, prev) row per n-gram OCCURRENCE, orders 1..maxOrder,
+    * all fanned out inside ONE scan — shared by [[ngramLmCounts]] and the
+    * persisted [[LmIndex]] (shared code, not similar code: the two paths
+    * must count identically or the lm5 serve could never hash-check
+    * against lm1).
+    */
+  private[operators] def ngramRows(df: org.apache.spark.sql.DataFrame,
+                                   textCol: String, maxOrder: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    df.select(words(col(textCol)).as("w"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(maxOrder)), n =>
+          transform(
+            // positions where an order-n gram fits; filter (not
+            // sequence(1, size-n+1)) because Spark's sequence runs
+            // DESCENDING when the bound is < 1 — a short doc would emit
+            // bogus [1, 0] positions instead of none
+            filter(sequence(lit(1), size(col("w"))), i =>
+              i <= size(col("w")) - n + 1),
+            i => struct(
+              n.cast("long").as("ord"),
+              concat_ws(" ", slice(col("w"), i, n)).as("gram"),
+              when(i >= 2, element_at(col("w"), i - 1)).as("prev")))))).as("r"))
+      .select(col("r.ord").as("ord"), col("r.gram").as("gram"),
+        col("r.prev").as("prev"))
+  }
+
   /** N-gram LM count tables (orders 1..`maxOrder`) with Kneser–Ney
     * continuation counts — the MapReduce step of count-based language-model
     * training (the layout Brants et al. 2007 used to train 5-gram models on
@@ -1143,27 +1172,8 @@ object TextOps {
   def ngramLmCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, maxOrder: Int,
                     minCount: Long): org.apache.spark.sql.DataFrame = {
-    require(maxOrder >= 1 && maxOrder <= 8,
-      s"maxOrder must be in [1, 8], got $maxOrder")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val rows = df
-      .select(words(col(textCol)).as("w"))
-      .select(explode(flatten(transform(
-        sequence(lit(1), lit(maxOrder)), n =>
-          transform(
-            // positions where an order-n gram fits; filter (not
-            // sequence(1, size-n+1)) because Spark's sequence runs
-            // DESCENDING when the bound is < 1 — a short doc would emit
-            // bogus [1, 0] positions instead of none
-            filter(sequence(lit(1), size(col("w"))), i =>
-              i <= size(col("w")) - n + 1),
-            i => struct(
-              n.cast("long").as("ord"),
-              concat_ws(" ", slice(col("w"), i, n)).as("gram"),
-              when(i >= 2, element_at(col("w"), i - 1)).as("prev")))))).as("r"))
-      .select(col("r.ord").as("ord"), col("r.gram").as("gram"),
-        col("r.prev").as("prev"))
-    rows.groupBy(col("ord"), col("gram"))
+    ngramRows(df, textCol, maxOrder).groupBy(col("ord"), col("gram"))
       .agg(count(lit(1)).as("c"), countDistinct(col("prev")).as("ccount"))
       .filter(col("c") >= minCount)
   }

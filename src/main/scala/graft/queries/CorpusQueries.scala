@@ -4962,6 +4962,45 @@ object CorpusQueries {
       TextOps.knDocScore(docs.filter(col("doc_id") % 3 =!= 0), docs,
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // EXACTLY-ONCE LM count-table maintenance (LmIndex): the corpus lands
+    // as three micro-batches of (ord, gram, prev) sufficient statistics —
+    // batch-partitioned (replays rewrite their partition; batch 1 IS
+    // replayed mid-run) and gram-bucketed (the serve aggregate groups on a
+    // superset of the bucket key, exchange-free). Counts are additive,
+    // continuation counts distinct-over-union, minCount prunes at serve —
+    // so the served table is bit-identical to lm1 over the reassembled
+    // corpus, which is exactly what this oracle is (lm1's SQL verbatim).
+    QueryDef(
+      "lm5_lm_count_ingest",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT n.n AS ord,
+        |    array_to_string(w.w[t.i:t.i+n.n-1], ' ') AS gram,
+        |    CASE WHEN t.i >= 2 THEN w.w[t.i-1] ELSE NULL END AS prev
+        |  FROM w, unnest(generate_series(1, 3)) AS n(n),
+        |       unnest(generate_series(1, len(w.w) - n.n + 1)) AS t(i))
+        |SELECT CAST(ord AS BIGINT) AS ord, gram, COUNT(*) AS c,
+        |  COUNT(DISTINCT prev) AS ccount
+        |FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY ord, gram""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = "lm5_" + app
+      graft.sources.Bucketing.ensureCleanTable(
+        s, graft.operators.LmIndex.countsTable(name))
+      graft.operators.LmIndex.writeLmIndex(
+        docs.filter(col("doc_id") % 3 === 0), "text", 3, name, 8,
+        seedBatch = 0L)
+      graft.operators.LmIndex.ingestLmBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, "text", 3, name, 8)
+      // injected retry: replay batch 1 after its partition already landed
+      graft.operators.LmIndex.ingestLmBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, "text", 3, name, 8)
+      graft.operators.LmIndex.ingestLmBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, "text", 3, name, 8)
+      graft.operators.LmIndex.serveLmCounts(s, name, minCount = 3L)
+        .orderBy(col("ord"), col("gram"))
     }
   )
 

@@ -107,6 +107,23 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(Bench.scalePrior(60.0, 0.5) - (0.25 + 59.75 * 0.5)) < 1e-9)
   }
 
+  test("soft scaling gate: flags growth past factor^1.3, respects floor and exemptions") {
+    // documents family (10x data): 10^1.3 ~ 20 -> 25x growth flags, 15x not
+    assert(Bench.scalingFlags(Seq("t1_x" -> 2.5), Map("t1_x" -> 0.1)).nonEmpty)
+    assert(Bench.scalingFlags(Seq("t1_x" -> 1.5), Map("t1_x" -> 0.1)).isEmpty)
+    // embeddings family (4x data): 4^1.3 ~ 6 -> 8x flags
+    assert(Bench.dataFactor("s16_ladder") == 4.0)
+    assert(Bench.scalingFlags(Seq("s16_ladder" -> 0.8), Map("s16_ladder" -> 0.1)).nonEmpty)
+    // overhead floor: sub-0.5 s at the larger SF is noise, never a flag
+    assert(Bench.scalingFlags(Seq("t1_x" -> 0.4), Map("t1_x" -> 0.01)).isEmpty)
+    // documented quadratic baselines stay exempt (they are the oracles)
+    assert(Bench.scalingFlags(
+      Seq("d5_jaccard_bruteforce" -> 50.0), Map("d5_jaccard_bruteforce" -> 0.5)).isEmpty)
+    // sm10 is embeddings-family, but sm1 is not (prefix must not bleed)
+    assert(Bench.dataFactor("sm10_embed") == 4.0)
+    assert(Bench.dataFactor("sm1_hash_sample") == 10.0)
+  }
+
   test("hardware scaling: a 2x-slower host doubles the allowed prior seconds") {
     // the gate is regressionsAgainst(current, prior * hwScale): the same
     // 2.6x-slower-silicon measurement that is NOT a regression on the slow
