@@ -91,7 +91,16 @@ object DumpPlans {
     "fn3_rejection_reasons", "dp2_curation_cube", "e3_centroid_drift",
     // ch3's native boundary kernel + map-side chunking; d27's hash-keyed
     // chunk join. d28 executes the index write (omitted, ds-series rule).
-    "ch3_cdc_chunks", "d27_cdc_overlap")
+    "ch3_cdc_chunks", "d27_cdc_overlap",
+    // round 13: lm1's one-scan all-orders fan-out + map-side-combined
+    // count aggregate; lm2/lm3's type-keyed marginal joins + decimal
+    // fixed-point tail; lm4's three-case backoff join chain + per-pair-
+    // type ln + per-doc weighted sum; the two-level prefix-rank rewrites
+    // of t23/sm12/sm13 show in their existing dumps (bucket-partitioned
+    // windows). lm5/ds9 execute index/model writes (omitted, ds-series
+    // rule — their serve plan contracts live in LmIndexSpec/PlanSpec).
+    "lm1_ngram_counts", "lm2_kneser_ney", "lm3_kneser_ney_trigram",
+    "lm4_kn_doc_score")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

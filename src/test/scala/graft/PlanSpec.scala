@@ -574,6 +574,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("lm3_kneser_ney_trigram: type-keyed equi-join chain, no window, no cartesian blowup") {
+    val p = plan("lm3_kneser_ney_trigram")
+    assert(!p.contains("Window"), p)
+    // the only nested-loop join is the broadcast of the 1-row n1tot total
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("lm4_kn_doc_score: ln kernel evaluates per pair TYPE, not per occurrence") {
+    val p = plan("lm4_kn_doc_score")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the integer ln must sit above the distinct-pair aggregate (one eval
+    // per type); an occurrence-level ln would re-run the recurrence per
+    // bigram instance — corpus-sized, not type-sized
+    val lnLine = p.linesIterator.find(_.contains("graft_ln_micro"))
+    assert(lnLine.isDefined, s"no ln kernel in plan:\n$p")
+  }
+
   test("dot-product kernel throws on dimension mismatch instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
