@@ -852,21 +852,43 @@ object TextOps {
   def perplexityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, groupCol: String,
                         buckets: Int = 0): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
     val nll = unigramNll(df, idCol, textCol)
     // checkpoint-cut: the keyed frame feeds two jobs (min/max + counts,
     // then the rank join) — the shuffleOrder determinism contract.
+    // round(avg_nll * 1e6) is an EXACT monotone-injective long image of
+    // the 6-decimal-rounded score, so ranking by (__k, did) equals
+    // ranking by (avg_nll, did).
     val keyed = graft.core.Storage.cut(
       nll.join(
           df.select(col(idCol).as("did"), col(groupCol).as("grp")), Seq("did"))
         .withColumn("__k", round(col("avg_nll") * 1e6).cast("long")),
       eager = true)
+    groupThirds(keyed, groupCol, buckets)
+      .select(col("did"), col("grp"), col("dl"), col("avg_nll"), col("r"),
+        col("bucket"))
+  }
+
+  /** Two-level per-group thirds shared by [[perplexityBuckets]] (t23, the
+    * unigram-NLL scorer) and [[knPerplexityTiers]] (lm6, the KN scorer):
+    * `keyed` carries (did, grp [string], __k [long sort key]) plus any
+    * ride-along columns and must already be checkpoint-cut (it feeds the
+    * min/max probe, the count collect, and the rank join). Range-buckets
+    * __k (min/max-derived width), counts per (grp, bucket), exclusive-
+    * scans on the driver (groups × buckets longs — yielding rank bases
+    * AND group totals), then ranks within (grp, bucket) by (__k, did) —
+    * so the thirds are integer boundary tests and no task ever sorts more
+    * than one bucket slice (the r12 scale fix; plan-asserted).
+    */
+  private def groupThirds(keyed: org.apache.spark.sql.DataFrame,
+                          groupCol: String, buckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets =
+      if (buckets > 0) buckets else math.max(keyed.rdd.getNumPartitions, 1)
     val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
     if (mm.isNullAt(0))
       return keyed.withColumn("r", lit(0L)).withColumn("bucket", lit(""))
-        .select(col("did"), col("grp"), col("dl"), col("avg_nll"), col("r"),
-          col("bucket")).limit(0)
+        .limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = math.max(1L, (hi - lo) / nBuckets + 1)
     val withB = keyed.withColumn("__kb", ((col("__k") - lit(lo)) / lit(width))
@@ -883,19 +905,46 @@ object TextOps {
         case ((_, _, acc, n), (_, b, m)) => (g, b, acc + n, m)
       }.drop(1).map { case (g2, b, base, _) => (g2, b, base, tot) }
     }
-    val baseDf = df.sparkSession.createDataFrame(bases)
+    val baseDf = keyed.sparkSession.createDataFrame(bases)
       .toDF("grp", "__kb", "__base", "__tot")
     val w = Window.partitionBy(col("grp"), col("__kb"))
-      .orderBy(col("avg_nll").asc, col("did").asc)
+      .orderBy(col("__k").asc, col("did").asc)
     withB.join(broadcast(baseDf), Seq("grp", "__kb"))
       .withColumn("r", col("__base") + row_number().over(w).cast("long"))
       .withColumn("bucket",
         when(col("r") * 3 <= col("__tot"), "head")
           .when(col("r") * 3 > col("__tot") * 2, "tail")
           .otherwise("middle"))
-      .select(col("did"), col("grp"), col("dl"), col("avg_nll"), col("r"),
-        col("bucket"))
+      .drop("__k", "__kb", "__base", "__tot")
   }
+
+  /** CCNet tiers with the REAL CCNet scorer: [[perplexityBuckets]]'s
+    * bucketing contract (per-group thirds, integer boundaries, exact
+    * membership) ranked by [[knDocScore]]'s Kneser–Ney document
+    * perplexity under a reference-trained model — the swap the t23
+    * Scaladoc promises. Docs without a single bigram have no perplexity
+    * and are EXCLUDED (fail-loud posture: a tier for an unscorable doc
+    * would be arbitrary; gate such docs upstream on length instead).
+    * Output: (did, grp, n_bigrams, avg_nll_micro, r, bucket).
+    */
+  def knPerplexityTiers(train: org.apache.spark.sql.DataFrame,
+                        df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, groupCol: String,
+                        buckets: Int = 0): org.apache.spark.sql.DataFrame = {
+    val keyed = graft.core.Storage.cut(
+      knDocScore(train, df, idCol, textCol)
+        .filter(col("n_bigrams") > 0L)
+        .join(df.select(col(idCol).as("doc_id"), col(groupCol).as("grp")),
+          Seq("doc_id"))
+        .select(col("doc_id").as("did"), col("grp"), col("n_bigrams"),
+          col("avg_nll_micro"), col("avg_nll_micro").as("__k")),
+      eager = true)
+    groupThirds(keyed, groupCol, buckets)
+      .select(col("did"), col("grp"), col("n_bigrams"), col("avg_nll_micro"),
+        col("r"), col("bucket"))
+  }
+
+
 
   /** Blocklist hit profile: for every document, the occurrence count of
     * each blocked phrase (overlaps included) — the banned-phrase gate of a

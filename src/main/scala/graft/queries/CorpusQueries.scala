@@ -5001,6 +5001,71 @@ object CorpusQueries {
         docs.filter(col("doc_id") % 3 === 2), 2L, "text", 3, name, 8)
       graft.operators.LmIndex.serveLmCounts(s, name, minCount = 3L)
         .orderBy(col("ord"), col("gram"))
+    },
+
+    // CCNet tiers with the REAL CCNet scorer (TextOps.knPerplexityTiers):
+    // t23's per-language thirds contract ranked by lm4's KN document
+    // perplexity under the doc_id % 3 <> 0 reference model. Bigram-less
+    // docs are excluded (no perplexity to rank). The oracle rides lm4's
+    // CTE chain and ranks per language with integer third boundaries.
+    QueryDef(
+      "lm6_kn_perplexity_tiers",
+      s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+         |lf AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS l,
+         |    CAST(COUNT(*) AS BIGINT) AS p FROM bc GROUP BY 1),
+         |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(COUNT(DISTINCT w2) + 1 AS BIGINT) AS u FROM bc),
+         |sb AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)),
+         |db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM sb GROUP BY 1, 2, 3),
+         |pt AS (SELECT DISTINCT w1, w2 FROM db),
+         |pp AS (SELECT pt.w1, pt.w2, CASE
+         |    WHEN bc.c IS NOT NULL THEN CAST(
+         |      (CAST(4 * bc.c - 3 AS HUGEINT) * t
+         |         + CAST(3 AS HUGEINT) * lf.p * rc.c1)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // (CAST(4 AS HUGEINT) * lf.l * t) AS BIGINT)
+         |    WHEN lf.l IS NOT NULL THEN CAST(
+         |      CAST(3 AS HUGEINT) * lf.p * (coalesce(rc.c1, 0) + 1)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // (CAST(4 AS HUGEINT) * lf.l * (t + u)) AS BIGINT)
+         |    ELSE CAST(
+         |      CAST(coalesce(rc.c1, 0) + 1 AS HUGEINT)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // CAST(t + u AS HUGEINT) AS BIGINT)
+         |    END AS p_fp
+         |  FROM pt LEFT JOIN bc USING (w1, w2) LEFT JOIN lf USING (w1)
+         |    LEFT JOIN rc USING (w2) CROSS JOIN tot),
+         |l0 AS (SELECT w1 || ' ' || w2 AS key, greatest(p_fp, 1) AS p,
+         |    CAST(1000000000000 AS BIGINT) AS q FROM pp),
+         |${sqlLog2Fp("lk", "l0", "key")},
+         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
+         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
+         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2
+         |  GROUP BY doc_id),
+         |scored AS (SELECT d.doc_id AS did, d.lang AS grp, n_bigrams,
+         |    (-ll_fp) // n_bigrams AS avg_nll_micro
+         |  FROM documents d JOIN dl USING (doc_id) WHERE n_bigrams > 0),
+         |ranked AS (SELECT did, grp, n_bigrams, avg_nll_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+         |      ORDER BY avg_nll_micro, did) AS BIGINT) AS r,
+         |    COUNT(*) OVER (PARTITION BY grp) AS n FROM scored)
+         |SELECT did, grp, n_bigrams, avg_nll_micro, r,
+         |  CASE WHEN r * 3 <= n THEN 'head'
+         |    WHEN r * 3 > n * 2 THEN 'tail'
+         |    ELSE 'middle' END AS bucket
+         |FROM ranked ORDER BY did""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.knPerplexityTiers(docs.filter(col("doc_id") % 3 =!= 0), docs,
+          "doc_id", "text", "lang")
+        .orderBy(col("did"))
     }
   )
 

@@ -593,6 +593,14 @@ class PlanSpec extends SparkSpec {
     assert(lnLine.isDefined, s"no ln kernel in plan:\n$p")
   }
 
+  test("lm6_kn_perplexity_tiers: rank window is (group, bucket)-partitioned, never group-only") {
+    val p = plan("lm6_kn_perplexity_tiers")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("__kb#")),
+      s"group-only window (no __kb bucket key):\n${specs.mkString("\n")}")
+  }
+
   test("dot-product kernel throws on dimension mismatch instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")

@@ -809,4 +809,30 @@ class TextOpsSpec extends SparkSpec {
     assert(n1 == 1L)
     assert(ll1 == graft.plans.LnFp.lnMicro(400000000000L, 1000000000000L))
   }
+
+  test("knPerplexityTiers: exact thirds per group, rank follows the KN score") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = TextOps.knPerplexityTiers(
+        docs.filter($"doc_id" % 3 =!= 0), docs, "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Long, String)].collect()
+    val scores = TextOps.knDocScore(docs.filter($"doc_id" % 3 =!= 0), docs,
+        "doc_id", "text")
+      .filter($"n_bigrams" > 0)
+      .select($"doc_id", $"avg_nll_micro").as[(Long, Long)].collect().toMap
+    assert(out.length == scores.size, "every scorable doc gets a tier")
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      val n = rows.length
+      // ranks are a contiguous permutation ordered by (score, id)
+      val byRank = rows.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1L to n).toSeq, s"ranks in $g")
+      val expected = rows.sortBy(r => (scores(r._1), r._1)).map(_._1).toSeq
+      assert(byRank.map(_._1).toSeq == expected, s"rank order in $g")
+      // integer third boundaries
+      rows.foreach { case (_, _, _, _, r, b) =>
+        val want = if (r * 3 <= n) "head" else if (r * 3 > 2L * n) "tail"
+          else "middle"
+        assert(b == want, s"tier at rank $r/$n in $g")
+      }
+    }
+  }
 }
