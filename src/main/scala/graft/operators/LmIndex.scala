@@ -77,6 +77,31 @@ object LmIndex {
       ingestLmBatch(b, id, textCol, maxOrder, name, nBuckets)
     }
 
+  /** Compact one committed batch partition to one file per bucket —
+    * ingest-per-micro-batch accretes small files; serve cost follows file
+    * count. Delegates to the crash-safe staged
+    * [[graft.sources.Bucketing.compactBucketedPartition]] (a crash between
+    * drop and rewrite is recovered from staging, never an empty
+    * partition). Served counts are byte-identical before and after
+    * (spec-checked). Returns (files_before, files_after).
+    */
+  def compactLmBatch(spark: SparkSession, name: String, batchId: Long,
+                     nBuckets: Int): (Int, Int) =
+    graft.sources.Bucketing.compactBucketedPartition(
+      spark, countsTable(name), "ingest_batch", batchId, Seq("gram"), nBuckets)
+
+  /** TAKEDOWN contract: the sufficient statistics carry no document ids BY
+    * DESIGN (corpus-global counts; per-doc rows would multiply storage by
+    * average document length). Removing a document therefore means
+    * re-ingesting its batch WITHOUT it — exact by the partition-replace
+    * discipline ([[ingestLmBatch]] with the filtered batch rewrites the
+    * partition, and the served table equals a from-scratch count of the
+    * corpus minus the doc; spec-proven). This requires batch provenance
+    * (which batch carried the doc) — the same requirement every
+    * exactly-once layout in this repo already satisfies, since batches ARE
+    * the replay unit.
+    */
+
   /** The lm1 count table over every committed batch: c sums the additive
     * per-batch counts, ccount distinct-counts prev over their union, and
     * `minCount` prunes last — the (ord, gram) aggregate runs WITHOUT an

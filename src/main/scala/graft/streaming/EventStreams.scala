@@ -507,6 +507,43 @@ object EventStreams {
       scoresOutPath, "ingest_batch")
   }
 
+  /** Newest committed model version in a [[qualityRetrainBatch]] store —
+    * the "serve the latest refresh" pointer. Partition values only (no
+    * data read).
+    */
+  def latestModelVersion(spark: org.apache.spark.sql.SparkSession,
+                         modelPath: String): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    // partition values read back as int32; normalize
+    val r = spark.read.parquet(modelPath)
+      .agg(max(col("model_version").cast("long"))).head()
+    require(!r.isNullAt(0), s"no committed model version under $modelPath")
+    r.getLong(0)
+  }
+
+  /** Streaming wrapper over [[qualityServeVersioned]]: a foreachBatch
+    * writer serving a live stream from the versioned model store. With
+    * `version = Some(v)` the model is PINNED — replays are bit-exact (the
+    * ds9 contract). With `version = None` each micro-batch serves the
+    * NEWEST committed version at its start, so a retrain landing
+    * mid-stream takes effect on the next batch; a batch retried AFTER a
+    * refresh then rewrites its partition under the newer model — the
+    * score log's `model_version` column records which model actually
+    * served each batch, which is the auditable guarantee this mode trades
+    * bit-exact replay for. Pin the version when exact replay matters.
+    */
+  def qualityServeIngest(stream: DataFrame, modelPath: String,
+                         scoresOutPath: String, idCol: String,
+                         textCol: String, nBuckets: Int,
+                         version: Option[Long] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val v = version.getOrElse(
+        latestModelVersion(batch.sparkSession, modelPath))
+      qualityServeVersioned(batch, batchId, modelPath, v, scoresOutPath,
+        idCol, textCol, nBuckets)
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,

@@ -70,6 +70,46 @@ class LmIndexSpec extends SparkSpec {
     } finally cleanup(name)
   }
 
+  test("batch compaction: served counts byte-identical, one file per bucket") {
+    val name = "spec_lm_compact"
+    val docs = graft.core.Tables.documents(spark, sf)
+    try {
+      LmIndex.writeLmIndex(docs.filter($"doc_id" % 3 === 0), "text", 2,
+        name, nBuckets = 4, seedBatch = 0L)
+      LmIndex.ingestLmBatch(docs.filter($"doc_id" % 3 =!= 0), 1L, "text", 2,
+        name, nBuckets = 4)
+      val before = LmIndex.serveLmCounts(spark, name, 1L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val (n0, n1) = LmIndex.compactLmBatch(spark, name, 1L, nBuckets = 4)
+      assert(n1 <= n0, s"compaction must not grow files: $n0 -> $n1")
+      val after = LmIndex.serveLmCounts(spark, name, 1L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(after == before, "compaction changed served counts")
+    } finally cleanup(name)
+  }
+
+  test("takedown by batch re-ingest: served table equals counts without the doc") {
+    val name = "spec_lm_takedown"
+    val docs = graft.core.Tables.documents(spark, sf)
+    try {
+      LmIndex.writeLmIndex(docs.filter($"doc_id" % 3 === 0), "text", 2,
+        name, nBuckets = 4, seedBatch = 0L)
+      val b1 = docs.filter($"doc_id" % 3 =!= 0)
+      LmIndex.ingestLmBatch(b1, 1L, "text", 2, name, nBuckets = 4)
+      val victim = b1.select($"doc_id").as[Long].head()
+      // takedown: re-ingest batch 1 WITHOUT the doc (partition replace)
+      LmIndex.ingestLmBatch(b1.filter($"doc_id" =!= victim), 1L, "text", 2,
+        name, nBuckets = 4)
+      val served = LmIndex.serveLmCounts(spark, name, 1L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val scratch = TextOps.ngramLmCounts(
+          docs.filter($"doc_id" =!= victim), "doc_id", "text", 2, 1L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(served == scratch,
+        "takedown re-ingest must equal a from-scratch count without the doc")
+    } finally cleanup(name)
+  }
+
   test("serve aggregate is exchange-free on the gram-bucketed layout") {
     val name = "spec_lm_plan"
     val docs = graft.core.Tables.documents(spark, sf)

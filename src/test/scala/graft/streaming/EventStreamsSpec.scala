@@ -529,6 +529,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(scores() == s1, "a replayed serve changed visible state")
   }
 
+  test("qualityServeIngest: latest-version mode picks up a mid-stream refresh, pinned mode doesn't") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_quality_serve_stream")
+    val (models, out) = (dir.resolve("models").toString, dir.resolve("scores").toString)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val isPos = $"source".isin("src0", "src1", "src2", "src3")
+    val seed = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 5 =!= 1)
+    qualityRetrainBatch(seed, 0L, isPos, models, "doc_id", "text", 256)
+    assert(latestModelVersion(spark, models) == 0L)
+    val b0 = docs.filter($"doc_id" % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = qualityServeIngest(input.toDF().toDF("doc_id", "text"),
+      models, out, "doc_id", "text", 256).start()
+    try {
+      input.addData(b0.toSeq: _*); q.processAllAvailable()
+      // REFRESH lands between micro-batches
+      qualityRetrainBatch(seed.unionByName(docs.filter($"doc_id" % 5 === 0)),
+        1L, isPos, models, "doc_id", "text", 256)
+      assert(latestModelVersion(spark, models) == 1L)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows: Array[(Long, Long)] = spark.read.parquet(out)
+      .select($"ingest_batch".cast("long"), $"model_version")
+      .as[(Long, Long)].collect()
+    assert(rows.filter(_._1 == 0L).map(_._2).toSet == Set(0L),
+      "batch 0 served by v0")
+    assert(rows.filter(_._1 == 1L).map(_._2).toSet == Set(1L),
+      "batch 1 must pick up the mid-stream refresh")
+  }
+
   test("noveltyIngest survives a checkpointed restart: batch ids resume, state identical") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_novelty_ckpt")
