@@ -110,6 +110,38 @@ class LmIndexSpec extends SparkSpec {
     } finally cleanup(name)
   }
 
+  test("lmIngest survives a checkpointed restart: batch ids resume, counts identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val name = "spec_lm_ckpt"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lm_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    try {
+      LmIndex.writeLmIndex(docs.filter($"doc_id" % 3 === 2), "text", 2,
+        name, nBuckets = 4, seedBatch = -1L)
+      val b0 = docs.filter($"doc_id" % 3 === 0)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val b1 = docs.filter($"doc_id" % 3 === 1)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      def startQuery() = LmIndex.lmIngest(input.toDF().toDF("doc_id", "text"),
+          "text", 2, name, nBuckets = 4)
+        .option("checkpointLocation", ckpt).start()
+      val q1 = startQuery()
+      input.addData(b0.toSeq: _*); q1.processAllAvailable(); q1.stop()
+      // enqueue while stopped; the restart must resume batch numbering
+      // from the checkpoint, not re-run batch 0 over batch 1's rows
+      input.addData(b1.toSeq: _*)
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val served = LmIndex.serveLmCounts(spark, name, 1L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val scratch = TextOps.ngramLmCounts(docs, "doc_id", "text", 2, 1L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(served == scratch, "restarted stream diverged from the batch job")
+    } finally cleanup(name)
+  }
+
   test("serve aggregate is exchange-free on the gram-bucketed layout") {
     val name = "spec_lm_plan"
     val docs = graft.core.Tables.documents(spark, sf)
