@@ -78,6 +78,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive retrieval training: per query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the highest-cosine wrong-label neighbors are the negatives that
+    * actually move a dual encoder (random negatives are too easy; the
+    * standard in-batch-negatives upgrade). Same quantized-integer cosine
+    * and (cosine desc, nid) determinism as [[bruteForceTopK]]; this is the
+    * exact baseline (corpus scan × broadcast queries). At scale, mine from
+    * the persisted ANN shortlist instead: [[AnnIndex.searchIvfPqRefine]]
+    * with an over-fetched shortlist, then this same label filter — or
+    * [[AnnIndex.searchIvfPq]]'s memberFilter when one label policy covers
+    * the whole serve (the s24 pattern). Output: (qid, nid, nlabel,
+    * cosine, rank ≤ k).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = prepared(queries, idCol, vecCol)
+      .join(queries.select(col(idCol).as("sid"),
+        col(labelCol).cast("long").as("qlabel")), Seq("sid"))
+      .select(col("sid").as("qid"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("qlabel"))
+    val c = prepared(corpus, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("sid"),
+        col(labelCol).cast("long").as("nlabel")), Seq("sid"))
+      .select(col("sid").as("nid"), col("qv").as("nqv"),
+        col("nrm").as("nnrm"), col("nlabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid") && col("nlabel") =!= col("qlabel"))
+      .select(col("qid"), col("nid"), col("nlabel"),
+        pairCosine(col("qqv"), col("nqv"), col("qnrm"), col("nnrm")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Recall@k of one or more ANN result sets against exact ground truth —
     * the accuracy CONTRACT the ANN ladder was missing: s2–s15 are
     * hash-verified for determinism, this measures whether the approximate

@@ -2293,6 +2293,33 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Hard-negative mining (Similarity.hardNegatives): per query, the
+    // top-5 highest-cosine corpus vectors with a DIFFERENT label — the
+    // contrastive-training negatives a dual encoder needs. Same quantized
+    // cosine + deterministic tiebreak as s1; scale path = the persisted
+    // ANN shortlist + this label filter (scaladoc).
+    QueryDef(
+      "r1_hard_negatives",
+      s"""WITH $quantVecCte,
+         |l AS (SELECT vec_id AS sid, CAST(label AS BIGINT) AS label
+         |  FROM embeddings),
+         |q AS (SELECT v.sid AS qid, v.qv AS qqv, l.label AS qlabel
+         |  FROM v JOIN l ON l.sid = v.sid WHERE v.sid < 8),
+         |scored AS (SELECT qid, v.sid AS nid, l2.label AS nlabel,
+         |    ${sqlCosine("qqv", "v.qv")} AS cosine
+         |  FROM v JOIN l l2 ON l2.sid = v.sid CROSS JOIN q
+         |  WHERE v.sid <> qid AND l2.label <> qlabel)
+         |SELECT * FROM (
+         |  SELECT qid, nid, nlabel, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", "label", 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // LSH-bucketed ANN — the scale path. The hyperplanes are md5-derived
     // integer constants (Similarity.plane), so the oracle rebuilds them from
     // the SAME md5 formula (sqlHash) and mirrors bucketing + candidate join

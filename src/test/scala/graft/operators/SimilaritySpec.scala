@@ -20,6 +20,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
   }
 
+  test("hardNegatives: wrong-label only, equals label-filtered brute force") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 8)
+    val got = Similarity.hardNegatives(emb.filter($"vec_id" < 8), emb,
+        "vec_id", "embedding", "label", 5)
+      .as[(Long, Long, Long, Option[Double], Long)].collect()
+    val labels = emb.select($"vec_id", $"label".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // never the query itself, never its own label
+    got.foreach { case (qid, nid, nlabel, _, _) =>
+      assert(nid != qid)
+      assert(nlabel == labels(nid))
+      assert(nlabel != labels(qid), s"same-label negative $nid for $qid")
+    }
+    // equals the exact ranking restricted to wrong-label candidates: take
+    // a full brute-force ranking and re-rank after the label filter
+    val n = emb.count().toInt
+    val full = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", n)
+      .as[(Long, Long, Option[Double], Long)].collect()
+    val want = full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(_._4).filter(r => labels(r._2) != labels(qid)).take(5)
+        .zipWithIndex.map { case ((_, nid, _, _), i) => (qid, nid, i + 1L) }
+        .toSeq
+    }.toSet
+    assert(got.map(r => (r._1, r._2, r._5)).toSet == want,
+      "hard negatives must be the label-filtered exact ranking")
+  }
+
   test("nearDupPairs finds only the close pair at high threshold") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
