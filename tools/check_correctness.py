@@ -13,8 +13,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            pass  # selftest fixture dirs carry no corpus tables
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
@@ -92,5 +95,46 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if failures else 0
 
 
+def selftest() -> int:
+    """Seeded type-drift fixture: an engine dump whose values match the
+    oracle exactly but with int64 where the oracle yields float64 (the
+    DuckDB SUM(BIGINT) -> HUGEINT -> float64 shape that made sm9/t22/ds5
+    driver-red for three rounds). The checker must FAIL it — and pass the
+    same dump once the oracle casts to BIGINT.
+    """
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES (1, 10), (2, 20)) v(k, x)")
+        con.execute(f"COPY t TO '{d}/t.parquet' (FORMAT PARQUET)")
+        os.makedirs(f"{d}/q1")
+        # engine side: int64 sums (what Spark writes)
+        con.execute(
+            "COPY (SELECT k, CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS s "
+            f"FROM t GROUP BY k) TO '{d}/q1/part.parquet' (FORMAT PARQUET)")
+        drifting = ("SELECT k, SUM(CAST(x AS BIGINT)) AS s "
+                    "FROM t GROUP BY k")  # HUGEINT -> float64 in pandas
+        fixed = ("SELECT k, CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS s "
+                 "FROM t GROUP BY k")
+        import json as j
+        for sql, want_fail, label in [(drifting, True, "uncast HUGEINT sum"),
+                                      (fixed, False, "cast BIGINT sum")]:
+            with open(f"{d}/oracle_sql.json", "w") as f:
+                j.dump({"q1": sql.replace("FROM t", f"FROM '{d}/t.parquet'")}, f)
+            rc = main(d, d)
+            if bool(rc) != want_fail:
+                print(f"SELFTEST FAIL: {label}: rc={rc}, wanted "
+                      f"{'nonzero' if want_fail else 'zero'}")
+                return 1
+        print("SELFTEST PASS: dtype-kind gate catches the seeded drift "
+              "and accepts the cast form")
+        return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
