@@ -547,6 +547,42 @@ object Sampling {
       .drop("__sk", "__stg", "__bkt", "__base")
   }
 
+  /** TRAINING-SHARD export — the last mile of the curation pipeline: the
+    * corpus lands on disk in [[shuffleOrder]]'s deterministic epoch
+    * permutation, cut into fixed-size shards (`shard` = pos /
+    * docsPerShard, so every shard but the last holds exactly
+    * `docsPerShard` docs and shard order IS training order), written
+    * partitioned by shard — each shard a replaceable partition, so a
+    * failed export re-runs idempotently and a trainer streams shard k
+    * without touching the others. Re-derivable from the salt alone
+    * (different salt = a fresh epoch layout). Pair with [[shardManifest]]
+    * for the integrity record.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, salt: String,
+                          docsPerShard: Long, path: String): Unit = {
+    require(docsPerShard >= 1, s"docsPerShard must be >= 1, got $docsPerShard")
+    shuffleOrder(df.sparkSession, df, idCol, salt)
+      .withColumn("shard", (col("pos") / docsPerShard).cast("long"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** Manifest of a [[writeTrainingShards]] export, computed from the
+    * LANDED files (a storage round-trip, not the writer's intent): per
+    * shard, doc count, total `weightCol` (tokens/chars — the budget a
+    * training schedule consumes) and an ORDER-INSENSITIVE id fingerprint
+    * (sum of 48-bit md5 prefixes — verifiable without re-deriving the
+    * permutation; 48-bit values sum safely in a long at any shard size).
+    * One aggregate over the shard partitions; shard-count-sized output.
+    */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, weightCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_tokens"),
+        sum(graft.operators.Dedup.hash48(col(idCol).cast("string")))
+          .as("id_fp"))
+
   def shuffleOrder(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                    idCol: String, salt: String, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -4092,6 +4092,32 @@ object CorpusQueries {
         .select(col("doc_id"), col("pos")).orderBy(col("pos"))
     },
 
+    // Training-shard export + manifest (Sampling.writeTrainingShards /
+    // shardManifest): the corpus lands in sm7's deterministic epoch
+    // permutation cut into 64-doc shards (partitioned writes — each shard
+    // independently replaceable and streamable); the manifest is computed
+    // from the LANDED files: per-shard doc count, n_chars budget and an
+    // order-insensitive sum-of-hash48 id fingerprint. Oracle re-derives
+    // the permutation from the salt and aggregates the same integers.
+    QueryDef(
+      "sh1_training_shards",
+      s"""WITH p AS (SELECT doc_id, n_chars, (ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlHash("'sh1:' || doc_id", 8)}, doc_id) - 1) // 64
+         |    AS shard
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(${sqlHash("CAST(doc_id AS VARCHAR)", 12)}) AS BIGINT) AS id_fp
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_shards_sh1_" + app
+      graft.operators.Sampling.writeTrainingShards(
+        Tables.documents(s, d), "doc_id", "sh1", docsPerShard = 64L, path)
+      graft.operators.Sampling.shardManifest(s, path, "doc_id", "n_chars")
+        .orderBy(col("shard"))
+    },
+
     // Canonical-document selection per near-dup cluster: connected
     // components over verified LSH pairs (the d9 machinery), then ONE
     // survivor per component by quality score (rounded 6dp, doc_id

@@ -138,6 +138,40 @@ class SamplingSpec extends SparkSpec {
     assert(byDefault.exists { case (id, pos) => id != pos })
   }
 
+  test("writeTrainingShards: shards tile the permutation, re-export idempotent") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val n = docs.count()
+    val path = java.nio.file.Files.createTempDirectory("graft_shards")
+      .resolve("ep0").toString
+    Sampling.writeTrainingShards(docs, "doc_id", "ep0", docsPerShard = 64L, path)
+    // every doc lands exactly once, in its shuffleOrder shard
+    val landed = spark.read.parquet(path)
+      .select($"doc_id", $"pos", $"shard".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(landed.length == n)
+    assert(landed.map(_._1).distinct.length == n)
+    val order = Sampling.shuffleOrder(spark, docs, "doc_id", "ep0")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    landed.foreach { case (id, pos, shard) =>
+      assert(pos == order(id) && shard == pos / 64, s"doc $id")
+    }
+    // shard sizes: exactly 64 except the last
+    val sizes = landed.groupBy(_._3).view.mapValues(_.length).toMap
+    val last = sizes.keys.max
+    sizes.foreach { case (s, c) =>
+      if (s < last) assert(c == 64, s"shard $s size $c")
+      else assert(c >= 1 && c <= 64, s"last shard size $c")
+    }
+    // manifest reconciles with the corpus and is stable across re-export
+    val m1 = Sampling.shardManifest(spark, path, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(m1.toSeq.map(_._2).sum == n)
+    Sampling.writeTrainingShards(docs, "doc_id", "ep0", 64L, path)
+    val m2 = Sampling.shardManifest(spark, path, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(m2 == m1, "re-export must land identical shards")
+  }
+
   test("shuffleOrder fails loud on NULL ids instead of a corrupt order") {
     val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
     val e = intercept[IllegalArgumentException](
