@@ -154,4 +154,55 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.assignPacks(spark, noDocs.withColumn("n", lit(1L)),
       "doc_id", "n", 100L).count() == 0)
   }
+
+  test("round-13 operators: empty in, empty out, schema intact") {
+    // KN models on an empty corpus: zero probability rows, right columns
+    assert(TextOps.knTrigramProbs(noDocs, "doc_id", "text", 1L).columns.toSeq
+      == Seq("w1", "w2", "w3", "c", "p_fp"))
+    assert(TextOps.knTrigramProbs(noDocs, "doc_id", "text", 1L).count() == 0)
+    // scoring an empty corpus: empty; empty TRAIN set degenerates to the
+    // uniform continuation prior (p = 1e12, ln = 0) instead of throwing
+    assert(TextOps.knDocScore(noDocs, noDocs, "doc_id", "text").count() == 0)
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val uniform = TextOps.knDocScore(noDocs, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(uniform.toSeq == Seq((1L, 1L, 0L, Some(0L))))
+    // tiers over nothing scorable (empty corpus / no-bigram docs)
+    assert(TextOps.knPerplexityTiers(noDocs,
+      noDocs.withColumn("lang", lit("en")), "doc_id", "text", "lang")
+      .count() == 0)
+    assert(TextOps.knPerplexityTiers(docs,
+      Seq((9L, "solo", "en")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang").count() == 0)
+    // hard negatives with no corpus / no queries
+    val noLabeled = noVecs.withColumn("label", lit(0L))
+    assert(Similarity.hardNegatives(noLabeled, noLabeled,
+      "vec_id", "embedding", "label", 5).count() == 0)
+    // mixToWeights when a weighted stratum is empty: T* = 0, empty mix
+    assert(Sampling.mixToWeights(
+      Seq((1L, "en")).toDF("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 1L, "de" -> 1L), "mx").count() == 0)
+    // tokenBudgetPerKey on an empty frame (the min/max probe path)
+    assert(Sampling.tokenBudgetPerKey(
+      Seq.empty[(String, Long, Long, Double)].toDF("src", "doc_id", "n", "s"),
+      "src", "doc_id", "n", "s", 10L).count() == 0)
+  }
+
+  test("degenerate key distributions: two-level ranks survive all-equal sort keys") {
+    // every doc identical -> one __k value -> ONE range bucket; ranks must
+    // still be the (key, id) permutation and thirds exact
+    val same = (1L to 9L).map(i => (i, "x y z", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.perplexityBuckets(same, "doc_id", "text", "lang")
+      .select($"did", $"r", $"bucket").as[(Long, Long, String)].collect()
+    assert(out.map(_._2).sorted.toSeq == (1L to 9L).toSeq)
+    assert(out.sortBy(_._2).map(_._1).toSeq == (1L to 9L).toSeq, "tie by id")
+    assert(out.count(_._3 == "head") == 3 && out.count(_._3 == "tail") == 3)
+    // all-equal scores in the token budget: descending ties break by id
+    val flat = (1L to 6L).map(i => ("s", i, 10L, 1.0)).toDF("src", "doc_id", "n", "sc")
+    val kept = Sampling.tokenBudgetPerKey(flat, "src", "doc_id", "n", "sc", 35L)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(kept.map(_._1).toSeq == (1L to 4L).toSeq,
+      "budget 35 keeps docs 1..3 (30) + the crossing doc 4")
+    assert(kept.map(_._2).toSeq == Seq(10L, 20L, 30L, 40L))
+  }
 }
