@@ -561,8 +561,17 @@ object Sampling {
   def writeTrainingShards(df: DataFrame, idCol: String, salt: String,
                           docsPerShard: Long, path: String): Unit = {
     require(docsPerShard >= 1, s"docsPerShard must be >= 1, got $docsPerShard")
+    // repartition on shard before the partitioned write: without it every
+    // task holds rows of MANY shards, so N tasks x M shards small files
+    // (the classic dynamic-partition explosion — fatal at millions of
+    // shards); with it each shard's rows coalesce into one task = one
+    // file. sortWithinPartitions(pos) makes that file's ROW order the
+    // training order, so a trainer streams a shard front-to-back with no
+    // sort of its own.
     shuffleOrder(df.sparkSession, df, idCol, salt)
       .withColumn("shard", (col("pos") / docsPerShard).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 

@@ -162,6 +162,14 @@ class SamplingSpec extends SparkSpec {
       if (s < last) assert(c == 64, s"shard $s size $c")
       else assert(c >= 1 && c <= 64, s"last shard size $c")
     }
+    // one file per shard (the repartition-before-partitionBy contract —
+    // without it every task writes into every shard directory) and the
+    // file's row order IS the training order
+    assert(spark.read.parquet(path).inputFiles.length == sizes.size,
+      "one file per shard")
+    val shard0 = spark.read.parquet(path + "/shard=0")
+      .select($"pos").as[Long].collect()
+    assert(shard0.toSeq == shard0.sorted.toSeq, "in-file rows follow pos")
     // manifest reconciles with the corpus and is stable across re-export
     val m1 = Sampling.shardManifest(spark, path, "doc_id", "n_chars")
       .as[(Long, Long, Long, Long)].collect().toSet
