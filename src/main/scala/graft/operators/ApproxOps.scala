@@ -20,6 +20,83 @@ import org.apache.spark.sql.functions._
   */
 object ApproxOps {
 
+  /** EXACT per-group order statistic without a per-group sort or a
+    * per-group value buffer — the scale counterpart to both this file's
+    * quantile SKETCHES (when the answer must be exact) and Spark's
+    * `percentile` aggregate (whose ObjectHashAggregate buffers every value
+    * of a group in executor memory — untenable when one group is most of a
+    * 100 TB corpus). Returns, per group, the value at ascending rank
+    * ceil(qNum·n / qDen) of the integer `valCol` multiset (qNum/qDen = 1/2
+    * is the lower median, 9/10 the lower p90) — an element of the data,
+    * exact by construction, no interpolation.
+    *
+    * Shape (the shuffleOrder two-level prefix discipline, applied to an
+    * aggregate instead of a rank): range-bucket the value (min/max-derived
+    * width), count per (group, bucket), exclusive-scan on the driver
+    * (groups × buckets longs) to locate each group's target bucket and
+    * residual rank, then resolve the exact value from the VALUE-level
+    * counts of the target buckets only — a second aggregate whose collect
+    * is bounded by distinct values per bucket width (≤ (max−min)/buckets
+    * + 1 per group; raise `buckets` to tighten). No window anywhere
+    * (plan-asserted); ties need no ordering — the multiset value at rank r
+    * is order-free.
+    */
+  def exactGroupRank(df: DataFrame, grpCol: String, valCol: String,
+                     qNum: Long, qDen: Long, buckets: Int = 0): DataFrame = {
+    require(qNum >= 1 && qNum <= qDen,
+      s"quantile must be in (0, 1]: got $qNum/$qDen")
+    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val keyed = graft.core.Storage.cut(
+      df.select(col(grpCol).cast("string").as("grp"),
+        col(valCol).cast("long").as("__k")),
+      eager = true)
+    val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
+    if (mm.isNullAt(0))
+      return keyed.withColumn("n", lit(0L)).withColumn("rank", lit(0L))
+        .withColumnRenamed("__k", "val")
+        .select(col("grp"), col("n"), col("rank"), col("val")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    val withB = keyed.withColumn("__kb",
+      ((col("__k") - lit(lo)) / lit(width)).cast("long"))
+    val counts = withB.groupBy(col("grp"), col("__kb"))
+      .agg(count(lit(1)).as("__n")).collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$grpCol contains NULLs — a per-group rank over them is undefined")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    // per group: total n, target rank r, the bucket holding rank r and the
+    // residual rank within it
+    val targets = counts.groupBy(_._1).map { case (g, bs) =>
+      val n = bs.map(_._3).sum
+      val r = (qNum * n + qDen - 1) / qDen
+      var acc = 0L
+      val (b, base) = bs.sortBy(_._2).iterator.map { case (_, kb, m) =>
+        val prev = acc; acc += m; (kb, prev, acc)
+      }.find(_._3 >= r).map(t => (t._1, t._2)).get
+      (g, n, r, b, r - base)
+    }.toSeq
+    val tDf = broadcast(df.sparkSession
+      .createDataFrame(targets.map(t => (t._1, t._4, t._2, t._3, t._5)))
+      .toDF("grp", "__kb", "n", "rank", "__r"))
+    // value-level counts inside the target buckets only, cumulated on the
+    // driver: bucket-width-bounded per group
+    val vals = withB.join(tDf.select(col("grp"), col("__kb")), Seq("grp", "__kb"))
+      .groupBy(col("grp"), col("__k")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val resolved = vals.groupBy(_._1).map { case (g, vs) =>
+      val rr = targets.find(_._1 == g).get._5
+      var acc = 0L
+      val v = vs.sortBy(_._2).iterator.find { case (_, _, c) =>
+        acc += c; acc >= rr
+      }.get._2
+      (g, v)
+    }.toSeq
+    val vDf = broadcast(df.sparkSession.createDataFrame(resolved)
+      .toDF("grp", "val"))
+    tDf.select(col("grp"), col("n"), col("rank")).join(vDf, Seq("grp"))
+  }
+
   /** Per-key exact distinct count + whether HLL++ (`rsd` relative standard
     * deviation) lands within `tol` of it. Two aggregations on purpose: the
     * exact one is the oracle anchor, the sketch one is the operator under

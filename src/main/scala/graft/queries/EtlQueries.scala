@@ -1661,6 +1661,38 @@ object EtlQueries {
         .orderBy(col("event_type"))
     },
 
+    // A-extension: EXACT per-group order statistics WITHOUT a per-group
+    // sort or value buffer (ApproxOps.exactGroupRank — the two-level
+    // prefix discipline applied to an aggregate): value-range buckets,
+    // (group, bucket) counts, driver scan to the target bucket, exact
+    // resolve from that bucket's value-level counts. Lower median / lower
+    // p90 are ELEMENTS of the data (no interpolation), so the contract is
+    // integer-exact where a8's percentile() buffers whole groups in
+    // executor memory. Oracle derives the same ranks with a window.
+    QueryDef(
+      "a14_group_rank_exact",
+      """WITH r AS (SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM documents),
+        |med AS (SELECT source, n_chars AS median_chars FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |p90 AS (SELECT source, n_chars AS p90_chars FROM r
+        |  WHERE rn = (9 * n + 9) // 10),
+        |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source)
+        |SELECT source, n, median_chars, p90_chars
+        |FROM cnt JOIN med USING (source) JOIN p90 USING (source)
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.ApproxOps
+      val docs = Tables.documents(s, d)
+      val med = ApproxOps.exactGroupRank(docs, "source", "n_chars", 1, 2)
+        .select(col("grp").as("source"), col("n"),
+          col("val").as("median_chars"))
+      val p90 = ApproxOps.exactGroupRank(docs, "source", "n_chars", 9, 10)
+        .select(col("grp").as("source"), col("val").as("p90_chars"))
+      med.join(p90, Seq("source")).orderBy(col("source"))
+    },
+
     // W-extension: time-DECAYED aggregate per key — recency-weighted
     // engagement scoring with a one-day half-life, weight = 2^-(age_days)
     // anchored at the data's max ts. The decay base is 2 BY DESIGN: the

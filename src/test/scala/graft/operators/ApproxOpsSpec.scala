@@ -148,4 +148,41 @@ class ApproxOpsSpec extends SparkSpec {
       s"merged ${merged} != direct $r")
     assert(kept.forall(_.collect()(0).getAs[Long]("n_sample") == 256L))
   }
+
+  test("exactGroupRank: exact order statistics, ties and skew, no window in the plan") {
+    // crafted groups: heavy ties, skewed sizes, one singleton
+    val rows = (1L to 100L).map(i => ("a", i % 7)) ++       // ties everywhere
+      (1L to 31L).map(i => ("b", i * i)) ++                 // skewed values
+      Seq(("c", 42L))                                       // singleton
+    val df = rows.toDF("g", "v")
+    def replay(q: (Long, Long)): Map[String, (Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val n = sorted.length.toLong
+        val r = (q._1 * n + q._2 - 1) / q._2
+        g -> (n, r, sorted((r - 1).toInt))
+      }
+    for (q <- Seq((1L, 2L), (9L, 10L), (1L, 1L), (1L, 100L))) {
+      val got = ApproxOps.exactGroupRank(df, "g", "v", q._1, q._2, buckets = 4)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == replay(q), s"q=$q")
+    }
+    // bucket count never changes the answer (only the driver walk's grain)
+    val b1 = ApproxOps.exactGroupRank(df, "g", "v", 1, 2, buckets = 1)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val b64 = ApproxOps.exactGroupRank(df, "g", "v", 1, 2, buckets = 64)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(b1 == b64)
+    // empty input: empty result with the contract schema
+    val none = ApproxOps.exactGroupRank(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", 1, 2)
+    assert(none.columns.toSeq == Seq("grp", "n", "rank", "val") &&
+      none.count() == 0)
+    // the whole point: no window, no percentile buffer in the plan
+    val p = ApproxOps.exactGroupRank(df, "g", "v", 1, 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window") && !p.contains("percentile"), p)
+  }
 }
