@@ -100,7 +100,13 @@ object DumpPlans {
     // windows). lm5/ds9 execute index/model writes (omitted, ds-series
     // rule — their serve plan contracts live in LmIndexSpec/PlanSpec).
     "lm1_ngram_counts", "lm2_kneser_ney", "lm3_kneser_ney_trigram",
-    "lm4_kn_doc_score")
+    "lm4_kn_doc_score",
+    // r1's broadcast cross-join + per-query top-k window. a14/lm6 are
+    // omitted: their two-level prefix walks collect bucket counts during
+    // construction (plan contracts live in ApproxOpsSpec / PlanSpec);
+    // sh1 executes the shard write (ds-series rule — its manifest and
+    // single-file-per-shard contracts live in SamplingSpec).
+    "r1_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
