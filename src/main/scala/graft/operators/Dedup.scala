@@ -116,6 +116,88 @@ object Dedup {
         .transform(graft.core.Storage.cut(_))
     }
 
+  /** EXACT Jaccard-threshold pairs via PREFIX FILTERING (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — the subquadratic
+    * exact path the brute-force [[jaccardPairs]] baselines. Same output as
+    * the brute force (every pair with Jaccard >= threshold, exact integer
+    * ratio), but the self-join runs on each document's PREFIX — its
+    * rarest-first p = n - floor(t*n) + 1 shingles under a global
+    * (document-frequency, hash) token order — instead of all n shingles.
+    * Any pair at Jaccard >= t MUST share a prefix token (the overlap bound
+    * o >= ceil(t*max(|a|,|b|)) leaves fewer than p skippable tokens per
+    * side), so candidate recall is total; a size filter
+    * (min >= t*max, since J <= min/max) prunes before the verify join,
+    * and the exact intersection is computed only for candidates, on
+    * shingle sets semi-join-restricted to candidate docs.
+    *
+    * Scale shape: document frequency is one (g)-keyed count; the prefix
+    * rank is a window PARTITIONED BY sid — per-document state, never a
+    * corpus-wide sort; the candidate join fans out per prefix token as
+    * df_prefix(g)^2 where the global rare-first order biases prefixes
+    * toward low-df tokens (a token's prefix-df is bounded by its corpus
+    * df, and high-df tokens sort to the ends of prefixes first). The
+    * verify stage is [[containmentPairs]]'s candidate-confined shape: text
+    * never shuffles, all joins carry 8-byte hashed grams.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame =
+    graft.core.Storage.freeingIntermediates(df.sparkSession) {
+      prefixFilterPipeline(df, idCol, textCol, n, threshold, checkpoint = true)
+    }
+
+  /** [[prefixFilterPairs]] body. `checkpoint = false` keeps the full lineage
+    * visible so DedupSpec can assert the plan shape (localCheckpoint —
+    * eager or lazy — replaces the plan with an RDD scan, which would blind
+    * the guard); production calls always checkpoint.
+    */
+  private[operators] def prefixFilterPipeline(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, checkpoint: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      require(threshold > 0 && threshold <= 1,
+        s"threshold must be in (0, 1]: got $threshold")
+      val cutLazy: DataFrame => DataFrame =
+        if (checkpoint) graft.core.Storage.cut(_, eager = false) else identity
+      val sh = cutLazy(wordShingles(df, idCol, textCol, n)
+        .select(col("sid"), hash48(col("gram")).as("g")))
+      val sizes = shingleSizes(sh)
+      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      // rarest-first rank within each doc; prefix length is floor-based
+      // (>= the tight n - ceil(t*n) + 1), so float fuzz can only widen
+      // the prefix — the exact verify below decides membership either way
+      val w = Window.partitionBy(col("sid")).orderBy(col("gdf"), col("g"))
+      val prefix = sh.join(dfreq, Seq("g"))
+        .withColumn("rn", row_number().over(w))
+        .join(sizes, Seq("sid"))
+        .filter(col("rn") <= col("nsh") - floor(lit(threshold) * col("nsh")) + 1)
+        .select(col("sid"), col("g"), col("nsh"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.sid") < col("b.sid") &&
+            least(col("a.nsh"), col("b.nsh")) >=
+              lit(threshold) * greatest(col("a.nsh"), col("b.nsh")))
+        .select(col("a.sid").as("ida"), col("b.sid").as("idb")).distinct()
+      val candIds = cands.select(col("ida").as("cand_sid"))
+        .union(cands.select(col("idb").as("cand_sid"))).distinct()
+      val shc = sh.join(broadcast(candIds), col("sid") === col("cand_sid"),
+        "left_semi")
+      cands
+        .join(shc.as("sa"), col("ida") === col("sa.sid"))
+        .join(shc.as("sb"),
+          col("idb") === col("sb.sid") && col("sa.g") === col("sb.g"))
+        .groupBy(col("ida"), col("idb"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.as("za").withColumnRenamed("nsh", "nsh_a"),
+          col("ida") === col("za.sid"))
+        .join(sizes.as("zb").withColumnRenamed("nsh", "nsh_b"),
+          col("idb") === col("zb.sid"))
+        .select(col("ida"), col("idb"),
+          (col("n_inter").cast("double") /
+            (col("nsh_a") + col("nsh_b") - col("n_inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .transform(d => if (checkpoint) graft.core.Storage.cut(d) else d)
+  }
+
   // ---- MinHash + LSH (the scale path) --------------------------------------
 
   val MinhashPrime = 2147483647L // 2^31 - 1

@@ -1593,6 +1593,26 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // EXACT Jaccard-threshold pairs via prefix filtering (AllPairs/PPJoin)
+    // — the subquadratic exact path whose correctness d5's brute force
+    // baselines. The oracle is deliberately the SAME brute-force SQL as
+    // d5: identical results prove the prefix-confined candidate join
+    // loses no pair (total recall of the prefix bound + exact verify).
+    QueryDef(
+      "d29_prefix_filter_pairs",
+      s"""WITH $shingleCtes,
+         |inter AS (SELECT a.sid AS ida, b.sid AS idb, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.sid < b.sid
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5 ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // BM25 keyword ranking (k1=1.2, b=0.75), fixed-order per-term sums so
     // the double addition is engine-deterministic; 6dp rounding absorbs the
     // idf log's last ulp.

@@ -106,7 +106,10 @@ object DumpPlans {
     // construction (plan contracts live in ApproxOpsSpec / PlanSpec);
     // sh1 executes the shard write (ds-series rule — its manifest and
     // single-file-per-shard contracts live in SamplingSpec).
-    "r1_hard_negatives")
+    "r1_hard_negatives",
+    // d29's prefix-confined candidate join + candidate-restricted exact
+    // verify — the subquadratic exact-Jaccard path d5 baselines.
+    "d29_prefix_filter_pairs")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -45,6 +45,57 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute) // verify stage kills false positives; bands catch all >=0.5 here
   }
 
+  test("prefix-filter pairs equal brute force exactly (values too, sf0.001)") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val brute = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val pf = Dedup.prefixFilterPairs(d, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pf == brute) // exact algorithm: identical pairs AND ratios
+  }
+
+  test("prefix-filter recall holds at a low threshold (widest prefixes)") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val brute = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val pf = Dedup.prefixFilterPairs(d, "doc_id", "text", 3, 0.3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pf == brute)
+  }
+
+  test("prefix-filter on the planted fixture: near-dups found, disjoint doc excluded") {
+    val pairs = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("prefix-filter plan: per-doc prefix window, no cartesian, text never " +
+      "shuffles (un-checkpointed probe — the query's own plan truncates at " +
+      "the result cut, the d23 pattern)") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val p = Dedup.prefixFilterPipeline(d, "doc_id", "text", 3, 0.5,
+        checkpoint = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the prefix rank is per-DOCUMENT state: its window must partition by
+    // sid (never corpus-global, never a low-cardinality group)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("sid#")),
+      s"prefix window not sid-partitioned:\n${specs.mkString("\n")}")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // candidate generation joins hashed prefixes — never a cartesian
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the dedup-family contract: text never travels through a shuffle
+    val exchanges =
+      p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("minhash signature agreement estimates true jaccard (sketch quality)") {
     val d = graft.core.Tables.documents(spark, sf)
     val truePairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.3)
