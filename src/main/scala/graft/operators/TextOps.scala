@@ -1227,6 +1227,133 @@ object TextOps {
       .filter(col("c") >= minCount)
   }
 
+  /** Per-id n-gram occurrence counts, orders 1..maxOrder fanned out inside
+    * ONE scan (the [[ngramRows]] expression with the id kept) — the shared
+    * counting step of [[ngramOverlapEval]].
+    */
+  private def idNgramCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, maxOrder: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(1), lit(maxOrder)), n =>
+          transform(
+            filter(sequence(lit(1), size(col("w"))), i =>
+              i <= size(col("w")) - n + 1),
+            i => struct(
+              n.cast("long").as("ord"),
+              concat_ws(" ", slice(col("w"), i, n)).as("gram")))))).as("r"))
+      .select(col("id"), col("r.ord").as("ord"), col("r.gram").as("gram"))
+      .groupBy(col("id"), col("ord"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** N-gram overlap evaluation metrics — the BLEU-n / ROUGE-n counting
+    * core (Papineni et al. 2002; Lin 2004) in EXACT integers. For each
+    * (pair id, order n <= `maxOrder`): `matches` = Σ_g min(c_cand(g),
+    * c_ref(g)) — the CLIPPED match count both metrics share (clipping is
+    * what stops a candidate repeating one reference word from scoring
+    * 100%), `cand_total` / `ref_total` the occurrence totals, and the two
+    * fixed-point ratios BLEU and ROUGE disagree on: modified precision
+    * `p_fp` = floor(matches·1e6 / cand_total) and recall `r_fp` =
+    * floor(matches·1e6 / ref_total). Positive floor division, so DuckDB
+    * `//` and Spark `DIV` agree; no floats anywhere, so rows hash-check
+    * bit-for-bit. Corpus-level BLEU/ROUGE are ratios of the SUMS of these
+    * numerators — this per-pair table is the sufficient statistic, which
+    * is why it (not the composite score) is the operator.
+    *
+    * A (id, ord) row appears when BOTH sides have at least one order-n
+    * gram (a shorter side yields no denominator — standard BLEU smoothing
+    * territory, kept out of the exact contract); `matches` is 0 when the
+    * sides share nothing at that order.
+    *
+    * Scale shape: each side is one scan fanning all orders out at once
+    * ([[ngramRows]]'s discipline), counts are map-side combined on
+    * (id, ord, gram), the clip join lands on the SAME key so it reuses the
+    * aggregation exchange, and the final rollup is keyed by (id, ord) —
+    * everything is pair-local, no window, no global state, eval cost ∝
+    * corpus tokens however many pairs arrive.
+    */
+  def ngramOverlapEval(cand: org.apache.spark.sql.DataFrame,
+                       ref: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String, maxOrder: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val cg = idNgramCounts(cand, idCol, textCol, maxOrder)
+      .withColumnRenamed("c", "cc")
+    val rg = idNgramCounts(ref, idCol, textCol, maxOrder)
+      .withColumnRenamed("c", "rc")
+    val clipped = cg.join(rg, Seq("id", "ord", "gram"))
+      .groupBy(col("id"), col("ord"))
+      .agg(sum(least(col("cc"), col("rc"))).as("matches"))
+    val ct = cg.groupBy(col("id"), col("ord"))
+      .agg(sum(col("cc")).as("cand_total"))
+    val rt = rg.groupBy(col("id"), col("ord"))
+      .agg(sum(col("rc")).as("ref_total"))
+    ct.join(rt, Seq("id", "ord"))
+      .join(clipped, Seq("id", "ord"), "left")
+      .select(col("id"), col("ord"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        col("cand_total"), col("ref_total"))
+      .withColumn("p_fp", expr("matches * 1000000 DIV cand_total"))
+      .withColumn("r_fp", expr("matches * 1000000 DIV ref_total"))
+  }
+
+  /** Corpus-level BLEU per group (Papineni et al. 2002 §2.3, uniform 1/N
+    * weights) in EXACT integers riding [[ngramOverlapEval]]'s sufficient
+    * statistics: per (group, order) the matches/totals SUM over the
+    * group's pairs — corpus BLEU pools counts across segments, it does NOT
+    * average per-segment scores — then every log through the LnFp integer
+    * kernel. Reported in log space (the score is monotone in it; exp would
+    * leave the integer contract):
+    *
+    *   log_bleu_xn_micro = N·ln BP + Σ_n ln(max(M_n, 1)/C_n)   [micro-nats]
+    *
+    * — the N-fold log-BLEU, kept MULTIPLIED by N because dividing a
+    * negative sum is where Spark's truncating DIV and DuckDB's flooring
+    * `//` disagree; scaling by N instead of dividing keeps both engines on
+    * identical integers. ln BP = −floor((r−c)·1e6/c) when c < r else 0
+    * (positive operands only, widened to decimal(38,0) BEFORE the product
+    * so corpus-scale token counts cannot overflow), and max(M_n, 1) is the
+    * standard zero-match smoothing, with `n_smoothed` reporting how many
+    * orders needed it. Orders where the group has no (both-sides) grams —
+    * [[ngramOverlapEval]]'s row contract — contribute nothing to the sum.
+    *
+    * Scale shape: the per-pair table collapses to (groups × N) rows before
+    * any ln; the kernel runs once per surviving row, the brevity penalty
+    * on one row per group — corpus size only flows through the e4 counts.
+    */
+  def corpusBleu(cand: org.apache.spark.sql.DataFrame,
+                 ref: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String, groupCol: String,
+                 maxOrder: Int): org.apache.spark.sql.DataFrame = {
+    val e = ngramOverlapEval(cand, ref, idCol, textCol, maxOrder)
+    val grp = cand.select(col(idCol).as("id"), col(groupCol).as("grp"))
+      .distinct()
+    val perOrd = e.join(grp, Seq("id"))
+      .groupBy(col("grp"), col("ord"))
+      .agg(sum(col("matches")).as("m"), sum(col("cand_total")).as("c"),
+        sum(col("ref_total")).as("r"))
+    perOrd
+      .select(col("grp"), col("ord"), col("c"), col("r"),
+        graft.plans.LnFpFunctions.lnMicro(greatest(col("m"), lit(1L)),
+          col("c")).as("ln_p"),
+        when(col("m") === 0L, 1L).otherwise(0L).as("sm"))
+      .groupBy(col("grp"))
+      .agg(sum(col("ln_p")).as("sum_ln_p_micro"),
+        sum(col("sm")).as("n_smoothed"),
+        sum(when(col("ord") === 1, col("c"))).as("c_len"),
+        sum(when(col("ord") === 1, col("r"))).as("r_len"))
+      .withColumn("ln_bp_micro",
+        when(col("c_len") < col("r_len"),
+          -expr("CAST((CAST(r_len - c_len AS DECIMAL(38, 0)) * 1000000)" +
+            " div c_len AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("log_bleu_xn_micro",
+        col("ln_bp_micro") * lit(maxOrder.toLong) + col("sum_ln_p_micro"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Chen & Goodman 1999,
     * absolute discount D = 3/4) for every observed bigram, as EXACT
     * fixed-point integers: with c = c(w1 w2), L = Σ_w c(w1 w) the left-

@@ -162,6 +162,34 @@ object CorpusQueries {
     * oracle references `v` from several CTEs; inlined, DuckDB re-runs the
     * parquet scan + list transform per reference.
     */
+  /** The e4/e5 shared counting CTEs: adjacent-document candidate/reference
+    * pairs (even doc_id = candidate, odd = reference), per-(pair, order,
+    * gram) occurrence counts for orders 1..3 in one fan-out per side, the
+    * clipped-match join and the two per-(pair, order) totals — the DuckDB
+    * twin of `TextOps.idNgramCounts` + the `ngramOverlapEval` rollup.
+    */
+  private val ngramOverlapCtes =
+    """cd AS (SELECT doc_id // 2 AS id, string_split(text, ' ') AS w
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |rd AS (SELECT doc_id // 2 AS id, string_split(text, ' ') AS w
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |cg AS (SELECT id, n.n AS ord,
+      |    array_to_string(w[t.i:t.i+n.n-1], ' ') AS gram, COUNT(*) AS cc
+      |  FROM cd, unnest(generate_series(1, 3)) AS n(n),
+      |       unnest(generate_series(1, len(w) - n.n + 1)) AS t(i)
+      |  GROUP BY 1, 2, 3),
+      |rg AS (SELECT id, n.n AS ord,
+      |    array_to_string(w[t.i:t.i+n.n-1], ' ') AS gram, COUNT(*) AS rc
+      |  FROM rd, unnest(generate_series(1, 3)) AS n(n),
+      |       unnest(generate_series(1, len(w) - n.n + 1)) AS t(i)
+      |  GROUP BY 1, 2, 3),
+      |m AS (SELECT id, ord, CAST(SUM(least(cc, rc)) AS BIGINT) AS matches
+      |  FROM cg JOIN rg USING (id, ord, gram) GROUP BY 1, 2),
+      |ct AS (SELECT id, ord, CAST(SUM(cc) AS BIGINT) AS cand_total
+      |  FROM cg GROUP BY 1, 2),
+      |rt AS (SELECT id, ord, CAST(SUM(rc) AS BIGINT) AS ref_total
+      |  FROM rg GROUP BY 1, 2)""".stripMargin
+
   private val quantVecCte =
     s"""v AS MATERIALIZED (SELECT vec_id AS sid,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qv
@@ -2545,6 +2573,81 @@ object CorpusQueries {
         probeFilter = col("qid") < 8)
       Similarity.retrievalMetrics(approx, exact, 5)
         .orderBy(col("qid"))
+    },
+
+    // N-gram overlap eval metrics (TextOps.ngramOverlapEval): the BLEU-n /
+    // ROUGE-n counting core in exact integers — per (pair, order) CLIPPED
+    // matches sum(min(c_cand, c_ref)), both occurrence totals, and the two
+    // fixed-point ratios (modified precision / recall), floor-divided on
+    // positive operands so DuckDB // == Spark DIV. Pairs are adjacent
+    // documents (even doc_id = candidate, odd = reference).
+    QueryDef(
+      "e4_ngram_overlap",
+      s"""WITH $ngramOverlapCtes
+        |SELECT id, CAST(ord AS BIGINT) AS ord,
+        |  coalesce(matches, 0) AS matches, cand_total, ref_total,
+        |  coalesce(matches, 0) * 1000000 // cand_total AS p_fp,
+        |  coalesce(matches, 0) * 1000000 // ref_total AS r_fp
+        |FROM ct JOIN rt USING (id, ord) LEFT JOIN m USING (id, ord)
+        |ORDER BY id, ord""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("pair_id", expr("doc_id DIV 2"))
+      TextOps.ngramOverlapEval(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "pair_id", "text", maxOrder = 3)
+        .orderBy(col("id"), col("ord"))
+    },
+
+    // Corpus-level BLEU per candidate source (TextOps.corpusBleu): pooled
+    // e4 counts per (source, order), every log through the LnFp integer
+    // kernel (oracle = the sqlLog2Fp shift-and-square twin), zero-match
+    // smoothing max(M, 1) with n_smoothed reported, brevity penalty
+    // -floor((r-c)*1e6/c) pre-widened to HUGEINT/decimal(38,0). The score
+    // ships as N*logBLEU (log_bleu_xn_micro) because dividing the negative
+    // sum is where Spark DIV and DuckDB // disagree.
+    QueryDef(
+      "e5_corpus_bleu",
+      s"""WITH RECURSIVE $pow2Cte,
+        |$ngramOverlapCtes,
+        |pg AS (SELECT doc_id // 2 AS id, source FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |eo AS (SELECT id, ord, coalesce(matches, 0) AS matches,
+        |    cand_total, ref_total
+        |  FROM ct JOIN rt USING (id, ord) LEFT JOIN m USING (id, ord)),
+        |po AS (SELECT source AS grp, ord,
+        |    CAST(SUM(matches) AS BIGINT) AS pm,
+        |    CAST(SUM(cand_total) AS BIGINT) AS c,
+        |    CAST(SUM(ref_total) AS BIGINT) AS r
+        |  FROM eo JOIN pg USING (id) GROUP BY 1, 2),
+        |blin AS (SELECT grp || '#' || ord AS key, greatest(pm, 1) AS p,
+        |    c AS q FROM po),
+        |${sqlLog2Fp("bl", "blin", "key")},
+        |lnp AS (SELECT key, $sqlLnMicroFromL AS ln_p FROM blL),
+        |ag AS (SELECT grp,
+        |    CAST(SUM(ln_p) AS BIGINT) AS sum_ln_p_micro,
+        |    CAST(SUM(CASE WHEN pm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_smoothed,
+        |    CAST(SUM(CASE WHEN ord = 1 THEN c END) AS BIGINT) AS c_len,
+        |    CAST(SUM(CASE WHEN ord = 1 THEN r END) AS BIGINT) AS r_len
+        |  FROM po JOIN lnp ON lnp.key = po.grp || '#' || po.ord
+        |  GROUP BY 1)
+        |SELECT grp, sum_ln_p_micro, n_smoothed, c_len, r_len,
+        |  CASE WHEN c_len < r_len THEN
+        |    -(CAST(CAST(r_len - c_len AS HUGEINT) * 1000000 // c_len
+        |      AS BIGINT)) ELSE 0 END AS ln_bp_micro,
+        |  CASE WHEN c_len < r_len THEN
+        |    -(CAST(CAST(r_len - c_len AS HUGEINT) * 1000000 // c_len
+        |      AS BIGINT)) ELSE 0 END * 3 + sum_ln_p_micro
+        |    AS log_bleu_xn_micro
+        |FROM ag ORDER BY grp""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("pair_id", expr("doc_id DIV 2"))
+      TextOps.corpusBleu(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "pair_id", "text", "source", maxOrder = 3)
+        .orderBy(col("grp"))
     },
 
     QueryDef(

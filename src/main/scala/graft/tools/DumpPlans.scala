@@ -109,7 +109,11 @@ object DumpPlans {
     "r1_hard_negatives",
     // d29's prefix-confined candidate join + candidate-restricted exact
     // verify — the subquadratic exact-Jaccard path d5 baselines.
-    "d29_prefix_filter_pairs")
+    "d29_prefix_filter_pairs",
+    // e4's one-scan all-orders fan-out per side + gram-keyed clip join
+    // reusing the aggregation exchange — pair-local, windowless. e5
+    // collapses it to (groups x orders) rows before any ln kernel call.
+    "e4_ngram_overlap", "e5_corpus_bleu")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -234,6 +234,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // both top-k inputs stay capped
   }
 
+  test("e4_ngram_overlap: pair-local rollup — no window, no cartesian, " +
+      "doc text never shuffles") {
+    val p = plan("e4_ngram_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // everything is keyed by (id, ord[, gram]) — per-pair metrics need no
+    // window, and the clip join is an equi-join on the aggregation key
+    assert(!p.contains("windowspecdefinition"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side combine
+    // grams shuffle (they are the clip key — the lm1 contract); raw doc
+    // text must stay inside the scan stage
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("e5_corpus_bleu: logs via the integer kernel on group-sized rows, " +
+      "no cartesian") {
+    val p = plan("e5_corpus_bleu")
+    assert(p.contains("graft_ln_micro"), p) // LnFp kernel, not libm
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("fts4_phrase_search: slot fan-out in-scan, only watched-term longs shuffle") {
     val p = plan("fts4_phrase_search")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

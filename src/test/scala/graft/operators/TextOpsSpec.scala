@@ -835,4 +835,54 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ngramOverlapEval: clipped matches and fixed-point ratios by hand") {
+    // pair 1: cand repeats "the" 4x vs ref with 2x "the" — clipping caps
+    // the unigram match at 2 (the canonical BLEU degenerate case)
+    val cand = Seq((1L, "the the the the"), (2L, "a b c d")).toDF("id", "text")
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "a b x d"))
+      .toDF("id", "text")
+    val out = TextOps.ngramOverlapEval(cand, ref, "id", "text", maxOrder = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    // pair 1 unigrams: min(4, 2) = 2 of cand_total 4, ref_total 6
+    assert(out((1L, 1L)) == (2L, 4L, 6L, 500000L, 333333L))
+    // pair 1 bigrams: cand {"the the" x3}, ref has none of it
+    assert(out((1L, 2L)) == (0L, 3L, 5L, 0L, 0L))
+    // pair 2 unigrams: {a, b, d} shared; bigrams: "a b" only
+    assert(out((2L, 1L)) == (3L, 4L, 4L, 750000L, 750000L))
+    assert(out((2L, 2L)) == (1L, 3L, 3L, 333333L, 333333L))
+    // a pair missing on one side emits no rows (both denominators required)
+    val refOnly = TextOps.ngramOverlapEval(
+      cand.filter($"id" === 1L), ref, "id", "text", 2)
+    assert(refOnly.filter($"id" === 2L).count() == 0L)
+    // order n longer than the shorter side: no (id, n) row either
+    val shortRef = Seq((1L, "x")).toDF("id", "text")
+    val shortOut = TextOps.ngramOverlapEval(cand, shortRef, "id", "text", 2)
+    assert(shortOut.select($"ord").as[Long].collect().toSet == Set(1L))
+    intercept[IllegalArgumentException] {
+      TextOps.ngramOverlapEval(cand, ref, "id", "text", 9)
+    }
+  }
+
+  test("corpusBleu: pooled counts, smoothing and brevity penalty by hand") {
+    import graft.plans.LnFp.lnMicro
+    val cand = Seq((1L, "a", "the the the the"), (2L, "a", "a b c d"),
+      (3L, "b", "a b"), (4L, "c", "p q")).toDF("id", "grp", "text")
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "a b x d"),
+      (3L, "a b"), (4L, "q p")).toDF("id", "text")
+    val out = TextOps.corpusBleu(cand, ref, "id", "text", "grp", maxOrder = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7)).toMap
+    // group a POOLS pairs 1+2 (corpus BLEU sums counts, never averages
+    // per-segment scores): ord1 m=2+3 of c=4+4, ord2 m=0+1 of c=3+3 —
+    // pooling lifts pair 1's zero ord-2 matches past smoothing
+    val aLn = lnMicro(5L, 8L) + lnMicro(1L, 6L)
+    assert(out("a") == (aLn, 0L, 8L, 10L, -250000L, -500000L + aLn))
+    // group b: identical sides — every ratio 1, ln 0, BP 1: log-BLEU = 0
+    assert(out("b") == (0L, 0L, 2L, 2L, 0L, 0L))
+    // group c: reversed tokens — unigrams all match, zero bigram matches
+    // smoothed to max(0,1)=1 of c=1 (ln 0), counted in n_smoothed
+    assert(out("c") == (0L, 1L, 2L, 2L, 0L, 0L))
+  }
 }
