@@ -1354,6 +1354,39 @@ object TextOps {
         col("ln_bp_micro") * lit(maxOrder.toLong) + col("sum_ln_p_micro"))
   }
 
+  /** ROUGE-L (Lin 2004 §3.2) per pair in EXACT integers: token-level LCS
+    * length through the native [[graft.plans.LcsTokensLong]] kernel (the
+    * DP is a sequential per-row recurrence — no declarative formulation
+    * avoids interpreted per-element lambdas, so it runs as one static call
+    * inside whole-stage codegen), then the three fixed-point ratios:
+    * precision floor(L·1e6/c), recall floor(L·1e6/r), and F1 — which
+    * collapses ALGEBRAICALLY to 2L/(c+r) (2PR/(P+R) with P = L/c, R = L/r),
+    * so one positive floor division instead of a float harmonic mean and
+    * the score hash-checks bit-for-bit.
+    *
+    * Scale shape: one equi-join on the pair id ships each text to exactly
+    * one pair row (pairing is the operator's input contract — unlike the
+    * dedup family there is no candidate generation to confine), then all
+    * work is per-row and embarrassingly parallel; the DP is quadratic in
+    * the two DOCUMENTS' token counts only, never in the corpus.
+    */
+  def rougeL(cand: org.apache.spark.sql.DataFrame,
+             ref: org.apache.spark.sql.DataFrame,
+             idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val c = cand.select(col(idCol).as("id"), col(textCol).as("ctext"))
+    val r = ref.select(col(idCol).as("id"), col(textCol).as("rtext"))
+    c.join(r, Seq("id"))
+      .select(col("id"),
+        graft.plans.LcsTokensLong.lcsTokens(col("ctext"), col("rtext"))
+          .as("lcs"),
+        size(words(col("ctext"))).cast("long").as("c_len"),
+        size(words(col("rtext"))).cast("long").as("r_len"))
+      .withColumn("p_fp", expr("lcs * 1000000 DIV c_len"))
+      .withColumn("r_fp", expr("lcs * 1000000 DIV r_len"))
+      .withColumn("f_fp", expr("2 * lcs * 1000000 DIV (c_len + r_len)"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Chen & Goodman 1999,
     * absolute discount D = 3/4) for every observed bigram, as EXACT
     * fixed-point integers: with c = c(w1 w2), L = Σ_w c(w1 w) the left-

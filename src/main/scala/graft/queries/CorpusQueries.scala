@@ -2650,6 +2650,52 @@ object CorpusQueries {
         .orderBy(col("grp"))
     },
 
+    // ROUGE-L (TextOps.rougeL): token-level LCS per adjacent-document pair
+    // through the native graft_lcs_tokens DP kernel; the oracle replays
+    // the SAME two-row DP as a recursive CTE whose row update is a
+    // list_reduce carrying dp'[j-1] (the intra-row dependency SQL can't
+    // express elementwise). F1 = 2PR/(P+R) collapses to 2L/(c+r) — one
+    // positive floor division, no float harmonic mean.
+    QueryDef(
+      "e6_rouge_l",
+      """WITH RECURSIVE
+        |cd AS (SELECT doc_id // 2 AS id, string_split(text, ' ') AS cw
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |rd AS (SELECT doc_id // 2 AS id, string_split(text, ' ') AS rw
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |pr AS (SELECT id, cw, rw, len(cw) AS cl, len(rw) AS rl
+        |  FROM cd JOIN rd USING (id)),
+        |it(id, i, cw, rw, dp) AS (
+        |  SELECT id, 0, cw, rw,
+        |    list_transform(generate_series(0, rl), x -> CAST(0 AS BIGINT))
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT id, i + 1, cw, rw,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(generate_series(1, len(rw)),
+        |          j -> [CAST(j AS BIGINT)])),
+        |      (acc, x) -> list_append(acc,
+        |        greatest(dp[x[1] + 1], acc[len(acc)],
+        |          dp[x[1]] + CASE WHEN cw[i + 1] = rw[x[1]]
+        |            THEN 1 ELSE 0 END)))
+        |  FROM it WHERE i < len(cw))
+        |SELECT pr.id, dp[len(dp)] AS lcs,
+        |  CAST(pr.cl AS BIGINT) AS c_len, CAST(pr.rl AS BIGINT) AS r_len,
+        |  dp[len(dp)] * 1000000 // pr.cl AS p_fp,
+        |  dp[len(dp)] * 1000000 // pr.rl AS r_fp,
+        |  2 * dp[len(dp)] * 1000000 // (pr.cl + pr.rl) AS f_fp
+        |FROM it JOIN pr USING (id) WHERE it.i = pr.cl
+        |ORDER BY pr.id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("pair_id", expr("doc_id DIV 2"))
+      TextOps.rougeL(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "pair_id", "text")
+        .orderBy(col("id"))
+    },
+
     QueryDef(
       "s4_kmeans_refine",
       s"""WITH $quantVecCte,

@@ -258,6 +258,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("e6_rouge_l: native LCS kernel in-plan, one pair join, no window") {
+    val p = plan("e6_rouge_l")
+    assert(p.contains("graft_lcs_tokens"), p) // the DP runs native, not HOF
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("fts4_phrase_search: slot fan-out in-scan, only watched-term longs shuffle") {
     val p = plan("fts4_phrase_search")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
