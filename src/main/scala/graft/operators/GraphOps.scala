@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived relations — the provenance/authority
+  * layer of a curation pipeline. A web-scale corpus is not a bag of
+  * documents: content flows between them (syndication, quoting, mirroring),
+  * and ranking documents by where content ORIGINATES (rather than where it
+  * appears) is the classic authority signal — CommonCrawl-derived corpora
+  * weight pages by link authority for exactly this reason. The reference has
+  * no graph surface at all; this extends its relational model the same way
+  * the dedup family does (beyond-reference operator, SURVEY.md §8).
+  */
+object GraphOps {
+
+  /** Content-DERIVATION edges: `src` → `dst` when document `src` contains a
+    * word n-gram whose corpus-wide FIRST holder (minimum id — the d21
+    * novelty convention, ids are ingest order) is `dst`. "src quotes /
+    * derives from dst", the provenance relation [[Dedup.ngramNovelty]]
+    * aggregates away: novelty counts how much of a doc is first-held
+    * elsewhere; this keeps WHO holds it. Self-loops are excluded by
+    * construction (`dst < src` strictly), so the graph is a DAG in id
+    * order: derivation can only point backward in ingest time.
+    *
+    * Scale shape: documents reduce to distinct 48-bit gram hashes in-scan
+    * (never text through a shuffle); the first-holder reduce is one
+    * map-side-combinable gram-keyed MIN; the edge join fans out df(g)−1
+    * edges per gram — LINEAR in total gram occurrences (each occurrence
+    * yields at most one edge), unlike pair-generating dedup joins that go
+    * df², so no hot-gram cap is needed. The final distinct is one shuffle
+    * of (src, dst) id pairs.
+    */
+  def derivationEdges(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    // cut: the gram relation feeds BOTH the first-holder reduce and the
+    // edge join — one materialization, not two tokenize+hash passes
+    // (exchange reuse is not guaranteed under AQE)
+    val sh = graft.core.Storage.cut(
+      Dedup.wordShingles(df, idCol, textCol, n)
+        .select(col("sid"), Dedup.hash48(col("gram")).as("g")),
+      eager = false)
+    val first = sh.groupBy(col("g")).agg(min(col("sid")).as("dst"))
+    sh.join(first, Seq("g"))
+      .filter(col("dst") < col("sid"))
+      .select(col("sid").as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** PageRank (Page et al. 1999) in exact integer fixed point — the
+    * authority rank over [[derivationEdges]] (or any edge list): documents
+    * whose content others copy score high, serial copiers score the floor.
+    * Unnormalized per-node form with rank unit 10^6: r₀(v) = 10^6,
+    * rᵢ₊₁(v) = (10^6 − dampingFp) + ⌊dampingFp · Σ_{u→v} ⌊rᵢ(u)/deg(u)⌋ / 10^6⌋.
+    * Every operation is integer floor division on nonnegative operands
+    * (Spark `div` == DuckDB `//`), so ranks are bit-identical in any
+    * engine — no float mass vector, no convergence epsilon. Dangling mass
+    * (nodes with no out-edges) is dropped, not redistributed — the "weak"
+    * PageRank variant; ranks order identically for authority use. Fixed
+    * `iters` rather than a convergence test keeps cost contractual.
+    *
+    * Scale shape: per iteration — one equi-join of the rank state (sid,
+    * long) against the degree-annotated edge list, one map-side-combinable
+    * dst-keyed sum (in decimal(38,0): Σ⌊r/d⌋ is corpus × 10^6, and ×
+    * dampingFp passes long range at 100 TB), one left join back to the
+    * node set. The edge list is checkpointed ONCE with its degrees and
+    * reused every round; each round's rank state is checkpointed and the
+    * superseded round freed (the connectedComponents loop discipline —
+    * unbounded lineage otherwise re-analyzes an exponentially growing plan
+    * on the driver). Driver state: nothing but the loop counter.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+               iters: Int, dampingFp: Long = 850000L): DataFrame =
+   graft.core.Storage.freeingIntermediates(edges.sparkSession) {
+    val unit = 1000000L
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(dampingFp >= 0 && dampingFp <= unit,
+      s"dampingFp is parts-per-million in [0, $unit], got $dampingFp")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cut = graft.core.Storage.cut(_: DataFrame, _: Boolean)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val e = cut(edges.join(deg, Seq("src")), true)
+    var ranks = cut(nodes.select(col(idCol).as("sid")).distinct()
+      .withColumn("rank_fp", lit(unit)), true)
+    var i = 0
+    while (i < iters) {
+      val in = e.join(ranks.select(col("sid").as("src"), col("rank_fp")),
+          Seq("src"))
+        .select(col("dst").as("sid"), expr("rank_fp div __d").as("__m"))
+        .groupBy(col("sid")).agg(sum(col("__m").cast(dec)).as("__s"))
+      val prev = ranks
+      ranks = cut(prev.select(col("sid"))
+        .join(in, Seq("sid"), "left")
+        .withColumn("__s0", coalesce(col("__s"), lit(0L)).cast(dec))
+        .select(col("sid"),
+          (lit(unit - dampingFp) + expr(
+            s"CAST((__s0 * CAST($dampingFp AS DECIMAL(38,0))) div $unit AS BIGINT)"))
+            .as("rank_fp")), true)
+      graft.core.Storage.freeCheckpoint(prev)
+      i += 1
+    }
+    ranks
+   }
+}

@@ -375,6 +375,105 @@ object Quality {
         col("n_unique"))
   }
 
+  /** Exact ROC-AUC per group — "did the quality classifier actually
+    * separate curated from crawl?" answered as one integer ratio per
+    * language, the eval every filter deployment (GPT-3's curated-vs-crawl
+    * gate, CCNet's LM filter) needs before its threshold goes live.
+    *
+    * AUC via the Mann-Whitney rank-sum identity with midrank tie handling:
+    * AUC = (Σ_pos R − P(P+1)/2) / (P·N). Half-integer midranks are avoided
+    * by DOUBLING ranks: for each distinct score s with t total rows, p of
+    * them positive, and C rows strictly below, the doubled rank-sum
+    * contribution is p·(2C + t + 1) — an integer. Output per group:
+    * `pos`, `neg`, and the exact fraction `auc_num` = 2ΣR − P(P+1),
+    * `auc_den` = 2PN (AUC = num/den; den = 0 when a group is one-sided).
+    * Products run in decimal(38,0) — p·(2C+t+1) is corpus² at a fully-tied
+    * score, past long range at 100 TB. Null labels count as negative; the
+    * score must be an integral fixed-point (the t22/lm4 scorer contract).
+    *
+    * Scale shape: ranks never materialize per row — the sufficient
+    * statistic is the (group, score) tie-group table, and the strictly-
+    * below count C is a prefix sum over it, built TWO-LEVEL (the
+    * tokenBudgetPerKey discipline): score-range buckets (integer width,
+    * monotone, equal scores share a bucket), one (group, bucket) count
+    * whose driver-side ascending exclusive scan gives per-bucket bases
+    * (groups × buckets longs), then a within-bucket window plus the
+    * broadcast base. A per-group-only window would funnel each group's
+    * distinct scores — per-doc-unique for a dense scorer — through ONE
+    * task, and a handful of languages IS the corpus at 100 TB.
+    */
+  def rocAuc(scored: DataFrame, groupCol: String, labelCol: String,
+             scoreCol: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val nBuckets =
+      if (buckets > 0) buckets else math.max(scored.rdd.getNumPartitions, 1)
+    // tie-group sufficient statistics; checkpoint-cut — feeds min/max, the
+    // bucket-count collect AND the final pass (the tokenBudgetPerKey
+    // determinism contract: one materialization, three readers)
+    val g = graft.core.Storage.cut(
+      scored.groupBy(col(groupCol).as("__g"),
+          col(scoreCol).cast("long").as("__s"))
+        .agg(count(lit(1)).as("__t"),
+          sum(when(col(labelCol), 1L).otherwise(0L)).as("__p")),
+      eager = true)
+    val mm = g.agg(min(col("__s")), max(col("__s"))).head()
+    if (mm.isNullAt(0)) {
+      val empty = g.select(col("__g").as(groupCol), col("__t").as("pos"),
+        col("__t").as("neg"), col("__t").cast(dec).as("auc_num"),
+        col("__t").cast(dec).as("auc_den")).limit(0)
+      graft.core.Storage.freeCheckpoint(g)
+      return empty
+    }
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // integer bucket width via BigInt (hi−lo alone can overflow a long for
+    // adversarial score ranges); floor((s−lo)/width) is monotone and equal
+    // scores share a bucket, so base + local prefix IS the per-group prefix
+    val width = (((BigInt(hi) - BigInt(lo)) / nBuckets) + 1)
+      .min(BigInt(Long.MaxValue)).toLong
+    val withB = g.withColumn("__kb",
+      floor((col("__s").cast(dec) - lit(lo)) / lit(width)).cast("long"))
+    val keyField = withB.schema("__g").copy(name = "__g")
+    val bucketCounts = withB.groupBy(col("__g"), col("__kb"))
+      .agg(sum(col("__t")).as("__n")).collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$groupCol contains NULLs — AUC over an undefined group")
+        (r.get(0), r.getLong(1), r.getLong(2))
+      }
+    // ASCENDING bucket order: the base of bucket b is the row mass of every
+    // lower-scoring bucket b' < b for that group
+    val bases = bucketCounts.groupBy(_._1).toSeq.flatMap { case (k, bs) =>
+      bs.sortBy(_._2).scanLeft((k, Long.MinValue, 0L, 0L)) {
+        case ((_, _, acc, n), (_, b, m)) => (k, b, acc + n, m)
+      }.drop(1).map { case (k2, b, base, _) =>
+        org.apache.spark.sql.Row(k2, b, base)
+      }
+    }
+    val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+      keyField,
+      org.apache.spark.sql.types.StructField(
+        "__kb", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__base", org.apache.spark.sql.types.LongType, nullable = false)))
+    val baseDf = scored.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(bases).asJava), baseSchema)
+    val w = Window.partitionBy(col("__g"), col("__kb")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = withB.join(broadcast(baseDf), Seq("__g", "__kb"))
+      .withColumn("__cb",
+        col("__base") + coalesce(sum(col("__t")).over(w), lit(0L)))
+    pre.groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__p")).as("pos"),
+        (sum(col("__t")) - sum(col("__p"))).as("neg"),
+        sum(col("__p").cast(dec) *
+          (col("__cb") * 2L + col("__t") + 1L).cast(dec)).as("__r2"))
+      .select(col(groupCol), col("pos"), col("neg"),
+        (col("__r2") - col("pos").cast(dec) * (col("pos") + 1L).cast(dec))
+          .as("auc_num"),
+        (col("pos").cast(dec) * col("neg").cast(dec) * 2L).as("auc_den"))
+  }
+
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
                        minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

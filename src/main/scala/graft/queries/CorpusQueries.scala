@@ -2696,6 +2696,97 @@ object CorpusQueries {
         .orderBy(col("id"))
     },
 
+    // Exact per-language ROC-AUC of the t22 quality classifier
+    // (Quality.rocAuc): the Mann-Whitney rank-sum identity over the
+    // (lang, score) tie-group table with midrank ties, doubled ranks so
+    // every value is an integer — the "did the filter separate curated
+    // from crawl" eval a threshold deployment needs. Ranks never
+    // materialize per row; the strictly-below count is a two-level prefix
+    // (tokenBudgetPerKey discipline), so no per-language window at any
+    // scale. The oracle retrains the 513-ln model (shared CTE chain),
+    // rescores every doc, and replays the rank-sum from a plain window —
+    // num/den BIGINT-exact, AUC = auc_num / auc_den.
+    QueryDef(
+      "e7_roc_auc",
+      s"""WITH RECURSIVE $pow2Cte,
+         |${qualityModelCtes("m", "TRUE")},
+         |af AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+         |        FROM documents)
+         |  WHERE len(feat) > 0),
+         |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM af GROUP BY 1, 2),
+         |ll AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
+         |  FROM cdb JOIN mwt USING (b) GROUP BY doc_id),
+         |scored AS (SELECT d.doc_id, d.lang,
+         |    d.source IN ('src0','src1','src2','src3') AS is_p,
+         |    COALESCE(ll_fp, 0) + prior_fp AS s
+         |  FROM documents d CROSS JOIN mprior LEFT JOIN ll USING (doc_id)),
+         |gs AS (SELECT lang, s, COUNT(*) AS t,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM scored GROUP BY 1, 2),
+         |pre AS (SELECT lang, t, p,
+         |    COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM gs),
+         |agg AS (SELECT lang, SUM(p) AS pos, SUM(t) - SUM(p) AS neg,
+         |    SUM(CAST(p AS HUGEINT) * (2 * cb + t + 1)) AS r2
+         |  FROM pre GROUP BY lang)
+         |SELECT lang, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+         |  CAST(r2 - CAST(pos AS HUGEINT) * (pos + 1) AS BIGINT) AS auc_num,
+         |  CAST(2 * CAST(pos AS HUGEINT) * neg AS BIGINT) AS auc_den
+         |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isPos = col("source").isin("src0", "src1", "src2", "src3")
+      val scored = TextOps.hashedQualityClassifier(docs, "doc_id", "text",
+          isPositive = isPos, nBuckets = 256)
+        .join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did"))
+      graft.operators.Quality.rocAuc(scored, "lang", "actual", "score_fp")
+        .select(col("lang"), col("pos"), col("neg"),
+          col("auc_num").cast("long").as("auc_num"),
+          col("auc_den").cast("long").as("auc_den"))
+        .orderBy(col("lang"))
+    },
+
+    // Content-provenance authority rank (GraphOps.derivationEdges +
+    // pageRank): docs whose word 3-grams are FIRST-held by another doc
+    // (the d21 relation, kept as edges instead of aggregated away) link to
+    // that originator; 3 integer-fixed-point PageRank iterations rank
+    // originators above copiers — the link-authority curation signal, with
+    // every floor division on nonnegative operands so ranks hash-check
+    // bitwise. The oracle replays edges, degrees, and all three unrolled
+    // iterations in HUGEINT.
+    QueryDef(
+      "g1_link_authority",
+      {
+        val iters = (1 to 3).map { i =>
+          s"""m$i AS (SELECT e.dst AS sid, SUM(r.r // e.d) AS s
+             |  FROM ed e JOIN r${i - 1} r ON r.sid = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.sid,
+             |    CAST(150000 + COALESCE(m.s, 0) * 850000 // 1000000 AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN m$i m USING (sid))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh0 AS (SELECT DISTINCT doc_id AS sid,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           |  FROM w0, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+           |shh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh0),
+           |fh AS (SELECT g, MIN(sid) AS dst FROM shh GROUP BY g),
+           |edges AS (SELECT DISTINCT s.sid AS src, f.dst
+           |  FROM shh s JOIN fh f USING (g) WHERE f.dst < s.sid),
+           |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+           |ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)),
+           |nodes AS (SELECT doc_id AS sid FROM documents),
+           |r0 AS (SELECT sid, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |$iters
+           |SELECT sid, r AS rank_fp FROM r3 ORDER BY sid""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = graft.operators.GraphOps
+        .derivationEdges(docs, "doc_id", "text", 3)
+      graft.operators.GraphOps.pageRank(edges, docs, "doc_id", iters = 3)
+        .orderBy(col("sid"))
+    },
+
     QueryDef(
       "s4_kmeans_refine",
       s"""WITH $quantVecCte,

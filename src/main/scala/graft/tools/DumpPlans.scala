@@ -113,7 +113,9 @@ object DumpPlans {
     // e4's one-scan all-orders fan-out per side + gram-keyed clip join
     // reusing the aggregation exchange — pair-local, windowless. e5
     // collapses it to (groups x orders) rows before any ln kernel call.
-    // e6 runs the LCS DP as one native call per pair row.
+    // e6 runs the LCS DP as one native call per pair row. e7 is omitted:
+    // its two-level rank prefix collects bucket counts during construction
+    // (the a14/lm6 rule — plan contract lives in PlanSpec).
     "e4_ngram_overlap", "e5_corpus_bleu", "e6_rouge_l")
 
   def main(args: Array[String]): Unit = {

@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("e7_roc_auc: no single-task per-group window (the rank prefix is two-level)") {
+    val p = plan("e7_roc_auc")
+    // a naive per-language rank window plans Exchange SinglePartition per
+    // group task; the two-level (group, score-bucket) prefix never does.
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("ax8_cms_counts: sketch matrices merge map-side (partial+final agg), never per-key rows") {
     val p = plan("ax8_cms_counts")
     // the sketch branch must plan as ObjectHashAggregate partial -> one

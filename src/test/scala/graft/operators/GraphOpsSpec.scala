@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("derivationEdges: copiers link to the first holder, originators link nowhere") {
+    val docs = Seq(
+      (1L, "a b c d"),   // first holder of "a b c" and "b c d"
+      (2L, "a b c x"),   // shares "a b c" -> edge 2 -> 1
+      (3L, "a b c d")    // shares both grams -> ONE distinct edge 3 -> 1
+    ).toDF("doc_id", "text")
+    val edges = GraphOps.derivationEdges(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(edges == Set((2L, 1L), (3L, 1L)))
+  }
+
+  test("pageRank: hand-checkable star, two exact integer iterations") {
+    val edges = Seq((2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("sid")
+    val r1 = GraphOps.pageRank(edges, nodes, "sid", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // r(1) = 150000 + (10^6/1 + 10^6/1) * 0.85 = 1850000; leaves get base
+    assert(r1 == Map(1L -> 1850000L, 2L -> 150000L, 3L -> 150000L))
+    val r2 = GraphOps.pageRank(edges, nodes, "sid", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // r(1) = 150000 + (150000 + 150000) * 850000 // 10^6 = 405000
+    assert(r2 == Map(1L -> 405000L, 2L -> 150000L, 3L -> 150000L))
+  }
+
+  test("pageRank: originators outrank copiers on the derivation graph") {
+    val docs = Seq(
+      (1L, "p q r s t u"),        // origin of everything
+      (2L, "p q r s x y"),        // copies from 1
+      (3L, "p q r z w v"),        // copies from 1
+      (4L, "m n o k l j")         // isolated
+    ).toDF("doc_id", "text")
+    val edges = GraphOps.derivationEdges(docs, "doc_id", "text", 3)
+    val r = GraphOps.pageRank(edges, docs, "doc_id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(1L) > r(3L) && r(1L) > r(4L))
+    // copiers and the isolated doc have no in-links: exactly the base rank
+    assert(r(2L) == 150000L && r(4L) == 150000L)
+  }
+
+  test("pageRank: deterministic under repartitioning; edge-free graph sits at the base") {
+    val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("sid")
+    val a = GraphOps.pageRank(edges, nodes, "sid", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.pageRank(edges.repartition(7), nodes.repartition(3),
+      "sid", iters = 4).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val none = GraphOps.pageRank(edges.limit(0), nodes, "sid", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(none.values.toSet == Set(150000L) && none.keySet == (1L to 5L).toSet)
+  }
+}

@@ -192,4 +192,63 @@ class QualitySpec extends SparkSpec {
     assert(verdicts("kept") == f.getAs[Long]("n_unique"),
       "kept == distinct quality survivors (one per fingerprint)")
   }
+
+  test("rocAuc: hand-checkable midrank ties, perfect and reversed rankings") {
+    // scores 1(neg) 2(pos) 2(neg) 3(pos): pairs = 3 wins + 1 tie of 4
+    // -> AUC 3.5/4 = 7/8 in doubled-rank integers
+    val df = Seq(("a", false, 1L), ("a", true, 2L), ("a", false, 2L),
+      ("a", true, 3L)).toDF("g", "y", "s")
+    val r = Quality.rocAuc(df, "g", "y", "s").collect().head
+    assert(r.getAs[Long]("pos") == 2 && r.getAs[Long]("neg") == 2)
+    assert(r.getDecimal(3).longValueExact == 7 &&
+      r.getDecimal(4).longValueExact == 8)
+    val perfect = Seq(("a", false, 1L), ("a", false, 2L), ("a", true, 3L),
+      ("a", true, 4L)).toDF("g", "y", "s")
+    val rp = Quality.rocAuc(perfect, "g", "y", "s").collect().head
+    assert(rp.getDecimal(3).longValueExact == rp.getDecimal(4).longValueExact,
+      "perfect separation: AUC = 1")
+    val reversed = Seq(("a", true, 1L), ("a", true, 2L), ("a", false, 3L),
+      ("a", false, 4L)).toDF("g", "y", "s")
+    val rr = Quality.rocAuc(reversed, "g", "y", "s").collect().head
+    assert(rr.getDecimal(3).longValueExact == 0, "fully reversed: AUC = 0")
+  }
+
+  test("rocAuc: equals the naive per-row midrank computation across groups and buckets") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", rng.nextInt(4) == 0, rng.nextInt(40).toLong)
+    }
+    val df = rows.toDF("g", "y", "s").repartition(5)
+    // buckets = 4 exercises the driver-side base scan over many buckets
+    val got = Quality.rocAuc(df, "g", "y", "s", buckets = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("pos"), r.getAs[Long]("neg"),
+          r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact)).toMap
+    // naive twin: per-row midranks from a plain window (doubled via
+    // rank + reverse-rank), summed over positives
+    val w = Window.partitionBy($"g").orderBy($"s")
+    val wd = Window.partitionBy($"g").orderBy($"s".desc)
+    val naive = df
+      .withColumn("r2",
+        rank().over(w) + (count(lit(1)).over(Window.partitionBy($"g"))
+          - rank().over(wd) + lit(1)))
+      .groupBy($"g").agg(
+        sum(when($"y", 1L).otherwise(0L)).as("p"),
+        sum(when($"y", 0L).otherwise(1L)).as("n"),
+        sum(when($"y", $"r2").otherwise(0L)).as("sr2"))
+      .collect().map(r => r.getString(0) -> (
+        r.getAs[Long]("p"), r.getAs[Long]("n"),
+        r.getAs[Long]("sr2") - r.getAs[Long]("p") * (r.getAs[Long]("p") + 1),
+        2 * r.getAs[Long]("p") * r.getAs[Long]("n"))).toMap
+    assert(got == naive)
+  }
+
+  test("rocAuc: one-sided group reports den = 0; empty input yields no rows") {
+    val df = Seq(("a", true, 5L), ("a", true, 9L)).toDF("g", "y", "s")
+    val r = Quality.rocAuc(df, "g", "y", "s").collect().head
+    assert(r.getAs[Long]("neg") == 0 && r.getDecimal(4).longValueExact == 0)
+    val empty = Quality.rocAuc(df.limit(0), "g", "y", "s")
+    assert(empty.collect().isEmpty)
+  }
 }
