@@ -338,50 +338,125 @@ object Sampling {
   def mixToWeights(df: DataFrame, idCol: String, stratumCol: String,
                    weights: Map[String, Long], salt: String,
                    buckets: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"weights must be positive, got $weights")
     val wTotal = weights.values.sum
+    val (ranked, counts) = strataMdRank(
+      df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*)),
+      idCol, stratumCol, salt, buckets)
+    val tStar = weights.map { case (s, w) =>
+      counts.getOrElse(s, 0L) * wTotal / w
+    }.min
+    val quotas = weights.toSeq.map { case (s, w) => (s, w * tStar / wTotal) }
+    val quotaDf = df.sparkSession.createDataFrame(quotas)
+      .toDF(stratumCol, "__quota")
+    ranked
+      .join(broadcast(quotaDf), Seq(stratumCol))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Shared core of [[mixToWeights]] / [[epochMix]]: rank every row within
+    * its stratum by (md5 bucket, id) WITHOUT a per-stratum window — the
+    * two-level shuffleOrder/curriculumOrder prefix discipline (md5
+    * range-buckets are uniform by construction since the md5 IS the rank
+    * key; one (stratum, bucket) count aggregate, a driver-side ascending
+    * exclusive scan for per-bucket bases, then a within-bucket window plus
+    * the broadcast base — serial state is strata × buckets longs, no task
+    * sorts more than one bucket's slice). Returns the input frame plus a
+    * 1-based per-stratum `__rn`, and the per-stratum totals the callers'
+    * quota arithmetic needs (free — they're the base scan's row sums).
+    * The bucketed frame is checkpoint-cut: it feeds the count collect AND
+    * the rank join (the shuffleOrder determinism contract).
+    */
+  private def strataMdRank(df: DataFrame, idCol: String, stratumCol: String,
+                           salt: String, buckets: Int)
+      : (DataFrame, Map[String, Long]) = {
+    import org.apache.spark.sql.expressions.Window
     val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
     val width = Buckets / nBuckets + 1
-    // checkpoint-cut: the bucketed frame feeds two jobs (the count collect,
-    // then the rank join) — the shuffleOrder determinism contract.
     val withB = graft.core.Storage.cut(
-      df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
-        .withColumn("__sk", bucket(col(idCol), salt))
+      df.withColumn("__sk", bucket(col(idCol), salt))
         .withColumn("__kb", (col("__sk") / width).cast("long")),
       eager = true)
     val bucketCounts = withB.groupBy(col(stratumCol), col("__kb"))
       .agg(count(lit(1)).as("__n"))
       .collect().map { r =>
         require(!r.isNullAt(0),
-          s"$stratumCol contains NULLs — a weighted mix over them is undefined")
+          s"$stratumCol contains NULLs — a per-stratum rank over them is undefined")
         (r.getString(0), r.getLong(1), r.getLong(2))
       }
     val counts = bucketCounts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val tStar = weights.map { case (s, w) =>
-      counts.getOrElse(s, 0L) * wTotal / w
-    }.min
-    val quotas = weights.toSeq.map { case (s, w) => (s, w * tStar / wTotal) }
     val bases = bucketCounts.groupBy(_._1).toSeq.flatMap { case (s, bs) =>
       bs.sortBy(_._2).scanLeft((s, Long.MinValue, 0L, 0L)) {
         case ((_, _, acc, n), (_, b, m)) => (s, b, acc + n, m)
       }.drop(1).map { case (s2, b, base, _) => (s2, b, base) }
     }
-    val quotaDf = df.sparkSession.createDataFrame(quotas)
-      .toDF(stratumCol, "__quota")
     val baseDf = df.sparkSession
       .createDataFrame(if (bases.isEmpty) Seq(("", -1L, 0L)) else bases)
       .toDF(stratumCol, "__kb", "__base")
       .filter(col("__kb") >= 0)
     val win = Window.partitionBy(col(stratumCol), col("__kb"))
       .orderBy(col("__sk"), col(idCol))
-    withB
+    val ranked = withB
       .join(broadcast(baseDf), Seq(stratumCol, "__kb"))
       .withColumn("__rn", col("__base") + row_number().over(win).cast("long"))
-      .join(broadcast(quotaDf), Seq(stratumCol))
-      .filter(col("__rn") <= col("__quota"))
-      .drop("__sk", "__kb", "__base", "__rn", "__quota")
+      .drop("__sk", "__kb", "__base")
+    (ranked, counts)
+  }
+
+  /** Epoch-expansion mixing WITH REPLACEMENT: hit integer target shares
+    * even when a weighted stratum has less data than its quota — the
+    * data-constrained regime [[mixToWeights]] (which only ever keeps the
+    * largest exactly-proportioned SUBSET) cannot express, and the standard
+    * practice of LLM pretraining under data scarcity (epoch factors:
+    * repeating data up to ~4 epochs is near-free, Muennighoff et al. 2023,
+    * arXiv:2305.16264). Stratum s with weight w_s owes quota_s =
+    * ⌊w_s · totalRows / W⌋ rows: every row repeats ⌊quota_s / n_s⌋ times
+    * (full epochs) and the md5-rank top (quota_s mod n_s) rows carry one
+    * extra copy — so Σ n_copies = quota_s EXACTLY, and the extra-copy
+    * membership is salt-reproducible (a different salt rotates which rows
+    * repeat, the epoch-boundary reshuffle). Rows outside `weights`, and
+    * below-quota rows of strata with epochs = 0, drop out (n_copies 0
+    * never ships). A weighted stratum with NO rows throws: a
+    * with-replacement quota over nothing is unfillable, and silently
+    * renormalizing would ship a different mix than the one stated.
+    *
+    * Output: the input columns plus `n_copies` (>= 1). Downstream shard
+    * writers expand copies at export time (sequence + explode), keeping
+    * this operator's shuffle at one row per kept document, not per copy.
+    *
+    * Scale shape: identical to [[mixToWeights]] — the shared
+    * [[strataMdRank]] two-level rank plus one broadcast (stratum → epochs,
+    * remainder) dim join; quota arithmetic is driver-side integers over
+    * the stratum counts the rank pass already produced.
+    */
+  def epochMix(df: DataFrame, idCol: String, stratumCol: String,
+               weights: Map[String, Long], totalRows: Long, salt: String,
+               buckets: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    require(totalRows >= 1, s"totalRows must be >= 1, got $totalRows")
+    val wTotal = weights.values.sum
+    val (ranked, counts) = strataMdRank(
+      df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*)),
+      idCol, stratumCol, salt, buckets)
+    val missing = weights.keySet.filter(s => counts.getOrElse(s, 0L) == 0L)
+    require(missing.isEmpty,
+      s"weighted strata with no rows: $missing — an epoch quota over nothing is unfillable")
+    val plan = weights.toSeq.map { case (s, w) =>
+      // BigInt: w · totalRows is caller-controlled and overflow here would
+      // silently ship a wrong mix
+      val quota = (BigInt(w) * totalRows / wTotal).toLong
+      (s, quota / counts(s), quota % counts(s))
+    }
+    val planDf = df.sparkSession.createDataFrame(plan)
+      .toDF(stratumCol, "__epochs", "__rem")
+    ranked.join(broadcast(planDf), Seq(stratumCol))
+      .withColumn("n_copies",
+        col("__epochs") + when(col("__rn") <= col("__rem"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1L)
+      .drop("__rn", "__epochs", "__rem")
   }
 
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep

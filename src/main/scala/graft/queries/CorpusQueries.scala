@@ -4294,7 +4294,7 @@ object CorpusQueries {
          |k AS (SELECT lang, wt * tstar // 10 AS quota FROM w CROSS JOIN t),
          |r AS (SELECT doc_id, lang,
          |    ROW_NUMBER() OVER (PARTITION BY lang
-         |      ORDER BY ${sqlHash("'mx:' || doc_id", 4)}, doc_id) AS rn
+         |      ORDER BY ${sqlHash("'mx:' || doc_id", 8)}, doc_id) AS rn
          |  FROM documents)
          |SELECT lang, doc_id FROM r JOIN k USING (lang) WHERE rn <= quota
          |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
@@ -4303,6 +4303,39 @@ object CorpusQueries {
           Map("en" -> 5L, "de" -> 2L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L),
           salt = "mx")
         .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // Epoch-expansion mixing WITH replacement (Sampling.epochMix): hit the
+    // stated shares even where a stratum owes MORE rows than it has — each
+    // doc repeats floor(quota/n) times, the md5-rank top (quota mod n)
+    // carry one extra copy, so per-stratum copy totals equal the integer
+    // quotas exactly (the data-constrained epoch-factor regime,
+    // Muennighoff et al. 2023). Oracle = the naive per-stratum
+    // ROW_NUMBER the two-level rank decomposes.
+    QueryDef(
+      "sm15_epoch_mix",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |w(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('es', 1), ('fr', 1),
+         |  ('zh', 1)),
+         |e AS (SELECT lang, (wt * 2000 // 10) // n AS epochs,
+         |    (wt * 2000 // 10) % n AS rem
+         |  FROM w JOIN c USING (lang)),
+         |r AS (SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash("'em:' || doc_id", 8)}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, doc_id,
+         |  CAST(epochs + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_copies
+         |FROM r JOIN e USING (lang)
+         |WHERE epochs + CASE WHEN rn <= rem THEN 1 ELSE 0 END >= 1
+         |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.epochMix(Tables.documents(s, d),
+          "doc_id", "lang",
+          Map("en" -> 5L, "de" -> 2L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L),
+          totalRows = 2000L, salt = "em")
+        .select(col("lang"), col("doc_id"), col("n_copies"))
         .orderBy(col("lang"), col("doc_id"))
     },
 

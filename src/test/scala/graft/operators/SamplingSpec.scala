@@ -292,4 +292,52 @@ class SamplingSpec extends SparkSpec {
       .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
     assert(by7 == out.map(r => r._1 -> r._3).toMap)
   }
+
+  test("epochMix: per-stratum copy totals equal the integer quotas exactly") {
+    val docs = ((1L to 4L).map((_, "a")) ++ (5L to 6L).map((_, "b")))
+      .toDF("doc_id", "s")
+    // quotas: a = b = 6 of 12. a (4 rows): 1 epoch + 2 extras; b (2 rows):
+    // 3 full epochs, no extras
+    val out = Sampling.epochMix(docs, "doc_id", "s",
+        Map("a" -> 1L, "b" -> 1L), totalRows = 12L, salt = "em")
+      .select($"doc_id", $"s", $"n_copies").as[(Long, String, Long)]
+      .collect()
+    val byStratum = out.groupBy(_._2)
+    assert(byStratum("a").map(_._3).sum == 6 && byStratum("b").map(_._3).sum == 6)
+    assert(byStratum("a").map(_._3).sorted.toSeq == Seq(1L, 1L, 2L, 2L))
+    assert(byStratum("b").map(_._3).toSeq == Seq(3L, 3L))
+  }
+
+  test("epochMix: extra-copy membership is the exactKPerStratum top-rem under the same salt") {
+    val docs = (1L to 90L).map(i => (i, if (i % 3 == 0) "x" else "y"))
+      .toDF("doc_id", "s")
+    // x: 30 rows, quota 50 -> 1 epoch + 20 extras; y: 60 rows, quota 50 ->
+    // 0 epochs + 50 extras (the below-quota rows of y drop out entirely)
+    val out = Sampling.epochMix(docs, "doc_id", "s",
+        Map("x" -> 1L, "y" -> 1L), totalRows = 100L, salt = "em2")
+      .select($"doc_id", $"s", $"n_copies").as[(Long, String, Long)]
+      .collect()
+    val extrasX = out.filter(r => r._2 == "x" && r._3 == 2L).map(_._1).toSet
+    val keptY = out.filter(_._2 == "y").map(_._1).toSet
+    assert(out.filter(_._2 == "y").forall(_._3 == 1L) && keptY.size == 50)
+    val topX = Sampling.exactKPerStratum(docs.filter($"s" === "x"),
+      "doc_id", "s", 20, "em2").select($"doc_id").as[Long].collect().toSet
+    val topY = Sampling.exactKPerStratum(docs.filter($"s" === "y"),
+      "doc_id", "s", 50, "em2").select($"doc_id").as[Long].collect().toSet
+    assert(extrasX == topX && keptY == topY)
+    // bucket count never changes membership or copy counts
+    val by7 = Sampling.epochMix(docs, "doc_id", "s",
+        Map("x" -> 1L, "y" -> 1L), totalRows = 100L, salt = "em2", buckets = 7)
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(by7 == out.map(r => r._1 -> r._3).toMap)
+  }
+
+  test("epochMix: a weighted stratum with no rows fails loud, never renormalizes") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochMix(docs, "doc_id", "s",
+        Map("a" -> 1L, "ghost" -> 1L), totalRows = 10L, salt = "em")
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
 }
