@@ -459,6 +459,19 @@ object Sampling {
       .drop("__rn", "__epochs", "__rem")
   }
 
+  /** Expand [[epochMix]] output into one row per COPY with a unique
+    * per-copy key (`copy_key` = id "#" copy index) — the export step where
+    * repetition becomes physical. Shuffle-order the result on `copy_key`
+    * and a doc's copies land SPREAD across the permutation (repeats arrive
+    * epochs apart, not back-to-back — the layout epoch-wise training
+    * wants). One input row per kept doc fans out map-side (the explode
+    * fuses into the scan); nothing shuffles here.
+    */
+  def expandCopies(mix: DataFrame, idCol: String): DataFrame =
+    mix.withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .withColumn("copy_key",
+        concat(col(idCol).cast("string"), lit("#"), col("copy").cast("string")))
+
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
     * all of rare ones). Strata absent from `rates` get `defaultRate`.
     */

@@ -1300,6 +1300,74 @@ object TextOps {
       .withColumn("r_fp", expr("matches * 1000000 DIV ref_total"))
   }
 
+  /** Per-id CHARACTER n-gram occurrence counts on the whitespace-stripped
+    * text, orders 1..maxOrder fanned out inside ONE scan — [[chrF]]'s
+    * counting step, the character twin of [[idNgramCounts]].
+    */
+  private def idCharNgramCounts(df: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String, maxOrder: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    df.select(col(idCol).as("id"),
+        regexp_replace(col(textCol), " ", "").as("s"))
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(1), lit(maxOrder)), n =>
+          transform(
+            filter(sequence(lit(1), length(col("s"))), i =>
+              i <= length(col("s")) - n + 1),
+            i => struct(
+              n.cast("long").as("ord"),
+              col("s").substr(i, n).as("gram")))))).as("r"))
+      .select(col("id"), col("r.ord").as("ord"), col("r.gram").as("gram"))
+      .groupBy(col("id"), col("ord"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** chrF (Popović 2015, WMT) per pair in EXACT integers: character
+    * n-gram F-β over the whitespace-stripped texts — the
+    * tokenization-free eval metric that survives morphology-rich languages
+    * where word-level BLEU shatters. Per (pair id, order n <= `maxOrder`,
+    * both sides holding order-n grams — the e4 row contract): clipped
+    * matches m = Σ_g min(c_cand(g), c_ref(g)) with multiplicity, the two
+    * occurrence totals, and F_β=2 = 5PR/(4P+R) — which with P = m/tc,
+    * R = m/tr collapses ALGEBRAICALLY to 5m/(4·tr + tc): ONE positive
+    * floor division (`f_fp` = ⌊5m·1e6/(4tr+tc)⌋, Spark DIV == DuckDB //),
+    * no float harmonic mean, so scores hash-check bit-for-bit. The
+    * standard chrF score is the mean of F over orders (absent orders as
+    * 0) — a ratio of these per-order rows; ship the sufficient statistic,
+    * not the lossy average (the e4 discipline).
+    *
+    * Scale shape: identical to [[ngramOverlapEval]] — all orders fan out
+    * in one scan per side, the clip join is (id, ord, gram)-keyed and
+    * reuses the counting aggregate's exchange, everything pair-local; no
+    * window, no candidate generation. Character grams are <= maxOrder
+    * chars, so shuffled keys stay short regardless of document length.
+    */
+  def chrF(cand: org.apache.spark.sql.DataFrame,
+           ref: org.apache.spark.sql.DataFrame,
+           idCol: String, textCol: String, maxOrder: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val cg = idCharNgramCounts(cand, idCol, textCol, maxOrder)
+      .withColumnRenamed("c", "cc")
+    val rg = idCharNgramCounts(ref, idCol, textCol, maxOrder)
+      .withColumnRenamed("c", "rc")
+    val clipped = cg.join(rg, Seq("id", "ord", "gram"))
+      .groupBy(col("id"), col("ord"))
+      .agg(sum(least(col("cc"), col("rc"))).as("matches"))
+    val ct = cg.groupBy(col("id"), col("ord"))
+      .agg(sum(col("cc")).as("cand_total"))
+    val rt = rg.groupBy(col("id"), col("ord"))
+      .agg(sum(col("rc")).as("ref_total"))
+    ct.join(rt, Seq("id", "ord"))
+      .join(clipped, Seq("id", "ord"), "left")
+      .select(col("id"), col("ord"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        col("cand_total"), col("ref_total"))
+      .withColumn("f_fp",
+        expr("5 * matches * 1000000 DIV (4 * ref_total + cand_total)"))
+  }
+
   /** Corpus-level BLEU per group (Papineni et al. 2002 §2.3, uniform 1/N
     * weights) in EXACT integers riding [[ngramOverlapEval]]'s sufficient
     * statistics: per (group, order) the matches/totals SUM over the

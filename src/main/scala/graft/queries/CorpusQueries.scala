@@ -2787,6 +2787,48 @@ object CorpusQueries {
         .orderBy(col("sid"))
     },
 
+    // chrF (TextOps.chrF): character n-gram F-beta=2 over whitespace-
+    // stripped texts, e4's pairing (even doc = candidate, odd = reference).
+    // F collapses algebraically to 5m/(4*tr + tc) — one positive floor
+    // division per (pair, order) row, so scores hash-check bitwise. The
+    // oracle replays de-spacing, the two-level char-gram fan-out, clipping
+    // and the collapsed ratio.
+    QueryDef(
+      "e8_chrf",
+      s"""WITH cs AS (SELECT doc_id // 2 AS id, replace(text, ' ', '') AS s
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |rs AS (SELECT doc_id // 2 AS id, replace(text, ' ', '') AS s
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |cg AS (SELECT id, n AS ord, substr(s, i, n) AS gram,
+         |    CAST(COUNT(*) AS BIGINT) AS cc
+         |  FROM cs, unnest(generate_series(1, 6)) tn(n),
+         |       unnest(generate_series(1, length(s) - n + 1)) ti(i)
+         |  GROUP BY 1, 2, 3),
+         |rg AS (SELECT id, n AS ord, substr(s, i, n) AS gram,
+         |    CAST(COUNT(*) AS BIGINT) AS rc
+         |  FROM rs, unnest(generate_series(1, 6)) tn(n),
+         |       unnest(generate_series(1, length(s) - n + 1)) ti(i)
+         |  GROUP BY 1, 2, 3),
+         |cl AS (SELECT id, ord, CAST(SUM(least(cc, rc)) AS BIGINT) AS m
+         |  FROM cg JOIN rg USING (id, ord, gram) GROUP BY 1, 2),
+         |ct AS (SELECT id, ord, CAST(SUM(cc) AS BIGINT) AS cand_total
+         |  FROM cg GROUP BY 1, 2),
+         |rt AS (SELECT id, ord, CAST(SUM(rc) AS BIGINT) AS ref_total
+         |  FROM rg GROUP BY 1, 2)
+         |SELECT id, ord, COALESCE(m, 0) AS matches, cand_total, ref_total,
+         |  5 * COALESCE(m, 0) * 1000000 // (4 * ref_total + cand_total)
+         |    AS f_fp
+         |FROM ct JOIN rt USING (id, ord) LEFT JOIN cl USING (id, ord)
+         |ORDER BY id, ord""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("pair_id", expr("doc_id DIV 2"))
+      TextOps.chrF(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "pair_id", "text", maxOrder = 6)
+        .orderBy(col("id"), col("ord"))
+    },
+
     QueryDef(
       "s4_kmeans_refine",
       s"""WITH $quantVecCte,
@@ -4337,6 +4379,53 @@ object CorpusQueries {
           totalRows = 2000L, salt = "em")
         .select(col("lang"), col("doc_id"), col("n_copies"))
         .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // Epoch-expanded shard export (Sampling.expandCopies + the sh1
+    // writers): sm15's copy counts become physical — one row per COPY with
+    // a unique copy key, shuffle-ordered on that key so a doc's repeats
+    // spread across the permutation, landed as 64-doc shards, manifest
+    // computed from the LANDED files. The oracle replays the mix, the
+    // fan-out, the copy-key permutation, shard tiling and the per-shard
+    // fingerprint sums.
+    QueryDef(
+      "sh2_epoch_shards",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |w(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('es', 1), ('fr', 1),
+         |  ('zh', 1)),
+         |e AS (SELECT lang, (wt * 2000 // 10) // n AS epochs,
+         |    (wt * 2000 // 10) % n AS rem
+         |  FROM w JOIN c USING (lang)),
+         |r AS (SELECT doc_id, lang, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash("'em:' || doc_id", 8)}, doc_id) AS rn
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |    epochs + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS n_copies
+         |  FROM r JOIN e USING (lang)
+         |  WHERE epochs + CASE WHEN rn <= rem THEN 1 ELSE 0 END >= 1),
+         |x AS (SELECT n_chars,
+         |    CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR) AS ck
+         |  FROM m, unnest(generate_series(1, n_copies)) t(copy)),
+         |p AS (SELECT n_chars, ck, (ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlHash("'sh2:' || ck", 8)}, ck) - 1) // 64 AS shard
+         |  FROM x)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(${sqlHash("ck", 12)}) AS BIGINT) AS id_fp
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_shards_sh2_" + app
+      val mix = graft.operators.Sampling.epochMix(Tables.documents(s, d),
+        "doc_id", "lang",
+        Map("en" -> 5L, "de" -> 2L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L),
+        totalRows = 2000L, salt = "em")
+      val expanded = graft.operators.Sampling.expandCopies(mix, "doc_id")
+      graft.operators.Sampling.writeTrainingShards(expanded, "copy_key",
+        "sh2", docsPerShard = 64L, path)
+      graft.operators.Sampling.shardManifest(s, path, "copy_key", "n_chars")
+        .orderBy(col("shard"))
     },
 
     // Token-budget selection per source (Sampling.tokenBudgetPerKey):

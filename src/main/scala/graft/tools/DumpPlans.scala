@@ -104,8 +104,9 @@ object DumpPlans {
     // r1's broadcast cross-join + per-query top-k window. a14/lm6 are
     // omitted: their two-level prefix walks collect bucket counts during
     // construction (plan contracts live in ApproxOpsSpec / PlanSpec);
-    // sh1 executes the shard write (ds-series rule — its manifest and
-    // single-file-per-shard contracts live in SamplingSpec).
+    // sh1/sh2 execute shard writes (ds-series rule — manifest and
+    // single-file-per-shard contracts live in SamplingSpec); sm15 collects
+    // bucket counts during construction (the a14/lm6 rule).
     "r1_hard_negatives",
     // d29's prefix-confined candidate join + candidate-restricted exact
     // verify — the subquadratic exact-Jaccard path d5 baselines.
@@ -115,8 +116,10 @@ object DumpPlans {
     // collapses it to (groups x orders) rows before any ln kernel call.
     // e6 runs the LCS DP as one native call per pair row. e7 is omitted:
     // its two-level rank prefix collects bucket counts during construction
-    // (the a14/lm6 rule — plan contract lives in PlanSpec).
-    "e4_ngram_overlap", "e5_corpus_bleu", "e6_rouge_l")
+    // (the a14/lm6 rule — plan contract lives in PlanSpec). e8 is e4's
+    // shape over character grams (one fan-out scan per side, clip join
+    // reuses the counting exchange).
+    "e4_ngram_overlap", "e5_corpus_bleu", "e6_rouge_l", "e8_chrf")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

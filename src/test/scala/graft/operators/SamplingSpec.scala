@@ -332,6 +332,18 @@ class SamplingSpec extends SparkSpec {
     assert(by7 == out.map(r => r._1 -> r._3).toMap)
   }
 
+  test("expandCopies: one row per copy, keys unique, totals preserved") {
+    val mix = Seq((1L, "a", 3L), (2L, "a", 1L), (3L, "b", 2L))
+      .toDF("doc_id", "s", "n_copies")
+    val out = Sampling.expandCopies(mix, "doc_id")
+      .select($"doc_id", $"copy", $"copy_key").as[(Long, Long, String)]
+      .collect()
+    assert(out.length == 6)
+    assert(out.map(_._3).distinct.length == 6, "copy keys collide")
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._3).toSet.contains("1#3"))
+  }
+
   test("epochMix: a weighted stratum with no rows fails loud, never renormalizes") {
     val docs = Seq((1L, "a")).toDF("doc_id", "s")
     val e = intercept[IllegalArgumentException] {

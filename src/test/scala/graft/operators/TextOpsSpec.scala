@@ -865,6 +865,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("chrF: whitespace-insensitive, clipped, recall-weighted — by hand") {
+    // pair 1: identical after de-spacing -> F = 1 at every present order
+    // pair 2: clipping caps repeated chars; ord 3 matches nothing; ord 4
+    //   has no ref grams -> no row
+    val cand = Seq((1L, "ab ab"), (2L, "aaaa")).toDF("id", "text")
+    val ref = Seq((1L, "abab"), (2L, "aab")).toDF("id", "text")
+    val out = TextOps.chrF(cand, ref, "id", "text", maxOrder = 6)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    (1L to 4L).foreach { n =>
+      val m = 4 - n + 1
+      assert(out((1L, n)) == (m, m, m, 1000000L), s"order $n")
+    }
+    assert(out((2L, 1L)) == (2L, 4L, 3L, 625000L))   // 5*2e6 // (12+4)
+    assert(out((2L, 2L)) == (1L, 3L, 2L, 454545L))   // 5*1e6 // (8+3)
+    assert(out((2L, 3L)) == (0L, 2L, 1L, 0L))
+    assert(!out.contains((2L, 4L)) && !out.contains((1L, 5L)))
+    // beta = 2 weights recall: covering the reference beats being covered
+    val c2 = Seq((3L, "ab"), (4L, "abcd")).toDF("id", "text")
+    val r2 = Seq((3L, "abcd"), (4L, "ab")).toDF("id", "text")
+    val f = TextOps.chrF(c2, r2, "id", "text", 1)
+      .select($"id", $"f_fp").as[(Long, Long)].collect().toMap
+    assert(f(4L) > f(3L) && f(3L) == 555555L && f(4L) == 833333L)
+    intercept[IllegalArgumentException] {
+      TextOps.chrF(cand, ref, "id", "text", 9)
+    }
+  }
+
   test("corpusBleu: pooled counts, smoothing and brevity penalty by hand") {
     import graft.plans.LnFp.lnMicro
     val cand = Seq((1L, "a", "the the the the"), (2L, "a", "a b c d"),
