@@ -474,6 +474,64 @@ object Quality {
         (col("pos").cast(dec) * col("neg").cast(dec) * 2L).as("auc_den"))
   }
 
+  /** Calibration / reliability table per group: equal-WIDTH integer score
+    * bins (not quantile bins — no rank, no window, one map-side-combinable
+    * aggregate at any scale), per (group, bin) the row count and positive
+    * count. The empirical positive rate n_pos/n per bin against the bin's
+    * score range is the reliability diagram a threshold deployment reads
+    * next to [[rocAuc]] (AUC says the ORDER is right; calibration says the
+    * SCORES mean something). Bin width = ⌊(hi−lo)/nBins⌋+1 from the global
+    * score min/max (BigInt — the spread is data-dependent), so every bin
+    * index is ⌊(s−lo)/width⌋ ∈ [0, nBins]: pure integer arithmetic, engine-
+    * reproducible; `bin_lo_fp` ships each bin's inclusive lower edge.
+    * Empty bins emit no row (the contract a sparse log-odds range needs —
+    * materializing groups × nBins rows helps nobody). Null labels count
+    * negative (the rocAuc convention).
+    */
+  def calibrationBins(scored: DataFrame, groupCol: String, labelCol: String,
+                      scoreCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= (1 << 20),
+      s"nBins must be in [2, 2^20], got $nBins")
+    val s = graft.core.Storage.cut(
+      scored.select(col(groupCol), col(scoreCol).cast("long").as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y")), eager = true)
+    val mm = s.agg(min(col("__s")), max(col("__s"))).head()
+    if (mm.isNullAt(0))
+      return s.select(col(groupCol), col("__s").as("bin"),
+        col("__s").as("bin_lo_fp"), col("__s").as("n"),
+        col("__s").as("n_pos")).limit(0)
+    val lo = mm.getLong(0)
+    val width = (((BigInt(mm.getLong(1)) - BigInt(lo)) / nBins) + 1)
+      .min(BigInt(Long.MaxValue)).toLong
+    // exact integral division (Spark DIV == DuckDB //): a decimal `/` +
+    // floor rounds the quotient at scale 6 first and can mis-bin a score
+    // sitting within 5e-7 of a bin edge — and `bin` is an OUTPUT column
+    s.withColumn("bin",
+        expr(s"(__s - CAST($lo AS BIGINT)) div CAST($width AS BIGINT)"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .select(col(groupCol), col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo_fp"),
+        col("n"), col("n_pos"))
+  }
+
+  /** Confusion counts per group at the model's native threshold
+    * (score > 0 — where naive-Bayes log-odds flips): tp/fp/fn/tn in one
+    * map-side-combinable aggregate. Precision, recall, F1 and accuracy are
+    * ratios of these four integers — ship the sufficient statistic (the e4
+    * discipline), not lossy rates. Null labels count negative.
+    */
+  def confusionCounts(scored: DataFrame, groupCol: String, labelCol: String,
+                      scoreCol: String): DataFrame = {
+    val pos = col(scoreCol) > 0L
+    val y = coalesce(col(labelCol), lit(false))
+    scored.groupBy(col(groupCol))
+      .agg(sum(when(pos && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(pos && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pos && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pos && !y, 1L).otherwise(0L)).as("tn"))
+  }
+
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
                        minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -119,6 +119,37 @@ object CorpusQueries {
        |${sqlLog2Fp(s"${t}pr", s"${t}dt", "key")},
        |${t}prior AS (SELECT $sqlLnMicroFromL AS prior_fp FROM ${t}prL)""".stripMargin
 
+  /** Shared e7/e9/e10 oracle tail of [[qualityModelCtes]]: rescore EVERY
+    * document with the "m"-tagged model and attach lang + the weak label —
+    * the `scored(doc_id, lang, is_p, s)` frame the classifier evals read.
+    */
+  private lazy val classifierScoredCtes: String =
+    s"""${qualityModelCtes("m", "TRUE")},
+       |af AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+       |        FROM documents)
+       |  WHERE len(feat) > 0),
+       |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM af GROUP BY 1, 2),
+       |ll AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
+       |  FROM cdb JOIN mwt USING (b) GROUP BY doc_id),
+       |scored AS (SELECT d.doc_id, d.lang,
+       |    d.source IN ('src0','src1','src2','src3') AS is_p,
+       |    COALESCE(ll_fp, 0) + prior_fp AS s
+       |  FROM documents d CROSS JOIN mprior LEFT JOIN ll USING (doc_id))"""
+      .stripMargin
+
+  /** Shared e7/e9/e10 engine side: train-and-score the t22 classifier over
+    * the whole corpus and attach lang — (did, score_fp, actual, pred, lang).
+    */
+  private def scoredWithLang(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextOps.hashedQualityClassifier(docs, "doc_id", "text",
+        isPositive = col("source").isin("src0", "src1", "src2", "src3"),
+        nBuckets = 256)
+      .join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did"))
+  }
+
   /** Mirror of Dedup.minhashSignatures: 32 min-aggregates. */
   private val sigSelect: String = {
     val aggs = (0 until Dedup.NumHashes).map(i =>
@@ -2709,18 +2740,7 @@ object CorpusQueries {
     QueryDef(
       "e7_roc_auc",
       s"""WITH RECURSIVE $pow2Cte,
-         |${qualityModelCtes("m", "TRUE")},
-         |af AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
-         |        FROM documents)
-         |  WHERE len(feat) > 0),
-         |cdb AS (SELECT doc_id, b, COUNT(*) AS c FROM af GROUP BY 1, 2),
-         |ll AS (SELECT doc_id, CAST(SUM(c * w_fp) AS BIGINT) AS ll_fp
-         |  FROM cdb JOIN mwt USING (b) GROUP BY doc_id),
-         |scored AS (SELECT d.doc_id, d.lang,
-         |    d.source IN ('src0','src1','src2','src3') AS is_p,
-         |    COALESCE(ll_fp, 0) + prior_fp AS s
-         |  FROM documents d CROSS JOIN mprior LEFT JOIN ll USING (doc_id)),
+         |$classifierScoredCtes,
          |gs AS (SELECT lang, s, COUNT(*) AS t,
          |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS p
          |  FROM scored GROUP BY 1, 2),
@@ -2735,12 +2755,8 @@ object CorpusQueries {
          |  CAST(r2 - CAST(pos AS HUGEINT) * (pos + 1) AS BIGINT) AS auc_num,
          |  CAST(2 * CAST(pos AS HUGEINT) * neg AS BIGINT) AS auc_den
          |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val isPos = col("source").isin("src0", "src1", "src2", "src3")
-      val scored = TextOps.hashedQualityClassifier(docs, "doc_id", "text",
-          isPositive = isPos, nBuckets = 256)
-        .join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did"))
-      graft.operators.Quality.rocAuc(scored, "lang", "actual", "score_fp")
+      graft.operators.Quality.rocAuc(scoredWithLang(s, d),
+          "lang", "actual", "score_fp")
         .select(col("lang"), col("pos"), col("neg"),
           col("auc_num").cast("long").as("auc_num"),
           col("auc_den").cast("long").as("auc_den"))
@@ -2827,6 +2843,49 @@ object CorpusQueries {
           docs.filter(col("doc_id") % 2 === 1),
           "pair_id", "text", maxOrder = 6)
         .orderBy(col("id"), col("ord"))
+    },
+
+    // Calibration / reliability table (Quality.calibrationBins): e7 says
+    // the classifier ORDERS curated above crawl; this says what the scores
+    // MEAN — per (lang, equal-width log-odds bin) the row and positive
+    // counts, pure integer arithmetic from the global min/max, one
+    // map-side aggregate (no rank, no window — quantile bins would need
+    // one). Empty bins emit no row.
+    QueryDef(
+      "e9_calibration_bins",
+      s"""WITH RECURSIVE $pow2Cte,
+         |$classifierScoredCtes,
+         |wd AS (SELECT MIN(s) AS lo, (MAX(s) - MIN(s)) // 16 + 1 AS w
+         |  FROM scored),
+         |b AS (SELECT lang, (s - lo) // w AS bin,
+         |    lo + ((s - lo) // w) * w AS bin_lo_fp, is_p
+         |  FROM scored CROSS JOIN wd)
+         |SELECT lang, bin, bin_lo_fp, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |FROM b GROUP BY lang, bin, bin_lo_fp
+         |ORDER BY lang, bin""".stripMargin) { (s, d) =>
+      graft.operators.Quality.calibrationBins(scoredWithLang(s, d),
+          "lang", "actual", "score_fp", nBins = 16)
+        .orderBy(col("lang"), col("bin"))
+    },
+
+    // Confusion counts at the model's native threshold (score > 0, where
+    // naive-Bayes log-odds flips): tp/fp/fn/tn per language in one
+    // map-side aggregate — precision/recall/F1/accuracy are ratios of
+    // these four integers (ship the sufficient statistic, the e4 rule).
+    QueryDef(
+      "e10_confusion_counts",
+      s"""WITH RECURSIVE $pow2Cte,
+         |$classifierScoredCtes
+         |SELECT lang,
+         |  CAST(SUM(CASE WHEN s > 0 AND is_p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN s > 0 AND NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN s <= 0 AND is_p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN s <= 0 AND NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.operators.Quality.confusionCounts(scoredWithLang(s, d),
+          "lang", "actual", "score_fp")
+        .orderBy(col("lang"))
     },
 
     QueryDef(

@@ -244,6 +244,40 @@ class QualitySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("calibrationBins: hand-checkable edges, sparse bins absent, totals reconcile") {
+    // lo = 0, hi = 9, nBins = 4 -> width 3: bins {0-2, 3-5, 6-8, 9}
+    val df = (0L to 9L).map(s => ("a", s >= 5L, s)).toDF("g", "y", "s")
+    val out = Quality.calibrationBins(df, "g", "y", "s", nBins = 4)
+      .select($"bin", $"bin_lo_fp", $"n", $"n_pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 3L, 0L), (1L, 3L, 3L, 1L),
+      (2L, 6L, 3L, 3L), (3L, 9L, 1L, 1L)))
+    assert(out.map(_._3).sum == 10 && out.map(_._4).sum == 5)
+    // sparse score range: untouched bins emit nothing
+    val sparse = Seq(("a", true, 0L), ("a", false, 9L)).toDF("g", "y", "s")
+    val sb = Quality.calibrationBins(sparse, "g", "y", "s", nBins = 4)
+      .select($"bin").as[Long].collect().toSet
+    assert(sb == Set(0L, 3L))
+    assert(Quality.calibrationBins(df.limit(0), "g", "y", "s", 4)
+      .collect().isEmpty)
+  }
+
+  test("confusionCounts: quadrants partition each group; reconciles with rocAuc pos/neg") {
+    val df = Seq(("a", true, 5L), ("a", true, -2L), ("a", false, 1L),
+      ("a", false, 0L), ("b", true, 3L)).toDF("g", "y", "s")
+    val out = Quality.confusionCounts(df, "g", "y", "s")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // score 0 is NOT positive (log-odds flips strictly above 0)
+    assert(out("a") == (1L, 1L, 1L, 1L) && out("b") == (1L, 0L, 0L, 0L))
+    val auc = Quality.rocAuc(df, "g", "y", "s").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("pos"), r.getAs[Long]("neg")))
+      .toMap
+    out.foreach { case (g, (tp, fp, fn, tn)) =>
+      assert((tp + fn, fp + tn) == auc(g), s"group $g")
+    }
+  }
+
   test("rocAuc: one-sided group reports den = 0; empty input yields no rows") {
     val df = Seq(("a", true, 5L), ("a", true, 9L)).toDF("g", "y", "s")
     val r = Quality.rocAuc(df, "g", "y", "s").collect().head
