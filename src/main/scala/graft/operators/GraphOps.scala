@@ -101,4 +101,35 @@ object GraphOps {
     }
     ranks
    }
+
+  /** Versioned authority-rank REFRESH — the ds9 model-refresh discipline
+    * applied to the graph family: recompute [[derivationEdges]] +
+    * [[pageRank]] over the corpus snapshot and land the ranks by
+    * partition-replace on `rank_version`. Authority is a corpus-global
+    * fixed point — a batch append changes every rank in principle, so the
+    * honest refresh is periodic recompute (cost ∝ corpus per refresh, like
+    * a warehouse dimension rebuild), NOT per-batch incrementality; what IS
+    * exactly-once is the landing: storage-derived input + integer-
+    * deterministic ranks make a replayed refresh rewrite identical bytes,
+    * and rollback = serve the previous version.
+    */
+  def refreshAuthority(corpus: DataFrame, idCol: String, textCol: String,
+                       n: Int, iters: Int, version: Long,
+                       ranksPath: String): Unit = {
+    val ranks = pageRank(derivationEdges(corpus, idCol, textCol, n),
+      corpus, idCol, iters)
+    graft.sources.Sinks.overwriteRunPartition(
+      ranks.withColumn("rank_version", lit(version)),
+      ranksPath, "rank_version")
+  }
+
+  /** Partition-pruned serve of ONE committed rank version from a
+    * [[refreshAuthority]] store — (sid, rank_fp, rank_version).
+    */
+  def serveAuthority(spark: org.apache.spark.sql.SparkSession,
+                     ranksPath: String, version: Long): DataFrame =
+    spark.read.parquet(ranksPath)
+      .filter(col("rank_version") === version)
+      .select(col("sid"), col("rank_fp"),
+        col("rank_version").cast("long").as("rank_version"))
 }

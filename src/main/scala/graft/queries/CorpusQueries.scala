@@ -150,6 +150,35 @@ object CorpusQueries {
       .join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did"))
   }
 
+  /** Mirror of GraphOps.derivationEdges + pageRank for docs selected by
+    * `where`: tag-prefixed CTE pyramid (edges, degrees, `iters` unrolled
+    * integer iterations) ending at `${t}r$iters` — shared by g1/g2 (g2
+    * carries two corpus snapshots in one WITH).
+    */
+  private def authorityCtes(t: String, where: String, iters: Int): String = {
+    val it = (1 to iters).map { i =>
+      s"""${t}m$i AS (SELECT e.dst AS sid, SUM(r.r // e.d) AS s
+         |  FROM ${t}ed e JOIN ${t}r${i - 1} r ON r.sid = e.src GROUP BY e.dst),
+         |${t}r$i AS (SELECT n.sid,
+         |    CAST(150000 + COALESCE(m.s, 0) * 850000 // 1000000 AS BIGINT) AS r
+         |  FROM ${t}nodes n LEFT JOIN ${t}m$i m USING (sid))""".stripMargin
+    }.mkString(",\n")
+    s"""${t}w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE $where),
+       |${t}sh0 AS (SELECT DISTINCT doc_id AS sid,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+       |  FROM ${t}w0, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |${t}shh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM ${t}sh0),
+       |${t}fh AS (SELECT g, MIN(sid) AS dst FROM ${t}shh GROUP BY g),
+       |${t}edges AS (SELECT DISTINCT s.sid AS src, f.dst
+       |  FROM ${t}shh s JOIN ${t}fh f USING (g) WHERE f.dst < s.sid),
+       |${t}deg AS (SELECT src, COUNT(*) AS d FROM ${t}edges GROUP BY src),
+       |${t}ed AS (SELECT e.src, e.dst, d.d FROM ${t}edges e JOIN ${t}deg d USING (src)),
+       |${t}nodes AS (SELECT doc_id AS sid FROM documents WHERE $where),
+       |${t}r0 AS (SELECT sid, CAST(1000000 AS BIGINT) AS r FROM ${t}nodes),
+       |$it""".stripMargin
+  }
+
   /** Mirror of Dedup.minhashSignatures: 32 min-aggregates. */
   private val sigSelect: String = {
     val aggs = (0 until Dedup.NumHashes).map(i =>
@@ -2773,34 +2802,45 @@ object CorpusQueries {
     // iterations in HUGEINT.
     QueryDef(
       "g1_link_authority",
-      {
-        val iters = (1 to 3).map { i =>
-          s"""m$i AS (SELECT e.dst AS sid, SUM(r.r // e.d) AS s
-             |  FROM ed e JOIN r${i - 1} r ON r.sid = e.src GROUP BY e.dst),
-             |r$i AS (SELECT n.sid,
-             |    CAST(150000 + COALESCE(m.s, 0) * 850000 // 1000000 AS BIGINT) AS r
-             |  FROM nodes n LEFT JOIN m$i m USING (sid))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |sh0 AS (SELECT DISTINCT doc_id AS sid,
-           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-           |  FROM w0, unnest(generate_series(1, len(w) - 2)) AS t(i)),
-           |shh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh0),
-           |fh AS (SELECT g, MIN(sid) AS dst FROM shh GROUP BY g),
-           |edges AS (SELECT DISTINCT s.sid AS src, f.dst
-           |  FROM shh s JOIN fh f USING (g) WHERE f.dst < s.sid),
-           |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-           |ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)),
-           |nodes AS (SELECT doc_id AS sid FROM documents),
-           |r0 AS (SELECT sid, CAST(1000000 AS BIGINT) AS r FROM nodes),
-           |$iters
-           |SELECT sid, r AS rank_fp FROM r3 ORDER BY sid""".stripMargin
-      }) { (s, d) =>
+      s"""WITH ${authorityCtes("", "TRUE", 3)}
+         |SELECT sid, r AS rank_fp FROM r3 ORDER BY sid""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val edges = graft.operators.GraphOps
         .derivationEdges(docs, "doc_id", "text", 3)
       graft.operators.GraphOps.pageRank(edges, docs, "doc_id", iters = 3)
         .orderBy(col("sid"))
+    },
+
+    // Versioned authority-rank REFRESH (GraphOps.refreshAuthority /
+    // serveAuthority) — ds9's model-refresh discipline on the graph
+    // family: v0 ranks the pre-batch corpus slice, the refresh recomputes
+    // v1 over the full corpus (authority is a corpus-global fixed point —
+    // periodic recompute IS the honest refresh), both landed by
+    // partition-replace on rank_version; the v1 refresh is REPLAYED
+    // (injected retry) — storage-derived input + integer-deterministic
+    // ranks rewrite identical bytes. Serve partition-prunes to one
+    // committed version; rollback = the previous one.
+    QueryDef(
+      "g2_authority_refresh",
+      s"""WITH ${authorityCtes("a", "doc_id % 5 <> 0", 3)},
+         |${authorityCtes("b", "TRUE", 3)}
+         |SELECT * FROM (
+         |SELECT sid, r AS rank_fp, CAST(0 AS BIGINT) AS rank_version FROM ar3
+         |UNION ALL
+         |SELECT sid, r AS rank_fp, CAST(1 AS BIGINT) AS rank_version FROM br3)
+         |ORDER BY rank_version, sid""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_authority_g2_" + app
+      import graft.operators.GraphOps.{refreshAuthority, serveAuthority}
+      refreshAuthority(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 3, 3, 0L, path)
+      refreshAuthority(docs, "doc_id", "text", 3, 3, 1L, path)
+      // injected retry: replay the v1 refresh over its landed partition
+      refreshAuthority(docs, "doc_id", "text", 3, 3, 1L, path)
+      serveAuthority(s, path, 0L).unionByName(serveAuthority(s, path, 1L))
+        .orderBy(col("rank_version"), col("sid"))
     },
 
     // chrF (TextOps.chrF): character n-gram F-beta=2 over whitespace-

@@ -45,6 +45,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(2L) == 150000L && r(4L) == 150000L)
   }
 
+  test("refreshAuthority lifecycle: versions isolated, replay rewrites identical ranks") {
+    val docs = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s x y"), (3L, "p q r z w v"),
+      (4L, "m n o k l j"), (5L, "m n o k z q")
+    ).toDF("doc_id", "text")
+    val path = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      "/graft_authority_spec_" +
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val v0Corpus = docs.filter($"doc_id" <= 3L)
+    GraphOps.refreshAuthority(v0Corpus, "doc_id", "text", 3, 2, 0L, path)
+    GraphOps.refreshAuthority(docs, "doc_id", "text", 3, 2, 1L, path)
+    val before = GraphOps.serveAuthority(spark, path, 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // injected retry: the replay must rewrite identical ranks, and v0
+    // must survive untouched (partition-replace, not truncate-and-load)
+    GraphOps.refreshAuthority(docs, "doc_id", "text", 3, 2, 1L, path)
+    val after = GraphOps.serveAuthority(spark, path, 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == before)
+    val v0 = GraphOps.serveAuthority(spark, path, 0L)
+      .select($"sid", $"rank_fp").as[(Long, Long)].collect().toMap
+    val direct0 = GraphOps.pageRank(
+        GraphOps.derivationEdges(v0Corpus, "doc_id", "text", 3),
+        v0Corpus, "doc_id", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(v0 == direct0, "served v0 == from-scratch ranks on the v0 corpus")
+    assert(v0.keySet == Set(1L, 2L, 3L) && after.map(_._1) == (1L to 5L).toSet)
+  }
+
   test("pageRank: deterministic under repartitioning; edge-free graph sits at the base") {
     val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L)).toDF("src", "dst")
     val nodes = (1L to 5L).toDF("sid")
