@@ -459,6 +459,37 @@ object Sampling {
       .drop("__rn", "__epochs", "__rem")
   }
 
+  /** Embargoed TEMPORAL split with entity-leakage annotation (the purged
+    * time-series split, de Prado 2018 ch.7, applied to event data): train =
+    * events before `trainEnd`, test = events at/after `testStart`, the
+    * embargo gap in between DROPPED (labels computed near the boundary see
+    * both sides — the gap is the purge), and every test row annotated
+    * `cold_entity` — whether its entity has NO train events. Temporal
+    * eval wants both populations, but separately: warm entities measure
+    * forecasting, cold ones measure generalization; mixing them silently
+    * is the leakage. Null entities have no identity and annotate cold.
+    *
+    * Scale shape: both cutoffs reach the scan (OR of two pushable range
+    * predicates; nanos fixtures via NanosPredicatePushdown like p4); the
+    * train-entity set is one map-side-combinable distinct, and the
+    * annotation is one equi-join on the entity key (AQE broadcasts it
+    * while small) — no window, no per-entity sort.
+    */
+  def temporalPurgedSplit(df: DataFrame, idCol: String, entityCol: String,
+                          tsCol: String, trainEnd: java.sql.Timestamp,
+                          testStart: java.sql.Timestamp): DataFrame = {
+    require(!testStart.before(trainEnd),
+      s"testStart $testStart must be >= trainEnd $trainEnd (the embargo gap)")
+    val isTrain = col(tsCol) < lit(trainEnd)
+    val trainEnt = df.filter(isTrain)
+      .select(col(entityCol).as("__e")).distinct()
+    df.filter(isTrain || col(tsCol) >= lit(testStart))
+      .withColumn("split", when(isTrain, "train").otherwise("test"))
+      .join(trainEnt, col(entityCol) === col("__e"), "left")
+      .withColumn("cold_entity", col("split") === "test" && col("__e").isNull)
+      .drop("__e")
+  }
+
   /** Expand [[epochMix]] output into one row per COPY with a unique
     * per-copy key (`copy_key` = id "#" copy index) — the export step where
     * repetition becomes physical. Shuffle-order the result on `copy_key`

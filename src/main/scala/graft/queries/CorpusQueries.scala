@@ -892,6 +892,35 @@ object CorpusQueries {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     },
 
+    // Embargoed TEMPORAL split with entity-leakage annotation
+    // (Sampling.temporalPurgedSplit — the purged time-series split, de
+    // Prado 2018 ch.7): train < Jan 20, a 2-day embargo dropped, test >=
+    // Jan 22, and every test event annotated cold_entity (its user has no
+    // train events) — warm entities measure forecasting, cold ones
+    // generalization. The oracle replays the cutoffs and the train-entity
+    // left join.
+    QueryDef(
+      "sp2_temporal_purged_split",
+      """WITH te AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |b AS (SELECT event_id, user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |         ELSE 'test' END AS split
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        |     OR ts >= TIMESTAMP '2024-01-22 00:00:00')
+        |SELECT b.event_id, b.split,
+        |  b.split = 'test' AND te.user_id IS NULL AS cold_entity
+        |FROM b LEFT JOIN te ON b.user_id = te.user_id
+        |ORDER BY b.event_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.temporalPurgedSplit(Tables.events(s, d),
+          "event_id", "user_id", "ts",
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+        .select(col("event_id"), col("split"), col("cold_entity"))
+        .orderBy(col("event_id"))
+    },
+
     // Stratified: keep every zh/fr doc, 20% of the rest — the language
     // rebalancing pass of a multilingual corpus build.
     QueryDef(

@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("sp2_temporal_purged_split: both cutoffs reach the scan as one Or filter") {
+    val p = plan("sp2_temporal_purged_split")
+    // post-scan filtering of the time slice would read 100% of events at
+    // 100 TB; the OR of the two range predicates must push (nanos fixtures
+    // via NanosPredicatePushdown, NTZ fixtures natively)
+    assert(p.contains("Or(LessThan(ts,"), p)
+  }
+
   test("e7_roc_auc: no single-task per-group window (the rank prefix is two-level)") {
     val p = plan("e7_roc_auc")
     // a naive per-language rank window plans Exchange SinglePartition per

@@ -332,6 +332,31 @@ class SamplingSpec extends SparkSpec {
     assert(by7 == out.map(r => r._1 -> r._3).toMap)
   }
 
+  test("temporalPurgedSplit: embargo dropped, warm/cold test entities annotated") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // A: train
+      (2L, 10L, ts("2024-01-25 00:00:00")), // A: test, warm
+      (3L, 20L, ts("2024-01-21 00:00:00")), // B: embargo -> dropped
+      (4L, 20L, ts("2024-01-26 00:00:00")), // B: test, cold (only embargo before)
+      (5L, 30L, ts("2024-01-19 23:59:59")), // C: train (boundary-exclusive)
+      (6L, 40L, ts("2024-01-22 00:00:00"))  // D: test at boundary, cold
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sampling.temporalPurgedSplit(ev, "event_id", "user_id", "ts",
+        ts("2024-01-20 00:00:00"), ts("2024-01-22 00:00:00"))
+      .select($"event_id", $"split", $"cold_entity")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(!out.contains(3L), "embargo row must drop")
+    assert(out(1L) == ("train", false) && out(5L) == ("train", false))
+    assert(out(2L) == ("test", false), "entity with train history is warm")
+    assert(out(4L) == ("test", true) && out(6L) == ("test", true))
+    intercept[IllegalArgumentException] {
+      Sampling.temporalPurgedSplit(ev, "event_id", "user_id", "ts",
+        ts("2024-01-22 00:00:00"), ts("2024-01-20 00:00:00"))
+    }
+  }
+
   test("expandCopies: one row per copy, keys unique, totals preserved") {
     val mix = Seq((1L, "a", 3L), (2L, "a", 1L), (3L, "b", 2L))
       .toDF("doc_id", "s", "n_copies")
