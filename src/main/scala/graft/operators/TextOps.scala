@@ -1236,16 +1236,20 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 8,
       s"maxOrder must be in [1, 8], got $maxOrder")
+    // two plain generators + a slice/concat projection, not a
+    // transform/filter/struct HOF nest (interpreted per element — the
+    // idCharNgramCounts/wordShinglesAll lesson); the guard keeps short
+    // docs from hitting sequence's DESCENDING stop < start behavior
     df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .select(col("id"), explode(flatten(transform(
-        sequence(lit(1), lit(maxOrder)), n =>
-          transform(
-            filter(sequence(lit(1), size(col("w"))), i =>
-              i <= size(col("w")) - n + 1),
-            i => struct(
-              n.cast("long").as("ord"),
-              concat_ws(" ", slice(col("w"), i, n)).as("gram")))))).as("r"))
-      .select(col("id"), col("r.ord").as("ord"), col("r.gram").as("gram"))
+      .select(col("id"), col("w"),
+        explode(sequence(lit(1L), lit(maxOrder.toLong))).as("ord"))
+      .select(col("id"), col("ord"), col("w"),
+        explode(when(size(col("w")) >= col("ord"),
+          sequence(lit(1), size(col("w")) - col("ord").cast("int") + 1)))
+          .as("i"))
+      .select(col("id"), col("ord"),
+        concat_ws(" ", slice(col("w"), col("i"), col("ord").cast("int")))
+          .as("gram"))
       .groupBy(col("id"), col("ord"), col("gram"))
       .agg(count(lit(1)).as("c"))
   }

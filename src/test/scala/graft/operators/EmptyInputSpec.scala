@@ -188,6 +188,33 @@ class EmptyInputSpec extends SparkSpec {
       "src", "doc_id", "n", "s", 10L).count() == 0)
   }
 
+  test("round-13 eval/graph/sampling operators: empty in, empty out, schema intact") {
+    assert(TextOps.chrF(noDocs, noDocs, "doc_id", "text").count() == 0)
+    assert(GraphOps.derivationEdges(noDocs, "doc_id", "text", 3).count() == 0)
+    val pr = GraphOps.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      noDocs, "doc_id", iters = 2)
+    assert(pr.columns.toSeq == Seq("sid", "rank_fp") && pr.count() == 0)
+    val noScored = Seq.empty[(String, Boolean, Long)].toDF("g", "y", "s")
+    assert(Quality.rocAuc(noScored, "g", "y", "s").count() == 0)
+    assert(Quality.calibrationBins(noScored, "g", "y", "s", 4).count() == 0)
+    assert(Quality.confusionCounts(noScored, "g", "y", "s").count() == 0)
+    assert(Sampling.expandCopies(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_copies"), "doc_id")
+      .count() == 0)
+    assert(Sampling.temporalPurgedSplit(
+      Seq.empty[(Long, Long, java.sql.Timestamp)]
+        .toDF("event_id", "user_id", "ts"),
+      "event_id", "user_id", "ts",
+      java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-22 00:00:00")).count() == 0)
+    // epochMix: a weighted stratum on an EMPTY frame is unfillable with
+    // replacement — fail loud, never renormalize (the sm15 contract)
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(Seq.empty[(Long, String)].toDF("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 1L), 10L, "em")
+    }
+  }
+
   test("degenerate key distributions: two-level ranks survive all-equal sort keys") {
     // every doc identical -> one __k value -> ONE range bucket; ranks must
     // still be the (key, id) permutation and thirds exact
