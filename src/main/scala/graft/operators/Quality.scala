@@ -427,12 +427,14 @@ object Quality {
     }
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     // integer bucket width via BigInt (hi−lo alone can overflow a long for
-    // adversarial score ranges); floor((s−lo)/width) is monotone and equal
+    // adversarial score ranges); (s−lo) div width is monotone and equal
     // scores share a bucket, so base + local prefix IS the per-group prefix
+    // (exact integral DIV, the calibrationBins idiom — no decimal rounding
+    // caveat to reason about)
     val width = (((BigInt(hi) - BigInt(lo)) / nBuckets) + 1)
       .min(BigInt(Long.MaxValue)).toLong
     val withB = g.withColumn("__kb",
-      floor((col("__s").cast(dec) - lit(lo)) / lit(width)).cast("long"))
+      expr(s"(__s - CAST($lo AS BIGINT)) div CAST($width AS BIGINT)"))
     val keyField = withB.schema("__g").copy(name = "__g")
     val bucketCounts = withB.groupBy(col("__g"), col("__kb"))
       .agg(sum(col("__t")).as("__n")).collect().map { r =>
