@@ -622,4 +622,92 @@ class PropertySpec extends AnyFunSuite {
         s"subset must score containment 1: ${hit.mkString}")
     }
   }
+
+  private val scoredGen: Gen[List[(String, Boolean, Long)]] = for {
+    n <- Gen.choose(6, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b")
+      y <- Gen.oneOf(true, false)
+      s <- Gen.choose(-20L, 20L)
+    } yield (g, y, s))
+  } yield rows
+
+  test("rocAuc properties: monotone-transform and bucket-count invariance, bounds") {
+    forAllSamples(scoredGen, 4) { rows =>
+      val df = rows.toDF("g", "y", "s")
+      def auc(d: org.apache.spark.sql.DataFrame, buckets: Int) =
+        graft.operators.Quality.rocAuc(d, "g", "y", "s", buckets).collect()
+          .map(r => r.getString(0) -> ((r.getAs[Long]("pos"),
+            r.getAs[Long]("neg"), r.getDecimal(3).longValueExact,
+            r.getDecimal(4).longValueExact))).toMap
+      val base = auc(df, 4)
+      // AUC is a rank statistic: any strictly increasing score map (here
+      // s -> 7s + 3) must leave every output integer unchanged
+      assert(auc(df.withColumn("s", $"s" * 7L + 3L), 4) == base)
+      // the two-level decomposition is internal: bucket count never shows
+      assert(auc(df, 1) == base && auc(df, 16) == base)
+      base.values.foreach { case (p, n, num, den) =>
+        assert(num >= 0 && num <= den.max(0L) || n == 0 || p == 0,
+          s"AUC in [0,1]: $num/$den")
+        assert(den == 2 * p * n)
+      }
+    }
+  }
+
+  test("pageRank properties: mass never exceeds the initial total, base is the floor") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 25)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2)
+    forAllSamples(edgeGen, 3) { es =>
+      val edges = es.toDF("src", "dst")
+      val nodes = (1L to 12L).toDF("sid")
+      val r = graft.operators.GraphOps.pageRank(edges, nodes, "sid", iters = 3)
+        .as[(Long, Long)].collect()
+      assert(r.length == 12)
+      // damping + floor divisions only ever LOSE mass vs the N·unit start
+      assert(r.map(_._2).sum <= 12L * 1000000L)
+      assert(r.map(_._2).min >= 150000L, "teleport base is the floor")
+    }
+  }
+
+  test("chrF properties: score and matches bounded, self-pair scores exactly 1") {
+    forAllSamples(corpusGen, 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val self = graft.operators.TextOps.chrF(df, df, "doc_id", "text", 4)
+        .collect()
+      self.foreach { r =>
+        assert(r.getAs[Long]("f_fp") == 1000000L, s"self-chrF must be 1: $r")
+        assert(r.getAs[Long]("matches") == r.getAs[Long]("cand_total"))
+      }
+      val cross = graft.operators.TextOps.chrF(
+          df, df.withColumn("text", reverse(col("text"))), "doc_id", "text", 4)
+        .collect()
+      cross.foreach { r =>
+        val (m, tc, tr, f) = (r.getAs[Long]("matches"), r.getAs[Long]("cand_total"),
+          r.getAs[Long]("ref_total"), r.getAs[Long]("f_fp"))
+        assert(m <= math.min(tc, tr) && f >= 0L && f <= 1000000L, r.toString)
+      }
+    }
+  }
+
+  test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
+    val mixGen: Gen[(Int, Int, Long)] = for {
+      na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
+      total <- Gen.choose(2L, 200L)
+    } yield (na, nb, total)
+    forAllSamples(mixGen, 4) { case (na, nb, total) =>
+      val df = ((1 to na).map(i => (i.toLong, "a")) ++
+        (1 to nb).map(i => (100L + i, "b"))).toDF("doc_id", "s")
+      val out = graft.operators.Sampling.epochMix(df, "doc_id", "s",
+          Map("a" -> 3L, "b" -> 1L), total, salt = "pm")
+        .select($"s", $"n_copies").as[(String, Long)].collect()
+      val sums = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .withDefaultValue(0L)
+      assert(sums("a") == 3L * total / 4L && sums("b") == total / 4L,
+        s"quotas not met exactly: $sums (na=$na nb=$nb total=$total)")
+    }
+  }
 }
