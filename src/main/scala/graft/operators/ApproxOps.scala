@@ -42,13 +42,34 @@ object ApproxOps {
     * is order-free.
     */
   def exactGroupRank(df: DataFrame, grpCol: String, valCol: String,
-                     qNum: Long, qDen: Long, buckets: Int = 0): DataFrame = {
+                     qNum: Long, qDen: Long, buckets: Int = 0): DataFrame =
+    groupRankCore(df, grpCol, valCol, lit(1L), qNum, qDen, buckets)
+
+  /** WEIGHTED exact per-group order statistic — [[exactGroupRank]] with a
+    * per-row nonnegative integer weight: returns, per group, the value at
+    * ascending cumulative-WEIGHT rank ceil(qNum·W/qDen) (W = Σ weights).
+    * qNum/qDen = 1/2 with token-count weights is the token-weighted median
+    * document length — "the median TOKEN lives in a doc this long", the
+    * corpus statistic that unweighted medians misstate by a factor of the
+    * length skew. Zero-weight rows never host the rank (their cumulative
+    * mass is unchanged); `n`/`rank` report total weight and the target
+    * cumulative weight. Same two-level shape, same no-window plan.
+    */
+  def exactGroupWeightedRank(df: DataFrame, grpCol: String, valCol: String,
+                             weightCol: String, qNum: Long, qDen: Long,
+                             buckets: Int = 0): DataFrame =
+    groupRankCore(df, grpCol, valCol, col(weightCol).cast("long"),
+      qNum, qDen, buckets)
+
+  private def groupRankCore(df: DataFrame, grpCol: String, valCol: String,
+                            weight: org.apache.spark.sql.Column,
+                            qNum: Long, qDen: Long, buckets: Int): DataFrame = {
     require(qNum >= 1 && qNum <= qDen,
       s"quantile must be in (0, 1]: got $qNum/$qDen")
     val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
     val keyed = graft.core.Storage.cut(
       df.select(col(grpCol).cast("string").as("grp"),
-        col(valCol).cast("long").as("__k")),
+        col(valCol).cast("long").as("__k"), weight.as("__w")),
       eager = true)
     val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
     if (mm.isNullAt(0))
@@ -60,7 +81,7 @@ object ApproxOps {
     val withB = keyed.withColumn("__kb",
       ((col("__k") - lit(lo)) / lit(width)).cast("long"))
     val counts = withB.groupBy(col("grp"), col("__kb"))
-      .agg(count(lit(1)).as("__n")).collect().map { r =>
+      .agg(sum(col("__w")).as("__n")).collect().map { r =>
         require(!r.isNullAt(0),
           s"$grpCol contains NULLs — a per-group rank over them is undefined")
         (r.getString(0), r.getLong(1), r.getLong(2))
@@ -82,7 +103,7 @@ object ApproxOps {
     // value-level counts inside the target buckets only, cumulated on the
     // driver: bucket-width-bounded per group
     val vals = withB.join(tDf.select(col("grp"), col("__kb")), Seq("grp", "__kb"))
-      .groupBy(col("grp"), col("__k")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("grp"), col("__k")).agg(sum(col("__w")).as("__c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val resolved = vals.groupBy(_._1).map { case (g, vs) =>
       val rr = targets.find(_._1 == g).get._5

@@ -1693,6 +1693,32 @@ object EtlQueries {
       med.join(p90, Seq("source")).orderBy(col("source"))
     },
 
+    // A-extension: token-WEIGHTED exact median doc length per source
+    // (ApproxOps.exactGroupWeightedRank — a14's two-level machinery with a
+    // per-row weight): the doc length at cumulative-token rank ceil(W/2),
+    // i.e. "the median TOKEN lives in a doc this long" — the corpus
+    // statistic an unweighted median misstates by the length skew. Oracle
+    // derives the same cumulative-weight rank with a window.
+    QueryDef(
+      "a15_weighted_median",
+      """WITH q AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        |  FROM documents),
+        |g AS (SELECT source, v, SUM(wt) AS m FROM q GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n FROM g GROUP BY 1),
+        |p AS (SELECT source, v, SUM(m) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cw FROM g)
+        |SELECT p.source AS grp, t.n, CAST((t.n + 1) // 2 AS BIGINT) AS rank,
+        |  CAST(MIN(CASE WHEN cw >= (t.n + 1) // 2 THEN v END) AS BIGINT) AS val
+        |FROM p JOIN t ON p.source = t.source
+        |GROUP BY p.source, t.n ORDER BY grp""".stripMargin) { (s, d) =>
+      import graft.operators.ApproxOps
+      val docs = Tables.documents(s, d).select(col("source"),
+        col("n_chars"), size(split(col("text"), " ")).cast("long").as("wt"))
+      ApproxOps.exactGroupWeightedRank(docs, "source", "n_chars", "wt", 1, 2)
+        .orderBy(col("grp"))
+    },
+
     // W-extension: time-DECAYED aggregate per key — recency-weighted
     // engagement scoring with a one-day half-life, weight = 2^-(age_days)
     // anchored at the data's max ts. The decay base is 2 BY DESIGN: the

@@ -185,4 +185,25 @@ class ApproxOpsSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Window") && !p.contains("percentile"), p)
   }
+
+  test("exactGroupWeightedRank: weighted replay, weight-1 degeneracy, zero weights skipped") {
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 8L), ("a", 3L, 1L), // W=10, r=5 -> 2
+      ("b", 5L, 2L), ("b", 7L, 2L),                             // W=4, r=2 -> 5
+      ("c", 9L, 3L), ("c", 4L, 0L))                             // zero-weight 4 can't host
+    val df = rows.toDF("g", "v", "w")
+    val got = ApproxOps.exactGroupWeightedRank(df, "g", "v", "w", 1, 2,
+        buckets = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map("a" -> (10L, 5L, 2L), "b" -> (4L, 2L, 5L),
+      "c" -> (3L, 2L, 9L)))
+    // all-ones weights degrade exactly to the unweighted operator
+    val base = rows.map(r => (r._1, r._2)).toDF("g", "v")
+    val unw = ApproxOps.exactGroupRank(base, "g", "v", 9, 10)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val ones = ApproxOps.exactGroupWeightedRank(
+        base.withColumn("w", lit(1L)), "g", "v", "w", 9, 10)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(ones == unw)
+  }
 }
