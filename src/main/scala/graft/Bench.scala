@@ -133,7 +133,7 @@ object Bench {
     */
   private[graft] def regressionsAgainst(current: Seq[(String, Double)],
       prior: Map[String, Double], factor: Double,
-      minAbs: Double): Seq[(String, Double)] =
+      minAbs: Double, minDelta: Double = 0.0): Seq[(String, Double)] =
     current.flatMap { case (name, v) =>
       prior.get(name).collect {
         // zero prior (e.g. a query that used to shuffle 0 bytes growing a
@@ -141,7 +141,8 @@ object Bench {
         // reported growth instead of suppressing, so a broadcast join
         // degrading to a shuffle join still fires (ADVICE r7 #1)
         case p if p == 0.0 && v >= minAbs => name -> v / minAbs
-        case p if math.max(p, v) >= minAbs && p > 0 && v > p * factor =>
+        case p if math.max(p, v) >= minAbs && p > 0 && v > p * factor &&
+            v - p > minDelta =>
           name -> v / p
       }
     }
@@ -285,8 +286,15 @@ object Bench {
     // runs on one host flagged three DISJOINT "regression" sets. A burst is
     // (very likely) gone on the retry; a real code regression reproduces.
     // Shuffle bytes are deterministic, so the shuffle gate never re-runs.
+    // Absolute-delta guard (time gate only): a 1.5x ratio on a ~1 s query
+    // is ±0.4 s of session noise — a run-to-run spread measured on this
+    // suite with NO code change (four sub-2 s queries flagged at ~1.55x on
+    // one loaded-host run, none on the reruns). A real regression worth a
+    // report moves absolute wall time too; shuffle bytes are deterministic
+    // and keep delta 0.
+    val timeMinDelta = 0.75
     val suspects = regressionsAgainst(good.map(r => r._1 -> r._2),
-      scaledPriorSec, 1.5, 0.5).map(_._1).toSet
+      scaledPriorSec, 1.5, 0.5, timeMinDelta).map(_._1).toSet
     if (suspects.nonEmpty) {
       val byName = runnable.toMap
       good = good.map {
@@ -303,7 +311,8 @@ object Bench {
       }
     }
     val regressions =
-      regressionsAgainst(good.map(r => r._1 -> r._2), scaledPriorSec, 1.5, 0.5)
+      regressionsAgainst(good.map(r => r._1 -> r._2), scaledPriorSec, 1.5, 0.5,
+        timeMinDelta)
     regressions.foreach { case (name, ratio) =>
       System.err.println(
         f"[bench] REGRESSION $name: ${scaledPriorSec(name)}%.2f s -> ${ratio * scaledPriorSec(name)}%.2f s ($ratio%.2fx)")

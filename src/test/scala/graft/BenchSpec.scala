@@ -37,6 +37,20 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(regs.head._2 - 1.75) < 1e-9)
   }
 
+  test("time delta guard: ratio-only jitter on small queries stays quiet, real jumps flag") {
+    // 0.8 -> 1.25 is 1.56x but only +0.45 s — the measured loaded-host
+    // spread of a ~1 s query with NO code change; 4.0 -> 6.5 moves both
+    // the ratio AND 2.5 s of absolute wall time
+    val prior = Map("jitter" -> 0.8, "real" -> 4.0)
+    val cur = Seq("jitter" -> 1.25, "real" -> 6.5)
+    val regs = Bench.regressionsAgainst(cur, prior, factor = 1.5,
+      minAbs = 0.5, minDelta = 0.75)
+    assert(regs.map(_._1) == Seq("real"))
+    // the guard defaults OFF (shuffle bytes are deterministic — delta 0)
+    assert(Bench.regressionsAgainst(cur, prior, 1.5, 0.5)
+      .map(_._1) == Seq("jitter", "real"))
+  }
+
   test("shuffle gate fires on injected exchange growth (the cluster-cost signal)") {
     val prior = Bench.parseMetricBlock(baselineLine, "shuffle_mb")
     // a broadcast turned into a shuffle: bytes triple while wall time on
