@@ -57,9 +57,17 @@ object ApproxOps {
     */
   def exactGroupWeightedRank(df: DataFrame, grpCol: String, valCol: String,
                              weightCol: String, qNum: Long, qDen: Long,
-                             buckets: Int = 0): DataFrame =
-    groupRankCore(df, grpCol, valCol, col(weightCol).cast("long"),
-      qNum, qDen, buckets)
+                             buckets: Int = 0): DataFrame = {
+    // fail loud in-scan on null/negative weights: a negative weight makes
+    // the cumulative walk non-monotone (an opaque NoSuchElement or a
+    // silently wrong value downstream); raise_error is codegen'd and free
+    // on the valid path
+    val w = col(weightCol).cast("long")
+    val checked = when(w.isNull || w < 0L,
+      raise_error(concat(lit(s"$weightCol must be a nonnegative integer, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL"))))).otherwise(w)
+    groupRankCore(df, grpCol, valCol, checked, qNum, qDen, buckets)
+  }
 
   private def groupRankCore(df: DataFrame, grpCol: String, valCol: String,
                             weight: org.apache.spark.sql.Column,
@@ -88,15 +96,18 @@ object ApproxOps {
       }
     // per group: total n, target rank r, the bucket holding rank r and the
     // residual rank within it
-    val targets = counts.groupBy(_._1).map { case (g, bs) =>
-      val n = bs.map(_._3).sum
-      val r = (qNum * n + qDen - 1) / qDen
-      var acc = 0L
-      val (b, base) = bs.sortBy(_._2).iterator.map { case (_, kb, m) =>
-        val prev = acc; acc += m; (kb, prev, acc)
-      }.find(_._3 >= r).map(t => (t._1, t._2)).get
-      (g, n, r, b, r - base)
-    }.toSeq
+    // a group whose total mass is zero (all-zero weights) has NO rank to
+    // host — emit no row for it rather than a bogus (n=0, rank=0, min-val)
+    val targets = counts.groupBy(_._1).toSeq.collect {
+      case (g, bs) if bs.map(_._3).sum > 0 =>
+        val n = bs.map(_._3).sum
+        val r = (qNum * n + qDen - 1) / qDen
+        var acc = 0L
+        val (b, base) = bs.sortBy(_._2).iterator.map { case (_, kb, m) =>
+          val prev = acc; acc += m; (kb, prev, acc)
+        }.find(_._3 >= r).map(t => (t._1, t._2)).get
+        (g, n, r, b, r - base)
+    }
     val tDf = broadcast(df.sparkSession
       .createDataFrame(targets.map(t => (t._1, t._4, t._2, t._3, t._5)))
       .toDF("grp", "__kb", "n", "rank", "__r"))

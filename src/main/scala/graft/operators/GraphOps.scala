@@ -35,7 +35,9 @@ object GraphOps {
                       n: Int): DataFrame = {
     // cut: the gram relation feeds BOTH the first-holder reduce and the
     // edge join — one materialization, not two tokenize+hash passes
-    // (exchange reuse is not guaranteed under AQE)
+    // (exchange reuse is not guaranteed under AQE). The leaf stays for the
+    // result plan (the shuffleOrder contract: the session sweep reclaims
+    // it); [[refreshAuthority]] frees it per refresh.
     val sh = graft.core.Storage.cut(
       Dedup.wordShingles(df, idCol, textCol, n)
         .select(col("sid"), Dedup.hash48(col("gram")).as("g")),
@@ -116,11 +118,20 @@ object GraphOps {
   def refreshAuthority(corpus: DataFrame, idCol: String, textCol: String,
                        n: Int, iters: Int, version: Long,
                        ranksPath: String): Unit = {
-    val ranks = pageRank(derivationEdges(corpus, idCol, textCol, n),
-      corpus, idCol, iters)
-    graft.sources.Sinks.overwriteRunPartition(
-      ranks.withColumn("rank_version", lit(version)),
-      ranksPath, "rank_version")
+    // freeingIntermediates with a null result: the write is the output, so
+    // EVERY checkpoint this refresh registered — the corpus-scale shingle
+    // leaf inside derivationEdges included — is freed on exit. A periodic
+    // refresh loop in a long-lived session must not grow executor storage
+    // by one shingle table per refresh.
+    graft.core.Storage.freeingIntermediates(corpus.sparkSession) {
+      val ranks = pageRank(derivationEdges(corpus, idCol, textCol, n),
+        corpus, idCol, iters)
+      graft.sources.Sinks.overwriteRunPartition(
+        ranks.withColumn("rank_version", lit(version)),
+        ranksPath, "rank_version")
+      null
+    }
+    ()
   }
 
   /** Partition-pruned serve of ONE committed rank version from a

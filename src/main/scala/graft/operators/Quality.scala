@@ -440,6 +440,9 @@ object Quality {
       .agg(sum(col("__t")).as("__n")).collect().map { r =>
         require(!r.isNullAt(0),
           s"$groupCol contains NULLs — AUC over an undefined group")
+        require(!r.isNullAt(1),
+          s"$scoreCol contains NULLs — an unscored row has no rank; " +
+            "filter or score upstream")
         (r.get(0), r.getLong(1), r.getLong(2))
       }
     // ASCENDING bucket order: the base of bucket b is the row mass of every
@@ -498,10 +501,13 @@ object Quality {
       scored.select(col(groupCol), col(scoreCol).cast("long").as("__s"),
         when(col(labelCol), 1L).otherwise(0L).as("__y")), eager = true)
     val mm = s.agg(min(col("__s")), max(col("__s"))).head()
-    if (mm.isNullAt(0))
-      return s.select(col(groupCol), col("__s").as("bin"),
+    if (mm.isNullAt(0)) {
+      val empty = s.select(col(groupCol), col("__s").as("bin"),
         col("__s").as("bin_lo_fp"), col("__s").as("n"),
         col("__s").as("n_pos")).limit(0)
+      graft.core.Storage.freeCheckpoint(s) // limit(0) folds to LocalRelation
+      return empty
+    }
     val lo = mm.getLong(0)
     val width = (((BigInt(mm.getLong(1)) - BigInt(lo)) / nBins) + 1)
       .min(BigInt(Long.MaxValue)).toLong
@@ -525,7 +531,10 @@ object Quality {
     */
   def confusionCounts(scored: DataFrame, groupCol: String, labelCol: String,
                       scoreCol: String): DataFrame = {
-    val pos = col(scoreCol) > 0L
+    // null-safe on BOTH inputs: an unscored row predicts negative (a
+    // bare `score > 0` is NULL on null scores and silently drops the row
+    // from every quadrant, breaking tp+fp+fn+tn == n)
+    val pos = coalesce(col(scoreCol) > 0L, lit(false))
     val y = coalesce(col(labelCol), lit(false))
     scored.groupBy(col(groupCol))
       .agg(sum(when(pos && y, 1L).otherwise(0L)).as("tp"),

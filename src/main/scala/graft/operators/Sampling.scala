@@ -437,7 +437,10 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"weights must be positive, got $weights")
     require(totalRows >= 1, s"totalRows must be >= 1, got $totalRows")
-    val wTotal = weights.values.sum
+    // BigInt END TO END: both the weight total and w·totalRows are
+    // caller-controlled, and a long wrap at either step would silently
+    // ship a wrong (or empty) mix; a quota past long range fails loud
+    val wTotal = weights.values.map(BigInt(_)).sum
     val (ranked, counts) = strataMdRank(
       df.filter(col(stratumCol).isin(weights.keySet.toSeq: _*)),
       idCol, stratumCol, salt, buckets)
@@ -445,10 +448,10 @@ object Sampling {
     require(missing.isEmpty,
       s"weighted strata with no rows: $missing — an epoch quota over nothing is unfillable")
     val plan = weights.toSeq.map { case (s, w) =>
-      // BigInt: w · totalRows is caller-controlled and overflow here would
-      // silently ship a wrong mix
-      val quota = (BigInt(w) * totalRows / wTotal).toLong
-      (s, quota / counts(s), quota % counts(s))
+      val quota = BigInt(w) * totalRows / wTotal
+      require(quota.isValidLong,
+        s"stratum $s quota $quota exceeds long range — lower totalRows")
+      (s, quota.toLong / counts(s), quota.toLong % counts(s))
     }
     val planDf = df.sparkSession.createDataFrame(plan)
       .toDF(stratumCol, "__epochs", "__rem")

@@ -1322,8 +1322,11 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 8,
       s"maxOrder must be in [1, 8], got $maxOrder")
+    // whitespace = space/tab/LF/CR (the chrF definition strips all
+    // whitespace, not just spaces — multi-line docs must not gain
+    // newline-spanning grams); enumerated class, no \s ambiguity
     df.select(col(idCol).as("id"),
-        regexp_replace(col(textCol), " ", "").as("s"))
+        regexp_replace(col(textCol), "[ \\t\\n\\r]", "").as("s"))
       .select(col("id"), col("s"),
         explode(sequence(lit(1L), lit(maxOrder.toLong))).as("ord"))
       // guard: sequence(1, stop) with stop < 1 generates DESCENDING —

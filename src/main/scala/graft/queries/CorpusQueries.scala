@@ -2880,9 +2880,13 @@ object CorpusQueries {
     // and the collapsed ratio.
     QueryDef(
       "e8_chrf",
-      s"""WITH cs AS (SELECT doc_id // 2 AS id, replace(text, ' ', '') AS s
+      s"""WITH cs AS (SELECT doc_id // 2 AS id,
+         |    replace(replace(replace(replace(text, ' ', ''),
+         |      chr(9), ''), chr(10), ''), chr(13), '') AS s
          |  FROM documents WHERE doc_id % 2 = 0),
-         |rs AS (SELECT doc_id // 2 AS id, replace(text, ' ', '') AS s
+         |rs AS (SELECT doc_id // 2 AS id,
+         |    replace(replace(replace(replace(text, ' ', ''),
+         |      chr(9), ''), chr(10), ''), chr(13), '') AS s
          |  FROM documents WHERE doc_id % 2 = 1),
          |cg AS (SELECT id, n AS ord, substr(s, i, n) AS gram,
          |    CAST(COUNT(*) AS BIGINT) AS cc

@@ -205,5 +205,17 @@ class ApproxOpsSpec extends SparkSpec {
         base.withColumn("w", lit(1L)), "g", "v", "w", 9, 10)
       .as[(String, Long, Long, Long)].collect().toSet
     assert(ones == unw)
+    // a group whose entire mass is zero has no rank to host: NO row, not
+    // a bogus (0, 0, min-value) one
+    val zeroed = Seq(("z", 5L, 0L), ("z", 9L, 0L), ("ok", 1L, 2L))
+      .toDF("g", "v", "w")
+    val zr = ApproxOps.exactGroupWeightedRank(zeroed, "g", "v", "w", 1, 2)
+      .as[(String, Long, Long, Long)].collect()
+    assert(zr.toSeq == Seq(("ok", 2L, 1L, 1L)))
+    // negative and null weights fail loud in-scan, never a wrong value
+    intercept[Exception] {
+      ApproxOps.exactGroupWeightedRank(
+        Seq(("a", 1L, -5L)).toDF("g", "v", "w"), "g", "v", "w", 1, 2).collect()
+    }
   }
 }

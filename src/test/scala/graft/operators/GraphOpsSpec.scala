@@ -54,7 +54,10 @@ class GraphOpsSpec extends SparkSpec {
       "/graft_authority_spec_" +
       spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val v0Corpus = docs.filter($"doc_id" <= 3L)
+    val storedBefore = spark.sparkContext.getPersistentRDDs.keySet
     GraphOps.refreshAuthority(v0Corpus, "doc_id", "text", 3, 2, 0L, path)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == storedBefore,
+      "a refresh must free every checkpoint it registered (periodic loops)")
     GraphOps.refreshAuthority(docs, "doc_id", "text", 3, 2, 1L, path)
     val before = GraphOps.serveAuthority(spark, path, 1L)
       .as[(Long, Long, Long)].collect().toSet

@@ -265,6 +265,13 @@ class QualitySpec extends SparkSpec {
   test("confusionCounts: quadrants partition each group; reconciles with rocAuc pos/neg") {
     val df = Seq(("a", true, 5L), ("a", true, -2L), ("a", false, 1L),
       ("a", false, 0L), ("b", true, 3L)).toDF("g", "y", "s")
+    // an unscored row predicts negative — it must land in a quadrant, not
+    // silently vanish from all four
+    val withNull = Seq(("c", Some(true), None: Option[Long]),
+      ("c", Some(false), Some(2L))).toDF("g", "y", "s")
+    val cn = Quality.confusionCounts(withNull, "g", "y", "s").collect().head
+    assert((cn.getLong(1), cn.getLong(2), cn.getLong(3), cn.getLong(4))
+      == ((0L, 1L, 1L, 0L)), "null score -> fn quadrant")
     val out = Quality.confusionCounts(df, "g", "y", "s")
       .as[(String, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap

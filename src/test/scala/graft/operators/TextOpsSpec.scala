@@ -882,6 +882,13 @@ class TextOpsSpec extends SparkSpec {
     assert(out((2L, 2L)) == (1L, 3L, 2L, 454545L))   // 5*1e6 // (8+3)
     assert(out((2L, 3L)) == (0L, 2L, 1L, 0L))
     assert(!out.contains((2L, 4L)) && !out.contains((1L, 5L)))
+    // ALL whitespace strips (chrF definition), not just spaces: a
+    // newline/tab-formatted candidate of the same content scores 1
+    val mc = Seq((9L, "ab\ncd\tef")).toDF("id", "text")
+    val mr = Seq((9L, "ab cd ef")).toDF("id", "text")
+    val mf = TextOps.chrF(mc, mr, "id", "text", 2)
+      .select($"f_fp").as[Long].collect()
+    assert(mf.nonEmpty && mf.forall(_ == 1000000L), mf.mkString(","))
     // beta = 2 weights recall: covering the reference beats being covered
     val c2 = Seq((3L, "ab"), (4L, "abcd")).toDF("id", "text")
     val r2 = Seq((3L, "abcd"), (4L, "ab")).toDF("id", "text")
