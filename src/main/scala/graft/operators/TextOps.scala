@@ -613,6 +613,52 @@ object TextOps {
       .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
   }
 
+  /** Best-SNIPPET extraction — the serve-time feature every FTS result
+    * page needs: per document, the fixed-width token window that best
+    * covers the query terms, scored lexicographically by (distinct terms
+    * covered, total term hits, earliest start) — all integers, so the
+    * chosen window is engine-exact. The optimal window must START at a
+    * term position (sliding left to the nearest hit never loses a term),
+    * so candidates are anchored there, never at every token. Returns
+    * (did, start, n_terms, n_hits) for documents with >= 1 hit; slice
+    * `[start, start + window)` out of the tokenized text to render.
+    *
+    * Scale shape: the postings fan-out keeps ONLY query-term hits
+    * (the phraseSearch discipline — text never shuffles, a 16-term cap
+    * bounds the in-scan filter); the anchor×hit join is per-document and
+    * bounded by hits² (query-term occurrences, not document length); the
+    * per-doc argmax plans as WindowGroupLimit (rank-1 prunes below the
+    * sort's exchange, the w2 shape).
+    */
+  def snippets(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, terms: Seq[String], window: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    require(window >= 1 && window <= 1000,
+      s"window must be in [1, 1000] tokens, got $window")
+    val termArr = array(terms.distinct.map(lit): _*)
+    // cut: the postings feed the anchor set AND the range join — one
+    // tokenize pass, not two (exchange reuse not guaranteed under AQE)
+    val posts = graft.core.Storage.cut(df
+      .select(col(idCol).as("did"),
+        posexplode(words(col(textCol))).as(Seq("pos", "tok")))
+      .filter(array_contains(termArr, col("tok")))
+      .select(col("did"), col("pos").cast("long").as("pos"), col("tok")),
+      eager = false)
+    val anchors = posts.select(col("did"), col("pos").as("start")).distinct()
+    val scored = anchors.join(posts, Seq("did"))
+      .filter(col("pos") >= col("start") &&
+        col("pos") < col("start") + window)
+      .groupBy(col("did"), col("start"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("did"))
+      .orderBy(col("n_terms").desc, col("n_hits").desc, col("start").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge any number
     * of top-k rankings — BM25 + vector ANN is the canonical hybrid-search
     * pair, but any (did, rank) frames fuse — by summing per-list credits

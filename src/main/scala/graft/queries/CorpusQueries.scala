@@ -1940,6 +1940,37 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Best-snippet extraction (TextOps.snippets): per doc the 8-token
+    // window best covering the query {join, hash, filter} —
+    // lexicographic (distinct terms, total hits, earliest start), all
+    // integers. Candidates anchor at term positions (an optimal window
+    // must start at one); only query-term postings shuffle; the per-doc
+    // argmax is the w2 WindowGroupLimit shape. The oracle replays
+    // postings, anchored windows and the tiebreak rank.
+    QueryDef(
+      "fts6_snippets",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(w))) AS t(i)
+        |  WHERE w[i] IN ('join', 'hash', 'filter')),
+        |a AS (SELECT DISTINCT did, pos AS start FROM p),
+        |s AS (SELECT a.did, a.start,
+        |    CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_terms,
+        |    COUNT(*) AS n_hits
+        |  FROM a JOIN p t ON a.did = t.did
+        |    AND t.pos >= a.start AND t.pos < a.start + 8
+        |  GROUP BY a.did, a.start),
+        |r AS (SELECT did, start, n_terms, n_hits,
+        |    ROW_NUMBER() OVER (PARTITION BY did
+        |      ORDER BY n_terms DESC, n_hits DESC, start) AS rn
+        |  FROM s)
+        |SELECT did, start, n_terms, n_hits FROM r WHERE rn = 1
+        |ORDER BY did""".stripMargin) { (s, d) =>
+      TextOps.snippets(Tables.documents(s, d), "doc_id", "text",
+          Seq("join", "hash", "filter"), window = 8)
+        .orderBy(col("did"))
+    },
+
     // Benchmark decontamination: corpus docs (doc_id % 7 <> 0) sharing any
     // word 3-gram with the "benchmark" slice (doc_id % 7 = 0) — the
     // test-set-leakage guard. Both sides reduce to distinct 48-bit gram

@@ -84,6 +84,8 @@ object DumpPlans {
     // the plan; ds5 executes writes like the other ds queries.
     "t22_quality_classifier", "e2_retrieval_metrics", "fts4_phrase_search",
     "t23_perplexity_buckets",
+    // fts6's query-term-only postings + per-doc WindowGroupLimit argmax
+    "fts6_snippets",
     // fn3's one-scan + fp-min window; dp2's single Expand cube; e3's
     // two vector-sum aggregates + label join. d26/ds7/ds8/m8/fts5/ds5/ds6
     // are omitted: components checkpoint-truncate or constructing them

@@ -865,6 +865,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("snippets: best window by (terms, hits, start), no-hit docs absent, WindowGroupLimit plan") {
+    val docs = Seq(
+      (1L, "x join y z hash w q filter"),       // anchor 1 covers all 3
+      (2L, "join join z z z z z z z hash"),     // hits tiebreak: [0,8) has 2
+      (3L, "nothing to see here"),              // no hits -> no row
+      (4L, "join z z z z z z z join")           // full tie -> earliest start
+    ).toDF("doc_id", "text")
+    val out = TextOps.snippets(docs, "doc_id", "text",
+        Seq("join", "hash", "filter"), window = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out == Map(1L -> (1L, 3L, 3L), 2L -> (0L, 1L, 2L),
+      4L -> (0L, 1L, 1L)))
+    val p = TextOps.snippets(docs, "doc_id", "text", Seq("join"), 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("chrF: whitespace-insensitive, clipped, recall-weighted — by hand") {
     // pair 1: identical after de-spacing -> F = 1 at every present order
     // pair 2: clipping caps repeated chars; ord 3 matches nothing; ord 4
