@@ -141,8 +141,13 @@ object Bench {
         // reported growth instead of suppressing, so a broadcast join
         // degrading to a shuffle join still fires (ADVICE r7 #1)
         case p if p == 0.0 && v >= minAbs => name -> v / minAbs
+        // ratio escape hatch on the absolute-delta guard: minDelta exists
+        // to mute ±0.4 s session noise on ~1 s queries, but it must not
+        // create an unbounded-ratio blind spot — a 0.2 s -> 0.9 s (4.5x)
+        // real regression stays under any sane delta forever. Past 3x the
+        // prior, flag regardless of delta.
         case p if math.max(p, v) >= minAbs && p > 0 && v > p * factor &&
-            v - p > minDelta =>
+            (v - p > minDelta || v > p * 3.0) =>
           name -> v / p
       }
     }

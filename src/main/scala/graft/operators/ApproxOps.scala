@@ -74,7 +74,8 @@ object ApproxOps {
                             qNum: Long, qDen: Long, buckets: Int): DataFrame = {
     require(qNum >= 1 && qNum <= qDen,
       s"quantile must be in (0, 1]: got $qNum/$qDen")
-    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val nBuckets =
+      if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
     val keyed = graft.core.Storage.cut(
       df.select(col(grpCol).cast("string").as("grp"),
         col(valCol).cast("long").as("__k"), weight.as("__w")),
@@ -85,9 +86,11 @@ object ApproxOps {
         .withColumnRenamed("__k", "val")
         .select(col("grp"), col("n"), col("rank"), col("val")).limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    // overflow-safe width + bucket index (hi−lo wraps a Long for
+    // adversarial value ranges; BucketMath widens to DECIMAL(38,0) there)
+    val width = graft.core.BucketMath.widthFor(lo, hi, nBuckets)
     val withB = keyed.withColumn("__kb",
-      ((col("__k") - lit(lo)) / lit(width)).cast("long"))
+      graft.core.BucketMath.bucketOf("__k", lo, hi, width))
     val counts = withB.groupBy(col("grp"), col("__kb"))
       .agg(sum(col("__w")).as("__n")).collect().map { r =>
         require(!r.isNullAt(0),

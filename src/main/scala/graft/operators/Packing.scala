@@ -155,12 +155,13 @@ object Packing {
         round(col("sum_spread").cast("double") / col("n_packs"), 6)
           .as("mean_spread"))
 
-  /** Explicit `buckets` if positive, else one bucket per input partition —
-    * the per-bucket window-sort slice then tracks partition size (task-sized
-    * by definition) instead of corpus/constant.
+  /** Explicit `buckets` if positive, else the session's declared
+    * parallelism (planner-free — no `.rdd` physical re-plan just to read a
+    * partition count); either way the per-bucket window-sort slice tracks
+    * corpus/buckets instead of corpus/constant.
     */
   private[operators] def bucketCountFor(df: DataFrame, buckets: Int): Int =
-    if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
 
   private def packColumns(df: DataFrame, start: org.apache.spark.sql.Column,
                           packSize: Long): DataFrame =

@@ -407,7 +407,7 @@ object Quality {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val nBuckets =
-      if (buckets > 0) buckets else math.max(scored.rdd.getNumPartitions, 1)
+      if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(scored)
     // tie-group sufficient statistics; checkpoint-cut — feeds min/max, the
     // bucket-count collect AND the final pass (the tokenBudgetPerKey
     // determinism contract: one materialization, three readers)
@@ -419,6 +419,15 @@ object Quality {
       eager = true)
     val mm = g.agg(min(col("__s")), max(col("__s"))).head()
     if (mm.isNullAt(0)) {
+      // min skips nulls, so a null min means EITHER no rows OR all scores
+      // null — the latter must hit the same fail-loud contract as a
+      // partial-null input, not silently return an empty frame
+      if (!g.isEmpty) {
+        graft.core.Storage.freeCheckpoint(g)
+        throw new IllegalArgumentException(
+          s"$scoreCol contains NULLs — an unscored row has no rank; " +
+            "filter or score upstream")
+      }
       val empty = g.select(col("__g").as(groupCol), col("__t").as("pos"),
         col("__t").as("neg"), col("__t").cast(dec).as("auc_num"),
         col("__t").cast(dec).as("auc_den")).limit(0)
@@ -426,15 +435,13 @@ object Quality {
       return empty
     }
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    // integer bucket width via BigInt (hi−lo alone can overflow a long for
-    // adversarial score ranges); (s−lo) div width is monotone and equal
+    // overflow-safe bucket index: (s−lo) div width is monotone and equal
     // scores share a bucket, so base + local prefix IS the per-group prefix
-    // (exact integral DIV, the calibrationBins idiom — no decimal rounding
-    // caveat to reason about)
-    val width = (((BigInt(hi) - BigInt(lo)) / nBuckets) + 1)
-      .min(BigInt(Long.MaxValue)).toLong
+    // (exact integral DIV; BucketMath routes the offset through
+    // DECIMAL(38,0) when hi−lo exceeds Long range)
+    val width = graft.core.BucketMath.widthFor(lo, hi, nBuckets)
     val withB = g.withColumn("__kb",
-      expr(s"(__s - CAST($lo AS BIGINT)) div CAST($width AS BIGINT)"))
+      graft.core.BucketMath.bucketOf("__s", lo, hi, width))
     val keyField = withB.schema("__g").copy(name = "__g")
     val bucketCounts = withB.groupBy(col("__g"), col("__kb"))
       .agg(sum(col("__t")).as("__n")).collect().map { r =>
@@ -502,24 +509,34 @@ object Quality {
         when(col(labelCol), 1L).otherwise(0L).as("__y")), eager = true)
     val mm = s.agg(min(col("__s")), max(col("__s"))).head()
     if (mm.isNullAt(0)) {
+      // all-scores-null is a scoring bug, not an empty input (the rocAuc
+      // distinction): fail loud when rows exist
+      if (!s.isEmpty) {
+        graft.core.Storage.freeCheckpoint(s)
+        throw new IllegalArgumentException(
+          s"$scoreCol contains NULLs — an unscored row has no bin; " +
+            "filter or score upstream")
+      }
       val empty = s.select(col(groupCol), col("__s").as("bin"),
         col("__s").as("bin_lo_fp"), col("__s").as("n"),
         col("__s").as("n_pos")).limit(0)
       graft.core.Storage.freeCheckpoint(s) // limit(0) folds to LocalRelation
       return empty
     }
-    val lo = mm.getLong(0)
-    val width = (((BigInt(mm.getLong(1)) - BigInt(lo)) / nBins) + 1)
-      .min(BigInt(Long.MaxValue)).toLong
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = graft.core.BucketMath.widthFor(lo, hi, nBins)
     // exact integral division (Spark DIV == DuckDB //): a decimal `/` +
     // floor rounds the quotient at scale 6 first and can mis-bin a score
-    // sitting within 5e-7 of a bin edge — and `bin` is an OUTPUT column
+    // sitting within 5e-7 of a bin edge — and `bin` is an OUTPUT column.
+    // BucketMath widens the offset (and the bin_lo product) to
+    // DECIMAL(38,0) when hi−lo exceeds Long range.
     s.withColumn("bin",
-        expr(s"(__s - CAST($lo AS BIGINT)) div CAST($width AS BIGINT)"))
+        graft.core.BucketMath.bucketOf("__s", lo, hi, width))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
       .select(col(groupCol), col("bin"),
-        (lit(lo) + col("bin") * lit(width)).as("bin_lo_fp"),
+        graft.core.BucketMath.bucketLoOf("bin", lo, hi, width)
+          .as("bin_lo_fp"),
         col("n"), col("n_pos"))
   }
 

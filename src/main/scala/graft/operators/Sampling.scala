@@ -257,7 +257,7 @@ object Sampling {
                         budgetTokens: Long, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
-    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val nBuckets = if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
     // checkpoint-cut: the scored frame feeds two jobs (min/max + counts,
     // then the prefix join) — the shuffleOrder determinism contract.
     val cut = graft.core.Storage.cut(
@@ -373,7 +373,7 @@ object Sampling {
                            salt: String, buckets: Int)
       : (DataFrame, Map[String, Long]) = {
     import org.apache.spark.sql.expressions.Window
-    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val nBuckets = if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
     val width = Buckets / nBuckets + 1
     val withB = graft.core.Storage.cut(
       df.withColumn("__sk", bucket(col(idCol), salt))
@@ -643,7 +643,7 @@ object Sampling {
                       idCol: String, stageCol: String, salt: String,
                       buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val nBuckets = if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
     val width = Buckets / nBuckets + 1
     val withB = graft.core.Storage.cut(
       df.withColumn("__sk", bucket(col(idCol), salt))
@@ -717,7 +717,7 @@ object Sampling {
   def shuffleOrder(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                    idCol: String, salt: String, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nBuckets = if (buckets > 0) buckets else math.max(df.rdd.getNumPartitions, 1)
+    val nBuckets = if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
     val width = Buckets / nBuckets + 1
     // checkpoint-cut: the bucketed frame is executed TWICE (the driver-side
     // count collect below, then the final join) — without a materialization

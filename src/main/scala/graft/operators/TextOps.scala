@@ -930,15 +930,17 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nBuckets =
-      if (buckets > 0) buckets else math.max(keyed.rdd.getNumPartitions, 1)
+      if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(keyed)
     val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
     if (mm.isNullAt(0))
       return keyed.withColumn("r", lit(0L)).withColumn("bucket", lit(""))
         .limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (hi - lo) / nBuckets + 1)
-    val withB = keyed.withColumn("__kb", ((col("__k") - lit(lo)) / lit(width))
-      .cast("long"))
+    // overflow-safe width + bucket index (the shared BucketMath discipline:
+    // hi−lo past Long range routes the offset through DECIMAL(38,0))
+    val width = graft.core.BucketMath.widthFor(lo, hi, nBuckets)
+    val withB = keyed.withColumn("__kb",
+      graft.core.BucketMath.bucketOf("__k", lo, hi, width))
     val counts = withB.groupBy(col("grp"), col("__kb"))
       .agg(count(lit(1)).as("__n")).collect().map { r =>
         require(!r.isNullAt(0),
@@ -1428,7 +1430,13 @@ object TextOps {
         coalesce(col("matches"), lit(0L)).as("matches"),
         col("cand_total"), col("ref_total"))
       .withColumn("f_fp",
-        expr("5 * matches * 1000000 DIV (4 * ref_total + cand_total)"))
+        // widened to DECIMAL(38,0) BEFORE the products (the corpusBleu
+        // idiom): matches·5e6 wraps BIGINT past ~1.8e12 char-gram matches
+        // (a single multi-TB document) under non-ANSI arithmetic, as can
+        // 4·ref_total; the quotient ≤ 1.25e6 so BIGINT holds the result
+        expr("CAST((CAST(matches AS DECIMAL(38, 0)) * 5000000) div" +
+          " (4 * CAST(ref_total AS DECIMAL(38, 0)) + cand_total)" +
+          " AS BIGINT)"))
   }
 
   /** Corpus-level BLEU per group (Papineni et al. 2002 §2.3, uniform 1/N

@@ -148,4 +148,15 @@ class BenchSpec extends AnyFunSuite {
     val scaled = prior.map { case (k, v) => k -> v * 2.6 } // calibration ratio
     assert(Bench.regressionsAgainst(current, scaled, 1.5, 0.5).isEmpty)
   }
+
+  test("time gate: ratio escape hatch fires past 3x even under minDelta") {
+    // 0.3 s -> 1.0 s is 3.3x but delta 0.7 < 0.75 — must still flag
+    // (the minDelta guard otherwise makes fast queries unflaggable forever)
+    val regs = Bench.regressionsAgainst(Seq("q" -> 1.0),
+      Map("q" -> 0.3), 1.5, 0.25, minDelta = 0.75)
+    assert(regs.map(_._1) == Seq("q"), regs.toString)
+    // 1.0 -> 1.6 s: 1.6x, delta 0.6 < 0.75, ratio < 3x -> still quiet
+    assert(Bench.regressionsAgainst(Seq("q" -> 1.6),
+      Map("q" -> 1.0), 1.5, 0.25, minDelta = 0.75).isEmpty)
+  }
 }

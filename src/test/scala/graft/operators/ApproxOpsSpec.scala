@@ -218,4 +218,18 @@ class ApproxOpsSpec extends SparkSpec {
         Seq(("a", 1L, -5L)).toDF("g", "v", "w"), "g", "v", "w", 1, 2).collect()
     }
   }
+
+  test("exactGroupRank: full-Long value range (wide offsets) stays exact") {
+    // MaxValue − MinValue wraps a BIGINT offset — the DECIMAL wide path
+    // must keep buckets nonnegative so the driver walk finds true ranks
+    val df = Seq(("g", Long.MinValue), ("g", -5L), ("g", 0L),
+      ("g", 7L), ("g", Long.MaxValue)).toDF("k", "v")
+    val r = ApproxOps.exactGroupRank(df, "k", "v", 1, 2, buckets = 4)
+      .collect().head
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Long]("rank") == 3 &&
+      r.getAs[Long]("val") == 0L, r.toString)
+    val r2 = ApproxOps.exactGroupRank(df, "k", "v", 9, 10, buckets = 3)
+      .collect().head
+    assert(r2.getAs[Long]("val") == Long.MaxValue, r2.toString)
+  }
 }

@@ -57,14 +57,17 @@ class PackingSpec extends SparkSpec {
     assert(Packing.assignPacks(spark, empty, "id", "toks", 16).count() == 0)
   }
 
-  test("default bucket count scales with input partitions (no fixed-32 window slice)") {
+  test("default bucket count is planner-free session parallelism (no fixed-32 window slice)") {
     val rows = (0 until 4000).map(i => (i.toLong, (i % 9 + 1).toLong))
     def withParts(parts: Int) = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, parts)).toDF("id", "toks")
-    // the derived bucket count tracks input parallelism, so the per-bucket
-    // window-sort slice stays ~one partition's rows at any corpus size
-    assert(Packing.bucketCountFor(withParts(2), 0) == 2)
-    assert(Packing.bucketCountFor(withParts(16), 0) == 16)
+    // the derived bucket count is the session's declared parallelism —
+    // NOT df.rdd.getNumPartitions, which forces a second physical plan of
+    // the input just to read a count (r13 ADVICE) — so the per-bucket
+    // window-sort slice stays ~corpus/cores at any corpus size
+    val expected = math.max(spark.sparkContext.defaultParallelism, 1)
+    assert(Packing.bucketCountFor(withParts(2), 0) == expected)
+    assert(Packing.bucketCountFor(withParts(16), 0) == expected)
     assert(Packing.bucketCountFor(withParts(16), 7) == 7) // explicit wins
     // and the auto-derived layout is identical to an explicit-bucket run
     // (bucketing affects only parallelism, never the pack assignment)

@@ -292,4 +292,54 @@ class QualitySpec extends SparkSpec {
     val empty = Quality.rocAuc(df.limit(0), "g", "y", "s")
     assert(empty.collect().isEmpty)
   }
+
+  test("rocAuc/calibrationBins: all-null scores fail loud; truly empty stays empty") {
+    // min() skips nulls, so a null min is ambiguous — an input WITH rows
+    // whose scores are all null is a scoring bug and must hit the same
+    // fail-loud contract as a partial-null input, never return empty
+    val allNull = Seq(("a", true, None: Option[Long]),
+      ("a", false, None: Option[Long])).toDF("g", "y", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      Quality.rocAuc(allNull, "g", "y", "s").collect()
+    }
+    assert(e1.getMessage.contains("NULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.calibrationBins(allNull, "g", "y", "s", 4).collect()
+    }
+    assert(e2.getMessage.contains("NULL"))
+  }
+
+  test("rocAuc: full-Long score range (wide offsets) stays exact") {
+    // lo = Long.MinValue, hi = Long.MaxValue: the per-row BIGINT offset
+    // s − lo wraps (MaxValue − MinValue > Long.MaxValue) — the DECIMAL
+    // wide path must keep every bucket nonnegative and the prefix intact
+    val df = Seq(
+      ("a", false, Long.MinValue), ("a", true, -10L), ("a", false, 3L),
+      ("a", true, Long.MaxValue), ("a", false, Long.MaxValue - 1),
+      ("b", true, Long.MinValue + 1), ("b", false, Long.MaxValue)
+    ).toDF("g", "y", "s")
+    val got = Quality.rocAuc(df, "g", "y", "s", buckets = 4).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("pos"), r.getAs[Long]("neg"),
+        r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact)).toMap
+    // group a: pos {-10, MaxValue} vs neg {MinValue, 3, MaxValue-1}:
+    // 4 wins of 6 pairs, no ties -> num 8 / den 12
+    assert(got("a") == ((2L, 3L, 8L, 12L)), got("a").toString)
+    assert(got("b") == ((1L, 1L, 0L, 2L)), got("b").toString)
+  }
+
+  test("calibrationBins: full-Long score range bins nonnegative and reconciled") {
+    val df = Seq(("a", false, Long.MinValue), ("a", true, -1L),
+      ("a", true, Long.MaxValue)).toDF("g", "y", "s")
+    val out = Quality.calibrationBins(df, "g", "y", "s", nBins = 4)
+      .select($"bin", $"bin_lo_fp", $"n", $"n_pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // width = (2^64-1)/4+1 = 2^62: MinValue -> bin 0, -1 -> bin 1,
+    // MaxValue -> bin 3 (a wrapped offset would land negative)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 3L), out.mkString(","))
+    assert(out.map(_._3).sum == 3 && out.map(_._4).sum == 2)
+    assert(out.head._2 == Long.MinValue)
+    // bin 3 lower edge = MinValue + 3*2^62 = 2^62: the PRODUCT exceeds
+    // Long range even though the edge itself fits
+    assert(out.last._2 == 4611686018427387904L)
+  }
 }
