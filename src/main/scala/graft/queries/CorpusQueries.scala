@@ -1320,7 +1320,8 @@ object CorpusQueries {
           batch.select("doc_id", "text"), id, corpusPath, table, 8,
           pairsPath, "doc_id", "text", n = 3, threshold = 0.5)
       run(batchA, 0L)
-      run(batchA, 0L) // the retry foreachBatch delivers after a failure
+      // the retry foreachBatch delivers after a failure
+      graft.core.Timing.overhead { run(batchA, 0L) }
       run(batchB, 1L)
       s.read.parquet(pairsPath)
         .select(col("ida"), col("idb"), col("jaccard"),
@@ -1832,7 +1833,9 @@ object CorpusQueries {
       val b0 = docs.filter(col("doc_id") % 3 === 0)
       FtsIndex.ingestBm25Batch(b0, 0L, "doc_id", "text", name, nBuckets = 8)
       // injected retry: replay batch 0 over its already-written partitions
-      FtsIndex.ingestBm25Batch(b0, 0L, "doc_id", "text", name, nBuckets = 8)
+      graft.core.Timing.overhead {
+        FtsIndex.ingestBm25Batch(b0, 0L, "doc_id", "text", name, nBuckets = 8)
+      }
       FtsIndex.ingestBm25Batch(docs.filter(col("doc_id") % 3 === 1), 1L,
         "doc_id", "text", name, nBuckets = 8)
       FtsIndex.searchBm25(s, name, Seq("table", "hash", "merge"), k = 25)
@@ -2333,7 +2336,9 @@ object CorpusQueries {
         val p1 = ps.filter(col("stg") === 1)
         Dedup.mergeComponentsTable(s, table, p1)
         // injected replay: fold batch 1 in again after it already landed
-        Dedup.mergeComponentsTable(s, table, p1)
+        graft.core.Timing.overhead {
+          Dedup.mergeComponentsTable(s, table, p1)
+        }
         Dedup.mergeComponentsTable(s, table, ps.filter(col("stg") === 2))
         s.table(table)
       }.orderBy(col("sid"))
@@ -2387,8 +2392,10 @@ object CorpusQueries {
         Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45,
           name, nBuckets = 8)
         // injected retry: replay batch 0 after its partition landed
-        Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45,
-          name, nBuckets = 8)
+        graft.core.Timing.overhead {
+          Similarity.ingestSemBatch(b0, 0L, "vec_id", "embedding", 0.45,
+            name, nBuckets = 8)
+        }
         Similarity.ingestSemBatch(emb.filter(col("vec_id") % 8 === 4), 1L,
           "vec_id", "embedding", 0.45, name, nBuckets = 8)
         s.table(Similarity.semLabelsTable(name))
@@ -2898,7 +2905,9 @@ object CorpusQueries {
         "doc_id", "text", 3, 3, 0L, path)
       refreshAuthority(docs, "doc_id", "text", 3, 3, 1L, path)
       // injected retry: replay the v1 refresh over its landed partition
-      refreshAuthority(docs, "doc_id", "text", 3, 3, 1L, path)
+      graft.core.Timing.overhead {
+        refreshAuthority(docs, "doc_id", "text", 3, 3, 1L, path)
+      }
       serveAuthority(s, path, 0L).unionByName(serveAuthority(s, path, 1L))
         .orderBy(col("rank_version"), col("sid"))
     },
@@ -4132,7 +4141,9 @@ object CorpusQueries {
       import graft.streaming.EventStreams.noveltyIngestBatch
       noveltyIngestBatch(b0, 0L, table, 8, out, "doc_id", "text", 3)
       // injected retry: replay batch 0 after its append already landed
-      noveltyIngestBatch(b0, 0L, table, 8, out, "doc_id", "text", 3)
+      graft.core.Timing.overhead {
+        noveltyIngestBatch(b0, 0L, table, 8, out, "doc_id", "text", 3)
+      }
       noveltyIngestBatch(b1, 1L, table, 8, out, "doc_id", "text", 3)
       s.read.parquet(out)
         .select(col("sid"), col("n_grams"), col("n_novel"), col("novelty"),
@@ -4203,7 +4214,9 @@ object CorpusQueries {
       import graft.streaming.EventStreams.qualityGateBatch
       qualityGateBatch(b0, 0L, model, out, "doc_id", "text", 256)
       // injected retry: replay batch 0 over its already-written partition
-      qualityGateBatch(b0, 0L, model, out, "doc_id", "text", 256)
+      graft.core.Timing.overhead {
+        qualityGateBatch(b0, 0L, model, out, "doc_id", "text", 256)
+      }
       qualityGateBatch(b1, 1L, model, out, "doc_id", "text", 256)
       s.read.parquet(out)
         .select(col("did").as("doc_id"), col("score_fp"), col("pred"),
@@ -4269,11 +4282,16 @@ object CorpusQueries {
       qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, modelPath,
         "doc_id", "text", 256)
       // injected retry: replay the refresh after its write already landed
-      qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, modelPath,
-        "doc_id", "text", 256)
+      graft.core.Timing.overhead {
+        qualityRetrainBatch(seed.unionByName(b0), 1L, isPos, modelPath,
+          "doc_id", "text", 256)
+      }
       qualityServeVersioned(b1, 1L, modelPath, 1L, out, "doc_id", "text", 256)
       // injected retry on the serve too
-      qualityServeVersioned(b1, 1L, modelPath, 1L, out, "doc_id", "text", 256)
+      graft.core.Timing.overhead {
+        qualityServeVersioned(b1, 1L, modelPath, 1L, out, "doc_id", "text",
+          256)
+      }
       s.read.parquet(out)
         .select(col("did").as("doc_id"), col("score_fp"), col("pred"),
           col("ingest_batch").cast("long").as("ingest_batch"),
@@ -5297,8 +5315,10 @@ object CorpusQueries {
       // crashed foreachBatch attempt produces; must be invisible
       AnnIndex.ingestVectorBatch(batchA, 0L, "vec_id", "embedding",
         dim = 64, m = 8, name, nBuckets = 8)
-      AnnIndex.ingestVectorBatch(batchA, 0L, "vec_id", "embedding",
-        dim = 64, m = 8, name, nBuckets = 8)
+      graft.core.Timing.overhead {
+        AnnIndex.ingestVectorBatch(batchA, 0L, "vec_id", "embedding",
+          dim = 64, m = 8, name, nBuckets = 8)
+      }
       AnnIndex.ingestVectorBatch(batchB, 1L, "vec_id", "embedding",
         dim = 64, m = 8, name, nBuckets = 8)
       AnnIndex.searchIvfPq(emb.filter(col("vec_id") < 8), "vec_id",
@@ -5593,8 +5613,10 @@ object CorpusQueries {
       graft.operators.LmIndex.ingestLmBatch(
         docs.filter(col("doc_id") % 3 === 1), 1L, "text", 3, name, 8)
       // injected retry: replay batch 1 after its partition already landed
-      graft.operators.LmIndex.ingestLmBatch(
-        docs.filter(col("doc_id") % 3 === 1), 1L, "text", 3, name, 8)
+      graft.core.Timing.overhead {
+        graft.operators.LmIndex.ingestLmBatch(
+          docs.filter(col("doc_id") % 3 === 1), 1L, "text", 3, name, 8)
+      }
       graft.operators.LmIndex.ingestLmBatch(
         docs.filter(col("doc_id") % 3 === 2), 2L, "text", 3, name, 8)
       graft.operators.LmIndex.serveLmCounts(s, name, minCount = 3L)
