@@ -674,6 +674,69 @@ object Dedup {
           e => e("chunk_text")), "")).as("text_md5"))
   }
 
+  /** EXACT-SUBSTRING duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §4.1
+    * ExactSubstr): per document, the MAXIMAL token spans lying inside at
+    * least one substring of length >= `minTokens` tokens that occurs at
+    * >= 2 positions corpus-wide (within-document repeats count, as in the
+    * paper) — the spans ExactSubstr removes, without the suffix array.
+    * The relational identity doing the work: the union of all duplicated
+    * substrings of length >= k EQUALS the union of the k-token extents of
+    * duplicated k-grams (a duplicated substring of length >= k is a union
+    * of its duplicated k-grams; a duplicated k-gram is itself a duplicated
+    * substring of length k). So covered positions are exactly those whose
+    * k-gram occurs >= 2 times, and the maximal spans are runs of covered
+    * positions merged while consecutive k-extents overlap or touch.
+    *
+    * Output: (sid, span_start, span_end, span_tokens), 1-based INCLUSIVE
+    * token indices, one row per maximal span.
+    *
+    * Scale shape — why not the paper's suffix array, and why no
+    * seed-and-extend: a distributed suffix array globally sorts the corpus
+    * twice; CDC-anchor seed-and-extend generates candidate PAIRS that grow
+    * df^2 on hot anchors. This shape generates NO pairs: one (g)-keyed
+    * map-side-combinable count, one semi-join back on the same 8-byte
+    * key, one per-DOCUMENT window (doc-bounded — the fts6 discipline).
+    * Token text never shuffles: grams are hashed in-scan to the 48-bit
+    * fingerprint convention the whole d-family (and the DuckDB oracle)
+    * shares.
+    */
+  def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    // per-position k-gram hash with POSITION kept (the wordShinglesAll
+    // explode+slice idiom — no interpreted higher-order lambdas)
+    val pos = df
+      .select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+      .select(col("sid"), col("w"),
+        explode(when(size(col("w")) >= k,
+          sequence(lit(1), size(col("w")) - (k - 1)))).as("pos"))
+      .select(col("sid"), col("pos"),
+        hash48(array_join(slice(col("w"), col("pos"), lit(k)), " ")).as("g"))
+    val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val cov = pos.join(dup.select(col("g")), Seq("g"), "left_semi")
+      .select(col("sid"), col("pos"))
+    // gaps-and-islands over the k-length extents: every extent has the
+    // same length, so the union stays contiguous exactly while each next
+    // start is <= previous start + k (touching merges — coverage is
+    // gapless when extent n+1 begins the token after extent n ends)
+    val wDoc = Window.partitionBy(col("sid")).orderBy(col("pos"))
+    cov
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > k, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("sid"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("sid"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
   /** Corpus-level boilerplate detection: the fraction of a document's
     * distinct word n-grams that are "boilerplate" — appearing in at least
     * `minDf` distinct documents corpus-wide (headers, footers, templated

@@ -660,4 +660,19 @@ class PlanSpec extends SparkSpec {
     assert(causes(e).exists(_.getMessage != null) &&
       causes(e).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")), e)
   }
+
+  test("d30_exact_substr_spans: pair-free plan — no cartesian, per-DOC window, 8-byte gram keys") {
+    val p = plan("d30_exact_substr_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    // the covered-position semi-join keys on the 48-bit gram hash, never
+    // on gram text (token text must not shuffle at 100 TB)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("hashpartitioning(g#") || p.contains("Left keys [1]: [g#"), p)
+    // the islands window partitions by document — doc-bounded state, never
+    // a corpus-global sort (an empty partitionSpec would single-task it)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") || !p.contains("partitionSpec=[]"), p)
+    // dup-gram count combines map-side before its exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }

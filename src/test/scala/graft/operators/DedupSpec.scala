@@ -740,4 +740,78 @@ class DedupSpec extends SparkSpec {
       Set(1L, 2L, 3L, 10L, 11L), "bridged clusters must unify under min id")
     assert(merged.contains(30L -> 30L) && merged.contains(31L -> 30L))
   }
+
+  test("exactDupSpans: equals the brute-force duplicated-substring union on fixtures") {
+    // A & B share a 9-token run; C repeats a 5-token run of A; D repeats a
+    // 5-token run WITHIN itself (within-doc counts, per Lee et al.); E is
+    // unique. k = 5.
+    val k = 5
+    val docs = Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 u1 u2 c1 c2 c3 c4 c5 u3",
+      2L -> "b1 b2 a1 a2 a3 a4 a5 a6 a7 a8 a9 b3",
+      3L -> "c1 c2 c3 c4 c5 x1 x2 x3 x4 x5",
+      4L -> "d1 d2 d3 d4 d5 z9 d1 d2 d3 d4 d5",
+      5L -> "e1 e2 e3 e4 e5 e6 e7")
+    val got = Dedup.exactDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    // brute force BY DEFINITION (string compare, no hashing): a position is
+    // covered iff it lies inside some substring of length >= k occurring at
+    // >= 2 (doc, pos) locations corpus-wide; spans = maximal covered runs
+    val corpus = docs.map { case (id, t) => id -> t.split(" ") }
+    def occurrences(seq: Array[String]): Int = corpus.map { case (_, w) =>
+      (0 to w.length - seq.length).count(i =>
+        w.slice(i, i + seq.length).sameElements(seq))
+    }.sum
+    val expected = corpus.map { case (id, w) =>
+      val covered = (for {
+        l <- k to w.length; i <- 0 to w.length - l
+        if occurrences(w.slice(i, i + l)) >= 2
+        p <- i until (i + l)
+      } yield p).toSet
+      val spans = covered.toSeq.sorted
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        .map { case (s, e) => (s + 1L, e + 1L) }.toSet // 1-based inclusive
+      id -> spans
+    }.filter(_._2.nonEmpty).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // the hand-checkable shape: A [1,9]+[12,16], B [3,11], C [1,5],
+    // D [1,5]+[7,11], E absent
+    assert(got(1L) == Set((1L, 9L), (12L, 16L)))
+    assert(got(4L) == Set((1L, 5L), (7L, 11L)))
+    assert(!got.contains(5L))
+    // span_tokens = end - start + 1; docs shorter than k emit nothing
+    val short = Dedup.exactDupSpans(
+      Seq(6L -> "t1 t2 t3", 7L -> "t1 t2 t3").toDF("doc_id", "text"),
+      "doc_id", "text", k)
+    assert(short.collect().isEmpty)
+  }
+
+  test("exactDupSpans: touching extents merge into one span; adversarial gap stays split") {
+    // two duplicated 3-gram extents starting 3 apart TOUCH ([1,3] + [4,6]):
+    // one span; starting 4 apart leave a 1-token gap: two spans
+    val touch = Seq(
+      1L -> "p1 p2 p3 q1 q2 q3 y1 y2",
+      2L -> "p1 p2 p3 z0 z1 z2 z3 z4",
+      3L -> "q1 q2 q3 w0 w1 w2 w3 w4")
+    val gotT = Dedup.exactDupSpans(touch.toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(gotT(1L) == Set((1L, 6L)), gotT.toString)
+    val gap = Seq(
+      1L -> "p1 p2 p3 g0 q1 q2 q3 y1",
+      2L -> "p1 p2 p3 z0 z1 z2 z3 z4",
+      3L -> "q1 q2 q3 w0 w1 w2 w3 w4")
+    val gotG = Dedup.exactDupSpans(gap.toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(gotG(1L) == Set((1L, 3L), (5L, 7L)), gotG.toString)
+  }
 }
