@@ -120,7 +120,7 @@ object CorpusApp {
     val annotated = curated.withColumn("n_bpe_pieces",
       aggregate(
         transform(filter(split(col("text"), " "), w => length(w) > 0),
-          w => size(TextOps.bpeSegmentCol(w, pairs))),
+          w => size(TextOps.bpeSegment(w, pairs))),
         lit(0), (acc, x) => acc + x).cast("long"))
     (merges, annotated)
   }

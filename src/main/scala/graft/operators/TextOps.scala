@@ -220,11 +220,11 @@ object TextOps {
     * trainer's final state has them.
     *
     * Expression-size contract: each merge adds one fold layer, so this form
-    * suits small-to-mid merge tables (hundreds — analysis, tests, oracle
-    * parity). A production 30k-merge vocabulary should apply through the
-    * native greedy segmenter instead ([[subwordTokenCount]] /
-    * `plans.SubwordCount` with the trained pieces as the vocab), which is
-    * one codegen'd kernel regardless of vocabulary size.
+    * suits small merge tables ONLY (tests and the spec twin of the native
+    * kernel — each layer is an interpreted `aggregate`, and the plan tree
+    * grows per merge). Production paths apply through [[bpeSegment]]
+    * (`plans.BpeSegment`), one codegen'd kernel with identical semantics
+    * regardless of merge-table size.
     */
   def bpeSegmentCol(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, "")) { case (arr, (l, r)) =>
@@ -233,6 +233,16 @@ object TextOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
     }
+
+  /** Native BPE merge application ([[graft.plans.BpeSegment]]): identical
+    * segmentation to [[bpeSegmentCol]] — each merge one greedy
+    * left-to-right pass, in rank order; spec-asserted equal on the trained
+    * fixtures, random words, and the pair-reformation adversary — as ONE
+    * codegen'd kernel, so production-sized merge tables (30k) apply
+    * without the fold's expression-size limit.
+    */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.BpeSegment.bpeSegment(word, merges)
 
   def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
                 rounds: Int): org.apache.spark.sql.DataFrame = {

@@ -752,12 +752,15 @@ object CorpusQueries {
         .orderBy(col("rank"))
     },
 
-    // BPE APPLY (TextOps.bpeSegmentCol): segment every distinct corpus word
-    // with the 6 trained merges. The oracle is t14's final training state —
-    // st6 IS the segmentation of every word after 6 merges — so train and
-    // apply are hash-checked to agree exactly. The apply path is per-row
-    // fold algebra with the merges as literals: zero shuffle beyond the
-    // word distinct.
+    // BPE APPLY (TextOps.bpeSegment — the NATIVE kernel, plans/BpeSegment):
+    // segment every distinct corpus word with the 6 trained merges. The
+    // oracle is t14's final training state — st6 IS the segmentation of
+    // every word after 6 merges — so train and apply are hash-checked to
+    // agree exactly. The apply path is one codegen'd per-row kernel with
+    // the merges as plan constants (vocab-size-independent, so a 30k-merge
+    // production table applies through the same plan): zero shuffle beyond
+    // the word distinct. The declarative fold (bpeSegmentCol) remains as
+    // the spec twin.
     QueryDef(
       "t15_bpe_segment",
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -778,7 +781,7 @@ object CorpusQueries {
         .filter(length(col("word")) > 0)
         .distinct()
         .select(col("word"),
-          TextOps.bpeSegmentCol(col("word"), merges).as("p"))
+          TextOps.bpeSegment(col("word"), merges).as("p"))
         .select(col("word"), size(col("p")).cast("long").as("n_pieces"),
           array_join(col("p"), " ").as("pieces"))
         .orderBy(col("word"))

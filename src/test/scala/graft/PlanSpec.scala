@@ -675,4 +675,13 @@ class PlanSpec extends SparkSpec {
     // dup-gram count combines map-side before its exchange
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("t15_bpe_segment: segmentation is ONE native kernel, not per-merge fold layers") {
+    val p = plan("t15_bpe_segment")
+    assert(p.contains("graft_bpe_segment"), p)
+    // the old declarative form left one interpreted aggregate(lambda...)
+    // layer per merge in the plan — at production vocab sizes that is an
+    // expression-tree explosion, so its absence IS the contract
+    assert(!p.contains("aggregate(lambda"), p)
+  }
 }

@@ -269,6 +269,50 @@ class TextOpsSpec extends SparkSpec {
     assert(out("ba") == Seq("b", "a")) // no rule matches
   }
 
+  test("bpeSegment (native) equals the fold on corpus words, adversaries, and edges") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val merges = TextOps.bpeMerges(docs, "text", rounds = 6)
+      .orderBy($"rank").select($"lft", $"rgt")
+      .as[(String, String)].collect().toSeq
+    val diff = docs.select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).distinct()
+      .select(TextOps.bpeSegment($"w", merges).as("a"),
+        TextOps.bpeSegmentCol($"w", merges).as("b"))
+      .filter(not($"a" === $"b"))
+    assert(diff.count() == 0, "native and fold must segment identically")
+    // pair-reformation adversary: rank-1 (x, ab) only FORMS after rank-2
+    // (a, b) fires. One pass per rank (the fold) does NOT reactivate the
+    // earlier rank -> [x, ab]; a GPT-2 min-rank loop would give [xab].
+    val advMerges = Seq(("x", "ab"), ("a", "b"))
+    val adv = Seq("xab").toDF("w")
+      .select(TextOps.bpeSegment($"w", advMerges).as("p"),
+        TextOps.bpeSegmentCol($"w", advMerges).as("q"))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(adv._1 == Seq("x", "ab") && adv._2 == adv._1, adv.toString)
+    // edges: empty word = one empty piece (split parity); empty merges =
+    // chars; both sides agree
+    val edges = Seq("", "abc").toDF("w")
+      .select($"w", TextOps.bpeSegment($"w", Seq.empty).as("p"),
+        TextOps.bpeSegmentCol($"w", Seq.empty).as("q"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    edges.foreach { case (w, p, q) => assert(p == q, s"'$w': $p vs $q") }
+    assert(edges.find(_._1 == "").get._2 == Seq(""))
+  }
+
+  test("bpeSegment (native) carries production-sized merge tables in one kernel") {
+    // 3000 merges — the regime where the fold's per-merge aggregate layers
+    // explode the expression tree; the native kernel is one plan node and
+    // per-word cost scales with APPLIED merges, not table size
+    val big = (0 until 2998).map(i => (s"q$i", s"z$i")) ++
+      Seq(("a", "b"), ("ab", "c"))
+    val out = Seq("abc", "abab", "zzz").toDF("w")
+      .select($"w", TextOps.bpeSegment($"w", big).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("abc") == Seq("abc"), out.toString)   // (a,b) then (ab,c)
+    assert(out("abab") == Seq("ab", "ab"))
+    assert(out("zzz") == Seq("z", "z", "z"))
+  }
+
   test("bigramNll: hand-checkable stupid backoff, context catches unigram-fluent loops") {
     // train: "x y x y x y" -> c1: x=3, y=3, N=6, V=2; c2: (x,y)=3, (y,x)=2
     val train = Seq((0L, "x y x y x y")).toDF("doc_id", "text")
