@@ -452,11 +452,16 @@ object EventStreams {
                        scoresOutPath: String, idCol: String, textCol: String,
                        nBuckets: Int): Unit = {
     import org.apache.spark.sql.functions.lit
-    val scores = graft.operators.TextOps.scoreQuality(
-      batch, idCol, textCol, model, nBuckets)
-    graft.sources.Sinks.overwriteRunPartition(
-      scores.withColumn("ingest_batch", lit(batchId)),
-      scoresOutPath, "ingest_batch")
+    // same lock + sweep posture as qualityRetrainBatch (see there)
+    graft.core.Storage.freeingIntermediates(batch.sparkSession) {
+      val scores = graft.operators.TextOps.scoreQuality(
+        batch, idCol, textCol, model, nBuckets)
+      graft.sources.Sinks.overwriteRunPartition(
+        scores.withColumn("ingest_batch", lit(batchId)),
+        scoresOutPath, "ingest_batch")
+      null
+    }
+    ()
   }
 
   /** MODEL-REFRESH half of the quality lifecycle (completing ds5's frozen
@@ -476,11 +481,22 @@ object EventStreams {
                           modelPath: String, idCol: String, textCol: String,
                           nBuckets: Int): Unit = {
     import org.apache.spark.sql.functions.lit
-    val model = graft.operators.TextOps.trainQualityModel(
-      train, idCol, textCol, isPositive, nBuckets)
-    graft.sources.Sinks.overwriteRunPartition(
-      model.withColumn("model_version", lit(version)),
-      modelPath, "model_version")
+    // freeingIntermediates, null result (the refreshAuthority posture):
+    // frees the trainer's checkpoint leaf once the version lands, AND
+    // serializes this versioned-lifecycle operator behind the session's
+    // single-operator lock — the documented concurrency contract, so a
+    // concurrent authority refresh (g2) cannot sweep this trainer's
+    // checkpoint mid-job (LifecycleConcurrencySpec exercises both
+    // lifecycles through TaskGraph.runParallel)
+    graft.core.Storage.freeingIntermediates(train.sparkSession) {
+      val model = graft.operators.TextOps.trainQualityModel(
+        train, idCol, textCol, isPositive, nBuckets)
+      graft.sources.Sinks.overwriteRunPartition(
+        model.withColumn("model_version", lit(version)),
+        modelPath, "model_version")
+      null
+    }
+    ()
   }
 
   /** Serve one micro-batch against a COMMITTED model version from
@@ -497,14 +513,19 @@ object EventStreams {
                             scoresOutPath: String, idCol: String,
                             textCol: String, nBuckets: Int): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    val model = batch.sparkSession.read.parquet(modelPath)
-      .filter(col("model_version") === version).drop("model_version")
-    val scores = graft.operators.TextOps.scoreQuality(
-        batch, idCol, textCol, model, nBuckets)
-      .withColumn("model_version", lit(version))
-    graft.sources.Sinks.overwriteRunPartition(
-      scores.withColumn("ingest_batch", lit(batchId)),
-      scoresOutPath, "ingest_batch")
+    // same lock + sweep posture as qualityRetrainBatch (see there)
+    graft.core.Storage.freeingIntermediates(batch.sparkSession) {
+      val model = batch.sparkSession.read.parquet(modelPath)
+        .filter(col("model_version") === version).drop("model_version")
+      val scores = graft.operators.TextOps.scoreQuality(
+          batch, idCol, textCol, model, nBuckets)
+        .withColumn("model_version", lit(version))
+      graft.sources.Sinks.overwriteRunPartition(
+        scores.withColumn("ingest_batch", lit(batchId)),
+        scoresOutPath, "ingest_batch")
+      null
+    }
+    ()
   }
 
   /** Newest committed model version in a [[qualityRetrainBatch]] store —
