@@ -78,7 +78,6 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampingFp >= 0 && dampingFp <= unit,
       s"dampingFp is parts-per-million in [0, $unit], got $dampingFp")
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val cut = graft.core.Storage.cut(_: DataFrame, _: Boolean)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     val e = cut(edges.join(deg, Seq("src")), true)
@@ -86,23 +85,55 @@ object GraphOps {
       .withColumn("rank_fp", lit(unit)), true)
     var i = 0
     while (i < iters) {
-      val in = e.join(ranks.select(col("sid").as("src"), col("rank_fp")),
-          Seq("src"))
-        .select(col("dst").as("sid"), expr("rank_fp div __d").as("__m"))
-        .groupBy(col("sid")).agg(sum(col("__m").cast(dec)).as("__s"))
       val prev = ranks
-      ranks = cut(prev.select(col("sid"))
-        .join(in, Seq("sid"), "left")
-        .withColumn("__s0", coalesce(col("__s"), lit(0L)).cast(dec))
-        .select(col("sid"),
-          (lit(unit - dampingFp) + expr(
-            s"CAST((__s0 * CAST($dampingFp AS DECIMAL(38,0))) div $unit AS BIGINT)"))
-            .as("rank_fp")), true)
+      ranks = cut(rankRound(e, prev, dampingFp), true)
       graft.core.Storage.freeCheckpoint(prev)
       i += 1
     }
     ranks
    }
+
+  /** One rank-update round over the degree-annotated checkpointed edge
+    * list `e` and the previous round's `ranks`: rank-in per dst as a
+    * map-side-combinable decimal sum, damping, left-join back to the node
+    * set. Shared by the [[pageRank]] loop and [[pageRankRoundForPlan]].
+    */
+  private def rankRound(e: DataFrame, ranks: DataFrame,
+                        dampingFp: Long): DataFrame = {
+    val unit = 1000000L
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val in = e.join(ranks.select(col("sid").as("src"), col("rank_fp")),
+        Seq("src"))
+      .select(col("dst").as("sid"), expr("rank_fp div __d").as("__m"))
+      .groupBy(col("sid")).agg(sum(col("__m").cast(dec)).as("__s"))
+    ranks.select(col("sid"))
+      .join(in, Seq("sid"), "left")
+      .withColumn("__s0", coalesce(col("__s"), lit(0L)).cast(dec))
+      .select(col("sid"),
+        (lit(unit - dampingFp) + expr(
+          s"CAST((__s0 * CAST($dampingFp AS DECIMAL(38,0))) div $unit AS BIGINT)"))
+          .as("rank_fp"))
+  }
+
+  /** ONE un-executed rank-update round over checkpointed state — the
+    * plan-inspection hook behind PLANS.md's g2 per-round section. The
+    * served g2 query's own plan is a partition-pruned parquet read (the
+    * refresh executes during construction); the per-round join is the
+    * part whose shape matters at scale: a scan of the CHECKPOINTED
+    * degree-annotated edge list (derivation edges are never re-derived
+    * per round), the dst-keyed map-side sum, and the node-set left join.
+    */
+  private[graft] def pageRankRoundForPlan(corpus: DataFrame, idCol: String,
+                                          textCol: String,
+                                          n: Int): DataFrame = {
+    val cut = graft.core.Storage.cut(_: DataFrame, _: Boolean)
+    val edges = derivationEdges(corpus, idCol, textCol, n)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val e = cut(edges.join(deg, Seq("src")), true)
+    val ranks = cut(corpus.select(col(idCol).as("sid")).distinct()
+      .withColumn("rank_fp", lit(1000000L)), true)
+    rankRound(e, ranks, 850000L)
+  }
 
   /** Versioned authority-rank REFRESH — the ds9 model-refresh discipline
     * applied to the graph family: recompute [[derivationEdges]] +
