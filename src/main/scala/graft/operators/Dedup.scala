@@ -737,6 +737,38 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
 
+  /** ExactSubstr REMOVAL — the apply half of [[exactDupSpans]] (Lee et al.
+    * 2022 cut every duplicated-substring occurrence from the training
+    * corpus): rebuild each document with all covered tokens removed and
+    * report (sid, n_tokens, n_kept, text_md5-of-kept-tokens). Documents
+    * with no duplicated span pass through (n_kept = n_tokens); a fully-
+    * duplicated document keeps zero tokens (md5 of the empty string) — the
+    * paper's acknowledged behavior, deliberately NOT keep-one-copy (that
+    * needs a global occurrence order; d1/d17 cover keep-first semantics).
+    *
+    * Scale shape: spans collapse to ONE array row per affected doc (spans
+    * are disjoint and doc-bounded), then a single sid-keyed left join puts
+    * them next to the text and the rebuild is per-row array algebra (the
+    * only corpus shuffle; with sparse duplication the span side is small
+    * and AQE broadcasts it, making the rebuild shuffle-free).
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int): DataFrame = {
+    val spans = exactDupSpans(df, idCol, textCol, minTokens)
+      .groupBy(col("sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
+    df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+      .join(spans, Seq("sid"), "left")
+      .withColumn("__kept",
+        when(col("__sp").isNull, col("w")).otherwise(expr(
+          "transform(filter(transform(w, (t, i) -> struct(t AS t, i+1 AS p))," +
+            " s -> !exists(__sp, sp -> s.p >= sp.span_start" +
+            " AND s.p <= sp.span_end)), s -> s.t)")))
+      .select(col("sid"), size(col("w")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(array_join(col("__kept"), " ")).as("text_md5"))
+  }
+
   /** Corpus-level boilerplate detection: the fraction of a document's
     * distinct word n-grams that are "boilerplate" — appearing in at least
     * `minDf` distinct documents corpus-wide (headers, footers, templated

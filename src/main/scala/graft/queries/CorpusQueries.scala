@@ -4830,6 +4830,44 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // ExactSubstr REMOVAL (Dedup.exactSubstrDedup): d30's spans applied —
+    // every covered token cut, documents rebuilt and md5'd (the d17
+    // rebuild discipline at arbitrary span length). Spans are disjoint, so
+    // the oracle's token->span range join matches at most once per token.
+    QueryDef(
+      "d31_exact_substr_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pos AS (SELECT doc_id, i AS pos,
+         |    ${sqlHash("array_to_string(w[i:i+14], ' ')", 12)} AS g
+         |  FROM w, unnest(generate_series(1, len(w) - 14)) AS t(i)),
+         |dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+         |cov AS (SELECT doc_id, pos FROM pos JOIN dup USING (g)),
+         |brk AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) > 15
+         |    THEN 1 ELSE 0 END AS b FROM cov),
+         |isl AS (SELECT doc_id, pos,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM brk),
+         |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e
+         |  FROM isl GROUP BY doc_id, isl),
+         |toks AS (SELECT doc_id, i AS pos, w[i] AS tok
+         |  FROM w, unnest(generate_series(1, len(w))) AS t(i)),
+         |kept AS (SELECT t.doc_id,
+         |    coalesce(string_agg(t.tok, ' ' ORDER BY t.pos), '') AS kt,
+         |    COUNT(t.tok) AS n_kept
+         |  FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+         |    AND t.pos BETWEEN sp.s AND sp.e
+         |  WHERE sp.doc_id IS NULL GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         |  md5(coalesce(kept.kt, '')) AS text_md5
+         |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text", 15)
+        .select(col("sid").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // PQ-ADC kNN (Similarity.pqTopK): 8 subspaces x 16 codes over the
     // 64-dim quantized vectors — candidates shrink to 8 codes each (32x vs
     // float), queries stay unquantized and rank candidates through a

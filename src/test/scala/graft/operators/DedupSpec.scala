@@ -814,4 +814,41 @@ class DedupSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
     assert(gotG(1L) == Set((1L, 3L), (5L, 7L)), gotG.toString)
   }
+
+  test("exactSubstrDedup: rebuild equals the brute-force covered-position cut") {
+    val k = 5
+    val docs = Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 u1 u2 c1 c2 c3 c4 c5 u3",
+      2L -> "b1 b2 a1 a2 a3 a4 a5 a6 a7 a8 a9 b3",
+      3L -> "c1 c2 c3 c4 c5 x1 x2 x3 x4 x5",
+      4L -> "d1 d2 d3 d4 d5 z9 d1 d2 d3 d4 d5",
+      5L -> "e1 e2 e3 e4 e5 e6 e7",
+      6L -> "f1 f2 f3 f4 f5", // fully duplicated with doc 7: keeps nothing
+      7L -> "f1 f2 f3 f4 f5")
+    val got = Dedup.exactSubstrDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val corpus = docs.map { case (id, t) => id -> t.split(" ") }
+    def occurrences(seq: Array[String]): Int = corpus.map { case (_, w) =>
+      (0 to w.length - seq.length).count(i =>
+        w.slice(i, i + seq.length).sameElements(seq))
+    }.sum
+    corpus.foreach { case (id, w) =>
+      val covered = (for {
+        l <- k to w.length; i <- 0 to w.length - l
+        if occurrences(w.slice(i, i + l)) >= 2
+        p <- i until (i + l)
+      } yield p).toSet
+      val kept = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id) == ((w.length.toLong, kept.length.toLong, md5)),
+        s"doc $id: ${got(id)}")
+    }
+    // the fully-duplicated pair keeps zero tokens (the paper's
+    // remove-every-occurrence semantics, not keep-one)
+    assert(got(6L)._2 == 0L && got(7L)._2 == 0L)
+  }
 }
