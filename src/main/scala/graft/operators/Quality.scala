@@ -578,4 +578,100 @@ object Quality {
           .otherwise("kept"))
       .select(col("sid"), col("verdict"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169 §3):
+    * per raw document the log importance ratio between a TARGET hashed
+    * n-gram bag model and the RAW pool's own, in exact micro-nats —
+    *
+    *   dsir_fp(d) = Σ_b c_b(d) · (ln((ct_b+1)/(T+m)) − ln((cr_b+1)/(R+m)))
+    *
+    * with c_b(d) the doc's feature count in bucket b, features = unigrams
+    * + bigrams hashed into m buckets (the paper's featurization, hashed
+    * with the corpus-wide 48-bit fingerprint convention), ct/cr the
+    * target/raw bucket totals, add-one smoothing over the dense bucket
+    * space. A high weight means "looks like the target distribution,
+    * unlike the raw pool" — the data-selection signal DSIR resamples by.
+    * Both lns are independent integer LnFp kernels (the t22/sm9
+    * discipline: one rounding each from exact integer operands), so the
+    * weight is engine-reproducible bit-for-bit.
+    *
+    * Scale shape (the t22 classifier posture): features hash to 8-byte
+    * bucket ids IN-SCAN (text never shuffles), both bucket-count
+    * aggregates combine map-side, the 2m-bucket model broadcasts, and the
+    * per-doc weight is one (sid, b)-count plus a broadcast join and a
+    * map-side sum. Raw features are checkpoint-cut once and feed both the
+    * pool counts and the per-doc counts. Zero-feature documents report
+    * (n_feats 0, dsir_fp 0) — an empty product's log is zero, not a gap.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    val m = nBuckets.toLong
+    val tc = dsirFeats(target, idCol, textCol, nBuckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rf = graft.core.Storage.cut(
+      dsirFeats(raw, idCol, textCol, nBuckets), eager = false)
+    val rc = rf.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val dense = raw.sparkSession.range(nBuckets).select(col("id").as("b"))
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = dense.agg(sum(col("ct")).as("tn"), sum(col("cr")).as("rn"))
+    val w = dense.crossJoin(broadcast(tot)).select(col("b"),
+      (ln(col("ct") + lit(1L), col("tn") + lit(m))
+        - ln(col("cr") + lit(1L), col("rn") + lit(m))).as("w_fp"))
+    val perDoc = rf.groupBy(col("sid"), col("b")).agg(count(lit(1)).as("c"))
+    val scored = perDoc.join(broadcast(w), Seq("b"))
+      .groupBy(col("sid"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("w_fp")).as("dsir_fp"))
+    raw.select(col(idCol).as("sid"))
+      .join(scored, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_fp"), lit(0L)).as("dsir_fp"))
+  }
+
+  /** DSIR selection: keep every document whose weight clears the exact
+    * ascending qNum/qDen order statistic of the weight multiset (3/4 =
+    * "the top quarter, ties kept") — deterministic where the paper's
+    * Gumbel top-k is randomized, and the threshold is a DATA ELEMENT from
+    * [[ApproxOps.exactGroupRank]]'s two-level walk (no corpus sort, no
+    * value buffer; the one-row collect is the IVF-centroid plan-time-
+    * constant posture).
+    */
+  def dsirSelect(weights: DataFrame, qNum: Long, qDen: Long): DataFrame = {
+    // checkpoint-cut: the weights lineage (two feature passes) feeds both
+    // the rank walk and the kept projection — one materialization, two
+    // readers (the rocAuc discipline); session sweep reclaims the leaf
+    val w = graft.core.Storage.cut(weights, eager = true)
+    val ranked = ApproxOps.exactGroupRank(
+      w.withColumn("__g", lit("all")), "__g", "dsir_fp", qNum, qDen)
+      .collect()
+    if (ranked.isEmpty) return w.withColumn("kept", lit(false)).limit(0)
+    val v = ranked.head.getAs[Long]("val")
+    w.withColumn("kept", col("dsir_fp") >= v)
+  }
+
+  /** Hashed DSIR features: unigrams + space-joined bigrams over the raw
+    * token positions (both parts non-empty), bucketed by the 48-bit
+    * fingerprint IN-SCAN — (sid, b) is all that ever shuffles.
+    */
+  private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int): DataFrame = {
+    val base = df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+    val uni = base.select(col("sid"), explode(col("w")).as("feat"))
+      .filter(length(col("feat")) > 0)
+    val bi = base
+      .select(col("sid"), col("w"),
+        explode(when(size(col("w")) >= 2,
+          sequence(lit(1), size(col("w")) - 1))).as("i"))
+      .select(col("sid"), element_at(col("w"), col("i")).as("l"),
+        element_at(col("w"), col("i") + 1).as("r"))
+      .filter(length(col("l")) > 0 && length(col("r")) > 0)
+      .select(col("sid"), concat(col("l"), lit(" "), col("r")).as("feat"))
+    uni.unionByName(bi).select(col("sid"),
+      (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
+  }
 }

@@ -119,6 +119,51 @@ object CorpusQueries {
        |${sqlLog2Fp(s"${t}pr", s"${t}dt", "key")},
        |${t}prior AS (SELECT $sqlLnMicroFromL AS prior_fp FROM ${t}prL)""".stripMargin
 
+  /** Hashed uni+bigram features of `documents WHERE where` — the DSIR
+    * featurization (Quality.dsirFeats twin): unigrams with len > 0, plus
+    * space-joined bigrams over raw token positions with both parts
+    * non-empty, bucketed into 256 by the 48-bit fingerprint.
+    */
+  private def dsirFeatSql(where: String): String =
+    s"""SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+       |        FROM documents WHERE $where)
+       |  WHERE len(feat) > 0
+       |UNION ALL
+       |SELECT doc_id, ${sqlHash("w[i] || ' ' || w[i+1]", 12)} % 256 AS b
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE $where) tw,
+       |    unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |  WHERE len(w[i]) > 0 AND len(w[i+1]) > 0""".stripMargin
+
+  /** Mirror of Quality.dsirWeights (target = documents WHERE `targetWhere`,
+    * raw = all documents): emits CTEs up to `sc`(doc_id, n_feats, dsir_fp)
+    * — the per-doc exact micro-nat log importance ratio between the dense
+    * add-one-smoothed target and raw bucket models, every ln through the
+    * LnFp twin. Requires `pow2Cte` in scope.
+    */
+  private def dsirWeightCtes(targetWhere: String): String =
+    s"""dtf AS (${dsirFeatSql(targetWhere)}),
+       |drf AS (${dsirFeatSql("TRUE")}),
+       |dtc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM dtf GROUP BY b),
+       |drc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM drf GROUP BY b),
+       |ddn AS (SELECT g.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |  FROM generate_series(0, 255) g(b)
+       |  LEFT JOIN dtc ON dtc.b = g.b LEFT JOIN drc ON drc.b = g.b),
+       |dtt AS (SELECT SUM(ct) AS tn, SUM(cr) AS rn FROM ddn),
+       |dwin AS (SELECT b * 2 AS key, CAST(ct + 1 AS BIGINT) AS p,
+       |    CAST(tn + 256 AS BIGINT) AS q FROM ddn CROSS JOIN dtt
+       |  UNION ALL SELECT b * 2 + 1, CAST(cr + 1 AS BIGINT),
+       |    CAST(rn + 256 AS BIGINT) FROM ddn CROSS JOIN dtt),
+       |${sqlLog2Fp("dwl", "dwin", "key")},
+       |dwm AS (SELECT key, $sqlLnMicroFromL AS micro FROM dwlL),
+       |dwt AS (SELECT p.key // 2 AS b, p.micro - n.micro AS w_fp
+       |  FROM dwm p JOIN dwm n ON n.key = p.key + 1 WHERE p.key % 2 = 0),
+       |dpd AS (SELECT doc_id, b, COUNT(*) AS c FROM drf GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |    CAST(SUM(c * w_fp) AS BIGINT) AS dsir_fp
+       |  FROM dpd JOIN dwt USING (b) GROUP BY doc_id)""".stripMargin
+
   /** Shared e7/e9/e10 oracle tail of [[qualityModelCtes]]: rescore EVERY
     * document with the "m"-tagged model and attach lang + the weak label —
     * the `scored(doc_id, lang, is_p, s)` frame the classifier evals read.
@@ -4865,6 +4910,55 @@ object CorpusQueries {
       Dedup.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text", 15)
         .select(col("sid").as("doc_id"), col("n_tokens"), col("n_kept"),
           col("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR importance weights (Quality.dsirWeights — Xie et al. 2023,
+    // arXiv:2302.03169): per document the exact micro-nat log importance
+    // ratio between the TARGET hashed uni+bigram bag model (quality
+    // sources, ds5's convention) and the raw pool's own — the
+    // data-selection signal DSIR resamples by. Every ln is the LnFp
+    // integer kernel; the oracle replays the dense 2x256-key ln table and
+    // the per-doc weighted sum in HUGEINT.
+    QueryDef(
+      "dsir1_importance_weights",
+      s"""WITH RECURSIVE $pow2Cte,
+         |${dsirWeightCtes("source IN ('src0','src1','src2','src3')")}
+         |SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         |  coalesce(sc.dsir_fp, 0) AS dsir_fp
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Quality.dsirWeights(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text", 256)
+        .select(col("sid").as("doc_id"), col("n_feats"), col("dsir_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR selection (Quality.dsirSelect): keep every document whose
+    // weight clears the exact ascending 3/4 order statistic — ties kept,
+    // deterministic where the paper's Gumbel top-k randomizes; the
+    // threshold is a data element from the a14 two-level walk (no corpus
+    // sort). Oracle computes the same rank ceil(3n/4) by window.
+    QueryDef(
+      "dsir2_importance_selection",
+      s"""WITH RECURSIVE $pow2Cte,
+         |${dsirWeightCtes("source IN ('src0','src1','src2','src3')")},
+         |wts AS (SELECT d.doc_id, coalesce(sc.dsir_fp, 0) AS dsir_fp
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |thr AS (SELECT dsir_fp AS v FROM (
+         |    SELECT dsir_fp, ROW_NUMBER() OVER (ORDER BY dsir_fp) AS rn,
+         |      COUNT(*) OVER () AS n FROM wts)
+         |  WHERE rn = (3 * n + 3) // 4)
+         |SELECT w.doc_id, w.dsir_fp, w.dsir_fp >= thr.v AS kept
+         |FROM wts w CROSS JOIN thr ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Quality.dsirSelect(
+          graft.operators.Quality.dsirWeights(docs,
+            docs.filter(col("source").isin("src0", "src1", "src2", "src3")),
+            "doc_id", "text", 256), 3, 4)
+        .select(col("sid").as("doc_id"), col("dsir_fp"), col("kept"))
         .orderBy(col("doc_id"))
     },
 

@@ -342,4 +342,40 @@ class QualitySpec extends SparkSpec {
     // Long range even though the edge itself fits
     assert(out.last._2 == 4611686018427387904L)
   }
+
+  test("dsirWeights: exact hand-computed log ratio; zero-feature doc reports 0") {
+    import graft.plans.LnFp
+    val target = Seq((10L, "x x")).toDF("doc_id", "text")
+    val raw = Seq((1L, "x x"), (2L, "y y"), (3L, "")).toDF("doc_id", "text")
+    val got = Quality.dsirWeights(raw, target, "doc_id", "text", 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // replay the definition exactly: features = unigrams + bigrams,
+    // buckets via the same 48-bit hash, every ln the LnFp kernel
+    val b = Seq("x", "y", "x x", "y y").toDF("f")
+      .select($"f", (graft.operators.Dedup.hash48($"f") % 256).as("b"))
+      .as[(String, Long)].collect().toMap
+    val tFeats = Seq("x", "x", "x x").map(b)
+    val rFeats = Seq("x", "x", "x x", "y", "y", "y y").map(b)
+    val ct = tFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = rFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(bk: Long): Long =
+      LnFp.lnMicro(ct.getOrElse(bk, 0L) + 1, tFeats.size + 256L) -
+        LnFp.lnMicro(cr.getOrElse(bk, 0L) + 1, rFeats.size + 256L)
+    val exp1 = 2 * w(b("x")) + w(b("x x"))
+    val exp2 = 2 * w(b("y")) + w(b("y y"))
+    assert(got(1L) == ((3L, exp1)), s"${got(1L)} vs (3, $exp1)")
+    assert(got(2L) == ((3L, exp2)), s"${got(2L)} vs (3, $exp2)")
+    assert(got(3L) == ((0L, 0L)), "empty doc: zero features, zero weight")
+    assert(exp1 > exp2, "target-like doc must outscore the non-target doc")
+  }
+
+  test("dsirSelect: exact quantile threshold keeps the top quarter, ties kept") {
+    val wts = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 20L), (4L, 1L, 30L))
+      .toDF("sid", "n_feats", "dsir_fp")
+    // n=4, ascending rank ceil(3*4/4)=3 -> threshold value 20; ties kept
+    val kept = Quality.dsirSelect(wts, 3, 4)
+      .filter($"kept").select($"sid").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), kept.toString)
+    assert(Quality.dsirSelect(wts.limit(0), 3, 4).collect().isEmpty)
+  }
 }
