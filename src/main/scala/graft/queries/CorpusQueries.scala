@@ -2516,6 +2516,40 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // BINARY sign-bit ANN (Similarity.binarySignTopK — the FAISS
+    // binary-index pattern): 64 dims pack to ONE long, Hamming shortlist
+    // (xor + popcount, 8 bytes/vector moved), exact-cosine rerank of the
+    // 4k-deep shortlist. The oracle packs the same signatures with bit_or
+    // (the j=64 sign bit as a literal — DuckDB's shift is overflow-checked
+    // where the JVM's wraps) and replays shortlist + rerank tiebreaks.
+    QueryDef(
+      "s25_binary_sign_knn",
+      s"""WITH $quantVecCte,
+         |sg AS (SELECT sid, bit_or(CASE WHEN qv[j] > 0 THEN
+         |      CASE WHEN j = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+         |        ELSE CAST(1 AS BIGINT) << (j - 1) END
+         |    ELSE CAST(0 AS BIGINT) END) AS sig
+         |  FROM v, unnest(generate_series(1, 64)) AS t(j) GROUP BY sid),
+         |q AS (SELECT sid AS qid, sig AS qsig FROM sg WHERE sid < 8),
+         |sl AS (SELECT qid, nid, hamming FROM (
+         |    SELECT q.qid, s.sid AS nid,
+         |      CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT) AS hamming,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY bit_count(xor(s.sig, q.qsig)), s.sid) AS rn
+         |    FROM sg s CROSS JOIN q WHERE s.sid <> q.qid) WHERE rn <= 20),
+         |re AS (SELECT sl.qid, sl.nid, sl.hamming,
+         |    ${sqlCosine("qv2.qv", "cv.qv")} AS cosine
+         |  FROM sl JOIN v cv ON cv.sid = sl.nid JOIN v qv2 ON qv2.sid = sl.qid)
+         |SELECT qid, nid, hamming, cosine, rank FROM (
+         |  SELECT qid, nid, hamming, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM re) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.binarySignTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", dim = 64, k = 5, rerank = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Hard-negative mining (Similarity.hardNegatives): per query, the
     // top-5 highest-cosine corpus vectors with a DIFFERENT label — the
     // contrastive-training negatives a dual encoder needs. Same quantized
