@@ -1762,6 +1762,106 @@ object TextOps {
         when(col("n_bigrams") > 0, expr("(-ll_fp) div n_bigrams")))
   }
 
+  /** Stupid Backoff doc scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation", EMNLP 2007 §4): the LM scoring rule
+    * that paper built FOR distributed counting — no discounting, no
+    * continuation counts, no normalization; relative frequencies with a
+    * fixed backoff penalty α = 0.4:
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)        if the trigram was seen
+    *               = α·c(w2w3)/c(w2)          elif its bigram was seen
+    *               = α²·(c(w3)+1)/(N+U)      else (add-one unigrams — the
+    *                 paper leaves OOV unspecified; the knDocScore
+    *                 else-branch convention keeps scores finite)
+    *
+    * Every score is an exact fixed-point integer: p_fp = ⌊S·1e12⌋ with α
+    * folded in as the exact rational 2/5 (α² = 4/25) inside ONE
+    * DECIMAL(38,0) integral division, then ln through the LnFp kernel —
+    * bit-reproducible. Complements the KN family (lm2–lm4): KN is the
+    * QUALITY model, Stupid Backoff the THROUGHPUT one — at 100 TB its
+    * whole model build is a count aggregate (lm1's shape), nothing else.
+    *
+    * Output per scored doc: (doc_id, n_trigrams, ll_fp, avg_nll_micro);
+    * docs under 3 tokens score 0 trigrams and a NULL average.
+    *
+    * Scale shape (the knDocScore posture): train collapses to three
+    * map-side-combinable count tables; scored docs reduce to distinct
+    * trigram TYPES before the probability join chain (per-doc
+    * multiplicity k rejoins after the ln), so the chain runs once per
+    * type, never per occurrence.
+    */
+  def stupidBackoffDocScore(train: org.apache.spark.sql.DataFrame,
+                            score: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    def tris(df: org.apache.spark.sql.DataFrame,
+             extra: Seq[(Column, String)]) = {
+      val names = extra.map { case (_, n) => col(n) }
+      df.select(extra.map { case (c, n) => c.as(n) } :+
+          words(col(textCol)).as("w"): _*)
+        .select(names :+ explode(when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2), i =>
+            struct(element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + 1).as("w2"),
+              element_at(col("w"), i + 2).as("w3"))))
+          .otherwise(array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>")))
+          .as("g"): _*)
+        .select(names ++ Seq(col("g.w1"), col("g.w2"), col("g.w3")): _*)
+    }
+    val toks = train.select(explode(words(col(textCol))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("nn"),
+      (count(lit(1)) + lit(1L)).as("uu"))
+    val bi = train.select(words(col(textCol)).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val tri = tris(train, Seq.empty).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val db = tris(score, Seq(col(idCol) -> "did"))
+      .groupBy(col("did"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+    val lnp = db.select(col("w1"), col("w2"), col("w3")).distinct()
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c").as("b12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c").as("b23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("u2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c").as("u3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"), expr("""CASE
+        WHEN c3 IS NOT NULL THEN CAST(
+          (CAST(c3 AS DECIMAL(38, 0)) * 1000000000000)
+            div CAST(b12 AS DECIMAL(38, 0)) AS BIGINT)
+        WHEN b23 IS NOT NULL THEN CAST(
+          (CAST(b23 AS DECIMAL(38, 0)) * 2000000000000)
+            div (CAST(u2 AS DECIMAL(38, 0)) * 5) AS BIGINT)
+        ELSE CAST(
+          (CAST(coalesce(u3, 0) + 1 AS DECIMAL(38, 0)) * 4000000000000)
+            div (CAST(nn + uu AS DECIMAL(38, 0)) * 25) AS BIGINT)
+        END""").as("p_fp"))
+      .select(col("w1"), col("w2"), col("w3"),
+        ln(greatest(col("p_fp"), lit(1L)), lit(1000000000000L)).as("lnp"))
+    val dl = db.join(lnp, Seq("w1", "w2", "w3"))
+      .groupBy(col("did"))
+      .agg(sum(col("k")).as("n_trigrams"), sum(col("k") * col("lnp")).as("ll_fp"))
+    score.select(col(idCol).as("doc_id"))
+      .join(dl.withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("ll_fp"), lit(0L)).as("ll_fp"))
+      .withColumn("avg_nll_micro",
+        when(col("n_trigrams") > 0, expr("(-ll_fp) div n_trigrams")))
+  }
+
   /** Hashing-trick unigram featurizer shared by train and serve: explodes
     * `textCol` into one (…, b) row per token OCCURRENCE (counts matter
     * downstream), b = 48-bit md5 of the token mod nBuckets. All other

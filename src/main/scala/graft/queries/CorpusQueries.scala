@@ -5784,6 +5784,70 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // STUPID BACKOFF doc scoring (TextOps.stupidBackoffDocScore — Brants
+    // et al. 2007 §4, the LM built FOR distributed counting): trigram
+    // relative frequency, α = 0.4 per backoff level folded in as the
+    // exact rational 2/5 (α² = 4/25), add-one unigrams at the floor. Same
+    // train/score split as lm4; the oracle replays the three count tables,
+    // the CASE chain in HUGEINT and every ln through the LnFp twin.
+    QueryDef(
+      "lm7_stupid_backoff",
+      s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tu AS (SELECT unnest(w.w) AS wd FROM w WHERE doc_id % 3 <> 0),
+         |uni AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM tu GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+         |    CAST(COUNT(*) + 1 AS BIGINT) AS uu FROM uni),
+         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2),
+         |tt AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
+         |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+         |  FROM tt GROUP BY 1, 2, 3),
+         |st AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
+         |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)),
+         |db AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS k FROM st GROUP BY 1, 2, 3, 4),
+         |pt AS (SELECT DISTINCT w1, w2, w3 FROM db),
+         |pp AS (SELECT pt.w1, pt.w2, pt.w3, CASE
+         |    WHEN tc.c3 IS NOT NULL THEN CAST(
+         |      (CAST(tc.c3 AS HUGEINT) * 1000000000000)
+         |        // CAST(b12.c AS HUGEINT) AS BIGINT)
+         |    WHEN b23.c IS NOT NULL THEN CAST(
+         |      (CAST(b23.c AS HUGEINT) * 2000000000000)
+         |        // (CAST(u2.c AS HUGEINT) * 5) AS BIGINT)
+         |    ELSE CAST(
+         |      (CAST(coalesce(u3.c, 0) + 1 AS HUGEINT) * 4000000000000)
+         |        // (CAST(nn + uu AS HUGEINT) * 25) AS BIGINT)
+         |    END AS p_fp
+         |  FROM pt LEFT JOIN tc USING (w1, w2, w3)
+         |    LEFT JOIN bc b12 ON b12.w1 = pt.w1 AND b12.w2 = pt.w2
+         |    LEFT JOIN bc b23 ON b23.w1 = pt.w2 AND b23.w2 = pt.w3
+         |    LEFT JOIN uni u2 ON u2.wd = pt.w2
+         |    LEFT JOIN uni u3 ON u3.wd = pt.w3
+         |    CROSS JOIN tot),
+         |l0 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS key,
+         |    greatest(p_fp, 1) AS p, CAST(1000000000000 AS BIGINT) AS q FROM pp),
+         |${sqlLog2Fp("lk", "l0", "key")},
+         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
+         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
+         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2 || ' ' || db.w3
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams,
+         |  coalesce(ll_fp, 0) AS ll_fp,
+         |  CASE WHEN coalesce(n_trigrams, 0) > 0
+         |    THEN (-ll_fp) // n_trigrams END AS avg_nll_micro
+         |FROM documents d LEFT JOIN dl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.stupidBackoffDocScore(docs.filter(col("doc_id") % 3 =!= 0),
+          docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // EXACTLY-ONCE LM count-table maintenance (LmIndex): the corpus lands
     // as three micro-batches of (ord, gram, prev) sufficient statistics —
     // batch-partitioned (replays rewrite their partition; batch 1 IS

@@ -983,4 +983,28 @@ class TextOpsSpec extends SparkSpec {
     // smoothed to max(0,1)=1 of c=1 (ln 0), counted in n_smoothed
     assert(out("c") == (0L, 1L, 2L, 2L, 0L, 0L))
   }
+
+  test("stupidBackoffDocScore: all three backoff branches in exact LnFp integers") {
+    import graft.plans.LnFp
+    // train "a b c a b c": uni a/b/c = 2 each (N=6, U=4); bi (a,b)=2,
+    // (b,c)=2, (c,a)=1; tri (a,b,c)=2, (b,c,a)=1, (c,a,b)=1
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "x b c"), (12L, "q x z"),
+      (13L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffDocScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // seen trigram: S = c3/b12 = 2/2 = 1 -> ln 0
+    assert(got(10L) == ((10L, 1L, 0L, Some(0L))), got(10L).toString)
+    // backoff to seen bigram: S = 0.4 * b23/u2 = (2*2e12)/(2*5) = 4e11
+    val p11 = LnFp.lnMicro(400000000000L, 1000000000000L)
+    assert(got(11L)._2 == 1L && got(11L)._3 == p11, got(11L).toString)
+    // unseen everywhere: S = 0.16 * (u3+1)/(N+U) = 4e12/250 = 1.6e10
+    val p12 = LnFp.lnMicro(16000000000L, 1000000000000L)
+    assert(got(12L)._3 == p12, got(12L).toString)
+    // under 3 tokens: zero trigrams, NULL average
+    assert(got(13L) == ((13L, 0L, 0L, None)), got(13L).toString)
+    // the backoff ladder is monotone: seen > backed-off > unigram floor
+    assert(0L > p11 && p11 > p12)
+  }
 }
