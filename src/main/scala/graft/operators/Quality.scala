@@ -674,4 +674,51 @@ object Quality {
     uni.unionByName(bi).select(col("sid"),
       (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    * 2007) over quasi-identifier columns — the training-data compliance
+    * gate: an equivalence class (one distinct QI combination) re-identifies
+    * its members when it is small (|class| < k) and leaks its sensitive
+    * attribute when that attribute barely varies inside it
+    * (distinct-sensitive < l). ONE summary row:
+    * (n_rows, n_classes, min_class_size, n_small_classes, rows_at_risk,
+    * min_l_diversity, n_low_diversity, k_anonymous, l_diverse).
+    *
+    * Scale shape: one QI-keyed aggregate (count + exact distinct-sensitive,
+    * both partial-aggregating) then a class-table summary — classes are
+    * orders of magnitude fewer than rows, and nothing else crosses an
+    * exchange. NULL is a QI value like any other (a null-QI class can
+    * re-identify too); null sensitive values don't count toward diversity.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    kAnonClasses(df, qiCols, sensitiveCol)
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_classes"),
+        min(col("n")).as("min_class_size"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("l_div")).as("min_l_diversity"),
+        sum(when(col("l_div") < l, 1L).otherwise(0L)).as("n_low_diversity"))
+      .withColumn("k_anonymous", col("n_small_classes") === 0L)
+      .withColumn("l_diverse", col("n_low_diversity") === 0L)
+  }
+
+  /** The violating equivalence classes behind [[kAnonymityAudit]]'s
+    * summary — (qi..., n, l_div) for every class under k rows or under l
+    * distinct sensitive values. The actionable artifact (suppress or
+    * generalize exactly these); output is violation-sized, not row-sized.
+    */
+  def kAnonymityViolations(df: DataFrame, qiCols: Seq[String],
+                           sensitiveCol: String, k: Long,
+                           l: Long): DataFrame =
+    kAnonClasses(df, qiCols, sensitiveCol)
+      .filter(col("n") < k || col("l_div") < l)
+
+  private def kAnonClasses(df: DataFrame, qiCols: Seq[String],
+                           sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+  }
 }

@@ -3832,6 +3832,51 @@ object CorpusQueries {
         .orderBy(col("lang"), col("source"))
     },
 
+    // k-ANONYMITY / l-DIVERSITY audit (Quality.kAnonymityAudit — Sweeney
+    // 2002 / Machanavajjhala et al. 2007): QI = (event_type, ⌊value⌋),
+    // sensitive = user_id, k=5 / l=3. One QI-keyed aggregate then a
+    // class-table summary — the compliance gate a training-data release
+    // runs before shipping event-derived features.
+    QueryDef(
+      "dp3_k_anonymity",
+      """WITH cls AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS vb,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_div
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  MIN(n) AS min_class_size,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  MIN(l_div) AS min_l_diversity,
+        |  CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+        |  SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous,
+        |  SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) = 0 AS l_diverse
+        |FROM cls""".stripMargin) { (s, d) =>
+      graft.operators.Quality.kAnonymityAudit(
+        Tables.events(s, d).withColumn("vb", floor(col("value")).cast("long")),
+        Seq("event_type", "vb"), "user_id", k = 5, l = 3)
+    },
+
+    // The violating equivalence classes behind dp3 — the actionable
+    // artifact (suppress or generalize exactly these rows' QI values);
+    // output is violation-sized, never row-sized.
+    QueryDef(
+      "dp4_k_anon_violations",
+      """SELECT event_type, vb, n, l_div FROM (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS vb,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_div
+        |  FROM events GROUP BY 1, 2)
+        |WHERE n < 5 OR l_div < 3
+        |ORDER BY event_type, vb""".stripMargin) { (s, d) =>
+      graft.operators.Quality.kAnonymityViolations(
+          Tables.events(s, d).withColumn("vb", floor(col("value")).cast("long")),
+          Seq("event_type", "vb"), "user_id", k = 5, l = 3)
+        .select(col("event_type"), col("vb"), col("n"), col("l_div"))
+        .orderBy(col("event_type"), col("vb"))
+    },
+
     // Bigram stupid-backoff NLL (TextOps.bigramNll): the LM trains on the
     // EVEN docs and scores ALL docs, so held-out (odd) docs route unseen
     // transitions through the 0.4 x add-one-unigram backoff — n_unseen

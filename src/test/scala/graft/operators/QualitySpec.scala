@@ -378,4 +378,35 @@ class QualitySpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), kept.toString)
     assert(Quality.dsirSelect(wts.limit(0), 3, 4).collect().isEmpty)
   }
+
+  test("kAnonymityAudit: hand-checkable classes, null QI is a class, null sensitive ignored") {
+    val rows = Seq(
+      // class (a, 1): 3 rows, 2 distinct users -> small (k=5), diverse-ish
+      ("a", Some(1L), Some(100L)), ("a", Some(1L), Some(100L)),
+      ("a", Some(1L), Some(200L)),
+      // class (a, null): 5 rows, 1 distinct user -> k-ok, low diversity
+      ("a", None, Some(7L)), ("a", None, Some(7L)), ("a", None, Some(7L)),
+      ("a", None, Some(7L)), ("a", None, Some(7L)),
+      // class (b, 2): 1 row, sensitive NULL -> l_div 0
+      ("b", Some(2L), None)
+    ).toDF("et", "vb", "uid")
+    val s = Quality.kAnonymityAudit(rows, Seq("et", "vb"), "uid", 5, 2)
+      .collect().head
+    assert(s.getAs[Long]("n_rows") == 9 && s.getAs[Long]("n_classes") == 3)
+    assert(s.getAs[Long]("min_class_size") == 1)
+    assert(s.getAs[Long]("n_small_classes") == 2 &&
+      s.getAs[Long]("rows_at_risk") == 4)
+    assert(s.getAs[Long]("min_l_diversity") == 0 &&
+      s.getAs[Long]("n_low_diversity") == 2)
+    assert(!s.getAs[Boolean]("k_anonymous") && !s.getAs[Boolean]("l_diverse"))
+    val v = Quality.kAnonymityViolations(rows, Seq("et", "vb"), "uid", 5, 2)
+      .select($"et", $"vb", $"n", $"l_div")
+      .as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(v == Set(("a", Some(1L), 3L, 2L), ("a", None, 5L, 1L),
+      ("b", Some(2L), 1L, 0L)), v.toString)
+    // a compliant table passes both gates
+    val ok = (1 to 10).flatMap(u => Seq(("a", 1L, u.toLong))).toDF("et", "vb", "uid")
+    val so = Quality.kAnonymityAudit(ok, Seq("et", "vb"), "uid", 5, 2).collect().head
+    assert(so.getAs[Boolean]("k_anonymous") && so.getAs[Boolean]("l_diverse"))
+  }
 }
