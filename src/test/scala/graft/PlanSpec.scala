@@ -684,4 +684,36 @@ class PlanSpec extends SparkSpec {
     // expression-tree explosion, so its absence IS the contract
     assert(!p.contains("aggregate(lambda"), p)
   }
+
+  test("dsir1_importance_weights: windowless — broadcast model, map-side counts only") {
+    val p = plan("dsir1_importance_weights")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 2m-bucket model rides broadcast
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // partial+final x2 count paths
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s25_binary_sign_knn: shortlist caps via WindowGroupLimit; queries broadcast") {
+    val p = plan("s25_binary_sign_knn")
+    assert(p.contains("WindowGroupLimit"), p) // per-query hamming top-n, map-side capped
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p) // the 8-query cross is a broadcast NLJ
+  }
+
+  test("lm7_stupid_backoff: windowless type-level join chain (no per-doc or global sort)") {
+    val p = plan("lm7_stupid_backoff")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the totals row is the only single-partition aggregate and it rides a
+    // broadcast; the probability chain itself must never funnel
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("d31_exact_substr_dedup: rebuild is one sid-keyed join, no cartesian") {
+    val p = plan("d31_exact_substr_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // span arrays meet text on sid (one equi join); token text never
+    // enters the dup-gram exchanges (those carry g/pos only — d30's assert)
+    assert(p.contains("hashpartitioning(sid") || p.contains("Left keys [1]: [sid"), p)
+  }
 }
