@@ -10,16 +10,23 @@ import org.apache.spark.sql.functions.expr
   */
 object BucketMath {
 
-  /** Planner-free default bucket count: the session's declared parallelism,
-    * NOT `df.rdd.getNumPartitions` — reading a partition count off `.rdd`
-    * forces a second full physical planning + RDD conversion of the input
-    * (pure driver-side waste on every call) and can pin an extra lineage on
-    * a cached/checkpointed input. The bucket count only trades driver-state
-    * size against per-bucket task work (result invariance to it is
-    * property-tested), so any sane positive default serves.
+  /** Planner-free default bucket count: the larger of the session's
+    * declared parallelism and its shuffle-partition setting — NOT
+    * `df.rdd.getNumPartitions`, which forces a second full physical
+    * planning + RDD conversion of the input (pure driver-side waste on
+    * every call) and can pin an extra lineage on a cached/checkpointed
+    * input. Results are invariant to the count (property-tested); what it
+    * trades is driver state (groups x buckets longs) against per-bucket
+    * task size. `spark.sql.shuffle.partitions` is the knob clusters
+    * already size to their workload, so the default tracks deployment
+    * scale; a corpus far larger than the session's sizing should pass
+    * `buckets` explicitly (every two-level operator exposes it).
     */
-  def defaultBuckets(df: DataFrame): Int =
-    math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+  def defaultBuckets(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    math.max(math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism), 1)
+  }
 
   /** True when hi − lo exceeds Long.MaxValue, i.e. when a per-row BIGINT
     * offset `v − lo` can wrap (lo = Long.MinValue, v = Long.MaxValue → −1).

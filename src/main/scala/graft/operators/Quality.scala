@@ -529,9 +529,15 @@ object Quality {
     // floor rounds the quotient at scale 6 first and can mis-bin a score
     // sitting within 5e-7 of a bin edge — and `bin` is an OUTPUT column.
     // BucketMath widens the offset (and the bin_lo product) to
-    // DECIMAL(38,0) when hi−lo exceeds Long range.
+    // DECIMAL(38,0) when hi−lo exceeds Long range. PARTIAL nulls hit the
+    // same fail-loud contract as all-null (a silent NULL-bin row hid a
+    // 99%-null scorer; raise_error is codegen'd and free on the valid
+    // path — the exactGroupWeightedRank idiom)
     s.withColumn("bin",
-        graft.core.BucketMath.bucketOf("__s", lo, hi, width))
+        when(col("__s").isNull,
+          raise_error(lit(s"$scoreCol contains NULLs — an unscored row " +
+            "has no bin; filter or score upstream")))
+          .otherwise(graft.core.BucketMath.bucketOf("__s", lo, hi, width)))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
       .select(col(groupCol), col("bin"),
@@ -692,13 +698,20 @@ object Quality {
     */
   def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
                       sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    // empty input = vacuously compliant: the sums coalesce to 0 so the
+    // gate booleans are TRUE, never NULL (a release gate reading
+    // k_anonymous must get a verdict; min_* stay NULL — no classes exist)
     kAnonClasses(df, qiCols, sensitiveCol)
-      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_classes"),
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
         min(col("n")).as("min_class_size"),
-        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_classes"),
-        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+        coalesce(sum(when(col("n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_small_classes"),
+        coalesce(sum(when(col("n") < k, col("n")).otherwise(0L)), lit(0L))
+          .as("rows_at_risk"),
         min(col("l_div")).as("min_l_diversity"),
-        sum(when(col("l_div") < l, 1L).otherwise(0L)).as("n_low_diversity"))
+        coalesce(sum(when(col("l_div") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_low_diversity"))
       .withColumn("k_anonymous", col("n_small_classes") === 0L)
       .withColumn("l_diverse", col("n_low_diversity") === 0L)
   }

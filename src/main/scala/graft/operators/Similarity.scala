@@ -102,9 +102,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(dim >= 1 && dim <= 64, s"dim must be in [1, 64], got $dim")
     require(k >= 1 && rerank >= 1, s"k and rerank must be >= 1, got $k, $rerank")
+    // fail LOUD on a ragged vector at the signature stage, with the
+    // length in the message — the family contract (dotLong aborts on
+    // mismatched dims) would otherwise fire only for the data-dependent
+    // subset of ragged vectors that reach the rerank join, and an ANSI
+    // element_at abort would name an array index, not the actual bug
     def sigOf(qv: String): Column = expr(
-      s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, j) -> acc | " +
-        s"IF(element_at($qv, j + 1) > 0L, shiftleft(1L, j), 0L))")
+      s"IF(size($qv) = $dim, " +
+        s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, j) -> acc | " +
+        s"IF(element_at($qv, j + 1) > 0L, shiftleft(1L, j), 0L)), " +
+        s"raise_error(concat('binarySignTopK: vector length ', " +
+        s"CAST(size($qv) AS STRING), ' != dim $dim')))")
     val q1 = prepared(queries, idCol, vecCol)
       .select(col("sid").as("qid"), sigOf("qv").as("qsig"))
     val c1 = prepared(corpus, idCol, vecCol)

@@ -65,7 +65,9 @@ class PackingSpec extends SparkSpec {
     // NOT df.rdd.getNumPartitions, which forces a second physical plan of
     // the input just to read a count (r13 ADVICE) — so the per-bucket
     // window-sort slice stays ~corpus/cores at any corpus size
-    val expected = math.max(spark.sparkContext.defaultParallelism, 1)
+    val expected = math.max(math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism), 1)
     assert(Packing.bucketCountFor(withParts(2), 0) == expected)
     assert(Packing.bucketCountFor(withParts(16), 0) == expected)
     assert(Packing.bucketCountFor(withParts(16), 7) == 7) // explicit wins

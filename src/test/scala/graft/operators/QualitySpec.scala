@@ -307,6 +307,15 @@ class QualitySpec extends SparkSpec {
       Quality.calibrationBins(allNull, "g", "y", "s", 4).collect()
     }
     assert(e2.getMessage.contains("NULL"))
+    // PARTIAL nulls fail loud too (not a silent NULL-bin row): the error
+    // raises at execution, inside Spark's wrapper
+    val partial = Seq(("a", true, Some(5L)), ("a", false, None))
+      .toDF("g", "y", "s")
+    val e3 = intercept[Exception] {
+      Quality.calibrationBins(partial, "g", "y", "s", 4).collect()
+    }
+    assert((e3.getMessage + Option(e3.getCause).map(_.getMessage).getOrElse(""))
+      .contains("NULL"), e3.toString)
   }
 
   test("rocAuc: full-Long score range (wide offsets) stays exact") {
@@ -408,5 +417,11 @@ class QualitySpec extends SparkSpec {
     val ok = (1 to 10).flatMap(u => Seq(("a", 1L, u.toLong))).toDF("et", "vb", "uid")
     val so = Quality.kAnonymityAudit(ok, Seq("et", "vb"), "uid", 5, 2).collect().head
     assert(so.getAs[Boolean]("k_anonymous") && so.getAs[Boolean]("l_diverse"))
+    // empty input is vacuously compliant — the gate booleans must be
+    // DEFINED (true), never NULL, for a release gate to read
+    val se = Quality.kAnonymityAudit(rows.limit(0), Seq("et", "vb"), "uid",
+      5, 2).collect().head
+    assert(se.getAs[Long]("n_rows") == 0 && se.getAs[Long]("n_classes") == 0)
+    assert(se.getAs[Boolean]("k_anonymous") && se.getAs[Boolean]("l_diverse"))
   }
 }

@@ -863,6 +863,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L), out.mkString(","))
     assert(out.head._2 == 0L && out.head._3 == 1.0)
     assert(out(1)._2 == 1L && math.abs(out(1)._3 - 0.5) < 1e-12)
+    // ragged vector: the family's uniform-dim contract fails LOUD at the
+    // signature stage with the actual lengths — deterministically, not
+    // only when the ragged row happens to reach the rerank join
+    val ragged = Seq(mk(5L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.binarySignTopK(q, c.unionByName(ragged),
+        "vec_id", "embedding", dim = 4, k = 4, rerank = 1).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("vector length 2 != dim 4"), e.toString)
   }
 
   test("binarySignTopK: shortlist+rerank recovers most exact neighbors on the fixture") {
