@@ -69,11 +69,37 @@ object ApproxOps {
     groupRankCore(df, grpCol, valCol, checked, qNum, qDen, buckets)
   }
 
+  /** MULTIPLE exact per-group order statistics from ONE two-level walk —
+    * [[exactGroupRank]] amortized: a production length/score profile wants
+    * p25/p50/p75/p99 together, and every quantile shares the same
+    * (group, bucket) counts and the same target-bucket value counts, so k
+    * quantiles cost ONE bucket-count pass + ONE value resolve over the
+    * union of target buckets instead of k full walks. Output one row per
+    * group x quantile: (grp, q_num, q_den, n, rank, val) — each `val` is a
+    * data element at ascending rank ceil(q_num·n/q_den), exact, no
+    * interpolation, identical to the single-quantile operator by
+    * construction (spec-asserted).
+    */
+  def exactGroupQuantiles(df: DataFrame, grpCol: String, valCol: String,
+                          quantiles: Seq[(Long, Long)],
+                          buckets: Int = 0): DataFrame =
+    groupRanksCore(df, grpCol, valCol, lit(1L), quantiles, buckets)
+
   private def groupRankCore(df: DataFrame, grpCol: String, valCol: String,
                             weight: org.apache.spark.sql.Column,
-                            qNum: Long, qDen: Long, buckets: Int): DataFrame = {
-    require(qNum >= 1 && qNum <= qDen,
-      s"quantile must be in (0, 1]: got $qNum/$qDen")
+                            qNum: Long, qDen: Long, buckets: Int): DataFrame =
+    groupRanksCore(df, grpCol, valCol, weight, Seq((qNum, qDen)), buckets)
+      .drop("q_num", "q_den")
+
+  private def groupRanksCore(df: DataFrame, grpCol: String, valCol: String,
+                             weight: org.apache.spark.sql.Column,
+                             quantiles: Seq[(Long, Long)],
+                             buckets: Int): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile")
+    require(quantiles.forall { case (qn, qd) => qn >= 1 && qn <= qd },
+      s"every quantile must be in (0, 1]: got $quantiles")
+    require(quantiles.distinct.size == quantiles.size,
+      s"duplicate quantiles: $quantiles")
     val nBuckets =
       if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
     val keyed = graft.core.Storage.cut(
@@ -82,9 +108,11 @@ object ApproxOps {
       eager = true)
     val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
     if (mm.isNullAt(0))
-      return keyed.withColumn("n", lit(0L)).withColumn("rank", lit(0L))
+      return keyed.withColumn("q_num", lit(0L)).withColumn("q_den", lit(0L))
+        .withColumn("n", lit(0L)).withColumn("rank", lit(0L))
         .withColumnRenamed("__k", "val")
-        .select(col("grp"), col("n"), col("rank"), col("val")).limit(0)
+        .select(col("grp"), col("q_num"), col("q_den"), col("n"),
+          col("rank"), col("val")).limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     // overflow-safe width + bucket index (hi−lo wraps a Long for
     // adversarial value ranges; BucketMath widens to DECIMAL(38,0) there)
@@ -97,39 +125,58 @@ object ApproxOps {
           s"$grpCol contains NULLs — a per-group rank over them is undefined")
         (r.getString(0), r.getLong(1), r.getLong(2))
       }
-    // per group: total n, target rank r, the bucket holding rank r and the
-    // residual rank within it
+    // per (group, quantile): total n, target rank r, the bucket holding
+    // rank r and the residual rank within it — ALL quantiles walk the same
+    // per-group bucket prefix, computed once.
     // a group whose total mass is zero (all-zero weights) has NO rank to
     // host — emit no row for it rather than a bogus (n=0, rank=0, min-val)
-    val targets = counts.groupBy(_._1).toSeq.collect {
-      case (g, bs) if bs.map(_._3).sum > 0 =>
-        val n = bs.map(_._3).sum
-        val r = (qNum * n + qDen - 1) / qDen
+    val targets = counts.groupBy(_._1).toSeq.flatMap { case (g, bs) =>
+      val n = bs.map(_._3).sum
+      if (n <= 0) Seq.empty
+      else {
         var acc = 0L
-        val (b, base) = bs.sortBy(_._2).iterator.map { case (_, kb, m) =>
+        val pref = bs.sortBy(_._2).map { case (_, kb, m) =>
           val prev = acc; acc += m; (kb, prev, acc)
-        }.find(_._3 >= r).map(t => (t._1, t._2)).get
-        (g, n, r, b, r - base)
+        }
+        quantiles.zipWithIndex.map { case ((qn, qd), qi) =>
+          val r = (qn * n + qd - 1) / qd
+          val (b, base) = pref.find(_._3 >= r).map(t => (t._1, t._2)).get
+          (g, qi.toLong, n, r, b, r - base)
+        }
+      }
     }
     val tDf = broadcast(df.sparkSession
-      .createDataFrame(targets.map(t => (t._1, t._4, t._2, t._3, t._5)))
-      .toDF("grp", "__kb", "n", "rank", "__r"))
-    // value-level counts inside the target buckets only, cumulated on the
-    // driver: bucket-width-bounded per group
-    val vals = withB.join(tDf.select(col("grp"), col("__kb")), Seq("grp", "__kb"))
+      .createDataFrame(targets.map(t => (t._1, t._2, t._5, t._3, t._4)))
+      .toDF("grp", "__qi", "__kb", "n", "rank"))
+    // value-level counts inside the UNION of target buckets only,
+    // cumulated on the driver: bucket-width-bounded per group x quantile
+    val vals = withB.join(
+        tDf.select(col("grp"), col("__kb")).distinct(), Seq("grp", "__kb"))
       .groupBy(col("grp"), col("__k")).agg(sum(col("__w")).as("__c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val resolved = vals.groupBy(_._1).map { case (g, vs) =>
-      val rr = targets.find(_._1 == g).get._5
+    // a value row re-buckets on the driver with the same exact integer
+    // arithmetic as BucketMath.bucketOf (all offsets nonnegative)
+    def kbOf(k: Long): Long =
+      ((BigInt(k) - BigInt(lo)) / BigInt(width)).toLong
+    val byGb = vals.groupBy { case (g, k, _) => (g, kbOf(k)) }
+      .view.mapValues(_.sortBy(_._2)).toMap
+    val resolved = targets.map { case (g, qi, _, _, b, rr) =>
       var acc = 0L
-      val v = vs.sortBy(_._2).iterator.find { case (_, _, c) =>
+      val v = byGb((g, b)).iterator.find { case (_, _, c) =>
         acc += c; acc >= rr
       }.get._2
-      (g, v)
-    }.toSeq
+      (g, qi, v)
+    }
     val vDf = broadcast(df.sparkSession.createDataFrame(resolved)
-      .toDF("grp", "val"))
-    tDf.select(col("grp"), col("n"), col("rank")).join(vDf, Seq("grp"))
+      .toDF("grp", "__qi", "val"))
+    val qDf = broadcast(df.sparkSession
+      .createDataFrame(quantiles.zipWithIndex.map { case ((qn, qd), qi) =>
+        (qi.toLong, qn, qd)
+      }).toDF("__qi", "q_num", "q_den"))
+    tDf.select(col("grp"), col("__qi"), col("n"), col("rank"))
+      .join(vDf, Seq("grp", "__qi")).join(qDf, Seq("__qi"))
+      .select(col("grp"), col("q_num"), col("q_den"), col("n"),
+        col("rank"), col("val"))
   }
 
   /** Per-key exact distinct count + whether HLL++ (`rsd` relative standard

@@ -1719,6 +1719,31 @@ object EtlQueries {
         .orderBy(col("grp"))
     },
 
+    // A-extension: MULTIPLE exact quantiles from ONE two-level walk
+    // (ApproxOps.exactGroupQuantiles): p25/p50/p75/p99 of doc length per
+    // language share the same (group, bucket) counts and one value resolve
+    // over the union of target buckets — four quantiles, one pass, where
+    // a14's operator costs one walk EACH. Oracle derives each rank with a
+    // window over a VALUES quantile table.
+    QueryDef(
+      "a16_group_quantiles_exact",
+      """WITH r AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n FROM documents),
+        |q(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (99, 100))
+        |SELECT grp, CAST(q_num AS BIGINT) AS q_num,
+        |  CAST(q_den AS BIGINT) AS q_den, CAST(n AS BIGINT) AS n,
+        |  CAST((q_num * n + q_den - 1) // q_den AS BIGINT) AS rank,
+        |  k AS val
+        |FROM r CROSS JOIN q
+        |WHERE rn = (q_num * n + q_den - 1) // q_den
+        |ORDER BY grp, q_den, q_num""".stripMargin) { (s, d) =>
+      import graft.operators.ApproxOps
+      ApproxOps.exactGroupQuantiles(Tables.documents(s, d), "lang",
+          "n_chars", Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L)))
+        .orderBy(col("grp"), col("q_den"), col("q_num"))
+    },
+
     // W-extension: time-DECAYED aggregate per key — recency-weighted
     // engagement scoring with a one-day half-life, weight = 2^-(age_days)
     // anchored at the data's max ts. The decay base is 2 BY DESIGN: the

@@ -232,4 +232,40 @@ class ApproxOpsSpec extends SparkSpec {
       .collect().head
     assert(r2.getAs[Long]("val") == Long.MaxValue, r2.toString)
   }
+
+  test("exactGroupQuantiles: one walk equals per-quantile exactGroupRank calls") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 500).map(i => (s"g${i % 3}", rng.nextInt(100).toLong))
+      .toDF("k", "v").repartition(5)
+    val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L))
+    val multi = ApproxOps.exactGroupQuantiles(df, "k", "v", qs, buckets = 4)
+      .select($"grp", $"q_num", $"q_den", $"n", $"rank", $"val")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6)).toMap
+    assert(multi.size == 3 * qs.size)
+    qs.foreach { case (qn, qd) =>
+      val single = ApproxOps.exactGroupRank(df, "k", "v", qn, qd, buckets = 4)
+        .select($"grp", $"n", $"rank", $"val")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      single.foreach { case (g, t) =>
+        assert(multi((g, qn, qd)) == t, s"($g, $qn/$qd)")
+      }
+    }
+    // bucket-count invariance carries over to the multi walk
+    val b32 = ApproxOps.exactGroupQuantiles(df, "k", "v", qs, buckets = 32)
+      .select($"grp", $"q_num", $"q_den", $"n", $"rank", $"val")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(b32 == multi.map { case ((g, qn, qd), (n, r, v)) =>
+      (g, qn, qd, n, r, v) }.toSet)
+    // duplicates and empty quantile lists fail loud; empty input is empty
+    intercept[IllegalArgumentException] {
+      ApproxOps.exactGroupQuantiles(df, "k", "v", Seq((1L, 2L), (1L, 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      ApproxOps.exactGroupQuantiles(df, "k", "v", Seq.empty)
+    }
+    assert(ApproxOps.exactGroupQuantiles(df.limit(0), "k", "v", qs)
+      .collect().isEmpty)
+  }
 }
