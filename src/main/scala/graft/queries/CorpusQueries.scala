@@ -3850,8 +3850,8 @@ object CorpusQueries {
         |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |  MIN(l_div) AS min_l_diversity,
         |  CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
-        |  SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous,
-        |  SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) = 0 AS l_diverse
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS k_anonymous,
+        |  CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS l_diverse
         |FROM cls""".stripMargin) { (s, d) =>
       graft.operators.Quality.kAnonymityAudit(
         Tables.events(s, d).withColumn("vb", floor(col("value")).cast("long")),
