@@ -550,6 +550,77 @@ object TextOps {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback BM25 (Rocchio/RM-style PRF, the classic
+    * two-round query expansion — Buckley et al. TREC; Lavrenko & Croft
+    * SIGIR'01 for the relevance-model framing): round 1 ranks with the
+    * seed terms, the top `fbDocs` documents become the feedback set, the
+    * top `fbTerms` NEW terms from that set expand the query, and round 2
+    * reranks with seed + expansion.
+    *
+    * Determinism contract (everything the oracle replays): per-(doc, term)
+    * BM25 partial scores round ONCE to integer micro-points
+    * (⌊round(s·1e6)⌋ — s is the same IEEE expression both engines compute,
+    * the fts1 parity) and SUM as integers, so the doc score is
+    * order-free — which also removes bm25Rank's 16-term per-column limit.
+    * Expansion terms rank by the PURE-INTEGER lexicographic criterion
+    * (feedback-docs-containing DESC, corpus-df ASC, term ASC) — "common in
+    * the feedback set, rare in the corpus", the tf-idf intuition with no
+    * float in the selection path. Output: (idCol, score_fp) top-k.
+    *
+    * Scale shape: each round is the bm25Rank posture (query-terms IN-list
+    * prunes the token stream map-side, stats/dfreq broadcast); the
+    * feedback ids and candidate-term stats are feedback-sized broadcasts,
+    * and the chosen expansion terms are a `fbTerms`-row driver collect —
+    * the IVF-centroid plan-time-constant posture. The token stream is
+    * re-derived per consumer rather than materialized (tokens are
+    * corpus-sized; the scan is the cheap part).
+    */
+  def bm25PrfRank(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, terms: Seq[String], k: Int,
+                  fbDocs: Int, fbTerms: Int, k1: Double = 1.2,
+                  b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "at least one seed term")
+    require(k >= 1 && fbDocs >= 1 && fbTerms >= 1,
+      s"k, fbDocs, fbTerms must be >= 1, got ($k, $fbDocs, $fbTerms)")
+    val toks = df.select(col(idCol).as("did"),
+      explode(words(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    def scoreFp(queryTerms: Seq[String]) = {
+      val tf = toks.filter(col("tok").isin(queryTerms: _*))
+        .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .join(dl, Seq("did"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .withColumn("s_fp", round(col("s") * 1e6).cast("long"))
+        .groupBy(col("did")).agg(sum(col("s_fp")).as("score_fp"))
+    }
+    val fb = broadcast(scoreFp(terms)
+      .orderBy(col("score_fp").desc, col("did").asc).limit(fbDocs)
+      .select(col("did")))
+    // candidate terms: in the feedback docs, not already queried
+    val cand = graft.core.Storage.cut(
+      toks.join(fb, Seq("did"))
+        .filter(length(col("tok")) > 0 && !col("tok").isin(terms: _*))
+        .groupBy(col("tok")).agg(countDistinct(col("did")).as("nf")),
+      eager = true)
+    val cdf = toks.join(broadcast(cand.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(countDistinct(col("did")).as("dfc"))
+    val expansion = cand.join(cdf, Seq("tok"))
+      .orderBy(col("nf").desc, col("dfc").asc, col("tok").asc)
+      .limit(fbTerms)
+      .select(col("tok")).collect().map(_.getString(0)).toSeq
+    scoreFp(terms ++ expansion)
+      .orderBy(col("score_fp").desc, col("did").asc).limit(k)
+      .withColumnRenamed("did", idCol)
+  }
+
   /** Boolean keyword retrieval: documents containing ALL of `mustAll` and
     * NONE of `mustNone` — the filter-style search companion to
     * [[bm25Rank]]'s ranked retrieval (candidate pre-selection, compliance

@@ -1807,6 +1807,55 @@ object CorpusQueries {
         terms = Seq("table", "hash", "merge"), k = 25)
     },
 
+    // PSEUDO-RELEVANCE-FEEDBACK BM25 (TextOps.bm25PrfRank): two-round
+    // query expansion — fts1's seed query, top-5 feedback docs, top-3 new
+    // terms by the pure-integer (in-feedback-docs DESC, corpus-df ASC,
+    // term ASC) criterion, rerank with seed+expansion. Per-(doc, term)
+    // scores round ONCE to integer micro-points and SUM as integers, so
+    // doc scores are summation-order-free on both engines (and the
+    // per-term-column 16-term limit disappears). The oracle replays both
+    // rounds and the expansion selection exactly.
+    QueryDef(
+      "fts7_prf_expansion",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT did, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf0 AS (SELECT did, tok, COUNT(*) AS tf FROM toks
+        |    WHERE tok IN ('table', 'hash', 'merge') GROUP BY 1, 2),
+        |df0 AS (SELECT tok, COUNT(*) AS dfreq FROM tf0 GROUP BY 1),
+        |sc0 AS (SELECT tf0.did,
+        |    CAST(round((ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)))
+        |      * 1000000) AS BIGINT) AS s_fp
+        |  FROM tf0 JOIN df0 USING (tok) JOIN dl USING (did) CROSS JOIN stats),
+        |r1 AS (SELECT did FROM (SELECT did, CAST(SUM(s_fp) AS BIGINT) AS fp
+        |    FROM sc0 GROUP BY did ORDER BY fp DESC, did LIMIT 5)),
+        |cand AS (SELECT tok, CAST(COUNT(DISTINCT t.did) AS BIGINT) AS nf
+        |  FROM toks t JOIN r1 USING (did)
+        |  WHERE len(tok) > 0 AND tok NOT IN ('table', 'hash', 'merge')
+        |  GROUP BY tok),
+        |cdf AS (SELECT t.tok, CAST(COUNT(DISTINCT t.did) AS BIGINT) AS dfc
+        |  FROM toks t JOIN cand USING (tok) GROUP BY 1),
+        |expq AS (SELECT cand.tok FROM cand JOIN cdf ON cand.tok = cdf.tok
+        |  ORDER BY nf DESC, dfc ASC, cand.tok LIMIT 3),
+        |q AS (SELECT 'table' AS tok UNION ALL SELECT 'hash'
+        |  UNION ALL SELECT 'merge' UNION ALL SELECT tok FROM expq),
+        |tf1 AS (SELECT did, t.tok, COUNT(*) AS tf FROM toks t JOIN q USING (tok)
+        |  GROUP BY 1, 2),
+        |df1 AS (SELECT tok, COUNT(*) AS dfreq FROM tf1 GROUP BY 1),
+        |sc1 AS (SELECT tf1.did,
+        |    CAST(round((ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)))
+        |      * 1000000) AS BIGINT) AS s_fp
+        |  FROM tf1 JOIN df1 USING (tok) JOIN dl USING (did) CROSS JOIN stats)
+        |SELECT did AS doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+        |FROM sc1 GROUP BY did ORDER BY score_fp DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+      TextOps.bm25PrfRank(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "merge"), k = 15, fbDocs = 5, fbTerms = 3)
+    },
+
     // PERSISTED BM25 index (FtsIndex): write from two thirds of the corpus,
     // APPEND the rest, then serve the fts1 query from storage — the oracle
     // is the from-scratch fts1 SQL over the whole corpus, so the hash

@@ -1007,4 +1007,28 @@ class TextOpsSpec extends SparkSpec {
     // the backoff ladder is monotone: seen > backed-off > unigram floor
     assert(0L > p11 && p11 > p12)
   }
+
+  test("bm25PrfRank: expansion surfaces docs the seed query cannot reach") {
+    // seed "apple": round 1 feedback = {1, 2}; their shared term "banana"
+    // expands the query and pulls in doc 3, which has NO seed term
+    val docs = Seq(
+      (1L, "apple banana x1 x2"),
+      (2L, "apple banana y1 y2"),
+      (3L, "banana cherry z1 z2"),
+      (4L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = TextOps.bm25PrfRank(docs, "doc_id", "text",
+        terms = Seq("apple"), k = 4, fbDocs = 2, fbTerms = 1)
+      .as[(Long, Long)].collect()
+    val byDoc = out.toMap
+    assert(byDoc.contains(3L) && byDoc(3L) > 0L,
+      s"expansion must reach doc 3: ${out.mkString(",")}")
+    assert(!byDoc.contains(4L), "doc with neither seed nor expansion absent")
+    // seed-term docs outrank the expansion-only doc (they score both terms)
+    assert(byDoc(1L) > byDoc(3L) && byDoc(2L) > byDoc(3L))
+    // integer micro-point scores are summation-order-free: re-run equal
+    val again = TextOps.bm25PrfRank(docs, "doc_id", "text",
+        terms = Seq("apple"), k = 4, fbDocs = 2, fbTerms = 1)
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }
