@@ -357,20 +357,26 @@ object Bench {
           val gc0 = gcSeconds()
           val t0 = System.nanoTime()
           val retried =
-            try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => sec }
+            try { Some({ byName(name)(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9 }) }
+            catch { case _: Throwable => None }
           val retriedOvh = graft.core.Timing.overheadSeconds
           val retriedGc = gcSeconds() - gc0
           // keep the run with the smaller OPERATOR component — the gate's
           // metric — and keep its own (sec, ovh, gc) together: min-by-wall
           // could keep the worse operator measurement when a replay spike
           // inflated the other run's overhead, and a kept retry must not
-          // carry the discarded run's GC attribution
-          if (retried - retriedOvh < sec - ovh) {
-            System.err.println(
-              f"[bench] RETRY $name: $sec%.2f s -> $retried%.2f s (kept retry by operator component)")
-            (name, retried, ok, sh, sp, retriedOvh, retriedGc)
-          } else (name, sec, ok, sh, sp, ovh, gcSec)
+          // carry the discarded run's GC attribution. A FAILED retry keeps
+          // the original tuple whole — pairing the first run's wall time
+          // with a dead retry's overhead would shrink the gate's operator
+          // seconds below either real measurement.
+          retried match {
+            case Some(r) if r - retriedOvh < sec - ovh =>
+              System.err.println(
+                f"[bench] RETRY $name: $sec%.2f s -> $r%.2f s (kept retry by operator component)")
+              (name, r, ok, sh, sp, retriedOvh, retriedGc)
+            case _ => (name, sec, ok, sh, sp, ovh, gcSec)
+          }
         case r => r
       }
     }

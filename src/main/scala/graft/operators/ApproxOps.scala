@@ -102,9 +102,16 @@ object ApproxOps {
       s"duplicate quantiles: $quantiles")
     val nBuckets =
       if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
+    // fail loud in-scan on a null value (the calibrationBins contract): a
+    // partial null would bucket to a NULL __kb and die later as an opaque
+    // driver-side NPE; an ALL-null input now also names the bug instead of
+    // returning empty
+    val checkedVal = when(col(valCol).isNull,
+      raise_error(lit(s"$valCol contains NULLs — a rank over them is " +
+        "undefined; filter upstream"))).otherwise(col(valCol).cast("long"))
     val keyed = graft.core.Storage.cut(
       df.select(col(grpCol).cast("string").as("grp"),
-        col(valCol).cast("long").as("__k"), weight.as("__w")),
+        checkedVal.as("__k"), weight.as("__w")),
       eager = true)
     val mm = keyed.agg(min(col("__k")), max(col("__k"))).head()
     if (mm.isNullAt(0))

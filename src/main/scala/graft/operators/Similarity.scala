@@ -111,8 +111,11 @@ object Similarity {
       s"IF(size($qv) = $dim, " +
         s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, j) -> acc | " +
         s"IF(element_at($qv, j + 1) > 0L, shiftleft(1L, j), 0L)), " +
+        // coalesce keeps the diagnostic printable when the vector is NULL
+        // (size(NULL) is NULL under ANSI — a bare concat would raise with
+        // a null message)
         s"raise_error(concat('binarySignTopK: vector length ', " +
-        s"CAST(size($qv) AS STRING), ' != dim $dim')))")
+        s"coalesce(CAST(size($qv) AS STRING), 'NULL'), ' != dim $dim')))")
     val q1 = prepared(queries, idCol, vecCol)
       .select(col("sid").as("qid"), sigOf("qv").as("qsig"))
     val c1 = prepared(corpus, idCol, vecCol)

@@ -515,6 +515,17 @@ object TextOps {
       .withColumnRenamed("did", idCol)
   }
 
+  /** The per-(doc, term) BM25 partial — ONE expression shared by every
+    * BM25 surface ([[bm25Rank]] / [[FtsIndex.searchBm25]] through
+    * [[bm25ScoreFrames]], and [[bm25PrfRank]]'s two rounds), so all paths
+    * score bit-identically by construction. Operand columns: tf, dfreq,
+    * dl, n_docs, avgdl.
+    */
+  private def bm25TermScore(k1: Double, b: Double): Column =
+    log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+      (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+
   /** The BM25 scoring tail shared by [[bm25Rank]] (in-memory) and
     * [[FtsIndex.searchBm25]] (persisted index): ONE expression tree, so
     * both paths produce bit-identical doubles — the serve path's scores
@@ -535,10 +546,7 @@ object TextOps {
       .join(broadcast(dfreq), Seq("tok"))
       .join(dl, Seq("did"))
       .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("s", bm25TermScore(k1, b))
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when(col("tok") === t, col("s"))), lit(0.0)).as(s"s_$i")
     }
@@ -584,7 +592,12 @@ object TextOps {
       s"k, fbDocs, fbTerms must be >= 1, got ($k, $fbDocs, $fbTerms)")
     val toks = df.select(col(idCol).as("did"),
       explode(words(col(textCol))).as("tok"))
-    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    // the doc-length aggregate is a corpus-wide shuffle that FOUR separate
+    // actions below would otherwise re-execute (round 1, the cand cut, the
+    // expansion collect, round 2) — pay it once; re-deriving the map-side
+    // token STREAM per consumer stays fine (the scan is the cheap part)
+    val dl = graft.core.Storage.cut(
+      toks.groupBy(col("did")).agg(count(lit(1)).as("dl")), eager = true)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     def scoreFp(queryTerms: Seq[String]) = {
@@ -594,10 +607,9 @@ object TextOps {
       tf.join(broadcast(dfreq), Seq("tok"))
         .join(dl, Seq("did"))
         .crossJoin(broadcast(stats))
-        .withColumn("s",
-          log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
-            (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        // the SHARED per-(doc, term) BM25 partial — bit-identical to
+        // fts1/fts5's scoring by construction, not by similarity
+        .withColumn("s", bm25TermScore(k1, b))
         .withColumn("s_fp", round(col("s") * 1e6).cast("long"))
         .groupBy(col("did")).agg(sum(col("s_fp")).as("score_fp"))
     }

@@ -267,5 +267,13 @@ class ApproxOpsSpec extends SparkSpec {
     }
     assert(ApproxOps.exactGroupQuantiles(df.limit(0), "k", "v", qs)
       .collect().isEmpty)
+    // null values fail loud with the column named (partial OR all-null) —
+    // previously a partial null died as an opaque driver-side NPE
+    val withNull = Seq(("g", Some(1L)), ("g", None)).toDF("k", "v")
+    val e = intercept[Exception] {
+      ApproxOps.exactGroupRank(withNull, "k", "v", 1, 2).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("NULL"), e.toString)
   }
 }
