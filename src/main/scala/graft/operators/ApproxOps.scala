@@ -153,28 +153,70 @@ object ApproxOps {
       }
     }
     val tDf = broadcast(df.sparkSession
-      .createDataFrame(targets.map(t => (t._1, t._2, t._5, t._3, t._4)))
-      .toDF("grp", "__qi", "__kb", "n", "rank"))
-    // value-level counts inside the UNION of target buckets only,
-    // cumulated on the driver: bucket-width-bounded per group x quantile
-    val vals = withB.join(
-        tDf.select(col("grp"), col("__kb")).distinct(), Seq("grp", "__kb"))
-      .groupBy(col("grp"), col("__k")).agg(sum(col("__w")).as("__c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // a value row re-buckets on the driver with the same exact integer
-    // arithmetic as BucketMath.bucketOf (all offsets nonnegative)
-    def kbOf(k: Long): Long =
-      ((BigInt(k) - BigInt(lo)) / BigInt(width)).toLong
-    val byGb = vals.groupBy { case (g, k, _) => (g, kbOf(k)) }
-      .view.mapValues(_.sortBy(_._2)).toMap
-    val resolved = targets.map { case (g, qi, _, _, b, rr) =>
-      var acc = 0L
-      val v = byGb((g, b)).iterator.find { case (_, _, c) =>
-        acc += c; acc >= rr
-      }.get._2
-      (g, qi, v)
+      .createDataFrame(targets.map(t => (t._1, t._2, t._3, t._4)))
+      .toDF("grp", "__qi", "n", "rank"))
+    // Iterative hot-bucket resolve: narrow each target's value range by
+    // re-bucketing WITHIN it until min == max pins the value. Driver state
+    // per iteration is <= pending-targets x nBuckets counted rows — bounded
+    // under ANY skew. (The previous shape collected value-level counts for
+    // the union of target buckets, which is unbounded when a corpus's
+    // distinct values concentrate in one bucket — the r14 VERDICT #3
+    // adversarial-skew hole.) Each iteration is ONE aggregate over only
+    // the rows still inside a pending range, and because the sub-bucket
+    // hosting the residual rank narrows to its ACTUAL [min, max] value
+    // span, a typical target resolves in a single pass — the same pass
+    // count as the value-level collect it replaces.
+    def boundsOf(b: Long): (Long, Long) = (
+      (BigInt(lo) + BigInt(b) * BigInt(width)).toLong,
+      ((BigInt(lo) + (BigInt(b) + 1) * BigInt(width) - 1) min BigInt(hi)).toLong)
+    // (grp, qi, rangeLo, rangeHi inclusive, residual rank within range)
+    var pending: Seq[(String, Long, Long, Long, Long)] =
+      targets.map { case (g, qi, _, _, b, rr) =>
+        val (bLo, bHi) = boundsOf(b); (g, qi, bLo, bHi, rr)
+      }
+    val resolvedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var depth = 0
+    while (pending.nonEmpty) {
+      depth += 1
+      // every level divides the span by >= nBuckets (>= 2), so 66 levels
+      // more than exhaust a Long's range — non-convergence is a bug
+      require(depth <= 66, s"rank resolve failed to converge at depth $depth")
+      val (single, multi) = pending.partition(p => p._3 == p._4)
+      resolvedBuf ++= single.map(p => (p._1, p._2, p._3))
+      pending = if (multi.isEmpty) Nil
+      else {
+        // at least 2 sub-buckets: with nBuckets = 1 the re-bucket would be
+        // a no-op (one sub-bucket spanning the whole range) and the walk
+        // could never narrow — span shrinks by >= subB per level otherwise
+        val subB = math.max(nBuckets, 2)
+        val pDf = broadcast(df.sparkSession.createDataFrame(
+          multi.map { case (g, qi, plo, phi, _) =>
+            (g, qi, plo, phi, graft.core.BucketMath.widthFor(plo, phi, subB))
+          }).toDF("grp", "__qi", "__plo", "__phi", "__pw"))
+        // __k - __plo fits a Long: every pending span is at most one
+        // level-one bucket's width - 1 < Long.MaxValue (BucketMath.widthFor
+        // clamps), so the sub-bucket DIV stays pure BIGINT
+        val subCounts = keyed.join(pDf, Seq("grp"))
+          .filter(col("__k") >= col("__plo") && col("__k") <= col("__phi"))
+          .withColumn("__sb", expr("(__k - __plo) div __pw"))
+          .groupBy(col("grp"), col("__qi"), col("__sb"))
+          .agg(sum(col("__w")).as("__n"),
+            min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+          .collect()
+          .map(r => ((r.getString(0), r.getLong(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+        multi.flatMap { case (g, qi, _, _, rr) =>
+          var acc = 0L
+          val (_, _, mn, mx) = subCounts((g, qi)).iterator.find {
+            case (_, m, _, _) => acc + m >= rr || { acc += m; false }
+          }.get
+          if (mn == mx) { resolvedBuf += ((g, qi, mn)); None }
+          else Some((g, qi, mn, mx, rr - acc))
+        }
+      }
     }
-    val vDf = broadcast(df.sparkSession.createDataFrame(resolved)
+    val vDf = broadcast(df.sparkSession.createDataFrame(resolvedBuf.toSeq)
       .toDF("grp", "__qi", "val"))
     val qDf = broadcast(df.sparkSession
       .createDataFrame(quantiles.zipWithIndex.map { case ((qn, qd), qi) =>
@@ -299,7 +341,7 @@ object ApproxOps {
     val su = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
     val both = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
     val est = su.agg(count(lit(1)).as("u_size"), max(col("h")).as("kth"))
-      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
       .select(
         when(col("u_size") < k, col("u_size").cast("double"))
           .otherwise(lit((k - 1).toDouble * two) / col("kth").cast("double"))

@@ -153,10 +153,16 @@ object BpeSegment {
         id,
         new ExpressionInfo(classOf[BpeSegment].getName, Name),
         (children: Seq[Expression]) => {
+          // SQL callers reach this builder directly — fail with the
+          // function's name, not IndexOutOfBounds/NPE (ADVICE r14)
+          require(children.length == 2,
+            s"$Name takes exactly 2 arguments (word, merges array); got ${children.length}")
           val mergesExpr = children(1)
           require(mergesExpr.foldable,
             s"$Name merges argument must be a literal array")
-          val flat = mergesExpr.eval(null).asInstanceOf[ArrayData]
+          val mergesVal = mergesExpr.eval(null)
+          require(mergesVal != null, s"$Name merges array must not be NULL")
+          val flat = mergesVal.asInstanceOf[ArrayData]
             .toObjectArray(StringType)
             .map(_.asInstanceOf[UTF8String].toString)
           require(flat.length % 2 == 0,

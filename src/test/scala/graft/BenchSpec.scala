@@ -149,6 +149,32 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.regressionsAgainst(current, scaled, 1.5, 0.5).isEmpty)
   }
 
+  test("constant +1 s jump on a sub-second query fires even with a degraded probe") {
+    // the r14 d2 lesson: prior 0.30 s, measured 1.30 s — a flat ICU-init
+    // constant, not data-dependent work. The gate must fire even when the
+    // calibration probe reads badly degraded: the trust bound caps the
+    // ratio at 3x, and at the cap the scaled prior is 0.25 + 0.05*3 = 0.40,
+    // so 1.30 clears both the 1.5x factor and the 3x escape hatch.
+    val hw = Bench.clampHwScale(5.0)
+    assert(hw == 3.0)
+    val scaled = Map("d2" -> Bench.scalePrior(0.30, hw))
+    val regs = Bench.regressionsAgainst(Seq("d2" -> 1.30), scaled,
+      factor = 1.5, minAbs = 0.5, minDelta = 0.75)
+    assert(regs.map(_._1) == Seq("d2"), regs.toString)
+    // without the cap, a 21x probe reading would scale the prior to 1.30
+    // and absolve the jump entirely — exactly the absorber the cap closes
+    assert(Bench.regressionsAgainst(Seq("d2" -> 1.30),
+      Map("d2" -> Bench.scalePrior(0.30, 21.0)), 1.5, 0.5, 0.75).isEmpty)
+  }
+
+  test("hwScale trust bound clamps both directions, passes the sane range through") {
+    assert(Bench.clampHwScale(0.1) == 1.0 / 3.0)
+    assert(Bench.clampHwScale(10.0) == 3.0)
+    // observed real host spread (1.4-2.7x) passes through untouched
+    assert(Bench.clampHwScale(0.85) == 0.85)
+    assert(Bench.clampHwScale(2.7) == 2.7)
+  }
+
   test("time gate: ratio escape hatch fires past 3x even under minDelta") {
     // 0.3 s -> 1.0 s is 3.3x but delta 0.7 < 0.75 — must still flag
     // (the minDelta guard otherwise makes fast queries unflaggable forever)

@@ -233,6 +233,34 @@ class ApproxOpsSpec extends SparkSpec {
     assert(r2.getAs[Long]("val") == Long.MaxValue, r2.toString)
   }
 
+  test("rank resolve stays exact under adversarial bucket skew (hot-bucket recursion)") {
+    // one extreme outlier forces the global range so wide that EVERY real
+    // value lands in level-one bucket 0; with buckets = 4 the resolve must
+    // recurse INSIDE the hot bucket — the old shape collected a value-level
+    // count for each of the 5000 distinct values on the driver, this one
+    // collects at most pending x 4 sub-bucket rows per level
+    val n = 5000
+    val rows = (1 to n).map(i => ("g", i.toLong)) :+ (("g", Long.MaxValue))
+    val df = rows.toDF("k", "v").repartition(4)
+    val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L))
+    val got = ApproxOps.exactGroupQuantiles(df, "k", "v", qs, buckets = 4)
+      .select($"q_num", $"q_den", $"val")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    qs.foreach { case (qn, qd) =>
+      val r = (qn * (n + 1) + qd - 1) / qd
+      val expect = if (r <= n) r.toLong else Long.MaxValue
+      assert(got((qn, qd)) == expect, s"$qn/$qd: got ${got((qn, qd))}, want $expect")
+    }
+    // weighted single-rank path rides the same resolve: heavy weight on an
+    // in-hot-bucket value moves the weighted median onto it
+    val wdf = ((1 to 100).map(i => ("g", i.toLong, 1L)) :+ (("g", 42L, 1000L))
+      :+ (("g", Long.MaxValue, 1L))).toDF("k", "v", "w")
+    val wr = ApproxOps.exactGroupWeightedRank(wdf, "k", "v", "w", 1, 2, buckets = 4)
+      .collect().head
+    assert(wr.getAs[Long]("val") == 42L, wr.toString)
+  }
+
   test("exactGroupQuantiles: one walk equals per-quantile exactGroupRank calls") {
     val rng = new scala.util.Random(11)
     val df = (0 until 500).map(i => (s"g${i % 3}", rng.nextInt(100).toLong))

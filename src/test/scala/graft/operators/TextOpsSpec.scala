@@ -299,6 +299,22 @@ class TextOpsSpec extends SparkSpec {
     assert(edges.find(_._1 == "").get._2 == Seq(""))
   }
 
+  test("graft_bpe_segment SQL builder fails loud on wrong arity and NULL merges") {
+    graft.plans.BpeSegment.register(spark)
+    // one argument: a named arity error, not IndexOutOfBoundsException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_segment('abc')").collect()
+    }
+    assert(e1.getMessage.contains("graft_bpe_segment"), e1.getMessage)
+    assert(e1.getMessage.contains("2 arguments"), e1.getMessage)
+    // NULL merges literal: a named error, not an NPE
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_segment('abc', CAST(NULL AS ARRAY<STRING>))").collect()
+    }
+    assert(e2.getMessage.contains("graft_bpe_segment"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("null"), e2.getMessage)
+  }
+
   test("bpeSegment (native) carries production-sized merge tables in one kernel") {
     // 3000 merges — the regime where the fold's per-merge aggregate layers
     // explode the expression tree; the native kernel is one plan node and
