@@ -1787,29 +1787,72 @@ object TextOps {
     */
   def knDocScore(train: org.apache.spark.sql.DataFrame,
                  score: org.apache.spark.sql.DataFrame, idCol: String,
-                 textCol: String): org.apache.spark.sql.DataFrame = {
+                 textCol: String): org.apache.spark.sql.DataFrame =
+    knScoreChain(
+      bigramRows(train, textCol, Seq.empty).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c")),
+      score, idCol, textCol)
+
+  /** [[knDocScore]] scoring straight from a PERSISTED count table — the
+    * train-once/serve-many loop [[LmIndex]] exists for: `counts` is any
+    * DataFrame with the (ord, gram, c, …) lm1 schema
+    * ([[LmIndex.serveLmCounts]] at minCount = 1, or [[ngramLmCounts]]
+    * itself), and the bigram model is its ord = 2 rows split back into
+    * (w1, w2, c) — bit-identical inputs to the from-scratch recount, so
+    * scores through storage hash-equal [[knDocScore]] (spec-proven; the
+    * lm8 oracle is lm4's verbatim). maxOrder >= 2 and minCount = 1 at
+    * serve are the caller's contract: a pruned count table is a DIFFERENT
+    * model (the scores would still be well-defined, just not lm4's).
+    */
+  def knDocScoreServed(counts: org.apache.spark.sql.DataFrame,
+                       score: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame =
+    knScoreChain(gramParts(counts, 2).withColumnRenamed("c_", "c"),
+      score, idCol, textCol)
+
+  /** Order-`ord` rows of an lm1-schema count table split back into word
+    * columns (w1..wN, c_): gram text is concat_ws(" ", tokens) of a
+    * single-space tokenizer, so a fixed-position split is lossless —
+    * including empty tokens, which round-trip as empty strings.
+    */
+  private def gramParts(counts: org.apache.spark.sql.DataFrame,
+                        ord: Int): org.apache.spark.sql.DataFrame =
+    counts.filter(col("ord") === ord)
+      .select((1 to ord).map(i =>
+        element_at(split(col("gram"), " "), i).as(s"w$i")) :+
+        col("c").as("c_"): _*)
+
+  /** One (…, w1, w2) row per bigram occurrence of `df` — the shared
+    * fan-out of [[knDocScore]]'s train and score sides. */
+  private def bigramRows(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         extra: Seq[(Column, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val names = extra.map { case (_, n) => col(n) }
+    df.select(extra.map { case (c, n) => c.as(n) } :+
+        words(col(textCol)).as("w"): _*)
+      .select(names :+ explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"): _*)
+      .select(names ++ Seq(col("b.w1"), col("b.w2")): _*)
+  }
+
+  /** The KN scoring chain from a prebuilt bigram count table `bc`
+    * (w1, w2, c) — every derived statistic (lf, rc, tot) comes from bc, so
+    * from-scratch and served paths are bit-identical by construction. */
+  private def knScoreChain(bc: org.apache.spark.sql.DataFrame,
+                           score: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
     val ln = graft.plans.LnFpFunctions.lnMicro _
-    def pairs(df: org.apache.spark.sql.DataFrame,
-              extra: Seq[(Column, String)]) = {
-      val names = extra.map { case (_, n) => col(n) }
-      df.select(extra.map { case (c, n) => c.as(n) } :+
-          words(col(textCol)).as("w"): _*)
-        .select(names :+ explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1), i =>
-            struct(element_at(col("w"), i).as("w1"),
-              element_at(col("w"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("b"): _*)
-        .select(names ++ Seq(col("b.w1"), col("b.w2")): _*)
-    }
-    val bc = pairs(train, Seq.empty).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
     val lf = bc.groupBy(col("w1"))
       .agg(sum(col("c")).as("l"), count(lit(1)).as("p"))
     val rc = bc.groupBy(col("w2")).agg(count(lit(1)).as("c1"))
     val tot = bc.agg(count(lit(1)).as("t"),
       (countDistinct(col("w2")) + lit(1L)).as("u"))
-    val db = pairs(score, Seq(col(idCol) -> "did"))
+    val db = bigramRows(score, textCol, Seq(col(idCol) -> "did"))
       .groupBy(col("did"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
     val lnp = db.select(col("w1"), col("w2")).distinct()
       .join(bc, Seq("w1", "w2"), "left")
@@ -1877,38 +1920,65 @@ object TextOps {
                             score: org.apache.spark.sql.DataFrame,
                             idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
+    val uni = train.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = bigramRows(train, textCol, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val tri = trigramRows(train, textCol, Seq.empty)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    sbScoreChain(uni, bi, tri, score, idCol, textCol)
+  }
+
+  /** [[stupidBackoffDocScore]] from a PERSISTED count table — the lm8/lm9
+    * serve loop: `counts` carries the lm1 (ord, gram, c, …) schema at
+    * maxOrder >= 3 and minCount = 1 ([[LmIndex.serveLmCounts]]); the three
+    * model tables are its ord = 1/2/3 rows, bit-identical to a recount of
+    * the train split, so scores through storage hash-equal the
+    * from-scratch path (spec-proven; the lm9 oracle is lm7's verbatim).
+    */
+  def stupidBackoffDocScoreServed(counts: org.apache.spark.sql.DataFrame,
+                                  score: org.apache.spark.sql.DataFrame,
+                                  idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    sbScoreChain(
+      gramParts(counts, 1).select(col("w1").as("w"), col("c_").as("c")),
+      gramParts(counts, 2).withColumnRenamed("c_", "c"),
+      gramParts(counts, 3).withColumnRenamed("c_", "c3"),
+      score, idCol, textCol)
+
+  /** One (…, w1, w2, w3) row per trigram occurrence — [[bigramRows]]'s
+    * order-3 twin, shared by the SB train and score sides. */
+  private def trigramRows(df: org.apache.spark.sql.DataFrame, textCol: String,
+                          extra: Seq[(Column, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val names = extra.map { case (_, n) => col(n) }
+    df.select(extra.map { case (c, n) => c.as(n) } :+
+        words(col(textCol)).as("w"): _*)
+      .select(names :+ explode(when(size(col("w")) >= 3,
+        transform(sequence(lit(1), size(col("w")) - 2), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"),
+            element_at(col("w"), i + 2).as("w3"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string,w3:string>>")))
+        .as("g"): _*)
+      .select(names ++ Seq(col("g.w1"), col("g.w2"), col("g.w3")): _*)
+  }
+
+  /** The Stupid Backoff scoring chain from prebuilt model tables
+    * uni (w, c) / bi (w1, w2, c) / tri (w1, w2, w3, c3) — `tot` derives
+    * from uni inside, so from-scratch and served paths share every
+    * downstream expression bit-for-bit. */
+  private def sbScoreChain(uni: org.apache.spark.sql.DataFrame,
+                           bi: org.apache.spark.sql.DataFrame,
+                           tri: org.apache.spark.sql.DataFrame,
+                           score: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
     val ln = graft.plans.LnFpFunctions.lnMicro _
-    def tris(df: org.apache.spark.sql.DataFrame,
-             extra: Seq[(Column, String)]) = {
-      val names = extra.map { case (_, n) => col(n) }
-      df.select(extra.map { case (c, n) => c.as(n) } :+
-          words(col(textCol)).as("w"): _*)
-        .select(names :+ explode(when(size(col("w")) >= 3,
-          transform(sequence(lit(1), size(col("w")) - 2), i =>
-            struct(element_at(col("w"), i).as("w1"),
-              element_at(col("w"), i + 1).as("w2"),
-              element_at(col("w"), i + 2).as("w3"))))
-          .otherwise(array().cast(
-            "array<struct<w1:string,w2:string,w3:string>>")))
-          .as("g"): _*)
-        .select(names ++ Seq(col("g.w1"), col("g.w2"), col("g.w3")): _*)
-    }
-    val toks = train.select(explode(words(col(textCol))).as("w"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum(col("c")).as("nn"),
       (count(lit(1)) + lit(1L)).as("uu"))
-    val bi = train.select(words(col(textCol)).as("w"))
-      .select(explode(when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1), i =>
-          struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-    val tri = tris(train, Seq.empty).groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
-    val db = tris(score, Seq(col(idCol) -> "did"))
+    val db = trigramRows(score, textCol, Seq(col(idCol) -> "did"))
       .groupBy(col("did"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("k"))
     val lnp = db.select(col("w1"), col("w2"), col("w3")).distinct()

@@ -77,6 +77,111 @@ object CorpusQueries {
       |  ELSE -((CAST(-L AS HUGEINT) * 726817498003 + 590295810358705651712) // 1180591620717411303424)
       |END AS BIGINT)""".stripMargin
 
+  /** lm4's oracle, shared VERBATIM by lm8_kn_served: serving the KN doc
+    * scorer from the persisted LmIndex count table must be bit-identical
+    * to the from-scratch recount, so through-storage correctness is "same
+    * oracle, same hash" by construction. Likewise lm7 / lm9 below.
+    */
+  private lazy val knDocScoreOracleSql =
+    s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+         |lf AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS l,
+         |    CAST(COUNT(*) AS BIGINT) AS p FROM bc GROUP BY 1),
+         |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(COUNT(DISTINCT w2) + 1 AS BIGINT) AS u FROM bc),
+         |sb AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)),
+         |db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM sb GROUP BY 1, 2, 3),
+         |pt AS (SELECT DISTINCT w1, w2 FROM db),
+         |pp AS (SELECT pt.w1, pt.w2, CASE
+         |    WHEN bc.c IS NOT NULL THEN CAST(
+         |      (CAST(4 * bc.c - 3 AS HUGEINT) * t
+         |         + CAST(3 AS HUGEINT) * lf.p * rc.c1)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // (CAST(4 AS HUGEINT) * lf.l * t) AS BIGINT)
+         |    WHEN lf.l IS NOT NULL THEN CAST(
+         |      CAST(3 AS HUGEINT) * lf.p * (coalesce(rc.c1, 0) + 1)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // (CAST(4 AS HUGEINT) * lf.l * (t + u)) AS BIGINT)
+         |    ELSE CAST(
+         |      CAST(coalesce(rc.c1, 0) + 1 AS HUGEINT)
+         |        * CAST(1000000000000 AS HUGEINT)
+         |      // CAST(t + u AS HUGEINT) AS BIGINT)
+         |    END AS p_fp
+         |  FROM pt LEFT JOIN bc USING (w1, w2) LEFT JOIN lf USING (w1)
+         |    LEFT JOIN rc USING (w2) CROSS JOIN tot),
+         |l0 AS (SELECT w1 || ' ' || w2 AS key, greatest(p_fp, 1) AS p,
+         |    CAST(1000000000000 AS BIGINT) AS q FROM pp),
+         |${sqlLog2Fp("lk", "l0", "key")},
+         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
+         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
+         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(ll_fp, 0) AS ll_fp,
+         |  CASE WHEN coalesce(n_bigrams, 0) > 0
+         |    THEN (-ll_fp) // n_bigrams END AS avg_nll_micro
+         |FROM documents d LEFT JOIN dl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
+  private lazy val sbDocScoreOracleSql =
+    s"""WITH RECURSIVE $pow2Cte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tu AS (SELECT unnest(w.w) AS wd FROM w WHERE doc_id % 3 <> 0),
+         |uni AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM tu GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+         |    CAST(COUNT(*) + 1 AS BIGINT) AS uu FROM uni),
+         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
+         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2),
+         |tt AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
+         |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)
+         |  WHERE doc_id % 3 <> 0),
+         |tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+         |  FROM tt GROUP BY 1, 2, 3),
+         |st AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
+         |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)),
+         |db AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS k FROM st GROUP BY 1, 2, 3, 4),
+         |pt AS (SELECT DISTINCT w1, w2, w3 FROM db),
+         |pp AS (SELECT pt.w1, pt.w2, pt.w3, CASE
+         |    WHEN tc.c3 IS NOT NULL THEN CAST(
+         |      (CAST(tc.c3 AS HUGEINT) * 1000000000000)
+         |        // CAST(b12.c AS HUGEINT) AS BIGINT)
+         |    WHEN b23.c IS NOT NULL THEN CAST(
+         |      (CAST(b23.c AS HUGEINT) * 2000000000000)
+         |        // (CAST(u2.c AS HUGEINT) * 5) AS BIGINT)
+         |    ELSE CAST(
+         |      (CAST(coalesce(u3.c, 0) + 1 AS HUGEINT) * 4000000000000)
+         |        // (CAST(nn + uu AS HUGEINT) * 25) AS BIGINT)
+         |    END AS p_fp
+         |  FROM pt LEFT JOIN tc USING (w1, w2, w3)
+         |    LEFT JOIN bc b12 ON b12.w1 = pt.w1 AND b12.w2 = pt.w2
+         |    LEFT JOIN bc b23 ON b23.w1 = pt.w2 AND b23.w2 = pt.w3
+         |    LEFT JOIN uni u2 ON u2.wd = pt.w2
+         |    LEFT JOIN uni u3 ON u3.wd = pt.w3
+         |    CROSS JOIN tot),
+         |l0 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS key,
+         |    greatest(p_fp, 1) AS p, CAST(1000000000000 AS BIGINT) AS q FROM pp),
+         |${sqlLog2Fp("lk", "l0", "key")},
+         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
+         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
+         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2 || ' ' || db.w3
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams,
+         |  coalesce(ll_fp, 0) AS ll_fp,
+         |  CASE WHEN coalesce(n_trigrams, 0) > 0
+         |    THEN (-ll_fp) // n_trigrams END AS avg_nll_micro
+         |FROM documents d LEFT JOIN dl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
   /** Mirror of LnFp.lnQ40's final scaling: Q40 nats from a Q50 log2. */
   private val sqlLnQ40FromL =
     """CAST(CASE WHEN L >= 0
@@ -5826,52 +5931,7 @@ object CorpusQueries {
     // floor division agrees between DuckDB // and Spark div.
     QueryDef(
       "lm4_kn_doc_score",
-      s"""WITH RECURSIVE $pow2Cte,
-         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
-         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
-         |  WHERE doc_id % 3 <> 0),
-         |bc AS (SELECT w1, w2, COUNT(*) AS c FROM tb GROUP BY 1, 2),
-         |lf AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS l,
-         |    CAST(COUNT(*) AS BIGINT) AS p FROM bc GROUP BY 1),
-         |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bc GROUP BY 1),
-         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
-         |    CAST(COUNT(DISTINCT w2) + 1 AS BIGINT) AS u FROM bc),
-         |sb AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2
-         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)),
-         |db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM sb GROUP BY 1, 2, 3),
-         |pt AS (SELECT DISTINCT w1, w2 FROM db),
-         |pp AS (SELECT pt.w1, pt.w2, CASE
-         |    WHEN bc.c IS NOT NULL THEN CAST(
-         |      (CAST(4 * bc.c - 3 AS HUGEINT) * t
-         |         + CAST(3 AS HUGEINT) * lf.p * rc.c1)
-         |        * CAST(1000000000000 AS HUGEINT)
-         |      // (CAST(4 AS HUGEINT) * lf.l * t) AS BIGINT)
-         |    WHEN lf.l IS NOT NULL THEN CAST(
-         |      CAST(3 AS HUGEINT) * lf.p * (coalesce(rc.c1, 0) + 1)
-         |        * CAST(1000000000000 AS HUGEINT)
-         |      // (CAST(4 AS HUGEINT) * lf.l * (t + u)) AS BIGINT)
-         |    ELSE CAST(
-         |      CAST(coalesce(rc.c1, 0) + 1 AS HUGEINT)
-         |        * CAST(1000000000000 AS HUGEINT)
-         |      // CAST(t + u AS HUGEINT) AS BIGINT)
-         |    END AS p_fp
-         |  FROM pt LEFT JOIN bc USING (w1, w2) LEFT JOIN lf USING (w1)
-         |    LEFT JOIN rc USING (w2) CROSS JOIN tot),
-         |l0 AS (SELECT w1 || ' ' || w2 AS key, greatest(p_fp, 1) AS p,
-         |    CAST(1000000000000 AS BIGINT) AS q FROM pp),
-         |${sqlLog2Fp("lk", "l0", "key")},
-         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
-         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
-         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2
-         |  GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
-         |  coalesce(ll_fp, 0) AS ll_fp,
-         |  CASE WHEN coalesce(n_bigrams, 0) > 0
-         |    THEN (-ll_fp) // n_bigrams END AS avg_nll_micro
-         |FROM documents d LEFT JOIN dl USING (doc_id)
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      knDocScoreOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextOps.knDocScore(docs.filter(col("doc_id") % 3 =!= 0), docs,
           "doc_id", "text")
@@ -5886,56 +5946,7 @@ object CorpusQueries {
     // the CASE chain in HUGEINT and every ln through the LnFp twin.
     QueryDef(
       "lm7_stupid_backoff",
-      s"""WITH RECURSIVE $pow2Cte,
-         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |tu AS (SELECT unnest(w.w) AS wd FROM w WHERE doc_id % 3 <> 0),
-         |uni AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM tu GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
-         |    CAST(COUNT(*) + 1 AS BIGINT) AS uu FROM uni),
-         |tb AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2
-         |  FROM w, unnest(generate_series(1, len(w.w) - 1)) AS t(i)
-         |  WHERE doc_id % 3 <> 0),
-         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2),
-         |tt AS (SELECT w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
-         |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)
-         |  WHERE doc_id % 3 <> 0),
-         |tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
-         |  FROM tt GROUP BY 1, 2, 3),
-         |st AS (SELECT doc_id, w.w[t.i] AS w1, w.w[t.i+1] AS w2, w.w[t.i+2] AS w3
-         |  FROM w, unnest(generate_series(1, len(w.w) - 2)) AS t(i)),
-         |db AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS k FROM st GROUP BY 1, 2, 3, 4),
-         |pt AS (SELECT DISTINCT w1, w2, w3 FROM db),
-         |pp AS (SELECT pt.w1, pt.w2, pt.w3, CASE
-         |    WHEN tc.c3 IS NOT NULL THEN CAST(
-         |      (CAST(tc.c3 AS HUGEINT) * 1000000000000)
-         |        // CAST(b12.c AS HUGEINT) AS BIGINT)
-         |    WHEN b23.c IS NOT NULL THEN CAST(
-         |      (CAST(b23.c AS HUGEINT) * 2000000000000)
-         |        // (CAST(u2.c AS HUGEINT) * 5) AS BIGINT)
-         |    ELSE CAST(
-         |      (CAST(coalesce(u3.c, 0) + 1 AS HUGEINT) * 4000000000000)
-         |        // (CAST(nn + uu AS HUGEINT) * 25) AS BIGINT)
-         |    END AS p_fp
-         |  FROM pt LEFT JOIN tc USING (w1, w2, w3)
-         |    LEFT JOIN bc b12 ON b12.w1 = pt.w1 AND b12.w2 = pt.w2
-         |    LEFT JOIN bc b23 ON b23.w1 = pt.w2 AND b23.w2 = pt.w3
-         |    LEFT JOIN uni u2 ON u2.wd = pt.w2
-         |    LEFT JOIN uni u3 ON u3.wd = pt.w3
-         |    CROSS JOIN tot),
-         |l0 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS key,
-         |    greatest(p_fp, 1) AS p, CAST(1000000000000 AS BIGINT) AS q FROM pp),
-         |${sqlLog2Fp("lk", "l0", "key")},
-         |lv AS (SELECT key, $sqlLnMicroFromL AS lnp FROM lkL),
-         |dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
-         |    CAST(SUM(k * lnp) AS BIGINT) AS ll_fp
-         |  FROM db JOIN lv ON lv.key = db.w1 || ' ' || db.w2 || ' ' || db.w3
-         |  GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams,
-         |  coalesce(ll_fp, 0) AS ll_fp,
-         |  CASE WHEN coalesce(n_trigrams, 0) > 0
-         |    THEN (-ll_fp) // n_trigrams END AS avg_nll_micro
-         |FROM documents d LEFT JOIN dl USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      sbDocScoreOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextOps.stupidBackoffDocScore(docs.filter(col("doc_id") % 3 =!= 0),
           docs, "doc_id", "text")
@@ -5981,6 +5992,60 @@ object CorpusQueries {
         docs.filter(col("doc_id") % 3 === 2), 2L, "text", 3, name, 8)
       graft.operators.LmIndex.serveLmCounts(s, name, minCount = 3L)
         .orderBy(col("ord"), col("gram"))
+    },
+
+    // SERVE the KN doc scorer from the PERSISTED count index (lm8): lm5
+    // built the train-once/serve-many loop, lm4 scored from a recount of
+    // the raw train split — this closes the loop. The lm4 train split
+    // (doc_id % 3 <> 0) lands in the index as two batches (seed + ingest,
+    // exercising the incremental path), serveLmCounts at minCount = 1
+    // reproduces the raw counts bit-for-bit (additive c, idempotent
+    // ccount), and knDocScoreServed splits the ord = 2 rows back into the
+    // bigram model — so the oracle is lm4's SQL VERBATIM: through-storage
+    // scoring must hash-equal from-scratch scoring. Serve is
+    // exchange-free on the gram bucketing (LmIndexSpec plan assert).
+    QueryDef(
+      "lm8_kn_served",
+      knDocScoreOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = "lm8_" + app
+      graft.sources.Bucketing.ensureCleanTable(
+        s, graft.operators.LmIndex.countsTable(name))
+      graft.operators.LmIndex.writeLmIndex(
+        docs.filter(col("doc_id") % 3 === 1), "text", 3, name, 8,
+        seedBatch = 0L)
+      graft.operators.LmIndex.ingestLmBatch(
+        docs.filter(col("doc_id") % 3 === 2), 1L, "text", 3, name, 8)
+      TextOps.knDocScoreServed(
+          graft.operators.LmIndex.serveLmCounts(s, name, minCount = 1L),
+          docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Stupid Backoff through the same persisted index (lm9): the
+    // THROUGHPUT scorer's whole model is lm1's count aggregate, so
+    // serving it from storage is the production shape — count once at
+    // ingest, score every later corpus snapshot without touching the
+    // train text again. Oracle is lm7's SQL verbatim (same bit-equality
+    // contract as lm8).
+    QueryDef(
+      "lm9_sb_served",
+      sbDocScoreOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = "lm9_" + app
+      graft.sources.Bucketing.ensureCleanTable(
+        s, graft.operators.LmIndex.countsTable(name))
+      graft.operators.LmIndex.writeLmIndex(
+        docs.filter(col("doc_id") % 3 === 1), "text", 3, name, 8,
+        seedBatch = 0L)
+      graft.operators.LmIndex.ingestLmBatch(
+        docs.filter(col("doc_id") % 3 === 2), 1L, "text", 3, name, 8)
+      TextOps.stupidBackoffDocScoreServed(
+          graft.operators.LmIndex.serveLmCounts(s, name, minCount = 1L),
+          docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     // CCNet tiers with the REAL CCNet scorer (TextOps.knPerplexityTiers):

@@ -42,6 +42,34 @@ class LmIndexSpec extends SparkSpec {
     } finally cleanup(name)
   }
 
+  test("doc scorers served from the index are bit-equal to from-scratch recounts") {
+    val name = "spec_lm_serve"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val train = docs.filter($"doc_id" % 3 =!= 0)
+    try {
+      LmIndex.writeLmIndex(train.filter($"doc_id" % 3 === 1), "text", 3,
+        name, nBuckets = 4, seedBatch = 0L)
+      LmIndex.ingestLmBatch(train.filter($"doc_id" % 3 === 2), 1L, "text", 3,
+        name, nBuckets = 4)
+      val counts = LmIndex.serveLmCounts(spark, name, minCount = 1L)
+      val knServed = TextOps.knDocScoreServed(counts, docs, "doc_id", "text")
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      val knScratch = TextOps.knDocScore(train, docs, "doc_id", "text")
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      assert(knServed == knScratch,
+        "KN scores through storage must be bit-equal to the recount")
+      val sbServed = TextOps.stupidBackoffDocScoreServed(
+          counts, docs, "doc_id", "text")
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      val sbScratch = TextOps.stupidBackoffDocScore(train, docs, "doc_id", "text")
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      assert(sbServed == sbScratch,
+        "SB scores through storage must be bit-equal to the recount")
+      // the counts feeding the scorers also came through TWO batches, so
+      // this transitively proves serve(ingest(a) + ingest(b)) == count(a+b)
+    } finally cleanup(name)
+  }
+
   test("streaming ingest equals the batch path (foreachBatch wrapper)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
