@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.operators.{AnnIndex, Dedup, FtsIndex, Multimodal, Similarity, TextOps}
+import graft.operators.{AnnIndex, Dedup, FtsIndex, Html, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (dedup, similarity search, text analysis,
@@ -4130,6 +4130,63 @@ object CorpusQueries {
           "lang")
         .select(col("did").as("doc_id"), col("grp").as("lang"), col("dl"),
           col("avg_nll"), col("r"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // HTML main-content extraction (Html.mainContent — jusText/boilerpipe
+    // lineage): deterministic markup is wrapped around each document (nav
+    // bar of anchors, a boilerplate-short block, an entity block, the real
+    // text), then blocks are split on block-level tags, stripped by the
+    // native one-pass HtmlStrip kernel, and kept by exact integer rules —
+    // visible length >= 25 and anchor-visible chars <= 30% (cross-
+    // multiplied, no float ratio). The oracle replays the identical
+    // regexp/replace chain and keep rules; md5 of the reassembled main
+    // text hash-locks the whole pipeline byte-for-byte.
+    QueryDef(
+      "t25_html_main_content",
+      s"""WITH h AS (SELECT doc_id,
+         |    '<div><h1>' || source || '</h1><nav><a href="/">home</a> ' ||
+         |    '<a href="/x">more links here</a></nav><p>' || text ||
+         |    '</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; ' ||
+         |    '&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>' ||
+         |    '<p>Read <a href="/y">details</a> about ' || lang ||
+         |    ' corpus quality.</p></div>' AS html
+         |  FROM documents),
+         |arr AS (SELECT doc_id, regexp_split_to_array(html,
+         |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|nav|header|footer|aside|section|article)\\b[^>]*>') AS a
+         |  FROM h),
+         |b AS (SELECT doc_id, t.i AS bi, a[t.i] AS blk
+         |  FROM arr, unnest(generate_series(1, len(a))) AS t(i)),
+         |m AS (SELECT doc_id, bi, trim(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS vis,
+         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS nv,
+         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) - length(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(blk, '(?is)<a\\\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS na
+         |  FROM b),
+         |nz AS (SELECT * FROM m WHERE length(vis) > 0),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(CASE WHEN length(vis) >= 25 AND na * 100 <= nv * 30
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    string_agg(CASE WHEN length(vis) >= 25 AND na * 100 <= nv * 30
+         |      THEN vis END, chr(10) ORDER BY bi) AS main
+         |  FROM nz GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_blocks, 0) AS n_blocks,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  CAST(length(coalesce(main, '')) AS BIGINT) AS main_len,
+         |  md5(coalesce(main, '')) AS main_md5
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = concat(
+        lit("<div><h1>"), col("source"),
+        lit("</h1><nav><a href=\"/\">home</a> " +
+          "<a href=\"/x\">more links here</a></nav><p>"), col("text"),
+        lit("</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; " +
+          "&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>" +
+          "<p>Read <a href=\"/y\">details</a> about "), col("lang"),
+        lit(" corpus quality.</p></div>"))
+      Html.mainContent(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          "doc_id", "html", minChars = 25, maxLinkPct = 30)
+        .select(col("sid").as("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_len"), md5(col("main")).as("main_md5"))
         .orderBy(col("doc_id"))
     },
 

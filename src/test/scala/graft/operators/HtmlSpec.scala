@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The relational twin of HtmlStrip.strip — the exact chain the DuckDB
+    * oracle runs. The native kernel must equal it byte-for-byte.
+    */
+  private def relationalStrip(c: org.apache.spark.sql.Column) = {
+    val stripped = regexp_replace(c, "<[^>]*>", "")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(stripped) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+  }
+
+  test("native strip equals the regex+replace chain on adversarial fragments") {
+    val cases = Seq(
+      "<p>plain</p>",
+      "no markup at all",
+      "",
+      "unclosed <tag stays literal",
+      "a<b<c>d",                       // regex eats <b<c> in one match
+      "a&l<b>t;",                      // tag splices an entity together -> a<
+      "&amp;lt; decodes to the literal &lt;",
+      "&amp; &lt;b&gt; &quot;q&quot; &nbsp; &#39;a&#39;",
+      "&unknown; passes through",
+      "<a href=\"x\">link</a> text <br/> more",
+      "<<>> <> <x y=\"<\">after",      // '<' inside attribute value
+      "trailing open <",
+      "&&lt;",
+      "<P CLASS=\"x\">case</P>")
+    val diff = cases.toDF("h")
+      .select(Html.stripHtml($"h").as("a"), relationalStrip($"h").as("b"))
+      .filter(not($"a" <=> $"b"))
+      .collect()
+    assert(diff.isEmpty, diff.mkString("; "))
+    // corpus-scale fuzz: documents text wrapped in markup, both paths equal
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(concat(lit("<div t=\"1\">"), $"text",
+        lit("&amp;<br>tail&lt;")).as("h"))
+    assert(docs.select(Html.stripHtml($"h").as("a"),
+        relationalStrip($"h").as("b"))
+      .filter(not($"a" <=> $"b")).count() == 0)
+    // NULL in, NULL out (UnaryExpression null-safe contract)
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(Html.stripHtml($"h")).collect().head.isNullAt(0))
+  }
+
+  test("mainContent keeps long link-sparse blocks, drops nav/short/link-dense") {
+    val body = (1 to 30).map(i => s"word$i").mkString(" ") // long, no links
+    val html =
+      s"""<div><h1>Title</h1>
+         |<nav><a href="/">home</a> <a href="/b">browse all the links</a></nav>
+         |<p>$body</p>
+         |<p>tiny</p>
+         |<p>Read <a href="/y">details</a> about corpus quality here.</p></div>""".stripMargin
+    val out = Html.mainContent(Seq((1L, html)).toDF("id", "h"), "id", "h",
+        minChars = 25, maxLinkPct = 30)
+      .as[(Long, Long, Long, String, Long)].collect().head
+    val (_, nBlocks, nKept, main, mainLen) = out
+    assert(nKept == 2L, s"kept $nKept: [$main]")
+    assert(main.contains(body) && main.contains("details about corpus"))
+    assert(!main.contains("home") && !main.contains("tiny"), main)
+    assert(nBlocks >= 4L && mainLen == main.length.toLong)
+    // order: the body paragraph precedes the details paragraph
+    assert(main.indexOf(body) < main.indexOf("Read details"))
+    // no-visible-text doc: zero blocks, empty main (left-join path)
+    val empty = Html.mainContent(Seq((7L, "<p></p><div></div>")).toDF("id", "h"),
+        "id", "h", 25, 30)
+      .as[(Long, Long, Long, String, Long)].collect().head
+    assert(empty == ((7L, 0L, 0L, "", 0L)), empty.toString)
+  }
+
+  test("Gopher rules flip in the expected direction once markup is stripped") {
+    // 35 words of mean length ~4.5 with stopwords: passes Gopher clean.
+    // The same text glued into markup: tags fuse into "words", pushing the
+    // mean word length past the ceiling -> raw HTML FAILS the same gate.
+    val words = Seq.fill(5)(Seq("the", "team", "ships", "data", "into",
+      "lake", "jobs")).flatten
+    val clean = words.mkString(" ")
+    val html = words.grouped(7).map(g =>
+      "<p class=\"block\">" + g.mkString(" ") + "</p>").mkString("")
+    val df = Seq((clean, html)).toDF("clean", "html")
+    // minStopwords = 1: the "\n" block joins fuse a trailing word with the
+    // next block's leading "the", so only the first block's survives —
+    // the gate must still separate clean/main (pass) from raw (fail)
+    def keep(c: org.apache.spark.sql.Column) =
+      TextOps.gopherRules(c, 30L, 10000L, 3.0, 5.0, 1L)._4
+    val r = df.select(
+      keep($"clean").as("k_clean"),
+      keep($"html").as("k_raw"),
+      keep(Html.stripHtml($"html")).as("k_stripped_raw")).collect().head
+    assert(r.getBoolean(0), "clean text must pass Gopher")
+    assert(!r.getBoolean(1), "raw HTML must fail Gopher (tag-fused words)")
+    // strip alone is not enough here (tags were glued without spaces, so
+    // words fuse): mainContent on properly-blocked markup is the fix
+    val viaMain = Html.mainContent(Seq((1L, html)).toDF("id", "h"), "id", "h",
+        minChars = 10, maxLinkPct = 30)
+      .select(keep(col("main"))).collect().head.getBoolean(0)
+    assert(viaMain, "main-content text must pass the same Gopher gate")
+  }
+}
