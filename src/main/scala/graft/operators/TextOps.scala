@@ -2015,6 +2015,128 @@ object TextOps {
         when(col("n_trigrams") > 0, expr("(-ll_fp) div n_trigrams")))
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+    * model) — the missing tokenizer family next to BPE (t14/t16 train
+    * merges; this trains a PIECE INVENTORY with probabilities). The
+    * engine-exact variant implemented here is hard-EM (Viterbi-EM):
+    *
+    *   seed:  every corpus character (mandatory, the paper's required
+    *          alphabet) plus every substring up to `maxPieceLen` whose
+    *          frequency-weighted occurrence count clears `minCount` —
+    *          Kudo's "large seed vocabulary of frequent substrings";
+    *   E:     segment every distinct word by Viterbi under current piece
+    *          scores ([[graft.plans.UnigramSegment]], one codegen'd
+    *          per-row kernel, model as plan literals — the BpeSegment
+    *          posture), ties to the longer last piece;
+    *   M:     piece usage = frequency-weighted Viterbi counts; new score
+    *          = ln(max(1, floor(usage·1e12 / Σusage))) in EXACT integer
+    *          micro-nats through the LnFp kernel. Unused multi-char
+    *          pieces drop; characters persist at the probability floor.
+    *   prune: after `rounds` EM rounds keep all characters plus the top
+    *          (vocabSize − |chars|) multi-char pieces by (usage desc,
+    *          piece asc).
+    *
+    * Deviations from the paper, chosen for bit-reproducibility and
+    * documented as the contract the oracle replays: hard (Viterbi) counts
+    * instead of forward–backward expected counts, a fixed round count
+    * instead of convergence, and frequency pruning instead of
+    * likelihood-loss pruning. Every arithmetic step is integer, so the
+    * DuckDB oracle unrolls the identical DP (per word-length CTE, same
+    * longer-last-piece tie-break) and the result hash-checks.
+    *
+    * Output: (rank, piece, usage, score_fp) — rank by (usage desc, piece
+    * asc) over the pruned vocabulary, score_fp the final micro-nat
+    * log-probability.
+    *
+    * Scale shape: the corpus collapses to the distinct-word frequency
+    * table once (map-side combinable); each round is ONE kernel scan of
+    * that table plus one piece-keyed count. The model (vocab pieces +
+    * scores) is driver-resident between rounds — the t14/BPE "model fits
+    * the driver" discipline; at 100 TB the word table is large but the
+    * VOCAB is bounded by construction (minCount-pruned seeds), which is
+    * exactly why SentencePiece scales the same way.
+    */
+  def unigramLmVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     maxPieceLen: Int, rounds: Int, vocabSize: Int,
+                     minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8], got $maxPieceLen")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Q = 1000000000000L
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    graft.core.Storage.freeingIntermediates(spark) {
+      val wf = graft.core.Storage.cut(
+        df.select(explode(words(col(textCol))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq")),
+        eager = true)
+      val chars = graft.core.Storage.cut(
+        wf.select(explode(split(col("w"), "")).as("piece"))
+          .filter(length(col("piece")) > 0).distinct(),
+        eager = true)
+      val nChars = chars.count()
+      if (nChars == 0)
+        return wf.select(lit(0L).as("rank"), col("w").as("piece"),
+          col("freq").as("usage"), lit(0L).as("score_fp")).limit(0)
+      require(vocabSize > nChars,
+        s"vocabSize=$vocabSize must exceed the $nChars mandatory characters")
+      // seed usage: frequency-weighted substring occurrence counts
+      val seed = wf.select(col("freq"),
+          explode(flatten(transform(sequence(lit(1), lit(maxPieceLen)), j =>
+            transform(filter(sequence(lit(1), length(col("w"))),
+              i => i <= length(col("w")) - j + 1),
+              i => col("w").substr(i, j))))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("usage"))
+        .filter(length(col("piece")) === 1 || col("usage") >= minCount)
+      // integer model: piece -> micro-nat ln(max(1, usage*1e12 div total)),
+      // collected driver-side in deterministic order (plan-literal model)
+      def modelOf(usage: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+        val t = usage.agg(sum(col("usage"))).head().getLong(0)
+        usage.select(col("piece"),
+            ln(greatest(expr(s"CAST((CAST(usage AS DECIMAL(38,0)) * $Q) " +
+              s"div CAST($t AS DECIMAL(38,0)) AS BIGINT)"), lit(1L)),
+              lit(Q)).as("lnp"))
+          .as[(String, Long)].collect().sortBy(_._1).toSeq
+      }
+      var model = modelOf(seed)
+      var usage: org.apache.spark.sql.DataFrame = null
+      var r = 0
+      while (r < rounds) {
+        val used = wf.select(col("freq"),
+            explode(graft.plans.UnigramSegment.unigramSegment(col("w"), model))
+              .as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("usage"))
+        val next = graft.core.Storage.cut(
+          chars.join(used, Seq("piece"), "left")
+            .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+            .unionByName(used.filter(length(col("piece")) > 1)),
+          eager = true)
+        if (usage != null) graft.core.Storage.freeCheckpoint(usage)
+        usage = next
+        model = modelOf(usage)
+        r += 1
+      }
+      val tFinal = usage.agg(sum(col("usage"))).head().getLong(0)
+      val pruned = usage.filter(length(col("piece")) === 1)
+        .unionByName(usage.filter(length(col("piece")) > 1)
+          .orderBy(col("usage").desc, col("piece"))
+          .limit((vocabSize - nChars).toInt))
+      // vocab-bounded output: the rank window is a post-prune list of at
+      // most vocabSize rows (the fts3 documented single-partition window)
+      graft.core.Storage.cut(pruned.select(col("piece"), col("usage"),
+          ln(greatest(expr(s"CAST((CAST(usage AS DECIMAL(38,0)) * $Q) " +
+            s"div CAST($tFinal AS DECIMAL(38,0)) AS BIGINT)"), lit(1L)),
+            lit(Q)).as("score_fp"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("usage").desc, col("piece"))).cast("long"))
+        .select(col("rank"), col("piece"), col("usage"), col("score_fp")))
+    }
+  }
+
   /** Hashing-trick unigram featurizer shared by train and serve: explodes
     * `textCol` into one (…, b) row per token OCCURRENCE (counts matter
     * downstream), b = 48-bit md5 of the token mod nBuckets. All other

@@ -182,6 +182,58 @@ object CorpusQueries {
          |FROM documents d LEFT JOIN dl USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
 
+  /** One Viterbi-EM round of the unigram tokenizer oracle (t24): the DP
+    * is UNROLLED one CTE per word length (fixture words are <= 8 chars —
+    * asserted by the hash check itself: a longer word would leave its
+    * Viterbi path NULL and mismatch), candidates take the piece-score
+    * join against `vIn`, and the winner per (word, position) is
+    * ROW_NUMBER ordered by (total DESC, j DESC) — the engine kernel's
+    * longer-last-piece tie-break, bit-for-bit. Produces ud{r}_k, useg{r},
+    * uusg{r}, uall{r}, utt{r}, upr{r}, the ul{r} log2 chain and
+    * uv{r+1}(piece, lnp).
+    */
+  private def unigramRoundCtes(r: Int, vIn: String, maxWordLen: Int,
+                               maxPieceLen: Int): String = {
+    val dp = (1 to maxWordLen).map { k =>
+      val cands = (1 to math.min(maxPieceLen, k)).map { j =>
+        val piece = s"substr(w.w, ${k - j + 1}, $j)"
+        val (from, prevTotal, prevPath) =
+          if (k - j == 0) ("wf w", "CAST(0 AS BIGINT)", "''")
+          else (s"ud${r}_${k - j} d JOIN wf w ON w.w = d.w", "d.total", "d.path")
+        s"""SELECT w.w AS w, w.freq AS freq, $prevTotal + v.lnp AS total,
+           |      CASE WHEN $prevPath = '' THEN $piece
+           |        ELSE $prevPath || ' ' || $piece END AS path, $j AS j
+           |    FROM $from JOIN $vIn v ON v.piece = $piece
+           |    WHERE len(w.w) >= $k""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""ud${r}_$k AS MATERIALIZED (SELECT w, freq, total, path FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+         |      ORDER BY total DESC, j DESC) AS rn FROM (
+         |    $cands))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val lvls = (1 to maxWordLen)
+      .map(k => s"SELECT *, $k AS lvl FROM ud${r}_$k")
+      .mkString("\n    UNION ALL ")
+    s"""$dp,
+       |useg$r AS (SELECT w, freq, path FROM (
+       |    $lvls) WHERE lvl = len(w)),
+       |uusg$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
+       |    SELECT freq, unnest(string_split(path, ' ')) AS piece FROM useg$r)
+       |  GROUP BY piece),
+       |uall$r AS (SELECT c.piece, coalesce(u.usage, 0) AS usage
+       |    FROM uchars c LEFT JOIN uusg$r u USING (piece)
+       |  UNION ALL
+       |  SELECT piece, usage FROM uusg$r WHERE len(piece) > 1),
+       |utt$r AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM uall$r),
+       |upr$r AS (SELECT piece AS key,
+       |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
+       |    CAST(1000000000000 AS BIGINT) AS q FROM uall$r CROSS JOIN utt$r),
+       |${sqlLog2Fp(s"ul$r", s"upr$r", "key")},
+       |uv${r + 1} AS MATERIALIZED (SELECT key AS piece, $sqlLnMicroFromL AS lnp FROM ul${r}L)"""
+      .stripMargin
+  }
+
   /** Mirror of LnFp.lnQ40's final scaling: Q40 nats from a Q50 log2. */
   private val sqlLnQ40FromL =
     """CAST(CASE WHEN L >= 0
@@ -4131,6 +4183,51 @@ object CorpusQueries {
         .select(col("did").as("doc_id"), col("grp").as("lang"), col("dl"),
           col("avg_nll"), col("r"), col("bucket"))
         .orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM tokenizer TRAINING (TextOps.unigramLmVocab — Kudo 2018 /
+    // SentencePiece's unigram model, hard-EM variant): character +
+    // frequent-substring seeds, two Viterbi-EM rounds with every score an
+    // exact integer micro-nat (LnFp), frequency pruning to vocab 60. The
+    // oracle replays BOTH EM rounds with the Viterbi DP unrolled one CTE
+    // per word length and the same (total DESC, longer-piece) tie-break —
+    // the t14 discipline: train-time state, not just the output, is what
+    // hash-checks.
+    QueryDef(
+      "t24_unigram_vocab",
+      s"""WITH RECURSIVE $pow2Cte,
+         |utoks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM utoks
+         |  WHERE len(w) > 0 GROUP BY w),
+         |uchars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(i)),
+         |usub AS (SELECT substr(w, i, j) AS piece,
+         |    CAST(SUM(freq) AS BIGINT) AS usage
+         |  FROM wf, unnest(generate_series(1, 4)) AS sj(j),
+         |       unnest(generate_series(1, len(w))) AS t(i)
+         |  WHERE i + j - 1 <= len(w) GROUP BY 1),
+         |useed AS (SELECT piece, usage FROM usub
+         |  WHERE len(piece) = 1 OR usage >= 2),
+         |utt0 AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM useed),
+         |upr0 AS (SELECT piece AS key,
+         |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
+         |    CAST(1000000000000 AS BIGINT) AS q FROM useed CROSS JOIN utt0),
+         |${sqlLog2Fp("ul0", "upr0", "key")},
+         |uv1 AS MATERIALIZED (SELECT key AS piece, $sqlLnMicroFromL AS lnp FROM ul0L),
+         |${unigramRoundCtes(1, "uv1", maxWordLen = 8, maxPieceLen = 4)},
+         |${unigramRoundCtes(2, "uv2", maxWordLen = 8, maxPieceLen = 4)},
+         |umul AS (SELECT piece, usage FROM uall2 WHERE len(piece) > 1
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY usage DESC, piece)
+         |    <= 60 - (SELECT COUNT(*) FROM uchars)),
+         |ufin AS (SELECT piece, usage FROM uall2 WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, usage FROM umul)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY usage DESC, piece) AS BIGINT) AS rank,
+         |  piece, usage, lnp AS score_fp
+         |FROM ufin JOIN uv3 USING (piece)
+         |ORDER BY rank""".stripMargin) { (s, d) =>
+      TextOps.unigramLmVocab(Tables.documents(s, d), "text",
+          maxPieceLen = 4, rounds = 2, vocabSize = 60, minCount = 2L)
+        .orderBy(col("rank"))
     },
 
     // HTML main-content extraction (Html.mainContent — jusText/boilerpipe
