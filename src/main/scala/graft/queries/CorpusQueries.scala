@@ -4230,6 +4230,62 @@ object CorpusQueries {
         .orderBy(col("rank"))
     },
 
+    // Unigram tokenizer APPLY (the t15 pattern for the unigram family):
+    // segment every distinct corpus word with t24's TRAINED pruned
+    // vocabulary and final scores. The oracle re-derives the full t24
+    // training chain, restricts scores to the pruned vocabulary (uvf) and
+    // runs ONE more unrolled Viterbi round over it — so train and apply
+    // are hash-checked to agree exactly, pruning included.
+    QueryDef(
+      "t26_unigram_segment",
+      s"""WITH RECURSIVE $pow2Cte,
+         |utoks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM utoks
+         |  WHERE len(w) > 0 GROUP BY w),
+         |uchars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(i)),
+         |usub AS (SELECT substr(w, i, j) AS piece,
+         |    CAST(SUM(freq) AS BIGINT) AS usage
+         |  FROM wf, unnest(generate_series(1, 4)) AS sj(j),
+         |       unnest(generate_series(1, len(w))) AS t(i)
+         |  WHERE i + j - 1 <= len(w) GROUP BY 1),
+         |useed AS (SELECT piece, usage FROM usub
+         |  WHERE len(piece) = 1 OR usage >= 2),
+         |utt0 AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM useed),
+         |upr0 AS (SELECT piece AS key,
+         |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
+         |    CAST(1000000000000 AS BIGINT) AS q FROM useed CROSS JOIN utt0),
+         |${sqlLog2Fp("ul0", "upr0", "key")},
+         |uv1 AS MATERIALIZED (SELECT key AS piece, $sqlLnMicroFromL AS lnp FROM ul0L),
+         |${unigramRoundCtes(1, "uv1", maxWordLen = 8, maxPieceLen = 4)},
+         |${unigramRoundCtes(2, "uv2", maxWordLen = 8, maxPieceLen = 4)},
+         |umul AS (SELECT piece, usage FROM uall2 WHERE len(piece) > 1
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY usage DESC, piece)
+         |    <= 60 - (SELECT COUNT(*) FROM uchars)),
+         |ufin AS (SELECT piece, usage FROM uall2 WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, usage FROM umul),
+         |uvf AS MATERIALIZED (SELECT v.piece, v.lnp
+         |  FROM uv3 v JOIN ufin USING (piece)),
+         |${unigramRoundCtes(3, "uvf", maxWordLen = 8, maxPieceLen = 4)}
+         |SELECT w AS word,
+         |  CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces,
+         |  path AS pieces
+         |FROM useg3 ORDER BY word""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = TextOps.unigramLmVocab(docs, "text", maxPieceLen = 4,
+          rounds = 2, vocabSize = 60, minCount = 2L)
+        .select(col("piece"), col("score_fp"))
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+        .select(col("word"),
+          graft.plans.UnigramSegment.unigramSegment(col("word"), model).as("p"))
+        .select(col("word"), size(col("p")).cast("long").as("n_pieces"),
+          array_join(col("p"), " ").as("pieces"))
+        .orderBy(col("word"))
+    },
+
     // HTML main-content extraction (Html.mainContent — jusText/boilerpipe
     // lineage): deterministic markup is wrapped around each document (nav
     // bar of anchors, a boilerplate-short block, an entity block, the real
