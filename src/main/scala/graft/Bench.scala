@@ -67,11 +67,20 @@ object Bench {
     * build.sbt's dependency set is frozen and the format is self-produced.
     */
   private[graft] def parseMetricBlock(text: String, key: String): Map[String, Double] = {
-    // driver files embed the bench line inside a JSON string — unescape
+    // driver files embed the bench line inside a JSON string — unescape.
+    // Whitespace-tolerant: the promotion flow re-serializes the baseline
+    // through a JSON library that space-pads (`"queries": {`), and the
+    // r13–r14 whitespace-BLIND regex silently failed on every promoted
+    // baseline — priorMetrics fell through to the (also unparseable)
+    // driver round files and the time/shuffle gates ran PRIORLESS for two
+    // rounds. That is how d2's cold 1.29 s promoted without a flag
+    // (README "d2 forensics"); the no-usable-prior notice below makes the
+    // failure mode loud if a third format ever appears.
     val flat = text.replace("\\\"", "\"")
-    val block = ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(flat).map(_.group(1))
+    val block = ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(flat).map(_.group(1))
     block.map { b =>
-      "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(b)
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(b)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty[String, Double])
   }
@@ -129,7 +138,7 @@ object Bench {
     * (same raw-or-driver-embedded formats as [[parseMetricBlock]]).
     */
   private[graft] def parseCalibration(text: String): Option[Double] =
-    "\"calibration_sec\":([0-9.Ee+-]+)".r
+    "\"calibration_sec\"\\s*:\\s*([0-9.Ee+-]+)".r
       .findFirstMatchIn(text.replace("\\\"", "\""))
       .map(_.group(1).toDouble)
 
@@ -340,6 +349,10 @@ object Bench {
     // (session noise). Shuffle gate: exchanged bytes are the cluster-cost
     // predictor local wall time hides; sub-megabyte queries exempt.
     val (priorSec, priorShuffle, priorCal, priorOvh) = priorMetrics()
+    if (priorSec.isEmpty)
+      System.err.println(
+        "[bench] NOTICE no usable prior artifact found — time/shuffle " +
+          "regression gates are INACTIVE this run")
     val hwScaleRaw = priorCal.filter(_ > 0.05).map(calibrationSec / _).getOrElse(1.0)
     val hwScale = clampHwScale(hwScaleRaw)
     if (hwScale != hwScaleRaw)

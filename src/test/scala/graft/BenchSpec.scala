@@ -21,6 +21,22 @@ class BenchSpec extends AnyFunSuite {
       Map("q_fast" -> 0.4, "q_mid" -> 12.0, "q_big" -> 140.5))
   }
 
+  test("parseMetricBlock reads a SPACE-FORMATTED (json-library) artifact") {
+    // the r14 absorber: promotion re-serializes the baseline through a
+    // JSON library that space-pads ("queries": {...}); the old whitespace-
+    // blind regex returned EMPTY on every promoted baseline, the fallback
+    // driver round files were also unparseable, and the time/shuffle gates
+    // silently ran priorless for two rounds. This is the committed-file
+    // format, verbatim.
+    val pretty = """{"metric": "total", "value": 55.3, "unit": "sec", """ +
+      """"queries": {"q_fast": 0.2, "q_mid": 2.0}, """ +
+      """"calibration_sec": 0.218, "shuffle_mb": {"q_fast": 0.4}}"""
+    assert(Bench.parseMetricBlock(pretty, "queries") ==
+      Map("q_fast" -> 0.2, "q_mid" -> 2.0))
+    assert(Bench.parseMetricBlock(pretty, "shuffle_mb") == Map("q_fast" -> 0.4))
+    assert(Bench.parseCalibration(pretty).contains(0.218))
+  }
+
   test("parseMetricBlock reads a driver round file that embeds the line as a JSON string") {
     val wrapped = s"""{"tail": "${baselineLine.replace("\"", "\\\"")}"}"""
     assert(Bench.parseMetricBlock(wrapped, "queries")("q_big") == 8.0)

@@ -50,6 +50,16 @@ def factor_for(name: str) -> float:
 def main(small_path: str, large_path: str, out_path: str) -> int:
     small = json.load(open(small_path))
     large = json.load(open(large_path))
+    # preserve hand-written one-off sections (e.g. the sf1 probe) across
+    # regeneration: everything from the first "## One-off" heading onward
+    preserved = ""
+    try:
+        prev = open(out_path).read()
+        idx = prev.find("\n## One-off")
+        if idx >= 0:
+            preserved = prev[idx:]
+    except FileNotFoundError:
+        pass
     sq, lq = small["queries"], large["queries"]
     rows = []
     flagged = []
@@ -88,6 +98,7 @@ def main(small_path: str, large_path: str, out_path: str) -> int:
             out.write(f"| {name} | {t0:.2f} | {t1:.2f} | {f:.0f}x "
                       f"| {ratio:.2f}x | {status} |\n")
         out.write(f"\nFlagged superlinear: {flagged if flagged else 'none'}\n")
+        out.write(preserved)
     print(f"wrote {out_path}: {len(rows)} queries, flagged={flagged}")
     return 1 if flagged else 0
 
