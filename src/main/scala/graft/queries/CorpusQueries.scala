@@ -4286,6 +4286,76 @@ object CorpusQueries {
         .orderBy(col("word"))
     },
 
+    // Unigram tokenizer TOKEN BUDGETING (the t19 integration for the
+    // unigram family): per-document word and subtoken counts under t24's
+    // trained vocabulary — the number that decides context packing and
+    // per-doc training cost once the tokenizer is unigram instead of BPE.
+    // Segmentation is the same per-row kernel applied at word
+    // OCCURRENCES (no join, no shuffle beyond the per-doc aggregate);
+    // the oracle re-derives the trained vocabulary and counts pieces of
+    // each word's unrolled-DP path.
+    QueryDef(
+      "t27_unigram_doc_tokens",
+      s"""WITH RECURSIVE $pow2Cte,
+         |utoks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM utoks
+         |  WHERE len(w) > 0 GROUP BY w),
+         |uchars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(i)),
+         |usub AS (SELECT substr(w, i, j) AS piece,
+         |    CAST(SUM(freq) AS BIGINT) AS usage
+         |  FROM wf, unnest(generate_series(1, 4)) AS sj(j),
+         |       unnest(generate_series(1, len(w))) AS t(i)
+         |  WHERE i + j - 1 <= len(w) GROUP BY 1),
+         |useed AS (SELECT piece, usage FROM usub
+         |  WHERE len(piece) = 1 OR usage >= 2),
+         |utt0 AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM useed),
+         |upr0 AS (SELECT piece AS key,
+         |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
+         |    CAST(1000000000000 AS BIGINT) AS q FROM useed CROSS JOIN utt0),
+         |${sqlLog2Fp("ul0", "upr0", "key")},
+         |uv1 AS MATERIALIZED (SELECT key AS piece, $sqlLnMicroFromL AS lnp FROM ul0L),
+         |${unigramRoundCtes(1, "uv1", maxWordLen = 8, maxPieceLen = 4)},
+         |${unigramRoundCtes(2, "uv2", maxWordLen = 8, maxPieceLen = 4)},
+         |umul AS (SELECT piece, usage FROM uall2 WHERE len(piece) > 1
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY usage DESC, piece)
+         |    <= 60 - (SELECT COUNT(*) FROM uchars)),
+         |ufin AS (SELECT piece, usage FROM uall2 WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, usage FROM umul),
+         |uvf AS MATERIALIZED (SELECT v.piece, v.lnp
+         |  FROM uv3 v JOIN ufin USING (piece)),
+         |${unigramRoundCtes(3, "uvf", maxWordLen = 8, maxPieceLen = 4)},
+         |wp AS MATERIALIZED (SELECT w,
+         |    CAST(len(string_split(path, ' ')) AS BIGINT) AS np FROM useg3),
+         |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |per AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(wp.np) AS BIGINT) AS n_subtokens
+         |  FROM occ o JOIN wp ON wp.w = o.w GROUP BY o.doc_id)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_subtokens, 0) AS n_subtokens
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = TextOps.unigramLmVocab(docs, "text", maxPieceLen = 4,
+          rounds = 2, vocabSize = 60, minCount = 2L)
+        .select(col("piece"), col("score_fp"))
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      val per = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_words"),
+          sum(size(graft.plans.UnigramSegment.unigramSegment(col("word"), model))
+            .cast("long")).as("n_subtokens"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_subtokens"), lit(0L)).as("n_subtokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // HTML main-content extraction (Html.mainContent — jusText/boilerpipe
     // lineage): deterministic markup is wrapped around each document (nav
     // bar of anchors, a boilerplate-short block, an entity block, the real
