@@ -233,6 +233,29 @@ object Bench {
       }
     }
 
+  /** One-time JVM library init that must not land on any query: Spark 4's
+    * first EXECUTED lower()/upper()/initcap() triggers ICU's case-mapping
+    * table build (CollationAwareUTF8String.<clinit> via
+    * CollationSupport$Lower.execBinaryICU — ~1.1 s measured, constant at
+    * every SF). d2_dedup_fingerprint is the suite's first lower() executor
+    * and silently absorbed it whenever a fresh JVM ran the suite; the
+    * retry pass then re-measured it warm, so baselines flapped between
+    * ~0.3 s and ~1.3 s depending on run context (README "d2 forensics").
+    * Paying it in warmup makes per-query seconds measure dataflow, not
+    * ICU. Shared with ProfileQuery so the profiler's opt-in warm excludes
+    * the same constant the bench excludes. collect() the projection
+    * itself — count(expr) and count() both let the optimizer prune the
+    * case-mapping calls before they ever run.
+    */
+  private[graft] def warmCaseMappings(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(4).select(
+      md5(lower(regexp_replace(concat(lit("Warm Up É "),
+        col("id").cast("string")), "\\s+", " "))).as("lo"),
+      upper(initcap(col("id").cast("string"))).as("up")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -264,24 +287,7 @@ object Bench {
           transform(sequence(lit(1), lit(64)), x => x.cast("long") + col("id"))))
         .count()
     }
-    // One-time JVM library init that must not land on any query: Spark 4's
-    // first EXECUTED lower()/upper()/initcap() triggers ICU's case-mapping
-    // table build (CollationAwareUTF8String.<clinit> via
-    // CollationSupport$Lower.execBinaryICU — ~1.1 s measured, constant at
-    // every SF). d2_dedup_fingerprint is the suite's first lower() executor
-    // and silently absorbed it whenever a fresh JVM ran the suite; the
-    // retry pass then re-measured it warm, so baselines flapped between
-    // ~0.3 s and ~1.3 s depending on run context (README "d2 forensics").
-    // Paying it here makes per-query seconds measure dataflow, not ICU.
-    locally {
-      import org.apache.spark.sql.functions._
-      // collect() the projection itself — count(expr) and count() both let
-      // the optimizer prune the case-mapping calls before they ever run
-      spark.range(4).select(
-        md5(lower(regexp_replace(concat(lit("Warm Up É "),
-          col("id").cast("string")), "\\s+", " "))).as("lo"),
-        upper(initcap(col("id").cast("string"))).as("up")).collect()
-    }
+    warmCaseMappings(spark)
 
     // Hardware calibration: a FIXED CPU-bound workload (8M md5+xxhash64
     // rows, shuffle-free, codegen'd) timed after warmup. Rounds run on

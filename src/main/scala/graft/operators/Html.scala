@@ -68,8 +68,12 @@ object Html {
         length(col("v0")).as("nv"),
         (length(col("v0")) - length(col("vna"))).as("na"))
       .filter(length(col("vis")) > 0)
+    // cross-multiply in LONG: length() is Int, and a giant single-block
+    // page (> ~21M visible chars) would overflow na * 100 — ANSI abort or
+    // a silently-kept link farm, either way diverging from the BIGINT
+    // oracle (r15 review)
     val keep = length(col("vis")) >= minChars &&
-      col("na") * 100 <= col("nv") * lit(maxLinkPct)
+      col("na").cast("long") * 100L <= col("nv").cast("long") * lit(maxLinkPct.toLong)
     val agg = blocks.groupBy(col("sid")).agg(
       count(lit(1)).as("n_blocks"),
       sum(when(keep, 1L).otherwise(0L)).as("n_kept"),

@@ -2078,9 +2078,25 @@ object TextOps {
           .filter(length(col("piece")) > 0).distinct(),
         eager = true)
       val nChars = chars.count()
+      // empty corpus: an empty LOCAL frame with the contract schema. No
+      // `return` — a non-local return tunnels through freeingIntermediates
+      // with out == null, so EVERY checkpoint created above is freed and a
+      // result referencing one would read unpersisted blocks (r15 review);
+      // the local relation references nothing, and if/else keeps the
+      // wrapper's keep-set semantics intact for the trained branch.
       if (nChars == 0)
-        return wf.select(lit(0L).as("rank"), col("w").as("piece"),
-          col("freq").as("usage"), lit(0L).as("score_fp")).limit(0)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("piece",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("usage",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("score_fp",
+              org.apache.spark.sql.types.LongType))))
+      else {
       require(vocabSize > nChars,
         s"vocabSize=$vocabSize must exceed the $nChars mandatory characters")
       // seed usage: frequency-weighted substring occurrence counts
@@ -2134,6 +2150,7 @@ object TextOps {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("usage").desc, col("piece"))).cast("long"))
         .select(col("rank"), col("piece"), col("usage"), col("score_fp")))
+      }
     }
   }
 

@@ -4368,8 +4368,8 @@ object CorpusQueries {
     QueryDef(
       "t25_html_main_content",
       s"""WITH h AS (SELECT doc_id,
-         |    '<div><h1>' || source || '</h1><nav><a href="/">home</a> ' ||
-         |    '<a href="/x">more links here</a></nav><p>' || text ||
+         |    '<div><h1>' || source || '</h1><nav><a href="/">homepage navigation links</a> ' ||
+         |    '<a href="/x">all archive sections here</a></nav><p>' || text ||
          |    '</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; ' ||
          |    '&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>' ||
          |    '<p>Read <a href="/y">details</a> about ' || lang ||
@@ -4382,7 +4382,7 @@ object CorpusQueries {
          |  FROM arr, unnest(generate_series(1, len(a))) AS t(i)),
          |m AS (SELECT doc_id, bi, trim(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS vis,
          |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS nv,
-         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) - length(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(blk, '(?is)<a\\\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS na
+         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) - length(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(blk, '(?is)<a\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS na
          |  FROM b),
          |nz AS (SELECT * FROM m WHERE length(vis) > 0),
          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
@@ -4399,8 +4399,8 @@ object CorpusQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val html = concat(
         lit("<div><h1>"), col("source"),
-        lit("</h1><nav><a href=\"/\">home</a> " +
-          "<a href=\"/x\">more links here</a></nav><p>"), col("text"),
+        lit("</h1><nav><a href=\"/\">homepage navigation links</a> " +
+          "<a href=\"/x\">all archive sections here</a></nav><p>"), col("text"),
         lit("</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; " +
           "&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>" +
           "<p>Read <a href=\"/y\">details</a> about "), col("lang"),

@@ -23,19 +23,15 @@ object ProfileQuery {
       df.limit(1).count()
     }
     if (sys.env.contains("SPARK_GRAFT_ICU_WARM")) {
-      import org.apache.spark.sql.functions._
-      // collect() the projection itself — count(expr) and count() both let
-      // the optimizer prune the case-mapping calls before they ever run
-      spark.range(4).select(
-        md5(lower(regexp_replace(concat(lit("Warm Up É "),
-          col("id").cast("string")), "\\s+", " "))).as("lo"),
-        upper(initcap(col("id").cast("string"))).as("up")).collect()
+      graft.Bench.warmCaseMappings(spark) // the bench's exact warm set
       println("[profile] ICU warm block executed")
     }
     val fn = graft.SparkEntry.queries(name)
     import org.apache.spark.metrics.source.CodegenMetrics._
+    // count only: the histogram SNAPSHOT is a bounded sampling reservoir,
+    // so summing its values across an interval is not time-spent and can
+    // even go negative once evictions start (r15 review)
     def compiled = METRIC_COMPILATION_TIME.getCount
-    def compileMs = METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
     // crude sampler: every 20 ms, record the top interesting frame per thread
     val samples = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
     @volatile var sampling = false
@@ -62,7 +58,7 @@ object ProfileQuery {
       graft.core.Storage.freeAll(spark, blocking = true)
       samples.clear()
       sampling = i == 1
-      val (c0, m0) = (compiled, compileMs)
+      val c0 = compiled
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tPlan = System.nanoTime()
@@ -72,8 +68,8 @@ object ProfileQuery {
       val tEnd = System.nanoTime()
       println(f"[profile] $name rep $i: total ${(tEnd - t0) / 1e9}%.3f s " +
         f"(build ${(tPlan - t0) / 1e9}%.3f, plan ${(tOpt - tPlan) / 1e9}%.3f, " +
-        f"exec ${(tEnd - tOpt) / 1e9}%.3f) — codegen ${compiled - c0} units, " +
-        f"${compileMs - m0} ms compile ($n rows)")
+        f"exec ${(tEnd - tOpt) / 1e9}%.3f) — codegen ${compiled - c0} units " +
+        f"($n rows)")
       if (i == 1) {
         sampling = false
         import scala.jdk.CollectionConverters._
