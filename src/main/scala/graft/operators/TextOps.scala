@@ -1303,6 +1303,84 @@ object TextOps {
       .withColumn("pred", col("score_fp") > 0L)
   }
 
+  /** MULTICLASS hashed-linear language classifier — the TRAINED
+    * counterpart of the [[langId]] marker heuristic and the multiclass
+    * sibling of [[hashedQualityClassifier]] (fastText-shape, Joulin et
+    * al. 2016): per-language naive-Bayes log-likelihoods over
+    * hashing-trick unigram buckets, add-one smoothed, class priors
+    * included. Returns the model as (lang, b, w_fp) rows — w_fp the
+    * integer micro-nat ln p(bucket|lang) for b >= 0, the class prior at
+    * b = -1 — DENSE over langs x buckets so serve-time joins never lose
+    * the smoothing floor for buckets a class never saw. Every ln is one
+    * LnFp integer round from exact integer operands, so scores and
+    * argmax PREDICTIONS hash-check cross-engine.
+    *
+    * Scale shape: one featurize pass (label inline, never joined), one
+    * (lang, b) count aggregate, model = |langs| x nBuckets + |langs| rows
+    * — broadcast-sized at any corpus size.
+    */
+  def trainLangModel(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, langCol: String, nBuckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    val spark = df.sparkSession
+    val feats = featurize(df.select(col(idCol).as("did"),
+      col(textCol).as("__text"), col(langCol).as("lang")), "__text", nBuckets)
+    val bc = graft.core.Storage.cut(
+      feats.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c")),
+      eager = false)
+    // langs from the TRAINING FRAME, not from bc: a language whose docs
+    // are all empty-text still needs prior + floor rows
+    val langs = df.select(col(langCol).as("lang")).distinct()
+    val totc = bc.groupBy(col("lang")).agg(sum(col("c")).as("tc"))
+    val dense = langs
+      .crossJoin(spark.range(nBuckets).select(col("id").as("b")))
+      .join(totc, Seq("lang"), "left")
+      .join(bc, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"),
+        ln(coalesce(col("c"), lit(0L)) + lit(1L),
+          coalesce(col("tc"), lit(0L)) + lit(nBuckets.toLong)).as("w_fp"))
+    val nLangs = langs.count()
+    val prior = df.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("nd"))))
+      .select(col("lang"), lit(-1L).as("b"),
+        ln(col("ndc") + lit(1L), col("nd") + lit(nLangs)).as("w_fp"))
+    dense.unionByName(prior)
+  }
+
+  /** Serve half of [[trainLangModel]]: per doc, the argmax language and
+    * its score — (did, pred, score_fp), ties to the lexicographically
+    * smallest language code (deterministic, oracle-shared). Featureless
+    * docs argmax the priors alone. The model broadcasts; per-doc work is
+    * one featurize pass, a bucket join, and one |langs|-row argmax window
+    * partitioned by document.
+    */
+  def scoreLang(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, model: org.apache.spark.sql.DataFrame,
+                nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = model.filter(col("b") >= 0L)
+    val priors = model.filter(col("b") === -1L)
+      .select(col("lang"), col("w_fp").as("prior_fp"))
+    val cdb = featurize(df.select(col(idCol).as("did"),
+        col(textCol).as("__text")), "__text", nBuckets)
+      .groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
+    val ll = cdb.join(broadcast(w), Seq("b"))
+      .groupBy(col("did"), col("lang"))
+      .agg(sum(col("c") * col("w_fp")).as("ll_fp"))
+    val sc = df.select(col(idCol).as("did")).crossJoin(broadcast(priors))
+      .join(ll, Seq("did", "lang"), "left")
+      .select(col("did"), col("lang"),
+        (coalesce(col("ll_fp"), lit(0L)) + col("prior_fp")).as("score_fp"))
+    val win = Window.partitionBy(col("did"))
+      .orderBy(col("score_fp").desc, col("lang").asc)
+    sc.withColumn("__rn", row_number().over(win)).filter(col("__rn") === 1)
+      .select(col("did"), col("lang").as("pred"), col("score_fp"))
+  }
+
   /** One (ord, gram, prev) row per n-gram OCCURRENCE, orders 1..maxOrder,
     * all fanned out inside ONE scan — shared by [[ngramLmCounts]] and the
     * persisted [[LmIndex]] (shared code, not similar code: the two paths

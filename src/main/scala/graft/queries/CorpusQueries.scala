@@ -4356,6 +4356,90 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // TRAINED multiclass language ID (TextOps.trainLangModel/scoreLang —
+    // fastText-shape, the trained counterpart of t1/t6's marker
+    // heuristic): per-language naive-Bayes log-likelihoods over hashed
+    // unigram buckets, add-one smoothed, class priors, argmax with the
+    // smallest-language tie-break. Every ln is one LnFp integer round, so
+    // per-doc scores AND predictions hash-check; the oracle replays the
+    // dense langs x 256 model through the sqlLog2Fp twin (composite
+    // lang#bucket keys).
+    QueryDef(
+      "t28_trained_langid",
+      s"""WITH RECURSIVE $pow2Cte,
+         |msyn AS (SELECT doc_id, lang, text || ' ' || CASE lang
+         |${TextOps.langMarkers.map { case (l, _) =>
+             s"    WHEN '$l' THEN '${TextOps.langPhrase(l)}'"
+           }.mkString("\n")}
+         |  END AS text FROM documents),
+         |tr AS (SELECT doc_id, lang, text FROM msyn WHERE doc_id % 3 <> 0),
+         |mlangs AS MATERIALIZED (SELECT DISTINCT lang FROM tr),
+         |mk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM mlangs),
+         |trtf AS (SELECT lang, ${sqlHash("feat", 12)} % 256 AS b
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS feat FROM tr)
+         |  WHERE len(feat) > 0),
+         |mbc AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM trtf GROUP BY 1, 2),
+         |mtc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tc FROM mbc GROUP BY 1),
+         |mdense AS (SELECT l.lang, gb.b, coalesce(mbc.c, 0) AS c,
+         |    coalesce(mtc.tc, 0) AS tc
+         |  FROM mlangs l
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gb
+         |  LEFT JOIN mtc ON mtc.lang = l.lang
+         |  LEFT JOIN mbc ON mbc.lang = l.lang AND mbc.b = gb.b),
+         |mlp0 AS (SELECT lang || '#' || b AS key, c + 1 AS p,
+         |    tc + 256 AS q FROM mdense),
+         |${sqlLog2Fp("mlw", "mlp0", "key")},
+         |mlpv AS MATERIALIZED (SELECT string_split(key, '#')[1] AS lang,
+         |    CAST(string_split(key, '#')[2] AS BIGINT) AS b,
+         |    $sqlLnMicroFromL AS lp FROM mlwL),
+         |mpr0 AS (SELECT l.lang AS key, nd.ndc + 1 AS p, t.nd + mk.k AS q
+         |  FROM mlangs l
+         |  JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndc FROM tr
+         |        GROUP BY 1) nd ON nd.lang = l.lang
+         |  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM tr) t
+         |  CROSS JOIN mk),
+         |${sqlLog2Fp("mpw", "mpr0", "key")},
+         |mprv AS MATERIALIZED (SELECT key AS lang, $sqlLnMicroFromL AS prior_fp
+         |  FROM mpwL),
+         |scdb AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+         |        FROM msyn)
+         |  WHERE len(feat) > 0 GROUP BY 1, 2),
+         |sll AS (SELECT scdb.doc_id, mlpv.lang,
+         |    CAST(SUM(scdb.c * mlpv.lp) AS BIGINT) AS ll
+         |  FROM scdb JOIN mlpv ON mlpv.b = scdb.b GROUP BY 1, 2),
+         |ssc AS (SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+         |    coalesce(sll.ll, 0) + p.prior_fp AS score
+         |  FROM documents d CROSS JOIN mprv p
+         |  LEFT JOIN sll ON sll.doc_id = d.doc_id AND sll.lang = p.lang),
+         |spick AS (SELECT doc_id, true_lang, cand, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cand) AS rn FROM ssc)
+         |SELECT doc_id, true_lang AS lang, cand AS pred,
+         |  CAST(score AS BIGINT) AS score_fp, cand = true_lang AS correct
+         |FROM spick WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs0 = Tables.documents(s, d)
+      // the fixture text is language-neutral word salad (the lang column
+      // is independent of content), so — the t6/t8 synthesis pattern — a
+      // deterministic per-language phrase is appended on BOTH sides; the
+      // classifier must find it among the shared-salad noise
+      val phrase = TextOps.langMarkers.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, _)) =>
+          when(col("lang") === l, TextOps.langPhrase(l)).otherwise(acc)
+      }
+      val docs = docs0.withColumn("text",
+        concat(col("text"), lit(" "), phrase))
+      val model = TextOps.trainLangModel(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", "lang", 256)
+      TextOps.scoreLang(docs, "doc_id", "text", model, 256)
+        .join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did"))
+        .select(col("did").as("doc_id"), col("lang"), col("pred"),
+          col("score_fp"), (col("pred") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
     // HTML main-content extraction (Html.mainContent — jusText/boilerpipe
     // lineage): deterministic markup is wrapped around each document (nav
     // bar of anchors, a boilerplate-short block, an entity block, the real

@@ -299,6 +299,25 @@ class TextOpsSpec extends SparkSpec {
     assert(edges.find(_._1 == "").get._2 == Seq(""))
   }
 
+  test("trained multiclass lang ID: separation, prior argmax, smallest-lang tie") {
+    // vocabulary-separated classes classify held-out docs perfectly
+    val train = Seq((1L, "aa", "en"), (2L, "bb", "de"), (3L, "aa aa", "en"),
+      (4L, "bb bb", "de"), (5L, "cc", "fr")).toDF("id", "text", "lang")
+    val model = TextOps.trainLangModel(train, "id", "text", "lang", 64)
+    // DENSE model: |langs| x nBuckets likelihood rows + |langs| priors
+    assert(model.count() == 3 * 64 + 3)
+    val preds = TextOps.scoreLang(
+        Seq((10L, "aa aa aa"), (11L, "bb"), (12L, "cc cc"), (13L, ""))
+          .toDF("id", "text"), "id", "text", model, 64)
+      .orderBy($"did").as[(Long, String, Long)].collect()
+    assert(preds.take(3).map(_._2).toSeq == Seq("en", "de", "fr"),
+      preds.mkString(", "))
+    // featureless doc scores the priors alone: en and de tie at 2 docs
+    // each (add-one over the same total), so the smallest language code
+    // wins the argmax tie — "de", deterministically
+    assert(preds(3)._2 == "de", preds(3).toString)
+  }
+
   test("graft_bpe_segment SQL builder fails loud on wrong arity and NULL merges") {
     graft.plans.BpeSegment.register(spark)
     // one argument: a named arity error, not IndexOutOfBoundsException
