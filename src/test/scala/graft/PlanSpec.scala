@@ -709,6 +709,59 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("t25_html_main_content: per-row cleanup, one per-doc aggregate, native strip kernel") {
+    val p = plan("t25_html_main_content")
+    assert(p.contains("graft_html_strip"), p) // the native kernel, not a regexp chain
+    assert(!p.contains("CartesianProduct"), p)
+    // cleanup is embarrassingly parallel: exactly one exchange family — the
+    // per-doc aggregate (partial + final) plus its id re-attach join; no window
+    assert(!p.contains("Window ["), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("t24_unigram_vocab: the served vocabulary is a checkpoint-cut list, corpus-free") {
+    val p = plan("t24_unigram_vocab")
+    // training state (EM rounds, kernel scans) is checkpoint-cut per the
+    // t14 discipline — the FINAL plan must be nothing but the vocab-sized
+    // cut + the output order: no scan of documents, no join, no window
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("parquet") && !p.contains("Join") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("t26_unigram_segment: apply is ONE plan-literal kernel pass over distinct words") {
+    val p = plan("t26_unigram_segment")
+    assert(p.contains("graft_unigram_segment"), p) // model rides the plan, no join
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("t27_unigram_doc_tokens: kernel at occurrences, NO word-level join, map-side combine") {
+    val p = plan("t27_unigram_doc_tokens")
+    assert(p.contains("graft_unigram_segment"), p)
+    assert(!p.contains("SortMergeJoin"), p) // word->pieces is per-row, never a join
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // per-doc partial+final
+  }
+
+  test("t28_trained_langid: model broadcasts; argmax window partitions per document") {
+    val p = plan("t28_trained_langid")
+    assert(p.contains("BroadcastExchange"), p) // dense langs x buckets model
+    assert(!p.contains("CartesianProduct"), p)
+    // the argmax window is doc-partitioned (|langs| rows of state per doc),
+    // never a global sort over the score grid
+    assert(p.contains("Window"), p)
+    assert(!p.contains("partitionSpec=[]") || !p.contains("Window ["), p)
+  }
+
+  test("lm8/lm9 served scorers: served counts aggregate exchange-free on the gram bucketing") {
+    Seq("lm8_kn_served", "lm9_sb_served").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the totals rows ride broadcasts (the lm4/lm7 chain shape)
+      assert(p.contains("BroadcastExchange"), s"$q:\n$p")
+    }
+  }
+
   test("d31_exact_substr_dedup: rebuild is one sid-keyed join, no cartesian") {
     val p = plan("d31_exact_substr_dedup")
     assert(!p.contains("CartesianProduct"), p)
