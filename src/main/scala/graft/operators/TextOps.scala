@@ -1326,14 +1326,21 @@ object TextOps {
       s"nBuckets must be in [2, 2^20], got $nBuckets")
     val ln = graft.plans.LnFpFunctions.lnMicro _
     val spark = df.sparkSession
-    val feats = featurize(df.select(col(idCol).as("did"),
-      col(textCol).as("__text"), col(langCol).as("lang")), "__text", nBuckets)
+    // a NULL label would become a scorable class on this side and vanish
+    // in the oracle's equi-joins (NULL = NULL is never TRUE) — and Spark's
+    // ASC NULLS FIRST would even let it WIN argmax ties; fail loud in-scan
+    val checkedLang = when(col(langCol).isNull,
+      raise_error(lit(s"$langCol contains NULLs — a class label must be " +
+        "present on every training row"))).otherwise(col(langCol))
+    val labeled = df.select(col(idCol).as("did"),
+      col(textCol).as("__text"), checkedLang.as("lang"))
+    val feats = featurize(labeled, "__text", nBuckets)
     val bc = graft.core.Storage.cut(
       feats.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c")),
       eager = false)
     // langs from the TRAINING FRAME, not from bc: a language whose docs
     // are all empty-text still needs prior + floor rows
-    val langs = df.select(col(langCol).as("lang")).distinct()
+    val langs = labeled.select(col("lang")).distinct()
     val totc = bc.groupBy(col("lang")).agg(sum(col("c")).as("tc"))
     val dense = langs
       .crossJoin(spark.range(nBuckets).select(col("id").as("b")))
@@ -1342,12 +1349,14 @@ object TextOps {
       .select(col("lang"), col("b"),
         ln(coalesce(col("c"), lit(0L)) + lit(1L),
           coalesce(col("tc"), lit(0L)) + lit(nBuckets.toLong)).as("w_fp"))
-    val nLangs = langs.count()
-    val prior = df.groupBy(col(langCol).as("lang"))
+    // K rides the plan as a one-row broadcast (no eager count() job at
+    // DataFrame-construction time — the oracle's mk CTE, same shape)
+    val prior = labeled.groupBy(col("lang"))
       .agg(count(lit(1)).as("ndc"))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("nd"))))
+      .crossJoin(broadcast(labeled.agg(count(lit(1)).as("nd"))))
+      .crossJoin(broadcast(langs.agg(count(lit(1)).as("k"))))
       .select(col("lang"), lit(-1L).as("b"),
-        ln(col("ndc") + lit(1L), col("nd") + lit(nLangs)).as("w_fp"))
+        ln(col("ndc") + lit(1L), col("nd") + col("k")).as("w_fp"))
     dense.unionByName(prior)
   }
 

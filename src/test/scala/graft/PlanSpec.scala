@@ -671,7 +671,10 @@ class PlanSpec extends SparkSpec {
     // the islands window partitions by document — doc-bounded state, never
     // a corpus-global sort (an empty partitionSpec would single-task it)
     assert(p.contains("Window"), p)
-    assert(!p.contains("Window [") || !p.contains("partitionSpec=[]"), p)
+    // formatted explain prints the spec as windowspecdefinition(<partition
+    // cols>, <order>, <frame>): the leading sid# IS the per-doc partition
+    // (a global window would open with the order column instead)
+    assert(p.contains("windowspecdefinition(sid#"), p)
     // dup-gram count combines map-side before its exchange
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
@@ -715,7 +718,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // cleanup is embarrassingly parallel: exactly one exchange family — the
     // per-doc aggregate (partial + final) plus its id re-attach join; no window
-    assert(!p.contains("Window ["), p)
+    assert(!p.contains("windowspecdefinition"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
@@ -748,9 +751,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p) // dense langs x buckets model
     assert(!p.contains("CartesianProduct"), p)
     // the argmax window is doc-partitioned (|langs| rows of state per doc),
-    // never a global sort over the score grid
-    assert(p.contains("Window"), p)
-    assert(!p.contains("partitionSpec=[]") || !p.contains("Window ["), p)
+    // never a global sort over the score grid: the spec's leading did# IS
+    // the partition (vacuous-guard lesson — 'partitionSpec=[]' never
+    // appears in formatted explain output)
+    assert(p.contains("windowspecdefinition(did#"), p)
   }
 
   test("lm8/lm9 served scorers: served counts aggregate exchange-free on the gram bucketing") {

@@ -316,6 +316,14 @@ class TextOpsSpec extends SparkSpec {
     // each (add-one over the same total), so the smallest language code
     // wins the argmax tie — "de", deterministically
     assert(preds(3)._2 == "de", preds(3).toString)
+    // a NULL class label fails loud with the column named — it would
+    // otherwise become a scorable class that wins ties via NULLS FIRST
+    val withNull = Seq((1L, "aa", Some("en")), (2L, "bb", None))
+      .toDF("id", "text", "lang")
+    val e = intercept[Exception] {
+      TextOps.trainLangModel(withNull, "id", "text", "lang", 64).collect()
+    }
+    assert(e.getMessage.contains("lang"), e.getMessage)
   }
 
   test("graft_bpe_segment SQL builder fails loud on wrong arity and NULL merges") {
