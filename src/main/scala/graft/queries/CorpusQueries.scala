@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.operators.{AnnIndex, Dedup, FtsIndex, Html, Multimodal, Similarity, TextOps}
+import graft.operators.{AnnIndex, Dedup, FtsIndex, Html, Multimodal, Quality, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (dedup, similarity search, text analysis,
@@ -40,6 +40,27 @@ object CorpusQueries {
   private val pow2Cte =
     """pow2(i, v) AS (
       |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT i + 1, v * 2 FROM pow2 WHERE i < 125)""".stripMargin
+
+  /** fn1's gate/score/fingerprint expressions (t11 + t2 + d2 verbatim)
+    * over an arbitrary (…, text) source — shared by fn1 and the HTML
+    * funnel (fn4) so the two can never drift. Emits one CTE named `tag`.
+    */
+  private def sqlFunnelF(tag: String, src: String): String =
+    s"""$tag AS (SELECT
+       |  (len(string_split(text, ' ')) BETWEEN 30 AND 10000
+       |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+       |        greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
+       |       BETWEEN 4.0 AND 5.0
+       |   AND len(list_filter(string_split(text, ' '),
+       |         w -> w IN (${sqlList(TextOps.stopwords)}))) >= 2) AS g,
+       |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+       |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+       |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+       |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS q,
+       |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |FROM $src)""".stripMargin
 
   /** Mirror of LnFp.log2fp50: EXACT integer Q50 log2(p/q) for a relation
     * `src`(`key`, p, q) -> CTE `{x}L`(`key`, L). The 120-bit scaled
@@ -3806,21 +3827,7 @@ object CorpusQueries {
     // expressions verbatim, so the whole funnel hash-checks.
     QueryDef(
       "fn1_curation_funnel",
-      s"""WITH f AS (SELECT
-         |  (len(string_split(text, ' ')) BETWEEN 30 AND 10000
-         |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-         |        greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
-         |       BETWEEN 4.0 AND 5.0
-         |   AND len(list_filter(string_split(text, ' '),
-         |         w -> w IN (${sqlList(TextOps.stopwords)}))) >= 2) AS g,
-         |  0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
-         |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-         |       / greatest(CAST(length(text) AS DOUBLE), 1.0))
-         |   + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
-         |         w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
-         |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) AS q,
-         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
-         |FROM documents)
+      s"""WITH ${sqlFunnelF("f", "documents")}
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
          |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
          |  CAST(SUM(CASE WHEN g AND q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -4438,6 +4445,82 @@ object CorpusQueries {
         .select(col("did").as("doc_id"), col("lang"), col("pred"),
           col("score_fp"), (col("pred") === col("lang")).as("correct"))
         .orderBy(col("doc_id"))
+    },
+
+    // HTML-aware curation funnel (fn-family x t25): the SAME fn1 funnel —
+    // Gopher gate, quality >= 0.6, fingerprint dedup — run over RAW
+    // synthesized HTML and over its extracted MAIN CONTENT, side by side
+    // in one row. This is the "crawls are HTML" argument made
+    // oracle-checkable: the raw side's tag-glued tokens blow the Gopher
+    // word-length band while the cleaned side recovers the organic pass
+    // rate — the whole comparison hash-checks because every stage reuses
+    // fn1's expressions (sqlFunnelF) and t25's strip chain verbatim.
+    QueryDef(
+      "fn4_html_funnel",
+      s"""WITH h AS (SELECT doc_id,
+         |    '<div><h1>' || source || '</h1><nav><a href="/">homepage navigation links</a> ' ||
+         |    '<a href="/x">all archive sections here</a></nav><p>' || text ||
+         |    '</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; ' ||
+         |    '&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>' ||
+         |    '<p>Read <a href="/y">details</a> about ' || lang ||
+         |    ' corpus quality.</p></div>' AS html
+         |  FROM documents),
+         |harr AS (SELECT doc_id, regexp_split_to_array(html,
+         |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|nav|header|footer|aside|section|article)\\b[^>]*>') AS a
+         |  FROM h),
+         |hb AS (SELECT doc_id, t.i AS bi, a[t.i] AS blk
+         |  FROM harr, unnest(generate_series(1, len(a))) AS t(i)),
+         |hm AS (SELECT doc_id, bi, trim(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS vis,
+         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS nv,
+         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) - length(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(blk, '(?is)<a\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS na
+         |  FROM hb),
+         |hnz AS (SELECT * FROM hm WHERE length(vis) > 0),
+         |hagg AS (SELECT doc_id,
+         |    string_agg(CASE WHEN length(vis) >= 25 AND na * 100 <= nv * 30
+         |      THEN vis END, chr(10) ORDER BY bi) AS main
+         |  FROM hnz GROUP BY doc_id),
+         |cleaned AS (SELECT d.doc_id, coalesce(main, '') AS text
+         |  FROM documents d LEFT JOIN hagg USING (doc_id)),
+         |rawsrc AS (SELECT doc_id, html AS text FROM h),
+         |${sqlFunnelF("fr", "rawsrc")},
+         |${sqlFunnelF("fc", "cleaned")},
+         |ar AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+         |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_raw,
+         |    CAST(SUM(CASE WHEN g AND q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_raw,
+         |    CAST(COUNT(DISTINCT CASE WHEN g AND q >= 0.6 THEN fp END) AS BIGINT) AS n_unique_raw
+         |  FROM fr),
+         |ac AS (SELECT
+         |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_clean,
+         |    CAST(SUM(CASE WHEN g AND q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_clean,
+         |    CAST(COUNT(DISTINCT CASE WHEN g AND q >= 0.6 THEN fp END) AS BIGINT) AS n_unique_clean
+         |  FROM fc)
+         |SELECT n_input, n_gopher_raw, n_quality_raw, n_unique_raw,
+         |  n_gopher_clean, n_quality_clean, n_unique_clean
+         |FROM ar CROSS JOIN ac""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val html = concat(
+        lit("<div><h1>"), col("source"),
+        lit("</h1><nav><a href=\"/\">homepage navigation links</a> " +
+          "<a href=\"/x\">all archive sections here</a></nav><p>"), col("text"),
+        lit("</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; " +
+          "&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>" +
+          "<p>Read <a href=\"/y\">details</a> about "), col("lang"),
+        lit(" corpus quality.</p></div>"))
+      val raw = Quality.curationFunnel(
+          docs.select(col("doc_id"), html.as("text")),
+          "doc_id", "text", minQuality = 0.6)
+        .select(col("n_input"), col("n_gopher").as("n_gopher_raw"),
+          col("n_quality").as("n_quality_raw"),
+          col("n_unique").as("n_unique_raw"))
+      val clean = Quality.curationFunnel(
+          Html.mainContent(docs.select(col("doc_id"), html.as("html")),
+              "doc_id", "html", minChars = 25, maxLinkPct = 30)
+            .select(col("sid").as("doc_id"), col("main").as("text")),
+          "doc_id", "text", minQuality = 0.6)
+        .select(col("n_gopher").as("n_gopher_clean"),
+          col("n_quality").as("n_quality_clean"),
+          col("n_unique").as("n_unique_clean"))
+      raw.crossJoin(broadcast(clean))
     },
 
     // HTML main-content extraction (Html.mainContent — jusText/boilerpipe
