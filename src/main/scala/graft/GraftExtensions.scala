@@ -30,8 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanosPredicatePushdown)
 
+    // Every builder is the companion's guarded fromChildren — the SAME
+    // function register() uses, so SQL callers through either route get
+    // named arity/NULL errors, never IndexOutOfBounds/NPE.
     ext.injectFunction(fn(GraftFunctions.DotLongName, classOf[DotProductLong],
-      c => DotProductLong(c(0), c(1))))
+      GraftFunctions.dotFromChildren))
     ext.injectFunction(fn(GraftFunctions.MisraGriesName, classOf[MisraGriesSketch],
       MisraGriesSketch.fromChildren))
     ext.injectFunction(fn(KmvSketch.Name, classOf[KmvSketch],
@@ -39,48 +42,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn(CountMinSketch.Name, classOf[CountMinSketch],
       CountMinSketch.fromChildren))
     ext.injectFunction(fn(GraftFunctions.LshBucketsName, classOf[LshBucketsLong],
-      c => LshBucketsLong(c(0), c(1), c(2))))
+      GraftFunctions.lshFromChildren))
     ext.injectFunction(fn(GraftFunctions.PqAdcName, classOf[PqAdcLong],
-      c => PqAdcLong(c(0), c(1))))
+      GraftFunctions.pqAdcFromChildren))
     ext.injectFunction(fn(GraftFunctions.PqAdcDirectName, classOf[PqAdcDirectLong],
-      c => PqAdcDirectLong(c(0), c(1), c(2))))
+      GraftFunctions.pqAdcDirectFromChildren))
     ext.injectFunction(fn(GraftFunctions.PqEncodeName, classOf[PqEncodeLong],
-      c => PqEncodeLong(c(0), c(1))))
+      GraftFunctions.pqEncodeFromChildren))
     ext.injectFunction(fn(LnFpFunctions.LnMicroName, classOf[LnMicroLong],
-      c => LnMicroLong(c(0), c(1))))
+      LnFpFunctions.lnMicroFromChildren))
     ext.injectFunction(fn(LnFpFunctions.GumbelMicroName, classOf[GumbelMicroLong],
-      c => GumbelMicroLong(c(0))))
+      LnFpFunctions.gumbelFromChildren))
     ext.injectFunction(fn(Md5PrefixLong.Name, classOf[Md5PrefixLong],
-      c => c(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-          Md5PrefixLong(c(0), n)
-        case other => throw new IllegalArgumentException(
-          s"${Md5PrefixLong.Name}: nBytes must be a literal int, got $other")
-      }))
+      Md5PrefixLong.fromChildren))
     ext.injectFunction(fn(SimhashLong.Name, classOf[SimhashLong],
-      c => SimhashLong(c.head)))
+      SimhashLong.fromChildren))
     ext.injectFunction(fn(MinhashSigLong.Name, classOf[MinhashSigLong],
-      c => MinhashSigLong(c(0), c(1))))
+      MinhashSigLong.fromChildren))
     ext.injectFunction(fn(VectorSumLong.Name, classOf[VectorSumLong],
-      c => VectorSumLong(c.head)))
+      VectorSumLong.fromChildren))
     ext.injectFunction(fn(WinnowLong.Name, classOf[WinnowLong],
-      c => (c(1), c(2)) match {
-        case (org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
-              org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
-          WinnowLong(c(0), k, w)
-        case other => throw new IllegalArgumentException(
-          s"${WinnowLong.Name} (k, w) arguments must be literal ints, got $other")
-      }))
+      WinnowLong.fromChildren))
     ext.injectFunction(fn(AhoCorasickCount.Name, classOf[AhoCorasickCount],
       AhoCorasickCount.fromChildren))
     ext.injectFunction(fn(SubwordCount.Name, classOf[SubwordCount],
-      c => {
-        require(c(1).foldable, s"${SubwordCount.Name} vocab must be a literal array")
-        val vocab = c(1).eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
-        SubwordCount(c(0), vocab)
-      }))
+      SubwordCount.fromChildren))
+    ext.injectFunction(fn(CdcBoundariesLong.Name, classOf[CdcBoundariesLong],
+      CdcBoundariesLong.fromChildren))
+    ext.injectFunction(fn(LcsTokensLong.Name, classOf[LcsTokensLong],
+      LcsTokensLong.fromChildren))
+    ext.injectFunction(fn(BpeSegment.Name, classOf[BpeSegment],
+      BpeSegment.fromChildren))
+    ext.injectFunction(fn(UnigramSegment.Name, classOf[UnigramSegment],
+      UnigramSegment.fromChildren))
+    ext.injectFunction(fn(HtmlStrip.Name, classOf[HtmlStrip],
+      HtmlStrip.fromChildren))
   }
 }

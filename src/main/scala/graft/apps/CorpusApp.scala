@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline: the composition a user runs
   * over a raw document corpus before tokenization.
   *
-  *   read -> language filter -> quality threshold (score + repetition)
+  *   read -> [main-content extraction when the input is raw HTML]
+  *        -> language filter -> quality threshold (score + repetition)
   *        -> PII redaction -> exact+near dedup
   *        -> benchmark decontamination (optional)
   *        -> sequence packing (optional)
@@ -20,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusApp {
 
+  // `cleaned` = docs with non-empty extracted main content when
+  // htmlInput is set; equals `input` on the clean-text path (appended
+  // last so positional Stats(...) callers keep working)
   case class Stats(input: Long, langKept: Long, qualityKept: Long,
                    piiRedacted: Long, deduped: Long,
-                   decontaminated: Long = 0L, packs: Long = 0L)
+                   decontaminated: Long = 0L, packs: Long = 0L,
+                   cleaned: Long = 0L)
 
   /** Drop curated docs sharing any word n-gram with the benchmark set, then
     * lay the survivors into `packSize`-token training packs — the last two
@@ -43,12 +48,36 @@ object CorpusApp {
     (packed, dropped, packs)
   }
 
+  /** @param htmlInput the `text` column is raw crawl HTML: run
+    *        [[graft.operators.Html.mainContent]] first (fn4 proved raw
+    *        markup fails every downstream gate — tag-glued tokens blow
+    *        the Gopher word-length band) and curate the extracted main
+    *        content. Docs whose main content is empty (pure boilerplate)
+    *        drop at this stage; `Stats.cleaned` counts the survivors.
+    */
   def curate(spark: SparkSession, docs: DataFrame,
              keepLangs: Set[String], minQuality: Double,
-             maxRepetition: Double = 0.95): (DataFrame, Stats) = {
+             maxRepetition: Double = 0.95,
+             htmlInput: Boolean = false,
+             htmlMinChars: Int = 25,
+             htmlMaxLinkPct: Int = 30): (DataFrame, Stats) = {
     val input = docs.count()
 
-    val langed = docs
+    val base =
+      if (!htmlInput) docs
+      else {
+        val main = graft.operators.Html
+          .mainContent(docs, "doc_id", "text", htmlMinChars, htmlMaxLinkPct)
+          .filter(col("main_len") > 0)
+          .select(col("sid").as("doc_id"), col("main"))
+        // re-attach the non-text columns; the join is doc_id-keyed on both
+        // sides (mainContent's aggregate already partitioned by sid)
+        docs.drop("text").join(main, Seq("doc_id"))
+          .withColumnRenamed("main", "text")
+      }
+    val cleaned = if (htmlInput) base.count() else input
+
+    val langed = base
       .withColumn("lang_pred", TextOps.langId(col("text")))
       .filter(col("lang_pred").isin(keepLangs.toSeq.map(lit(_)): _*))
     val langKept = langed.count()
@@ -81,7 +110,8 @@ object CorpusApp {
     val curated = Dedup.dedupCorpus(scrubbed, "doc_id", "text")
     val deduped = curated.count()
 
-    (curated, Stats(input, langKept, qualityKept, piiRedacted, deduped))
+    (curated, Stats(input, langKept, qualityKept, piiRedacted, deduped,
+      cleaned = cleaned))
   }
 
   /** Final stage: deterministic training order — every curated doc gets a
@@ -127,14 +157,18 @@ object CorpusApp {
 
   def main(argv: Array[String]): Unit = {
     val args = PipelineApps.parseArgs(argv)
+    val htmlInput = argv.sliding(2, 2)
+      .exists(a => a.length == 2 && a(0) == "--html-input" && a(1) == "true")
     val spark = graft.core.Sessions.local("corpus-curate")
     try {
       val docs = spark.read.parquet(s"${args.src}/documents.parquet")
-      val (curated, stats) = curate(spark, docs, Set("en"), minQuality = 0.5)
+      val (curated, stats) = curate(spark, docs, Set("en"), minQuality = 0.5,
+        htmlInput = htmlInput)
       graft.sources.Sinks.overwriteRunPartition(
         curated.withColumn("run_date", lit(args.runDate.toString)),
         s"${args.out}/curated_documents", "run_date")
-      println(s"""{"input":${stats.input},"lang_kept":${stats.langKept},""" +
+      println(s"""{"input":${stats.input},"cleaned":${stats.cleaned},""" +
+        s""""lang_kept":${stats.langKept},""" +
         s""""quality_kept":${stats.qualityKept},""" +
         s""""pii_redacted":${stats.piiRedacted},"deduped":${stats.deduped}}""")
     } finally spark.stop()

@@ -66,7 +66,11 @@ object Html {
         stripHtml(regexp_replace(col("blk"), AnchorRe, "")).as("vna"))
       .select(col("sid"), col("bi"), trim(col("v0")).as("vis"),
         length(col("v0")).as("nv"),
-        (length(col("v0")) - length(col("vna"))).as("na"))
+        // clamped at 0: erasing an anchor can splice an entity apart
+        // ('&lt<a>;</a>' -> v0 '<' is SHORTER than vna '&lt'), and a
+        // negative anchor-char count must not help a block pass the
+        // link-density gate (ADVICE r15)
+        greatest(lit(0), length(col("v0")) - length(col("vna"))).as("na"))
       .filter(length(col("vis")) > 0)
     // cross-multiply in LONG: length() is Int, and a giant single-block
     // page (> ~21M visible chars) would overflow na * 100 — ANSI abort or

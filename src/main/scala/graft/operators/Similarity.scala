@@ -178,6 +178,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SEMANTIC decontamination: per corpus vector, its highest cosine over
+    * a benchmark/eval embedding set and the benchmark id that achieves it
+    * — the embedding companion to [[Dedup.decontaminate]]'s n-gram
+    * overlap (a paraphrased eval question shares no 8-gram with its
+    * source but cosines near it; GPT-3's and Llama's decontamination
+    * reports both flag this gap). Output one row per corpus vector:
+    * (sid, bench_id, max_cosine, contaminated = max_cosine >= minCosine).
+    *
+    * Determinism: argmax ties break to the SMALLEST benchmark id via a
+    * unique (cosine, -bid) max_by ordering — the oracle's
+    * (cosine DESC, bid ASC) row_number. Zero-norm pairs have undefined
+    * cosine (NULL, the [[bruteForceTopK]] contract) and are dropped
+    * before the argmax; a corpus vector with NO defined pair surfaces
+    * with NULL bench_id/max_cosine and contaminated = false.
+    *
+    * Scale shape: the benchmark is an eval suite (10^3..10^5 rows) —
+    * broadcast once; the corpus scans once with per-row |benchmark| dots,
+    * and the argmax is a partial-aggregating groupBy (each corpus row's
+    * |B| candidates collapse map-side before the exchange), so the only
+    * shuffle is one ~|corpus|-row hash aggregate. No window over the
+    * cross product.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCosine: Double): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val b = prepared(benchmark, idCol, vecCol)
+      .select(col("sid").as("bid"), col("qv").as("bqv"),
+        col("nrm").as("bnrm"))
+    val best = c.crossJoin(broadcast(b))
+      .select(col("sid"), col("bid"),
+        pairCosine(col("qv"), col("bqv"), col("nrm"), col("bnrm")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("sid"))
+      .agg(max_by(struct(col("bid"), col("cosine")),
+        struct(col("cosine"), negate(col("bid")))).as("best"))
+      .select(col("sid"), col("best.bid").as("bench_id"),
+        col("best.cosine").as("max_cosine"))
+    corpus.select(col(idCol).as("sid")).join(best, Seq("sid"), "left")
+      .select(col("sid"), col("bench_id"), col("max_cosine"),
+        coalesce(col("max_cosine") >= minCosine, lit(false)).as("contaminated"))
+  }
+
   /** Recall@k of one or more ANN result sets against exact ground truth —
     * the accuracy CONTRACT the ANN ladder was missing: s2–s15 are
     * hash-verified for determinism, this measures whether the approximate

@@ -1363,13 +1363,21 @@ object TextOps {
   /** Serve half of [[trainLangModel]]: per doc, the argmax language and
     * its score — (did, pred, score_fp), ties to the lexicographically
     * smallest language code (deterministic, oracle-shared). Featureless
-    * docs argmax the priors alone. The model broadcasts; per-doc work is
-    * one featurize pass, a bucket join, and one |langs|-row argmax window
-    * partitioned by document.
+    * docs argmax the priors alone. Per-doc work is one featurize pass, a
+    * bucket join, and one |langs|-row argmax window partitioned by doc.
+    *
+    * Broadcast bound (ADVICE r15): the dense model is |langs| x nBuckets
+    * rows (~24 B each), so with the usual nBuckets = 2^8..2^16 it
+    * broadcasts at any language count, but a many-language model at the
+    * 2^20 bucket cap reaches GBs and would trip the driver/broadcast
+    * limits before any corpus-size effect. For that shape pass
+    * `broadcastModel = false`: the bucket join runs as a shuffle join on
+    * `b` instead — same rows, one extra exchange on the (did, b) counts.
     */
   def scoreLang(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, model: org.apache.spark.sql.DataFrame,
-                nBuckets: Int): org.apache.spark.sql.DataFrame = {
+                nBuckets: Int,
+                broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = model.filter(col("b") >= 0L)
     val priors = model.filter(col("b") === -1L)
@@ -1377,7 +1385,7 @@ object TextOps {
     val cdb = featurize(df.select(col(idCol).as("did"),
         col(textCol).as("__text")), "__text", nBuckets)
       .groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
-    val ll = cdb.join(broadcast(w), Seq("b"))
+    val ll = cdb.join(if (broadcastModel) broadcast(w) else w, Seq("b"))
       .groupBy(col("did"), col("lang"))
       .agg(sum(col("c") * col("w_fp")).as("ll_fp"))
     val sc = df.select(col(idCol).as("did")).crossJoin(broadcast(priors))
@@ -2108,9 +2116,13 @@ object TextOps {
     * engine-exact variant implemented here is hard-EM (Viterbi-EM):
     *
     *   seed:  every corpus character (mandatory, the paper's required
-    *          alphabet) plus every substring up to `maxPieceLen` whose
-    *          frequency-weighted occurrence count clears `minCount` —
-    *          Kudo's "large seed vocabulary of frequent substrings";
+    *          alphabet) plus the TOP `seedSize` substrings up to
+    *          `maxPieceLen` by (frequency-weighted occurrence count desc,
+    *          piece asc) among those clearing `minCount` — Kudo's "large
+    *          seed vocabulary of frequent substrings", capped the way
+    *          SentencePiece caps it (`seed_sentencepiece_size`), so the
+    *          driver-side model collect and the kernel's plan-literal
+    *          array are BOUNDED at any corpus size (VERDICT r15 #2);
     *   E:     segment every distinct word by Viterbi under current piece
     *          scores ([[graft.plans.UnigramSegment]], one codegen'd
     *          per-row kernel, model as plan literals — the BpeSegment
@@ -2145,11 +2157,13 @@ object TextOps {
     */
   def unigramLmVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
                      maxPieceLen: Int, rounds: Int, vocabSize: Int,
-                     minCount: Long): org.apache.spark.sql.DataFrame = {
+                     minCount: Long,
+                     seedSize: Int = 1000000): org.apache.spark.sql.DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 8,
       s"maxPieceLen must be in [1, 8], got $maxPieceLen")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
     val spark = df.sparkSession
     import spark.implicits._
     val Q = 1000000000000L
@@ -2186,14 +2200,21 @@ object TextOps {
       else {
       require(vocabSize > nChars,
         s"vocabSize=$vocabSize must exceed the $nChars mandatory characters")
-      // seed usage: frequency-weighted substring occurrence counts
-      val seed = wf.select(col("freq"),
+      // seed usage: frequency-weighted substring occurrence counts.
+      // Characters are mandatory; multi-char candidates clear minCount AND
+      // the top-seedSize cut (usage desc, piece asc) — the limit is what
+      // bounds modelOf's driver collect at any corpus (every later round's
+      // vocabulary is a subset of the seed, so one cap bounds them all).
+      val subUsage = wf.select(col("freq"),
           explode(flatten(transform(sequence(lit(1), lit(maxPieceLen)), j =>
             transform(filter(sequence(lit(1), length(col("w"))),
               i => i <= length(col("w")) - j + 1),
               i => col("w").substr(i, j))))).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("usage"))
-        .filter(length(col("piece")) === 1 || col("usage") >= minCount)
+      val seed = subUsage.filter(length(col("piece")) === 1)
+        .unionByName(subUsage
+          .filter(length(col("piece")) > 1 && col("usage") >= minCount)
+          .orderBy(col("usage").desc, col("piece")).limit(seedSize))
       // integer model: piece -> micro-nat ln(max(1, usage*1e12 div total)),
       // collected driver-side in deterministic order (plan-literal model)
       def modelOf(usage: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {

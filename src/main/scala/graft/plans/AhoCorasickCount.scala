@@ -124,11 +124,8 @@ object AhoCorasickCount {
   val Name = "graft_aho_corasick"
 
   def fromChildren(children: Seq[Expression]): AhoCorasickCount = {
-    require(children.length == 2, s"$Name expects (text, patterns)")
-    val pe = children(1)
-    require(pe.foldable, s"$Name patterns argument must be a literal array")
-    val pats = pe.eval(null).asInstanceOf[ArrayData]
-      .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+    Builders.arity(Name, "(text, patterns array)", 2, children)
+    val pats = Builders.litStrings(Name, "patterns argument", children(1))
     AhoCorasickCount(children.head, pats)
   }
 

@@ -145,6 +145,17 @@ object BpeSegment {
 
   val Name = "graft_bpe_segment"
 
+  // SQL callers reach this builder directly — fail with the function's
+  // name, not IndexOutOfBounds/NPE (ADVICE r14)
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(word, merges array)", 2, children)
+    val flat = Builders.litStrings(Name, "merges argument", children(1))
+    require(flat.length % 2 == 0,
+      s"$Name merges must be (lft, rgt) pairs flattened; got ${flat.length} strings")
+    val pairs = flat.grouped(2).map(a => (a(0), a(1))).toSeq
+    BpeSegment(children(0), pairs)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -152,24 +163,7 @@ object BpeSegment {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[BpeSegment].getName, Name),
-        (children: Seq[Expression]) => {
-          // SQL callers reach this builder directly — fail with the
-          // function's name, not IndexOutOfBounds/NPE (ADVICE r14)
-          require(children.length == 2,
-            s"$Name takes exactly 2 arguments (word, merges array); got ${children.length}")
-          val mergesExpr = children(1)
-          require(mergesExpr.foldable,
-            s"$Name merges argument must be a literal array")
-          val mergesVal = mergesExpr.eval(null)
-          require(mergesVal != null, s"$Name merges array must not be NULL")
-          val flat = mergesVal.asInstanceOf[ArrayData]
-            .toObjectArray(StringType)
-            .map(_.asInstanceOf[UTF8String].toString)
-          require(flat.length % 2 == 0,
-            s"$Name merges must be (lft, rgt) pairs flattened; got ${flat.length} strings")
-          val pairs = flat.grouped(2).map(a => (a(0), a(1))).toSeq
-          BpeSegment(children(0), pairs)
-        })
+        fromChildren)
     }
   }
 

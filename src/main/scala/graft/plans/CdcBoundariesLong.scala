@@ -62,6 +62,15 @@ case class CdcBoundariesLong(child: Expression, n: Int, divisor: Int)
 object CdcBoundariesLong {
   val Name = "graft_cdc_boundaries"
 
+  val fromChildren: Seq[Expression] => Expression = children =>
+    (Builders.arity(Name, "(text, n, divisor)", 3, children)(1),
+      children(2)) match {
+      case (Literal(n: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+        CdcBoundariesLong(children(0), n, d)
+      case other => throw new IllegalArgumentException(
+        s"$Name (n, divisor) arguments must be literal ints, got $other")
+    }
+
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
@@ -115,12 +124,7 @@ object CdcBoundariesLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[CdcBoundariesLong].getName, Name),
-        (children: Seq[Expression]) => (children(1), children(2)) match {
-          case (Literal(n: Int, IntegerType), Literal(d: Int, IntegerType)) =>
-            CdcBoundariesLong(children(0), n, d)
-          case other => throw new IllegalArgumentException(
-            s"$Name (n, divisor) arguments must be literal ints, got $other")
-        })
+        fromChildren)
     }
   }
 

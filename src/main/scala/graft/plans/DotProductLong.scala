@@ -88,66 +88,51 @@ object GraftFunctions {
   val PqAdcDirectName = "graft_pq_adc_direct"
   val PqEncodeName = "graft_pq_encode"
 
-  def register(spark: SparkSession): Unit = {
+  // Single guarded builder per function — register() below AND
+  // GraftExtensions share these, so the SQL path can never bypass the
+  // arity/null guards.
+  val dotFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(DotLongName, "(vec_a, vec_b)", 2, children)
+    DotProductLong(children(0), children(1))
+  }
+  val pqAdcFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(PqAdcName, "(codes, lut)", 2, children)
+    PqAdcLong(children(0), children(1))
+  }
+  val pqAdcDirectFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(PqAdcDirectName, "(codes, centroids, query)", 3, children)
+    PqAdcDirectLong(children(0), children(1), children(2))
+  }
+  val pqEncodeFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(PqEncodeName, "(vec, centroids)", 2, children)
+    PqEncodeLong(children(0), children(1))
+  }
+  val lshFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(LshBucketsName, "(vec, planes, nBands)", 3, children)
+    LshBucketsLong(children(0), children(1), children(2))
+  }
+
+  private def reg(spark: SparkSession, name: String, clazz: Class[_],
+                  builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val dotId = FunctionIdentifier(DotLongName)
-    if (!registry.functionExists(dotId)) {
-      registry.registerFunction(
-        dotId,
-        new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
-        (children: Seq[Expression]) => DotProductLong(children(0), children(1)))
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id,
+        new ExpressionInfo(clazz.getName, name), builder)
     }
-    val pqId = FunctionIdentifier(PqAdcName)
-    if (!registry.functionExists(pqId)) {
-      registry.registerFunction(
-        pqId,
-        new ExpressionInfo(classOf[PqAdcLong].getName, PqAdcName),
-        (children: Seq[Expression]) => PqAdcLong(children(0), children(1)))
-    }
-    val pqdId = FunctionIdentifier(PqAdcDirectName)
-    if (!registry.functionExists(pqdId)) {
-      registry.registerFunction(
-        pqdId,
-        new ExpressionInfo(classOf[PqAdcDirectLong].getName, PqAdcDirectName),
-        (children: Seq[Expression]) =>
-          PqAdcDirectLong(children(0), children(1), children(2)))
-    }
-    val pqeId = FunctionIdentifier(PqEncodeName)
-    if (!registry.functionExists(pqeId)) {
-      registry.registerFunction(
-        pqeId,
-        new ExpressionInfo(classOf[PqEncodeLong].getName, PqEncodeName),
-        (children: Seq[Expression]) => PqEncodeLong(children(0), children(1)))
-    }
-    val lshId = FunctionIdentifier(LshBucketsName)
-    if (!registry.functionExists(lshId)) {
-      registry.registerFunction(
-        lshId,
-        new ExpressionInfo(classOf[LshBucketsLong].getName, LshBucketsName),
-        (children: Seq[Expression]) =>
-          LshBucketsLong(children(0), children(1), children(2)))
-    }
-    val mgId = FunctionIdentifier(MisraGriesName)
-    if (!registry.functionExists(mgId)) {
-      registry.registerFunction(
-        mgId,
-        new ExpressionInfo(classOf[MisraGriesSketch].getName, MisraGriesName),
-        (children: Seq[Expression]) => MisraGriesSketch.fromChildren(children))
-    }
-    val kmvId = FunctionIdentifier(KmvSketch.Name)
-    if (!registry.functionExists(kmvId)) {
-      registry.registerFunction(
-        kmvId,
-        new ExpressionInfo(classOf[KmvSketch].getName, KmvSketch.Name),
-        (children: Seq[Expression]) => KmvSketch.fromChildren(children))
-    }
-    val cmsId = FunctionIdentifier(CountMinSketch.Name)
-    if (!registry.functionExists(cmsId)) {
-      registry.registerFunction(
-        cmsId,
-        new ExpressionInfo(classOf[CountMinSketch].getName, CountMinSketch.Name),
-        (children: Seq[Expression]) => CountMinSketch.fromChildren(children))
-    }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    reg(spark, DotLongName, classOf[DotProductLong], dotFromChildren)
+    reg(spark, PqAdcName, classOf[PqAdcLong], pqAdcFromChildren)
+    reg(spark, PqAdcDirectName, classOf[PqAdcDirectLong], pqAdcDirectFromChildren)
+    reg(spark, PqEncodeName, classOf[PqEncodeLong], pqEncodeFromChildren)
+    reg(spark, LshBucketsName, classOf[LshBucketsLong], lshFromChildren)
+    reg(spark, MisraGriesName, classOf[MisraGriesSketch],
+      MisraGriesSketch.fromChildren)
+    reg(spark, KmvSketch.Name, classOf[KmvSketch], KmvSketch.fromChildren)
+    reg(spark, CountMinSketch.Name, classOf[CountMinSketch],
+      CountMinSketch.fromChildren)
   }
 
   /** Column-level API; registers into the active session on first use. */

@@ -57,6 +57,11 @@ case class LcsTokensLong(left: Expression, right: Expression)
 object LcsTokensLong {
   val Name = "graft_lcs_tokens"
 
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(candidate_text, reference_text)", 2, children)
+    LcsTokensLong(children(0), children(1))
+  }
+
   /** LCS length over space-split tokens; public because codegen calls it
     * statically.
     */
@@ -107,7 +112,7 @@ object LcsTokensLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[LcsTokensLong].getName, Name),
-        (children: Seq[Expression]) => LcsTokensLong(children(0), children(1)))
+        fromChildren)
     }
   }
 

@@ -166,6 +166,15 @@ object LnFpFunctions {
   val LnMicroName = "graft_ln_micro"
   val GumbelMicroName = "graft_gumbel_micro"
 
+  val lnMicroFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(LnMicroName, "(p, q)", 2, children)
+    LnMicroLong(children(0), children(1))
+  }
+  val gumbelFromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(GumbelMicroName, "(hash64)", 1, children)
+    GumbelMicroLong(children(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val lnId = FunctionIdentifier(LnMicroName)
@@ -173,14 +182,14 @@ object LnFpFunctions {
       registry.registerFunction(
         lnId,
         new ExpressionInfo(classOf[LnMicroLong].getName, LnMicroName),
-        (children: Seq[Expression]) => LnMicroLong(children(0), children(1)))
+        lnMicroFromChildren)
     }
     val guId = FunctionIdentifier(GumbelMicroName)
     if (!registry.functionExists(guId)) {
       registry.registerFunction(
         guId,
         new ExpressionInfo(classOf[GumbelMicroLong].getName, GumbelMicroName),
-        (children: Seq[Expression]) => GumbelMicroLong(children(0)))
+        gumbelFromChildren)
     }
   }
 

@@ -68,6 +68,13 @@ object Md5PrefixLong {
 
   val Name = "graft_md5_prefix_long"
 
+  val fromChildren: Seq[Expression] => Expression = children =>
+    Builders.arity(Name, "(text, n_bytes)", 2, children)(1) match {
+      case Literal(n: Int, IntegerType) => Md5PrefixLong(children(0), n)
+      case other => throw new IllegalArgumentException(
+        s"$Name second argument must be a literal int, got $other")
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -75,11 +82,7 @@ object Md5PrefixLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[Md5PrefixLong].getName, Name),
-        (children: Seq[Expression]) => children(1) match {
-          case Literal(n: Int, IntegerType) => Md5PrefixLong(children(0), n)
-          case other => throw new IllegalArgumentException(
-            s"$Name second argument must be a literal int, got $other")
-        })
+        fromChildren)
     }
   }
 

@@ -96,6 +96,11 @@ object MinhashSigLong {
 
   val Name = "graft_minhash_sig"
 
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(text, shingle_n)", 2, children)
+    MinhashSigLong(children(0), children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -103,7 +108,7 @@ object MinhashSigLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[MinhashSigLong].getName, Name),
-        (children: Seq[Expression]) => MinhashSigLong(children(0), children(1)))
+        fromChildren)
     }
   }
 

@@ -75,6 +75,11 @@ object SimhashLong {
 
   val Name = "graft_simhash_long"
 
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(text)", 1, children)
+    SimhashLong(children.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -82,7 +87,7 @@ object SimhashLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[SimhashLong].getName, Name),
-        (children: Seq[Expression]) => SimhashLong(children.head))
+        fromChildren)
     }
   }
 

@@ -104,6 +104,12 @@ object SubwordCount {
 
   val Name = "graft_subword_count"
 
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(text, vocab array)", 2, children)
+    val vocab = Builders.litStrings(Name, "vocab argument", children(1))
+    SubwordCount(children(0), vocab)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -111,13 +117,7 @@ object SubwordCount {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[SubwordCount].getName, Name),
-        (children: Seq[Expression]) => {
-          val vocabExpr = children(1)
-          require(vocabExpr.foldable, s"$Name vocab argument must be a literal array")
-          val vocab = vocabExpr.eval(null).asInstanceOf[ArrayData]
-            .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
-          SubwordCount(children(0), vocab)
-        })
+        fromChildren)
     }
   }
 

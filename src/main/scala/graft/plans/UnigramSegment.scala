@@ -22,10 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * dp[i-j] + score(word[i-j, i)) over j = 1..min(maxPieceLen, i) with the
   * piece present in the vocabulary; ties prefer the LONGER last piece
   * (larger j). Scores are EXACT integer micro-nats (LnFp), so "max" is
-  * integer comparison — no float drift, any engine agrees. A word
-  * containing a character absent from the vocabulary fails loud (the
-  * trainer always seeds every corpus character, so reaching that error
-  * means the caller passed a foreign vocabulary).
+  * integer comparison — no float drift, any engine agrees. Positions with
+  * no parse are carried as unreachable sentinels (a multi-char-only
+  * vocabulary like {"ab"} segments "abab" fine); only a word the WHOLE
+  * vocabulary cannot cover fails loud (the trainer always seeds every
+  * corpus character, so reaching that error means the caller passed a
+  * foreign vocabulary).
   */
 case class UnigramSegment(child: Expression,
                           pieces: Seq[(String, Long)])
@@ -88,13 +90,19 @@ object UnigramSegment {
         }
         j += 1
       }
-      require(bestJ > 0,
-        s"unigram vocabulary cannot segment '$w' at position $i — " +
-          "a corpus character is missing from the piece table")
+      // bestJ == 0 marks position i unreachable — NOT an error yet: a
+      // vocabulary of multi-char pieces only (no "a"/"b" next to "ab")
+      // can still segment the full word even though some prefix lengths
+      // have no parse (ADVICE r15). Only dp[n] unreachable fails.
       total(i) = bestTotal
       back(i) = bestJ
       i += 1
     }
+    require(back(n) > 0,
+      s"unigram vocabulary cannot segment '$w' — no combination of pieces " +
+        "covers it (the in-repo trainer always seeds every corpus " +
+        "character, so this word carries a character or sequence absent " +
+        "from the supplied piece table)")
     // backtrace
     val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
     var p = n
@@ -107,6 +115,17 @@ object UnigramSegment {
 
   val Name = "graft_unigram_segment"
 
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(word, pieces array, scores array)", 3, children)
+    val Seq(word, piecesExpr, scoresExpr) = children
+    val ps = Builders.litStrings(Name, "pieces argument", piecesExpr)
+    val ss = Builders.litValue(Name, "scores argument", scoresExpr)
+      .asInstanceOf[ArrayData].toLongArray()
+    require(ps.length == ss.length,
+      s"$Name pieces (${ps.length}) and scores (${ss.length}) must align")
+    UnigramSegment(word, ps.zip(ss.toSeq))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -114,22 +133,7 @@ object UnigramSegment {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[UnigramSegment].getName, Name),
-        (children: Seq[Expression]) => {
-          require(children.length == 3,
-            s"$Name takes (word, pieces array, scores array); got ${children.length}")
-          val Seq(word, piecesExpr, scoresExpr) = children
-          require(piecesExpr.foldable && scoresExpr.foldable,
-            s"$Name pieces/scores must be literal arrays")
-          val pv = piecesExpr.eval(null)
-          val sv = scoresExpr.eval(null)
-          require(pv != null && sv != null, s"$Name pieces/scores must not be NULL")
-          val ps = pv.asInstanceOf[ArrayData].toObjectArray(StringType)
-            .map(_.asInstanceOf[UTF8String].toString)
-          val ss = sv.asInstanceOf[ArrayData].toLongArray()
-          require(ps.length == ss.length,
-            s"$Name pieces (${ps.length}) and scores (${ss.length}) must align")
-          UnigramSegment(word, ps.zip(ss).toSeq)
-        })
+        fromChildren)
     }
   }
 

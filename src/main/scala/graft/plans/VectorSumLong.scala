@@ -101,6 +101,11 @@ case class VectorSumLong(
 object VectorSumLong {
   val Name = "graft_vector_sum"
 
+  val fromChildren: Seq[Expression] => Expression = children => {
+    Builders.arity(Name, "(vec)", 1, children)
+    VectorSumLong(children.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(Name)
@@ -108,7 +113,7 @@ object VectorSumLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[VectorSumLong].getName, Name),
-        (children: Seq[Expression]) => VectorSumLong(children.head))
+        fromChildren)
     }
   }
 

@@ -135,14 +135,17 @@ object WinnowLong {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[WinnowLong].getName, Name),
-        (children: Seq[Expression]) => (children(1), children(2)) match {
-          case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
-            WinnowLong(children(0), k, w)
-          case other => throw new IllegalArgumentException(
-            s"$Name (k, w) arguments must be literal ints, got $other")
-        })
+        fromChildren)
     }
   }
+
+  val fromChildren: Seq[Expression] => Expression = children =>
+    (Builders.arity(Name, "(text, k, w)", 3, children)(1), children(2)) match {
+      case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        WinnowLong(children(0), k, w)
+      case other => throw new IllegalArgumentException(
+        s"$Name (k, w) arguments must be literal ints, got $other")
+    }
 
   /** Sorted distinct winnowing fingerprints of `text` as array<bigint>. */
   def winnowLong(text: Column, k: Int, w: Int): Column = {

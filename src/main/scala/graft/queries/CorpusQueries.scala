@@ -32,6 +32,44 @@ object CorpusQueries {
   private def sqlHash(expr: String, hexChars: Int): String =
     s"CAST(concat('0x', substr(md5($expr), 1, $hexChars)) AS BIGINT)"
 
+  /** Visible text of an HTML fragment — the EXACT semantics of the native
+    * [[graft.plans.HtmlStrip]] kernel: strip `<[^>]*>` spans, then decode
+    * entities in ONE tokenize-and-transform pass (the five named entities
+    * plus in-range numeric character references — see HtmlStrip's
+    * scaladoc for the range/digit-run rules). The tokenizer regex is
+    * lossless (every char lands in exactly one token, entities before the
+    * bare `&` alternative) and the transform never rescans decoded
+    * output, mirroring the kernel's single pass. Shared by t25 and fn4 so
+    * engine and oracle can never drift.
+    */
+  private def sqlHtmlVis(frag: String): String = {
+    val dec = "CAST(substr(t, 3, len(t) - 3) AS BIGINT)"
+    val hexDigits =
+      "regexp_extract_all(lower(substr(t, 4, len(t) - 4)), '[0-9a-f]')"
+    val hexVal = s"list_reduce(list_transform($hexDigits, " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      "(a, b) -> a * 16 + b)"
+    val tokRe = "&lt;|&gt;|&quot;|&nbsp;|&amp;|" +
+      "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|&|[^&]+"
+    s"""coalesce(list_aggregate(list_transform(
+       |      regexp_extract_all(regexp_replace($frag, '<[^>]*>', '', 'g'), '$tokRe'),
+       |      t -> CASE WHEN t = '&lt;' THEN '<' WHEN t = '&gt;' THEN '>'
+       |        WHEN t = '&quot;' THEN '"' WHEN t = '&nbsp;' THEN ' '
+       |        WHEN t = '&amp;' THEN '&'
+       |        WHEN regexp_matches(t, '^&#[0-9]+;${"$"}') THEN
+       |          CASE WHEN $dec IN (9, 10, 13) OR $dec BETWEEN 32 AND 255
+       |               THEN chr(CAST($dec AS INT)) ELSE t END
+       |        WHEN regexp_matches(t, '^&#[xX][0-9a-fA-F]+;${"$"}') THEN
+       |          CASE WHEN $hexVal IN (9, 10, 13) OR $hexVal BETWEEN 32 AND 255
+       |               THEN chr(CAST($hexVal AS INT)) ELSE t END
+       |        ELSE t END), 'string_agg', ''), '')""".stripMargin
+  }
+
+  /** `frag` with anchor spans (tag + visible text) erased — the non-link
+    * side of the t25/fn4 link-density measure. */
+  private def sqlAnchorErased(frag: String): String =
+    s"regexp_replace($frag, '(?is)<a\\b[^>]*>.*?</a>', '', 'g')"
+
   // ---- graft.plans.LnFp SQL twin (deterministic integer fixed-point ln) --
 
   /** Powers of two 2^0..2^125 as HUGEINT — the "variable shift" primitive
@@ -4194,8 +4232,12 @@ object CorpusQueries {
 
     // Unigram-LM tokenizer TRAINING (TextOps.unigramLmVocab — Kudo 2018 /
     // SentencePiece's unigram model, hard-EM variant): character +
-    // frequent-substring seeds, two Viterbi-EM rounds with every score an
-    // exact integer micro-nat (LnFp), frequency pruning to vocab 60. The
+    // frequent-substring seeds CAPPED at the top seedSize=150 by (usage
+    // desc, piece asc) — the SentencePiece seed_sentencepiece_size bound
+    // that keeps the driver-resident model finite at any corpus (the cap
+    // binds here: sf0.01 has 204 candidates) — then two Viterbi-EM rounds
+    // with every score an exact integer micro-nat (LnFp), frequency
+    // pruning to vocab 60. The
     // oracle replays BOTH EM rounds with the Viterbi DP unrolled one CTE
     // per word length and the same (total DESC, longer-piece) tie-break —
     // the t14 discipline: train-time state, not just the output, is what
@@ -4213,8 +4255,10 @@ object CorpusQueries {
          |  FROM wf, unnest(generate_series(1, 4)) AS sj(j),
          |       unnest(generate_series(1, len(w))) AS t(i)
          |  WHERE i + j - 1 <= len(w) GROUP BY 1),
-         |useed AS (SELECT piece, usage FROM usub
-         |  WHERE len(piece) = 1 OR usage >= 2),
+         |useed AS (SELECT piece, usage FROM usub WHERE len(piece) = 1
+         |  UNION ALL
+         |  (SELECT piece, usage FROM usub WHERE len(piece) > 1 AND usage >= 2
+         |   QUALIFY ROW_NUMBER() OVER (ORDER BY usage DESC, piece) <= 150)),
          |utt0 AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM useed),
          |upr0 AS (SELECT piece AS key,
          |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
@@ -4233,7 +4277,7 @@ object CorpusQueries {
          |FROM ufin JOIN uv3 USING (piece)
          |ORDER BY rank""".stripMargin) { (s, d) =>
       TextOps.unigramLmVocab(Tables.documents(s, d), "text",
-          maxPieceLen = 4, rounds = 2, vocabSize = 60, minCount = 2L)
+          maxPieceLen = 4, rounds = 2, vocabSize = 60, minCount = 2L, seedSize = 150)
         .orderBy(col("rank"))
     },
 
@@ -4256,8 +4300,10 @@ object CorpusQueries {
          |  FROM wf, unnest(generate_series(1, 4)) AS sj(j),
          |       unnest(generate_series(1, len(w))) AS t(i)
          |  WHERE i + j - 1 <= len(w) GROUP BY 1),
-         |useed AS (SELECT piece, usage FROM usub
-         |  WHERE len(piece) = 1 OR usage >= 2),
+         |useed AS (SELECT piece, usage FROM usub WHERE len(piece) = 1
+         |  UNION ALL
+         |  (SELECT piece, usage FROM usub WHERE len(piece) > 1 AND usage >= 2
+         |   QUALIFY ROW_NUMBER() OVER (ORDER BY usage DESC, piece) <= 150)),
          |utt0 AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM useed),
          |upr0 AS (SELECT piece AS key,
          |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
@@ -4281,7 +4327,7 @@ object CorpusQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val model = TextOps.unigramLmVocab(docs, "text", maxPieceLen = 4,
-          rounds = 2, vocabSize = 60, minCount = 2L)
+          rounds = 2, vocabSize = 60, minCount = 2L, seedSize = 150)
         .select(col("piece"), col("score_fp"))
         .as[(String, Long)].collect().sortBy(_._1).toSeq
       docs.select(explode(split(col("text"), " ")).as("word"))
@@ -4314,8 +4360,10 @@ object CorpusQueries {
          |  FROM wf, unnest(generate_series(1, 4)) AS sj(j),
          |       unnest(generate_series(1, len(w))) AS t(i)
          |  WHERE i + j - 1 <= len(w) GROUP BY 1),
-         |useed AS (SELECT piece, usage FROM usub
-         |  WHERE len(piece) = 1 OR usage >= 2),
+         |useed AS (SELECT piece, usage FROM usub WHERE len(piece) = 1
+         |  UNION ALL
+         |  (SELECT piece, usage FROM usub WHERE len(piece) > 1 AND usage >= 2
+         |   QUALIFY ROW_NUMBER() OVER (ORDER BY usage DESC, piece) <= 150)),
          |utt0 AS (SELECT CAST(SUM(usage) AS HUGEINT) AS tt FROM useed),
          |upr0 AS (SELECT piece AS key,
          |    greatest(CAST((CAST(usage AS HUGEINT) * 1000000000000) // tt AS BIGINT), 1) AS p,
@@ -4346,7 +4394,7 @@ object CorpusQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val model = TextOps.unigramLmVocab(docs, "text", maxPieceLen = 4,
-          rounds = 2, vocabSize = 60, minCount = 2L)
+          rounds = 2, vocabSize = 60, minCount = 2L, seedSize = 150)
         .select(col("piece"), col("score_fp"))
         .as[(String, Long)].collect().sortBy(_._1).toSeq
       val per = docs
@@ -4461,7 +4509,8 @@ object CorpusQueries {
          |    '<div><h1>' || source || '</h1><nav><a href="/">homepage navigation links</a> ' ||
          |    '<a href="/x">all archive sections here</a></nav><p>' || text ||
          |    '</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; ' ||
-         |    '&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>' ||
+         |    '&nbsp;sp &#39;a&#39; &#x27;h&#X27; nb&#160;sp &#999; ' ||
+         |    '&#38;lt; &#12345678; survive the strip as visible text.</p>' ||
          |    '<p>Read <a href="/y">details</a> about ' || lang ||
          |    ' corpus quality.</p></div>' AS html
          |  FROM documents),
@@ -4470,9 +4519,10 @@ object CorpusQueries {
          |  FROM h),
          |hb AS (SELECT doc_id, t.i AS bi, a[t.i] AS blk
          |  FROM harr, unnest(generate_series(1, len(a))) AS t(i)),
-         |hm AS (SELECT doc_id, bi, trim(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS vis,
-         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS nv,
-         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) - length(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(blk, '(?is)<a\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS na
+         |hm AS (SELECT doc_id, bi, trim(${sqlHtmlVis("blk")}) AS vis,
+         |    length(${sqlHtmlVis("blk")}) AS nv,
+         |    greatest(0, length(${sqlHtmlVis("blk")})
+         |      - length(${sqlHtmlVis(sqlAnchorErased("blk"))})) AS na
          |  FROM hb),
          |hnz AS (SELECT * FROM hm WHERE length(vis) > 0),
          |hagg AS (SELECT doc_id,
@@ -4503,7 +4553,8 @@ object CorpusQueries {
         lit("</h1><nav><a href=\"/\">homepage navigation links</a> " +
           "<a href=\"/x\">all archive sections here</a></nav><p>"), col("text"),
         lit("</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; " +
-          "&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>" +
+          "&nbsp;sp &#39;a&#39; &#x27;h&#X27; nb&#160;sp &#999; " +
+          "&#38;lt; &#12345678; survive the strip as visible text.</p>" +
           "<p>Read <a href=\"/y\">details</a> about "), col("lang"),
         lit(" corpus quality.</p></div>"))
       val raw = Quality.curationFunnel(
@@ -4538,7 +4589,8 @@ object CorpusQueries {
          |    '<div><h1>' || source || '</h1><nav><a href="/">homepage navigation links</a> ' ||
          |    '<a href="/x">all archive sections here</a></nav><p>' || text ||
          |    '</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; ' ||
-         |    '&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>' ||
+         |    '&nbsp;sp &#39;a&#39; &#x27;h&#X27; nb&#160;sp &#999; ' ||
+         |    '&#38;lt; &#12345678; survive the strip as visible text.</p>' ||
          |    '<p>Read <a href="/y">details</a> about ' || lang ||
          |    ' corpus quality.</p></div>' AS html
          |  FROM documents),
@@ -4547,9 +4599,10 @@ object CorpusQueries {
          |  FROM h),
          |b AS (SELECT doc_id, t.i AS bi, a[t.i] AS blk
          |  FROM arr, unnest(generate_series(1, len(a))) AS t(i)),
-         |m AS (SELECT doc_id, bi, trim(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS vis,
-         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS nv,
-         |    length(replace(replace(replace(replace(replace(replace(regexp_replace(blk, '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) - length(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(blk, '(?is)<a\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')) AS na
+         |m AS (SELECT doc_id, bi, trim(${sqlHtmlVis("blk")}) AS vis,
+         |    length(${sqlHtmlVis("blk")}) AS nv,
+         |    greatest(0, length(${sqlHtmlVis("blk")})
+         |      - length(${sqlHtmlVis(sqlAnchorErased("blk"))})) AS na
          |  FROM b),
          |nz AS (SELECT * FROM m WHERE length(vis) > 0),
          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
@@ -4569,7 +4622,8 @@ object CorpusQueries {
         lit("</h1><nav><a href=\"/\">homepage navigation links</a> " +
           "<a href=\"/x\">all archive sections here</a></nav><p>"), col("text"),
         lit("</p><p>tiny</p><p>Entities: &amp; &lt;b&gt; &quot;q&quot; " +
-          "&nbsp;sp &#39;a&#39; survive the strip as visible text.</p>" +
+          "&nbsp;sp &#39;a&#39; &#x27;h&#X27; nb&#160;sp &#999; " +
+          "&#38;lt; &#12345678; survive the strip as visible text.</p>" +
           "<p>Read <a href=\"/y\">details</a> about "), col("lang"),
         lit(" corpus quality.</p></div>"))
       Html.mainContent(
@@ -4801,6 +4855,98 @@ object CorpusQueries {
         Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           nCells = 8, rounds = 2, threshold = 0.45)
       }.orderBy(col("sid"))
+    },
+
+    // SEMANTIC decontamination (Similarity.semanticDecontaminate): every
+    // corpus vector's max cosine over a benchmark/eval embedding set —
+    // the embedding companion to d14's n-gram decontamination (a
+    // paraphrased eval question shares no 8-gram but cosines near its
+    // source). Benchmark = every 10th vector (an eval suite carved from
+    // the corpus, so its members flag themselves at cosine 1.0 and the
+    // planted near-dups flag at ~0.98+). The benchmark broadcasts; the
+    // argmax is a partial-aggregating groupBy, not a window over the
+    // cross product. Ties to the smallest benchmark id, zero-norm pairs
+    // dropped as NULL-cosine, pairless vectors surface uncontaminated.
+    QueryDef(
+      "d32_semantic_decontaminate",
+      s"""WITH $quantVecCte,
+         |b AS (SELECT sid AS bid, qv AS bqv FROM v WHERE sid % 10 = 0),
+         |sc AS (SELECT v.sid, bid, ${sqlCosine("v.qv", "bqv")} AS cosine
+         |  FROM v CROSS JOIN b),
+         |best AS (SELECT sid, bid, cosine FROM (
+         |    SELECT sid, bid, cosine, ROW_NUMBER() OVER (PARTITION BY sid
+         |      ORDER BY cosine DESC, bid) AS rn
+         |    FROM sc WHERE cosine IS NOT NULL) WHERE rn = 1)
+         |SELECT e.vec_id AS sid, bid AS bench_id, cosine AS max_cosine,
+         |  coalesce(cosine >= 0.98, false) AS contaminated
+         |FROM embeddings e LEFT JOIN best ON best.sid = e.vec_id
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(emb,
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          minCosine = 0.98)
+        .orderBy(col("sid"))
+    },
+
+    // COMBINED decontamination funnel (fn-family x d14 x d32): the same
+    // eval suite (doc/vec id % 10 = 0; documents and embeddings share the
+    // id space) guarded two ways over the corpus remainder — exact word
+    // 3-gram overlap (Dedup.decontaminate) and embedding cosine >= 0.45
+    // (semanticDecontaminate at the d25 threshold convention) — and the
+    // overlap of the two flag sets in one row. The point is
+    // COMPLEMENTARITY: the n-gram guard catches verbatim leakage the
+    // embedding guard waves through and vice versa, so n_both << n_either.
+    // Both flag sets are contamination-sized and broadcast back onto the
+    // corpus ids — no corpus-keyed shuffle, one single-row aggregate.
+    QueryDef(
+      "fn5_decontamination_funnel",
+      s"""WITH $quantVecCte,
+         |wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT DISTINCT doc_id AS sid,
+         |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
+         |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |bg AS (SELECT DISTINCT g FROM g WHERE sid % 10 = 0),
+         |ng AS (SELECT DISTINCT sid FROM g
+         |  WHERE sid % 10 <> 0 AND g IN (SELECT g FROM bg)),
+         |b AS (SELECT sid AS bid, qv AS bqv FROM v WHERE sid % 10 = 0),
+         |sm AS (SELECT DISTINCT v.sid FROM v CROSS JOIN b
+         |  WHERE v.sid % 10 <> 0 AND ${sqlCosine("v.qv", "bqv")} >= 0.45),
+         |f AS (SELECT d.doc_id AS sid,
+         |    (ng.sid IS NOT NULL) AS ngh, (sm.sid IS NOT NULL) AS smh
+         |  FROM documents d LEFT JOIN ng ON ng.sid = d.doc_id
+         |    LEFT JOIN sm ON sm.sid = d.doc_id
+         |  WHERE d.doc_id % 10 <> 0)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |  CAST(SUM(CASE WHEN ngh THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram,
+         |  CAST(SUM(CASE WHEN smh THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+         |  CAST(SUM(CASE WHEN ngh AND smh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN ngh OR smh THEN 1 ELSE 0 END) AS BIGINT) AS n_either,
+         |  CAST(SUM(CASE WHEN NOT (ngh OR smh) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM f""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val ngIds = Dedup.decontaminate(corpus,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3)
+        .select(col("sid"), lit(true).as("ngh"))
+      val smIds = Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          minCosine = 0.45)
+        .filter(col("contaminated"))
+        .select(col("sid"), lit(true).as("smh"))
+      corpus.select(col("doc_id").as("sid"))
+        .join(broadcast(ngIds), Seq("sid"), "left")
+        .join(broadcast(smIds), Seq("sid"), "left")
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(coalesce(col("ngh"), lit(false)), 1L).otherwise(0L)).as("n_ngram"),
+          sum(when(coalesce(col("smh"), lit(false)), 1L).otherwise(0L)).as("n_semantic"),
+          sum(when(coalesce(col("ngh"), lit(false)) &&
+            coalesce(col("smh"), lit(false)), 1L).otherwise(0L)).as("n_both"),
+          sum(when(coalesce(col("ngh"), lit(false)) ||
+            coalesce(col("smh"), lit(false)), 1L).otherwise(0L)).as("n_either"),
+          sum(when(!(coalesce(col("ngh"), lit(false)) ||
+            coalesce(col("smh"), lit(false))), 1L).otherwise(0L)).as("n_clean"))
     },
 
     // STREAMING NOVELTY INGESTION (EventStreams.noveltyIngestBatch) — the

@@ -63,6 +63,44 @@ class CorpusAppSpec extends SparkSpec {
     assert(t3.contains("<EMAIL>") && !t3.contains("bob@example.com"))
   }
 
+  test("curate htmlInput: raw-HTML corpus is main-content extracted first") {
+    // the t25/fn4 markup shape: nav-of-anchors boilerplate, a too-short
+    // block, the real text, a link-heavy trailer — around REAL corpus text
+    val docs = graft.core.Tables.documents(spark, sf)
+    val html = concat(
+      lit("<div><nav><a href=\"/\">homepage navigation links</a> " +
+        "<a href=\"/x\">all archive sections here</a></nav><p>"), $"text",
+      lit("</p><p>tiny</p><p>Read <a href=\"/y\">details</a> here.</p></div>"))
+    val rawDocs = docs.withColumn("text", html)
+    val langs = Set("en", "de", "fr", "es", "zh")
+    // raw HTML without extraction: the tag-glued tokens and anchor
+    // boilerplate gut the language/quality gates (the fn4 argument)
+    val (_, rawStats) = CorpusApp.curate(spark, rawDocs, langs, minQuality = 0.5)
+    // with htmlInput: extraction recovers the organic text and the
+    // downstream gates behave like the clean-text run
+    val (curated, stats) = CorpusApp.curate(spark, rawDocs, langs,
+      minQuality = 0.5, htmlInput = true)
+    val (cleanCurated, cleanStats) = CorpusApp.curate(spark, docs, langs,
+      minQuality = 0.5)
+    assert(stats.input == 500 && stats.cleaned == 500, stats.toString)
+    assert(cleanStats.cleaned == cleanStats.input, "clean path: cleaned == input")
+    assert(stats.qualityKept > rawStats.qualityKept,
+      s"extraction must recover docs: html=$stats raw=$rawStats")
+    // the curated text is the visible main content: no markup survives
+    val texts = curated.select("text").as[String].collect()
+    assert(texts.nonEmpty && texts.forall(t => !t.contains("<div>") &&
+      !t.contains("homepage navigation")))
+    // and the recovered corpus curates to the same size as clean text
+    assert(math.abs(stats.deduped - cleanStats.deduped) <= 5,
+      s"html=${stats.deduped} clean=${cleanStats.deduped}")
+    // pure-boilerplate docs (no block survives) drop at the cleaned stage
+    val boiler = Seq((1L, "<nav><a href=\"/\">only links here</a></nav>", "en", 10L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val (_, bStats) = CorpusApp.curate(spark, boiler, Set("en"),
+      minQuality = 0.0, htmlInput = true)
+    assert(bStats.input == 1 && bStats.cleaned == 0, bStats.toString)
+  }
+
   test("orderForTraining: curated corpus gets a reproducible epoch permutation") {
     val docs = graft.core.Tables.documents(spark, sf).limit(200)
     val (curated, _) = CorpusApp.curate(spark, docs,

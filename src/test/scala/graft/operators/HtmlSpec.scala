@@ -6,14 +6,31 @@ import org.apache.spark.sql.functions._
 class HtmlSpec extends SparkSpec {
   import spark.implicits._
 
-  /** The relational twin of HtmlStrip.strip — the exact chain the DuckDB
-    * oracle runs. The native kernel must equal it byte-for-byte.
+  /** The relational twin of HtmlStrip.strip — an independent formulation
+    * of the same tokenize-and-decode pass the DuckDB oracle runs (the
+    * oracle uses list_transform; this uses Spark's higher-order
+    * transform, with `conv` for the hex value). The native kernel must
+    * equal it byte-for-byte.
     */
   private def relationalStrip(c: org.apache.spark.sql.Column) = {
     val stripped = regexp_replace(c, "<[^>]*>", "")
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(stripped) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+    val tokRe = "&lt;|&gt;|&quot;|&nbsp;|&amp;|" +
+      "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|&|[^&]+"
+    def decodable(v: org.apache.spark.sql.Column) =
+      v.isin(9L, 10L, 13L) || (v >= 32L && v <= 255L)
+    array_join(transform(regexp_extract_all(stripped, lit(tokRe), lit(0)), t => {
+      val dec = t.substr(lit(3), length(t) - 3).cast("long")
+      val hex = conv(t.substr(lit(4), length(t) - 4), 16, 10).cast("long")
+      def chr(v: org.apache.spark.sql.Column) = call_function("char", v)
+      when(t === "&lt;", lit("<")).when(t === "&gt;", lit(">"))
+        .when(t === "&quot;", lit("\"")).when(t === "&nbsp;", lit(" "))
+        .when(t === "&amp;", lit("&"))
+        .when(t.rlike("^&#[0-9]+;$"),
+          when(decodable(dec), chr(dec)).otherwise(t))
+        .when(t.rlike("^&#[xX][0-9a-fA-F]+;$"),
+          when(decodable(hex), chr(hex)).otherwise(t))
+        .otherwise(t)
+    }), "")
   }
 
   test("native strip equals the regex+replace chain on adversarial fragments") {
@@ -31,7 +48,18 @@ class HtmlSpec extends SparkSpec {
       "<<>> <> <x y=\"<\">after",      // '<' inside attribute value
       "trailing open <",
       "&&lt;",
-      "<P CLASS=\"x\">case</P>")
+      "<P CLASS=\"x\">case</P>",
+      // numeric character references (round 16)
+      "&#39; &#039; &#0039;",          // leading zeros all decode to '
+      "&#x27;&#X27; &#xa0;&#XA0;",     // hex, both x cases and digit cases
+      "&#3<b>9;",                      // tag splices a NUMERIC ref -> '
+      "&#x2<i>7;",                     // same for hex
+      "&#38;lt;",                      // decoded & must NOT re-trigger &lt;
+      "&amp;#60;",                     // decoded & must NOT re-trigger &#60;
+      "&#9;&#10;&#13; &#31;&#8;",      // tab/lf/cr decode; 31 and 8 do not
+      "&#999; &#x110000; stay",        // out of range pass through
+      "&#12345678; &#xABCDEF1;",       // digit run too long: not a ref
+      "&#; &#x; &#z &# 39; &#39")      // malformed refs stay literal
     val diff = cases.toDF("h")
       .select(Html.stripHtml($"h").as("a"), relationalStrip($"h").as("b"))
       .filter(not($"a" <=> $"b"))

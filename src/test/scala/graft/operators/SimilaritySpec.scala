@@ -20,6 +20,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
   }
 
+  test("semanticDecontaminate: planted dup flags, tie to smallest bid, pairless NULL") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // identical to benchmark 10 -> cos 1
+      (1L, Array(0.99f, 0.14f, 0.0f)), // near benchmark 10 (~0.99)
+      (2L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to both
+      (3L, Array(0.0f, 0.0f, 0.0f)))   // zero-norm: no defined pair
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(1.0f, 0.0f, 0.0f))) // duplicate of 10: argmax tie
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench,
+        "vec_id", "embedding", minCosine = 0.98)
+      .orderBy($"sid")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSeq
+    // 0: cos 1.0 against BOTH 10 and 12 — the tie breaks to bid 10
+    assert(out(0) == ((0L, Some(10L), Some(1.0), true)), out(0).toString)
+    // 1: near-dup of 10 clears the 0.98 bar
+    assert(out(1)._2 == Some(10L) && out(1)._4, out(1).toString)
+    assert(out(1)._3.get > 0.98 && out(1)._3.get < 1.0)
+    // 2: defined cosines but all 0 — best still reported, not contaminated
+    assert(out(2)._3 == Some(0.0) && !out(2)._4, out(2).toString)
+    // 3: zero-norm corpus vector — every pair NULL, surfaces uncontaminated
+    assert(out(3) == ((3L, None, None, false)), out(3).toString)
+    // agrees with bruteForceTopK's rank-1 against the benchmark (ids are
+    // disjoint so the self-pair exclusion is inert; zero-norm 3 has no row)
+    val top1 = Similarity.bruteForceTopK(corpus, bench, "vec_id", "embedding", 1)
+      .filter($"cosine".isNotNull) // topK ranks NULL-cosine rows last, keeps them
+      .select($"qid", $"nid", $"cosine")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out.filter(_._2.isDefined).foreach { case (sid, bid, cos, _) =>
+      assert(top1(sid) == ((bid.get, cos)), s"sid=$sid: ${top1.get(sid)}")
+    }
+    assert(!top1.contains(3L))
+  }
+
   test("hardNegatives: wrong-label only, equals label-filtered brute force") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 8)

@@ -324,6 +324,25 @@ class TextOpsSpec extends SparkSpec {
       TextOps.trainLangModel(withNull, "id", "text", "lang", 64).collect()
     }
     assert(e.getMessage.contains("lang"), e.getMessage)
+    // the shuffle-join serve path (broadcastModel = false — the escape
+    // hatch for |langs| x nBuckets models too big to broadcast) is
+    // row-identical, and its plan really does drop the model broadcast
+    val serve = Seq((10L, "aa aa aa"), (11L, "bb"), (12L, "cc cc"), (13L, ""))
+      .toDF("id", "text")
+    val noBc = TextOps.scoreLang(serve, "id", "text", model, 64,
+      broadcastModel = false)
+    assert(noBc.orderBy($"did").as[(Long, String, Long)].collect().toSeq ==
+      preds.toSeq)
+    // the flag really drops the dense-model broadcast hint (the priors
+    // attach keeps its one-row broadcast): one fewer hint in the
+    // optimized logical plan. AQE may still pick broadcast for a TINY
+    // model at runtime — the point is the gigantic one is never FORCED.
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      "strategy=broadcast".r
+        .findAllIn(df.queryExecution.optimizedPlan.toString).length
+    val bc = TextOps.scoreLang(serve, "id", "text", model, 64)
+    assert(hints(noBc) == hints(bc) - 1,
+      s"noBc=${hints(noBc)} bc=${hints(bc)}")
   }
 
   test("graft_bpe_segment SQL builder fails loud on wrong arity and NULL merges") {

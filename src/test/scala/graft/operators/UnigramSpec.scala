@@ -58,6 +58,15 @@ class UnigramSpec extends SparkSpec {
     // missing character fails loud with the word named
     val e = intercept[Exception] { segment("az", model) }
     assert(e.getMessage.contains("az"), e.getMessage)
+    // multi-char-only vocabulary: intermediate positions are unreachable
+    // (no "a"/"b" pieces) but the word still has a parse — must succeed,
+    // not fail on the odd prefix (ADVICE r15)
+    val multiOnly = Seq("ab" -> -200L, "bab" -> -290L)
+    assert(segment("abab", multiOnly) == Seq("ab", "ab"))
+    assert(segment("abbab", multiOnly) == Seq("ab", "bab"))
+    // a word with reachable prefixes but NO full parse still fails loud
+    val e2 = intercept[Exception] { segment("aba", multiOnly) }
+    assert(e2.getMessage.contains("aba"), e2.getMessage)
   }
 
   test("unigramLmVocab matches the hand-computed EM round on a tiny corpus") {
@@ -103,5 +112,24 @@ class UnigramSpec extends SparkSpec {
     // pieces carry usage >= 1 (unused ones drop before pruning)
     assert(out.forall(_.getLong(2) >= 0))
     assert(out.filter(_.getString(1).length > 1).forall(_.getLong(2) >= 1))
+  }
+
+  test("seedSize caps the seed inventory: >cap candidates train under the cap") {
+    // Five bigram words, ALL clearing minCount, but seedSize = 3: only the
+    // top three by usage (ab 1000, cd 800, ef 600) may enter the seed; gh
+    // (500) and ij (400) would have trained uncapped and must NOT appear.
+    // Each surviving bigram beats its char path in the DP (ln p(xy) =
+    // ln(freq/9000) > 2 ln(freq/9000)), so the capped three all train.
+    val words = Seq("ab" -> 1000, "cd" -> 800, "ef" -> 600,
+      "gh" -> 500, "ij" -> 400)
+    val docs = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .grouped(100).map(_.mkString(" ")).toSeq.toDF("text")
+    val out = TextOps.unigramLmVocab(docs, "text", maxPieceLen = 2,
+        rounds = 1, vocabSize = 50, minCount = 2L, seedSize = 3)
+      .select($"piece").as[String].collect().toSet
+    val multis = out.filter(_.length > 1)
+    assert(multis == Set("ab", "cd", "ef"), s"seed cap leaked: $multis")
+    // the 10 mandatory characters all survive alongside the capped seeds
+    assert(words.flatMap(_._1.split("")).toSet.subsetOf(out))
   }
 }
