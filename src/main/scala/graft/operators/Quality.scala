@@ -734,4 +734,42 @@ object Quality {
       .agg(count(lit(1)).as("n"),
         countDistinct(col(sensitiveCol)).as("l_div"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
+    * problem with n samples of which c pass,
+    * pass@k = 1 − C(n−c, k)/C(n, k) — the probability that at least one
+    * of k samples drawn WITHOUT replacement passes. Computed as the
+    * numerically-stable falling-factorial product 1 − Π_{i<k}(n−c−i)/(n−i)
+    * in EXACT integer micro-probabilities: both products accumulate in
+    * DECIMAL(38,0) (one ordered multiply chain, no binomials — C(n,k)
+    * overflows where the ratio doesn't) and one floor division lands the
+    * result, so any engine agrees bitwise. n − c < k short-circuits to
+    * exactly 1e6 (every k-subset contains a pass); k > n is undefined
+    * (NULL) — you cannot draw k from n.
+    *
+    * Output: (problem, n_samples, n_correct, pass<k>_fp...) — one row per
+    * problem, one column per requested k. ONE aggregation over one scan;
+    * no window, no join. Bound: the denominator product needs
+    * n^max(k)·1e6 < 10^38 — n ≤ ~10^3 samples/problem at k = 10, the
+    * realistic eval shape (it is a per-problem sample count, not a
+    * corpus size).
+    */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    def pass(k: Int): Column = {
+      def prod(term: String): String =
+        s"aggregate(sequence(0, ${k - 1}), CAST(1 AS DECIMAL(38, 0)), " +
+          s"(acc, i) -> acc * CAST($term AS DECIMAL(38, 0)))"
+      when(col("n_samples") < k, lit(null).cast("long"))
+        .when(col("n_correct") > col("n_samples") - k, lit(1000000L))
+        .otherwise(lit(1000000L) - expr(
+          s"CAST((${prod("n_samples - n_correct - i")} * 1000000) div " +
+            s"${prod("n_samples - i")} AS BIGINT)"))
+    }
+    val base = df.groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("n_correct"))
+    ks.foldLeft(base)((acc, k) => acc.withColumn(s"pass${k}_fp", pass(k)))
+  }
 }

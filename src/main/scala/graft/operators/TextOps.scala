@@ -1379,6 +1379,22 @@ object TextOps {
                 nBuckets: Int,
                 broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sc = langScores(df, idCol, textCol, model, nBuckets, broadcastModel)
+    val win = Window.partitionBy(col("did"))
+      .orderBy(col("score_fp").desc, col("lang").asc)
+    sc.withColumn("__rn", row_number().over(win)).filter(col("__rn") === 1)
+      .select(col("did"), col("lang").as("pred"), col("score_fp"))
+  }
+
+  /** The shared (did, lang, score_fp) scoring chain behind [[scoreLang]]
+    * and [[scoreLangMargin]] — shared code, not similar code (the lm8
+    * discipline): the two serves must score identically or the margin
+    * could disagree with the argmax.
+    */
+  private def langScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, model: org.apache.spark.sql.DataFrame,
+                         nBuckets: Int, broadcastModel: Boolean)
+      : org.apache.spark.sql.DataFrame = {
     val w = model.filter(col("b") >= 0L)
     val priors = model.filter(col("b") === -1L)
       .select(col("lang"), col("w_fp").as("prior_fp"))
@@ -1388,14 +1404,48 @@ object TextOps {
     val ll = cdb.join(if (broadcastModel) broadcast(w) else w, Seq("b"))
       .groupBy(col("did"), col("lang"))
       .agg(sum(col("c") * col("w_fp")).as("ll_fp"))
-    val sc = df.select(col(idCol).as("did")).crossJoin(broadcast(priors))
+    df.select(col(idCol).as("did")).crossJoin(broadcast(priors))
       .join(ll, Seq("did", "lang"), "left")
       .select(col("did"), col("lang"),
         (coalesce(col("ll_fp"), lit(0L)) + col("prior_fp")).as("score_fp"))
+  }
+
+  /** [[scoreLang]] with a CONFIDENCE margin and abstention — the fastText
+    * `-th` serving pattern: a production language filter drops or routes
+    * docs the classifier is unsure about instead of mislabeling them.
+    * Output per doc: (did, pred, top_lang, margin_fp, confident) where
+    * margin_fp = top1 score − top2 score in EXACT integer micro-nats
+    * (scores are LnFp sums, so the margin is integer arithmetic — no
+    * float drift), confident = margin_fp >= minMarginMicro, and pred is
+    * the argmax when confident, the sentinel "und" otherwise. A
+    * single-language model has no runner-up: margin_fp is NULL and the
+    * doc abstains (a one-class classifier has no evidence FOR its class).
+    * Same tie-break, zero-feature, and broadcast contracts as scoreLang.
+    */
+  def scoreLangMargin(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, model: org.apache.spark.sql.DataFrame,
+                      nBuckets: Int, minMarginMicro: Long,
+                      broadcastModel: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = langScores(df, idCol, textCol, model, nBuckets, broadcastModel)
     val win = Window.partitionBy(col("did"))
       .orderBy(col("score_fp").desc, col("lang").asc)
-    sc.withColumn("__rn", row_number().over(win)).filter(col("__rn") === 1)
-      .select(col("did"), col("lang").as("pred"), col("score_fp"))
+    val ranked = sc.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= 2)
+    val t1 = ranked.filter(col("__rn") === 1)
+      .select(col("did"), col("lang").as("top_lang"), col("score_fp").as("s1"))
+    val t2 = ranked.filter(col("__rn") === 2)
+      .select(col("did"), col("score_fp").as("s2"))
+    t1.join(t2, Seq("did"), "left")
+      .select(col("did"),
+        // NULL margin (no runner-up) falls to the otherwise branch
+        when(col("s1") - col("s2") >= minMarginMicro, col("top_lang"))
+          .otherwise(lit("und")).as("pred"),
+        col("top_lang"),
+        (col("s1") - col("s2")).as("margin_fp"),
+        coalesce(col("s1") - col("s2") >= minMarginMicro, lit(false))
+          .as("confident"))
   }
 
   /** One (ord, gram, prev) row per n-gram OCCURRENCE, orders 1..maxOrder,

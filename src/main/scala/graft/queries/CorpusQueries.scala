@@ -70,6 +70,99 @@ object CorpusQueries {
   private def sqlAnchorErased(frag: String): String =
     s"regexp_replace($frag, '(?is)<a\\b[^>]*>.*?</a>', '', 'g')"
 
+  /** t28/t29's abstention threshold in integer micro-nats — one constant
+    * for the Spark call and the oracle literal. Sits inside the observed
+    * margin distribution at sf0.01 so BOTH branches (confident and "und")
+    * are exercised by the correctness gate.
+    */
+  private val LangIdMarginTau = 57000000L
+
+  /** e11's per-k pass@k expression — the DuckDB twin of
+    * Quality.passAtK's falling-factorial product (HUGEINT chains, one
+    * floor division, same short-circuits).
+    */
+  private def sqlPassAtK(k: Int): String = {
+    def prod(term: String) =
+      s"list_reduce(list_transform(generate_series(0, ${k - 1}), " +
+        s"i -> CAST($term AS HUGEINT)), (a, b) -> a * b)"
+    s"""CASE WHEN n_samples < $k THEN NULL
+       |    WHEN n_correct > n_samples - $k THEN CAST(1000000 AS BIGINT)
+       |    ELSE CAST(1000000 - (${prod("n_samples - n_correct - i")} * 1000000)
+       |      // ${prod("n_samples - i")} AS BIGINT) END""".stripMargin
+  }
+
+  /** t28/t29's synthesized corpus: the fixture text is language-neutral
+    * word salad (lang is independent of content), so — the t6/t8
+    * synthesis pattern — a deterministic per-language phrase is appended
+    * on BOTH the Spark and SQL sides; the classifier must find it among
+    * the shared-salad noise.
+    */
+  private def langIdSynth(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val phrase = TextOps.langMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) =>
+        when(col("lang") === l, TextOps.langPhrase(l)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("text", concat(col("text"), lit(" "), phrase))
+  }
+
+  /** The t28 trained-language-ID chain through `spick` (per-doc per-lang
+    * scores ranked by (score DESC, cand)) — shared VERBATIM by t28 and
+    * t29 so the margin serve can never drift from the argmax serve.
+    */
+  private def langIdChainCtes: String =
+    s"""msyn AS (SELECT doc_id, lang, text || ' ' || CASE lang
+       |${TextOps.langMarkers.map { case (l, _) =>
+           s"    WHEN '$l' THEN '${TextOps.langPhrase(l)}'"
+         }.mkString("\n")}
+       |  END AS text FROM documents),
+       |tr AS (SELECT doc_id, lang, text FROM msyn WHERE doc_id % 3 <> 0),
+       |mlangs AS MATERIALIZED (SELECT DISTINCT lang FROM tr),
+       |mk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM mlangs),
+       |trtf AS (SELECT lang, ${sqlHash("feat", 12)} % 256 AS b
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS feat FROM tr)
+       |  WHERE len(feat) > 0),
+       |mbc AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM trtf GROUP BY 1, 2),
+       |mtc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tc FROM mbc GROUP BY 1),
+       |mdense AS (SELECT l.lang, gb.b, coalesce(mbc.c, 0) AS c,
+       |    coalesce(mtc.tc, 0) AS tc
+       |  FROM mlangs l
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gb
+       |  LEFT JOIN mtc ON mtc.lang = l.lang
+       |  LEFT JOIN mbc ON mbc.lang = l.lang AND mbc.b = gb.b),
+       |mlp0 AS (SELECT lang || '#' || b AS key, c + 1 AS p,
+       |    tc + 256 AS q FROM mdense),
+       |${sqlLog2Fp("mlw", "mlp0", "key")},
+       |mlpv AS MATERIALIZED (SELECT string_split(key, '#')[1] AS lang,
+       |    CAST(string_split(key, '#')[2] AS BIGINT) AS b,
+       |    $sqlLnMicroFromL AS lp FROM mlwL),
+       |mpr0 AS (SELECT l.lang AS key, nd.ndc + 1 AS p, t.nd + mk.k AS q
+       |  FROM mlangs l
+       |  JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndc FROM tr
+       |        GROUP BY 1) nd ON nd.lang = l.lang
+       |  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM tr) t
+       |  CROSS JOIN mk),
+       |${sqlLog2Fp("mpw", "mpr0", "key")},
+       |mprv AS MATERIALIZED (SELECT key AS lang, $sqlLnMicroFromL AS prior_fp
+       |  FROM mpwL),
+       |scdb AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+       |        FROM msyn)
+       |  WHERE len(feat) > 0 GROUP BY 1, 2),
+       |sll AS (SELECT scdb.doc_id, mlpv.lang,
+       |    CAST(SUM(scdb.c * mlpv.lp) AS BIGINT) AS ll
+       |  FROM scdb JOIN mlpv ON mlpv.b = scdb.b GROUP BY 1, 2),
+       |ssc AS (SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+       |    coalesce(sll.ll, 0) + p.prior_fp AS score
+       |  FROM documents d CROSS JOIN mprv p
+       |  LEFT JOIN sll ON sll.doc_id = d.doc_id AND sll.lang = p.lang),
+       |spick AS (SELECT doc_id, true_lang, cand, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand) AS rn FROM ssc)""".stripMargin
+
   // ---- graft.plans.LnFp SQL twin (deterministic integer fixed-point ln) --
 
   /** Powers of two 2^0..2^125 as HUGEINT — the "variable shift" primitive
@@ -3348,6 +3441,34 @@ object CorpusQueries {
         .orderBy(col("lang"))
     },
 
+    // Unbiased pass@k (Quality.passAtK — Chen et al. 2021's HumanEval
+    // estimator): per problem (doc_id % 25, n = 20 samples each), pass@1/
+    // 5/10 from the falling-factorial product 1 − Π(n−c−i)/(n−i) in exact
+    // integer micro-probabilities (DECIMAL(38,0) chains + one floor
+    // division — no binomials, no floats, so DuckDB's HUGEINT replay
+    // hash-checks bitwise). "Correct" is a deterministic hash parity
+    // (~1/3 pass rate) — the estimator is the unit under test, not the
+    // grader. One map-side aggregate; no window, no join.
+    QueryDef(
+      "e11_pass_at_k",
+      s"""WITH s AS (SELECT doc_id % 25 AS problem,
+         |    (${sqlHash("text", 12)} % 3 = 0) AS ok FROM documents),
+         |a AS (SELECT problem, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM s GROUP BY 1)
+         |SELECT problem, n_samples, n_correct,
+         |  ${sqlPassAtK(1)} AS pass1_fp,
+         |  ${sqlPassAtK(5)} AS pass5_fp,
+         |  ${sqlPassAtK(10)} AS pass10_fp
+         |FROM a ORDER BY problem""".stripMargin) { (s, d) =>
+      graft.operators.Quality.passAtK(
+          Tables.documents(s, d)
+            .select((col("doc_id") % 25).as("problem"),
+              (graft.operators.Dedup.hash48(col("text")) % 3 === 0).as("ok")),
+          "problem", "ok", Seq(1, 5, 10))
+        .orderBy(col("problem"))
+    },
+
     QueryDef(
       "s4_kmeans_refine",
       s"""WITH $quantVecCte,
@@ -4422,76 +4543,48 @@ object CorpusQueries {
     QueryDef(
       "t28_trained_langid",
       s"""WITH RECURSIVE $pow2Cte,
-         |msyn AS (SELECT doc_id, lang, text || ' ' || CASE lang
-         |${TextOps.langMarkers.map { case (l, _) =>
-             s"    WHEN '$l' THEN '${TextOps.langPhrase(l)}'"
-           }.mkString("\n")}
-         |  END AS text FROM documents),
-         |tr AS (SELECT doc_id, lang, text FROM msyn WHERE doc_id % 3 <> 0),
-         |mlangs AS MATERIALIZED (SELECT DISTINCT lang FROM tr),
-         |mk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM mlangs),
-         |trtf AS (SELECT lang, ${sqlHash("feat", 12)} % 256 AS b
-         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS feat FROM tr)
-         |  WHERE len(feat) > 0),
-         |mbc AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM trtf GROUP BY 1, 2),
-         |mtc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tc FROM mbc GROUP BY 1),
-         |mdense AS (SELECT l.lang, gb.b, coalesce(mbc.c, 0) AS c,
-         |    coalesce(mtc.tc, 0) AS tc
-         |  FROM mlangs l
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gb
-         |  LEFT JOIN mtc ON mtc.lang = l.lang
-         |  LEFT JOIN mbc ON mbc.lang = l.lang AND mbc.b = gb.b),
-         |mlp0 AS (SELECT lang || '#' || b AS key, c + 1 AS p,
-         |    tc + 256 AS q FROM mdense),
-         |${sqlLog2Fp("mlw", "mlp0", "key")},
-         |mlpv AS MATERIALIZED (SELECT string_split(key, '#')[1] AS lang,
-         |    CAST(string_split(key, '#')[2] AS BIGINT) AS b,
-         |    $sqlLnMicroFromL AS lp FROM mlwL),
-         |mpr0 AS (SELECT l.lang AS key, nd.ndc + 1 AS p, t.nd + mk.k AS q
-         |  FROM mlangs l
-         |  JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndc FROM tr
-         |        GROUP BY 1) nd ON nd.lang = l.lang
-         |  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM tr) t
-         |  CROSS JOIN mk),
-         |${sqlLog2Fp("mpw", "mpr0", "key")},
-         |mprv AS MATERIALIZED (SELECT key AS lang, $sqlLnMicroFromL AS prior_fp
-         |  FROM mpwL),
-         |scdb AS (SELECT doc_id, ${sqlHash("feat", 12)} % 256 AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
-         |        FROM msyn)
-         |  WHERE len(feat) > 0 GROUP BY 1, 2),
-         |sll AS (SELECT scdb.doc_id, mlpv.lang,
-         |    CAST(SUM(scdb.c * mlpv.lp) AS BIGINT) AS ll
-         |  FROM scdb JOIN mlpv ON mlpv.b = scdb.b GROUP BY 1, 2),
-         |ssc AS (SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
-         |    coalesce(sll.ll, 0) + p.prior_fp AS score
-         |  FROM documents d CROSS JOIN mprv p
-         |  LEFT JOIN sll ON sll.doc_id = d.doc_id AND sll.lang = p.lang),
-         |spick AS (SELECT doc_id, true_lang, cand, score,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, cand) AS rn FROM ssc)
+         |$langIdChainCtes
          |SELECT doc_id, true_lang AS lang, cand AS pred,
          |  CAST(score AS BIGINT) AS score_fp, cand = true_lang AS correct
          |FROM spick WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs0 = Tables.documents(s, d)
-      // the fixture text is language-neutral word salad (the lang column
-      // is independent of content), so — the t6/t8 synthesis pattern — a
-      // deterministic per-language phrase is appended on BOTH sides; the
-      // classifier must find it among the shared-salad noise
-      val phrase = TextOps.langMarkers.foldLeft(lit(null).cast("string")) {
-        case (acc, (l, _)) =>
-          when(col("lang") === l, TextOps.langPhrase(l)).otherwise(acc)
-      }
-      val docs = docs0.withColumn("text",
-        concat(col("text"), lit(" "), phrase))
+      val docs = langIdSynth(s, d)
       val model = TextOps.trainLangModel(
         docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", "lang", 256)
       TextOps.scoreLang(docs, "doc_id", "text", model, 256)
         .join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did"))
         .select(col("did").as("doc_id"), col("lang"), col("pred"),
           col("score_fp"), (col("pred") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID with a CONFIDENCE margin and abstention
+    // (TextOps.scoreLangMargin — the fastText -th serving pattern): the
+    // SAME trained model and scoring chain as t28 (shared CTEs, shared
+    // langScores code — neither side can drift), but serving top1 − top2
+    // in exact integer micro-nats and abstaining to "und" below the
+    // threshold. A production language filter routes unsure docs instead
+    // of mislabeling them; the margin is the number that decides.
+    QueryDef(
+      "t29_langid_margin",
+      s"""WITH RECURSIVE $pow2Cte,
+         |$langIdChainCtes,
+         |m1 AS (SELECT doc_id, cand, score FROM spick WHERE rn = 1),
+         |m2 AS (SELECT doc_id, score AS score2 FROM spick WHERE rn = 2)
+         |SELECT m1.doc_id,
+         |  CASE WHEN m1.score - m2.score2 >= ${LangIdMarginTau}
+         |    THEN m1.cand ELSE 'und' END AS pred,
+         |  m1.cand AS top_lang,
+         |  CAST(m1.score - m2.score2 AS BIGINT) AS margin_fp,
+         |  coalesce(m1.score - m2.score2 >= ${LangIdMarginTau}, false) AS confident
+         |FROM m1 LEFT JOIN m2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = langIdSynth(s, d)
+      val model = TextOps.trainLangModel(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", "lang", 256)
+      TextOps.scoreLangMargin(docs, "doc_id", "text", model, 256,
+          minMarginMicro = LangIdMarginTau)
+        .select(col("did").as("doc_id"), col("pred"), col("top_lang"),
+          col("margin_fp"), col("confident"))
         .orderBy(col("doc_id"))
     },
 

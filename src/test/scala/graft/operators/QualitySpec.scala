@@ -424,4 +424,43 @@ class QualitySpec extends SparkSpec {
     assert(se.getAs[Long]("n_rows") == 0 && se.getAs[Long]("n_classes") == 0)
     assert(se.getAs[Boolean]("k_anonymous") && se.getAs[Boolean]("l_diverse"))
   }
+
+  test("passAtK equals the exact binomial identity, short-circuits included") {
+    // independent oracle: 1 - C(n-c, k)/C(n, k) in exact BigInt micro-floor
+    def choose(n: Long, k: Long): BigInt =
+      (0L until k).map(i => BigInt(n - i)).product /
+        (1L to k).map(BigInt(_)).product
+    def expect(n: Long, c: Long, k: Int): Option[Long] =
+      if (n < k) None
+      else if (n - c < k) Some(1000000L)
+      else Some((BigInt(1000000) -
+        choose(n - c, k) * 1000000 / choose(n, k)).toLong)
+    // problems: (n, c) shapes incl. all-fail, all-pass, n < k, n - c < k
+    val samples = Seq(
+      ("p0", 20, 7), ("p1", 20, 0), ("p2", 20, 20), ("p3", 5, 2),
+      ("p4", 12, 11), ("p5", 3, 1))
+    val rows = samples.flatMap { case (p, n, c) =>
+      (0 until n).map(i => (p, i < c)) }
+    val out = Quality.passAtK(rows.toDF("problem", "ok"), "problem", "ok",
+        Seq(1, 5, 10))
+      .orderBy($"problem")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    samples.sortBy(_._1).zip(out).foreach { case ((p, n, c), row) =>
+      assert(row._1 == p && row._2 == n && row._3 == c, row.toString)
+      assert(row._4 == expect(n, c, 1), s"$p pass@1: ${row._4}")
+      assert(row._5 == expect(n, c, 5), s"$p pass@5: ${row._5}")
+      assert(row._6 == expect(n, c, 10), s"$p pass@10: ${row._6}")
+    }
+    // spot values: pass@1 is exactly the micro-floor of c/n
+    val p0 = out.find(_._1 == "p0").get
+    assert(p0._4 == Some(350000L)) // 7/20
+    assert(p0._6.get > p0._5.get && p0._5.get > p0._4.get) // monotone in k
+    // all-fail -> 0 at every k; all-pass -> 1e6 at every k
+    assert(out.find(_._1 == "p1").get._6 == Some(0L))
+    assert(out.find(_._1 == "p2").get._6 == Some(1000000L))
+    // n=3 < k=5,10 -> undefined
+    val p5 = out.find(_._1 == "p5").get
+    assert(p5._5.isEmpty && p5._6.isEmpty && p5._4 == expect(3, 1, 1))
+  }
 }

@@ -345,6 +345,40 @@ class TextOpsSpec extends SparkSpec {
       s"noBc=${hints(noBc)} bc=${hints(bc)}")
   }
 
+  test("scoreLangMargin: top agrees with scoreLang, abstains below tau, 1-class abstains") {
+    val train = Seq((1L, "aa", "en"), (2L, "bb", "de"), (3L, "aa aa", "en"),
+      (4L, "bb bb", "de"), (5L, "cc", "fr")).toDF("id", "text", "lang")
+    val model = TextOps.trainLangModel(train, "id", "text", "lang", 64)
+    val serve = Seq((10L, "aa aa aa"), (11L, "bb"), (13L, "")).toDF("id", "text")
+    // tau = 0: every doc with a runner-up is confident, pred == scoreLang's
+    val m0 = TextOps.scoreLangMargin(serve, "id", "text", model, 64, 0L)
+      .orderBy($"did")
+      .as[(Long, String, String, Option[Long], Boolean)].collect()
+    val argmax = TextOps.scoreLang(serve, "id", "text", model, 64)
+      .select($"did", $"pred").as[(Long, String)].collect().toMap
+    m0.foreach { case (did, pred, top, margin, conf) =>
+      assert(top == argmax(did), s"$did top != argmax")
+      assert(conf && pred == top, s"$did must be confident at tau=0")
+      assert(margin.exists(_ >= 0L), s"$did margin $margin")
+    }
+    // the featureless doc 13 ties en/de on priors: margin EXACTLY 0 —
+    // confident at tau=0, abstains at any positive tau
+    assert(m0.find(_._1 == 13L).get._4 == Some(0L))
+    val m1 = TextOps.scoreLangMargin(serve, "id", "text", model, 64, 1L)
+      .filter($"did" === 13L)
+      .as[(Long, String, String, Option[Long], Boolean)].collect().head
+    assert(m1._2 == "und" && !m1._5 && m1._3 == "de", m1.toString)
+    // a one-language model has no runner-up: NULL margin, always abstains
+    val one = TextOps.trainLangModel(
+      Seq((1L, "aa", "en")).toDF("id", "text", "lang"), "id", "text", "lang", 64)
+    val mOne = TextOps.scoreLangMargin(serve, "id", "text", one, 64, 0L)
+      .as[(Long, String, String, Option[Long], Boolean)].collect()
+    mOne.foreach { case (did, pred, top, margin, conf) =>
+      assert(pred == "und" && !conf && margin.isEmpty && top == "en",
+        s"$did: $pred $top $margin $conf")
+    }
+  }
+
   test("graft_bpe_segment SQL builder fails loud on wrong arity and NULL merges") {
     graft.plans.BpeSegment.register(spark)
     // one argument: a named arity error, not IndexOutOfBoundsException
