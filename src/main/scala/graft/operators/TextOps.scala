@@ -515,6 +515,52 @@ object TextOps {
       .withColumnRenamed("did", idCol)
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty,
+    * SIGIR 2001) — the standard language-model alternative to BM25:
+    * score(q, d) = Σ_t ln((tf(t,d) + μ·p(t|C)) / (dl(d) + μ)) with
+    * p(t|C) = cf(t)/|C|. EXACT integers end to end: per (doc, term) the
+    * partial is lnMicro(tf·|C| + μ·cf, dl + μ) and the per-doc score
+    * subtracts one lnMicro(|C|, 1) per kept term — the decomposition of
+    * ln(x/(y·|C|)) the oracle replays VERBATIM, so ranking hash-checks on
+    * any engine with zero float drift. Query terms absent from the whole
+    * corpus (cf = 0) drop up front (their smoothed probability is 0, the
+    * standard convention); every doc scores every kept term — a missing
+    * term still contributes its background probability, which is what
+    * makes Dirichlet a length-aware ranker. Rank (score desc, id asc),
+    * top-k.
+    *
+    * Scale shape: dl and tf come from ONE token-scan aggregate; cf is a
+    * ≤|terms|-row broadcast and |C| a one-row broadcast. Overflow bound:
+    * tf·|C| must fit a signed long — corpus token counts to ~10^15 at
+    * realistic per-doc tf; beyond that, compute the stat per shard.
+    */
+  def qlDirichletRank(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, terms: Seq[String], k: Int,
+                      mu: Long = 2000L): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    require(mu >= 1, s"mu must be >= 1, got $mu")
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    val toks = df.select(col(idCol).as("did"),
+      explode(words(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    val ctot = dl.agg(sum(col("dl")).as("c"))
+    val cf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+    dl.crossJoin(broadcast(cf)).crossJoin(broadcast(ctot))
+      .join(tf, Seq("did", "tok"), "left")
+      .select(col("did"),
+        ln(coalesce(col("tf"), lit(0L)) * col("c") + lit(mu) * col("cf"),
+          col("dl") + lit(mu)).as("s1"),
+        ln(col("c"), lit(1L)).as("s0"))
+      .groupBy(col("did"))
+      .agg((sum(col("s1")) - sum(col("s0"))).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("did").asc)
+      .limit(k)
+      .withColumnRenamed("did", idCol)
+  }
+
   /** The per-(doc, term) BM25 partial — ONE expression shared by every
     * BM25 surface ([[bm25Rank]] / [[FtsIndex.searchBm25]] through
     * [[bm25ScoreFrames]], and [[bm25PrfRank]]'s two rounds), so all paths

@@ -2165,6 +2165,47 @@ object CorpusQueries {
         terms = Seq("table", "hash", "merge"), k = 15, fbDocs = 5, fbTerms = 3)
     },
 
+    // Query-likelihood ranking, Dirichlet smoothing (TextOps.
+    // qlDirichletRank — Zhai & Lafferty 2001, the LM alternative to
+    // fts1's BM25, same query): per (doc, term) the EXACT integer
+    // micro-nat lnMicro(tf*|C| + mu*cf, dl + mu), per doc minus one
+    // lnMicro(|C|, 1) per kept term — the oracle replays the identical
+    // decomposition through the sqlLog2Fp twin (one key per doc#term
+    // plus one for |C|), so the ranking hash-checks bitwise where
+    // float-ln rankers need rounding slop. mu = 2000.
+    QueryDef(
+      "fts8_ql_dirichlet",
+      s"""WITH RECURSIVE $pow2Cte,
+         |qt AS (SELECT unnest(['table', 'hash', 'merge']) AS tok),
+         |toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents),
+         |dl AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+         |  WHERE len(tok) > 0 GROUP BY 1),
+         |ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+         |qcf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+         |  FROM toks JOIN qt USING (tok) GROUP BY 1),
+         |qtf AS (SELECT did, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks JOIN qt USING (tok) GROUP BY 1, 2),
+         |ql0 AS (SELECT dl.did || '#' || qcf.tok AS key,
+         |    coalesce(qtf.tf, 0) * ctot.c + 2000 * qcf.cf AS p,
+         |    dl.dl + 2000 AS q
+         |  FROM dl CROSS JOIN qcf CROSS JOIN ctot
+         |  LEFT JOIN qtf ON qtf.did = dl.did AND qtf.tok = qcf.tok),
+         |${sqlLog2Fp("qlt", "ql0", "key")},
+         |qs1 AS (SELECT CAST(string_split(key, '#')[1] AS BIGINT) AS did,
+         |    $sqlLnMicroFromL AS s FROM qltL),
+         |qc0 AS (SELECT 'c' AS key, c AS p, CAST(1 AS BIGINT) AS q FROM ctot),
+         |${sqlLog2Fp("qlc", "qc0", "key")},
+         |qs0 AS (SELECT $sqlLnMicroFromL AS s FROM qlcL)
+         |SELECT did AS doc_id,
+         |  CAST(SUM(s) - (SELECT COUNT(*) FROM qcf) * (SELECT s FROM qs0)
+         |    AS BIGINT) AS score_fp
+         |FROM qs1 GROUP BY did
+         |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TextOps.qlDirichletRank(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "merge"), k = 25, mu = 2000L)
+    },
+
     // PERSISTED BM25 index (FtsIndex): write from two thirds of the corpus,
     // APPEND the rest, then serve the fts1 query from storage — the oracle
     // is the from-scratch fts1 SQL over the whole corpus, so the hash

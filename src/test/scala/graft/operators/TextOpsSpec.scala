@@ -345,6 +345,39 @@ class TextOpsSpec extends SparkSpec {
       s"noBc=${hints(noBc)} bc=${hints(bc)}")
   }
 
+  test("qlDirichletRank: matches double-precision QL ordering, drops unseen terms") {
+    val docs = Seq(
+      (1L, "table hash merge table"),   // all terms, tf(table)=2
+      (2L, "table join scan"),          // one term
+      (3L, "sort scan shuffle join"),   // no term, longer
+      (4L, "table hash")                // two terms, short
+    ).toDF("doc_id", "text")
+    val terms = Seq("table", "hash", "merge")
+    val got = TextOps.qlDirichletRank(docs, "doc_id", "text", terms, 4, mu = 20L)
+      .select($"doc_id", $"score_fp").as[(Long, Long)].collect().toSeq
+    // independent double-precision QL over the same corpus stats
+    val toks = Seq(1L -> "table hash merge table", 2L -> "table join scan",
+      3L -> "sort scan shuffle join", 4L -> "table hash")
+      .map { case (i, t) => i -> t.split(" ").toSeq }
+    val ctot = toks.map(_._2.size).sum.toDouble
+    def ql(ws: Seq[String]): Double = terms.map { t =>
+      val cf = toks.map(_._2.count(_ == t)).sum.toDouble
+      math.log((ws.count(_ == t) + 20.0 * cf / ctot) / (ws.size + 20.0))
+    }.sum
+    val want = toks.map { case (i, ws) => (i, ql(ws)) }
+      .sortBy { case (i, s) => (-s, i) }.map(_._1)
+    assert(got.map(_._1) == want, s"got ${got.map(_._1)} want $want")
+    // scores strictly ordered and the all-terms doc wins
+    assert(got.head._1 == 1L)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    // a query term absent from the WHOLE corpus drops (no NULL, no abort):
+    // with one shared known term the ranking is still total and defined
+    val got2 = TextOps.qlDirichletRank(docs, "doc_id", "text",
+      Seq("table", "zzz_not_in_corpus"), 4, mu = 20L)
+      .as[(Long, Long)].collect()
+    assert(got2.length == 4 && got2.forall(_._2 != 0L))
+  }
+
   test("scoreLangMargin: top agrees with scoreLang, abstains below tau, 1-class abstains") {
     val train = Seq((1L, "aa", "en"), (2L, "bb", "de"), (3L, "aa aa", "en"),
       (4L, "bb bb", "de"), (5L, "cc", "fr")).toDF("id", "text", "lang")
