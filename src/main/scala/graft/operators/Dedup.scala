@@ -539,9 +539,25 @@ object Dedup {
     * broadcasts. Work scales with corpus token count, not corpus x benchmark.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val bg = wordShinglesAll(benchmark, idCol, textCol, n)
+                    textCol: String, n: Int): DataFrame =
+    decontaminateAgainst(corpus,
+      benchmarkGrams(benchmark, idCol, textCol, n), idCol, textCol, n)
+
+  /** The benchmark side of [[decontaminate]]: one distinct 48-bit hash
+    * per benchmark word n-gram. */
+  private def benchmarkGrams(benchmark: DataFrame, idCol: String,
+                             textCol: String, n: Int): DataFrame =
+    wordShinglesAll(benchmark, idCol, textCol, n)
       .select(hash48(col("gram")).as("g")).distinct()
+
+  /** The corpus side of [[decontaminate]], against ANY gram-hash frame —
+    * shared VERBATIM by the from-scratch and the served
+    * ([[decontaminateServed]]) paths, so through-storage results
+    * hash-equal from-scratch ones by construction.
+    */
+  private def decontaminateAgainst(corpus: DataFrame, bg: DataFrame,
+                                   idCol: String, textCol: String,
+                                   n: Int): DataFrame =
     // FILTER before any corpus-side shuffle: the broadcast semi-join drops
     // every non-overlapping gram map-side, so the distinct (needed because
     // grams carry multiplicity and the contract counts DISTINCT overlaps)
@@ -553,7 +569,33 @@ object Dedup {
       .join(broadcast(bg), Seq("g"), "left_semi")
       .distinct()
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
-  }
+
+  /** Catalog table holding a persisted benchmark gram set. */
+  def benchmarkGramsTable(name: String): String = s"${name}_bench_grams"
+
+  /** PERSIST the benchmark's distinct gram-hash set as a g-bucketed
+    * catalog table — build once per eval-suite release, then
+    * decontaminate every later corpus snapshot/batch against storage
+    * without touching the benchmark text again (the lm5
+    * train-once/serve-many contract applied to decontamination; eval
+    * suites change on release cadence, corpora change per ingest).
+    */
+  def writeBenchmarkGrams(benchmark: DataFrame, idCol: String,
+                          textCol: String, n: Int, name: String,
+                          nBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      benchmarkGrams(benchmark, idCol, textCol, n),
+      benchmarkGramsTable(name), "g", nBuckets)
+
+  /** [[decontaminate]] served from a [[writeBenchmarkGrams]] table: the
+    * SAME join/distinct/count tail (shared code, not similar code), so a
+    * through-storage run hash-equals the from-scratch one.
+    */
+  def decontaminateServed(spark: org.apache.spark.sql.SparkSession,
+                          corpus: DataFrame, name: String, idCol: String,
+                          textCol: String, n: Int): DataFrame =
+    decontaminateAgainst(corpus, spark.table(benchmarkGramsTable(name)),
+      idCol, textCol, n)
 
   /** Decontamination behind a Bloom-filter prefilter — the layout for
     * benchmark sets too large to broadcast as a join hash relation.

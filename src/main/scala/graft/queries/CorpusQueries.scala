@@ -77,6 +77,21 @@ object CorpusQueries {
     */
   private val LangIdMarginTau = 57000000L
 
+  /** d14's oracle, shared VERBATIM by d33_decontaminate_served: the served
+    * path reuses d14's scoring tail in code, so through-storage
+    * correctness is "same oracle, same hash" by construction (the lm8
+    * discipline).
+    */
+  private lazy val decontaminateOracleSql =
+    s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id AS sid,
+       |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
+       |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |bg AS (SELECT DISTINCT g FROM g WHERE sid % 7 = 0),
+       |cg AS (SELECT sid, g FROM g WHERE sid % 7 <> 0)
+       |SELECT sid AS doc_id, COUNT(*) AS n_overlap
+       |FROM cg JOIN bg USING (g) GROUP BY sid ORDER BY doc_id""".stripMargin
+
   /** e11's per-k pass@k expression — the DuckDB twin of
     * Quality.passAtK's falling-factorial product (HUGEINT chains, one
     * floor division, same short-circuits).
@@ -2427,19 +2442,36 @@ object CorpusQueries {
     // hashes before the join, so only 8-byte keys shuffle.
     QueryDef(
       "d14_decontaminate",
-      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |g AS (SELECT DISTINCT doc_id AS sid,
-         |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
-         |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
-         |bg AS (SELECT DISTINCT g FROM g WHERE sid % 7 = 0),
-         |cg AS (SELECT sid, g FROM g WHERE sid % 7 <> 0)
-         |SELECT sid AS doc_id, COUNT(*) AS n_overlap
-         |FROM cg JOIN bg USING (g) GROUP BY sid ORDER BY doc_id""".stripMargin) { (s, d) =>
+      decontaminateOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       Dedup.decontaminate(
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", 3)
+        .select(col("sid").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Decontamination SERVED from the PERSISTED benchmark gram table
+    // (Dedup.writeBenchmarkGrams + decontaminateServed — the lm8
+    // train-once/serve-many closure for the leakage guard): eval suites
+    // change on release cadence, corpora change per ingest, so the gram
+    // set is built once into a g-bucketed catalog table and every later
+    // corpus batch decontaminates against STORAGE. The scoring tail is
+    // d14's code shared verbatim, so the oracle is d14's SQL VERBATIM:
+    // through-storage must hash-equal from-scratch.
+    QueryDef(
+      "d33_decontaminate_served",
+      decontaminateOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = "d33_" + app
+      graft.sources.Bucketing.ensureCleanTable(
+        s, Dedup.benchmarkGramsTable(name))
+      Dedup.writeBenchmarkGrams(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 3, name, 8)
+      Dedup.decontaminateServed(s, docs.filter(col("doc_id") % 7 =!= 0),
+          name, "doc_id", "text", 3)
         .select(col("sid").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
     },

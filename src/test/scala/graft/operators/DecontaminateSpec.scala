@@ -86,4 +86,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(shuffled.nonEmpty)
     assert(shuffled == broadcasted)
   }
+
+  test("served decontamination through the persisted gram table equals from-scratch") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val name = "dspec_" + System.nanoTime()
+    graft.sources.Bucketing.ensureCleanTable(
+      spark, Dedup.benchmarkGramsTable(name))
+    Dedup.writeBenchmarkGrams(bench, "doc_id", "text", 3, name, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"sid").as[(Long, Long)].collect().toSeq
+    val scratch = rows(Dedup.decontaminate(corpus, bench, "doc_id", "text", 3))
+    val served = rows(
+      Dedup.decontaminateServed(spark, corpus, name, "doc_id", "text", 3))
+    assert(scratch.nonEmpty && served == scratch)
+    // the persisted gram set is the benchmark's distinct hashes exactly —
+    // rebuilding over the same suite is a no-op for every later serve
+    graft.sources.Bucketing.ensureCleanTable(
+      spark, Dedup.benchmarkGramsTable(name))
+    Dedup.writeBenchmarkGrams(bench, "doc_id", "text", 3, name, 4)
+    assert(rows(Dedup.decontaminateServed(spark, corpus, name,
+      "doc_id", "text", 3)) == scratch)
+    spark.sql(s"DROP TABLE IF EXISTS ${Dedup.benchmarkGramsTable(name)}")
+  }
 }
