@@ -46,6 +46,28 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Soft dedup: instead of DROPPING duplicates, every row keeps its
+    * fingerprint cluster size and the 1/n down-weight a loss-reweighted
+    * trainer consumes (the SlimPajama/D4 alternative to hard removal —
+    * duplicated text still trains, but its gradient mass sums to one copy).
+    *
+    * Cluster sizes come from a groupBy + sort-merge join back on `fp`
+    * rather than a `count() over (partition by fp)` window: the aggregate
+    * is map-side combinable and the join streams, so a pathological hot
+    * fingerprint (boilerplate pages — the empty-string cluster can be
+    * billions of rows at 100 TB) lands on AQE's skew-join split instead of
+    * materializing one window partition in a single task's memory.
+    * weight = 1.0/n_copies is one IEEE division of an exact integer —
+    * engine-reproducible.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    val sizes = withFp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    withFp.join(sizes, Seq("fp"))
+      .select(col(idCol), col("fp"), col("n_copies"),
+        (lit(1.0) / col("n_copies")).as("weight"))
+  }
+
   // ---- shingling -----------------------------------------------------------
 
   /** Distinct word n-gram shingles, one row per (id, shingle).

@@ -184,6 +184,33 @@ object EtlOps {
       .drop("_src", "_rn")
   }
 
+  /** CDC APPLY — [[mergeUpsert]] extended with tombstones: fold a
+    * change-data-capture log of after-images tagged `I`/`U`/`D` in `opCol`
+    * (ordered per key by `seqCol`) into a base snapshot. Per key the
+    * LATEST change wins (ties break to the change side over base); a
+    * latest-`D` drops the key entirely — including delete-then-reinsert
+    * resurrections, which keep the reinserted row because the `I` carries
+    * the later sequence. Untouched base rows pass through.
+    *
+    * One union + ONE key-partitioned window pass, whatever the op mix —
+    * the Debezium/Delta-merge semantics without a mutable table: at 100 TB
+    * the changelog is tiny next to the snapshot, and the shuffle carries
+    * base+changes once (no per-op passes, no driver loop).
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base
+      .withColumn(opCol, lit("I")).withColumn(seqCol, lit(Long.MinValue))
+      .withColumn("_src", lit(0))
+      .unionByName(changes.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "D")
+      .drop("_src", "_rn", opCol, seqCol)
+  }
+
   /** Resample a keyed time series onto a fixed grid with forward-fill: one
     * row per (key, grid slot) over [start, end), carrying the latest
     * observation at-or-before the slot (null until a key's first

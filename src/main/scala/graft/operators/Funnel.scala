@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence (funnel) analysis over an event log: how many users
+  * reach step k of a prescribed event-type sequence, where step k counts
+  * only when it happens STRICTLY AFTER the user's step k−1 (the chained
+  * first-occurrence semantics every product-analytics funnel uses —
+  * a purchase logged before the first view does not convert that view).
+  *
+  * Scale shape: the whole computation is ONE hash partitioning on the user
+  * key. Each step is a `min(when(...)) over (partition by user)` window —
+  * per-user step times are constants of the partition, so Catalyst stacks
+  * the N window passes and the final per-user aggregate on the same
+  * exchange (user cardinality grows with the data, so parallelism does
+  * too; per-task memory is one user's events). The step summary is a
+  * single-row global aggregate exploded to n_steps rows — driver-bounded
+  * output, map-side-combinable counts.
+  */
+object Funnel {
+
+  /** Per-user chained first-occurrence step times: one row per user with
+    * `t0..t{n-1}` timestamps, `ti` = earliest event of `steps(i)` strictly
+    * after `t{i-1}` (NULL propagates — a user who never views can never
+    * click-convert, whatever they clicked).
+    */
+  def userSteps(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(userCol))
+    val base = events.select(col(userCol), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("__t") === lit(step)
+        else col("__t") === lit(step) && col("__ts") > col(s"t${i - 1}")
+      df.withColumn(s"t$i", min(when(cond, col("__ts"))).over(w))
+    }
+    staged.groupBy(col(userCol))
+      .agg(min(col("t0")).as("t0"),
+        steps.indices.drop(1).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+  }
+
+  /** The funnel table: one row per step with the user count that reached
+    * it, the conversion from step 1 and from the previous step (IEEE
+    * division of exact longs; NULL when the denominator is zero, and
+    * step 1 has no previous step).
+    */
+  def steps(events: DataFrame, userCol: String, tsCol: String,
+            typeCol: String, stepTypes: Seq[String]): DataFrame = {
+    val per = userSteps(events, userCol, tsCol, typeCol, stepTypes)
+    val counts = per.agg(
+      count(col("t0")).as("n0"),
+      stepTypes.indices.drop(1).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    val rows = stepTypes.zipWithIndex.map { case (st, i) =>
+      val pctFirst = when(col("n0") > 0L,
+        col(s"n$i").cast("double") / col("n0").cast("double"))
+      val pctPrev =
+        if (i == 0) lit(null).cast("double")
+        else when(col(s"n${i - 1}") > 0L,
+          col(s"n$i").cast("double") / col(s"n${i - 1}").cast("double"))
+      struct(lit((i + 1).toLong).as("step"), lit(st).as("event_type"),
+        col(s"n$i").as("n_users"), pctFirst.as("pct_of_first"),
+        pctPrev.as("pct_of_prev"))
+    }
+    counts.select(inline(array(rows: _*)))
+  }
+}

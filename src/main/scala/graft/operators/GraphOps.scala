@@ -93,6 +93,59 @@ object GraphOps {
     ranks
    }
 
+  /** LABEL PROPAGATION over an undirected pair list (Zhu & Ghahramani
+    * 2002 / Raghavan et al. 2007, the clamped-seed variant): nodes with a
+    * seed label keep it (round 0); each synchronous round, every still-
+    * unlabeled node adopts the MAJORITY label among its already-labeled
+    * neighbors, ties to the lexicographically smallest label — fully
+    * deterministic, so the assignment is engine-reproducible. The weak-
+    * supervision move a curation pipeline uses to spread a trusted metadata
+    * label (language, topic, license) across a near-dup graph to documents
+    * that lost theirs.
+    *
+    * Returns (sid, label, round) for nodes labeled within `rounds` rounds
+    * (round = when the label arrived); untouched nodes are absent — left
+    * join from the corpus to see them as NULL.
+    *
+    * Scale shape: per round one equi-join of the label state against the
+    * checkpointed bidirectional edge list, one (sid, label) count
+    * aggregate (map-side combinable; state per node bounded by its
+    * neighbor-label diversity) and a per-NODE argmax window (per-node
+    * cardinality = its distinct neighbor labels — never a global or
+    * per-label sort). Each round's state is checkpointed and the
+    * superseded one freed (the pageRank loop discipline).
+    */
+  def labelPropagate(pairs: DataFrame, seeds: DataFrame,
+                     rounds: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(pairs.sparkSession) {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
+    val cut = graft.core.Storage.cut(_: DataFrame, _: Boolean)
+    val bidir = cut(pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      .distinct(), true)
+    var labeled = cut(seeds.select(col("sid"), col("label"),
+      lit(0L).as("round")), true)
+    var r = 1
+    while (r <= rounds) {
+      val votes = bidir
+        .join(labeled.select(col("sid").as("a"), col("label")), Seq("a"))
+        .select(col("b").as("sid"), col("label"))
+        .join(labeled.select(col("sid")), Seq("sid"), "left_anti")
+        .groupBy(col("sid"), col("label")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("sid"))
+        .orderBy(col("__c").desc, col("label").asc)
+      val fresh = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("sid"), col("label"), lit(r.toLong).as("round"))
+      val prev = labeled
+      labeled = cut(prev.unionByName(fresh), true)
+      graft.core.Storage.freeCheckpoint(prev)
+      r += 1
+    }
+    labeled
+   }
+
   /** One rank-update round over the degree-annotated checkpointed edge
     * list `e` and the previous round's `ranks`: rank-in per dst as a
     * map-side-combinable decimal sum, damping, left-join back to the node

@@ -146,6 +146,37 @@ object Quality {
           greatest(col("__n").cast("double"), lit(1.0))).as("violation_rate"))
   }
 
+  /** Referential-integrity audit (the dbt-style relationship test): per
+    * named (child key → parent key) relationship, the child row count, how
+    * many child keys are NULL (unlinkable, reported separately — they are
+    * a different bug than a dangling reference), and how many NON-NULL
+    * child keys have no parent row (orphans). One row per relationship;
+    * all-zero orphans = the warehouse joins are safe to take.
+    *
+    * Scale shape: each relationship is one left-anti join shuffling only
+    * the 8-byte key columns (child projects its key in-scan, parent its
+    * key — AQE splits a skewed hot key), plus one map-side-combinable
+    * count pass; the two one-row aggregates meet in a broadcast scalar
+    * attach. Relationships are independent subtrees — Spark schedules
+    * them concurrently under the union.
+    */
+  def referentialIntegrity(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty, "at least one relationship")
+    rels.map { case (name, child, childKey, parent, parentKey) =>
+      val keys = child.select(col(childKey).as("__k"))
+      val stats = keys.agg(count(lit(1)).as("n_child"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val orphans = keys.filter(col("__k").isNotNull)
+        .join(parent.select(col(parentKey).as("__pk")),
+          col("__k") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.crossJoin(broadcast(orphans))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_null_keys"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Schema-drift report: compare a frame's ACTUAL schema against an
     * expected StructType and emit one row per divergence — `added` (column
     * the contract doesn't know), `missing` (contract column absent),
@@ -564,6 +595,201 @@ object Quality {
         sum(when(pos && !y, 1L).otherwise(0L)).as("fp"),
         sum(when(!pos && y, 1L).otherwise(0L)).as("fn"),
         sum(when(!pos && !y, 1L).otherwise(0L)).as("tn"))
+  }
+
+  /** Spearman rank correlation per group between two integer-valued
+    * columns, ties broken deterministically by `idCol` — the "permutation
+    * Spearman" an eval harness uses to ask whether two rankers agree
+    * (quality score vs a judge, length vs richness): both variables get
+    * the rank of their (value, id) sort position, so every rank is an
+    * exact integer (no average-rank fractions) and rho is
+    * engine-reproducible bit-for-bit.
+    *
+    * Ranks are NOT a per-group window: per-doc-unique values make each
+    * group's window ONE task at 100 TB (the rocAuc rationale). Each
+    * variable ranks two-level instead — integer value-range buckets from
+    * the global min/max (equal values share a bucket), per-(group, bucket)
+    * counts whose driver-side ascending exclusive scan gives bucket base
+    * ranks (groups × buckets longs), then row_number within
+    * (group, bucket) ordered by (value, id) on top of the broadcast base.
+    * Σd² accumulates in DECIMAL(38,0) (exact to ~2e9 rows per group);
+    * rho = 1 − 6·Σd² / (n(n²−1)) is then a fixed sequence of IEEE double
+    * ops both engines replay identically. NULL in either variable fails
+    * loud — an unranked row has no rank; rho is NULL below n = 2.
+    */
+  def spearmanByGroup(df: DataFrame, grpCol: String, xCol: String,
+                      yCol: String, idCol: String,
+                      buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
+    val nBuckets =
+      if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
+    val s = graft.core.Storage.cut(
+      df.select(col(grpCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"), col(idCol).as("__id")),
+      eager = true)
+    if (s.isEmpty) {
+      val empty = s.groupBy(col("__g").as(grpCol))
+        .agg(count(lit(1)).as("n"), lit(0.0).as("sum_d2"), lit(0.0).as("rho"))
+        .limit(0)
+      graft.core.Storage.freeCheckpoint(s)
+      return empty
+    }
+    // per-variable bucket layout + broadcast base ranks, both off the one
+    // checkpoint cut (one materialization, four readers)
+    def basesFor(valCol: String, kbCol: String, baseCol: String,
+                 errName: String): (DataFrame, Column) = {
+      val mm = s.agg(min(col(valCol)), max(col(valCol))).head()
+      if (mm.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"$errName contains NULLs — an unranked row has no rank; " +
+            "filter or score upstream")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = graft.core.BucketMath.widthFor(lo, hi, nBuckets)
+      // PARTIAL nulls fail loud in-kernel (the calibrationBins idiom —
+      // raise_error is codegen'd and free on the valid path)
+      val kb = when(col(valCol).isNull,
+        raise_error(lit(s"$errName contains NULLs — an unranked row has " +
+          "no rank; filter or score upstream")))
+        .otherwise(graft.core.BucketMath.bucketOf(valCol, lo, hi, width))
+      val counts = s.withColumn(kbCol, kb).groupBy(col("__g"), col(kbCol))
+        .agg(count(lit(1)).as("__n")).collect().map { r =>
+          require(!r.isNullAt(0),
+            s"$grpCol contains NULLs — rank over an undefined group")
+          (r.get(0), r.getLong(1), r.getLong(2))
+        }
+      val bases = counts.groupBy(_._1).toSeq.flatMap { case (k, bs) =>
+        bs.sortBy(_._2).scanLeft((k, Long.MinValue, 0L, 0L)) {
+          case ((_, _, acc, n), (_, b, m)) => (k, b, acc + n, m)
+        }.drop(1).map { case (k2, b, base, _) =>
+          org.apache.spark.sql.Row(k2, b, base)
+        }
+      }
+      val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+        s.schema("__g"),
+        org.apache.spark.sql.types.StructField(
+          kbCol, org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          baseCol, org.apache.spark.sql.types.LongType, nullable = false)))
+      val baseDf = s.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(bases).asJava),
+        baseSchema)
+      (baseDf, kb)
+    }
+    val (bxDf, kbx) = basesFor("__x", "__kbx", "__bx", xCol)
+    val (byDf, kby) = basesFor("__y", "__kby", "__by", yCol)
+    val wx = Window.partitionBy(col("__g"), col("__kbx"))
+      .orderBy(col("__x"), col("__id"))
+    val wy = Window.partitionBy(col("__g"), col("__kby"))
+      .orderBy(col("__y"), col("__id"))
+    val d = col("__rx").cast(dec19) - col("__ry").cast(dec19)
+    s.withColumn("__kbx", kbx).withColumn("__kby", kby)
+      .join(broadcast(bxDf), Seq("__g", "__kbx"))
+      .join(broadcast(byDf), Seq("__g", "__kby"))
+      .withColumn("__rx", col("__bx") + row_number().over(wx))
+      .withColumn("__ry", col("__by") + row_number().over(wy))
+      .groupBy(col("__g").as(grpCol))
+      .agg(count(lit(1)).as("n"), sum((d * d).cast(dec)).as("__sd2"))
+      .select(col(grpCol), col("n"),
+        col("__sd2").cast("double").as("sum_d2"),
+        when(col("n") >= 2L,
+          lit(1.0) - lit(6.0) * col("__sd2").cast("double") /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+          .as("rho"))
+  }
+
+  /** Exact AVERAGE PRECISION per group (the area under the precision-
+    * recall curve a retrieval/filter eval reports beside [[rocAuc]] —
+    * AP weights the head of the ranking, which is what a top-k serving
+    * cutoff actually experiences): rank by (score desc, id asc), and over
+    * POSITIVE rows average precision-at-k = cum_pos(k)/k. Every term is
+    * one positive floor division ⌊10⁶·cum_pos/k⌋ of exact integers and
+    * ap_fp their integer mean — engine-reproducible bitwise, no float
+    * summation order to disagree about.
+    *
+    * Ranks and positive prefixes are two-level (the rocAuc/spearman
+    * posture, never a per-group window): per-(group, bucket) row and
+    * positive counts, a driver-side DESCENDING exclusive scan giving each
+    * bucket its rows-above and positives-above bases (groups × buckets
+    * longs), then one within-bucket window ordered (score desc, id)
+    * supplying row_number and the inclusive positive running sum on top of
+    * the broadcast bases. NULL scores fail loud; a group with no positives
+    * reports ap_fp NULL.
+    */
+  def averagePrecisionByGroup(df: DataFrame, grpCol: String, labelCol: String,
+                              scoreCol: String, idCol: String,
+                              buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets =
+      if (buckets > 0) buckets else graft.core.BucketMath.defaultBuckets(df)
+    val s = graft.core.Storage.cut(
+      df.select(col(grpCol).as("__g"), col(scoreCol).cast("long").as("__s"),
+        when(coalesce(col(labelCol), lit(false)), 1L).otherwise(0L).as("__y"),
+        col(idCol).as("__id")),
+      eager = true)
+    if (s.isEmpty) {
+      val empty = s.groupBy(col("__g").as(grpCol))
+        .agg(count(lit(1)).as("n"), count(lit(1)).as("n_pos"),
+          count(lit(1)).as("ap_fp"))
+        .limit(0)
+      graft.core.Storage.freeCheckpoint(s)
+      return empty
+    }
+    val mm = s.agg(min(col("__s")), max(col("__s"))).head()
+    if (mm.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"$scoreCol contains NULLs — an unscored row has no rank; " +
+          "filter or score upstream")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = graft.core.BucketMath.widthFor(lo, hi, nBuckets)
+    val kb = when(col("__s").isNull,
+      raise_error(lit(s"$scoreCol contains NULLs — an unscored row has " +
+        "no rank; filter or score upstream")))
+      .otherwise(graft.core.BucketMath.bucketOf("__s", lo, hi, width))
+    val counts = s.withColumn("__kb", kb).groupBy(col("__g"), col("__kb"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p")).collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"$grpCol contains NULLs — rank over an undefined group")
+        (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    // DESCENDING exclusive scan: bucket b's bases = rows/positives in
+    // HIGHER-scoring buckets (rank 1 is the best score)
+    val bases = counts.groupBy(_._1).toSeq.flatMap { case (k, bs) =>
+      bs.sortBy(-_._2).scanLeft((k, Long.MinValue, 0L, 0L, 0L, 0L)) {
+        case ((_, _, accT, accP, t, p), (_, b, t2, p2)) =>
+          (k, b, accT + t, accP + p, t2, p2)
+      }.drop(1).map { case (k2, b, baseT, baseP, _, _) =>
+        org.apache.spark.sql.Row(k2, b, baseT, baseP)
+      }
+    }
+    val lt = org.apache.spark.sql.types.LongType
+    val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+      s.schema("__g"),
+      org.apache.spark.sql.types.StructField("__kb", lt, nullable = false),
+      org.apache.spark.sql.types.StructField("__bt", lt, nullable = false),
+      org.apache.spark.sql.types.StructField("__bp", lt, nullable = false)))
+    val baseDf = s.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(bases).asJava),
+      baseSchema)
+    val w = Window.partitionBy(col("__g"), col("__kb"))
+      .orderBy(col("__s").desc, col("__id").asc)
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("__kb", kb)
+      .join(broadcast(baseDf), Seq("__g", "__kb"))
+      .withColumn("__k", col("__bt") + row_number().over(w))
+      .withColumn("__cp", col("__bp") + sum(col("__y")).over(wr))
+      .groupBy(col("__g").as(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(when(col("__y") === 1L,
+          expr("CAST((1000000 * __cp) DIV __k AS BIGINT)"))).as("__aps"))
+      .select(col(grpCol), col("n"), col("n_pos"),
+        when(col("n_pos") > 0L, expr("CAST(__aps DIV n_pos AS BIGINT)"))
+          .as("ap_fp"))
   }
 
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,

@@ -798,6 +798,49 @@ object TextOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Minimal-cover PROXIMITY ranking (the MinDist/span family — Tao & Zhai,
+    * SIGIR 2007): per document the SHORTEST token window containing ALL
+    * query terms, the signal that separates "terms scattered across 500
+    * tokens" from "terms in one clause" when BM25 tf·idf is equal. Exact:
+    * an optimal cover must start at a term position, and for a fixed start
+    * the tightest end is max over terms of the NEXT occurrence ≥ start —
+    * so the candidate set is (anchor × per-term next-hit), all integers,
+    * engine-reproducible. Ties break to the earliest start.
+    *
+    * Returns (did, span, start) for documents containing every term,
+    * ordered best-first (span asc, did). Scale shape: the snippets
+    * posture — postings keep only query-term hits in-scan (text never
+    * shuffles, 16-term cap), the anchor×hit join is per-document and
+    * bounded by hits², the per-doc argmin plans as WindowGroupLimit.
+    */
+  def minSpanProximity(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    val termArr = array(terms.distinct.map(lit): _*)
+    val posts = graft.core.Storage.cut(df
+      .select(col(idCol).as("did"),
+        posexplode(words(col(textCol))).as(Seq("pos", "tok")))
+      .filter(array_contains(termArr, col("tok")))
+      .select(col("did"), col("pos").cast("long").as("pos"), col("tok")),
+      eager = false)
+    val anchors = posts.select(col("did"), col("pos").as("start")).distinct()
+    val spans = anchors.join(posts, Seq("did"))
+      .filter(col("pos") >= col("start"))
+      .groupBy(col("did"), col("start"), col("tok"))
+      .agg(min(col("pos")).as("np"))
+      .groupBy(col("did"), col("start"))
+      .agg(count(lit(1)).as("n_terms"),
+        (max(col("np")) - col("start") + 1L).as("span"))
+      .filter(col("n_terms") === terms.distinct.size.toLong)
+    val w = Window.partitionBy(col("did"))
+      .orderBy(col("span").asc, col("start").asc)
+    spans.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("did"), col("span"), col("start"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge any number
     * of top-k rankings — BM25 + vector ANN is the canonical hybrid-search
     * pair, but any (did, rank) frames fuse — by summing per-list credits

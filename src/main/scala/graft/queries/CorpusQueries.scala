@@ -1373,6 +1373,28 @@ object CorpusQueries {
         .orderBy(col("fp"))
     },
 
+    // SOFT dedup (Dedup.softDedupWeights — the SlimPajama/D4 alternative
+    // to d2's hard removal): every doc keeps its fingerprint cluster size
+    // and the 1/n down-weight a loss-reweighted trainer consumes, so
+    // duplicated text still trains but its gradient mass sums to one copy.
+    // Cluster sizes ride a map-side-combinable groupBy + streaming join
+    // back on fp (NOT a count-over-fp window — a hot boilerplate
+    // fingerprint would pin one window partition in a single task);
+    // weight is one IEEE division of an exact integer.
+    QueryDef(
+      "d34_soft_dedup_weights",
+      """WITH f AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sz AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp)
+        |SELECT doc_id, fp, n_copies,
+        |  CAST(1 AS DOUBLE) / CAST(n_copies AS DOUBLE) AS weight
+        |FROM f JOIN sz USING (fp)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.softDedupWeights(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef(
       "d3_minhash_candidates",
       s"""WITH $shingleCtes,
@@ -2219,6 +2241,38 @@ object CorpusQueries {
          |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
       TextOps.qlDirichletRank(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("table", "hash", "merge"), k = 25, mu = 2000L)
+    },
+
+    // Minimal-cover PROXIMITY ranking (TextOps.minSpanProximity — the
+    // MinDist/span family, Tao & Zhai SIGIR 2007): per doc the SHORTEST
+    // token window containing ALL of {join, hash, filter}, the signal that
+    // separates "terms in one clause" from "terms scattered across the
+    // doc" when tf·idf is equal. Exact by construction: an optimal cover
+    // starts at a term position; for a fixed start the tightest end is the
+    // max over terms of the next occurrence — anchors × per-term next-hit,
+    // all integers. fts6's postings posture (only query-term hits leave
+    // the scan; hits²-bounded per-doc join; argmin = WindowGroupLimit).
+    QueryDef(
+      "fts9_min_span",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(w))) AS t(i)
+        |  WHERE w[i] IN ('join', 'hash', 'filter')),
+        |a AS (SELECT DISTINCT did, pos AS start FROM p),
+        |nx AS (SELECT a.did, a.start, t.tok, MIN(t.pos) AS np
+        |  FROM a JOIN p t ON a.did = t.did AND t.pos >= a.start
+        |  GROUP BY a.did, a.start, t.tok),
+        |sp AS (SELECT did, start,
+        |    CAST(MAX(np) - start + 1 AS BIGINT) AS span
+        |  FROM nx GROUP BY did, start HAVING COUNT(*) = 3),
+        |best AS (SELECT did, span, start,
+        |    ROW_NUMBER() OVER (PARTITION BY did ORDER BY span, start) AS rn
+        |  FROM sp)
+        |SELECT did, span, start FROM best WHERE rn = 1
+        |ORDER BY span, did""".stripMargin) { (s, d) =>
+      TextOps.minSpanProximity(Tables.documents(s, d), "doc_id", "text",
+          Seq("join", "hash", "filter"))
+        .orderBy(col("span"), col("did"))
     },
 
     // PERSISTED BM25 index (FtsIndex): write from two thirds of the corpus,
@@ -3425,6 +3479,66 @@ object CorpusQueries {
         .orderBy(col("rank_version"), col("sid"))
     },
 
+    // LABEL PROPAGATION over the verified near-dup graph (GraphOps.
+    // labelPropagate — Zhu & Ghahramani 2002, clamped seeds): every third
+    // doc keeps its trusted `lang` as a seed; two synchronous rounds
+    // spread labels to unlabeled neighbors by majority vote (count desc,
+    // label asc — deterministic). The weak-supervision move that restores
+    // lost metadata across duplicate clusters. The oracle replays d9's
+    // verified-pair chain plus both vote rounds with the same tiebreak;
+    // docs the graph never reaches surface with NULL label/round.
+    QueryDef(
+      "g3_label_propagation",
+      s"""WITH $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |l0 AS (SELECT doc_id AS sid, lang AS label, CAST(0 AS BIGINT) AS round
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |v1 AS (SELECT b.b AS sid, l.label, COUNT(*) AS c
+         |  FROM bidir b JOIN l0 l ON b.a = l.sid
+         |  WHERE b.b NOT IN (SELECT sid FROM l0) GROUP BY b.b, l.label),
+         |n1 AS (SELECT sid, label FROM (
+         |  SELECT sid, label,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, label) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT * FROM l0
+         |  UNION ALL SELECT sid, label, CAST(1 AS BIGINT) FROM n1),
+         |v2 AS (SELECT b.b AS sid, l.label, COUNT(*) AS c
+         |  FROM bidir b JOIN l1 l ON b.a = l.sid
+         |  WHERE b.b NOT IN (SELECT sid FROM l1) GROUP BY b.b, l.label),
+         |n2 AS (SELECT sid, label FROM (
+         |  SELECT sid, label,
+         |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, label) AS rn
+         |  FROM v2) WHERE rn = 1),
+         |l2 AS (SELECT * FROM l1
+         |  UNION ALL SELECT sid, label, CAST(2 AS BIGINT) FROM n2)
+         |SELECT d.doc_id AS sid, l.label, l.round
+         |FROM documents d LEFT JOIN l2 l ON d.doc_id = l.sid
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labeled = graft.core.Storage.freeingIntermediates(s) {
+        graft.operators.GraphOps.labelPropagate(
+          Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5)
+            .select(col("ida"), col("idb")),
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("sid"), col("lang").as("label")),
+          rounds = 2)
+      }
+      docs.select(col("doc_id").as("sid"))
+        .join(labeled, Seq("sid"), "left")
+        .orderBy(col("sid"))
+    },
+
     // chrF (TextOps.chrF): character n-gram F-beta=2 over whitespace-
     // stripped texts, e4's pairing (even doc = candidate, odd = reference).
     // F collapses algebraically to 5m/(4*tr + tc) — one positive floor
@@ -3540,6 +3654,77 @@ object CorpusQueries {
               (graft.operators.Dedup.hash48(col("text")) % 3 === 0).as("ok")),
           "problem", "ok", Seq(1, 5, 10))
         .orderBy(col("problem"))
+    },
+
+    // Spearman rank correlation between two rankers
+    // (Quality.spearmanByGroup): do length (n_chars) and lexical richness
+    // (distinct-token count) order a language's documents the same way?
+    // Ties break by doc_id, so both rank vectors are exact permutations
+    // (no average-rank fractions); Σd² rides DECIMAL(38,0) and
+    // rho = 1 − 6Σd²/(n(n²−1)) is a fixed IEEE sequence. Ranks are
+    // two-level bucketed (global value buckets + per-(lang, bucket)
+    // broadcast bases + within-bucket row_number — the rocAuc posture),
+    // NOT a per-lang window: per-doc-unique values would funnel each
+    // language through one task, and a handful of languages IS the corpus
+    // at 100 TB. The oracle ranks with plain windows — correctness twin,
+    // not scale twin.
+    QueryDef(
+      "e12_rank_correlation",
+      """WITH f AS (SELECT lang, doc_id, n_chars AS x,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0))) AS BIGINT) AS y
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY y, doc_id) AS ry
+        |  FROM f),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(rx - ry AS DECIMAL(19,0))
+        |      * CAST(rx - ry AS DECIMAL(19,0))) AS sd2
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n, CAST(sd2 AS DOUBLE) AS sum_d2,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |  END AS rho
+        |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.operators.Quality.spearmanByGroup(
+          Tables.documents(s, d).select(col("lang"), col("doc_id"),
+            col("n_chars").as("x"),
+            size(array_distinct(filter(split(col("text"), " "),
+              w => length(w) > 0))).cast("long").as("y")),
+          "lang", "x", "y", "doc_id")
+        .orderBy(col("lang"))
+    },
+
+    // Exact AVERAGE PRECISION per language for the t22 classifier
+    // (Quality.averagePrecisionByGroup) — the PR-curve summary beside
+    // e7's ROC-AUC, head-weighted like a serving cutoff: over positives
+    // ranked (score desc, id), AP = mean ⌊10⁶·cum_pos/k⌋, every term one
+    // positive floor division of exact integers. Ranks and positive
+    // prefixes ride the two-level (group, score-bucket) bases (the
+    // rocAuc/spearman posture — no per-language window); the oracle
+    // replays the classifier CTEs and plain-window ranks.
+    QueryDef(
+      "e13_average_precision",
+      s"""WITH RECURSIVE $pow2Cte,
+         |$classifierScoredCtes,
+         |r AS (SELECT lang, is_p,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS k,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) OVER (PARTITION BY lang
+         |      ORDER BY s DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+         |  FROM scored),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    SUM(CASE WHEN is_p THEN (1000000 * cp) // k END) AS ap_sum
+         |  FROM r GROUP BY lang)
+         |SELECT lang, n, n_pos,
+         |  CASE WHEN n_pos > 0 THEN CAST(ap_sum // n_pos AS BIGINT) END AS ap_fp
+         |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.operators.Quality.averagePrecisionByGroup(scoredWithLang(s, d),
+          "lang", "actual", "score_fp", "did")
+        .orderBy(col("lang"))
     },
 
     QueryDef(

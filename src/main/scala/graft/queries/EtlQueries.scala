@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.core.Tables
 import graft.operators.{EtlOps, ExactAgg}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -467,6 +468,39 @@ object EtlQueries {
         .orderBy(col("user_id"), col("ts"))
     },
 
+    // TS-extension: OHLC bar resampling — per (event_type, hour) the open
+    // (value at the earliest (ts, event_id)), close (latest), low, high
+    // and count: the financial-style downsample an hourly metrics rollup
+    // is. Open/close ride min_by/max_by on the (ts, event_id) struct key —
+    // ONE map-side-combinable aggregate, no window, no self-join; the
+    // unique event_id tiebreak makes both picks engine-deterministic. The
+    // oracle mirrors with rank-1 rows under both sort directions.
+    QueryDef(
+      "ts3_ohlc_bars",
+      """WITH r AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |    value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT event_type, hour_start,
+        |  MIN(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MIN(CASE WHEN rd = 1 THEN value END) AS close,
+        |  MIN(value) AS low, MAX(value) AS high,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY event_type, hour_start
+        |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          min(col("value")).as("low"), max(col("value")).as("high"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hour_start"))
+    },
+
     // Q-extension: per-column dataset profile — row/null/distinct counts and
     // min/max rendered as strings, one row per column, one shared scan.
     QueryDef(
@@ -603,6 +637,59 @@ object EtlQueries {
         Tables.events(s, d), "event_type", "value",
         nSigma = 5.0, maxOutlierFrac = 0.02)
         .orderBy(col("event_type"))
+    },
+
+    // DQ-extension: REFERENTIAL-integrity audit (Quality.
+    // referentialIntegrity — the dbt-style relationship test): orphan and
+    // null-key counts for the warehouse's three FK edges, plus the same
+    // orders→customer edge against a half-missing "stale dimension
+    // snapshot" (c_custkey % 2 = 0) so the orphan branch provably fires —
+    // the gate a nightly dim refresh runs before exposing joins. Each
+    // relationship is one key-only anti join; zero orphans on the live
+    // edges IS the result.
+    QueryDef(
+      "dq5_referential_integrity",
+      """SELECT 'lineitem_orders' AS relationship,
+        |  CAST(COUNT(*) AS BIGINT) AS n_child,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_keys,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem_supplier', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        |  ON l_suppkey = s_suppkey
+        |UNION ALL
+        |SELECT 'orders_customer', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'orders_customer_stale', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN
+        |  (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY relationship""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      graft.operators.Quality.referentialIntegrity(Seq(
+        ("lineitem_orders", li, "l_orderkey", ord, "o_orderkey"),
+        ("lineitem_supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        ("orders_customer", ord, "o_custkey", cust, "c_custkey"),
+        ("orders_customer_stale", ord, "o_custkey",
+          cust.filter(col("c_custkey") % 2 === 0), "c_custkey")))
+        .orderBy(col("relationship"))
     },
 
     // DQ-extension: DISTRIBUTION-drift gate (Quality.distributionDrift —
@@ -1365,6 +1452,66 @@ object EtlQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // U-extension: CDC APPLY (EtlOps.cdcApply) — u3's merge with
+    // TOMBSTONES: a Debezium-style changelog of I/U/D after-images folds
+    // into the snapshot in one union + one key-window pass. The log
+    // exercises every path: update (seq 1), delete (seq 1),
+    // delete-then-REINSERT (the %20=1 keys come back at seq 2 with new
+    // values), update-then-DELETE (the %20=0 keys vanish despite their
+    // seq-1 update). Latest seq wins, change side beats base on ties.
+    QueryDef(
+      "u6_cdc_apply",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'U' AS op, CAST(1 AS BIGINT) AS seq,
+        |      'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |      o_orderdate + INTERVAL 1 DAY AS o_orderdate
+        |    FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', CAST(1 AS BIGINT), o_orderstatus,
+        |      o_totalprice, o_orderdate
+        |    FROM base WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', CAST(2 AS BIGINT), 'R',
+        |      o_totalprice + 1000, o_orderdate + INTERVAL 2 DAY
+        |    FROM base WHERE o_orderkey % 20 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', CAST(2 AS BIGINT), o_orderstatus,
+        |      o_totalprice, o_orderdate
+        |    FROM base WHERE o_orderkey % 20 = 0),
+        |tagged AS (
+        |  SELECT o_orderkey, 'I' AS op, CAST(0 AS BIGINT) AS seq, 0 AS src,
+        |    o_orderstatus, o_totalprice, o_orderdate FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, op, seq, 1, o_orderstatus, o_totalprice,
+        |    o_orderdate FROM chg)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, src DESC) AS rn FROM tagged)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      def ch(cond: Column, op: String, seq: Long, st: Column, pr: Column,
+             dt: Column) =
+        base.filter(cond).select(col("o_orderkey"), st.as("o_orderstatus"),
+          pr.as("o_totalprice"), dt.as("o_orderdate"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val changes =
+        ch(col("o_orderkey") % 10 === 0, "U", 1L, lit("U"),
+          col("o_totalprice") * 2, col("o_orderdate") + expr("INTERVAL 1 DAY"))
+        .unionByName(ch(col("o_orderkey") % 10 === 1, "D", 1L,
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")))
+        .unionByName(ch(col("o_orderkey") % 20 === 1, "I", 2L, lit("R"),
+          col("o_totalprice") + 1000,
+          col("o_orderdate") + expr("INTERVAL 2 DAY")))
+        .unionByName(ch(col("o_orderkey") % 20 === 0, "D", 2L,
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")))
+      EtlOps.cdcApply(base, changes, Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    },
+
     // U4: SCD Type-2 history build (EtlOps.scd2) — each customer's order
     // stream collapsed to validity ranges of their order priority. The
     // oracle mirrors both windows (change detection by lag, range close by
@@ -1784,6 +1931,50 @@ object EtlQueries {
           round(col("ds").cast("double") / 1073741824.0 / 1000.0, 6).as("decayed_sum"),
           round(col("dc").cast("double") / 1073741824.0, 6).as("decayed_count"))
         .orderBy(col("event_type"))
+    },
+
+    // W-extension: ordered-sequence FUNNEL (Funnel.steps) — users reaching
+    // view -> click -> purchase where step k counts only STRICTLY AFTER the
+    // user's step k-1 first-occurrence (a purchase logged before the first
+    // view converts nothing). One hash partitioning on user_id carries all
+    // three chained window passes AND the per-user rollup; the summary is a
+    // single-row aggregate exploded to 3 rows. Conversion rates are IEEE
+    // divisions of exact longs; step 1 has no previous step (NULL).
+    QueryDef(
+      "w11_funnel_steps",
+      """WITH u1 AS (SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |u2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM u1),
+        |u3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM u2),
+        |per AS (SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+        |  FROM u3 GROUP BY user_id),
+        |n AS (SELECT CAST(COUNT(t0) AS BIGINT) AS n0,
+        |    CAST(COUNT(t1) AS BIGINT) AS n1,
+        |    CAST(COUNT(t2) AS BIGINT) AS n2 FROM per)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    n0 AS n_users,
+        |    CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+        |      AS pct_of_first,
+        |    CAST(NULL AS DOUBLE) AS pct_of_prev FROM n
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', n1,
+        |    CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+        |    CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+        |  FROM n
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', n2,
+        |    CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+        |    CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+        |  FROM n)
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.steps(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
     },
 
     // W1: tumbling-window aggregate (batch twin of the streaming path;

@@ -654,4 +654,47 @@ object EventStreams {
           closed.reverseIterator
       }
   }
+
+  case class FunnelState(times: List[Long])
+  case class FunnelUpdate(user_id: Long, steps_reached: Int,
+                          reached_ts: java.sql.Timestamp)
+
+  /** STREAMING funnel — the incremental twin of [[graft.operators.Funnel]]
+    * (w11): per user the chained strictly-after first-occurrence step
+    * progression, advanced across micro-batches. State is the achieved
+    * chain prefix (≤ |steps| longs per user — bounded however long the
+    * stream runs); an update row is emitted whenever a user advances.
+    *
+    * Exactness contract (the [[sessionize]] posture): within a batch
+    * events sort by (ts, event_id); across batches event time must not
+    * regress (replayed in order). Under that replay the greedy chain
+    * equals w11's nested minima exactly — step k's first occurrence after
+    * t(k−1) is the first qualifying event in global ts order, which the
+    * greedy pass sees first. Equal-ts events can't advance (strict >), in
+    * either engine, whatever the sort order among them.
+    */
+  def funnelUpdates(spark: SparkSession, events: Dataset[Event],
+                    steps: Seq[String]): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.size <= 16, "1..16 funnel steps")
+    val stepArr = steps.toArray
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val before = times.length
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val j = times.length
+            if (j < stepArr.length && e.event_type == stepArr(j) &&
+                (j == 0 || e.ts.getTime > times.last))
+              times = times :+ e.ts.getTime
+          }
+          if (times.length > before) {
+            state.update(FunnelState(times))
+            Iterator.single(FunnelUpdate(userId, times.length,
+              new java.sql.Timestamp(times.last)))
+          } else Iterator.empty
+      }
+  }
 }

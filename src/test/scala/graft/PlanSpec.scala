@@ -773,4 +773,46 @@ class PlanSpec extends SparkSpec {
     // enters the dup-gram exchanges (those carry g/pos only — d30's assert)
     assert(p.contains("hashpartitioning(sid") || p.contains("Left keys [1]: [sid"), p)
   }
+
+  test("e12_rank_correlation: rank windows are (group, bucket)-partitioned, bases broadcast") {
+    val p = plan("e12_rank_correlation")
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc-unique values: a lang-only window would funnel each language
+    // through one task (the lm6/rocAuc contract) — every window spec must
+    // carry a bucket key next to the group key
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(s => s.contains("__kbx#") || s.contains("__kby#")),
+      s"group-only rank window:\n${specs.mkString("\n")}")
+    assert(p.contains("BroadcastExchange"), p) // the base-rank tables
+  }
+
+  test("fts9_min_span: postings prune to query terms in-scan; argmin is WindowGroupLimit") {
+    val p = plan("fts9_min_span")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p) // per-doc rank-1 prunes pre-exchange
+    // the argmin window partitions per document, never a global span sort
+    // (the in-scan array_contains prune sits below the postings checkpoint
+    // cut, so it can't appear in this serve plan — it's the fts6 posture,
+    // exercised by TextOpsSpec's brute-force equivalence)
+    assert(p.contains("windowspecdefinition(did#"), p)
+  }
+
+  test("d34_soft_dedup_weights: cluster sizes via aggregate + join, never a fp window") {
+    val p = plan("d34_soft_dedup_weights")
+    // a count-over-fp window would pin a hot boilerplate fingerprint's
+    // billions of rows in one task; the aggregate+join shape splits under
+    // AQE skew handling
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("w11_funnel_steps: summary is a single-row aggregate exploded driver-bounded") {
+    val p = plan("w11_funnel_steps")
+    assert(!p.contains("CartesianProduct"), p)
+    // all step windows partition on the user key — never unpartitioned
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      s"non-user-partitioned funnel window:\n${specs.mkString("\n")}")
+  }
 }

@@ -20,6 +20,19 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keeper_id") == 1L)
   }
 
+  test("soft dedup keeps every row, weights sum to one per cluster") {
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // nothing dropped — that's the point
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_copies"), r.getAs[Double]("weight"))).toMap
+    assert(byId(1L) == ((2L, 0.5)) && byId(4L) == ((2L, 0.5)))
+    assert(byId(2L) == ((1L, 1.0)) && byId(3L) == ((1L, 1.0)))
+    // gradient-mass invariant: per-cluster weights sum to exactly 1 copy
+    val mass = out.groupBy(_.getAs[String]("fp"))
+      .map(_._2.map(_.getAs[Double]("weight")).sum)
+    assert(mass.forall(m => math.abs(m - 1.0) < 1e-12))
+  }
+
   test("brute-force jaccard finds the planted near-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("ida", "idb").as[(Long, Long)].collect().toSet

@@ -145,4 +145,19 @@ class EtlOpsSpec extends SparkSpec {
     val out = EtlOps.scd2(df, "k", Seq("t"), Seq("a1", "a2")).collect()
     assert(out.length == 2)
   }
+
+  test("cdcApply: update, delete, delete-then-reinsert, update-then-delete, fresh insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 1L, "U"),  // plain update
+      (2L, "b", 1L, "D"),   // plain delete
+      (3L, "c", 1L, "D"), (3L, "c2", 2L, "I"), // delete then reinsert
+      (4L, "d2", 1L, "U"), (4L, "d2", 2L, "D"), // update then delete
+      (9L, "new", 1L, "I")  // insert of an unseen key
+    ).toDF("k", "v", "seq", "op")
+    val out = EtlOps.cdcApply(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a2", 3L -> "c2", 5L -> "e", 9L -> "new"))
+  }
 }

@@ -77,6 +77,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(v0.keySet == Set(1L, 2L, 3L) && after.map(_._1) == (1L to 5L).toSet)
   }
 
+  test("labelPropagate: majority vote, lex tie-break, clamped seeds, round stamps") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (5L, 6L),
+      (10L, 7L), (10L, 8L), (10L, 9L), (20L, 21L), (21L, 22L))
+      .toDF("ida", "idb")
+    val seeds = Seq((1L, "en"), (3L, "fr"), (6L, "de"),
+      (7L, "es"), (8L, "es"), (9L, "en"), (20L, "zh"))
+      .toDF("sid", "label")
+    val out = GraphOps.labelPropagate(pairs, seeds, rounds = 2).collect()
+      .map(r => r.getAs[Long]("sid") ->
+        ((r.getAs[String]("label"), r.getAs[Long]("round")))).toMap
+    assert(out(1L) == (("en", 0L)))  // seeds clamped at round 0
+    assert(out(2L) == (("en", 1L)))  // en/fr tie -> lex smallest
+    assert(out(4L) == (("en", 1L)))
+    assert(out(5L) == (("de", 1L)))
+    assert(out(10L) == (("es", 1L))) // majority: 2 es vs 1 en
+    assert(out(21L) == (("zh", 1L))) // chain: hop 1 ...
+    assert(out(22L) == (("zh", 2L))) // ... reaches hop 2 in round 2
+    assert(out.size == 13)           // 7 seeds + 5 in round 1 + 1 in round 2
+  }
+
   test("pageRank: deterministic under repartitioning; edge-free graph sits at the base") {
     val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L)).toDF("src", "dst")
     val nodes = (1L to 5L).toDF("sid")

@@ -425,6 +425,121 @@ class QualitySpec extends SparkSpec {
     assert(se.getAs[Boolean]("k_anonymous") && se.getAs[Boolean]("l_diverse"))
   }
 
+  test("referentialIntegrity: orphans, null keys and clean edges by hand") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.referentialIntegrity(Seq(
+        ("edge", child, "fk", parent, "pk"),
+        ("self", parent, "pk", parent, "pk")))
+      .orderBy("relationship").collect()
+    // edge: 5 children, 1 null key, 1 orphan (9); self joins clean
+    assert(out(0).getAs[String]("relationship") == "edge")
+    assert(out(0).getAs[Long]("n_child") == 5L)
+    assert(out(0).getAs[Long]("n_null_keys") == 1L)
+    assert(out(0).getAs[Long]("n_orphans") == 1L)
+    assert(out(1).getAs[Long]("n_orphans") == 0L)
+    assert(out(1).getAs[Long]("n_null_keys") == 0L)
+  }
+
+  test("spearmanByGroup: exact rho on hand-checkable permutations") {
+    // g1: y = x (perfect agreement, rho 1); g2: y reversed (rho -1);
+    // g3: y-ranks (1,3,2,5,4) vs x-ranks (1,2,3,4,5): d^2 = (0,1,1,1,1)
+    //     -> sum 4, rho = 1 - 24/120 = 0.8
+    val rows =
+      (1L to 5L).map(i => ("g1", i, i * 10L, i * 10L)) ++
+      (1L to 5L).map(i => ("g2", i, i * 10L, 100L - i * 10L)) ++
+      Seq(("g3", 1L, 10L, 10L), ("g3", 2L, 20L, 30L), ("g3", 3L, 30L, 20L),
+        ("g3", 4L, 40L, 60L), ("g3", 5L, 50L, 50L))
+    val df = rows.toDF("g", "id", "x", "y")
+    val out = Quality.spearmanByGroup(df, "g", "x", "y", "id")
+      .orderBy("g").collect()
+    assert(out.map(_.getAs[Double]("rho")).toSeq == Seq(1.0, -1.0, 0.8))
+    assert(out.map(_.getAs[Double]("sum_d2")).toSeq == Seq(0.0, 40.0, 4.0))
+  }
+
+  test("spearmanByGroup: bucketed ranks equal a plain per-group window rank") {
+    import org.apache.spark.sql.expressions.Window
+    // per-doc-unique values, several groups, FORCED tiny buckets so the
+    // base+row_number path crosses many bucket boundaries
+    val df = graft.core.Tables.documents(spark, sf)
+      .select(col("lang").as("g"), col("doc_id").as("id"),
+        col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+    val got = Quality.spearmanByGroup(df, "g", "x", "y", "id", buckets = 3)
+      .orderBy("g").collect()
+    val wx = Window.partitionBy(col("g")).orderBy(col("x"), col("id"))
+    val wy = Window.partitionBy(col("g")).orderBy(col("y"), col("id"))
+    val want = df
+      .withColumn("d", row_number().over(wx).cast("long") -
+        row_number().over(wy).cast("long"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).cast("double").as("sum_d2"))
+      .orderBy("g").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[String]("g") == w.getAs[String]("g"))
+      assert(g.getAs[Long]("n") == w.getAs[Long]("n"))
+      assert(g.getAs[Double]("sum_d2") == w.getAs[Double]("sum_d2"),
+        s"group ${g.get(0)}")
+    }
+  }
+
+  test("spearmanByGroup: singleton group rho NULL, null value fails loud, empty stays empty") {
+    val single = Seq(("g", 1L, 5L, 7L)).toDF("g", "id", "x", "y")
+    val out = Quality.spearmanByGroup(single, "g", "x", "y", "id").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("rho")))
+    assert(out.head.getAs[Double]("sum_d2") == 0.0)
+    val withNull = Seq(("g", 1L, Some(5L), Some(7L)),
+      ("g", 2L, None, Some(8L))).toDF("g", "id", "x", "y")
+    val e = intercept[Exception] {
+      Quality.spearmanByGroup(withNull, "g", "x", "y", "id").collect()
+    }
+    assert(e.getMessage != null)
+    val empty = Quality.spearmanByGroup(single.limit(0), "g", "x", "y", "id")
+    assert(empty.count() == 0)
+  }
+
+  test("averagePrecisionByGroup: hand-exact terms; no-positive group reports NULL") {
+    // g ranked (score desc): pos, neg, pos, pos, neg ->
+    // terms 10^6·(1/1, 2/3, 3/4) floored; ap = mean of the three
+    val df = Seq(
+      ("g", 1L, 50L, true), ("g", 2L, 40L, false), ("g", 3L, 30L, true),
+      ("g", 4L, 20L, true), ("g", 5L, 10L, false),
+      ("h", 6L, 5L, false), ("h", 7L, 4L, false)
+    ).toDF("lang", "id", "score", "y")
+    val out = Quality.averagePrecisionByGroup(df, "lang", "y", "score", "id")
+      .orderBy("lang").collect()
+    assert(out(0).getAs[Long]("n") == 5 && out(0).getAs[Long]("n_pos") == 3)
+    assert(out(0).getAs[Long]("ap_fp") == (1000000L + 666666L + 750000L) / 3)
+    assert(out(1).getAs[Long]("n_pos") == 0)
+    assert(out(1).isNullAt(out(1).fieldIndex("ap_fp")))
+  }
+
+  test("averagePrecisionByGroup: bucketed bases equal a plain-window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.core.Tables.documents(spark, sf).select(col("lang"),
+      col("doc_id"), col("n_chars").as("score"),
+      (col("doc_id") % 3 === 0).as("y"))
+    val got = Quality.averagePrecisionByGroup(df, "lang", "y", "score",
+      "doc_id", buckets = 3).orderBy("lang").collect()
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val want = df.withColumn("k", row_number().over(w))
+      .withColumn("cp", sum(when(col("y"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"),
+          expr("CAST((1000000 * cp) DIV k AS BIGINT)"))).as("aps"))
+      .select(col("lang"), col("n"), col("n_pos"),
+        when(col("n_pos") > 0L,
+          expr("CAST(aps DIV n_pos AS BIGINT)")).as("ap_fp"))
+      .orderBy("lang").collect()
+    got.zip(want).foreach { case (g0, w0) =>
+      assert(g0.toSeq == w0.toSeq, s"${g0.toSeq} vs ${w0.toSeq}")
+    }
+  }
+
   test("passAtK equals the exact binomial identity, short-circuits included") {
     // independent oracle: 1 - C(n-c, k)/C(n, k) in exact BigInt micro-floor
     def choose(n: Long, k: Long): BigInt =

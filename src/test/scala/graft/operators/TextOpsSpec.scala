@@ -1057,6 +1057,35 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("minSpanProximity: exact minimal cover by hand and by brute force") {
+    val docs = Seq(
+      (1L, "a join b c hash filter join"), // best cover starts at hash@4: span 3
+      (2L, "join hash filter"),            // adjacent -> span 3 at start 0
+      (3L, "join hash z"),                 // missing 'filter' -> no row
+      (4L, "filter z z z z hash z join")   // whole doc is the only cover
+    ).toDF("doc_id", "text")
+    val out = TextOps.minSpanProximity(docs, "doc_id", "text",
+        Seq("join", "hash", "filter"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> (3L, 4L), 2L -> (3L, 0L), 4L -> (8L, 0L)))
+    // brute force over every window on the driver fixture (sf0.001)
+    val terms = Seq("join", "hash", "filter")
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val got = TextOps.minSpanProximity(corpus, "doc_id", "text", terms)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val covers = for {
+          s <- toks.indices; e <- s until toks.length
+          win = toks.slice(s, e + 1)
+          if terms.forall(win.contains)
+        } yield (e - s + 1L, s.toLong)
+        if (covers.isEmpty) None else Some(id -> covers.min)
+      }.toMap
+    assert(got == want)
+  }
+
   test("chrF: whitespace-insensitive, clipped, recall-weighted — by hand") {
     // pair 1: identical after de-spacing -> F = 1 at every present order
     // pair 2: clipping caps repeated chars; ord 3 matches nothing; ord 4

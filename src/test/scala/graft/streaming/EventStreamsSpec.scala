@@ -192,6 +192,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelUpdates: chained state advances across micro-batches, equals the w11 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // u1 completes across two batches; u2 purchases BEFORE viewing (stuck
+    // at click); u3 views only; u4's click precedes its view (stuck at
+    // view); u5 has a click at the SAME ts as its view (strict >, no
+    // advance)
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(10, ts("2024-01-01 10:00:00"), 2, "purchase", 1.0),
+      Event(11, ts("2024-01-01 10:03:00"), 2, "view", 1.0),
+      Event(20, ts("2024-01-01 10:01:00"), 3, "view", 1.0),
+      Event(30, ts("2024-01-01 10:02:00"), 4, "click", 1.0),
+      Event(40, ts("2024-01-01 10:04:00"), 5, "view", 1.0),
+      Event(41, ts("2024-01-01 10:04:00"), 5, "click", 1.0))
+    val batch2 = Seq(
+      Event(3, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0),
+      Event(12, ts("2024-01-01 10:31:00"), 2, "click", 1.0),
+      Event(31, ts("2024-01-01 10:32:00"), 4, "view", 1.0))
+    val input = MemoryStream[Event]
+    val q = funnelUpdates(spark, input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val updates = spark.table("funnel_out").as[FunnelUpdate].collect()
+      val finalSteps = updates.groupBy(_.user_id)
+        .map { case (u, us) => u -> us.map(_.steps_reached).max }
+      // batch twin over ALL events (Funnel.userSteps = w11's engine path)
+      val all = (batch1 ++ batch2).toDF()
+      val per = graft.operators.Funnel
+        .userSteps(all, "user_id", "ts", "event_type", steps)
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            (0 until steps.length).count(i => !r.isNullAt(
+              r.fieldIndex(s"t$i")))
+        }.filter(_._2 > 0).toMap
+      assert(finalSteps == per,
+        s"stream/batch funnel diverged:\n stream=$finalSteps\n batch=$per")
+      // and the hand-checkable expectation itself
+      assert(per == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1))
+    } finally q.stop()
+  }
+
   test("windowedHeavyHitters maintains one sketch per window across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
