@@ -377,6 +377,33 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** PAIRED cross-modal cosine gate (the LAION/CLIP-filter shape, Schuhmann
+    * et al. 2021): two embedding tables sharing a pair id — image vs its
+    * caption, audio vs its transcript — joined on the id, one cosine per
+    * pair, keep iff cosine ≥ `minCosine` (LAION ships 0.28 for CLIP B/32).
+    * The multimodal curation gate that made web-scale image-text corpora
+    * usable: a low cosine means the caption does not describe the image.
+    *
+    * Zero-norm pairs get NULL cosine and keep=false (the d32 convention —
+    * under ANSI a bare division would abort the job). Scale shape: one
+    * equi-join on the pair id (both sides shuffle 8-byte keys + quantized
+    * vectors once; no broadcast needed, no pairwise fan-out), cosine is
+    * the exact-integer-dot / precomputed-norm house kernel — embarrassingly
+    * parallel at any corpus size.
+    */
+  def pairedCosineFilter(left: DataFrame, right: DataFrame, idCol: String,
+                         vecCol: String, minCosine: Double): DataFrame = {
+    val l = prepared(left, idCol, vecCol)
+      .select(col("sid"), col("qv").as("__lv"), col("nrm").as("__ln"))
+    val r = prepared(right, idCol, vecCol)
+      .select(col("sid"), col("qv").as("__rv"), col("nrm").as("__rn"))
+    l.join(r, Seq("sid"))
+      .select(col("sid"),
+        pairCosine(col("__lv"), col("__rv"), col("__ln"), col("__rn"))
+          .as("cosine"))
+      .withColumn("keep", coalesce(col("cosine") >= minCosine, lit(false)))
+  }
+
   /** EMBEDDING-SPACE drift between two corpus snapshots, per label: the
     * cosine between the two snapshots' label centroids — the monitoring
     * gate for embedding pipelines (a model/preprocessing change or a

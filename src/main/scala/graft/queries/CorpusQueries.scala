@@ -4137,6 +4137,35 @@ object CorpusQueries {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // PAIRED cross-modal cosine gate (Similarity.pairedCosineFilter — the
+    // LAION/CLIP-filter, Schuhmann et al. 2021): even vectors play the
+    // image embedding, odd vectors the caption embedding of the same pair
+    // id; keep iff cosine >= 0.28 (LAION's CLIP B/32 ship threshold). One
+    // pair-id equi-join + the house integer-dot cosine — no pairwise
+    // fan-out anywhere; 4/250 pairs pass at sf0.01, so both branches of
+    // the gate are exercised.
+    QueryDef(
+      "m9_crossmodal_filter",
+      s"""WITH $quantVecCte,
+         |iv AS (SELECT sid // 2 AS pid, qv AS lv FROM v WHERE sid % 2 = 0),
+         |tv AS (SELECT (sid - 1) // 2 AS pid, qv AS rv FROM v WHERE sid % 2 = 1),
+         |p AS (SELECT pid, ${sqlCosine("lv", "rv")} AS cosine
+         |  FROM iv JOIN tv USING (pid))
+         |SELECT pid AS sid, cosine,
+         |  coalesce(cosine >= 0.28, false) AS keep
+         |FROM p ORDER BY sid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.pairedCosineFilter(
+          emb.filter(col("vec_id") % 2 === 0)
+            .select(expr("CAST(vec_id DIV 2 AS BIGINT)").as("vec_id"),
+              col("embedding")),
+          emb.filter(col("vec_id") % 2 === 1)
+            .select(expr("CAST((vec_id - 1) DIV 2 AS BIGINT)").as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", minCosine = 0.28)
+        .orderBy(col("sid"))
+    },
+
     // Gopher-style rule filter (TextOps.gopherRules): every rule an exact
     // integer predicate (one deterministic division for mean word length).
     // Thresholds chosen to discriminate on the fixtures: ~25% fail the word

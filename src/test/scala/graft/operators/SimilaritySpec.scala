@@ -86,6 +86,30 @@ class SimilaritySpec extends SparkSpec {
       "hard negatives must be the label-filtered exact ranking")
   }
 
+  test("pairedCosineFilter: aligned keeps, mismatched drops, zero-norm NULL+false") {
+    val img = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero norm -> undefined cosine
+      (3L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cap = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),  // identical -> cos 1, keep
+      (1L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal -> cos 0, drop
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (9L, Array(1.0f, 0.0f, 0.0f))   // no left side -> pair absent
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pairedCosineFilter(img, cap, "vec_id", "embedding",
+      minCosine = 0.28).collect()
+      .map(r => r.getAs[Long]("sid") ->
+        ((Option(r.get(r.fieldIndex("cosine"))), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L)) // inner join on the pair id
+    assert(out(0L)._1.get.asInstanceOf[Double] == 1.0 && out(0L)._2)
+    assert(out(1L)._1.get.asInstanceOf[Double] == 0.0 && !out(1L)._2)
+    assert(out(2L)._1.isEmpty && !out(2L)._2) // zero norm: NULL, never kept
+  }
+
   test("nearDupPairs finds only the close pair at high threshold") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
