@@ -792,6 +792,25 @@ object Quality {
           .as("ap_fp"))
   }
 
+  /** Wilson score-interval LOWER BOUND for a binomial rate (Wilson 1927 —
+    * the "sort by confident rating" statistic: a 2/2 pass rate must rank
+    * below a 90/100, which the raw ratio gets wrong). Pure Column algebra
+    * over exact integer (n, c); every step is a correctly-rounded IEEE
+    * double op in a FIXED expression order, so the oracle twin spelling
+    * the same formula (all literals cast to DOUBLE — DuckDB types bare
+    * decimals as DECIMAL) reproduces it bit-for-bit. NULL when n = 0.
+    */
+  def wilsonLower(n: Column, c: Column, z: Double = 1.96): Column = {
+    val zc = lit(z)
+    val z2 = zc * zc
+    val nd = n.cast("double")
+    val p = c.cast("double") / nd
+    when(n > 0L,
+      (p + z2 / (nd * lit(2.0)) -
+        zc * sqrt((p * (lit(1.0) - p) + z2 / (nd * lit(4.0))) / nd)) /
+        (lit(1.0) + z2 / nd))
+  }
+
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
                        minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

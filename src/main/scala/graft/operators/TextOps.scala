@@ -515,6 +515,73 @@ object TextOps {
       .withColumnRenamed("did", idCol)
   }
 
+  /** Simple BM25F — FIELD-weighted BM25 (Robertson & Zaragoza 2009 §3.3.1,
+    * the Elasticsearch/Lucene multi-field ranking shape): a hit in the
+    * title outweighs the same hit in the body. Fields here derive from
+    * position (title = first `titleLen` tokens, body = the rest — the
+    * convention when sources ship one text blob); per (doc, term) the
+    * field tf's are length-normalized PER FIELD against that field's own
+    * average length, weighted (w_title·c_t + w_body·c_b, fixed order) and
+    * saturated ONCE through k1 — the "simple BM25F" that fixes plain
+    * BM25's per-field saturation double-count. idf counts docs containing
+    * the term in ANY field.
+    *
+    * Determinism: the fts1 contract — per-term scores are one fixed IEEE
+    * expression, per-doc totals sum in fixed `terms` order, round(·, 6).
+    * Scale shape: the bm25Rank posture — only query-term hits leave the
+    * token fan-out; field lengths and averages are ≤2-row-per-doc /
+    * 2-row-broadcast aggregates; top-k is TakeOrderedAndProject.
+    */
+  def bm25fRank(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, terms: Seq[String], k: Int,
+                titleLen: Int = 8, wTitle: Double = 2.0, wBody: Double = 1.0,
+                k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    require(titleLen >= 1 && titleLen <= 1000,
+      s"titleLen must be in [1, 1000], got $titleLen")
+    val wa = words(col(textCol))
+    val fields = df.select(col(idCol).as("did"),
+      slice(wa, 1, titleLen).as("__t"),
+      slice(wa, lit(titleLen + 1),
+        greatest(size(wa) - titleLen, lit(0))).as("__b"))
+    val ftoks = graft.core.Storage.cut(
+      fields.select(col("did"), lit("t").as("f"), explode(col("__t")).as("tok"))
+        .unionByName(fields.select(col("did"), lit("b").as("f"),
+          explode(col("__b")).as("tok"))),
+      eager = false)
+    val flen = ftoks.groupBy(col("did"), col("f")).agg(count(lit(1)).as("lf"))
+    val favg = flen.groupBy(col("f"))
+      .agg((sum(col("lf")).cast("double") / count(lit(1))).as("af"))
+    val nstats = fields.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tfF = ftoks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("did"), col("f"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tfF.select(col("did"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val contrib = tfF.join(flen, Seq("did", "f")).join(broadcast(favg), Seq("f"))
+      .withColumn("__c", col("tf").cast("double") /
+        (lit(1 - b) + lit(b) * col("lf").cast("double") / col("af")))
+    val wtf = contrib.groupBy(col("did"), col("tok"))
+      .agg((lit(wTitle) *
+          coalesce(sum(when(col("f") === "t", col("__c"))), lit(0.0)) +
+        lit(wBody) *
+          coalesce(sum(when(col("f") === "b", col("__c"))), lit(0.0))).as("tft"))
+    val scored = wtf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nstats))
+      .withColumn("s",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+          col("tft") / (lit(k1) + col("tft")))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("tok") === t, col("s"))), lit(0.0)).as(s"s_$i")
+    }
+    scored.groupBy(col("did"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("did"),
+        round(terms.indices.map(i => col(s"s_$i")).reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("did").asc)
+      .limit(k)
+  }
+
   /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty,
     * SIGIR 2001) — the standard language-model alternative to BM25:
     * score(q, d) = Σ_t ln((tf(t,d) + μ·p(t|C)) / (dl(d) + μ)) with

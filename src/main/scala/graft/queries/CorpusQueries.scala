@@ -2275,6 +2275,52 @@ object CorpusQueries {
         .orderBy(col("span"), col("did"))
     },
 
+    // Simple BM25F (TextOps.bm25fRank — Robertson & Zaragoza 2009, the
+    // Lucene multi-field ranking): title = first 8 tokens at weight 2,
+    // body the rest at weight 1; per-field length normalization against
+    // the field's OWN average, weighted then saturated ONCE through k1
+    // (the fix for plain BM25's per-field saturation double-count); idf
+    // over docs containing the term in any field. Same query as fts1 so
+    // the field weighting is directly comparable; fts1's float
+    // discipline (fixed-order sums, round 6).
+    QueryDef(
+      "fts10_bm25f",
+      """WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |fl AS (SELECT doc_id AS did, 't' AS f, unnest(w[1:8]) AS tok FROM wq
+        |  UNION ALL SELECT doc_id, 'b', unnest(w[9:]) AS tok FROM wq),
+        |len AS (SELECT did, f, CAST(COUNT(*) AS BIGINT) AS lf
+        |  FROM fl GROUP BY 1, 2),
+        |favg AS (SELECT f, CAST(SUM(lf) AS DOUBLE) / COUNT(*) AS af
+        |  FROM len GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM wq),
+        |tff AS (SELECT did, f, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM fl
+        |  WHERE tok IN ('table', 'hash', 'merge') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, CAST(COUNT(DISTINCT did) AS BIGINT) AS dfreq
+        |  FROM tff GROUP BY 1),
+        |ctr AS (SELECT did, f, tok,
+        |    CAST(tf AS DOUBLE)
+        |      / ((1 - 0.75) + 0.75 * CAST(lf AS DOUBLE) / af) AS c
+        |  FROM tff JOIN len USING (did, f) JOIN favg USING (f)),
+        |wtf AS (SELECT did, tok,
+        |    2.0 * coalesce(SUM(CASE WHEN f = 't' THEN c END), 0.0)
+        |    + 1.0 * coalesce(SUM(CASE WHEN f = 'b' THEN c END), 0.0) AS tft
+        |  FROM ctr GROUP BY 1, 2),
+        |sc AS (SELECT did, tok,
+        |    ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * tft / (1.2 + tft) AS s
+        |  FROM wtf JOIN dfq USING (tok) CROSS JOIN nd),
+        |ag AS (SELECT did,
+        |    coalesce(SUM(CASE WHEN tok = 'table' THEN s END), 0.0) AS s0,
+        |    coalesce(SUM(CASE WHEN tok = 'hash' THEN s END), 0.0) AS s1,
+        |    coalesce(SUM(CASE WHEN tok = 'merge' THEN s END), 0.0) AS s2
+        |  FROM sc GROUP BY 1)
+        |SELECT did AS doc_id, round(s0 + s1 + s2, 6) AS score FROM ag
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TextOps.bm25fRank(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("table", "hash", "merge"), k = 25)
+        .withColumnRenamed("did", "doc_id")
+    },
+
     // PERSISTED BM25 index (FtsIndex): write from two thirds of the corpus,
     // APPEND the rest, then serve the fts1 query from storage — the oracle
     // is the from-scratch fts1 SQL over the whole corpus, so the hash
@@ -3725,6 +3771,45 @@ object CorpusQueries {
       graft.operators.Quality.averagePrecisionByGroup(scoredWithLang(s, d),
           "lang", "actual", "score_fp", "did")
         .orderBy(col("lang"))
+    },
+
+    // Wilson-lower-bound ranking of e11's problems (Quality.wilsonLower —
+    // the "sort by confident rating" statistic): a 2/2 pass rate must
+    // rank below a 90/100, which the raw ratio gets wrong. Same (problem,
+    // n, c) sufficient statistic as e11; the bound is a fixed IEEE
+    // expression over exact integers, spelled identically in the oracle
+    // (every literal CAST to DOUBLE — DuckDB types bare decimals as
+    // DECIMAL), so the doubles AND the ranking hash-check bitwise.
+    QueryDef(
+      "e14_wilson_lower",
+      s"""WITH s AS (SELECT doc_id % 25 AS problem,
+         |    (${sqlHash("text", 12)} % 3 = 0) AS ok FROM documents),
+         |a AS (SELECT problem, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM s GROUP BY 1),
+         |w AS (SELECT problem, n_samples, n_correct,
+         |    CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE) AS p,
+         |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+         |    CAST(n_samples AS DOUBLE) AS nd
+         |  FROM a)
+         |SELECT problem, n_samples, n_correct,
+         |  CASE WHEN n_samples > 0 THEN
+         |    (p + z2 / (nd * CAST(2 AS DOUBLE)) -
+         |      CAST(1.96 AS DOUBLE) * sqrt((p * (CAST(1 AS DOUBLE) - p)
+         |        + z2 / (nd * CAST(4 AS DOUBLE))) / nd)) /
+         |      (CAST(1 AS DOUBLE) + z2 / nd)
+         |  END AS wilson_lb
+         |FROM w ORDER BY wilson_lb DESC, problem""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select((col("doc_id") % 25).as("problem"),
+          (graft.operators.Dedup.hash48(col("text")) % 3 === 0).as("ok"))
+        .groupBy(col("problem"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("problem"), col("n_samples"), col("n_correct"),
+          graft.operators.Quality.wilsonLower(col("n_samples"),
+            col("n_correct")).as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("problem"))
     },
 
     QueryDef(

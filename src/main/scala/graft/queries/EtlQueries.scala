@@ -1977,6 +1977,72 @@ object EtlQueries {
         .orderBy(col("step"))
     },
 
+    // W-extension: longest activity STREAK per user (gaps-and-islands):
+    // distinct activity dates, island anchor = date − row_number days (a
+    // run of consecutive dates shares one anchor), per-island length and
+    // bounds, then each user's best streak by (length desc, start asc).
+    // Per-user windows are day-bounded; the argmax is the w2
+    // WindowGroupLimit shape. The retention metric every engagement
+    // dashboard ships.
+    QueryDef(
+      "w12_activity_streaks",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS anchor
+        |  FROM days),
+        |st AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak_days,
+        |    MIN(d) AS streak_start, MAX(d) AS streak_end
+        |  FROM isl GROUP BY user_id, anchor),
+        |best AS (SELECT user_id, streak_days, streak_start, streak_end,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY streak_days DESC, streak_start) AS rn
+        |  FROM st)
+        |SELECT user_id, streak_days, streak_start, streak_end
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val best = Window.partitionBy(col("user_id"))
+        .orderBy(col("streak_days").desc, col("streak_start"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        .withColumn("anchor",
+          date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("streak_days"), min(col("d")).as("streak_start"),
+          max(col("d")).as("streak_end"))
+        .withColumn("__rn", row_number().over(best))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("streak_days"), col("streak_start"),
+          col("streak_end"))
+        .orderBy(col("user_id"))
+    },
+
+    // A-extension: exact MODE per group (most frequent integerized value,
+    // deterministic smallest-value tie-break): one (group, value) count
+    // aggregate + the WindowGroupLimit argmax — never a global value sort.
+    QueryDef(
+      "a17_group_mode",
+      """WITH c AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS vb,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, vb, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, vb) AS rn
+        |  FROM c)
+        |SELECT event_type, vb AS mode_value, n AS n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val best = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("vb"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), floor(col("value")).cast("long").as("vb"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(best))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("vb").as("mode_value"),
+          col("n").as("n_occurrences"))
+        .orderBy(col("event_type"))
+    },
+
     // W1: tumbling-window aggregate (batch twin of the streaming path;
     // window(ts, '1 hour').start == date_trunc('hour', ts)).
     QueryDef(

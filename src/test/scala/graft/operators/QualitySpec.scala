@@ -540,6 +540,22 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("wilsonLower: confident 90/100 outranks perfect 2/2; bounds sane; n=0 NULL") {
+    val df = Seq((1L, 2L, 2L), (2L, 100L, 90L), (3L, 100L, 0L), (4L, 0L, 0L))
+      .toDF("id", "n", "c")
+      .select(col("id"), col("n"), col("c"),
+        Quality.wilsonLower(col("n"), col("c")).as("lb"))
+    val out = df.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.get(r.fieldIndex("lb"))).map(_.asInstanceOf[Double])).toMap
+    assert(out(2L).get > out(1L).get) // the whole point of the statistic
+    assert(out(1L).get > 0.0 && out(1L).get < 1.0)
+    assert(out(3L).get >= 0.0 && out(3L).get < 0.05)
+    assert(out(4L).isEmpty)
+    // by hand: p=.9, n=100 -> center .919208/1.038416, spread
+    // 1.96·sqrt(.000996)/1.038416 -> lb ≈ 0.82563
+    assert(math.abs(out(2L).get - 0.82563) < 0.0001, out(2L).toString)
+  }
+
   test("passAtK equals the exact binomial identity, short-circuits included") {
     // independent oracle: 1 - C(n-c, k)/C(n, k) in exact BigInt micro-floor
     def choose(n: Long, k: Long): BigInt =

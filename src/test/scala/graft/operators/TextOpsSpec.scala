@@ -1057,6 +1057,20 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bm25fRank: a title hit outranks the identical hit in the body") {
+    val docs = Seq(
+      (1L, "table a b c d e f g h i j k"), // 'table' in the 8-token title
+      (2L, "a b c d e f g h table i j k"), // same tf, in the body
+      (3L, "x y z q w e r t y u i o")      // no hit -> absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25fRank(docs, "doc_id", "text", Seq("table"), k = 10)
+      .collect().map(r => r.getAs[Long]("did") -> r.getAs[Double]("score"))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    // identical lengths and tf: the x2 title weight is the ONLY difference
+    assert(out(1L) > out(2L))
+  }
+
   test("minSpanProximity: exact minimal cover by hand and by brute force") {
     val docs = Seq(
       (1L, "a join b c hash filter join"), // best cover starts at hash@4: span 3
