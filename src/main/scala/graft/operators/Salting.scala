@@ -60,6 +60,41 @@ object Salting {
                       buildKey: String, buckets: Int): DataFrame =
     saltedJoinAs(probe, build, probeKey, buildKey, buckets, "left_outer")
 
+  /** SKEW DIAGNOSIS report — the measurement that decides whether the two
+    * operators above (or AQE alone) are needed, shipped as one row: total
+    * rows, distinct keys, the hottest key and its count, the exact lower
+    * median and p99 per-key counts, skew ratio (max/median, ×100 integer)
+    * and a suggested salt factor ceil(max/p99) — the shard count that
+    * makes the hottest key's slices look like a p99 key. All integers
+    * (exact order statistics via the two-level bucket walk, never a
+    * global sort of the count table); hot key ties break to the smallest
+    * key. Run it BEFORE a 100 TB join, not after the straggler.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = graft.core.Storage.cut(
+      df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__n")),
+      eager = true)
+    val qs = ApproxOps.exactGroupQuantiles(
+      counts.withColumn("__g", lit(0)), "__g", "__n",
+      Seq((1L, 2L), (99L, 100L)))
+    val med = qs.filter(col("q_num") === 1L)
+      .select(col("val").as("median_count"))
+    val p99 = qs.filter(col("q_num") === 99L)
+      .select(col("val").as("p99_count"))
+    counts
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("__n")).as("max_count"),
+        min_by(col("__k"), struct((col("__n") * -1L).as("nn"), col("__k")))
+          .as("hot_key"))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(p99))
+      .select(col("n_rows"), col("n_keys"), col("hot_key"), col("max_count"),
+        col("median_count"), col("p99_count"),
+        expr("CAST((max_count * 100) DIV median_count AS BIGINT)")
+          .as("skew_x100"),
+        expr("CAST((max_count + p99_count - 1) DIV p99_count AS BIGINT)")
+          .as("salt_factor"))
+  }
+
   private def saltedJoinAs(probe: DataFrame, build: DataFrame, probeKey: String,
                            buildKey: String, buckets: Int,
                            joinType: String): DataFrame = {

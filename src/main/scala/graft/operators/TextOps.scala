@@ -601,6 +601,48 @@ object TextOps {
     * tf·|C| must fit a signed long — corpus token counts to ~10^15 at
     * realistic per-doc tf; beyond that, compute the stat per shard.
     */
+  /** Query-likelihood ranking with JELINEK-MERCER smoothing (Zhai &
+    * Lafferty, SIGIR 2001 — the fixed-interpolation sibling of
+    * [[qlDirichletRank]]; JM favors verbose queries, Dirichlet short
+    * ones — shipping both is the standard LM-retrieval pairing):
+    * score(q, d) = Σ_t ln(λ·tf/dl + (1−λ)·cf/|C|), with λ a RATIONAL
+    * λn/λd so the partial stays one exact integer ln —
+    * lnMicro(λn·tf·|C| + (λd−λn)·cf·dl, λd·dl·|C|) per (doc, kept term).
+    * Terms with corpus cf = 0 drop up front (fts8's convention); every
+    * doc scores every kept term. Rank (score desc, id asc), top-k.
+    *
+    * Same scale shape and overflow bound as [[qlDirichletRank]] (one
+    * token-scan aggregate, broadcast cf/|C|; λn·tf·|C| must fit a long).
+    */
+  def jelinekMercerRank(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, terms: Seq[String], k: Int,
+                        lambdaNum: Long = 1L, lambdaDen: Long = 2L)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    require(lambdaNum >= 1 && lambdaNum < lambdaDen,
+      s"lambda must be a rational in (0, 1): got $lambdaNum/$lambdaDen")
+    val ln = graft.plans.LnFpFunctions.lnMicro _
+    val toks = df.select(col(idCol).as("did"),
+      explode(words(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    val ctot = dl.agg(sum(col("dl")).as("c"))
+    val cf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+    dl.crossJoin(broadcast(cf)).crossJoin(broadcast(ctot))
+      .join(tf, Seq("did", "tok"), "left")
+      .select(col("did"),
+        ln(lit(lambdaNum) * coalesce(col("tf"), lit(0L)) * col("c") +
+            lit(lambdaDen - lambdaNum) * col("cf") * col("dl"),
+          lit(lambdaDen) * col("dl") * col("c")).as("s"))
+      .groupBy(col("did"))
+      .agg(sum(col("s")).as("score_fp"))
+      .select(col("did").as(idCol), col("score_fp"))
+      .orderBy(col("score_fp").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def qlDirichletRank(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, terms: Seq[String], k: Int,
                       mu: Long = 2000L): org.apache.spark.sql.DataFrame = {

@@ -2275,6 +2275,41 @@ object CorpusQueries {
         .orderBy(col("span"), col("did"))
     },
 
+    // Query-likelihood ranking, JELINEK-MERCER smoothing (TextOps.
+    // jelinekMercerRank — Zhai & Lafferty 2001): fts8's Dirichlet sibling
+    // at fixed interpolation λ = 1/2, kept RATIONAL so each (doc, term)
+    // partial is ONE exact integer micro-nat
+    // lnMicro(tf·|C| + cf·dl, 2·dl·|C|) — the oracle replays the single
+    // ln per doc#term through the sqlLog2Fp twin. Shipping JM beside
+    // Dirichlet/KN/SB completes the standard LM-smoothing family.
+    QueryDef(
+      "lm10_jm_rank",
+      s"""WITH RECURSIVE $pow2Cte,
+         |qt AS (SELECT unnest(['table', 'hash', 'merge']) AS tok),
+         |toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents),
+         |dl AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+         |  WHERE len(tok) > 0 GROUP BY 1),
+         |ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+         |qcf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+         |  FROM toks JOIN qt USING (tok) GROUP BY 1),
+         |qtf AS (SELECT did, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks JOIN qt USING (tok) GROUP BY 1, 2),
+         |jm0 AS (SELECT dl.did || '#' || qcf.tok AS key,
+         |    coalesce(qtf.tf, 0) * ctot.c + qcf.cf * dl.dl AS p,
+         |    2 * dl.dl * ctot.c AS q
+         |  FROM dl CROSS JOIN qcf CROSS JOIN ctot
+         |  LEFT JOIN qtf ON qtf.did = dl.did AND qtf.tok = qcf.tok),
+         |${sqlLog2Fp("jmt", "jm0", "key")},
+         |js AS (SELECT CAST(string_split(key, '#')[1] AS BIGINT) AS did,
+         |    $sqlLnMicroFromL AS s FROM jmtL)
+         |SELECT did AS doc_id, CAST(SUM(s) AS BIGINT) AS score_fp
+         |FROM js GROUP BY did
+         |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TextOps.jelinekMercerRank(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "merge"), k = 25)
+    },
+
     // Simple BM25F (TextOps.bm25fRank — Robertson & Zaragoza 2009, the
     // Lucene multi-field ranking): title = first 8 tokens at weight 2,
     // body the rest at weight 1; per-field length normalization against

@@ -805,6 +805,32 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // SK-extension: skew DIAGNOSIS report (Salting.skewReport) — the
+    // measurement that decides whether sk1/sk2 (or AQE alone) are needed:
+    // per-key count extremes, exact lower-median and p99 counts (two-level
+    // bucket walk, never a global sort of the count table), max/median
+    // skew ratio and the ceil(max/p99) salt factor. All integers; hot-key
+    // ties to the smallest key. Run BEFORE the 100 TB join, not after the
+    // straggler.
+    QueryDef(
+      "sk3_skew_report",
+      """WITH c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(n) AS max_count FROM c),
+        |hot AS (SELECT k AS hot_key FROM c ORDER BY n DESC, k LIMIT 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM c),
+        |med AS (SELECT n AS median_count FROM r, s
+        |  WHERE rn = (n_keys + 1) // 2),
+        |p99 AS (SELECT n AS p99_count FROM r, s
+        |  WHERE rn = (99 * n_keys + 99) // 100)
+        |SELECT n_rows, n_keys, hot_key, max_count, median_count, p99_count,
+        |  (max_count * 100) // median_count AS skew_x100,
+        |  (max_count + p99_count - 1) // p99_count AS salt_factor
+        |FROM s, hot, med, p99""".stripMargin) { (s, d) =>
+      graft.operators.Salting.skewReport(Tables.events(s, d), "user_id")
+    },
+
     // X-extension, TPC-H Q17 shape: correlated scalar-subquery (per-part
     // average quantity) DECORRELATED into an aggregate + join — the plan
     // rewrite every optimizer must get right. Exact decimal sums before the

@@ -94,4 +94,15 @@ class SaltingSpec extends SparkSpec {
     assert(occupancy == buckets.toLong,
       s"hot key must spread across all $buckets buckets, hit $occupancy")
   }
+
+  test("skewReport: planted hot key measured exactly, integer salt advice") {
+    val rows = (1L to 100L).map(k => (k, "x")) ++
+      (1 to 1000).map(_ => (777L, "x"))
+    val r = Salting.skewReport(rows.toDF("k", "v"), "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 1100 && r.getAs[Long]("n_keys") == 101)
+    assert(r.getAs[Long]("hot_key") == 777 && r.getAs[Long]("max_count") == 1000)
+    assert(r.getAs[Long]("median_count") == 1 && r.getAs[Long]("p99_count") == 1)
+    assert(r.getAs[Long]("skew_x100") == 100000)
+    assert(r.getAs[Long]("salt_factor") == 1000)
+  }
 }

@@ -1057,6 +1057,23 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("jelinekMercerRank: hit docs outrank no-hit docs; lambda must be in (0,1)") {
+    val docs = Seq(
+      (1L, "table hash merge a b"), // all three terms
+      (2L, "a b c d e"),            // background only
+      (3L, "table a b c d")         // one term
+    ).toDF("doc_id", "text")
+    val order = TextOps.jelinekMercerRank(docs, "doc_id", "text",
+        Seq("table", "hash", "merge"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(order.head == 1L)
+    assert(order.indexOf(3L) < order.indexOf(2L))
+    intercept[IllegalArgumentException] {
+      TextOps.jelinekMercerRank(docs, "doc_id", "text", Seq("table"), 5,
+        lambdaNum = 2L, lambdaDen = 2L)
+    }
+  }
+
   test("bm25fRank: a title hit outranks the identical hit in the body") {
     val docs = Seq(
       (1L, "table a b c d e f g h i j k"), // 'table' in the 8-token title
