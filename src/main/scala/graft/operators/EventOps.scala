@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics shared by the oracle-checked queries (w4, w12, ts3)
+  * and [[graft.apps.EventsApp]] — one expression tree per operator, so the
+  * app's numbers ARE the hash-checked ones (the bm25ScoreFrames discipline:
+  * shared, not similar).
+  *
+  * All three are one hash partitioning on their key: gap sessionization and
+  * streaks sort each user's (bounded) events/days inside their partition;
+  * OHLC is a single map-side-combinable aggregate with struct-key
+  * min_by/max_by picks (unique tie column ⇒ deterministic).
+  */
+object EventOps {
+
+  /** Gap-based sessionization (w4): a session break is a gap > `gapMinutes`
+    * between a user's consecutive events (epoch-micros integers — exact);
+    * session id = running break count. One row per (user, session) with
+    * event count and bounds.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("new_s",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) >
+            gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+  }
+
+  /** Longest activity streak per user (w12, gaps-and-islands): distinct
+    * activity dates, island anchor = date − row_number days, per-island
+    * length/bounds, best streak by (length desc, start asc).
+    */
+  def bestStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("d"))
+    val best = Window.partitionBy(col(userCol))
+      .orderBy(col("streak_days").desc, col("streak_start"))
+    events.select(col(userCol), col(tsCol).cast("date").as("d")).distinct()
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col(userCol), col("anchor"))
+      .agg(count(lit(1)).as("streak_days"), min(col("d")).as("streak_start"),
+        max(col("d")).as("streak_end"))
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col(userCol), col("streak_days"), col("streak_start"),
+        col("streak_end"))
+  }
+
+  /** Hourly OHLC bars per key (ts3): open/close = value at the earliest/
+    * latest (ts, tie), low/high/count — ONE map-side-combinable aggregate.
+    */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, valueCol: String): DataFrame =
+    events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_start"))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("open"),
+        max_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("close"),
+        min(col(valueCol)).as("low"), max(col(valueCol)).as("high"),
+        count(lit(1)).as("n"))
+}

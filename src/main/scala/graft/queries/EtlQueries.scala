@@ -491,13 +491,8 @@ object EtlQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM r GROUP BY event_type, hour_start
         |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
-        .agg(
-          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-          min(col("value")).as("low"), max(col("value")).as("high"),
-          count(lit(1)).as("n"))
+      graft.operators.EventOps.ohlcBars(Tables.events(s, d), "event_type",
+          "ts", "event_id", "value")
         .orderBy(col("event_type"), col("hour_start"))
     },
 
@@ -1663,18 +1658,8 @@ object EtlQueries {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("new_s",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
-              1800000000L, 1L).otherwise(0L))
-        .withColumn("session_id", sum(col("new_s")).over(run))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      graft.operators.EventOps.sessionize(Tables.events(s, d), "user_id",
+          "ts", "event_id", gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))
     },
 
@@ -2026,20 +2011,7 @@ object EtlQueries {
         |  FROM st)
         |SELECT user_id, streak_days, streak_start, streak_end
         |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
-      val best = Window.partitionBy(col("user_id"))
-        .orderBy(col("streak_days").desc, col("streak_start"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-        .withColumn("anchor",
-          date_sub(col("d"), row_number().over(w)))
-        .groupBy(col("user_id"), col("anchor"))
-        .agg(count(lit(1)).as("streak_days"), min(col("d")).as("streak_start"),
-          max(col("d")).as("streak_end"))
-        .withColumn("__rn", row_number().over(best))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("streak_days"), col("streak_start"),
-          col("streak_end"))
+      graft.operators.EventOps.bestStreaks(Tables.events(s, d), "user_id", "ts")
         .orderBy(col("user_id"))
     },
 
