@@ -811,6 +811,33 @@ object Quality {
         (lit(1.0) + z2 / nd))
   }
 
+  /** COHEN'S KAPPA per group — chance-corrected agreement between the
+    * model's native-threshold predictions and the labels (Cohen 1960):
+    * κ = (p_o − p_e)/(1 − p_e), shipped as the EXACT integer fraction
+    *   kappa_num = N·(tp+tn) − [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)]
+    *   kappa_den = N² − [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)]
+    * (the rocAuc num/den discipline — accuracy without the base-rate
+    * illusion a 95%-negative corpus gives plain accuracy). Products ride
+    * DECIMAL(38,0) (N² overflows a long at ~3e9 rows per group) and cast
+    * back to long for output; kappa_den = 0 (degenerate marginals) ships
+    * as-is for the consumer to treat as undefined. One aggregate on top of
+    * [[confusionCounts]] — same shape, map-side combinable.
+    */
+  def cohensKappa(scored: DataFrame, groupCol: String, labelCol: String,
+                  scoreCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cm = confusionCounts(scored, groupCol, labelCol, scoreCol)
+    val n = (col("tp") + col("fp") + col("fn") + col("tn")).as("__n")
+    val pe = (col("tp") + col("fp")).cast(dec) * (col("tp") + col("fn")).cast(dec) +
+      (col("fn") + col("tn")).cast(dec) * (col("fp") + col("tn")).cast(dec)
+    cm.withColumn("__n", n)
+      .select(col(groupCol), col("__n").as("n"),
+        (col("__n").cast(dec) * (col("tp") + col("tn")).cast(dec) - pe)
+          .cast("long").as("kappa_num"),
+        (col("__n").cast(dec) * col("__n").cast(dec) - pe)
+          .cast("long").as("kappa_den"))
+  }
+
   def rejectionReasons(docs: DataFrame, idCol: String, textCol: String,
                        minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -788,6 +788,72 @@ object TextOps {
       .withColumnRenamed("did", idCol)
   }
 
+  /** FUZZY keyword search — Elasticsearch's `fuzziness: 1` shape: each
+    * query term expands to every VOCABULARY term within Levenshtein
+    * distance 1 (typos: substitution, insertion, deletion), then ranks
+    * with the shared integer-micro BM25 over the expanded term set (each
+    * matched term contributes with its own idf, so a rare exact form
+    * outweighs a common fuzzy neighbor).
+    *
+    * Candidate generation is SymSpell (Garbe 2012), not a pairwise scan:
+    * lev(q, v) ≤ 1 ⟹ the 1-deletion neighborhoods of q and v intersect,
+    * so vocabulary terms (length-banded to the query lengths ±1) explode
+    * to ≤len+1 deletion keys, join the ≤|terms|·(len+1)-row broadcast
+    * query-deletion table, and only those candidates pay the exact
+    * `levenshtein` verify — the false friends the deletion join admits
+    * (e.g. transpositions, lev 2) are killed there. The matched set
+    * (bounded by the union of edit-1 neighborhoods) collects to the
+    * driver like fts7's expansion and drives one standard BM25 pass.
+    */
+  def fuzzySearch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    require(terms.forall(t => t.nonEmpty && t.length <= 64),
+      "query terms must be 1..64 chars")
+    val toks = df.select(col(idCol).as("did"),
+      explode(words(col(textCol))).as("tok"))
+    // driver-side query deletion keys (terms are literals; ≤ 16·65 keys)
+    def del1(s: String): Seq[String] =
+      s +: s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val qdel = terms.distinct.flatMap(q => del1(q).distinct.map(q -> _))
+    import df.sparkSession.implicits._
+    val qdelDf = qdel.toDF("q", "key")
+    val (loLen, hiLen) =
+      (terms.map(_.length).min - 1, terms.map(_.length).max + 1)
+    val vdel = toks.select(col("tok")).distinct()
+      .filter(length(col("tok")) >= math.max(1, loLen) &&
+        length(col("tok")) <= hiLen)
+      .select(col("tok"), explode(expr(
+        "array_union(array(tok), transform(sequence(1, length(tok)), " +
+          "i -> concat(substr(tok, 1, i - 1), substr(tok, i + 1))))"))
+        .as("key"))
+    val matched = vdel.join(broadcast(qdelDf), Seq("key"))
+      .select(col("q"), col("tok")).distinct()
+      .filter(levenshtein(col("q"), col("tok")) <= 1)
+      .select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (matched.isEmpty)
+      return toks.select(col("did").as(idCol), lit(0L).as("score_fp")).limit(0)
+    // standard BM25 over the expanded set, integer-micro partials (the
+    // fts7 discipline: order-free sums, no per-column term limit)
+    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.join(broadcast(matched.toDF("tok")), Seq("tok"))
+      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("did"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", bm25TermScore(k1, b))
+      .withColumn("s_fp", round(col("s") * 1e6).cast("long"))
+      .groupBy(col("did")).agg(sum(col("s_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("did").asc).limit(k)
+      .withColumnRenamed("did", idCol)
+  }
+
   /** Boolean keyword retrieval: documents containing ALL of `mustAll` and
     * NONE of `mustNone` — the filter-style search companion to
     * [[bm25Rank]]'s ranked retrieval (candidate pre-selection, compliance

@@ -2310,6 +2310,40 @@ object CorpusQueries {
         terms = Seq("table", "hash", "merge"), k = 25)
     },
 
+    // FUZZY search (TextOps.fuzzySearch — Elasticsearch `fuzziness: 1`):
+    // the misspelled query {tabl, hashh, merge} still finds the
+    // {table, hash, merge} docs — each query term expands to vocabulary
+    // terms within Levenshtein 1 via SymSpell deletion-neighborhood
+    // candidates + exact verify (transposition false-friends killed
+    // there), then the shared integer-micro BM25 ranks the expansion. The
+    // oracle generates the SAME matched set by brute levenshtein over the
+    // vocabulary — different algorithm, same answer, the d29 twin
+    // pattern.
+    QueryDef(
+      "fts11_fuzzy_search",
+      """WITH toks AS (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT did, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qt(q) AS (SELECT unnest(['tabl', 'hashh', 'merge'])),
+        |vt AS (SELECT DISTINCT tok FROM toks WHERE len(tok) > 0),
+        |m AS (SELECT DISTINCT tok FROM vt, qt WHERE levenshtein(q, tok) <= 1),
+        |tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks JOIN m USING (tok)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (SELECT did,
+        |    CAST(round((ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / stats.avgdl)))
+        |      * 1000000) AS BIGINT) AS s_fp
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (did) CROSS JOIN stats)
+        |SELECT did AS doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+        |FROM sc GROUP BY did
+        |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TextOps.fuzzySearch(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("tabl", "hashh", "merge"), k = 25)
+    },
+
     // Simple BM25F (TextOps.bm25fRank — Robertson & Zaragoza 2009, the
     // Lucene multi-field ranking): title = first 8 tokens at weight 2,
     // body the rest at weight 1; per-field length normalization against
@@ -3705,6 +3739,35 @@ object CorpusQueries {
          |  CAST(SUM(CASE WHEN s <= 0 AND NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       graft.operators.Quality.confusionCounts(scoredWithLang(s, d),
+          "lang", "actual", "score_fp")
+        .orderBy(col("lang"))
+    },
+
+    // COHEN'S KAPPA per language (Quality.cohensKappa — chance-corrected
+    // agreement over e10's confusion counts): κ as the exact integer
+    // fraction (N·(tp+tn) − Σmarginal-products) / (N² − Σ...) in the
+    // rocAuc num/den discipline — accuracy without the base-rate illusion
+    // a skewed-class corpus gives plain accuracy. Products in
+    // DECIMAL(38,0)/HUGEINT, output longs hash-check bitwise.
+    QueryDef(
+      "e15_cohens_kappa",
+      s"""WITH RECURSIVE $pow2Cte,
+         |$classifierScoredCtes,
+         |cm AS (SELECT lang,
+         |    CAST(SUM(CASE WHEN s > 0 AND is_p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN s > 0 AND NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN s <= 0 AND is_p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN s <= 0 AND NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored GROUP BY lang)
+         |SELECT lang, CAST(tp + fp + fn + tn AS BIGINT) AS n,
+         |  CAST(CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+         |    - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |       + CAST(fn + tn AS HUGEINT) * (fp + tn)) AS BIGINT) AS kappa_num,
+         |  CAST(CAST(tp + fp + fn + tn AS HUGEINT) * (tp + fp + fn + tn)
+         |    - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |       + CAST(fn + tn AS HUGEINT) * (fp + tn)) AS BIGINT) AS kappa_den
+         |FROM cm ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.operators.Quality.cohensKappa(scoredWithLang(s, d),
           "lang", "actual", "score_fp")
         .orderBy(col("lang"))
     },

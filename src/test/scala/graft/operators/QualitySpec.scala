@@ -556,6 +556,23 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out(2L).get - 0.82563) < 0.0001, out(2L).toString)
   }
 
+  test("cohensKappa: perfect agreement 1, chance-level 0, degenerate den 0") {
+    // group p: perfect predictor (score>0 iff label) -> kappa = 1
+    // group c: predictions independent of labels at 50/50 -> kappa = 0
+    // group d: all positive predictions AND all positive labels -> den 0
+    val rows =
+      Seq(("p", true, 5L), ("p", true, 5L), ("p", false, -5L), ("p", false, -5L)) ++
+      Seq(("c", true, 5L), ("c", true, -5L), ("c", false, 5L), ("c", false, -5L)) ++
+      Seq(("d", true, 5L), ("d", true, 5L))
+    val df = rows.toDF("g", "y", "s")
+    val out = Quality.cohensKappa(df, "g", "y", "s").collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("kappa_num"), r.getAs[Long]("kappa_den")))).toMap
+    val p = out("p"); assert(p._1 == p._2 && p._2 > 0) // kappa 1
+    assert(out("c")._1 == 0L && out("c")._2 > 0)       // kappa 0
+    assert(out("d")._2 == 0L)                          // undefined, shipped
+  }
+
   test("passAtK equals the exact binomial identity, short-circuits included") {
     // independent oracle: 1 - C(n-c, k)/C(n, k) in exact BigInt micro-floor
     def choose(n: Long, k: Long): BigInt =

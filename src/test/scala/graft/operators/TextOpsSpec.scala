@@ -1057,6 +1057,25 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("fuzzySearch: one-edit typos match; transposition false-friends rejected") {
+    val docs = Seq(
+      (1L, "table table value"),
+      (2L, "hash value x"),
+      (3L, "nothing here y")
+    ).toDF("doc_id", "text")
+    // deletion typo 'tabl' -> 'table'; insertion typo 'hashh' -> 'hash'
+    val hits = TextOps.fuzzySearch(docs, "doc_id", "text",
+        Seq("tabl", "hashh"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits == Set(1L, 2L))
+    // the SymSpell false friend: del1('ba') ∩ del1('ab') = {a, b} admits
+    // the candidate, but lev('ba','ab') = 2 — the exact verify must kill
+    // it, or the deletion join silently over-matches
+    val out = TextOps.fuzzySearch(Seq((7L, "ab cd ef")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("ba"), 5)
+    assert(out.isEmpty)
+  }
+
   test("jelinekMercerRank: hit docs outrank no-hit docs; lambda must be in (0,1)") {
     val docs = Seq(
       (1L, "table hash merge a b"), // all three terms
