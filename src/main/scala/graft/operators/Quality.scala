@@ -177,6 +177,28 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** UNIQUE-key audit (the dbt `unique` test, [[referentialIntegrity]]'s
+    * sibling): per named (table, key columns) rule, the row count,
+    * distinct-key count, how many keys occur more than once and how many
+    * EXTRA rows those duplicates carry (the rows a dedup would remove).
+    * NULL key values count as ordinary values (a duplicated NULL key is
+    * still a duplicate). One map-side-combinable count per rule, then a
+    * one-row rollup — key-cardinality shuffle only.
+    */
+  def uniqueKeys(rules: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    rules.map { case (name, df, keys) =>
+      require(keys.nonEmpty, s"rule $name needs at least one key column")
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+          sum(when(col("__n") > 1L, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("__n") > 1L, col("__n") - 1L).otherwise(0L))
+            .as("n_extra_rows"))
+        .select(lit(name).as("rule"), col("n_rows"), col("n_keys"),
+          col("n_dup_keys"), col("n_extra_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Schema-drift report: compare a frame's ACTUAL schema against an
     * expected StructType and emit one row per divergence — `added` (column
     * the contract doesn't know), `missing` (contract column absent),

@@ -687,6 +687,45 @@ object EtlQueries {
         .orderBy(col("relationship"))
     },
 
+    // DQ-extension: UNIQUE-key audit (Quality.uniqueKeys — dbt's `unique`
+    // test, dq5's sibling): primary keys of orders and the
+    // (l_orderkey, l_linenumber) composite are clean; the documents TEXT
+    // fingerprint rule fires (the corpus ships duplicates — d2's finding
+    // restated as a key-constraint violation). n_extra_rows = the rows a
+    // dedup would remove.
+    QueryDef(
+      "dq6_unique_keys",
+      """SELECT 'orders_pk' AS rule, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extra_rows
+        |FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lineitem_pk', CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+        |      FROM lineitem GROUP BY 1, 2)
+        |UNION ALL
+        |SELECT 'documents_text_fp', CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+        |        COUNT(*) AS n
+        |      FROM documents GROUP BY 1)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      graft.operators.Quality.uniqueKeys(Seq(
+          ("orders_pk", Tables.orders(s, d), Seq("o_orderkey")),
+          ("lineitem_pk", Tables.lineitem(s, d),
+            Seq("l_orderkey", "l_linenumber")),
+          ("documents_text_fp",
+            Tables.documents(s, d).select(
+              graft.operators.TextOps.fingerprint(col("text")).as("fp")),
+            Seq("fp"))))
+        .orderBy(col("rule"))
+    },
+
     // DQ-extension: DISTRIBUTION-drift gate (Quality.distributionDrift —
     // VERDICT r8 ask #7): dq1 gates rows, dq2 the schema, dq3 the SHAPE.
     // Two scenarios against the same reference run (even orderkeys):

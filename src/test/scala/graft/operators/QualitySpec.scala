@@ -556,6 +556,20 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out(2L).get - 0.82563) < 0.0001, out(2L).toString)
   }
 
+  test("uniqueKeys: dup keys and extra rows by hand; NULL keys are ordinary values") {
+    val df = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("k")
+    val clean = Seq(10L, 11L).toDF("k")
+    val out = Quality.uniqueKeys(Seq(
+        ("dirty", df, Seq("k")), ("clean", clean, Seq("k"))))
+      .orderBy("rule").collect()
+    val dirty = out(1)
+    assert(dirty.getAs[Long]("n_rows") == 6 && dirty.getAs[Long]("n_keys") == 3)
+    assert(dirty.getAs[Long]("n_dup_keys") == 2)   // key 1 and the NULL key
+    assert(dirty.getAs[Long]("n_extra_rows") == 3) // two extra 1s + one extra NULL
+    assert(out(0).getAs[Long]("n_dup_keys") == 0)
+  }
+
   test("cohensKappa: perfect agreement 1, chance-level 0, degenerate den 0") {
     // group p: perfect predictor (score>0 iff label) -> kappa = 1
     // group c: predictions independent of labels at 50/50 -> kappa = 0
