@@ -807,6 +807,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("u6_cdc_apply: snapshot + changelog fold in ONE key-partitioned window pass") {
+    val p = plan("u6_cdc_apply")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_orderkey#")),
+      s"CDC window must partition on the merge key:\n${specs.mkString("\n")}")
+    // one wide stage: the union shuffles on the key once for the window;
+    // only the final presentation sort adds a (range) exchange
+    val exchanges = p.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("dq5_referential_integrity: key-only anti joins, scalar attaches broadcast") {
+    val p = plan("dq5_referential_integrity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the 1x1 stats x orphans attach is the documented broadcast idiom
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("fts11_fuzzy_search: expansion scoring broadcasts matched terms, no cartesian join") {
+    val p = plan("fts11_fuzzy_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // matched set + dfreq + stats
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k never global-sorts
+  }
+
   test("w11_funnel_steps: summary is a single-row aggregate exploded driver-bounded") {
     val p = plan("w11_funnel_steps")
     assert(!p.contains("CartesianProduct"), p)
