@@ -46,6 +46,28 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
   }
 
+  /** Hourly OHLC bars, batch/stream agnostic (the streaming twin of ts3 /
+    * [[graft.operators.EventOps.ohlcBars]]): open/close via min_by/max_by
+    * on the (ts, event_id) struct key — both are algebraic aggregates, so
+    * they fold incrementally across micro-batches exactly like min/max,
+    * and the watermark retires per-(key, hour) state once event time
+    * passes the bar's end + delay. Same struct-key determinism as the
+    * batch operator: unique event_id ⇒ the picks are replay-stable.
+    */
+  def ohlcStats(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("open"), col("close"), col("low"), col("high"), col("n"))
+  }
+
   /** Stream-static enrichment: join a stream against a (small, periodically
     * reloaded) dimension table — the streaming twin of the BA semi-join
     * (P5/J1). The static side re-resolves per micro-batch, so dimension

@@ -192,6 +192,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlcStats: min_by/max_by fold across micro-batches, equal the ts3 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = ohlcStats(input.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("update").start()
+    try {
+      // batch 1 sets an open/high; batch 2 delivers an EARLIER event in
+      // the same bar (late data within the watermark) that must retake
+      // `open`, plus a later close and a new low
+      val b1 = Seq(
+        Event(10, ts("2024-01-01 10:20:00"), 1, "click", 5.0),
+        Event(11, ts("2024-01-01 10:30:00"), 2, "click", 9.0))
+      val b2 = Seq(
+        Event(12, ts("2024-01-01 10:05:00"), 3, "click", 2.0), // late open
+        Event(13, ts("2024-01-01 10:50:00"), 4, "click", 1.0)) // close + low
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+        .filter($"hour_start" === ts("2024-01-01 10:00:00"))
+        .orderBy($"n".desc).limit(1) // latest update has the full count
+        .select("open", "close", "low", "high", "n")
+        .as[(Double, Double, Double, Double, Long)].collect()(0)
+      assert(streamed == ((2.0, 1.0, 1.0, 9.0, 4L)))
+      // parity with the shared batch operator over the same rows
+      val batch = graft.operators.EventOps.ohlcBars(
+          (b1 ++ b2).toDF(), "event_type", "ts", "event_id", "value")
+        .select("open", "close", "low", "high", "n")
+        .as[(Double, Double, Double, Double, Long)].collect()(0)
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("funnelUpdates: chained state advances across micro-batches, equals the w11 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
