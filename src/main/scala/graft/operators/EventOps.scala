@@ -57,6 +57,43 @@ object EventOps {
         col("streak_end"))
   }
 
+  /** TIME-WEIGHTED average value per key (w13 — the TWAP/sensor-mean
+    * every irregular time series needs: a value that held for 50 minutes
+    * must outweigh one that held for 10 seconds, which the plain mean
+    * gets wrong). Each observation holds until the key's next event
+    * (lead); the last observation contributes no duration (its holding
+    * period is unobserved — the standard open-interval convention).
+    * Weighted sums ride DECIMAL(24,4)·DECIMAL(13,0) products — sized so
+    * the (38,4) product is EXACT on both engines (a (25,4)² product
+    * exceeds 38 digits and each engine rounds the overflow differently —
+    * measured one-ULP drift) — until the ONE final division. Keys with a
+    * single event report NULL (zero observed duration). One per-key
+    * window pass + one aggregate. Bounds: |value| < 10^20, dur < 10^13 µs
+    * (~4 months between a key's consecutive events).
+    */
+  def twap(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valueCol: String): DataFrame = {
+    val decV = org.apache.spark.sql.types.DataTypes.createDecimalType(24, 4)
+    val decD = org.apache.spark.sql.types.DataTypes.createDecimalType(13, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__dur",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__dur")).as("observed_us"),
+        sum(col(valueCol).cast(decV) * col("__dur").cast(decD)).as("__wv"))
+      .select(col(keyCol), col("n_events"),
+        coalesce(col("observed_us"), lit(0L)).as("observed_us"),
+        // round(·, 6): DuckDB converts DECIMAL→DOUBLE in two roundings
+        // (int128→double, then /10^scale) where the JVM's BigDecimal
+        // path rounds once — a measured one-ULP drift the w10 rounding
+        // convention absorbs
+        when(col("observed_us") > 0L,
+          round(col("__wv").cast("double") / col("observed_us").cast("double"),
+            6)).as("twap"))
+  }
+
   /** Hourly OHLC bars per key (ts3): open/close = value at the earliest/
     * latest (ts, tie), low/high/count — ONE map-side-combinable aggregate.
     */

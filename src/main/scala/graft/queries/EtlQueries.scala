@@ -2080,6 +2080,30 @@ object EtlQueries {
         .orderBy(col("event_type"))
     },
 
+    // W-extension: TIME-WEIGHTED average per user (EventOps.twap — the
+    // TWAP/sensor mean): each value holds until the user's next event, so
+    // a reading that held 50 minutes outweighs one that held 10 seconds
+    // (the plain mean's error on irregular series). Weighted sums are
+    // DECIMAL(25,4)·micros products — exact until the one final division;
+    // the last observation's holding period is unobserved and excluded.
+    QueryDef(
+      "w13_twap",
+      """WITH o AS (SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dur
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(coalesce(SUM(dur), 0) AS BIGINT) AS observed_us,
+        |  CASE WHEN coalesce(SUM(dur), 0) > 0 THEN
+        |    round(CAST(SUM(CAST(value AS DECIMAL(24,4)) * CAST(dur AS DECIMAL(13,0)))
+        |      AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+        |  END AS twap
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.EventOps.twap(Tables.events(s, d), "user_id", "ts",
+          "event_id", "value")
+        .orderBy(col("user_id"))
+    },
+
     // W1: tumbling-window aggregate (batch twin of the streaming path;
     // window(ts, '1 hour').start == date_trunc('hour', ts)).
     QueryDef(

@@ -160,4 +160,20 @@ class EtlOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "a2", 3L -> "c2", 5L -> "e", 9L -> "new"))
   }
+
+  test("twap: duration-weighted by hand; single-event key NULL") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // u1: 10 held 60s, 20 held 30s, 99 unobserved -> (600+600)/90 = 13.3...
+    val df = Seq(
+      (1L, ts(0), 1L, 10.0), (2L, ts(60), 1L, 20.0), (3L, ts(90), 1L, 99.0),
+      (4L, ts(0), 2L, 5.0) // single event: no observed duration
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = graft.operators.EventOps.twap(df, "user_id", "ts", "event_id",
+      "value").orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("n_events") == 3)
+    assert(out(0).getAs[Long]("observed_us") == 90000000L)
+    assert(out(0).getAs[Double]("twap") == 13.333333)
+    assert(out(1).getAs[Long]("observed_us") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("twap")))
+  }
 }
