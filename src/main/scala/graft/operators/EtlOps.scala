@@ -200,6 +200,12 @@ object EtlOps {
   def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String],
                seqCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the snapshot is tagged with synthetic op/seq columns — a base that
+    // already carries them would be silently overwritten (and the output
+    // would silently LOSE those columns, since both drop at the end)
+    require(!base.columns.contains(opCol) && !base.columns.contains(seqCol),
+      s"base already has a '$opCol'/'$seqCol' column — rename it or pass " +
+        "different opCol/seqCol names")
     val tagged = base
       .withColumn(opCol, lit("I")).withColumn(seqCol, lit(Long.MinValue))
       .withColumn("_src", lit(0))

@@ -82,7 +82,14 @@ object EventOps {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         sum(col("__dur")).as("observed_us"),
-        sum(col(valueCol).cast(decV) * col("__dur").cast(decD)).as("__wv"))
+        // a NULL value would silently drop its weighted term while its
+        // duration still counts in the denominator — fail loud instead
+        // (the calibrationBins idiom; codegen'd, free on the valid path)
+        sum(when(col(valueCol).isNull,
+            raise_error(lit(s"$valueCol contains NULLs — an unobserved " +
+              "value has no holding-period weight; filter or fill upstream")))
+          .otherwise(col(valueCol).cast(decV)) * col("__dur").cast(decD))
+          .as("__wv"))
       .select(col(keyCol), col("n_events"),
         coalesce(col("observed_us"), lit(0L)).as("observed_us"),
         // round(·, 6): DuckDB converts DECIMAL→DOUBLE in two roundings

@@ -124,7 +124,12 @@ object GraphOps {
     val bidir = cut(pairs.select(col("ida").as("a"), col("idb").as("b"))
       .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b")))
       .distinct(), true)
-    var labeled = cut(seeds.select(col("sid"), col("label"),
+    // a NULL seed label would WIN every majority tie (nulls sort first
+    // under asc) and spread as a real label — fail loud instead
+    var labeled = cut(seeds.select(col("sid"),
+      when(col("label").isNull,
+        raise_error(lit("labelPropagate: seed labels must be non-null")))
+        .otherwise(col("label")).as("label"),
       lit(0L).as("round")), true)
     var r = 1
     while (r <= rounds) {
