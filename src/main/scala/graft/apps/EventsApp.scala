@@ -45,16 +45,19 @@ object EventsApp {
     val funnelCounts = funnel.collect()
       .map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users")).toMap
     val streakMax = streaks.agg(max(col("streak_days"))).head()
-    val skewRow = skew.head()
+    // skewReport's quantile sections yield NO row on an empty log (there
+    // is no median of zero keys) — an empty partition must produce an
+    // all-zero report, not a head() crash
+    val skewRow = skew.collect().headOption
     val stats = Stats(
       input = events.count(),
       badRows = badRows,
-      users = skewRow.getAs[Long]("n_keys"),
+      users = skewRow.map(_.getAs[Long]("n_keys")).getOrElse(0L),
       sessions = sessions.count(),
       viewers = funnelCounts.getOrElse(1L, 0L),
       purchasers = funnelCounts.getOrElse(steps.length.toLong, 0L),
       maxStreakDays = if (streakMax.isNullAt(0)) 0L else streakMax.getLong(0),
-      saltFactor = skewRow.getAs[Long]("salt_factor"))
+      saltFactor = skewRow.map(_.getAs[Long]("salt_factor")).getOrElse(1L))
     (Map("expectations" -> expectations, "sessions" -> sessions,
       "funnel" -> funnel, "streaks" -> streaks, "ohlc_bars" -> bars,
       "skew" -> skew), stats)

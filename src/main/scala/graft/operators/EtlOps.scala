@@ -200,16 +200,31 @@ object EtlOps {
   def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String],
                seqCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the snapshot is tagged with synthetic op/seq columns — a base that
-    // already carries them would be silently overwritten (and the output
-    // would silently LOSE those columns, since both drop at the end)
-    require(!base.columns.contains(opCol) && !base.columns.contains(seqCol),
-      s"base already has a '$opCol'/'$seqCol' column — rename it or pass " +
-        "different opCol/seqCol names")
+    // the snapshot is tagged with synthetic op/seq/_src/_rn columns — a
+    // base that already carries any of them would be silently overwritten
+    // (and the output would silently LOSE them, since all drop at the end)
+    val reserved = Seq(opCol, seqCol, "_src", "_rn")
+    val clash = base.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"base already has column(s) ${clash.mkString(", ")} — rename them " +
+        "or pass different opCol/seqCol names")
+    // fail loud on malformed changelog rows: a NULL op would win its
+    // window then silently DELETE the key (NULL <> 'D' filters it out);
+    // a NULL seq would sort below even the base snapshot (desc = NULLS
+    // LAST) and be silently ignored
+    val checked = changes
+      .withColumn(opCol, when(col(opCol).isNull,
+          raise_error(lit(s"cdcApply: $opCol contains NULLs — a change " +
+            "without an op code cannot be applied")))
+        .otherwise(col(opCol)))
+      .withColumn(seqCol, when(col(seqCol).isNull,
+          raise_error(lit(s"cdcApply: $seqCol contains NULLs — an " +
+            "unordered change cannot be merged")))
+        .otherwise(col(seqCol)))
     val tagged = base
       .withColumn(opCol, lit("I")).withColumn(seqCol, lit(Long.MinValue))
       .withColumn("_src", lit(0))
-      .unionByName(changes.withColumn("_src", lit(1)))
+      .unionByName(checked.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col("_src").desc)
     tagged.withColumn("_rn", row_number().over(w))

@@ -659,15 +659,17 @@ object Quality {
       return empty
     }
     // per-variable bucket layout + broadcast base ranks, both off the one
-    // checkpoint cut (one materialization, four readers)
+    // checkpoint cut; BOTH variables' min/max ride ONE combined aggregate
+    // (each extra driver action is a full pass over the checkpoint)
+    val mm = s.agg(min(col("__x")), max(col("__x")),
+      min(col("__y")), max(col("__y"))).head()
     def basesFor(valCol: String, kbCol: String, baseCol: String,
-                 errName: String): (DataFrame, Column) = {
-      val mm = s.agg(min(col(valCol)), max(col(valCol))).head()
-      if (mm.isNullAt(0))
+                 errName: String, mmOffset: Int): (DataFrame, Column) = {
+      if (mm.isNullAt(mmOffset))
         throw new IllegalArgumentException(
           s"$errName contains NULLs — an unranked row has no rank; " +
             "filter or score upstream")
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (lo, hi) = (mm.getLong(mmOffset), mm.getLong(mmOffset + 1))
       val width = graft.core.BucketMath.widthFor(lo, hi, nBuckets)
       // PARTIAL nulls fail loud in-kernel (the calibrationBins idiom —
       // raise_error is codegen'd and free on the valid path)
@@ -700,8 +702,8 @@ object Quality {
         baseSchema)
       (baseDf, kb)
     }
-    val (bxDf, kbx) = basesFor("__x", "__kbx", "__bx", xCol)
-    val (byDf, kby) = basesFor("__y", "__kby", "__by", yCol)
+    val (bxDf, kbx) = basesFor("__x", "__kbx", "__bx", xCol, 0)
+    val (byDf, kby) = basesFor("__y", "__kby", "__by", yCol, 2)
     val wx = Window.partitionBy(col("__g"), col("__kbx"))
       .orderBy(col("__x"), col("__id"))
     val wy = Window.partitionBy(col("__g"), col("__kby"))

@@ -69,6 +69,8 @@ object Salting {
     * (exact order statistics via the two-level bucket walk, never a
     * global sort of the count table); hot key ties break to the smallest
     * key. Run it BEFORE a 100 TB join, not after the straggler.
+    * EMPTY input yields an EMPTY frame (a zero-key log has no median to
+    * report) — callers treat no-row as "nothing to diagnose".
     */
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     val counts = graft.core.Storage.cut(

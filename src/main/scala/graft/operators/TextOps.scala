@@ -582,25 +582,6 @@ object TextOps {
       .limit(k)
   }
 
-  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty,
-    * SIGIR 2001) — the standard language-model alternative to BM25:
-    * score(q, d) = Σ_t ln((tf(t,d) + μ·p(t|C)) / (dl(d) + μ)) with
-    * p(t|C) = cf(t)/|C|. EXACT integers end to end: per (doc, term) the
-    * partial is lnMicro(tf·|C| + μ·cf, dl + μ) and the per-doc score
-    * subtracts one lnMicro(|C|, 1) per kept term — the decomposition of
-    * ln(x/(y·|C|)) the oracle replays VERBATIM, so ranking hash-checks on
-    * any engine with zero float drift. Query terms absent from the whole
-    * corpus (cf = 0) drop up front (their smoothed probability is 0, the
-    * standard convention); every doc scores every kept term — a missing
-    * term still contributes its background probability, which is what
-    * makes Dirichlet a length-aware ranker. Rank (score desc, id asc),
-    * top-k.
-    *
-    * Scale shape: dl and tf come from ONE token-scan aggregate; cf is a
-    * ≤|terms|-row broadcast and |C| a one-row broadcast. Overflow bound:
-    * tf·|C| must fit a signed long — corpus token counts to ~10^15 at
-    * realistic per-doc tf; beyond that, compute the stat per shard.
-    */
   /** Query-likelihood ranking with JELINEK-MERCER smoothing (Zhai &
     * Lafferty, SIGIR 2001 — the fixed-interpolation sibling of
     * [[qlDirichletRank]]; JM favors verbose queries, Dirichlet short
@@ -624,7 +605,10 @@ object TextOps {
     val ln = graft.plans.LnFpFunctions.lnMicro _
     val toks = df.select(col(idCol).as("did"),
       explode(words(col(textCol))).as("tok"))
-    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    // empty tokens (repeated-space split artifacts) stay out of dl and
+    // |C| — the oracle's len(tok) > 0; an all-empty doc has no length
+    val dl = toks.filter(length(col("tok")) > 0)
+      .groupBy(col("did")).agg(count(lit(1)).as("dl"))
     val ctot = dl.agg(sum(col("dl")).as("c"))
     val cf = toks.filter(col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
@@ -643,6 +627,27 @@ object TextOps {
       .limit(k)
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty,
+    * SIGIR 2001) — the standard language-model alternative to BM25:
+    * score(q, d) = Σ_t ln((tf(t,d) + μ·p(t|C)) / (dl(d) + μ)) with
+    * p(t|C) = cf(t)/|C|. EXACT integers end to end: per (doc, term) the
+    * partial is lnMicro(tf·|C| + μ·cf, dl + μ) and the per-doc score
+    * subtracts one lnMicro(|C|, 1) per kept term — the decomposition of
+    * ln(x/(y·|C|)) the oracle replays VERBATIM, so ranking hash-checks on
+    * any engine with zero float drift. Query terms absent from the whole
+    * corpus (cf = 0) drop up front (their smoothed probability is 0, the
+    * standard convention); every doc scores every kept term — a missing
+    * term still contributes its background probability, which is what
+    * makes Dirichlet a length-aware ranker. Rank (score desc, id asc),
+    * top-k.
+    *
+    * Scale shape: dl and tf come from ONE token-scan aggregate; cf is a
+    * ≤|terms|-row broadcast and |C| a one-row broadcast. Overflow bound:
+    * tf·|C| must fit a signed long — corpus token counts to ~10^15 at
+    * realistic per-doc tf; beyond that, compute the stat per shard.
+    * Empty tokens (split artifacts of repeated spaces) are excluded from
+    * dl and |C| — the oracle's `len(tok) > 0` convention.
+    */
   def qlDirichletRank(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, terms: Seq[String], k: Int,
                       mu: Long = 2000L): org.apache.spark.sql.DataFrame = {
@@ -651,7 +656,10 @@ object TextOps {
     val ln = graft.plans.LnFpFunctions.lnMicro _
     val toks = df.select(col(idCol).as("did"),
       explode(words(col(textCol))).as("tok"))
-    val dl = toks.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    // empty tokens (repeated-space split artifacts) stay out of dl and
+    // |C| — the oracle's len(tok) > 0; an all-empty doc has no length
+    val dl = toks.filter(length(col("tok")) > 0)
+      .groupBy(col("did")).agg(count(lit(1)).as("dl"))
     val ctot = dl.agg(sum(col("dl")).as("c"))
     val cf = toks.filter(col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
@@ -982,8 +990,9 @@ object TextOps {
     * so the candidate set is (anchor × per-term next-hit), all integers,
     * engine-reproducible. Ties break to the earliest start.
     *
-    * Returns (did, span, start) for documents containing every term,
-    * ordered best-first (span asc, did). Scale shape: the snippets
+    * Returns (did, span, start) for documents containing every term —
+    * UNORDERED, like every operator here; rank best-first with
+    * (span asc, did) as the fts9 query does. Scale shape: the snippets
     * posture — postings keep only query-term hits in-scan (text never
     * shuffles, 16-term cap), the anchor×hit join is per-document and
     * bounded by hits², the per-doc argmin plans as WindowGroupLimit.
@@ -1697,11 +1706,17 @@ object TextOps {
       .orderBy(col("score_fp").desc, col("lang").asc)
     val ranked = sc.withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= 2)
-    val t1 = ranked.filter(col("__rn") === 1)
-      .select(col("did"), col("lang").as("top_lang"), col("score_fp").as("s1"))
-    val t2 = ranked.filter(col("__rn") === 2)
-      .select(col("did"), col("score_fp").as("s2"))
-    t1.join(t2, Seq("did"), "left")
+    // ONE aggregate collapses rank 1/2 into columns — a t1/t2 self-join
+    // would plan the featurize + model-join + window chain twice (only
+    // the exchange below the window is reusable; the window and join
+    // above it would execute twice at corpus scale)
+    ranked.groupBy(col("did"))
+      .agg(
+        max(when(col("__rn") === 1,
+          struct(col("score_fp"), col("lang")))).as("__t1"),
+        max(when(col("__rn") === 2, col("score_fp"))).as("s2"))
+      .select(col("did"), col("__t1.lang").as("top_lang"),
+        col("__t1.score_fp").as("s1"), col("s2"))
       .select(col("did"),
         // NULL margin (no runner-up) falls to the otherwise branch
         when(col("s1") - col("s2") >= minMarginMicro, col("top_lang"))
