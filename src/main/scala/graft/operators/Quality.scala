@@ -835,6 +835,50 @@ object Quality {
         (lit(1.0) + z2 / nd))
   }
 
+  /** REGRESSION eval metrics per group — MAE, RMSE and R² for a value
+    * predictor (the eval family's regression counterpart to the
+    * classification suite e7/e10/e15). Determinism: the per-row error
+    * terms |y−ŷ|, (y−ŷ)² and (y−ȳ)² are doubles from one fixed IEEE
+    * expression each, CAST to DECIMAL(25,6) PER ROW (one rounding) and
+    * summed exactly — a raw double sum would be shuffle-order-dependent.
+    * ȳ is the group's exact-decimal-sum mean (one division). Finals are
+    * one division (+ sqrt) each under the round-6 convention; R² is NULL
+    * when SST = 0 (a constant group has no variance to explain). NULL
+    * y/ŷ fails loud — a silently skipped error term skews every metric.
+    * Two group-keyed aggregates + one broadcast mean join; map-side
+    * combinable at any scale.
+    */
+  def regressionMetrics(scored: DataFrame, groupCol: String, yCol: String,
+                        yhatCol: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)
+    val dec4 = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 4)
+    def checked(c: String) = when(col(c).isNull,
+      raise_error(lit(s"$c contains NULLs — an unobserved value has no " +
+        "error term; filter upstream")))
+      .otherwise(col(c).cast("double"))
+    val base = graft.core.Storage.cut(
+      scored.select(col(groupCol), checked(yCol).as("__y"),
+        checked(yhatCol).as("__p")),
+      eager = true)
+    val means = base.groupBy(col(groupCol))
+      .agg((sum(col("__y").cast(dec4)).cast("double") / count(lit(1)))
+        .as("__ybar"))
+    base.join(broadcast(means), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("__y") - col("__p")).cast(dec6)).as("__sae"),
+        sum(((col("__y") - col("__p")) * (col("__y") - col("__p")))
+          .cast(dec6)).as("__sse"),
+        sum(((col("__y") - col("__ybar")) * (col("__y") - col("__ybar")))
+          .cast(dec6)).as("__sst"))
+      .select(col(groupCol), col("n"),
+        round(col("__sae").cast("double") / col("n"), 6).as("mae"),
+        round(sqrt(col("__sse").cast("double") / col("n")), 6).as("rmse"),
+        when(col("__sst") > 0,
+          round(lit(1.0) - col("__sse").cast("double") /
+            col("__sst").cast("double"), 6)).as("r2"))
+  }
+
   /** COHEN'S KAPPA per group — chance-corrected agreement between the
     * model's native-threshold predictions and the labels (Cohen 1960):
     * κ = (p_o − p_e)/(1 − p_e), shipped as the EXACT integer fraction

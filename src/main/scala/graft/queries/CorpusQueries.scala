@@ -3743,6 +3743,47 @@ object CorpusQueries {
         .orderBy(col("lang"))
     },
 
+    // REGRESSION eval metrics (Quality.regressionMetrics): a per-type
+    // mean-value predictor trained on even event_ids, evaluated on odd —
+    // MAE/RMSE/R² per event_type with per-row DECIMAL(25,6) error terms
+    // (exact order-free sums), one division each under round-6. The eval
+    // family's regression counterpart to e7/e10/e15.
+    QueryDef(
+      "e16_regression_metrics",
+      """WITH tr AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS yhat
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |ev AS (SELECT e.event_type, e.value AS y, tr.yhat
+        |  FROM events e JOIN tr USING (event_type) WHERE event_id % 2 = 1),
+        |mb AS (SELECT event_type,
+        |    CAST(SUM(CAST(y AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS ybar
+        |  FROM ev GROUP BY 1),
+        |t AS (SELECT ev.event_type,
+        |    CAST(abs(y - yhat) AS DECIMAL(25,6)) AS ae,
+        |    CAST((y - yhat) * (y - yhat) AS DECIMAL(25,6)) AS se,
+        |    CAST((y - ybar) * (y - ybar) AS DECIMAL(25,6)) AS st
+        |  FROM ev JOIN mb USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  round(sqrt(CAST(SUM(se) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+        |  CASE WHEN SUM(st) > 0 THEN
+        |    round(CAST(1 AS DOUBLE) - CAST(SUM(se) AS DOUBLE)
+        |      / CAST(SUM(st) AS DOUBLE), 6) END AS r2
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dec4 = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 4)
+      val train = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg((sum(col("value").cast(dec4)).cast("double") / count(lit(1)))
+          .as("yhat"))
+      graft.operators.Quality.regressionMetrics(
+          ev.filter(col("event_id") % 2 === 1)
+            .join(broadcast(train), Seq("event_type"))
+            .select(col("event_type"), col("value"), col("yhat")),
+          "event_type", "value", "yhat")
+        .orderBy(col("event_type"))
+    },
+
     // COHEN'S KAPPA per language (Quality.cohensKappa — chance-corrected
     // agreement over e10's confusion counts): κ as the exact integer
     // fraction (N·(tp+tn) − Σmarginal-products) / (N² − Σ...) in the

@@ -570,6 +570,24 @@ class QualitySpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_dup_keys") == 0)
   }
 
+  test("regressionMetrics: hand MAE/RMSE/R2; constant group R2 NULL; null fails loud") {
+    // g: y = (1, 3), yhat = (2, 2): ae = (1,1) -> mae 1; se = (1,1) ->
+    // rmse 1; ybar = 2, sst = (1+1) = 2, r2 = 1 - 2/2 = 0
+    // c: constant y -> sst 0 -> r2 NULL
+    val df = Seq(("g", 1.0, 2.0), ("g", 3.0, 2.0),
+      ("c", 5.0, 4.0), ("c", 5.0, 6.0)).toDF("g", "y", "p")
+    val out = Quality.regressionMetrics(df, "g", "y", "p")
+      .orderBy("g").collect()
+    val c = out(0); val g = out(1)
+    assert(g.getAs[Double]("mae") == 1.0 && g.getAs[Double]("rmse") == 1.0)
+    assert(g.getAs[Double]("r2") == 0.0)
+    assert(c.getAs[Double]("mae") == 1.0 && c.isNullAt(c.fieldIndex("r2")))
+    val bad = Seq(("g", Some(1.0), None: Option[Double])).toDF("g", "y", "p")
+    intercept[Exception] {
+      Quality.regressionMetrics(bad, "g", "y", "p").collect()
+    }
+  }
+
   test("cohensKappa: perfect agreement 1, chance-level 0, degenerate den 0") {
     // group p: perfect predictor (score>0 iff label) -> kappa = 1
     // group c: predictions independent of labels at 50/50 -> kappa = 0
