@@ -106,4 +106,35 @@ object HeavyHitters {
       .select(col("window_start"), col("value"), col("freq"), col("rank"),
         col("n_candidates"), col("lossless"))
   }
+
+  /** TRENDING terms — the "top movers" monitor beside [[topTerms]]'s
+    * static ranking: the k terms whose corpus SHARE grew most from
+    * snapshot `before` to snapshot `after`, ranked by the EXACT
+    * cross-multiplied growth c2·N1 − c1·N2 (= (c2/N2 − c1/N1)·N1·N2 —
+    * no float ratios, and a term new in `after` needs no divide-by-zero
+    * special case). Products ride DECIMAL(38,0) (c·N overflows a long at
+    * ~10^10·10^9) and cast back to long for output. Two map-side token
+    * count aggregates, a two-long broadcast, top-k via
+    * TakeOrderedAndProject; ties break lexicographically.
+    */
+  def trendingTerms(before: DataFrame, after: DataFrame, textCol: String,
+                    k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def toks(df: DataFrame, half: Int) = df
+      .select(explode(split(col(textCol), " ")).as("tok"),
+        lit(half).as("__h"))
+      .filter(length(col("tok")) > 0)
+    val c = toks(before, 0).unionByName(toks(after, 1))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("c2"))
+    val n = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    c.crossJoin(broadcast(n))
+      .select(col("tok"), col("c1"), col("c2"),
+        (col("c2").cast(dec) * col("n1").cast(dec) -
+          col("c1").cast(dec) * col("n2").cast(dec)).cast("long")
+          .as("growth_x"))
+      .orderBy(col("growth_x").desc, col("tok").asc)
+      .limit(k)
+  }
 }

@@ -4112,6 +4112,35 @@ object CorpusQueries {
         .orderBy(col("window_start"), col("rank"))
     },
 
+    // TRENDING terms (HeavyHitters.trendingTerms — the "top movers"
+    // monitor beside hh1's static top terms): terms whose share GREW most
+    // between two corpus snapshots (doc_id halves here; ingest batches in
+    // production), ranked by the EXACT cross-multiplied growth
+    // c2·N1 − c1·N2 (share delta times N1·N2 — no float ratios, no
+    // divide-by-zero on new terms). Products ride DECIMAL(38,0); two
+    // map-side count aggregates + a 2-long broadcast, top-25 via
+    // TakeOrderedAndProject.
+    QueryDef(
+      "hh4_trending_terms",
+      """WITH toks AS (SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |c AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT tok, c1, c2,
+        |  CAST(CAST(c2 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n2 AS BIGINT)
+        |    AS growth_x
+        |FROM c, n
+        |ORDER BY growth_x DESC, tok LIMIT 25""".stripMargin) { (s, d) =>
+      graft.operators.HeavyHitters.trendingTerms(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+        "text", k = 25)
+    },
+
     // == multimodal ==
 
     // Real container bytes (PNG/BMP/GIF headers built by encodeMedia) parsed

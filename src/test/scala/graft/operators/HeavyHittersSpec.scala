@@ -65,4 +65,14 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hour0.map(_._2).toSet == Set("a", "b")) // still exact below k
     assert(hour1.nonEmpty && hour1.forall { case (_, _, n, ok) => n == 4 && !ok })
   }
+
+  test("trendingTerms: growth criterion by hand, new term needs no special case") {
+    // before: 3 'a', 1 'b' (N1=4); after: 1 'a', 2 'b', 1 'c' (N2=4)
+    // growth_x: a: 1*4-3*4 = -8; b: 2*4-1*4 = 4; c (new): 1*4-0*4 = 4
+    val before = Seq("a a a b").toDF("text")
+    val after = Seq("a b b c").toDF("text")
+    val out = HeavyHitters.trendingTerms(before, after, "text", 10)
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("growth_x")))
+    assert(out.toSeq == Seq(("b", 4L), ("c", 4L), ("a", -8L))) // tie b < c
+  }
 }
