@@ -839,6 +839,39 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // A-extension: UNPIVOT/melt (the inverse of a2/a3's pivot — the
+    // wide→long reshape every metrics pipeline needs before a generic
+    // per-measure aggregate): four lineitem measures melt to
+    // (measure, value) rows via Spark's native unpivot (ONE Expand node —
+    // map-side replication, no union-of-scans), then an exact-decimal
+    // rollup per (returnflag, measure). The oracle spells the same melt
+    // as a UNION ALL — different plan, same rows.
+    QueryDef(
+      "a18_unpivot_measures",
+      """SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure,
+        |      CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        |    FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+        |    FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"), ExactAgg.sumExact(col("value")).as("sum_value"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
     // SK-extension: skew DIAGNOSIS report (Salting.skewReport) — the
     // measurement that decides whether sk1/sk2 (or AQE alone) are needed:
     // per-key count extremes, exact lower-median and p99 counts (two-level

@@ -835,6 +835,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // top-k never global-sorts
   }
 
+  test("a18_unpivot_measures: melt is ONE Expand over ONE scan, not a union of scans") {
+    val p = plan("a18_unpivot_measures")
+    assert(p.contains("Expand"), p)
+    val scans = p.linesIterator.count(_.trim.startsWith("Location: InMemoryFileIndex"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
+
   test("w11_funnel_steps: summary is a single-row aggregate exploded driver-bounded") {
     val p = plan("w11_funnel_steps")
     assert(!p.contains("CartesianProduct"), p)
