@@ -839,6 +839,43 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // W-extension: PARETO / contribution report — each category's share
+    // of the total and the running cumulative share in descending order
+    // (the 80/20 readout every cost/revenue dashboard ships). Exact
+    // decimal sums; shares are single divisions under round-6. The
+    // cumulative window is GLOBAL but CATEGORY-bounded (it runs over the
+    // per-type aggregate, a handful of rows — the fts3 documented-bounded
+    // window class, not a row-sized sort).
+    QueryDef(
+      "w14_pareto_share",
+      """WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(25,4))) AS svd FROM events GROUP BY 1),
+        |t AS (SELECT SUM(svd) AS tot FROM g),
+        |c AS (SELECT event_type, n, svd,
+        |    SUM(svd) OVER (ORDER BY svd DESC, event_type
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g)
+        |SELECT event_type, n, CAST(svd AS DOUBLE) AS sum_value,
+        |  round(CAST(svd AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM c, t ORDER BY sum_value DESC, event_type""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 4)
+      val g = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("svd"))
+      val tot = g.agg(sum(col("svd")).as("tot"))
+      val w = Window.orderBy(col("svd").desc, col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum(col("svd")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"),
+          col("svd").cast("double").as("sum_value"),
+          round(col("svd").cast("double") / col("tot").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("tot").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy(col("sum_value").desc, col("event_type"))
+    },
+
     // A-extension: UNPIVOT/melt (the inverse of a2/a3's pivot — the
     // wide→long reshape every metrics pipeline needs before a generic
     // per-measure aggregate): four lineitem measures melt to
