@@ -29,14 +29,42 @@ object Funnel {
   def userSteps(events: DataFrame, userCol: String, tsCol: String,
                 typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val priorSchema = org.apache.spark.sql.types.StructType(
+      events.schema(userCol) +: steps.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"t$i",
+          events.schema(tsCol).dataType)))
+    val emptyPriors = events.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), priorSchema)
+    advance(events, emptyPriors, userCol, tsCol, typeCol, steps)
+  }
+
+  /** INCREMENTAL chain advance — [[userSteps]] resumed from prior state:
+    * `priors` carries each user's already-achieved chain (`userCol`,
+    * `t0..t{n-1}`, NULL beyond the reached step); the result is the
+    * updated chain for USERS PRESENT IN `events` (untouched users keep
+    * their prior rows wherever they are stored). Exact against the
+    * full-history chain when event time does not regress across calls —
+    * the [[graft.streaming.EventStreams.funnelUpdates]] replay posture:
+    * an unset prior `ti` proves no qualifying event existed in earlier
+    * batches, so coalesce(prior, this-batch minimum) IS the global
+    * chained minimum. ONE user-keyed exchange, same as the from-scratch
+    * path (`userSteps` itself delegates here with an empty prior).
+    */
+  def advance(events: DataFrame, priors: DataFrame, userCol: String,
+              tsCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy(col(userCol))
     val base = events.select(col(userCol), col(tsCol).as("__ts"),
       col(typeCol).as("__t"))
+      .join(priors.select(col(userCol) +:
+        steps.indices.map(i => col(s"t$i").as(s"__p$i")): _*),
+        Seq(userCol), "left")
     val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
       val cond =
         if (i == 0) col("__t") === lit(step)
         else col("__t") === lit(step) && col("__ts") > col(s"t${i - 1}")
-      df.withColumn(s"t$i", min(when(cond, col("__ts"))).over(w))
+      df.withColumn(s"t$i",
+        coalesce(col(s"__p$i"), min(when(cond, col("__ts"))).over(w)))
     }
     staged.groupBy(col(userCol))
       .agg(min(col("t0")).as("t0"),

@@ -5806,6 +5806,55 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // EXACTLY-ONCE persisted FUNNEL ingestion (EventStreams.
+    // funnelIngestBatch — the ds-series contract on per-user funnel
+    // state): two event-time-split micro-batches advance the chains via
+    // Funnel.advance (expression tree SHARED with w11) from the committed
+    // prior and land by partition-replace on ingest_batch; batch 1 is
+    // REPLAYED (injected retry) — identical rows rewrite their own
+    // partition. Serve = latest committed row per user; the oracle is
+    // w11's per-user chain over ALL events, so the hash match proves the
+    // storage round-trip, the prior resume AND the retry changed nothing.
+    QueryDef(
+      "ds10_funnel_ingest",
+      """WITH u1 AS (SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |u2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM u1),
+        |u3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM u2),
+        |per AS (SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+        |  FROM u3 GROUP BY user_id)
+        |SELECT user_id, t0, t1, t2,
+        |  CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS steps_reached
+        |FROM per ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      val ev = Tables.events(s, d)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_funnel_ds10_" + app
+      val steps = Seq("view", "click", "purchase")
+      val cut = 1704326400000000L // 2024-01-04T00:00Z in epoch micros
+      EventStreams.funnelIngestBatch(
+        ev.filter(expr(s"unix_micros(ts) < $cut")), 0L, path, steps)
+      EventStreams.funnelIngestBatch(
+        ev.filter(expr(s"unix_micros(ts) >= $cut")), 1L, path, steps)
+      // injected retry: replay batch 1 after its write already landed
+      graft.core.Timing.overhead {
+        EventStreams.funnelIngestBatch(
+          ev.filter(expr(s"unix_micros(ts) >= $cut")), 1L, path, steps)
+      }
+      EventStreams.committedFunnelState(s, path, Long.MaxValue, steps)
+        .select(col("user_id"), col("t0"), col("t1"), col("t2"),
+          col("steps_reached"))
+        .orderBy(col("user_id"))
+    },
+
     // Temperature-flattened source mixing (Sampling.temperatureSample,
     // alpha = 0.5, target half the corpus): the sqrt weights are
     // micro-fixed-point so the weight total is an exact integer sum on both

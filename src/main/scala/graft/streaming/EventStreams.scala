@@ -677,6 +677,71 @@ object EventStreams {
       }
   }
 
+  /** EXACTLY-ONCE persisted funnel ingestion — the ds-series contract
+    * applied to per-user funnel state: each micro-batch advances the
+    * chains of its TOUCHED users from the committed prior state
+    * ([[graft.operators.Funnel.advance]] — expression tree shared with
+    * the oracle-checked w11 path) and lands the updated rows by
+    * partition-replace on `ingest_batch`. A retried batch reads the SAME
+    * committed prefix (`ingest_batch < batchId`) and rewrites its own
+    * partition with identical rows — replay changes nothing. Serve =
+    * latest committed row per user. Batches must not regress event time
+    * (the [[funnelUpdates]] posture), which Spark's source ordering
+    * provides.
+    */
+  def funnelIngest(stream: DataFrame, statePath: String, steps: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      funnelIngestBatch(batch, batchId, statePath, steps)
+    }
+
+  /** One funnel micro-batch — public so retry semantics are testable
+    * without faulting a live query (the noveltyIngestBatch convention).
+    */
+  def funnelIngestBatch(batch: DataFrame, batchId: Long, statePath: String,
+                        steps: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    val prior = committedFunnelState(spark, statePath, batchId, steps)
+    val updated = graft.operators.Funnel.advance(
+      b, prior, "user_id", "ts", "event_type", steps)
+    val reached = steps.indices
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    graft.sources.Sinks.overwriteRunPartition(
+      updated.withColumn("steps_reached", reached)
+        .withColumn("ingest_batch", lit(batchId))
+        .localCheckpoint(false),
+      statePath, "ingest_batch")
+  }
+
+  /** Latest committed per-user chain among batches `< uptoBatch`
+    * (`Long.MaxValue` = everything committed — the serve read). A missing
+    * state table is an empty prior (batch 0 starts from scratch).
+    */
+  def committedFunnelState(spark: SparkSession, statePath: String,
+                           uptoBatch: Long, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val cols = Seq("user_id") ++ steps.indices.map(i => s"t$i") ++
+      Seq("steps_reached")
+    scala.util.Try(spark.read.parquet(statePath)).toOption match {
+      case None =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(StructField("user_id", LongType) +:
+            (steps.indices.map(i => StructField(s"t$i", TimestampType)) :+
+              StructField("steps_reached", LongType))))
+      case Some(df) =>
+        df.filter(col("ingest_batch") < uptoBatch)
+          .groupBy(col("user_id"))
+          .agg(max_by(struct(cols.filter(_ != "user_id").map(col): _*),
+            col("ingest_batch")).as("__s"))
+          .select(col("user_id") +:
+            cols.filter(_ != "user_id").map(c => col(s"__s.$c").as(c)): _*)
+    }
+  }
+
   case class FunnelState(times: List[Long])
   case class FunnelUpdate(user_id: Long, steps_reached: Int,
                           reached_ts: java.sql.Timestamp)

@@ -225,6 +225,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelIngestBatch: prior resume across batches; retry rewrites identical state") {
+    val path = java.nio.file.Files.createTempDirectory("graft_funnel")
+      .toString + "/state"
+    val steps = Seq("view", "click", "purchase")
+    val b0 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(10, ts("2024-01-01 10:00:00"), 2, "view", 1.0)).toDF()
+    val b1 = Seq(
+      Event(3, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0),
+      Event(11, ts("2024-01-01 10:31:00"), 2, "click", 1.0)).toDF()
+    funnelIngestBatch(b0, 0L, path, steps)
+    funnelIngestBatch(b1, 1L, path, steps)
+    val before = committedFunnelState(spark, path, Long.MaxValue, steps)
+      .collect().map(_.toString).sorted.toSeq
+    funnelIngestBatch(b1, 1L, path, steps) // injected retry
+    val after = committedFunnelState(spark, path, Long.MaxValue, steps)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before == after, "retry must rewrite identical state")
+    // u1 completes across batches (purchase resumes from the committed
+    // chain); u2 reaches click in batch 1
+    val served = committedFunnelState(spark, path, Long.MaxValue, steps)
+      .select("user_id", "steps_reached").as[(Long, Long)].collect().toMap
+    assert(served == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("funnelUpdates: chained state advances across micro-batches, equals the w11 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
