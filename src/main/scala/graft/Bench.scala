@@ -170,6 +170,35 @@ object Bench {
   private[graft] def clampHwScale(raw: Double): Double =
     math.max(1.0 / HwScaleCap, math.min(HwScaleCap, raw))
 
+  /** Comparability band on the retry-vs-start calibration ratio: OUTSIDE
+    * [1/1.3, 1.3] in EITHER direction the two probe runs measured different
+    * silicon states, so the start-of-run probe that scaled the priors was
+    * not steady and the flags it produced are not evidence. The r16 close
+    * shipped five unqualified flags at `retry_calibration: 0.51` — the
+    * START probe was ~2x slower than the retry probe (a start-of-run
+    * burst), which the old `> 1.3`-only warning never caught: a ratio far
+    * BELOW 1 is equally strong evidence the measurements are not
+    * comparable.
+    */
+  private[graft] val CalibrationBand = 1.3
+  private[graft] def calibrationComparable(ratio: Double): Boolean =
+    ratio >= 1.0 / CalibrationBand && ratio <= CalibrationBand
+
+  /** Split time-gate flags by calibration evidence: flags measured under a
+    * non-comparable probe pair (ratio outside the band, either direction)
+    * ship under `regressions_suspect` — annotated, never unqualified —
+    * while flags whose probes agree ship as firm `regressions`. No retry
+    * probe (no suspects ever arose) means any flags are firm by
+    * construction (they can only be empty).
+    */
+  private[graft] def splitByCalibrationEvidence(
+      flags: Seq[(String, Double)], retryCalibration: Option[Double])
+      : (Seq[(String, Double)], Seq[(String, Double)]) =
+    retryCalibration match {
+      case Some(r) if !calibrationComparable(r) => (Seq.empty, flags)
+      case _ => (flags, Seq.empty)
+    }
+
   /** The regression gate, shared by the time and shuffle checks: queries
     * whose metric grew beyond `factor` x its baseline value, where the
     * LARGER of the two values clears `minAbs` (below it the drift is
@@ -402,55 +431,84 @@ object Bench {
     // re-measuring. A steal burst that produced the flags also degrades the
     // probe; the artifact records the ratio so a flagged multiple carries
     // its own exoneration (or lack of one) instead of needing a next-round
-    // forensic (the r13 ds4 lesson).
-    val retryCalibration: Option[Double] =
-      if (suspects.isEmpty) None
-      else {
-        val c = calibrationProbe(spark, cpus.toInt)
-        val ratio = c / math.max(calibrationSec, 1e-9)
-        if (ratio > 1.3) System.err.println(
-          f"[bench] HOST NOISE at retry: calibration $calibrationSec%.2f s -> " +
-            f"$c%.2f s ($ratio%.2fx) — flags below are likely steal-burst")
-        Some(ratio)
-      }
-    if (suspects.nonEmpty) {
-      val byName = runnable.toMap
-      good = good.map {
-        case (name, sec, ok, sh, sp, ovh, gcSec) if suspects(name) =>
-          graft.core.Storage.freeAll(spark, blocking = true)
-          graft.core.Timing.reset()
-          val gc0 = gcSeconds()
-          val t0 = System.nanoTime()
-          val retried =
-            try { Some({ byName(name)(spark, sfDir).count()
-              (System.nanoTime() - t0) / 1e9 }) }
-            catch { case _: Throwable => None }
-          val retriedOvh = graft.core.Timing.overheadSeconds
-          val retriedGc = gcSeconds() - gc0
-          // keep the run with the smaller OPERATOR component — the gate's
-          // metric — and keep its own (sec, ovh, gc) together: min-by-wall
-          // could keep the worse operator measurement when a replay spike
-          // inflated the other run's overhead, and a kept retry must not
-          // carry the discarded run's GC attribution. A FAILED retry keeps
-          // the original tuple whole — pairing the first run's wall time
-          // with a dead retry's overhead would shrink the gate's operator
-          // seconds below either real measurement.
-          retried match {
-            case Some(r) if r - retriedOvh < sec - ovh =>
-              System.err.println(
-                f"[bench] RETRY $name: $sec%.2f s -> $r%.2f s (kept retry by operator component)")
-              (name, r, ok, sh, sp, retriedOvh, retriedGc)
-            case _ => (name, sec, ok, sh, sp, ovh, gcSec)
-          }
-        case r => r
-      }
+    // forensic (the r13 ds4 lesson). The band is two-sided: the r16 close
+    // shipped five unqualified flags at ratio 0.51 (START probe 2x slower
+    // than the retry probe — a start-of-run burst) because the old rule
+    // only looked at > 1.3.
+    def probeRatio(): Double = {
+      val c = calibrationProbe(spark, cpus.toInt)
+      val ratio = c / math.max(calibrationSec, 1e-9)
+      if (!calibrationComparable(ratio)) System.err.println(
+        f"[bench] HOST NOISE at retry: calibration $calibrationSec%.2f s -> " +
+          f"$c%.2f s ($ratio%.2fx, outside [1/$CalibrationBand, $CalibrationBand]) " +
+          "— start-of-run probe and retry probe measured different silicon " +
+          "states; surviving flags ship annotated (regressions_suspect)")
+      ratio
     }
-    val regressions =
+    // one suspect re-measurement pass: keep the run with the smaller
+    // OPERATOR component — the gate's metric — and keep its own
+    // (sec, ovh, gc) together: min-by-wall could keep the worse operator
+    // measurement when a replay spike inflated the other run's overhead,
+    // and a kept retry must not carry the discarded run's GC attribution.
+    // A FAILED retry keeps the original tuple whole — pairing the first
+    // run's wall time with a dead retry's overhead would shrink the gate's
+    // operator seconds below either real measurement.
+    val byName = runnable.toMap
+    def retryPass(rs: Seq[(String, Double, Boolean, Double, Double, Double,
+        Double)], toRetry: Set[String]) = rs.map {
+      case (name, sec, ok, sh, sp, ovh, gcSec) if toRetry(name) =>
+        graft.core.Storage.freeAll(spark, blocking = true)
+        graft.core.Timing.reset()
+        val gc0 = gcSeconds()
+        val t0 = System.nanoTime()
+        val retried =
+          try { Some({ byName(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9 }) }
+          catch { case _: Throwable => None }
+        val retriedOvh = graft.core.Timing.overheadSeconds
+        val retriedGc = gcSeconds() - gc0
+        retried match {
+          case Some(r) if r - retriedOvh < sec - ovh =>
+            System.err.println(
+              f"[bench] RETRY $name: $sec%.2f s -> $r%.2f s (kept retry by operator component)")
+            (name, r, ok, sh, sp, retriedOvh, retriedGc)
+          case _ => (name, sec, ok, sh, sp, ovh, gcSec)
+        }
+      case r => r
+    }
+    var retryCalibration: Option[Double] =
+      if (suspects.isEmpty) None else Some(probeRatio())
+    if (suspects.nonEmpty) good = retryPass(good, suspects)
+    var regressions =
       regressionsAgainst(operatorSec(good), scaledPriorSec, 1.5, 0.5,
         timeMinDelta)
-    regressions.foreach { case (name, ratio) =>
+    // cooldown re-probe + re-retry: flags that survived a retry measured
+    // under a NON-COMPARABLE probe pair are not evidence either way — wait
+    // out the burst, re-probe, re-measure once more. Only if the final
+    // probe pair is ALSO non-comparable do the survivors ship as
+    // regressions_suspect instead of firm regressions.
+    if (regressions.nonEmpty &&
+        retryCalibration.exists(r => !calibrationComparable(r))) {
+      val cooldownMs =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "30000").toLong
+      System.err.println(
+        s"[bench] non-comparable probe pair with surviving flags — " +
+          s"cooling down ${cooldownMs / 1000} s, then re-probe + re-retry")
+      Thread.sleep(cooldownMs)
+      retryCalibration = Some(probeRatio())
+      good = retryPass(good, regressions.map(_._1).toSet)
+      regressions = regressionsAgainst(operatorSec(good), scaledPriorSec,
+        1.5, 0.5, timeMinDelta)
+    }
+    val (firmRegressions, suspectRegressions) =
+      splitByCalibrationEvidence(regressions, retryCalibration)
+    firmRegressions.foreach { case (name, ratio) =>
       System.err.println(
         f"[bench] REGRESSION $name: ${scaledPriorSec(name)}%.2f s -> ${ratio * scaledPriorSec(name)}%.2f s ($ratio%.2fx)")
+    }
+    suspectRegressions.foreach { case (name, ratio) =>
+      System.err.println(
+        f"[bench] SUSPECT (non-comparable probes) $name: ${scaledPriorSec(name)}%.2f s -> ${ratio * scaledPriorSec(name)}%.2f s ($ratio%.2fx)")
     }
     val shuffleRegressions =
       regressionsAgainst(good.map(r => r._1 -> r._4), priorShuffle, 1.5, 1.0)
@@ -498,7 +556,8 @@ object Bench {
         s""""stream_overhead_s":${obj(good.filter(_._6 > 0.005).map(r => r._1 -> r._6))},""" +
         s""""gc_s":${obj(good.filter(_._7 >= 0.5).map(r => r._1 -> r._7))},""" +
         retryCalJson +
-        s""""regressions":${obj(regressions)},""" +
+        s""""regressions":${obj(firmRegressions)},""" +
+        s""""regressions_suspect":${obj(suspectRegressions)},""" +
         s""""shuffle_regressions":${obj(shuffleRegressions)},""" +
         s""""scaling_flags":${obj(scaling)},""" +
         s""""failed":${names(failed)},"skipped":${names(skipped.map(_._1))}}"""

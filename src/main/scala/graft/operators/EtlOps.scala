@@ -221,10 +221,24 @@ object EtlOps {
           raise_error(lit(s"cdcApply: $seqCol contains NULLs — an " +
             "unordered change cannot be merged")))
         .otherwise(col(seqCol)))
+    // fail loud on duplicate (key, seq) pairs: two changelog rows tying on
+    // seq would pick a row_number winner nondeterministically — an
+    // after-image vs a delete could silently flip between runs. The count
+    // window runs over the CHANGELOG only (tiny next to the snapshot), so
+    // the extra exchange is bounded by changelog size, never base size.
+    val dupW = Window.partitionBy((keys :+ seqCol).map(col): _*)
+    val dedupChecked = checked
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .withColumn(opCol, when(col("__dup") > 1,
+          raise_error(lit(s"cdcApply: duplicate (${keys.mkString(",")}, " +
+            s"$seqCol) pairs in the changelog — the winner would be " +
+            "nondeterministic; deduplicate or refine the sequence column")))
+        .otherwise(col(opCol)))
+      .drop("__dup")
     val tagged = base
       .withColumn(opCol, lit("I")).withColumn(seqCol, lit(Long.MinValue))
       .withColumn("_src", lit(0))
-      .unionByName(checked.withColumn("_src", lit(1)))
+      .unionByName(dedupChecked.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col("_src").desc)
     tagged.withColumn("_rn", row_number().over(w))

@@ -113,9 +113,13 @@ object HeavyHitters {
     * cross-multiplied growth c2·N1 − c1·N2 (= (c2/N2 − c1/N1)·N1·N2 —
     * no float ratios, and a term new in `after` needs no divide-by-zero
     * special case). Products ride DECIMAL(38,0) (c·N overflows a long at
-    * ~10^10·10^9) and cast back to long for output. Two map-side token
-    * count aggregates, a two-long broadcast, top-k via
-    * TakeOrderedAndProject; ties break lexicographically.
+    * ~10^10·10^9); the RANKING runs on the full decimal and only the
+    * OUTPUT column clamps to [Long.Min, Long.Max] before the long cast —
+    * at extreme shares (|c2·N1 − c1·N2| > 2^63, reachable at the same
+    * documented scales) Spark 4's ANSI cast would otherwise abort the
+    * job mid-rank. Two map-side token count aggregates, a two-long
+    * broadcast, top-k via TakeOrderedAndProject; ties break
+    * lexicographically.
     */
   def trendingTerms(before: DataFrame, after: DataFrame, textCol: String,
                     k: Int): DataFrame = {
@@ -129,12 +133,14 @@ object HeavyHitters {
       .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("__h") === 1, 1L).otherwise(0L)).as("c2"))
     val n = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val gx = col("c2").cast(dec) * col("n1").cast(dec) -
+      col("c1").cast(dec) * col("n2").cast(dec)
     c.crossJoin(broadcast(n))
-      .select(col("tok"), col("c1"), col("c2"),
-        (col("c2").cast(dec) * col("n1").cast(dec) -
-          col("c1").cast(dec) * col("n2").cast(dec)).cast("long")
-          .as("growth_x"))
-      .orderBy(col("growth_x").desc, col("tok").asc)
+      .select(col("tok"), col("c1"), col("c2"), gx.as("__gx"),
+        greatest(least(gx, lit(Long.MaxValue).cast(dec)),
+          lit(Long.MinValue).cast(dec)).cast("long").as("growth_x"))
+      .orderBy(col("__gx").desc, col("tok").asc)
       .limit(k)
+      .drop("__gx")
   }
 }

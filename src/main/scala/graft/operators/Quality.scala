@@ -887,9 +887,14 @@ object Quality {
     * (the rocAuc num/den discipline — accuracy without the base-rate
     * illusion a 95%-negative corpus gives plain accuracy). Products ride
     * DECIMAL(38,0) (N² overflows a long at ~3e9 rows per group) and cast
-    * back to long for output; kappa_den = 0 (degenerate marginals) ships
-    * as-is for the consumer to treat as undefined. One aggregate on top of
-    * [[confusionCounts]] — same shape, map-side combinable.
+    * back to long for output. ABORT BOUND (documented, not clamped — these
+    * are exact rationals and a clamp would silently corrupt kappa):
+    * beyond ~3e9 rows per group the long casts of kappa_num/kappa_den
+    * overflow and Spark 4's ANSI cast fails the job loudly; pre-aggregate
+    * or sample groups past that scale. kappa_den = 0 (degenerate
+    * marginals) ships as-is for the consumer to treat as undefined. One
+    * aggregate on top of [[confusionCounts]] — same shape, map-side
+    * combinable.
     */
   def cohensKappa(scored: DataFrame, groupCol: String, labelCol: String,
                   scoreCol: String): DataFrame = {

@@ -717,15 +717,20 @@ object EventStreams {
   }
 
   /** Latest committed per-user chain among batches `< uptoBatch`
-    * (`Long.MaxValue` = everything committed — the serve read). A missing
-    * state table is an empty prior (batch 0 starts from scratch).
+    * (`Long.MaxValue` = everything committed — the serve read). ONLY a
+    * missing state table is an empty prior (batch 0 starts from scratch);
+    * any other read failure (transient IO, permissions, corrupt footer)
+    * rethrows — silently treating it as empty would recompute touched
+    * users from the current batch alone and COMMIT the regressed chains.
     */
   def committedFunnelState(spark: SparkSession, statePath: String,
                            uptoBatch: Long, steps: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, max_by, struct}
     val cols = Seq("user_id") ++ steps.indices.map(i => s"t$i") ++
       Seq("steps_reached")
-    scala.util.Try(spark.read.parquet(statePath)).toOption match {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(p)) Some(spark.read.parquet(statePath)) else None) match {
       case None =>
         import org.apache.spark.sql.types._
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -745,6 +750,23 @@ object EventStreams {
   case class FunnelState(times: List[Long])
   case class FunnelUpdate(user_id: Long, steps_reached: Int,
                           reached_ts: java.sql.Timestamp)
+
+  /** Full-precision epoch MICROSECONDS of a Timestamp. `getTime` truncates
+    * to milliseconds, which would let two steps in the same millisecond but
+    * distinct microseconds tie under strict-after — diverging from the
+    * batch twin (w11 / Funnel.advance), which compares full TimestampType
+    * microseconds. Events are post-epoch so the sub-second nanos add.
+    */
+  private[streaming] def epochMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private[streaming] def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** STREAMING funnel — the incremental twin of [[graft.operators.Funnel]]
     * (w11): per user the chained strictly-after first-occurrence step
@@ -771,16 +793,18 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var times = state.getOption.map(_.times).getOrElse(Nil)
           val before = times.length
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // Sort key and strict-after comparison in full epoch MICROS —
+          // getTime truncates to millis and would under-advance vs w11.
+          rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
             val j = times.length
             if (j < stepArr.length && e.event_type == stepArr(j) &&
-                (j == 0 || e.ts.getTime > times.last))
-              times = times :+ e.ts.getTime
+                (j == 0 || epochMicros(e.ts) > times.last))
+              times = times :+ epochMicros(e.ts)
           }
           if (times.length > before) {
             state.update(FunnelState(times))
             Iterator.single(FunnelUpdate(userId, times.length,
-              new java.sql.Timestamp(times.last)))
+              microsToTimestamp(times.last)))
           } else Iterator.empty
       }
   }

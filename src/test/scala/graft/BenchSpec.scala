@@ -191,6 +191,31 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.clampHwScale(2.7) == 2.7)
   }
 
+  test("calibration evidence band is two-sided: start probe 2x the retry probe marks flags suspect") {
+    // the r16 close: start-of-run probe 0.68 s, retry probe 0.34 s —
+    // retry_calibration 0.51, i.e. the FIRST calibration was 2x the retry
+    // calibration (a start-of-run burst). The old `> 1.3`-only rule let
+    // five flags ship unqualified; the band must catch BOTH directions.
+    assert(!Bench.calibrationComparable(0.51))
+    assert(!Bench.calibrationComparable(1.54))
+    assert(Bench.calibrationComparable(1.0))
+    assert(Bench.calibrationComparable(0.8))
+    assert(Bench.calibrationComparable(1.29))
+    val flags = Seq("t7" -> 2.78, "sp1" -> 1.54)
+    // non-comparable probes (either direction) -> the artifact carries the
+    // flags under regressions_suspect, and firm regressions stay empty
+    val (firmLow, suspectLow) = Bench.splitByCalibrationEvidence(flags, Some(0.51))
+    assert(firmLow.isEmpty && suspectLow == flags)
+    val (firmHigh, suspectHigh) = Bench.splitByCalibrationEvidence(flags, Some(1.54))
+    assert(firmHigh.isEmpty && suspectHigh == flags)
+    // comparable probes -> flags are firm
+    val (firm, suspect) = Bench.splitByCalibrationEvidence(flags, Some(1.05))
+    assert(firm == flags && suspect.isEmpty)
+    // no retry probe ever ran (no suspects arose) -> flags pass through firm
+    val (firmNone, suspectNone) = Bench.splitByCalibrationEvidence(flags, None)
+    assert(firmNone == flags && suspectNone.isEmpty)
+  }
+
   test("time gate: ratio escape hatch fires past 3x even under minDelta") {
     // 0.3 s -> 1.0 s is 3.3x but delta 0.7 < 0.75 — must still flag
     // (the minDelta guard otherwise makes fast queries unflaggable forever)

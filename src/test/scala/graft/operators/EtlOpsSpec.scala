@@ -161,6 +161,23 @@ class EtlOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "a2", 3L -> "c2", 5L -> "e", 9L -> "new"))
   }
 
+  test("cdcApply fails loud on duplicate (key, seq) pairs — nondeterministic winner") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    // an after-image and a delete tying on seq: row_number would pick one
+    // silently, and the pick could flip between runs
+    val dup = Seq((1L, "a2", 1L, "U"), (1L, "a2", 1L, "D"))
+      .toDF("k", "v", "seq", "op")
+    val e = intercept[Exception] {
+      EtlOps.cdcApply(base, dup, Seq("k"), "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // equal seq on DIFFERENT keys is fine (the window partitions by key+seq)
+    val ok = Seq((1L, "a2", 1L, "U"), (2L, "b", 1L, "I"))
+      .toDF("k", "v", "seq", "op")
+    assert(EtlOps.cdcApply(base, ok, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap == Map(1L -> "a2", 2L -> "b"))
+  }
+
   test("twap: duration-weighted by hand; single-event key NULL") {
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
     // u1: 10 held 60s, 20 held 30s, 99 unobserved -> (600+600)/90 = 13.3...

@@ -297,6 +297,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelUpdates compares full microseconds, not getTime millis (sub-ms steps)") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    def tsMicro(base: String, micros: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ts(base).getTime)
+      t.setNanos(micros * 1000)
+      t
+    }
+    // u1: view and click land in the SAME millisecond but distinct
+    // microseconds — strict-after must advance (getTime would see a tie
+    // and under-advance vs the batch twin's full TimestampType compare);
+    // purchase ties click exactly at the microsecond — must NOT advance
+    val events = Seq(
+      Event(1, tsMicro("2024-01-01 10:00:00", 100), 1, "view", 1.0),
+      Event(2, tsMicro("2024-01-01 10:00:00", 400), 1, "click", 1.0),
+      Event(3, tsMicro("2024-01-01 10:00:00", 400), 1, "purchase", 1.0))
+    val input = MemoryStream[Event]
+    val q = funnelUpdates(spark, input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_us_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*); q.processAllAvailable()
+      val updates = spark.table("funnel_us_out").as[FunnelUpdate].collect()
+      assert(updates.map(_.steps_reached).max == 2,
+        s"sub-ms click must advance, equal-us purchase must not: ${updates.toSeq}")
+      // reached_ts round-trips the microsecond component
+      assert(updates.maxBy(_.steps_reached).reached_ts ==
+        tsMicro("2024-01-01 10:00:00", 400))
+      // and the batch twin agrees (the exactness contract the docstring claims)
+      val per = graft.operators.Funnel
+        .userSteps(events.toDF(), "user_id", "ts", "event_type", steps)
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            (0 until steps.length).count(i => !r.isNullAt(r.fieldIndex(s"t$i")))
+        }.toMap
+      assert(per == Map(1L -> 2))
+    } finally q.stop()
+  }
+
+  test("committedFunnelState: missing path is an empty prior, a corrupt table rethrows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-funnel-corrupt")
+    val missing = base.resolve("never-written").toString
+    // missing -> empty prior (batch 0 contract)
+    assert(committedFunnelState(spark, missing, Long.MaxValue,
+      Seq("view")).count() == 0L)
+    // corrupt footer at the path -> MUST rethrow, not silently empty
+    // (silently-empty would recompute touched users from one batch and
+    // COMMIT the regressed chains)
+    val corrupt = base.resolve("state")
+    java.nio.file.Files.createDirectories(corrupt)
+    java.nio.file.Files.writeString(corrupt.resolve("part-00000.parquet"),
+      "not a parquet file")
+    intercept[Exception] {
+      committedFunnelState(spark, corrupt.toString, Long.MaxValue,
+        Seq("view")).count()
+    }
+  }
+
   test("windowedHeavyHitters maintains one sketch per window across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
