@@ -199,6 +199,23 @@ object Bench {
       case _ => (flags, Seq.empty)
     }
 
+  /** Split time-gate flags by RAW-ratio evidence on a faster host: when
+    * hwScale < 1 the gate SHRINKS every allowance by the CPU-probe ratio,
+    * but shuffle-/IO-bound heavies don't speed up with single-core silicon
+    * — a query flagged ONLY against the shrunken allowance (its raw ratio
+    * never crossed the factor) is probe over-correction, not a measured
+    * slowdown, and ships annotated (`regressions_hwscaled`) rather than
+    * firm. Measured live: a hw_scale 0.69 run flagged NINE shuffle-bound
+    * queries at 1.51-1.67x scaled whose raw ratios were 1.04-1.15. On a
+    * slower host (hwScale >= 1) allowances only grow, so a scaled flag
+    * implies a raw flag and the split is a no-op.
+    */
+  private[graft] def splitByRawEvidence(flags: Seq[(String, Double)],
+      rawFlagged: Set[String], hwScale: Double)
+      : (Seq[(String, Double)], Seq[(String, Double)]) =
+    if (hwScale >= 1.0) (flags, Seq.empty)
+    else flags.partition(f => rawFlagged(f._1))
+
   /** The regression gate, shared by the time and shuffle checks: queries
     * whose metric grew beyond `factor` x its baseline value, where the
     * LARGER of the two values clears `minAbs` (below it the drift is
@@ -248,7 +265,7 @@ object Bench {
     "s1", "s2", "s3", "s4", "s5_knn", "s6", "s7", "s8", "s9", "s10",
     "s11", "s12", "s13", "s14", "s15", "s16", "s17", "s18", "s19",
     "s20", "s21", "s22", "s23", "d8", "d11", "d19", "d20", "e1",
-    "sm10", "ds3", "r1", "e2", "e3", "ds8")
+    "sm10", "ds3", "r1", "e2", "e3", "ds8", "b1")
   private[graft] def dataFactor(name: String): Double =
     if (EmbeddingsFamily.exists(p => name == p || name.startsWith(p + "_")))
       4.0 else 10.0
@@ -500,8 +517,21 @@ object Bench {
       regressions = regressionsAgainst(operatorSec(good), scaledPriorSec,
         1.5, 0.5, timeMinDelta)
     }
+    // raw-ratio evidence (faster-host over-correction — see
+    // splitByRawEvidence), then calibration evidence on what remains
+    val rawPriorSec = priorSec.map { case (k, v) =>
+      k -> math.max(0.0, v - priorOvh.getOrElse(k, 0.0))
+    }
+    val rawFlagged = regressionsAgainst(operatorSec(good), rawPriorSec, 1.5,
+      0.5, timeMinDelta).map(_._1).toSet
+    val (calGated, hwscaledRegressions) =
+      splitByRawEvidence(regressions, rawFlagged, hwScale)
+    hwscaledRegressions.foreach { case (name, ratio) =>
+      System.err.println(
+        f"[bench] HWSCALED (raw ratio under gate, hw_scale $hwScale%.2f) $name: $ratio%.2fx scaled")
+    }
     val (firmRegressions, suspectRegressions) =
-      splitByCalibrationEvidence(regressions, retryCalibration)
+      splitByCalibrationEvidence(calGated, retryCalibration)
     firmRegressions.foreach { case (name, ratio) =>
       System.err.println(
         f"[bench] REGRESSION $name: ${scaledPriorSec(name)}%.2f s -> ${ratio * scaledPriorSec(name)}%.2f s ($ratio%.2fx)")
@@ -558,6 +588,7 @@ object Bench {
         retryCalJson +
         s""""regressions":${obj(firmRegressions)},""" +
         s""""regressions_suspect":${obj(suspectRegressions)},""" +
+        s""""regressions_hwscaled":${obj(hwscaledRegressions)},""" +
         s""""shuffle_regressions":${obj(shuffleRegressions)},""" +
         s""""scaling_flags":${obj(scaling)},""" +
         s""""failed":${names(failed)},"skipped":${names(skipped.map(_._1))}}"""

@@ -221,27 +221,31 @@ object EtlOps {
           raise_error(lit(s"cdcApply: $seqCol contains NULLs — an " +
             "unordered change cannot be merged")))
         .otherwise(col(seqCol)))
+    val tagged = base
+      .withColumn(opCol, lit("I")).withColumn(seqCol, lit(Long.MinValue))
+      .withColumn("_src", lit(0))
+      .unionByName(checked.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("_src").desc)
     // fail loud on duplicate (key, seq) pairs: two changelog rows tying on
     // seq would pick a row_number winner nondeterministically — an
-    // after-image vs a delete could silently flip between runs. The count
-    // window runs over the CHANGELOG only (tiny next to the snapshot), so
-    // the extra exchange is bounded by changelog size, never base size.
-    val dupW = Window.partitionBy((keys :+ seqCol).map(col): _*)
-    val dedupChecked = checked
-      .withColumn("__dup", count(lit(1)).over(dupW))
-      .withColumn(opCol, when(col("__dup") > 1,
+    // after-image vs a delete could silently flip between runs. Detection
+    // rides the SAME window spec as the winner pick (equal-seq changelog
+    // rows are adjacent under (seq desc, _src desc) — base rows sort last
+    // at Long.MinValue), so it shares the one exchange+sort instead of
+    // shuffling the changelog a second time; the lead() lands the flag on
+    // the KEPT row, where the _rn = 1 filter is guaranteed to evaluate it.
+    // Only a duplicate pair that WINS its key raises (_rn = 1 guard): a
+    // tied pair below a higher seq cannot affect the output, and gating on
+    // _rn keeps the check deterministic under predicate reordering.
+    val dupAhead = lead(col(seqCol), 1).over(w) === col(seqCol) &&
+      lead(col("_src"), 1).over(w) === lit(1) && col("_src") === lit(1)
+    tagged.withColumn("_rn", row_number().over(w))
+      .withColumn(opCol, when(col("_rn") === 1 && coalesce(dupAhead, lit(false)),
           raise_error(lit(s"cdcApply: duplicate (${keys.mkString(",")}, " +
             s"$seqCol) pairs in the changelog — the winner would be " +
             "nondeterministic; deduplicate or refine the sequence column")))
         .otherwise(col(opCol)))
-      .drop("__dup")
-    val tagged = base
-      .withColumn(opCol, lit("I")).withColumn(seqCol, lit(Long.MinValue))
-      .withColumn("_src", lit(0))
-      .unionByName(dedupChecked.withColumn("_src", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col("_src").desc)
-    tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= "D")
       .drop("_src", "_rn", opCol, seqCol)
   }

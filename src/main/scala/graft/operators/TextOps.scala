@@ -87,6 +87,40 @@ object TextOps {
     df.select(col(idCol).as("sid"),
       explode(graft.plans.WinnowLong.winnowLong(col(textCol), k, w)).as("fp"))
 
+  /** Within-document paragraph dedup-and-rebuild (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1
+    * repetition REMOVAL — the operator t13's signals only measure):
+    * repeated paragraphs are DROPPED keep-first — exact match after
+    * whitespace normalization (trim + collapse runs; case significant) —
+    * and the document is rebuilt from the survivors in original order.
+    *
+    * `sep` is a LITERAL paragraph separator (regex-quoted for the split,
+    * reused verbatim for the rebuild), so a document with no duplicate
+    * paragraphs rebuilds to exactly itself (the reconstruction invariant,
+    * property-spec'd).
+    *
+    * Scale shape: the whole computation is per-row array algebra inside
+    * the scan — split, per-paragraph normalize, keep-first filter by
+    * first-occurrence index, re-join. The TEXT NEVER SHUFFLES (the d31
+    * rebuild posture); keep-first within a row is array_position over the
+    * normalized array — O(p²) in the row's own paragraph count, bounded by
+    * document size, never by corpus size.
+    */
+  def paragraphDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, sep: String): org.apache.spark.sql.DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    df.select(col(idCol).as("sid"), paras.as("__paras"),
+        transform(paras, p => regexp_replace(trim(p), "\\s+", " ")).as("__norms"))
+      .select(col("sid"), col("__paras"),
+        filter(col("__paras"), (_, i) =>
+          array_position(col("__norms"), element_at(col("__norms"), i + 1))
+            === (i + 1).cast("long")).as("__kept"))
+      .select(col("sid"),
+        array_join(col("__kept"), sep).as("text_dedup"),
+        size(col("__paras")).cast("long").as("n_paras"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Bigram corpus statistics for training-data quality filtering: per-doc
     * repetition ratio (1 - distinct/total bigrams — boilerplate and spam
     * repeat themselves) and corpus-frequency coverage (fraction of the doc's

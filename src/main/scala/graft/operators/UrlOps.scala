@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + host-level rollup — the CommonCrawl-style stage-0
+  * of a web-corpus pipeline: exact URL dedup is meaningless until
+  * `HTTP://Host.COM:80/a/?utm_source=x` and `http://host.com/a` agree, and
+  * the domain-blocklist decision table is a per-HOST rollup of doc/token/
+  * quality mass over the canonicalized corpus.
+  *
+  * Everything is pure column algebra (regexp_extract / regexp_replace /
+  * split / filter / array_sort / concat — codegen-capable builtins, zero
+  * UDFs), patterns kept to the Java/RE2 common subset so the DuckDB oracle
+  * computes the identical canonical string. The canonical form is
+  * IDEMPOTENT (canonicalize ∘ canonicalize = canonicalize — spec'd) and
+  * tracking-param removal is order-insensitive (params sort
+  * lexicographically after filtering — spec'd).
+  *
+  * Scale posture: canonicalization is map-side per-row work on the scan;
+  * the only exchanges are the dedup groupBy on the canonical string and
+  * the rollup groupBy on the (low-cardinality, but possibly skewed) host —
+  * both partial-aggregating. Host skew (one domain = half the crawl) is
+  * the documented risk; the rollup aggregates commute, so map-side combine
+  * already collapses each partition's share of a hot host to one row.
+  */
+object UrlOps {
+
+  /** Tracking params stripped by canonicalization (utm_* wildcard, the
+    * Facebook/Google click ids) — anchored full-param match, with or
+    * without a value.
+    */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+  /** Canonical form of an absolute URL:
+    *   - scheme and host lowercased (path/query case is significant — RFC
+    *     3986 §6.2.2.1 — and stays);
+    *   - fragment dropped;
+    *   - default port dropped (http:80, https:443), explicit non-default
+    *     ports kept;
+    *   - trailing slashes stripped from the path, empty path -> "/";
+    *   - tracking params removed ([[TrackingParamRe]]), survivors sorted
+    *     lexicographically (removal therefore order-insensitive), empty
+    *     query dropped entirely.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query0, "&"),
+      p => p =!= "" && !regexp_like(p, lit(TrackingParamRe))))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Host of a canonical URL (lowercase by construction). */
+  def urlHost(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+
+  /** Exact dedup on the canonical URL — d1's keep-first discipline: per
+    * canonical form the minimum id survives, with the duplicate count kept
+    * as the dedup ledger. ONE partial-aggregating groupBy on the canonical
+    * string; the raw URL never rides the shuffle twice.
+    */
+  def canonicalDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), canonicalizeUrl(col(urlCol)).as("url_canonical"))
+      .groupBy(col("url_canonical"))
+      .agg(min(col("__id")).as("kept_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-host doc/token/quality rollup over canonicalized URLs — the
+    * domain-blocklist decision table. Counts and token sums are exact
+    * longs; quality rides exact integer MICRO-units (round(q·10^6) — the
+    * lnMicro discipline) so the per-host sum is order-free, and the
+    * blocklist verdict compares integers only:
+    * `blocked` = mean quality below `minMeanQuality`, cross-multiplied
+    * (quality_micro_sum < n_docs · minQualityMicro) — no float division
+    * anywhere. All aggregates commute -> map-side combine collapses hot
+    * hosts per-partition before the exchange.
+    */
+  def hostRollup(df: DataFrame, urlCol: String, textCol: String,
+                 minMeanQuality: Double): DataFrame = {
+    val qMicro = round(TextOps.qualityScore(col(textCol)) * lit(1000000L), 0)
+      .cast("long")
+    val minQMicro = math.round(minMeanQuality * 1000000L)
+    df.select(urlHost(canonicalizeUrl(col(urlCol))).as("host"),
+        TextOps.nWords(col(textCol)).cast("long").as("__nw"),
+        qMicro.as("__q"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_tokens"),
+        sum(col("__q")).as("quality_micro_sum"))
+      .withColumn("blocked",
+        col("quality_micro_sum") < col("n_docs") * lit(minQMicro))
+  }
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.operators.{AnnIndex, Bitext, TextOps, UrlOps}
+import org.apache.spark.sql.functions._
+
+/** Round-17 mining surface: bitext mining over the persisted ANN index,
+  * URL canonicalization + host rollup, and within-doc paragraph dedup.
+  * Conventions are the house ones: every aggregate exact-integer where
+  * possible, round(·, 6) where a float is unavoidable, column names
+  * aliased identically in the Spark plan and the DuckDB oracle.
+  */
+object MiningQueries {
+
+  /** Quantized-vector CTE (the CorpusQueries twin — duplicated here because
+    * the helpers are per-registry private; one line, same constant).
+    */
+  private val quantVecCte =
+    s"""v AS MATERIALIZED (SELECT vec_id AS sid,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${graft.operators.Similarity.QuantScale}) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+
+  private def sqlCosine(a: String, b: String): String =
+    s"""CAST(list_dot_product($a, $b) AS DOUBLE) /
+       |    nullif(sqrt(CAST(list_dot_product($a, $a) AS DOUBLE)) * sqrt(CAST(list_dot_product($b, $b) AS DOUBLE)), 0.0)""".stripMargin
+
+  /** One direction of the b1 persisted-IVF-PQ serve, relationally — the
+    * s19/ds3 chain (seeded first-16 centroids + first-16 PQ seeds, m = 8
+    * subspaces of 8 dims, ADC distances, nProbe = 4) parameterized by the
+    * base (indexed) and query sets, ending at `sl$t (qid, nid)`: the
+    * top-4-by-(d2, nid) shortlist per query. Shares `v` and the exploded
+    * subvector relation `e` across directions.
+    */
+  private def ivfDirCtes(t: String, baseWhere: String, queryWhere: String): String =
+    s"""base$t AS (SELECT sid, qv FROM v WHERE $baseWhere),
+       |qset$t AS (SELECT sid, qv FROM v WHERE $queryWhere),
+       |cent$t AS (SELECT sid AS cid, qv AS cv FROM base$t ORDER BY sid LIMIT 16),
+       |mranked$t AS MATERIALIZED (SELECT sid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+       |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+       |        FROM base$t s CROSS JOIN cent$t c)),
+       |pranked$t AS (SELECT sid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ccos DESC, cid) AS crank
+       |  FROM (SELECT s.sid, c.cid, ${sqlCosine("s.qv", "c.cv")} AS ccos
+       |        FROM qset$t s CROSS JOIN cent$t c)),
+       |seeds$t AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+       |  FROM (SELECT DISTINCT sid FROM base$t ORDER BY sid LIMIT 16)),
+       |cb$t AS (SELECT s.code, e.m, e.j, e.q FROM e JOIN seeds$t s USING (sid)),
+       |a$t AS MATERIALIZED (SELECT e.sid, e.m, cb.code,
+       |    CAST(SUM((e.q - cb.q) * (e.q - cb.q)) AS BIGINT) AS d2
+       |  FROM e JOIN cb$t cb ON e.m = cb.m AND e.j = cb.j GROUP BY 1, 2, 3),
+       |codes$t AS (SELECT sid, m, code FROM (SELECT a.sid, m, code,
+       |    ROW_NUMBER() OVER (PARTITION BY a.sid, m ORDER BY d2, code) AS rn
+       |  FROM a$t a JOIN base$t cs ON cs.sid = a.sid) WHERE rn = 1),
+       |members$t AS (SELECT r.cid, cd.sid AS nid, cd.m, cd.code
+       |  FROM mranked$t r JOIN codes$t cd ON r.sid = cd.sid WHERE r.crank = 1),
+       |probes$t AS (SELECT cid, sid AS qid FROM pranked$t WHERE crank <= 4),
+       |dist$t AS (SELECT p.qid, mem.nid, CAST(SUM(qa.d2) AS BIGINT) AS d2
+       |  FROM probes$t p JOIN members$t mem ON p.cid = mem.cid
+       |  JOIN a$t qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
+       |  GROUP BY 1, 2),
+       |sl$t AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS r
+       |  FROM dist$t) WHERE r <= 4)""".stripMargin
+
+  /** Margin scoring over one direction's shortlist: exact integer
+    * micro-cosines of the shortlist pairs (zero-norm rows drop — NULL
+    * cosine, the Similarity contract).
+    */
+  private def microCosCte(name: String, sl: String, srcExpr: String,
+                          tgtExpr: String): String =
+    s"""$name AS (SELECT * FROM (SELECT $srcExpr AS src_id, $tgtExpr AS tgt_id,
+       |    CAST(round((${sqlCosine("qa.qv", "nb.qv")}) * 1000000) AS BIGINT) AS cmicro
+       |  FROM $sl s JOIN v qa ON qa.sid = s.qid JOIN v nb ON nb.sid = s.nid)
+       |  WHERE cmicro IS NOT NULL)""".stripMargin
+
+  private val b1Oracle: String =
+    s"""WITH $quantVecCte,
+       |e AS MATERIALIZED (SELECT sid, qv[pos] AS q,
+       |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
+       |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
+       |${ivfDirCtes("f", "sid % 2 = 1", "sid % 2 = 0")},
+       |${ivfDirCtes("b", "sid % 2 = 0", "sid % 2 = 1")},
+       |${microCosCte("fcos", "slf", "s.qid", "s.nid")},
+       |${microCosCte("bcos", "slb", "s.nid", "s.qid")},
+       |fstat AS (SELECT src_id, CAST(SUM(cmicro) AS BIGINT) AS fsum,
+       |    CAST(COUNT(*) AS BIGINT) AS fn FROM fcos GROUP BY 1),
+       |bstat AS (SELECT tgt_id, CAST(SUM(cmicro) AS BIGINT) AS bsum,
+       |    CAST(COUNT(*) AS BIGINT) AS bn FROM bcos GROUP BY 1),
+       |cand AS (SELECT f.src_id, f.tgt_id, f.cmicro,
+       |    round(CAST(CAST(2 AS BIGINT) * f.cmicro * fs.fn * bs.bn AS DOUBLE) /
+       |      nullif(CAST(fs.fsum * bs.bn + bs.bsum * fs.fn AS DOUBLE),
+       |        CAST(0 AS DOUBLE)), 6) AS margin
+       |  FROM fcos f JOIN fstat fs USING (src_id) JOIN bstat bs USING (tgt_id))
+       |SELECT src_id, tgt_id, cos_micro, margin FROM (
+       |  SELECT src_id, tgt_id, cmicro AS cos_micro, margin,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |      ORDER BY margin DESC NULLS LAST, tgt_id) AS rn
+       |  FROM cand) WHERE rn = 1 ORDER BY src_id""".stripMargin
+
+  /** Deterministic messy-URL synthesis over `documents` — built by the SAME
+    * expression on both sides, so the canonicalizer (not the generator) is
+    * what the hash checks. Each doc pair (2g, 2g+1) differs ONLY in junk
+    * canonicalization removes — scheme/host case, the default :443 port, a
+    * doubled trailing slash, tracking params in DIFFERENT positions, a
+    * fragment — so every pair collapses to one canonical URL (n_dups = 2,
+    * kept_id = 2g), and the surviving params a=1&b=2 prove order-insensitive
+    * removal in the hashed output itself.
+    */
+  private val rawUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'www.host' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com'
+      |      ELSE upper('www.host' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com') END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |    '/Docs/' || CAST(doc_id // 2 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=x&a=1'
+      |      ELSE '?a=1&b=2&gclid=9' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END""".stripMargin
+
+  private def rawUrlSpark: org.apache.spark.sql.Column = {
+    val g = expr("CAST(doc_id DIV 2 AS BIGINT)")
+    val even = col("doc_id") % 2 === 0
+    val host = concat(lit("www.host"), (g % 7).cast("string"), lit(".example.com"))
+    concat(
+      when(even, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+      when(even, host).otherwise(upper(host)),
+      when(even, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), g.cast("string"),
+      when(even, lit("//")).otherwise(lit("")),
+      when(even, lit("?b=2&utm_source=x&a=1")).otherwise(lit("?a=1&b=2&gclid=9")),
+      when(even, lit("#top")).otherwise(lit("")))
+  }
+
+  /** The SQL twin of [[UrlOps.canonicalizeUrl]] as a CTE chain from a
+    * relation `u0 (doc_id, raw, text)`; ends at `u5 (doc_id, host,
+    * url_canonical, text)`.
+    */
+  private val canonicalCtes: String =
+    """u1 AS (SELECT doc_id, text, regexp_replace(trim(raw), '#.*$', '') AS nf FROM u0),
+      |u2 AS (SELECT doc_id, text,
+      |    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest FROM u1),
+      |u3 AS (SELECT doc_id, text, scheme,
+      |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+      |    regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u2),
+      |u4 AS (SELECT doc_id, text, scheme,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(hostport, ':[0-9]+$', '') AS host,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path0,
+      |    regexp_extract(pathq, '\?(.*)$', 1) AS query0 FROM u3),
+      |u5 AS (SELECT doc_id, text, host, scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+      |        OR (scheme = 'https' AND port = '443'))
+      |      THEN ':' || port ELSE '' END ||
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+      |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
+      |      AS url_canonical
+      |  FROM (SELECT *, list_sort(list_filter(string_split(query0, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))) AS ps
+      |    FROM u4))""".stripMargin
+
+  /** Quality score SQL twin (TextOps.qualityScore — the sqlFunnelF blend). */
+  private val qualitySql: String =
+    s"""0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+       |     + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |         / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       |     + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+       |           w -> w IN (${TextOps.stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
+       |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // BITEXT MINING (Bitext.minePairs — the Artetxe-Schwenk ratio margin,
+    // LASER/CCMatrix): even vec_ids are the "source language", odd the
+    // "target"; BOTH direction shortlists are served from persisted IVF-PQ
+    // indexes (AnnIndex write + search — the s19 storage path), so
+    // candidate generation is index-served, never all-pairs. The oracle
+    // re-derives both index serves relationally (the s19 CTE chain, twice)
+    // and replays margin scoring over the exact shortlists: integer
+    // micro-cosines, exact integer neighborhood sums, one cross-multiplied
+    // double division, round(·, 6).
+    QueryDef("b1_bitext_mining", b1Oracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 =!= 0)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val nameF = "graft_ann_b1f_" + app
+      val nameB = "graft_ann_b1b_" + app
+      AnnIndex.writeIvfPq(tgt, "vec_id", "embedding", dim = 64, nCells = 16,
+        m = 8, k = 16, nameF, nBuckets = 8)
+      AnnIndex.writeIvfPq(src, "vec_id", "embedding", dim = 64, nCells = 16,
+        m = 8, k = 16, nameB, nBuckets = 8)
+      val fwd = AnnIndex.searchIvfPq(src, "vec_id", "embedding", dim = 64,
+        m = 8, nProbe = 4, topK = 4, nameF).select("qid", "nid")
+      val bwd = AnnIndex.searchIvfPq(tgt, "vec_id", "embedding", dim = 64,
+        m = 8, nProbe = 4, topK = 4, nameB).select("qid", "nid")
+      Bitext.minePairs(src, tgt, "vec_id", "embedding", fwd, bwd)
+        .orderBy(col("src_id"))
+    },
+
+    // URL CANONICALIZATION + EXACT DEDUP (UrlOps.canonicalizeUrl +
+    // canonicalDedup — the CommonCrawl stage-0): raw URLs are synthesized
+    // deterministically (same expression both sides — see rawUrlSql's doc),
+    // canonicalized by pure column algebra, and exact-deduped keep-first on
+    // the canonical form. ONE groupBy on the canonical string.
+    QueryDef(
+      "d35_url_canonical",
+      s"""WITH u0 AS (SELECT doc_id, text, $rawUrlSql AS raw FROM documents),
+         |$canonicalCtes
+         |SELECT url_canonical, CAST(MIN(doc_id) AS BIGINT) AS kept_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM u5 GROUP BY 1 ORDER BY url_canonical""".stripMargin) { (s, d) =>
+      UrlOps.canonicalDedup(
+          Tables.documents(s, d).withColumn("raw", rawUrlSpark),
+          "doc_id", "raw")
+        .orderBy(col("url_canonical"))
+    },
+
+    // HOST-LEVEL ROLLUP (UrlOps.hostRollup — the domain-blocklist decision
+    // table): per canonical host, exact doc/token counts and the quality
+    // mass in integer micro-units; the block verdict is a cross-multiplied
+    // integer comparison (mean quality < 0.5), no float division anywhere.
+    QueryDef(
+      "dp5_host_rollup",
+      s"""WITH u0 AS (SELECT doc_id, text, $rawUrlSql AS raw FROM documents),
+         |$canonicalCtes
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(round(($qualitySql) * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS quality_micro_sum,
+         |  CAST(SUM(CAST(round(($qualitySql) * 1000000) AS BIGINT)) AS BIGINT)
+         |    < CAST(COUNT(*) AS BIGINT) * CAST(500000 AS BIGINT) AS blocked
+         |FROM u5 GROUP BY 1 ORDER BY host""".stripMargin) { (s, d) =>
+      UrlOps.hostRollup(
+          Tables.documents(s, d).withColumn("raw", rawUrlSpark),
+          "raw", "text", minMeanQuality = 0.5)
+        .orderBy(col("host"))
+    },
+
+    // WITHIN-DOC PARAGRAPH DEDUP-AND-REBUILD (TextOps.paragraphDedup —
+    // Gopher repetition REMOVAL; t13 only measures the signals). The
+    // fixture text carries no paragraph structure, so a paragraph-shaped
+    // document is synthesized by the SAME expression on both sides (the
+    // rawUrlSql precedent): [first-3-words, full text, a WHITESPACE-VARIANT
+    // copy of the first 3 words, words 4-6] joined on '|' — every doc
+    // plants exactly one duplicate that only normalization catches, so the
+    // hashed output proves trim+collapse matching and keep-first order, not
+    // just pass-through. All per-row map-side array algebra — the text
+    // never shuffles.
+    QueryDef(
+      "t30_paragraph_dedup",
+      """WITH u0 AS (SELECT doc_id,
+        |    regexp_extract(text, '^(\S+ \S+ \S+)', 1) AS s1,
+        |    regexp_extract(text, '^\S+ \S+ \S+ (\S+ \S+ \S+)', 1) AS s2, text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    string_split(s1 || '|' || text || '| ' || s1 || ' |' || s2, '|') AS paras
+        |  FROM u0),
+        |n AS (SELECT doc_id, paras,
+        |    list_transform(paras, q -> regexp_replace(trim(q), '\s+', ' ', 'g')) AS norms
+        |  FROM p),
+        |k AS (SELECT doc_id, paras,
+        |    list_filter(paras, (x, i) -> list_position(norms, norms[i]) = i) AS kept
+        |  FROM n)
+        |SELECT doc_id AS sid, array_to_string(kept, '|') AS text_dedup,
+        |  CAST(len(paras) AS BIGINT) AS n_paras, CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k ORDER BY sid""".stripMargin) { (s, d) =>
+      val s1 = regexp_extract(col("text"), "^(\\S+ \\S+ \\S+)", 1)
+      val s2 = regexp_extract(col("text"), "^\\S+ \\S+ \\S+ (\\S+ \\S+ \\S+)", 1)
+      TextOps.paragraphDedup(
+          Tables.documents(s, d).withColumn("para_text",
+            concat(s1, lit("|"), col("text"), lit("| "), s1, lit(" |"), s2)),
+          "doc_id", "para_text", sep = "|")
+        .orderBy(col("sid"))
+    }
+  )
+}

@@ -216,6 +216,21 @@ class BenchSpec extends AnyFunSuite {
     assert(firmNone == flags && suspectNone.isEmpty)
   }
 
+  test("faster-host over-correction: scaled-only flags ship annotated, raw-confirmed stay firm") {
+    // the hw_scale 0.69 adjudication run: shuffle-bound heavies flagged at
+    // ~1.5x against DOWN-scaled allowances while their raw ratios sat at
+    // ~1.1 — probe over-correction, not a slowdown
+    val flags = Seq("d9" -> 1.67, "lm8" -> 1.61, "real" -> 2.2)
+    val rawFlagged = Set("real") // only this one also crossed the raw gate
+    val (firm, hwscaled) = Bench.splitByRawEvidence(flags, rawFlagged, 0.69)
+    assert(firm == Seq("real" -> 2.2))
+    assert(hwscaled.map(_._1) == Seq("d9", "lm8"))
+    // slower host: allowances only grow, split is a no-op even when the
+    // raw set disagrees
+    val (firmSlow, hwSlow) = Bench.splitByRawEvidence(flags, Set.empty, 1.4)
+    assert(firmSlow == flags && hwSlow.isEmpty)
+  }
+
   test("time gate: ratio escape hatch fires past 3x even under minDelta") {
     // 0.3 s -> 1.0 s is 3.3x but delta 0.7 < 0.75 — must still flag
     // (the minDelta guard otherwise makes fast queries unflaggable forever)

@@ -1239,4 +1239,41 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("paragraphDedup: keep-first after whitespace normalization, case significant") {
+    val docs = Seq(
+      (1L, "a  b|c|a b|A b|c"),   // 'a  b' ~ 'a b' (collapse); 'A b' distinct
+      (2L, "x|x|x"),
+      (3L, "||a|")                 // empty paragraphs dedup too (keep first)
+    ).toDF("doc_id", "text")
+    val out = TextOps.paragraphDedup(docs, "doc_id", "text", sep = "|")
+      .orderBy("sid").collect()
+    assert(out(0).getAs[String]("text_dedup") == "a  b|c|A b")
+    assert(out(0).getAs[Long]("n_paras") == 5L)
+    assert(out(0).getAs[Long]("n_kept") == 3L)
+    assert(out(1).getAs[String]("text_dedup") == "x")
+    assert(out(2).getAs[String]("text_dedup") == "|a")
+    assert(out(2).getAs[Long]("n_paras") == 4L) // split -1 keeps trailing empty
+  }
+
+  test("paragraphDedup reconstruction invariant: no duplicates -> identity") {
+    // property over the fixture corpus with a separator that never occurs:
+    // one paragraph per doc, rebuilt text must equal the original exactly
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = TextOps.paragraphDedup(docs, "doc_id", "text", sep = " ||| ")
+      .join(docs, col("sid") === col("doc_id"))
+      .select(col("sid"), col("text"), col("text_dedup"), col("n_paras"),
+        col("n_kept"))
+    assert(out.filter(col("text_dedup") =!= col("text") ||
+      col("n_paras") =!= 1L || col("n_kept") =!= 1L).count() == 0L)
+    // and with a real separator: rebuilt never longer, kept <= paras, and
+    // re-deduplicating the rebuilt text is a fixpoint (idempotence)
+    val once = TextOps.paragraphDedup(docs, "doc_id", "text", sep = " ")
+    val twice = TextOps.paragraphDedup(
+      once.select(col("sid").as("doc_id"), col("text_dedup").as("text")),
+      "doc_id", "text", sep = " ")
+    val joined = once.select(col("sid"), col("text_dedup").as("t1"))
+      .join(twice.select(col("sid"), col("text_dedup").as("t2")), "sid")
+    assert(joined.filter(col("t1") =!= col("t2")).count() == 0L)
+  }
 }

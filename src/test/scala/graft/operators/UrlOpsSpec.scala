@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalization by hand: case, default port, trailing slash, tracking, fragment") {
+    assert(canon("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag") ==
+      Seq("https://www.ex.com/a/b?a=1&b=2"))
+    assert(canon("http://Host.com:80/") == Seq("http://host.com/"))
+    // non-default port kept; http's default is NOT https' default
+    assert(canon("http://h.com:8080/x", "https://h.com:80/x") ==
+      Seq("http://h.com:8080/x", "https://h.com:80/x"))
+    // empty path -> "/"; bare host with only tracking params -> "/"
+    assert(canon("https://h.com", "https://h.com?fbclid=abc&gclid=1") ==
+      Seq("https://h.com/", "https://h.com/"))
+    // path/query case is significant and preserved (RFC 3986)
+    assert(canon("https://h.com/Path?Q=V") == Seq("https://h.com/Path?Q=V"))
+    // utm_* wildcard, valueless tracking param, doubled trailing slash
+    assert(canon("https://h.com/a//?utm_campaign&z=1") ==
+      Seq("https://h.com/a?z=1"))
+  }
+
+  test("canonical form is idempotent over messy inputs") {
+    val messy = Seq(
+      "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://Host.com:80//",
+      "https://h.com:8443/Path/?z=9&utm_x=1&a",
+      "ftp://Files.Example.org:21/pub/",
+      "https://h.com?gclid=1",
+      "http://a.b.c.d/e?f=g&h=i#j")
+    val once = canon(messy: _*)
+    val twice = canon(once: _*)
+    assert(once == twice, s"not idempotent:\n once=$once\n twice=$twice")
+  }
+
+  test("tracking-param removal is order-insensitive") {
+    val perms = Seq(
+      "https://h.com/p?utm_a=1&b=2&a=1",
+      "https://h.com/p?b=2&a=1&utm_a=9",
+      "https://h.com/p?a=1&utm_a=0&b=2",
+      "https://h.com/p?a=1&b=2")
+    assert(canon(perms: _*).distinct == Seq("https://h.com/p?a=1&b=2"))
+  }
+
+  test("canonicalDedup keeps the minimum id per canonical form") {
+    val df = Seq(
+      (10L, "https://A.com/x/?utm_s=1"),
+      (3L, "HTTPS://a.COM:443/x"),
+      (7L, "https://b.com/y"))
+      .toDF("id", "url")
+    val out = UrlOps.canonicalDedup(df, "id", "url")
+      .orderBy("url_canonical").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("https://a.com/x", 3L, 2L), ("https://b.com/y", 7L, 1L)))
+  }
+
+  test("hostRollup: exact counts and the cross-multiplied block verdict") {
+    val junk = "@@@@ #### !!!! %%%%"            // punct-heavy: quality << 0.5
+    val good = (("the quick brown fox is on a table and " * 12).trim)
+    val df = Seq(
+      (1L, "https://Low.com/a", junk), (2L, "https://low.com/b/", junk),
+      (3L, "https://ok.com/a", good))
+      .toDF("id", "url", "text")
+    val out = UrlOps.hostRollup(df, "url", "text", minMeanQuality = 0.5)
+      .orderBy("host").collect()
+    assert(out.map(_.getAs[String]("host")).toSeq == Seq("low.com", "ok.com"))
+    val low = out(0)
+    assert(low.getAs[Long]("n_docs") == 2L)
+    assert(low.getAs[Long]("n_tokens") == 8L)
+    assert(low.getAs[Boolean]("blocked"))
+    assert(!out(1).getAs[Boolean]("blocked"))
+  }
+}
