@@ -171,7 +171,87 @@ object MiningQueries {
        |           w -> w IN (${TextOps.stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
        |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))""".stripMargin
 
+  /** One-row relational spec of [[graft.apps.EventsApp.analyze]]'s Stats:
+    * each scalar re-derives through the SAME SQL its section's
+    * oracle-checked query uses (w4 sessions, w11 funnel counts, w12
+    * streaks, sk3 skew, dq1-style violation counts), cross-joined into one
+    * row — all one-row CTEs, so the joins are scalar attaches.
+    */
+  private val eventsAppOracle: String =
+    """WITH marks AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marks),
+      |nsess AS (SELECT CAST(COUNT(*) AS BIGINT) AS sessions FROM
+      |  (SELECT user_id, session_id FROM sess GROUP BY 1, 2)),
+      |u1 AS (SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t0
+      |  FROM events),
+      |u2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM u1),
+      |u3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM u2),
+      |per AS (SELECT user_id, MIN(t0) AS t0, MIN(t2) AS t2
+      |  FROM u3 GROUP BY user_id),
+      |fcounts AS (SELECT CAST(COUNT(t0) AS BIGINT) AS viewers,
+      |    CAST(COUNT(t2) AS BIGINT) AS purchasers FROM per),
+      |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (SELECT user_id, d,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+      |      AS INTEGER) AS anchor
+      |  FROM days),
+      |st AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak_days
+      |  FROM isl GROUP BY user_id, anchor),
+      |mx AS (SELECT CAST(COALESCE(MAX(streak_days), 0) AS BIGINT)
+      |    AS max_streak_days FROM st),
+      |c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS users, MAX(n) AS max_count
+      |  FROM c),
+      |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM c),
+      |p99 AS (SELECT n AS p99_count FROM r, sk
+      |  WHERE rn = (99 * users + 99) // 100),
+      |salt AS (SELECT CAST((max_count + p99_count - 1) // p99_count
+      |    AS BIGINT) AS salt_factor FROM sk, p99),
+      |bad AS (SELECT CAST(COUNT(CASE WHEN ts IS NULL THEN 1 END)
+      |    + COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT)
+      |    AS bad_rows FROM events),
+      |inp AS (SELECT CAST(COUNT(*) AS BIGINT) AS input FROM events)
+      |SELECT input, bad_rows, users, sessions, viewers, purchasers,
+      |  max_streak_days, salt_factor
+      |FROM inp, bad, sk, nsess, fcounts, mx, salt""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // EVENTS-APP END-TO-END COMPOSITION (EventsApp.analyze — VERDICT r16
+    // ask #7): the six-section composed run (dq1 gate, w4 sessionization,
+    // w11 funnel, w12 streaks, ts3 OHLC, sk3 skew) executes during frame
+    // construction (the ds-series convention), so the BENCH row measures
+    // the real composed cost — cross-section cache/checkpoint interference
+    // a per-query bench never sees. The verified output is the one-row
+    // Stats summary, re-derived relationally from the sections' own
+    // oracle-checked SQL.
+    QueryDef("events_app", eventsAppOracle) { (s, d) =>
+      val (frames, stats) = graft.apps.EventsApp.analyze(s, Tables.events(s, d))
+      // the stats row actions five of the six sections; force the sixth
+      // (OHLC bars) so the measured run is the WHOLE composition
+      frames("ohlc_bars").count()
+      import s.implicits._
+      Seq((stats.input, stats.badRows, stats.users, stats.sessions,
+          stats.viewers, stats.purchasers, stats.maxStreakDays,
+          stats.saltFactor))
+        .toDF("input", "bad_rows", "users", "sessions", "viewers",
+          "purchasers", "max_streak_days", "salt_factor")
+    },
 
     // BITEXT MINING (Bitext.minePairs — the Artetxe-Schwenk ratio margin,
     // LASER/CCMatrix): even vec_ids are the "source language", odd the
