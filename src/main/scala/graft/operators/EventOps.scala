@@ -57,6 +57,31 @@ object EventOps {
         col("streak_end"))
   }
 
+  /** COHORT RETENTION matrix (the engagement dashboard's other staple
+    * beside w12's streaks): users cohorted by FIRST-ACTIVITY date; per
+    * (cohort_date, day_offset), how many of that cohort were active
+    * day_offset days later. n_active is an exact distinct-user count for
+    * free: the base is the DISTINCT (user, date) activity table, so a
+    * plain count(*) per (cohort, offset) never double-counts.
+    *
+    * Scale shape: one (user, date) distinct exchange, then the cohort
+    * date is a per-user window MIN on a second user-keyed exchange, then
+    * one map-side-combinable count by (cohort, offset) — no self-join of
+    * the activity table (the textbook formulation joins activity to
+    * itself; this is the same matrix for one join less). Offsets are
+    * bounded by the log's day span, so the output is calendar-sized,
+    * never data-sized.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    events.select(col(userCol), col(tsCol).cast("date").as("d")).distinct()
+      .withColumn("cohort_date", min(col("d")).over(w))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** TIME-WEIGHTED average value per key (w13 — the TWAP/sensor-mean
     * every irregular time series needs: a value that held for 50 minutes
     * must outweigh one that held for 10 seconds, which the plain mean

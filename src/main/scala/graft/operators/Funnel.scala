@@ -95,4 +95,38 @@ object Funnel {
     }
     counts.select(inline(array(rows: _*)))
   }
+
+  /** TIME-TO-CONVERT distribution: over users whose chain completed (last
+    * step reached), exact order statistics of `t_last − t0` in epoch
+    * MICROS — the "median time from first view to purchase" product
+    * metric. One row: n_converted, min/median/p90/max (median = ascending
+    * rank ⌈n/2⌉, p90 = ⌈9n/10⌉ — data elements, no interpolation); EMPTY
+    * when no user converted (there is no median of nothing — the
+    * skewReport empty-log posture).
+    *
+    * Scale shape: [[userSteps]]' one user-keyed exchange, then the
+    * percentiles ride [[ApproxOps.exactGroupQuantiles]]' two-level bucket
+    * walk over the per-user latency table — never a global sort (the sk3
+    * posture); min/max/count are one map-side-combinable aggregate, and
+    * the one-row quantile frames attach by broadcast (scalar-attach).
+    */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, stepTypes: Seq[String]): DataFrame = {
+    require(stepTypes.size >= 2, "latency needs at least two funnel steps")
+    val last = s"t${stepTypes.size - 1}"
+    val lat = userSteps(events, userCol, tsCol, typeCol, stepTypes)
+      .filter(col(last).isNotNull)
+      .select((unix_micros(col(last)) - unix_micros(col("t0")))
+        .as("latency_us"))
+    val qs = ApproxOps.exactGroupQuantiles(
+      lat.withColumn("__g", lit(0)), "__g", "latency_us",
+      Seq((1L, 2L), (9L, 10L)))
+    val med = qs.filter(col("q_num") === 1L).select(col("val").as("median_us"))
+    val p90 = qs.filter(col("q_num") === 9L).select(col("val").as("p90_us"))
+    lat.agg(count(lit(1)).as("n_converted"), min(col("latency_us")).as("min_us"),
+        max(col("latency_us")).as("max_us"))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      .select(col("n_converted"), col("min_us"), col("median_us"),
+        col("p90_us"), col("max_us"))
+  }
 }

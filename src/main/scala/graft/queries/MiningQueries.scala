@@ -320,6 +320,56 @@ object MiningQueries {
         .orderBy(col("host"))
     },
 
+    // COHORT RETENTION matrix (EventOps.cohortRetention): users cohorted
+    // by first-activity date, exact distinct-active counts per
+    // (cohort_date, day_offset) — one distinct + one user-keyed window +
+    // one count, no activity self-join. Calendar-sized output.
+    QueryDef(
+      "w15_cohort_retention",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d,
+        |    MIN(d) OVER (PARTITION BY user_id) AS cohort_date FROM days)
+        |SELECT cohort_date, CAST(d - cohort_date AS BIGINT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin) { (s, d) =>
+      graft.operators.EventOps.cohortRetention(Tables.events(s, d),
+          "user_id", "ts")
+        .orderBy(col("cohort_date"), col("day_offset"))
+    },
+
+    // FUNNEL TIME-TO-CONVERT distribution (Funnel.conversionLatency):
+    // exact integer-micro order statistics of t_last − t0 over completed
+    // chains — median/p90 are data elements at ranks ceil(n/2), ceil(9n/10)
+    // (the sk3 rank-select convention), served from the two-level bucket
+    // walk, never a global sort.
+    QueryDef(
+      "w16_funnel_latency",
+      """WITH u1 AS (SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |u2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM u1),
+        |u3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM u2),
+        |per AS (SELECT user_id, MIN(t0) AS t0, MIN(t2) AS t2
+        |  FROM u3 GROUP BY user_id),
+        |lat AS (SELECT epoch_us(t2) - epoch_us(t0) AS l FROM per
+        |  WHERE t2 IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |    CAST(MIN(l) AS BIGINT) AS min_us, CAST(MAX(l) AS BIGINT) AS max_us
+        |  FROM lat),
+        |r AS (SELECT l, ROW_NUMBER() OVER (ORDER BY l) AS rn FROM lat),
+        |med AS (SELECT CAST(l AS BIGINT) AS median_us FROM r, s
+        |  WHERE rn = (n_converted + 1) // 2),
+        |p90 AS (SELECT CAST(l AS BIGINT) AS p90_us FROM r, s
+        |  WHERE rn = (9 * n_converted + 9) // 10)
+        |SELECT n_converted, min_us, median_us, p90_us, max_us
+        |FROM s, med, p90""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.conversionLatency(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    },
+
     // WITHIN-DOC PARAGRAPH DEDUP-AND-REBUILD (TextOps.paragraphDedup —
     // Gopher repetition REMOVAL; t13 only measures the signals). The
     // fixture text carries no paragraph structure, so a paragraph-shaped

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, concat, count, lit}
 
 /** Physical-plan guards: the properties that make these queries survive a
   * 100x scale-up are asserted here, so a regression in plan shape (lost
@@ -849,5 +849,51 @@ class PlanSpec extends SparkSpec {
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
       s"non-user-partitioned funnel window:\n${specs.mkString("\n")}")
+  }
+
+  test("t30_paragraph_dedup: per-row array algebra — the OPERATOR plans zero exchanges") {
+    // the query's trailing orderBy adds a range exchange; the operator
+    // itself must keep the text in the scan stage (the d31 rebuild posture)
+    val p = graft.operators.TextOps.paragraphDedup(
+        graft.core.Tables.documents(spark, sf), "doc_id", "text", sep = " ")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"paragraphDedup must not shuffle:\n$p")
+  }
+
+  test("d35/dp5: canonicalize is map-side; ONE hash exchange each, partial-agg combined") {
+    val dedup = graft.operators.UrlOps.canonicalDedup(
+        graft.core.Tables.documents(spark, sf)
+          .withColumn("u", concat(lit("https://h.com/"), col("doc_id"))),
+        "doc_id", "u")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(dedup).length == 1, dedup)
+    assert(dedup.contains("partial_min") || dedup.contains("partial_count"),
+      s"dedup aggregate must combine map-side:\n$dedup")
+    val roll = graft.operators.UrlOps.hostRollup(
+        graft.core.Tables.documents(spark, sf)
+          .withColumn("u", concat(lit("https://h.com/"), col("doc_id"))),
+        "u", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(roll).length == 1, roll)
+    assert(roll.contains("partial_sum"),
+      s"rollup aggregate must combine map-side:\n$roll")
+  }
+
+  test("w15_cohort_retention: no activity self-join, user-keyed windows only") {
+    val p = plan("w15_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"cohort matrix must not self-join the activity table:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")), p)
+  }
+
+  test("b1_bitext_mining: no cartesian; margin stats attach via broadcast") {
+    val p = plan("b1_bitext_mining")
+    assert(!p.contains("CartesianProduct"), p)
+    // shortlist pairs meet full vectors by hash join, never nested loop on
+    // a data-sized side (BNLJ appears only under codebook/centroid
+    // constants — the check_bnlj.py allowlisted class)
+    assert(p.contains("BroadcastExchange"), p)
   }
 }

@@ -215,6 +215,34 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-17 operators: empty in, empty out, schema intact") {
+    val noUrls = Seq.empty[(Long, String)].toDF("id", "url")
+    val cd = UrlOps.canonicalDedup(noUrls, "id", "url")
+    assert(cd.columns.toSeq == Seq("url_canonical", "kept_id", "n_dups") &&
+      cd.count() == 0)
+    val noTexted = Seq.empty[(Long, String, String)].toDF("id", "url", "text")
+    val hr = UrlOps.hostRollup(noTexted, "url", "text", 0.5)
+    assert(hr.columns.toSeq ==
+      Seq("host", "n_docs", "n_tokens", "quality_micro_sum", "blocked") &&
+      hr.count() == 0)
+    val pd = TextOps.paragraphDedup(noDocs, "doc_id", "text", sep = "|")
+    assert(pd.columns.toSeq ==
+      Seq("sid", "text_dedup", "n_paras", "n_kept") && pd.count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("qid", "nid")
+    val mined = Bitext.minePairs(noVecs, noVecs, "vec_id", "embedding",
+      noPairs, noPairs)
+    assert(mined.columns.toSeq ==
+      Seq("src_id", "tgt_id", "cos_micro", "margin") && mined.count() == 0)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    val cr = EventOps.cohortRetention(noEvents, "user_id", "ts")
+    assert(cr.columns.toSeq ==
+      Seq("cohort_date", "day_offset", "n_active") && cr.count() == 0)
+    val noTyped = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(Funnel.conversionLatency(noTyped, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).count() == 0)
+  }
+
   test("degenerate key distributions: two-level ranks survive all-equal sort keys") {
     // every doc identical -> one __k value -> ONE range bucket; ranks must
     // still be the (key, id) permutation and thirds exact

@@ -178,6 +178,24 @@ class EtlOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap == Map(1L -> "a2", 2L -> "b"))
   }
 
+  test("cohortRetention: first-activity cohorts, exact distinct-active counts by hand") {
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00")
+    // u1 joins day 1, active days 1, 2, 4 (two events on day 1 count once);
+    // u2 joins day 2, active day 2 only
+    val e = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 18)), (1L, ts(2, 9)), (1L, ts(4, 9)),
+      (2L, ts(2, 9)))
+      .toDF("user_id", "ts")
+    val out = graft.operators.EventOps.cohortRetention(e, "user_id", "ts")
+      .orderBy("cohort_date", "day_offset").collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_date").toString,
+        r.getAs[Long]("day_offset"), r.getAs[Long]("n_active"))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
   test("twap: duration-weighted by hand; single-event key NULL") {
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
     // u1: 10 held 60s, 20 held 30s, 99 unobserved -> (600+600)/90 = 13.3...

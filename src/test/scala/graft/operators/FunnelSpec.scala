@@ -43,6 +43,31 @@ class FunnelSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("pct_of_first"))))
   }
 
+  test("conversionLatency: exact rank-select percentiles by hand; empty when nobody converts") {
+    // three completed chains with latencies 10, 20, 30 MINUTES; one stuck
+    val e = Seq(
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(10), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(5), "click"), (2L, ts(20), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(5), "click"), (3L, ts(30), "purchase"),
+      (4L, ts(0), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.conversionLatency(e, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val minuteUs = 60L * 1000000L
+    assert(r.getAs[Long]("n_converted") == 3L)
+    assert(r.getAs[Long]("min_us") == 10L * minuteUs)
+    // median = rank ceil(3/2) = 2 -> 20 min; p90 = rank ceil(27/10) = 3 -> 30
+    assert(r.getAs[Long]("median_us") == 20L * minuteUs)
+    assert(r.getAs[Long]("p90_us") == 30L * minuteUs)
+    assert(r.getAs[Long]("max_us") == 30L * minuteUs)
+    // nobody converts -> EMPTY frame (no median of nothing), never a throw
+    val stuck = Seq((1L, ts(0), "view")).toDF("user_id", "ts", "event_type")
+    assert(Funnel.conversionLatency(stuck, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).count() == 0L)
+  }
+
   test("whole funnel rides ONE exchange on the user key") {
     val plan = Funnel.userSteps(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
