@@ -91,10 +91,17 @@ object UrlOps {
     * hosts per-partition before the exchange.
     */
   def hostRollup(df: DataFrame, urlCol: String, textCol: String,
-                 minMeanQuality: Double): DataFrame = {
+                 minMeanQuality: Double): DataFrame =
+    blockVerdict(hostPartials(df, urlCol, textCol), minMeanQuality)
+
+  /** The rollup's partial sums only — (host, n_docs, n_tokens,
+    * quality_micro_sum), every column additive, which is what makes the
+    * incremental/exactly-once path below exact by construction.
+    */
+  private def hostPartials(df: DataFrame, urlCol: String,
+                           textCol: String): DataFrame = {
     val qMicro = round(TextOps.qualityScore(col(textCol)) * lit(1000000L), 0)
       .cast("long")
-    val minQMicro = math.round(minMeanQuality * 1000000L)
     df.select(urlHost(canonicalizeUrl(col(urlCol))).as("host"),
         TextOps.nWords(col(textCol)).cast("long").as("__nw"),
         qMicro.as("__q"))
@@ -102,7 +109,41 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__nw")).as("n_tokens"),
         sum(col("__q")).as("quality_micro_sum"))
-      .withColumn("blocked",
-        col("quality_micro_sum") < col("n_docs") * lit(minQMicro))
   }
+
+  private def blockVerdict(partials: DataFrame,
+                           minMeanQuality: Double): DataFrame =
+    partials.withColumn("blocked",
+      col("quality_micro_sum") <
+        col("n_docs") * lit(math.round(minMeanQuality * 1000000L)))
+
+  /** EXACTLY-ONCE incremental host rollup — the ds-series contract applied
+    * to the blocklist table (a crawl ingests continuously; re-ranking the
+    * whole corpus per batch is the anti-pattern): each micro-batch lands
+    * its OWN hosts' partial sums by partition-replace on `ingest_batch`,
+    * so a retried batch rewrites identical rows and replay changes
+    * nothing. Serve = one more groupBy summing the committed partials —
+    * exact because every rollup column is ADDITIVE (counts, token sums,
+    * quality micro-mass), so batch-partitioned partials merge to precisely
+    * the from-scratch rollup; the verdict recomputes on merged sums (a
+    * host can cross the block threshold in either direction as batches
+    * land — verdicts must never be merged, only derived).
+    */
+  def hostRollupIngestBatch(batch: DataFrame, batchId: Long, statePath: String,
+                            urlCol: String, textCol: String): Unit =
+    graft.sources.Sinks.overwriteRunPartition(
+      hostPartials(batch, urlCol, textCol)
+        .withColumn("ingest_batch", lit(batchId)),
+      statePath, "ingest_batch")
+
+  /** The committed blocklist table: merged partials + the block verdict. */
+  def servedHostRollup(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String, minMeanQuality: Double): DataFrame =
+    blockVerdict(
+      spark.read.parquet(statePath)
+        .groupBy(col("host"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("quality_micro_sum")).as("quality_micro_sum")),
+      minMeanQuality)
 }

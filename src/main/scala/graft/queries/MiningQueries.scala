@@ -25,14 +25,31 @@ object MiningQueries {
     s"""CAST(list_dot_product($a, $b) AS DOUBLE) /
        |    nullif(sqrt(CAST(list_dot_product($a, $a) AS DOUBLE)) * sqrt(CAST(list_dot_product($b, $b) AS DOUBLE)), 0.0)""".stripMargin
 
-  /** One direction of the b1 persisted-IVF-PQ serve, relationally — the
+  /** One direction of the b1/b2 persisted-IVF-PQ serve, relationally — the
     * s19/ds3 chain (seeded first-16 centroids + first-16 PQ seeds, m = 8
     * subspaces of 8 dims, ADC distances, nProbe = 4) parameterized by the
     * base (indexed) and query sets, ending at `sl$t (qid, nid)`: the
-    * top-4-by-(d2, nid) shortlist per query. Shares `v` and the exploded
+    * top-`adcK`-by-(d2, nid) ADC shortlist per query, optionally reranked
+    * by EXACT cosine to the top-`refineK` (the s17/s20 refine tail —
+    * searchIvfPqRefine's relational twin). Shares `v` and the exploded
     * subvector relation `e` across directions.
     */
-  private def ivfDirCtes(t: String, baseWhere: String, queryWhere: String): String =
+  private def ivfDirCtes(t: String, baseWhere: String, queryWhere: String,
+                         adcK: Int = 4, refineK: Int = 0): String = {
+    val adcName = if (refineK > 0) s"adc$t" else s"sl$t"
+    val refineTail =
+      if (refineK == 0) ""
+      else s""",
+         |sl$t AS (SELECT qid, nid FROM (SELECT a.qid, a.nid,
+         |    ROW_NUMBER() OVER (PARTITION BY a.qid
+         |      ORDER BY ${sqlCosine("qa.qv", "nb.qv")} DESC, a.nid) AS r
+         |  FROM adc$t a JOIN v qa ON qa.sid = a.qid
+         |  JOIN v nb ON nb.sid = a.nid) WHERE r <= $refineK)""".stripMargin
+    ivfDirCtesCore(t, baseWhere, queryWhere, adcK, adcName) + refineTail
+  }
+
+  private def ivfDirCtesCore(t: String, baseWhere: String, queryWhere: String,
+                             adcK: Int, slName: String): String =
     s"""base$t AS (SELECT sid, qv FROM v WHERE $baseWhere),
        |qset$t AS (SELECT sid, qv FROM v WHERE $queryWhere),
        |cent$t AS (SELECT sid AS cid, qv AS cv FROM base$t ORDER BY sid LIMIT 16),
@@ -60,9 +77,9 @@ object MiningQueries {
        |  FROM probes$t p JOIN members$t mem ON p.cid = mem.cid
        |  JOIN a$t qa ON qa.sid = p.qid AND qa.m = mem.m AND qa.code = mem.code
        |  GROUP BY 1, 2),
-       |sl$t AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |$slName AS (SELECT qid, nid FROM (SELECT qid, nid,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS r
-       |  FROM dist$t) WHERE r <= 4)""".stripMargin
+       |  FROM dist$t) WHERE r <= $adcK)""".stripMargin
 
   /** Margin scoring over one direction's shortlist: exact integer
     * micro-cosines of the shortlist pairs (zero-norm rows drop — NULL
@@ -75,13 +92,13 @@ object MiningQueries {
        |  FROM $sl s JOIN v qa ON qa.sid = s.qid JOIN v nb ON nb.sid = s.nid)
        |  WHERE cmicro IS NOT NULL)""".stripMargin
 
-  private val b1Oracle: String =
+  private def bitextOracle(adcK: Int, refineK: Int): String =
     s"""WITH $quantVecCte,
        |e AS MATERIALIZED (SELECT sid, qv[pos] AS q,
        |    ((pos - 1) // 8) AS m, ((pos - 1) % 8) AS j
        |  FROM v, unnest(generate_series(1, 64)) AS t(pos)),
-       |${ivfDirCtes("f", "sid % 2 = 1", "sid % 2 = 0")},
-       |${ivfDirCtes("b", "sid % 2 = 0", "sid % 2 = 1")},
+       |${ivfDirCtes("f", "sid % 2 = 1", "sid % 2 = 0", adcK, refineK)},
+       |${ivfDirCtes("b", "sid % 2 = 0", "sid % 2 = 1", adcK, refineK)},
        |${microCosCte("fcos", "slf", "s.qid", "s.nid")},
        |${microCosCte("bcos", "slb", "s.nid", "s.qid")},
        |fstat AS (SELECT src_id, CAST(SUM(cmicro) AS BIGINT) AS fsum,
@@ -98,6 +115,9 @@ object MiningQueries {
        |    ROW_NUMBER() OVER (PARTITION BY src_id
        |      ORDER BY margin DESC NULLS LAST, tgt_id) AS rn
        |  FROM cand) WHERE rn = 1 ORDER BY src_id""".stripMargin
+
+  private val b1Oracle: String = bitextOracle(adcK = 4, refineK = 0)
+  private val b2Oracle: String = bitextOracle(adcK = 16, refineK = 4)
 
   /** Deterministic messy-URL synthesis over `documents` — built by the SAME
     * expression on both sides, so the canonicalizer (not the generator) is
@@ -281,6 +301,34 @@ object MiningQueries {
         .orderBy(col("src_id"))
     },
 
+    // BITEXT MINING, REFINE-SERVED (the recommended serve configuration —
+    // the s20 pattern applied to b1): each direction's ADC chain proposes
+    // a top-16 shortlist from persisted m-byte codes, ONLY those pairs are
+    // scored against full vectors, and the exact-cosine top-4 becomes the
+    // margin neighborhood — better-quality k-NN means at the same
+    // index-served scale shape (refine cost = 16 dots per query,
+    // corpus-size-independent).
+    QueryDef("b2_bitext_refined", b2Oracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 =!= 0)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val nameF = "graft_ann_b2f_" + app
+      val nameB = "graft_ann_b2b_" + app
+      AnnIndex.writeIvfPq(tgt, "vec_id", "embedding", dim = 64, nCells = 16,
+        m = 8, k = 16, nameF, nBuckets = 8)
+      AnnIndex.writeIvfPq(src, "vec_id", "embedding", dim = 64, nCells = 16,
+        m = 8, k = 16, nameB, nBuckets = 8)
+      val fwd = AnnIndex.searchIvfPqRefine(src, emb, "vec_id", "embedding",
+        dim = 64, m = 8, nProbe = 4, shortlistK = 16, topK = 4, nameF)
+        .select("qid", "nid")
+      val bwd = AnnIndex.searchIvfPqRefine(tgt, emb, "vec_id", "embedding",
+        dim = 64, m = 8, nProbe = 4, shortlistK = 16, topK = 4, nameB)
+        .select("qid", "nid")
+      Bitext.minePairs(src, tgt, "vec_id", "embedding", fwd, bwd)
+        .orderBy(col("src_id"))
+    },
+
     // URL CANONICALIZATION + EXACT DEDUP (UrlOps.canonicalizeUrl +
     // canonicalDedup — the CommonCrawl stage-0): raw URLs are synthesized
     // deterministically (same expression both sides — see rawUrlSql's doc),
@@ -317,6 +365,43 @@ object MiningQueries {
       UrlOps.hostRollup(
           Tables.documents(s, d).withColumn("raw", rawUrlSpark),
           "raw", "text", minMeanQuality = 0.5)
+        .orderBy(col("host"))
+    },
+
+    // EXACTLY-ONCE INCREMENTAL HOST ROLLUP (UrlOps.hostRollupIngestBatch /
+    // servedHostRollup — the ds-series contract on the blocklist table):
+    // three doc batches land their ADDITIVE partial sums by
+    // partition-replace on ingest_batch, batch 1 is replayed mid-run (the
+    // injected-retry discipline, orchestration-only via Timing.overhead),
+    // and the serve merges committed partials + recomputes the verdict.
+    // The oracle is dp5's SQL VERBATIM through storage (the d33 pattern):
+    // batch boundaries, the retry, and the additive merge must be
+    // invisible in every value.
+    QueryDef(
+      "ds11_host_rollup_ingest",
+      s"""WITH u0 AS (SELECT doc_id, text, $rawUrlSql AS raw FROM documents),
+         |$canonicalCtes
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(round(($qualitySql) * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS quality_micro_sum,
+         |  CAST(SUM(CAST(round(($qualitySql) * 1000000) AS BIGINT)) AS BIGINT)
+         |    < CAST(COUNT(*) AS BIGINT) * CAST(500000 AS BIGINT) AS blocked
+         |FROM u5 GROUP BY 1 ORDER BY host""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("raw", rawUrlSpark)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_hosts_ds11_" + app
+      (0 to 2).foreach { b =>
+        graft.operators.UrlOps.hostRollupIngestBatch(
+          docs.filter(col("doc_id") % 3 === b), b.toLong, path, "raw", "text")
+      }
+      // injected retry: replay batch 1 after its write already landed
+      graft.core.Timing.overhead {
+        graft.operators.UrlOps.hostRollupIngestBatch(
+          docs.filter(col("doc_id") % 3 === 1), 1L, path, "raw", "text")
+      }
+      graft.operators.UrlOps.servedHostRollup(s, path, minMeanQuality = 0.5)
         .orderBy(col("host"))
     },
 

@@ -61,6 +61,30 @@ class UrlOpsSpec extends SparkSpec {
       Seq(("https://a.com/x", 3L, 2L), ("https://b.com/y", 7L, 1L)))
   }
 
+  test("hostRollupIngestBatch: replay-identity; verdict derives from merged sums") {
+    val junk = "@@@@ #### !!!! %%%%"
+    val good = ("the quick brown fox is on a table and " * 12).trim
+    val path = java.nio.file.Files.createTempDirectory("graft-hosts")
+      .toString + "/state"
+    val b0 = Seq((1L, "https://h.com/a", junk)).toDF("id", "url", "text")
+    val b1 = Seq((2L, "https://h.com/b", good), (3L, "https://h.com/c", good))
+      .toDF("id", "url", "text")
+    UrlOps.hostRollupIngestBatch(b0, 0L, path, "url", "text")
+    UrlOps.hostRollupIngestBatch(b1, 1L, path, "url", "text")
+    def serve() = UrlOps.servedHostRollup(spark, path, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val before = serve()
+    // injected retry: batch 1 replays after its write already landed
+    UrlOps.hostRollupIngestBatch(b1, 1L, path, "url", "text")
+    assert(serve() == before, "a replayed batch must change nothing")
+    // batch 0 ALONE is blocked (junk mean << 0.5), but the verdict must
+    // recompute on the MERGED sums: two good docs pull the mean back up
+    val row = UrlOps.servedHostRollup(spark, path, 0.5).collect().head
+    assert(row.getAs[Long]("n_docs") == 3L)
+    assert(!row.getAs[Boolean]("blocked"),
+      "verdict must derive from merged sums, never merge per-batch verdicts")
+  }
+
   test("hostRollup: exact counts and the cross-multiplied block verdict") {
     val junk = "@@@@ #### !!!! %%%%"            // punct-heavy: quality << 0.5
     val good = (("the quick brown fox is on a table and " * 12).trim)
