@@ -62,9 +62,16 @@ BOUNDED_BROADCAST_ALLOWLIST = {
     "e15_cohens_kappa": (1, "Union of two scalar-aggregate threshold arms"),
     # two-level bucket walk: the broadcast side joins two scalar aggregates
     "sk3_skew_report": (2, "broadcast join of scalar percentile cut rows"),
-    # bitext mining: two persisted-index serves (codebook constant tables)
-    # + margin-stat attach
-    "b1_bitext_mining": (2, "broadcast 16-seed codebook per direction"),
+    # bitext mining: per index serve, one BNLJ broadcasts the persisted
+    # CODEBOOK table — one packed row per index (array<array<array<bigint>>>,
+    # bounded by index params m x k), scanned from storage so the one-row
+    # proof isn't in the plan; the serve subtree appears 3x per query (fwd,
+    # bwd, and the stats reuse duplicate it)
+    "b1_bitext_mining": (3, "persisted one-row codebook table x3 serve subtrees"),
+    "b2_bitext_refined": (3, "persisted one-row codebook table x3 serve subtrees"),
+    # funnel latency percentiles: the sk3 shape — broadcast join of scalar
+    # percentile cut rows (median + p90 resolve)
+    "w16_funnel_latency": (2, "broadcast join of scalar percentile cut rows"),
 }
 
 PASS_THROUGH = {
