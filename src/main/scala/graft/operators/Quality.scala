@@ -1080,6 +1080,51 @@ object Quality {
         countDistinct(col(sensitiveCol)).as("l_div"))
   }
 
+  /** RECURSIVE (c, l)-diversity audit (Machanavajjhala et al. 2007,
+    * "ℓ-Diversity: Privacy Beyond k-Anonymity", §4.2) — the criterion
+    * distinct-l ([[kAnonymityAudit]]'s `l_diverse`) misses: a class can
+    * hold l distinct sensitive values yet be 99% ONE value, so an
+    * attacker's single guess is nearly certain. With per-class sensitive
+    * counts sorted descending r1 ≥ … ≥ rm, the class passes iff
+    * r1 < c·(r_l + … + r_m) — the most frequent value must not dominate
+    * the tail. c rides as the rational cNum/cDen so the verdict is a pure
+    * cross-multiplied INTEGER comparison; fewer than l distinct values
+    * fails by definition (empty tail coalesces to 0).
+    *
+    * Output: one row per equivalence class — (qi…, n_rows, m_values, r1,
+    * tail_sum, recursive_ok), class-count-sized.
+    *
+    * Scale shape: one (qi, sensitive) count aggregate, then the rank over
+    * each class's VALUE-COUNT table (bounded by per-class sensitive
+    * cardinality, and the rank filter is the w2 WindowGroupLimit shape —
+    * only r1 and the rank-≥-l tail are consumed), then one class-keyed
+    * aggregate. Rows never cross an exchange twice; ties in count break
+    * by sensitive value, and the verdict is tie-order-free anyway (equal
+    * counts contribute equal tail mass whichever side of rank l they
+    * land).
+    */
+  def recursiveLDiversity(df: DataFrame, qiCols: Seq[String],
+                          sensitiveCol: String, l: Int, cNum: Long,
+                          cDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"recursive (c, l)-diversity needs l >= 2, got $l")
+    require(cNum > 0 && cDen > 0, s"c must be positive: $cNum/$cDen")
+    val byClass = Window.partitionBy(qiCols.map(col): _*)
+      .orderBy(col("__cnt").desc, col(sensitiveCol).asc)
+    df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(byClass))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("n_rows"),
+        count(lit(1)).as("m_values"),
+        max(when(col("__rn") === 1, col("__cnt"))).as("r1"),
+        coalesce(sum(when(col("__rn") >= l, col("__cnt"))), lit(0L))
+          .as("tail_sum"))
+      .withColumn("recursive_ok",
+        col("tail_sum") * lit(cNum) > col("r1") * lit(cDen))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
     * problem with n samples of which c pass,
     * pass@k = 1 − C(n−c, k)/C(n, k) — the probability that at least one

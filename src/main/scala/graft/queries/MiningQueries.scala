@@ -405,6 +405,35 @@ object MiningQueries {
         .orderBy(col("host"))
     },
 
+    // RECURSIVE (c, l)-DIVERSITY audit (Quality.recursiveLDiversity —
+    // Machanavajjhala et al. 2007 §4.2, the criterion dp3's distinct-l
+    // misses: l distinct sensitive values with one at 99% still discloses).
+    // Per class, r1 < c·(r_l+…+r_m) as a pure cross-multiplied integer
+    // comparison (c = 2/1, l = 3 over dp3's QI/sensitive columns); fewer
+    // than l values fails by definition (tail coalesces to 0).
+    QueryDef(
+      "dp6_recursive_l_diversity",
+      """WITH vc AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS vb,
+        |    user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, vb
+        |    ORDER BY cnt DESC, user_id) AS rn FROM vc),
+        |cls AS (SELECT event_type, vb, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS m_values,
+        |    CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS r1,
+        |    CAST(COALESCE(SUM(CASE WHEN rn >= 3 THEN cnt END), 0) AS BIGINT)
+        |      AS tail_sum
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT event_type, vb, n_rows, m_values, r1, tail_sum,
+        |  tail_sum * CAST(2 AS BIGINT) > r1 * CAST(1 AS BIGINT) AS recursive_ok
+        |FROM cls ORDER BY event_type, vb""".stripMargin) { (s, d) =>
+      graft.operators.Quality.recursiveLDiversity(
+          Tables.events(s, d)
+            .withColumn("vb", floor(col("value")).cast("long")),
+          Seq("event_type", "vb"), "user_id", l = 3, cNum = 2L, cDen = 1L)
+        .orderBy(col("event_type"), col("vb"))
+    },
+
     // COHORT RETENTION matrix (EventOps.cohortRetention): users cohorted
     // by first-activity date, exact distinct-active counts per
     // (cohort_date, day_offset) — one distinct + one user-keyed window +

@@ -710,4 +710,109 @@ class PropertySpec extends AnyFunSuite {
         s"quotas not met exactly: $sums (na=$na nb=$nb total=$total)")
     }
   }
+
+  /** Arbitrary absolute URLs from a grammar wide enough to hit every
+    * canonicalization rule: mixed-case schemes/hosts, default and explicit
+    * ports, 0-3 path segments with 0-2 trailing slashes, shuffled
+    * tracking + content params (with and without values), fragments.
+    */
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTtPs", "ftp")
+    host <- Gen.oneOf("Example.COM", "a.b.example.org", "HOST7.net")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    segs <- Gen.choose(0, 3)
+    path <- Gen.listOfN(segs, Gen.oneOf("Docs", "a", "x1", "UPPER"))
+      .map(ps => if (ps.isEmpty) "" else ps.mkString("/", "/", ""))
+    slashes <- Gen.oneOf("", "/", "//")
+    params <- Gen.someOf("a=1", "b=2", "Z=9", "utm_source=x", "utm_c",
+      "fbclid=abc", "gclid=7", "flag")
+    frag <- Gen.oneOf("", "#top", "#Sec-2")
+  } yield s"$scheme://$host$port$path$slashes" +
+    (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+
+  test("URL canonicalization: idempotent, tracking-param and param-order insensitive") {
+    forAllSamples(Gen.listOfN(24, urlGen), 4) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "u")
+      val canon = df.select($"id",
+          graft.operators.UrlOps.canonicalizeUrl($"u").as("c"))
+        .as[(Long, String)].collect().toMap
+      // idempotence: canonicalize(canonicalize(u)) == canonicalize(u)
+      val again = df.select($"id", graft.operators.UrlOps.canonicalizeUrl(
+          graft.operators.UrlOps.canonicalizeUrl($"u")).as("c"))
+        .as[(Long, String)].collect().toMap
+      assert(again == canon, s"not idempotent on: ${urls.mkString(", ")}")
+      // no canonical form retains a fragment or a tracking param
+      canon.values.foreach { c =>
+        assert(!c.contains("#") && !c.contains("utm_") &&
+          !c.contains("fbclid") && !c.contains("gclid"), c)
+      }
+      // param ORDER insensitivity: reverse the query string's params
+      val reversed = urls.zipWithIndex.map { case (u, i) =>
+        val (pre, q) = u.indexOf('?') match {
+          case -1 => (u, "")
+          case at =>
+            val frag = u.indexOf('#', at)
+            if (frag == -1) (u.substring(0, at), u.substring(at + 1))
+            else (u.substring(0, at) + u.substring(frag),
+              u.substring(at + 1, frag))
+        }
+        val rev = if (q.isEmpty) pre else {
+          val (head, tail) = pre.indexOf('#') match {
+            case -1 => (pre, "")
+            case f => (pre.substring(0, f), pre.substring(f))
+          }
+          head + "?" + q.split("&").reverse.mkString("&") + tail
+        }
+        (i.toLong, rev)
+      }.toDF("id", "u")
+      val revCanon = reversed.select($"id",
+          graft.operators.UrlOps.canonicalizeUrl($"u").as("c"))
+        .as[(Long, String)].collect().toMap
+      assert(revCanon == canon, "param order leaked into the canonical form")
+    }
+  }
+
+  test("paragraphDedup: rebuilt text is a fixpoint, counts consistent, order preserved") {
+    val paraGen: Gen[(String, String)] = for {
+      sep <- Gen.oneOf("|", "\n", " :: ")
+      paras <- Gen.nonEmptyListOf(Gen.oneOf("a b", "a  b", " a b ", "c",
+        "A b", "", "d e f")).map(_.take(8))
+    } yield (paras.mkString(sep), sep)
+    forAllSamples(Gen.listOfN(16, paraGen), 3) { docs =>
+      docs.groupBy(_._2).foreach { case (sep, group) =>
+        val df = group.zipWithIndex
+          .map { case ((t, _), i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val out = graft.operators.TextOps
+          .paragraphDedup(df, "doc_id", "text", sep)
+          .collect().map(r => r.getAs[Long]("sid") ->
+            (r.getAs[String]("text_dedup"), r.getAs[Long]("n_paras"),
+              r.getAs[Long]("n_kept"))).toMap
+        out.foreach { case (_, (_, np, nk)) => assert(nk >= 1 && nk <= np) }
+        // fixpoint: deduping the rebuilt text changes nothing
+        val df2 = out.toSeq.map { case (id, (t, _, _)) => (id, t) }
+          .toDF("doc_id", "text")
+        val out2 = graft.operators.TextOps
+          .paragraphDedup(df2, "doc_id", "text", sep)
+          .collect().map(r => r.getAs[Long]("sid") ->
+            r.getAs[String]("text_dedup")).toMap
+        out.foreach { case (id, (t, _, _)) =>
+          assert(out2(id) == t, s"not a fixpoint (sep='$sep'): '$t'")
+        }
+        // order preserved: kept paragraphs appear in original relative order
+        group.zipWithIndex.foreach { case ((t, _), i) =>
+          val orig = t.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+          val kept = out(i.toLong)._1
+            .split(java.util.regex.Pattern.quote(sep), -1).toSeq
+          // kept must be a subsequence of orig
+          var j = 0
+          kept.foreach { k =>
+            j = orig.indexOf(k, j)
+            assert(j >= 0, s"'$k' out of order in '$t' (sep='$sep')")
+            j += 1
+          }
+        }
+      }
+    }
+  }
 }

@@ -643,4 +643,31 @@ class QualitySpec extends SparkSpec {
     val p5 = out.find(_._1 == "p5").get
     assert(p5._5.isEmpty && p5._6.isEmpty && p5._4 == expect(3, 1, 1))
   }
+
+  test("recursiveLDiversity: dominance fails, balanced passes, thin-tail fails by definition") {
+    // class A: 9/1/1 — three DISTINCT values (distinct-l passes!) but one
+    // value dominates: r1=9, tail=r3=1 -> 1·2 > 9·1 false -> NOT ok
+    // class B: 3/3/3 — balanced: r1=3, tail=3 -> 6 > 3 -> ok
+    // class C: 5/5 over two values — m < l, empty tail -> NOT ok
+    val rows =
+      (1 to 9).map(i => ("A", 101L)) ++ Seq(("A", 102L), ("A", 103L)) ++
+        (1 to 3).flatMap(_ => Seq(("B", 201L), ("B", 202L), ("B", 203L))) ++
+        (1 to 5).flatMap(_ => Seq(("C", 301L), ("C", 302L)))
+    val df = rows.toDF("qi", "uid")
+    val out = Quality.recursiveLDiversity(df, Seq("qi"), "uid",
+        l = 3, cNum = 2L, cDen = 1L)
+      .orderBy("qi").collect()
+      .map(r => (r.getAs[String]("qi"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("m_values"), r.getAs[Long]("r1"),
+        r.getAs[Long]("tail_sum"), r.getAs[Boolean]("recursive_ok")))
+    assert(out.toSeq == Seq(
+      ("A", 11L, 3L, 9L, 1L, false),
+      ("B", 9L, 3L, 3L, 3L, true),
+      ("C", 10L, 2L, 5L, 0L, false)))
+    // and the contrast that motivates the operator: distinct-l CALLS A fine
+    val distinct = Quality.kAnonymityAudit(df.filter($"qi" === "A"),
+      Seq("qi"), "uid", k = 2, l = 3).collect().head
+    assert(distinct.getAs[Boolean]("l_diverse"),
+      "fixture drifted: class A should pass distinct-l while failing (c,l)")
+  }
 }
