@@ -265,7 +265,7 @@ object Bench {
     "s1", "s2", "s3", "s4", "s5_knn", "s6", "s7", "s8", "s9", "s10",
     "s11", "s12", "s13", "s14", "s15", "s16", "s17", "s18", "s19",
     "s20", "s21", "s22", "s23", "d8", "d11", "d19", "d20", "e1",
-    "sm10", "ds3", "r1", "e2", "e3", "ds8", "b1", "b2")
+    "sm10", "ds3", "r1", "e2", "e3", "ds8", "b1", "b2", "s26")
   private[graft] def dataFactor(name: String): Double =
     if (EmbeddingsFamily.exists(p => name == p || name.startsWith(p + "_")))
       4.0 else 10.0

@@ -82,6 +82,38 @@ object EventOps {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** DAU / WAU / MAU stickiness per activity day — the other engagement
+    * dashboard staple beside [[cohortRetention]]: for every day with
+    * activity, the exact distinct users active that day, in the trailing
+    * 7 days, and in the trailing 30 days, plus stickiness = DAU/MAU
+    * (round-6, the one float). Exact rolling distincts, not sketches
+    * (ax6 is the approximate twin).
+    *
+    * Scale shape: each distinct (user, day) activity row EXPLODES to the
+    * ≤30 future days it supports and the rolling distincts become plain
+    * keyed aggregates — a documented constant 30x fan-out of the
+    * user-DAY table (already distinct-collapsed, orders of magnitude
+    * under the event table), in exchange for ZERO self-joins and no
+    * per-day distinct scans. Output is calendar-sized.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("__u"), col(tsCol).cast("date").as("d"))
+      .distinct()
+    def rolling(window: Int, as: String): DataFrame = days
+      .select(col("__u"), col("d"),
+        explode(sequence(lit(0), lit(window - 1))).as("__o"))
+      .withColumn("t", expr("date_add(d, __o)"))
+      .select(col("__u"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as(as))
+    val dau = days.groupBy(col("d").as("t")).agg(count(lit(1)).as("dau"))
+    dau.join(rolling(7, "wau"), Seq("t"))
+      .join(rolling(30, "mau"), Seq("t"))
+      .select(col("t").as("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** TIME-WEIGHTED average value per key (w13 — the TWAP/sensor-mean
     * every irregular time series needs: a value that held for 50 minutes
     * must outweigh one that held for 10 seconds, which the plain mean

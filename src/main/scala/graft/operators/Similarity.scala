@@ -142,6 +142,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MATRYOSHKA truncation-quality eval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning", NeurIPS — arXiv:2205.13147): recall of
+    * PREFIX-truncated embeddings against the full-dimension exact top-k,
+    * the measurement that decides how many dimensions the ANN index
+    * actually needs (MRL-trained models keep most recall at 1/4 the
+    * dims — 4x less index memory and bandwidth). Per (query, dim):
+    * n_hits = |top-k by dims-prefix cosine ∩ top-k by full cosine| —
+    * exact integers, k bounds every row.
+    *
+    * Scale shape: one [[bruteForceTopK]] per dim over the SAME broadcast
+    * query batch (the s1/s16 recall-harness posture — query batches are
+    * small by contract; the corpus streams once per arm and never
+    * shuffles); the intersection is a (qid, nid) equi-join of k-row
+    * frames.
+    */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims: $dims")
+    def top(dim: Int, q: String, n: String): DataFrame = {
+      def trunc(df: DataFrame) =
+        df.select(col(idCol), slice(col(vecCol), 1, dim).as(vecCol))
+      bruteForceTopK(trunc(queries), trunc(corpus), idCol, vecCol, k)
+        .select(col("qid").as(q), col("nid").as(n))
+    }
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("qid").as("__fq"), col("nid").as("__fn"))
+    dims.map { dim =>
+      // LEFT join so a zero-overlap query still reports n_hits = 0 (its k
+      // candidate rows all survive the join with NULL match markers)
+      top(dim, "qid", "nid")
+        .join(full, col("qid") === col("__fq") && col("nid") === col("__fn"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(col("__fn")).as("n_hits"))
+        .select(col("qid"), lit(dim.toLong).as("dim"), col("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
   /** HARD-NEGATIVE mining for contrastive retrieval training: per query
     * vector, the k most-similar corpus vectors with a DIFFERENT label —
     * the highest-cosine wrong-label neighbors are the negatives that

@@ -405,6 +405,68 @@ object MiningQueries {
         .orderBy(col("host"))
     },
 
+    // MATRYOSHKA truncation recall (Similarity.matryoshkaRecall — MRL,
+    // Kusupati et al. 2022): per query, |top-5 by 16/32-dim PREFIX cosine
+    // ∩ top-5 by full 64-dim cosine| — the measurement that decides how
+    // few dimensions the ANN index can serve. Exact integers; one
+    // broadcast-query brute-force arm per dim (the s16 recall-harness
+    // posture), intersections by (qid, nid) equi-join.
+    QueryDef(
+      "s26_matryoshka_recall",
+      { def arm(name: String, d: String) =
+          s"""$name AS (SELECT qid, nid FROM (
+             |  SELECT q.sid AS qid, c.sid AS nid,
+             |    ROW_NUMBER() OVER (PARTITION BY q.sid
+             |      ORDER BY ${sqlCosine(s"q.qv$d", s"c.qv$d")} DESC NULLS LAST,
+             |        c.sid) AS r
+             |  FROM (SELECT sid, qv FROM v WHERE sid < 8) q
+             |  CROSS JOIN (SELECT sid, qv FROM v WHERE sid >= 8) c)
+             |  WHERE r <= 5)""".stripMargin
+        s"""WITH $quantVecCte,
+           |${arm("t16", "[1:16]")},
+           |${arm("t32", "[1:32]")},
+           |${arm("t64", "")}
+           |SELECT qid, dim, n_hits FROM (
+           |  SELECT a.qid, CAST(16 AS BIGINT) AS dim,
+           |    CAST(COUNT(f.nid) AS BIGINT) AS n_hits
+           |  FROM t16 a LEFT JOIN t64 f ON a.qid = f.qid AND a.nid = f.nid
+           |  GROUP BY 1
+           |  UNION ALL
+           |  SELECT a.qid, CAST(32 AS BIGINT), CAST(COUNT(f.nid) AS BIGINT)
+           |  FROM t32 a LEFT JOIN t64 f ON a.qid = f.qid AND a.nid = f.nid
+           |  GROUP BY 1)
+           |ORDER BY dim, qid""".stripMargin }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.matryoshkaRecall(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+          "vec_id", "embedding", dims = Seq(16, 32), k = 5)
+        .orderBy(col("dim"), col("qid"))
+    },
+
+    // DAU/WAU/MAU STICKINESS (EventOps.stickiness): exact rolling distinct
+    // actives per day via a documented 30x explode of the DISTINCT
+    // user-day table (zero self-joins, plain keyed counts; ax6 is the
+    // sketch twin). Stickiness = DAU/MAU, the one round-6 float.
+    QueryDef(
+      "w17_stickiness",
+      """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM days GROUP BY 1),
+        |wau AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+        |  SELECT DISTINCT u, d + CAST(o AS INTEGER) AS t
+        |  FROM days, unnest(generate_series(0, 6)) AS g(o)) GROUP BY 1),
+        |mau AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS mau FROM (
+        |  SELECT DISTINCT u, d + CAST(o AS INTEGER) AS t
+        |  FROM days, unnest(generate_series(0, 29)) AS g(o)) GROUP BY 1)
+        |SELECT dau.t AS day, dau, wau, mau,
+        |  round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON wau.t = dau.t JOIN mau ON mau.t = dau.t
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      graft.operators.EventOps.stickiness(Tables.events(s, d), "user_id", "ts")
+        .orderBy(col("day"))
+    },
+
     // RECURSIVE (c, l)-DIVERSITY audit (Quality.recursiveLDiversity —
     // Machanavajjhala et al. 2007 §4.2, the criterion dp3's distinct-l
     // misses: l distinct sensitive values with one at 99% still discloses).

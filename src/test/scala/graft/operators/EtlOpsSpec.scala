@@ -196,6 +196,21 @@ class EtlOpsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)))
   }
 
+  test("stickiness: exact rolling distincts by hand; DAU/MAU ratio") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day 09:00:00")
+    // u1 active days 1 and 2 (twice on day 1 — counts once); u2 day 1 only
+    val e = Seq((1L, ts(1)), (1L, ts(1)), (1L, ts(2)), (2L, ts(1)))
+      .toDF("user_id", "ts")
+    val out = graft.operators.EventOps.stickiness(e, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+        r.getAs[Double]("stickiness")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 2L, 0.5)))
+  }
+
   test("twap: duration-weighted by hand; single-event key NULL") {
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
     // u1: 10 held 60s, 20 held 30s, 99 unobserved -> (600+600)/90 = 13.3...

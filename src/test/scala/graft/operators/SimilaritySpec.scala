@@ -951,4 +951,34 @@ class SimilaritySpec extends SparkSpec {
     // but a constant sig collapses to nid-order) falls far below
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
+
+  test("matryoshkaRecall: planted prefix-vs-full divergence by hand; zero-overlap reports 0") {
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val qs = Seq((1L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    // c11's mass lives in the TRUNCATED dims: prefix-2 sees a perfect
+    // match, full cosine ranks it below c12
+    val corpus = Seq(
+      (10L, vec(1, 0, 0, 0)),      // full 1.0, prefix-2 1.0
+      (11L, vec(0.6, 0, 0.8, 0)),  // full 0.6, prefix-2 1.0
+      (12L, vec(0.8, 0.6, 0, 0)))  // full 0.8, prefix-2 0.8
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(qs, corpus, "vec_id", "embedding",
+        dims = Seq(2, 4), k = 2)
+      .collect().map(r => r.getAs[Long]("dim") -> r.getAs[Long]("n_hits"))
+      .toMap
+    // full top-2 = {10, 12}; prefix-2 top-2 = {10, 11} (tie 1.0/1.0 by nid)
+    assert(out(2L) == 1L, out.toString)
+    assert(out(4L) == 2L, out.toString) // full-width arm is a sanity row
+    // a degenerate prefix (dim 1 of a zero-first-component query: every
+    // truncated cosine NULL) must still report a row per query, never drop it
+    val qs2 = Seq((1L, vec(0, 1, 0.01, 0))).toDF("vec_id", "embedding")
+    val corpus2 = Seq(
+      (10L, vec(0, 1, 0, 0)), (11L, vec(0.01, 0.9, 0, 0)),
+      (12L, vec(-1, -1, 1, 0)), (13L, vec(-1, -0.5, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.matryoshkaRecall(qs2, corpus2, "vec_id", "embedding",
+        dims = Seq(1), k = 2)
+      .filter($"dim" === 1L).collect()
+    assert(z.length == 1, "degenerate-prefix query must still report a row")
+  }
 }
