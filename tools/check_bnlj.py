@@ -36,6 +36,7 @@ BOUNDED_BROADCAST_ALLOWLIST = {
     "s8_pq_adc_knn": (1, "broadcast query batch + 16-seed codebook chain"),
     "s11_pq_trained": (1, "broadcast query batch + trained codebook chain"),
     "s16_ann_recall": (12, "per-method recall harness: broadcast query batch per arm"),
+    "s26_matryoshka_recall": (4, "broadcast 8-row query batch per truncation arm"),
     "s19_ivfpq_persisted": (1, "broadcast 8-row query batch over persisted index"),
     "s20_ivfpq_persisted_refine": (1, "broadcast 8-row query batch"),
     "s23_ivfpq_deleted": (1, "broadcast 8-row query batch"),
