@@ -87,6 +87,28 @@ object TextOps {
     df.select(col(idCol).as("sid"),
       explode(graft.plans.WinnowLong.winnowLong(col(textCol), k, w)).as("fp"))
 
+  /** TOKENIZER FERTILITY / compression by language — the table a
+    * multilingual budget plan reads before fixing per-language token
+    * quotas: bytes and whitespace-words per BPE-ish token, per language
+    * (fertility varies 2-4x across scripts, so an equal-TOKEN mix is a
+    * very unequal BYTE mix). Counts are exact longs; the two ratios are
+    * one double division each under round-6. ONE map-side-combinable
+    * aggregate over one scan.
+    */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame, langCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
+        sum(nWords(col(textCol)).cast("long")).as("n_words"),
+        sum(bpeishTokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("bytes_per_token",
+        round(col("n_bytes").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), 6))
+      .withColumn("words_per_token",
+        round(col("n_words").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), 6))
+
   /** Within-document paragraph dedup-and-rebuild (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1
     * repetition REMOVAL — the operator t13's signals only measure):

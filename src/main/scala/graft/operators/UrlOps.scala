@@ -136,6 +136,29 @@ object UrlOps {
         .withColumn("ingest_batch", lit(batchId)),
       statePath, "ingest_batch")
 
+  /** PII DENSITY per host — the compliance column of the blocklist
+    * decision table: exact counts of email/URL/phone matches (the t8
+    * patterns) per canonical host, with the risk verdict as a
+    * cross-multiplied integer comparison against a per-million-tokens
+    * budget (n_pii · 10^6 > n_tokens · maxPerMillionTokens) — no float
+    * division. Same one-exchange map-side-combinable shape as
+    * [[hostRollup]].
+    */
+  def piiByHost(df: DataFrame, urlCol: String, textCol: String,
+                maxPerMillionTokens: Long): DataFrame = {
+    val nPii = (TextOps.piiCount(col(textCol), TextOps.emailRe) +
+      TextOps.piiCount(col(textCol), TextOps.urlRe) +
+      TextOps.piiCount(col(textCol), TextOps.phoneRe)).cast("long")
+    df.select(urlHost(canonicalizeUrl(col(urlCol))).as("host"),
+        TextOps.nWords(col(textCol)).cast("long").as("__nw"), nPii.as("__p"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_tokens"),
+        sum(col("__p")).as("n_pii"))
+      .withColumn("pii_risky",
+        col("n_pii") * lit(1000000L) > col("n_tokens") * lit(maxPerMillionTokens))
+  }
+
   /** The committed blocklist table: merged partials + the block verdict. */
   def servedHostRollup(spark: org.apache.spark.sql.SparkSession,
                        statePath: String, minMeanQuality: Double): DataFrame =

@@ -467,6 +467,75 @@ object MiningQueries {
         .orderBy(col("day"))
     },
 
+    // TOKENIZER FERTILITY by language (TextOps.tokenizerFertility): exact
+    // bytes / whitespace-words / BPE-ish tokens per language and the two
+    // round-6 fertility ratios — the table a multilingual token-budget
+    // plan reads. One map-side-combinable aggregate over one scan.
+    QueryDef(
+      "t31_tokenizer_fertility",
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(regexp_extract_all(text, '${TextOps.bpeishPattern}')))
+         |    AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(strlen(text)) AS DOUBLE) /
+         |    nullif(CAST(SUM(len(regexp_extract_all(text, '${TextOps.bpeishPattern}')))
+         |      AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS bytes_per_token,
+         |  round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) /
+         |    nullif(CAST(SUM(len(regexp_extract_all(text, '${TextOps.bpeishPattern}')))
+         |      AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS words_per_token
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      TextOps.tokenizerFertility(Tables.documents(s, d), "lang", "text")
+        .orderBy(col("lang"))
+    },
+
+    // PII DENSITY per host (UrlOps.piiByHost — the compliance column of
+    // the blocklist table): t8's synthesized PII over d35's synthesized
+    // URLs, exact match counts per canonical host, risk verdict
+    // cross-multiplied against a 10000-per-million-tokens budget.
+    QueryDef(
+      "dp7_pii_by_host",
+      s"""WITH u0 AS (SELECT doc_id,
+         |    text || CASE doc_id % 5
+         |      WHEN 0 THEN ' contact bob' || doc_id || '@example.com now'
+         |      WHEN 1 THEN ' visit https://site' || doc_id || '.example.org/page'
+         |      WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      ELSE '' END AS text,
+         |    $rawUrlSql AS raw
+         |  FROM documents),
+         |$canonicalCtes
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '${TextOps.emailRe}'))
+         |    + len(regexp_extract_all(text, '${TextOps.urlRe}'))
+         |    + len(regexp_extract_all(text, '${TextOps.phoneRe}'))) AS BIGINT)
+         |    AS n_pii,
+         |  CAST(SUM(len(regexp_extract_all(text, '${TextOps.emailRe}'))
+         |    + len(regexp_extract_all(text, '${TextOps.urlRe}'))
+         |    + len(regexp_extract_all(text, '${TextOps.phoneRe}'))) AS BIGINT)
+         |    * CAST(1000000 AS BIGINT)
+         |    > CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |      * CAST(10000 AS BIGINT) AS pii_risky
+         |FROM u5 GROUP BY 1 ORDER BY host""".stripMargin) { (s, d) =>
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact bob"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit(" visit https://site"), col("doc_id").cast("string"),
+              lit(".example.org/page")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today")))
+          .otherwise(lit("")))
+      graft.operators.UrlOps.piiByHost(
+          Tables.documents(s, d).withColumn("raw", rawUrlSpark)
+            .withColumn("text", t2),
+          "raw", "text", maxPerMillionTokens = 10000L)
+        .orderBy(col("host"))
+    },
+
     // RECURSIVE (c, l)-DIVERSITY audit (Quality.recursiveLDiversity —
     // Machanavajjhala et al. 2007 §4.2, the criterion dp3's distinct-l
     // misses: l distinct sensitive values with one at 99% still discloses).

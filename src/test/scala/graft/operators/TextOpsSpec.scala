@@ -1240,6 +1240,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("tokenizerFertility: exact byte/word/token counts and ratios by hand") {
+    // "ab cd" = 5 bytes, 2 words, 2 bpe-ish tokens; "x, y" = 4 bytes,
+    // 2 words, 3 tokens (x | , | y)
+    val df = Seq((1L, "en", "ab cd"), (2L, "en", "x, y"), (3L, "de", ""))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.tokenizerFertility(df, "lang", "text")
+      .orderBy("lang").collect()
+    val de = out(0)
+    assert(de.getAs[Long]("n_tokens") == 0L)
+    assert(de.isNullAt(de.fieldIndex("bytes_per_token")), "0 tokens -> NULL ratio")
+    val en = out(1)
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("n_bytes") == 9L)
+    assert(en.getAs[Long]("n_words") == 4L)
+    assert(en.getAs[Long]("n_tokens") == 5L)
+    assert(en.getAs[Double]("bytes_per_token") == 1.8)
+    assert(en.getAs[Double]("words_per_token") == 0.8)
+  }
+
   test("paragraphDedup: keep-first after whitespace normalization, case significant") {
     val docs = Seq(
       (1L, "a  b|c|a b|A b|c"),   // 'a  b' ~ 'a b' (collapse); 'A b' distinct

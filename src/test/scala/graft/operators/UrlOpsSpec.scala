@@ -85,6 +85,25 @@ class UrlOpsSpec extends SparkSpec {
       "verdict must derive from merged sums, never merge per-batch verdicts")
   }
 
+  test("piiByHost: exact match counts and the cross-multiplied risk verdict") {
+    val dirty = "reach me at bob@example.com or 555-1234 via https://x.org/p"
+    val clean = ("token " * 99).trim + " end"     // 100 words, zero PII
+    val df = Seq(
+      (1L, "https://Dirty.com/a", dirty), (2L, "https://dirty.com/b", dirty),
+      (3L, "https://clean.com/a", clean))
+      .toDF("id", "url", "text")
+    val out = UrlOps.piiByHost(df, "url", "text",
+        maxPerMillionTokens = 10000L)
+      .orderBy("host").collect()
+    assert(out.map(_.getAs[String]("host")).toSeq ==
+      Seq("clean.com", "dirty.com"))
+    val d = out(1)
+    assert(d.getAs[Long]("n_pii") == 6L)   // 3 patterns x 2 docs
+    assert(d.getAs[Boolean]("pii_risky")) // 6e6 > 22 tokens x 1e4
+    assert(out(0).getAs[Long]("n_pii") == 0L)
+    assert(!out(0).getAs[Boolean]("pii_risky"))
+  }
+
   test("hostRollup: exact counts and the cross-multiplied block verdict") {
     val junk = "@@@@ #### !!!! %%%%"            // punct-heavy: quality << 0.5
     val good = (("the quick brown fox is on a table and " * 12).trim)
