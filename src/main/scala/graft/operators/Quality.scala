@@ -1125,6 +1125,58 @@ object Quality {
         col("tail_sum") * lit(cNum) > col("r1") * lit(cDen))
   }
 
+  /** FLEISS' KAPPA (Fleiss 1971 — chance-corrected agreement for a FIXED
+    * NUMBER of ratings per item from possibly-different raters; the
+    * multi-rater generalization of e15's two-rater Cohen):
+    *
+    *   P̄  = Σ_i Σ_c n_ic(n_ic−1) / (N·n·(n−1))   (observed agreement)
+    *   P̄e = Σ_c (m_c / (N·n))²                    (chance agreement)
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Every building block (A = Σ n_ic(n_ic−1), S = Σ m_c², D = N·n(n−1),
+    * M = N·n) is an EXACT integer aggregate, so κ is a fixed chain of
+    * IEEE ops over integer-valued doubles — identical on any engine,
+    * round-6 (cross-multiplying to one rational overflows a long at
+    * A·M² ~ 6·10^19 around 5·10^5 items, so unlike e15 the exact pieces
+    * ship as columns and κ ships as the one derived double). Items whose
+    * rating count differs from `n` FAIL LOUD — Fleiss is undefined there,
+    * and silently dropping them would bias P̄e.
+    *
+    * Scale shape: one (item, category) count, one item-keyed aggregate,
+    * one category-keyed aggregate, one global row — all
+    * map-side-combinable, no windows, no joins beyond two one-row
+    * scalar attaches.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, categoryCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"Fleiss' kappa needs n >= 2 ratings per item, got $n")
+    val nic = ratings.groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__nic"))
+    val perItem = nic.groupBy(col("__i"))
+      .agg(sum(col("__nic")).as("__ni"),
+        sum(col("__nic") * (col("__nic") - 1L)).as("__ai"))
+      .withColumn("__ai", when(col("__ni") =!= n.toLong,
+          raise_error(concat(lit(s"fleissKappa: item "),
+            col("__i").cast("string"),
+            lit(s" has "), col("__ni").cast("string"),
+            lit(s" ratings, expected $n — undefined; fix upstream"))))
+        .otherwise(col("__ai")))
+    val perCat = nic.groupBy(col("__c"))
+      .agg(sum(col("__nic")).as("__mc"))
+      .agg(sum(col("__mc") * col("__mc")).as("s_sum"))
+    val totals = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__ai")).as("a_sum"))
+    val m = col("n_items") * lit(n.toLong)            // M = N·n
+    val d = m * lit((n - 1).toLong)                   // D = N·n·(n−1)
+    val pbar = col("a_sum").cast("double") / nullif(d.cast("double"), lit(0.0))
+    val pe = col("s_sum").cast("double") /
+      nullif((m * m).cast("double"), lit(0.0))
+    totals.crossJoin(broadcast(perCat))
+      .select(col("n_items"), lit(n.toLong).as("n_raters"),
+        col("a_sum"), col("s_sum"),
+        round((pbar - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6).as("kappa"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
     * problem with n samples of which c pass,
     * pass@k = 1 − C(n−c, k)/C(n, k) — the probability that at least one

@@ -746,4 +746,32 @@ object Sampling {
       .withColumn("pos", col("__base") + row_number().over(w) - 1)
       .drop("__sk", "__bkt", "__base")
   }
+
+  /** MIX CONCENTRATION of a keyed corpus — Simpson's index (the
+    * probability two random rows share a key, drawn without replacement:
+    * D = Σ nᵢ(nᵢ−1) / (N(N−1)) — an exact RATIONAL, unlike Shannon
+    * entropy) and its reciprocal, the "effective number of keys" a
+    * balanced mix would need. The one-row concentration dial a source/
+    * language mix review reads before re-weighting: D → 1 means one key
+    * dominates; effective_keys ≪ n_keys quantifies how lopsided.
+    *
+    * Exactness: pair counts ride DECIMAL(38,0) (N² overflows a long at
+    * ~3·10^9 rows) and each output is ONE double division of exact
+    * integers, round-6, NULL when N < 2 (no pairs to draw). One keyed
+    * count + a one-row aggregate — map-side-combinable end to end.
+    */
+  def mixConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val totals = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("__n").cast(dec) * (col("__n") - 1L).cast(dec)).as("__pairs"))
+    val allPairs = totals("n_rows").cast(dec) *
+      (totals("n_rows") - 1L).cast(dec)
+    totals.select(col("n_rows"), col("n_keys"),
+      round(col("__pairs").cast("double") /
+        nullif(allPairs.cast("double"), lit(0.0)), 6).as("simpson"),
+      round(allPairs.cast("double") /
+        nullif(col("__pairs").cast("double"), lit(0.0)), 6)
+        .as("effective_keys"))
+  }
 }

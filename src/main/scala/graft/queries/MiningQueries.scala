@@ -565,6 +565,62 @@ object MiningQueries {
         .orderBy(col("event_type"), col("vb"))
     },
 
+    // FLEISS' KAPPA (Quality.fleissKappa — Fleiss 1971, the multi-rater
+    // generalization of e15's Cohen): items = docs with >= 5 words, the
+    // fixed n = 5 ratings per item are the first five words (deterministic
+    // "raters"). A/S/D/M are exact integer aggregates; kappa is the one
+    // fixed IEEE chain over them, round-6 (the cross-multiplied rational
+    // overflows a long near 5e5 items — documented in the operator).
+    QueryDef(
+      "e17_fleiss_kappa",
+      """WITH r AS (SELECT doc_id AS i, unnest(string_split(text, ' ')[1:5]) AS c
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |nic AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS nic FROM r GROUP BY 1, 2),
+        |item AS (SELECT i, CAST(SUM(nic * (nic - 1)) AS BIGINT) AS ai
+        |  FROM nic GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(ai) AS BIGINT) AS a_sum FROM item),
+        |cat AS (SELECT CAST(SUM(mc * mc) AS BIGINT) AS s_sum FROM
+        |  (SELECT CAST(SUM(nic) AS BIGINT) AS mc FROM nic GROUP BY c))
+        |SELECT n_items, CAST(5 AS BIGINT) AS n_raters, a_sum, s_sum,
+        |  round((CAST(a_sum AS DOUBLE) / CAST(n_items * 5 * 4 AS DOUBLE)
+        |      - CAST(s_sum AS DOUBLE) / CAST(n_items * 5 * (n_items * 5) AS DOUBLE))
+        |    / (CAST(1 AS DOUBLE)
+        |      - CAST(s_sum AS DOUBLE) / CAST(n_items * 5 * (n_items * 5) AS DOUBLE)),
+        |    6) AS kappa
+        |FROM tot, cat""".stripMargin) { (s, d) =>
+      val words = split(col("text"), " ")
+      graft.operators.Quality.fleissKappa(
+        Tables.documents(s, d).filter(size(words) >= 5)
+          .select(col("doc_id").as("item"),
+            explode(slice(words, 1, 5)).as("category")),
+        "item", "category", n = 5)
+    },
+
+    // MIX CONCENTRATION (Sampling.mixConcentration): Simpson's index of
+    // the source mix — an exact rational, unlike entropy — and the
+    // effective number of sources; the one-row dial a mix review reads
+    // before re-weighting. DECIMAL(38,0) pair counts, two round-6
+    // divisions.
+    QueryDef(
+      "sm16_mix_simpson",
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    SUM(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS pairs FROM c)
+        |SELECT n_rows, n_keys,
+        |  round(CAST(pairs AS DOUBLE) / nullif(CAST(CAST(n_rows AS HUGEINT)
+        |    * CAST(n_rows - 1 AS HUGEINT) AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+        |    AS simpson,
+        |  round(CAST(CAST(n_rows AS HUGEINT) * CAST(n_rows - 1 AS HUGEINT)
+        |      AS DOUBLE) / nullif(CAST(pairs AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+        |    AS effective_keys
+        |FROM t""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.mixConcentration(
+        Tables.documents(s, d), "source")
+    },
+
     // COHORT RETENTION matrix (EventOps.cohortRetention): users cohorted
     // by first-activity date, exact distinct-active counts per
     // (cohort_date, day_offset) — one distinct + one user-keyed window +

@@ -644,6 +644,31 @@ class QualitySpec extends SparkSpec {
     assert(p5._5.isEmpty && p5._6.isEmpty && p5._4 == expect(3, 1, 1))
   }
 
+  test("fleissKappa: perfect agreement 1, below-chance negative, ragged n fails loud") {
+    def ratings(xs: (Long, String)*) = xs.toDF("item", "category")
+    // perfect: every item unanimous
+    val perfect = ratings((1 to 5).map(_ => (1L, "a")) ++
+      (1 to 5).map(_ => (2L, "b")): _*)
+    val p = Quality.fleissKappa(perfect, "item", "category", n = 5)
+      .collect().head
+    assert(p.getAs[Long]("n_items") == 2L)
+    assert(p.getAs[Long]("a_sum") == 40L && p.getAs[Long]("s_sum") == 50L)
+    assert(p.getAs[Double]("kappa") == 1.0)
+    // anti-correlated 3/2 splits: Pbar = 0.4 < Pe = 0.5 -> kappa = -0.2
+    val split = ratings(
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "b"), (2L, "b"), (2L, "b"), (2L, "a"), (2L, "a"))
+    assert(Quality.fleissKappa(split, "item", "category", n = 5)
+      .collect().head.getAs[Double]("kappa") == -0.2)
+    // an item with 4 ratings: Fleiss is undefined — fail loud, not biased
+    val ragged = ratings((1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "a"), (2L, "a"), (2L, "b"))
+    val e = intercept[Exception] {
+      Quality.fleissKappa(ragged, "item", "category", n = 5).collect()
+    }
+    assert(e.getMessage.contains("ratings, expected 5"), e.getMessage)
+  }
+
   test("recursiveLDiversity: dominance fails, balanced passes, thin-tail fails by definition") {
     // class A: 9/1/1 — three DISTINCT values (distinct-l passes!) but one
     // value dominates: r1=9, tail=r3=1 -> 1·2 > 9·1 false -> NOT ok

@@ -377,4 +377,22 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ghost"))
   }
+
+  test("mixConcentration: one-key mix is 1/1; uniform mix by hand; N<2 NULL") {
+    val one = (1L to 6L).map(i => (i, "only")).toDF("id", "k")
+    val o = Sampling.mixConcentration(one, "k").collect().head
+    assert(o.getAs[Double]("simpson") == 1.0)
+    assert(o.getAs[Double]("effective_keys") == 1.0)
+    // 3 keys x 4 rows: D = 3*(4*3)/(12*11) = 36/132 = 0.272727;
+    // effective = 132/36 = 3.666667
+    val uniform = (0L until 12L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
+    val u = Sampling.mixConcentration(uniform, "k").collect().head
+    assert(u.getAs[Long]("n_rows") == 12L && u.getAs[Long]("n_keys") == 3L)
+    assert(u.getAs[Double]("simpson") == 0.272727)
+    assert(u.getAs[Double]("effective_keys") == 3.666667)
+    // a single row has no pairs to draw: both ratios NULL, never a throw
+    val single = Seq((1L, "k")).toDF("id", "k")
+    val s1 = Sampling.mixConcentration(single, "k").collect().head
+    assert(s1.isNullAt(s1.fieldIndex("simpson")))
+  }
 }
