@@ -1092,6 +1092,27 @@ object Dedup {
         when(ng > 0L, nn.cast("double") / ng).as("novelty"))
   }
 
+  /** Cluster-size HISTOGRAM of the verified near-dup graph — the one-page
+    * artifact a dedup POLICY review reads (how much corpus mass sits in
+    * big clusters decides keep-first vs down-weight vs drop — the d34
+    * soft-dedup decision): (cluster_size, n_clusters, n_docs). Docs absent
+    * from the pair graph count as their own SINGLETON clusters — a
+    * histogram without them overstates duplication. Two component-keyed
+    * counts on top of [[connectedComponents]]' labels plus one anti join
+    * for singletons — output is size-distribution-sized, never
+    * corpus-sized.
+    */
+  def clusterSizeHistogram(components: DataFrame, universe: DataFrame,
+                           idCol: String): DataFrame = {
+    val singles = universe.select(col(idCol).as("sid"))
+      .join(components.select(col("sid")), Seq("sid"), "left_anti")
+      .withColumn("component", col("sid"))
+    components.select(col("sid"), col("component")).unionByName(singles)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+  }
+
   // ---- transitive grouping -------------------------------------------------
 
   /** Connected components over near-dup pairs: every document in a component

@@ -1496,6 +1496,47 @@ object CorpusQueries {
       }.orderBy(col("sid"))
     },
 
+    // Cluster-size HISTOGRAM over d9's verified near-dup components
+    // (Dedup.clusterSizeHistogram), singletons INCLUDED — the dedup-policy
+    // one-pager: how much corpus mass sits in big clusters decides
+    // keep-first vs down-weight vs drop. Oracle = d9's recursive-closure
+    // chain + a singleton union + two grouped counts.
+    QueryDef(
+      "d36_cluster_histogram",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$sigSelect,
+         |$bandsCte,
+         |$candidatesCte,
+         |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+         |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+         |  GROUP BY ida, idb),
+         |pairs AS (SELECT ida, idb FROM (
+         |  SELECT ida, idb,
+         |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+         |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+         |) WHERE jaccard >= 0.5),
+         |bidir(a, b) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+         |nodes(x) AS (SELECT DISTINCT a FROM bidir),
+         |r(x, y) AS (SELECT x, x FROM nodes
+         |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y),
+         |comp AS (SELECT x AS sid, min(y) AS component FROM r GROUP BY x),
+         |allc AS (SELECT sid, component FROM comp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents
+         |    WHERE doc_id NOT IN (SELECT sid FROM comp)),
+         |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM allc GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comp = graft.core.Storage.freeingIntermediates(s) {
+        Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5))
+      }
+      Dedup.clusterSizeHistogram(comp, docs, "doc_id")
+        .orderBy(col("cluster_size"))
+    },
+
     // One-call corpus dedup: keep only canonical docs (min id per verified
     // near-dup component; exact dups are jaccard-1.0 members of the same
     // components).

@@ -864,4 +864,19 @@ class DedupSpec extends SparkSpec {
     // remove-every-occurrence semantics, not keep-one)
     assert(got(6L)._2 == 0L && got(7L)._2 == 0L)
   }
+
+  test("clusterSizeHistogram: singletons included, sizes and mass by hand") {
+    import spark.implicits._
+    // graph: {1,2,3} one component, {4,5} another; 6 and 7 never paired
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("sid", "component")
+    val universe = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = Dedup.clusterSizeHistogram(comp, universe, "doc_id")
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    // total mass equals the universe — nothing dropped, nothing doubled
+    assert(out.map(_._3).sum == 7L)
+  }
 }
