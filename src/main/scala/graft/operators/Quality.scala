@@ -1101,7 +1101,10 @@ object Quality {
     * aggregate. Rows never cross an exchange twice; ties in count break
     * by sensitive value, and the verdict is tie-order-free anyway (equal
     * counts contribute equal tail mass whichever side of rank l they
-    * land).
+    * land). NULL sensitive values do NOT count toward diversity (the
+    * [[kAnonymityAudit]] family contract — an unknown value must not let
+    * a homogeneous class pass), so those rows drop before grouping and
+    * n_rows counts KNOWN-value rows.
     */
   def recursiveLDiversity(df: DataFrame, qiCols: Seq[String],
                           sensitiveCol: String, l: Int, cNum: Long,
@@ -1112,7 +1115,8 @@ object Quality {
     require(cNum > 0 && cDen > 0, s"c must be positive: $cNum/$cDen")
     val byClass = Window.partitionBy(qiCols.map(col): _*)
       .orderBy(col("__cnt").desc, col(sensitiveCol).asc)
-    df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+    df.filter(col(sensitiveCol).isNotNull)
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__rn", row_number().over(byClass))
       .groupBy(qiCols.map(col): _*)

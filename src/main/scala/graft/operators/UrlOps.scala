@@ -42,6 +42,11 @@ object UrlOps {
     *   - tracking params removed ([[TrackingParamRe]]), survivors sorted
     *     lexicographically (removal therefore order-insensitive), empty
     *     query dropped entirely.
+    *
+    * Input contract: ABSOLUTE URLs (crawl frontiers store them resolved).
+    * A scheme-less input degrades deterministically (empty scheme,
+    * "://host/..." form) rather than throwing — canonicalization must be
+    * total over crawl junk; distinct inputs still never collide.
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")

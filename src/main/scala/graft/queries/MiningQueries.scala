@@ -546,7 +546,7 @@ object MiningQueries {
       "dp6_recursive_l_diversity",
       """WITH vc AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS vb,
         |    user_id, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2, 3),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, vb
         |    ORDER BY cnt DESC, user_id) AS rn FROM vc),
         |cls AS (SELECT event_type, vb, CAST(SUM(cnt) AS BIGINT) AS n_rows,

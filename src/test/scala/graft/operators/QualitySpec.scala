@@ -694,5 +694,13 @@ class QualitySpec extends SparkSpec {
       Seq("qi"), "uid", k = 2, l = 3).collect().head
     assert(distinct.getAs[Boolean]("l_diverse"),
       "fixture drifted: class A should pass distinct-l while failing (c,l)")
+    // NULL sensitive values don't count toward diversity (the dp3 family
+    // contract): a homogeneous class padded with NULLs must still fail
+    val padded = ((1 to 9).map(_ => ("P", Some(1L))) ++
+      (1 to 3).map(_ => ("P", Option.empty[Long]))).toDF("qi", "uid")
+    val p = Quality.recursiveLDiversity(padded, Seq("qi"), "uid",
+      l = 3, cNum = 2L, cDen = 1L).collect().head
+    assert(p.getAs[Long]("n_rows") == 9L, "NULL rows must drop, not group")
+    assert(p.getAs[Long]("m_values") == 1L && !p.getAs[Boolean]("recursive_ok"))
   }
 }
