@@ -209,7 +209,16 @@ object Bench {
     * queries at 1.51-1.67x scaled whose raw ratios were 1.04-1.15. On a
     * slower host (hwScale >= 1) allowances only grow, so a scaled flag
     * implies a raw flag and the split is a no-op.
+    *
+    * The raw-evidence check runs at a LOOSER factor ([[RawEvidenceFactor]])
+    * than the gate's 1.5: the full factor would also absorb true slowdowns
+    * smaller than 1.5/hwScale (a real 1.8x regression at hwScale 0.5 shows
+    * a raw ratio of only ~0.9 — ADVICE r17 #3); at 1.15 the split demotes
+    * only flags whose raw wall time barely moved (the nine live ones were
+    * all <= 1.15x raw), while anything that measurably slowed in raw
+    * seconds keeps firm standing.
     */
+  private[graft] val RawEvidenceFactor = 1.15
   private[graft] def splitByRawEvidence(flags: Seq[(String, Double)],
       rawFlagged: Set[String], hwScale: Double)
       : (Seq[(String, Double)], Seq[(String, Double)]) =
@@ -522,8 +531,8 @@ object Bench {
     val rawPriorSec = priorSec.map { case (k, v) =>
       k -> math.max(0.0, v - priorOvh.getOrElse(k, 0.0))
     }
-    val rawFlagged = regressionsAgainst(operatorSec(good), rawPriorSec, 1.5,
-      0.5, timeMinDelta).map(_._1).toSet
+    val rawFlagged = regressionsAgainst(operatorSec(good), rawPriorSec,
+      RawEvidenceFactor, 0.5, timeMinDelta).map(_._1).toSet
     val (calGated, hwscaledRegressions) =
       splitByRawEvidence(regressions, rawFlagged, hwScale)
     hwscaledRegressions.foreach { case (name, ratio) =>

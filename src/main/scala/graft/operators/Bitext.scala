@@ -54,17 +54,19 @@ object Bitext {
                 fwd: DataFrame, bwd: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sP = Similarity.prepared(src, idCol, vecCol)
-      .select(col("sid").as("src_id"), col("qv").as("sqv"), col("nrm").as("snrm"))
+      .select(col("sid").as("src_id"), col("qv").as("sqv"))
     val tP = Similarity.prepared(tgt, idCol, vecCol)
-      .select(col("sid").as("tgt_id"), col("qv").as("tqv"), col("nrm").as("tnrm"))
-    // exact integer micro-cosine of a shortlist pair; NULL (zero-norm) rows
-    // drop so they poison neither the candidate set nor a neighborhood mean
+      .select(col("sid").as("tgt_id"), col("qv").as("tqv"))
+    // exact integer micro-cosine of a shortlist pair, via the ONE house
+    // cosine kernel (Similarity.cosineQ — ADVICE r17 #4: a second inline
+    // formula could silently diverge from the oracle if the kernel's guard
+    // or rounding ever changed); NULL (zero-norm) rows drop so they poison
+    // neither the candidate set nor a neighborhood mean
     def microScored(pairs: DataFrame): DataFrame =
       pairs.join(sP, Seq("src_id")).join(tP, Seq("tgt_id"))
         .select(col("src_id"), col("tgt_id"),
-          round(graft.plans.GraftFunctions.dotLong(col("sqv"), col("tqv"))
-            .cast("double") / nullif(col("snrm") * col("tnrm"), lit(0.0))
-            * lit(1000000L), 0).cast("long").as("cmicro"))
+          round(Similarity.cosineQ(col("sqv"), col("tqv")) * lit(1000000L), 0)
+            .cast("long").as("cmicro"))
         .filter(col("cmicro").isNotNull)
     val fwdScored = microScored(
       fwd.select(col("qid").as("src_id"), col("nid").as("tgt_id")))

@@ -46,10 +46,18 @@ object UrlOps {
     * Input contract: ABSOLUTE URLs (crawl frontiers store them resolved).
     * A scheme-less input degrades deterministically (empty scheme,
     * "://host/..." form) rather than throwing — canonicalization must be
-    * total over crawl junk; distinct inputs still never collide.
+    * total over crawl junk — and the degraded form is itself a fixpoint (a
+    * leading "://" with no scheme is recognized and stripped before
+    * re-parsing, so canonicalize ∘ canonicalize = canonicalize holds on
+    * scheme-less inputs too — ADVICE r17 #1; [[urlHost]] likewise resolves
+    * the host of a degraded form). Distinct inputs never collide except
+    * the deliberate "u" ≡ "://u" identification that fixpointing requires.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val noFrag0 = regexp_replace(trim(url), "#.*$", "")
+    // strip the empty-scheme marker a prior canonicalization emitted, so
+    // the degraded form re-parses to itself instead of re-degrading
+    val noFrag = regexp_replace(noFrag0, "^://", "")
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
@@ -71,9 +79,13 @@ object UrlOps {
         .otherwise(lit("")))
   }
 
-  /** Host of a canonical URL (lowercase by construction). */
+  /** Host of a canonical URL (lowercase by construction). The scheme group
+    * is optional so the degraded scheme-less canonical form ("://host/...")
+    * still resolves its real host instead of collapsing every scheme-less
+    * URL into one "" bucket (ADVICE r17 #1).
+    */
   def urlHost(canonicalUrl: Column): Column =
-    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+    regexp_extract(canonicalUrl, "^(?:[a-z][a-z0-9+.-]*)?://([^/:?]+)", 1)
 
   /** Exact dedup on the canonical URL — d1's keep-first discipline: per
     * canonical form the minimum id survives, with the duplicate count kept

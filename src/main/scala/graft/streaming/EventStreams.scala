@@ -748,6 +748,20 @@ object EventStreams {
   }
 
   case class FunnelState(times: List[Long])
+
+  /** Unit guard for funnel state read back from a checkpoint written by the
+    * pre-r17 code, whose `times` were epoch MILLIS (`ts.getTime`) — mixed
+    * into today's micros they always lose the strict-after comparison and
+    * render as ~1970 timestamps (ADVICE r17 #2). The schema can't carry a
+    * version tag (changing the case class breaks the state encoder for
+    * exactly the checkpoints we're rescuing), so units are detected by
+    * magnitude: any value below 1e13 is millis and upscales by 1000. The
+    * split is exact for event times between 1970-04-26 (1e13 micros) and
+    * 2286-11-20 (1e13 millis) — every sane event stream; fixture streams
+    * use current-era timestamps.
+    */
+  private[streaming] def microsOfStateTime(t: Long): Long =
+    if (t < 10000000000000L) t * 1000L else t
   case class FunnelUpdate(user_id: Long, steps_reached: Int,
                           reached_ts: java.sql.Timestamp)
 
@@ -792,6 +806,7 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var times = state.getOption.map(_.times).getOrElse(Nil)
+            .map(microsOfStateTime) // legacy milli-unit checkpoints upscale
           val before = times.length
           // Sort key and strict-after comparison in full epoch MICROS —
           // getTime truncates to millis and would under-advance vs w11.

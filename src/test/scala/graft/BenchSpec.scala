@@ -231,6 +231,20 @@ class BenchSpec extends AnyFunSuite {
     assert(firmSlow == flags && hwSlow.isEmpty)
   }
 
+  test("raw-evidence factor catches real slowdowns a fast host would absorb (ADVICE r17 #3)") {
+    // a real code regression measured on a faster host shows a raw ratio of
+    // only hwScale x R: under the old full-1.5 raw factor, a hwScale-0.69
+    // host demoted every real slowdown up to 2.17x; at 1.15 the firm
+    // threshold drops to 1.67x. Concretely: 6.0 s -> 7.2 s (1.2x raw, a
+    // 1.74x real slowdown at hwScale 0.69) must now keep firm standing,
+    // while the live over-correction cases (raw <= 1.15x) still demote.
+    assert(Bench.RawEvidenceFactor <= 1.2 && Bench.RawEvidenceFactor >= 1.1)
+    val raw = Bench.regressionsAgainst(
+      Seq("slowed" -> 7.2, "overcorrected" -> 6.6),
+      Map("slowed" -> 6.0, "overcorrected" -> 6.0), Bench.RawEvidenceFactor, 0.5)
+    assert(raw.map(_._1) == Seq("slowed"), raw.toString)
+  }
+
   test("time gate: ratio escape hatch fires past 3x even under minDelta") {
     // 0.3 s -> 1.0 s is 3.3x but delta 0.7 < 0.75 — must still flag
     // (the minDelta guard otherwise makes fast queries unflaggable forever)

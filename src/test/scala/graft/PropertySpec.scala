@@ -711,13 +711,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  /** Arbitrary absolute URLs from a grammar wide enough to hit every
+  /** Arbitrary URLs from a grammar wide enough to hit every
     * canonicalization rule: mixed-case schemes/hosts, default and explicit
     * ports, 0-3 path segments with 0-2 trailing slashes, shuffled
-    * tracking + content params (with and without values), fragments.
+    * tracking + content params (with and without values), fragments —
+    * plus the two scheme-less degradations (bare "host/..." crawl junk and
+    * the "://host/..." degraded canonical form), which must fixpoint
+    * rather than re-degrade (ADVICE r17 #1).
     */
   private val urlGen: Gen[String] = for {
-    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTtPs", "ftp")
+    scheme <- Gen.oneOf("http://", "HTTP://", "https://", "HTTPS://",
+      "hTtPs://", "ftp://", "", "://")
     host <- Gen.oneOf("Example.COM", "a.b.example.org", "HOST7.net")
     port <- Gen.oneOf("", ":80", ":443", ":8080")
     segs <- Gen.choose(0, 3)
@@ -727,7 +731,7 @@ class PropertySpec extends AnyFunSuite {
     params <- Gen.someOf("a=1", "b=2", "Z=9", "utm_source=x", "utm_c",
       "fbclid=abc", "gclid=7", "flag")
     frag <- Gen.oneOf("", "#top", "#Sec-2")
-  } yield s"$scheme://$host$port$path$slashes" +
+  } yield s"$scheme$host$port$path$slashes" +
     (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
 
   test("URL canonicalization: idempotent, tracking-param and param-order insensitive") {

@@ -27,6 +27,18 @@ class UrlOpsSpec extends SparkSpec {
       Seq("https://h.com/a?z=1"))
   }
 
+  test("scheme-less inputs fixpoint and keep their real host (ADVICE r17 #1)") {
+    // bare crawl junk degrades to the "://host/..." form ONCE, then holds
+    assert(canon("host.com/a", "Host.COM:80/a/?utm_x=1#f") ==
+      Seq("://host.com/a", "://host.com:80/a"))
+    val once = canon("host.com/a", "://host.com/a", "h.com?b=2&a=1")
+    assert(canon(once: _*) == once, s"degraded form not a fixpoint: $once")
+    // urlHost resolves the degraded form's host, not ""
+    val hosts = Seq("://host.com/a", "https://other.org/x").toDF("c")
+      .select(UrlOps.urlHost(col("c"))).as[String].collect().toSeq
+    assert(hosts == Seq("host.com", "other.org"))
+  }
+
   test("canonical form is idempotent over messy inputs") {
     val messy = Seq(
       "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",

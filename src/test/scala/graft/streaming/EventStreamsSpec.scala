@@ -336,6 +336,19 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("legacy milli-unit funnel state upscales on read (ADVICE r17 #2)") {
+    // a checkpoint written by the pre-r17 code stored ts.getTime MILLIS;
+    // mixed with today's micros those always lose strict-after and render
+    // as ~1970 reached_ts — the magnitude guard upscales them on read
+    val millis2024 = ts("2024-01-01 10:00:00").getTime          // ~1.7e12
+    val micros2024 = EventStreams.epochMicros(ts("2024-01-01 10:00:00"))
+    assert(EventStreams.microsOfStateTime(millis2024) == millis2024 * 1000L)
+    assert(EventStreams.microsOfStateTime(micros2024) == micros2024)
+    // boundary: exact for any event between 1970-04-26 and 2286-11-20
+    assert(EventStreams.microsOfStateTime(10000000000000L) == 10000000000000L)
+    assert(EventStreams.microsOfStateTime(9999999999999L) == 9999999999999000L)
+  }
+
   test("committedFunnelState: missing path is an empty prior, a corrupt table rethrows") {
     val base = java.nio.file.Files.createTempDirectory("graft-funnel-corrupt")
     val missing = base.resolve("never-written").toString
