@@ -12,7 +12,7 @@ object SparkEntry {
   /** All verifiable query definitions, by domain. */
   def allDefs: Seq[QueryDef] =
     graft.queries.EtlQueries.defs ++ graft.queries.CorpusQueries.defs ++
-      graft.queries.MiningQueries.defs
+      graft.queries.MiningQueries.defs ++ graft.queries.AppQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

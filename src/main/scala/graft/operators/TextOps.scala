@@ -17,6 +17,14 @@ object TextOps {
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Stage-0 text hygiene: mojibake repair (UTF-8-as-latin1/cp1252 double
+    * encoding, to fixpoint) + NFC normalization + control-char removal in
+    * one native codegen'd kernel — see [[graft.plans.UnicodeFix]] for the
+    * exact semantics. Run this BEFORE any other text operator on crawl
+    * input: t1/t11/t22 and the dedup fingerprints all assume sane UTF-8.
+    */
+  def fixText(text: Column): Column = graft.plans.UnicodeFix.unicodeFix(text)
+
   /** BPE-ish token count: alnum runs + single non-alnum marks, the shape a
     * byte-pair tokenizer's pre-tokenizer produces. Regex kept to the
     * Java/RE2 common subset so oracles agree.
