@@ -1484,4 +1484,124 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= maxHamming), eager = true)
    }
+
+  // ---- corpus-wide line-level dedup (the CCNet/RefinedWeb stage) -----------
+
+  /** Line occurrences of a corpus: (sid, pos 0-based, h = md5(line)) for
+    * every line of at least `minLineChars` chars. Shorter lines (empty
+    * lines, stray separators) never participate in dedup — they are
+    * document structure, not content, and a corpus-global keep-first over
+    * "" would strip every blank line but one.
+    */
+  private def lineOccurrences(df: DataFrame, idCol: String, textCol: String,
+                              sep: String, minLineChars: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("pos", "line")))
+      .filter(length(col("line")) >= minLineChars)
+      .select(col("sid"), col("pos"), md5(col("line")).as("h"))
+
+  /** A line-occurrence relation reduced to its per-hash FIRST holder —
+    * min(struct(sid, pos)): the d21 first-holder reduce pointed at lines.
+    */
+  private def lineWinners(occ: DataFrame): DataFrame =
+    occ.groupBy(col("h"))
+      .agg(min(struct(col("sid"), col("pos"))).as("w"))
+      .select(col("h"), col("w.sid").as("w_sid"), col("w.pos").as("w_pos"))
+
+  /** CORPUS-WIDE line-level dedup (VERDICT r17 ask #3 — the CCNet
+    * paradigm): every duplicated line survives only at its corpus-global
+    * FIRST occurrence (min (doc_id, pos)), killing the boilerplate
+    * nav/footer lines that doc-level MinHash can't see; documents are then
+    * rebuilt with their dropped positions cut (the d31 rebuild posture).
+    * Returns (sid, text_dedup, n_lines, n_kept) for EVERY input doc.
+    *
+    * Scale shape: dedup shuffles carry only (md5, sid, pos) — the FULL md5
+    * rather than the 48-bit gram prefix because a collision here DELETES
+    * text, not just a score (the d1 `exact` discipline; 16-byte keys,
+    * collision-free in practice).
+    * The winner join fans out by h (bounded by line duplication), the
+    * drop-list aggregate is doc-keyed and map-side combinable, and full
+    * text rides exactly ONE doc_id-keyed join (corpus-sized but
+    * exchange-minimal); the rebuild itself is a map-side index-filtered
+    * re-split — text never enters the dedup shuffles.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String, sep: String,
+                minLineChars: Int = 1): DataFrame = {
+    val occ = lineOccurrences(df, idCol, textCol, sep, minLineChars)
+    val drops = occ.join(lineWinners(occ), Seq("h"))
+      .filter(col("sid") =!= col("w_sid") || col("pos") =!= col("w_pos"))
+      .groupBy(col("sid")).agg(collect_list(col("pos")).as("__drop"))
+    rebuildWithoutPositions(df, idCol, textCol, sep, drops)
+  }
+
+  /** Map-side doc rebuild: re-split the original text and cut the positions
+    * listed in `drops` (sid -> array of 0-based positions; docs absent keep
+    * everything). Shared by the from-scratch and incremental paths.
+    */
+  private def rebuildWithoutPositions(df: DataFrame, idCol: String,
+                                      textCol: String, sep: String,
+                                      drops: DataFrame): DataFrame =
+    df.select(col(idCol).as("sid"),
+        split(col(textCol), java.util.regex.Pattern.quote(sep), -1).as("__ls"))
+      .join(drops, Seq("sid"), "left")
+      .withColumn("__dropset",
+        coalesce(col("__drop"), array().cast("array<int>")))
+      .select(col("sid"),
+        array_join(filter(col("__ls"),
+          (_, i) => !array_contains(col("__dropset"), i)), sep).as("text_dedup"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__dropset"))).cast("long").as("n_kept"))
+
+  /** Persist the corpus' line first-holder index, BUCKETED on the line
+    * hash — the d22 persisted-index discipline applied to lines: build
+    * once, then dedup every ingestion batch against it without re-reading
+    * the corpus. Append-only log of first-holder candidates; serve-time
+    * min-merges per hash, exchange-free on the bucketed layout.
+    */
+  def writeLineIndex(df: DataFrame, idCol: String, textCol: String,
+                     sep: String, minLineChars: Int, table: String,
+                     nBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedBy(
+      lineWinners(lineOccurrences(df, idCol, textCol, sep, minLineChars)),
+      table, Seq("h"), nBuckets)
+
+  /** Grow the line index by one batch (same bucket spec, append-only). */
+  def appendLineIndex(batch: DataFrame, idCol: String, textCol: String,
+                      sep: String, minLineChars: Int, table: String,
+                      nBuckets: Int): Unit =
+    graft.sources.Bucketing.appendBucketedBy(
+      lineWinners(lineOccurrences(batch, idCol, textCol, sep, minLineChars)),
+      table, Seq("h"), nBuckets)
+
+  /** Dedup ONE ingestion batch's lines against the persisted index — equal
+    * BY CONSTRUCTION to [[lineDedup]] over (corpus UNION batch) restricted
+    * to batch docs: a batch line occurrence survives iff it is the minimum
+    * (sid, pos) across the index's first holders AND the batch itself
+    * (min over a union decomposes). `<=` instead of `<` on the merged
+    * winner makes the dedup idempotent under append-then-retry (the
+    * batchNovelty replay discipline): a batch whose own rows already
+    * landed in the index still keeps its first occurrences.
+    *
+    * Scale shape: the index side min-merges without an exchange (bucketed
+    * on h); only the batch's line hashes shuffle — per-batch cost scales
+    * with |batch|, never |corpus|.
+    */
+  def lineDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+                           batch: DataFrame, idCol: String, textCol: String,
+                           sep: String, minLineChars: Int,
+                           table: String): DataFrame = {
+    val occ = lineOccurrences(batch, idCol, textCol, sep, minLineChars)
+    val merged = lineWinners(occ)
+      .unionByName(spark.table(table)
+        .select(col("h"), col("w_sid"), col("w_pos")))
+      .groupBy(col("h"))
+      .agg(min(struct(col("w_sid").as("sid"), col("w_pos").as("pos"))).as("w"))
+      .select(col("h"), col("w.sid").as("w_sid"), col("w.pos").as("w_pos"))
+    val drops = occ.join(merged, Seq("h"))
+      .filter(struct(col("sid"), col("pos")) >
+        struct(col("w_sid"), col("w_pos")))
+      .groupBy(col("sid")).agg(collect_list(col("pos")).as("__drop"))
+    rebuildWithoutPositions(batch, idCol, textCol, sep, drops)
+  }
 }

@@ -92,6 +92,18 @@ object AppQueries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
       .otherwise(lit(""))
 
+  /** d37/d38's synthesized multi-line corpus: constant nav boilerplate +
+    * the doc's own salad + a 3-variant footer, newline-joined — one
+    * rendering per engine, same bytes.
+    */
+  private val lineSynthSql: String =
+    "'nav home about contact' || chr(10) || text || chr(10) || " +
+      "'copyright footer ' || CAST(doc_id % 3 AS VARCHAR)"
+
+  private def lineSynthCol: Column =
+    concat(lit("nav home about contact\n"), col("text"),
+      lit("\ncopyright footer "), (col("doc_id") % 3).cast("string"))
+
   /** The langId argmax CASE over marker counts of `c` (the t6 twin). */
   private def sqlLangPred(c: String): String = {
     val scores = TextOps.langMarkers.map { case (l, ms) =>
@@ -238,6 +250,87 @@ object AppQueries {
           stats.deduped, dropped, packs))
         .toDF("input", "lang_kept", "quality_kept", "pii_redacted",
           "deduped", "decontaminated", "packs")
+    },
+
+    // CORPUS-WIDE LINE DEDUP (Dedup.lineDedup — VERDICT r17 ask #3, the
+    // CCNet/RefinedWeb stage): the fixtures are single-line word salad, so
+    // multi-line docs are synthesized with genuine cross-document
+    // boilerplate — a constant nav line (survives once corpus-wide), the
+    // doc's own salad (unique except genuine fixture dups), and a footer
+    // with 3 rotating variants (each survives once). Keep-first = global
+    // min (doc_id, pos) per line; docs rebuilt map-side; md5 of the
+    // rebuilt text proves byte-exact reconstruction.
+    QueryDef(
+      "d37_line_dedup",
+      s"""WITH d0 AS (SELECT doc_id, $lineSynthSql AS t2 FROM documents),
+         |ln AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS line
+         |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS l FROM d0),
+         |    unnest(generate_series(1, len(l))) AS t(i)),
+         |rk AS (SELECT doc_id, pos, line,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+         |      ORDER BY doc_id, pos) AS rn
+         |  FROM ln WHERE length(line) >= 1),
+         |keep AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
+         |  UNION ALL SELECT doc_id, pos, line FROM ln WHERE length(line) < 1),
+         |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+         |  FROM ln GROUP BY doc_id),
+         |nk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nkept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS td
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d0.doc_id AS sid, md5(coalesce(td, '')) AS dedup_md5,
+         |  n_lines, coalesce(nkept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM d0 JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id)
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.lineDedup(
+          Tables.documents(s, d).withColumn("text", lineSynthCol),
+          "doc_id", "text", "\n")
+        .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
+          col("n_lines"), col("n_kept"))
+        .orderBy(col("sid"))
+    },
+
+    // INCREMENTAL LINE DEDUP against the persisted bucketed first-holder
+    // index (Dedup.writeLineIndex + lineDedupIncremental — the d22/d12
+    // discipline): the corpus slice (doc_id % 4 != 0) persists its line
+    // winners once; the batch (doc_id % 4 = 0) dedups against
+    // index-merged winners. Equal by construction to the full run
+    // restricted to batch docs — which is what the oracle computes (the
+    // d12 convention: storage layout must not change answers).
+    QueryDef(
+      "d38_line_dedup_incremental",
+      s"""WITH d0 AS (SELECT doc_id, $lineSynthSql AS t2 FROM documents),
+         |ln AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS line
+         |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS l FROM d0),
+         |    unnest(generate_series(1, len(l))) AS t(i)),
+         |rk AS (SELECT doc_id, pos, line,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+         |      ORDER BY doc_id, pos) AS rn
+         |  FROM ln WHERE length(line) >= 1),
+         |keep AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
+         |  UNION ALL SELECT doc_id, pos, line FROM ln WHERE length(line) < 1),
+         |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+         |  FROM ln GROUP BY doc_id),
+         |nk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nkept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS td
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d0.doc_id AS sid, md5(coalesce(td, '')) AS dedup_md5,
+         |  n_lines, coalesce(nkept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM d0 JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id)
+         |WHERE d0.doc_id % 4 = 0
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      val synth = Tables.documents(s, d).withColumn("text", lineSynthCol)
+      val batch = synth.filter(col("doc_id") % 4 === 0)
+      val corpus = synth.filter(col("doc_id") % 4 =!= 0)
+      val table = "graft_line_index_d38_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      graft.operators.Dedup.writeLineIndex(corpus, "doc_id", "text", "\n",
+        minLineChars = 1, table, nBuckets = 8)
+      graft.operators.Dedup.lineDedupIncremental(s, batch, "doc_id", "text",
+          "\n", minLineChars = 1, table)
+        .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
+          col("n_lines"), col("n_kept"))
+        .orderBy(col("sid"))
     },
 
     // UNICODE FIX (TextOps.fixText / plans.UnicodeFix — VERDICT r17 ask

@@ -879,4 +879,69 @@ class DedupSpec extends SparkSpec {
     // total mass equals the universe — nothing dropped, nothing doubled
     assert(out.map(_._3).sum == 7L)
   }
+
+  /** Naive single-threaded reference for corpus-wide keep-first line dedup
+    * (shares no code with Dedup.lineDedup). */
+  private def lineDedupRef(docs: Seq[(Long, String)], sep: String,
+                           minChars: Int): Map[Long, (String, Long, Long)] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.sortBy(_._1).map { case (id, text) =>
+      val ls = text.split(java.util.regex.Pattern.quote(sep), -1)
+      val kept = ls.filter(l => l.length < minChars || seen.add(l))
+      id -> (kept.mkString(sep), ls.length.toLong, kept.length.toLong)
+    }.toMap
+  }
+
+  test("lineDedup: equals the naive global keep-first, short lines exempt, fixpoint") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "nav\nalpha beta\nfooter\n\nx"),   // empty line + 1-char tail
+      (1L, "nav\ngamma\nfooter"),              // holds first nav+footer
+      (2L, "gamma\nnav\ndelta\ngamma"),        // within-doc repeat too
+      (4L, ""),                                // empty doc: 1 empty line
+      (5L, "alpha beta\nepsilon\n\nzeta"))
+    def run(min: Int) = Dedup.lineDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", "\n", min)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        (r.getAs[String]("text_dedup"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"))).toMap
+    for (min <- Seq(1, 2)) {
+      val got = run(min)
+      assert(got == lineDedupRef(docs, "\n", min), s"minLineChars=$min")
+    }
+    // fixpoint: dedup of the deduped corpus changes nothing
+    val once = run(1)
+    val rerun = Dedup.lineDedup(
+        once.toSeq.map { case (id, (t, _, _)) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", "\n", 1)
+      .collect().map(r => r.getAs[Long]("sid") -> r.getAs[String]("text_dedup"))
+      .toMap
+    assert(rerun == once.map { case (id, (t, _, _)) => id -> t })
+  }
+
+  test("lineDedupIncremental equals the full run on batch docs; replay changes nothing") {
+    import spark.implicits._
+    val all = (1L to 12L).map(i =>
+      i -> s"nav\ndoc$i body line\nfooter ${i % 3}\nshared ${i % 2}")
+    val batch = all.filter(_._1 % 4 == 0)
+    val corpus = all.filterNot(_._1 % 4 == 0)
+    val table = "graft_line_index_spec_" +
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    Dedup.writeLineIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      "\n", 1, table, 4)
+    def serve() = Dedup.lineDedupIncremental(spark,
+        batch.toDF("doc_id", "text"), "doc_id", "text", "\n", 1, table)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        (r.getAs[String]("text_dedup"), r.getAs[Long]("n_kept"))).toMap
+    val inc = serve()
+    val full = lineDedupRef(all, "\n", 1)
+    assert(inc == full.view.filterKeys(_ % 4 == 0).toMap
+      .map { case (id, (t, _, k)) => id -> (t, k) })
+    // append the batch, then replay: <= on the merged winner makes the
+    // incremental dedup idempotent under append-then-retry
+    Dedup.appendLineIndex(batch.toDF("doc_id", "text"), "doc_id", "text",
+      "\n", 1, table, 4)
+    assert(serve() == inc, "a replayed batch must dedup identically")
+  }
 }
