@@ -104,6 +104,31 @@ object AppQueries {
     concat(lit("nav home about contact\n"), col("text"),
       lit("\ncopyright footer "), (col("doc_id") % 3).cast("string"))
 
+  /** warc1/warc2's fixture: the documents table laid into 8 multi-member
+    * .warc.gz shards with deterministic header fields (fixture-scale
+    * driver-side write — the production path streams shards from
+    * executors; what's under test is the READER's framing exactness).
+    */
+  private def writeWarcFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    import graft.sources.v2.WarcIo
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc1").toString
+    (0 until 8).foreach { shard =>
+      val recs = docs.filter(_._1 % 8 == shard).map { case (id, text) =>
+        WarcIo.Record(
+          s"https://host${id % 7}.example.com/doc/$id",
+          f"2024-01-${id % 28 + 1}%02dT00:00:00Z",
+          if (id % 2 == 0) "response" else "conversion",
+          "text/plain",
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      WarcIo.write(s"$dir/part-$shard.warc.gz", recs.toSeq, gzip = true)
+    }
+    dir
+  }
+
   /** The langId argmax CASE over marker counts of `c` (the t6 twin). */
   private def sqlLangPred(c: String): String = {
     val scores = TextOps.langMarkers.map { case (l, ms) =>
@@ -331,6 +356,51 @@ object AppQueries {
         .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
           col("n_lines"), col("n_kept"))
         .orderBy(col("sid"))
+    },
+
+    // WARC CONTAINER SCAN (sources.v2.WarcDataSource — VERDICT r17 ask #4):
+    // the documents table is laid into 8 multi-member .warc.gz files (one
+    // gzip member per record, the Common Crawl layout — WarcIo.write IS
+    // part of the measured query, the d18 convention) and read back
+    // through the DSv2 source. The oracle recomputes every header field
+    // and the payload md5 straight from `documents`, so header-field
+    // parse AND payload-boundary exactness are hash-checked end to end.
+    QueryDef(
+      "warc1_container_scan",
+      """SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || doc_id AS url,
+        |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'response' ELSE 'conversion' END AS record_type,
+        |  'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = writeWarcFixture(s, d)
+      s.read.format("graft-warc").load(dir)
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("url"), col("warc_date"), col("record_type"), col("mime"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // WARC header-only scan: record_type filter pushed into the source and
+    // payload never selected — the reader SKIPS payload bytes entirely
+    // (the 100 TB header-scan path; WarcSourceSpec asserts the plan).
+    // Oracle = the response half of warc1's header fields.
+    QueryDef(
+      "warc2_header_scan",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = writeWarcFixture(s, d)
+      s.read.format("graft-warc").load(dir)
+        .filter(col("record_type") === "response")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("content_length").as("n_bytes"))
+        .orderBy(col("doc_id"))
     },
 
     // UNICODE FIX (TextOps.fixText / plans.UnicodeFix — VERDICT r17 ask

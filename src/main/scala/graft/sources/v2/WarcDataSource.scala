@@ -1,0 +1,276 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for WARC/WET crawl containers (VERDICT r17 ask
+  * #4) — the entry format of a 100 TB web pipeline (ISO 28500; Common
+  * Crawl's layout): records of the form
+  *
+  *   WARC/1.0 CRLF (header: value)* CRLF payload[Content-Length] CRLF CRLF
+  *
+  * parsed into (url, warc_date, record_type, mime, content_length,
+  * payload binary), after which the existing chain takes over: t25 HTML
+  * main-content over payload, d35 URL canonicalization over url, t32
+  * unicode fix, the dedup ladder.
+  *
+  * Partitioning: one InputPartition PER FILE. A .warc.gz is a
+  * CONCATENATION of gzip members (typically one per record) — readable as
+  * one stream (the reader's GZIPInputStream consumes members back to
+  * back) but NOT splittable at arbitrary byte offsets without the
+  * external CDX/cluster index real crawls ship; with Common Crawl's ~64k
+  * ~1 GB files per snapshot, file-granular partitions already saturate
+  * thousands of executors, so the index-driven intra-file split is left
+  * to the production extension. Uncompressed .warc files follow the same
+  * per-file rule for symmetry.
+  *
+  * Pushdown: required-column pruning reaches the payload — a query that
+  * never selects `payload` SKIPS the payload bytes (InputStream.skipNBytes
+  * on the decompressed stream) instead of materializing them, which is
+  * the difference between a header scan and a full read over 100 TB.
+  * record_type equality filters are accepted and enforced record-level,
+  * composing with the payload skip (a `record_type = 'response'` scan of
+  * a WET file reads headers only).
+  *
+  * Exactness: Content-Length is authoritative (fail-loud when absent or
+  * malformed — a drifted payload boundary silently corrupts every
+  * downstream byte); header names are case-insensitive per the spec;
+  * header values are UTF-8.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    require(schema == WarcTable.Schema,
+      s"graft-warc has a fixed schema ${WarcTable.Schema.simpleString}")
+    new WarcTable(properties)
+  }
+}
+
+object WarcTable {
+  val Schema: StructType = new StructType()
+    .add("url", StringType)          // WARC-Target-URI (null on warcinfo)
+    .add("warc_date", StringType)    // WARC-Date
+    .add("record_type", StringType)  // WARC-Type
+    .add("mime", StringType)         // Content-Type
+    .add("content_length", LongType)
+    .add("payload", BinaryType)
+}
+
+final class WarcTable(properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  private val path = properties.asScala.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("path") => v
+  }.getOrElse(throw new IllegalArgumentException("graft-warc requires load(path)"))
+
+  override def name(): String = s"graft-warc($path)"
+  override def schema(): StructType = WarcTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+final class WarcScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = WarcTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("record_type", _: String) => true
+      case IsNotNull("record_type")          => true
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def typeEquals: Option[String] = pushed.collectFirst {
+    case EqualTo("record_type", v: String) => v
+  }
+
+  override def build(): Scan = new Scan with Batch {
+    private val wanted = typeEquals
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-warc $path, pruned to [${required.fieldNames.mkString(",")}]" +
+        wanted.map(t => s", pushed [record_type = $t]").getOrElse("")
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val p = java.nio.file.Paths.get(path)
+      val files =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val stream = java.nio.file.Files.list(p)
+          try stream.toArray.map(_.toString) finally stream.close()
+        } else Array(path)
+      val warcs = files.filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz") ||
+        f.endsWith(".wet") || f.endsWith(".wet.gz")).sorted
+      require(warcs.nonEmpty, s"graft-warc: no .warc/.wet files under $path")
+      warcs.map(f => WarcFilePartition(f): InputPartition)
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new WarcReaderFactory(required, wanted)
+  }
+}
+
+final case class WarcFilePartition(file: String) extends InputPartition
+
+final class WarcReaderFactory(required: StructType, typeEquals: Option[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[WarcFilePartition].file
+    val needPayload = required.fieldNames.contains("payload")
+    val raw = new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)), 1 << 16)
+    val in: java.io.InputStream =
+      if (file.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw, 1 << 16) // multi-member capable
+      else raw
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+
+      /** One header/payload line, CRLF- or LF-terminated, without the
+        * terminator; null at EOF before any byte.
+        */
+      private def readLine(): String = {
+        val buf = new ArrayBuffer[Byte](128)
+        var b = in.read()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') { buf += b.toByte; b = in.read() }
+        if (buf.nonEmpty && buf.last == '\r') buf.dropRightInPlace(1)
+        new String(buf.toArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
+
+      private def readFully(n: Long): Array[Byte] = {
+        require(n <= Int.MaxValue, s"graft-warc: $n-byte record in $file")
+        val out = new Array[Byte](n.toInt)
+        var off = 0
+        while (off < n) {
+          val k = in.read(out, off, n.toInt - off)
+          if (k < 0) throw new java.io.EOFException(
+            s"graft-warc: payload truncated at $off/$n bytes in $file")
+          off += k
+        }
+        out
+      }
+
+      /** Advance to the next record satisfying the pushed type filter;
+        * false at EOF. Fail-loud on malformed framing — a tolerated drift
+        * here corrupts every later payload boundary in the file.
+        */
+      private def advance(): Boolean = {
+        while (true) {
+          var line = readLine()
+          while (line != null && line.isEmpty) line = readLine() // inter-record CRLFs
+          if (line == null) return false
+          require(line.startsWith("WARC/"),
+            s"graft-warc: expected a WARC/x.y version line, got '$line' in $file")
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine()
+          while (h != null && h.nonEmpty) {
+            val at = h.indexOf(':')
+            require(at > 0, s"graft-warc: malformed header '$h' in $file")
+            headers(h.substring(0, at).trim.toLowerCase) = h.substring(at + 1).trim
+            h = readLine()
+          }
+          val len = headers.getOrElse("content-length", throw new IllegalStateException(
+            s"graft-warc: record without Content-Length in $file")).toLong
+          val recType = headers.getOrElse("warc-type", null)
+          val matches = typeEquals.forall(_ == recType)
+          val payload: Array[Byte] =
+            if (matches && needPayload) readFully(len)
+            else { in.skipNBytes(len); null }
+          if (matches) {
+            val vals = required.fieldNames.map {
+              case "url" => utf8OrNull(headers.get("warc-target-uri"))
+              case "warc_date" => utf8OrNull(headers.get("warc-date"))
+              case "record_type" => utf8OrNull(Option(recType))
+              case "mime" => utf8OrNull(headers.get("content-type"))
+              case "content_length" => java.lang.Long.valueOf(len)
+              case "payload" => payload
+            }
+            current = InternalRow.fromSeq(vals.toSeq)
+            return true
+          }
+        }
+        false
+      }
+
+      private def utf8OrNull(v: Option[String]): UTF8String =
+        v.map(UTF8String.fromString).orNull
+
+      override def next(): Boolean = advance()
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Writer side — the fixture/mini-sink twin of the reader: records land as
+  * spec-exact WARC framing, one gzip MEMBER per record when `gzip` is set
+  * (the Common Crawl layout the reader's multi-member stream consumes).
+  */
+object WarcIo {
+
+  final case class Record(url: String, date: String, recordType: String,
+                          mime: String, payload: Array[Byte])
+
+  def write(file: String, records: Seq[Record], gzip: Boolean): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(file)), 1 << 16)
+    try records.foreach { r =>
+      val bytes = frame(r)
+      if (gzip) {
+        val member = new java.io.ByteArrayOutputStream(bytes.length)
+        val gz = new java.util.zip.GZIPOutputStream(member)
+        gz.write(bytes); gz.close()
+        out.write(member.toByteArray)
+      } else out.write(bytes)
+    } finally out.close()
+  }
+
+  private def frame(r: Record): Array[Byte] = {
+    val crlf = "\r\n"
+    val head = new StringBuilder("WARC/1.0").append(crlf)
+    if (r.recordType != null) head.append("WARC-Type: ").append(r.recordType).append(crlf)
+    if (r.url != null) head.append("WARC-Target-URI: ").append(r.url).append(crlf)
+    if (r.date != null) head.append("WARC-Date: ").append(r.date).append(crlf)
+    if (r.mime != null) head.append("Content-Type: ").append(r.mime).append(crlf)
+    head.append("Content-Length: ").append(r.payload.length).append(crlf)
+    head.append(crlf)
+    val h = head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tail = (crlf + crlf).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val buf = new Array[Byte](h.length + r.payload.length + tail.length)
+    System.arraycopy(h, 0, buf, 0, h.length)
+    System.arraycopy(r.payload, 0, buf, h.length, r.payload.length)
+    System.arraycopy(tail, 0, buf, h.length + r.payload.length, tail.length)
+    buf
+  }
+}

@@ -1,0 +1,97 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+class WarcSourceSpec extends SparkSpec {
+
+  private def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def records(n: Int): Seq[WarcIo.Record] = (0 until n).map { i =>
+    WarcIo.Record(s"https://h$i.example.com/p$i", s"2024-02-0${i % 9 + 1}T00:00:00Z",
+      if (i % 2 == 0) "response" else "conversion", "text/plain",
+      utf8(s"payload body $i with\r\nCRLF and WARC/1.0 look-alikes inside"))
+  }
+
+  private def writeDir(recs: Seq[WarcIo.Record], gzip: Boolean,
+                       shards: Int = 2): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-spec").toString
+    val ext = if (gzip) "warc.gz" else "warc"
+    (0 until shards).foreach { s =>
+      WarcIo.write(s"$dir/part-$s.$ext",
+        recs.zipWithIndex.collect { case (r, i) if i % shards == s => r }, gzip)
+    }
+    dir
+  }
+
+  private def readBack(dir: String) =
+    spark.read.format("graft-warc").load(dir)
+      .select(col("url"), col("warc_date"), col("record_type"), col("mime"),
+        col("content_length"), col("payload"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), new String(r.getAs[Array[Byte]](5),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      .sortBy(_._1)
+
+  test("round-trip: plain and multi-member-gzip files parse to identical records") {
+    val recs = records(10)
+    val expected = recs.map(r => (r.url, r.date, r.recordType, r.mime,
+      r.payload.length.toLong, new String(r.payload,
+        java.nio.charset.StandardCharsets.UTF_8))).sortBy(_._1)
+    assert(readBack(writeDir(recs, gzip = false)).toSeq == expected)
+    assert(readBack(writeDir(recs, gzip = true)).toSeq == expected)
+    // the gzip fixture genuinely is multi-member: one magic per record
+    val gz = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      writeDir(recs, gzip = true, shards = 1) + "/part-0.warc.gz"))
+    val magics = gz.sliding(3).count(w =>
+      (w(0) & 0xFF) == 0x1F && (w(1) & 0xFF) == 0x8B && w(2) == 8)
+    assert(magics >= recs.length, s"expected one gzip member per record, saw $magics")
+  }
+
+  test("payload-boundary exactness: CRLFs and version-line look-alikes inside payloads") {
+    // records(n) payloads embed "\r\nWARC/1.0" — only Content-Length framing
+    // survives this; any delimiter-scanning parser would split early
+    val got = readBack(writeDir(records(6), gzip = true))
+    assert(got.forall(_._6.contains("WARC/1.0 look-alikes")))
+  }
+
+  test("column pruning reaches the source; payload skip composes with type filter") {
+    val dir = writeDir(records(8), gzip = true)
+    val pruned = spark.read.format("graft-warc").load(dir)
+      .filter(col("record_type") === "response")
+      .select("url", "content_length")
+    val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("pruned to [url,content_length]"), plan)
+    assert(plan.contains("pushed [record_type = response]"), plan)
+    assert(pruned.collect().length == 4)
+  }
+
+  test("malformed framing fails loudly: truncated payload, missing Content-Length") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-bad").toString
+    val good = WarcIo.Record("https://x/1", "2024-01-01T00:00:00Z",
+      "response", "text/plain", utf8("twelve bytes"))
+    // truncated: frame claims 12 payload bytes, file ends after 4
+    val framed = {
+      val tmp = dir + "/whole.warc"
+      WarcIo.write(tmp, Seq(good), gzip = false)
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmp))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir + "/cut.warc"),
+      framed.dropRight(12)) // cuts into the payload
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir + "/whole.warc"))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir + "/cut.warc").collect()
+    }
+    assert(e1.getMessage != null)
+    // missing Content-Length
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir + "/nolen.warc"),
+      utf8("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir + "/nolen.warc").collect()
+    }
+    assert(e2.getMessage.contains("Content-Length") ||
+      e2.getCause != null && String.valueOf(e2.getCause.getMessage).contains("Content-Length"))
+  }
+}
