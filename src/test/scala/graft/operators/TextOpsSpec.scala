@@ -784,6 +784,47 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("trainQualityModelWeighted: weight 1 degrades exactly; upweighting moves log-odds; NULL/negative fail loud") {
+    val docs = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good clean text here", true),
+      (3L, "spam junk noise zzz", false),
+      (4L, "good sneaky junk zzz", false)  // the hard negative: shares 'good'
+    ).toDF("doc_id", "text", "lab")
+    def weights(m: org.apache.spark.sql.DataFrame) =
+      m.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val base = weights(TextOps.trainQualityModel(docs, "doc_id", "text",
+      $"lab", 64))
+    val unit = weights(TextOps.trainQualityModelWeighted(docs, "doc_id",
+      "text", $"lab", lit(1L), 64))
+    assert(unit == base, "weight 1 must reproduce trainQualityModel exactly")
+    // upweight the hard negative 4x (untouched buckets may drift slightly
+    // POSITIVE — the global negative total nn grows — so the sharp claim
+    // is on the shared token's score, below)
+    val up = weights(TextOps.trainQualityModelWeighted(docs, "doc_id",
+      "text", $"lab", when($"doc_id" === 4L, 4L).otherwise(1L), 64))
+    assert(up.toMap != base.toMap, "the retrain must actually move")
+    // the shared token 'good' scores LESS positive after the retrain
+    def scoreOf(m: Seq[(Long, Long)]) = {
+      val model = m.toDF("b", "w_fp")
+      TextOps.scoreQuality(Seq((9L, "good")).toDF("doc_id", "text"),
+        "doc_id", "text", model, 64)
+        .select($"score_fp").as[Long].head()
+    }
+    assert(scoreOf(up) < scoreOf(base),
+      "a token shared with the upweighted hard negative must score lower")
+    val eNeg = intercept[Exception] {
+      TextOps.trainQualityModelWeighted(docs, "doc_id", "text", $"lab",
+        when($"doc_id" === 4L, -1L).otherwise(1L), 64).collect()
+    }
+    assert(eNeg.getMessage.contains("nonnegative"), eNeg.getMessage)
+    val eNull = intercept[Exception] {
+      TextOps.trainQualityModelWeighted(docs, "doc_id", "text", $"lab",
+        lit(null).cast("long"), 64).collect()
+    }
+    assert(eNull.getMessage.contains("nonnegative"), eNull.getMessage)
+  }
+
   test("ngramLmCounts: counts and KN continuation counts by hand") {
     // corpus: "a b c", "x b c", "b c" — trigram window only fits twice
     val docs = Seq((1L, "a b c"), (2L, "x b c"), (3L, "b c"))

@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Global BroadcastNestedLoopJoin adjudicator over the DumpPlans output
-(VERDICT r16 ask #2): every BNLJ in every committed plan dump must be one of
-the two BENIGN classes, else this check fails NAMING the query — so the
-300-odd BNLJs no longer need manual spot-checks every round, and a real
-nested-loop join can't hide among them.
+(VERDICT r16 ask #2; bounds per r17 ask #5): every BNLJ in every committed
+plan dump must be one of the two BENIGN classes, else this check fails
+NAMING the query — so the 300-odd BNLJs no longer need manual spot-checks
+every round, and a real nested-loop join can't hide among them.
 
 Class A (auto-proven): ONE-ROW-AGGREGATE build side — the scalar-attach
 idiom. From the BNLJ's build child, descend through single-child
@@ -11,15 +11,21 @@ pass-through nodes (Project/Filter/Exchange/BroadcastExchange/Sort/...),
 resolving ReusedExchange references, until an aggregate node; benign iff
 its detail block shows `Keys: []` (a global aggregate -> exactly one row).
 
-Class B (reviewed allowlist): BOUNDED-BROADCAST build side — a cross join
-against a side bounded by CONSTRUCTION, not by data: an ANN query batch
-(`PushedFilters: LessThan(vec_id, 8)`), a centroid/codebook table (LIMIT
-16 / index parameters), a plan-literal model grid (Range(256), a Union of
-per-language constants), a query-term count. These cannot be proven from
-the dump alone, so each is an explicit (query -> exact count + reason)
-entry below. The count is EXACT: a new unexplained BNLJ in an allowlisted
-query fails (extend the entry only with a reviewed reason), and a stale
-entry (count shrank) also fails so the table tracks the plans.
+Class B (allowlist WITH BOUNDS): BOUNDED-BROADCAST build side — bounded by
+CONSTRUCTION, not by data. For every class-B BNLJ the tool now COMPUTES a
+row bound from the plan itself, recursively: Keys:[] aggregate = 1; keyed
+aggregate <= its input bound; Range(s,e) = e-s; a scan with a pushed
+LessThan(col,n)/LessThanOrEqual/EqualTo on an id column = n / n+1 / 1
+(ids are nonnegative integers in this engine — the vec_id contract);
+limits cap their child; Union sums; joins multiply ((l+1)*(r+1) — safe
+for every join type); pass-throughs and Filters inherit. A query's entry
+must carry an exact BNLJ count and either PROVE a bound from the plan or
+DECLARE one (hand-reviewed storage-side facts the dump can't show, e.g. a
+persisted one-row codebook table). The check FAILS when: a class-B BNLJ
+appears beyond the entry's count; an entry is stale (count shrank); no
+bound is provable and none is declared; or the bound exceeds ROW_BUDGET.
+Every entry's bound is printed, so the allowlist is an audited table of
+numbers instead of growing prose.
 
 Usage: python3 tools/check_bnlj.py [PLANS.md]
        python3 tools/check_bnlj.py --selftest
@@ -27,60 +33,74 @@ Usage: python3 tools/check_bnlj.py [PLANS.md]
 import re
 import sys
 
-# query -> (exact count of non-scalar BNLJs, reviewed reason)
+INF = float("inf")
+
+# The broadcast a class-B entry may carry. Observed real bounds are <= ~2k
+# (query batches of 8, 256-bucket model grids, per-language unions); the
+# budget is an order of magnitude above the legitimate ceiling and many
+# below anything corpus-shaped.
+ROW_BUDGET = 65536
+
+# query -> (exact count of non-scalar BNLJs, reviewed reason,
+#           declared bound or None when the plan must prove it)
 BOUNDED_BROADCAST_ALLOWLIST = {
     # ANN family: broadcast 8-row query batch (vec_id < 8, pushed filter)
     # and/or index-parameter-bounded centroid/codebook constant tables
-    "s1_knn_bruteforce": (1, "broadcast 8-row query batch"),
-    "s7_sq8_knn": (1, "broadcast query batch + SQ8 bounds row chain"),
-    "s8_pq_adc_knn": (1, "broadcast query batch + 16-seed codebook chain"),
-    "s11_pq_trained": (1, "broadcast query batch + trained codebook chain"),
-    "s16_ann_recall": (12, "per-method recall harness: broadcast query batch per arm"),
-    "s26_matryoshka_recall": (4, "broadcast 8-row query batch per truncation arm"),
-    "s19_ivfpq_persisted": (1, "broadcast 8-row query batch over persisted index"),
-    "s20_ivfpq_persisted_refine": (1, "broadcast 8-row query batch"),
-    "s23_ivfpq_deleted": (1, "broadcast 8-row query batch"),
-    "s24_ivfpq_filtered_serve": (1, "broadcast 8-row query batch"),
-    "s25_binary_sign_knn": (1, "broadcast 8-row query batch"),
-    "ds3_ann_ingest_exactly_once": (1, "broadcast 8-row query batch"),
-    "e2_retrieval_metrics": (2, "broadcast query batch, approx + exact arms"),
-    "r1_hard_negatives": (1, "broadcast query batch joined to labels"),
-    "d8_embedding_neardup": (1, "documented quadratic baseline: broadcast prepared side"),
-    "d32_semantic_decontaminate": (1, "broadcast benchmark set (|B|-bounded, documented)"),
-    "fn5_decontamination_funnel": (1, "d32's broadcast benchmark set inside the funnel"),
+    "s1_knn_bruteforce": (1, "broadcast 8-row query batch", None),
+    "s7_sq8_knn": (1, "broadcast query batch + SQ8 bounds row chain", None),
+    "s8_pq_adc_knn": (1, "broadcast query batch + 16-seed codebook chain", None),
+    "s11_pq_trained": (1, "broadcast query batch + trained codebook chain", None),
+    "s16_ann_recall": (12, "per-method recall harness: broadcast query batch per arm", None),
+    "s26_matryoshka_recall": (4, "broadcast 8-row query batch per truncation arm", None),
+    "s19_ivfpq_persisted": (1, "broadcast 8-row query batch over persisted index", 8),
+    "s20_ivfpq_persisted_refine": (1, "broadcast 8-row query batch", 8),
+    "s23_ivfpq_deleted": (1, "broadcast 8-row query batch", 8),
+    "s24_ivfpq_filtered_serve": (1, "broadcast 8-row query batch", 8),
+    "s25_binary_sign_knn": (1, "broadcast 8-row query batch", None),
+    "ds3_ann_ingest_exactly_once": (1, "broadcast 8-row query batch", 8),  # batch rides a checkpointed RDD scan: no pushed filter in the dump
+    "e2_retrieval_metrics": (2, "broadcast query batch, approx + exact arms", None),
+    "r1_hard_negatives": (1, "broadcast query batch joined to labels", None),
+    "t34_hard_negative_retrain": (1, "broadcast 8-row positive query batch (sort-limit)", None),
+    "d8_embedding_neardup": (1, "documented quadratic baseline: broadcast prepared side", "data"),
+    "d32_semantic_decontaminate": (1, "broadcast benchmark set (|B|-bounded, documented)", "data"),
+    "fn5_decontamination_funnel": (1, "d32's broadcast benchmark set inside the funnel", "data"),
     # retrieval scoring: the broadcast side is the query-term statistics
     # table — bounded by |query terms| (a literal list), not by data
-    "fts3_hybrid_rrf": (1, "broadcast query-term stats"),
-    "fts8_ql_dirichlet": (1, "broadcast query-term corpus-frequency table"),
-    "lm10_jm_rank": (1, "broadcast query-term corpus-frequency table"),
+    "fts3_hybrid_rrf": (1, "broadcast query-term stats", None),
+    "fts8_ql_dirichlet": (1, "broadcast query-term corpus-frequency table", 64),  # |literal query terms| rows
+    "lm10_jm_rank": (1, "broadcast query-term corpus-frequency table", 64),
     # trained/plan-literal model grids: Range(256) hash buckets and Unions
     # of per-language constant relations (langs x buckets, documented
     # constant-bounded in TextOps)
-    "t22_quality_classifier": (1, "Union of plan-literal class priors"),
-    "t28_trained_langid": (3, "Range(256) bucket grid x2 + per-lang model Union"),
-    "t29_langid_margin": (3, "Range(256) bucket grid x2 + per-lang model Union"),
-    "e10_confusion_counts": (1, "Union of two scalar-aggregate threshold arms"),
-    "e15_cohens_kappa": (1, "Union of two scalar-aggregate threshold arms"),
+    "t22_quality_classifier": (1, "Union of plan-literal class priors", 8),
+    "t28_trained_langid": (3, "Range(256) bucket grid x2 + per-lang model Union", 2048),  # 5 langs x 256 buckets + grids
+    "t29_langid_margin": (3, "Range(256) bucket grid x2 + per-lang model Union", 2048),
+    "e10_confusion_counts": (1, "Union of two scalar-aggregate threshold arms", 1024),  # each arm Range-bounded x a one-row threshold
+    "e15_cohens_kappa": (1, "Union of two scalar-aggregate threshold arms", 1024),
     # two-level bucket walk: the broadcast side joins two scalar aggregates
-    "sk3_skew_report": (2, "broadcast join of scalar percentile cut rows"),
+    "sk3_skew_report": (2, "broadcast join of scalar percentile cut rows", 16),  # LocalTableScans of driver-resolved quantile values
     # bitext mining: per index serve, one BNLJ broadcasts the persisted
     # CODEBOOK table — one packed row per index (array<array<array<bigint>>>,
-    # bounded by index params m x k), scanned from storage so the one-row
-    # proof isn't in the plan; the serve subtree appears 3x per query (fwd,
-    # bwd, and the stats reuse duplicate it)
-    "b1_bitext_mining": (3, "persisted one-row codebook table x3 serve subtrees"),
-    "b2_bitext_refined": (3, "persisted one-row codebook table x3 serve subtrees"),
+    # bounded by index params m x k), scanned from STORAGE so no bound is
+    # visible in the plan: declared 1 (AnnIndex.writeIvfPq writes exactly
+    # one codebook row per index; reviewed). The serve subtree appears 3x
+    # per query (fwd, bwd, and the stats reuse duplicate it).
+    "b1_bitext_mining": (3, "persisted one-row codebook table x3 serve subtrees", 1),
+    "b2_bitext_refined": (3, "persisted one-row codebook table x3 serve subtrees", 1),
     # funnel latency percentiles: the sk3 shape — broadcast join of scalar
     # percentile cut rows (median + p90 resolve)
-    "w16_funnel_latency": (2, "broadcast join of scalar percentile cut rows"),
+    "w16_funnel_latency": (2, "broadcast join of scalar percentile cut rows", 16),
 }
 
 PASS_THROUGH = {
     "Project", "Filter", "Exchange", "BroadcastExchange", "Sort",
     "AdaptiveSparkPlan", "ColumnarToRow", "InputAdapter", "Coalesce",
-    "WholeStageCodegen", "LocalLimit", "CollectLimit",
+    "WholeStageCodegen",
 }
+LIMITS = {"LocalLimit", "GlobalLimit", "CollectLimit", "TakeOrderedAndProject"}
 AGGREGATES = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+JOINS = {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+         "BroadcastNestedLoopJoin", "CartesianProduct"}
 
 TREE_LINE = re.compile(r"^((?:   |:  |\+- |:- |\|  )*)([A-Za-z][A-Za-z0-9_]*)(.*)$")
 NODE_ID = re.compile(r"\((\d+)\)\s*$")
@@ -156,7 +176,7 @@ def build_side_ok(nodes, i, details, by_id):
                 return False, f"unresolvable ReusedExchange ({nid})"
             i = by_id[m.group(1)]
             continue
-        if name not in PASS_THROUGH:
+        if name not in PASS_THROUGH and name not in LIMITS:
             return False, f"non-aggregate build side: {name} ({nid})"
         ch = children(nodes, i)
         if len(ch) != 1:
@@ -164,8 +184,73 @@ def build_side_ok(nodes, i, details, by_id):
         i = ch[0]
 
 
+def scan_bound(attrs):
+    """Row bound a parquet scan's pushed filters prove. Ids in this engine
+    are nonnegative integers, so LessThan(col, n) admits at most n rows."""
+    for a in attrs:
+        if a.startswith("PushedFilters:"):
+            m = re.search(r"LessThanOrEqual\(\w+,(\d+)\)", a)
+            if m:
+                return int(m.group(1)) + 1
+            m = re.search(r"LessThan\(\w+,(\d+)\)", a)
+            if m:
+                return int(m.group(1))
+            if re.search(r"EqualTo\(\w+,[^)]*\)", a):
+                return 1
+    return INF
+
+
+def row_bound(nodes, i, details, by_id, depth=0):
+    """Upper bound on rows the subtree at nodes[i] can emit, provable from
+    the plan alone; INF when nothing in the dump bounds it."""
+    if depth > 64:
+        return INF
+    _, name, rest, nid = nodes[i]
+    attrs = details.get(nid, [])
+    ch = children(nodes, i)
+
+    def child_bounds():
+        return [row_bound(nodes, c, details, by_id, depth + 1) for c in ch]
+
+    if name in AGGREGATES:
+        if any(a == "Keys: []" for a in attrs):
+            return 1
+        return min(child_bounds(), default=INF)  # grouped agg <= input rows
+    if name == "ReusedExchange":
+        m = re.search(r"Reuses operator id: (\d+)", " ".join(attrs))
+        if m and m.group(1) in by_id:
+            return row_bound(nodes, by_id[m.group(1)], details, by_id, depth + 1)
+        return INF
+    if name == "Range":
+        m = re.search(r"Range \((-?\d+), (-?\d+)", " ".join(attrs) + " " + rest)
+        if m:
+            return max(0, int(m.group(2)) - int(m.group(1)))
+        return INF
+    if name in LIMITS:
+        m = re.search(r"Arguments: (\d+)", " ".join(attrs))
+        if not m:
+            m = re.search(r"^ (\d+)", rest)
+        cap = int(m.group(1)) if m else INF
+        return min([cap] + child_bounds())
+    if name == "Union":
+        bs = child_bounds()
+        return INF if any(b is INF for b in bs) else sum(bs)
+    if name in JOINS:
+        bs = child_bounds()
+        if len(bs) != 2 or any(b is INF for b in bs):
+            return INF
+        return (bs[0] + 1) * (bs[1] + 1)  # safe for every join type
+    if name.startswith("Scan"):
+        return scan_bound(attrs)
+    if name in PASS_THROUGH or name == "ShuffleQueryStage" or name == "BroadcastQueryStage":
+        bs = child_bounds()
+        return min(bs, default=INF)
+    return INF
+
+
 def check(text):
-    """-> list of (query, problem) offenders."""
+    """-> list of (query, problem, bound) offenders (class-A failures,
+    annotated with the plan-proven row bound of the build side)."""
     offenders = []
     query = "<preamble>"
     block = []
@@ -175,7 +260,7 @@ def check(text):
             query = ln[3:].strip()
         if ln.startswith("```"):
             if in_fence:
-                offenders.extend((query, p) for p in check_block(block))
+                offenders.extend((query, p, b) for p, b in check_block(block))
                 block = []
             in_fence = not in_fence
             continue
@@ -194,12 +279,13 @@ def check_block(lines):
                 continue
             ch = children(nodes, i)
             if len(ch) != 2:
-                problems.append(f"BNLJ ({nid}) with {len(ch)} children")
+                problems.append((f"BNLJ ({nid}) with {len(ch)} children", INF))
                 continue
             build = ch[0] if "BuildLeft" in rest else ch[1]
             ok, why = build_side_ok(nodes, build, details, by_id)
             if not ok:
-                problems.append(f"BNLJ ({nid}): {why}")
+                bound = row_bound(nodes, build, details, by_id)
+                problems.append((f"BNLJ ({nid}): {why}", bound))
     return problems
 
 
@@ -238,58 +324,134 @@ Input [1]: [x#1L]
 Keys: []
 Functions [1]: [count(1)]
 ```
+
+## scratch_allowlisted_bounded
+
+```
+== Physical Plan ==
+AdaptiveSparkPlan (6)
++- BroadcastNestedLoopJoin Cross BuildRight (5)
+   :- Scan parquet  (1)
+   +- BroadcastExchange (4)
+      +- Filter (3)
+         +- Scan parquet  (2)
+
+
+(2) Scan parquet
+Output [1]: [vec_id#1L]
+PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]
+```
+
+## scratch_allowlisted_unbounded
+
+```
+== Physical Plan ==
+AdaptiveSparkPlan (6)
++- BroadcastNestedLoopJoin Cross BuildRight (5)
+   :- Scan parquet  (1)
+   +- BroadcastExchange (4)
+      +- Filter (3)
+         +- Scan parquet  (2)
+
+
+(2) Scan parquet
+Output [1]: [x#1L]
+PushedFilters: [IsNotNull(x)]
+```
 """
 
+SELFTEST_ALLOWLIST = {
+    "scratch_allowlisted_bounded": (1, "query batch", None),
+    "scratch_allowlisted_unbounded": (1, "claimed bounded, plan disagrees", None),
+}
 
-def adjudicate(text):
-    """Class-A failures resolved against the Class-B allowlist.
-    -> (failures, n_allowed) where failures is a list of strings."""
+
+def adjudicate(text, allowlist=None):
+    """Class-A failures resolved against the Class-B allowlist, with a row
+    bound REQUIRED per entry (plan-proven or declared) and checked against
+    ROW_BUDGET. -> (failures, bound_report) where bound_report is
+    [(query, n_bnljs, bound, 'proven'|'declared')]."""
+    if allowlist is None:
+        allowlist = BOUNDED_BROADCAST_ALLOWLIST
     off = check(text)
     by_query = {}
-    for q, p in off:
-        by_query.setdefault(q, []).append(p)
+    for q, p, b in off:
+        by_query.setdefault(q, []).append((p, b))
     sections = set(re.findall(r"^## (\S+)", text, re.MULTILINE))
     failures = []
-    n_allowed = 0
+    report = []
     for q, probs in sorted(by_query.items()):
-        allowed, reason = BOUNDED_BROADCAST_ALLOWLIST.get(q, (0, ""))
+        allowed, reason, declared = allowlist.get(q, (0, "", None))
         if len(probs) > allowed:
             extra = probs if allowed == 0 else probs[allowed:]
-            for p in extra:
+            for p, _ in extra:
                 failures.append(
                     f"FAIL {q}: {p} — not scalar-attach and beyond the "
                     f"allowlisted count ({allowed}); a NEW nested-loop join "
                     "needs a fix or a reviewed allowlist entry")
+            continue
+        worst = max(b for _, b in probs)
+        if worst is not INF:
+            kind = "proven"
+        elif declared == "data":
+            # documented data-sized broadcast (quadratic baseline / benchmark
+            # set): exempt from the budget BY REVIEW, printed as such
+            report.append((q, len(probs), "data-sized", "documented"))
+            continue
+        elif declared is not None:
+            worst, kind = declared, "declared"
         else:
-            n_allowed += len(probs)
-    for q, (allowed, reason) in sorted(BOUNDED_BROADCAST_ALLOWLIST.items()):
+            failures.append(
+                f"FAIL {q}: allowlisted BNLJ build side has NO provable row "
+                "bound in the plan and no declared bound in the allowlist — "
+                "prove it (limit/range/pushed-filter) or declare a reviewed one")
+            continue
+        if worst > ROW_BUDGET:
+            failures.append(
+                f"FAIL {q}: build-side bound {worst} exceeds the "
+                f"ROW_BUDGET {ROW_BUDGET} — this broadcast is not 'bounded'")
+            continue
+        report.append((q, len(probs), worst, kind))
+    for q, (allowed, reason, declared) in sorted(allowlist.items()):
         if q in sections and len(by_query.get(q, [])) < allowed:
             failures.append(
                 f"STALE {q}: allowlist expects {allowed} bounded-broadcast "
                 f"BNLJs, dump has {len(by_query.get(q, []))} — tighten the entry")
-    return failures, n_allowed
+    return failures, report
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         off = check(SELFTEST)
-        assert [q for q, _ in off] == ["scratch_bad_bnlj"], off
-        failures, _ = adjudicate(SELFTEST)
-        assert len(failures) == 1 and "scratch_bad_bnlj" in failures[0], failures
-        print(f"selftest OK: injected two-row BNLJ flagged as {off[0]}, "
-              "scalar-attach accepted")
+        flagged = sorted({q for q, _, _ in off})
+        assert flagged == ["scratch_allowlisted_bounded",
+                           "scratch_allowlisted_unbounded",
+                           "scratch_bad_bnlj"], flagged
+        failures, report = adjudicate(SELFTEST, SELFTEST_ALLOWLIST)
+        assert any("scratch_bad_bnlj" in f for f in failures), failures
+        assert any("scratch_allowlisted_unbounded" in f and "NO provable" in f
+                   for f in failures), failures
+        assert not any("scratch_allowlisted_bounded" in f for f in failures), failures
+        assert report == [("scratch_allowlisted_bounded", 1, 8, "proven")], report
+        print("selftest OK: raw BNLJ flagged, scalar-attach accepted, "
+              "bounded allowlist entry proven <=8, unbounded allowlist "
+              "entry fails by name")
         return 0
     path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
     with open(path) as f:
         text = f.read()
-    failures, n_allowed = adjudicate(text)
+    failures, report = adjudicate(text)
     n_bnlj = text.count("BroadcastNestedLoopJoin")
+    for q, n, bound, kind in report:
+        print(f"  {q}: {n} BNLJ(s), build side {kind} <= {bound} rows")
     if failures:
         for f_ in failures:
             print(f_)
         return 1
+    n_allowed = sum(n for _, n, _, _ in report)
     print(f"OK: every BNLJ in {path} is scalar-attach or an allowlisted "
-          f"bounded broadcast ({n_allowed} allowlisted); "
+          f"bounded broadcast ({n_allowed} allowlisted across {len(report)} "
+          f"queries, every bound <= {ROW_BUDGET}); "
           f"{n_bnlj} BNLJ mentions scanned")
     return 0
 
