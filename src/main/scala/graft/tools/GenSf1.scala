@@ -101,8 +101,22 @@ object GenSf1 {
       write(copies.reduce(_ unionByName _), "events")
     }
 
+    // orders: 10 copies, fresh order/customer keys per copy — per-customer
+    // window sizes preserved (the organic shape for the SCD2/snapshot-diff
+    // family: u4's per-custkey windows and u5's key-hashed full-outer join
+    // both scale with rows, not with per-key density). Key steps leave the
+    // +1e7 headroom u5's runtime insert synthesis adds within each copy.
+    locally {
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      val copies = (0 until 10).map { c =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(c * 10000000L))
+      }
+      write(copies.reduce(_ unionByName _), "orders")
+    }
+
     // dimension tables pass through verbatim (warmup-only at sf1)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
+    Seq("region", "nation", "customer", "supplier", "part",
       "lineitem").foreach { t =>
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
