@@ -109,7 +109,11 @@ object CorpusApp {
     // and dedup stages own the degenerate-doc decisions)
     val repetition = TextOps.bigramStats(langed, "doc_id", "text", minCount = 1)
       .select(col("sid").as("rep_sid"), col("rep_ratio"))
-    val qualified = langed
+    // under AQE the lazy checkpoint's toRdd still EXECUTES the subtree's
+    // intermediate query stages (adaptive planning needs their metrics), so
+    // the quality+repetition shuffles run here, at construction — timed as
+    // the build stage; the count after it pays only the result stage
+    val qualified = timed("quality_build")(langed
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
       .join(repetition, col("doc_id") === col("rep_sid"), "left")
@@ -118,7 +122,7 @@ object CorpusApp {
       // curation metadata downstream tokenization wants
       .withColumn("n_tokens", TextOps.wsTokenCount(col("text")).cast("long"))
       .withColumn("fp", TextOps.fingerprint(col("text")))
-      .localCheckpoint(false) // dedup references this subtree many times
+      .localCheckpoint(false)) // dedup references this subtree many times
     val qualityKept = timed("quality_gate")(qualified.count())
 
     // scrub AFTER filtering (don't pay redaction on dropped docs), BEFORE
@@ -129,8 +133,12 @@ object CorpusApp {
       .filter(col("text").contains("<EMAIL>") || col("text").contains("<URL>") ||
         col("text").contains("<PHONE>")).count())
 
-    val curated = Dedup.dedupCorpus(scrubbed, "doc_id", "text")
-    val deduped = timed("dedup")(curated.count())
+    // dedupCorpus checkpoints its band/verify/component intermediates
+    // EAGERLY (Storage.freeingIntermediates) — the heavy minhash+CC work
+    // runs at call time, so it gets its own stage timer; the count after
+    // it only pays the final anti-join
+    val curated = timed("dedup_build")(Dedup.dedupCorpus(scrubbed, "doc_id", "text"))
+    val deduped = timed("dedup_count")(curated.count())
 
     (curated, Stats(input, langKept, qualityKept, piiRedacted, deduped,
       cleaned = cleaned))

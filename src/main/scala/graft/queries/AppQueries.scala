@@ -258,17 +258,21 @@ object AppQueries {
     // the self-overlap drops plus genuine salad-gram contamination.
     QueryDef("corpus_app", corpusAppOracle) { (s, d) =>
       import s.implicits._
+      val tAll = System.nanoTime()
       val corpus = Tables.documents(s, d).withColumn("text",
         concat(col("text"), lit(" "), synthCol, piiCol))
       val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val tCur = System.nanoTime()
       val (curated, stats) = graft.apps.CorpusApp.curate(
         s, corpus, Set("en", "de"), minQuality = 0.5,
         onStage = (n, sec) => stages += (n -> sec))
+      stages += ("curate_total" -> (System.nanoTime() - tCur) / 1e9)
       val t0 = System.nanoTime()
       val benchmark = corpus.filter(col("doc_id") % 7 === 0)
       val (_, dropped, packs) = graft.apps.CorpusApp.decontaminateAndPack(
         s, curated, benchmark, n = 3, packSize = 2048L)
       stages += ("decontaminate_pack" -> (System.nanoTime() - t0) / 1e9)
+      stages += ("total" -> (System.nanoTime() - tAll) / 1e9)
       System.err.println("[corpus_app stages] " +
         stages.map { case (n, sec) => f"$n=$sec%.2fs" }.mkString(" "))
       Seq((stats.input, stats.langKept, stats.qualityKept, stats.piiRedacted,
