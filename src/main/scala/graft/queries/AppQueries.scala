@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object AppQueries {
 
+  /** Cardinality-neutral guard forcing named output columns under a
+    * count()-only action: Bench counts each query's frame, and Catalyst's
+    * column pruning + unique-key join elimination would otherwise skip
+    * the very work the bench row claims to measure (observed: d37's
+    * entire dedup collapsed to a doc count — 0.0 MB shuffle). The
+    * predicates are always true, so Verify output and oracle hashes are
+    * unchanged; they merely REFERENCE the computed columns so the plan
+    * must produce them.
+    */
+  private def forceUnderCount(df: DataFrame, cols: String*): DataFrame =
+    df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+
   /** Mirror of Dedup.hash32 / hash48 (the CorpusQueries twin). */
   private def sqlHash(expr: String, hexChars: Int): String =
     s"CAST(concat('0x', substr(md5($expr), 1, $hexChars)) AS BIGINT)"
@@ -310,11 +322,13 @@ object AppQueries {
          |  n_lines, coalesce(nkept, CAST(0 AS BIGINT)) AS n_kept
          |FROM d0 JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id)
          |ORDER BY sid""".stripMargin) { (s, d) =>
-      graft.operators.Dedup.lineDedup(
-          Tables.documents(s, d).withColumn("text", lineSynthCol),
-          "doc_id", "text", "\n")
-        .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
-          col("n_lines"), col("n_kept"))
+      forceUnderCount(
+        graft.operators.Dedup.lineDedup(
+            Tables.documents(s, d).withColumn("text", lineSynthCol),
+            "doc_id", "text", "\n")
+          .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
+            col("n_lines"), col("n_kept")),
+        "dedup_md5", "n_kept")
         .orderBy(col("sid"))
     },
 
@@ -355,10 +369,12 @@ object AppQueries {
       graft.sources.Bucketing.ensureCleanTable(s, table)
       graft.operators.Dedup.writeLineIndex(corpus, "doc_id", "text", "\n",
         minLineChars = 1, table, nBuckets = 8)
-      graft.operators.Dedup.lineDedupIncremental(s, batch, "doc_id", "text",
-          "\n", minLineChars = 1, table)
-        .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
-          col("n_lines"), col("n_kept"))
+      forceUnderCount(
+        graft.operators.Dedup.lineDedupIncremental(s, batch, "doc_id",
+            "text", "\n", minLineChars = 1, table)
+          .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
+            col("n_lines"), col("n_kept")),
+        "dedup_md5", "n_kept")
         .orderBy(col("sid"))
     },
 
@@ -380,12 +396,14 @@ object AppQueries {
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val dir = writeWarcFixture(s, d)
-      s.read.format("graft-warc").load(dir)
-        .select(
-          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
-          col("url"), col("warc_date"), col("record_type"), col("mime"),
-          col("content_length").as("n_bytes"),
-          md5(col("payload")).as("payload_md5"))
+      forceUnderCount(
+        s.read.format("graft-warc").load(dir)
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("url"), col("warc_date"), col("record_type"), col("mime"),
+            col("content_length").as("n_bytes"),
+            md5(col("payload")).as("payload_md5")),
+        "payload_md5")
         .orderBy(col("doc_id"))
     },
 
@@ -399,11 +417,13 @@ object AppQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val dir = writeWarcFixture(s, d)
-      s.read.format("graft-warc").load(dir)
-        .filter(col("record_type") === "response")
-        .select(
-          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
-          col("content_length").as("n_bytes"))
+      forceUnderCount(
+        s.read.format("graft-warc").load(dir)
+          .filter(col("record_type") === "response")
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("content_length").as("n_bytes")),
+        "n_bytes")
         .orderBy(col("doc_id"))
     },
 
@@ -450,13 +470,15 @@ object AppQueries {
           greatest(size(split(c, " ")).cast("double"), lit(1.0))
         mwl >= 4.0 && mwl <= 5.0
       }
-      Tables.documents(s, d)
-        .withColumn("t2", concat(col("text"), lit(" x"), inj, lit("y")))
-        .withColumn("fixed", TextOps.fixText(col("t2")))
-        .select(col("doc_id"), md5(col("fixed")).as("fixed_md5"),
-          length(col("fixed")).cast("long").as("n_fixed"),
-          mwlOk(col("t2")).as("ok_mwl_before"),
-          mwlOk(col("fixed")).as("ok_mwl_after"))
+      forceUnderCount(
+        Tables.documents(s, d)
+          .withColumn("t2", concat(col("text"), lit(" x"), inj, lit("y")))
+          .withColumn("fixed", TextOps.fixText(col("t2")))
+          .select(col("doc_id"), md5(col("fixed")).as("fixed_md5"),
+            length(col("fixed")).cast("long").as("n_fixed"),
+            mwlOk(col("t2")).as("ok_mwl_before"),
+            mwlOk(col("fixed")).as("ok_mwl_after")),
+        "fixed_md5")
         .orderBy(col("doc_id"))
     }
   )
