@@ -60,7 +60,6 @@ BOUNDED_BROADCAST_ALLOWLIST = {
     "ds3_ann_ingest_exactly_once": (1, "broadcast 8-row query batch", 8),  # batch rides a checkpointed RDD scan: no pushed filter in the dump
     "e2_retrieval_metrics": (2, "broadcast query batch, approx + exact arms", None),
     "r1_hard_negatives": (1, "broadcast query batch joined to labels", None),
-    "t34_hard_negative_retrain": (1, "broadcast 8-row positive query batch (sort-limit)", None),
     "d8_embedding_neardup": (1, "documented quadratic baseline: broadcast prepared side", "data"),
     "d32_semantic_decontaminate": (1, "broadcast benchmark set (|B|-bounded, documented)", "data"),
     "fn5_decontamination_funnel": (1, "d32's broadcast benchmark set inside the funnel", "data"),
