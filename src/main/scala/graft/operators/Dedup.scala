@@ -592,6 +592,39 @@ object Dedup {
       .distinct()
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
 
+  /** CONTAMINATION MATRIX across many eval suites in ONE pass — the
+    * multi-benchmark lift of [[decontaminate]] (production tracks a whole
+    * eval-suite battery; |suites| separate runs would re-shingle the
+    * corpus |suites| times): per suite, how many corpus docs share at
+    * least `minShared` distinct word n-grams with it, and the total
+    * (doc, shared-gram) hit count — the release-gate dashboard behind
+    * "which suites does this corpus leak". The [[crossSourceOverlap]]
+    * economics: both sides reduce to distinct 48-bit gram hashes before
+    * the join; the suite side — eval suites are tiny — broadcasts; gram
+    * fan-out is bounded by |suites holding the gram|, never corpus²; the
+    * rollups are (doc, suite)- then suite-keyed, both map-side
+    * combinable; text never shuffles.
+    */
+  def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
+                          idCol: String, textCol: String, suiteCol: String,
+                          n: Int, minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val bg = wordShinglesAll(benchmarks, suiteCol, textCol, n)
+      .select(col("sid").as("suite"), hash48(col("gram")).as("g")).distinct()
+    // JOIN before distinct (the decontaminateAgainst economics): the
+    // broadcast join drops every non-overlapping gram map-side, so the
+    // distinct shuffles only matched (sid, suite, g) rows —
+    // contamination-sized, not corpus-sized
+    wordShinglesAll(corpus, idCol, textCol, n)
+      .select(col("sid"), hash48(col("gram")).as("g"))
+      .join(broadcast(bg), Seq("g"))
+      .select(col("sid"), col("suite"), col("g")).distinct()
+      .groupBy(col("sid"), col("suite")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("suite"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("shared")).as("n_gram_hits"))
+  }
+
   /** Catalog table holding a persisted benchmark gram set. */
   def benchmarkGramsTable(name: String): String = s"${name}_bench_grams"
 
@@ -1587,6 +1620,48 @@ object Dedup {
     * on h); only the batch's line hashes shuffle — per-batch cost scales
     * with |batch|, never |corpus|.
     */
+  /** EXACTLY-ONCE streaming line-dedup ingestion (the ds-series contract
+    * on [[lineDedup]]): each micro-batch dedups against the committed
+    * first-holder index, LANDS its rebuilt docs by partition-replace on
+    * `ingest_batch`, then appends its own winners to the index. A retried
+    * batch rewrites identical rows and appends redundant winner rows the
+    * serve-time min-merge collapses — replay changes nothing.
+    *
+    * ORDERING CONTRACT (what makes replay deterministic AND the composite
+    * equal to the from-scratch [[lineDedup]]): batches must arrive in
+    * ascending id-range order (batch b's ids all below batch b+1's — the
+    * monotone doc-id assignment every crawl ingest has). Then the global
+    * min-(sid, pos) winner of any line lives in its earliest-arriving
+    * batch, so arrival order and id order agree: a replayed batch's
+    * occurrences compare `<=` against later batches' winners exactly as
+    * they did originally, and the union of landed batches is bit-equal to
+    * one whole-corpus run. Out-of-order id ranges would make the landed
+    * result arrival-order-dependent — refused territory, not handled.
+    */
+  def lineDedupIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                           batch: DataFrame, batchId: Long, statePath: String,
+                           idCol: String, textCol: String, sep: String,
+                           minLineChars: Int, table: String,
+                           nBuckets: Int): Unit = {
+    val exists = spark.catalog.tableExists(table)
+    val deduped =
+      if (!exists) lineDedup(batch, idCol, textCol, sep, minLineChars)
+      else lineDedupIncremental(spark, batch, idCol, textCol, sep,
+        minLineChars, table)
+    graft.sources.Sinks.overwriteRunPartition(
+      deduped.withColumn("ingest_batch", lit(batchId)),
+      statePath, "ingest_batch")
+    if (!exists)
+      writeLineIndex(batch, idCol, textCol, sep, minLineChars, table, nBuckets)
+    else
+      appendLineIndex(batch, idCol, textCol, sep, minLineChars, table, nBuckets)
+  }
+
+  /** The committed line-deduped corpus: the union of landed batches. */
+  def servedLineDedup(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+
   def lineDedupIncremental(spark: org.apache.spark.sql.SparkSession,
                            batch: DataFrame, idCol: String, textCol: String,
                            sep: String, minLineChars: Int,

@@ -141,6 +141,31 @@ object AppQueries {
     dir
   }
 
+  /** d37's full-corpus keep-first oracle — shared VERBATIM by ds12 (the
+    * d33/lm8 discipline: the streaming storage path must hash-equal the
+    * from-scratch run, so it earns the same oracle, same hash).
+    */
+  private val lineDedupOracle: String =
+    s"""WITH d0 AS (SELECT doc_id, $lineSynthSql AS t2 FROM documents),
+       |ln AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS line
+       |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS l FROM d0),
+       |    unnest(generate_series(1, len(l))) AS t(i)),
+       |rk AS (SELECT doc_id, pos, line,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+       |      ORDER BY doc_id, pos) AS rn
+       |  FROM ln WHERE length(line) >= 1),
+       |keep AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
+       |  UNION ALL SELECT doc_id, pos, line FROM ln WHERE length(line) < 1),
+       |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+       |  FROM ln GROUP BY doc_id),
+       |nk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nkept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS td
+       |  FROM keep GROUP BY doc_id)
+       |SELECT d0.doc_id AS sid, md5(coalesce(td, '')) AS dedup_md5,
+       |  n_lines, coalesce(nkept, CAST(0 AS BIGINT)) AS n_kept
+       |FROM d0 JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id)
+       |ORDER BY sid""".stripMargin
+
   /** The langId argmax CASE over marker counts of `c` (the t6 twin). */
   private def sqlLangPred(c: String): String = {
     val scores = TextOps.langMarkers.map { case (l, ms) =>
@@ -303,25 +328,7 @@ object AppQueries {
     // rebuilt text proves byte-exact reconstruction.
     QueryDef(
       "d37_line_dedup",
-      s"""WITH d0 AS (SELECT doc_id, $lineSynthSql AS t2 FROM documents),
-         |ln AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS line
-         |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS l FROM d0),
-         |    unnest(generate_series(1, len(l))) AS t(i)),
-         |rk AS (SELECT doc_id, pos, line,
-         |    ROW_NUMBER() OVER (PARTITION BY md5(line)
-         |      ORDER BY doc_id, pos) AS rn
-         |  FROM ln WHERE length(line) >= 1),
-         |keep AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
-         |  UNION ALL SELECT doc_id, pos, line FROM ln WHERE length(line) < 1),
-         |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
-         |  FROM ln GROUP BY doc_id),
-         |nk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nkept,
-         |    string_agg(line, chr(10) ORDER BY pos) AS td
-         |  FROM keep GROUP BY doc_id)
-         |SELECT d0.doc_id AS sid, md5(coalesce(td, '')) AS dedup_md5,
-         |  n_lines, coalesce(nkept, CAST(0 AS BIGINT)) AS n_kept
-         |FROM d0 JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id)
-         |ORDER BY sid""".stripMargin) { (s, d) =>
+      lineDedupOracle) { (s, d) =>
       forceUnderCount(
         graft.operators.Dedup.lineDedup(
             Tables.documents(s, d).withColumn("text", lineSynthCol),
@@ -425,6 +432,80 @@ object AppQueries {
             col("content_length").as("n_bytes")),
         "n_bytes")
         .orderBy(col("doc_id"))
+    },
+
+    // EXACTLY-ONCE STREAMING LINE-DEDUP INGESTION (Dedup.lineDedupIngestBatch
+    // — the ds-series contract on d37): three ascending id-range
+    // micro-batches each dedup against the committed index, land rebuilt
+    // docs by partition-replace on ingest_batch, and append their winners;
+    // batch 1 is REPLAYED after batch 2 landed (the injected retry —
+    // counted as orchestration overhead). Ascending ranges make arrival
+    // order agree with id order, so the union of landed batches is
+    // bit-equal to ONE whole-corpus lineDedup — which is why this query
+    // earns d37's oracle VERBATIM (same oracle, same hash: storage and
+    // batching must not change answers).
+    QueryDef("ds12_line_dedup_ingest", lineDedupOracle) { (s, d) =>
+      val synth = Tables.documents(s, d).withColumn("text", lineSynthCol)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_lines_ds12_" + app
+      val table = "graft_line_index_ds12_" + app
+      graft.sources.Bucketing.ensureCleanTable(s, table)
+      val cut = synth.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      def slice(b: Int) = synth.filter(
+        col("doc_id") >= b * cut && col("doc_id") < (b + 1) * cut)
+      (0 to 2).foreach { b =>
+        graft.operators.Dedup.lineDedupIngestBatch(s, slice(b), b.toLong,
+          path, "doc_id", "text", "\n", minLineChars = 1, table, nBuckets = 8)
+      }
+      // injected retry: batch 1 replays AFTER batch 2 committed — the
+      // merged winners now include later batches, and `<=` plus the
+      // ascending-range contract must land identical rows
+      graft.core.Timing.overhead {
+        graft.operators.Dedup.lineDedupIngestBatch(s, slice(1), 1L,
+          path, "doc_id", "text", "\n", minLineChars = 1, table, nBuckets = 8)
+      }
+      forceUnderCount(
+        graft.operators.Dedup.servedLineDedup(s, path)
+          .select(col("sid"), md5(col("text_dedup")).as("dedup_md5"),
+            col("n_lines"), col("n_kept")),
+        "dedup_md5", "n_kept")
+        .orderBy(col("sid"))
+    },
+
+    // CONTAMINATION MATRIX across eval suites (Dedup.contaminationMatrix —
+    // the multi-benchmark lift of d14: one corpus pass serves the whole
+    // eval battery instead of |suites| re-shingles): suiteA = doc_id % 7
+    // docs, suiteB = doc_id % 11 (deliberately overlapping suites), corpus
+    // = everything else; genuine overlap comes from the fixtures' planted
+    // near-dup families. Oracle = d14's distinct-gram machinery per suite.
+    QueryDef(
+      "d39_contamination_matrix",
+      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id,
+         |    ${sqlHash("wds.w[i] || ' ' || wds.w[i+1] || ' ' || wds.w[i+2]", 12)} AS g
+         |  FROM wds, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |cg AS (SELECT DISTINCT doc_id AS sid, g FROM g0
+         |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0),
+         |bg AS (SELECT DISTINCT suite, g FROM (
+         |  SELECT 'suiteA' AS suite, g FROM g0 WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT 'suiteB', g FROM g0 WHERE doc_id % 11 = 0)),
+         |m AS (SELECT sid, suite, COUNT(*) AS shared
+         |  FROM (SELECT DISTINCT sid, suite, cg.g FROM cg JOIN bg USING (g))
+         |  GROUP BY 1, 2)
+         |SELECT suite, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(shared) AS BIGINT) AS n_gram_hits
+         |FROM m WHERE shared >= 1 GROUP BY suite ORDER BY suite""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
+      val suites = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("suite", lit("suiteA"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("suite", lit("suiteB")))
+      graft.operators.Dedup.contaminationMatrix(
+          corpus, suites, "doc_id", "text", "suite", n = 3)
+        .orderBy(col("suite"))
     },
 
     // UNICODE FIX (TextOps.fixText / plans.UnicodeFix — VERDICT r17 ask

@@ -110,4 +110,35 @@ class DecontaminateSpec extends SparkSpec {
       "doc_id", "text", 3)) == scratch)
     spark.sql(s"DROP TABLE IF EXISTS ${Dedup.benchmarkGramsTable(name)}")
   }
+
+  test("contaminationMatrix: per-suite doc and distinct-gram hits by hand; minShared gates; clean suite absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),     // shares "a b c" + "b c d" with suiteA (2 grams)
+      (2L, "x y z w q"),     // shares "x y z" with suiteB (1 gram)
+      (3L, "p q r s t"))     // clean
+      .toDF("doc_id", "text")
+    val suites = Seq(
+      ("suiteA", "a b c d zz"),       // grams: "a b c", "b c d", "c d zz"
+      ("suiteB", "x y z other words"),
+      ("suiteC", "nothing shared here at all"))
+      .toDF("suite", "text")
+    def run(minShared: Long) =
+      Dedup.contaminationMatrix(corpus, suites, "doc_id", "text", "suite",
+          n = 3, minShared = minShared)
+        .orderBy($"suite").as[(String, Long, Long)].collect().toSeq
+    // doc 1 shares 2 distinct grams with suiteA; doc 2 shares 1 with
+    // suiteB; suiteC never appears (no zero-row padding)
+    assert(run(1L) == Seq(("suiteA", 1L, 2L), ("suiteB", 1L, 1L)))
+    // minShared = 2 drops the single-gram suiteB hit
+    assert(run(2L) == Seq(("suiteA", 1L, 2L)))
+    // one corpus doc contaminating TWO suites counts in both rows
+    // doc 4 shares "a b c"+"b c d" with suiteA and "x y z" with suiteB
+    val multi = corpus.unionByName(Seq((4L, "a b c d x y z"))
+      .toDF("doc_id", "text"))
+    val both = Dedup.contaminationMatrix(multi, suites, "doc_id", "text",
+        "suite", n = 3)
+      .orderBy($"suite").as[(String, Long, Long)].collect().toSeq
+    assert(both == Seq(("suiteA", 2L, 4L), ("suiteB", 2L, 2L)))
+  }
 }

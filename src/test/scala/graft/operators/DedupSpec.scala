@@ -944,4 +944,37 @@ class DedupSpec extends SparkSpec {
       "\n", 1, table, 4)
     assert(serve() == inc, "a replayed batch must dedup identically")
   }
+
+  test("lineDedupIngestBatch: ascending-range batches compose to the full run; late replay is a no-op") {
+    import spark.implicits._
+    val all = (0L to 11L).map(i =>
+      i -> s"nav\ndoc$i body line\nfooter ${i % 3}\nshared ${i % 2}")
+    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = java.nio.file.Files.createTempDirectory("graft-ds12-spec")
+      .toString + "/state"
+    val table = "graft_line_index_ds12_spec_" + app
+    graft.sources.Bucketing.ensureCleanTable(spark, table)
+    def slice(b: Int) = all.filter { case (id, _) => id / 4 == b }
+      .toDF("doc_id", "text")
+    (0 to 2).foreach { b =>
+      Dedup.lineDedupIngestBatch(spark, slice(b), b.toLong, path,
+        "doc_id", "text", "\n", 1, table, 4)
+    }
+    def served() = Dedup.servedLineDedup(spark, path)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        (r.getAs[String]("text_dedup"), r.getAs[Long]("n_kept"))).toMap
+    val composed = served()
+    // the union of landed batches IS the from-scratch whole-corpus run
+    val full = Dedup.lineDedup(all.toDF("doc_id", "text"),
+        "doc_id", "text", "\n", 1)
+      .collect().map(r => r.getAs[Long]("sid") ->
+        (r.getAs[String]("text_dedup"), r.getAs[Long]("n_kept"))).toMap
+    assert(composed == full,
+      "sequential range-batched ingest must equal one whole-corpus lineDedup")
+    // injected retry: batch 1 replays AFTER batch 2 committed — identical
+    // rows land, the serve is unchanged
+    Dedup.lineDedupIngestBatch(spark, slice(1), 1L, path,
+      "doc_id", "text", "\n", 1, table, 4)
+    assert(served() == composed, "a late-replayed batch must change nothing")
+  }
 }
