@@ -237,6 +237,53 @@ object Dedup {
     * out, exactly as they dropped out of the groupBy in the relational form
     * (which shuffled ~1M shingle rows at sf0.1 on this hot path).
     */
+  /** LSH S-CURVE CALIBRATION — measures the banding config against its own
+    * theory (MMDS ch.3): with b bands of r rows, theory says
+    * P(candidate | jaccard s) = 1 − (1 − s^r)^b; this report buckets the
+    * GROUND-TRUTH overlapping pairs (brute-force jaccard — the d5
+    * baseline) into 10 jaccard bins and compares the OBSERVED candidate
+    * rate of [[minhashCandidates]] against the theoretical curve per bin —
+    * the one-page answer to "is (b=8, r=4) actually the s-curve we think
+    * we configured", including whatever gap the 2-universal affine hashes
+    * open against the theory's independent-permutation assumption.
+    *
+    * Exactness: jaccard and the polynomial ride doubles through ONE fixed
+    * association (j⁴ = (j·j)·(j·j), y⁸ = (y²·y²)·(y²·y²)) so both engines
+    * compute identical IEEE values; per-pair predictions round ONCE into
+    * integer micro-units so the per-bin sums are order-free; the two
+    * output rates are single rounded divisions.
+    *
+    * Scale posture: quadratic BY DESIGN over a CALLER-BOUNDED sample (the
+    * d5 baseline economics — pass a few hundred docs, calibration needs no
+    * more); the join back to candidates is (ida, idb)-keyed.
+    */
+  def lshCalibration(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, n, 0.0)
+    val cand = minhashCandidates(df, idCol, textCol, n)
+      .withColumn("__c", lit(1L))
+    val j = col("jaccard")
+    val j2 = j * j
+    val j4 = j2 * j2
+    val y = lit(1.0) - j4
+    val y2 = y * y
+    val y4 = y2 * y2
+    val y8 = y4 * y4
+    truth.join(cand, Seq("ida", "idb"), "left")
+      .select(least(floor(j * 10).cast("long"), lit(9L)).as("bin"),
+        coalesce(col("__c"), lit(0L)).as("__isc"),
+        round((lit(1.0) - y8) * 1000000, 0).cast("long").as("__pm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__isc")).as("n_candidates"),
+        sum(col("__pm")).as("__pms"))
+      .select(col("bin"), col("n_pairs"), col("n_candidates"),
+        round(col("n_candidates").cast("double") /
+          col("n_pairs").cast("double"), 6).as("observed_rate"),
+        round(col("__pms").cast("double") /
+          col("n_pairs").cast("double") / 1000000.0, 6).as("predicted_rate"))
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sig = df.select(col(idCol).as("sid"),
       graft.plans.MinhashSigLong.minhashSig(col(textCol), n).as("sig"))

@@ -94,4 +94,44 @@ object Html {
         coalesce(col("main"), lit("")).as("main"),
         length(coalesce(col("main"), lit(""))).cast("long").as("main_len"))
   }
+
+  /** The page's `<meta name="robots">` directive content, lowercased — ""
+    * when the page carries none. Both attribute orders match (name-first
+    * and content-first; real crawls have both), tag case and attribute
+    * quoting are insensitive, and only the FIRST matching tag counts (the
+    * robots-exclusion convention for conflicting tags is out of scope —
+    * crawl dedup keeps one). Patterns sit in the Java/RE2 common subset
+    * (inline (?is), single [^"'>] content group) so the oracle extracts
+    * the identical string.
+    */
+  def robotsContent(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"']([^\"'>]*)", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*name\\s*=\\s*[\"']?robots[\"']?", 1)
+    lower(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+  }
+
+  /** Robots-meta COMPLIANCE gate (the stage a lawful crawl pipeline runs
+    * before any text ever reaches curation): per page the noindex /
+    * nofollow verdicts from the robots meta directive — `noindex` (or the
+    * `none` shorthand) means the publisher forbade indexing and the page
+    * must NOT enter a training corpus that honors robots semantics;
+    * `nofollow` only gates link extraction (the g1/d35 graph stages), not
+    * the page text. Token-exact membership over the comma-split directive
+    * list (a substring test would mis-fire on `nosnippet` vs `no`),
+    * whitespace-trimmed.
+    *
+    * Scale shape: two regexp extracts + array membership per row, fused
+    * into the scan — zero shuffle, the [[mainContent]] posture.
+    */
+  def robotsPolicy(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val toks = filter(
+      transform(split(robotsContent(col(htmlCol)), ","), t => trim(t)),
+      t => t =!= "")
+    val none = array_contains(toks, "none")
+    df.select(col(idCol).as("sid"),
+      (array_contains(toks, "noindex") || none).as("noindex"),
+      (array_contains(toks, "nofollow") || none).as("nofollow"))
+  }
 }

@@ -508,6 +508,133 @@ object AppQueries {
         .orderBy(col("suite"))
     },
 
+    // LSH S-CURVE CALIBRATION (Dedup.lshCalibration — MMDS ch.3 banding
+    // theory measured against the d3 config): the raw fixtures' jaccard
+    // distribution is bimodal (near-zero noise + exact dups), so each
+    // sample doc gets a PREFIX-TRUNCATED companion at (doc_id%8+2)/10 of
+    // its words — jaccard(full, companion) sweeps ~0.1..0.9, populating
+    // the s-curve's interesting middle. Ground-truth pairs bucket into 10
+    // jaccard bins; per bin the
+    // OBSERVED minhash-candidate rate sits next to the theoretical
+    // 1-(1-s^4)^8 — the empirical justification of the (b=8, r=4) recall
+    // claims every dedup operator rides. One fixed multiplication tree +
+    // integer micro-unit sums keep the doubles engine-exact.
+    QueryDef(
+      "d40_lsh_scurve",
+      {
+        import graft.operators.Dedup
+        val sigAggs = (0 until Dedup.NumHashes).map(i =>
+          s"  min((${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinhashPrime}) AS m$i")
+          .mkString(",\n")
+        val bandArms = (0 until Dedup.NumBands).map { b =>
+          val cols = (0 until Dedup.RowsPerBand)
+            .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
+          s"  SELECT sid, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           |comp AS (SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1,
+           |      CAST((len(string_split(text, ' ')) * (doc_id % 8 + 2)) // 10
+           |        AS BIGINT)), ' ') AS text
+           |  FROM b0),
+           |sub AS (SELECT doc_id, text FROM b0
+           |  UNION ALL SELECT doc_id, text FROM comp),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM sub),
+           |sh0 AS (SELECT DISTINCT doc_id AS sid,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           |  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+           |sh AS MATERIALIZED (SELECT sid, gram, ${sqlHash("gram", 12)} AS g FROM sh0),
+           |sizes AS (SELECT sid, COUNT(*) AS nsh FROM sh GROUP BY sid),
+           |inter AS (SELECT a.sid AS ida, b.sid AS idb, COUNT(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.g = b.g AND a.sid < b.sid GROUP BY 1, 2),
+           |tp AS (SELECT ida, idb,
+           |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS j
+           |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid),
+           |h AS (SELECT sid, ${sqlHash("gram", 8)} AS h FROM sh),
+           |sig AS (SELECT sid,
+           |$sigAggs
+           |FROM h GROUP BY sid),
+           |bands AS (
+           |$bandArms
+           |),
+           |cand AS (SELECT DISTINCT a.sid AS ida, b.sid AS idb
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.sid < b.sid),
+           |p2 AS (SELECT ida, idb, j, 1 - (j*j)*(j*j) AS y FROM tp),
+           |p3 AS (SELECT ida, idb, j,
+           |    ((y*y)*(y*y))*((y*y)*(y*y)) AS y8 FROM p2),
+           |cal AS (SELECT least(CAST(floor(j * 10) AS BIGINT), CAST(9 AS BIGINT)) AS bin,
+           |    CASE WHEN c.ida IS NOT NULL THEN CAST(1 AS BIGINT)
+           |         ELSE CAST(0 AS BIGINT) END AS isc,
+           |    CAST(round((1 - y8) * 1000000) AS BIGINT) AS pm
+           |  FROM p3 LEFT JOIN cand c USING (ida, idb))
+           |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(isc) AS BIGINT) AS n_candidates,
+           |  round(CAST(SUM(isc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           |    AS observed_rate,
+           |  round(CAST(SUM(pm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)
+           |    AS predicted_rate
+           |FROM cal GROUP BY bin ORDER BY bin""".stripMargin
+      }) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val nw = size(split(col("text"), " "))
+      val k = floor((nw * ((col("doc_id") % 8) + 2)) / 10).cast("int")
+      val comp = base.select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1), k), " ").as("text"))
+      graft.operators.Dedup.lshCalibration(
+          base.unionByName(comp), "doc_id", "text", n = 3)
+        .orderBy(col("bin"))
+    },
+
+    // ROBOTS-META COMPLIANCE GATE (Html.robotsPolicy — the lawful-crawl
+    // stage before curation): five synthesized page classes exercise both
+    // attribute orders, tag/content case, quoting styles, the `none`
+    // shorthand, and the token-exactness trap (`nosnippet` must not
+    // trigger `noindex`'s prefix). Oracle mirrors the two RE2 extracts +
+    // comma-token membership exactly.
+    QueryDef(
+      "t35_robots_gate",
+      s"""WITH h AS (SELECT doc_id,
+         |    CASE doc_id % 5
+         |      WHEN 0 THEN '<html><head><META NAME="robots" CONTENT="noindex, nofollow"></head><body>' || text || '</body></html>'
+         |      WHEN 1 THEN '<html><head><meta content=''nofollow'' name=robots></head><body>' || text || '</body></html>'
+         |      WHEN 2 THEN '<html><head><meta name="ROBOTS" content="NONE"></head><body>' || text || '</body></html>'
+         |      WHEN 3 THEN '<html><head><meta name="robots" content="nosnippet"></head><body>' || text || '</body></html>'
+         |      ELSE '<html><body>' || text || '</body></html>' END AS page
+         |  FROM documents),
+         |c AS (SELECT doc_id, lower(CASE WHEN nf <> '' THEN nf ELSE cf END) AS content
+         |  FROM (SELECT doc_id,
+         |    regexp_extract(page, '(?is)<meta[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*["'']([^"''>]*)', 1) AS nf,
+         |    regexp_extract(page, '(?is)<meta[^>]*content\\s*=\\s*["'']([^"''>]*)["''][^>]*name\\s*=\\s*["'']?robots["'']?', 1) AS cf
+         |  FROM h)),
+         |t AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(content, ','), x -> trim(x)),
+         |      x -> x <> '') AS toks
+         |  FROM c)
+         |SELECT doc_id,
+         |  (list_contains(toks, 'noindex') OR list_contains(toks, 'none')) AS noindex,
+         |  (list_contains(toks, 'nofollow') OR list_contains(toks, 'none')) AS nofollow
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val page = when(col("doc_id") % 5 === 0,
+          concat(lit("<html><head><META NAME=\"robots\" CONTENT=\"noindex, nofollow\"></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("<html><head><meta content='nofollow' name=robots></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("<html><head><meta name=\"ROBOTS\" content=\"NONE\"></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("<html><head><meta name=\"robots\" content=\"nosnippet\"></head><body>"),
+            col("text"), lit("</body></html>")))
+        .otherwise(concat(lit("<html><body>"), col("text"), lit("</body></html>")))
+      graft.operators.Html.robotsPolicy(
+          Tables.documents(s, d).withColumn("page", page), "doc_id", "page")
+        .select(col("sid").as("doc_id"), col("noindex"), col("nofollow"))
+        .orderBy(col("doc_id"))
+    },
+
     // UNICODE FIX (TextOps.fixText / plans.UnicodeFix — VERDICT r17 ask
     // #2, stage-0 text hygiene): the fixtures are pure ASCII (an inert
     // kernel would verify nothing — the t3 lesson), so each doc gets ONE

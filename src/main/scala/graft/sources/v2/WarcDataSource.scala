@@ -256,6 +256,57 @@ object WarcIo {
     } finally out.close()
   }
 
+  /** EXECUTOR-PARALLEL corpus export as WARC shards — the cluster-scale
+    * write twin of the DSv2 reader ([[write]] is the driver-side fixture
+    * form): every partition streams its rows into its OWN multi-member
+    * shard (`part-NNNNN.warc[.gz]`) through a write-temp-then-atomic-rename,
+    * so a retried task replaces its shard instead of appending a duplicate
+    * — idempotent under Spark task retry whenever the input partitioning
+    * is deterministic (repartitionByRange + sortWithinPartitions on the
+    * url/id is the caller's side of that contract; rows are framed in
+    * partition iteration order). NULL payloads export as empty records;
+    * NULL header fields are omitted, exactly as [[write]] frames them.
+    *
+    * 100 TB posture: one sequential gzip stream per task (the format's
+    * floor — members must concatenate in order), thousands of tasks in
+    * flight; no driver collect, no shuffle beyond what the caller chose.
+    */
+  def exportCorpus(df: org.apache.spark.sql.DataFrame, dir: String,
+                   urlCol: String, dateCol: String, typeCol: String,
+                   mimeCol: String, payloadCol: String,
+                   gzip: Boolean = true): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ext = if (gzip) "warc.gz" else "warc"
+    val cols = Seq(urlCol, dateCol, typeCol, mimeCol, payloadCol)
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fin = java.nio.file.Paths.get(f"$dir/part-$pid%05d.$ext")
+        val tmp = java.nio.file.Paths.get(
+          f"$dir/.part-$pid%05d.$ext.inprogress")
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp), 1 << 16)
+        try {
+          rows.foreach { r =>
+            val payload = Option(r.getAs[Array[Byte]](4))
+              .getOrElse(Array.emptyByteArray)
+            val bytes = frame(Record(r.getAs[String](0), r.getAs[String](1),
+              r.getAs[String](2), r.getAs[String](3), payload))
+            if (gzip) {
+              val member = new java.io.ByteArrayOutputStream(bytes.length)
+              val gz = new java.util.zip.GZIPOutputStream(member)
+              gz.write(bytes); gz.close()
+              out.write(member.toByteArray)
+            } else out.write(bytes)
+          }
+        } finally out.close()
+        java.nio.file.Files.move(tmp, fin,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+  }
+
   private def frame(r: Record): Array[Byte] = {
     val crlf = "\r\n"
     val head = new StringBuilder("WARC/1.0").append(crlf)

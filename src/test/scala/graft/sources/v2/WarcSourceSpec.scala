@@ -68,6 +68,35 @@ class WarcSourceSpec extends SparkSpec {
     assert(pruned.collect().length == 4)
   }
 
+  test("exportCorpus: executor-parallel shards round-trip; re-export is byte-idempotent") {
+    import spark.implicits._
+    val rows = (0 until 24).map(i => (s"https://h.example.com/p$i",
+      "2024-03-01T00:00:00Z", "response", "text/plain",
+      utf8(s"payload $i")))
+    val df = rows.toDF("url", "warc_date", "record_type", "mime", "payload")
+      .repartitionByRange(3, col("url")).sortWithinPartitions("url")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-export").toString
+    WarcIo.exportCorpus(df, dir, "url", "warc_date", "record_type", "mime",
+      "payload", gzip = true)
+    val shards = new java.io.File(dir).list().filter(_.endsWith(".warc.gz")).sorted
+    assert(shards.length == 3, shards.toSeq)
+    val back = spark.read.format("graft-warc").load(dir)
+      .select("url", "payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1),
+        java.nio.charset.StandardCharsets.UTF_8)).sortBy(_._1)
+    assert(back.toSeq == rows.map(r => r._1 -> s"payload ${r._1.drop(23).toInt}")
+      .sortBy(_._1))
+    // idempotence: a "retried" export (same deterministic partitioning)
+    // atomically replaces each shard with identical bytes
+    val before = shards.map(f => java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f)).toSeq)
+    WarcIo.exportCorpus(df, dir, "url", "warc_date", "record_type", "mime",
+      "payload", gzip = true)
+    val after = shards.map(f => java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f)).toSeq)
+    assert(before.toSeq == after.toSeq, "re-export must be byte-identical")
+  }
+
   test("malformed framing fails loudly: truncated payload, missing Content-Length") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-bad").toString
     val good = WarcIo.Record("https://x/1", "2024-01-01T00:00:00Z",
