@@ -259,6 +259,13 @@ object Dedup {
     */
   def lshCalibration(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame = {
+    // the multiplication tree below hardcodes r=4 (j⁴) and b=8 (y⁸) for
+    // engine-exact IEEE association; if the banding config is ever retuned
+    // this report — whose whole job is catching misconfiguration — must
+    // fail loudly rather than compare against the wrong curve (ADVICE r18)
+    require(NumBands == 8 && RowsPerBand == 4,
+      s"lshCalibration's fixed 1-(1-s^4)^8 tree assumes (b=8, r=4); " +
+        s"config is (b=$NumBands, r=$RowsPerBand) — rebuild the power chain")
     val truth = jaccardPairs(df, idCol, textCol, n, 0.0)
     val cand = minhashCandidates(df, idCol, textCol, n)
       .withColumn("__c", lit(1L))

@@ -105,10 +105,21 @@ object Html {
     * the identical string.
     */
   def robotsContent(html: Column): Column = {
-    val nameFirst = regexp_extract(html,
-      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"']([^\"'>]*)", 1)
-    val contentFirst = regexp_extract(html,
-      "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*name\\s*=\\s*[\"']?robots[\"']?", 1)
+    // content VALUES match quoted or unquoted (ADVICE r18 #2: legal HTML
+    // like <meta name=robots content=noindex> must not slip the gate) via
+    // an alternation with one group per arm; both Spark and DuckDB return
+    // "" for the non-participating group, so the coalesce is engine-exact.
+    // An unquoted value ends at whitespace/quote/'>' per the HTML5 grammar.
+    val nfRe =
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*(?:[\"']([^\"'>]*)|([^\\s\"'>]+))"
+    val cfRe =
+      "(?is)<meta[^>]*content\\s*=\\s*(?:[\"']([^\"'>]*)[\"']|([^\\s\"'>]+))[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    def firstGroup(re: String): Column = {
+      val q = regexp_extract(html, re, 1)
+      when(q =!= "", q).otherwise(regexp_extract(html, re, 2))
+    }
+    val nameFirst = firstGroup(nfRe)
+    val contentFirst = firstGroup(cfRe)
     lower(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
   }
 

@@ -588,26 +588,37 @@ object AppQueries {
     },
 
     // ROBOTS-META COMPLIANCE GATE (Html.robotsPolicy — the lawful-crawl
-    // stage before curation): five synthesized page classes exercise both
-    // attribute orders, tag/content case, quoting styles, the `none`
-    // shorthand, and the token-exactness trap (`nosnippet` must not
-    // trigger `noindex`'s prefix). Oracle mirrors the two RE2 extracts +
-    // comma-token membership exactly.
+    // stage before curation): seven synthesized page classes exercise both
+    // attribute orders, tag/content case, quoting styles INCLUDING fully
+    // unquoted content values (ADVICE r18 #2: `content=noindex` is legal
+    // HTML and must not slip the gate), the `none` shorthand, and the
+    // token-exactness trap (`nosnippet` must not trigger `noindex`'s
+    // prefix). Oracle mirrors the two alternation RE2 extracts (quoted
+    // group 1, unquoted group 2 — both engines return '' for the
+    // non-participating group) + comma-token membership exactly.
     QueryDef(
       "t35_robots_gate",
       s"""WITH h AS (SELECT doc_id,
-         |    CASE doc_id % 5
+         |    CASE doc_id % 7
          |      WHEN 0 THEN '<html><head><META NAME="robots" CONTENT="noindex, nofollow"></head><body>' || text || '</body></html>'
          |      WHEN 1 THEN '<html><head><meta content=''nofollow'' name=robots></head><body>' || text || '</body></html>'
          |      WHEN 2 THEN '<html><head><meta name="ROBOTS" content="NONE"></head><body>' || text || '</body></html>'
          |      WHEN 3 THEN '<html><head><meta name="robots" content="nosnippet"></head><body>' || text || '</body></html>'
+         |      WHEN 4 THEN '<html><head><meta name=robots content=noindex></head><body>' || text || '</body></html>'
+         |      WHEN 5 THEN '<html><head><meta content=noindex,nofollow name=robots></head><body>' || text || '</body></html>'
          |      ELSE '<html><body>' || text || '</body></html>' END AS page
          |  FROM documents),
+         |x AS (SELECT doc_id,
+         |    regexp_extract(page, '(?is)<meta[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*(?:["'']([^"''>]*)|([^\\s"''>]+))', 1) AS nf1,
+         |    regexp_extract(page, '(?is)<meta[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*(?:["'']([^"''>]*)|([^\\s"''>]+))', 2) AS nf2,
+         |    regexp_extract(page, '(?is)<meta[^>]*content\\s*=\\s*(?:["'']([^"''>]*)["'']|([^\\s"''>]+))[^>]*name\\s*=\\s*["'']?robots["'']?', 1) AS cf1,
+         |    regexp_extract(page, '(?is)<meta[^>]*content\\s*=\\s*(?:["'']([^"''>]*)["'']|([^\\s"''>]+))[^>]*name\\s*=\\s*["'']?robots["'']?', 2) AS cf2
+         |  FROM h),
          |c AS (SELECT doc_id, lower(CASE WHEN nf <> '' THEN nf ELSE cf END) AS content
          |  FROM (SELECT doc_id,
-         |    regexp_extract(page, '(?is)<meta[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*["'']([^"''>]*)', 1) AS nf,
-         |    regexp_extract(page, '(?is)<meta[^>]*content\\s*=\\s*["'']([^"''>]*)["''][^>]*name\\s*=\\s*["'']?robots["'']?', 1) AS cf
-         |  FROM h)),
+         |      CASE WHEN nf1 <> '' THEN nf1 ELSE nf2 END AS nf,
+         |      CASE WHEN cf1 <> '' THEN cf1 ELSE cf2 END AS cf
+         |    FROM x)),
          |t AS (SELECT doc_id,
          |    list_filter(list_transform(string_split(content, ','), x -> trim(x)),
          |      x -> x <> '') AS toks
@@ -616,17 +627,23 @@ object AppQueries {
          |  (list_contains(toks, 'noindex') OR list_contains(toks, 'none')) AS noindex,
          |  (list_contains(toks, 'nofollow') OR list_contains(toks, 'none')) AS nofollow
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val page = when(col("doc_id") % 5 === 0,
+      val page = when(col("doc_id") % 7 === 0,
           concat(lit("<html><head><META NAME=\"robots\" CONTENT=\"noindex, nofollow\"></head><body>"),
             col("text"), lit("</body></html>")))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 7 === 1,
           concat(lit("<html><head><meta content='nofollow' name=robots></head><body>"),
             col("text"), lit("</body></html>")))
-        .when(col("doc_id") % 5 === 2,
+        .when(col("doc_id") % 7 === 2,
           concat(lit("<html><head><meta name=\"ROBOTS\" content=\"NONE\"></head><body>"),
             col("text"), lit("</body></html>")))
-        .when(col("doc_id") % 5 === 3,
+        .when(col("doc_id") % 7 === 3,
           concat(lit("<html><head><meta name=\"robots\" content=\"nosnippet\"></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("<html><head><meta name=robots content=noindex></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("<html><head><meta content=noindex,nofollow name=robots></head><body>"),
             col("text"), lit("</body></html>")))
         .otherwise(concat(lit("<html><body>"), col("text"), lit("</body></html>")))
       graft.operators.Html.robotsPolicy(

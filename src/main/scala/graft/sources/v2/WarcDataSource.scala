@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -97,9 +97,13 @@ final class WarcScanBuilder(path: String)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Only EqualTo is accepted (removed from Spark's residual): the reader
+    // enforces exactly that predicate. IsNotNull stays in the residual —
+    // the reader tolerates records missing the WARC-Type header (recType
+    // null), so accepting IsNotNull would silently RETURN those rows on a
+    // bare `record_type IS NOT NULL` scan (ADVICE r18 #1).
     val (accepted, residual) = filters.partition {
       case EqualTo("record_type", _: String) => true
-      case IsNotNull("record_type")          => true
       case _ => false
     }
     pushed = accepted
@@ -281,9 +285,15 @@ object WarcIo {
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        // temp name carries the task ATTEMPT id: two live attempts of the
+        // same partition (speculation, a zombie racing its retry) must
+        // each write a private file before the atomic rename — a shared
+        // temp path would interleave their bytes (ADVICE r18 #3)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val fin = java.nio.file.Paths.get(f"$dir/part-$pid%05d.$ext")
         val tmp = java.nio.file.Paths.get(
-          f"$dir/.part-$pid%05d.$ext.inprogress")
+          f"$dir/.part-$pid%05d-a$attempt.$ext.inprogress")
         val out = new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(tmp), 1 << 16)
         try {

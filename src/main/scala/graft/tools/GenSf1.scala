@@ -106,6 +106,14 @@ object GenSf1 {
     // family: u4's per-custkey windows and u5's key-hashed full-outer join
     // both scale with rows, not with per-key density). Key steps leave the
     // +1e7 headroom u5's runtime insert synthesis adds within each copy.
+    //
+    // INTENTIONAL FK BREAK (ADVICE r18 #5): lineitem and customer pass
+    // through verbatim, so copies 1-9 DANGLE on every orders-lineitem /
+    // orders-customer join — fine for the per-custkey-window family (u4/u5,
+    // self-contained in orders) this scaling exists for, but a JOIN-shaped
+    // sf1 probe over orders would silently lose ~90% of its matches and
+    // measure the wrong thing. Probe orders-joining queries at sf1 only
+    // after scaling their join partners too.
     locally {
       val ord = spark.read.parquet(s"$src/orders.parquet")
       val copies = (0 until 10).map { c =>

@@ -102,6 +102,27 @@ class HtmlSpec extends SparkSpec {
     assert(empty == ((7L, 0L, 0L, "", 0L)), empty.toString)
   }
 
+  test("robotsPolicy: quoted, unquoted, both orders, none shorthand, token exactness") {
+    val pages = Seq(
+      (0L, """<head><META NAME="robots" CONTENT="noindex, nofollow"></head>""", true, true),
+      (1L, """<head><meta content='nofollow' name=robots></head>""", false, true),
+      (2L, """<head><meta name="ROBOTS" content="NONE"></head>""", true, true),
+      (3L, """<head><meta name="robots" content="nosnippet"></head>""", false, false),
+      // unquoted content values — legal HTML5, must not slip the gate
+      // (ADVICE r18 #2), in both attribute orders
+      (4L, """<head><meta name=robots content=noindex></head>""", true, false),
+      (5L, """<head><meta content=noindex,nofollow name=robots></head>""", true, true),
+      (6L, "<body>no meta at all</body>", false, false),
+      // unquoted value ends at whitespace: the next attribute must not
+      // bleed into the directive list
+      (7L, """<head><meta name=robots content=noindex data-x=1></head>""", true, false))
+    val got = Html.robotsPolicy(
+        pages.map(p => (p._1, p._2)).toDF("id", "page"), "id", "page")
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == pages.map(p => (p._1, p._3, p._4)),
+      got.mkString("; "))
+  }
+
   test("Gopher rules flip in the expected direction once markup is stripped") {
     // 35 words of mean length ~4.5 with stopwords: passes Gopher clean.
     // The same text glued into markup: tags fuse into "words", pushing the

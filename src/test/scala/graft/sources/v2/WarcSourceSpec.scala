@@ -63,7 +63,10 @@ class WarcSourceSpec extends SparkSpec {
       .filter(col("record_type") === "response")
       .select("url", "content_length")
     val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(plan.contains("pruned to [url,content_length]"), plan)
+    // record_type rides along for Spark's residual IsNotNull filter (only
+    // EqualTo is pushed — ADVICE r18 #1); the point is PAYLOAD never does
+    assert(plan.contains("pruned to [url,record_type,content_length]"), plan)
+    assert(!plan.contains("payload"), plan)
     assert(plan.contains("pushed [record_type = response]"), plan)
     assert(pruned.collect().length == 4)
   }
@@ -95,6 +98,25 @@ class WarcSourceSpec extends SparkSpec {
     val after = shards.map(f => java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, f)).toSeq)
     assert(before.toSeq == after.toSeq, "re-export must be byte-identical")
+  }
+
+  test("IsNotNull(record_type) stays a residual: typeless records are filtered, not returned") {
+    // the reader tolerates records with no WARC-Type header (recType null);
+    // accepting IsNotNull as fully pushed would silently RETURN those rows
+    // on a bare `record_type IS NOT NULL` scan (ADVICE r18 #1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-nn").toString
+    WarcIo.write(s"$dir/part-0.warc", Seq(
+      WarcIo.Record("https://x/typed", "2024-01-01T00:00:00Z", "response",
+        "text/plain", utf8("a")),
+      WarcIo.Record("https://x/typeless", "2024-01-01T00:00:00Z", null,
+        "text/plain", utf8("b"))), gzip = false)
+    val df = spark.read.format("graft-warc").load(dir)
+    assert(df.count() == 2)
+    val nn = df.filter(col("record_type").isNotNull)
+    assert(nn.collect().map(_.getAs[String]("url")).toSeq == Seq("https://x/typed"))
+    // and the plan must NOT claim the filter was pushed into the source
+    val plan = nn.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("pushed [record_type"), plan)
   }
 
   test("malformed framing fails loudly: truncated payload, missing Content-Length") {
