@@ -57,6 +57,26 @@ object Bench {
     */
   private val QuadraticBaselines = Set("d5_jaccard_bruteforce", "d8_embedding_neardup")
 
+  /** The bench ACTION: execute the frame's OWN physical plan and count its
+    * rows (`toRdd.count()`), rather than `df.count()`. Under `df.count()`
+    * Catalyst builds a NEW plan for `Aggregate [count(1)]` and legally
+    * deletes everything the count doesn't need — column pruning strips
+    * computed output columns, unique-key join elimination removes whole
+    * subtrees (observed live: d37's entire dedup collapsed to a doc count,
+    * 0.0 MB shuffle), so a bench row can time a no-op while claiming to
+    * time the operator. The round-19 audit (tools/CountAudit) found 173 of
+    * 328 queries with at least one computed output column eliminated under
+    * count. Executing the frame's own plan makes elimination impossible BY
+    * CONSTRUCTION: the final operator builds an UnsafeRow per output row,
+    * which materializes every output column — the same work Verify's
+    * parquet dump pays, minus sink I/O. Final ORDER BYs now execute too
+    * (count() used to eliminate them); that is the honest cost of the
+    * declared frame and is uniform across rounds once baselines are
+    * re-promoted.
+    */
+  private[graft] def forceFrame(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Per-query seconds from a prior bench artifact, for the regression gate.
     * Accepts either the raw one-line bench JSON (BENCH_BASELINE.json,
     * target/bench_last.json) or a driver round file (BENCH_r*.json) whose
@@ -326,7 +346,7 @@ object Bench {
                else graft.core.Tables.load(spark, sfDir, t)
       df.limit(1).count()
     }
-    SparkEntry.queries.head._2(spark, sfDir).count()
+    forceFrame(SparkEntry.queries.head._2(spark, sfDir))
     // JIT-warm the native per-row kernels (md5 prefix, minhash, simhash,
     // dot product) on synthetic rows so the first dedup/ANN query measures
     // the operator, not JVM compilation of its hash loops.
@@ -383,7 +403,7 @@ object Bench {
       val gc0 = gcSeconds()
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { forceFrame(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
@@ -488,7 +508,7 @@ object Bench {
         val gc0 = gcSeconds()
         val t0 = System.nanoTime()
         val retried =
-          try { Some({ byName(name)(spark, sfDir).count()
+          try { Some({ forceFrame(byName(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9 }) }
           catch { case _: Throwable => None }
         val retriedOvh = graft.core.Timing.overheadSeconds

@@ -23,6 +23,13 @@ object AppQueries {
     * predicates are always true, so Verify output and oracle hashes are
     * unchanged; they merely REFERENCE the computed columns so the plan
     * must produce them.
+    *
+    * Round 19: Bench.forceFrame closed this hole SYSTEMICALLY (the bench
+    * action now executes each frame's own physical plan, materializing
+    * every output column), so these guards are no longer load-bearing for
+    * the bench. They stay because they also pin the columns under any
+    * OTHER count-shaped consumer (a user's `.count()` health check pays
+    * the computation the name promises) and cost one fused predicate.
     */
   private def forceUnderCount(df: DataFrame, cols: String*): DataFrame =
     df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))

@@ -64,7 +64,9 @@ object ProfileQuery {
       val tPlan = System.nanoTime()
       df.queryExecution.executedPlan // force analysis + optimization + planning
       val tOpt = System.nanoTime()
-      val n = df.count()
+      // same action as Bench (forceFrame): execute the frame's own plan so
+      // the profile sees the work the bench row times, not a pruned count
+      val n = graft.Bench.forceFrame(df)
       val tEnd = System.nanoTime()
       println(f"[profile] $name rep $i: total ${(tEnd - t0) / 1e9}%.3f s " +
         f"(build ${(tPlan - t0) / 1e9}%.3f, plan ${(tOpt - tPlan) / 1e9}%.3f, " +

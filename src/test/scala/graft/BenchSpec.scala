@@ -7,6 +7,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
+  test("forceFrame executes computation that df.count() legally deletes (bench honesty)") {
+    // the d37 lesson generalized (VERDICT r18 ask #2): under df.count()
+    // Catalyst prunes computed output columns — the bench row then times a
+    // no-op. A side-effect-counting UDF (test-only; the engine itself never
+    // uses UDFs) makes the deletion OBSERVABLE: plain count() runs it zero
+    // times, forceFrame runs it once per row because the frame's own
+    // physical plan materializes every output column.
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val acc = spark.sparkContext.longAccumulator("bench-honesty-probe")
+    val probe = udf((x: Long) => { acc.add(1L); x * 2 })
+    val df = spark.range(0, 100, 1, 2).select(probe(col("id")).as("doubled"))
+    df.count()
+    assert(acc.value == 0L,
+      "count() was expected to prune the computed column — if this fires, " +
+        "Catalyst changed and the audit rationale needs a re-check")
+    val n = Bench.forceFrame(df)
+    assert(n == 100L)
+    assert(acc.value == 100L,
+      s"forceFrame must compute every output column once per row, ran ${acc.value}")
+  }
+
   private val baselineLine =
     """{"metric":"total","value":55.3,"unit":"sec",""" +
       """"queries":{"q_fast":0.2,"q_mid":2.0,"q_big":8.0},""" +
