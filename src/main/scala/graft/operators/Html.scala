@@ -136,10 +136,21 @@ object Html {
     * Scale shape: two regexp extracts + array membership per row, fused
     * into the scan — zero shuffle, the [[mainContent]] posture.
     */
-  def robotsPolicy(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
-    val toks = filter(
-      transform(split(robotsContent(col(htmlCol)), ","), t => trim(t)),
+  private def robotsToks(html: Column): Column =
+    filter(transform(split(robotsContent(html), ","), t => trim(t)),
       t => t =!= "")
+
+  /** The noindex verdict as a bare Column — the zero-shuffle form a
+    * composed pipeline FILTERS on inline (web_app fuses it into the source
+    * scan) instead of joining [[robotsPolicy]]'s frame back by key.
+    */
+  def robotsNoindex(html: Column): Column = {
+    val toks = robotsToks(html)
+    array_contains(toks, "noindex") || array_contains(toks, "none")
+  }
+
+  def robotsPolicy(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val toks = robotsToks(col(htmlCol))
     val none = array_contains(toks, "none")
     df.select(col(idCol).as("sid"),
       (array_contains(toks, "noindex") || none).as("noindex"),

@@ -7557,8 +7557,186 @@ object CorpusQueries {
       TextOps.knPerplexityTiers(docs.filter(col("doc_id") % 3 =!= 0), docs,
           "doc_id", "text", "lang")
         .orderBy(col("did"))
+    },
+
+    // CRAWL-TO-SHARDS COMPOSED RUN (web_app — VERDICT r18 ask #1): the
+    // end-to-end a crawl user actually executes, as ONE measured pipeline:
+    // executor-parallel WARC export (fixture synthesis via
+    // WarcIo.exportCorpus — no driver collect) -> DSv2 WARC scan with
+    // record_type pushdown (per-shard warcinfo records are skipped AT THE
+    // SOURCE) -> robots-meta compliance gate fused into the scan (noindex /
+    // none drop; the unquoted-content class included) -> HTML main-content
+    // extraction -> unicode fix (cp1252 mojibake planted in 1/4 of pages)
+    // -> quality gate -> deterministic shuffle order -> 64-doc training
+    // shards -> manifest EXTENDED with a text fingerprint
+    // (sum of hash48(md5(text))), so gate membership, permutation tiling
+    // AND the exact post-fix text bytes all hash-check from the LANDED
+    // shard files. Every stage is an already-oracle-checked operator
+    // (warc1/2, t35, t25, t32, t2, sm7, sh1); what this row adds is their
+    // INTERACTION — the DSv2 reader feeding the extraction shuffle and the
+    // shard writer consuming the permutation — which no per-query row
+    // exercises. Stage wall-split prints to stderr (corpus_app
+    // discipline). The returned frame's plan starts at the landed shards,
+    // so the source-side pruning/pushdown assertions live in WebAppSpec.
+    QueryDef("web_app", webAppOracle) { (s, d) =>
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def timed[T](n: String)(body: => T): T = {
+        val t0 = System.nanoTime(); val r = body
+        stages += (n -> ((System.nanoTime() - t0) / 1e9)); r
+      }
+      val warcDir = java.nio.file.Files.createTempDirectory("graft-web-app").toString
+      val shardPath = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/graft_shards_web_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      timed("warc_export") {
+        val rec = Tables.documents(s, d).select(
+          concat(lit("https://host"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/doc/"), col("doc_id").cast("string")).as("url"),
+          concat(lit("2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit("T00:00:00Z")).as("warc_date"),
+          lit("response").as("record_type"),
+          lit("text/html").as("mime"),
+          webPage.cast("binary").as("payload"))
+        val info = s.range(8).select(
+          lit(null).cast("string").as("url"),
+          lit("2024-01-01T00:00:00Z").as("warc_date"),
+          lit("warcinfo").as("record_type"),
+          lit("application/warc-fields").as("mime"),
+          lit("graft web_app warcinfo").cast("binary").as("payload"))
+        graft.sources.v2.WarcIo.exportCorpus(
+          rec.unionByName(info).repartitionByRange(8, col("url"))
+            .sortWithinPartitions(col("url")),
+          warcDir, "url", "warc_date", "record_type", "mime", "payload")
+      }
+      val extracted = timed("read_gate_extract") {
+        val pages = s.read.format("graft-warc").load(warcDir)
+          .filter(col("record_type") === "response")
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            col("payload").cast("string").as("page"))
+          .filter(not(Html.robotsNoindex(col("page"))))
+        graft.core.Storage.cut(
+          Html.mainContent(pages, "doc_id", "page", minChars = 25,
+              maxLinkPct = 30)
+            .filter(col("main_len") > 0)
+            .select(col("sid").as("doc_id"),
+              TextOps.fixText(col("main")).as("text")),
+          eager = true)
+      }
+      timed("quality_order_shards") {
+        val survivors = extracted
+          .filter(TextOps.qualityScore(col("text")) >= 0.5)
+          .withColumn("n_main", length(col("text")).cast("long"))
+        graft.operators.Sampling.writeTrainingShards(
+          survivors, "doc_id", "web", docsPerShard = 64L, shardPath)
+      }
+      System.err.println("[web_app stages] " +
+        stages.map { case (n, sec) => f"$n=$sec%.2fs" }.mkString(" "))
+      s.read.parquet(shardPath)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_main")).as("n_chars"),
+          sum(Dedup.hash48(col("doc_id").cast("string"))).as("id_fp"),
+          sum(Dedup.hash48(md5(col("text")))).as("text_fp"))
+        .orderBy(col("shard"))
     }
   )
+
+  /** web_app's synthesized crawl page: a robots-meta class by doc_id % 5
+    * (unquoted noindex / content-first nofollow / quoted NONE / no meta),
+    * the fn4/t25 block structure (nav anchors, the doc text, a short
+    * block, a link-bearing closer), and the t32 cp1252-mojibake injection
+    * in the body paragraph for doc_id % 4 = 0. One rendering per engine,
+    * same bytes.
+    */
+  private def webPage: org.apache.spark.sql.Column = {
+    val meta = when(col("doc_id") % 5 === 0,
+        lit("<meta name=robots content=noindex>"))
+      .when(col("doc_id") % 5 === 1,
+        lit("<meta content='nofollow' name=robots>"))
+      .when(col("doc_id") % 5 === 2,
+        lit("<meta name=\"ROBOTS\" content=\"NONE\">"))
+      .otherwise(lit(""))
+    val inj = when(col("doc_id") % 4 === 0,
+      lit(" x\u00C3\u00A9\u00E2\u20AC\u2122y")).otherwise(lit(""))
+    concat(lit("<html><head>"), meta,
+      lit("</head><body><h1>"), col("source"),
+      lit("</h1><nav><a href=\"/\">homepage navigation links</a> " +
+        "<a href=\"/x\">all archive sections here</a></nav><p>"),
+      col("text"), inj,
+      lit("</p><p>tiny</p><p>Read <a href=\"/y\">details</a> about "),
+      col("lang"), lit(" corpus quality.</p></body></html>"))
+  }
+
+  /** The composed web_app oracle: page synthesis, the t35 robots
+    * alternation extracts, the t25 block-split/strip/keep chain, the t32
+    * repair (replace of the planted sequence — repair ∘ corrupt is
+    * identity on this class and the fixture text is mojibake-free), the t2
+    * quality blend, sm7's permutation, sh1's shard tiling + fingerprints.
+    */
+  private lazy val webAppOracle: String = {
+    val moji = "chr(195) || chr(169) || chr(226) || chr(8364) || chr(8482)"
+    s"""WITH h AS MATERIALIZED (SELECT doc_id,
+       |    '<html><head>' || CASE doc_id % 5
+       |      WHEN 0 THEN '<meta name=robots content=noindex>'
+       |      WHEN 1 THEN '<meta content=''nofollow'' name=robots>'
+       |      WHEN 2 THEN '<meta name="ROBOTS" content="NONE">'
+       |      ELSE '' END ||
+       |    '</head><body><h1>' || source || '</h1><nav><a href="/">homepage navigation links</a> ' ||
+       |    '<a href="/x">all archive sections here</a></nav><p>' || text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' x' || $moji || 'y' ELSE '' END ||
+       |    '</p><p>tiny</p><p>Read <a href="/y">details</a> about ' || lang ||
+       |    ' corpus quality.</p></body></html>' AS page
+       |  FROM documents),
+       |rx AS (SELECT doc_id,
+       |    regexp_extract(page, '(?is)<meta[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*(?:["'']([^"''>]*)|([^\\s"''>]+))', 1) AS nf1,
+       |    regexp_extract(page, '(?is)<meta[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*(?:["'']([^"''>]*)|([^\\s"''>]+))', 2) AS nf2,
+       |    regexp_extract(page, '(?is)<meta[^>]*content\\s*=\\s*(?:["'']([^"''>]*)["'']|([^\\s"''>]+))[^>]*name\\s*=\\s*["'']?robots["'']?', 1) AS cf1,
+       |    regexp_extract(page, '(?is)<meta[^>]*content\\s*=\\s*(?:["'']([^"''>]*)["'']|([^\\s"''>]+))[^>]*name\\s*=\\s*["'']?robots["'']?', 2) AS cf2
+       |  FROM h),
+       |toks AS (SELECT doc_id,
+       |    list_filter(list_transform(string_split(lower(
+       |      CASE WHEN (CASE WHEN nf1 <> '' THEN nf1 ELSE nf2 END) <> ''
+       |           THEN CASE WHEN nf1 <> '' THEN nf1 ELSE nf2 END
+       |           ELSE CASE WHEN cf1 <> '' THEN cf1 ELSE cf2 END END), ','),
+       |      x -> trim(x)), x -> x <> '') AS tk
+       |  FROM rx),
+       |idx AS (SELECT h.doc_id, page FROM h JOIN toks USING (doc_id)
+       |  WHERE NOT (list_contains(tk, 'noindex') OR list_contains(tk, 'none'))),
+       |arr AS (SELECT doc_id, regexp_split_to_array(page,
+       |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|nav|header|footer|aside|section|article)\\b[^>]*>') AS a
+       |  FROM idx),
+       |b AS (SELECT doc_id, t.i AS bi, a[t.i] AS blk
+       |  FROM arr, unnest(generate_series(1, len(a))) AS t(i)),
+       |m AS (SELECT doc_id, bi, trim(${sqlHtmlVis("blk")}) AS vis,
+       |    length(${sqlHtmlVis("blk")}) AS nv,
+       |    greatest(0, length(${sqlHtmlVis("blk")})
+       |      - length(${sqlHtmlVis(sqlAnchorErased("blk"))})) AS na
+       |  FROM b),
+       |nz AS (SELECT * FROM m WHERE length(vis) > 0),
+       |agg AS (SELECT doc_id,
+       |    string_agg(CASE WHEN length(vis) >= 25 AND na * 100 <= nv * 30
+       |      THEN vis END, chr(10) ORDER BY bi) AS main
+       |  FROM nz GROUP BY doc_id),
+       |fx AS MATERIALIZED (SELECT doc_id,
+       |    replace(main, $moji, chr(233) || chr(8217)) AS text
+       |  FROM agg WHERE main IS NOT NULL AND length(main) > 0),
+       |surv AS (SELECT doc_id, text FROM fx
+       |  WHERE 0.4 * least(1.0, greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) / 100.0)
+       |      + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |          / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       |      + 0.3 * least(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+       |            w -> w IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE)
+       |          / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) >= 0.5),
+       |p AS (SELECT doc_id, text, (ROW_NUMBER() OVER (
+       |    ORDER BY ${sqlHash("'web:' || doc_id", 8)}, doc_id) - 1) // 64 AS shard
+       |  FROM surv)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(${sqlHash("CAST(doc_id AS VARCHAR)", 12)}) AS BIGINT) AS id_fp,
+       |  CAST(SUM(${sqlHash("md5(text)", 12)}) AS BIGINT) AS text_fp
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+  }
 
   /** Relational spec of the persisted-index flow, shared by s19 (build +
     * frozen append + serve) and ds3 (exactly-once streaming ingest with a
