@@ -44,6 +44,19 @@ case class AudioMeta(id: Long, sample_rate: Long, channels: Long,
 /** Parsed video metadata from an AVI/RIFF header (see [[Multimodal.parseAvi]]). */
 case class VideoMeta(id: Long, fps: Long, n_frames: Long, duration_us: Long)
 
+/** Parsed JPEG metadata from the marker stream (see [[Multimodal.parseJpeg]]):
+  * dimensions from SOF0/SOF2, progressive = SOF2, orientation from the EXIF
+  * APP1 IFD0 tag 0x0112 (None when the file carries no EXIF block).
+  */
+case class JpegMeta(id: Long, width: Long, height: Long, progressive: Boolean,
+                    orientation: Option[Long])
+
+/** Parsed MP4 metadata from the box tree (see [[Multimodal.parseMp4]]):
+  * mvhd timescale/duration and the moov-level trak count.
+  */
+case class Mp4Meta(id: Long, timescale: Long, duration_units: Long,
+                   duration_us: Long, n_traks: Long)
+
 object Multimodal {
 
   /** Header sizes of the synthetic containers (fixed by construction):
@@ -332,6 +345,268 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (fps, frames, durUs) = parseAvi(bytes)
           VideoMeta(id, fps.toLong, frames.toLong, durUs)
+        }
+      }
+  }
+
+  // ---- JPEG (VERDICT r18 ask #4: the dominant web image format) ----------
+
+  /** Deterministic fixture parameters for the JPEG variant. */
+  def progressiveFor(id: Long): Boolean = id % 2 == 1
+  def orientationFor(id: Long, n: Long): Option[Int] =
+    if (id % 3 == 0) None else Some((n % 8 + 1).toInt)
+
+  /** A minimal EXIF APP1 segment carrying ONE IFD0 entry — the orientation
+    * tag (0x0112, SHORT): "Exif\0\0" + little-endian TIFF header + a
+    * 1-entry IFD + zero next-IFD pointer. 40 bytes of segment payload.
+    */
+  private def exifApp1(orientation: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2 + 2 + 6 + 8 + 2 + 12 + 4)
+    buf.put(0xFF.toByte).put(0xE1.toByte)
+    buf.putShort((2 + 6 + 8 + 2 + 12 + 4).toShort) // length incl. itself
+    buf.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    val tiff = ByteBuffer.allocate(8 + 2 + 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+    tiff.putShort(1.toShort)                 // IFD0 entry count
+    tiff.putShort(0x0112.toShort)            // Orientation
+    tiff.putShort(3.toShort).putInt(1)       // SHORT x1
+    tiff.putShort(orientation.toShort).putShort(0.toShort) // value + pad
+    tiff.putInt(0)                           // next IFD
+    buf.put(tiff.array())
+    buf.array()
+  }
+
+  /** Minimal spec-valid JPEG marker stream: SOI, APP0/JFIF, optional EXIF
+    * APP1, SOF0 (baseline) or SOF2 (progressive) with 3 components, SOS
+    * header, `payload` as the entropy-coded stand-in, EOI. Dimensions are
+    * big-endian uint16 in the SOF frame header, per ITU-T T.81 §B.2.2.
+    */
+  def jpegBytes(width: Int, height: Int, progressive: Boolean,
+                orientation: Option[Int], payload: Array[Byte]): Array[Byte] = {
+    val app1 = orientation.map(exifApp1).getOrElse(Array.emptyByteArray)
+    val buf = ByteBuffer.allocate(2 + 18 + app1.length + 2 + 2 + 15 + 2 + 2 + 10 +
+      payload.length + 2).order(ByteOrder.BIG_ENDIAN)
+    buf.put(0xFF.toByte).put(0xD8.toByte)               // SOI
+    buf.put(0xFF.toByte).put(0xE0.toByte).putShort(16)  // APP0, len 16
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.putShort(0x0101.toShort)                        // version 1.1
+    buf.put(0.toByte).putShort(1.toShort).putShort(1.toShort) // units, density
+    buf.put(0.toByte).put(0.toByte)                     // no thumbnail
+    buf.put(app1)
+    buf.put(0xFF.toByte).put(if (progressive) 0xC2.toByte else 0xC0.toByte)
+    buf.putShort(17)                                    // SOF len: 8 + 3*3
+    buf.put(8.toByte)                                   // precision
+    buf.putShort(height.toShort).putShort(width.toShort)
+    buf.put(3.toByte)                                   // components
+    (1 to 3).foreach { c =>
+      buf.put(c.toByte).put(0x11.toByte).put(0.toByte)  // id, sampling, qtable
+    }
+    buf.put(0xFF.toByte).put(0xDA.toByte).putShort(12)  // SOS, len 12
+    buf.put(3.toByte)
+    (1 to 3).foreach(c => buf.put(c.toByte).put(0.toByte))
+    buf.put(0.toByte).put(63.toByte).put(0.toByte)      // spectral selection
+    buf.put(payload)
+    buf.put(0xFF.toByte).put(0xD9.toByte)               // EOI
+    buf.array()
+  }
+
+  /** Parse (width, height, progressive, orientation) by WALKING THE MARKER
+    * STREAM — no codec: every non-standalone marker carries a big-endian
+    * length that includes itself, SOF0/SOF2 hold the frame dimensions, and
+    * the EXIF orientation lives in APP1's IFD0 (both TIFF byte orders
+    * handled). Fail-loud on truncation, a bad segment length, or a stream
+    * that hits SOS/EOI with no SOF seen — a drifted marker walk silently
+    * corrupts every later offset, the WARC Content-Length lesson.
+    */
+  def parseJpeg(bytes: Array[Byte]): (Int, Int, Boolean, Option[Int]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, s"not a JPEG (SOI missing, ${bytes.length} bytes)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 2
+    var orientation: Option[Int] = None
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xFF) != 0xFF)
+        throw new IllegalArgumentException(
+          f"jpeg: expected marker at $pos, got 0x${bytes(pos) & 0xFF}%02X")
+      var marker = bytes(pos + 1) & 0xFF
+      while (marker == 0xFF && pos + 2 < bytes.length) { // fill bytes
+        pos += 1; marker = bytes(pos + 1) & 0xFF
+      }
+      if (marker == 0xD9 || marker == 0xDA)              // EOI / SOS
+        throw new IllegalArgumentException("jpeg: no SOF marker before scan/EOI")
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) { pos += 2 }
+      else {
+        val len = bb.getShort(pos + 2) & 0xFFFF
+        if (len < 2 || pos + 2 + len > bytes.length)
+          throw new IllegalArgumentException(
+            s"jpeg: segment 0x${marker.toHexString} at $pos overruns the file (len $len)")
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          val h = bb.getShort(pos + 5) & 0xFFFF
+          val w = bb.getShort(pos + 7) & 0xFFFF
+          return (w, h, marker == 0xC2, orientation)
+        }
+        if (marker == 0xE1 && len >= 2 + 6 + 8 &&
+            new String(bytes, pos + 4, 4, "US-ASCII") == "Exif")
+          orientation = exifOrientation(bytes, pos + 4 + 6, len - 2 - 6)
+        pos += 2 + len
+      }
+    }
+    throw new IllegalArgumentException("jpeg: truncated marker stream (no SOF)")
+  }
+
+  /** Orientation (tag 0x0112) from a TIFF block at `off`, or None. */
+  private def exifOrientation(bytes: Array[Byte], off: Int, len: Int): Option[Int] = {
+    if (len < 8) return None
+    val order = new String(bytes, off, 2, "US-ASCII") match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case o => throw new IllegalArgumentException(s"jpeg: bad TIFF byte order '$o'")
+    }
+    val bb = ByteBuffer.wrap(bytes, off, len).slice().order(order)
+    val ifd = bb.getInt(4)
+    if (ifd < 0 || ifd + 2 > len) return None
+    val n = bb.getShort(ifd) & 0xFFFF
+    (0 until n).iterator.map(i => ifd + 2 + i * 12)
+      .filter(_ + 12 <= len)
+      .find(e => (bb.getShort(e) & 0xFFFF) == 0x0112)
+      .map(e => bb.getShort(e + 8) & 0xFFFF)
+  }
+
+  /** Attach a JPEG media column wrapping the UTF-8 payload of `srcCol`. */
+  def attachJpeg(spark: SparkSession, df: DataFrame, idCol: String,
+                 srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          MediaRow(id, jpegBytes(widthFor(n), heightFor(n), progressiveFor(id),
+            orientationFor(id, n), payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse JPEG metadata out of the marker stream — per-row map-side work. */
+  def decodeJpegMeta(spark: SparkSession, df: DataFrame): Dataset[JpegMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, prog, orient) = parseJpeg(bytes)
+          JpegMeta(id, w.toLong, h.toLong, prog, orient.map(_.toLong))
+        }
+      }
+  }
+
+  // ---- MP4 / ISO BMFF (VERDICT r18 ask #6: the dominant web video) --------
+
+  /** Deterministic fixture parameters for the MP4 variant. */
+  def timescaleFor(n: Long): Int = (1000 + n % 9000).toInt
+  def durationUnitsFor(n: Long): Int = (1000 + n % 100000).toInt
+  def traksFor(id: Long): Int = (1 + id % 3).toInt
+
+  /** Minimal ISO BMFF box tree (ISO/IEC 14496-12): ftyp, moov holding a
+    * version-0 mvhd (timescale at byte 20 of the box, duration at 24, both
+    * big-endian) and `nTraks` empty trak boxes, then mdat with the payload.
+    */
+  def mp4Bytes(timescale: Int, durationUnits: Int, nTraks: Int,
+               payload: Array[Byte]): Array[Byte] = {
+    val mvhdLen = 108 // full box, version 0
+    val moovLen = 8 + mvhdLen + nTraks * 8
+    val buf = ByteBuffer.allocate(16 + moovLen + 8 + payload.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(moovLen).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdLen).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0)                              // version 0 + flags
+    buf.putInt(0).putInt(0)                    // ctime, mtime
+    buf.putInt(timescale).putInt(durationUnits)
+    buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume
+    buf.putInt(0).putInt(0)                    // reserved
+    (0 until 9).foreach(i => buf.putInt( // unity matrix per §8.2.2.2
+      if (i == 0 || i == 4) 0x00010000 else if (i == 8) 0x40000000 else 0))
+    (0 until 6).foreach(_ => buf.putInt(0))    // pre_defined
+    buf.putInt(nTraks + 1)                     // next_track_ID
+    (0 until nTraks).foreach(_ => buf.putInt(8).put("trak".getBytes("US-ASCII")))
+    buf.putInt(8 + payload.length).put("mdat".getBytes("US-ASCII"))
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Parse (timescale, durationUnits, durationMicros, nTraks) by walking
+    * the box tree: top-level to `moov`, then its children for one `mvhd`
+    * (version 0 or 1 — 64-bit duration fields handled) and the `trak`
+    * count. Fail-loud on a box size under 8 or overrunning its parent, and
+    * on a missing moov/mvhd — a drifted box walk corrupts every later
+    * offset.
+    */
+  def parseMp4(bytes: Array[Byte]): (Int, Long, Long, Int) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var pos = from
+        def hasNext: Boolean = pos + 8 <= until
+        def next(): (String, Int, Int) = {
+          val size = bb.getInt(pos)
+          val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+          if (size < 8 || pos + size > until)
+            throw new IllegalArgumentException(
+              s"mp4: box '$tpe' at $pos overruns its parent (size $size)")
+          val r = (tpe, pos, size); pos += size; r
+        }
+      }
+    val moov = boxes(0, bytes.length).find(_._1 == "moov").getOrElse(
+      throw new IllegalArgumentException("mp4: no moov box"))
+    var meta: Option[(Int, Long)] = None
+    var traks = 0
+    boxes(moov._2 + 8, moov._2 + moov._3).foreach {
+      case ("mvhd", at, _) =>
+        val version = bytes(at + 8) & 0xFF
+        meta = Some(version match {
+          case 0 => (bb.getInt(at + 20), (bb.getInt(at + 24) & 0xFFFFFFFFL))
+          case 1 => (bb.getInt(at + 28), bb.getLong(at + 32))
+          case v => throw new IllegalArgumentException(s"mp4: mvhd version $v")
+        })
+      case ("trak", _, _) => traks += 1
+      case _ => ()
+    }
+    val (ts, dur) = meta.getOrElse(
+      throw new IllegalArgumentException("mp4: moov carries no mvhd"))
+    require(ts > 0, s"mp4: non-positive timescale $ts")
+    (ts, dur, dur * 1000000L / ts, traks)
+  }
+
+  /** Attach an MP4 media column wrapping the UTF-8 payload of `srcCol`. */
+  def attachMp4(spark: SparkSession, df: DataFrame, idCol: String,
+                srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          MediaRow(id, mp4Bytes(timescaleFor(n), durationUnitsFor(n),
+            traksFor(id), payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse MP4 metadata out of the box tree — per-row map-side work. */
+  def decodeMp4Meta(spark: SparkSession, df: DataFrame): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (ts, dur, durUs, traks) = parseMp4(bytes)
+          Mp4Meta(id, ts.toLong, dur, durUs, traks.toLong)
         }
       }
   }

@@ -153,6 +153,79 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.videoTemporalHash(Multimodal.aviBytes(24, 48, new Array[Byte](49 * 8 - 1))))
   }
 
+  test("parseJpeg: SOF dims, progressive flag, EXIF orientation both byte orders, fail-loud") {
+    val payload = "entropy-coded stand-in".getBytes("US-ASCII")
+    // baseline, no EXIF -> orientation None
+    assert(Multimodal.parseJpeg(
+      Multimodal.jpegBytes(640, 480, progressive = false, None, payload)) ==
+      ((640, 480, false, None)))
+    // progressive with orientation 6 (the common rotated-phone-photo value)
+    assert(Multimodal.parseJpeg(
+      Multimodal.jpegBytes(33, 9999, progressive = true, Some(6), payload)) ==
+      ((33, 9999, true, Some(6))))
+    // big-endian (MM) TIFF block: hand-flip the generator's little-endian one
+    val le = Multimodal.jpegBytes(10, 20, progressive = false, Some(3), payload)
+    val exifAt = 2 + 18 + 4 // SOI + APP0 + APP1 marker/len -> "Exif"
+    assert(new String(le, exifAt, 4, "US-ASCII") == "Exif")
+    val mm = le.clone()
+    val t = exifAt + 6 // TIFF header
+    mm(t) = 'M'.toByte; mm(t + 1) = 'M'.toByte
+    // shorts/ints byte-swap: magic 42, ifd offset 8, count 1, tag, type,
+    // count 1, value at entry+8
+    def swapShort(at: Int): Unit = { val a = mm(at); mm(at) = mm(at + 1); mm(at + 1) = a }
+    def swapInt(at: Int): Unit = {
+      val a = mm(at); val b = mm(at + 1)
+      mm(at) = mm(at + 3); mm(at + 1) = mm(at + 2); mm(at + 2) = b; mm(at + 3) = a
+    }
+    swapShort(t + 2); swapInt(t + 4)        // magic, IFD offset
+    swapShort(t + 8)                        // entry count
+    swapShort(t + 10); swapShort(t + 12)    // tag, type
+    swapInt(t + 14)                         // value count
+    swapShort(t + 18)                       // orientation value
+    swapInt(t + 22)                         // next IFD
+    assert(Multimodal.parseJpeg(mm) == ((10, 20, false, Some(3))))
+    // fail-loud: truncated before any SOF, and a length overrunning the file
+    val noSof = le.take(2 + 18) // SOI + APP0 only
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(noSof))
+    val overrun = le.take(24) // cuts inside the APP1 segment body
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(overrun))
+    // a scan with no frame header (SOS before SOF) is malformed, not 0x0
+    val sosFirst = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDA.toByte,
+      0, 12, 3, 1, 0, 2, 0, 3, 0, 0, 63, 0)
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(sosFirst))
+  }
+
+  test("parseMp4: mvhd v0 + v1, trak count, truncated-box fail-loud") {
+    val payload = "mdat stand-in".getBytes("US-ASCII")
+    val v0 = Multimodal.mp4Bytes(timescale = 1000, durationUnits = 4500,
+      nTraks = 2, payload)
+    assert(Multimodal.parseMp4(v0) == ((1000, 4500L, 4500000L, 2)))
+    // version-1 mvhd: splice ver=1 and 64-bit times/duration by hand
+    // (the generator emits v0; real files from 64-bit muxers are v1)
+    val moovAt = 16
+    val mvhdAt = moovAt + 8
+    val grow = 12 // v1 adds 4+4+4 bytes (two 8-byte times, 8-byte duration)
+    val v1 = new Array[Byte](v0.length + grow)
+    System.arraycopy(v0, 0, v1, 0, mvhdAt)
+    val bb = java.nio.ByteBuffer.wrap(v1).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.position(mvhdAt)
+    bb.putInt(120).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0x01000000)           // version 1
+    bb.putLong(0L).putLong(0L)      // 64-bit ctime/mtime
+    bb.putInt(7000)                 // timescale
+    bb.putLong(21000L)              // 64-bit duration
+    // copy the rest of v0's mvhd tail (rate..next_track = 76 bytes) + rest
+    System.arraycopy(v0, mvhdAt + 32, v1, mvhdAt + 44, v0.length - mvhdAt - 32)
+    // fix the sizes that grew
+    bb.putInt(moovAt, bb.getInt(moovAt) + grow)
+    assert(Multimodal.parseMp4(v1) == ((7000, 21000L, 3000000L, 2)))
+    // fail-loud: a child box claiming to overrun moov, and a missing moov
+    val bad = v0.clone()
+    java.nio.ByteBuffer.wrap(bad).putInt(mvhdAt, 100000) // mvhd size overruns
+    intercept[IllegalArgumentException](Multimodal.parseMp4(bad))
+    intercept[IllegalArgumentException](Multimodal.parseMp4(v0.take(16))) // ftyp only
+  }
+
   test("resizeImages: per-row map-side thumbnails over a BMP frame") {
     import spark.implicits._
     val pix = Array.tabulate(8 * 4)(i => (i % 127).toByte) // 2x4 image, stride 8... 3*2+2pad
