@@ -712,6 +712,120 @@ object AppQueries {
             mwlOk(col("fixed")).as("ok_mwl_after")),
         "fixed_md5")
         .orderBy(col("doc_id"))
+    },
+
+    // INSTRUCTION/SFT-PAIR DEDUP (VERDICT r18 ask #7): SFT datasets are
+    // (prompt, response) pairs where the LEAKAGE UNIT is the prompt —
+    // templated near-dup prompts with exact-duplicate responses are
+    // redundant demonstrations (and train/eval contamination once the
+    // template varies), while a genuinely different response to a near-dup
+    // prompt is a distinct demonstration worth keeping. Composition of
+    // existing verified pieces: prompt-side MinHash-LSH + exact-jaccard
+    // verify + connected components (d3/d4/d9), response-side d2
+    // fingerprint, keep-first policy per (prompt-cluster, response_fp)
+    // (the d16 per-cluster discipline). Fixture: families of 3 consecutive
+    // ids share one base passage under 3 prompt templates; two of the
+    // three share an exact response, the third answers differently — so
+    // every family exercises both the drop and the keep branch. The
+    // oracle replays the full minhash banding (corpus_app's generated
+    // sig/band arms), so cluster membership needs no recall assumption —
+    // both engines compute the identical candidate set.
+    QueryDef("i1_sft_pair_dedup", sftPairDedupOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id").as("bid"),
+        split(col("text"), " ").as("bw"))
+      val tmpl = when(col("pair_id") % 3 === 0,
+          lit("please summarize the following passage "))
+        .when(col("pair_id") % 3 === 1,
+          lit("summarize the following passage please "))
+        .otherwise(lit("kindly summarize this passage "))
+      val resp = when(col("pair_id") % 3 === 2,
+        lit("in short it covers ")).otherwise(lit("the passage discusses "))
+      val pr = docs.select(col("doc_id").as("pair_id"),
+          (col("doc_id") - col("doc_id") % 3).as("bid"))
+        .join(base, Seq("bid"))
+        .select(col("pair_id"),
+          concat(tmpl, array_join(slice(col("bw"), 1, 30), " ")).as("prompt"),
+          concat(resp, array_join(slice(col("bw"), 1, 5), " ")).as("response"))
+      import graft.operators.Dedup
+      val comp = graft.core.Storage.freeingIntermediates(s) {
+        Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(pr, "pair_id", "prompt", 3, 0.5))
+      }
+      val lab = pr
+        .join(comp, col("pair_id") === col("sid"), "left")
+        .select(col("pair_id"),
+          coalesce(col("component"), col("pair_id")).as("component"),
+          TextOps.fingerprint(col("response")).as("response_fp"))
+      val w = Window.partitionBy(col("component"), col("response_fp"))
+        .orderBy(col("pair_id"))
+      lab.select(col("pair_id"), col("component"), col("response_fp"),
+          (row_number().over(w) === 1).as("keep"))
+        .orderBy(col("pair_id"))
     }
   )
+
+  /** i1's oracle: pair synthesis (family base passage + 3 templates), the
+    * generated minhash sig/band arms over PROMPT shingles, exact-jaccard
+    * verify at 0.5, recursive min-id components, d2 response fingerprint,
+    * keep-first per (component, response_fp).
+    */
+  private lazy val sftPairDedupOracle: String = {
+    import graft.operators.Dedup
+    val sigAggs = (0 until Dedup.NumHashes).map(i =>
+      s"  min((${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinhashPrime}) AS m$i")
+      .mkString(",\n")
+    val bandArms = (0 until Dedup.NumBands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"  SELECT sid, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE pr AS MATERIALIZED (SELECT d.doc_id AS pair_id,
+       |    CASE d.doc_id % 3
+       |      WHEN 0 THEN 'please summarize the following passage '
+       |      WHEN 1 THEN 'summarize the following passage please '
+       |      ELSE 'kindly summarize this passage ' END ||
+       |    array_to_string(list_slice(string_split(b.text, ' '), 1, 30), ' ') AS prompt,
+       |    CASE WHEN d.doc_id % 3 = 2 THEN 'in short it covers '
+       |         ELSE 'the passage discusses ' END ||
+       |    array_to_string(list_slice(string_split(b.text, ' '), 1, 5), ' ') AS response
+       |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+       |pw AS (SELECT pair_id AS sid, string_split(prompt, ' ') AS w FROM pr),
+       |sh0 AS (SELECT DISTINCT sid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+       |  FROM pw, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |sh AS MATERIALIZED (SELECT sid, gram, ${sqlHash("gram", 12)} AS g FROM sh0),
+       |sizes AS (SELECT sid, COUNT(*) AS nsh FROM sh GROUP BY sid),
+       |h AS (SELECT sid, ${sqlHash("gram", 8)} AS h FROM sh),
+       |sig AS (SELECT sid,
+       |$sigAggs
+       |FROM h GROUP BY sid),
+       |bands AS (
+       |$bandArms
+       |),
+       |cand AS (SELECT DISTINCT a.sid AS ida, b.sid AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.sid < b.sid),
+       |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+       |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+       |  GROUP BY ida, idb),
+       |vp AS (SELECT ida, idb FROM (
+       |  SELECT ida, idb,
+       |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+       |) WHERE jaccard >= 0.5),
+       |bidir(a, b) AS (SELECT ida, idb FROM vp UNION SELECT idb, ida FROM vp),
+       |cnodes(x) AS (SELECT DISTINCT a FROM bidir),
+       |r(x, y) AS (SELECT x, x FROM cnodes
+       |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y),
+       |comp AS (SELECT x AS sid, min(y) AS component FROM r GROUP BY x),
+       |lab AS (SELECT pr.pair_id,
+       |    coalesce(comp.component, pr.pair_id) AS component,
+       |    md5(lower(regexp_replace(response, '\\s+', ' ', 'g'))) AS response_fp
+       |  FROM pr LEFT JOIN comp ON pr.pair_id = comp.sid)
+       |SELECT pair_id, component, response_fp,
+       |  ROW_NUMBER() OVER (PARTITION BY component, response_fp
+       |    ORDER BY pair_id) = 1 AS keep
+       |FROM lab ORDER BY pair_id""".stripMargin
+  }
 }

@@ -977,4 +977,27 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", "\n", 1, table, 4)
     assert(served() == composed, "a late-replayed batch must change nothing")
   }
+
+  test("i1 SFT-pair dedup: keep-first per (prompt-cluster, response_fp), both branches") {
+    // the composed query over the real fixture dir (sf0.001): the i1
+    // invariants must hold row-set-wide — exactly one keeper per
+    // (component, response_fp), templated families collapse to one
+    // cluster, and a distinct response inside a near-dup prompt cluster
+    // SURVIVES (it is a different demonstration, not a duplicate)
+    val out = graft.SparkEntry.queries("i1_sft_pair_dedup")(spark, sf)
+      .select(col("pair_id"), col("component"), col("response_fp"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // exactly one keep per (component, response_fp), and it is the min id
+    out.groupBy(t => (t._2, t._3)).foreach { case (k, rows) =>
+      val keeps = rows.filter(_._4)
+      assert(keeps.length == 1, s"group $k has ${keeps.length} keepers")
+      assert(keeps.head._1 == rows.map(_._1).min, s"group $k keeper is not min id")
+    }
+    // the planted family {0,1,2} shares one cluster; 0 keeps, 1 drops
+    // (exact-dup response), 2 keeps (distinct response)
+    val fam = out.filter(_._1 < 3).sortBy(_._1)
+    assert(fam.map(_._2).distinct.length == 1, s"family split: $fam")
+    assert(fam.map(_._4).toSeq == Seq(true, false, true), fam.mkString("; "))
+  }
 }
