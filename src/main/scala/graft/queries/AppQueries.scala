@@ -128,7 +128,8 @@ object AppQueries {
     * driver-side write — the production path streams shards from
     * executors; what's under test is the READER's framing exactness).
     */
-  private def writeWarcFixture(s: SparkSession, d: String): String = {
+  private def writeWarcFixture(s: SparkSession, d: String,
+                               cdx: Boolean = false): String = {
     import s.implicits._
     import graft.sources.v2.WarcIo
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -143,7 +144,7 @@ object AppQueries {
           "text/plain",
           text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      WarcIo.write(s"$dir/part-$shard.warc.gz", recs.toSeq, gzip = true)
+      WarcIo.write(s"$dir/part-$shard.warc.gz", recs.toSeq, gzip = true, cdx = cdx)
     }
     dir
   }
@@ -433,6 +434,33 @@ object AppQueries {
       val dir = writeWarcFixture(s, d)
       forceUnderCount(
         s.read.format("graft-warc").load(dir)
+          .filter(col("record_type") === "response")
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("content_length").as("n_bytes")),
+        "n_bytes")
+        .orderBy(col("doc_id"))
+    },
+
+    // CDX-INDEXED WARC ACCESS (VERDICT r18 ask #5): warc2's header-only
+    // scan still gunzips EVERY member to traverse the stream — the format
+    // floor SCALING.md names; Common Crawl ships CDX sidecars with
+    // (offset, length) per record precisely so readers can SEEK. warc3 =
+    // the same fixture with generated .cdx sidecars, read with cdx=true:
+    // planning drops non-response members WITHOUT reading them and emits
+    // member-run partitions (big files split by cdx_target_bytes); the
+    // reader seeks to each member's compressed range. Same oracle as
+    // warc2 — the index must not change answers (the d12 storage
+    // discipline); the raw-bytes-read reduction vs the scan path is
+    // asserted in WarcSourceSpec on a payload-heavy fixture.
+    QueryDef(
+      "warc3_cdx_scan",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = writeWarcFixture(s, d, cdx = true)
+      forceUnderCount(
+        s.read.format("graft-warc").option("cdx", "true").load(dir)
           .filter(col("record_type") === "response")
           .select(
             regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),

@@ -83,10 +83,20 @@ final class WarcTable(properties: util.Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path)
+    new WarcScanBuilder(path, options.getBoolean("cdx", false),
+      options.getLong("cdx_target_bytes", 64L << 20))
 }
 
-final class WarcScanBuilder(path: String)
+/** @param cdx when set, every warc file must carry a `<file>.cdx` sidecar
+  *        (offset/length/type/url/mime per gzip member — the Common Crawl
+  *        layout reduced to the fields partition planning needs); planning
+  *        then emits MEMBER-RUN partitions that SEEK to the indexed
+  *        compressed ranges instead of gunzipping the whole file, drops
+  *        members failing the pushed record_type filter WITHOUT reading
+  *        them, and splits big files into ~`cdxTargetBytes` runs (the
+  *        intra-file parallelism a 1 GB Common Crawl shard wants).
+  */
+final class WarcScanBuilder(path: String, cdx: Boolean, cdxTargetBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -122,7 +132,8 @@ final class WarcScanBuilder(path: String)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-warc $path, pruned to [${required.fieldNames.mkString(",")}]" +
-        wanted.map(t => s", pushed [record_type = $t]").getOrElse("")
+        wanted.map(t => s", pushed [record_type = $t]").getOrElse("") +
+        (if (cdx) ", cdx-indexed" else "")
 
     override def planInputPartitions(): Array[InputPartition] = {
       val p = java.nio.file.Paths.get(path)
@@ -134,7 +145,32 @@ final class WarcScanBuilder(path: String)
       val warcs = files.filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz") ||
         f.endsWith(".wet") || f.endsWith(".wet.gz")).sorted
       require(warcs.nonEmpty, s"graft-warc: no .warc/.wet files under $path")
-      warcs.map(f => WarcFilePartition(f): InputPartition)
+      if (!cdx) warcs.map(f => WarcFilePartition(f): InputPartition)
+      else warcs.flatMap { f =>
+        // CDX sidecar is AUTHORITATIVE under cdx=true: fail loud when
+        // missing rather than silently falling back to the full scan the
+        // option exists to avoid
+        val sidecar = java.nio.file.Paths.get(f + ".cdx")
+        require(java.nio.file.Files.exists(sidecar),
+          s"graft-warc: cdx=true but no sidecar ${f}.cdx — write it at export " +
+            "(WarcIo cdx flag) or drop the option")
+        val entries = WarcIo.readCdx(sidecar.toString)
+          // planning-time type pruning: non-matching members are never
+          // read; '-' (typeless) entries stay — the reader re-verifies
+          .filter(e => wanted.forall(t => e.recordType == t || e.recordType == "-"))
+        // consecutive members group into ~cdxTargetBytes runs: intra-file
+        // parallelism for big shards, few-member runs stay one partition
+        val runs = ArrayBuffer.empty[ArrayBuffer[WarcIo.CdxEntry]]
+        var runBytes = 0L
+        entries.foreach { e =>
+          if (runs.isEmpty || runBytes + e.length > cdxTargetBytes) {
+            runs += ArrayBuffer.empty; runBytes = 0L
+          }
+          runs.last += e; runBytes += e.length
+        }
+        runs.filter(_.nonEmpty).map(r => WarcMemberRunPartition(f,
+          r.map(_.offset).toArray, r.map(_.length).toArray): InputPartition)
+      }
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -144,97 +180,169 @@ final class WarcScanBuilder(path: String)
 
 final case class WarcFilePartition(file: String) extends InputPartition
 
+/** CDX-indexed partition: a run of gzip MEMBERS of one file, addressed by
+  * (compressed offset, compressed length) — the reader SEEKS, it never
+  * scans. Big files split into as many of these as their CDX yields.
+  */
+final case class WarcMemberRunPartition(file: String,
+    offsets: Array[Long], lengths: Array[Int]) extends InputPartition
+
+/** Streaming WARC record parser over one InputStream — shared by the
+  * whole-file scan (multi-member gzip stream) and the CDX member reader
+  * (one member's stream at a time). Fail-loud on malformed framing — a
+  * tolerated drift here corrupts every later payload boundary.
+  */
+private[v2] final class WarcRecordStream(in: java.io.InputStream, file: String,
+    required: StructType, typeEquals: Option[String]) {
+  private val needPayload = required.fieldNames.contains("payload")
+  private var current: InternalRow = _
+
+  /** One header/payload line, CRLF- or LF-terminated, without the
+    * terminator; null at EOF before any byte.
+    */
+  private def readLine(): String = {
+    val buf = new ArrayBuffer[Byte](128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf += b.toByte; b = in.read() }
+    if (buf.nonEmpty && buf.last == '\r') buf.dropRightInPlace(1)
+    new String(buf.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def readFully(n: Long): Array[Byte] = {
+    require(n <= Int.MaxValue, s"graft-warc: $n-byte record in $file")
+    val out = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < n) {
+      val k = in.read(out, off, n.toInt - off)
+      if (k < 0) throw new java.io.EOFException(
+        s"graft-warc: payload truncated at $off/$n bytes in $file")
+      off += k
+    }
+    out
+  }
+
+  /** Advance to the next record satisfying the pushed type filter;
+    * false at EOF.
+    */
+  def advance(): Boolean = {
+    while (true) {
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine() // inter-record CRLFs
+      if (line == null) return false
+      require(line.startsWith("WARC/"),
+        s"graft-warc: expected a WARC/x.y version line, got '$line' in $file")
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var h = readLine()
+      while (h != null && h.nonEmpty) {
+        val at = h.indexOf(':')
+        require(at > 0, s"graft-warc: malformed header '$h' in $file")
+        headers(h.substring(0, at).trim.toLowerCase) = h.substring(at + 1).trim
+        h = readLine()
+      }
+      val len = headers.getOrElse("content-length", throw new IllegalStateException(
+        s"graft-warc: record without Content-Length in $file")).toLong
+      val recType = headers.getOrElse("warc-type", null)
+      val matches = typeEquals.forall(_ == recType)
+      val payload: Array[Byte] =
+        if (matches && needPayload) readFully(len)
+        else { in.skipNBytes(len); null }
+      if (matches) {
+        val vals = required.fieldNames.map {
+          case "url" => utf8OrNull(headers.get("warc-target-uri"))
+          case "warc_date" => utf8OrNull(headers.get("warc-date"))
+          case "record_type" => utf8OrNull(Option(recType))
+          case "mime" => utf8OrNull(headers.get("content-type"))
+          case "content_length" => java.lang.Long.valueOf(len)
+          case "payload" => payload
+        }
+        current = InternalRow.fromSeq(vals.toSeq)
+        return true
+      }
+    }
+    false
+  }
+
+  def get(): InternalRow = current
+
+  private def utf8OrNull(v: Option[String]): UTF8String =
+    v.map(UTF8String.fromString).orNull
+}
+
+/** InputStream wrapper attributing raw (compressed) bytes consumed to
+  * [[WarcIo.bytesRead]] — the observable the CDX path exists to shrink;
+  * WarcSourceSpec asserts the seek path reads strictly less than the scan
+  * path on a payload-heavy fixture. Single-JVM visible (local mode / one
+  * executor); on a cluster each executor counts its own reads.
+  */
+private[v2] final class CountingInputStream(under: java.io.InputStream)
+    extends java.io.FilterInputStream(under) {
+  override def read(): Int = {
+    val b = super.read(); if (b >= 0) WarcIo.bytesRead.incrementAndGet(); b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val k = super.read(b, off, len)
+    if (k > 0) WarcIo.bytesRead.addAndGet(k.toLong)
+    k
+  }
+}
+
 final class WarcReaderFactory(required: StructType, typeEquals: Option[String])
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[WarcFilePartition].file
-    val needPayload = required.fieldNames.contains("payload")
-    val raw = new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)), 1 << 16)
-    val in: java.io.InputStream =
-      if (file.endsWith(".gz"))
-        new java.util.zip.GZIPInputStream(raw, 1 << 16) // multi-member capable
-      else raw
-
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-
-      /** One header/payload line, CRLF- or LF-terminated, without the
-        * terminator; null at EOF before any byte.
-        */
-      private def readLine(): String = {
-        val buf = new ArrayBuffer[Byte](128)
-        var b = in.read()
-        if (b < 0) return null
-        while (b >= 0 && b != '\n') { buf += b.toByte; b = in.read() }
-        if (buf.nonEmpty && buf.last == '\r') buf.dropRightInPlace(1)
-        new String(buf.toArray, java.nio.charset.StandardCharsets.UTF_8)
-      }
-
-      private def readFully(n: Long): Array[Byte] = {
-        require(n <= Int.MaxValue, s"graft-warc: $n-byte record in $file")
-        val out = new Array[Byte](n.toInt)
-        var off = 0
-        while (off < n) {
-          val k = in.read(out, off, n.toInt - off)
-          if (k < 0) throw new java.io.EOFException(
-            s"graft-warc: payload truncated at $off/$n bytes in $file")
-          off += k
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case WarcFilePartition(file) =>
+        val raw = new java.io.BufferedInputStream(new CountingInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file))), 1 << 16)
+        val in: java.io.InputStream =
+          if (file.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 1 << 16) // multi-member capable
+          else raw
+        val stream = new WarcRecordStream(in, file, required, typeEquals)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = stream.advance()
+          override def get(): InternalRow = stream.get()
+          override def close(): Unit = in.close()
         }
-        out
-      }
 
-      /** Advance to the next record satisfying the pushed type filter;
-        * false at EOF. Fail-loud on malformed framing — a tolerated drift
-        * here corrupts every later payload boundary in the file.
-        */
-      private def advance(): Boolean = {
-        while (true) {
-          var line = readLine()
-          while (line != null && line.isEmpty) line = readLine() // inter-record CRLFs
-          if (line == null) return false
-          require(line.startsWith("WARC/"),
-            s"graft-warc: expected a WARC/x.y version line, got '$line' in $file")
-          val headers = scala.collection.mutable.Map.empty[String, String]
-          var h = readLine()
-          while (h != null && h.nonEmpty) {
-            val at = h.indexOf(':')
-            require(at > 0, s"graft-warc: malformed header '$h' in $file")
-            headers(h.substring(0, at).trim.toLowerCase) = h.substring(at + 1).trim
-            h = readLine()
-          }
-          val len = headers.getOrElse("content-length", throw new IllegalStateException(
-            s"graft-warc: record without Content-Length in $file")).toLong
-          val recType = headers.getOrElse("warc-type", null)
-          val matches = typeEquals.forall(_ == recType)
-          val payload: Array[Byte] =
-            if (matches && needPayload) readFully(len)
-            else { in.skipNBytes(len); null }
-          if (matches) {
-            val vals = required.fieldNames.map {
-              case "url" => utf8OrNull(headers.get("warc-target-uri"))
-              case "warc_date" => utf8OrNull(headers.get("warc-date"))
-              case "record_type" => utf8OrNull(Option(recType))
-              case "mime" => utf8OrNull(headers.get("content-type"))
-              case "content_length" => java.lang.Long.valueOf(len)
-              case "payload" => payload
+      case WarcMemberRunPartition(file, offsets, lengths) =>
+        // SEEK path: read exactly the indexed compressed ranges, one gzip
+        // member (= one record) each; nothing between members is touched
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(file), java.nio.file.StandardOpenOption.READ)
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var stream: WarcRecordStream = _
+          override def next(): Boolean = {
+            // a member holds exactly one record; CDX promised a match for
+            // the pushed type, but re-verify record-level (stale index =
+            // wrong data; the filter also re-applies for safety)
+            while (true) {
+              if (stream != null && stream.advance()) return true
+              if (i >= offsets.length) return false
+              val buf = java.nio.ByteBuffer.allocate(lengths(i))
+              var pos = offsets(i)
+              while (buf.hasRemaining) {
+                val k = ch.read(buf, pos)
+                if (k < 0) throw new java.io.EOFException(
+                  s"graft-warc: CDX range $pos+${buf.remaining} beyond EOF in $file")
+                pos += k
+              }
+              WarcIo.bytesRead.addAndGet(lengths(i).toLong)
+              val raw = new java.io.ByteArrayInputStream(buf.array())
+              val in: java.io.InputStream =
+                if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+                else raw
+              stream = new WarcRecordStream(in, file, required, typeEquals)
+              i += 1
             }
-            current = InternalRow.fromSeq(vals.toSeq)
-            return true
+            false
           }
+          override def get(): InternalRow = stream.get()
+          override def close(): Unit = ch.close()
         }
-        false
-      }
-
-      private def utf8OrNull(v: Option[String]): UTF8String =
-        v.map(UTF8String.fromString).orNull
-
-      override def next(): Boolean = advance()
-      override def get(): InternalRow = current
-      override def close(): Unit = in.close()
     }
-  }
 }
 
 /** Writer side — the fixture/mini-sink twin of the reader: records land as
@@ -246,18 +354,53 @@ object WarcIo {
   final case class Record(url: String, date: String, recordType: String,
                           mime: String, payload: Array[Byte])
 
-  def write(file: String, records: Seq[Record], gzip: Boolean): Unit = {
+  /** Raw (compressed) bytes the source has read from warc files — the
+    * number the CDX seek path shrinks; see [[CountingInputStream]].
+    */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong
+
+  /** One CDX sidecar line: the member's compressed (offset, length) plus
+    * the planning fields (record type, url, mime — '-' for absent, the CDX
+    * convention). Space-separated; urls carry no raw spaces per RFC 3986.
+    */
+  final case class CdxEntry(offset: Long, length: Int, recordType: String,
+                            url: String, mime: String)
+
+  def readCdx(path: String): Seq[CdxEntry] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
+      .asScala.iterator.filter(_.nonEmpty).map { ln =>
+        val f = ln.split(" ", 5)
+        require(f.length == 5, s"graft-warc: malformed CDX line '$ln' in $path")
+        CdxEntry(f(0).toLong, f(1).toInt, f(2), f(3), f(4))
+      }.toSeq
+
+  private def cdxLine(offset: Long, length: Int, r: Record): String = {
+    def orDash(s: String) = if (s == null || s.isEmpty) "-" else s
+    s"$offset $length ${orDash(r.recordType)} ${orDash(r.url)} ${orDash(r.mime)}"
+  }
+
+  def write(file: String, records: Seq[Record], gzip: Boolean,
+            cdx: Boolean = false): Unit = {
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(file)), 1 << 16)
+    val index = new StringBuilder
+    var offset = 0L
     try records.foreach { r =>
       val bytes = frame(r)
-      if (gzip) {
-        val member = new java.io.ByteArrayOutputStream(bytes.length)
-        val gz = new java.util.zip.GZIPOutputStream(member)
-        gz.write(bytes); gz.close()
-        out.write(member.toByteArray)
-      } else out.write(bytes)
+      val member =
+        if (gzip) {
+          val m = new java.io.ByteArrayOutputStream(bytes.length)
+          val gz = new java.util.zip.GZIPOutputStream(m)
+          gz.write(bytes); gz.close()
+          m.toByteArray
+        } else bytes
+      out.write(member)
+      if (cdx) index.append(cdxLine(offset, member.length, r)).append('\n')
+      offset += member.length
     } finally out.close()
+    if (cdx) java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(file + ".cdx"), index.toString)
   }
 
   /** EXECUTOR-PARALLEL corpus export as WARC shards — the cluster-scale
@@ -278,7 +421,7 @@ object WarcIo {
   def exportCorpus(df: org.apache.spark.sql.DataFrame, dir: String,
                    urlCol: String, dateCol: String, typeCol: String,
                    mimeCol: String, payloadCol: String,
-                   gzip: Boolean = true): Unit = {
+                   gzip: Boolean = true, cdx: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val ext = if (gzip) "warc.gz" else "warc"
     val cols = Seq(urlCol, dateCol, typeCol, mimeCol, payloadCol)
@@ -296,23 +439,40 @@ object WarcIo {
           f"$dir/.part-$pid%05d-a$attempt.$ext.inprogress")
         val out = new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(tmp), 1 << 16)
+        val index = new StringBuilder
+        var offset = 0L
         try {
           rows.foreach { r =>
             val payload = Option(r.getAs[Array[Byte]](4))
               .getOrElse(Array.emptyByteArray)
-            val bytes = frame(Record(r.getAs[String](0), r.getAs[String](1),
-              r.getAs[String](2), r.getAs[String](3), payload))
-            if (gzip) {
-              val member = new java.io.ByteArrayOutputStream(bytes.length)
-              val gz = new java.util.zip.GZIPOutputStream(member)
-              gz.write(bytes); gz.close()
-              out.write(member.toByteArray)
-            } else out.write(bytes)
+            val rec = Record(r.getAs[String](0), r.getAs[String](1),
+              r.getAs[String](2), r.getAs[String](3), payload)
+            val bytes = frame(rec)
+            val member =
+              if (gzip) {
+                val m = new java.io.ByteArrayOutputStream(bytes.length)
+                val gz = new java.util.zip.GZIPOutputStream(m)
+                gz.write(bytes); gz.close()
+                m.toByteArray
+              } else bytes
+            out.write(member)
+            if (cdx) index.append(cdxLine(offset, member.length, rec)).append('\n')
+            offset += member.length
           }
         } finally out.close()
         java.nio.file.Files.move(tmp, fin,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (cdx) {
+          // sidecar rides the same private-temp + atomic-rename contract
+          val ctmp = java.nio.file.Paths.get(
+            f"$dir/.part-$pid%05d-a$attempt.$ext.cdx.inprogress")
+          java.nio.file.Files.writeString(ctmp, index.toString)
+          java.nio.file.Files.move(ctmp,
+            java.nio.file.Paths.get(f"$dir/part-$pid%05d.$ext.cdx"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         ()
       }
   }

@@ -119,6 +119,61 @@ class WarcSourceSpec extends SparkSpec {
     assert(!plan.contains("pushed [record_type"), plan)
   }
 
+  test("CDX seek path: same rows, planning-time type pruning reads strictly fewer bytes, big files split") {
+    // payload-heavy NON-matching records: the seek path must never touch
+    // their compressed ranges, so raw bytes read collapses to ~the
+    // response members + nothing else (warc2's scan path pays the lot)
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val recs = (0 until 16).map { i =>
+      if (i % 4 == 0)
+        WarcIo.Record(s"https://h/doc/$i", "2024-01-01T00:00:00Z", "response",
+          "text/html", utf8(s"small body $i"))
+      else
+        WarcIo.Record(s"https://h/doc/$i", "2024-01-01T00:00:00Z", "conversion",
+          "text/plain", blob(100_000)) // incompressible: gzip keeps ~100 KB
+    } :+ WarcIo.Record("https://h/doc/99", "2024-01-01T00:00:00Z", null,
+      "text/plain", utf8("typeless — CDX '-' row, reader must re-verify"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cdx").toString
+    WarcIo.write(s"$dir/part-0.warc.gz", recs, gzip = true, cdx = true)
+    def responses(cdx: Boolean): (Seq[String], Long) = {
+      WarcIo.bytesRead.set(0L)
+      val df = spark.read.format("graft-warc")
+        .option("cdx", cdx.toString).load(dir)
+        .filter(col("record_type") === "response").select("url")
+      val rows = df.collect().map(_.getString(0)).sorted.toSeq
+      (rows, WarcIo.bytesRead.get())
+    }
+    val (scanRows, scanBytes) = responses(cdx = false)
+    val (seekRows, seekBytes) = responses(cdx = true)
+    assert(scanRows == seekRows, "the index must not change answers")
+    assert(scanRows.length == 4)
+    // scan path gunzips the whole ~1.2 MB file; seek path reads only the
+    // 4 small response members (the typeless '-' row is read and then
+    // re-verified away record-level)
+    assert(scanBytes > 1000000L, s"scan read $scanBytes")
+    assert(seekBytes < scanBytes / 100, s"seek read $seekBytes of $scanBytes")
+    // the typeless record IS served when no type filter is pushed
+    val all = spark.read.format("graft-warc").option("cdx", "true").load(dir)
+    assert(all.count() == 17)
+    assert(all.filter(col("record_type").isNotNull).count() == 16)
+    // big files split: a tiny run target yields many member-run partitions
+    val split = spark.read.format("graft-warc").option("cdx", "true")
+      .option("cdx_target_bytes", "200000").load(dir)
+    assert(split.rdd.getNumPartitions >= 5, s"${split.rdd.getNumPartitions}")
+    assert(split.count() == 17)
+    // the plan names the access path (PLANS.md evidence)
+    val plan = all.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("cdx-indexed"), plan)
+    // fail-loud: cdx=true without a sidecar must not silently full-scan
+    val bare = java.nio.file.Files.createTempDirectory("graft-warc-nocdx").toString
+    WarcIo.write(s"$bare/part-0.warc.gz", recs.take(2), gzip = true)
+    intercept[Exception] {
+      spark.read.format("graft-warc").option("cdx", "true").load(bare).count()
+    }
+  }
+
   test("malformed framing fails loudly: truncated payload, missing Content-Length") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-bad").toString
     val good = WarcIo.Record("https://x/1", "2024-01-01T00:00:00Z",
