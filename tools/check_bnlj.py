@@ -41,6 +41,21 @@ INF = float("inf")
 # below anything corpus-shaped.
 ROW_BUDGET = 65536
 
+# A DECLARED (hand-reviewed) bound above this cap is only acceptable when
+# the query is RUNTIME-ASSERTED: BnljBoundsSpec executes it and measures
+# every BNLJ build side against the same number, so the declaration can't
+# silently rot when the plan changes (VERDICT r18 ask #3). New declared
+# entries above the cap FAIL here until they gain a BnljBoundsSpec row.
+DECLARED_CAP = 64
+RUNTIME_ASSERTED = {
+    # mirrored in src/test/scala/graft/BnljBoundsSpec.scala — update BOTH
+    "t28_trained_langid", "t29_langid_margin",
+    "e10_confusion_counts", "e15_cohens_kappa",
+    "fts8_ql_dirichlet", "lm10_jm_rank",
+    "sk3_skew_report", "w16_funnel_latency",
+    "t22_quality_classifier",
+}
+
 # query -> (exact count of non-scalar BNLJs, reviewed reason,
 #           declared bound or None when the plan must prove it)
 BOUNDED_BROADCAST_ALLOWLIST = {
@@ -357,11 +372,30 @@ AdaptiveSparkPlan (6)
 Output [1]: [x#1L]
 PushedFilters: [IsNotNull(x)]
 ```
+
+## scratch_big_declared
+
+```
+== Physical Plan ==
+AdaptiveSparkPlan (6)
++- BroadcastNestedLoopJoin Cross BuildRight (5)
+   :- Scan parquet  (1)
+   +- BroadcastExchange (4)
+      +- Filter (3)
+         +- Scan parquet  (2)
+
+
+(2) Scan parquet
+Output [1]: [x#1L]
+PushedFilters: [IsNotNull(x)]
+```
 """
 
 SELFTEST_ALLOWLIST = {
     "scratch_allowlisted_bounded": (1, "query batch", None),
     "scratch_allowlisted_unbounded": (1, "claimed bounded, plan disagrees", None),
+    # a big declared bound with NO runtime assertion must fail by name
+    "scratch_big_declared": (1, "reviewed prose, no spec", 4096),
 }
 
 
@@ -399,6 +433,15 @@ def adjudicate(text, allowlist=None):
             continue
         elif declared is not None:
             worst, kind = declared, "declared"
+            if worst > DECLARED_CAP and q not in RUNTIME_ASSERTED:
+                failures.append(
+                    f"FAIL {q}: declared bound {worst} exceeds DECLARED_CAP "
+                    f"{DECLARED_CAP} with no runtime assertion — add the "
+                    "query to BnljBoundsSpec (and RUNTIME_ASSERTED) or prove "
+                    "the bound from the plan")
+                continue
+            if q in RUNTIME_ASSERTED:
+                kind = "declared+runtime-asserted"
         else:
             failures.append(
                 f"FAIL {q}: allowlisted BNLJ build side has NO provable row "
@@ -425,16 +468,19 @@ def main():
         flagged = sorted({q for q, _, _ in off})
         assert flagged == ["scratch_allowlisted_bounded",
                            "scratch_allowlisted_unbounded",
-                           "scratch_bad_bnlj"], flagged
+                           "scratch_bad_bnlj", "scratch_big_declared"], flagged
         failures, report = adjudicate(SELFTEST, SELFTEST_ALLOWLIST)
         assert any("scratch_bad_bnlj" in f for f in failures), failures
         assert any("scratch_allowlisted_unbounded" in f and "NO provable" in f
+                   for f in failures), failures
+        assert any("scratch_big_declared" in f and "DECLARED_CAP" in f
                    for f in failures), failures
         assert not any("scratch_allowlisted_bounded" in f for f in failures), failures
         assert report == [("scratch_allowlisted_bounded", 1, 8, "proven")], report
         print("selftest OK: raw BNLJ flagged, scalar-attach accepted, "
               "bounded allowlist entry proven <=8, unbounded allowlist "
-              "entry fails by name")
+              "entry fails by name, big declared bound without a runtime "
+              "assertion fails by name")
         return 0
     path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
     with open(path) as f:
