@@ -597,6 +597,62 @@ object Bench {
           "data step exceeds factor^1.3 — superlinear at scale?")
     }
 
+    // GATED sf1 TIER (VERDICT r18 ask #8): the one-off derived-sf1 probes
+    // in SCALING.md only re-ran when a verdict asked, so a superlinear
+    // regression in a heavy family could land silently between asks. When
+    // this run is the driver's sf0.1 pass, the ten heaviest queries re-run
+    // once against a DERIVED sf1 (GenSf1, disjoint mode — the pair-family-
+    // safe variant; permute-mode set-twins would false-flag d29 by
+    // construction) and any wall growth past a WIDE 20x bar over the
+    // same-run sf0.1 wall ships as `scaling_flags_sf1` — empty on a clean
+    // round. 20x >> the 10x data step (4x embeddings), so only genuine
+    // superlinearity fires; sub-2 s sf1 walls are overhead, never flagged.
+    // The generated set is cached under target/sf1 keyed by (src, mode);
+    // SPARK_GRAFT_SF1_GATE=0 skips the tier for quick local iterations.
+    val sf1Heavies = Seq("corpus_app", "g2_authority_refresh",
+      "ds8_semdedup_ingest", "b1_bitext_mining", "d29_prefix_filter_pairs",
+      "d26_incremental_components", "ds7_component_ingest",
+      "b2_bitext_refined", "lm5_lm_count_ingest", "ds4_novelty_ingest")
+    val sf1GateEnv = sys.env.get("SPARK_GRAFT_SF1_GATE")
+    val sf1GateOn = sfDir.contains("sf0.1") && !sf1GateEnv.contains("0") &&
+      (only.isEmpty || sf1GateEnv.contains("1")) // =1 forces it under a subset run
+    val (sf1Sec, sf1Flags): (Seq[(String, Double)], Seq[(String, Double)]) =
+      if (!sf1GateOn)
+        (Seq.empty, Seq.empty)
+      else {
+        val out = "target/sf1"
+        val marker = Paths.get(out, ".graft_gen_marker")
+        val want = s"src=$sfDir;mode=disjoint"
+        if (!Files.exists(marker) || Files.readString(marker).trim != want) {
+          System.err.println(s"[bench] sf1 gate: generating $out (disjoint) from $sfDir")
+          graft.tools.GenSf1.build(spark, sfDir, out, "disjoint")
+          Files.writeString(marker, want)
+        }
+        val baseSec = good.map(r => r._1 -> r._2).toMap
+        val runs = sf1Heavies.filter(byName.contains).map { name =>
+          graft.core.Storage.freeAll(spark, blocking = true)
+          graft.core.Timing.reset()
+          val t0 = System.nanoTime()
+          val sec =
+            try { forceFrame(byName(name)(spark, out)); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 FAIL $name: ${e.getClass.getSimpleName}")
+              -1.0
+            }
+          name -> sec
+        }.filter(_._2 >= 0)
+        val flags = runs.flatMap { case (name, s1) =>
+          baseSec.get(name).collect {
+            case s01 if s1 >= 2.0 && s1 / math.max(s01, 1e-9) > 20.0 =>
+              System.err.println(
+                f"[bench] SF1 SCALING FLAG $name: $s01%.2f s -> $s1%.2f s " +
+                  f"(${s1 / math.max(s01, 1e-9)}%.1fx over a 10x data step)")
+              name -> s1 / math.max(s01, 1e-9)
+          }
+        }
+        (runs, flags)
+      }
+
     def names(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + math.round(v * 100.0) / 100.0 }
@@ -620,6 +676,7 @@ object Bench {
         s""""regressions_hwscaled":${obj(hwscaledRegressions)},""" +
         s""""shuffle_regressions":${obj(shuffleRegressions)},""" +
         s""""scaling_flags":${obj(scaling)},""" +
+        s""""sf1_sec":${obj(sf1Sec)},"scaling_flags_sf1":${obj(sf1Flags)},""" +
         s""""failed":${names(failed)},"skipped":${names(skipped.map(_._1))}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")

@@ -33,6 +33,15 @@ object GenSf1 {
       SparkSession.builder().appName("graft-gen-sf1").master("local[32]"),
       shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out, sys.env.getOrElse("SPARK_GRAFT_SF1_MODE", "permute"))
+    println(s"[gen-sf1] wrote $out")
+    spark.stop()
+  }
+
+  /** Build the derived sf1 set under `out` — callable in-process (the
+    * bench's gated sf1 tier reuses its session) or via [[main]].
+    */
+  def build(spark: SparkSession, src: String, out: String, mode: String): Unit = {
 
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
@@ -48,7 +57,6 @@ object GenSf1 {
     // organic lower bound for pair-family probes, at the cost of a 10x
     // vocabulary (don't read lm/vocab-growth numbers off this variant).
     locally {
-      val mode = sys.env.getOrElse("SPARK_GRAFT_SF1_MODE", "permute")
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val copies = (0 until 10).map { c =>
         if (c == 0) docs
@@ -128,7 +136,5 @@ object GenSf1 {
       "lineitem").foreach { t =>
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
-    println(s"[gen-sf1] wrote $out")
-    spark.stop()
   }
 }

@@ -243,6 +243,17 @@ class EmptyInputSpec extends SparkSpec {
       Seq("view", "click", "purchase")).count() == 0)
   }
 
+  test("round-19 operators: empty in, empty out, schema intact") {
+    val noPages = Seq.empty[(Long, String)].toDF("id", "page")
+    val rp = Html.robotsPolicy(noPages, "id", "page")
+    assert(rp.columns.toSeq == Seq("sid", "noindex", "nofollow") && rp.count() == 0)
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("id", "media")
+    assert(Multimodal.decodeJpegMeta(spark, noMedia).count() == 0)
+    assert(Multimodal.decodeMp4Meta(spark, noMedia).count() == 0)
+    assert(Multimodal.attachJpeg(spark, noDocs, "doc_id", "text").count() == 0)
+    assert(Multimodal.attachMp4(spark, noDocs, "doc_id", "text").count() == 0)
+  }
+
   test("degenerate key distributions: two-level ranks survive all-equal sort keys") {
     // every doc identical -> one __k value -> ONE range bucket; ranks must
     // still be the (key, id) permutation and thirds exact
