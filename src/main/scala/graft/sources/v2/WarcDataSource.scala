@@ -269,6 +269,18 @@ private[v2] final class WarcRecordStream(in: java.io.InputStream, file: String,
     v.map(UTF8String.fromString).orNull
 }
 
+/** OutputStream wrapper counting bytes written — gives [[WarcIo.exportCorpus]]
+  * each streamed member's compressed length for its CDX line.
+  */
+private[v2] final class CountingOutputStream(under: java.io.OutputStream)
+    extends java.io.FilterOutputStream(under) {
+  var count = 0L
+  override def write(b: Int): Unit = { out.write(b); count += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    out.write(b, off, len); count += len
+  }
+}
+
 /** InputStream wrapper attributing raw (compressed) bytes consumed to
   * [[WarcIo.bytesRead]] — the observable the CDX path exists to shrink;
   * WarcSourceSpec asserts the seek path reads strictly less than the scan
@@ -437,10 +449,14 @@ object WarcIo {
         val fin = java.nio.file.Paths.get(f"$dir/part-$pid%05d.$ext")
         val tmp = java.nio.file.Paths.get(
           f"$dir/.part-$pid%05d-a$attempt.$ext.inprogress")
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(tmp), 1 << 16)
+        // members STREAM into the shard (GZIPOutputStream.finish() closes a
+        // member without closing the file — no in-memory compressed copy,
+        // so a multi-GB payload never doubles in heap; VERDICT r18 nit);
+        // the counting wrapper yields each member's compressed length for
+        // the CDX line
+        val out = new CountingOutputStream(new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp), 1 << 16))
         val index = new StringBuilder
-        var offset = 0L
         try {
           rows.foreach { r =>
             val payload = Option(r.getAs[Array[Byte]](4))
@@ -448,16 +464,13 @@ object WarcIo {
             val rec = Record(r.getAs[String](0), r.getAs[String](1),
               r.getAs[String](2), r.getAs[String](3), payload)
             val bytes = frame(rec)
-            val member =
-              if (gzip) {
-                val m = new java.io.ByteArrayOutputStream(bytes.length)
-                val gz = new java.util.zip.GZIPOutputStream(m)
-                gz.write(bytes); gz.close()
-                m.toByteArray
-              } else bytes
-            out.write(member)
-            if (cdx) index.append(cdxLine(offset, member.length, rec)).append('\n')
-            offset += member.length
+            val offset = out.count
+            if (gzip) {
+              val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+              gz.write(bytes); gz.finish()
+            } else out.write(bytes)
+            if (cdx) index.append(
+              cdxLine(offset, (out.count - offset).toInt, rec)).append('\n')
           }
         } finally out.close()
         java.nio.file.Files.move(tmp, fin,

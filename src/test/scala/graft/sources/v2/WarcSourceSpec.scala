@@ -80,7 +80,7 @@ class WarcSourceSpec extends SparkSpec {
       .repartitionByRange(3, col("url")).sortWithinPartitions("url")
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-export").toString
     WarcIo.exportCorpus(df, dir, "url", "warc_date", "record_type", "mime",
-      "payload", gzip = true)
+      "payload", gzip = true, cdx = true)
     val shards = new java.io.File(dir).list().filter(_.endsWith(".warc.gz")).sorted
     assert(shards.length == 3, shards.toSeq)
     val back = spark.read.format("graft-warc").load(dir)
@@ -89,6 +89,13 @@ class WarcSourceSpec extends SparkSpec {
         java.nio.charset.StandardCharsets.UTF_8)).sortBy(_._1)
     assert(back.toSeq == rows.map(r => r._1 -> s"payload ${r._1.drop(23).toInt}")
       .sortBy(_._1))
+    // the export's streamed-member CDX sidecars round-trip through the
+    // seek path byte-identically to the scan path
+    val viaCdx = spark.read.format("graft-warc").option("cdx", "true").load(dir)
+      .select("url", "payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1),
+        java.nio.charset.StandardCharsets.UTF_8)).sortBy(_._1)
+    assert(viaCdx.toSeq == back.toSeq)
     // idempotence: a "retried" export (same deterministic partitioning)
     // atomically replaces each shard with identical bytes
     val before = shards.map(f => java.nio.file.Files.readAllBytes(
