@@ -609,10 +609,12 @@ object Bench {
     // superlinearity fires; sub-2 s sf1 walls are overhead, never flagged.
     // The generated set is cached under target/sf1 keyed by (src, mode);
     // SPARK_GRAFT_SF1_GATE=0 skips the tier for quick local iterations.
-    val sf1Heavies = Seq("corpus_app", "g2_authority_refresh",
-      "ds8_semdedup_ingest", "b1_bitext_mining", "d29_prefix_filter_pairs",
-      "d26_incremental_components", "ds7_component_ingest",
-      "b2_bitext_refined", "lm5_lm_count_ingest", "ds4_novelty_ingest")
+    // the ten heaviest by the promoted round-19 baseline (forceFrame
+    // action) — refresh when the top-10 shifts at a re-baseline
+    val sf1Heavies = Seq("e8_chrf", "corpus_app", "g2_authority_refresh",
+      "ds8_semdedup_ingest", "b1_bitext_mining", "ds4_novelty_ingest",
+      "d29_prefix_filter_pairs", "lm9_sb_served",
+      "d26_incremental_components", "lm5_lm_count_ingest")
     val sf1GateEnv = sys.env.get("SPARK_GRAFT_SF1_GATE")
     val sf1GateOn = sfDir.contains("sf0.1") && !sf1GateEnv.contains("0") &&
       (only.isEmpty || sf1GateEnv.contains("1")) // =1 forces it under a subset run
