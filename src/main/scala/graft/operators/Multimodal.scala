@@ -57,6 +57,15 @@ case class JpegMeta(id: Long, width: Long, height: Long, progressive: Boolean,
 case class Mp4Meta(id: Long, timescale: Long, duration_units: Long,
                    duration_us: Long, n_traks: Long)
 
+/** Parsed WebP metadata from the RIFF chunk walk (see
+  * [[Multimodal.parseWebp]]): dimensions from the image chunk's own coded
+  * size (VP8 frame header / VP8L bitfield), codec = lossy|lossless,
+  * extended = a VP8X chunk led the file, has_alpha from the VP8L bit 28 or
+  * the VP8X alpha flag (a plain lossy file can't carry alpha → false).
+  */
+case class WebpMeta(id: Long, width: Long, height: Long, codec: String,
+                    extended: Boolean, has_alpha: Boolean)
+
 object Multimodal {
 
   /** Header sizes of the synthetic containers (fixed by construction):
@@ -607,6 +616,177 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (ts, dur, durUs, traks) = parseMp4(bytes)
           Mp4Meta(id, ts.toLong, dur, durUs, traks.toLong)
+        }
+      }
+  }
+
+  // ---- WebP / RIFF (round 19: the dominant MODERN web image format) -------
+  //
+  // WebP is a RIFF container ("RIFF" + LE32 riff-size + "WEBP") holding one
+  // image chunk — "VP8 " (lossy), "VP8L" (lossless) — optionally preceded by
+  // a "VP8X" extended-features chunk (canvas size + feature flags). All of
+  // the metadata lives in fixed-layout header bits, codec-free:
+  //  - VP8  : 3-byte frame tag, start code 9D 01 2A, LE16 width (14 bits),
+  //           LE16 height (14 bits) — RFC 6386 §9.1;
+  //  - VP8L : signature byte 2F, then LE32 bitfield (width-1 in bits 0-13,
+  //           height-1 in 14-27, alpha in 28);
+  //  - VP8X : 1 flag byte (alpha = 0x10), 3 reserved, LE24 canvas width-1,
+  //           LE24 canvas height-1.
+  // Chunks are even-aligned: an odd-sized payload is followed by a pad byte
+  // the walk must skip — the look-alike class a naive parser drifts on.
+
+  /** Deterministic fixture parameters for the WebP variant. */
+  def webpVariantFor(id: Long): String = (id % 3) match {
+    case 0 => "vp8"
+    case 1 => "vp8l"
+    case _ => "vp8x"
+  }
+  def webpAlphaFor(id: Long): Boolean = id % 3 != 0 && id % 2 == 1
+
+  private def putLe24(buf: ByteBuffer, v: Int): Unit = {
+    buf.put((v & 0xFF).toByte)
+    buf.put(((v >> 8) & 0xFF).toByte)
+    buf.put(((v >> 16) & 0xFF).toByte)
+  }
+
+  /** The image chunk (tag + LE32 size + payload + optional pad byte). */
+  private def webpImageChunk(width: Int, height: Int, variant: String,
+                             alpha: Boolean, payload: Array[Byte]): Array[Byte] = {
+    val body: Array[Byte] = variant match {
+      case "vp8l" =>
+        val bits = ((width - 1) & 0x3FFF) | (((height - 1) & 0x3FFF) << 14) |
+          (if (alpha) 1 << 28 else 0)
+        val b = ByteBuffer.allocate(5 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0x2F.toByte).putInt(bits).put(payload)
+        b.array()
+      case _ =>
+        // Lossy frame: keyframe (bit 0 = 0), version 0, show_frame, first
+        // partition size in the upper 19 bits of the 3-byte LE frame tag.
+        val tag = (1 << 4) | ((payload.length & 0x7FFFF) << 5)
+        val b = ByteBuffer.allocate(10 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+        putLe24(b, tag)
+        b.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte)
+        b.putShort((width & 0x3FFF).toShort).putShort((height & 0x3FFF).toShort)
+        b.put(payload)
+        b.array()
+    }
+    val tagName = if (variant == "vp8l") "VP8L" else "VP8 "
+    val out = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(tagName.getBytes("US-ASCII")).putInt(body.length).put(body)
+    if ((body.length & 1) == 1) out.put(0.toByte) // RIFF even-alignment pad
+    out.array()
+  }
+
+  /** Real WebP container bytes: RIFF header, optional VP8X features chunk
+    * (variant "vp8x" wraps a lossy image chunk), then the image chunk.
+    */
+  def webpBytes(width: Int, height: Int, variant: String, alpha: Boolean,
+                payload: Array[Byte]): Array[Byte] = {
+    val img = webpImageChunk(width, height,
+      if (variant == "vp8x") "vp8" else variant, alpha, payload)
+    val vp8x: Array[Byte] = if (variant == "vp8x") {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("VP8X".getBytes("US-ASCII")).putInt(10)
+      b.put((if (alpha) 0x10 else 0x00).toByte)
+      b.put(0.toByte).put(0.toByte).put(0.toByte) // reserved
+      putLe24(b, width - 1)
+      putLe24(b, height - 1)
+      b.array()
+    } else Array.emptyByteArray
+    val content = vp8x ++ img
+    val out = ByteBuffer.allocate(12 + content.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + content.length)
+    out.put("WEBP".getBytes("US-ASCII")).put(content)
+    out.array()
+  }
+
+  /** Parse (width, height, codec, extended, hasAlpha) by walking the RIFF
+    * chunks. Dimensions come from the IMAGE chunk's own coded size (the
+    * authoritative field; a VP8X canvas that disagrees with it fails loud
+    * rather than silently preferring either). Fail-loud on bad magics, a
+    * chunk overrunning the container, truncation, or a file with no image
+    * chunk — the drifted-offset discipline of parseJpeg/parseMp4.
+    */
+  def parseWebp(bytes: Array[Byte]): (Int, Int, String, Boolean, Boolean) = {
+    require(bytes.length >= 12, s"webp: ${bytes.length} bytes, no RIFF header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int) = new String(bytes, at, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WEBP",
+      s"webp: bad container magic '${tag(0)}'/'${tag(8)}'")
+    val riffEnd = 8 + bb.getInt(4)
+    require(riffEnd <= bytes.length,
+      s"webp: RIFF size runs past the buffer ($riffEnd > ${bytes.length})")
+    var pos = 12
+    var extended = false
+    var xAlpha = false
+    var xCanvas: Option[(Int, Int)] = None
+    var image: Option[(Int, Int, String, Boolean)] = None
+    def le24(at: Int): Int = (bytes(at) & 0xFF) | ((bytes(at + 1) & 0xFF) << 8) |
+      ((bytes(at + 2) & 0xFF) << 16)
+    while (pos + 8 <= riffEnd && image.isEmpty) {
+      val t = tag(pos)
+      val size = bb.getInt(pos + 4)
+      val at = pos + 8
+      require(size >= 0 && at + size <= riffEnd,
+        s"webp: chunk '$t' at $pos overruns the container (size $size)")
+      t match {
+        case "VP8X" =>
+          require(size == 10, s"webp: VP8X size $size != 10")
+          extended = true
+          xAlpha = (bytes(at) & 0x10) != 0
+          xCanvas = Some((le24(at + 4) + 1, le24(at + 7) + 1))
+        case "VP8 " =>
+          require(size >= 10, s"webp: VP8 chunk too small ($size)")
+          require((bytes(at + 3) & 0xFF) == 0x9D && (bytes(at + 4) & 0xFF) == 0x01 &&
+            (bytes(at + 5) & 0xFF) == 0x2A, "webp: VP8 start code missing")
+          val w = bb.getShort(at + 6) & 0x3FFF
+          val h = bb.getShort(at + 8) & 0x3FFF
+          image = Some((w, h, "lossy", false))
+        case "VP8L" =>
+          require(size >= 5, s"webp: VP8L chunk too small ($size)")
+          require((bytes(at) & 0xFF) == 0x2F, "webp: VP8L signature missing")
+          val bits = bb.getInt(at + 1)
+          image = Some(((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1,
+            "lossless", ((bits >> 28) & 1) == 1))
+        case _ => () // unknown chunk: skip (ICCP/EXIF/XMP in the wild)
+      }
+      pos = at + size + (size & 1) // RIFF chunks are even-aligned
+    }
+    val (w, h, codec, lAlpha) = image.getOrElse(
+      throw new IllegalArgumentException("webp: no VP8/VP8L image chunk"))
+    xCanvas.foreach { case (cw, ch) =>
+      require(cw == w && ch == h,
+        s"webp: VP8X canvas ${cw}x$ch disagrees with coded ${w}x$h")
+    }
+    (w, h, codec, extended, if (extended) xAlpha else lAlpha)
+  }
+
+  /** Attach a WebP media column wrapping the UTF-8 payload of `srcCol`. */
+  def attachWebp(spark: SparkSession, df: DataFrame, idCol: String,
+                 srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          MediaRow(id, webpBytes(widthFor(n), heightFor(n), webpVariantFor(id),
+            webpAlphaFor(id), payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse WebP metadata out of the chunk walk — per-row map-side work. */
+  def decodeWebpMeta(spark: SparkSession, df: DataFrame): Dataset[WebpMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, codec, ext, alpha) = parseWebp(bytes)
+          WebpMeta(id, w.toLong, h.toLong, codec, ext, alpha)
         }
       }
   }

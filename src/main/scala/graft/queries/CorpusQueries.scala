@@ -4434,6 +4434,31 @@ object CorpusQueries {
         .toDF().orderBy(col("id"))
     },
 
+    // WebP RIFF chunk walk (Multimodal.parseWebp — round 19: the dominant
+    // MODERN web image format, closing the image-header family alongside
+    // m1/m10): real containers built by webpBytes rotating the three spec
+    // layouts — lossy "VP8 " (LE14 dims behind the 9D012A start code),
+    // lossless "VP8L" (packed LE32 bitfield, alpha bit 28), and extended
+    // "VP8X" + inner lossy chunk (LE24 canvas, alpha flag 0x10) — with
+    // odd-sized payloads forcing the RIFF even-alignment pad the walk must
+    // skip. The oracle mirrors the generator arithmetic, so a wrong bit
+    // offset, endianness, variant dispatch, or pad-byte drift
+    // hash-mismatches.
+    QueryDef(
+      "m12_webp_meta",
+      """SELECT doc_id AS id,
+        |  64 + (n * 7919) % 509 AS width,
+        |  64 + (n * 104729) % 509 AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'lossless' ELSE 'lossy' END AS codec,
+        |  doc_id % 3 = 2 AS extended,
+        |  doc_id % 3 <> 0 AND doc_id % 2 = 1 AS has_alpha
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |      FROM documents) ORDER BY id""".stripMargin) { (s, d) =>
+      Multimodal.decodeWebpMeta(s,
+        Multimodal.attachWebp(s, Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
+    },
+
     // Image perceptual near-dup: deterministic 32x32 BMPs (pixel arithmetic
     // mirrored below) -> REAL resize to 8x8 (Multimodal.resizeBmp) -> 56-bit
     // dHash -> the d7 hamming-banding machinery (Dedup.hammingBandPairs,

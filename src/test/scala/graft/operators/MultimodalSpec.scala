@@ -226,6 +226,42 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseMp4(v0.take(16))) // ftyp only
   }
 
+  test("parseWebp: VP8/VP8L/VP8X layouts, odd-payload pad, fail-loud") {
+    val odd = "odd-length payload!".getBytes("US-ASCII")
+    assert(odd.length % 2 == 1) // forces the RIFF even-alignment pad
+    // lossy: LE14 dims behind the start code; no alpha possible
+    assert(Multimodal.parseWebp(
+      Multimodal.webpBytes(640, 480, "vp8", alpha = false, odd)) ==
+      ((640, 480, "lossy", false, false)))
+    // lossless: packed bitfield, alpha bit 28, 14-bit max dims
+    assert(Multimodal.parseWebp(
+      Multimodal.webpBytes(16383, 1, "vp8l", alpha = true, odd)) ==
+      ((16383, 1, "lossless", false, true)))
+    assert(Multimodal.parseWebp(
+      Multimodal.webpBytes(33, 9999, "vp8l", alpha = false, odd)) ==
+      ((33, 9999, "lossless", false, false)))
+    // extended: VP8X canvas + flags, inner lossy chunk skipped over the pad
+    assert(Multimodal.parseWebp(
+      Multimodal.webpBytes(572, 64, "vp8x", alpha = true, odd)) ==
+      ((572, 64, "lossy", true, true)))
+    assert(Multimodal.parseWebp(
+      Multimodal.webpBytes(1, 1, "vp8x", alpha = false, odd)) ==
+      ((1, 1, "lossy", true, false)))
+    // fail-loud: bad magic, truncation inside a chunk, no image chunk,
+    // VP8X canvas disagreeing with the coded size
+    val ok = Multimodal.webpBytes(10, 20, "vp8", alpha = false, odd)
+    val badMagic = ok.clone(); badMagic(8) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseWebp(badMagic))
+    intercept[IllegalArgumentException](Multimodal.parseWebp(ok.take(20)))
+    val x = Multimodal.webpBytes(10, 20, "vp8x", alpha = false, odd)
+    val headerOnly = x.take(12 + 18) // RIFF header + VP8X chunk only
+    java.nio.ByteBuffer.wrap(headerOnly).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, headerOnly.length - 8) // make the RIFF size self-consistent
+    intercept[IllegalArgumentException](Multimodal.parseWebp(headerOnly))
+    val drift = x.clone(); drift(12 + 8 + 4) = 99.toByte // canvas width-1 LE24 low byte
+    intercept[IllegalArgumentException](Multimodal.parseWebp(drift))
+  }
+
   test("resizeImages: per-row map-side thumbnails over a BMP frame") {
     import spark.implicits._
     val pix = Array.tabulate(8 * 4)(i => (i % 127).toByte) // 2x4 image, stride 8... 3*2+2pad
