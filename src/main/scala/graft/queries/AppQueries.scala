@@ -687,6 +687,89 @@ object AppQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ROBOTS.TXT GATE (Robots.compiledRules + Robots.gate — round 19: the
+    // per-HOST exclusion file, the other half of lawful crawling next to
+    // t35's per-page meta tag). Three host classes exercise the RFC 9309
+    // machinery: plain `*` group with a longer Allow carved out of a
+    // Disallow (the prefix trap: `Allow: /sec1/page1` re-admits page10-12
+    // too); a NAMED graftbot group whose presence must suppress the host's
+    // `Disallow: /` `*` group entirely (wrongly unioning the groups blocks
+    // everything); and a stacked `User-agent: bing` + `User-agent: *` run
+    // with an empty `Disallow:` (matches nothing), a lowercase `disallow:`
+    // directive, and an ignored `Crawl-delay:`. Decision = longest prefix
+    // wins, Allow on ties, no match = allowed — both engines order by the
+    // same `plen*2 + allow` key.
+    QueryDef(
+      "t36_robots_txt_gate",
+      s"""WITH hosts AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+         |rob AS (SELECT host, CASE host % 3
+         |    WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /sec1' || chr(10) || 'Allow: /sec1/page1' || chr(10) || 'Disallow: /sec2' || chr(10) || '# maintained by ops'
+         |    WHEN 1 THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /sec4' || chr(10) || 'Allow: /sec4/page1' || chr(10) || 'User-agent: *' || chr(10) || 'Crawl-delay: 5' || chr(10) || 'Disallow: /'
+         |    ELSE '# edge cases' || chr(10) || 'User-agent: bing' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow:' || chr(10) || 'disallow: /sec5' || chr(10) || 'Allow: /sec5/page7'
+         |  END AS txt FROM hosts),
+         |lines0 AS (SELECT host, i AS pos, trim(split_part(l[i], '#', 1)) AS clean
+         |  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM rob),
+         |       unnest(generate_series(1, len(l))) AS t(i)),
+         |parsed AS (SELECT host, pos,
+         |    lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1)) AS d,
+         |    trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:(.*)$$', 1)) AS v
+         |  FROM lines0 WHERE clean <> ''),
+         |flagged AS (SELECT host, pos, d, v,
+         |    CASE WHEN d = 'user-agent' AND NOT coalesce(
+         |        lag(d = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+         |        FALSE) THEN 1 ELSE 0 END AS rs
+         |  FROM parsed WHERE d IN ('user-agent', 'allow', 'disallow')),
+         |runs AS (SELECT host, pos, d, v,
+         |    CAST(SUM(rs) OVER (PARTITION BY host ORDER BY pos) AS BIGINT) AS run
+         |  FROM flagged),
+         |agents AS (SELECT DISTINCT host, run, lower(v) AS agent
+         |  FROM runs WHERE d = 'user-agent'),
+         |rules AS (SELECT host, run, d = 'allow' AS allow, v AS rpath,
+         |    CAST(length(v) AS BIGINT) AS plen
+         |  FROM runs WHERE d <> 'user-agent' AND v <> ''),
+         |named AS (SELECT host, CAST(max(CASE WHEN agent = 'graftbot'
+         |      THEN 1 ELSE 0 END) AS INT) AS has_named
+         |  FROM agents GROUP BY host),
+         |sel AS (SELECT r.host, r.allow, r.rpath, r.plen
+         |  FROM rules r JOIN agents a ON a.host = r.host AND a.run = r.run
+         |  JOIN named n ON n.host = r.host
+         |  WHERE a.agent = CASE WHEN n.has_named = 1 THEN 'graftbot' ELSE '*' END),
+         |urls AS (SELECT doc_id AS id, doc_id % 40 AS host,
+         |    '/sec' || CAST(doc_id % 7 AS VARCHAR) || '/page' ||
+         |    CAST(doc_id % 13 AS VARCHAR) AS path
+         |  FROM documents),
+         |m AS (SELECT u.id,
+         |    arg_max(s.allow, s.plen * 2 + CAST(s.allow AS BIGINT)) AS dec,
+         |    max(s.plen) AS best_len
+         |  FROM urls u JOIN sel s
+         |    ON u.host = s.host AND starts_with(u.path, s.rpath)
+         |  GROUP BY u.id)
+         |SELECT u.id, u.host, u.path,
+         |  coalesce(m.dec, TRUE) AS allowed,
+         |  coalesce(m.best_len, 0) AS rule_len
+         |FROM urls u LEFT JOIN m ON u.id = m.id ORDER BY u.id""".stripMargin) { (s, d) =>
+      val hosts = Tables.documents(s, d)
+        .select((col("doc_id") % 40).as("host")).distinct()
+      val v0 = "User-agent: *\nDisallow: /sec1\nAllow: /sec1/page1\n" +
+        "Disallow: /sec2\n# maintained by ops"
+      val v1 = "User-agent: graftbot\nDisallow: /sec4\nAllow: /sec4/page1\n" +
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /"
+      val v2 = "# edge cases\nUser-agent: bing\nUser-agent: *\nDisallow:\n" +
+        "disallow: /sec5\nAllow: /sec5/page7"
+      val rob = hosts.withColumn("txt",
+        when(col("host") % 3 === 0, lit(v0))
+          .when(col("host") % 3 === 1, lit(v1))
+          .otherwise(lit(v2)))
+      val urls = Tables.documents(s, d).select(col("doc_id").as("id"),
+        (col("doc_id") % 40).as("host"),
+        concat(lit("/sec"), (col("doc_id") % 7).cast("string"),
+          lit("/page"), (col("doc_id") % 13).cast("string")).as("path"))
+      graft.operators.Robots.gate(urls,
+          graft.operators.Robots.compiledRules(rob, "host", "txt", "graftbot"),
+          "id", "host", "path")
+        .orderBy(col("id"))
+    },
+
     // UNICODE FIX (TextOps.fixText / plans.UnicodeFix — VERDICT r17 ask
     // #2, stage-0 text hygiene): the fixtures are pure ASCII (an inert
     // kernel would verify nothing — the t3 lesson), so each doc gets ONE
