@@ -874,8 +874,120 @@ object AppQueries {
       lab.select(col("pair_id"), col("component"), col("response_fp"),
           (row_number().over(w) === 1).as("keep"))
         .orderBy(col("pair_id"))
+    },
+
+    // PREFERENCE-PAIR DECONTAMINATION (round 19 — the i1 + d14 closure):
+    // the leakage unit in RLHF/preference data is the PROMPT — an eval
+    // prompt that near-duplicates a training prompt contaminates the
+    // comparison even when every response differs, and doc-level d14 can't
+    // see it once prompts are templated. Pairs reuse i1's synthesis
+    // (family base passage + 3 templates); the eval suite is the
+    // doc_id % 17 slice's leading 30-word passages; contamination = any
+    // shared word 3-gram, via Dedup.decontaminate (distinct 48-bit gram
+    // hashes both sides, eval side broadcast, text never shuffles). Pairs
+    // whose base passage IS an eval doc (bid % 51 = 0 ... bid multiple of
+    // both 3 and 17) are the planted positives; word-salad gram collisions
+    // are the oracle-mirrored noise floor.
+    QueryDef("i2_pref_pair_decontaminate", prefPairDecontOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id").as("bid"),
+        split(col("text"), " ").as("bw"))
+      val tmpl = when(col("pair_id") % 3 === 0,
+          lit("please summarize the following passage "))
+        .when(col("pair_id") % 3 === 1,
+          lit("summarize the following passage please "))
+        .otherwise(lit("kindly summarize this passage "))
+      val pr = docs.select(col("doc_id").as("pair_id"),
+          (col("doc_id") - col("doc_id") % 3).as("bid"))
+        .join(base, Seq("bid"))
+        .select(col("pair_id"),
+          concat(tmpl, array_join(slice(col("bw"), 1, 30), " ")).as("prompt"))
+      val ev = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("pair_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("prompt"))
+      val ov = graft.operators.Dedup.decontaminate(pr, ev, "pair_id", "prompt", 3)
+      pr.join(ov, col("pair_id") === col("sid"), "left")
+        .select(col("pair_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          col("sid").isNotNull.as("contaminated"))
+        .orderBy(col("pair_id"))
+    },
+
+    // CONVERSATION STATS + SUFFIX TRUNCATION (Chat.conversationStats —
+    // round 19): multi-turn chat accounting ahead of packing — role-aware
+    // whitespace-token totals plus the "keep the most recent turns that
+    // fit the context window" rule (longest suffix with cumulative tokens
+    // <= 48). Conversations are synthesized 4 docs at a time (turn =
+    // doc_id % 4, alternating roles, content = the doc's leading
+    // 10 + doc_id % 7 words), so kept_turns genuinely varies 2-4. One
+    // conv-keyed shuffle; the suffix window's group is the conversation's
+    // own bounded turn count.
+    QueryDef("i3_conversation_stats", convStatsOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val turns = docs.select(
+        expr("doc_id div 4").as("conv_id"),
+        (col("doc_id") % 4).as("turn"),
+        when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          (lit(10) + col("doc_id") % 7).cast("int")), " ").as("content"))
+      graft.operators.Chat.conversationStats(turns, "conv_id", "turn",
+          "role", "content", budget = 48L)
+        .orderBy(col("conv_id"))
     }
   )
+
+  /** i2's oracle: i1's prompt synthesis, distinct 48-bit 3-gram hashes on
+    * both sides, semi-join overlap count, left-join verdict per pair.
+    */
+  private lazy val prefPairDecontOracle: String =
+    s"""WITH pr AS MATERIALIZED (SELECT d.doc_id AS pair_id,
+       |    CASE d.doc_id % 3
+       |      WHEN 0 THEN 'please summarize the following passage '
+       |      WHEN 1 THEN 'summarize the following passage please '
+       |      ELSE 'kindly summarize this passage ' END ||
+       |    array_to_string(list_slice(string_split(b.text, ' '), 1, 30), ' ') AS prompt
+       |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+       |ew AS (SELECT list_slice(string_split(text, ' '), 1, 30) AS w
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |eg AS MATERIALIZED (SELECT DISTINCT
+       |    ${sqlHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]", 12)} AS g
+       |  FROM ew, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |pw AS (SELECT pair_id, string_split(prompt, ' ') AS w FROM pr),
+       |pg AS (SELECT DISTINCT pair_id AS sid,
+       |    ${sqlHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]", 12)} AS g
+       |  FROM pw, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |ov AS (SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM pg WHERE g IN (SELECT g FROM eg) GROUP BY sid)
+       |SELECT p.pair_id, coalesce(o.n_overlap, 0) AS n_overlap,
+       |  o.sid IS NOT NULL AS contaminated
+       |FROM pr p LEFT JOIN ov o ON p.pair_id = o.sid
+       |ORDER BY p.pair_id""".stripMargin
+
+  /** i3's oracle: the same turn synthesis, a per-conv suffix running sum
+    * (turn DESC), and the role-aware rollup with the budget-48 suffix keep.
+    */
+  private lazy val convStatsOracle: String =
+    """WITH t AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      CAST(10 + doc_id % 7 AS INT)), ' ') AS content
+      |  FROM documents),
+      |k AS (SELECT conv_id, turn, role,
+      |    CAST(len(string_split(content, ' ')) AS BIGINT) AS tk FROM t),
+      |sfx AS (SELECT conv_id, role, tk,
+      |    CAST(SUM(tk) OVER (PARTITION BY conv_id ORDER BY turn DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sfx
+      |  FROM k)
+      |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  CAST(SUM(CASE WHEN role = 'user' THEN tk ELSE CAST(0 AS BIGINT) END)
+      |    AS BIGINT) AS user_tokens,
+      |  CAST(SUM(CASE WHEN role = 'assistant' THEN tk ELSE CAST(0 AS BIGINT) END)
+      |    AS BIGINT) AS assistant_tokens,
+      |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN sfx <= 48 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+      |  coalesce(max(CASE WHEN sfx <= 48 THEN sfx END), 0) AS kept_tokens
+      |FROM sfx GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
   /** i1's oracle: pair synthesis (family base passage + 3 templates), the
     * generated minhash sig/band arms over PROMPT shingles, exact-jaccard
