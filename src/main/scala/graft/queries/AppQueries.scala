@@ -934,8 +934,141 @@ object AppQueries {
       graft.operators.Chat.conversationStats(turns, "conv_id", "turn",
           "role", "content", budget = 48L)
         .orderBy(col("conv_id"))
+    },
+
+    // SFT CURATION COMPOSED RUN (SftApp.curatePairs — round 19: the
+    // corpus_app/web_app discipline for INSTRUCTION data): pair synthesis
+    // (i1's fixture) -> prompt-side minhash-LSH dedup with response-exact
+    // keep-first (i1) -> prompt-side benchmark decontamination against the
+    // doc_id % 17 eval slice (i2) -> two-turn chat render + token
+    // accounting -> 256-token sequence packing (pk1's two-level prefix
+    // sum) -> per-pack manifest whose id_fp/text_fp hash-check membership
+    // AND the exact rendered bytes. Every stage is an oracle-checked
+    // operator; this row checks their INTERACTION (dedup survivors feeding
+    // the anti-join, the packer consuming the post-gate order). Stage
+    // wall-split + stage counts print to stderr; bookkeeping is ONE
+    // tagged-union aggregate.
+    QueryDef("sft_app", sftAppOracle) { (s, d) =>
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id").as("bid"),
+        split(col("text"), " ").as("bw"))
+      val tmpl = when(col("pair_id") % 3 === 0,
+          lit("please summarize the following passage "))
+        .when(col("pair_id") % 3 === 1,
+          lit("summarize the following passage please "))
+        .otherwise(lit("kindly summarize this passage "))
+      val resp = when(col("pair_id") % 3 === 2,
+        lit("in short it covers ")).otherwise(lit("the passage discusses "))
+      val pr = docs.select(col("doc_id").as("pair_id"),
+          (col("doc_id") - col("doc_id") % 3).as("bid"))
+        .join(base, Seq("bid"))
+        .select(col("pair_id"),
+          concat(tmpl, array_join(slice(col("bw"), 1, 30), " ")).as("prompt"),
+          concat(resp, array_join(slice(col("bw"), 1, 5), " ")).as("response"))
+      val ev = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("etext"))
+      val (manifest, stats) = graft.apps.SftApp.curatePairs(s, pr, ev,
+        onStage = (n, sec) => stages += (n -> sec))
+      System.err.println("[sft_app stages] " +
+        stages.map { case (n, sec) => f"$n=$sec%.2fs" }.mkString(" ") +
+        s" | pairs=${stats.pairs} after_dedup=${stats.afterDedup}" +
+        s" after_decontam=${stats.afterDecontam} packs=${stats.packs}")
+      manifest.orderBy(col("pack_id"))
     }
   )
+
+  /** sft_app's oracle: i1's synthesis + dedup chain through keep-first,
+    * i2's gram decontamination as an anti-join, the chat render + pk1
+    * global prefix-sum packing, and the per-pack manifest rollup.
+    */
+  private lazy val sftAppOracle: String = {
+    import graft.operators.Dedup
+    val sigAggs = (0 until Dedup.NumHashes).map(i =>
+      s"  min((${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinhashPrime}) AS m$i")
+      .mkString(",\n")
+    val bandArms = (0 until Dedup.NumBands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"  SELECT sid, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE pr AS MATERIALIZED (SELECT d.doc_id AS pair_id,
+       |    CASE d.doc_id % 3
+       |      WHEN 0 THEN 'please summarize the following passage '
+       |      WHEN 1 THEN 'summarize the following passage please '
+       |      ELSE 'kindly summarize this passage ' END ||
+       |    array_to_string(list_slice(string_split(b.text, ' '), 1, 30), ' ') AS prompt,
+       |    CASE WHEN d.doc_id % 3 = 2 THEN 'in short it covers '
+       |         ELSE 'the passage discusses ' END ||
+       |    array_to_string(list_slice(string_split(b.text, ' '), 1, 5), ' ') AS response
+       |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+       |pw AS (SELECT pair_id AS sid, string_split(prompt, ' ') AS w FROM pr),
+       |sh0 AS (SELECT DISTINCT sid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+       |  FROM pw, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |sh AS MATERIALIZED (SELECT sid, gram, ${sqlHash("gram", 12)} AS g FROM sh0),
+       |sizes AS (SELECT sid, COUNT(*) AS nsh FROM sh GROUP BY sid),
+       |h AS (SELECT sid, ${sqlHash("gram", 8)} AS h FROM sh),
+       |sig AS (SELECT sid,
+       |$sigAggs
+       |FROM h GROUP BY sid),
+       |bands AS (
+       |$bandArms
+       |),
+       |cand AS (SELECT DISTINCT a.sid AS ida, b.sid AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.sid < b.sid),
+       |inter AS (SELECT ida, idb, COUNT(*) AS n_inter
+       |  FROM cand JOIN sh a ON ida = a.sid JOIN sh b ON idb = b.sid AND a.g = b.g
+       |  GROUP BY ida, idb),
+       |vp AS (SELECT ida, idb FROM (
+       |  SELECT ida, idb,
+       |    CAST(n_inter AS DOUBLE) / (sa.nsh + sb.nsh - n_inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON ida = sa.sid JOIN sizes sb ON idb = sb.sid
+       |) WHERE jaccard >= 0.5),
+       |bidir(a, b) AS (SELECT ida, idb FROM vp UNION SELECT idb, ida FROM vp),
+       |cnodes(x) AS (SELECT DISTINCT a FROM bidir),
+       |r(x, y) AS (SELECT x, x FROM cnodes
+       |  UNION SELECT r.x, e.b FROM r JOIN bidir e ON e.a = r.y),
+       |comp AS (SELECT x AS sid, min(y) AS component FROM r GROUP BY x),
+       |lab AS (SELECT pr.pair_id,
+       |    coalesce(comp.component, pr.pair_id) AS component,
+       |    md5(lower(regexp_replace(response, '\\s+', ' ', 'g'))) AS response_fp
+       |  FROM pr LEFT JOIN comp ON pr.pair_id = comp.sid),
+       |keep AS MATERIALIZED (SELECT p.pair_id, p.prompt, p.response
+       |  FROM (SELECT pair_id,
+       |      ROW_NUMBER() OVER (PARTITION BY component, response_fp
+       |        ORDER BY pair_id) AS rn
+       |    FROM lab) l JOIN pr p ON p.pair_id = l.pair_id WHERE l.rn = 1),
+       |ew AS (SELECT list_slice(string_split(text, ' '), 1, 30) AS w
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |eg AS MATERIALIZED (SELECT DISTINCT
+       |    ${sqlHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]", 12)} AS g
+       |  FROM ew, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |kw AS (SELECT pair_id, string_split(prompt, ' ') AS w FROM keep),
+       |bad AS (SELECT DISTINCT pair_id FROM (
+       |    SELECT DISTINCT pair_id,
+       |      ${sqlHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]", 12)} AS g
+       |    FROM kw, unnest(generate_series(1, len(w) - 2)) AS t(i))
+       |  WHERE g IN (SELECT g FROM eg)),
+       |clean AS (SELECT * FROM keep
+       |  WHERE pair_id NOT IN (SELECT pair_id FROM bad)),
+       |tt AS (SELECT pair_id,
+       |    'user: ' || prompt || chr(10) || 'assistant: ' || response AS chat,
+       |    CAST(len(regexp_split_to_array(trim(prompt), '\\s+'))
+       |       + len(regexp_split_to_array(trim(response), '\\s+'))
+       |       + 4 AS BIGINT) AS n_tokens
+       |  FROM clean),
+       |st AS (SELECT pair_id, chat, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY pair_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens AS BIGINT) AS so
+       |  FROM tt)
+       |SELECT so // 256 AS pack_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(${sqlHash("CAST(pair_id AS VARCHAR)", 12)}) AS BIGINT) AS id_fp,
+       |  CAST(SUM(${sqlHash("md5(chat)", 12)}) AS BIGINT) AS text_fp
+       |FROM st GROUP BY pack_id ORDER BY pack_id""".stripMargin
+  }
 
   /** i2's oracle: i1's prompt synthesis, distinct 48-bit 3-gram hashes on
     * both sides, semi-join overlap count, left-join verdict per pair.
