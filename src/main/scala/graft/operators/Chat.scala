@@ -48,4 +48,35 @@ object Chat {
         coalesce(max(when(col("sfx") <= budget, col("sfx"))), lit(0L))
           .as("kept_tokens"))
   }
+
+  /** Conversation-level exact dedup: two conversations are duplicates when
+    * their turn-ordered rendered lines are byte-identical (role-tagged —
+    * the same words under swapped roles are NOT a dup). Keep-first =
+    * lowest conv id per fingerprint group. Output one row per
+    * conversation: (conv_id, conv_fp, keep, group_size).
+    *
+    * The rendering aggregates each conversation's own turns behind an
+    * `array_sort` on (turn, line) — `collect_list` order is
+    * shuffle-dependent, so the canonical order is re-established inside
+    * the row before hashing (the d37 determinism discipline). Group sizes
+    * are duplicate-family-sized, so the keeper join is an aggregate+join,
+    * never a window over a hot key.
+    */
+  def dedupConversations(turns: DataFrame, convCol: String, turnCol: String,
+                         lineCol: String): DataFrame = {
+    val rendered = turns
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(md5(array_join(
+        transform(
+          array_sort(collect_list(struct(col(turnCol).as("t"),
+            col(lineCol).as("l")))),
+          x => x.getField("l")),
+        "\n")).as("conv_fp"))
+    val groups = rendered.groupBy(col("conv_fp"))
+      .agg(min(col("conv_id")).as("__keeper"),
+        count(lit(1)).as("group_size"))
+    rendered.join(groups, Seq("conv_fp"))
+      .select(col("conv_id"), col("conv_fp"),
+        (col("conv_id") === col("__keeper")).as("keep"), col("group_size"))
+  }
 }

@@ -936,6 +936,79 @@ object AppQueries {
         .orderBy(col("conv_id"))
     },
 
+    // PREFERENCE WIN-RATE / LENGTH-MARGIN AUDIT (round 19): the standard
+    // reward-data diagnostic — per prompt-template family, how often the
+    // chosen response out-scores the rejected one under the t2 quality
+    // model, and the mean score margin. Rejected responses are planted in
+    // two classes: punctuation-junk 3-word stubs (chosen should win) and,
+    // for pair_id % 5 = 0, a clean 40-word passage that legitimately
+    // out-scores the short chosen response — so the win rate is a real
+    // measurement, not a constant. Scores compare as exact micro-units
+    // (CAST(round(q*1e6) AS BIGINT) — the e9 discipline), so the verdict
+    // column never touches float ordering; only the two reported rates
+    // divide, under the round(·,6) convention.
+    QueryDef("i4_preference_audit", preferenceAuditOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id").as("bid"),
+        split(col("text"), " ").as("bw"))
+      val resp = when(col("pair_id") % 3 === 2,
+        lit("in short it covers ")).otherwise(lit("the passage discusses "))
+      val pairs = docs.select(col("doc_id").as("pair_id"),
+          (col("doc_id") - col("doc_id") % 3).as("bid"))
+        .join(base, Seq("bid"))
+        .select(col("pair_id"),
+          concat(resp, array_join(slice(col("bw"), 1, 5), " ")).as("chosen"),
+          when(col("pair_id") % 5 === 0,
+            array_join(slice(col("bw"), 1, 40), " "))
+            .otherwise(concat(lit("!!! "),
+              array_join(slice(col("bw"), 1, 3), " "))).as("rejected"))
+      val qc = round(TextOps.qualityScore(col("chosen")) * 1000000)
+        .cast("long")
+      val qr = round(TextOps.qualityScore(col("rejected")) * 1000000)
+        .cast("long")
+      pairs
+        .select((col("pair_id") % 3).as("family"),
+          (qc > qr).cast("long").as("win"), (qc - qr).as("margin_micro"))
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("win")).as("n_chosen_wins"),
+          round(sum(col("win")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("win_rate"),
+          round(sum(col("margin_micro")).cast("double") /
+            count(lit(1)).cast("double") / 1000000.0, 6).as("mean_margin"))
+        .orderBy(col("family"))
+    },
+
+    // CONVERSATION-LEVEL EXACT DEDUP (Chat.dedupConversations — round 19):
+    // the dedup unit for chat corpora is the whole turn SEQUENCE —
+    // doc-level d1/d2 can't see that two conversations are identical once
+    // the turns are stored as separate rows, and a role swap must NOT
+    // count as a dup (lines render role-tagged). Conversations are
+    // synthesized in planted triples (every conv in a family of 3 draws
+    // its turn content from the family head's source docs), so fingerprint
+    // groups of 3 (boundary partials smaller) with keep-first-by-conv-id
+    // are the expected shape. The canonical turn order is re-established
+    // INSIDE the aggregate (array_sort over (turn, line)) — collect order
+    // is shuffle-dependent.
+    QueryDef("i5_conversation_dedup", convDedupOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val turns = docs.select(
+          expr("doc_id div 4").as("conv_id"),
+          (col("doc_id") % 4).as("turn"),
+          when(col("doc_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          expr("(doc_id div 4 - (doc_id div 4) % 3) * 4 + doc_id % 4")
+            .as("src_id"))
+        .join(docs.select(col("doc_id").as("src_id"),
+          col("text").as("src_text")), Seq("src_id"))
+        .select(col("conv_id"), col("turn"),
+          concat(col("role"), lit(": "),
+            array_join(slice(split(col("src_text"), " "), 1, 12), " "))
+            .as("line"))
+      graft.operators.Chat.dedupConversations(turns, "conv_id", "turn", "line")
+        .orderBy(col("conv_id"))
+    },
+
     // SFT CURATION COMPOSED RUN (SftApp.curatePairs — round 19: the
     // corpus_app/web_app discipline for INSTRUCTION data): pair synthesis
     // (i1's fixture) -> prompt-side minhash-LSH dedup with response-exact
@@ -1121,6 +1194,53 @@ object AppQueries {
       |  CAST(SUM(CASE WHEN sfx <= 48 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
       |  coalesce(max(CASE WHEN sfx <= 48 THEN sfx END), 0) AS kept_tokens
       |FROM sfx GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  /** i4's oracle: pair synthesis with the two rejected classes, the t2
+    * quality twin on both sides in exact micro-units, family rollup.
+    */
+  private lazy val preferenceAuditOracle: String =
+    s"""WITH base AS (SELECT d.doc_id AS pair_id,
+       |    CASE WHEN d.doc_id % 3 = 2 THEN 'in short it covers '
+       |         ELSE 'the passage discusses ' END ||
+       |    array_to_string(list_slice(string_split(b.text, ' '), 1, 5), ' ') AS chosen,
+       |    CASE WHEN d.doc_id % 5 = 0
+       |         THEN array_to_string(list_slice(string_split(b.text, ' '), 1, 40), ' ')
+       |         ELSE '!!! ' ||
+       |           array_to_string(list_slice(string_split(b.text, ' '), 1, 3), ' ')
+       |    END AS rejected
+       |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+       |q AS (SELECT pair_id % 3 AS family,
+       |    CAST(round((${sqlQuality("chosen")}) * 1000000) AS BIGINT) AS qc,
+       |    CAST(round((${sqlQuality("rejected")}) * 1000000) AS BIGINT) AS qr
+       |  FROM base)
+       |SELECT family, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN qc > qr THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_wins,
+       |  round(CAST(SUM(CASE WHEN qc > qr THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS win_rate,
+       |  round(CAST(SUM(qc - qr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    / 1000000.0, 6) AS mean_margin
+       |FROM q GROUP BY family ORDER BY family""".stripMargin
+
+  /** i5's oracle: the planted-triple conversation synthesis, turn-ordered
+    * role-tagged rendering via string_agg(... ORDER BY turn), md5
+    * fingerprint, keeper = min conv id per group.
+    */
+  private lazy val convDedupOracle: String =
+    """WITH c AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    (doc_id // 4 - (doc_id // 4) % 3) * 4 + doc_id % 4 AS src_id
+      |  FROM documents),
+      |t AS (SELECT conv_id, turn, role || ': ' ||
+      |    array_to_string(list_slice(string_split(b.text, ' '), 1, 12), ' ') AS line
+      |  FROM c JOIN documents b ON b.doc_id = c.src_id),
+      |r AS (SELECT conv_id,
+      |    md5(string_agg(line, chr(10) ORDER BY turn)) AS conv_fp
+      |  FROM t GROUP BY conv_id),
+      |g AS (SELECT conv_fp, min(conv_id) AS keeper,
+      |    CAST(COUNT(*) AS BIGINT) AS group_size
+      |  FROM r GROUP BY conv_fp)
+      |SELECT r.conv_id, r.conv_fp, r.conv_id = g.keeper AS keep, g.group_size
+      |FROM r JOIN g ON r.conv_fp = g.conv_fp ORDER BY r.conv_id""".stripMargin
 
   /** i1's oracle: pair synthesis (family base passage + 3 templates), the
     * generated minhash sig/band arms over PROMPT shingles, exact-jaccard
