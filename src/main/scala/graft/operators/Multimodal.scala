@@ -57,6 +57,13 @@ case class JpegMeta(id: Long, width: Long, height: Long, progressive: Boolean,
 case class Mp4Meta(id: Long, timescale: Long, duration_units: Long,
                    duration_us: Long, n_traks: Long)
 
+/** Parsed PDF metadata from the ASCII object walk (see
+  * [[Multimodal.parsePdf]]): spec version, the /Pages /Count (cross-checked
+  * against the /Type /Page object count), and the /MediaBox geometry.
+  */
+case class PdfMeta(id: Long, version: String, n_pages: Long,
+                   box_w: Long, box_h: Long)
+
 /** Parsed WebP metadata from the RIFF chunk walk (see
   * [[Multimodal.parseWebp]]): dimensions from the image chunk's own coded
   * size (VP8 frame header / VP8L bitfield), codec = lossy|lossless,
@@ -787,6 +794,107 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (w, h, codec, ext, alpha) = parseWebp(bytes)
           WebpMeta(id, w.toLong, h.toLong, codec, ext, alpha)
+        }
+      }
+  }
+
+  // ---- PDF (round 19: the dominant DOCUMENT source format) ----------------
+  //
+  // A minimal classic (non-compressed-xref) PDF is plain ASCII objects:
+  // "%PDF-M.m" header, a /Catalog -> /Pages -> /Page object tree, a
+  // content stream, an xref table and "%%EOF". The metadata a corpus
+  // pipeline wants BEFORE committing to full text extraction — spec
+  // version, page count, page geometry — lives in the /Pages node's
+  // /Count and the /Page nodes' /MediaBox, both readable by a literal
+  // token walk with no decompression (fixture objects are uncompressed;
+  // real-world object streams are codec scope, like pixel decode in m1).
+
+  /** Deterministic fixture parameters for the PDF variant. */
+  def pdfPagesFor(n: Long): Int = (1 + n % 5).toInt
+  def pdfVersionFor(id: Long): String = s"1.${4 + id % 4}"
+  /** Letter (612x792) or A4 (595x842) media box, by id parity. */
+  def pdfBoxFor(id: Long): (Int, Int) =
+    if (id % 2 == 0) (612, 792) else (595, 842)
+
+  /** Minimal spec-shaped PDF bytes: header, catalog, pages node with
+    * /Count and /Kids, `nPages` page objects sharing one /MediaBox, a
+    * content stream wrapping `payload`, xref + trailer + %%EOF.
+    */
+  def pdfBytes(version: String, nPages: Int, boxW: Int, boxH: Int,
+               payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"%PDF-$version\n")
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+    (0 until nPages).foreach { i =>
+      sb.append(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 $boxW $boxH] >> endobj\n")
+    }
+    sb.append(s"${3 + nPages} 0 obj << /Length ${payload.length} >> stream\n")
+    val head = sb.toString.getBytes("US-ASCII")
+    val tail = ("\nendstream endobj\ntrailer << /Size " +
+      s"${4 + nPages} /Root 1 0 R >>\n%%EOF\n").getBytes("US-ASCII")
+    head ++ payload ++ tail
+  }
+
+  /** Parse (version, nPages, boxW, boxH) by walking the ASCII object
+    * tokens. /Count on the /Pages node is the authoritative page count;
+    * the parse ALSO counts the /Type /Page objects and fails loud on
+    * disagreement (a malformed tree silently under-counts otherwise —
+    * the mp4 trak-walk discipline). Fail-loud on a missing %PDF header,
+    * missing %%EOF (truncation), or a /Pages node with no /Count.
+    */
+  def parsePdf(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    // ISO-8859-1 maps bytes 1:1 to chars, so the object graph walks as a
+    // string; every token this walk reads precedes the first "stream"
+    // keyword, and %%EOF is matched anywhere (it trails the content).
+    val s = new String(bytes, "ISO-8859-1")
+    val headerEnd = s.indexOf('\n')
+    require(headerEnd >= 8 && s.startsWith("%PDF-"),
+      s"pdf: bad or missing %PDF header")
+    val version = s.substring(5, headerEnd).trim
+    require(s.contains("%%EOF"), "pdf: no %%EOF marker — truncated file")
+    val streamAt = { val i = s.indexOf(" stream"); if (i < 0) s.length else i }
+    val ascii = s.substring(0, streamAt)
+    val count = "/Type\\s*/Pages\\b[^>]*?/Count\\s+(\\d+)".r
+      .findFirstMatchIn(ascii).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        "pdf: no /Pages node with /Count"))
+    val nPageObjs = "/Type\\s*/Page[^s]".r.findAllMatchIn(ascii).length
+    require(nPageObjs == count,
+      s"pdf: /Count $count disagrees with $nPageObjs /Type /Page objects")
+    val box = "/MediaBox\\s*\\[\\s*0\\s+0\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+      .findFirstMatchIn(ascii).getOrElse(
+        throw new IllegalArgumentException("pdf: no /MediaBox"))
+    (version, count, box.group(1).toInt, box.group(2).toInt)
+  }
+
+  /** Attach a PDF media column wrapping the UTF-8 payload of `srcCol`. */
+  def attachPdf(spark: SparkSession, df: DataFrame, idCol: String,
+                srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          val (w, h) = pdfBoxFor(id)
+          MediaRow(id, pdfBytes(pdfVersionFor(id), pdfPagesFor(n), w, h, payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse PDF metadata out of the object walk — per-row map-side work. */
+  def decodePdfMeta(spark: SparkSession, df: DataFrame): Dataset[PdfMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (v, p, w, h) = parsePdf(bytes)
+          PdfMeta(id, v, p.toLong, w.toLong, h.toLong)
         }
       }
   }

@@ -4459,6 +4459,28 @@ object CorpusQueries {
         .toDF().orderBy(col("id"))
     },
 
+    // PDF object walk (Multimodal.parsePdf — round 19: the dominant
+    // DOCUMENT source; version / page count / page geometry decide
+    // extraction routing BEFORE any codec work): real classic-xref PDFs
+    // built by pdfBytes (catalog -> /Pages with /Count + /Kids -> /Page
+    // objects sharing a /MediaBox, content stream, trailer, %%EOF), parsed
+    // back by an ASCII token walk that cross-checks /Count against the
+    // counted /Type /Page objects (fail-loud on disagreement — the mp4
+    // trak discipline). The oracle mirrors the generator arithmetic.
+    QueryDef(
+      "m13_pdf_meta",
+      """SELECT doc_id AS id,
+        |  '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version,
+        |  CAST(1 + n % 5 AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 612 ELSE 595 END AS BIGINT) AS box_w,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 792 ELSE 842 END AS BIGINT) AS box_h
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |      FROM documents) ORDER BY id""".stripMargin) { (s, d) =>
+      Multimodal.decodePdfMeta(s,
+        Multimodal.attachPdf(s, Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
+    },
+
     // Image perceptual near-dup: deterministic 32x32 BMPs (pixel arithmetic
     // mirrored below) -> REAL resize to 8x8 (Multimodal.resizeBmp) -> 56-bit
     // dHash -> the d7 hamming-banding machinery (Dedup.hammingBandPairs,

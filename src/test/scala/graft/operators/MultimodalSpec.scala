@@ -262,6 +262,26 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseWebp(drift))
   }
 
+  test("parsePdf: version/count/box walk, count cross-check, fail-loud") {
+    val payload = "BT /F1 12 Tf (hi) Tj ET".getBytes("US-ASCII")
+    assert(Multimodal.parsePdf(
+      Multimodal.pdfBytes("1.7", 3, 612, 792, payload)) ==
+      (("1.7", 3, 612, 792)))
+    assert(Multimodal.parsePdf(
+      Multimodal.pdfBytes("1.4", 1, 595, 842, Array.emptyByteArray)) ==
+      (("1.4", 1, 595, 842)))
+    // fail-loud: bad magic, truncation (no %%EOF), /Count disagreeing with
+    // the /Type /Page objects
+    val ok = Multimodal.pdfBytes("1.5", 2, 612, 792, payload)
+    intercept[IllegalArgumentException](Multimodal.parsePdf(
+      "%FDP-1.5\nnot a pdf\n%%EOF\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.parsePdf(ok.take(ok.length - 8))) // cuts %%EOF
+    val drift = new String(ok, "ISO-8859-1")
+      .replaceFirst("/Count 2", "/Count 3").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](Multimodal.parsePdf(drift))
+  }
+
   test("resizeImages: per-row map-side thumbnails over a BMP frame") {
     import spark.implicits._
     val pix = Array.tabulate(8 * 4)(i => (i % 127).toByte) // 2x4 image, stride 8... 3*2+2pad
