@@ -611,10 +611,10 @@ object Bench {
     // SPARK_GRAFT_SF1_GATE=0 skips the tier for quick local iterations.
     // the ten heaviest by the promoted round-19 baseline (forceFrame
     // action) — refresh when the top-10 shifts at a re-baseline
-    val sf1Heavies = Seq("e8_chrf", "corpus_app", "g2_authority_refresh",
-      "ds8_semdedup_ingest", "b1_bitext_mining", "ds4_novelty_ingest",
-      "d29_prefix_filter_pairs", "lm9_sb_served",
-      "d26_incremental_components", "lm5_lm_count_ingest")
+    val sf1Heavies = Seq("corpus_app", "e8_chrf", "g2_authority_refresh",
+      "ds8_semdedup_ingest", "web_app", "sft_app",
+      "d29_prefix_filter_pairs", "d26_incremental_components",
+      "b1_bitext_mining", "ds2_ingest_exactly_once")
     val sf1GateEnv = sys.env.get("SPARK_GRAFT_SF1_GATE")
     val sf1GateOn = sfDir.contains("sf0.1") && !sf1GateEnv.contains("0") &&
       (only.isEmpty || sf1GateEnv.contains("1")) // =1 forces it under a subset run
