@@ -57,6 +57,13 @@ case class JpegMeta(id: Long, width: Long, height: Long, progressive: Boolean,
 case class Mp4Meta(id: Long, timescale: Long, duration_units: Long,
                    duration_us: Long, n_traks: Long)
 
+/** Parsed TIFF metadata from the IFD0 walk (see [[Multimodal.parseTiff]]):
+  * dimensions from tags 0x0100/0x0101, orientation 0x0112, and which byte
+  * order the file declared.
+  */
+case class TiffMeta(id: Long, width: Long, height: Long, orientation: Long,
+                    big_endian: Boolean)
+
 /** Parsed PDF metadata from the ASCII object walk (see
   * [[Multimodal.parsePdf]]): spec version, the /Pages /Count (cross-checked
   * against the /Type /Page object count), and the /MediaBox geometry.
@@ -794,6 +801,105 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (w, h, codec, ext, alpha) = parseWebp(bytes)
           WebpMeta(id, w.toLong, h.toLong, codec, ext, alpha)
+        }
+      }
+  }
+
+  // ---- TIFF (round 19: the scanned-document / archival image format) ------
+  //
+  // TIFF 6.0 is a byte-order-tagged IFD walk: "II"/"MM" + magic 42 + IFD0
+  // offset, then a 12-byte-entry directory (tag, type, count, value).
+  // Dimensions are tags 0x0100/0x0101, orientation 0x0112 — the same IFD
+  // machinery as m10's embedded EXIF, standalone, with BOTH byte orders
+  // first-class (scanners emit II, Mac-era tooling MM).
+
+  def tiffOrientFor(id: Long, n: Long): Int = ((id + n) % 8 + 1).toInt
+
+  /** Minimal spec-valid TIFF: header, one IFD0 with ImageWidth/ImageLength
+    * (LONG) + Orientation (SHORT), zero next-IFD, payload appended after.
+    */
+  def tiffBytes(width: Int, height: Int, orientation: Int, bigEndian: Boolean,
+                payload: Array[Byte]): Array[Byte] = {
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val buf = ByteBuffer.allocate(8 + 2 + 3 * 12 + 4 + payload.length).order(order)
+    val bom = if (bigEndian) "MM" else "II"
+    buf.put(bom.getBytes("US-ASCII")).putShort(42.toShort).putInt(8)
+    buf.putShort(3.toShort)                        // entry count
+    buf.putShort(0x0100.toShort).putShort(4.toShort).putInt(1).putInt(width)
+    buf.putShort(0x0101.toShort).putShort(4.toShort).putInt(1).putInt(height)
+    buf.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+    buf.putShort(orientation.toShort).putShort(0.toShort) // SHORT value + pad
+    buf.putInt(0)                                  // next IFD
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** Parse (width, height, orientation, bigEndian) by walking IFD0 in the
+    * declared byte order. Fail-loud on a bad BOM/magic, an IFD offset or
+    * entry table running past the buffer, or missing dimension tags.
+    */
+  def parseTiff(bytes: Array[Byte]): (Int, Int, Int, Boolean) = {
+    require(bytes.length >= 8, s"tiff: ${bytes.length} bytes, no header")
+    val bom = new String(bytes, 0, 2, "US-ASCII")
+    val big = bom match {
+      case "MM" => true
+      case "II" => false
+      case _ => throw new IllegalArgumentException(s"tiff: bad byte-order mark '$bom'")
+    }
+    val bb = ByteBuffer.wrap(bytes)
+      .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    require(bb.getShort(2) == 42, s"tiff: bad magic ${bb.getShort(2)}")
+    val ifd = bb.getInt(4)
+    require(ifd >= 8 && ifd + 2 <= bytes.length, s"tiff: IFD0 offset $ifd out of range")
+    val nEntries = bb.getShort(ifd) & 0xFFFF
+    require(ifd + 2 + nEntries * 12 + 4 <= bytes.length,
+      s"tiff: IFD0 ($nEntries entries) overruns the buffer")
+    var w = -1; var h = -1; var orient = 1
+    (0 until nEntries).foreach { i =>
+      val at = ifd + 2 + i * 12
+      val tag = bb.getShort(at) & 0xFFFF
+      val tpe = bb.getShort(at + 2) & 0xFFFF
+      def value: Int = tpe match {
+        case 3 => bb.getShort(at + 8) & 0xFFFF // SHORT lives in the first 2 value bytes
+        case 4 => bb.getInt(at + 8)
+        case t => throw new IllegalArgumentException(s"tiff: tag $tag type $t unsupported")
+      }
+      tag match {
+        case 0x0100 => w = value
+        case 0x0101 => h = value
+        case 0x0112 => orient = value
+        case _ => ()
+      }
+    }
+    require(w > 0 && h > 0, "tiff: IFD0 carries no ImageWidth/ImageLength")
+    (w, h, orient, big)
+  }
+
+  /** Attach a TIFF media column wrapping the UTF-8 payload of `srcCol`. */
+  def attachTiff(spark: SparkSession, df: DataFrame, idCol: String,
+                 srcCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length.toLong
+          MediaRow(id, tiffBytes(widthFor(n), heightFor(n), tiffOrientFor(id, n),
+            bigEndian = id % 2 == 1, payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse TIFF metadata out of the IFD walk — per-row map-side work. */
+  def decodeTiffMeta(spark: SparkSession, df: DataFrame): Dataset[TiffMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, o, big) = parseTiff(bytes)
+          TiffMeta(id, w.toLong, h.toLong, o.toLong, big)
         }
       }
   }

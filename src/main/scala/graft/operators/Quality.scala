@@ -1181,6 +1181,55 @@ object Quality {
         round((pbar - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6).as("kappa"))
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+    * agreement coefficient that generalizes past two raters (e15) and
+    * past fixed-chance assumptions (e17): alpha = 1 − D_o/D_e over the
+    * coincidence matrix. This implementation requires a UNIFORM `n`
+    * ratings per item (the planned-annotation shape; it fails loud
+    * otherwise — the fleissKappa discipline), which makes every term an
+    * exact integer over the common 1/(n−1) factor:
+    *
+    *   D_o ∝ do_num   = N·n·(n−1) − Σ_u Σ_c n_uc(n_uc−1)
+    *   D_e ∝ pairs_neq = n_tot² − Σ_c n_c²            (n_tot = N·n)
+    *   alpha = 1 − (n_tot−1)·do_num / ((n−1)·pairs_neq)
+    *
+    * One (item, category) count, two dimension-sized rollups, a single
+    * round-6 division at the end — the exact-integer e-family contract.
+    * A degenerate corpus where every rating is one category has
+    * pairs_neq = 0 and alpha NULL (agreement is undefined, not 1.0).
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        categoryCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"Krippendorff's alpha needs n >= 2 ratings per item, got $n")
+    val nic = ratings.groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__nic"))
+    val perItem = nic.groupBy(col("__i"))
+      .agg(sum(col("__nic")).as("__ni"),
+        sum(col("__nic") * (col("__nic") - 1L)).as("__ai"))
+      .withColumn("__ai", when(col("__ni") =!= n.toLong,
+          raise_error(concat(lit("krippendorffAlpha: item "),
+            col("__i").cast("string"),
+            lit(" has "), col("__ni").cast("string"),
+            lit(s" ratings, expected $n — undefined; fix upstream"))))
+        .otherwise(col("__ai")))
+    val totals = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__ai")).as("__a_sum"))
+    val perCat = nic.groupBy(col("__c"))
+      .agg(sum(col("__nic")).as("__mc"))
+      .agg(sum(col("__mc")).as("__n_tot"),
+        sum(col("__mc") * col("__mc")).as("__s_sum"))
+    val doNum = col("n_items") * lit(n.toLong) * lit((n - 1).toLong) -
+      col("__a_sum")
+    val pairsNeq = col("__n_tot") * col("__n_tot") - col("__s_sum")
+    totals.crossJoin(broadcast(perCat))
+      .select(col("n_items"), lit(n.toLong).as("n_raters"),
+        doNum.as("do_num"), pairsNeq.as("pairs_neq"),
+        round(lit(1.0) - (col("__n_tot") - 1L).cast("double") *
+          doNum.cast("double") /
+          nullif((lit((n - 1).toLong) * pairsNeq).cast("double"), lit(0.0)),
+          6).as("alpha"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
     * problem with n samples of which c pass,
     * pass@k = 1 − C(n−c, k)/C(n, k) — the probability that at least one

@@ -112,4 +112,35 @@ object Robots {
         coalesce(col("dec"), lit(true)).as("allowed"),
         coalesce(col("best_len"), lit(0L)).as("rule_len"))
   }
+
+  /** sitemaps.org XML parse — the crawl-frontier feed next to the robots
+    * gate: one row per `<url>` entry, in document order, with the
+    * mandatory `<loc>` and the OPTIONAL `<lastmod>`/`<changefreq>` (NULL
+    * when absent). Entries are extracted BLOCK-WISE (each `<url>…</url>`
+    * is its own row before the field extracts), so a missing optional tag
+    * can never mis-align fields across entries — the parallel-arrays trap.
+    * A `<url>` block with no `<loc>` is spec-invalid and fails loud.
+    *
+    * Scale posture: per-row regex work fused into the scan (sitemap files
+    * are host-sized, RFC-capped at 50k URLs / 50 MB), one generator
+    * explode, no shuffle.
+    */
+  def parseSitemaps(sitemaps: DataFrame, hostCol: String,
+                    xmlCol: String): DataFrame = {
+    val blocks = sitemaps
+      .select(col(hostCol).as("host"),
+        posexplode(expr(
+          s"regexp_extract_all($xmlCol, '(?s)<url>(.*?)</url>', 1)"))
+          .as(Seq("pos", "block")))
+    val loc = regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1)
+    blocks.select(col("host"), col("pos").cast("long").as("pos"),
+      when(loc === "", raise_error(concat(lit("sitemap: <url> entry "),
+          col("pos").cast("string"), lit(" on host "),
+          col("host").cast("string"), lit(" has no <loc> — spec-invalid"))))
+        .otherwise(loc).as("loc"),
+      nullif(regexp_extract(col("block"), "<lastmod>([^<]*)</lastmod>", 1),
+        lit("")).as("lastmod"),
+      nullif(regexp_extract(col("block"),
+        "<changefreq>([^<]*)</changefreq>", 1), lit("")).as("changefreq"))
+  }
 }

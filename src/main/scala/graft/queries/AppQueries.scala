@@ -770,6 +770,57 @@ object AppQueries {
         .orderBy(col("id"))
     },
 
+    // SITEMAP PARSE (Robots.parseSitemaps — round 19: the crawl-frontier
+    // feed completing the compliance family with t35/t36): per-host
+    // sitemaps.org XML with 3-6 <url> entries, parsed BLOCK-WISE so the
+    // optional tags can't mis-align — every 4th entry omits <lastmod> and
+    // every 3rd-remainder-2 entry omits <changefreq> (the parallel-arrays
+    // trap a column-per-regex parse falls into). Both engines synthesize
+    // the XML from the same sequence transform and extract with the same
+    // RE2 patterns.
+    QueryDef(
+      "t37_sitemap_scan",
+      s"""WITH hosts AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+         |sm AS (SELECT host, '<urlset>' || array_to_string(
+         |    list_transform(generate_series(0, 2 + CAST(host % 4 AS INT)), j ->
+         |      '<url><loc>https://h' || CAST(host AS VARCHAR) ||
+         |      '.example.com/p' || CAST(j AS VARCHAR) || '</loc>' ||
+         |      CASE WHEN j % 4 = 0 THEN '' ELSE '<lastmod>2024-' ||
+         |        lpad(CAST(j % 12 + 1 AS VARCHAR), 2, '0') || '-01</lastmod>' END ||
+         |      CASE WHEN j % 3 = 0 THEN '<changefreq>daily</changefreq>'
+         |           WHEN j % 3 = 1 THEN '<changefreq>weekly</changefreq>'
+         |           ELSE '' END || '</url>'), '') || '</urlset>' AS xml
+         |  FROM hosts),
+         |blocks AS (SELECT host, CAST(i - 1 AS BIGINT) AS pos, b[i] AS block
+         |  FROM (SELECT host, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS b
+         |        FROM sm),
+         |       unnest(generate_series(1, len(b))) AS t(i))
+         |SELECT host, pos,
+         |  regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+         |  nullif(regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1), '')
+         |    AS lastmod,
+         |  nullif(regexp_extract(block, '<changefreq>([^<]*)</changefreq>', 1), '')
+         |    AS changefreq
+         |FROM blocks ORDER BY host, pos""".stripMargin) { (s, d) =>
+      val hosts = Tables.documents(s, d)
+        .select((col("doc_id") % 40).as("host")).distinct()
+      val entry = (j: Column) => concat(
+        lit("<url><loc>https://h"), col("host").cast("string"),
+        lit(".example.com/p"), j.cast("string"), lit("</loc>"),
+        when(j % 4 === 0, lit("")).otherwise(concat(lit("<lastmod>2024-"),
+          lpad((j % 12 + 1).cast("string"), 2, "0"), lit("-01</lastmod>"))),
+        when(j % 3 === 0, lit("<changefreq>daily</changefreq>"))
+          .when(j % 3 === 1, lit("<changefreq>weekly</changefreq>"))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val sm = hosts.withColumn("xml", concat(lit("<urlset>"),
+        array_join(transform(
+          sequence(lit(0), (lit(2) + col("host") % 4).cast("int")), entry), ""),
+        lit("</urlset>")))
+      graft.operators.Robots.parseSitemaps(sm, "host", "xml")
+        .orderBy(col("host"), col("pos"))
+    },
+
     // UNICODE FIX (TextOps.fixText / plans.UnicodeFix — VERDICT r17 ask
     // #2, stage-0 text hygiene): the fixtures are pure ASCII (an inert
     // kernel would verify nothing — the t3 lesson), so each doc gets ONE

@@ -4481,6 +4481,27 @@ object CorpusQueries {
         .toDF().orderBy(col("id"))
     },
 
+    // TIFF IFD walk (Multimodal.parseTiff — round 19: the scanned-document
+    // format; m10's EXIF IFD machinery standalone, BOTH byte orders
+    // first-class): real headers built by tiffBytes (II or MM by id
+    // parity, ImageWidth/ImageLength as LONGs, Orientation as a SHORT
+    // whose value sits in the first two value bytes — the offset a
+    // wrong-order parse corrupts), walked back tag by tag. The oracle
+    // mirrors the generator arithmetic.
+    QueryDef(
+      "m14_tiff_meta",
+      """SELECT doc_id AS id,
+        |  64 + (n * 7919) % 509 AS width,
+        |  64 + (n * 104729) % 509 AS height,
+        |  CAST((doc_id + n) % 8 + 1 AS BIGINT) AS orientation,
+        |  doc_id % 2 = 1 AS big_endian
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |      FROM documents) ORDER BY id""".stripMargin) { (s, d) =>
+      Multimodal.decodeTiffMeta(s,
+        Multimodal.attachTiff(s, Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
+    },
+
     // Image perceptual near-dup: deterministic 32x32 BMPs (pixel arithmetic
     // mirrored below) -> REAL resize to 8x8 (Multimodal.resizeBmp) -> 56-bit
     // dHash -> the d7 hamming-banding machinery (Dedup.hammingBandPairs,

@@ -597,6 +597,44 @@ object MiningQueries {
         "item", "category", n = 5)
     },
 
+    // KRIPPENDORFF'S ALPHA, nominal (Quality.krippendorffAlpha — round 19,
+    // completing the agreement family past e15's two raters and e17's
+    // fixed-chance P_e): coincidence-matrix D_o/D_e with uniform 4 ratings
+    // per item, every term an exact integer over the common 1/(n-1)
+    // factor, one round-6 division. Raters = the first LETTERS of the
+    // doc's first 4 words (a ~26-category space with real coincidences,
+    // unlike whole-word categories which almost never repeat within an
+    // item).
+    QueryDef(
+      "e18_krippendorff_alpha",
+      """WITH r AS (SELECT doc_id AS i, substr(w, 1, 1) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS w
+        |        FROM documents WHERE len(string_split(text, ' ')) >= 4)),
+        |nic AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS nic FROM r GROUP BY 1, 2),
+        |item AS (SELECT i, CAST(SUM(nic * (nic - 1)) AS BIGINT) AS ai
+        |  FROM nic GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(ai) AS BIGINT) AS a_sum FROM item),
+        |cat AS (SELECT CAST(SUM(mc) AS BIGINT) AS n_tot,
+        |    CAST(SUM(mc * mc) AS BIGINT) AS s_sum FROM
+        |  (SELECT CAST(SUM(nic) AS BIGINT) AS mc FROM nic GROUP BY c))
+        |SELECT n_items, CAST(4 AS BIGINT) AS n_raters,
+        |  CAST(n_items * 4 * 3 - a_sum AS BIGINT) AS do_num,
+        |  CAST(n_tot * n_tot - s_sum AS BIGINT) AS pairs_neq,
+        |  round(CAST(1 AS DOUBLE)
+        |    - CAST(n_tot - 1 AS DOUBLE) * CAST(n_items * 4 * 3 - a_sum AS DOUBLE)
+        |    / nullif(CAST(3 * (n_tot * n_tot - s_sum) AS DOUBLE), CAST(0 AS DOUBLE)),
+        |    6) AS alpha
+        |FROM tot, cat""".stripMargin) { (s, d) =>
+      val words = split(col("text"), " ")
+      graft.operators.Quality.krippendorffAlpha(
+        Tables.documents(s, d).filter(size(words) >= 4)
+          .select(col("doc_id").as("item"),
+            explode(slice(words, 1, 4)).as("w"))
+          .select(col("item"), substring(col("w"), 1, 1).as("category")),
+        "item", "category", n = 4)
+    },
+
     // MIX CONCENTRATION (Sampling.mixConcentration): Simpson's index of
     // the source mix — an exact rational, unlike entropy — and the
     // effective number of sources; the one-row dial a mix review reads

@@ -282,6 +282,26 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parsePdf(drift))
   }
 
+  test("parseTiff: IFD walk both byte orders, fail-loud") {
+    val payload = "strip data stand-in".getBytes("US-ASCII")
+    assert(Multimodal.parseTiff(
+      Multimodal.tiffBytes(640, 480, 6, bigEndian = false, payload)) ==
+      ((640, 480, 6, false)))
+    assert(Multimodal.parseTiff(
+      Multimodal.tiffBytes(33, 9999, 1, bigEndian = true, payload)) ==
+      ((33, 9999, 1, true)))
+    // fail-loud: bad BOM, bad magic, IFD offset past the buffer
+    val ok = Multimodal.tiffBytes(10, 20, 3, bigEndian = false, payload)
+    val badBom = ok.clone(); badBom(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseTiff(badBom))
+    val badMagic = ok.clone(); badMagic(2) = 43.toByte
+    intercept[IllegalArgumentException](Multimodal.parseTiff(badMagic))
+    val farIfd = ok.clone()
+    java.nio.ByteBuffer.wrap(farIfd)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, 100000)
+    intercept[IllegalArgumentException](Multimodal.parseTiff(farIfd))
+  }
+
   test("resizeImages: per-row map-side thumbnails over a BMP frame") {
     import spark.implicits._
     val pix = Array.tabulate(8 * 4)(i => (i % 127).toByte) // 2x4 image, stride 8... 3*2+2pad

@@ -63,4 +63,30 @@ class RobotsSpec extends SparkSpec {
       Seq((1L, 0, "/x")))
     assert(out(1L) == ((true, 0L)))
   }
+
+  test("parseSitemaps: block-wise extraction survives missing optional tags; missing <loc> fails loud") {
+    // entry 0 has everything, entry 1 omits <lastmod> — a parallel-arrays
+    // parse would shift entry 1's fields onto entry 0's lastmod
+    val xml = "<urlset>" +
+      "<url><loc>https://a/p0</loc><lastmod>2024-01-01</lastmod>" +
+      "<changefreq>daily</changefreq></url>" +
+      "<url><loc>https://a/p1</loc><changefreq>weekly</changefreq></url>" +
+      "<url><loc>https://a/p2</loc><lastmod>2024-02-01</lastmod></url>" +
+      "</urlset>"
+    val rows = Robots.parseSitemaps(Seq((7, xml)).toDF("host", "xml"),
+        "host", "xml")
+      .orderBy("pos")
+      .select(col("pos"), col("loc"), col("lastmod"), col("changefreq"))
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq
+    assert(rows == Seq(
+      (0L, "https://a/p0", Some("2024-01-01"), Some("daily")),
+      (1L, "https://a/p1", None, Some("weekly")),
+      (2L, "https://a/p2", Some("2024-02-01"), None)))
+    val bad = "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"
+    val e = intercept[Exception] { // SparkRuntimeException is package-private
+      Robots.parseSitemaps(Seq((7, bad)).toDF("host", "xml"), "host", "xml")
+        .collect()
+    }
+    assert(e.getMessage.contains("no <loc>"))
+  }
 }
