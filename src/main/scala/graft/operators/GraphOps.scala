@@ -151,6 +151,54 @@ object GraphOps {
     labeled
    }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in the exact-integer,
+    * UNNORMALIZED, fixed-iteration form (the [[pageRank]] discipline —
+    * no float mass vector, no convergence epsilon, engine-identical
+    * outputs): a₀ = 1 everywhere, then per round
+    * h(u) = Σ_{u→v} a(v), a(v) = Σ_{u→v} h(u). Normalization only
+    * rescales, so hub/authority ORDER — the consumable — is the
+    * normalized algorithm's. Values grow like (max degree)^(2·iters),
+    * which is why `iters` is capped at 4: the BIGINT bound is the
+    * caller's contract (a web-scale run wanting more rounds needs the
+    * renormalized float variant, deliberately out of scope here).
+    *
+    * Scale shape: per round two equi-joins of an id+long state against
+    * the checkpointed edge list and two map-side-combinable sums — the
+    * pageRank loop's cost, twice. Each round's state is checkpointed and
+    * the superseded one freed; driver holds only the loop counter.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, idCol: String,
+           iters: Int): DataFrame =
+   graft.core.Storage.freeingIntermediates(edges.sparkSession) {
+    require(iters >= 1 && iters <= 4,
+      s"iters must be in [1, 4] (value bound is degree^(2*iters)), got $iters")
+    val cut = graft.core.Storage.cut(_: DataFrame, _: Boolean)
+    val e = cut(edges.select(col("src"), col("dst")).distinct(), true)
+    val ns = cut(nodes.select(col(idCol).as("sid")).distinct(), true)
+    var auth = cut(ns.withColumn("a", lit(1L)), true)
+    var hubs = cut(ns.withColumn("h", lit(0L)), true)
+    var i = 0
+    while (i < iters) {
+      val h1 = cut(ns.join(
+        e.join(auth.select(col("sid").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("sid")).agg(sum(col("a")).as("__h")),
+        Seq("sid"), "left")
+        .select(col("sid"), coalesce(col("__h"), lit(0L)).as("h")), true)
+      graft.core.Storage.freeCheckpoint(hubs)
+      hubs = h1
+      val a1 = cut(ns.join(
+        e.join(hubs.select(col("sid").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("sid")).agg(sum(col("h")).as("__a")),
+        Seq("sid"), "left")
+        .select(col("sid"), coalesce(col("__a"), lit(0L)).as("a")), true)
+      graft.core.Storage.freeCheckpoint(auth)
+      auth = a1
+      i += 1
+    }
+    hubs.join(auth, Seq("sid"))
+      .select(col("sid"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+   }
+
   /** One rank-update round over the degree-annotated checkpointed edge
     * list `e` and the previous round's `ranks`: rank-in per dst as a
     * map-side-combinable decimal sum, damping, left-join back to the node

@@ -2712,4 +2712,38 @@ object TextOps {
       .filter(length(col("feat")) > 0)
       .withColumn("b", graft.operators.Dedup.hash48(col("feat")) % nBuckets)
       .drop(textCol, "feat")
+
+  /** Good-Turing frequency re-estimation (Good 1953) over the corpus
+    * word n-gram counts — the count-of-counts table behind every
+    * discounted LM (the held-out mass KN/SB approximate analytically):
+    * for each observed count r the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, in exact integer micro-units (one floor
+    * division per row — engine-identical). Rows where N_{r+1} = 0 report
+    * gt_fp = 0, the raw estimator's honest hole (smoothing N_r is a
+    * modeling choice left to the caller). The low-r head GT actually
+    * re-estimates is only populated for sparse event spaces — n >= 2 in
+    * practice (a unigram table over a small-vocabulary corpus has no
+    * singletons at all).
+    *
+    * Scale shape: one map-side-combinable gram count (the lm1 shuffle),
+    * then a count-of-counts rollup whose cardinality is max(r) — a
+    * dimension-sized frame; the r→r+1 join is self-join on that tiny
+    * frame. Output bounded by `maxR` rows.
+    */
+  def goodTuring(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, n: Int,
+                 maxR: Long): org.apache.spark.sql.DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val wc = graft.operators.Dedup.wordShinglesAll(df, idCol, textCol, n)
+      .groupBy(col("gram")).agg(count(lit(1)).as("r"))
+    val coc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val next = coc.select((col("r") - 1L).as("r"), col("n_r").as("n_next"))
+    coc.join(next, Seq("r"), "left")
+      .filter(col("r") >= 1L && col("r") <= maxR)
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+      .withColumn("gt_fp",
+        expr("((r + 1) * n_next * 1000000) div n_r"))
+  }
 }

@@ -2385,6 +2385,29 @@ object CorpusQueries {
         terms = Seq("table", "hash", "merge"), k = 25)
     },
 
+    // GOOD-TURING re-estimation (TextOps.goodTuring — round 19: the
+    // count-of-counts table behind every discounted LM, completing the
+    // smoothing family's empirical side next to KN/SB's analytic
+    // discounts): r* = (r+1)·N_{r+1}/N_r in exact integer micro-units,
+    // one floor division per row. N_{r+1} = 0 reports gt_fp = 0 (the raw
+    // estimator's hole, not smoothed away silently).
+    QueryDef(
+      "lm11_good_turing",
+      """WITH w0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM w0, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+        |wc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM t GROUP BY g),
+        |coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM wc GROUP BY r)
+        |SELECT c.r, c.n_r, COALESCE(x.n_r, 0) AS n_next,
+        |  CAST((c.r + 1) * COALESCE(x.n_r, 0) * 1000000 // c.n_r AS BIGINT)
+        |    AS gt_fp
+        |FROM coc c LEFT JOIN coc x ON x.r = c.r + 1
+        |WHERE c.r BETWEEN 1 AND 8 ORDER BY c.r""".stripMargin) { (s, d) =>
+      TextOps.goodTuring(Tables.documents(s, d), "doc_id", "text", n = 3,
+          maxR = 8L)
+        .orderBy(col("r"))
+    },
+
     // FUZZY search (TextOps.fuzzySearch — Elasticsearch `fuzziness: 1`):
     // the misspelled query {tabl, hashh, merge} still finds the
     // {table, hash, merge} docs — each query term expands to vocabulary
@@ -3728,6 +3751,46 @@ object CorpusQueries {
       val edges = graft.operators.GraphOps
         .derivationEdges(docs, "doc_id", "text", 3)
       graft.operators.GraphOps.pageRank(edges, docs, "doc_id", iters = 3)
+        .orderBy(col("sid"))
+    },
+
+    // HITS hubs & authorities (GraphOps.hits — round 19: Kleinberg's dual
+    // of g1's PageRank over the same derivation graph; a doc that COPIES
+    // from many first-holders is a hub, a first-holder copied by many
+    // good hubs is an authority — the two sides of provenance the single
+    // PageRank score conflates). Exact-integer unnormalized form, 2
+    // fixed iterations (value bound degree^4 — BIGINT-safe by contract);
+    // the oracle replays both rounds as plain join+sum CTEs.
+    QueryDef(
+      "g4_hits",
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS sid,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |  FROM w0, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |shh AS (SELECT sid, ${sqlHash("gram", 12)} AS g FROM sh0),
+         |fh AS (SELECT g, MIN(sid) AS dst FROM shh GROUP BY g),
+         |edges AS MATERIALIZED (SELECT DISTINCT s.sid AS src, f.dst
+         |  FROM shh s JOIN fh f USING (g) WHERE f.dst < s.sid),
+         |nodes AS (SELECT doc_id AS sid FROM documents),
+         |a0 AS (SELECT sid, CAST(1 AS BIGINT) AS a FROM nodes),
+         |h1 AS MATERIALIZED (SELECT n.sid, CAST(COALESCE(x.s, 0) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN (SELECT e.src AS sid, CAST(SUM(a.a) AS BIGINT) AS s
+         |    FROM edges e JOIN a0 a ON a.sid = e.dst GROUP BY e.src) x USING (sid)),
+         |a1 AS MATERIALIZED (SELECT n.sid, CAST(COALESCE(x.s, 0) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN (SELECT e.dst AS sid, CAST(SUM(h.h) AS BIGINT) AS s
+         |    FROM edges e JOIN h1 h ON h.sid = e.src GROUP BY e.dst) x USING (sid)),
+         |h2 AS MATERIALIZED (SELECT n.sid, CAST(COALESCE(x.s, 0) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN (SELECT e.src AS sid, CAST(SUM(a.a) AS BIGINT) AS s
+         |    FROM edges e JOIN a1 a ON a.sid = e.dst GROUP BY e.src) x USING (sid)),
+         |a2 AS (SELECT n.sid, CAST(COALESCE(x.s, 0) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN (SELECT e.dst AS sid, CAST(SUM(h.h) AS BIGINT) AS s
+         |    FROM edges e JOIN h2 h ON h.sid = e.src GROUP BY e.dst) x USING (sid))
+         |SELECT h2.sid, h2.h AS hub_fp, a2.a AS auth_fp
+         |FROM h2 JOIN a2 USING (sid) ORDER BY sid""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = graft.operators.GraphOps
+        .derivationEdges(docs, "doc_id", "text", 3)
+      graft.operators.GraphOps.hits(edges, docs, "doc_id", iters = 2)
         .orderBy(col("sid"))
     },
 
