@@ -109,4 +109,20 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(none.values.toSet == Set(150000L) && none.keySet == (1L to 5L).toSet)
   }
+
+  test("hits: hand-computed two rounds on a star-plus-chain graph") {
+    // 1->3, 2->3, 2->4: node 2 is the stronger hub (two targets), 3 the
+    // stronger authority (two sources, one of them the best hub)
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("sid")
+    val out = GraphOps.hits(edges, nodes, "sid", iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // round 1: h = outdeg -> h(1)=1, h(2)=2; a(3)=h1+h2=3, a(4)=h2=2
+    // round 2: h(1)=a(3)=3, h(2)=a(3)+a(4)=5; a(3)=h(1)+h(2)=8, a(4)=h(2)=5
+    assert(out(1L) == ((3L, 0L)))
+    assert(out(2L) == ((5L, 0L)))
+    assert(out(3L) == ((0L, 8L)))
+    assert(out(4L) == ((0L, 5L)))
+    assert(out(5L) == ((0L, 0L))) // isolated node: present, both zero
+  }
 }

@@ -1336,4 +1336,17 @@ class TextOpsSpec extends SparkSpec {
       .join(twice.select(col("sid"), col("text_dedup").as("t2")), "sid")
     assert(joined.filter(col("t1") =!= col("t2")).count() == 0L)
   }
+
+  test("goodTuring: hand-computed count-of-counts over unigram counts") {
+    // counts: a=3, b=2, c=2, d=1, e=1, f=1 -> N_1=3, N_2=2, N_3=1
+    val docs = Seq((1L, "a a b c d"), (2L, "a b c e f")).toDF("sid", "text")
+    val out = TextOps.goodTuring(docs, "sid", "text", n = 1, maxR = 3L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // r=1: r* = 2*N_2/N_1 = 2*2/3 -> 1333333 micro
+    assert(out(1L) == ((1L, 3L, 2L, 1333333L)))
+    // r=2: r* = 3*N_3/N_2 = 3*1/2 -> 1500000 micro
+    assert(out(2L) == ((2L, 2L, 1L, 1500000L)))
+    // r=3: N_4 = 0 -> honest zero
+    assert(out(3L) == ((3L, 1L, 0L, 0L)))
+  }
 }
