@@ -1978,42 +1978,11 @@ object TextOps {
       .withColumn("r_fp", expr("matches * 1000000 DIV ref_total"))
   }
 
-  /** Per-id CHARACTER n-gram occurrence counts on the whitespace-stripped
-    * text, orders 1..maxOrder fanned out inside ONE scan — [[chrF]]'s
-    * counting step, the character twin of [[idNgramCounts]]. Built from
-    * two plain `explode(sequence(...))` generators + a `substr`
-    * projection, NOT the transform/filter/struct HOF nest: character
-    * fan-out is maxOrder × every char — ~6× the element count of the
-    * word-level e4 — and HOF lambdas evaluate interpreted with a per-
-    * element allocation (the wordShinglesAll/PQ-kernel lesson), where
-    * generators and substr stay inside whole-stage codegen. Measured 5×
-    * on the sf0.1 bench (9.9 s → 1.8 s — it was the suite's slowest
-    * query). The text column rides the generators unexpanded
-    * (pipelined in one codegen stage — never materialized per position).
-    */
-  private def idCharNgramCounts(df: org.apache.spark.sql.DataFrame,
-                                idCol: String, textCol: String, maxOrder: Int)
-      : org.apache.spark.sql.DataFrame = {
-    require(maxOrder >= 1 && maxOrder <= 8,
-      s"maxOrder must be in [1, 8], got $maxOrder")
-    // whitespace = space/tab/LF/CR (the chrF definition strips all
-    // whitespace, not just spaces — multi-line docs must not gain
-    // newline-spanning grams); enumerated class, no \s ambiguity
-    df.select(col(idCol).as("id"),
-        regexp_replace(col(textCol), "[ \\t\\n\\r]", "").as("s"))
-      .select(col("id"), col("s"),
-        explode(sequence(lit(1L), lit(maxOrder.toLong))).as("ord"))
-      // guard: sequence(1, stop) with stop < 1 generates DESCENDING —
-      // short texts must emit nothing for long orders, not [1, 0]
-      .select(col("id"), col("ord"), col("s"),
-        explode(when(length(col("s")) >= col("ord"),
-          sequence(lit(1), length(col("s")) - col("ord").cast("int") + 1)))
-          .as("i"))
-      .select(col("id"), col("ord"),
-        col("s").substr(col("i"), col("ord").cast("int")).as("gram"))
-      .groupBy(col("id"), col("ord"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-  }
+  // (the former relational chrF counting step — a per-side character-gram
+  // fan-out into (id, ord, gram) count aggregates — lives on only in the
+  // DuckDB oracle and the PropertySpec relational twin: the served path
+  // computes the identical statistic per pair inside
+  // graft.plans.ChrfStatsLong, with no gram ever shuffled)
 
   /** chrF (Popović 2015, WMT) per pair in EXACT integers: character
     * n-gram F-β over the whitespace-stripped texts — the
@@ -2029,32 +1998,30 @@ object TextOps {
     * 0) — a ratio of these per-order rows; ship the sufficient statistic,
     * not the lossy average (the e4 discipline).
     *
-    * Scale shape: identical to [[ngramOverlapEval]] — all orders fan out
-    * in one scan per side, the clip join is (id, ord, gram)-keyed and
-    * reuses the counting aggregate's exchange, everything pair-local; no
-    * window, no candidate generation. Character grams are <= maxOrder
-    * chars, so shuffled keys stay short regardless of document length.
+    * Scale shape (round 19, guide §2.3/§8 — shuffle metadata, never the
+    * gram fan-out): the texts are joined per pair id FIRST — the ONLY
+    * exchange, carrying corpus bytes — and the whole per-order statistic
+    * (clipped matches + both totals, all orders) comes out of ONE codegen'd
+    * per-row kernel ([[graft.plans.ChrfStatsLong]]) + `inline`. The former
+    * relational form shuffled every (id, ord, gram) count row through four
+    * exchanges — ~295 MB at sf0.1, the suite's largest, for 6 output rows
+    * per pair; grams are pair-local, so none of that exchange was
+    * fundamental. Ids must be unique per side (the e4 pairing contract —
+    * a duplicated id would cross-join here where the gram-keyed form
+    * pooled counts).
     */
   def chrF(cand: org.apache.spark.sql.DataFrame,
            ref: org.apache.spark.sql.DataFrame,
            idCol: String, textCol: String, maxOrder: Int = 6)
       : org.apache.spark.sql.DataFrame = {
-    val cg = idCharNgramCounts(cand, idCol, textCol, maxOrder)
-      .withColumnRenamed("c", "cc")
-    val rg = idCharNgramCounts(ref, idCol, textCol, maxOrder)
-      .withColumnRenamed("c", "rc")
-    val clipped = cg.join(rg, Seq("id", "ord", "gram"))
-      .groupBy(col("id"), col("ord"))
-      .agg(sum(least(col("cc"), col("rc"))).as("matches"))
-    val ct = cg.groupBy(col("id"), col("ord"))
-      .agg(sum(col("cc")).as("cand_total"))
-    val rt = rg.groupBy(col("id"), col("ord"))
-      .agg(sum(col("rc")).as("ref_total"))
-    ct.join(rt, Seq("id", "ord"))
-      .join(clipped, Seq("id", "ord"), "left")
-      .select(col("id"), col("ord"),
-        coalesce(col("matches"), lit(0L)).as("matches"),
-        col("cand_total"), col("ref_total"))
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    cand.select(col(idCol).as("id"), col(textCol).as("__cand"))
+      .join(ref.select(col(idCol).as("id"), col(textCol).as("__ref")),
+        Seq("id"))
+      .select(col("id"), inline(
+        graft.plans.ChrfStatsLong.chrfStats(col("__cand"), col("__ref"),
+          maxOrder)))
       .withColumn("f_fp",
         // widened to DECIMAL(38,0) BEFORE the products (the corpusBleu
         // idiom): matches·5e6 wraps BIGINT past ~1.8e12 char-gram matches

@@ -693,6 +693,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chrF kernel vs independent Scala twin: identical stats on random + unicode pairs") {
+    // pins graft.plans.ChrfStatsLong (the r19 join-first chrF — no gram
+    // shuffle) to an independent plain-Scala clipped-count formulation of
+    // the same statistic the retired relational form computed
+    def twin(cand: String, ref: String, maxOrder: Int)
+        : Map[Long, (Long, Long, Long)] = {
+      def strip(s: String): Array[Int] =
+        s.codePoints().toArray.filterNot(cp =>
+          cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r')
+      val c = strip(cand); val r = strip(ref)
+      (1 to maxOrder).flatMap { n =>
+        if (c.length < n || r.length < n) None
+        else {
+          def grams(a: Array[Int]) = a.sliding(n).map(_.toSeq).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val cg = grams(c); val rg = grams(r)
+          val m = cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0L)) }.sum
+          Some(n.toLong -> ((m, (c.length - n + 1).toLong, (r.length - n + 1).toLong)))
+        }
+      }.toMap
+    }
+    // code-point-safe pieces (never split a surrogate pair): the 😀
+    // alphabet exercises supplementary-plane gram positions end to end
+    val pairGen: Gen[(String, String)] = for {
+      alphabet <- Gen.oneOf(Seq("a", "b"), Seq("a", "b", "c"),
+        Seq("a", "b", " ", "\t", "\n"), Seq("é", "漢", "😀", "a", " "))
+      c <- Gen.listOfN(20, Gen.oneOf(alphabet)).map(_.mkString)
+      r <- Gen.listOfN(16, Gen.oneOf(alphabet)).map(_.mkString)
+    } yield (c, r)
+    forAllSamples(pairGen, 8) { case (c, r) =>
+      val got = graft.operators.TextOps.chrF(
+          Seq((1L, c)).toDF("id", "text"), Seq((1L, r)).toDF("id", "text"),
+          "id", "text", 4)
+        .collect().map(row => row.getAs[Long]("ord") ->
+          ((row.getAs[Long]("matches"), row.getAs[Long]("cand_total"),
+            row.getAs[Long]("ref_total")))).toMap
+      assert(got == twin(c, r, 4), s"cand=$c ref=$r")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
