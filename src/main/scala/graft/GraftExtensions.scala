@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       UnigramSegment.fromChildren))
     ext.injectFunction(fn(HtmlStrip.Name, classOf[HtmlStrip],
       HtmlStrip.fromChildren))
+    ext.injectFunction(fn(WordSetCountLong.Name, classOf[WordSetCountLong],
+      (children: Seq[Expression]) => WordSetCountLong.fromChildren(children)))
+    ext.injectFunction(fn(ChrfStatsLong.Name, classOf[ChrfStatsLong],
+      ChrfStatsLong.fromChildren))
   }
 }

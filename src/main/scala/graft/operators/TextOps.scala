@@ -52,10 +52,12 @@ object TextOps {
     */
   def nWords(text: Column): Column = size(words(text))
 
-  def stopwordCount(text: Column): Column = {
-    val sw = stopwords.map(lit(_))
-    size(filter(words(text), w => w.isin(sw: _*)))
-  }
+  // = size(filter(words(text), _.isin(stopwords))), but HOF filters are
+  // CodegenFallback (interpreted per element + a split array per call);
+  // the native kernel is one codegen'd byte pass (round 19 — the same
+  // swap as markerScore; WordSetCountLong doc has the numbers)
+  def stopwordCount(text: Column): Column =
+    graft.plans.WordSetCountLong.wordSetCount(text, stopwords)
 
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0)))
@@ -494,7 +496,7 @@ object TextOps {
   }
 
   def markerScore(text: Column, markers: Seq[String]): Column =
-    size(filter(words(text), w => w.isin(markers.map(lit(_)): _*)))
+    graft.plans.WordSetCountLong.wordSetCount(text, markers)
 
   /** Split documents into fixed-length character chunks with overlap — the
     * context-window preprocessing in front of embedding/indexing jobs.

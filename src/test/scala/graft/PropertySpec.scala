@@ -733,6 +733,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordSetCount kernel vs the HOF filter formulation: identical counts") {
+    // pins graft.plans.WordSetCountLong (the r19 stopword/marker counter)
+    // to the exact size(filter(split(text,' '), isin)) it replaced —
+    // including empty tokens from doubled/leading/trailing spaces and
+    // multi-byte (zh marker) words
+    val textGen: Gen[String] = for {
+      words <- Gen.listOfN(15, Gen.oneOf(
+        "the", "und", "la", "的", "xray", "", "a", "thee", "lo", "是"))
+    } yield words.mkString(" ")
+    forAllSamples(textGen, 8) { t =>
+      val sets = Seq(graft.operators.TextOps.stopwords) ++
+        graft.operators.TextOps.langMarkers.map(_._2)
+      sets.foreach { set =>
+        val df = Seq(Tuple1(t)).toDF("text")
+        val kernel = df.select(
+          graft.plans.WordSetCountLong.wordSetCount($"text", set)).head().getLong(0)
+        val hof = df.select(size(filter(split($"text", " "),
+          w => w.isin(set.map(lit(_)): _*))).cast("long")).head().getLong(0)
+        assert(kernel == hof, s"set=$set text='$t'")
+      }
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
