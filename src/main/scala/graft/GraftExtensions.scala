@@ -81,5 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => WordSetCountLong.fromChildren(children)))
     ext.injectFunction(fn(ChrfStatsLong.Name, classOf[ChrfStatsLong],
       ChrfStatsLong.fromChildren))
+    ext.injectFunction(fn(ShingleHashesLong.Name, classOf[ShingleHashesLong],
+      ShingleHashesLong.fromChildren))
   }
 }

@@ -82,6 +82,20 @@ object Dedup {
     df.select(col(idCol).as("sid"), explode(grams).as("gram"))
   }
 
+  /** (sid, g) with g = [[hash48]] of each DISTINCT word n-gram — the fused
+    * form of `wordShingles(...).select(sid, hash48(gram))`, which is what
+    * every corpus-side consumer actually wants (gram strings never leave
+    * the row). One codegen'd zero-copy pass (plans.ShingleHashesLong);
+    * the composed form paid an interpreted HOF walk + a String per gram
+    * (round 19 — profiled as g2's dominant frame). `wordShingles` itself
+    * stays for the spec twins and any consumer that needs gram TEXT.
+    */
+  def wordShingleHashes(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+      explode(graft.plans.ShingleHashesLong.shingleHashes(
+        col(textCol), n, 6)).as("g"))
+
   /** Word n-gram shingles WITH multiplicity — explode+slice only, no
     * higher-order functions (those evaluate interpreted and allocate per
     * row). MinHash minima are multiset-invariant, so the signature path can
@@ -115,8 +129,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame =
     graft.core.Storage.freeingIntermediates(df.sparkSession) {
-      val sh = graft.core.Storage.cut(wordShingles(df, idCol, textCol, n)
-        .select(col("sid"), hash48(col("gram")).as("g")), eager = false)
+      val sh = graft.core.Storage.cut(wordShingleHashes(df, idCol, textCol, n), eager = false)
       val sizes = shingleSizes(sh)
       val inter = sh.as("a")
         .join(sh.as("b"),
@@ -180,8 +193,7 @@ object Dedup {
         s"threshold must be in (0, 1]: got $threshold")
       val cutLazy: DataFrame => DataFrame =
         if (checkpoint) graft.core.Storage.cut(_, eager = false) else identity
-      val sh = cutLazy(wordShingles(df, idCol, textCol, n)
-        .select(col("sid"), hash48(col("gram")).as("g")))
+      val sh = cutLazy(wordShingleHashes(df, idCol, textCol, n))
       val sizes = shingleSizes(sh)
       val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       // rarest-first rank within each doc; prefix length is floor-based
@@ -356,9 +368,8 @@ object Dedup {
       .union(cands.select(col("idb").as("cand_sid"))).distinct()
     // gram hashes, not gram strings, through the intersection joins — same
     // 8-byte-key discipline as jaccardPairs, mirrored by the oracle
-    val sh = graft.core.Storage.cut(wordShingles(docs, idCol, textCol, n)
-      .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi")
-      .select(col("sid"), hash48(col("gram")).as("g")), eager = false)
+    val sh = graft.core.Storage.cut(wordShingleHashes(docs, idCol, textCol, n)
+      .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi"), eager = false)
     val sizes = shingleSizes(sh)
     val inter = cands
       .join(sh.as("a"), col("ida") === col("a.sid"))
@@ -936,8 +947,7 @@ object Dedup {
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        n: Int, minDf: Long): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g"))
+    val sh = wordShingleHashes(df, idCol, textCol, n)
     val boiler = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("g"))
     val per = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_grams"))
@@ -975,8 +985,7 @@ object Dedup {
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g"))
+    val sh = wordShingleHashes(df, idCol, textCol, n)
     val per = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_grams"))
     // each distinct gram credits exactly one document: its first holder
     val novel = sh.groupBy(col("g")).agg(min(col("sid")).as("sid"))
@@ -1049,9 +1058,8 @@ object Dedup {
         .select(col("ida"), col("idb"))
       val candIds = cands.select(col("ida").as("cand_sid"))
         .union(cands.select(col("idb").as("cand_sid"))).distinct()
-      val sh = graft.core.Storage.cut(wordShingles(df, idCol, textCol, n)
-        .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi")
-        .select(col("sid"), hash48(col("gram")).as("g")), eager = false)
+      val sh = graft.core.Storage.cut(wordShingleHashes(df, idCol, textCol, n)
+        .join(broadcast(candIds), col("sid") === col("cand_sid"), "left_semi"), eager = false)
       val sizes = shingleSizes(sh)
       cands
         .join(sh.as("sa"), col("ida") === col("sa.sid"))
@@ -1121,8 +1129,8 @@ object Dedup {
   def writeNoveltyIndex(df: DataFrame, idCol: String, textCol: String,
                         n: Int, table: String, nBuckets: Int): Unit =
     graft.sources.Bucketing.writeBucketedBy(
-      wordShingles(df, idCol, textCol, n)
-        .select(hash48(col("gram")).as("g"), col("sid"))
+      wordShingleHashes(df, idCol, textCol, n)
+        .select(col("g"), col("sid"))
         .groupBy(col("g")).agg(min(col("sid")).as("first_sid")),
       table, Seq("g"), nBuckets)
 
@@ -1137,8 +1145,8 @@ object Dedup {
   def appendNoveltyIndex(batch: DataFrame, idCol: String, textCol: String,
                          n: Int, table: String, nBuckets: Int): Unit =
     graft.sources.Bucketing.appendBucketedBy(
-      wordShingles(batch, idCol, textCol, n)
-        .select(hash48(col("gram")).as("g"), col("sid"))
+      wordShingleHashes(batch, idCol, textCol, n)
+        .select(col("g"), col("sid"))
         .groupBy(col("g")).agg(min(col("sid")).as("first_sid")),
       table, Seq("g"), nBuckets)
 
@@ -1157,8 +1165,7 @@ object Dedup {
   def batchNovelty(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                    idCol: String, textCol: String, n: Int,
                    table: String): DataFrame = {
-    val bg = wordShingles(batch, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g"))
+    val bg = wordShingleHashes(batch, idCol, textCol, n)
     val per = bg.groupBy(col("sid")).agg(count(lit(1)).as("n_grams"))
     val bmin = bg.groupBy(col("g")).agg(min(col("sid")).as("b_sid"))
     val imin = spark.table(table)

@@ -39,9 +39,7 @@ object GraphOps {
     // result plan (the shuffleOrder contract: the session sweep reclaims
     // it); [[refreshAuthority]] frees it per refresh.
     val sh = graft.core.Storage.cut(
-      Dedup.wordShingles(df, idCol, textCol, n)
-        .select(col("sid"), Dedup.hash48(col("gram")).as("g")),
-      eager = false)
+      Dedup.wordShingleHashes(df, idCol, textCol, n), eager = false)
     val first = sh.groupBy(col("g")).agg(min(col("sid")).as("dst"))
     sh.join(first, Seq("g"))
       .filter(col("dst") < col("sid"))

@@ -56,10 +56,16 @@ object Md5PrefixLong {
     () => java.security.MessageDigest.getInstance("MD5"))
 
   /** Big-endian unsigned value of the first n digest bytes. */
-  def prefix(bytes: Array[Byte], n: Int): Long = {
+  def prefix(bytes: Array[Byte], n: Int): Long =
+    prefix(bytes, 0, bytes.length, n)
+
+  /** Range variant — digest `len` bytes from `off` without copying (the
+    * ShingleHashesLong zero-copy gram path). */
+  def prefix(bytes: Array[Byte], off: Int, len: Int, n: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     var acc = 0L
     var i = 0
     while (i < n) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }

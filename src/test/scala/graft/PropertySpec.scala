@@ -756,6 +756,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes kernel vs wordShingles+hash48: identical multisets") {
+    // pins graft.plans.ShingleHashesLong (the r19 fused distinct-shingle
+    // hasher) to the composed relational form it replaced — including
+    // repeated grams (distinct by content), empty tokens from doubled
+    // spaces, and docs shorter than n
+    val docGen: Gen[String] = for {
+      words <- Gen.listOfN(14, Gen.oneOf("w0", "w1", "w2", "", "é漢"))
+    } yield words.mkString(" ")
+    forAllSamples(docGen, 8) { t =>
+      Seq(1, 2, 3).foreach { n =>
+        val df = Seq((1L, t)).toDF("doc_id", "text")
+        val kernel = graft.operators.Dedup
+          .wordShingleHashes(df, "doc_id", "text", n)
+          .select($"g").as[Long].collect().sorted.toSeq
+        val composed = graft.operators.Dedup
+          .wordShingles(df, "doc_id", "text", n)
+          .select(graft.operators.Dedup.hash48($"gram")).as[Long]
+          .collect().sorted.toSeq
+        assert(kernel == composed, s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
