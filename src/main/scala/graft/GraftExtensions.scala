@@ -83,5 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ChrfStatsLong.fromChildren))
     ext.injectFunction(fn(ShingleHashesLong.Name, classOf[ShingleHashesLong],
       ShingleHashesLong.fromChildren))
+    ext.injectFunction(fn(ShingleHashesLong.AllName, classOf[ShingleHashesLong],
+      ShingleHashesLong.fromChildrenAll))
   }
 }

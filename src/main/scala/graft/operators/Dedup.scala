@@ -96,6 +96,17 @@ object Dedup {
       explode(graft.plans.ShingleHashesLong.shingleHashes(
         col(textCol), n, 6)).as("g"))
 
+  /** (sid, g) with MULTIPLICITY — the fused form of
+    * `wordShinglesAll(...).select(sid, hash48(gram))` (same kernel, dedup
+    * table skipped). For the decontamination/bloom paths that hash every
+    * gram occurrence before a corpus-side semi-join.
+    */
+  def wordShingleHashesAll(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+      explode(graft.plans.ShingleHashesLong.shingleHashesAll(
+        col(textCol), n, 6)).as("g"))
+
   /** Word n-gram shingles WITH multiplicity — explode+slice only, no
     * higher-order functions (those evaluate interpreted and allocate per
     * row). MinHash minima are multiset-invariant, so the signature path can
@@ -634,8 +645,8 @@ object Dedup {
     * per benchmark word n-gram. */
   private def benchmarkGrams(benchmark: DataFrame, idCol: String,
                              textCol: String, n: Int): DataFrame =
-    wordShinglesAll(benchmark, idCol, textCol, n)
-      .select(hash48(col("gram")).as("g")).distinct()
+    wordShingleHashesAll(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
 
   /** The corpus side of [[decontaminate]], against ANY gram-hash frame —
     * shared VERBATIM by the from-scratch and the served
@@ -651,8 +662,7 @@ object Dedup {
     // shuffles only matched grams — contamination-sized, not corpus-sized.
     // (The previous shape distinct-shuffled EVERY corpus gram first: at
     // 100 TB that exchange dwarfs the actual overlap work.)
-    wordShinglesAll(corpus, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g"))
+    wordShingleHashesAll(corpus, idCol, textCol, n)
       .join(broadcast(bg), Seq("g"), "left_semi")
       .distinct()
       .groupBy(col("sid")).agg(count(lit(1)).as("n_overlap"))
@@ -674,14 +684,13 @@ object Dedup {
                           idCol: String, textCol: String, suiteCol: String,
                           n: Int, minShared: Long = 1L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val bg = wordShinglesAll(benchmarks, suiteCol, textCol, n)
-      .select(col("sid").as("suite"), hash48(col("gram")).as("g")).distinct()
+    val bg = wordShingleHashesAll(benchmarks, suiteCol, textCol, n)
+      .select(col("sid").as("suite"), col("g")).distinct()
     // JOIN before distinct (the decontaminateAgainst economics): the
     // broadcast join drops every non-overlapping gram map-side, so the
     // distinct shuffles only matched (sid, suite, g) rows —
     // contamination-sized, not corpus-sized
-    wordShinglesAll(corpus, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g"))
+    wordShingleHashesAll(corpus, idCol, textCol, n)
       .join(broadcast(bg), Seq("g"))
       .select(col("sid"), col("suite"), col("g")).distinct()
       .groupBy(col("sid"), col("suite")).agg(count(lit(1)).as("shared"))
@@ -764,8 +773,8 @@ object Dedup {
     def probe(g: Column, s: Int): Column =
       call_function("shiftright", g, lit(s)).bitwiseAND(lit(mask))
 
-    val bg = wordShinglesAll(benchmark, idCol, textCol, n)
-      .select(hash48(col("gram")).as("g")).distinct()
+    val bg = wordShingleHashesAll(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
     // Distinct probe positions: at most m of them regardless of benchmark
     // size, so this collect is bitmap-bounded, not data-bounded.
     val positions = bg
@@ -782,8 +791,7 @@ object Dedup {
     }
     // filter BEFORE the candidate distinct, same discipline as decontaminate:
     // the only corpus-side exchange carries bloom survivors
-    val cand = wordShinglesAll(corpus, idCol, textCol, n)
-      .select(col("sid"), hash48(col("gram")).as("g"))
+    val cand = wordShingleHashesAll(corpus, idCol, textCol, n)
       .filter(probeShifts.map(s => testBit(probe(col("g"), s))).reduce(_ && _))
       .distinct()
     // verify side: broadcast the 8-byte hash set while it fits the budget;

@@ -198,8 +198,7 @@ object TextOps {
     */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, n: Int): org.apache.spark.sql.DataFrame =
-    Dedup.wordShinglesAll(df, idCol, textCol, n)
-      .select(col("sid"), Dedup.hash48(col("gram")).as("g"))
+    Dedup.wordShingleHashesAll(df, idCol, textCol, n)
       // pre-partition on the doc key: sid satisfies BOTH groupBys'
       // clustering (the x12 pattern), so the per-gram and per-doc
       // aggregates share one exchange

@@ -36,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `when(size(w) >= n, ...).otherwise(array())` contract).
   */
 case class ShingleHashesLong(first: Expression, second: Expression,
-                             third: Expression)
+                             third: Expression, distinct: Boolean = true)
     extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -53,16 +53,17 @@ case class ShingleHashesLong(first: Expression, second: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = ShingleHashesLong.Name
+  override def prettyName: String =
+    if (distinct) ShingleHashesLong.Name else ShingleHashesLong.AllName
 
   override def nullSafeEval(text: Any, n: Any, nBytes: Any): Any =
     ShingleHashesLong.compute(text.asInstanceOf[UTF8String],
-      n.asInstanceOf[Int], nBytes.asInstanceOf[Int])
+      n.asInstanceOf[Int], nBytes.asInstanceOf[Int], distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = ShingleHashesLong.getClass.getName.stripSuffix("$") + "$.MODULE$"
     defineCodeGen(ctx, ev, (t, n, b) =>
-      s"(org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($t, $n, $b)")
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($t, $n, $b, $distinct)")
   }
 
   override protected def withNewChildrenInternal(
@@ -76,8 +77,13 @@ object ShingleHashesLong {
 
   private val Empty = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
 
-  /** The per-document kernel; public because generated code calls it. */
-  def compute(text: UTF8String, n: Int, nBytes: Int): ArrayData = {
+  /** The per-document kernel; public because generated code calls it.
+    * `distinct = false` emits one hash per gram OCCURRENCE in window order
+    * (the `wordShinglesAll` multiplicity contract) and skips the dedup
+    * table entirely.
+    */
+  def compute(text: UTF8String, n: Int, nBytes: Int,
+              distinct: Boolean): ArrayData = {
     val b = text.getBytes
     // word start offsets under split(text, " "): empties kept
     var nWords = 1
@@ -93,6 +99,17 @@ object ShingleHashesLong {
     }
     starts(nWords) = b.length + 1 // sentinel: gram end = starts(i+n) - 1
     val nGrams = nWords - n + 1
+    if (!distinct) {
+      val out = new Array[Long](nGrams)
+      var g = 0
+      while (g < nGrams) {
+        val s = starts(g)
+        val e = starts(g + n) - 1
+        out(g) = Md5PrefixLong.prefix(b, s, e - s, nBytes)
+        g += 1
+      }
+      return UnsafeArrayData.fromPrimitiveArray(out)
+    }
     // first-occurrence distinct by CONTENT: open-addressed table of gram
     // ranges keyed on a 64-bit FNV-1a of the bytes, byte-verified on probe
     val cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
@@ -136,19 +153,29 @@ object ShingleHashesLong {
       if (nOut == nGrams) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  val AllName = "graft_shingle_hashes_all"
+
   val fromChildren: Seq[Expression] => Expression = children => {
     Builders.arity(Name, "(text, n, hash_bytes)", 3, children)
     ShingleHashesLong(children(0), children(1), children(2))
   }
 
+  val fromChildrenAll: Seq[Expression] => Expression = children => {
+    Builders.arity(AllName, "(text, n, hash_bytes)", 3, children)
+    ShingleHashesLong(children(0), children(1), children(2), distinct = false)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(Name)
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[ShingleHashesLong].getName, Name),
-        fromChildren)
+    Seq((Name, fromChildren), (AllName, fromChildrenAll)).foreach {
+      case (name, builder) =>
+        val id = FunctionIdentifier(name)
+        if (!registry.functionExists(id)) {
+          registry.registerFunction(
+            id,
+            new ExpressionInfo(classOf[ShingleHashesLong].getName, name),
+            builder)
+        }
     }
   }
 
@@ -156,5 +183,11 @@ object ShingleHashesLong {
   def shingleHashes(text: Column, n: Int, nBytes: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(Name, text, lit(n), lit(nBytes))
+  }
+
+  /** Word-n-gram md5-prefix hashes WITH multiplicity, in window order. */
+  def shingleHashesAll(text: Column, n: Int, nBytes: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(AllName, text, lit(n), lit(nBytes))
   }
 }

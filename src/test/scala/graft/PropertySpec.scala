@@ -775,6 +775,14 @@ class PropertySpec extends AnyFunSuite {
           .select(graft.operators.Dedup.hash48($"gram")).as[Long]
           .collect().sorted.toSeq
         assert(kernel == composed, s"n=$n text='$t'")
+        val kernelAll = graft.operators.Dedup
+          .wordShingleHashesAll(df, "doc_id", "text", n)
+          .select($"g").as[Long].collect().toSeq
+        val composedAll = graft.operators.Dedup
+          .wordShinglesAll(df, "doc_id", "text", n)
+          .select(graft.operators.Dedup.hash48($"gram")).as[Long]
+          .collect().toSeq
+        assert(kernelAll == composedAll, s"all-variant n=$n text='$t'")
       }
     }
   }
