@@ -85,5 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ShingleHashesLong.fromChildren))
     ext.injectFunction(fn(ShingleHashesLong.AllName, classOf[ShingleHashesLong],
       ShingleHashesLong.fromChildrenAll))
+    ext.injectFunction(fn(WordGramStatsLong.Name, classOf[WordGramStatsLong],
+      WordGramStatsLong.fromChildren))
   }
 }

@@ -1902,32 +1902,10 @@ object TextOps {
       .filter(col("c") >= minCount)
   }
 
-  /** Per-id n-gram occurrence counts, orders 1..maxOrder fanned out inside
-    * ONE scan (the [[ngramRows]] expression with the id kept) — the shared
-    * counting step of [[ngramOverlapEval]].
-    */
-  private def idNgramCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
-                            textCol: String, maxOrder: Int)
-      : org.apache.spark.sql.DataFrame = {
-    require(maxOrder >= 1 && maxOrder <= 8,
-      s"maxOrder must be in [1, 8], got $maxOrder")
-    // two plain generators + a slice/concat projection, not a
-    // transform/filter/struct HOF nest (interpreted per element — the
-    // idCharNgramCounts/wordShinglesAll lesson); the guard keeps short
-    // docs from hitting sequence's DESCENDING stop < start behavior
-    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .select(col("id"), col("w"),
-        explode(sequence(lit(1L), lit(maxOrder.toLong))).as("ord"))
-      .select(col("id"), col("ord"), col("w"),
-        explode(when(size(col("w")) >= col("ord"),
-          sequence(lit(1), size(col("w")) - col("ord").cast("int") + 1)))
-          .as("i"))
-      .select(col("id"), col("ord"),
-        concat_ws(" ", slice(col("w"), col("i"), col("ord").cast("int")))
-          .as("gram"))
-      .groupBy(col("id"), col("ord"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-  }
+  // (the former per-id (id, ord, gram) word-gram counting step lives on
+  // only in the DuckDB oracle and the spec twins: the served path computes
+  // the identical per-pair statistic inside graft.plans.WordGramStatsLong,
+  // with no gram ever shuffled — see ngramOverlapEval)
 
   /** N-gram overlap evaluation metrics — the BLEU-n / ROUGE-n counting
     * core (Papineni et al. 2002; Lin 2004) in EXACT integers. For each
@@ -1948,33 +1926,28 @@ object TextOps {
     * territory, kept out of the exact contract); `matches` is 0 when the
     * sides share nothing at that order.
     *
-    * Scale shape: each side is one scan fanning all orders out at once
-    * ([[ngramRows]]'s discipline), counts are map-side combined on
-    * (id, ord, gram), the clip join lands on the SAME key so it reuses the
-    * aggregation exchange, and the final rollup is keyed by (id, ord) —
-    * everything is pair-local, no window, no global state, eval cost ∝
-    * corpus tokens however many pairs arrive.
+    * Scale shape (round 19, the chrF/e8 restructure applied to the word
+    * family): the texts are joined per pair id FIRST — the ONLY exchange,
+    * carrying corpus bytes — and all per-order clipped matches + totals
+    * come out of ONE codegen'd per-row kernel
+    * ([[graft.plans.WordGramStatsLong]]) + `inline`. The former relational
+    * form fanned both sides into (id, ord, gram) count rows through four
+    * gram-keyed exchanges (~79 MB at sf0.1 across e4+e5) for maxOrder
+    * output rows per pair; grams are pair-local, so none of that exchange
+    * was fundamental. Ids must be unique per side (the pairing contract).
     */
   def ngramOverlapEval(cand: org.apache.spark.sql.DataFrame,
                        ref: org.apache.spark.sql.DataFrame,
                        idCol: String, textCol: String, maxOrder: Int)
       : org.apache.spark.sql.DataFrame = {
-    val cg = idNgramCounts(cand, idCol, textCol, maxOrder)
-      .withColumnRenamed("c", "cc")
-    val rg = idNgramCounts(ref, idCol, textCol, maxOrder)
-      .withColumnRenamed("c", "rc")
-    val clipped = cg.join(rg, Seq("id", "ord", "gram"))
-      .groupBy(col("id"), col("ord"))
-      .agg(sum(least(col("cc"), col("rc"))).as("matches"))
-    val ct = cg.groupBy(col("id"), col("ord"))
-      .agg(sum(col("cc")).as("cand_total"))
-    val rt = rg.groupBy(col("id"), col("ord"))
-      .agg(sum(col("rc")).as("ref_total"))
-    ct.join(rt, Seq("id", "ord"))
-      .join(clipped, Seq("id", "ord"), "left")
-      .select(col("id"), col("ord"),
-        coalesce(col("matches"), lit(0L)).as("matches"),
-        col("cand_total"), col("ref_total"))
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1, 8], got $maxOrder")
+    cand.select(col(idCol).as("id"), col(textCol).as("__cand"))
+      .join(ref.select(col(idCol).as("id"), col(textCol).as("__ref")),
+        Seq("id"))
+      .select(col("id"), inline(
+        graft.plans.WordGramStatsLong.wordGramStats(col("__cand"),
+          col("__ref"), maxOrder)))
       .withColumn("p_fp", expr("matches * 1000000 DIV cand_total"))
       .withColumn("r_fp", expr("matches * 1000000 DIV ref_total"))
   }

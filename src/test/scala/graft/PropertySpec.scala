@@ -787,6 +787,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordGramStats kernel vs independent Scala twin: identical stats on random word pairs") {
+    // pins graft.plans.WordGramStatsLong (the r19 join-first BLEU/ROUGE
+    // counting core) to an independent plain-Scala clipped-count twin of
+    // the retired (id, ord, gram) relational form — repeated words, empty
+    // tokens from doubled spaces, and length-skewed pairs included
+    def twin(cand: String, ref: String, maxOrder: Int)
+        : Map[Long, (Long, Long, Long)] = {
+      val c = cand.split(" ", -1).toSeq
+      val r = ref.split(" ", -1).toSeq
+      (1 to maxOrder).flatMap { n =>
+        if (c.length < n || r.length < n) None
+        else {
+          def grams(w: Seq[String]) = w.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val cg = grams(c); val rg = grams(r)
+          val m = cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0L)) }.sum
+          Some(n.toLong -> ((m, (c.length - n + 1).toLong, (r.length - n + 1).toLong)))
+        }
+      }.toMap
+    }
+    val pairGen: Gen[(String, String)] = for {
+      nc <- Gen.choose(1, 18)
+      nr <- Gen.choose(1, 14)
+      c <- Gen.listOfN(nc, Gen.oneOf("w0", "w1", "w2", "", "é漢"))
+      r <- Gen.listOfN(nr, Gen.oneOf("w0", "w1", "w2", "", "é漢"))
+    } yield (c.mkString(" "), r.mkString(" "))
+    forAllSamples(pairGen, 8) { case (c, r) =>
+      val got = graft.operators.TextOps.ngramOverlapEval(
+          Seq((1L, c)).toDF("id", "text"), Seq((1L, r)).toDF("id", "text"),
+          "id", "text", 4)
+        .collect().map(row => row.getAs[Long]("ord") ->
+          ((row.getAs[Long]("matches"), row.getAs[Long]("cand_total"),
+            row.getAs[Long]("ref_total")))).toMap
+      assert(got == twin(c, r, 4), s"cand='$c' ref='$r'")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
