@@ -99,9 +99,15 @@ object CorpusApp {
       }
     val cleaned = if (htmlInput) timed("html_extract")(base.count()) else input
 
+    // checkpoint the language-filtered corpus: three downstream consumers
+    // (the lang count, the quality+tokens branch, and the bigram-repetition
+    // branch) each re-executed the synth/extract + langId subtree before
+    // (round 19 — ~2 full extra corpus passes); the qualified-checkpoint
+    // discipline below applies one stage earlier
     val langed = base
       .withColumn("lang_pred", TextOps.langId(col("text")))
       .filter(col("lang_pred").isin(keepLangs.toSeq.map(lit(_)): _*))
+      .localCheckpoint(false)
     val langKept = timed("lang_filter")(langed.count())
 
     // boilerplate/spam guard: per-doc bigram repetition joined back to the
