@@ -87,5 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ShingleHashesLong.fromChildrenAll))
     ext.injectFunction(fn(WordGramStatsLong.Name, classOf[WordGramStatsLong],
       WordGramStatsLong.fromChildren))
+    ext.injectFunction(fn(NgramRowsLong.Name, classOf[NgramRowsLong],
+      NgramRowsLong.fromChildren))
   }
 }

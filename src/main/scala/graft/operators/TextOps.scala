@@ -1848,22 +1848,11 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 8,
       s"maxOrder must be in [1, 8], got $maxOrder")
-    df.select(words(col(textCol)).as("w"))
-      .select(explode(flatten(transform(
-        sequence(lit(1), lit(maxOrder)), n =>
-          transform(
-            // positions where an order-n gram fits; filter (not
-            // sequence(1, size-n+1)) because Spark's sequence runs
-            // DESCENDING when the bound is < 1 — a short doc would emit
-            // bogus [1, 0] positions instead of none
-            filter(sequence(lit(1), size(col("w"))), i =>
-              i <= size(col("w")) - n + 1),
-            i => struct(
-              n.cast("long").as("ord"),
-              concat_ws(" ", slice(col("w"), i, n)).as("gram"),
-              when(i >= 2, element_at(col("w"), i - 1)).as("prev")))))).as("r"))
-      .select(col("r.ord").as("ord"), col("r.gram").as("gram"),
-        col("r.prev").as("prev"))
+    // one codegen'd per-row kernel (round 19) — the former nested
+    // transform/filter HOF fan-out evaluated interpreted with a boxed
+    // struct + a concat_ws String per gram, across the whole lm family
+    df.select(inline(graft.plans.NgramRowsLong.ngramRows(
+      col(textCol), maxOrder)))
   }
 
   /** N-gram LM count tables (orders 1..`maxOrder`) with Kneser–Ney

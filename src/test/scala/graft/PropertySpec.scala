@@ -824,6 +824,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramRows kernel vs the HOF fan-out: identical (ord, gram, prev) multisets") {
+    // pins graft.plans.NgramRowsLong (the r19 LM-counting fan-out) to the
+    // retired flatten(transform(filter(...))) formulation — all orders,
+    // document-start null prev, empty tokens, multi-byte words
+    val docGen: Gen[String] = for {
+      words <- Gen.listOfN(9, Gen.oneOf("a", "bb", "", "é漢", "a"))
+    } yield words.mkString(" ")
+    forAllSamples(docGen, 8) { t =>
+      val df = Seq(Tuple1(t)).toDF("text")
+      val kernel = df.select(inline(
+          graft.plans.NgramRowsLong.ngramRows($"text", 3)))
+        .as[(Long, String, Option[String])].collect().sorted.toSeq
+      val w = split($"text", " ")
+      val hof = df.select(explode(flatten(transform(
+          sequence(lit(1), lit(3)), n => transform(
+            filter(sequence(lit(1), size(w)), i => i <= size(w) - n + 1),
+            i => struct(n.cast("long").as("ord"),
+              concat_ws(" ", slice(w, i, n)).as("gram"),
+              when(i >= 2, element_at(w, i - 1)).as("prev")))))).as("r"))
+        .select($"r.ord", $"r.gram", $"r.prev")
+        .as[(Long, String, Option[String])].collect().sorted.toSeq
+      assert(kernel == hof, s"text='$t'")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
