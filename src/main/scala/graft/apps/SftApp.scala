@@ -80,8 +80,12 @@ object SftApp {
       .decontaminate(kept, benchmark.toDF("pair_id", "prompt"),
         "pair_id", "prompt", n)
       .select(col("sid").as("bad_id"))
+    // checkpoint (the CorpusApp.decontaminateAndPack rationale): the
+    // pack-build's two bounded actions plus the stats and manifest actions
+    // each re-executed the dedup-keep window + decontamination join above
     val clean = kept.join(broadcast(contaminated),
       col("pair_id") === col("bad_id"), "left_anti")
+      .localCheckpoint(false)
 
     // chat render + token accounting + packing. assignPacks runs its own
     // two bounded driver actions (range bounds + bucket totals) at
