@@ -609,12 +609,13 @@ object Bench {
     // superlinearity fires; sub-2 s sf1 walls are overhead, never flagged.
     // The generated set is cached under target/sf1 keyed by (src, mode);
     // SPARK_GRAFT_SF1_GATE=0 skips the tier for quick local iterations.
-    // the ten heaviest by the promoted round-19 baseline (forceFrame
-    // action) — refresh when the top-10 shifts at a re-baseline
-    val sf1Heavies = Seq("corpus_app", "e8_chrf", "g2_authority_refresh",
-      "ds8_semdedup_ingest", "web_app", "sft_app",
-      "d29_prefix_filter_pairs", "d26_incremental_components",
-      "b1_bitext_mining", "ds2_ingest_exactly_once")
+    // the ten heaviest by the promoted round-19 OPTIMIZED baseline
+    // (forceFrame action; e8/web_app dropped out after the r19 chrF/kernel
+    // work) — refresh when the top-10 shifts at a re-baseline
+    val sf1Heavies = Seq("corpus_app", "ds8_semdedup_ingest",
+      "lm5_lm_count_ingest", "d29_prefix_filter_pairs",
+      "d26_incremental_components", "b1_bitext_mining", "sft_app",
+      "b2_bitext_refined", "lm8_kn_served", "g2_authority_refresh")
     val sf1GateEnv = sys.env.get("SPARK_GRAFT_SF1_GATE")
     val sf1GateOn = sfDir.contains("sf0.1") && !sf1GateEnv.contains("0") &&
       (only.isEmpty || sf1GateEnv.contains("1")) // =1 forces it under a subset run
