@@ -126,13 +126,28 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
-  test("dp1/dq1: profiling and expectations cost ONE table scan each") {
-    Seq("dp1_profile", "dq1_expectations").foreach { q =>
-      val p = plan(q)
-      // one "Location:" detail block per scan node in formatted explain
-      assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1,
-        s"$q re-scans the table:\n$p")
-    }
+  test("dp1/dq1: expectations cost ONE scan; profile scans prune to one column each") {
+    // dq1: every rule folds into a single aggregate over a single scan
+    val pq = plan("dq1_expectations")
+    assert("Location: InMemoryFileIndex".r.findAllIn(pq).length == 1,
+      s"dq1_expectations re-scans the table:\n$pq")
+    // dp1 (round 19): one branch per profiled column — a HASH aggregate to
+    // distinct values, not the old Expand + SortAggregate (min/max over a
+    // string column keeps a var-length buffer no hash aggregate supports,
+    // so the single-scan form sorted k copies of every row). Each branch's
+    // scan must prune to exactly its own column, so the k scans together
+    // read the same bytes the one 3-column scan did.
+    // (a SortAggregate remains for the distinct-SIZED min/max rollup —
+    // var-length string buffers can't hash-aggregate — but never over raw
+    // rows: the Expand that multiplied every row k-ways must stay gone)
+    val pp = plan("dp1_profile")
+    assert(!pp.contains("Expand"),
+      s"dp1_profile regressed to the Expand shape:\n$pp")
+    assert(pp.contains("HashAggregate"),
+      s"dp1_profile's row-count-sized phase must hash-aggregate:\n$pp")
+    val reads = pp.linesIterator.filter(_.startsWith("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r => r.count(_ == ':') == 2),
+      s"dp1_profile branch scan reads more than its own column:\n${reads.mkString("\n")}")
   }
 
   test("w2_rownum_topn: per-group top-n gets WindowGroupLimit (rank filter pushed below the sort)") {
@@ -250,20 +265,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // both top-k inputs stay capped
   }
 
-  test("e4_ngram_overlap: pair-local rollup — no window, no cartesian, " +
-      "doc text never shuffles") {
+  test("e4_ngram_overlap: per-pair kernel — no gram aggregate, no window, " +
+      "no cartesian") {
     val p = plan("e4_ngram_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // everything is keyed by (id, ord[, gram]) — per-pair metrics need no
-    // window, and the clip join is an equi-join on the aggregation key
     assert(!p.contains("windowspecdefinition"), p)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side combine
-    // grams shuffle (they are the clip key — the lm1 contract); raw doc
-    // text must stay inside the scan stage
-    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty, p)
-    assert(!exchanges.exists(_.contains("text#")),
-      s"text column travels through a shuffle:\n${exchanges.mkString("\n")}")
+    // round 19: the whole per-order statistic comes out of ONE codegen'd
+    // per-row kernel over the pair-joined texts — the former (id, ord,
+    // gram) count aggregates and clip join (four gram-keyed exchanges) are
+    // gone. The only exchange the pair join may add carries the texts ONCE
+    // (the e8/chrF posture); at this fixture scale it broadcasts.
+    assert(p.contains("graft_wordgram_stats"), p)
+    assert(!p.contains("HashAggregate"),
+      s"gram aggregates reappeared in the kernel plan:\n$p")
+    val gramKeyed = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).filter(_.contains("gram#"))
+    assert(gramKeyed.isEmpty,
+      s"gram-keyed exchange reappeared:\n${gramKeyed.mkString("\n")}")
   }
 
   test("e5_corpus_bleu: logs via the integer kernel on group-sized rows, " +
