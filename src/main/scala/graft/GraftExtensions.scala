@@ -89,5 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordGramStatsLong.fromChildren))
     ext.injectFunction(fn(NgramRowsLong.Name, classOf[NgramRowsLong],
       NgramRowsLong.fromChildren))
+    ext.injectFunction(fn(RankCellsLong.Name, classOf[RankCellsLong],
+      RankCellsLong.fromChildren))
   }
 }

@@ -963,20 +963,14 @@ object Similarity {
     * oracle mirrors.
     */
   private[operators] def rankCells(v: DataFrame, centroidRow: DataFrame): DataFrame =
+    // one codegen'd kernel per row (round 19) — the former
+    // array_sort(transform(...), cmp) pair evaluated BOTH lambdas
+    // interpreted on every (row, cell): this runs per corpus row in cell
+    // assignment and per query in every probe, the ANN family's inner loop
     v.crossJoin(broadcast(centroidRow))
       .select(col("sid"), col("qv"), col("nrm"),
-        array_sort(
-          transform(col("cells"), c =>
-            struct(
-              coalesce(pairCosine(col("qv"), c("cv"), col("nrm"), c("cnrm")),
-                lit(Double.NegativeInfinity)).as("ccos"),
-              c("cid").as("cid"))),
-          (l, r) =>
-            when(l("ccos") > r("ccos"), -1)
-              .when(l("ccos") < r("ccos"), 1)
-              .when(l("cid") < r("cid"), -1)
-              .when(l("cid") > r("cid"), 1)
-              .otherwise(0)).as("cellrank"))
+        graft.plans.RankCellsLong.rankCells(col("qv"), col("nrm"),
+          col("cells")).as("cellrank"))
 
   /** `probeFilter` restricts which corpus rows act as QUERIES (a predicate
     * over `qid`) without touching the index side — the answer for the kept

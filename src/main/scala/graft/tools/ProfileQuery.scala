@@ -54,10 +54,13 @@ object ProfileQuery {
     }, "profile-sampler")
     sampler.setDaemon(true)
     sampler.start()
+    // which rep the stack sampler watches (default 1 = cold; set
+    // SPARK_GRAFT_PROFILE_REP to a later rep to sample steady state)
+    val sampleRep = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REP", "1").toInt
     (1 to reps).foreach { i =>
       graft.core.Storage.freeAll(spark, blocking = true)
       samples.clear()
-      sampling = i == 1
+      sampling = i == sampleRep
       val c0 = compiled
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -72,7 +75,7 @@ object ProfileQuery {
         f"(build ${(tPlan - t0) / 1e9}%.3f, plan ${(tOpt - tPlan) / 1e9}%.3f, " +
         f"exec ${(tEnd - tOpt) / 1e9}%.3f) — codegen ${compiled - c0} units " +
         f"($n rows)")
-      if (i == 1) {
+      if (i == sampleRep) {
         sampling = false
         import scala.jdk.CollectionConverters._
         samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, c) =>

@@ -849,6 +849,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rankCells kernel vs the HOF sort formulation: identical rankings") {
+    // pins graft.plans.RankCellsLong (the r19 IVF inner loop) to the
+    // retired array_sort(transform(...), cmp) form — cosine ties, zero-norm
+    // vectors (-Inf rank, NULLS LAST) and cid tiebreaks included
+    val vecGen: Gen[(Seq[Seq[Long]], Seq[Long])] = for {
+      dim <- Gen.choose(2, 4)
+      nCells <- Gen.choose(1, 6)
+      cells <- Gen.listOfN(nCells,
+        Gen.listOfN(dim, Gen.choose(-2L, 2L)).map(_.toSeq))
+      q <- Gen.listOfN(dim, Gen.choose(-2L, 2L)).map(_.toSeq)
+    } yield (cells.toSeq, q)
+    forAllSamples(vecGen, 8) { case (cellVecs, q) =>
+      val cents = cellVecs.zipWithIndex
+        .map { case (cv, i) => (i.toLong, cv) }.toDF("cid", "cv")
+        .withColumn("cnrm",
+          sqrt(graft.plans.GraftFunctions.dotLong($"cv", $"cv").cast("double")))
+      val packed = cents.agg(collect_list(struct($"cid", $"cv", $"cnrm")).as("cells"))
+      val v = Seq((1L, q)).toDF("sid", "qv")
+        .withColumn("nrm",
+          sqrt(graft.plans.GraftFunctions.dotLong($"qv", $"qv").cast("double")))
+      def run(rank: org.apache.spark.sql.DataFrame) = rank
+        .select(explode($"cellrank").as("r"))
+        .select($"r.ccos", $"r.cid").as[(Double, Long)].collect().toSeq
+      val kernel = run(v.crossJoin(broadcast(packed)).select(
+        graft.plans.RankCellsLong.rankCells($"qv", $"nrm", $"cells").as("cellrank")))
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        graft.plans.GraftFunctions.dotLong(a, b)
+      val hof = run(v.crossJoin(broadcast(packed)).select(
+        array_sort(
+          transform($"cells", c => struct(
+            coalesce(dot($"qv", c("cv")).cast("double") /
+              nullif($"nrm" * c("cnrm"), lit(0.0)),
+              lit(Double.NegativeInfinity)).as("ccos"),
+            c("cid").as("cid"))),
+          (l, r) => when(l("ccos") > r("ccos"), -1)
+            .when(l("ccos") < r("ccos"), 1)
+            .when(l("cid") < r("cid"), -1)
+            .when(l("cid") > r("cid"), 1)
+            .otherwise(0)).as("cellrank")))
+      assert(kernel == hof, s"cells=$cellVecs q=$q")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
