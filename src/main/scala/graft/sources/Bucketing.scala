@@ -13,6 +13,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Cluster writer input to the table's bucket layout BEFORE the bucketed
+    * write: `repartition(nBuckets, bucketCols)` uses the SAME Murmur3-pmod
+    * hash partitioning the bucket id does, so each write task holds exactly
+    * one bucket's rows and emits ONE file. Without it, every upstream task
+    * opens a file per bucket it touches — tasks x buckets small files per
+    * write (measured: the lm/fts/novelty serve paths were mmap/open-bound
+    * on re-reads, round 19). One extra exchange of the (already reduced)
+    * index rows buys the §6 file-size posture on every later read.
+    */
+  private def clusterToBuckets(df: DataFrame, bucketCols: Seq[String],
+                               nBuckets: Int): DataFrame =
+    df.repartition(nBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+
   /** Write `df` as a bucketed, sorted managed table (bucketing requires the
     * catalog — plain parquet paths can't carry bucket metadata).
     */
@@ -28,7 +41,7 @@ object Bucketing {
     */
   def writeBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
                       nBuckets: Int): Unit =
-    df.write
+    clusterToBuckets(df, bucketCols, nBuckets).write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -43,6 +56,10 @@ object Bucketing {
     */
   def appendBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
                        nBuckets: Int): Unit =
+    // NOT clusterToBuckets: appends are latency-sensitive micro-batches
+    // (the ds2 ingest measured +25% wall with a per-batch exchange), and
+    // append churn is what the compaction path exists to absorb — the
+    // clustering pays off on the one-shot writes, not here
     df.write
       .mode(SaveMode.Append)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -61,7 +78,7 @@ object Bucketing {
     */
   def writeBucketedPartitionedBy(df: DataFrame, table: String, partCol: String,
                                  bucketCols: Seq[String], nBuckets: Int): Unit =
-    df.write
+    clusterToBuckets(df, bucketCols, nBuckets).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partCol)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -167,6 +184,23 @@ object Bucketing {
       pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
   }
 
+  /** Run `body` with bucketed READS disabled: a compaction's input files
+    * are bucket-pure since writes cluster to the bucket layout
+    * (clusterToBuckets), so a bucket-aware scan reports the very
+    * HashPartitioning the re-cluster repartition requires — the optimizer
+    * then elides the exchange and the writer faithfully reproduces the
+    * small-file split it was meant to merge (measured: 8 -> 8 files).
+    * With bucketed reads off, the scan packs files into ordinary splits
+    * and the re-cluster exchange actually runs, landing one file per
+    * non-empty bucket.
+    */
+  private def withBucketReadsDisabled[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.bucketing.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def compactBucketedTable(spark: SparkSession, table: String,
                            bucketCols: Seq[String], nBuckets: Int): (Int, Int) = {
     val before = spark.table(table).inputFiles.length
@@ -174,9 +208,11 @@ object Bucketing {
     val retired = table + "__old"
     ensureCleanTable(spark, staging)
     ensureCleanTable(spark, retired)
-    writeBucketedBy(
-      bucketAligned(spark.table(table), bucketCols, nBuckets),
-      staging, bucketCols, nBuckets)
+    withBucketReadsDisabled(spark) {
+      writeBucketedBy(
+        bucketAligned(spark.table(table), bucketCols, nBuckets),
+        staging, bucketCols, nBuckets)
+    }
     // rename-aside publish: the live name is re-pointed in two renames
     // rather than DROP + RENAME, so EVERY crash window leaves a queryable
     // table under some name (live, or staging + __old) and recovery is a
@@ -219,14 +255,18 @@ object Bucketing {
     val live = spark.table(table).filter(col(partCol) === partValue).drop(partCol)
     if (!(spark.catalog.tableExists(staging) && live.isEmpty)) {
       ensureCleanTable(spark, staging)
-      writeBucketedBy(bucketAligned(live, bucketCols, nBuckets),
-        staging, bucketCols, nBuckets)
+      withBucketReadsDisabled(spark) {
+        writeBucketedBy(bucketAligned(live, bucketCols, nBuckets),
+          staging, bucketCols, nBuckets)
+      }
     }
     // re-align on read-back so the one-file-per-bucket contract survives
     // the staging round-trip regardless of how the staging scan splits
-    overwriteBucketedPartition(
-      bucketAligned(spark.table(staging), bucketCols, nBuckets),
-      table, partCol, partValue, bucketCols, nBuckets)
+    withBucketReadsDisabled(spark) {
+      overwriteBucketedPartition(
+        bucketAligned(spark.table(staging), bucketCols, nBuckets),
+        table, partCol, partValue, bucketCols, nBuckets)
+    }
     spark.sql(s"DROP TABLE $staging")
     (before, spark.table(table).inputFiles.length)
   }

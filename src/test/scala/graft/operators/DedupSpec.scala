@@ -253,9 +253,10 @@ class DedupSpec extends SparkSpec {
       assert(beforePairs.nonEmpty, "fixture must produce candidates")
 
       val (before, after) = Dedup.compactBandIndex(spark, table, 4)
-      // append churn left more than one file per bucket; compaction lands
-      // exactly one per non-empty bucket
-      assert(after < before, s"expected fewer files, got $before -> $after")
+      // round 19: bucket-clustered writes cap each append at nBuckets
+      // files, so compaction lands at-or-below the pre-count (exactly one
+      // file per non-empty bucket), never above
+      assert(after <= before, s"compaction grew files, got $before -> $after")
       assert(after <= 4, s"one file per bucket max, got $after")
 
       val post = cands()
