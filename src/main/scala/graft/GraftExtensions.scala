@@ -91,5 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NgramRowsLong.fromChildren))
     ext.injectFunction(fn(RankCellsLong.Name, classOf[RankCellsLong],
       RankCellsLong.fromChildren))
+    ext.injectFunction(fn(PqLutLong.Name, classOf[PqLutLong],
+      PqLutLong.fromChildren))
   }
 }

@@ -800,9 +800,11 @@ object Similarity {
     * 16 -> 256 — so those plans score pairs DIRECTLY ([[adcDirect]]).
     */
   private[operators] def pqLut(vec: Column, cb: Column, dim: Int, m: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)), mm =>
-      transform(element_at(cb, mm + 1), cc =>
-        subD2(slice(vec, mm * (dim / m) + 1, lit(dim / m)), cc)))
+    // one codegen'd kernel per query row (round 19) — the former nested
+    // transform pair evaluated interpreted per (query, subspace, entry)
+    // with a fresh slice array each; same exact integers, same mismatch
+    // throw (PqLutLong doc)
+    graft.plans.PqLutLong.pqLut(vec, cb, dim, m)
 
   /** Per-PAIR ADC distance straight from the query vector, the candidate's
     * m codes, and the BROADCAST codebook — the self-search scoring form:

@@ -892,6 +892,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pqLut kernel vs the nested HOF formulation: identical ADC tables") {
+    // pins graft.plans.PqLutLong (the r19 serve-path LUT) to the retired
+    // transform(sequence, transform(cb, subD2(slice))) form on random
+    // vectors and codebooks
+    val gen: Gen[(Seq[Long], Seq[Seq[Seq[Long]]])] = for {
+      m <- Gen.oneOf(1, 2, 4)
+      sub = 8 / m
+      vec <- Gen.listOfN(8, Gen.choose(-3L, 3L)).map(_.toSeq)
+      k <- Gen.choose(1, 4)
+      cb <- Gen.listOfN(m, Gen.listOfN(k,
+        Gen.listOfN(sub, Gen.choose(-3L, 3L)).map(_.toSeq)).map(_.toSeq))
+    } yield (vec, cb.toSeq)
+    forAllSamples(gen, 8) { case (vec, cb) =>
+      val m = cb.length
+      val df = Seq((vec, cb)).toDF("qv", "cb")
+      val kernel = df.select(
+          graft.plans.PqLutLong.pqLut($"qv", $"cb", 8, m).as("lut"))
+        .as[Seq[Seq[Long]]].head()
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        graft.plans.GraftFunctions.dotLong(a, b)
+      val hof = df.select(transform(sequence(lit(0), lit(m - 1)), mm =>
+          transform(element_at($"cb", mm + 1), cc => {
+            val a = slice($"qv", mm * (8 / m) + 1, lit(8 / m))
+            dot(a, a) + dot(cc, cc) - lit(2L) * dot(a, cc)
+          })).as("lut"))
+        .as[Seq[Seq[Long]]].head()
+      assert(kernel == hof, s"vec=$vec cb=$cb")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
