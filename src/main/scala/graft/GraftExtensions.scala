@@ -93,5 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RankCellsLong.fromChildren))
     ext.injectFunction(fn(PqLutLong.Name, classOf[PqLutLong],
       PqLutLong.fromChildren))
+    ext.injectFunction(fn(QuantizeLong.Name, classOf[QuantizeLong],
+      QuantizeLong.fromChildren))
   }
 }

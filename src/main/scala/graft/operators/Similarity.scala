@@ -29,9 +29,14 @@ object Similarity {
 
   val QuantScale = 1000
 
-  /** array<float> -> array<long>, exact integer quantization. */
+  /** array<float|double> -> array<long>, exact integer quantization —
+    * one codegen'd kernel (round 19): the transform form paid an
+    * interpreted lambda + boxed ROUND per element, over every corpus
+    * vector on every similarity query (it sits inside [[prepared]]).
+    * Identical ROUND-HALF-UP digits (QuantizeLong doc, property-pinned).
+    */
   def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * QuantScale).cast("long"))
+    graft.plans.QuantizeLong.quantize(v, QuantScale)
 
   /** Exact integer dot product of two quantized vectors (native codegen). */
   def idot(a: Column, b: Column): Column = dotLong(a, b)

@@ -922,6 +922,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantize kernel vs round(x*scale): identical on adversarial doubles and floats") {
+    // pins graft.plans.QuantizeLong to the exact transform+ROUND form it
+    // replaced — HALF_UP ties (±.5 away from zero), values a hair under
+    // .5 whose binary +0.5 would round wrong, negatives, nulls
+    val adversarial: Seq[java.lang.Double] = Seq(
+      0.0005, -0.0005, 0.0015, -0.0015, 0.00049999999999999994,
+      -0.00049999999999999994, 1.0, -1.0, 0.0, 123.4567, -123.4567, null)
+    val doubleGen: Gen[Seq[java.lang.Double]] = for {
+      xs <- Gen.listOfN(10, Gen.choose(-5.0, 5.0))
+    } yield (xs.map(java.lang.Double.valueOf) ++ adversarial).toSeq
+    forAllSamples(doubleGen, 6) { xs =>
+      val df = Seq(Tuple1(xs)).toDF("v")
+      val kernel = df.select(graft.plans.QuantizeLong.quantize($"v", 1000))
+        .as[Seq[Option[Long]]].head()
+      val hof = df.select(transform($"v",
+          x => round(x.cast("double") * 1000).cast("long")))
+        .as[Seq[Option[Long]]].head()
+      assert(kernel == hof, s"doubles $xs")
+      // float path: same values narrowed
+      val fs = xs.map(x => if (x == null) null
+        else java.lang.Float.valueOf(x.floatValue))
+      val dff = Seq(Tuple1(fs)).toDF("v")
+      val kernelF = dff.select(graft.plans.QuantizeLong.quantize($"v", 1000))
+        .as[Seq[Option[Long]]].head()
+      val hofF = dff.select(transform($"v",
+          x => round(x.cast("double") * 1000).cast("long")))
+        .as[Seq[Option[Long]]].head()
+      assert(kernelF == hofF, s"floats $fs")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
