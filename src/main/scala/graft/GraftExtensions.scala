@@ -95,5 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PqLutLong.fromChildren))
     ext.injectFunction(fn(QuantizeLong.Name, classOf[QuantizeLong],
       QuantizeLong.fromChildren))
+    ext.injectFunction(fn(LangIdLong.Name, classOf[LangIdLong],
+      LangIdLong.fromChildren))
   }
 }

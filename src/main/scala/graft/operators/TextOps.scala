@@ -1117,15 +1117,17 @@ object TextOps {
       .limit(k)
   }
 
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
-    val Seq(en, de, es, fr, zh) = scores.map(_._2)
-    when(en >= de && en >= es && en >= fr && en >= zh, "en")
-      .when(de >= es && de >= fr && de >= zh, "de")
-      .when(es >= fr && es >= zh, "es")
-      .when(fr >= zh, "fr")
-      .otherwise("zh")
-  }
+  def langId(text: Column): Column =
+    // one native pass (round 19): the five-markerScore when-chain inlined
+    // each score up to four times — after CollapseProject substituted a
+    // synthesized text expression into every reference, the fused stage
+    // blew janino's 64 KB method limit and silently ran INTERPRETED
+    // (corpus_app's lang stage). LangIdLong is the identical argmax CASE
+    // (first-index-of-max ≡ the chain; kernel-pinned in PropertySpec) in
+    // one token walk; NULL text coalesces to the last label exactly as the
+    // old chain's otherwise() did (null conditions all skip).
+    coalesce(graft.plans.LangIdLong.langId(text, langMarkers),
+      lit(langMarkers.last._1))
 
   /** Mean word length over the single-space tokenizer: non-space chars per
     * word. Exact integer inputs, one final division.

@@ -39,4 +39,17 @@ object Builders {
     litValue(name, what, e).asInstanceOf[ArrayData]
       .toObjectArray(StringType)
       .map(_.asInstanceOf[UTF8String].toString).toSeq
+
+  /** Literal array<array<string>> argument, decoded to nested Scala
+    * strings (the multi-word-set shape of graft_lang_id).
+    */
+  def litStringLists(name: String, what: String,
+                     e: Expression): Seq[Seq[String]] =
+    litValue(name, what, e).asInstanceOf[ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.ArrayType(StringType))
+      .map { inner =>
+        require(inner != null, s"$name $what must not contain NULL sets")
+        inner.asInstanceOf[ArrayData].toObjectArray(StringType)
+          .map(_.asInstanceOf[UTF8String].toString).toSeq
+      }.toSeq
 }

@@ -953,6 +953,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("langId kernel vs the five-markerScore when-chain: identical labels") {
+    // pins graft.plans.LangIdLong (the r19 one-pass lang id) to the retired
+    // formulation — five WordSetCountLong scores + the argmax CASE chain
+    // with otherwise('zh') — on marker-dense texts, ties between adjacent
+    // and non-adjacent languages, shared-marker tokens ("la" ∈ es AND fr),
+    // multi-byte zh markers, empty strings, double spaces, and NULL text
+    val markers = graft.operators.TextOps.langMarkers
+    val allWords = markers.flatMap(_._2) ++ Seq("u1", "salad", "", "x")
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 24)
+      ws <- Gen.listOfN(n, Gen.oneOf(allWords))
+    } yield ws.mkString(" ")
+    forAllSamples(Gen.listOfN(24, textGen), 3) { texts =>
+      val rows = texts.map(Option(_)) ++ Seq(None, Some(""), Some("  "))
+      val df = rows.toDF("text")
+      val kernel = df
+        .select(graft.operators.TextOps.langId($"text").as("p"))
+        .as[String].collect().toSeq
+      val scores = markers.map { case (_, ms) =>
+        graft.plans.WordSetCountLong.wordSetCount($"text", ms)
+      }
+      val Seq(en, de, es, fr, zh) = scores
+      val chain = df.select(
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh").as("p"))
+        .as[String].collect().toSeq
+      assert(kernel == chain, s"texts=$rows")
+    }
+  }
+
   test("epochMix property: per-stratum copy totals equal the integer quotas for random shapes") {
     val mixGen: Gen[(Int, Int, Long)] = for {
       na <- Gen.choose(1, 30); nb <- Gen.choose(1, 30)
