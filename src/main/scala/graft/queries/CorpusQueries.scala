@@ -7051,8 +7051,12 @@ object CorpusQueries {
          |  CAST(hits AS DOUBLE) / n >= 0.5 AS recall_ok
          |FROM m CROSS JOIN nq ORDER BY method""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      // ground truth pinned (round 19): annRecall joins gt into SIX method
+      // branches plus the n_q aggregate — without the cut each broadcast
+      // build re-executed the brute-force corpus scan (self-join subplans
+      // are not exchange-reused; the ivfPqPlan rationale). 40 rows held.
+      val exact = graft.core.Storage.cut(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5))
       // probeFilter pushes the 8-query predicate into each ladder's probe
       // side BEFORE the scoring join: the index (cells, codebook, codes,
       // buckets) still derives from the full corpus — byte-identical to the
@@ -7063,21 +7067,28 @@ object CorpusQueries {
       val qids = col("qid") < 8
       def top5(df: org.apache.spark.sql.DataFrame) =
         df.select(col("qid"), col("nid"))
+      // ONE seeded ADC chain serves both PQ methods (round 19, the
+      // oracle's own d9-MATERIALIZED discipline): the shortlist frame is
+      // ivfPqTopK at topK = RefineShortlist (eagerly pinned inside
+      // ivfPqTopKTrained); the raw-ADC method is its rank <= 5 prefix —
+      // bit-identical to a separate topK = 5 run (same scored frame, same
+      // (d2 asc, nid asc) rank) — and the refine method re-ranks the same
+      // 25 rows. Before, ivfpq_seeded and ivfpq_refine each built the full
+      // index (cells + codebook + codes + ADC join) from scratch.
+      val seededShortlist = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        dim = 64, nCells = IvfCells, nProbe = IvfProbe, m = PqM, k = PqK,
+        topK = RefineShortlist, probeFilter = qids)
       Similarity.annRecall(Seq(
           "ivf_flat" -> top5(Similarity.ivfTopK(emb, "vec_id", "embedding",
             nCells = IvfCells, nProbe = IvfProbe, k = 5, probeFilter = qids)),
-          "ivfpq_refine" -> top5(Similarity.ivfPqRefineTopK(emb, "vec_id",
-            "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
-            m = PqM, k = PqK, shortlistK = RefineShortlist, topK = 5,
-            probeFilter = qids)),
+          "ivfpq_refine" -> top5(Similarity.exactRerank(seededShortlist,
+            emb, "vec_id", "embedding", topK = 5)),
           "ivfpq_residual_refine" -> top5(
             Similarity.ivfPqResidualRefineTopKTrained(emb, "vec_id",
               "embedding", dim = 64, nCells = IvfCells, updates = 1,
               nProbe = IvfProbe, m = PqM, k = PqK,
               shortlistK = RefineShortlist, topK = 5, probeFilter = qids)),
-          "ivfpq_seeded" -> top5(Similarity.ivfPqTopK(emb, "vec_id",
-            "embedding", dim = 64, nCells = IvfCells, nProbe = IvfProbe,
-            m = PqM, k = PqK, topK = 5, probeFilter = qids)),
+          "ivfpq_seeded" -> top5(seededShortlist.filter(col("rank") <= 5)),
           "lsh" -> top5(Similarity.lshTopK(emb, "vec_id", "embedding",
             dim = 64, nTables = LshRecallTables, nPlanes = LshRecallPlanes,
             k = 5, probeFilter = qids)),
