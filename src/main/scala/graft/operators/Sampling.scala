@@ -134,17 +134,24 @@ object Sampling {
   def importanceResample(df: DataFrame, idCol: String, textCol: String,
                          isTarget: Column, nBuckets: Int, k: Int,
                          salt: String): DataFrame = {
-    val base = df.select(col(idCol).as("did"), isTarget.as("is_t"),
-      graft.operators.TextOps.words(col(textCol)).as("w"))
-    val uni = base.select(col("did"), col("is_t"), explode(col("w")).as("feat"))
+    val uni = df.select(col(idCol).as("did"), isTarget.as("is_t"),
+        explode(graft.operators.TextOps.words(col(textCol))).as("feat"))
       .filter(length(col("feat")) > 0)
-    val bi = base.filter(size(col("w")) >= 2)
       .select(col("did"), col("is_t"),
-        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
-          concat(element_at(col("w"), i), lit(" "),
-            element_at(col("w"), i + 1)))).as("feat"))
-    val feats = uni.unionByName(bi).select(col("did"), col("is_t"),
-      (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
+        (graft.operators.Dedup.hash48(col("feat")) % nBuckets).as("b"))
+    // bigram features ride the native shingle-hash kernel (round 19): the
+    // former per-row transform(sequence, i -> concat(w[i], ' ', w[i+1]))
+    // evaluated its lambda INTERPRETED per window and built a gram String
+    // per feature just to hash it — graft_shingle_hashes_all digests each
+    // 2-word window's byte range in place (a window joined by single
+    // spaces IS the contiguous range between its words — the §3b zero-copy
+    // identity, multiplicity kept, size >= 2 guard built in;
+    // PropertySpec pins kernel == wordShinglesAll + hash48)
+    val bi = df.select(col(idCol).as("did"), isTarget.as("is_t"),
+        explode(graft.plans.ShingleHashesLong
+          .shingleHashesAll(col(textCol), 2, 6)).as("h"))
+      .select(col("did"), col("is_t"), (col("h") % nBuckets).as("b"))
+    val feats = uni.unionByName(bi)
     val cdb = feats.groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
     val bc = feats.groupBy(col("b")).agg(count(lit(1)).as("rc"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
