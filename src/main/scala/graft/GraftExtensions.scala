@@ -97,5 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QuantizeLong.fromChildren))
     ext.injectFunction(fn(LangIdLong.Name, classOf[LangIdLong],
       LangIdLong.fromChildren))
+    ext.injectFunction(fn(Sq8CodesLong.Name, classOf[Sq8CodesLong],
+      Sq8CodesLong.fromChildren))
   }
 }

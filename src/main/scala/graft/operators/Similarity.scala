@@ -656,11 +656,13 @@ object Similarity {
     * ([[idot]]) applies to them unchanged.
     */
   def sq8Codes(vec: Column, lo: Column, hi: Column): Column =
-    transform(vec, (x, i) =>
-      coalesce(
-        round((x.cast("double") - element_at(lo, i + 1)) * 255.0 /
-          nullif(element_at(hi, i + 1) - element_at(lo, i + 1), lit(0.0))),
-        lit(0.0)).cast("long"))
+    // one codegen'd pass (round 19): the transform form evaluated its
+    // lambda INTERPRETED per element with two boxed element_at codebook
+    // lookups each, over every candidate vector in the encode scan —
+    // graft.plans.Sq8CodesLong is the identical arithmetic (Spark ROUND
+    // HALF_UP, constant-dimension and NULL elements to code 0, ANSI
+    // out-of-bounds abort; PropertySpec pins kernel == transform)
+    graft.plans.Sq8CodesLong.sq8Codes(vec, lo, hi)
 
   /** Brute-force top-k in SQ8 code space by exact integer squared L2
     * distance, via the dot identity ||a-b||^2 = a.a + b.b - 2a.b — three

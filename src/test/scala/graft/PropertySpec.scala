@@ -953,6 +953,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8Codes kernel vs the transform formulation: identical codes") {
+    // pins graft.plans.Sq8CodesLong to the retired transform(vec, (x, i) =>
+    // coalesce(round(...), 0.0).cast(long)) form — random finite doubles,
+    // constant dimensions (hi == lo -> 0), null elements (-> 0), rounding
+    // ties, and the float element path
+    val gen: Gen[(Seq[java.lang.Double], Seq[Double], Seq[Double])] = for {
+      n <- Gen.choose(1, 12)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-5.0, 5.0).map(java.lang.Double.valueOf),
+        Gen.const(null: java.lang.Double)))
+      los <- Gen.listOfN(n, Gen.choose(-5.0, 0.0))
+      spans <- Gen.listOfN(n, Gen.oneOf(Gen.const(0.0), Gen.choose(0.1, 10.0)))
+    } yield (xs.toSeq, los.toSeq, los.zip(spans).map { case (l, s) => l + s }.toSeq)
+    forAllSamples(gen, 6) { case (xs, los, his) =>
+      val df = Seq((xs, los, his)).toDF("v", "lo", "hi")
+      val kernel = df.select(
+          graft.plans.Sq8CodesLong.sq8Codes($"v", $"lo", $"hi"))
+        .as[Seq[Long]].head()
+      val hof = df.select(transform($"v", (x, i) =>
+          coalesce(
+            round((x.cast("double") - element_at($"lo", i + 1)) * 255.0 /
+              nullif(element_at($"hi", i + 1) - element_at($"lo", i + 1),
+                lit(0.0))),
+            lit(0.0)).cast("long")))
+        .as[Seq[Long]].head()
+      assert(kernel == hof, s"v=$xs lo=$los hi=$his")
+      // float path: same values narrowed
+      val fs = xs.map(x => if (x == null) null
+        else java.lang.Float.valueOf(x.floatValue))
+      val dff = Seq((fs, los, his)).toDF("v", "lo", "hi")
+      val kernelF = dff.select(
+          graft.plans.Sq8CodesLong.sq8Codes($"v", $"lo", $"hi"))
+        .as[Seq[Long]].head()
+      val hofF = dff.select(transform($"v", (x, i) =>
+          coalesce(
+            round((x.cast("double") - element_at($"lo", i + 1)) * 255.0 /
+              nullif(element_at($"hi", i + 1) - element_at($"lo", i + 1),
+                lit(0.0))),
+            lit(0.0)).cast("long")))
+        .as[Seq[Long]].head()
+      assert(kernelF == hofF, s"floats v=$fs lo=$los hi=$his")
+    }
+  }
+
   test("langId kernel vs the five-markerScore when-chain: identical labels") {
     // pins graft.plans.LangIdLong (the r19 one-pass lang id) to the retired
     // formulation — five WordSetCountLong scores + the argmax CASE chain
