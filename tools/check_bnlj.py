@@ -65,7 +65,9 @@ BOUNDED_BROADCAST_ALLOWLIST = {
     "s7_sq8_knn": (1, "broadcast query batch + SQ8 bounds row chain", None),
     "s8_pq_adc_knn": (1, "broadcast query batch + 16-seed codebook chain", None),
     "s11_pq_trained": (1, "broadcast query batch + trained codebook chain", None),
-    "s16_ann_recall": (12, "per-method recall harness: broadcast query batch per arm", None),
+    # s16_ann_recall: removed in round 19 — the shared seeded shortlist +
+    # pinned ground truth replaced every per-arm broadcast-query-batch
+    # subtree with checkpoint leaves; its plan now has ZERO BNLJs
     "s26_matryoshka_recall": (4, "broadcast 8-row query batch per truncation arm", None),
     "s19_ivfpq_persisted": (1, "broadcast 8-row query batch over persisted index", 8),
     "s20_ivfpq_persisted_refine": (1, "broadcast 8-row query batch", 8),
