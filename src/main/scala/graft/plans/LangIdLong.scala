@@ -78,6 +78,11 @@ object LangIdLong {
     * carrying the bitmask of the sets that contain it — one linear probe
     * per token answers membership for EVERY set at once (sets here are
     * 5-10 words each; a hash is slower than the memcmp).
+    *
+    * The token walk mirrors [[WordSetCountLong.Matcher]] (single-set form)
+    * with the bitmask added; any change to split/tokenizer semantics must
+    * be applied to BOTH — the PropertySpec langId pin (which composes the
+    * two) fails on divergence.
     */
   final class MultiMatcher(labels: Seq[String], sets: Seq[Seq[String]])
       extends Serializable {

@@ -95,8 +95,21 @@ object Sq8CodesLong {
         val l = lo.getDouble(i)
         val d = hi.getDouble(i) - l
         if (d != 0.0) {
-          code = java.math.BigDecimal.valueOf((x - l) * 255.0 / d)
-            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+          val scaled = (x - l) * 255.0 / d
+          // fail-loud parity with the transform form: a NaN/Infinite
+          // element or a code outside long range aborted there under the
+          // ANSI cast (round passes non-finite through; CAST_OVERFLOW) —
+          // never silently saturate (review r19)
+          if (java.lang.Double.isNaN(scaled) ||
+              java.lang.Double.isInfinite(scaled))
+            throw new ArithmeticException(
+              s"$Name: non-finite code at element $i (x=$x, lo=$l, hi=${l + d})")
+          val rounded = java.math.BigDecimal.valueOf(scaled)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (rounded < -9.223372036854776E18 || rounded >= 9.223372036854776E18)
+            throw new ArithmeticException(
+              s"$Name: code overflows BIGINT at element $i (rounded=$rounded)")
+          code = rounded.toLong
         }
       }
       out(i) = code
