@@ -1106,16 +1106,15 @@ object Dedup {
                          minShared: Long): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     // source rides the shingle scan (no join back to the doc table — that
-    // would shuffle the corpus-gram relation by doc id just to attach it)
-    val w = split(col(textCol), " ")
-    val sh = when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // would shuffle the corpus-gram relation by doc id just to attach it);
+    // grams ride the native distinct-shingle-hash kernel (round 19 — this
+    // site had inlined the interpreted array_distinct(transform(...)) +
+    // hash48(gram) pair the §3b pass replaced elsewhere; profiled as d24's
+    // dominant CPU frames: StringSplit/ArrayJoin interpreted eval per row)
     val grams = df
       .select(col(idCol).as("sid"), col(sourceCol).as("src"),
-        explode(sh).as("gram"))
-      .select(col("sid"), col("src"), hash48(col("gram")).as("g"))
+        explode(graft.plans.ShingleHashesLong
+          .shingleHashes(col(textCol), n, 6)).as("g"))
     val sourceGrams = grams.select(col("src").as("other"), col("g")).distinct()
     grams.join(sourceGrams, Seq("g"))
       .filter(col("src") =!= col("other"))
