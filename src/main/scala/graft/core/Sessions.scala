@@ -33,5 +33,15 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // the events fixture ships TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the composed/streaming protocol queries generate 190-300 codegen
+      // units per RUN — over the default 100-entry compiled-class cache,
+      // so a single run evicts and recompiles its own repeated subtrees
+      // (measured: sft_app warm 15.0 -> 4.5 s, 188 -> 2 units at 2000).
+      // Host-independent driver constant (a streaming driver re-plans
+      // every micro-batch; class reuse cuts that CPU identically on a
+      // cluster); ~tens of MB of driver class metadata at 2000. Static
+      // conf — must be set before the session exists; env-overridable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.ui.enabled", "false")
 }
